@@ -1,0 +1,144 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.PropertyGraph
+
+/**
+ * Graph analytics — the reference's algorithm commands (`trian`, `pgrnk`,
+ * `idd`/`odd`, `egnt`, `vcnt`/`ecnt`; SURVEY.md §2.3) re-expressed as
+ * declarative DataFrame plans. Where the reference hand-schedules
+ * cross-partition aggregation (e.g. its triangle-count master merges
+ * central-store files over partition combinations,
+ * `TriangleCountExecutor.cpp:910-980`), we emit one logical plan and let
+ * Catalyst/AQE pick shuffle strategy — the same computation survives a
+ * 1000-executor cluster unchanged.
+ */
+object GraphAlgorithms {
+
+  /**
+   * Exact triangle count. Reference: node-iterator over merged local +
+   * central adjacency with canonicalized (v1<v2<v3) dedup
+   * (`src/query/algorithms/triangles/Triangles.cpp:33-230`).
+   *
+   * Spark formulation: orient each undirected edge from its lower-degree
+   * endpoint to its higher-degree endpoint (ties broken by id), then count
+   * closed wedges with a two-step self-join. Degree-orientation bounds the
+   * out-degree of every vertex by O(sqrt(m)), which caps the wedge
+   * (join-intermediate) size — the standard trick that keeps the shuffle
+   * tractable on skewed graphs at scale.
+   */
+  def triangleCount(edges: DataFrame): Long = {
+    val canon = PropertyGraph.canonicalUndirected(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = canon.select(col("src").as("v"))
+        .unionAll(canon.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+
+      // orient low-degree -> high-degree
+      val oriented = canon
+        .join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+        .select(
+          when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+            struct(col("src").as("a"), col("dst").as("b")))
+            .otherwise(struct(col("dst").as("a"), col("src").as("b"))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val e1 = oriented
+      val e2 = oriented.select(col("a").as("b2a"), col("b").as("b2b"))
+      val e3 = oriented.select(col("a").as("c1"), col("b").as("c2"))
+
+      val n = e1
+        .join(e2, col("b") === col("b2a"))                       // wedge a->b->c
+        .join(e3, col("c1") === col("a") && col("c2") === col("b2b")) // close a->c
+        .count()
+      oriented.unpersist()
+      n
+    } finally canon.unpersist()
+  }
+
+  /**
+   * PageRank, unnormalized formulation: rank(v) = (1-alpha) + alpha *
+   * sum(rank(u)/outdeg(u) for u -> v), iterated a fixed number of times from
+   * rank=1.0. Matches the reference's worker power iteration (`pgrnk`,
+   * defaults alpha=0.85, 10 iterations —
+   * `src/frontend/JasmineGraphFrontEndProtocol.h:112-113`,
+   * `JasmineGraphInstanceService.cpp:1650-1816`), which also does not
+   * redistribute dangling mass. Returns (id, rank).
+   *
+   * The per-iteration plan is one shuffle (groupBy dst); out-degrees are
+   * computed once and joined in. Each iteration is persisted and the
+   * previous one unpersisted so the lineage stays O(1) deep.
+   */
+  def pageRank(g: PropertyGraph, alpha: Double = 0.85, iterations: Int = 10): DataFrame = {
+    val edges = g.orientedEdges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withDeg.count() // materialize so edges lineage is not recomputed per iter
+
+    var ranks = g.nodes.select(col("id"), lit(1.0).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      val next = g.nodes.select(col("id"))
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1.0 - alpha) + lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    edges.unpersist(); withDeg.unpersist()
+    ranks
+  }
+
+  /** Out-degree per vertex (reference `odd`). Zero-degree vertices included. */
+  def outDegrees(g: PropertyGraph): DataFrame = degrees(g, col("src"))
+
+  /** In-degree per vertex (reference `idd`). Zero-degree vertices included. */
+  def inDegrees(g: PropertyGraph): DataFrame = degrees(g, col("dst"))
+
+  private def degrees(g: PropertyGraph, end: Column): DataFrame = {
+    val d = g.orientedEdges.groupBy(end.as("id")).agg(count(lit(1)).as("degree"))
+    g.nodes.select(col("id")).join(d, Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
+  /** Degree distribution: how many vertices have each degree
+    * (reference writes these as `graphID_{idd,odd}_partition` files,
+    * `JasmineGraphInstanceService.cpp:1249-1388`). */
+  def degreeDistribution(g: PropertyGraph, in: Boolean): DataFrame = {
+    val d = if (in) inDegrees(g) else outDegrees(g)
+    d.groupBy("degree").agg(count(lit(1)).as("frequency"))
+  }
+
+  /**
+   * Egonet: the 1-hop induced subgraph around `egoId` (reference
+   * `JasmineGraphInstanceService.cpp:1404-1500`). Returns the edge set among
+   * {ego} ∪ neighbors(ego). The neighbor set of one vertex is small, so it
+   * is broadcast into the induced-subgraph join — no full shuffle.
+   */
+  def egonet(g: PropertyGraph, egoId: String): DataFrame = {
+    val es = g.orientedEdges.select(col("src"), col("dst"))
+    val ego = es.sparkSession.range(1).select(lit(egoId).as("m"))
+    val members = es.where(col("src") === egoId).select(col("dst").as("m"))
+      .union(es.where(col("dst") === egoId).select(col("src").as("m")))
+      .union(ego)
+      .distinct()
+    es.join(broadcast(members.withColumnRenamed("m", "src")), "src")
+      .join(broadcast(members.withColumnRenamed("m", "dst")), "dst")
+      .select(col("src"), col("dst"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Property-graph data model: a graph is a pair of DataFrames plus a
+ * directedness flag.
+ *
+ * Mirrors the reference data model (nodes with label + string properties,
+ * relationships with type + string properties; see reference
+ * `src/nativestore/NodeBlock.h:28-103` and
+ * `src/nativestore/RelationBlock.h:59-171`) but drops the reference's
+ * storage-level local/central partition split: Spark shuffles co-locate
+ * whatever each operator needs, so edge-cut bookkeeping is unnecessary
+ * (reference `src/nativestore/RelationBlock.h:121-122`).
+ *
+ * Schemas:
+ *   nodes: id STRING, label STRING, properties MAP<STRING,STRING>
+ *   edges: eid LONG, src STRING, dst STRING, type STRING,
+ *          properties MAP<STRING,STRING>
+ *
+ * All property values are strings, exactly as in the reference
+ * (`src/nativestore/PropertyLink.h:23-26`); numeric semantics are applied
+ * at comparison time only (see [[graft.cypher.ExprCompiler]]).
+ *
+ * `eid` is a deterministic per-physical-edge identifier used for the
+ * relationship-uniqueness predicate between consecutive hops of a path
+ * pattern (reference `QueryPlanner.cpp:571-582`). Both orientations of an
+ * undirected edge share one `eid`, so a pattern can never bind the same
+ * physical edge to two different relationship variables of adjacent hops.
+ */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame, isDirected: Boolean) {
+
+  /**
+   * Edge set used by relationship scans / expands. Undirected graphs emit
+   * every relation in both orientations, matching the reference's
+   * UndirectedRelationshipScan semantics (reference
+   * `OperatorExecutor.cpp:610-725`: each relation is emitted twice when the
+   * graph is undirected).
+   */
+  def orientedEdges: DataFrame =
+    if (isDirected) edges else PropertyGraph.bothOrientations(edges)
+
+  /** Cheap catalog stats — the reference serves vcnt/ecnt from its metadb
+    * catalog rather than recomputing (`frontend/JasmineGraphFrontEnd.cpp:3181-3185`). */
+  lazy val vertexCount: Long = nodes.count()
+  lazy val edgeCount: Long = edges.count()
+
+  def cache(): PropertyGraph = { nodes.cache(); edges.cache(); this }
+  def unpersist(): PropertyGraph = { nodes.unpersist(); edges.unpersist(); this }
+}
+
+object PropertyGraph {
+
+  /** Emit both orientations of every edge, keeping the shared eid. */
+  def bothOrientations(edges: DataFrame): DataFrame = {
+    val swapped = edges.select(
+      col("eid"),
+      col("dst").as("src"),
+      col("src").as("dst"),
+      col("type"),
+      col("properties"))
+    edges.unionByName(swapped)
+  }
+
+  /** Canonical undirected edge list (src < dst), deduplicated — input to
+    * triangle counting and other undirected analytics. */
+  def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Attach the deterministic eid column to a raw (src,dst,type,properties)
+    * edge DataFrame. Identical parallel edges collide on eid — acceptable:
+    * the only consumer is the hop-uniqueness predicate and two
+    * indistinguishable edges produce indistinguishable rows. */
+  def withEid(raw: DataFrame): DataFrame =
+    raw.select(
+      xxhash64(
+        col("src"), col("dst"), col("type"),
+        coalesce(element_at(col("properties"), "id"), lit(""))).as("eid"),
+      col("src"), col("dst"), col("type"), col("properties"))
+}
+
+/**
+ * In-memory registry of named graphs, standing in for the reference's SQLite
+ * metadb catalog (`ddl/metadb.sql:1-22`): vcnt/ecnt/is_directed are answered
+ * from here without recomputation.
+ */
+object GraphCatalog {
+  private val graphs = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+
+  def register(name: String, g: PropertyGraph): PropertyGraph = { graphs.put(name, g); g }
+  def get(name: String): Option[PropertyGraph] = graphs.get(name)
+  def apply(name: String): PropertyGraph =
+    graphs.getOrElse(name, throw new NoSuchElementException(s"graph not registered: $name"))
+  def remove(name: String): Unit = graphs.remove(name)
+  def list: Seq[String] = graphs.keys.toSeq.sorted
+}

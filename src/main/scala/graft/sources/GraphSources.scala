@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.PropertyGraph
+
+/**
+ * Graph ingest: the two canonical input formats of the reference engine
+ * (see FIXTURES.md) re-expressed as declarative Spark reads.
+ */
+object GraphSources {
+
+  /** Schema of the JSON edge stream — one object per line/message; the
+    * reference parses the same shape at `src/util/kafka/StreamHandler.cpp:104-121`. */
+  val edgeStreamSchema: StructType = StructType(Seq(
+    StructField("source", StructType(Seq(
+      StructField("id", StringType),
+      StructField("properties", MapType(StringType, StringType))))),
+    StructField("destination", StructType(Seq(
+      StructField("id", StringType),
+      StructField("properties", MapType(StringType, StringType))))),
+    StructField("properties", MapType(StringType, StringType))))
+
+  /**
+   * Plain whitespace-separated edge list (`src dst` per line), the `adgr`
+   * batch format (reference `tests/integration/env_init/data/powergrid.dl`).
+   * Nodes are the distinct endpoint ids; no labels/properties.
+   */
+  def readEdgeList(spark: SparkSession, path: String, isDirected: Boolean = false): PropertyGraph = {
+    val lines = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .where(size(col("f")) >= 2)
+    val rawEdges = lines.select(
+      col("f").getItem(0).as("src"),
+      col("f").getItem(1).as("dst"),
+      lit("").as("type"),
+      map().cast(MapType(StringType, StringType)).as("properties"))
+    val nodes = rawEdges.select(col("src").as("id"))
+      .union(rawEdges.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), lit("").as("label"),
+        map().cast(MapType(StringType, StringType)).as("properties"))
+    PropertyGraph(nodes, PropertyGraph.withEid(rawEdges), isDirected)
+  }
+
+  /**
+   * JSON edge file/stream in the canonical property-graph format (§1.3 of
+   * SURVEY.md). Node upsert semantics: the reference's incremental store
+   * upserts node properties as edges stream in
+   * (`src/localstore/incremental/JasmineGraphIncrementalLocalStore.h:39-52`);
+   * batch-side we keep, per node id, the richest observed property map
+   * (most keys — deterministic tie-break on the map's JSON rendering).
+   */
+  def readJsonEdges(spark: SparkSession, path: String, isDirected: Boolean = false): PropertyGraph = {
+    val parsed = spark.read.schema(edgeStreamSchema).json(path)
+    fromEdgeRecords(parsed, isDirected)
+  }
+
+  /** Build a PropertyGraph from a DataFrame shaped like [[edgeStreamSchema]]
+    * (shared by the batch reader and the streaming foreachBatch path). */
+  def fromEdgeRecords(parsed: DataFrame, isDirected: Boolean): PropertyGraph = {
+    val endpoints = parsed.select(col("source.id").as("id"), col("source.properties").as("properties"))
+      .unionByName(parsed.select(col("destination.id").as("id"), col("destination.properties").as("properties")))
+    val byRichness = Window.partitionBy(col("id"))
+      .orderBy(size(col("properties")).desc, to_json(col("properties")).asc)
+    val nodes = endpoints
+      .withColumn("rn", row_number().over(byRichness))
+      .where(col("rn") === 1)
+      .select(
+        col("id"),
+        coalesce(element_at(col("properties"), "label"), lit("")).as("label"),
+        col("properties"))
+    val rawEdges = parsed.select(
+      col("source.id").as("src"),
+      col("destination.id").as("dst"),
+      coalesce(element_at(col("properties"), "type"), lit("")).as("type"),
+      col("properties"))
+    PropertyGraph(nodes, PropertyGraph.withEid(rawEdges), isDirected)
+  }
+}

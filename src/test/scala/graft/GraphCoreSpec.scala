@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.GraphAlgorithms
+import graft.model.{GraphCatalog, PropertyGraph}
+import graft.sources.GraphSources
+
+/**
+ * Core model + ingest + algorithms against the reference's golden fixtures
+ * (read-only inputs under /root/reference/tests/integration/env_init/data).
+ * Golden numbers from the reference integration suite
+ * (`integration_workflow_core.py:45-60`): powergrid = 4941 vertices,
+ * 6594 edges, 651 triangles.
+ */
+class GraphCoreSpec extends SparkSpec {
+
+  val powergrid = "/root/reference/tests/integration/env_init/data/powergrid.dl"
+  val fixtureJson = "/root/reference/tests/integration/env_init/data/graph_with_properties.txt"
+
+  lazy val pg: PropertyGraph = GraphSources.readEdgeList(spark, powergrid).cache()
+  lazy val fixture: PropertyGraph = GraphSources.readJsonEdges(spark, fixtureJson).cache()
+
+  test("powergrid vertex/edge counts match golden (4941 / 6594)") {
+    assert(pg.vertexCount === 4941L)
+    assert(pg.edgeCount === 6594L)
+  }
+
+  test("powergrid triangle count matches golden (651)") {
+    assert(GraphAlgorithms.triangleCount(pg.edges) === 651L)
+  }
+
+  test("json edge fixture loads 20 nodes / 100 edges with merged properties") {
+    assert(fixture.vertexCount === 20L)
+    assert(fixture.edgeCount === 100L)
+    val fiona = fixture.nodes.where(col("id") === "10").collect()
+    assert(fiona.length === 1)
+    val props = fiona(0).getAs[Map[String, String]]("properties")
+    assert(props("name") === "Fiona")
+    assert(props("age") === "25")
+    assert(fiona(0).getAs[String]("label") === "Person")
+  }
+
+  test("undirected oriented edges emit both orientations with shared eid") {
+    val o = fixture.orientedEdges
+    assert(o.count() === 200L)
+    assert(o.select("eid").distinct().count() === fixture.edges.select("eid").distinct().count())
+  }
+
+  test("pageRank converges to sane values and preserves mass ordering") {
+    val ranks = GraphAlgorithms.pageRank(fixture, alpha = 0.85, iterations = 5)
+    val n = ranks.count()
+    assert(n === 20L)
+    val all = ranks.collect().map(_.getAs[Double]("rank"))
+    assert(all.forall(r => r >= 0.1499999 && r < 20))
+  }
+
+  test("degree distributions cover all vertices") {
+    val dd = GraphAlgorithms.degreeDistribution(pg, in = false)
+    assert(dd.agg(sum("frequency")).collect()(0).getLong(0) === 4941L)
+  }
+
+  test("egonet of a powergrid hub is its 1-hop induced subgraph") {
+    val ego = GraphAlgorithms.egonet(pg, "2594")
+    // every returned edge touches only members (ego or neighbors)
+    val es = pg.orientedEdges
+    val nbrs = es.where(col("src") === "2594").select("dst")
+      .union(es.where(col("dst") === "2594").select("src"))
+      .collect().map(_.getString(0)).toSet + "2594"
+    val out = ego.collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => nbrs.contains(r.getString(0)) && nbrs.contains(r.getString(1))))
+  }
+
+  test("catalog registers and serves counts") {
+    GraphCatalog.register("pg", pg)
+    assert(GraphCatalog("pg").vertexCount === 4941L)
+    assert(GraphCatalog.list.contains("pg"))
+  }
+}
