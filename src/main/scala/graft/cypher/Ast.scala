@@ -1,0 +1,123 @@
+package graft.cypher
+
+/**
+ * AST for the executable openCypher subset (SURVEY.md §2.1/§2.2): the
+ * reference parses full openCypher 9 but plans/executes only MATCH
+ * (paths, labels, property maps), WHERE (comparisons, boolean ops,
+ * property lookup, id()), RETURN with DISTINCT / ORDER BY / SKIP / LIMIT
+ * and aggregation, plus CREATE. We implement that surface (with correct
+ * NOT and real DISTINCT — the reference's are buggy no-ops, see
+ * `Helpers.cpp:164-166` and `OperatorExecutor.cpp:1351-1394`) and a few
+ * parity-plus predicates the reference only parses (STARTS WITH / ENDS
+ * WITH / CONTAINS / IN / IS NULL, arithmetic).
+ */
+object Ast {
+
+  // ----- expressions ------------------------------------------------------
+  sealed trait Expr
+  final case class Variable(name: String) extends Expr
+  final case class Property(variable: String, key: String) extends Expr
+  final case class Func(name: String, args: List[Expr]) extends Expr
+  final case class Aggregate(name: String, distinct: Boolean, arg: Option[Expr]) extends Expr
+  final case class StrLit(value: String) extends Expr
+  final case class IntLit(value: Long) extends Expr
+  final case class DblLit(value: Double) extends Expr
+  final case class BoolLit(value: Boolean) extends Expr
+  case object NullLit extends Expr
+  final case class ListLit(items: List[Expr]) extends Expr
+  final case class Cmp(op: String, left: Expr, right: Expr) extends Expr // = <> < > <= >=
+  final case class And(left: Expr, right: Expr) extends Expr
+  final case class Or(left: Expr, right: Expr) extends Expr
+  final case class Xor(left: Expr, right: Expr) extends Expr
+  final case class Not(child: Expr) extends Expr
+  final case class StartsWith(left: Expr, right: Expr) extends Expr
+  final case class EndsWith(left: Expr, right: Expr) extends Expr
+  final case class Contains(left: Expr, right: Expr) extends Expr
+  final case class In(left: Expr, list: Expr) extends Expr
+  final case class IsNull(child: Expr, negated: Boolean) extends Expr
+  final case class Arith(op: String, left: Expr, right: Expr) extends Expr // + - * / % ^
+  final case class Neg(child: Expr) extends Expr
+
+  val aggregateNames = Set("avg", "sum", "min", "max", "count", "collect")
+
+  def containsAggregate(e: Expr): Boolean = e match {
+    case _: Aggregate => true
+    case Func(_, args) => args.exists(containsAggregate)
+    case Cmp(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case And(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Or(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Xor(l, r) => containsAggregate(l) || containsAggregate(r)
+    case Not(c) => containsAggregate(c)
+    case Arith(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case Neg(c) => containsAggregate(c)
+    case _ => false
+  }
+
+  /** Canonical source-like rendering, used as the default output column name
+    * (reference output keys look like `n.age`, `avg(n.age)`). */
+  def text(e: Expr): String = e match {
+    case Variable(n) => n
+    case Property(v, k) => s"$v.$k"
+    case Func(n, args) => s"$n(${args.map(text).mkString(", ")})"
+    case Aggregate(n, d, a) =>
+      val inner = a.map(text).getOrElse("*")
+      s"$n(${if (d) "DISTINCT " else ""}$inner)"
+    case StrLit(s) => s"'$s'"
+    case IntLit(v) => v.toString
+    case DblLit(v) => v.toString
+    case BoolLit(v) => v.toString
+    case NullLit => "null"
+    case ListLit(xs) => xs.map(text).mkString("[", ", ", "]")
+    case Cmp(op, l, r) => s"${text(l)} $op ${text(r)}"
+    case And(l, r) => s"${text(l)} AND ${text(r)}"
+    case Or(l, r) => s"${text(l)} OR ${text(r)}"
+    case Xor(l, r) => s"${text(l)} XOR ${text(r)}"
+    case Not(c) => s"NOT ${text(c)}"
+    case StartsWith(l, r) => s"${text(l)} STARTS WITH ${text(r)}"
+    case EndsWith(l, r) => s"${text(l)} ENDS WITH ${text(r)}"
+    case Contains(l, r) => s"${text(l)} CONTAINS ${text(r)}"
+    case In(l, r) => s"${text(l)} IN ${text(r)}"
+    case IsNull(c, neg) => s"${text(c)} IS ${if (neg) "NOT " else ""}NULL"
+    case Arith(op, l, r) => s"${text(l)} $op ${text(r)}"
+    case Neg(c) => s"-${text(c)}"
+  }
+
+  // ----- patterns ---------------------------------------------------------
+  sealed trait Direction
+  case object DirRight extends Direction // -[]->
+  case object DirLeft extends Direction  // <-[]-
+  case object DirBoth extends Direction  // -[]-
+
+  final case class NodePattern(
+      variable: Option[String],
+      labels: List[String],
+      properties: Map[String, Expr])
+
+  final case class RelPattern(
+      variable: Option[String],
+      types: List[String],
+      direction: Direction,
+      properties: Map[String, Expr])
+
+  final case class PathPattern(start: NodePattern, hops: List[(RelPattern, NodePattern)])
+
+  // ----- clauses ----------------------------------------------------------
+  final case class MatchClause(paths: List[PathPattern], where: Option[Expr])
+  final case class ReturnItem(expr: Expr, alias: Option[String]) {
+    def name: String = alias.getOrElse(text(expr))
+  }
+  final case class SortItem(expr: Expr, ascending: Boolean)
+  final case class ReturnClause(
+      distinct: Boolean,
+      items: List[ReturnItem],
+      orderBy: List[SortItem],
+      skip: Option[Long],
+      limit: Option[Long])
+
+  final case class CreateClause(paths: List[PathPattern])
+
+  final case class Query(
+      matches: List[MatchClause],
+      creates: List[CreateClause],
+      returns: Option[ReturnClause])
+}

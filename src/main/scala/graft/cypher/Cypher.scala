@@ -1,0 +1,128 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.PropertyGraph
+import Ast._
+
+/**
+ * Public entry point for the Cypher surface: parse → plan → one DataFrame.
+ *
+ * The reference's lifecycle (parse → analyze → plan → serialize JSON plan →
+ * ship to every worker → thread-per-operator pull pipeline → master merge;
+ * `CypherQueryExecutor.cpp:69-388`) collapses to: build a logical plan,
+ * let Catalyst/Tungsten execute it. Results are lazy DataFrames; callers
+ * choose collect/write/stream.
+ */
+object Cypher {
+
+  /** Run a read query (MATCH ... RETURN ...) against a graph. */
+  def run(graph: PropertyGraph, query: String): DataFrame = {
+    val q = Parser.parse(query)
+    if (q.creates.nonEmpty)
+      throw CypherParseException("CREATE queries go through Cypher.execute (they produce a new graph)")
+    if (q.returns.isEmpty)
+      throw CypherParseException("query has no RETURN clause")
+    val planner = new Planner(graph)
+    val (bound, scope) = planner.compileMatch(q.matches)
+    planner.compileReturn(bound, scope, q.returns.get)
+  }
+
+  /**
+   * Execute a query that may mutate the graph (CREATE). Returns the
+   * (possibly new) graph plus the result DataFrame if the query had RETURN.
+   * Mirrors the reference's Create operator, which appends via the
+   * partition-aware incremental store (`OperatorExecutor.cpp:1257-1281`);
+   * here an append is a DataFrame union — partition residency is Spark's
+   * problem, not the planner's.
+   */
+  def execute(graph: PropertyGraph, query: String): (PropertyGraph, Option[DataFrame]) = {
+    val q = Parser.parse(query)
+    if (q.creates.isEmpty) return (graph, Some(run(graph, query)))
+    if (q.matches.nonEmpty)
+      throw CypherParseException("CREATE with MATCH is not supported yet")
+    val spark = graph.nodes.sparkSession
+    var g = graph
+    q.creates.foreach { c => g = applyCreate(spark, g, c) }
+    (g, None)
+  }
+
+  private def literalString(e: Expr): String = e match {
+    case StrLit(s) => s
+    case IntLit(v) => v.toString
+    case DblLit(v) => v.toString
+    case BoolLit(v) => v.toString
+    case other => throw CypherParseException(s"CREATE property values must be literals, got ${text(other)}")
+  }
+
+  private def applyCreate(spark: SparkSession, g: PropertyGraph, c: CreateClause): PropertyGraph = {
+    import scala.jdk.CollectionConverters._
+    val nodeRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Map[String, String])]
+    val edgeRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Map[String, String])]
+    c.paths.foreach { path =>
+      def nodeId(np: NodePattern): String = {
+        val props = np.properties.map { case (k, v) => k -> literalString(v) }
+        val id = props.getOrElse("id",
+          throw CypherParseException("CREATE node needs an {id: ...} property"))
+        nodeRows += ((id, np.labels.headOption.getOrElse(""), props))
+        id
+      }
+      var prev = nodeId(path.start)
+      path.hops.foreach { case (rel, node) =>
+        val target = nodeId(node)
+        val props = rel.properties.map { case (k, v) => k -> literalString(v) }
+        val typ = rel.types.headOption.getOrElse("")
+        val (s, d) = rel.direction match {
+          case DirLeft => (target, prev)
+          case _ => (prev, target)
+        }
+        edgeRows += ((s, d, typ, props))
+        prev = target
+      }
+    }
+    val nodeSchema = StructType(Seq(
+      StructField("id", StringType), StructField("label", StringType),
+      StructField("properties", MapType(StringType, StringType))))
+    val edgeSchema = StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType),
+      StructField("type", StringType), StructField("properties", MapType(StringType, StringType))))
+    val newNodes = spark.createDataFrame(
+      nodeRows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, nodeSchema)
+    val newEdges = spark.createDataFrame(
+      edgeRows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)).asJava, edgeSchema)
+    // upsert nodes: new definition wins over an existing row with same id
+    val keptOld = g.nodes.join(newNodes.select(col("id").as("__nid")),
+      col("id") === col("__nid"), "left_anti")
+    val nodes = keptOld.unionByName(newNodes)
+    val edges = g.edges.unionByName(PropertyGraph.withEid(newEdges))
+    PropertyGraph(nodes, edges, g.isDirected)
+  }
+
+  /**
+   * Render a result DataFrame as the reference's row-JSON shape: one JSON
+   * object per row, entity variables expanded to their property maps with
+   * id/label folded in (reference rows are JSON objects mapping variable →
+   * entity, `OperatorExecutor.cpp:356-359`).
+   */
+  def toJsonRows(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case s: StructType if s.fieldNames.contains("properties") && s.fieldNames.contains("id") =>
+          // fold id/label into the property map; drop duplicates from props
+          // first (map_concat rejects duplicate keys under the default
+          // EXCEPTION dedup policy)
+          map_concat(
+            map(lit("id"), col(s"`${f.name}`.id"), lit("label"),
+              coalesce(col(s"`${f.name}`.label"), lit(""))),
+            map_filter(
+              coalesce(col(s"`${f.name}`.properties"),
+                map().cast(MapType(StringType, StringType))),
+              (k, _) => k =!= "id" && k =!= "label")).as(f.name)
+        case _ => col(s"`${f.name}`").as(f.name)
+      }
+    }
+    df.select(to_json(struct(cols.toIndexedSeq: _*)).as("json"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.cypher
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+
+/**
+ * Compiles Cypher expressions to Catalyst Columns, reproducing the
+ * reference's contextual string-coercion semantics: all stored property
+ * values are strings; the *other* operand's type decides how a property
+ * string is interpreted, and a value that fails to coerce makes the
+ * comparison false (reference `Helpers.cpp:197-236`: coercion; and
+ * `Helpers.cpp:73-88`: type-mismatch compare → false).
+ *
+ * In Spark this maps cleanly onto null-propagating casts: `cast(prop AS
+ * DOUBLE)` is NULL when the string is non-numeric, any comparison with
+ * NULL is NULL, and Filter drops non-true rows — same observable result,
+ * fully inside whole-stage codegen (no UDFs anywhere).
+ *
+ * Divergences from the reference, both deliberate (SURVEY.md §2.2):
+ *  - NOT is implemented correctly (the reference returns the un-negated
+ *    child, `Helpers.cpp:164-166`).
+ *  - STARTS WITH / ENDS WITH / CONTAINS / IN / IS NULL and arithmetic are
+ *    executable here; the reference only parses them.
+ */
+object ExprCompiler {
+
+  /** Static type lattice for coercion decisions. */
+  sealed trait Kind
+  case object KPropStr extends Kind // property value / id() — string needing contextual coercion
+  case object KStr extends Kind
+  case object KNum extends Kind
+  case object KBool extends Kind
+  case object KNull extends Kind
+  case object KNode extends Kind
+  case object KRel extends Kind
+  case object KOther extends Kind
+
+  final case class Typed(col: Column, kind: Kind)
+
+  /** Which variables are bound to nodes vs relationships. */
+  final case class Scope(vars: Map[String, Kind]) {
+    def kindOf(v: String): Kind =
+      vars.getOrElse(v, throw CypherParseException(s"undefined variable '$v'"))
+  }
+
+  /** Value-mode compilation: expression → column (used by RETURN items,
+    * ORDER BY keys, property-map literals and WHERE subtrees alike). */
+  def compile(e: Expr, scope: Scope): Typed = e match {
+    case Variable(v) =>
+      Typed(col(v), scope.kindOf(v))
+    case Property(v, k) =>
+      scope.kindOf(v) match {
+        case KNode | KRel => Typed(element_at(col(s"$v.properties"), k), KPropStr)
+        case _ => throw CypherParseException(s"'$v' is not an entity; cannot read property '$k'")
+      }
+    case StrLit(s) => Typed(lit(s), KStr)
+    case IntLit(v) => Typed(lit(v), KNum)
+    case DblLit(v) => Typed(lit(v), KNum)
+    case BoolLit(v) => Typed(lit(v), KBool)
+    case NullLit => Typed(lit(null).cast(StringType), KNull)
+    case ListLit(xs) =>
+      Typed(array(xs.map(x => compile(x, scope).col): _*), KOther)
+
+    case Func(name, args) => compileFunc(name, args, scope)
+
+    case Cmp(op, l, r) =>
+      val entity = (l, r) match {
+        case (Variable(a), Variable(b)) =>
+          (scope.kindOf(a), scope.kindOf(b)) match {
+            // entity equality compares ids (reference Helpers.cpp:171-182)
+            case (KNode, KNode) => Some(applyOp(op, col(s"$a.id"), col(s"$b.id")))
+            case (KRel, KRel) => Some(applyOp(op, col(s"$a.eid"), col(s"$b.eid")))
+            case _ => None
+          }
+        case _ => None
+      }
+      Typed(entity.getOrElse(compileCmp(op, compile(l, scope), compile(r, scope))), KBool)
+    case And(l, r) => Typed(compile(l, scope).col.try_cast(BooleanType) && compile(r, scope).col.try_cast(BooleanType), KBool)
+    case Or(l, r) => Typed(compile(l, scope).col.try_cast(BooleanType) || compile(r, scope).col.try_cast(BooleanType), KBool)
+    case Xor(l, r) => Typed(compile(l, scope).col.try_cast(BooleanType) =!= compile(r, scope).col.try_cast(BooleanType), KBool)
+    case Not(c) => Typed(!compile(c, scope).col.try_cast(BooleanType), KBool)
+
+    case StartsWith(l, r) => Typed(strOf(compile(l, scope)).startsWith(strOf(compile(r, scope))), KBool)
+    case EndsWith(l, r) => Typed(strOf(compile(l, scope)).endsWith(strOf(compile(r, scope))), KBool)
+    case Contains(l, r) => Typed(strOf(compile(l, scope)).contains(strOf(compile(r, scope))), KBool)
+
+    case In(l, ListLit(items)) =>
+      val lt = compile(l, scope)
+      val anyNum = items.exists { case IntLit(_) | DblLit(_) => true; case _ => false }
+      val left = if (anyNum) numOf(lt) else strOf(lt)
+      val vals: List[Any] = items.map {
+        case IntLit(v) => v.toDouble
+        case DblLit(v) => v
+        case StrLit(s) => s
+        case BoolLit(b) => b.toString
+        case other => throw CypherParseException(s"IN list supports literals only, got ${text(other)}")
+      }
+      Typed(left.isin(vals: _*), KBool)
+    case In(l, other) =>
+      throw CypherParseException(s"IN requires a literal list, got ${text(other)}")
+
+    case IsNull(c, negated) =>
+      val t = compile(c, scope)
+      Typed(if (negated) t.col.isNotNull else t.col.isNull, KBool)
+
+    case Arith(op, l, r) =>
+      val a = numOf(compile(l, scope)); val b = numOf(compile(r, scope))
+      val c = op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case "^" => pow(a, b)
+      }
+      Typed(c, KNum)
+    case Neg(c) => Typed(-numOf(compile(c, scope)), KNum)
+
+    case a: Aggregate =>
+      throw CypherParseException(s"aggregate ${text(a)} is only allowed as a top-level RETURN item")
+  }
+
+  private def compileFunc(name: String, args: List[Expr], scope: Scope): Typed = (name, args) match {
+    case ("id", List(Variable(v))) =>
+      scope.kindOf(v) match {
+        case KNode => Typed(col(s"$v.id"), KPropStr)
+        case KRel => Typed(col(s"$v.eid").cast(StringType), KPropStr)
+        case _ => throw CypherParseException(s"id() needs an entity variable, got '$v'")
+      }
+    case ("type", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.type"), KStr)
+    case ("labels", List(Variable(v))) if scope.kindOf(v) == KNode => Typed(array(col(s"$v.label")), KOther)
+    case ("label", List(Variable(v))) if scope.kindOf(v) == KNode => Typed(col(s"$v.label"), KStr)
+    case ("properties", List(Variable(v))) => Typed(col(s"$v.properties"), KOther)
+    case ("tofloat", List(a)) => Typed(compile(a, scope).col.try_cast(DoubleType), KNum)
+    case ("tointeger", List(a)) => Typed(compile(a, scope).col.try_cast(DoubleType).cast(LongType), KNum)
+    case ("tostring", List(a)) => Typed(compile(a, scope).col.cast(StringType), KStr)
+    case ("size", List(a)) =>
+      val t = compile(a, scope)
+      t.kind match {
+        case KOther => Typed(size(t.col), KNum)
+        case _ => Typed(length(t.col.cast(StringType)), KNum)
+      }
+    case ("startnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.src"), KPropStr)
+    case ("endnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.dst"), KPropStr)
+    case _ =>
+      throw CypherParseException(
+        s"function '$name'/${args.length} not supported (reference implements only id(); we add " +
+          "type, labels, properties, toFloat, toInteger, toString, size, startNode, endNode)")
+  }
+
+  private def strOf(t: Typed): Column = t.col.cast(StringType)
+  private def numOf(t: Typed): Column = t.col.try_cast(DoubleType)
+
+  /**
+   * Comparison with contextual coercion. The decision table follows the
+   * reference's FilterHelper: entity vs entity compares ids
+   * (`Helpers.cpp:171-182`); a property string compared against a typed
+   * literal is coerced to that type, failure → non-match
+   * (`Helpers.cpp:197-236`); otherwise plain same-type comparison.
+   */
+  private def applyOp(op: String, a: Column, b: Column): Column = op match {
+    case "=" => a === b
+    case "<>" => a =!= b
+    case "<" => a < b
+    case ">" => a > b
+    case "<=" => a <= b
+    case ">=" => a >= b
+  }
+
+  def compileCmp(op: String, l: Typed, r: Typed): Column =
+    (l.kind, r.kind) match {
+      case (KNull, _) | (_, KNull) => lit(null).try_cast(BooleanType)
+      case (KNum, _) | (_, KNum) => applyOp(op, l.col.try_cast(DoubleType), r.col.try_cast(DoubleType))
+      case (KBool, _) | (_, KBool) => applyOp(op, l.col.try_cast(BooleanType), r.col.try_cast(BooleanType))
+      case _ => applyOp(op, l.col.cast(StringType), r.col.cast(StringType))
+    }
+}

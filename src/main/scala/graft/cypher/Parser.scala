@@ -1,0 +1,381 @@
+package graft.cypher
+
+import Ast._
+
+/** Raised on syntax errors and on constructs the grammar accepts but the
+  * engine does not execute — mirroring the reference's parse-then-reject
+  * posture for its ~70 planner TODO stubs (`QueryPlanner.cpp:65-463`). */
+final case class CypherParseException(message: String) extends RuntimeException(message)
+
+/**
+ * Hand-rolled tokenizer + recursive-descent parser for the executable
+ * Cypher subset. The reference uses an ANTLR openCypher-9 grammar
+ * (`src/query/processor/cypher/astbuilder/ASTBuilder.h:23-185`); we parse
+ * exactly the surface we execute and raise a clear error for the rest
+ * (OPTIONAL MATCH, MERGE, SET, DELETE, UNWIND, CALL, UNION, WITH, CASE).
+ */
+object Parser {
+
+  // ----- tokens -----------------------------------------------------------
+  sealed trait Tok { def text: String }
+  final case class Ident(text: String) extends Tok
+  final case class Kw(text: String) extends Tok // uppercased keyword
+  final case class StrTok(text: String) extends Tok
+  final case class NumTok(text: String) extends Tok
+  final case class Sym(text: String) extends Tok
+
+  private val keywords = Set(
+    "MATCH", "WHERE", "RETURN", "DISTINCT", "ORDER", "BY", "ASC", "ASCENDING",
+    "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "AS",
+    "STARTS", "ENDS", "WITH", "CONTAINS", "IN", "IS", "NULL", "TRUE", "FALSE",
+    "CREATE", "OPTIONAL", "MERGE", "SET", "DELETE", "DETACH", "REMOVE",
+    "UNWIND", "CALL", "UNION", "CASE")
+
+  private val rejected = Set("OPTIONAL", "MERGE", "SET", "DELETE", "DETACH",
+    "REMOVE", "UNWIND", "CALL", "UNION", "CASE")
+
+  def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '/') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        val word = s.substring(start, i)
+        val up = word.toUpperCase
+        if (keywords.contains(up)) out += Kw(up) else out += Ident(word)
+      } else if (c == '`') {
+        val start = i + 1
+        i += 1
+        while (i < n && s.charAt(i) != '`') i += 1
+        if (i >= n) throw CypherParseException("unterminated backtick identifier")
+        out += Ident(s.substring(start, i)); i += 1
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && s.charAt(i) != quote) {
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+        if (i >= n) throw CypherParseException("unterminated string literal")
+        out += StrTok(sb.toString); i += 1
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        out += NumTok(s.substring(start, i))
+      } else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (Set("<>", "<=", ">=", "->", "<-", "=~").contains(two)) { out += Sym(two); i += 2 }
+        else { out += Sym(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  // ----- parser state -----------------------------------------------------
+  final class P(toks: Vector[Tok]) {
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok = {
+      if (pos >= toks.length) throw CypherParseException("unexpected end of query")
+      val t = toks(pos); pos += 1; t
+    }
+    def done: Boolean = pos >= toks.length
+    def expectSym(s: String): Unit = peek match {
+      case Some(Sym(`s`)) => pos += 1
+      case other => throw CypherParseException(s"expected '$s' but found ${other.map(_.text).getOrElse("<eof>")}")
+    }
+    def expectKw(k: String): Unit = peek match {
+      case Some(Kw(`k`)) => pos += 1
+      case other => throw CypherParseException(s"expected $k but found ${other.map(_.text).getOrElse("<eof>")}")
+    }
+    def atSym(s: String): Boolean = peek.exists { case Sym(x) => x == s; case _ => false }
+    def atKw(k: String): Boolean = peek.exists { case Kw(x) => x == k; case _ => false }
+    def eatSym(s: String): Boolean = { if (atSym(s)) { pos += 1; true } else false }
+    def eatKw(k: String): Boolean = { if (atKw(k)) { pos += 1; true } else false }
+  }
+
+  def parse(query: String): Query = {
+    val p = new P(tokenize(query))
+    val matches = List.newBuilder[MatchClause]
+    val creates = List.newBuilder[CreateClause]
+    var ret: Option[ReturnClause] = None
+    while (!p.done) {
+      p.peek match {
+        case Some(Kw(k)) if rejected.contains(k) =>
+          throw CypherParseException(s"$k is parsed but not executable (reference planner TODO — QueryPlanner.cpp:65-463)")
+        case Some(Kw("WITH")) =>
+          throw CypherParseException("WITH chaining (Apply) has no runtime executor in the reference; not supported")
+        case Some(Kw("MATCH")) =>
+          p.next()
+          val paths = List.newBuilder[PathPattern]
+          paths += parsePath(p)
+          while (p.eatSym(",")) paths += parsePath(p)
+          val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
+          matches += MatchClause(paths.result(), where)
+        case Some(Kw("CREATE")) =>
+          p.next()
+          val paths = List.newBuilder[PathPattern]
+          paths += parsePath(p)
+          while (p.eatSym(",")) paths += parsePath(p)
+          creates += CreateClause(paths.result())
+        case Some(Kw("RETURN")) =>
+          p.next()
+          ret = Some(parseReturn(p))
+        case Some(t) => throw CypherParseException(s"unexpected token '${t.text}'")
+        case None => ()
+      }
+    }
+    Query(matches.result(), creates.result(), ret)
+  }
+
+  // ----- patterns ---------------------------------------------------------
+  private def parsePath(p: P): PathPattern = {
+    val start = parseNode(p)
+    val hops = List.newBuilder[(RelPattern, NodePattern)]
+    var continue = true
+    while (continue) {
+      if (p.atSym("-") || p.atSym("<-")) {
+        val rel = parseRel(p)
+        val node = parseNode(p)
+        hops += ((rel, node))
+      } else continue = false
+    }
+    PathPattern(start, hops.result())
+  }
+
+  private def parseNode(p: P): NodePattern = {
+    p.expectSym("(")
+    val variable = p.peek match {
+      case Some(Ident(name)) => p.next(); Some(name)
+      case _ => None
+    }
+    val labels = List.newBuilder[String]
+    while (p.eatSym(":")) {
+      p.peek match {
+        case Some(Ident(l)) => p.next(); labels += l
+        case Some(Kw(l)) => p.next(); labels += l // labels that collide with keywords
+        case other => throw CypherParseException(s"expected label after ':' got ${other.map(_.text)}")
+      }
+    }
+    val props = if (p.atSym("{")) parsePropMap(p) else Map.empty[String, Expr]
+    p.expectSym(")")
+    NodePattern(variable, labels.result(), props)
+  }
+
+  private def parseRel(p: P): RelPattern = {
+    // <-[r:T]-  |  -[r:T]->  |  -[r:T]-  |  <--  |  -->  |  --
+    val leftArrow = p.eatSym("<-")
+    if (!leftArrow) p.expectSym("-")
+    var variable: Option[String] = None
+    val types = List.newBuilder[String]
+    var props = Map.empty[String, Expr]
+    if (p.eatSym("[")) {
+      p.peek match {
+        case Some(Ident(name)) => p.next(); variable = Some(name)
+        case _ => ()
+      }
+      if (p.eatSym(":")) {
+        def one(): Unit = p.peek match {
+          case Some(Ident(t)) => p.next(); types += t
+          case Some(Kw(t)) => p.next(); types += t
+          case other => throw CypherParseException(s"expected relationship type got ${other.map(_.text)}")
+        }
+        one()
+        while (p.eatSym("|")) { p.eatSym(":"); one() }
+      }
+      if (p.atSym("{")) props = parsePropMap(p)
+      p.expectSym("]")
+    }
+    val rightArrow = p.eatSym("->")
+    if (!rightArrow && !leftArrow) p.expectSym("-")
+    else if (!rightArrow && leftArrow) p.expectSym("-")
+    val dir =
+      if (leftArrow && !rightArrow) DirLeft
+      else if (!leftArrow && rightArrow) DirRight
+      else if (!leftArrow && !rightArrow) DirBoth
+      else throw CypherParseException("relationship cannot have arrows on both ends")
+    RelPattern(variable, types.result(), dir, props)
+  }
+
+  private def parsePropMap(p: P): Map[String, Expr] = {
+    p.expectSym("{")
+    val out = Map.newBuilder[String, Expr]
+    if (!p.atSym("}")) {
+      def entry(): Unit = {
+        val key = p.next() match {
+          case Ident(k) => k
+          case Kw(k) => k.toLowerCase
+          case StrTok(k) => k
+          case t => throw CypherParseException(s"bad property key '${t.text}'")
+        }
+        p.expectSym(":")
+        out += key -> parseExpr(p)
+      }
+      entry()
+      while (p.eatSym(",")) entry()
+    }
+    p.expectSym("}")
+    out.result()
+  }
+
+  // ----- RETURN -----------------------------------------------------------
+  private def parseReturn(p: P): ReturnClause = {
+    val distinct = p.eatKw("DISTINCT")
+    val items = List.newBuilder[ReturnItem]
+    def item(): Unit = {
+      val e = parseExpr(p)
+      val alias = if (p.eatKw("AS")) Some(p.next() match {
+        case Ident(a) => a
+        case StrTok(a) => a
+        case t => throw CypherParseException(s"bad alias '${t.text}'")
+      }) else None
+      items += ReturnItem(e, alias)
+    }
+    item()
+    while (p.eatSym(",")) item()
+    val orderBy = List.newBuilder[SortItem]
+    if (p.eatKw("ORDER")) {
+      p.expectKw("BY")
+      def sortItem(): Unit = {
+        val e = parseExpr(p)
+        val asc =
+          if (p.eatKw("DESC") || p.eatKw("DESCENDING")) false
+          else { p.eatKw("ASC"); p.eatKw("ASCENDING"); true }
+        orderBy += SortItem(e, asc)
+      }
+      sortItem()
+      while (p.eatSym(",")) sortItem()
+    }
+    val skip = if (p.eatKw("SKIP")) Some(parseLong(p)) else None
+    val limit = if (p.eatKw("LIMIT")) Some(parseLong(p)) else None
+    ReturnClause(distinct, items.result(), orderBy.result(), skip, limit)
+  }
+
+  private def parseLong(p: P): Long = p.next() match {
+    case NumTok(t) => t.toLong
+    case t => throw CypherParseException(s"expected integer, found '${t.text}'")
+  }
+
+  // ----- expressions (precedence: OR < XOR < AND < NOT < cmp < add < mul < unary) -----
+  def parseExpr(p: P): Expr = parseOr(p)
+
+  private def parseOr(p: P): Expr = {
+    var l = parseXor(p)
+    while (p.eatKw("OR")) l = Or(l, parseXor(p))
+    l
+  }
+  private def parseXor(p: P): Expr = {
+    var l = parseAnd(p)
+    while (p.eatKw("XOR")) l = Xor(l, parseAnd(p))
+    l
+  }
+  private def parseAnd(p: P): Expr = {
+    var l = parseNot(p)
+    while (p.eatKw("AND")) l = And(l, parseNot(p))
+    l
+  }
+  private def parseNot(p: P): Expr =
+    if (p.eatKw("NOT")) Not(parseNot(p)) else parseComparison(p)
+
+  private def parseComparison(p: P): Expr = {
+    val l = parseAdd(p)
+    p.peek match {
+      case Some(Sym(op)) if Set("=", "<>", "<", ">", "<=", ">=").contains(op) =>
+        p.next(); Cmp(if (op == "=") "=" else op, l, parseAdd(p))
+      case Some(Kw("STARTS")) => p.next(); p.expectKw("WITH"); StartsWith(l, parseAdd(p))
+      case Some(Kw("ENDS")) => p.next(); p.expectKw("WITH"); EndsWith(l, parseAdd(p))
+      case Some(Kw("CONTAINS")) => p.next(); Contains(l, parseAdd(p))
+      case Some(Kw("IN")) => p.next(); In(l, parseAtomOrList(p))
+      case Some(Kw("IS")) =>
+        p.next()
+        val neg = p.eatKw("NOT")
+        p.expectKw("NULL")
+        IsNull(l, neg)
+      case _ => l
+    }
+  }
+
+  private def parseAtomOrList(p: P): Expr =
+    if (p.atSym("[")) {
+      p.expectSym("[")
+      val xs = List.newBuilder[Expr]
+      if (!p.atSym("]")) { xs += parseExpr(p); while (p.eatSym(",")) xs += parseExpr(p) }
+      p.expectSym("]")
+      ListLit(xs.result())
+    } else parseAdd(p)
+
+  private def parseAdd(p: P): Expr = {
+    var l = parseMul(p)
+    var continue = true
+    while (continue) p.peek match {
+      case Some(Sym(op @ ("+" | "-"))) => p.next(); l = Arith(op, l, parseMul(p))
+      case _ => continue = false
+    }
+    l
+  }
+  private def parseMul(p: P): Expr = {
+    var l = parseUnary(p)
+    var continue = true
+    while (continue) p.peek match {
+      case Some(Sym(op @ ("*" | "/" | "%" | "^"))) => p.next(); l = Arith(op, l, parseUnary(p))
+      case _ => continue = false
+    }
+    l
+  }
+  private def parseUnary(p: P): Expr =
+    if (p.eatSym("-")) Neg(parseUnary(p)) else parseAtom(p)
+
+  private def parseAtom(p: P): Expr = p.next() match {
+    case NumTok(t) =>
+      if (t.contains('.')) DblLit(t.toDouble) else IntLit(t.toLong)
+    case StrTok(s) => StrLit(s)
+    case Kw("TRUE") => BoolLit(true)
+    case Kw("FALSE") => BoolLit(false)
+    case Kw("NULL") => NullLit
+    case Sym("(") =>
+      val e = parseExpr(p)
+      p.expectSym(")")
+      e
+    case Sym("[") =>
+      val xs = List.newBuilder[Expr]
+      if (!p.atSym("]")) { xs += parseExpr(p); while (p.eatSym(",")) xs += parseExpr(p) }
+      p.expectSym("]")
+      ListLit(xs.result())
+    case Ident(name) =>
+      p.peek match {
+        case Some(Sym("(")) =>
+          p.next()
+          val lower = name.toLowerCase
+          if (aggregateNames.contains(lower)) {
+            val distinct = p.eatKw("DISTINCT")
+            val arg =
+              if (p.atSym("*")) { p.next(); None }
+              else if (p.atSym(")")) None
+              else Some(parseExpr(p))
+            p.expectSym(")")
+            Aggregate(lower, distinct, arg)
+          } else {
+            val args = List.newBuilder[Expr]
+            if (!p.atSym(")")) { args += parseExpr(p); while (p.eatSym(",")) args += parseExpr(p) }
+            p.expectSym(")")
+            Func(lower, args.result())
+          }
+        case Some(Sym(".")) =>
+          p.next()
+          p.next() match {
+            case Ident(k) => Property(name, k)
+            case Kw(k) => Property(name, k.toLowerCase)
+            case t => throw CypherParseException(s"bad property key '${t.text}'")
+          }
+        case _ => Variable(name)
+      }
+    case t => throw CypherParseException(s"unexpected token '${t.text}' in expression")
+  }
+}

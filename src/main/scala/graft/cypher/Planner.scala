@@ -1,0 +1,262 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.PropertyGraph
+import Ast._
+import ExprCompiler.{Kind, KNode, KRel, Scope, Typed}
+
+/**
+ * Compiles a parsed Cypher query into one declarative DataFrame plan.
+ *
+ * Where the reference hand-builds a distributed operator pipeline — scans
+ * anchored by annotation strength, ExpandAll shipping sub-queries to the
+ * partition owning a node (`OperatorExecutor.cpp:1152-1186`), master-side
+ * k-way merges — we emit joins/filters/aggregates and let Catalyst pick
+ * join order and physical strategy; the shuffle service replaces
+ * worker-to-worker row shipping wholesale (SURVEY.md §3.1).
+ *
+ * Semantics deliberately reproduced from the reference planner:
+ *  - undirected graphs match every relationship in both orientations
+ *    (`OperatorExecutor.cpp:610-725`);
+ *  - consecutive hops of one path may not bind the same physical edge —
+ *    the planner injects `r_i.eid <> r_{i+1}.eid`, mirroring
+ *    `prepareWhereClause` (`QueryPlanner.cpp:571-582`);
+ *  - `(:A:B)` label lists mean label ∈ {A,B} (MultipleNodeScanByLabel,
+ *    `QueryPlanner.cpp:284-297`);
+ *  - comma-separated patterns form a cartesian product
+ *    (`QueryPlanner.cpp:190-196`) unless they share variables, in which
+ *    case the shared binding constrains the join.
+ */
+final class Planner(graph: PropertyGraph) {
+
+  private var counter = 0
+  private def fresh(prefix: String): String = { counter += 1; s"__${prefix}$counter" }
+
+  private def nodeStruct(v: String): DataFrame =
+    graph.nodes.select(struct(col("id"), col("label"), col("properties")).as(v))
+
+  private def edgeStruct(v: String, bothDirections: Boolean): DataFrame = {
+    val base = if (bothDirections) PropertyGraph.bothOrientations(graph.edges) else graph.edges
+    base.select(struct(col("eid"), col("src"), col("dst"), col("type"), col("properties")).as(v))
+  }
+
+  private final case class Ctx(df: Option[DataFrame], scope: Map[String, Kind]) {
+    def withVar(v: String, k: Kind): Ctx = copy(scope = scope + (v -> k))
+  }
+
+  /** Label predicate on a bound node struct. */
+  private def labelFilter(v: String, labels: List[String]): Option[Column] =
+    if (labels.isEmpty) None
+    else if (labels.size == 1) Some(col(s"$v.label") === labels.head)
+    else Some(col(s"$v.label").isin(labels: _*)) // MultipleNodeScanByLabel
+
+  /** Inline property-map predicate ({k: lit}) on a bound entity struct. */
+  private def propFilter(v: String, props: Map[String, Expr], scope: Scope): Option[Column] = {
+    if (props.isEmpty) return None
+    val conds = props.toSeq.sortBy(_._1).map { case (k, valueExpr) =>
+      val lhs = Typed(element_at(col(s"$v.properties"), k), ExprCompiler.KPropStr)
+      val rhs = ExprCompiler.compile(valueExpr, scope)
+      ExprCompiler.compileCmp("=", lhs, rhs)
+    }
+    Some(conds.reduce(_ && _))
+  }
+
+  /** MATCH clauses → binding DataFrame (one struct column per variable). */
+  def compileMatch(matches: List[MatchClause]): (DataFrame, Scope) = {
+    var ctx = Ctx(None, Map.empty)
+    matches.foreach { m =>
+      m.paths.foreach { path => ctx = compilePath(path, ctx) }
+      m.where.foreach { w =>
+        val cond = ExprCompiler.compile(w, Scope(ctx.scope)).col.try_cast(BooleanType)
+        ctx = ctx.copy(df = Some(ctx.df.getOrElse(emptyRow()).filter(cond)))
+      }
+    }
+    (ctx.df.getOrElse(emptyRow()), Scope(ctx.scope))
+  }
+
+  private def emptyRow(): DataFrame = graph.nodes.sparkSession.range(1).drop("id")
+
+  private def compilePath(path: PathPattern, start: Ctx): Ctx = {
+    var ctx = start
+    val startVar = path.start.variable.getOrElse(fresh("n"))
+
+    // Anchor: reuse an existing binding, else scan (AllNodeScan /
+    // NodeScanByLabel collapse into a filtered scan; Catalyst pushes the
+    // label predicate into the source).
+    if (ctx.scope.contains(startVar)) {
+      require(ctx.scope(startVar) == KNode, s"'$startVar' is not a node variable")
+      val conds = labelFilter(startVar, path.start.labels).toSeq ++
+        propFilter(startVar, path.start.properties, Scope(ctx.scope)).toSeq
+      conds.foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
+    } else {
+      var scan = nodeStruct(startVar)
+      labelFilter(startVar, path.start.labels).foreach(c => scan = scan.filter(c))
+      ctx = ctx.withVar(startVar, KNode)
+      propFilter(startVar, path.start.properties, Scope(ctx.scope))
+        .foreach(c => scan = scan.filter(c))
+      ctx = ctx.copy(df = Some(ctx.df.map(_.crossJoin(scan)).getOrElse(scan)))
+    }
+
+    var prevNode = startVar
+    var prevRel: Option[String] = None
+    path.hops.foreach { case (rel, node) =>
+      val relVar = rel.variable.getOrElse(fresh("r"))
+      val nodeVar = node.variable.getOrElse(fresh("n"))
+      if (ctx.scope.contains(relVar))
+        throw CypherParseException(s"relationship variable '$relVar' bound twice")
+
+      // Orientation (SURVEY.md §2.1 #5-8): undirected graph → both
+      // orientations regardless of the arrow; directed graph → arrow
+      // decides, '-' matches both.
+      val bothDirs = !graph.isDirected || rel.direction == DirBoth
+      val edges = edgeStruct(relVar, bothDirs)
+      val (fromField, toField) = rel.direction match {
+        case DirLeft => ("dst", "src")
+        case _ => ("src", "dst")
+      }
+
+      var joinCond = col(s"$prevNode.id") === col(s"$relVar.$fromField")
+      if (rel.types.nonEmpty) joinCond = joinCond &&
+        (if (rel.types.size == 1) col(s"$relVar.type") === rel.types.head
+         else col(s"$relVar.type").isin(rel.types: _*))
+      // hop-uniqueness between consecutive relationships (QueryPlanner.cpp:571-582)
+      prevRel.foreach(pr => joinCond = joinCond && col(s"$pr.eid") =!= col(s"$relVar.eid"))
+
+      ctx = ctx.withVar(relVar, KRel)
+      val targetBound = ctx.scope.contains(nodeVar)
+      if (targetBound) {
+        require(ctx.scope(nodeVar) == KNode, s"'$nodeVar' is not a node variable")
+        val cond = joinCond && col(s"$relVar.$toField") === col(s"$nodeVar.id")
+        ctx = ctx.copy(df = Some(ctx.df.get.join(edges, cond)))
+      } else {
+        ctx = ctx.withVar(nodeVar, KNode)
+        val joined = ctx.df.get.join(edges, joinCond)
+          .join(nodeStruct(nodeVar), col(s"$relVar.$toField") === col(s"$nodeVar.id"))
+        ctx = ctx.copy(df = Some(joined))
+      }
+      propFilter(relVar, rel.properties, Scope(ctx.scope))
+        .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
+      labelFilter(nodeVar, node.labels)
+        .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
+      propFilter(nodeVar, node.properties, Scope(ctx.scope))
+        .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
+
+      prevNode = nodeVar
+      prevRel = Some(relVar)
+    }
+    ctx
+  }
+
+  /** RETURN clause → projection / aggregation / dedup / sort / slice. */
+  def compileReturn(bound: DataFrame, scope: Scope, ret: ReturnClause): DataFrame = {
+    val hasAgg = ret.items.exists(i => containsAggregate(i.expr))
+    var out: DataFrame =
+      if (hasAgg) compileAggregation(bound, scope, ret)
+      else {
+        val itemCols = ret.items.map(i => ExprCompiler.compile(i.expr, scope).col.as(i.name))
+        // ORDER BY keys that aren't output items ride along as hidden cols.
+        val outputNames = ret.items.map(_.name).toSet
+        val hidden = ret.orderBy.zipWithIndex.collect {
+          case (s, idx) if !sortRefersToOutput(s.expr, ret.items) =>
+            (idx, ExprCompiler.compile(s.expr, scope).col.as(s"__sort$idx"))
+        }
+        var df = bound.select(itemCols ++ hidden.map(_._2): _*)
+        if (ret.distinct) {
+          // real DISTINCT — the reference's Distinct is a no-op projection
+          // (OperatorExecutor.cpp:1351-1394); we implement the documented
+          // semantics and note the divergence.
+          df = df.dropDuplicates(ret.items.map(_.name))
+        }
+        if (ret.orderBy.nonEmpty) {
+          val sortCols = ret.orderBy.zipWithIndex.map { case (s, idx) =>
+            val c =
+              if (sortRefersToOutput(s.expr, ret.items)) colByName(outputName(s.expr, ret.items))
+              else colByName(s"__sort$idx")
+            if (s.ascending) c.asc else c.desc
+          }
+          df = df.orderBy(sortCols: _*)
+        }
+        if (hidden.nonEmpty) df = df.drop(hidden.map(h => s"__sort${h._1}"): _*)
+        df
+      }
+    ret.skip.foreach(n => out = out.offset(n.toInt))
+    ret.limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
+  private def colByName(n: String): Column = col(s"`$n`")
+
+  private def outputName(e: Expr, items: List[ReturnItem]): String =
+    items.find(i => i.expr == e || i.alias.contains(text(e)) || i.name == text(e)).get.name
+
+  private def sortRefersToOutput(e: Expr, items: List[ReturnItem]): Boolean =
+    items.exists(i => i.expr == e || i.alias.contains(text(e)) || i.name == text(e))
+
+  /**
+   * Grouped / global aggregation. The reference supports only a global
+   * `avg` with a worker-partial + master-merge split
+   * (`OperatorExecutor.cpp:1190-1210`, `Aggregation.cpp:83-96`); Spark's
+   * partial/final aggregation is the same algebra, generalized here to
+   * count/sum/min/max/collect with optional grouping keys (parity-plus,
+   * SURVEY.md §2.2). Rows whose aggregated property is absent are skipped,
+   * matching the reference's missing-property handling.
+   */
+  private def compileAggregation(bound: DataFrame, scope: Scope, ret: ReturnClause): DataFrame = {
+    val (aggItems, keyItems) = ret.items.partition(i => containsAggregate(i.expr))
+    val keyCols = keyItems.map(i => ExprCompiler.compile(i.expr, scope).col.as(i.name))
+    val aggCols = aggItems.map { i =>
+      i.expr match {
+        case Aggregate(fn, distinct, argOpt) =>
+          compileAggFn(fn, distinct, argOpt, scope).as(i.name)
+        case other =>
+          throw CypherParseException(
+            s"aggregates must be bare RETURN items, got ${text(other)}")
+      }
+    }
+    val grouped =
+      if (keyCols.isEmpty) bound.agg(aggCols.head, aggCols.tail: _*)
+      else bound.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    // restore original item order
+    var df = grouped.select(ret.items.map(i => colByName(i.name)): _*)
+    if (ret.orderBy.nonEmpty) {
+      val sortCols = ret.orderBy.map { s =>
+        val c = colByName(outputName(s.expr, ret.items))
+        if (s.ascending) c.asc else c.desc
+      }
+      df = df.orderBy(sortCols: _*)
+    }
+    df
+  }
+
+  private def compileAggFn(fn: String, distinct: Boolean, argOpt: Option[Expr], scope: Scope): Column = {
+    def arg: Column = ExprCompiler.compile(argOpt.get, scope).col
+    def argNum: Column = arg.try_cast(DoubleType)
+    def d(c: Column): Column = c // distinct applied via countDistinct etc. below
+    fn match {
+      case "count" =>
+        argOpt match {
+          case None => count(lit(1))
+          case Some(Variable(v)) if scope.kindOf(v) == KNode => if (distinct) countDistinct(col(s"$v.id")) else count(col(s"$v.id"))
+          case Some(Variable(v)) if scope.kindOf(v) == KRel => if (distinct) countDistinct(col(s"$v.eid")) else count(col(s"$v.eid"))
+          case Some(_) => if (distinct) countDistinct(arg) else count(arg)
+        }
+      case "avg" => avg(argNum)
+      case "sum" => sum(argNum)
+      case "min" =>
+        argOpt.get match {
+          case Func("tofloat" | "tointeger", _) => min(argNum)
+          case _ => min(arg)
+        }
+      case "max" =>
+        argOpt.get match {
+          case Func("tofloat" | "tointeger", _) => max(argNum)
+          case _ => max(arg)
+        }
+      case "collect" => if (distinct) collect_set(arg) else collect_list(arg)
+      case other => throw CypherParseException(s"unknown aggregate '$other'")
+    }
+  }
+}

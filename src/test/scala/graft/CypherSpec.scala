@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cypher.{Cypher, CypherParseException}
+import graft.model.PropertyGraph
+import graft.sources.GraphSources
+
+/**
+ * Cypher engine spec over the reference's golden fixture graph
+ * (20 nodes / 100 edges, loaded undirected — reference
+ * `integration_workflow_cypher.py` scenarios). Expected values are either
+ * reference goldens (avg = 4.5, BASELINE.md) or computed independently
+ * with raw DataFrame ops on the same fixture.
+ */
+class CypherSpec extends SparkSpec {
+
+  val fixtureJson = "/root/reference/tests/integration/env_init/data/graph_with_properties.txt"
+  lazy val g: PropertyGraph = GraphSources.readJsonEdges(spark, fixtureJson).cache()
+
+  test("golden: MATCH (n) WHERE n.id < 10 RETURN avg(n.id) = 4.5") {
+    val rows = Cypher.run(g, "MATCH (n) WHERE n.id < 10 RETURN avg(n.id) AS a").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getDouble(0) === 4.5)
+  }
+
+  test("AllNodeScan: MATCH (n) RETURN n yields 20 entity rows") {
+    val df = Cypher.run(g, "MATCH (n) RETURN n")
+    assert(df.count() === 20L)
+    val json = Cypher.toJsonRows(Cypher.run(g, "MATCH (n) WHERE n.id = '2' RETURN n")).collect()
+    assert(json.length === 1)
+    assert(json(0).getString(0).contains("\"name\":\"Charlie\""))
+  }
+
+  test("projection of a missing property returns null (reference: JSON null)") {
+    val rows = Cypher.run(g, "MATCH (n) WHERE n.id = '2' RETURN n.age AS age").collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(0))
+  }
+
+  test("string filter: occupation = 'Artist' finds Fiona") {
+    val rows = Cypher.run(g, "MATCH (n) WHERE n.occupation = 'Artist' RETURN n.name AS name").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("Fiona"))
+  }
+
+  test("numeric coercion: n.age > 20 matches only the node with age=25; non-numeric strings drop out") {
+    val rows = Cypher.run(g, "MATCH (n) WHERE n.age > 20 RETURN n.name AS name").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("Fiona"))
+    // occupation is non-numeric for everyone: coercion failure → no rows
+    assert(Cypher.run(g, "MATCH (n) WHERE n.occupation > 20 RETURN n.name").count() === 0L)
+  }
+
+  test("label scan matches nodes.filter, incl. multi-label isin semantics") {
+    val persons = Cypher.run(g, "MATCH (n:Person) RETURN n.id").count()
+    val expected = g.nodes.where(col("label") === "Person").count()
+    assert(persons === expected)
+    val both = Cypher.run(g, "MATCH (n:Person:Location) RETURN n.id").count()
+    assert(both === 20L) // label ∈ {Person, Location} — MultipleNodeScanByLabel
+  }
+
+  test("undirected relationship scan emits both orientations") {
+    val rows = Cypher.run(g, "MATCH (a)-[r:NEIGHBORS]->(b) RETURN a.id AS s, b.id AS d").collect()
+    val stored = g.edges.where(col("type") === "NEIGHBORS").count()
+    assert(rows.length === 2 * stored)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.exists { case (s, d) => pairs.contains((d, s)) })
+  }
+
+  test("directed expand on a directed graph follows arrows only") {
+    val dg = PropertyGraph(g.nodes, g.edges, isDirected = true)
+    val out = Cypher.run(dg, "MATCH (a)-[r]->(b) RETURN a.id, b.id").count()
+    assert(out === g.edges.count())
+    val in = Cypher.run(dg, "MATCH (a)<-[r]-(b) RETURN a.id, b.id").count()
+    assert(in === g.edges.count())
+    val both = Cypher.run(dg, "MATCH (a)-[r]-(b) RETURN a.id, b.id").count()
+    assert(both === 2 * g.edges.count())
+  }
+
+  test("2-hop expand with hop-uniqueness: consecutive hops never reuse an edge") {
+    val rows = Cypher.run(g,
+      "MATCH (a)-[r1]-(b)-[r2]-(c) RETURN a.id AS a, b.id AS b, c.id AS c").count()
+    // independent oracle on oriented edges with eid inequality
+    val e = g.orientedEdges.select(col("src"), col("dst"), col("eid"))
+    val expected = e.as("x").join(e.as("y"),
+      col("x.dst") === col("y.src") && col("x.eid") =!= col("y.eid")).count()
+    assert(rows === expected)
+    assert(rows > 0)
+  }
+
+  test("relationship-type expand matches filtered join") {
+    val rows = Cypher.run(g,
+      "MATCH (a)-[r:WORKS_AT]->(b) RETURN a.name AS n, b.name AS w").count()
+    val expected = 2 * g.edges.where(col("type") === "WORKS_AT").count()
+    assert(rows === expected)
+  }
+
+  test("ORDER BY with SKIP/LIMIT is deterministic and sliced") {
+    val all = Cypher.run(g,
+      "MATCH (n:Person) RETURN n.name AS name ORDER BY n.name").collect().map(_.getString(0))
+    assert(all.sorted.toSeq === all.toSeq)
+    val sliced = Cypher.run(g,
+      "MATCH (n:Person) RETURN n.name AS name ORDER BY n.name SKIP 2 LIMIT 3")
+      .collect().map(_.getString(0))
+    assert(sliced.toSeq === all.slice(2, 5).toSeq)
+  }
+
+  test("ORDER BY numeric via toFloat vs lexical string sort differ") {
+    val lex = Cypher.run(g, "MATCH (n) RETURN n.id AS id ORDER BY n.id").collect().map(_.getString(0))
+    val num = Cypher.run(g, "MATCH (n) RETURN n.id AS id ORDER BY toFloat(n.id)").collect().map(_.getString(0))
+    assert(lex.toSeq === lex.sorted.toSeq)
+    assert(num.map(_.toInt).toSeq === num.map(_.toInt).sorted.toSeq)
+    assert(lex.toSeq !== num.toSeq) // "10" < "2" lexically
+  }
+
+  test("DISTINCT performs real deduplication (reference's is a no-op — divergence)") {
+    val d = Cypher.run(g, "MATCH (n:Person) RETURN DISTINCT n.occupation AS o").count()
+    val expected = g.nodes.where(col("label") === "Person")
+      .select(element_at(col("properties"), "occupation")).distinct().count()
+    assert(d === expected)
+  }
+
+  test("boolean ops: correct NOT (reference bug diverged), XOR, IN, STARTS WITH, CONTAINS, IS NULL") {
+    val notArtist = Cypher.run(g,
+      "MATCH (n:Person) WHERE NOT n.occupation = 'Artist' RETURN n.name").count()
+    val persons = g.nodes.where(col("label") === "Person")
+    val expected = persons.where(element_at(col("properties"), "occupation") =!= "Artist").count()
+    assert(notArtist === expected)
+
+    val xorRows = Cypher.run(g,
+      "MATCH (n) WHERE n.label = 'Person' XOR n.category = 'Studio' RETURN n.id").count()
+    assert(xorRows > 0)
+
+    val inRows = Cypher.run(g,
+      "MATCH (n) WHERE n.name IN ['Fiona', 'Ian'] RETURN n.id").count()
+    assert(inRows === 2L)
+
+    val sw = Cypher.run(g, "MATCH (n) WHERE n.name STARTS WITH 'F' RETURN n.name").collect()
+    assert(sw.map(_.getString(0)).forall(_.startsWith("F")) && sw.nonEmpty)
+
+    val ct = Cypher.run(g, "MATCH (n) WHERE n.name CONTAINS 'io' RETURN n.name").count()
+    assert(ct > 0)
+
+    val withoutAge = Cypher.run(g, "MATCH (n) WHERE n.age IS NULL RETURN n.id").count()
+    val withAge = Cypher.run(g, "MATCH (n) WHERE n.age IS NOT NULL RETURN n.id").count()
+    assert(withoutAge + withAge === 20L && withAge >= 1L)
+  }
+
+  test("id() point lookup and entity equality/inequality") {
+    val byId = Cypher.run(g, "MATCH (n) WHERE id(n) = '7' RETURN n.id AS id").collect()
+    assert(byId.map(_.getString(0)).toSeq === Seq("7"))
+    val neq = Cypher.run(g,
+      "MATCH (a)-[r1]-(b) WHERE a <> b RETURN a.id").count()
+    assert(neq === g.orientedEdges.where(col("src") =!= col("dst")).count())
+  }
+
+  test("cartesian product of comma patterns (CartesianProduct operator)") {
+    val rows = Cypher.run(g,
+      "MATCH (a:Location), (b:Location) RETURN a.id, b.id").count()
+    val locs = g.nodes.where(col("label") === "Location").count()
+    assert(rows === locs * locs)
+  }
+
+  test("shared variable across patterns constrains instead of cartesian") {
+    val viaPath = Cypher.run(g,
+      "MATCH (a)-[r1:WORKS_AT]->(b), (a)-[r2:FRIENDS]->(c) RETURN a.id, b.id, c.id").count()
+    val e = g.orientedEdges
+    val works = e.where(col("type") === "WORKS_AT").select(col("src").as("a"), col("dst").as("b"))
+    val friends = e.where(col("type") === "FRIENDS").select(col("src").as("a2"), col("dst").as("c"))
+    val expected = works.join(friends, col("a") === col("a2")).count()
+    assert(viaPath === expected)
+  }
+
+  test("grouped aggregation (parity-plus): count/sum/min/max per label") {
+    val rows = Cypher.run(g,
+      "MATCH (n) RETURN n.label AS l, count(n) AS c ORDER BY l").collect()
+    val expected = g.nodes.groupBy(col("label")).count()
+      .orderBy(col("label")).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === expected.toSeq)
+
+    val agg = Cypher.run(g,
+      "MATCH (n) RETURN count(*) AS c, min(n.name) AS mn, max(n.name) AS mx, sum(n.age) AS s").collect()(0)
+    assert(agg.getLong(0) === 20L)
+    assert(agg.getDouble(3) === 25.0) // only Fiona has age
+  }
+
+  test("CREATE appends nodes and edges through the catalog path") {
+    val (g2, _) = Cypher.execute(g,
+      "CREATE (x:Person {id: '100', name: 'Zara'})-[:KNOWS {id: '999'}]->(y:Person {id: '101', name: 'Yuri'})")
+    assert(g2.nodes.count() === 22L)
+    assert(g2.edges.count() === 101L)
+    val zara = Cypher.run(g2, "MATCH (n) WHERE n.id = '100' RETURN n.name AS name").collect()
+    assert(zara.map(_.getString(0)).toSeq === Seq("Zara"))
+    val knows = Cypher.run(g2, "MATCH (a)-[r:KNOWS]->(b) RETURN a.name, b.name").count()
+    assert(knows === 2L) // undirected graph → both orientations
+  }
+
+  test("unsupported-but-parsed constructs are rejected with a clear error") {
+    val errs = Seq(
+      "MATCH (n) OPTIONAL MATCH (m) RETURN n",
+      "MERGE (n {id: '1'}) RETURN n",
+      "MATCH (n) WITH n RETURN n",
+      "MATCH (n) SET n.x = '1' RETURN n",
+      "MATCH (n) DELETE n RETURN n")
+    errs.foreach { q =>
+      intercept[CypherParseException] { Cypher.run(g, q) }
+    }
+  }
+
+  test("arithmetic in WHERE and RETURN") {
+    val rows = Cypher.run(g,
+      "MATCH (n) WHERE n.age + 5 = 30 RETURN n.name AS name, n.age * 2 AS dbl").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "Fiona")
+    assert(rows(0).getDouble(1) === 50.0)
+  }
+}
