@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for training-data pipelines, exact → fuzzy:
+ *
+ *  - exact / normalized-exact: hash-groupBy, one shuffle on the digest.
+ *  - MinHash + LSH: shingles → k minhashes (columnar, no explode of the
+ *    hash space) → banded bucket join → exact-Jaccard verification of
+ *    candidates only. The classic near-dup pipeline at corpus scale: cost
+ *    is one narrow map over documents plus a shuffle on (band, bucket),
+ *    never an all-pairs product.
+ *  - SimHash: 64-bit signature via per-bit token-hash voting; near-dups
+ *    found by 16-bit chunk banding + Hamming verification (bit_count(xor)).
+ *
+ * Everything is built from codegen'd higher-order functions — zero UDFs.
+ */
+object Dedup {
+
+  // ----- exact ------------------------------------------------------------
+
+  /** Keep the lowest-id row per exact text digest. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
+
+  /** Exact dedup after whitespace/case normalization. */
+  def normalizedExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
+
+  // ----- MinHash + LSH ----------------------------------------------------
+
+  /** Deterministic permutation parameters (a_i, b_i) for H hash functions,
+    * from a fixed LCG seed so signatures are reproducible run-to-run. */
+  private[pipeline] def hashParams(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val p = 1000000007L
+    var state = 42L
+    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); math.floorMod(state, p - 1) + 1 }
+    val as = Seq.fill(numHashes)(next())
+    val bs = Seq.fill(numHashes)(next())
+    (as, bs)
+  }
+
+  private val P = 1000000007L
+
+  /** MinHash signature (array of numHashes longs) over a shingle-array
+    * column. h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P; signature_i
+    * = min over shingles. Computed columnar with transform/array_min. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val (as, bs) = hashParams(numHashes)
+    val aArr = array(as.map(lit): _*)
+    val bArr = array(bs.map(lit): _*)
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(P)))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(hashed,
+        h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P)))))
+  }
+
+  /**
+   * Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+   * Returns (idA, idB, jaccard) with idA < idB and exact shingle-set
+   * Jaccard ≥ threshold. bands * rowsPerBand = numHashes.
+   */
+  def minhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.charShingles(textCol, shingleSize)).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast(StringType)).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("shingles").as("shA"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("shingles").as("shB"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("shA"), col("shB"))
+      .dropDuplicates("idA", "idB")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast(DoubleType) /
+          size(array_union(col("shA"), col("shB"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs sharing at
+    * least one n-gram (inverted-index join — exact, no LSH approximation;
+    * quadratic only within posting lists). */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordNgrams(textCol, n)).as("grams"))
+      .where(size(col("grams")) > 0)
+    val posting = docs.select(col("id"), col("grams"), explode(col("grams")).as("gram"))
+    val l = posting.select(col("gram"), col("id").as("idA"), col("grams").as("gA"))
+    val r = posting.select(col("gram"), col("id").as("idB"), col("grams").as("gB"))
+    l.join(r, Seq("gram"))
+      .where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("jaccard",
+        size(array_intersect(col("gA"), col("gB"))).cast(DoubleType) /
+          size(array_union(col("gA"), col("gB"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset: bit b of the signature is set
+    * iff the sum over tokens of (bit b of xxhash64(token) ? +1 : -1) is
+    * non-negative. */
+  def simhash(textCol: String): Column = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), b => call_function("getbit", xxhash64(t), b).cast(LongType)),
+        (a, bit) => a + bit * 2 - 1))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, b) => when(v >= 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Near-duplicate pairs by SimHash: band the 64-bit signature into four
+    * 16-bit chunks (any exact chunk match → candidate, guaranteeing recall
+    * for Hamming distance ≤ 3 within wrong-chunks), then verify
+    * bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk"), call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("v")))).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    val l = chunked.select(col("chunk"), col("v"), col("id").as("idA"), col("sig").as("sigA"))
+    val r = chunked.select(col("chunk"), col("v"), col("id").as("idB"), col("sig").as("sigB"))
+    l.join(r, Seq("chunk", "v"))
+      .where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", call_function("bit_count", col("sigA").bitwiseXOR(col("sigB"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  // ----- embedding near-dup ----------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, using
+    * random-hyperplane LSH sign-bucketing to avoid the all-pairs product;
+    * exact cosine verification inside buckets. */
+  def embeddingCosinePairs(
+      df: DataFrame, vecCol: String, idCol: String,
+      planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val v = col(vecCol)
+    // deterministic pseudo-random hyperplanes: component j of plane p is
+    // ±1 by parity of xxhash64(p, j)
+    val bucket = aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val dot = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, j) => x * (pmod(xxhash64(p, j), lit(2)) * 2 - 1).cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+    val withB = df.select(col(idCol).as("id"), v.as("vec"), bucket.as("bucket"), norm.as("nrm"))
+    val l = withB.select(col("bucket"), col("id").as("idA"), col("vec").as("vA"), col("nrm").as("nA"))
+    val r = withB.select(col("bucket"), col("id").as("idB"), col("vec").as("vB"), col("nrm").as("nB"))
+    l.join(r, Seq("bucket"))
+      .where(col("idA") < col("idB"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("vA"), col("vB"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
+          (col("nA") * col("nB")))
+      .where(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`ARRAY<FLOAT>`).
+ *
+ * The reference ships a per-partition FAISS IndexFlatL2
+ * (`src/vectorstore/FaissIndex.h:20-53`) plus an embedding HTTP service;
+ * here the same capabilities are DataFrame plans:
+ *
+ *  - brute-force top-k (cosine or L2): broadcast the query set, one
+ *    codegen'd pass over the corpus, per-query top-k via window rank.
+ *    This IS the FlatL2 semantics, distributed: no index build, scan
+ *    parallelism = partition count.
+ *  - IVF-style partitioned search: assign each vector to its nearest of C
+ *    fixed centroids once (a narrow map, persisted), probe only the
+ *    nprobe closest clusters per query — the scale path that turns a
+ *    full scan into a fraction-of-corpus scan.
+ *
+ * Dot products are `zip_with` + `aggregate` higher-order expressions —
+ * codegen'd, no UDFs.
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a codegen'd expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  def l2dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /**
+   * Brute-force top-k by cosine similarity for every query vector.
+   * `corpus` (id, vec) × `queries` (qid, vec) — queries are broadcast, so
+   * the corpus is scanned once regardless of query count; ties broken by
+   * corpus id for determinism.
+   */
+  def knnCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      l2norm(col(qvecCol)).as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("cn") * col("qn")))
+      .where(col("cosine").isNotNull) // zero-norm or empty vectors score nothing
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (by cosine).
+    * Centroids are broadcast; result is corpus + cluster column, meant to
+    * be persisted/bucketed once and reused by every query batch. */
+  def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val c = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cvec"),
+      l2norm(col(cvecCol)).as("cvn"))
+    val scored = corpus.crossJoin(broadcast(c))
+      .withColumn("sim", dot(col(vecCol), col("cvec")) / (l2norm(col(vecCol)) * col("cvn")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .drop("rn", "sim", "cvec", "cvn")
+  }
+
+  /**
+   * IVF-style search: per query, rank centroids, keep nprobe nearest,
+   * scan only corpus rows assigned to those clusters. `clustered` is the
+   * output of [[assignClusters]]. Recall < 1 by design; the brute-force
+   * path is the ground truth to measure it against.
+   */
+  def knnIvf(clustered: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, cidCol: String, cvecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cvec"),
+      l2norm(col(cvecCol)).as("cvn"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      l2norm(col(qvecCol)).as("qn"))
+    val qClusters = q.crossJoin(broadcast(cents))
+      .withColumn("sim", dot(col("qvec"), col("cvec")) / (col("qn") * col("cvn")))
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val probes = qClusters.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qn"), col("cid"))
+    val scored = clustered.join(broadcast(probes), Seq("cid"))
+      .withColumn("cosine", dot(col(vecCol), col("qvec")) / (l2norm(col(vecCol)) * col("qn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /**
+   * Multi-hop semantic beam search (reference `sbs`,
+   * `SemanticBeamSearch.h:36-62`): seed = top-beamWidth nodes by embedding
+   * similarity to the query; each hop expands frontier along edges,
+   * re-scores destinations by embedding similarity, keeps the best
+   * beamWidth. An iterative DataFrame loop — each hop is one join.
+   */
+  def beamSearch(nodeEmb: DataFrame, idCol: String, vecCol: String,
+                 edges: DataFrame, queryVec: Seq[Float],
+                 beamWidth: Int, hops: Int): DataFrame = {
+    val qv = array(queryVec.map(v => lit(v)): _*)
+    val scored = nodeEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("score", cosine(col("vec"), qv))
+    var beam = scored.orderBy(col("score").desc, col("id").asc).limit(beamWidth)
+      .select(col("id"), col("score"), lit(0).as("hop"))
+    for (h <- 1 to hops) {
+      val frontier = beam.select(col("id").as("src"))
+        .join(edges.select(col("src"), col("dst")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+      val rescored = frontier.join(scored, Seq("id"))
+        .select(col("id"), col("score"), lit(h).as("hop"))
+      beam = beam.unionByName(rescored)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("hop").asc)))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy(col("score").desc, col("id").asc).limit(beamWidth)
+    }
+    beam
+  }
+}

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language
+ * identification, quality scoring, token counting, document
+ * fingerprinting. All pure `functions._` column expressions — no UDFs, so
+ * everything stays inside whole-stage codegen and is SQL-mirrorable for
+ * the DuckDB oracle.
+ *
+ * (Beyond-reference surface: the reference's NLP layer is an LLM-driven KG
+ * constructor + embedding service, `src/query/processor/nlp/...`; these
+ * operators are the deterministic, scale-out complement.)
+ */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram-free language-ID
+    * heuristic. Counting ' w ' occurrences in the padded lowercased text is
+    * exactly mirrorable in SQL, which is why this beats a model here. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "una", "y", "que"))
+
+  /** Number of non-overlapping occurrences of `word` as a whole token. */
+  private def markerHits(padded: Column, word: String): Column = {
+    val w = s" $word "
+    (length(padded) - length(regexp_replace(padded, w, " "))) / lit(w.length - 1)
+  }
+
+  private def paddedLower(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
+
+  /** Per-language marker score columns (langScore_en, ...). */
+  def withLangScores(df: DataFrame, textCol: String): DataFrame = {
+    val padded = paddedLower(col(textCol))
+    langMarkers.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"langScore_$lang",
+        words.map(w => markerHits(padded, w)).reduce(_ + _).cast(LongType))
+    }
+  }
+
+  /** Language-ID: argmax of marker scores, ties broken by language code
+    * order, all-zero → 'unknown'. */
+  def langId(textCol: String): Column = {
+    val padded = paddedLower(col(textCol))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> words.map(w => markerHits(padded, w)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lang).otherwise(els)
+    }
+  }
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(textCol: String): Column =
+    when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")))
+
+  /** BPE-ish subword count: alternating letter/digit/punctuation runs —
+    * a cheap deterministic proxy for tokenizer token counts. */
+  def subwordCount(textCol: String): Column =
+    when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(filter(
+        split(col(textCol), "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+        t => length(t) > 0)))
+
+  /**
+   * Quality components + composite score in [0,1]:
+   * alpha ratio, whitespace-word length sanity, stopword ratio, and
+   * punctuation density. Weights are arbitrary but fixed; the value of the
+   * operator is that every component is a pushdown-friendly expression.
+   */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast(DoubleType)
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast(DoubleType)
+    val toks = tokenCount(textCol).cast(DoubleType)
+    val padded = paddedLower(t)
+    val stop = langMarkers("en").map(w => markerHits(padded, w)).reduce(_ + _).cast(DoubleType)
+    df.withColumn("alpha_ratio", round(when(len > 0, alpha / len).otherwise(0.0), 6))
+      .withColumn("punct_ratio", round(when(len > 0, punct / len).otherwise(0.0), 6))
+      .withColumn("stopword_ratio", round(when(toks > 0, stop / toks).otherwise(0.0), 6))
+      .withColumn("avg_word_len", round(when(toks > 0, len / toks).otherwise(0.0), 6))
+      .withColumn("quality_score", round(
+        least(lit(1.0), greatest(lit(0.0),
+          col("alpha_ratio") * 0.5 +
+            least(col("stopword_ratio") * 2, lit(1.0)) * 0.3 +
+            (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.2)), 6))
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * lowercase token set. Identical in DuckDB:
+    * md5(array_to_string(list_sort(list_distinct(...)), ' ')). */
+  def fingerprint(textCol: String): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)))))
+
+  /** Character k-shingles of the whitespace-normalized lowercase text. */
+  def charShingles(textCol: String, k: Int): Column = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    filter(
+      transform(sequence(lit(0), greatest(length(norm) - k, lit(0))),
+        i => norm.substr(lit(1) + i, lit(k))),
+      s => length(s) === k)
+  }
+
+  /** Word n-grams as space-joined strings. */
+  def wordNgrams(textCol: String, n: Int): Column = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => size(split(s, " ")) === n)
+  }
+}

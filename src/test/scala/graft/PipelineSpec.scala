@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Pipeline operators over the driver's documents/embeddings tables (sf0.001). */
+class PipelineSpec extends SparkSpec {
+
+  lazy val docs: DataFrame = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+  lazy val embs: DataFrame = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val total = docs.count()
+    val unique = Dedup.exact(docs, "text", "doc_id")
+    assert(unique.count() <= total)
+    assert(unique.agg(sum("dupes")).collect()(0).getLong(0) === total)
+    // survivors are real doc_ids
+    val joined = unique.join(docs, Seq("doc_id"))
+    assert(joined.count() === unique.count())
+  }
+
+  test("minhash LSH finds every exact duplicate pair (jaccard = 1)") {
+    // construct known near-dups: duplicate first 5 docs with new ids
+    val base = docs.limit(5).select(col("doc_id"), col("text"))
+    val dup = base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val corpus = base.unionByName(dup)
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.9).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.collect().map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.9))
+  }
+
+  test("simhash of identical texts is identical; near-dup banding finds them") {
+    val base = docs.limit(5).select(col("doc_id"), col("text"))
+    val dup = base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val corpus = base.unionByName(dup)
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 0).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.collect().map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
+    assert(expected.subsetOf(found))
+  }
+
+  test("ngram jaccard pairs are symmetric-deduped, thresholded") {
+    val sample = docs.limit(50)
+    val pairs = Dedup.ngramJaccardPairs(sample, "text", "doc_id", n = 3, threshold = 0.2).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("embedding cosine near-dup finds planted duplicates") {
+    val base = embs.limit(10).select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(dup)
+    val pairs = Dedup.embeddingCosinePairs(corpus, "embedding", "vec_id", threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.collect().map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+  }
+
+  test("knn brute-force: top-1 of a corpus vector as query is itself") {
+    val queries = embs.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Similarity.knnCosine(embs, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+    val top1 = res.where(col("rank") === 1).collect()
+    top1.foreach { r => assert(r.getLong(0) === r.getLong(1), "query's nearest neighbour must be itself") }
+    assert(res.groupBy("qid").count().collect().forall(_.getLong(1) === 5L))
+  }
+
+  test("IVF search: recall vs brute force is high with many probes") {
+    val centroids = embs.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val clustered = Similarity.assignClusters(embs, "vec_id", "embedding", centroids, "cid", "cvec")
+    assert(clustered.count() === embs.count())
+    val queries = embs.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = Similarity.knnIvf(clustered, "vec_id", "embedding",
+      centroids, "cid", "cvec", queries, "qid", "qvec", k = 5, nprobe = 8)
+    val brute = Similarity.knnCosine(embs, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+    // nprobe = all clusters → identical results
+    val a = ivf.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = brute.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("beam search expands over graph edges and respects beam width") {
+    val edges = embs.limit(200).select(
+      col("vec_id").cast("string").as("src"),
+      ((col("vec_id") + 7) % 100).cast("string").as("dst"))
+    val nodeEmb = embs.select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val q = embs.limit(1).collect()(0).getSeq[Float](1)
+    val beam = Similarity.beamSearch(nodeEmb, "id", "embedding", edges, q, beamWidth = 10, hops = 2)
+    assert(beam.count() <= 10)
+    assert(beam.columns.toSet === Set("id", "score", "hop"))
+  }
+
+  test("langId picks the language with most marker hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "le chat et la maison les arbres est grand"),
+      (4L, "xyzzy plugh 12345")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId("text").as("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === "en"); assert(out(2L) === "de")
+    assert(out(3L) === "fr"); assert(out(4L) === "unknown")
+  }
+
+  test("token count, quality and fingerprint behave on real docs") {
+    val analyzed = TextAnalysis.withQuality(
+      docs.withColumn("tokens", TextAnalysis.tokenCount("text"))
+        .withColumn("fp", TextAnalysis.fingerprint("text")), "text")
+    val row = analyzed.where(length(col("text")) > 0).limit(1).collect()(0)
+    assert(row.getAs[Int]("tokens") > 0)
+    val q = row.getAs[Double]("quality_score")
+    assert(q >= 0.0 && q <= 1.0)
+    assert(row.getAs[String]("fp").length === 32)
+    // fingerprint is word-order insensitive
+    import spark.implicits._
+    val fp2 = Seq(("b a c"), ("c b a")).toDF("text")
+      .select(TextAnalysis.fingerprint("text").as("f")).collect()
+    assert(fp2(0).getString(0) === fp2(1).getString(0))
+  }
+
+  test("multimodal: stub decode keeps schema/batch plumbing honest") {
+    val assets = Multimodal.syntheticAssets(docs.limit(30), "doc_id", "text")
+    assert(assets.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Multimodal.assetSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.extractFeatures(assets)
+    assert(feats.count() === 30L)
+    val r = feats.limit(1).collect()(0)
+    assert(r.getAs[Seq[Float]]("feature").length === 8)
+    assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("channels") >= 1)
+    val frames = Multimodal.sampleFrames(assets)
+    assert(frames.columns.toSet === Set("asset_id", "frame_no", "frame"))
+  }
+}
