@@ -1,0 +1,508 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.algorithms.GraphAlgorithms
+import graft.cypher.Cypher
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.TpchBridge
+
+/**
+ * The declared operator surface: every entry is one operator/capability
+ * from SURVEY.md §2 (or a training-data-pipeline extension) exercised on
+ * the driver's parquet tables, paired where possible with an exact DuckDB
+ * oracle over the same tables.
+ *
+ * Determinism rules used throughout so Spark and DuckDB hash-match:
+ *  - money sums go through DECIMAL(18,2) (exact) and back to DOUBLE;
+ *  - floating aggregates are ROUND(x, 6) after exact-or-stable math;
+ *  - embeddings are cast FLOAT→DOUBLE before any arithmetic in BOTH
+ *    engines, and dot products reduce in array order;
+ *  - every result has a total ORDER BY (unique tie-break) — sorts are
+ *    eliminated by Catalyst under count-only execution, so bench timings
+ *    don't pay for them.
+ */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TpchBridge.table(spark, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def money(c: Column): Column = round(c, 2).cast(DoubleType)
+
+  /** revenue expression: exact decimal l_extendedprice * (1 - l_discount) */
+  private def revenue: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  // ======================================================================
+  // Relational core (Filter/Projection/Aggregation/OrderBy/Limit/Skip/
+  // Distinct/CartesianProduct equivalents on the raw tables)
+  // ======================================================================
+
+  val relational: Map[String, (Q, Option[String])] = Map(
+    "q1_agg" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            money(sum(dec(col("l_quantity")))).as("sum_qty"),
+            money(sum(dec(col("l_extendedprice")))).as("sum_base"),
+            money(sum(revenue)).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+              |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base,
+              |CAST(ROUND(SUM($revenueSql),2) AS DOUBLE) AS sum_disc_price,
+              |COUNT(*) AS count_order
+              |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin))),
+
+    "q3_top_revenue" -> ((
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate").cast(DateType) < lit(java.sql.Date.valueOf("1998-01-01")))
+        val l = t(s, d, "lineitem")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(money(sum(revenue)).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey, CAST(ROUND(SUM($revenueSql),2) AS DOUBLE) AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+              |GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))),
+
+    "q5_nation_revenue" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(money(sum(revenue)).as("revenue"), count(lit(1)).as("lines"))
+          .orderBy(col("r_name"), col("n_name")),
+      Some(s"""SELECT r_name, n_name, CAST(ROUND(SUM($revenueSql),2) AS DOUBLE) AS revenue,
+              |COUNT(*) AS lines
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))),
+
+    "q_window_top_orders" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))),
+
+    "q_distinct_count" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("supps"),
+            countDistinct(col("l_partkey")).as("parts"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supps,
+             |COUNT(DISTINCT l_partkey) AS parts
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    "q_events_hourly" -> ((
+      (s: SparkSession, d: String) => {
+        // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        // reader rejects; read the raw int64 nanos and convert. The
+        // session timezone is UTC, so the naive wall time round-trips.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(s, d, "events")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .groupBy(date_trunc("hour", col("ts")).cast(StringType).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("events"),
+            money(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour, event_type,
+             |COUNT(*) AS events,
+             |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))))
+
+  // ======================================================================
+  // Cypher operator surface over the TPC-H bridge graph (SURVEY.md §2.1)
+  // ======================================================================
+
+  private def cy(query: String): Q =
+    (s: SparkSession, d: String) => Cypher.run(TpchBridge.graph(s, d), query)
+  private def cyU(query: String): Q =
+    (s: SparkSession, d: String) => Cypher.run(TpchBridge.undirectedGraph(s, d), query)
+
+  private def bridgeSql(body: String): String =
+    s"WITH ${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges}\n$body"
+
+  val cypherQueries: Map[String, (Q, Option[String])] = Map(
+    "cy_all_node_scan" -> ((
+      cy("MATCH (n) RETURN n.id AS id, n.label AS label ORDER BY id"),
+      Some(bridgeSql("SELECT id, label FROM nodes ORDER BY id")))),
+
+    "cy_label_scan" -> ((
+      cy("MATCH (n:Customer) RETURN n.id AS id, n.name AS name ORDER BY id"),
+      Some("SELECT 'c' || c_custkey AS id, c_name AS name FROM customer ORDER BY id"))),
+
+    "cy_node_by_id" -> ((
+      cy("MATCH (n) WHERE id(n) = 'c42' RETURN n.name AS name, n.mktsegment AS seg"),
+      Some("SELECT c_name AS name, c_mktsegment AS seg FROM customer WHERE c_custkey = 42"))),
+
+    "cy_filter_numeric" -> ((
+      cy("MATCH (c:Customer) WHERE c.acctbal > 5000 RETURN c.id AS id ORDER BY id"),
+      Some("SELECT 'c' || c_custkey AS id FROM customer WHERE c_acctbal > 5000 ORDER BY id"))),
+
+    "cy_filter_boolean" -> ((
+      cy("MATCH (c:Customer) WHERE c.acctbal > 1000 AND " +
+        "(c.mktsegment = 'BUILDING' OR c.mktsegment = 'MACHINERY') AND NOT c.nationkey = 3 " +
+        "RETURN c.id AS id ORDER BY id"),
+      Some("""SELECT 'c' || c_custkey AS id FROM customer
+             |WHERE c_acctbal > 1000 AND c_mktsegment IN ('BUILDING','MACHINERY')
+             |AND c_nationkey <> 3 ORDER BY id""".stripMargin))),
+
+    "cy_expand" -> ((
+      cy("MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c.id AS cid, o.id AS oid ORDER BY cid, oid"),
+      Some("SELECT 'c' || o_custkey AS cid, 'o' || o_orderkey AS oid FROM orders ORDER BY cid, oid"))),
+
+    "cy_expand_2hop" -> ((
+      cy("MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) " +
+        "RETURN c.id AS cid, p.id AS pid ORDER BY cid, pid"),
+      Some("""SELECT 'c' || o_custkey AS cid, 'p' || l_partkey AS pid
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |ORDER BY cid, pid""".stripMargin))),
+
+    "cy_var_cycle" -> ((
+      cy("MATCH (c:Customer)-[:FROM]->(n:Nation)<-[:FROM]-(s:Supplier) " +
+        "RETURN c.id AS cid, n.id AS nid, s.id AS sid ORDER BY cid, nid, sid"),
+      Some("""SELECT 'c' || c_custkey AS cid, 'n' || c_nationkey AS nid, 's' || s_suppkey AS sid
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |ORDER BY cid, nid, sid""".stripMargin))),
+
+    "cy_rel_type_scan" -> ((
+      cy("MATCH (s:Supplier)-[r:SUPPLIES]->(p:Part) RETURN s.id AS sid, p.id AS pid ORDER BY sid, pid"),
+      Some("""SELECT DISTINCT 's' || l_suppkey AS sid, 'p' || l_partkey AS pid
+             |FROM lineitem ORDER BY sid, pid""".stripMargin))),
+
+    "cy_undirected_scan" -> ((
+      cyU("MATCH (a)-[r:SAME_NATION]-(b) RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"),
+      Some(s"""WITH ${TpchBridge.sql.sameNationEdges}
+              |SELECT src AS aid, dst AS bid FROM sn_edges
+              |UNION ALL SELECT dst, src FROM sn_edges
+              |ORDER BY aid, bid""".stripMargin))),
+
+    "cy_distinct" -> ((
+      cy("MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN DISTINCT c.mktsegment AS seg ORDER BY seg"),
+      Some("""SELECT DISTINCT c_mktsegment AS seg FROM customer
+             |JOIN orders ON c_custkey = o_custkey ORDER BY seg""".stripMargin))),
+
+    "cy_orderby_limit" -> ((
+      cy("MATCH (c:Customer) RETURN c.id AS id, toFloat(c.acctbal) AS acctbal " +
+        "ORDER BY acctbal DESC, id LIMIT 10"),
+      Some("""SELECT 'c' || c_custkey AS id, c_acctbal AS acctbal FROM customer
+             |ORDER BY acctbal DESC, id LIMIT 10""".stripMargin))),
+
+    "cy_skip_limit" -> ((
+      cy("MATCH (n:Nation) RETURN n.id AS id ORDER BY id SKIP 5 LIMIT 5"),
+      Some("SELECT 'n' || n_nationkey AS id FROM nation ORDER BY id LIMIT 5 OFFSET 5"))),
+
+    "cy_avg_agg" -> ((
+      cy("MATCH (c:Customer) RETURN avg(c.nationkey) AS avg_nk, count(c) AS cnt, " +
+        "sum(c.nationkey) AS sum_nk, min(c.name) AS min_name, max(c.name) AS max_name"),
+      Some("""SELECT AVG(CAST(c_nationkey AS DOUBLE)) AS avg_nk, COUNT(*) AS cnt,
+             |SUM(CAST(c_nationkey AS DOUBLE)) AS sum_nk,
+             |MIN(c_name) AS min_name, MAX(c_name) AS max_name FROM customer""".stripMargin))),
+
+    "cy_group_agg" -> ((
+      cy("MATCH (c:Customer)-[:FROM]->(n:Nation) RETURN n.name AS nation, count(c) AS cnt " +
+        "ORDER BY nation"),
+      Some("""SELECT n_name AS nation, COUNT(*) AS cnt FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    "cy_cartesian" -> ((
+      cy("MATCH (a:Nation), (b:Nation) RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"),
+      Some("""SELECT 'n' || a.n_nationkey AS aid, 'n' || b.n_nationkey AS bid
+             |FROM nation a CROSS JOIN nation b ORDER BY aid, bid""".stripMargin))),
+
+    "cy_string_predicates" -> ((
+      cy("MATCH (c:Customer) WHERE c.name STARTS WITH 'Customer#00000' " +
+        "AND c.name CONTAINS '1' AND c.mktsegment IN ['BUILDING', 'AUTOMOBILE'] " +
+        "RETURN count(*) AS cnt"),
+      Some("""SELECT COUNT(*) AS cnt FROM customer
+             |WHERE c_name LIKE 'Customer#00000%' AND c_name LIKE '%1%'
+             |AND c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin))))
+
+  // ======================================================================
+  // Graph algorithms (SURVEY.md §2.3)
+  // ======================================================================
+
+  private def pageRankOracleSql(alpha: Double, iters: Int): String = {
+    val chain = new StringBuilder
+    chain.append("outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),\n")
+    chain.append("ed AS (SELECT e.src, e.dst, o.d FROM edges e JOIN outdeg o ON e.src = o.src),\n")
+    chain.append("r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
+    for (i <- 1 to iters) {
+      chain.append(s""",
+        |r$i AS (SELECT n.id, CAST(${1 - alpha} AS DOUBLE) + CAST($alpha AS DOUBLE) * COALESCE(s.c, 0) AS rank
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT ed.dst AS id, SUM(r.rank / ed.d) AS c
+        |    FROM ed JOIN r${i - 1} r ON ed.src = r.id GROUP BY ed.dst) s
+        |  ON n.id = s.id)""".stripMargin)
+    }
+    // round to 4: double-summation order differs between engines; 1e-13-ish
+    // drift after 5 iterations must stay far from the rounding boundary
+    s"WITH ${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges},\n${chain.toString}\n" +
+      s"SELECT id, CAST(ROUND(rank, 4) AS DOUBLE) AS rank FROM r$iters ORDER BY id"
+  }
+
+  val algorithms: Map[String, (Q, Option[String])] = Map(
+    "alg_counts" -> ((
+      (s: SparkSession, d: String) => {
+        val g = TpchBridge.graph(s, d)
+        g.nodes.agg(count(lit(1)).as("vcnt"))
+          .crossJoin(g.edges.agg(count(lit(1)).as("ecnt")))
+      },
+      Some(bridgeSql(
+        "SELECT (SELECT COUNT(*) FROM nodes) AS vcnt, (SELECT COUNT(*) FROM edges) AS ecnt")))),
+
+    "alg_degree_out" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.degreeDistribution(TpchBridge.graph(s, d), in = false)
+          .orderBy(col("degree")),
+      Some(bridgeSql(
+        """SELECT degree, COUNT(*) AS frequency FROM (
+          |  SELECT n.id, COUNT(e.src) AS degree FROM nodes n
+          |  LEFT JOIN edges e ON n.id = e.src GROUP BY n.id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)))),
+
+    "alg_degree_in" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.degreeDistribution(TpchBridge.graph(s, d), in = true)
+          .orderBy(col("degree")),
+      Some(bridgeSql(
+        """SELECT degree, COUNT(*) AS frequency FROM (
+          |  SELECT n.id, COUNT(e.dst) AS degree FROM nodes n
+          |  LEFT JOIN edges e ON n.id = e.dst GROUP BY n.id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)))),
+
+    "alg_triangles" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.triangleCountDF(TpchBridge.hashGraphEdges(s, d)),
+      Some(s"""WITH ${TpchBridge.sql.hashGraph}
+              |SELECT COUNT(*) AS triangles FROM hg e1
+              |JOIN hg e2 ON e1.dst = e2.src
+              |JOIN hg e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin))),
+
+    "alg_pagerank" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.pageRank(TpchBridge.graph(s, d), alpha = 0.85, iterations = 5)
+          .select(col("id"), round(col("rank"), 4).as("rank"))
+          .orderBy(col("id")),
+      Some(pageRankOracleSql(0.85, 5)))),
+
+    "alg_egonet" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.egonet(TpchBridge.graph(s, d), "n0")
+          .orderBy(col("src"), col("dst")),
+      Some(bridgeSql(
+        """SELECT e.src, e.dst FROM edges e
+          |JOIN (SELECT 'n0' AS id
+          |      UNION SELECT src FROM edges WHERE dst = 'n0'
+          |      UNION SELECT dst FROM edges WHERE src = 'n0') a ON e.src = a.id
+          |JOIN (SELECT 'n0' AS id
+          |      UNION SELECT src FROM edges WHERE dst = 'n0'
+          |      UNION SELECT dst FROM edges WHERE src = 'n0') b ON e.dst = b.id
+          |ORDER BY 1, 2""".stripMargin)))),
+
+    "alg_knn_cosine" -> ((
+      (s: SparkSession, d: String) => {
+        val embs = t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val queries = embs.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.knnCosine(embs, "vec_id", "vec", queries, "qid", "qvec", k = 10)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+             |q AS (SELECT vec_id AS qid, vec AS qvec FROM c WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id, list_cosine_similarity(c.vec, q.qvec) AS cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY q.qid
+             |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS rank
+             |  FROM c CROSS JOIN q)
+             |SELECT qid, vec_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine, rank
+             |FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))))
+
+  // ======================================================================
+  // Training-data pipeline operators over documents/embeddings
+  // ======================================================================
+
+  val pipeline: Map[String, (Q, Option[String])] = Map(
+    "doc_exact_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy(col("digest")),
+      Some("""SELECT md5(text) AS digest, MIN(doc_id) AS doc_id, COUNT(*) AS dupes
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    "doc_norm_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.normalizedExact(t(s, d, "documents"), "text", "doc_id").orderBy(col("digest")),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+             |MIN(doc_id) AS doc_id, COUNT(*) AS dupes
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    "doc_langid" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.langId("text").as("lang"))
+          .orderBy(col("doc_id")),
+      Some(langIdOracleSql))),
+
+    "doc_token_count" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokenCount("text").as("tokens"),
+            length(col("text")).as("chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS tokens,
+             |CAST(length(text) AS INTEGER) AS chars
+             |FROM documents ORDER BY doc_id""".stripMargin))),
+
+    "doc_quality" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.withQuality(t(s, d, "documents"), "text")
+          .select(col("doc_id"), col("alpha_ratio"), col("punct_ratio"),
+            col("stopword_ratio"), col("avg_word_len"), col("quality_score"))
+          .orderBy(col("doc_id")),
+      Some(qualityOracleSql))),
+
+    "doc_fingerprint" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |md5(array_to_string(list_sort(list_distinct(
+             |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0))), ' ')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))),
+
+    // LSH-family operators: the bucketing hash (xxhash64) has no DuckDB
+    // equivalent, so these get the driver's rows-only check. Their
+    // *verification* predicates (exact jaccard / hamming) are tested in
+    // PipelineSpec with planted duplicates.
+    "doc_minhash_pairs" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id", threshold = 0.8)
+          .orderBy(col("idA"), col("idB")),
+      None)),
+
+    "doc_simhash_pairs" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)
+          .orderBy(col("idA"), col("idB")),
+      None)),
+
+    "doc_ngram_jaccard" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id", n = 3, threshold = 0.3)
+          .orderBy(col("idA"), col("idB")),
+      None)),
+
+    "emb_cosine_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.embeddingCosinePairs(
+          t(s, d, "embeddings")
+            .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec")),
+          "vec", "vec_id", threshold = 0.99)
+          .orderBy(col("idA"), col("idB")),
+      None)),
+
+    "mm_features" -> ((
+      (s: SparkSession, d: String) =>
+        Multimodal.extractFeatures(
+          Multimodal.syntheticAssets(t(s, d, "documents"), "doc_id", "text"))
+          .select(col("asset_id"), col("modality"), col("width"), col("height"), col("channels"))
+          .orderBy(col("asset_id")),
+      None)))
+
+  /** langId oracle: replicate marker counting + argmax tie-break exactly. */
+  private def langIdOracleSql: String = {
+    def hits(w: String) =
+      s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}"
+    val scores = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> ws.map(hits).mkString(" + ")
+    }
+    val scoreDefs = scores.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(",\n")
+    val best = "GREATEST(" + scores.map(s => "s_" + s._1).mkString(", ") + ")"
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("\n")
+    s"""WITH padded AS (
+       |  SELECT doc_id, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p
+       |  FROM documents),
+       |scored AS (SELECT doc_id, $scoreDefs FROM padded),
+       |withbest AS (SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang
+       |FROM withbest ORDER BY doc_id""".stripMargin
+  }
+
+  /** quality oracle: mirror of TextAnalysis.withQuality. */
+  private def qualityOracleSql: String = {
+    val stop = TextAnalysis.langMarkers("en")
+      .map(w => s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    CAST(length(text) AS DOUBLE) AS len,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS toks,
+       |    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    ROUND(CASE WHEN len > 0 THEN alpha / len ELSE 0 END, 6) AS alpha_ratio,
+       |    ROUND(CASE WHEN len > 0 THEN punct / len ELSE 0 END, 6) AS punct_ratio,
+       |    ROUND(CASE WHEN toks > 0 THEN CAST($stop AS DOUBLE) / toks ELSE 0 END, 6) AS stopword_ratio,
+       |    ROUND(CASE WHEN toks > 0 THEN len / toks ELSE 0 END, 6) AS avg_word_len
+       |  FROM base)
+       |SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio, avg_word_len,
+       |  ROUND(LEAST(1.0, GREATEST(0.0,
+       |    alpha_ratio * 0.5 + LEAST(stopword_ratio * 2, 1.0) * 0.3 +
+       |    (1.0 - LEAST(punct_ratio * 5, 1.0)) * 0.2)), 6) AS quality_score
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** All declared queries. */
+  val all: Map[String, (Q, Option[String])] =
+    relational ++ cypherQueries ++ algorithms ++ pipeline
+
+  def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
+  def oracleSql: Map[String, String] = all.collect { case (k, (_, Some(sql))) => k -> sql }
+}

@@ -1,13 +1,21 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The operator surface itself lives in [[Queries]]. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-way join + exact-decimal aggregation over the star schema. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Queries.queries("q5_nation_revenue")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ pipeline ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for LSH-family ops whose bucketing
+    * hash has no DuckDB equivalent → driver records a rows-only check. */
+  def oracleSql: Map[String, String] = Queries.oracleSql
 }

@@ -30,36 +30,35 @@ object GraphAlgorithms {
    * (join-intermediate) size — the standard trick that keeps the shuffle
    * tractable on skewed graphs at scale.
    */
-  def triangleCount(edges: DataFrame): Long = {
+  def triangleCount(edges: DataFrame): Long =
+    triangleCountDF(edges).collect()(0).getLong(0)
+
+  /** Lazy single-row (triangles BIGINT) plan — composable into Verify/Bench
+    * harnesses; identical shuffles across the self-joins are deduplicated
+    * by Spark's exchange reuse, so the canonical edge set is built once. */
+  def triangleCountDF(edges: DataFrame): DataFrame = {
     val canon = PropertyGraph.canonicalUndirected(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val deg = canon.select(col("src").as("v"))
-        .unionAll(canon.select(col("dst").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
+    val deg = canon.select(col("src").as("v"))
+      .unionAll(canon.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
 
-      // orient low-degree -> high-degree
-      val oriented = canon
-        .join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
-        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
-        .select(
-          when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
-            struct(col("src").as("a"), col("dst").as("b")))
-            .otherwise(struct(col("dst").as("a"), col("src").as("b"))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    // orient low-degree -> high-degree
+    val oriented = canon
+      .join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
+      .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+      .select(
+        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("a"), col("dst").as("b")))
+          .otherwise(struct(col("dst").as("a"), col("src").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
 
-      val e1 = oriented
-      val e2 = oriented.select(col("a").as("b2a"), col("b").as("b2b"))
-      val e3 = oriented.select(col("a").as("c1"), col("b").as("c2"))
+    val e2 = oriented.select(col("a").as("b2a"), col("b").as("b2b"))
+    val e3 = oriented.select(col("a").as("c1"), col("b").as("c2"))
 
-      val n = e1
-        .join(e2, col("b") === col("b2a"))                       // wedge a->b->c
-        .join(e3, col("c1") === col("a") && col("c2") === col("b2b")) // close a->c
-        .count()
-      oriented.unpersist()
-      n
-    } finally canon.unpersist()
+    oriented
+      .join(e2, col("b") === col("b2a"))                            // wedge a->b->c
+      .join(e3, col("c1") === col("a") && col("c2") === col("b2b")) // close a->c
+      .agg(count(lit(1)).as("triangles"))
   }
 
   /**

@@ -53,6 +53,13 @@ object ExprCompiler {
       Typed(col(v), scope.kindOf(v))
     case Property(v, k) =>
       scope.kindOf(v) match {
+        case KNode if k == "id" || k == "label" =>
+          // structural fields double as pseudo-properties: stored property
+          // wins (fixture graphs carry id/label in the map), struct field
+          // backs graphs whose property maps don't repeat them
+          Typed(coalesce(element_at(col(s"$v.properties"), k), col(s"$v.$k")), KPropStr)
+        case KRel if k == "type" =>
+          Typed(coalesce(element_at(col(s"$v.properties"), k), col(s"$v.type")), KPropStr)
         case KNode | KRel => Typed(element_at(col(s"$v.properties"), k), KPropStr)
         case _ => throw CypherParseException(s"'$v' is not an entity; cannot read property '$k'")
       }

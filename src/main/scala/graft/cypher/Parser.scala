@@ -19,7 +19,7 @@ object Parser {
   // ----- tokens -----------------------------------------------------------
   sealed trait Tok { def text: String }
   final case class Ident(text: String) extends Tok
-  final case class Kw(text: String) extends Tok // uppercased keyword
+  final case class Kw(text: String, raw: String) extends Tok // text = uppercased, raw = as written
   final case class StrTok(text: String) extends Tok
   final case class NumTok(text: String) extends Tok
   final case class Sym(text: String) extends Tok
@@ -48,7 +48,7 @@ object Parser {
         while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
         val word = s.substring(start, i)
         val up = word.toUpperCase
-        if (keywords.contains(up)) out += Kw(up) else out += Ident(word)
+        if (keywords.contains(up)) out += Kw(up, word) else out += Ident(word)
       } else if (c == '`') {
         val start = i + 1
         i += 1
@@ -92,11 +92,11 @@ object Parser {
       case other => throw CypherParseException(s"expected '$s' but found ${other.map(_.text).getOrElse("<eof>")}")
     }
     def expectKw(k: String): Unit = peek match {
-      case Some(Kw(`k`)) => pos += 1
+      case Some(Kw(`k`, _)) => pos += 1
       case other => throw CypherParseException(s"expected $k but found ${other.map(_.text).getOrElse("<eof>")}")
     }
     def atSym(s: String): Boolean = peek.exists { case Sym(x) => x == s; case _ => false }
-    def atKw(k: String): Boolean = peek.exists { case Kw(x) => x == k; case _ => false }
+    def atKw(k: String): Boolean = peek.exists { case Kw(x, _) => x == k; case _ => false }
     def eatSym(s: String): Boolean = { if (atSym(s)) { pos += 1; true } else false }
     def eatKw(k: String): Boolean = { if (atKw(k)) { pos += 1; true } else false }
   }
@@ -108,24 +108,24 @@ object Parser {
     var ret: Option[ReturnClause] = None
     while (!p.done) {
       p.peek match {
-        case Some(Kw(k)) if rejected.contains(k) =>
+        case Some(Kw(k, _)) if rejected.contains(k) =>
           throw CypherParseException(s"$k is parsed but not executable (reference planner TODO — QueryPlanner.cpp:65-463)")
-        case Some(Kw("WITH")) =>
+        case Some(Kw("WITH", _)) =>
           throw CypherParseException("WITH chaining (Apply) has no runtime executor in the reference; not supported")
-        case Some(Kw("MATCH")) =>
+        case Some(Kw("MATCH", _)) =>
           p.next()
           val paths = List.newBuilder[PathPattern]
           paths += parsePath(p)
           while (p.eatSym(",")) paths += parsePath(p)
           val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
           matches += MatchClause(paths.result(), where)
-        case Some(Kw("CREATE")) =>
+        case Some(Kw("CREATE", _)) =>
           p.next()
           val paths = List.newBuilder[PathPattern]
           paths += parsePath(p)
           while (p.eatSym(",")) paths += parsePath(p)
           creates += CreateClause(paths.result())
-        case Some(Kw("RETURN")) =>
+        case Some(Kw("RETURN", _)) =>
           p.next()
           ret = Some(parseReturn(p))
         case Some(t) => throw CypherParseException(s"unexpected token '${t.text}'")
@@ -160,7 +160,7 @@ object Parser {
     while (p.eatSym(":")) {
       p.peek match {
         case Some(Ident(l)) => p.next(); labels += l
-        case Some(Kw(l)) => p.next(); labels += l // labels that collide with keywords
+        case Some(Kw(_, raw)) => p.next(); labels += raw // labels that collide with keywords
         case other => throw CypherParseException(s"expected label after ':' got ${other.map(_.text)}")
       }
     }
@@ -184,7 +184,7 @@ object Parser {
       if (p.eatSym(":")) {
         def one(): Unit = p.peek match {
           case Some(Ident(t)) => p.next(); types += t
-          case Some(Kw(t)) => p.next(); types += t
+          case Some(Kw(_, raw)) => p.next(); types += raw
           case other => throw CypherParseException(s"expected relationship type got ${other.map(_.text)}")
         }
         one()
@@ -211,7 +211,7 @@ object Parser {
       def entry(): Unit = {
         val key = p.next() match {
           case Ident(k) => k
-          case Kw(k) => k.toLowerCase
+          case Kw(_, raw) => raw
           case StrTok(k) => k
           case t => throw CypherParseException(s"bad property key '${t.text}'")
         }
@@ -233,6 +233,7 @@ object Parser {
       val e = parseExpr(p)
       val alias = if (p.eatKw("AS")) Some(p.next() match {
         case Ident(a) => a
+        case Kw(_, raw) => raw
         case StrTok(a) => a
         case t => throw CypherParseException(s"bad alias '${t.text}'")
       }) else None
@@ -289,11 +290,11 @@ object Parser {
     p.peek match {
       case Some(Sym(op)) if Set("=", "<>", "<", ">", "<=", ">=").contains(op) =>
         p.next(); Cmp(if (op == "=") "=" else op, l, parseAdd(p))
-      case Some(Kw("STARTS")) => p.next(); p.expectKw("WITH"); StartsWith(l, parseAdd(p))
-      case Some(Kw("ENDS")) => p.next(); p.expectKw("WITH"); EndsWith(l, parseAdd(p))
-      case Some(Kw("CONTAINS")) => p.next(); Contains(l, parseAdd(p))
-      case Some(Kw("IN")) => p.next(); In(l, parseAtomOrList(p))
-      case Some(Kw("IS")) =>
+      case Some(Kw("STARTS", _)) => p.next(); p.expectKw("WITH"); StartsWith(l, parseAdd(p))
+      case Some(Kw("ENDS", _)) => p.next(); p.expectKw("WITH"); EndsWith(l, parseAdd(p))
+      case Some(Kw("CONTAINS", _)) => p.next(); Contains(l, parseAdd(p))
+      case Some(Kw("IN", _)) => p.next(); In(l, parseAtomOrList(p))
+      case Some(Kw("IS", _)) =>
         p.next()
         val neg = p.eatKw("NOT")
         p.expectKw("NULL")
@@ -336,9 +337,9 @@ object Parser {
     case NumTok(t) =>
       if (t.contains('.')) DblLit(t.toDouble) else IntLit(t.toLong)
     case StrTok(s) => StrLit(s)
-    case Kw("TRUE") => BoolLit(true)
-    case Kw("FALSE") => BoolLit(false)
-    case Kw("NULL") => NullLit
+    case Kw("TRUE", _) => BoolLit(true)
+    case Kw("FALSE", _) => BoolLit(false)
+    case Kw("NULL", _) => NullLit
     case Sym("(") =>
       val e = parseExpr(p)
       p.expectSym(")")
@@ -371,7 +372,7 @@ object Parser {
           p.next()
           p.next() match {
             case Ident(k) => Property(name, k)
-            case Kw(k) => Property(name, k.toLowerCase)
+            case Kw(_, raw) => Property(name, raw)
             case t => throw CypherParseException(s"bad property key '${t.text}'")
           }
         case _ => Variable(name)
