@@ -411,27 +411,30 @@ object Queries {
              |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0))), ' ')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
-    // LSH-family operators: the bucketing hash (xxhash64) has no DuckDB
-    // equivalent, so these get the driver's rows-only check. Their
-    // *verification* predicates (exact jaccard / hamming) are tested in
-    // PipelineSpec with planted duplicates.
+    // MinHash LSH pairs, oracled against the exact all-pairs ground truth:
+    // with 64 hashes / 16 bands at threshold 0.8 the (deterministic,
+    // fixed-seed) LSH achieves full recall on this corpus — verified
+    // against DuckDB's brute-force jaccard at both sf0.01 and sf0.1.
     "doc_minhash_pairs" -> ((
       (s: SparkSession, d: String) =>
         Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id", threshold = 0.8)
           .orderBy(col("idA"), col("idB")),
-      None)),
+      Some(jaccardGroundTruthSql(charShingle = true, k = 5, threshold = 0.8)))),
 
+    // SimHash banding depends on xxhash64 bit patterns — no DuckDB
+    // equivalent, rows-only check; hamming verification is spec-tested.
     "doc_simhash_pairs" -> ((
       (s: SparkSession, d: String) =>
         Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)
           .orderBy(col("idA"), col("idB")),
       None)),
 
+    // Inverted-index n-gram jaccard is exact by construction → exact oracle.
     "doc_ngram_jaccard" -> ((
       (s: SparkSession, d: String) =>
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id", n = 3, threshold = 0.3)
           .orderBy(col("idA"), col("idB")),
-      None)),
+      Some(jaccardGroundTruthSql(charShingle = false, k = 3, threshold = 0.3)))),
 
     "emb_cosine_dedup" -> ((
       (s: SparkSession, d: String) =>
@@ -449,6 +452,45 @@ object Queries {
           .select(col("asset_id"), col("modality"), col("width"), col("height"), col("channels"))
           .orderBy(col("asset_id")),
       None)))
+
+  /** Exact near-duplicate-pair ground truth: all-pairs jaccard over
+    * distinct char-k-shingles (charShingle=true) or word-k-grams of the
+    * normalized text. Division int/int→double is bit-identical across
+    * engines, so ROUND(...,6) matches exactly. */
+  private def jaccardGroundTruthSql(charShingle: Boolean, k: Int, threshold: Double): String = {
+    val posting =
+      if (charShingle)
+        s"""norm AS (
+           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+           |  FROM documents
+           |  WHERE length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) >= $k),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, substr(n, CAST(i AS INTEGER), $k) AS s
+           |  FROM norm, UNNEST(range(1, length(n) - ${k - 2})) AS t(i))""".stripMargin
+      else {
+        val parts = (0 until k).map(j => s"ts[CAST(i AS INTEGER) + $j]").mkString(" || ' ' || ")
+        s"""toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, $parts AS s
+           |  FROM toks, UNNEST(range(1, len(ts) - ${k - 2})) AS t(i)
+           |  WHERE len(ts) >= $k)""".stripMargin
+      }
+    s"""WITH $posting,
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT idA, idB,
+       |  CAST(ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = idA JOIN sizes sb ON sb.doc_id = idB
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $threshold
+       |ORDER BY idA, idB""".stripMargin
+  }
 
   /** langId oracle: replicate marker counting + argmax tie-break exactly. */
   private def langIdOracleSql: String = {

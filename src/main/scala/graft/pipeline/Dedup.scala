@@ -61,9 +61,70 @@ object Dedup {
   }
 
   /**
+   * One row per distinct character shingle: (id, shingle). Built with
+   * explode-then-substr so the normalized text is computed ONCE per
+   * document — a lambda-captured expression would be re-evaluated per
+   * array element (observed quadratic blow-up), and higher-order
+   * functions don't participate in whole-stage codegen at all. Explode +
+   * projection + hash-aggregate do.
+   */
+  private def shinglePosting(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("norm"))
+      .where(length(col("norm")) >= k)
+      .select(col("id"), col("norm"),
+        explode(sequence(lit(0), length(col("norm")) - k)).as("pos"))
+      .select(col("id"), col("norm").substr(col("pos") + 1, lit(k)).as("shingle"))
+      .distinct()
+
+  /** One row per distinct word n-gram: (id, shingle). Tokens are exploded
+    * with positions and n-grams assembled with window lead()s — same
+    * no-lambda-capture, codegen-friendly shape as [[shinglePosting]]. */
+  private def ngramPosting(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .where(length(col("col")) > 0)
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val grams = (1 until n).foldLeft(toks.withColumn("g", col("tok"))) { (d, i) =>
+      d.withColumn("g", concat_ws(" ", col("g"), lead(col("tok"), i).over(w)))
+        .withColumn(s"ok$i", lead(col("tok"), i).over(w).isNotNull)
+    }
+    val okCols = (1 until n).map(i => col(s"ok$i")).reduceOption(_ && _).getOrElse(lit(true))
+    grams.where(okCols).select(col("id"), col("g").as("shingle")).distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs, from posting lists alone:
+    * |A∩B| via a shingle-equality join restricted to the candidates,
+    * |A∪B| = |A| + |B| − |A∩B|. Only narrow rows ever shuffle. */
+  private def verifyJaccard(candidates: DataFrame, posting: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(posting.select(col("id").as("idA"), col("shingle")), Seq("idA"))
+      .join(posting.select(col("id").as("idB"), col("shingle")), Seq("idB", "shingle"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("inter"))
+    candidates
+      .join(inter, Seq("idA", "idB"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("id").as("idA"), col("sz").as("szA")), Seq("idA"))
+      .join(sizes.select(col("id").as("idB"), col("sz").as("szB")), Seq("idB"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("szA") + col("szB") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
    * Candidate near-duplicate pairs via banded LSH over MinHash signatures.
    * Returns (idA, idB, jaccard) with idA < idB and exact shingle-set
    * Jaccard ≥ threshold. bands * rowsPerBand = numHashes.
+   *
+   * Shape at scale: posting explode (narrow) → one hash-aggregate with
+   * numHashes min() columns (the signature; all codegen'd) → banded
+   * bucket self-join on (band, bucket, id) only → exact verification via
+   * posting-intersection joins. No all-pairs product, no wide shuffles.
    */
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -71,32 +132,29 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextAnalysis.charShingles(textCol, shingleSize)).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val (as, bs) = hashParams(numHashes)
 
-    val banded = withSig.select(
-      col("id"), col("shingles"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast(StringType)).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val posting = shinglePosting(df, textCol, idCol, shingleSize)
+    val h = pmod(xxhash64(col("shingle")), lit(P))
+    val sigCols = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * h + lit(bs(i)), lit(P))).as(s"s$i"))
+    val sigs = posting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("shingles").as("shA"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("shingles").as("shB"))
+    val bucketCols = (0 until bands).map { b =>
+      val bandSig = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
+      struct(lit(b).as("band"), xxhash64(bandSig: _*).as("bucket"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bucketCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("shA"), col("shB"))
-      .dropDuplicates("idA", "idB")
+      .select(col("idA"), col("idB"))
+      .distinct()
 
-    candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("shA"), col("shB"))).cast(DoubleType) /
-          size(array_union(col("shA"), col("shB"))).cast(DoubleType))
-      .where(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(candidates, posting, threshold)
   }
 
   /** Exact n-gram Jaccard similarity for all candidate pairs sharing at
@@ -105,20 +163,14 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordNgrams(textCol, n)).as("grams"))
-      .where(size(col("grams")) > 0)
-    val posting = docs.select(col("id"), col("grams"), explode(col("grams")).as("gram"))
-    val l = posting.select(col("gram"), col("id").as("idA"), col("grams").as("gA"))
-    val r = posting.select(col("gram"), col("id").as("idB"), col("grams").as("gB"))
-    l.join(r, Seq("gram"))
+    val posting = ngramPosting(df, textCol, idCol, n)
+    val l = posting.select(col("shingle"), col("id").as("idA"))
+    val r = posting.select(col("shingle"), col("id").as("idB"))
+    val candidates = l.join(r, Seq("shingle"))
       .where(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
-      .withColumn("jaccard",
-        size(array_intersect(col("gA"), col("gB"))).cast(DoubleType) /
-          size(array_union(col("gA"), col("gB"))).cast(DoubleType))
-      .where(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("idA"), col("idB"))
+      .distinct()
+    verifyJaccard(candidates, posting, threshold)
   }
 
   // ----- SimHash ----------------------------------------------------------
@@ -140,12 +192,30 @@ object Dedup {
       (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** SimHash signatures computed the codegen-friendly way: tokens exploded
+    * once, 64 per-bit vote sums in one hash aggregate, signature folded
+    * from the votes with compile-time shift constants. Semantically
+    * identical to [[simhash]] (kept as the column-level API). */
+  private def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .where(length(col("col")) > 0)
+      .select(col("id"), col("col").as("tok"))
+    val voteCols = (0 until 64).map(b =>
+      sum(call_function("getbit", xxhash64(col("tok")), lit(b)) * 2 - 1).as(s"v$b"))
+    val votes = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    votes.select(col("id"), sig.as("sig"))
+  }
+
   /** Near-duplicate pairs by SimHash: band the 64-bit signature into four
     * 16-bit chunks (any exact chunk match → candidate, guaranteeing recall
     * for Hamming distance ≤ 3 within wrong-chunks), then verify
     * bit_count(xor) ≤ maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val sigs = simhashSigs(df, textCol, idCol)
     val chunked = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"), call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("v")))).as("cc"))

