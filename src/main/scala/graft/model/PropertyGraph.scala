@@ -100,4 +100,25 @@ object GraphCatalog {
     graphs.getOrElse(name, throw new NoSuchElementException(s"graph not registered: $name"))
   def remove(name: String): Unit = graphs.remove(name)
   def list: Seq[String] = graphs.keys.toSeq.sorted
+
+  /** `truncate` command: drop a graph's data but keep it registered as an
+    * empty graph (reference frontend `truncate`). */
+  def truncate(name: String): PropertyGraph = {
+    val g = apply(name)
+    val empty = PropertyGraph(g.nodes.limit(0), g.edges.limit(0), g.isDirected)
+    register(name, empty)
+  }
+
+  /** `merge` command: union another graph into `name` (nodes deduped by
+    * id keeping the existing definition, edges appended). */
+  def merge(name: String, other: PropertyGraph): PropertyGraph = {
+    val g = apply(name)
+    require(g.isDirected == other.isDirected, "cannot merge directed with undirected graph")
+    val newNodes = other.nodes.join(g.nodes.select(col("id").as("__id")),
+      col("id") === col("__id"), "left_anti")
+    register(name, PropertyGraph(
+      g.nodes.unionByName(newNodes),
+      g.edges.unionByName(other.edges),
+      g.isDirected))
+  }
 }
