@@ -127,6 +127,27 @@ object Queries {
              |COUNT(DISTINCT l_partkey) AS parts
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    "q_sessionize" -> ((
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev").isNull || col("ts") - col("prev") > 30L * 60 * 1000000000L, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS sessions,
+             |COUNT(*) AS events
+             |FROM (SELECT user_id, event_id, ts,
+             |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |      FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     "q_events_hourly" -> ((
       (s: SparkSession, d: String) => {
         // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
@@ -245,6 +266,12 @@ object Queries {
       cy("MATCH (a:Nation), (b:Nation) RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"),
       Some("""SELECT 'n' || a.n_nationkey AS aid, 'n' || b.n_nationkey AS bid
              |FROM nation a CROSS JOIN nation b ORDER BY aid, bid""".stripMargin))),
+
+    "cy_rel_prop_filter" -> ((
+      cy("MATCH (o:Order)-[r:CONTAINS]->(p:Part) WHERE r.quantity > 45 " +
+        "RETURN o.id AS oid, p.id AS pid, toFloat(r.quantity) AS qty ORDER BY oid, pid, qty"),
+      Some("""SELECT 'o' || l_orderkey AS oid, 'p' || l_partkey AS pid, l_quantity AS qty
+             |FROM lineitem WHERE l_quantity > 45 ORDER BY oid, pid, qty""".stripMargin))),
 
     "cy_string_predicates" -> ((
       cy("MATCH (c:Customer) WHERE c.name STARTS WITH 'Customer#00000' " +
@@ -443,6 +470,37 @@ object Queries {
             .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec")),
           "vec", "vec_id", threshold = 0.99)
           .orderBy(col("idA"), col("idB")),
+      None)),
+
+    "kg_construct" -> ((
+      (s: SparkSession, d: String) => {
+        val g = graft.pipeline.KgConstruction.constructKg(t(s, d, "documents"), "text", "doc_id")
+        g.edges.select(col("src"), col("dst"), col("type")).orderBy(col("src"), col("dst"), col("type"))
+      },
+      None)),
+
+    "alg_beam_search" -> ((
+      (s: SparkSession, d: String) => {
+        val nodeEmb = t(s, d, "embeddings")
+          .select(col("vec_id").cast(StringType).as("id"),
+            transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val edges = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast(StringType).as("src"),
+          (col("l_partkey") % 500).cast(StringType).as("dst")).distinct()
+        val q = t(s, d, "embeddings").where(col("vec_id") === 0)
+          .select(transform(col("embedding"), _.cast(DoubleType)))
+          .collect()(0).getSeq[Double](0).map(_.toFloat)
+        Similarity.beamSearch(nodeEmb, "id", "vec", edges, q, beamWidth = 16, hops = 3)
+          .orderBy(col("score").desc, col("id"))
+      },
+      None)),
+
+    "mm_frames" -> ((
+      (s: SparkSession, d: String) =>
+        Multimodal.sampleFrames(
+          Multimodal.syntheticAssets(t(s, d, "documents"), "doc_id", "text"))
+          .select(col("asset_id"), col("frame_no"), md5(col("frame")).as("frame_digest"))
+          .orderBy(col("asset_id"), col("frame_no")),
       None)),
 
     "mm_features" -> ((

@@ -74,7 +74,10 @@ object Dedup {
       .where(length(col("norm")) >= k)
       .select(col("id"), col("norm"),
         explode(sequence(lit(0), length(col("norm")) - k)).as("pos"))
-      .select(col("id"), col("norm").substr(col("pos") + 1, lit(k)).as("shingle"))
+      // posting key is the 64-bit hash, not the string: every downstream
+      // join/aggregate shuffles 8-byte keys (collisions are ~(n^2)/2^65 —
+      // negligible and deterministic)
+      .select(col("id"), xxhash64(col("norm").substr(col("pos") + 1, lit(k))).as("shingle"))
       .distinct()
 
   /** One row per distinct word n-gram: (id, shingle). Tokens are exploded
@@ -92,7 +95,7 @@ object Dedup {
         .withColumn(s"ok$i", lead(col("tok"), i).over(w).isNotNull)
     }
     val okCols = (1 until n).map(i => col(s"ok$i")).reduceOption(_ && _).getOrElse(lit(true))
-    grams.where(okCols).select(col("id"), col("g").as("shingle")).distinct()
+    grams.where(okCols).select(col("id"), xxhash64(col("g")).as("shingle")).distinct()
   }
 
   /** Exact Jaccard for candidate pairs, from posting lists alone:
