@@ -262,6 +262,14 @@ object Queries {
       Some("""SELECT n_name AS nation, COUNT(*) AS cnt FROM customer
              |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    "cy_with_having" -> ((
+      cy("MATCH (c:Customer)-[:FROM]->(n:Nation) " +
+        "WITH n.name AS nation, count(c) AS cnt WHERE cnt > 50 " +
+        "RETURN nation, cnt ORDER BY nation"),
+      Some("""SELECT n_name AS nation, COUNT(*) AS cnt FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 HAVING COUNT(*) > 50 ORDER BY 1""".stripMargin))),
+
     "cy_cartesian" -> ((
       cy("MATCH (a:Nation), (b:Nation) RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"),
       Some("""SELECT 'n' || a.n_nationkey AS aid, 'n' || b.n_nationkey AS bid

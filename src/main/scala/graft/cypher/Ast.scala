@@ -116,8 +116,20 @@ object Ast {
 
   final case class CreateClause(paths: List[PathPattern])
 
-  final case class Query(
-      matches: List[MatchClause],
-      creates: List[CreateClause],
-      returns: Option[ReturnClause])
+  /** WITH: intermediate projection (+ optional post-filter) chaining query
+    * parts — the reference plans this as Apply but has no runtime executor
+    * (SURVEY.md §2.1 #20); here it is executable (parity-plus). */
+  final case class WithClause(projection: ReturnClause, where: Option[Expr])
+
+  sealed trait Clause
+  final case class MatchPart(clause: MatchClause) extends Clause
+  final case class WithPart(clause: WithClause) extends Clause
+  final case class CreatePart(clause: CreateClause) extends Clause
+  final case class ReturnPart(clause: ReturnClause) extends Clause
+
+  final case class Query(clauses: List[Clause]) {
+    def matches: List[MatchClause] = clauses.collect { case MatchPart(m) => m }
+    def creates: List[CreateClause] = clauses.collect { case CreatePart(c) => c }
+    def returns: Option[ReturnClause] = clauses.collectFirst { case ReturnPart(r) => r }
+  }
 }

@@ -18,16 +18,23 @@ import Ast._
  */
 object Cypher {
 
-  /** Run a read query (MATCH ... RETURN ...) against a graph. */
+  /** Run a read query (MATCH [... WITH ...] RETURN ...) against a graph. */
   def run(graph: PropertyGraph, query: String): DataFrame = {
     val q = Parser.parse(query)
     if (q.creates.nonEmpty)
       throw CypherParseException("CREATE queries go through Cypher.execute (they produce a new graph)")
-    if (q.returns.isEmpty)
-      throw CypherParseException("query has no RETURN clause")
     val planner = new Planner(graph)
-    val (bound, scope) = planner.compileMatch(q.matches)
-    planner.compileReturn(bound, scope, q.returns.get)
+    var ctx = Planner.BindCtx(None, Map.empty)
+    var result: Option[DataFrame] = None
+    q.clauses.foreach {
+      case _ if result.nonEmpty =>
+        throw CypherParseException("RETURN must be the final clause")
+      case MatchPart(m) => ctx = planner.applyMatch(ctx, m)
+      case WithPart(w) => ctx = planner.applyWith(ctx, w)
+      case ReturnPart(r) => result = Some(planner.applyReturn(ctx, r))
+      case CreatePart(_) => () // unreachable: guarded above
+    }
+    result.getOrElse(throw CypherParseException("query has no RETURN clause"))
   }
 
   /**

@@ -36,6 +36,7 @@ object ExprCompiler {
   case object KNull extends Kind
   case object KNode extends Kind
   case object KRel extends Kind
+  case object KValue extends Kind // scalar bound by a WITH projection
   case object KOther extends Kind
 
   final case class Typed(col: Column, kind: Kind)
@@ -50,7 +51,11 @@ object ExprCompiler {
     * ORDER BY keys, property-map literals and WHERE subtrees alike). */
   def compile(e: Expr, scope: Scope): Typed = e match {
     case Variable(v) =>
-      Typed(col(v), scope.kindOf(v))
+      scope.kindOf(v) match {
+        // WITH-projected scalars coerce contextually like property values
+        case KValue => Typed(col(s"`$v`"), KPropStr)
+        case k => Typed(col(v), k)
+      }
     case Property(v, k) =>
       scope.kindOf(v) match {
         case KNode if k == "id" || k == "label" =>

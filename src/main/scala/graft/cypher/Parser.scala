@@ -103,36 +103,37 @@ object Parser {
 
   def parse(query: String): Query = {
     val p = new P(tokenize(query))
-    val matches = List.newBuilder[MatchClause]
-    val creates = List.newBuilder[CreateClause]
-    var ret: Option[ReturnClause] = None
+    val clauses = List.newBuilder[Clause]
     while (!p.done) {
       p.peek match {
         case Some(Kw(k, _)) if rejected.contains(k) =>
           throw CypherParseException(s"$k is parsed but not executable (reference planner TODO — QueryPlanner.cpp:65-463)")
         case Some(Kw("WITH", _)) =>
-          throw CypherParseException("WITH chaining (Apply) has no runtime executor in the reference; not supported")
+          p.next()
+          val projection = parseReturn(p)
+          val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
+          clauses += WithPart(WithClause(projection, where))
         case Some(Kw("MATCH", _)) =>
           p.next()
           val paths = List.newBuilder[PathPattern]
           paths += parsePath(p)
           while (p.eatSym(",")) paths += parsePath(p)
           val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
-          matches += MatchClause(paths.result(), where)
+          clauses += MatchPart(MatchClause(paths.result(), where))
         case Some(Kw("CREATE", _)) =>
           p.next()
           val paths = List.newBuilder[PathPattern]
           paths += parsePath(p)
           while (p.eatSym(",")) paths += parsePath(p)
-          creates += CreateClause(paths.result())
+          clauses += CreatePart(CreateClause(paths.result()))
         case Some(Kw("RETURN", _)) =>
           p.next()
-          ret = Some(parseReturn(p))
+          clauses += ReturnPart(parseReturn(p))
         case Some(t) => throw CypherParseException(s"unexpected token '${t.text}'")
         case None => ()
       }
     }
-    Query(matches.result(), creates.result(), ret)
+    Query(clauses.result())
   }
 
   // ----- patterns ---------------------------------------------------------

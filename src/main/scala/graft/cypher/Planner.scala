@@ -43,9 +43,7 @@ final class Planner(graph: PropertyGraph) {
     base.select(struct(col("eid"), col("src"), col("dst"), col("type"), col("properties")).as(v))
   }
 
-  private final case class Ctx(df: Option[DataFrame], scope: Map[String, Kind]) {
-    def withVar(v: String, k: Kind): Ctx = copy(scope = scope + (v -> k))
-  }
+  import Planner.BindCtx
 
   /** Label predicate on a bound node struct. */
   private def labelFilter(v: String, labels: List[String]): Option[Column] =
@@ -64,22 +62,56 @@ final class Planner(graph: PropertyGraph) {
     Some(conds.reduce(_ && _))
   }
 
+  /** One MATCH clause applied to the running binding context. */
+  def applyMatch(start: BindCtx, m: MatchClause): BindCtx = {
+    var ctx = start
+    m.paths.foreach { path => ctx = compilePath(path, ctx) }
+    m.where.foreach { w =>
+      val cond = ExprCompiler.compile(w, Scope(ctx.scope)).col.try_cast(BooleanType)
+      ctx = ctx.copy(df = Some(ctx.df.getOrElse(emptyRow()).filter(cond)))
+    }
+    ctx
+  }
+
   /** MATCH clauses → binding DataFrame (one struct column per variable). */
   def compileMatch(matches: List[MatchClause]): (DataFrame, Scope) = {
-    var ctx = Ctx(None, Map.empty)
-    matches.foreach { m =>
-      m.paths.foreach { path => ctx = compilePath(path, ctx) }
-      m.where.foreach { w =>
-        val cond = ExprCompiler.compile(w, Scope(ctx.scope)).col.try_cast(BooleanType)
-        ctx = ctx.copy(df = Some(ctx.df.getOrElse(emptyRow()).filter(cond)))
-      }
-    }
+    val ctx = matches.foldLeft(BindCtx(None, Map.empty))(applyMatch)
     (ctx.df.getOrElse(emptyRow()), Scope(ctx.scope))
   }
 
+  /**
+   * WITH projection (+ optional post-WHERE): re-binds the context to the
+   * projected columns. The reference plans multi-part queries as Apply but
+   * never executes them (`QueryPlanner.cpp:32-43`, no runtime executor) —
+   * executable here as straightforward DataFrame composition.
+   */
+  def applyWith(start: BindCtx, w: WithClause): BindCtx = {
+    val scope = Scope(start.scope)
+    val newScope: Map[String, Kind] = w.projection.items.map { i =>
+      i.expr match {
+        case Variable(v) => i.alias.getOrElse(v) -> scope.kindOf(v)
+        case other =>
+          val name = i.alias.getOrElse(throw CypherParseException(
+            s"WITH expressions must be aliased: ${text(other)}"))
+          name -> ExprCompiler.KValue
+      }
+    }.toMap
+    val projected = compileReturn(start.df.getOrElse(emptyRow()), scope, w.projection)
+    val filtered = w.where match {
+      case Some(cond) =>
+        projected.filter(ExprCompiler.compile(cond, Scope(newScope)).col.try_cast(BooleanType))
+      case None => projected
+    }
+    BindCtx(Some(filtered), newScope)
+  }
+
+  /** Terminal RETURN. */
+  def applyReturn(ctx: BindCtx, r: ReturnClause): DataFrame =
+    compileReturn(ctx.df.getOrElse(emptyRow()), Scope(ctx.scope), r)
+
   private def emptyRow(): DataFrame = graph.nodes.sparkSession.range(1).drop("id")
 
-  private def compilePath(path: PathPattern, start: Ctx): Ctx = {
+  private def compilePath(path: PathPattern, start: BindCtx): BindCtx = {
     var ctx = start
     val startVar = path.start.variable.getOrElse(fresh("n"))
 
@@ -206,7 +238,23 @@ final class Planner(graph: PropertyGraph) {
    */
   private def compileAggregation(bound: DataFrame, scope: Scope, ret: ReturnClause): DataFrame = {
     val (aggItems, keyItems) = ret.items.partition(i => containsAggregate(i.expr))
-    val keyCols = keyItems.map(i => ExprCompiler.compile(i.expr, scope).col.as(i.name))
+    // Entity-variable keys group by id/eid (struct columns contain maps,
+    // which Spark cannot compare) and keep a representative struct via
+    // first() — same result since ids identify entities.
+    val groupCols = keyItems.map { i =>
+      i.expr match {
+        case Variable(v) if scope.kindOf(v) == KNode => col(s"$v.id")
+        case Variable(v) if scope.kindOf(v) == KRel => col(s"$v.eid")
+        case e => ExprCompiler.compile(e, scope).col
+      }
+    }
+    val keyOutCols = keyItems.map { i =>
+      i.expr match {
+        case Variable(v) if scope.kindOf(v) == KNode || scope.kindOf(v) == KRel =>
+          first(col(v)).as(i.name)
+        case e => first(ExprCompiler.compile(e, scope).col).as(i.name)
+      }
+    }
     val aggCols = aggItems.map { i =>
       i.expr match {
         case Aggregate(fn, distinct, argOpt) =>
@@ -216,9 +264,10 @@ final class Planner(graph: PropertyGraph) {
             s"aggregates must be bare RETURN items, got ${text(other)}")
       }
     }
+    val allAgg = keyOutCols ++ aggCols
     val grouped =
-      if (keyCols.isEmpty) bound.agg(aggCols.head, aggCols.tail: _*)
-      else bound.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      if (groupCols.isEmpty) bound.agg(allAgg.head, allAgg.tail: _*)
+      else bound.groupBy(groupCols: _*).agg(allAgg.head, allAgg.tail: _*)
     // restore original item order
     var df = grouped.select(ret.items.map(i => colByName(i.name)): _*)
     if (ret.orderBy.nonEmpty) {
@@ -258,5 +307,13 @@ final class Planner(graph: PropertyGraph) {
       case "collect" => if (distinct) collect_set(arg) else collect_list(arg)
       case other => throw CypherParseException(s"unknown aggregate '$other'")
     }
+  }
+}
+
+object Planner {
+  /** Running binding state: the bound DataFrame (absent before any scan)
+    * plus variable kinds. */
+  final case class BindCtx(df: Option[DataFrame], scope: Map[String, Kind]) {
+    def withVar(v: String, k: Kind): BindCtx = copy(scope = scope + (v -> k))
   }
 }

@@ -198,12 +198,51 @@ class CypherSpec extends SparkSpec {
     val errs = Seq(
       "MATCH (n) OPTIONAL MATCH (m) RETURN n",
       "MERGE (n {id: '1'}) RETURN n",
-      "MATCH (n) WITH n RETURN n",
+      "MATCH (n) UNWIND [1,2] AS x RETURN n",
       "MATCH (n) SET n.x = '1' RETURN n",
       "MATCH (n) DELETE n RETURN n")
     errs.foreach { q =>
       intercept[CypherParseException] { Cypher.run(g, q) }
     }
+  }
+
+  test("WITH chains query parts: aggregation, post-filter, passthrough, re-MATCH") {
+    // grouped aggregate + HAVING-style post-filter
+    val occ = Cypher.run(g,
+      "MATCH (n:Person) WITH n.occupation AS occ, count(*) AS cnt WHERE cnt > 1 " +
+        "RETURN occ, cnt ORDER BY occ").collect()
+    val expected = g.nodes.where(col("label") === "Person")
+      .groupBy(element_at(col("properties"), "occupation").as("occ")).count()
+      .where(col("count") > 1).orderBy(col("occ"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(occ.map(r => (r.getString(0), r.getLong(1))).toSeq === expected.toSeq)
+
+    // entity passthrough keeps the variable usable downstream
+    val names = Cypher.run(g,
+      "MATCH (n:Person) WITH n WHERE n.occupation = 'Artist' RETURN n.name AS name").collect()
+    assert(names.map(_.getString(0)).toSet === Set("Fiona"))
+
+    // continue matching from a WITH-projected entity variable
+    val twoPart = Cypher.run(g,
+      "MATCH (a:Person) WITH a MATCH (a)-[r:WORKS_AT]->(b) RETURN a.name, b.name").count()
+    val direct = Cypher.run(g,
+      "MATCH (a:Person)-[r:WORKS_AT]->(b) RETURN a.name, b.name").count()
+    assert(twoPart === direct && twoPart > 0)
+
+    // scalar WITH binding participates in coercing comparisons
+    val scaled = Cypher.run(g,
+      "MATCH (n) WITH n.age AS age WHERE age > 20 RETURN age * 2 AS dbl").collect()
+    assert(scaled.map(_.getDouble(0)).toSeq === Seq(50.0))
+  }
+
+  test("grouping by a bare entity variable groups on its id") {
+    val rows = Cypher.run(g,
+      "MATCH (a:Person)-[r]->(b) RETURN a, count(r) AS degree").collect()
+    val expected = g.edges // directed arrow on undirected graph → both orientations
+    assert(rows.length ===
+      Cypher.run(g, "MATCH (a:Person)-[r]->(b) RETURN DISTINCT a.id").count())
+    assert(rows.map(_.getLong(1)).sum > 0)
+    assert(expected.count() > 0)
   }
 
   test("arithmetic in WHERE and RETURN") {
