@@ -116,6 +116,16 @@ object Cypher {
   def toJsonRows(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
+        // relationship variable: reference emits the property map + type
+        // (not the storage-level src/dst/eid) — e.g.
+        // {"description":"...","id":"11","type":"FRIENDS"}
+        case s: StructType if s.fieldNames.contains("eid") && s.fieldNames.contains("type") =>
+          map_concat(
+            map_filter(
+              coalesce(col(s"`${f.name}`.properties"),
+                map().cast(MapType(StringType, StringType))),
+              (k, _) => k =!= "type"),
+            map(lit("type"), col(s"`${f.name}`.type"))).as(f.name)
         case s: StructType if s.fieldNames.contains("properties") && s.fieldNames.contains("id") =>
           // fold id/label into the property map; drop duplicates from props
           // first (map_concat rejects duplicate keys under the default
@@ -130,6 +140,8 @@ object Cypher {
         case _ => col(s"`${f.name}`").as(f.name)
       }
     }
-    df.select(to_json(struct(cols.toIndexedSeq: _*)).as("json"))
+    // keep explicit nulls — reference rows carry them ({"n.age":null,...})
+    df.select(to_json(struct(cols.toIndexedSeq: _*),
+      Map("ignoreNullFields" -> "false")).as("json"))
   }
 }

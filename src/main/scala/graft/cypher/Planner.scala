@@ -134,7 +134,16 @@ final class Planner(graph: PropertyGraph) {
 
     var prevNode = startVar
     var prevRel: Option[String] = None
-    path.hops.foreach { case (rel, node) =>
+    // Reference anchor rule: the first hop with a relationship type
+    // compiles to a RelationshipTypeScan (`QueryPlanner.cpp:921-975`),
+    // and on a DIRECTED graph that scan emits the stored orientation only
+    // regardless of the pattern arrow (`OperatorExecutor.cpp:478-608`:
+    // the reverse emission is gated on !isDirected). Non-anchor hops are
+    // ExpandAll, where a bare '-' follows both directions even on a
+    // directed graph. Golden: `(n {name:'Eva'})-[:NEIGHBORS]-(x)` on the
+    // directed fixture returns only the out-neighbor.
+    val anchorIdx = if (graph.isDirected) path.hops.indexWhere(_._1.types.nonEmpty) else -1
+    path.hops.zipWithIndex.foreach { case ((rel, node), hopIdx) =>
       val relVar = rel.variable.getOrElse(fresh("r"))
       val nodeVar = node.variable.getOrElse(fresh("n"))
       if (ctx.scope.contains(relVar))
@@ -142,8 +151,10 @@ final class Planner(graph: PropertyGraph) {
 
       // Orientation (SURVEY.md §2.1 #5-8): undirected graph → both
       // orientations regardless of the arrow; directed graph → arrow
-      // decides, '-' matches both.
-      val bothDirs = !graph.isDirected || rel.direction == DirBoth
+      // decides, '-' matches both — except at the typed anchor hop (above).
+      val bothDirs =
+        if (graph.isDirected) rel.direction == DirBoth && hopIdx != anchorIdx
+        else true
       val edges = edgeStruct(relVar, bothDirs)
       val (fromField, toField) = rel.direction match {
         case DirLeft => ("dst", "src")
@@ -178,6 +189,7 @@ final class Planner(graph: PropertyGraph) {
 
       prevNode = nodeVar
       prevRel = Some(relVar)
+      ()
     }
     ctx
   }

@@ -1,0 +1,100 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.cypher.Cypher
+import graft.model.PropertyGraph
+import graft.sources.GraphSources
+
+/**
+ * Row-level parity with the reference's own Cypher integration goldens
+ * (`tests/integration/integration_workflow_cypher.py:95-300`), compared as
+ * parsed JSON sets with `partitionID` stripped — partition residency is a
+ * storage artifact of the reference's fixed-partition architecture with no
+ * analogue under Spark's shuffle (SURVEY.md §1.1); key order in JSON
+ * objects is likewise non-semantic.
+ */
+class GoldenParitySpec extends SparkSpec {
+
+  // the reference integration suite uploads this fixture as a DIRECTED
+  // graph (it answers 'y' to the adhdfs is-directed prompt)
+  lazy val g: PropertyGraph = GraphSources.readJsonEdges(spark,
+    "/root/reference/tests/integration/env_init/data/graph_with_properties.txt",
+    isDirected = true).cache()
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse, drop partitionID from nested objects, return canonical node. */
+  private def canon(json: String): JsonNode = {
+    val node = mapper.readTree(json)
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      e.getValue match {
+        case o: ObjectNode => o.remove("partitionID")
+        case _ => ()
+      }
+    }
+    node
+  }
+
+  private def runJson(query: String): Set[JsonNode] =
+    Cypher.toJsonRows(Cypher.run(g, query)).collect().map(r => canon(r.getString(0))).toSet
+
+  private def expect(rows: String*): Set[JsonNode] = rows.map(canon).toSet
+
+  test("golden: aggregate avg(n.id) row shape") {
+    assert(runJson("match (n) where n.id < 10 return avg(n.id)") ===
+      expect("""{"avg(n.id)":4.5}"""))
+  }
+
+  test("golden: AllNodeScan point filter returns the full entity") {
+    assert(runJson("MATCH (n) WHERE n.id=2 RETURN n") ===
+      expect("""{"n":{"id":"2","label":"Person","name":"Charlie","occupation":"IT Engineer"}}"""))
+  }
+
+  test("golden: ProduceResults with missing property → JSON null") {
+    assert(runJson("MATCH (n) WHERE n.id = 18 RETURN n.age, n.name") ===
+      expect("""{"n.age":null,"n.name":"Skyport Airport"}"""))
+  }
+
+  test("golden: equality filter on string property") {
+    assert(runJson("MATCH (n) WHERE n.name = 'Fiona' RETURN n") ===
+      expect("""{"n":{"age":"25","id":"10","label":"Person","name":"Fiona","occupation":"Artist"}}"""))
+  }
+
+  test("golden: integer comparison only matches coercible properties") {
+    assert(runJson("MATCH (n) WHERE n.age < 30 return n") ===
+      expect("""{"n":{"age":"25","id":"10","label":"Person","name":"Fiona","occupation":"Artist"}}"""))
+  }
+
+  test("golden: 2-hop expand with endpoint constraints") {
+    assert(runJson("MATCH (a)-[r]-(b)-[d]-(s) WHERE (a.id = 10 AND s.id=14) RETURN a, b, s") ===
+      expect(
+        """{"a":{"age":"25","id":"10","label":"Person","name":"Fiona","occupation":"Artist"},
+          |"b":{"id":"2","label":"Person","name":"Charlie","occupation":"IT Engineer"},
+          |"s":{"id":"14","label":"Person","name":"Julia","occupation":"Entrepreneur"}}""".stripMargin))
+  }
+
+  test("golden: undirected relationship type scan via inline property map") {
+    val expected = expect(
+      """{"x":{"id":"0","label":"Person","name":"Alice","occupation":"Teacher"}}""")
+    assert(runJson("MATCH (n {name:'Eva'})-[:NEIGHBORS]-(x ) RETURN x") === expected)
+    // arrow on an undirected graph matches both orientations — same result
+    assert(runJson("MATCH (n {name:'Eva'})-[:NEIGHBORS]->(x ) RETURN x") === expected)
+  }
+
+  test("golden: relationship variable renders as property map + type") {
+    assert(runJson("MATCH (n)-[r]-(m {id:6} ) WHERE n.age = 25 RETURN n, r, m") ===
+      expect(
+        """{"m":{"category":"Park","id":"6","label":"Location","name":"Central Park"},
+          |"n":{"age":"25","id":"10","label":"Person","name":"Fiona","occupation":"Artist"},
+          |"r":{"description":"Fiona and Central Park have been friends since college.","id":"11","type":"FRIENDS"}}""".stripMargin))
+  }
+
+  test("golden: label scan with filter") {
+    assert(runJson("match(n:Person) where n.id=2 return n") ===
+      expect("""{"n":{"id":"2","label":"Person","name":"Charlie","occupation":"IT Engineer"}}"""))
+  }
+}
