@@ -97,7 +97,8 @@ object Ast {
       variable: Option[String],
       types: List[String],
       direction: Direction,
-      properties: Map[String, Expr])
+      properties: Map[String, Expr],
+      varLength: Option[(Int, Int)] = None)
 
   final case class PathPattern(start: NodePattern, hops: List[(RelPattern, NodePattern)])
 

@@ -31,6 +31,9 @@ object Parser {
     "CREATE", "OPTIONAL", "MERGE", "SET", "DELETE", "DETACH", "REMOVE",
     "UNWIND", "CALL", "UNION", "CASE")
 
+  /** Cap for open-ended variable-length patterns (`*` / `*2..`). */
+  val MaxVarLength = 8
+
   private val rejected = Set("OPTIONAL", "MERGE", "SET", "DELETE", "DETACH",
     "REMOVE", "UNWIND", "CALL", "UNION", "CASE")
 
@@ -67,11 +70,15 @@ object Parser {
         out += StrTok(sb.toString); i += 1
       } else if (c.isDigit) {
         val start = i
-        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        while (i < n && s.charAt(i).isDigit) i += 1
+        if (i + 1 < n && s.charAt(i) == '.' && s.charAt(i + 1).isDigit) {
+          i += 1
+          while (i < n && s.charAt(i).isDigit) i += 1
+        }
         out += NumTok(s.substring(start, i))
       } else {
         val two = if (i + 1 < n) s.substring(i, i + 2) else ""
-        if (Set("<>", "<=", ">=", "->", "<-", "=~").contains(two)) { out += Sym(two); i += 2 }
+        if (Set("<>", "<=", ">=", "->", "<-", "=~", "..").contains(two)) { out += Sym(two); i += 2 }
         else { out += Sym(c.toString); i += 1 }
       }
     }
@@ -177,6 +184,7 @@ object Parser {
     var variable: Option[String] = None
     val types = List.newBuilder[String]
     var props = Map.empty[String, Expr]
+    var varLength: Option[(Int, Int)] = None
     if (p.eatSym("[")) {
       p.peek match {
         case Some(Ident(name)) => p.next(); variable = Some(name)
@@ -191,6 +199,20 @@ object Parser {
         one()
         while (p.eatSym("|")) { p.eatSym(":"); one() }
       }
+      if (p.eatSym("*")) {
+        // variable-length: * | *k | *a..b | *..b | *a..
+        val lo = p.peek match {
+          case Some(NumTok(t)) if !t.contains('.') => p.next(); Some(t.toInt)
+          case _ => None
+        }
+        val hi =
+          if (p.eatSym("..")) p.peek match {
+            case Some(NumTok(t)) if !t.contains('.') => p.next(); Some(t.toInt)
+            case _ => None
+          }
+          else lo // plain *k means exactly k
+        varLength = Some((lo.getOrElse(1), hi.getOrElse(MaxVarLength)))
+      }
       if (p.atSym("{")) props = parsePropMap(p)
       p.expectSym("]")
     }
@@ -202,7 +224,7 @@ object Parser {
       else if (!leftArrow && rightArrow) DirRight
       else if (!leftArrow && !rightArrow) DirBoth
       else throw CypherParseException("relationship cannot have arrows on both ends")
-    RelPattern(variable, types.result(), dir, props)
+    RelPattern(variable, types.result(), dir, props, varLength)
   }
 
   private def parsePropMap(p: P): Map[String, Expr] = {

@@ -144,10 +144,7 @@ final class Planner(graph: PropertyGraph) {
     // directed fixture returns only the out-neighbor.
     val anchorIdx = if (graph.isDirected) path.hops.indexWhere(_._1.types.nonEmpty) else -1
     path.hops.zipWithIndex.foreach { case ((rel, node), hopIdx) =>
-      val relVar = rel.variable.getOrElse(fresh("r"))
       val nodeVar = node.variable.getOrElse(fresh("n"))
-      if (ctx.scope.contains(relVar))
-        throw CypherParseException(s"relationship variable '$relVar' bound twice")
 
       // Orientation (SURVEY.md §2.1 #5-8): undirected graph → both
       // orientations regardless of the arrow; directed graph → arrow
@@ -155,40 +152,86 @@ final class Planner(graph: PropertyGraph) {
       val bothDirs =
         if (graph.isDirected) rel.direction == DirBoth && hopIdx != anchorIdx
         else true
-      val edges = edgeStruct(relVar, bothDirs)
       val (fromField, toField) = rel.direction match {
         case DirLeft => ("dst", "src")
         case _ => ("src", "dst")
       }
 
-      var joinCond = col(s"$prevNode.id") === col(s"$relVar.$fromField")
-      if (rel.types.nonEmpty) joinCond = joinCond &&
-        (if (rel.types.size == 1) col(s"$relVar.type") === rel.types.head
-         else col(s"$relVar.type").isin(rel.types: _*))
-      // hop-uniqueness between consecutive relationships (QueryPlanner.cpp:571-582)
-      prevRel.foreach(pr => joinCond = joinCond && col(s"$pr.eid") =!= col(s"$relVar.eid"))
-
-      ctx = ctx.withVar(relVar, KRel)
-      val targetBound = ctx.scope.contains(nodeVar)
-      if (targetBound) {
-        require(ctx.scope(nodeVar) == KNode, s"'$nodeVar' is not a node variable")
-        val cond = joinCond && col(s"$relVar.$toField") === col(s"$nodeVar.id")
-        ctx = ctx.copy(df = Some(ctx.df.get.join(edges, cond)))
-      } else {
-        ctx = ctx.withVar(nodeVar, KNode)
-        val joined = ctx.df.get.join(edges, joinCond)
-          .join(nodeStruct(nodeVar), col(s"$relVar.$toField") === col(s"$nodeVar.id"))
-        ctx = ctx.copy(df = Some(joined))
+      /** One edge traversal step from `prev`; binds relVar (+ target node
+        * struct unless joining to an already-bound variable). */
+      def step(df: DataFrame, prev: String, relVar: String, prevR: Option[String],
+               target: String, targetIsBound: Boolean): DataFrame = {
+        val edges = edgeStruct(relVar, bothDirs)
+        var joinCond = col(s"$prev.id") === col(s"$relVar.$fromField")
+        if (rel.types.nonEmpty) joinCond = joinCond &&
+          (if (rel.types.size == 1) col(s"$relVar.type") === rel.types.head
+           else col(s"$relVar.type").isin(rel.types: _*))
+        // hop-uniqueness between consecutive relationships (QueryPlanner.cpp:571-582)
+        prevR.foreach(pr => joinCond = joinCond && col(s"$pr.eid") =!= col(s"$relVar.eid"))
+        if (targetIsBound)
+          df.join(edges, joinCond && col(s"$relVar.$toField") === col(s"$target.id"))
+        else
+          df.join(edges, joinCond)
+            .join(nodeStruct(target), col(s"$relVar.$toField") === col(s"$target.id"))
       }
-      propFilter(relVar, rel.properties, Scope(ctx.scope))
-        .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
+
+      val targetBound = ctx.scope.contains(nodeVar)
+      if (targetBound)
+        require(ctx.scope(nodeVar) == KNode, s"'$nodeVar' is not a node variable")
+
+      rel.varLength match {
+        case None =>
+          val relVar = rel.variable.getOrElse(fresh("r"))
+          if (ctx.scope.contains(relVar))
+            throw CypherParseException(s"relationship variable '$relVar' bound twice")
+          ctx = ctx.withVar(relVar, KRel)
+          if (!targetBound) ctx = ctx.withVar(nodeVar, KNode)
+          ctx = ctx.copy(df = Some(step(ctx.df.get, prevNode, relVar, prevRel, nodeVar, targetBound)))
+          propFilter(relVar, rel.properties, Scope(ctx.scope))
+            .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
+          prevRel = Some(relVar)
+
+        case Some((mn, mx)) =>
+          // Variable-length expansion `*mn..mx` — the reference grammar
+          // accepts this but its planner never executes it (parity-plus).
+          // Bounded unrolling: one branch per length, intermediates are
+          // anonymous and projected away, branches unioned. The relation
+          // list itself is not bindable (would need ARRAY<STRUCT> rows).
+          if (rel.variable.isDefined)
+            throw CypherParseException(
+              "binding a variable-length relationship to a variable is not supported")
+          if (mn < 1 || mx < mn)
+            throw CypherParseException(s"invalid variable-length bounds *$mn..$mx")
+          val base = ctx.df.get
+          val keepCols = base.columns.toSeq
+          val branches = (mn to mx).map { k =>
+            var df = base
+            var prev = prevNode
+            var prevR = prevRel
+            for (s <- 1 to k) {
+              val rv = fresh("r")
+              val isLast = s == k
+              val target = if (isLast) nodeVar else fresh("n")
+              val boundTarget = isLast && targetBound
+              df = step(df, prev, rv, prevR, target, boundTarget)
+              prev = target
+              prevR = Some(rv)
+            }
+            val outCols = if (targetBound) keepCols else keepCols :+ nodeVar
+            df.select(outCols.map(c => col(s"`$c`")): _*)
+          }
+          if (!targetBound) ctx = ctx.withVar(nodeVar, KNode)
+          ctx = ctx.copy(df = Some(branches.reduce(_ unionByName _)))
+          // uniqueness chains don't cross a var-length boundary
+          prevRel = None
+      }
+
       labelFilter(nodeVar, node.labels)
         .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
       propFilter(nodeVar, node.properties, Scope(ctx.scope))
         .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
 
       prevNode = nodeVar
-      prevRel = Some(relVar)
       ()
     }
     ctx

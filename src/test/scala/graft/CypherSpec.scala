@@ -245,6 +245,30 @@ class CypherSpec extends SparkSpec {
     assert(expected.count() > 0)
   }
 
+  test("variable-length paths unroll to unions of fixed-length expansions") {
+    // oracle: manual joins over oriented NEIGHBORS edges
+    val e = g.orientedEdges.where(col("type") === "NEIGHBORS")
+      .select(col("src"), col("dst"), col("eid"))
+    val oneHop = e.where(col("src") === "4").count()
+    val twoHop = e.where(col("src") === "4").select(col("dst").as("mid"), col("eid").as("e1"))
+      .join(e, col("mid") === col("src"))
+      .where(col("e1") =!= col("eid"))
+      .count()
+
+    val star1 = Cypher.run(g, "MATCH (a)-[:NEIGHBORS*1..1]-(b) WHERE a.id = '4' RETURN b.id").count()
+    val star2 = Cypher.run(g, "MATCH (a)-[:NEIGHBORS*2]-(b) WHERE a.id = '4' RETURN b.id").count()
+    val star12 = Cypher.run(g, "MATCH (a)-[:NEIGHBORS*1..2]-(b) WHERE a.id = '4' RETURN b.id").count()
+    assert(star1 === oneHop)
+    assert(star2 === twoHop)
+    assert(star12 === oneHop + twoHop)
+    // plain single hop ≡ *1..1
+    assert(star1 === Cypher.run(g, "MATCH (a)-[:NEIGHBORS]-(b) WHERE a.id = '4' RETURN b.id").count())
+    // binding the var-length relationship is rejected clearly
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH (a)-[r:NEIGHBORS*1..2]-(b) RETURN a.id")
+    }
+  }
+
   test("arithmetic in WHERE and RETURN") {
     val rows = Cypher.run(g,
       "MATCH (n) WHERE n.age + 5 = 30 RETURN n.name AS name, n.age * 2 AS dbl").collect()
