@@ -103,7 +103,7 @@ object Ast {
   final case class PathPattern(start: NodePattern, hops: List[(RelPattern, NodePattern)])
 
   // ----- clauses ----------------------------------------------------------
-  final case class MatchClause(paths: List[PathPattern], where: Option[Expr])
+  final case class MatchClause(paths: List[PathPattern], where: Option[Expr], optional: Boolean = false)
   final case class ReturnItem(expr: Expr, alias: Option[String]) {
     def name: String = alias.getOrElse(text(expr))
   }
@@ -122,7 +122,11 @@ object Ast {
     * (SURVEY.md §2.1 #20); here it is executable (parity-plus). */
   final case class WithClause(projection: ReturnClause, where: Option[Expr])
 
+  /** UNWIND list AS var — reference planner TODO; executable here. */
+  final case class UnwindClause(list: Expr, variable: String)
+
   sealed trait Clause
+  final case class UnwindPart(clause: UnwindClause) extends Clause
   final case class MatchPart(clause: MatchClause) extends Clause
   final case class WithPart(clause: WithClause) extends Clause
   final case class CreatePart(clause: CreateClause) extends Clause

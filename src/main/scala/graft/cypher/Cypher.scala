@@ -31,6 +31,7 @@ object Cypher {
         throw CypherParseException("RETURN must be the final clause")
       case MatchPart(m) => ctx = planner.applyMatch(ctx, m)
       case WithPart(w) => ctx = planner.applyWith(ctx, w)
+      case UnwindPart(u) => ctx = planner.applyUnwind(ctx, u)
       case ReturnPart(r) => result = Some(planner.applyReturn(ctx, r))
       case CreatePart(_) => () // unreachable: guarded above
     }

@@ -34,8 +34,8 @@ object Parser {
   /** Cap for open-ended variable-length patterns (`*` / `*2..`). */
   val MaxVarLength = 8
 
-  private val rejected = Set("OPTIONAL", "MERGE", "SET", "DELETE", "DETACH",
-    "REMOVE", "UNWIND", "CALL", "UNION", "CASE")
+  private val rejected = Set("MERGE", "SET", "DELETE", "DETACH",
+    "REMOVE", "CALL", "UNION", "CASE")
 
   def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -120,13 +120,23 @@ object Parser {
           val projection = parseReturn(p)
           val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
           clauses += WithPart(WithClause(projection, where))
-        case Some(Kw("MATCH", _)) =>
-          p.next()
+        case Some(Kw("MATCH", _)) | Some(Kw("OPTIONAL", _)) =>
+          val optional = p.eatKw("OPTIONAL")
+          p.expectKw("MATCH")
           val paths = List.newBuilder[PathPattern]
           paths += parsePath(p)
           while (p.eatSym(",")) paths += parsePath(p)
           val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
-          clauses += MatchPart(MatchClause(paths.result(), where))
+          clauses += MatchPart(MatchClause(paths.result(), where, optional))
+        case Some(Kw("UNWIND", _)) =>
+          p.next()
+          val listExpr = parseExpr(p)
+          p.expectKw("AS")
+          val v = p.next() match {
+            case Ident(a) => a
+            case t => throw CypherParseException(s"bad UNWIND variable '${t.text}'")
+          }
+          clauses += UnwindPart(UnwindClause(listExpr, v))
         case Some(Kw("CREATE", _)) =>
           p.next()
           val paths = List.newBuilder[PathPattern]

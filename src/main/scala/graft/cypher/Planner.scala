@@ -64,6 +64,7 @@ final class Planner(graph: PropertyGraph) {
 
   /** One MATCH clause applied to the running binding context. */
   def applyMatch(start: BindCtx, m: MatchClause): BindCtx = {
+    if (m.optional && start.df.nonEmpty) return applyOptionalMatch(start, m)
     var ctx = start
     m.paths.foreach { path => ctx = compilePath(path, ctx) }
     m.where.foreach { w =>
@@ -71,6 +72,41 @@ final class Planner(graph: PropertyGraph) {
       ctx = ctx.copy(df = Some(ctx.df.getOrElse(emptyRow()).filter(cond)))
     }
     ctx
+  }
+
+  /**
+   * OPTIONAL MATCH (parity-plus — reference planner TODO,
+   * `QueryPlanner.cpp:65-463`): the optional pattern is compiled as a
+   * standalone subplan (its WHERE included, per openCypher), then
+   * left-outer-joined to the running binding on the shared variables'
+   * ids. Unmatched rows carry NULL entity structs, so property access on
+   * them yields NULL downstream.
+   */
+  private def applyOptionalMatch(start: BindCtx, m: MatchClause): BindCtx = {
+    var sub = BindCtx(None, Map.empty)
+    m.paths.foreach { path => sub = compilePath(path, sub) }
+    m.where.foreach { w =>
+      val cond = ExprCompiler.compile(w, Scope(sub.scope)).col.try_cast(BooleanType)
+      sub = sub.copy(df = Some(sub.df.getOrElse(emptyRow()).filter(cond)))
+    }
+    val shared = sub.scope.keySet.intersect(start.scope.keySet).toSeq.sorted
+      .filterNot(_.startsWith("__"))
+    shared.foreach { v =>
+      if (sub.scope(v) != start.scope(v))
+        throw CypherParseException(s"variable '$v' rebound with a different kind in OPTIONAL MATCH")
+    }
+    val newVars = (sub.scope.keySet -- start.scope.keySet).toSeq.sorted
+      .filterNot(_.startsWith("__"))
+    val pruned = sub.df.get.select((shared ++ newVars).map(v => col(s"`$v`").as(s"__opt_$v")): _*)
+    val joinCond = shared.map { v =>
+      val key = if (start.scope(v) == KRel) "eid" else "id"
+      col(s"$v.$key") === col(s"__opt_$v.$key")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val joined = start.df.get.join(pruned, joinCond, "left")
+    val keep = start.df.get.columns.map(c => col(s"`$c`")) ++
+      newVars.map(v => col(s"`__opt_$v`").as(v))
+    BindCtx(Some(joined.select(keep.toIndexedSeq: _*)),
+      start.scope ++ newVars.map(v => v -> sub.scope(v)))
   }
 
   /** MATCH clauses → binding DataFrame (one struct column per variable). */
@@ -103,6 +139,17 @@ final class Planner(graph: PropertyGraph) {
       case None => projected
     }
     BindCtx(Some(filtered), newScope)
+  }
+
+  /** UNWIND list AS var: explode the list into one row per element
+    * (parity-plus — reference planner TODO). */
+  def applyUnwind(start: BindCtx, u: UnwindClause): BindCtx = {
+    if (start.scope.contains(u.variable))
+      throw CypherParseException(s"UNWIND variable '${u.variable}' is already bound")
+    val base = start.df.getOrElse(emptyRow())
+    val listCol = ExprCompiler.compile(u.list, Scope(start.scope)).col
+    BindCtx(Some(base.withColumn(u.variable, explode(listCol))),
+      start.scope + (u.variable -> ExprCompiler.KValue))
   }
 
   /** Terminal RETURN. */

@@ -194,11 +194,43 @@ class CypherSpec extends SparkSpec {
     assert(knows === 2L) // undirected graph → both orientations
   }
 
+  test("OPTIONAL MATCH left-joins and yields nulls for unmatched patterns") {
+    // every Person, with their WORKS_AT target when present
+    val rows = Cypher.run(g,
+      "MATCH (a:Person) OPTIONAL MATCH (a)-[r:WORKS_AT]->(b) " +
+        "RETURN a.name AS name, b.name AS works_at ORDER BY name").collect()
+    val persons = g.nodes.where(col("label") === "Person").count()
+    val workers = g.orientedEdges.where(col("type") === "WORKS_AT")
+      .select(col("src")).distinct()
+      .join(g.nodes.where(col("label") === "Person"), col("src") === col("id"))
+    assert(rows.length >= persons) // ≥: multiple workplaces fan out
+    val matched = rows.filter(!_.isNullAt(1)).map(_.getString(0)).toSet
+    val unmatched = rows.filter(_.isNullAt(1)).map(_.getString(0)).toSet
+    assert(matched.intersect(unmatched).isEmpty)
+    assert((matched.size + unmatched.size).toLong ===
+      g.nodes.where(col("label") === "Person")
+        .select(element_at(col("properties"), "name")).distinct().count())
+    assert(workers.count() === matched.size.toLong)
+
+    // WHERE inside OPTIONAL MATCH restricts the optional side only
+    val restricted = Cypher.run(g,
+      "MATCH (a:Person) OPTIONAL MATCH (a)-[r:FRIENDS]-(b) WHERE b.label = 'Location' " +
+        "RETURN a.id, b.id").count()
+    assert(restricted >= persons)
+  }
+
+  test("UNWIND explodes lists into rows, alone and against matches") {
+    val alone = Cypher.run(g, "UNWIND [1, 2, 3] AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(alone.toSeq === Seq(1L, 2L, 3L))
+    val crossed = Cypher.run(g,
+      "MATCH (n:Location) UNWIND ['a', 'b'] AS tag RETURN n.id, tag").count()
+    assert(crossed === 2 * g.nodes.where(col("label") === "Location").count())
+  }
+
   test("unsupported-but-parsed constructs are rejected with a clear error") {
     val errs = Seq(
-      "MATCH (n) OPTIONAL MATCH (m) RETURN n",
       "MERGE (n {id: '1'}) RETURN n",
-      "MATCH (n) UNWIND [1,2] AS x RETURN n",
       "MATCH (n) SET n.x = '1' RETURN n",
       "MATCH (n) DELETE n RETURN n")
     errs.foreach { q =>
