@@ -262,6 +262,18 @@ object Queries {
       Some("""SELECT n_name AS nation, COUNT(*) AS cnt FROM customer
              |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    "cy_optional_match" -> ((
+      cy("MATCH (p:Part) OPTIONAL MATCH (s:Supplier)-[r:SUPPLIES]->(p) " +
+        "RETURN p.id AS pid, s.id AS sid ORDER BY pid, sid"),
+      Some("""SELECT 'p' || p_partkey AS pid, 's' || sp.sid AS sid
+             |FROM part LEFT JOIN (SELECT DISTINCT l_suppkey AS sid, l_partkey FROM lineitem) sp
+             |ON p_partkey = sp.l_partkey
+             |ORDER BY pid, sid""".stripMargin))),
+
+    "cy_unwind" -> ((
+      cy("UNWIND [1, 2, 3] AS x RETURN x * 10 AS y ORDER BY y"),
+      Some("SELECT CAST(x * 10 AS DOUBLE) AS y FROM (VALUES (1), (2), (3)) AS t(x) ORDER BY y"))),
+
     "cy_with_having" -> ((
       cy("MATCH (c:Customer)-[:FROM]->(n:Nation) " +
         "WITH n.name AS nation, count(c) AS cnt WHERE cnt > 50 " +

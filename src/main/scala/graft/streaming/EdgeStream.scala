@@ -36,6 +36,26 @@ object EdgeStream {
         col("e.properties").as("properties"))
 
   /**
+   * Kafka variant of the edge stream — the reference's `adstrmk` topic
+   * consumer (`StreamHandler::listen_to_kafka_topic`). The downstream
+   * plan (schema, upsert, incremental triangles) is byte-identical to the
+   * file source; only the source format differs. Requires the
+   * spark-sql-kafka connector on the classpath (not shipped in this
+   * container, so this path is compile-checked but exercised via the file
+   * source in tests).
+   */
+  def readKafkaEdgeStream(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(from_json(col("value").cast(StringType), GraphSources.edgeStreamSchema).as("e"))
+      .where(col("e").isNotNull && col("e.source.id").isNotNull)
+      .select(col("e.source").as("source"), col("e.destination").as("destination"),
+        col("e.properties").as("properties"))
+
+  /**
    * Apply a stream of edge records to a named catalog graph: each
    * micro-batch is converted with the same derivation as batch ingest and
    * unioned in (node upsert = richest-property-map-wins re-aggregation on
