@@ -125,8 +125,18 @@ object Ast {
   /** UNWIND list AS var — reference planner TODO; executable here. */
   final case class UnwindClause(list: Expr, variable: String)
 
+  /** SET n.key = expr, ... — graph mutation (reference planner TODO). */
+  final case class SetClause(items: List[(String, String, Expr)])
+  /** REMOVE n.key, ... */
+  final case class RemoveClause(items: List[(String, String)])
+  /** [DETACH] DELETE v, ... */
+  final case class DeleteClause(variables: List[String], detach: Boolean)
+
   sealed trait Clause
   final case class UnwindPart(clause: UnwindClause) extends Clause
+  final case class SetPart(clause: SetClause) extends Clause
+  final case class RemovePart(clause: RemoveClause) extends Clause
+  final case class DeletePart(clause: DeleteClause) extends Clause
   final case class MatchPart(clause: MatchClause) extends Clause
   final case class WithPart(clause: WithClause) extends Clause
   final case class CreatePart(clause: CreateClause) extends Clause
@@ -136,5 +146,9 @@ object Ast {
     def matches: List[MatchClause] = clauses.collect { case MatchPart(m) => m }
     def creates: List[CreateClause] = clauses.collect { case CreatePart(c) => c }
     def returns: Option[ReturnClause] = clauses.collectFirst { case ReturnPart(r) => r }
+    def isMutation: Boolean = clauses.exists {
+      case _: SetPart | _: RemovePart | _: DeletePart | _: CreatePart => true
+      case _ => false
+    }
   }
 }

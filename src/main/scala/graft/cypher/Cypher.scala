@@ -21,8 +21,9 @@ object Cypher {
   /** Run a read query (MATCH [... WITH ...] RETURN ...) against a graph. */
   def run(graph: PropertyGraph, query: String): DataFrame = {
     val q = Parser.parse(query)
-    if (q.creates.nonEmpty)
-      throw CypherParseException("CREATE queries go through Cypher.execute (they produce a new graph)")
+    if (q.isMutation)
+      throw CypherParseException(
+        "mutation queries (CREATE/SET/REMOVE/DELETE) go through Cypher.execute — they produce a new graph")
     val planner = new Planner(graph)
     var ctx = Planner.BindCtx(None, Map.empty)
     var result: Option[DataFrame] = None
@@ -33,7 +34,7 @@ object Cypher {
       case WithPart(w) => ctx = planner.applyWith(ctx, w)
       case UnwindPart(u) => ctx = planner.applyUnwind(ctx, u)
       case ReturnPart(r) => result = Some(planner.applyReturn(ctx, r))
-      case CreatePart(_) => () // unreachable: guarded above
+      case _ => () // mutation parts unreachable: guarded above
     }
     result.getOrElse(throw CypherParseException("query has no RETURN clause"))
   }
@@ -48,13 +49,104 @@ object Cypher {
    */
   def execute(graph: PropertyGraph, query: String): (PropertyGraph, Option[DataFrame]) = {
     val q = Parser.parse(query)
-    if (q.creates.isEmpty) return (graph, Some(run(graph, query)))
-    if (q.matches.nonEmpty)
-      throw CypherParseException("CREATE with MATCH is not supported yet")
+    if (!q.isMutation) return (graph, Some(run(graph, query)))
     val spark = graph.nodes.sparkSession
+    val planner = new Planner(graph)
+    var ctx = Planner.BindCtx(None, Map.empty)
     var g = graph
-    q.creates.foreach { c => g = applyCreate(spark, g, c) }
-    (g, None)
+    var result: Option[DataFrame] = None
+    q.clauses.foreach {
+      case MatchPart(m) => ctx = planner.applyMatch(ctx, m)
+      case WithPart(w) => ctx = planner.applyWith(ctx, w)
+      case UnwindPart(u) => ctx = planner.applyUnwind(ctx, u)
+      case CreatePart(c) => g = applyCreate(spark, g, c)
+      case SetPart(sc) => g = applySet(g, ctx, sc)
+      case RemovePart(rc) => g = applyRemove(g, ctx, rc)
+      case DeletePart(dc) => g = applyDelete(g, ctx, dc)
+      case ReturnPart(r) => result = Some(planner.applyReturn(ctx, r))
+    }
+    (g, result)
+  }
+
+  import ExprCompiler.{KNode, KRel, Scope}
+
+  private def emptyMap = map().cast(MapType(StringType, StringType))
+
+  /** Per-variable updated-property map: (id/eid, value) pairs derived from
+    * the bound match frame; several matched rows per entity reduce with
+    * max() for determinism. SET to NULL removes the key (openCypher). */
+  private def applySet(g: PropertyGraph, ctx: Planner.BindCtx, sc: SetClause): PropertyGraph = {
+    var out = g
+    sc.items.foreach { case (v, key, valueExpr) =>
+      val kind = ctx.scope.getOrElse(v,
+        throw CypherParseException(s"undefined variable '$v' in SET"))
+      val bound = ctx.df.getOrElse(
+        throw CypherParseException("SET requires a preceding MATCH"))
+      val value = ExprCompiler.compile(valueExpr, Scope(ctx.scope)).col.cast(StringType)
+      val idCol = if (kind == KRel) col(s"$v.eid").cast(StringType) else col(s"$v.id")
+      val updates = bound.select(idCol.as("__uid"), value.as("__val"))
+        .groupBy("__uid").agg(max(col("__val")).as("__val"))
+      def patch(props: org.apache.spark.sql.Column) =
+        map_concat(
+          map_filter(coalesce(props, emptyMap), (k, _) => k =!= key),
+          coalesce(when(col("__val").isNotNull, map(lit(key), col("__val"))), emptyMap))
+      kind match {
+        case KNode =>
+          val nodes = out.nodes.join(updates, col("id") === col("__uid"), "left")
+            .select(col("id"), col("label"),
+              when(col("__uid").isNotNull, patch(col("properties")))
+                .otherwise(col("properties")).as("properties"))
+          out = PropertyGraph(nodes, out.edges, out.isDirected)
+        case KRel =>
+          val edges = out.edges.join(updates, col("eid").cast(StringType) === col("__uid"), "left")
+            .select(col("eid"), col("src"), col("dst"), col("type"),
+              when(col("__uid").isNotNull, patch(col("properties")))
+                .otherwise(col("properties")).as("properties"))
+          out = PropertyGraph(out.nodes, edges, out.isDirected)
+        case _ => throw CypherParseException(s"'$v' is not an entity variable")
+      }
+    }
+    out
+  }
+
+  private def applyRemove(g: PropertyGraph, ctx: Planner.BindCtx, rc: RemoveClause): PropertyGraph =
+    applySet(g, ctx, SetClause(rc.items.map { case (v, k) => (v, k, NullLit) }))
+
+  /** DELETE: plain node delete refuses when incident edges remain
+    * (openCypher); DETACH DELETE drops them too; relationship variables
+    * delete by eid. */
+  private def applyDelete(g: PropertyGraph, ctx: Planner.BindCtx, dc: DeleteClause): PropertyGraph = {
+    var out = g
+    val bound = ctx.df.getOrElse(
+      throw CypherParseException("DELETE requires a preceding MATCH"))
+    dc.variables.foreach { v =>
+      ctx.scope.getOrElse(v, throw CypherParseException(s"undefined variable '$v' in DELETE")) match {
+        case KNode =>
+          val ids = bound.select(col(s"$v.id").as("__did")).distinct()
+          if (!dc.detach) {
+            val incident = out.edges.join(ids,
+              col("src") === col("__did") || col("dst") === col("__did")).limit(1).count()
+            if (incident > 0)
+              throw CypherParseException(
+                s"cannot DELETE node '$v' with relationships — use DETACH DELETE")
+          }
+          val nodes = out.nodes.join(ids, col("id") === col("__did"), "left_anti")
+          val edges =
+            if (dc.detach)
+              out.edges
+                .join(ids.withColumnRenamed("__did", "src"), Seq("src"), "left_anti")
+                .join(ids.withColumnRenamed("__did", "dst"), Seq("dst"), "left_anti")
+                .select(col("eid"), col("src"), col("dst"), col("type"), col("properties"))
+            else out.edges
+          out = PropertyGraph(nodes, edges, out.isDirected)
+        case KRel =>
+          val eids = bound.select(col(s"$v.eid").as("__deid")).distinct()
+          val edges = out.edges.join(eids, col("eid") === col("__deid"), "left_anti")
+          out = PropertyGraph(out.nodes, edges, out.isDirected)
+        case _ => throw CypherParseException(s"'$v' is not an entity variable")
+      }
+    }
+    out
   }
 
   private def literalString(e: Expr): String = e match {

@@ -34,8 +34,7 @@ object Parser {
   /** Cap for open-ended variable-length patterns (`*` / `*2..`). */
   val MaxVarLength = 8
 
-  private val rejected = Set("MERGE", "SET", "DELETE", "DETACH",
-    "REMOVE", "CALL", "UNION", "CASE")
+  private val rejected = Set("MERGE", "CALL", "UNION", "CASE")
 
   def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -137,6 +136,42 @@ object Parser {
             case t => throw CypherParseException(s"bad UNWIND variable '${t.text}'")
           }
           clauses += UnwindPart(UnwindClause(listExpr, v))
+        case Some(Kw("SET", _)) =>
+          p.next()
+          val items = List.newBuilder[(String, String, Expr)]
+          def setItem(): Unit = {
+            val prop = parseExpr(p) match {
+              case Cmp("=", Property(v, k), value) => (v, k, value)
+              case other => throw CypherParseException(
+                s"SET expects n.prop = value, got ${text(other)}")
+            }
+            items += prop
+          }
+          setItem()
+          while (p.eatSym(",")) setItem()
+          clauses += SetPart(SetClause(items.result()))
+        case Some(Kw("REMOVE", _)) =>
+          p.next()
+          val items = List.newBuilder[(String, String)]
+          def removeItem(): Unit = parseExpr(p) match {
+            case Property(v, k) => items += ((v, k))
+            case other => throw CypherParseException(
+              s"REMOVE expects n.prop, got ${text(other)}")
+          }
+          removeItem()
+          while (p.eatSym(",")) removeItem()
+          clauses += RemovePart(RemoveClause(items.result()))
+        case Some(Kw("DELETE", _)) | Some(Kw("DETACH", _)) =>
+          val detach = p.eatKw("DETACH")
+          p.expectKw("DELETE")
+          val vars = List.newBuilder[String]
+          def delItem(): Unit = p.next() match {
+            case Ident(v) => vars += v
+            case t => throw CypherParseException(s"DELETE expects a variable, got '${t.text}'")
+          }
+          delItem()
+          while (p.eatSym(",")) delItem()
+          clauses += DeletePart(DeleteClause(vars.result(), detach))
         case Some(Kw("CREATE", _)) =>
           p.next()
           val paths = List.newBuilder[PathPattern]

@@ -229,13 +229,40 @@ class CypherSpec extends SparkSpec {
   }
 
   test("unsupported-but-parsed constructs are rejected with a clear error") {
-    val errs = Seq(
-      "MERGE (n {id: '1'}) RETURN n",
-      "MATCH (n) SET n.x = '1' RETURN n",
-      "MATCH (n) DELETE n RETURN n")
-    errs.foreach { q =>
-      intercept[CypherParseException] { Cypher.run(g, q) }
+    intercept[CypherParseException] { Cypher.run(g, "MERGE (n {id: '1'}) RETURN n") }
+    // mutations are directed to execute()
+    intercept[CypherParseException] { Cypher.run(g, "MATCH (n) SET n.x = '1' RETURN n") }
+    intercept[CypherParseException] { Cypher.run(g, "MATCH (n) DELETE n") }
+  }
+
+  test("SET updates, REMOVE drops, DELETE removes entities (snapshot semantics)") {
+    // SET a property on one node; value expressions see the match row
+    val (g2, _) = Cypher.execute(g,
+      "MATCH (n) WHERE n.id = '2' SET n.age = 40, n.title = 'Eng'")
+    val charlie = Cypher.run(g2, "MATCH (n) WHERE n.id = '2' RETURN n.age AS a, n.title AS t").collect()(0)
+    assert(charlie.getString(0) === "40" && charlie.getString(1) === "Eng")
+    assert(g2.vertexCount === 20L)
+
+    // REMOVE drops the key
+    val (g3, _) = Cypher.execute(g2, "MATCH (n) WHERE n.id = '2' REMOVE n.title")
+    assert(Cypher.run(g3, "MATCH (n) WHERE n.title IS NOT NULL RETURN n.id").count() === 0L)
+
+    // SET on a relationship variable
+    val (g4, _) = Cypher.execute(g3,
+      "MATCH (a)-[r:FRIENDS]-(b) WHERE a.id = '10' SET r.strength = 'high'")
+    val marked = g4.edges.where(element_at(col("properties"), "strength") === "high").count()
+    assert(marked > 0)
+
+    // plain DELETE refuses on connected nodes; DETACH DELETE cascades
+    intercept[CypherParseException] {
+      Cypher.execute(g4, "MATCH (n) WHERE n.id = '10' DELETE n")
     }
+    val (g5, _) = Cypher.execute(g4, "MATCH (n) WHERE n.id = '10' DETACH DELETE n")
+    assert(g5.vertexCount === 19L)
+    assert(g5.edges.where(col("src") === "10" || col("dst") === "10").count() === 0L)
+
+    // original graph untouched (immutability)
+    assert(Cypher.run(g, "MATCH (n) WHERE n.id = '2' RETURN n.age").collect()(0).isNullAt(0))
   }
 
   test("WITH chains query parts: aggregation, post-filter, passthrough, re-MATCH") {
