@@ -37,6 +37,9 @@ object Ast {
   final case class IsNull(child: Expr, negated: Boolean) extends Expr
   final case class Arith(op: String, left: Expr, right: Expr) extends Expr // + - * / % ^
   final case class Neg(child: Expr) extends Expr
+  /** CASE [subject] WHEN v THEN r ... [ELSE d] END — simple and searched. */
+  final case class CaseExpr(subject: Option[Expr], whens: List[(Expr, Expr)],
+      otherwise: Option[Expr]) extends Expr
 
   val aggregateNames = Set("avg", "sum", "min", "max", "count", "collect")
 
@@ -50,6 +53,9 @@ object Ast {
     case Not(c) => containsAggregate(c)
     case Arith(_, l, r) => containsAggregate(l) || containsAggregate(r)
     case Neg(c) => containsAggregate(c)
+    case CaseExpr(s, ws, e) =>
+      s.exists(containsAggregate) || ws.exists(p => containsAggregate(p._1) || containsAggregate(p._2)) ||
+        e.exists(containsAggregate)
     case _ => false
   }
 
@@ -80,6 +86,10 @@ object Ast {
     case IsNull(c, neg) => s"${text(c)} IS ${if (neg) "NOT " else ""}NULL"
     case Arith(op, l, r) => s"${text(l)} $op ${text(r)}"
     case Neg(c) => s"-${text(c)}"
+    case CaseExpr(subj, whens, els) =>
+      "CASE" + subj.map(" " + text(_)).getOrElse("") +
+        whens.map { case (w, t) => s" WHEN ${text(w)} THEN ${text(t)}" }.mkString +
+        els.map(" ELSE " + text(_)).getOrElse("") + " END"
   }
 
   // ----- patterns ---------------------------------------------------------
@@ -131,10 +141,13 @@ object Ast {
   final case class RemoveClause(items: List[(String, String)])
   /** [DETACH] DELETE v, ... */
   final case class DeleteClause(variables: List[String], detach: Boolean)
+  /** MERGE (match-or-create; single-node patterns). */
+  final case class MergeClause(paths: List[PathPattern])
 
   sealed trait Clause
   final case class UnwindPart(clause: UnwindClause) extends Clause
   final case class SetPart(clause: SetClause) extends Clause
+  final case class MergePart(clause: MergeClause) extends Clause
   final case class RemovePart(clause: RemoveClause) extends Clause
   final case class DeletePart(clause: DeleteClause) extends Clause
   final case class MatchPart(clause: MatchClause) extends Clause
@@ -147,7 +160,7 @@ object Ast {
     def creates: List[CreateClause] = clauses.collect { case CreatePart(c) => c }
     def returns: Option[ReturnClause] = clauses.collectFirst { case ReturnPart(r) => r }
     def isMutation: Boolean = clauses.exists {
-      case _: SetPart | _: RemovePart | _: DeletePart | _: CreatePart => true
+      case _: SetPart | _: RemovePart | _: DeletePart | _: CreatePart | _: MergePart => true
       case _ => false
     }
   }

@@ -60,6 +60,7 @@ object Cypher {
       case WithPart(w) => ctx = planner.applyWith(ctx, w)
       case UnwindPart(u) => ctx = planner.applyUnwind(ctx, u)
       case CreatePart(c) => g = applyCreate(spark, g, c)
+      case MergePart(mc) => g = applyMerge(g, mc)
       case SetPart(sc) => g = applySet(g, ctx, sc)
       case RemovePart(rc) => g = applyRemove(g, ctx, rc)
       case DeletePart(dc) => g = applyDelete(g, ctx, dc)
@@ -69,6 +70,28 @@ object Cypher {
   }
 
   import ExprCompiler.{KNode, KRel, Scope}
+
+  /** MERGE: match-or-create for single-node patterns — the node is
+    * created only when no node matches the label + full property map.
+    * (Path-pattern MERGE would need per-row conditional writes; out of
+    * scope, rejected clearly.) */
+  private def applyMerge(g: PropertyGraph, mc: MergeClause): PropertyGraph = {
+    var out = g
+    mc.paths.foreach { path =>
+      if (path.hops.nonEmpty)
+        throw CypherParseException("MERGE supports single-node patterns only")
+      val np = path.start
+      var candidates = out.nodes
+      np.labels.headOption.foreach(l => candidates = candidates.filter(col("label") === l))
+      np.properties.foreach { case (k, valueExpr) =>
+        candidates = candidates.filter(
+          element_at(col("properties"), k) === lit(literalString(valueExpr)))
+      }
+      if (candidates.limit(1).count() == 0L)
+        out = applyCreate(out.nodes.sparkSession, out, CreateClause(List(path)))
+    }
+    out
+  }
 
   private def emptyMap = map().cast(MapType(StringType, StringType))
 

@@ -131,6 +131,24 @@ object ExprCompiler {
       Typed(c, KNum)
     case Neg(c) => Typed(-numOf(compile(c, scope)), KNum)
 
+    case CaseExpr(subject, whens, otherwise) =>
+      val subj = subject.map(compile(_, scope))
+      val branches = whens.map { case (w, t) =>
+        val cond = subj match {
+          case Some(s) => compileCmp("=", s, compile(w, scope)) // simple CASE
+          case None => compile(w, scope).col.try_cast(BooleanType) // searched CASE
+        }
+        (cond, compile(t, scope))
+      }
+      val base = branches.foldLeft(Option.empty[Column]) { case (acc, (cond, t)) =>
+        Some(acc.map(_.when(cond, t.col)).getOrElse(when(cond, t.col)))
+      }.get
+      val full = otherwise match {
+        case Some(e) => base.otherwise(compile(e, scope).col)
+        case None => base
+      }
+      Typed(full, branches.head._2.kind)
+
     case a: Aggregate =>
       throw CypherParseException(s"aggregate ${text(a)} is only allowed as a top-level RETURN item")
   }

@@ -34,7 +34,9 @@ object Parser {
   /** Cap for open-ended variable-length patterns (`*` / `*2..`). */
   val MaxVarLength = 8
 
-  private val rejected = Set("MERGE", "CALL", "UNION", "CASE")
+  private val rejected = Set("CALL", "UNION")
+  // (MERGE/SET/DELETE/REMOVE/UNWIND/OPTIONAL/CASE — all planner TODOs in
+  // the reference — are executable here.)
 
   def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -178,6 +180,12 @@ object Parser {
           paths += parsePath(p)
           while (p.eatSym(",")) paths += parsePath(p)
           clauses += CreatePart(CreateClause(paths.result()))
+        case Some(Kw("MERGE", _)) =>
+          p.next()
+          val paths = List.newBuilder[PathPattern]
+          paths += parsePath(p)
+          while (p.eatSym(",")) paths += parsePath(p)
+          clauses += MergePart(MergeClause(paths.result()))
         case Some(Kw("RETURN", _)) =>
           p.next()
           clauses += ReturnPart(parseReturn(p))
@@ -405,6 +413,24 @@ object Parser {
     case NumTok(t) =>
       if (t.contains('.')) DblLit(t.toDouble) else IntLit(t.toLong)
     case StrTok(s) => StrLit(s)
+    case Kw("CASE", _) =>
+      def atWord(w: String): Boolean = p.peek.exists {
+        case Ident(t) => t.equalsIgnoreCase(w)
+        case _ => false
+      }
+      def eatWord(w: String): Boolean = { if (atWord(w)) { p.next(); true } else false }
+      val subject = if (atWord("WHEN")) None else Some(parseExpr(p))
+      val whens = List.newBuilder[(Expr, Expr)]
+      while (eatWord("WHEN")) {
+        val w = parseExpr(p)
+        if (!eatWord("THEN")) throw CypherParseException("expected THEN in CASE")
+        whens += ((w, parseExpr(p)))
+      }
+      val els = if (eatWord("ELSE")) Some(parseExpr(p)) else None
+      if (!eatWord("END")) throw CypherParseException("expected END closing CASE")
+      val ws = whens.result()
+      if (ws.isEmpty) throw CypherParseException("CASE needs at least one WHEN")
+      CaseExpr(subject, ws, els)
     case Kw("TRUE", _) => BoolLit(true)
     case Kw("FALSE", _) => BoolLit(false)
     case Kw("NULL", _) => NullLit

@@ -229,10 +229,40 @@ class CypherSpec extends SparkSpec {
   }
 
   test("unsupported-but-parsed constructs are rejected with a clear error") {
-    intercept[CypherParseException] { Cypher.run(g, "MERGE (n {id: '1'}) RETURN n") }
+    intercept[CypherParseException] { Cypher.run(g, "MATCH (n) CALL foo() RETURN n") }
+    intercept[CypherParseException] { Cypher.run(g, "MATCH (n) RETURN n UNION MATCH (m) RETURN m") }
     // mutations are directed to execute()
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) SET n.x = '1' RETURN n") }
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) DELETE n") }
+  }
+
+  test("CASE expressions: searched and simple forms") {
+    val rows = Cypher.run(g,
+      "MATCH (n:Person) RETURN n.name AS name, " +
+        "CASE WHEN n.age IS NOT NULL THEN 'aged' ELSE 'ageless' END AS kind ORDER BY name").collect()
+    val byName = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("Fiona") === "aged")
+    assert(byName.values.count(_ == "ageless") === byName.size - 1)
+
+    val simple = Cypher.run(g,
+      "MATCH (n) RETURN CASE n.label WHEN 'Person' THEN 1 WHEN 'Location' THEN 2 ELSE 0 END AS code, " +
+        "count(*) AS c ORDER BY code").collect()
+    assert(simple.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, g.nodes.where(col("label") === "Person").count()),
+        (2L, g.nodes.where(col("label") === "Location").count())))
+  }
+
+  test("MERGE creates only when no node matches") {
+    val before = g.vertexCount
+    val (g2, _) = Cypher.execute(g, "MERGE (n:Person {id: '2'})") // Charlie exists
+    assert(g2.vertexCount === before)
+    val (g3, _) = Cypher.execute(g2, "MERGE (n:Person {id: '500', name: 'New'})")
+    assert(g3.vertexCount === before + 1)
+    val (g4, _) = Cypher.execute(g3, "MERGE (n:Person {id: '500', name: 'New'})") // idempotent
+    assert(g4.vertexCount === before + 1)
+    intercept[CypherParseException] {
+      Cypher.execute(g, "MERGE (a {id: '1'})-[:KNOWS]->(b {id: '2'})")
+    }
   }
 
   test("SET updates, REMOVE drops, DELETE removes entities (snapshot semantics)") {
