@@ -155,6 +155,9 @@ object Ast {
   final case class CreatePart(clause: CreateClause) extends Clause
   final case class ReturnPart(clause: ReturnClause) extends Clause
 
+  /** Top-level UNION chain: head query plus (isUnionAll, query) tails. */
+  final case class UnionQuery(head: Query, tails: List[(Boolean, Query)])
+
   final case class Query(clauses: List[Clause]) {
     def matches: List[MatchClause] = clauses.collect { case MatchPart(m) => m }
     def creates: List[CreateClause] = clauses.collect { case CreatePart(c) => c }

@@ -18,12 +18,22 @@ import Ast._
  */
 object Cypher {
 
-  /** Run a read query (MATCH [... WITH ...] RETURN ...) against a graph. */
+  /** Run a read query (MATCH [... WITH ...] RETURN ... [UNION ...])
+    * against a graph. UNION dedups, UNION ALL concatenates — executable
+    * here although the reference planner leaves Union as a TODO. */
   def run(graph: PropertyGraph, query: String): DataFrame = {
-    val q = Parser.parse(query)
+    val stmt = Parser.parseStatement(query)
+    val head = runSingle(graph, stmt.head)
+    stmt.tails.foldLeft(head) { case (acc, (all, q)) =>
+      val u = acc.unionByName(runSingle(graph, q))
+      if (all) u else u.dropDuplicates()
+    }
+  }
+
+  private def runSingle(graph: PropertyGraph, q: Query): DataFrame = {
     if (q.isMutation)
       throw CypherParseException(
-        "mutation queries (CREATE/SET/REMOVE/DELETE) go through Cypher.execute — they produce a new graph")
+        "mutation queries (CREATE/MERGE/SET/REMOVE/DELETE) go through Cypher.execute — they produce a new graph")
     val planner = new Planner(graph)
     var ctx = Planner.BindCtx(None, Map.empty)
     var result: Option[DataFrame] = None

@@ -34,7 +34,7 @@ object Parser {
   /** Cap for open-ended variable-length patterns (`*` / `*2..`). */
   val MaxVarLength = 8
 
-  private val rejected = Set("CALL", "UNION")
+  private val rejected = Set("CALL")
   // (MERGE/SET/DELETE/REMOVE/UNWIND/OPTIONAL/CASE — all planner TODOs in
   // the reference — are executable here.)
 
@@ -109,10 +109,32 @@ object Parser {
     def eatKw(k: String): Boolean = { if (atKw(k)) { pos += 1; true } else false }
   }
 
-  def parse(query: String): Query = {
+  /** Parse a full statement, which may be a UNION chain of queries. */
+  def parseStatement(query: String): UnionQuery = {
     val p = new P(tokenize(query))
+    val head = parseQuery(p)
+    val tails = List.newBuilder[(Boolean, Query)]
+    while (p.atKw("UNION")) {
+      p.next()
+      val all = p.peek match {
+        case Some(Ident(t)) if t.equalsIgnoreCase("ALL") => p.next(); true
+        case _ => false
+      }
+      tails += ((all, parseQuery(p)))
+    }
+    UnionQuery(head, tails.result())
+  }
+
+  def parse(query: String): Query = {
+    val u = parseStatement(query)
+    if (u.tails.nonEmpty)
+      throw CypherParseException("UNION statements go through Cypher.run (top-level only)")
+    u.head
+  }
+
+  private def parseQuery(p: P): Query = {
     val clauses = List.newBuilder[Clause]
-    while (!p.done) {
+    while (!p.done && !p.atKw("UNION")) {
       p.peek match {
         case Some(Kw(k, _)) if rejected.contains(k) =>
           throw CypherParseException(s"$k is parsed but not executable (reference planner TODO — QueryPlanner.cpp:65-463)")

@@ -230,10 +230,22 @@ class CypherSpec extends SparkSpec {
 
   test("unsupported-but-parsed constructs are rejected with a clear error") {
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) CALL foo() RETURN n") }
-    intercept[CypherParseException] { Cypher.run(g, "MATCH (n) RETURN n UNION MATCH (m) RETURN m") }
     // mutations are directed to execute()
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) SET n.x = '1' RETURN n") }
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) DELETE n") }
+  }
+
+  test("UNION dedups, UNION ALL concatenates") {
+    val all = Cypher.run(g,
+      "MATCH (n:Person) RETURN n.id AS id UNION ALL MATCH (n:Person) RETURN n.id AS id").count()
+    val persons = g.nodes.where(col("label") === "Person").count()
+    assert(all === 2 * persons)
+    val dedup = Cypher.run(g,
+      "MATCH (n:Person) RETURN n.id AS id UNION MATCH (n:Person) RETURN n.id AS id").count()
+    assert(dedup === persons)
+    val mixed = Cypher.run(g,
+      "MATCH (n:Person) RETURN n.name AS x UNION MATCH (n:Location) RETURN n.name AS x").count()
+    assert(mixed === 20L)
   }
 
   test("CASE expressions: searched and simple forms") {
