@@ -140,8 +140,13 @@ object Queries {
           .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
           .orderBy(col("user_id"))
       },
+      // Compare raw int64 nanosecond deltas in BOTH engines: DuckDB's
+      // TIMESTAMP_NS - TIMESTAMP_NS goes through µs-precision INTERVALs,
+      // which classifies sub-µs boundary gaps differently from Spark's
+      // integer nanos arithmetic (round-1 hash mismatch).
       Some("""SELECT user_id,
-             |SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS sessions,
+             |SUM(CASE WHEN prev IS NULL
+             |         OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END) AS sessions,
              |COUNT(*) AS events
              |FROM (SELECT user_id, event_id, ts,
              |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -468,13 +473,15 @@ object Queries {
           .orderBy(col("idA"), col("idB")),
       Some(jaccardGroundTruthSql(charShingle = true, k = 5, threshold = 0.8)))),
 
-    // SimHash banding depends on xxhash64 bit patterns — no DuckDB
-    // equivalent, rows-only check; hamming verification is spec-tested.
+    // SimHash token bits come from md5 (replayable in any engine), so the
+    // banded pipeline is oracled against a brute-force all-pairs hamming
+    // recomputation in DuckDB. Banding is exact for hamming ≤ 3 by
+    // pigeonhole over the four 16-bit chunks.
     "doc_simhash_pairs" -> ((
       (s: SparkSession, d: String) =>
         Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)
           .orderBy(col("idA"), col("idB")),
-      None)),
+      Some(simhashOracleSql(maxHamming = 3)))),
 
     // Inverted-index n-gram jaccard is exact by construction → exact oracle.
     "doc_ngram_jaccard" -> ((
@@ -483,21 +490,33 @@ object Queries {
           .orderBy(col("idA"), col("idB")),
       Some(jaccardGroundTruthSql(charShingle = false, k = 3, threshold = 0.3)))),
 
+    // The driver's embeddings are near-orthogonal random vectors (zero
+    // true pairs at cosine ≥ 0.6), so the dedup corpus plants
+    // deterministic near-duplicates: every 5th vector re-scaled
+    // per-element by 1 ± 0.02 alternating by index (cosine ≈ 0.9998,
+    // always ≥ 0.99). The oracle recomputes ALL-PAIRS cosine brute-force
+    // in DuckDB — full-recall proof of the banded hyperplane LSH.
     "emb_cosine_dedup" -> ((
-      (s: SparkSession, d: String) =>
-        Dedup.embeddingCosinePairs(
-          t(s, d, "embeddings")
-            .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec")),
-          "vec", "vec_id", threshold = 0.99)
-          .orderBy(col("idA"), col("idB")),
-      None)),
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "embeddings")
+          .select(col("vec_id").as("id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val planted = base.where(col("id") % 5 === 0)
+          .select((col("id") + 100000).as("id"),
+            zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+              (x, j) => x * (lit(1.0) + lit(0.02) * (pmod(j, lit(2)) * 2 - 1).cast(DoubleType))).as("vec"))
+        Dedup.embeddingCosinePairs(base.unionByName(planted), "vec", "id", threshold = 0.99)
+          .orderBy(col("idA"), col("idB"))
+      },
+      Some(embCosineOracleSql(threshold = 0.99)))),
 
     "kg_construct" -> ((
       (s: SparkSession, d: String) => {
-        val g = graft.pipeline.KgConstruction.constructKg(t(s, d, "documents"), "text", "doc_id")
+        val g = graft.pipeline.KgConstruction.constructKg(
+          t(s, d, "documents"), "text", "doc_id",
+          pattern = graft.pipeline.KgConstruction.lexiconPattern)
         g.edges.select(col("src"), col("dst"), col("type")).orderBy(col("src"), col("dst"), col("type"))
       },
-      None)),
+      Some(kgConstructOracleSql))),
 
     "alg_beam_search" -> ((
       (s: SparkSession, d: String) => {
@@ -511,9 +530,10 @@ object Queries {
           .select(transform(col("embedding"), _.cast(DoubleType)))
           .collect()(0).getSeq[Double](0).map(_.toFloat)
         Similarity.beamSearch(nodeEmb, "id", "vec", edges, q, beamWidth = 16, hops = 3)
+          .select(col("id"), round(col("score"), 6).as("score"), col("hop"))
           .orderBy(col("score").desc, col("id"))
       },
-      None)),
+      Some(beamSearchOracleSql(beamWidth = 16, hops = 3)))),
 
     "mm_frames" -> ((
       (s: SparkSession, d: String) =>
@@ -521,7 +541,7 @@ object Queries {
           Multimodal.syntheticAssets(t(s, d, "documents"), "doc_id", "text"))
           .select(col("asset_id"), col("frame_no"), md5(col("frame")).as("frame_digest"))
           .orderBy(col("asset_id"), col("frame_no")),
-      None)),
+      Some(mmFramesOracleSql(frameBytes = 256, stride = 4)))),
 
     "mm_features" -> ((
       (s: SparkSession, d: String) =>
@@ -529,7 +549,7 @@ object Queries {
           Multimodal.syntheticAssets(t(s, d, "documents"), "doc_id", "text"))
           .select(col("asset_id"), col("modality"), col("width"), col("height"), col("channels"))
           .orderBy(col("asset_id")),
-      None)))
+      Some(mmFeaturesOracleSql))))
 
   /** Exact near-duplicate-pair ground truth: all-pairs jaccard over
     * distinct char-k-shingles (charShingle=true) or word-k-grams of the
@@ -618,6 +638,137 @@ object Queries {
        |    (1.0 - LEAST(punct_ratio * 5, 1.0)) * 0.2)), 6) AS quality_score
        |FROM c ORDER BY doc_id""".stripMargin
   }
+
+  /** SimHash brute-force oracle: recompute every doc's 64-bit signature
+    * (md5-derived token bits, the exact definition in [[Dedup.simhash]])
+    * and compare ALL pairs' hamming distance — no banding, so a green row
+    * proves the banded candidate generation loses nothing. The signature
+    * is carried as two 32-bit halves because DuckDB BIGINTs can't hold
+    * 1<<63 via arithmetic construction. */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val votes = (0 until 64).map { b =>
+      val d = s"(CASE WHEN ascii(substr(m, ${b / 4 + 1}, 1)) >= 97 " +
+        s"THEN ascii(substr(m, ${b / 4 + 1}, 1)) - 87 " +
+        s"ELSE ascii(substr(m, ${b / 4 + 1}, 1)) - 48 END)"
+      s"SUM((($d >> ${b % 4}) & 1) * 2 - 1) AS v$b"
+    }.mkString(",\n")
+    val lo = (0 until 32).map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val hi = (32 until 64).map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << (b - 32)} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $lo AS lo, $hi AS hi FROM votes)
+       |SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $maxHamming
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  /** Embedding-dedup oracle: identical planted-duplicate construction
+    * (every 5th vector, per-element 1 ± 0.02 alternating), then ALL-PAIRS
+    * brute-force cosine — proving the LSH path's recall, not just shape. */
+  private def embCosineOracleSql(threshold: Double): String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |planted AS (
+       |  SELECT id + 100000 AS id,
+       |    list_transform(range(1, len(vec) + 1),
+       |      i -> vec[CAST(i AS INTEGER)] * (1.0 + 0.02 * CAST(((i - 1) % 2) * 2 - 1 AS DOUBLE))) AS vec
+       |  FROM base WHERE id % 5 = 0),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+       |SELECT a.id AS idA, b.id AS idB,
+       |  CAST(ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS DOUBLE) AS cosine
+       |FROM corpus a JOIN corpus b ON a.id < b.id
+       |WHERE list_cosine_similarity(a.vec, b.vec) >= $threshold
+       |ORDER BY idA, idB""".stripMargin
+
+  /** kg_construct oracle: replay chunk → first-match 3-group regex →
+    * triple dedup → edge projection. Same leftmost-first regex semantics
+    * in Java regex and RE2 for this alternation-of-literals pattern. */
+  private def kgConstructOracleSql: String = {
+    val pat = graft.pipeline.KgConstruction.lexiconPattern
+    s"""WITH chunks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS chunk FROM documents),
+       |nz AS (SELECT doc_id, chunk FROM chunks WHERE length(trim(chunk)) > 0),
+       |ext AS (
+       |  SELECT regexp_extract(chunk, '$pat', 1) AS subj,
+       |         regexp_extract(chunk, '$pat', 2) AS rel,
+       |         regexp_extract(chunk, '$pat', 3) AS obj
+       |  FROM nz),
+       |t AS (SELECT DISTINCT subj, rel, obj FROM ext
+       |      WHERE subj <> '' AND rel <> '' AND obj <> '')
+       |SELECT subj AS src, obj AS dst, regexp_replace(upper(rel), '\\s+', '_', 'g') AS type
+       |FROM t ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** Beam-search oracle: the hop loop unrolled into chained CTEs (the
+    * same technique as the PageRank oracle) — seed top-w by cosine, per
+    * hop expand frontier over edges, re-score, keep earliest hop per node,
+    * cut back to the beam width with (score DESC, id) ties. */
+  private def beamSearchOracleSql(beamWidth: Int, hops: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""nodes AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+         |edges AS (SELECT DISTINCT CAST(l_orderkey % 500 AS VARCHAR) AS src,
+         |                          CAST(l_partkey % 500 AS VARCHAR) AS dst FROM lineitem),
+         |scored AS (SELECT id, list_cosine_similarity(vec, (SELECT qvec FROM q)) AS score FROM nodes),
+         |b0 AS (SELECT id, score, 0 AS hop FROM scored ORDER BY score DESC, id LIMIT $beamWidth)""".stripMargin)
+    for (h <- 1 to hops) {
+      chain.append(s""",
+        |f$h AS (SELECT DISTINCT e.dst AS id FROM b${h - 1} t JOIN edges e ON t.id = e.src),
+        |r$h AS (SELECT s.id, s.score, $h AS hop FROM f$h JOIN scored s ON f$h.id = s.id),
+        |u$h AS (SELECT id, score, hop FROM (
+        |    SELECT id, score, hop, ROW_NUMBER() OVER (PARTITION BY id ORDER BY hop) AS rn
+        |    FROM (SELECT * FROM b${h - 1} UNION ALL SELECT * FROM r$h)) WHERE rn = 1),
+        |b$h AS (SELECT id, score, hop FROM u$h ORDER BY score DESC, id LIMIT $beamWidth)""".stripMargin)
+    }
+    s"WITH ${chain.toString}\n" +
+      s"SELECT id, CAST(ROUND(score, 6) AS DOUBLE) AS score, hop FROM b$hops ORDER BY score DESC, id"
+  }
+
+  /** mm_features oracle: modality assignment + the stub's byte-sum
+    * width/height math replayed over the UTF-8 payload (the corpus is
+    * pure ASCII, so codepoints ARE the payload bytes). */
+  private def mmFeaturesOracleSql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+      |    text FROM documents),
+      |s AS (
+      |  SELECT asset_id, modality,
+      |    COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+      |      i -> unicode(substr(text, CAST(i AS INTEGER), 1)))), 0) AS bsum,
+      |    COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+      |      i -> i * unicode(substr(text, CAST(i AS INTEGER), 1)))), 0) AS wsum
+      |  FROM a)
+      |SELECT asset_id, modality,
+      |  CAST(bsum % 1024 + 1 AS INTEGER) AS width,
+      |  CAST(wsum % 768 + 1 AS INTEGER) AS height,
+      |  CAST(CASE WHEN modality = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels
+      |FROM s ORDER BY asset_id""".stripMargin
+
+  /** mm_frames oracle: chunk the payload into frameBytes-byte frames,
+    * keep every stride-th, digest. The payload is the UTF-8 encoding of a
+    * pure-ASCII corpus, so byte slices coincide with character slices —
+    * letting DuckDB replay the binary chunking with substr on the text.
+    * Mirrors sampleFrames exactly, including the ≥1-frame floor for
+    * sub-frame payloads. */
+  private def mmFramesOracleSql(frameBytes: Int, stride: Int): String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, text,
+       |    CAST(octet_length(encode(text)) // $frameBytes AS BIGINT) AS nframes
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT asset_id, i, substr(text, CAST(1 + i * $frameBytes AS INTEGER), $frameBytes) AS frame
+       |  FROM a, UNNEST(range(0, greatest(nframes - 1, 0) + 1)) t(i)
+       |  WHERE i % $stride = 0)
+       |SELECT asset_id, CAST(i // $stride AS INTEGER) AS frame_no, md5(frame) AS frame_digest
+       |FROM f ORDER BY asset_id, frame_no""".stripMargin
 
   /** All declared queries. */
   val all: Map[String, (Q, Option[String])] =

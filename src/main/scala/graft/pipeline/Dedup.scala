@@ -160,15 +160,37 @@ object Dedup {
     verifyJaccard(candidates, posting, threshold)
   }
 
-  /** Exact n-gram Jaccard similarity for all candidate pairs sharing at
-    * least one n-gram (inverted-index join — exact, no LSH approximation;
-    * quadratic only within posting lists). */
+  /**
+   * Exact n-gram Jaccard similarity for all candidate pairs sharing at
+   * least one n-gram (inverted-index join; quadratic only within posting
+   * lists).
+   *
+   * `maxDocFreq` caps candidate generation: n-grams shared by more than
+   * that many documents (stopword grams) are excluded from the inverted-
+   * index self-join, whose cost is Σ df² over posting lists — one gram in
+   * 10⁶ docs alone makes 10¹² candidate rows at corpus scale. Verification
+   * still uses the FULL posting lists, so reported jaccard values stay
+   * exact; the (documented) approximation is that a pair sharing ONLY
+   * frequent grams is never considered. With near-dup thresholds ≥ 0.3
+   * such pairs share many grams, so any rare one recovers the pair.
+   */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val posting = ngramPosting(df, textCol, idCol, n)
-    val l = posting.select(col("shingle"), col("id").as("idA"))
-    val r = posting.select(col("shingle"), col("id").as("idB"))
+    val indexed =
+      if (maxDocFreq == Long.MaxValue) posting
+      else {
+        // df per gram is a map-side-combinable aggregate on the same key
+        // as the self-join — one extra narrow shuffle, no row explosion
+        val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq)
+          .select("shingle")
+        posting.join(rare, Seq("shingle"))
+      }
+    val l = indexed.select(col("shingle"), col("id").as("idA"))
+    val r = indexed.select(col("shingle"), col("id").as("idB"))
     val candidates = l.join(r, Seq("shingle"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"))
@@ -178,16 +200,26 @@ object Dedup {
 
   // ----- SimHash ----------------------------------------------------------
 
+  /** Value 0-15 of a single lowercase hex digit column. */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+
   /** 64-bit SimHash of the token multiset: bit b of the signature is set
-    * iff the sum over tokens of (bit b of xxhash64(token) ? +1 : -1) is
-    * non-negative. */
+    * iff the sum over tokens of (bit b of the token hash ? +1 : -1) is
+    * non-negative. The token hash is the first 64 bits of md5 read as 16
+    * hex digits (bit b = bit b%4 of digit b/4) — chosen over xxhash64
+    * because every engine can replay md5, making signatures verifiable
+    * against an independent implementation. */
   def simhash(textCol: String): Column = {
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
     val votes = aggregate(
       toks,
       array_repeat(lit(0L), 64),
       (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)), b => call_function("getbit", xxhash64(t), b).cast(LongType)),
+        transform(sequence(lit(0), lit(63)), b => {
+          val d = hexVal(md5(t).substr(call_function("shiftright", b, lit(2)) + 1, lit(1)))
+          call_function("shiftright", d, pmod(b, lit(4))).bitwiseAND(lit(1)).cast(LongType)
+        }),
         (a, bit) => a + bit * 2 - 1))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)), (v, b) => when(v >= 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
@@ -196,16 +228,19 @@ object Dedup {
   }
 
   /** SimHash signatures computed the codegen-friendly way: tokens exploded
-    * once, 64 per-bit vote sums in one hash aggregate, signature folded
-    * from the votes with compile-time shift constants. Semantically
-    * identical to [[simhash]] (kept as the column-level API). */
+    * once, md5 computed once per token, 64 per-bit vote sums in one hash
+    * aggregate, signature folded from the votes with compile-time shift
+    * constants. Semantically identical to [[simhash]] (kept as the
+    * column-level API). */
   private def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .where(length(col("col")) > 0)
-      .select(col("id"), col("col").as("tok"))
-    val voteCols = (0 until 64).map(b =>
-      sum(call_function("getbit", xxhash64(col("tok")), lit(b)) * 2 - 1).as(s"v$b"))
+      .select(col("id"), md5(col("col")).as("m"))
+    val voteCols = (0 until 64).map { b =>
+      val d = hexVal(substring(col("m"), b / 4 + 1, 1))
+      sum(call_function("shiftright", d, lit(b % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
+    }
     val votes = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
     val sig = (0 until 64).map(b =>
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
@@ -235,31 +270,64 @@ object Dedup {
 
   // ----- embedding near-dup ----------------------------------------------
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold, using
-    * random-hyperplane LSH sign-bucketing to avoid the all-pairs product;
-    * exact cosine verification inside buckets. */
+  /**
+   * Near-duplicate pairs by embedding cosine ≥ threshold, via BANDED
+   * random-hyperplane LSH (the sign-bucket analogue of [[minhashPairs]]'
+   * OR-of-bands construction):
+   *
+   *  - `bands` independent bands, each hashing the vector's sign pattern
+   *    under `rowsPerBand` deterministic ±1 (Rademacher) hyperplanes into
+   *    one bucket key;
+   *  - a pair collides if it shares a bucket in ANY band (OR semantics),
+   *    so pair recall is 1 − (1 − p^r)^b with p = 1 − θ/π per plane.
+   *    At cosine 0.99 (θ ≈ 0.14 rad, p ≈ 0.955) and the default 16×8 the
+   *    miss probability is (1 − 0.955⁸)¹⁶ ≈ 3e-9 — recall-safe, unlike a
+   *    single AND-of-planes bucket (recall ≈ 0.69 at the same cosine);
+   *  - exact cosine verification on the candidate pairs only.
+   *
+   * Scale notes: the shuffle key is (band, bucket) with bands·2^r distinct
+   * values (4096 at the default); raise `rowsPerBand` for larger corpora
+   * to keep per-bucket membership sub-quadratic (and add bands to hold
+   * recall). Vectors shuffle once into buckets; no all-pairs product.
+   */
   def embeddingCosinePairs(
       df: DataFrame, vecCol: String, idCol: String,
-      planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 8, threshold: Double = 0.95): DataFrame = {
     val v = col(vecCol)
     // deterministic pseudo-random hyperplanes: component j of plane p is
-    // ±1 by parity of xxhash64(p, j)
-    val bucket = aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val dot = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, j) => x * (pmod(xxhash64(p, j), lit(2)) * 2 - 1).cast(DoubleType)),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    // ±1 by parity of xxhash64(p, j); plane index p = band*rowsPerBand+row
+    def planeSign(p: Column, j: Column): Column =
+      (pmod(xxhash64(p, j), lit(2)) * 2 - 1).cast(DoubleType)
+    val bucketCols = (0 until bands).map { b =>
+      val sig = aggregate(
+        transform(sequence(lit(0), lit(rowsPerBand - 1)), r => {
+          val p = lit(b * rowsPerBand) + r
+          val dot = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => x * planeSign(p, j)),
+            lit(0.0), (acc, x) => acc + x)
+          when(dot >= 0, call_function("shiftleft", lit(1L), r)).otherwise(lit(0L))
+        }),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+      struct(lit(b).as("band"), sig.as("bucket"))
+    }
 
     val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
-    val withB = df.select(col(idCol).as("id"), v.as("vec"), bucket.as("bucket"), norm.as("nrm"))
-    val l = withB.select(col("bucket"), col("id").as("idA"), col("vec").as("vA"), col("nrm").as("nA"))
-    val r = withB.select(col("bucket"), col("id").as("idB"), col("vec").as("vB"), col("nrm").as("nB"))
-    l.join(r, Seq("bucket"))
+    val vecs = df.select(col(idCol).as("id"), v.as("vec"), norm.as("nrm"))
+
+    // candidate generation shuffles ONLY (band, bucket, id) — vectors are
+    // joined back for the verification pass, never through the bucket join
+    val banded = df.select(col(idCol).as("id"), explode(array(bucketCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"))
+      .distinct()
+
+    candidates
+      .join(vecs.select(col("id").as("idA"), col("vec").as("vA"), col("nrm").as("nA")), Seq("idA"))
+      .join(vecs.select(col("id").as("idB"), col("vec").as("vB"), col("nrm").as("nB")), Seq("idB"))
       .withColumn("cosine",
         aggregate(zip_with(col("vA"), col("vB"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
           (col("nA") * col("nB")))

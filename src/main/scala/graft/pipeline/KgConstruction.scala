@@ -29,22 +29,33 @@ object KgConstruction {
       explode(split(col(textCol), "[.!?]+")).as("chunk"))
       .where(length(trim(col("chunk"))) > 0)
 
+  /** Default prose pattern: `Capitalized (lowercase words) Capitalized`. */
+  val prosePattern: String = "([A-Z][a-z]+)\\s+([a-z]+(?:\\s+[a-z]+)*?)\\s+([A-Z][a-z]+)"
+
+  /** Lexicon pattern tuned to the driver's lowercase synthetic corpus:
+    * entity nouns joined by relation verbs (`table join customer`, …). */
+  val lexiconPattern: String = {
+    val entities = "customer|table|query|column|row|vector|data|stream|window|spark|key|value|batch|line|part|group"
+    val relations = "join|scan|filter|merge|sort|hash|agg"
+    s"\\b($entities)\\s+($relations)\\s+($entities)\\b"
+  }
+
   /**
    * ===================== STUB — replace in production =====================
-   * Deterministic (subject, relation, object) extraction: the first
-   * `Capitalized (lowercase words) Capitalized` shape per chunk. A real
-   * deployment replaces this single expression with a batched LLM call.
+   * Deterministic (subject, relation, object) extraction: the first match
+   * of a 3-group regex per chunk (default: `Capitalized words Capitalized`
+   * prose shapes). A real deployment replaces this single expression with
+   * a batched LLM call; the pattern parameter exists so the stub fires on
+   * any corpus' entity vocabulary.
    * ========================================================================
    */
-  def extractTuples(chunks: DataFrame): DataFrame = {
-    val pat = "([A-Z][a-z]+)\\s+([a-z]+(?:\\s+[a-z]+)*?)\\s+([A-Z][a-z]+)"
+  def extractTuples(chunks: DataFrame, pattern: String = prosePattern): DataFrame =
     chunks.select(
       col("doc_id"),
-      regexp_extract(col("chunk"), pat, 1).as("subj"),
-      regexp_extract(col("chunk"), pat, 2).as("rel"),
-      regexp_extract(col("chunk"), pat, 3).as("obj"))
+      regexp_extract(col("chunk"), pattern, 1).as("subj"),
+      regexp_extract(col("chunk"), pattern, 2).as("rel"),
+      regexp_extract(col("chunk"), pattern, 3).as("obj"))
       .where(col("subj") =!= "" && col("rel") =!= "" && col("obj") =!= "")
-  }
 
   /** Assemble extracted tuples into a PropertyGraph (nodes = entities,
     * edges typed by the relation phrase, provenance kept as properties). */
@@ -63,6 +74,7 @@ object KgConstruction {
   }
 
   /** End-to-end: documents → knowledge graph. */
-  def constructKg(docs: DataFrame, textCol: String, idCol: String): PropertyGraph =
-    toGraph(extractTuples(chunk(docs, textCol, idCol)))
+  def constructKg(docs: DataFrame, textCol: String, idCol: String,
+                  pattern: String = prosePattern): PropertyGraph =
+    toGraph(extractTuples(chunk(docs, textCol, idCol), pattern))
 }

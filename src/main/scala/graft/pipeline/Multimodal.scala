@@ -43,24 +43,32 @@ object Multimodal {
 
   /**
    * ======================= STUB — replace in production ===================
-   * Deterministic fake "decode": width/height/channels derived from payload
-   * length and a byte hash; feature vector = 8 moments of the byte stream.
-   * A real implementation decodes the codec here and emits real dimensions
-   * and an embedding. Everything outside this function is production code.
+   * Deterministic fake "decode": width/height from unsigned-byte sums
+   * (plain and position-weighted — simple integer math any engine can
+   * replay for verification); feature vector = 8 moments of the byte
+   * stream. A real implementation decodes the codec here and emits real
+   * dimensions and an embedding. Everything outside this function is
+   * production code.
    * ========================================================================
    */
   private def decodeStub(assetId: Long, modality: String, payload: Array[Byte]): AssetFeatures = {
     val n = if (payload == null) 0 else payload.length
-    var h = 1125899906842597L
+    var bsum = 0L // Σ byte_i
+    var wsum = 0L // Σ (i+1)·byte_i, 1-based positions
     var i = 0
-    while (i < n) { h = 31 * h + payload(i); i += 1 }
+    while (i < n) {
+      val b = payload(i) & 0xFF
+      bsum += b
+      wsum += (i + 1).toLong * b
+      i += 1
+    }
     val feat = new Array[Float](8)
     i = 0
     while (i < n) { feat(i % 8) += (payload(i) & 0xFF) / 255.0f; i += 1 }
     if (n > 0) { var j = 0; while (j < 8) { feat(j) = feat(j) / n * 8; j += 1 } }
     AssetFeatures(assetId, modality,
-      width = math.floorMod(h, 1024).toInt + 1,
-      height = math.floorMod(h >> 10, 768).toInt + 1,
+      width = (bsum % 1024).toInt + 1,
+      height = (wsum % 768).toInt + 1,
       channels = if (modality == "audio") 1 else 3,
       feature = feat)
   }
@@ -90,9 +98,9 @@ object Multimodal {
     out.toDF()
   }
 
-  /** Video frame sampling stub: split the payload into fixed-size chunks
-    * ("frames") and keep every `stride`-th — the plumbing (arrays of
-    * binary, exploded frame rows) is the real shape. */
+  /** Video frame sampling stub: split the payload into fixed-size BINARY
+    * chunks ("frames") and keep every `stride`-th — the plumbing (binary
+    * slices, exploded frame rows) is the real shape a decoder would fill. */
   def sampleFrames(assets: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
     val nFrames = floor(length(col("payload")) / frameBytes).cast(IntegerType)
     assets.where(col("modality") === "video")
@@ -100,7 +108,7 @@ object Multimodal {
         posexplode(filter(
           transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
             i => when(pmod(i, lit(stride)) === 0,
-              base64(col("payload")).substr(lit(1) + i * frameBytes, lit(frameBytes)))
+              col("payload").substr(lit(1) + i * frameBytes, lit(frameBytes)))
               .otherwise(lit(null))),
           x => x.isNotNull)))
       .withColumnRenamed("pos", "frame_no")
