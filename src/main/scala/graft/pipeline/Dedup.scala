@@ -237,11 +237,15 @@ object Dedup {
       posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .where(length(col("col")) > 0)
       .select(col("id"), md5(col("col")).as("m"))
+    // materialize the 16 digit values once per token in a projection —
+    // referencing substr(m, …) from all 64 aggregates would re-evaluate
+    // the string slicing 4× per digit inside the aggregate
+    val digits = toks.select(
+      col("id") +: (0 until 16).map(i => hexVal(substring(col("m"), i + 1, 1)).as(s"d$i")): _*)
     val voteCols = (0 until 64).map { b =>
-      val d = hexVal(substring(col("m"), b / 4 + 1, 1))
-      sum(call_function("shiftright", d, lit(b % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
+      sum(call_function("shiftright", col(s"d${b / 4}"), lit(b % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
     }
-    val votes = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val votes = digits.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
     val sig = (0 until 64).map(b =>
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
@@ -290,24 +294,30 @@ object Dedup {
    * to keep per-bucket membership sub-quadratic (and add bands to hold
    * recall). Vectors shuffle once into buckets; no all-pairs product.
    */
+  /** Deterministic ±1 Rademacher hyperplane matrix (planes × dim) from a
+    * fixed LCG — precomputed driver-side so bucketing costs multiply-adds
+    * only, never a per-element hash evaluation inside a lambda. */
+  private[pipeline] def planeSignMatrix(planes: Int, dim: Int): Array[Array[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Array.fill(planes) { Array.fill(dim) { if (((next() >>> 32) & 1L) == 1L) 1.0 else -1.0 } }
+  }
+
   def embeddingCosinePairs(
       df: DataFrame, vecCol: String, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 8, threshold: Double = 0.95): DataFrame = {
     val v = col(vecCol)
-    // deterministic pseudo-random hyperplanes: component j of plane p is
-    // ±1 by parity of xxhash64(p, j); plane index p = band*rowsPerBand+row
-    def planeSign(p: Column, j: Column): Column =
-      (pmod(xxhash64(p, j), lit(2)) * 2 - 1).cast(DoubleType)
+    // dimensionality probed from one row (cheap first-partition read);
+    // empty input short-circuits dim to 1 and yields zero candidates
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val signs = planeSignMatrix(bands * rowsPerBand, math.max(dim, 1))
     val bucketCols = (0 until bands).map { b =>
-      val sig = aggregate(
-        transform(sequence(lit(0), lit(rowsPerBand - 1)), r => {
-          val p = lit(b * rowsPerBand) + r
-          val dot = aggregate(
-            zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => x * planeSign(p, j)),
-            lit(0.0), (acc, x) => acc + x)
-          when(dot >= 0, call_function("shiftleft", lit(1L), r)).otherwise(lit(0L))
-        }),
-        lit(0L), (acc, x) => acc.bitwiseOR(x))
+      val sig = (0 until rowsPerBand).map { r =>
+        val s = typedLit(signs(b * rowsPerBand + r).toSeq)
+        val dot = aggregate(zip_with(v, s, (x, sg) => x * sg), lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
       struct(lit(b).as("band"), sig.as("bucket"))
     }
 
