@@ -46,23 +46,8 @@ final class StreamingTriangles(spark: SparkSession) {
       .localCheckpoint(true)
 
     if (!delta.isEmpty) {
-      val marked = accumulated.withColumn("isNew", lit(false))
-        .unionByName(delta.withColumn("isNew", lit(true)))
-        .localCheckpoint(true)
-
-      // canonical a<b<c triangle join over the union, keeping only
-      // triangles that use at least one new edge
-      val e1 = marked.select(col("src").as("a"), col("dst").as("b"), col("isNew").as("n1"))
-      val e2 = marked.select(col("src").as("b2"), col("dst").as("c2"), col("isNew").as("n2"))
-      val e3 = marked.select(col("src").as("a3"), col("dst").as("c3"), col("isNew").as("n3"))
-      val deltaTri = e1
-        .join(e2, col("b") === col("b2"))
-        .join(e3, col("a3") === col("a") && col("c3") === col("c2"))
-        .where(col("n1") || col("n2") || col("n3"))
-        .count()
-
-      total += deltaTri
-      accumulated = marked.select(col("src"), col("dst")).localCheckpoint(true)
+      total += StreamingTriangles.deltaTriangles(delta, accumulated).count()
+      accumulated = accumulated.unionByName(delta).localCheckpoint(true)
     }
     total
   }
@@ -83,4 +68,41 @@ final class StreamingTriangles(spark: SparkSession) {
         ()
       }
       .start()
+}
+
+object StreamingTriangles {
+
+  /**
+   * ΔT = tri(E ∪ D) − tri(E) as a DataFrame of the closing (a,b,c)
+   * triples, decomposed by the FIRST triangle edge that is new so the
+   * three cases are disjoint AND every join chain is anchored on the
+   * delta:
+   *
+   *   e1=(a,b) e2=(b,c) e3=(a,c) over canonical a<b<c edges,
+   *   case1: e1∈D, e2∈U, e3∈U     — D ⋈ U ⋈ U
+   *   case2: e1∈E, e2∈D, e3∈U     — D ⋈ E ⋈ U
+   *   case3: e1∈E, e2∈E, e3∈D     — D ⋈ E ⋈ E
+   *
+   * Each chain's first join has D as a side, so per-batch intermediate
+   * size is O(|D|·deg), never O(|E|·deg) — the whole point of the
+   * reference's incremental formula (StreamingTriangles.cpp:287-325):
+   * batch cost scales with the delta, not the accumulated graph.
+   */
+  private[streaming] def deltaTriangles(delta: DataFrame, acc: DataFrame): DataFrame = {
+    val u = acc.unionByName(delta)
+    def e(df: DataFrame, c1: String, c2: String): DataFrame =
+      df.select(col("src").as(c1), col("dst").as(c2))
+    val case1 = e(delta, "a", "b")
+      .join(e(u, "b", "c"), Seq("b"))
+      .join(e(u, "a", "c"), Seq("a", "c"))
+    val case2 = e(delta, "b", "c")
+      .join(e(acc, "a", "b"), Seq("b"))
+      .join(e(u, "a", "c"), Seq("a", "c"))
+    val case3 = e(delta, "a", "c")
+      .join(e(acc, "a", "b"), Seq("a"))
+      .join(e(acc, "b", "c"), Seq("b", "c"))
+    case1.select("a", "b", "c")
+      .unionByName(case2.select("a", "b", "c"))
+      .unionByName(case3.select("a", "b", "c"))
+  }
 }
