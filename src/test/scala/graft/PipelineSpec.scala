@@ -52,6 +52,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ngram maxDocFreq cap drops stopword-only candidates, keeps true pairs exact") {
+    import spark.implicits._
+    // pathological corpus: one trigram ("the common gram") shared by ALL
+    // docs — uncapped, the inverted-index self-join materializes all
+    // C(20,2) pairs through it (the Σdf² blow-up); capped, pairs sharing
+    // ONLY that gram are never considered
+    val stopworded = (0 until 20).map(i => (i.toLong, s"the common gram u$i v$i w$i x$i y$i"))
+    val nearDup = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta"))
+    val corpus = (stopworded ++ nearDup).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.05)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.05,
+      maxDocFreq = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    // uncapped: every stopword pair passes 0.05 (jaccard 1/13 ≈ 0.077)
+    assert(uncapped.size === 190 + 1)
+    // capped: the df=20 gram is excluded from candidate generation, so
+    // only the true near-dup pair (all its grams rare) survives …
+    assert(capped.keySet === Set((100L, 101L)))
+    // … and its jaccard is EXACT (verification uses full posting lists)
+    assert(capped((100L, 101L)) === uncapped((100L, 101L)))
+  }
+
   test("embedding cosine near-dup finds planted duplicates") {
     val base = embs.limit(10).select(col("vec_id"), col("embedding"))
     val dup = base.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
@@ -60,6 +87,23 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = base.collect().map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
     assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+  }
+
+  test("embedding cosine dedup ignores null and wrong-dimension vectors") {
+    import spark.implicits._
+    val base = embs.limit(10).select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val nullVec = Seq(5000000L).toDF("vec_id")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val shortVec = Seq(5000001L).toDF("vec_id")
+      .withColumn("embedding", array(lit(1.0f)))
+    val corpus = base.unionByName(dup).unionByName(nullVec).unionByName(shortVec)
+    val pairs = Dedup.embeddingCosinePairs(corpus, "embedding", "vec_id", threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.collect().map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+    // the null / wrong-dim rows neither crash the dim probe nor appear in pairs
+    pairs.foreach { case (a, b) => assert(a < 5000000L && b < 5000000L) }
   }
 
   test("knn brute-force: top-1 of a corpus vector as query is itself") {
