@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.PropertyGraph
 import Ast._
+import ExprCompiler.{KNode, KRel, Scope}
 
 /**
  * Public entry point for the Cypher surface: parse → plan → one DataFrame.
@@ -26,7 +27,9 @@ object Cypher {
     val head = runSingle(graph, stmt.head)
     stmt.tails.foldLeft(head) { case (acc, (all, q)) =>
       val u = acc.unionByName(runSingle(graph, q))
-      if (all) u else u.dropDuplicates()
+      // entity-aware dedup: plain dropDuplicates throws on MAP-bearing
+      // entity structs (Spark set-op restriction)
+      if (all) u else Planner.dedupRows(u)
     }
   }
 
@@ -61,44 +64,104 @@ object Cypher {
     val q = Parser.parse(query)
     if (!q.isMutation) return (graph, Some(run(graph, query)))
     val spark = graph.nodes.sparkSession
-    val planner = new Planner(graph)
+    var planner = new Planner(graph)
     var ctx = Planner.BindCtx(None, Map.empty)
     var g = graph
+    var dirty = false // graph mutated since ctx/planner were bound?
     var result: Option[DataFrame] = None
+    // Read-your-writes: every clause after a mutation sees the mutated
+    // graph (openCypher). Bound entity structs in the running frame are
+    // re-resolved by id/eid against the new graph, and the planner is
+    // replaced so later MATCH scans read the new graph too (its fresh-name
+    // counter carries over so anonymous columns can't collide).
+    def sync(): Unit = if (dirty) {
+      ctx = rebind(g, ctx)
+      planner = new Planner(g, planner.counterValue)
+      dirty = false
+    }
     q.clauses.foreach {
-      case MatchPart(m) => ctx = planner.applyMatch(ctx, m)
-      case WithPart(w) => ctx = planner.applyWith(ctx, w)
-      case UnwindPart(u) => ctx = planner.applyUnwind(ctx, u)
-      case CreatePart(c) => g = applyCreate(spark, g, c)
-      case MergePart(mc) => g = applyMerge(g, mc)
-      case SetPart(sc) => g = applySet(g, ctx, sc)
-      case RemovePart(rc) => g = applyRemove(g, ctx, rc)
-      case DeletePart(dc) => g = applyDelete(g, ctx, dc)
-      case ReturnPart(r) => result = Some(planner.applyReturn(ctx, r))
+      case MatchPart(m) => sync(); ctx = planner.applyMatch(ctx, m)
+      case WithPart(w) => sync(); ctx = planner.applyWith(ctx, w)
+      case UnwindPart(u) => sync(); ctx = planner.applyUnwind(ctx, u)
+      case CreatePart(c) => sync(); g = truncated(applyCreate(spark, g, c)); dirty = true
+      case MergePart(mc) => sync(); g = applyMerge(g, mc); dirty = true
+      case SetPart(sc) => sync(); g = truncated(applySet(g, ctx, sc)); dirty = true
+      case RemovePart(rc) => sync(); g = truncated(applyRemove(g, ctx, rc)); dirty = true
+      case DeletePart(dc) => sync(); g = truncated(applyDelete(g, ctx, dc)); dirty = true
+      case ReturnPart(r) => sync(); result = Some(planner.applyReturn(ctx, r))
     }
     (g, result)
   }
 
-  import ExprCompiler.{KNode, KRel, Scope}
+  /** Lineage truncation after each mutation. Every mutation embeds the
+    * previous graph's plan several times (match subplan + anti-joins +
+    * unions), so chained mutations grow the logical plan geometrically and
+    * Catalyst analysis time with it. A LAZY localCheckpoint resets plan
+    * depth per mutation without an eager driver job — materialization
+    * still happens only when the graph is first read. */
+  private def truncated(g: PropertyGraph): PropertyGraph =
+    PropertyGraph(
+      g.nodes.localCheckpoint(eager = false),
+      g.edges.localCheckpoint(eager = false),
+      g.isDirected)
 
-  /** MERGE: match-or-create for single-node patterns — the node is
-    * created only when no node matches the label + full property map.
-    * (Path-pattern MERGE would need per-row conditional writes; out of
-    * scope, rejected clearly.) */
+  /** Re-resolve every bound entity struct in the frame against the
+    * current graph: nodes rejoin by id, relationships by eid. An entity
+    * deleted since binding resolves to NULL (documented divergence:
+    * openCypher returns the deleted snapshot; we surface NULL). */
+  private def rebind(g: PropertyGraph, ctx: Planner.BindCtx): Planner.BindCtx =
+    ctx.df match {
+      case None => ctx
+      case Some(df0) =>
+        var df = df0
+        ctx.scope.toSeq.sortBy(_._1).foreach {
+          case (v, KNode) =>
+            val ns = g.nodes.select(col("id").as("__rb_id"),
+              struct(col("id"), col("label"), col("properties")).as("__rb_s"))
+            df = df.join(ns, col(s"$v.id") === col("__rb_id"), "left")
+              .withColumn(v, col("__rb_s")).drop("__rb_id", "__rb_s")
+          case (v, KRel) =>
+            // on an undirected graph the bound struct may carry the
+            // reversed orientation — match src as well as eid so the
+            // refreshed struct keeps the orientation the pattern bound
+            val base = if (g.isDirected) g.edges else PropertyGraph.bothOrientations(g.edges)
+            val es = base.select(col("eid").as("__rb_eid"), col("src").as("__rb_src"),
+              struct(col("eid"), col("src"), col("dst"), col("type"), col("properties")).as("__rb_s"))
+            df = df.join(es,
+              col(s"$v.eid") === col("__rb_eid") && col(s"$v.src") === col("__rb_src"), "left")
+              .withColumn(v, col("__rb_s")).drop("__rb_eid", "__rb_src", "__rb_s")
+          case _ => () // WITH-projected scalars keep their projected value
+        }
+        ctx.copy(df = Some(df))
+    }
+
+  /**
+   * MERGE: match-or-create over a full path pattern. The pattern is
+   * matched with the SAME planner machinery as MATCH — including
+   * contextual string coercion via compileCmp, so `MERGE (n {age: 25.0})`
+   * finds the node whose stored "25" a MATCH would find — and created
+   * wholesale when no complete match exists.
+   *
+   * The create is GATED, not driver-decided: the literal rows are
+   * anti-joined against a 1-row "pattern matched" relation, so the whole
+   * MERGE stays lazy and MERGE-heavy workloads never serialize on
+   * per-path driver count() jobs.
+   *
+   * Divergence from openCypher's duplicate-node gotcha, documented: our
+   * CREATE is an id-keyed upsert, so when the full pattern misses but an
+   * endpoint node already exists, the endpoint is reused (matched by id)
+   * instead of duplicated anonymously.
+   */
   private def applyMerge(g: PropertyGraph, mc: MergeClause): PropertyGraph = {
     var out = g
     mc.paths.foreach { path =>
-      if (path.hops.nonEmpty)
-        throw CypherParseException("MERGE supports single-node patterns only")
-      val np = path.start
-      var candidates = out.nodes
-      np.labels.headOption.foreach(l => candidates = candidates.filter(col("label") === l))
-      np.properties.foreach { case (k, valueExpr) =>
-        candidates = candidates.filter(
-          element_at(col("properties"), k) === lit(literalString(valueExpr)))
-      }
-      if (candidates.limit(1).count() == 0L)
-        out = applyCreate(out.nodes.sparkSession, out, CreateClause(List(path)))
+      val planner = new Planner(out)
+      val matched = planner
+        .applyMatch(Planner.BindCtx(None, Map.empty), MatchClause(List(path), None))
+        .df.getOrElse(out.nodes.sparkSession.range(1).toDF())
+      // nonempty iff the full pattern already has a match
+      val gate = matched.select(lit(1).as("__hit")).limit(1)
+      out = truncated(applyCreate(out.nodes.sparkSession, out, CreateClause(List(path)), Some(gate)))
     }
     out
   }
@@ -190,7 +253,11 @@ object Cypher {
     case other => throw CypherParseException(s"CREATE property values must be literals, got ${text(other)}")
   }
 
-  private def applyCreate(spark: SparkSession, g: PropertyGraph, c: CreateClause): PropertyGraph = {
+  /** CREATE, optionally gated: when `skipIfNonEmpty` is given, the new
+    * rows are anti-joined against it so nothing is added if that relation
+    * has a row (lazy match-or-create for MERGE). */
+  private def applyCreate(spark: SparkSession, g: PropertyGraph, c: CreateClause,
+                          skipIfNonEmpty: Option[DataFrame] = None): PropertyGraph = {
     import scala.jdk.CollectionConverters._
     val nodeRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Map[String, String])]
     val edgeRows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Map[String, String])]
@@ -221,10 +288,16 @@ object Cypher {
     val edgeSchema = StructType(Seq(
       StructField("src", StringType), StructField("dst", StringType),
       StructField("type", StringType), StructField("properties", MapType(StringType, StringType))))
-    val newNodes = spark.createDataFrame(
+    val litNodes = spark.createDataFrame(
       nodeRows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, nodeSchema)
-    val newEdges = spark.createDataFrame(
+    val litEdges = spark.createDataFrame(
       edgeRows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)).asJava, edgeSchema)
+    // MERGE gate: keep the literal rows only when the gate relation is
+    // empty (anti-join on an always-true condition = "right side empty")
+    val newNodes = skipIfNonEmpty
+      .map(gt => litNodes.join(gt, lit(true), "left_anti")).getOrElse(litNodes)
+    val newEdges = skipIfNonEmpty
+      .map(gt => litEdges.join(gt, lit(true), "left_anti")).getOrElse(litEdges)
     // upsert nodes: new definition wins over an existing row with same id
     val keptOld = g.nodes.join(newNodes.select(col("id").as("__nid")),
       col("id") === col("__nid"), "left_anti")

@@ -30,10 +30,14 @@ import ExprCompiler.{Kind, KNode, KRel, Scope, Typed}
  *    (`QueryPlanner.cpp:190-196`) unless they share variables, in which
  *    case the shared binding constrains the join.
  */
-final class Planner(graph: PropertyGraph) {
+final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 
-  private var counter = 0
+  private var counter = counterStart
   private def fresh(prefix: String): String = { counter += 1; s"__${prefix}$counter" }
+  /** Current anonymous-variable counter — used to seed a replacement
+    * planner after a mutation so regenerated fresh names can't collide
+    * with columns already bound by this planner. */
+  private[cypher] def counterValue: Int = counter
 
   private def nodeStruct(v: String): DataFrame =
     graph.nodes.select(struct(col("id"), col("label"), col("properties")).as(v))
@@ -297,12 +301,20 @@ final class Planner(graph: PropertyGraph) {
           case (s, idx) if !sortRefersToOutput(s.expr, ret.items) =>
             (idx, ExprCompiler.compile(s.expr, scope).col.as(s"__sort$idx"))
         }
+        // openCypher: ORDER BY combined with DISTINCT may only reference
+        // returned items — a hidden sort key would survive the dedup with
+        // an arbitrary representative value, making row order
+        // nondeterministic. Rejected rather than silently unstable.
+        if (ret.distinct && hidden.nonEmpty)
+          throw CypherParseException(
+            "ORDER BY with DISTINCT can only reference returned items")
         var df = bound.select(itemCols ++ hidden.map(_._2): _*)
         if (ret.distinct) {
           // real DISTINCT — the reference's Distinct is a no-op projection
           // (OperatorExecutor.cpp:1351-1394); we implement the documented
-          // semantics and note the divergence.
-          df = df.dropDuplicates(ret.items.map(_.name))
+          // semantics and note the divergence. Entity variables dedup by
+          // id/eid (Spark rejects MAP columns in set operations).
+          df = Planner.dedupRows(df, Some(ret.items.map(_.name)))
         }
         if (ret.orderBy.nonEmpty) {
           val sortCols = ret.orderBy.zipWithIndex.map { case (s, idx) =>
@@ -324,7 +336,10 @@ final class Planner(graph: PropertyGraph) {
   private def colByName(n: String): Column = col(s"`$n`")
 
   private def outputName(e: Expr, items: List[ReturnItem]): String =
-    items.find(i => i.expr == e || i.alias.contains(text(e)) || i.name == text(e)).get.name
+    items.find(i => i.expr == e || i.alias.contains(text(e)) || i.name == text(e))
+      .map(_.name)
+      .getOrElse(throw CypherParseException(
+        s"ORDER BY expression '${text(e)}' must reference a returned item in an aggregating query"))
 
   private def sortRefersToOutput(e: Expr, items: List[ReturnItem]): Boolean =
     items.exists(i => i.expr == e || i.alias.contains(text(e)) || i.name == text(e))
@@ -417,5 +432,45 @@ object Planner {
     * plus variable kinds. */
   final case class BindCtx(df: Option[DataFrame], scope: Map[String, Kind]) {
     def withVar(v: String, k: Kind): BindCtx = copy(scope = scope + (v -> k))
+  }
+
+  /**
+   * DISTINCT / UNION dedup that tolerates entity columns. Spark rejects
+   * MAP types in set operations (dropDuplicates over a node/relationship
+   * struct throws AnalysisException), so:
+   *  - entity structs dedup by id/eid — ids identify entities, the
+   *    surviving representative struct is equivalent by construction;
+   *  - bare MAP columns dedup by their sorted-entries JSON rendering
+   *    (entry order inside a map is not semantically significant);
+   *  - other map-bearing types (e.g. collected property maps) dedup by
+   *    their JSON rendering.
+   * `subset` restricts the dedup key to the named columns (RETURN
+   * DISTINCT items); other columns survive with arbitrary representatives.
+   */
+  private[cypher] def dedupRows(df: DataFrame, subset: Option[Seq[String]] = None): DataFrame = {
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val names = subset.getOrElse(df.columns.toSeq)
+    var out = df
+    val keys = names.zipWithIndex.map { case (n, i) =>
+      df.schema(n).dataType match {
+        case s: StructType if s.fieldNames.contains("eid") =>
+          val k = s"__dk$i"; out = out.withColumn(k, col(s"`$n`.eid")); k
+        case s: StructType if s.fieldNames.contains("id") && s.fieldNames.contains("properties") =>
+          val k = s"__dk$i"; out = out.withColumn(k, col(s"`$n`.id")); k
+        case _: MapType =>
+          val k = s"__dk$i"
+          out = out.withColumn(k, to_json(array_sort(map_entries(col(s"`$n`"))))); k
+        case dt if hasMap(dt) =>
+          val k = s"__dk$i"; out = out.withColumn(k, to_json(col(s"`$n`"))); k
+        case _ => n
+      }
+    }
+    val tmp = keys.filter(_.startsWith("__dk"))
+    out.dropDuplicates(keys).drop(tmp: _*)
   }
 }

@@ -272,8 +272,73 @@ class CypherSpec extends SparkSpec {
     assert(g3.vertexCount === before + 1)
     val (g4, _) = Cypher.execute(g3, "MERGE (n:Person {id: '500', name: 'New'})") // idempotent
     assert(g4.vertexCount === before + 1)
+  }
+
+  test("MERGE matches with MATCH's coercion semantics (no literal-string duplicates)") {
+    // Fiona (id 10) stores age as the string "25"; a MATCH with {age: 25.0}
+    // finds her via numeric coercion, so MERGE must too — the old
+    // raw-string comparison ("25" != "25.0") would re-create the node,
+    // and with id-keyed upsert that would silently overwrite her.
+    val before = g.vertexCount
+    val (g2, _) = Cypher.execute(g, "MERGE (n {id: '10', age: 25.0})")
+    assert(g2.vertexCount === before)
+    val fiona = Cypher.run(g2, "MATCH (n) WHERE n.id = '10' RETURN n.name AS nm").collect()
+    assert(fiona.length === 1 && fiona(0).getString(0) === "Fiona")
+  }
+
+  test("path MERGE: full pattern matched or created, no driver-side counting") {
+    val (g1, _) = Cypher.execute(g, "CREATE (a:T {id: '800'})-[:LINKS]->(b:T {id: '801'})")
+    val (v1, e1) = (g1.vertexCount, g1.edgeCount)
+    // identical pattern exists → nothing added (existing edge not duplicated)
+    val (g2, _) = Cypher.execute(g1, "MERGE (a:T {id: '800'})-[:LINKS]->(b:T {id: '801'})")
+    assert(g2.vertexCount === v1 && g2.edgeCount === e1)
+    // one endpoint missing → edge + missing endpoint created, existing reused
+    val (g3, _) = Cypher.execute(g2, "MERGE (a:T {id: '800'})-[:LINKS]->(c:T {id: '802'})")
+    assert(g3.vertexCount === v1 + 1 && g3.edgeCount === e1 + 1)
+    // and the merged edge is idempotent
+    val (g4, _) = Cypher.execute(g3, "MERGE (a:T {id: '800'})-[:LINKS]->(c:T {id: '802'})")
+    assert(g4.vertexCount === v1 + 1 && g4.edgeCount === e1 + 1)
+  }
+
+  test("RETURN DISTINCT and UNION work on entity variables (dedup by id)") {
+    // struct columns contain MAP<STRING,STRING>; a naive dropDuplicates
+    // throws AnalysisException — entity dedup must key on id/eid
+    val distinctEntities = Cypher.run(g, "MATCH (a)-[r]-(b) RETURN DISTINCT a").count()
+    val distinctIds = Cypher.run(g, "MATCH (a)-[r]-(b) RETURN DISTINCT a.id").count()
+    assert(distinctEntities === distinctIds)
+    val persons = g.nodes.where(col("label") === "Person").count()
+    val u = Cypher.run(g, "MATCH (n:Person) RETURN n UNION MATCH (n:Person) RETURN n").count()
+    assert(u === persons)
+    val rels = Cypher.run(g, "MATCH (a)-[r:FRIENDS]-(b) RETURN DISTINCT r").count()
+    val eids = Cypher.run(g, "MATCH (a)-[r:FRIENDS]-(b) RETURN DISTINCT id(r)").count()
+    assert(rels === eids)
+  }
+
+  test("mutation clauses read their own writes") {
+    // RETURN after SET sees the updated value (not the match-time snapshot)
+    val (_, res) = Cypher.execute(g,
+      "MATCH (n) WHERE n.id = '2' SET n.age = 99 RETURN n.age AS a")
+    assert(res.get.collect()(0).getString(0) === "99")
+    // MATCH after CREATE scans the post-mutation graph
+    val (_, res2) = Cypher.execute(g,
+      "CREATE (x:Fresh {id: '900', name: 'Neo'}) MATCH (m:Fresh) RETURN m.name AS nm")
+    assert(res2.get.collect().map(_.getString(0)).toSeq === Seq("Neo"))
+    // chained SETs: the second reads the first's write
+    val (_, res3) = Cypher.execute(g,
+      "MATCH (n) WHERE n.id = '2' SET n.a = 5 SET n.b = n.a + 1 RETURN n.b AS b")
+    assert(res3.get.collect()(0).getString(0) === "6.0")
+  }
+
+  test("nondeterministic ORDER BY shapes are rejected, not silently unstable") {
+    // hidden sort key + DISTINCT: the key would survive dedup with an
+    // arbitrary representative → openCypher rejects the shape outright
     intercept[CypherParseException] {
-      Cypher.execute(g, "MERGE (a {id: '1'})-[:KNOWS]->(b {id: '2'})")
+      Cypher.run(g, "MATCH (n) RETURN DISTINCT n.name ORDER BY n.age")
+    }
+    // aggregating query ordering by a non-returned expression: clear error
+    // instead of a bare NoSuchElementException
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH (n) RETURN n.label AS l, count(*) AS c ORDER BY n.name")
     }
   }
 
