@@ -305,7 +305,43 @@ object Queries {
         "RETURN count(*) AS cnt"),
       Some("""SELECT COUNT(*) AS cnt FROM customer
              |WHERE c_name LIKE 'Customer#00000%' AND c_name LIKE '%1%'
-             |AND c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin))))
+             |AND c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin))),
+
+    // statement-level UNION: the two branches overlap (both draw from
+    // customer mktsegments), so dedup is load-bearing. Result re-sorted
+    // after the union — per-branch ORDER BY doesn't survive a UNION.
+    "cy_union" -> ((
+      (s: SparkSession, d: String) =>
+        Cypher.run(TpchBridge.graph(s, d),
+          "MATCH (c:Customer) WHERE c.acctbal > 5000 RETURN c.mktsegment AS seg " +
+            "UNION MATCH (c:Customer) WHERE c.acctbal < 0 RETURN c.mktsegment AS seg")
+          .orderBy(col("seg")),
+      Some("""SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 5000
+             |UNION SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+             |ORDER BY seg""".stripMargin))),
+
+    // CASE over coerced numeric properties (simple + searched forms are
+    // spec-tested; the searched form is oracled here).
+    "cy_case" -> ((
+      cy("MATCH (c:Customer) RETURN c.id AS id, " +
+        "CASE WHEN c.acctbal > 5000 THEN 'high' WHEN c.acctbal > 0 THEN 'mid' ELSE 'low' END AS band " +
+        "ORDER BY id"),
+      Some("""SELECT 'c' || c_custkey AS id,
+             |CASE WHEN c_acctbal > 5000 THEN 'high'
+             |     WHEN c_acctbal > 0 THEN 'mid' ELSE 'low' END AS band
+             |FROM customer ORDER BY id""".stripMargin))),
+
+    // CREATE-then-MATCH in one statement — exercises read-your-writes:
+    // the MATCH scans the post-CREATE graph, so the created node is the
+    // (only) result row.
+    "cy_create_read" -> ((
+      (s: SparkSession, d: String) => {
+        val (_, res) = Cypher.execute(TpchBridge.graph(s, d),
+          "CREATE (x:Probe {id: 'probe1', name: 'alpha'}) " +
+            "MATCH (m:Probe) RETURN m.id AS id, m.name AS name")
+        res.get
+      },
+      Some("SELECT 'probe1' AS id, 'alpha' AS name"))))
 
   // ======================================================================
   // Graph algorithms (SURVEY.md §2.3)
@@ -561,7 +597,27 @@ object Queries {
           Multimodal.syntheticAssets(t(s, d, "documents"), "doc_id", "text"))
           .select(col("asset_id"), col("modality"), col("width"), col("height"), col("channels"))
           .orderBy(col("asset_id")),
-      Some(mmFeaturesOracleSql))))
+      Some(mmFeaturesOracleSql))),
+
+    // RDF ingest (`adrdf`): N-Triples lines are synthesized from
+    // nation⋈region (URIs may contain spaces — TPC-H nation names do),
+    // parsed by the columnar triple reader, and returned as the ingested
+    // edge list. The oracle rebuilds the same triples relationally.
+    "rdf_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val lines = t(s, d, "nation")
+          .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .select(concat(
+            lit("<nation/"), col("n_name"), lit("> <locatedIn> <region/"),
+            col("r_name"), lit("> .")).as("value"))
+        graft.sources.GraphSources.parseRdfTriples(lines)
+          .edges.select(col("src"), col("dst"), col("type"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""SELECT 'nation/' || n_name AS src, 'region/' || r_name AS dst,
+             |'locatedIn' AS type
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY src, dst""".stripMargin))))
 
   /** Exact near-duplicate-pair ground truth: all-pairs jaccard over
     * distinct char-k-shingles (charShingle=true) or word-k-grams of the

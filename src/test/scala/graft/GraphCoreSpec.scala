@@ -21,6 +21,36 @@ class GraphCoreSpec extends SparkSpec {
   lazy val pg: PropertyGraph = GraphSources.readEdgeList(spark, powergrid).cache()
   lazy val fixture: PropertyGraph = GraphSources.readJsonEdges(spark, fixtureJson).cache()
 
+  test("RDF triple ingest: N-Triples, TSV, literals, comments (adrdf)") {
+    val nt = java.nio.file.Files.createTempFile("graft-rdf", ".nt")
+    java.nio.file.Files.writeString(nt, Seq(
+      "# a comment line",
+      "<http://ex.org/alice> <http://xmlns.com/foaf/knows> <http://ex.org/bob> .",
+      "<http://ex.org/alice> <http://xmlns.com/foaf/name> \"Alice A.\"@en .",
+      "",
+      "s1\tworksWith\ts2", // reference's bare TSV form (RDFPartitioner.cpp)
+      "<http://ex.org/bob> <http://xmlns.com/foaf/knows> <http://ex.org/alice> ."
+    ).mkString("\n"))
+    try {
+      val g = GraphSources.readRdfTriples(spark, nt.toString)
+      assert(g.isDirected)
+      assert(g.edgeCount === 4L)
+      // nodes = distinct subjects ∪ objects; the literal becomes a node
+      // (unquoted, @lang dropped) exactly like the reference's addToNodes
+      val ids = g.nodes.select("id").collect().map(_.getString(0)).toSet
+      assert(ids === Set("http://ex.org/alice", "http://ex.org/bob",
+        "Alice A.", "s1", "s2"))
+      val types = g.edges.select("type").collect().map(_.getString(0)).toSet
+      assert(types === Set("http://xmlns.com/foaf/knows", "http://xmlns.com/foaf/name", "worksWith"))
+      // predicate-typed directed edge, queryable through the Cypher surface
+      val knows = g.edges.where(col("type").contains("knows"))
+        .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(knows === Set(
+        ("http://ex.org/alice", "http://ex.org/bob"),
+        ("http://ex.org/bob", "http://ex.org/alice")))
+    } finally java.nio.file.Files.deleteIfExists(nt)
+  }
+
   test("powergrid vertex/edge counts match golden (4941 / 6594)") {
     assert(pg.vertexCount === 4941L)
     assert(pg.edgeCount === 6594L)
