@@ -228,24 +228,43 @@ object Dedup {
   }
 
   /** SimHash signatures computed the codegen-friendly way: tokens exploded
-    * once, md5 computed once per token, 64 per-bit vote sums in one hash
-    * aggregate, signature folded from the votes with compile-time shift
-    * constants. Semantically identical to [[simhash]] (kept as the
-    * column-level API). */
-  private def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    * once, the token hash computed once per token, 64 per-bit vote sums in
+    * one hash aggregate, signature folded from the votes with compile-time
+    * shift constants. Semantically identical to [[simhash]] (kept as the
+    * column-level API).
+    *
+    * Two token-hash modes:
+    *  - `verifiable = true` (default): first 64 bits of md5 read as 16 hex
+    *    digits — every engine can replay md5, so signatures are checkable
+    *    against an independent implementation (the DuckDB oracle does);
+    *  - `verifiable = false`: xxhash64 token bits — ~2× cheaper per token
+    *    (the md5 mode costs ≈2× in the sf0.1 bench), same signature
+    *    properties, for production corpora where cross-engine replay
+    *    isn't needed. */
+  private def simhashSigs(df: DataFrame, textCol: String, idCol: String,
+                          verifiable: Boolean = true): DataFrame = {
+    val toksRaw = df.select(col(idCol).as("id"),
       posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .where(length(col("col")) > 0)
-      .select(col("id"), md5(col("col")).as("m"))
-    // materialize the 16 digit values once per token in a projection —
-    // referencing substr(m, …) from all 64 aggregates would re-evaluate
-    // the string slicing 4× per digit inside the aggregate
-    val digits = toks.select(
-      col("id") +: (0 until 16).map(i => hexVal(substring(col("m"), i + 1, 1)).as(s"d$i")): _*)
-    val voteCols = (0 until 64).map { b =>
-      sum(call_function("shiftright", col(s"d${b / 4}"), lit(b % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
-    }
-    val votes = digits.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val votes =
+      if (verifiable) {
+        val toks = toksRaw.select(col("id"), md5(col("col")).as("m"))
+        // materialize the 16 digit values once per token in a projection —
+        // referencing substr(m, …) from all 64 aggregates would re-evaluate
+        // the string slicing 4× per digit inside the aggregate
+        val digits = toks.select(
+          col("id") +: (0 until 16).map(i => hexVal(substring(col("m"), i + 1, 1)).as(s"d$i")): _*)
+        val voteCols = (0 until 64).map { b =>
+          sum(call_function("shiftright", col(s"d${b / 4}"), lit(b % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
+        }
+        digits.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      } else {
+        val toks = toksRaw.select(col("id"), xxhash64(col("col")).as("h"))
+        val voteCols = (0 until 64).map { b =>
+          sum(call_function("shiftright", col("h"), lit(b)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
+        }
+        toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      }
     val sig = (0 until 64).map(b =>
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
@@ -255,9 +274,11 @@ object Dedup {
   /** Near-duplicate pairs by SimHash: band the 64-bit signature into four
     * 16-bit chunks (any exact chunk match → candidate, guaranteeing recall
     * for Hamming distance ≤ 3 within wrong-chunks), then verify
-    * bit_count(xor) ≤ maxHamming. */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigs(df, textCol, idCol)
+    * bit_count(xor) ≤ maxHamming. `verifiable = false` switches to the
+    * xxhash64 production token hash (see [[simhashSigs]]). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3,
+                   verifiable: Boolean = true): DataFrame = {
+    val sigs = simhashSigs(df, textCol, idCol, verifiable)
     val chunked = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"), call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("v")))).as("cc"))

@@ -41,6 +41,10 @@ class PipelineSpec extends SparkSpec {
     val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = base.collect().map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
     assert(expected.subsetOf(found))
+    // xxhash64 production path: same exact-duplicate guarantees
+    val prod = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 0,
+      verifiable = false).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(prod))
   }
 
   test("ngram jaccard pairs are symmetric-deduped, thresholded") {
