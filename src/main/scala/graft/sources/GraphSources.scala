@@ -112,6 +112,33 @@ object GraphSources {
   def readRdfTriples(spark: SparkSession, path: String, isDirected: Boolean = true): PropertyGraph =
     parseRdfTriples(spark.read.text(path), isDirected)
 
+  /**
+   * `sdhdfs` graph export (reference frontend
+   * `JasmineGraphFrontEndProtocol.cpp:29`, `send_graph_hdfs_command`):
+   * the reference exports each worker's shard and merges them into one
+   * HDFS edge-list file; here the whole distributed write IS the export —
+   * plain `src dst` lines (the same shape [[readEdgeList]] ingests) to
+   * any Hadoop-visible path.
+   */
+  def writeEdgeList(g: PropertyGraph, path: String): Unit =
+    g.edges.select(concat_ws(" ", col("src"), col("dst")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Full-fidelity parquet export — labels, property maps and eids
+    * preserved; the natural cluster-scale persistence format. Round-trips
+    * through [[readGraph]]. */
+  def writeGraph(g: PropertyGraph, dir: String): Unit = {
+    g.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    g.edges.write.mode("overwrite").parquet(s"$dir/edges")
+  }
+
+  /** Read a graph persisted by [[writeGraph]]. */
+  def readGraph(spark: SparkSession, dir: String, isDirected: Boolean): PropertyGraph =
+    PropertyGraph(
+      spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/edges"),
+      isDirected)
+
   /** Build a PropertyGraph from a DataFrame shaped like [[edgeStreamSchema]]
     * (shared by the batch reader and the streaming foreachBatch path). */
   def fromEdgeRecords(parsed: DataFrame, isDirected: Boolean): PropertyGraph = {

@@ -61,37 +61,56 @@ object EdgeStream {
    * unioned in (node upsert = richest-property-map-wins re-aggregation on
    * the combined node set, mirroring the reference's incremental store
    * upsert `JasmineGraphIncrementalLocalStore.h:39-52`).
+   *
+   * Write amplification is O(|batch|), not O(|graph|): only the DELTA is
+   * materialized per micro-batch (an append-only delta log, the same
+   * shape a Delta-Lake-backed store would use at cluster scale), and the
+   * registered graph is recomposed lazily as base ∪ deltas with ONE
+   * richest-wins dedup over the union. Every `compactEvery` batches the
+   * composed graph is materialized and the log reset, bounding read-side
+   * union fan-in — the standard log-structured write/read trade,
+   * amortizing the O(|graph|) rewrite across the log length.
    */
   def applyToCatalog(records: DataFrame, graphName: String, isDirected: Boolean,
-                     checkpoint: String): StreamingQuery =
+                     checkpoint: String, compactEvery: Int = 10): StreamingQuery = {
+    // foreachBatch runs serially on the driver for one query — plain
+    // mutable log state is safe here
+    var base: Option[PropertyGraph] = GraphCatalog.get(graphName)
+    val deltaLog = scala.collection.mutable.ArrayBuffer.empty[PropertyGraph]
+    val byRichness = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(size(col("properties")).desc, to_json(col("properties")).asc)
+
     records.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val delta = GraphSources.fromEdgeRecords(batch, isDirected)
-          val merged = GraphCatalog.get(graphName) match {
-            case None => delta
-            case Some(g) =>
-              val byRichness = org.apache.spark.sql.expressions.Window
-                .partitionBy(col("id"))
-                .orderBy(size(col("properties")).desc, to_json(col("properties")).asc)
-              val nodes = g.nodes.unionByName(delta.nodes)
-                .withColumn("rn", row_number().over(byRichness))
-                .where(col("rn") === 1)
-                .drop("rn")
-              PropertyGraph(nodes, g.edges.unionByName(delta.edges), isDirected)
-          }
-          // materialize the merged graph so the lineage doesn't grow
-          // unboundedly across micro-batches
-          val mat = PropertyGraph(
-            merged.nodes.localCheckpoint(true),
-            merged.edges.localCheckpoint(true),
-            isDirected)
-          GraphCatalog.register(graphName, mat)
+          val d = GraphSources.fromEdgeRecords(batch, isDirected)
+          // O(|batch|) materialization — the only eager work per batch
+          deltaLog += PropertyGraph(
+            d.nodes.localCheckpoint(true), d.edges.localCheckpoint(true), isDirected)
+
+          val nodeParts = base.map(_.nodes).toSeq ++ deltaLog.map(_.nodes)
+          val edgeParts = base.map(_.edges).toSeq ++ deltaLog.map(_.edges)
+          val nodes = nodeParts.reduce(_ unionByName _)
+            .withColumn("rn", row_number().over(byRichness))
+            .where(col("rn") === 1)
+            .drop("rn")
+          val merged = PropertyGraph(nodes, edgeParts.reduce(_ unionByName _), isDirected)
+
+          if (deltaLog.size >= compactEvery) {
+            val compacted = PropertyGraph(
+              merged.nodes.localCheckpoint(true),
+              merged.edges.localCheckpoint(true), isDirected)
+            base = Some(compacted)
+            deltaLog.clear()
+            GraphCatalog.register(graphName, compacted)
+          } else GraphCatalog.register(graphName, merged)
         }
         ()
       }
       .start()
+  }
 }

@@ -56,6 +56,26 @@ class GraphCoreSpec extends SparkSpec {
     assert(pg.edgeCount === 6594L)
   }
 
+  test("sdhdfs export: edge-list and parquet round trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    try {
+      // edge-list text round trip (the adgr <-> sdhdfs pair)
+      GraphSources.writeEdgeList(pg, s"$out/el")
+      val back = GraphSources.readEdgeList(spark, s"$out/el")
+      assert(back.vertexCount === pg.vertexCount && back.edgeCount === pg.edgeCount)
+      // full-fidelity parquet round trip preserves labels + properties
+      GraphSources.writeGraph(fixture, s"$out/pq")
+      val fx = GraphSources.readGraph(spark, s"$out/pq", fixture.isDirected)
+      assert(fx.vertexCount === fixture.vertexCount && fx.edgeCount === fixture.edgeCount)
+      val fiona = fx.nodes.where(col("id") === "10").collect()(0)
+      assert(fiona.getAs[Map[String, String]]("properties")("name") === "Fiona")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+      ()
+    }
+  }
+
   test("powergrid triangle count matches golden (651)") {
     assert(GraphAlgorithms.triangleCount(pg.edges) === 651L)
   }
