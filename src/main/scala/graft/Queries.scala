@@ -307,6 +307,26 @@ object Queries {
              |WHERE c_name LIKE 'Customer#00000%' AND c_name LIKE '%1%'
              |AND c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin))),
 
+    // MultipleNodeScanByLabel: (:A:B) label lists mean label IN (A, B)
+    // (reference QueryPlanner.cpp:284-297).
+    "cy_multi_label" -> ((
+      cy("MATCH (n:Nation:Customer) RETURN n.id AS id ORDER BY id"),
+      Some(bridgeSql(
+        "SELECT id FROM nodes WHERE label IN ('Nation','Customer') ORDER BY id")))),
+
+    // IS [NOT] NULL over a property that only some labels carry.
+    "cy_isnull" -> ((
+      cy("MATCH (n) WHERE n.mktsegment IS NOT NULL RETURN n.id AS id ORDER BY id"),
+      Some("SELECT 'c' || c_custkey AS id FROM customer ORDER BY id"))),
+
+    // XOR: exactly one of the two predicates holds.
+    "cy_xor" -> ((
+      cy("MATCH (c:Customer) WHERE c.acctbal > 5000 XOR c.mktsegment = 'BUILDING' " +
+        "RETURN c.id AS id ORDER BY id"),
+      Some("""SELECT 'c' || c_custkey AS id FROM customer
+             |WHERE (c_acctbal > 5000) <> (c_mktsegment = 'BUILDING')
+             |ORDER BY id""".stripMargin))),
+
     // statement-level UNION: the two branches overlap (both draw from
     // customer mktsegments), so dedup is load-bearing. Result re-sorted
     // after the union — per-branch ORDER BY doesn't survive a UNION.
