@@ -307,6 +307,21 @@ object Queries {
              |WHERE c_name LIKE 'Customer#00000%' AND c_name LIKE '%1%'
              |AND c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin))),
 
+    // CALL/YIELD (parity-plus: reference parses CALL, planner TODO):
+    // procedures bridge the reference's non-Cypher frontend commands into
+    // the query language. db.labels() is the catalog scan…
+    "cy_call_labels" -> ((
+      cy("CALL db.labels() YIELD label RETURN label ORDER BY label"),
+      Some(bridgeSql("SELECT DISTINCT label FROM nodes ORDER BY label")))),
+
+    // …and graft.degree is the reference's `odd` command callable with
+    // YIELD renaming, composing with ORDER BY like any other clause.
+    "cy_call_degree" -> ((
+      cy("CALL graft.degree('out') YIELD id, degree AS deg RETURN id, deg ORDER BY id"),
+      Some(bridgeSql(
+        """SELECT n.id, COUNT(e.src) AS deg FROM nodes n
+          |LEFT JOIN edges e ON n.id = e.src GROUP BY n.id ORDER BY n.id""".stripMargin)))),
+
     // MultipleNodeScanByLabel: (:A:B) label lists mean label IN (A, B)
     // (reference QueryPlanner.cpp:284-297).
     "cy_multi_label" -> ((

@@ -141,10 +141,16 @@ object Ast {
   final case class RemoveClause(items: List[(String, String)])
   /** [DETACH] DELETE v, ... */
   final case class DeleteClause(variables: List[String], detach: Boolean)
-  /** MERGE (match-or-create; single-node patterns). */
+  /** MERGE (match-or-create over full path patterns). */
   final case class MergeClause(paths: List[PathPattern])
+  /** CALL proc(args) [YIELD col [AS alias], ...] — executable against the
+    * procedure registry (parity-plus: the reference parses CALL but has
+    * no runtime executor). Empty `yields` = all output columns. */
+  final case class CallClause(procedure: String, args: List[Expr],
+      yields: List[(String, Option[String])])
 
   sealed trait Clause
+  final case class CallPart(clause: CallClause) extends Clause
   final case class UnwindPart(clause: UnwindClause) extends Clause
   final case class SetPart(clause: SetClause) extends Clause
   final case class MergePart(clause: MergeClause) extends Clause

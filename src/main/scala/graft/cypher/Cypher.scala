@@ -46,6 +46,7 @@ object Cypher {
       case MatchPart(m) => ctx = planner.applyMatch(ctx, m)
       case WithPart(w) => ctx = planner.applyWith(ctx, w)
       case UnwindPart(u) => ctx = planner.applyUnwind(ctx, u)
+      case CallPart(c) => ctx = planner.applyCall(ctx, c)
       case ReturnPart(r) => result = Some(planner.applyReturn(ctx, r))
       case _ => () // mutation parts unreachable: guarded above
     }
@@ -83,6 +84,7 @@ object Cypher {
       case MatchPart(m) => sync(); ctx = planner.applyMatch(ctx, m)
       case WithPart(w) => sync(); ctx = planner.applyWith(ctx, w)
       case UnwindPart(u) => sync(); ctx = planner.applyUnwind(ctx, u)
+      case CallPart(c) => sync(); ctx = planner.applyCall(ctx, c)
       case CreatePart(c) => sync(); g = truncated(applyCreate(spark, g, c)); dirty = true
       case MergePart(mc) => sync(); g = applyMerge(g, mc); dirty = true
       case SetPart(sc) => sync(); g = truncated(applySet(g, ctx, sc)); dirty = true

@@ -34,9 +34,8 @@ object Parser {
   /** Cap for open-ended variable-length patterns (`*` / `*2..`). */
   val MaxVarLength = 8
 
-  private val rejected = Set("CALL")
-  // (MERGE/SET/DELETE/REMOVE/UNWIND/OPTIONAL/CASE — all planner TODOs in
-  // the reference — are executable here.)
+  // (CALL/MERGE/SET/DELETE/REMOVE/UNWIND/OPTIONAL/CASE — all planner
+  // TODOs in the reference — are executable here.)
 
   def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -136,8 +135,47 @@ object Parser {
     val clauses = List.newBuilder[Clause]
     while (!p.done && !p.atKw("UNION")) {
       p.peek match {
-        case Some(Kw(k, _)) if rejected.contains(k) =>
-          throw CypherParseException(s"$k is parsed but not executable (reference planner TODO — QueryPlanner.cpp:65-463)")
+        case Some(Kw("CALL", _)) =>
+          p.next()
+          val name = new StringBuilder
+          name ++= (p.next() match {
+            case Ident(n) => n
+            case t => throw CypherParseException(s"bad procedure name '${t.text}'")
+          })
+          while (p.eatSym(".")) {
+            name += '.'
+            name ++= (p.next() match {
+              case Ident(n) => n
+              case Kw(_, raw) => raw
+              case t => throw CypherParseException(s"bad procedure name part '${t.text}'")
+            })
+          }
+          p.expectSym("(")
+          val args = List.newBuilder[Expr]
+          if (!p.atSym(")")) { args += parseExpr(p); while (p.eatSym(",")) args += parseExpr(p) }
+          p.expectSym(")")
+          // YIELD isn't a tokenizer keyword — it arrives as an Ident
+          def atYield = p.peek.exists { case Ident(t) => t.equalsIgnoreCase("YIELD"); case _ => false }
+          val yields = List.newBuilder[(String, Option[String])]
+          if (atYield) {
+            p.next()
+            def yieldItem(): Unit = {
+              val c = p.next() match {
+                case Ident(n) => n
+                case Kw(_, raw) => raw
+                case t => throw CypherParseException(s"bad YIELD column '${t.text}'")
+              }
+              val alias = if (p.eatKw("AS")) Some(p.next() match {
+                case Ident(a) => a
+                case Kw(_, raw) => raw
+                case t => throw CypherParseException(s"bad YIELD alias '${t.text}'")
+              }) else None
+              yields += ((c, alias))
+            }
+            yieldItem()
+            while (p.eatSym(",")) yieldItem()
+          }
+          clauses += CallPart(CallClause(name.toString, args.result(), yields.result()))
         case Some(Kw("WITH", _)) =>
           p.next()
           val projection = parseReturn(p)

@@ -145,6 +145,38 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     BindCtx(Some(filtered), newScope)
   }
 
+  /**
+   * CALL proc(args) [YIELD ...]: invoke a registered procedure and bind
+   * its (selected) output columns as scalar variables. Restricted to the
+   * FIRST clause of a query part — per-row CALL (openCypher's correlated
+   * form) would need a lateral join per binding row; rejected clearly.
+   * Arguments must be literals.
+   */
+  def applyCall(start: BindCtx, c: CallClause): BindCtx = {
+    if (start.df.nonEmpty)
+      throw CypherParseException(
+        "CALL is supported as the first clause only (correlated per-row CALL is not executable)")
+    val argValues: List[Any] = c.args.map {
+      case IntLit(v) => v
+      case DblLit(v) => v
+      case StrLit(s) => s
+      case BoolLit(b) => b
+      case other => throw CypherParseException(
+        s"CALL arguments must be literals, got ${Ast.text(other)}")
+    }
+    val out = Procedures.invoke(graph, c.procedure, argValues)
+    val selected: List[(String, String)] =
+      if (c.yields.isEmpty) out.columns.toList.map(n => (n, n))
+      else c.yields.map { case (name, alias) =>
+        val actual = out.columns.find(_.equalsIgnoreCase(name)).getOrElse(
+          throw CypherParseException(
+            s"procedure '${c.procedure}' yields ${out.columns.mkString(", ")} — no column '$name'"))
+        (actual, alias.getOrElse(name))
+      }
+    val df = out.select(selected.map { case (src, as) => col(s"`$src`").as(as) }: _*)
+    BindCtx(Some(df), selected.map { case (_, as) => as -> ExprCompiler.KValue }.toMap)
+  }
+
   /** UNWIND list AS var: explode the list into one row per element
     * (parity-plus — reference planner TODO). */
   def applyUnwind(start: BindCtx, u: UnwindClause): BindCtx = {

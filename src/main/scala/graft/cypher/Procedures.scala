@@ -1,0 +1,81 @@
+package graft.cypher
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.GraphAlgorithms
+import graft.model.PropertyGraph
+
+/**
+ * Procedure registry backing CALL/YIELD — executable here although the
+ * reference parses CALL and leaves it as a planner TODO
+ * (`QueryPlanner.cpp:65-463`); the built-ins bridge the reference's
+ * NON-Cypher frontend commands (pgrnk, idd/odd, trian, vcnt/ecnt —
+ * `JasmineGraphFrontEndProtocol.cpp`) into the Cypher surface, so a
+ * single query language reaches both worlds:
+ *
+ *   CALL graft.pageRank(0.85, 5) YIELD id, rank RETURN id, rank ...
+ *
+ * A procedure takes the bound graph plus literal arguments and returns a
+ * DataFrame with a fixed column set; YIELD selects/renames columns and
+ * the rest of the query composes as usual. User procedures can be
+ * registered at runtime (`Procedures.register`).
+ */
+object Procedures {
+
+  /** (graph, literal args) → result. Output column names are the YIELD
+    * surface. */
+  type Proc = (PropertyGraph, List[Any]) => DataFrame
+
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, Proc]
+
+  /** Register a procedure under a dotted, case-insensitive name. */
+  def register(name: String, proc: Proc): Unit = registry.put(name.toLowerCase, proc)
+
+  def invoke(g: PropertyGraph, name: String, args: List[Any]): DataFrame =
+    registry.getOrElse(name.toLowerCase, throw CypherParseException(
+      s"unknown procedure '$name' (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))(g, args)
+
+  private def num(a: Any, what: String): Double = a match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case other => throw CypherParseException(s"$what must be a number, got $other")
+  }
+
+  // ----- built-ins --------------------------------------------------------
+
+  register("db.labels", (g, _) =>
+    g.nodes.select(col("label")).where(col("label") =!= "").distinct())
+
+  register("db.relationshiptypes", (g, _) =>
+    g.edges.select(col("type").as("relationshipType"))
+      .where(col("relationshipType") =!= "").distinct())
+
+  register("db.propertykeys", (g, _) =>
+    g.nodes.select(explode(map_keys(col("properties"))).as("propertyKey"))
+      .unionByName(g.edges.select(explode(map_keys(col("properties"))).as("propertyKey")))
+      .distinct())
+
+  /** Reference `pgrnk`: CALL graft.pageRank([alpha[, iterations]]). */
+  register("graft.pagerank", (g, args) => {
+    val alpha = args.headOption.map(num(_, "alpha")).getOrElse(0.85)
+    val iters = args.lift(1).map(num(_, "iterations").toInt).getOrElse(10)
+    GraphAlgorithms.pageRank(g, alpha, iters)
+  })
+
+  /** Reference `idd`/`odd`: CALL graft.degree('in'|'out'). */
+  register("graft.degree", (g, args) => args.headOption match {
+    case Some("in") => GraphAlgorithms.inDegrees(g)
+    case Some("out") | None => GraphAlgorithms.outDegrees(g)
+    case other => throw CypherParseException(s"graft.degree expects 'in' or 'out', got $other")
+  })
+
+  /** Reference `trian`: one row, column `triangles`. */
+  register("graft.trianglecount", (g, _) =>
+    GraphAlgorithms.triangleCountDF(g.edges))
+
+  /** Reference `vcnt`/`ecnt` catalog counts as a one-row relation. */
+  register("graft.counts", (g, _) =>
+    g.nodes.select(count(lit(1)).as("vertices"))
+      .crossJoin(g.edges.select(count(lit(1)).as("edges"))))
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.cypher.{Cypher, CypherParseException}
+import graft.cypher.{Cypher, CypherParseException, Procedures}
 import graft.model.PropertyGraph
 import graft.sources.GraphSources
 
@@ -229,10 +229,49 @@ class CypherSpec extends SparkSpec {
   }
 
   test("unsupported-but-parsed constructs are rejected with a clear error") {
+    // correlated per-row CALL after MATCH is not executable
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) CALL foo() RETURN n") }
     // mutations are directed to execute()
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) SET n.x = '1' RETURN n") }
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) DELETE n") }
+  }
+
+  test("CALL/YIELD invokes registered procedures and composes with the query") {
+    // catalog procedures
+    val labels = Cypher.run(g, "CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0))
+    assert(labels.toSeq === Seq("Location", "Person"))
+    val types = Cypher.run(g, "CALL db.relationshipTypes() YIELD relationshipType " +
+      "RETURN relationshipType ORDER BY relationshipType").count()
+    assert(types > 0)
+
+    // no YIELD binds every output column
+    val counts = Cypher.run(g, "CALL graft.counts() RETURN vertices, edges").collect()(0)
+    assert(counts.getLong(0) === g.vertexCount && counts.getLong(1) === g.edgeCount)
+
+    // algorithm procedure with literal args; YIELD alias + downstream
+    // filtering/ordering over the yielded scalars
+    val pr = Cypher.run(g,
+      "CALL graft.pageRank(0.85, 3) YIELD id, rank AS r RETURN id, r ORDER BY r DESC LIMIT 3")
+      .collect()
+    assert(pr.length === 3)
+    val direct = graft.algorithms.GraphAlgorithms.pageRank(g, 0.85, 3)
+      .orderBy(col("rank").desc, col("id")).limit(3).collect()
+    assert(pr.map(_.getString(0)).toSet === direct.map(_.getString(0)).toSet)
+
+    // YIELD of an unknown column and unknown procedures: clear errors
+    intercept[CypherParseException] {
+      Cypher.run(g, "CALL db.labels() YIELD nope RETURN nope")
+    }
+    intercept[CypherParseException] {
+      Cypher.run(g, "CALL no.such.proc() RETURN x")
+    }
+
+    // user-registered procedure
+    Procedures.register("test.ego", (pg, args) =>
+      graft.algorithms.GraphAlgorithms.egonet(pg, args.head.toString))
+    val ego = Cypher.run(g, "CALL test.ego('10') YIELD src, dst RETURN src, dst").count()
+    assert(ego > 0)
   }
 
   test("UNION dedups, UNION ALL concatenates") {
