@@ -478,7 +478,63 @@ object Queries {
              |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS rank
              |  FROM c CROSS JOIN q)
              |SELECT qid, vec_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine, rank
-             |FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))))
+             |FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))),
+
+    // IVF two-tier search, oracled via exactness-at-full-probe: with
+    // nprobe = #clusters the probe set covers the whole corpus, so IVF
+    // must return EXACTLY the brute-force top-k — the oracle is the same
+    // all-pairs ranking. (Partial-probe recall is covered by spec.)
+    "alg_knn_ivf" -> ((
+      (s: SparkSession, d: String) => {
+        val embs = t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val centroids = embs.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+        val clustered = Similarity.assignClusters(embs, "vec_id", "vec", centroids, "cid", "cvec")
+        val queries = embs.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.knnIvf(clustered, "vec_id", "vec", centroids, "cid", "cvec",
+          queries, "qid", "qvec", k = 10, nprobe = 8)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+             |q AS (SELECT vec_id AS qid, vec AS qvec FROM c WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id, list_cosine_similarity(c.vec, q.qvec) AS cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY q.qid
+             |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS rank
+             |  FROM c CROSS JOIN q)
+             |SELECT qid, vec_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine, rank
+             |FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))),
+
+    // GraphX connected components, oracled on the bipartite nation—region
+    // graph (5 components, diameter 2). GraphX's internal component ids
+    // are remapped to min(node id) per component so both engines name
+    // components identically.
+    "alg_connected_components" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.model.PropertyGraph
+        val nat = t(s, d, "nation").select(
+          concat(lit("nat"), col("n_nationkey")).as("id"), col("n_regionkey").as("r"))
+        val reg = t(s, d, "region").select(
+          concat(lit("reg"), col("r_regionkey")).as("id"), col("r_regionkey").as("r"))
+        val nodes = nat.unionByName(reg)
+          .select(col("id"), lit("").as("label"),
+            map().cast("map<string,string>").as("properties"))
+        val edges = nat.select(col("id").as("src"),
+            concat(lit("reg"), col("r")).as("dst"), lit("IN").as("type"),
+            map().cast("map<string,string>").as("properties"))
+        val g = PropertyGraph(nodes, PropertyGraph.withEid(edges), isDirected = false)
+        val cc = graft.algorithms.GraphXAlgorithms.connectedComponents(g)
+        val labels = cc.groupBy("component").agg(min(col("id")).as("comp"))
+        cc.join(labels, "component").select(col("id"), col("comp")).orderBy(col("id"))
+      },
+      Some("""WITH n AS (SELECT 'nat' || n_nationkey AS id, n_regionkey AS r FROM nation),
+             |rg AS (SELECT 'reg' || r_regionkey AS id, r_regionkey AS r FROM region),
+             |allv AS (SELECT * FROM n UNION ALL SELECT * FROM rg),
+             |comp AS (SELECT r, MIN(id) AS comp FROM allv GROUP BY r)
+             |SELECT a.id, c.comp FROM allv a JOIN comp c ON a.r = c.r
+             |ORDER BY a.id""".stripMargin))))
 
   // ======================================================================
   // Training-data pipeline operators over documents/embeddings
