@@ -175,10 +175,47 @@ object ExprCompiler {
       }
     case ("startnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.src"), KPropStr)
     case ("endnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.dst"), KPropStr)
+    // common scalar functions (parity-plus; reference implements only id())
+    case ("toupper", List(a)) => Typed(upper(strOf(compile(a, scope))), KStr)
+    case ("tolower", List(a)) => Typed(lower(strOf(compile(a, scope))), KStr)
+    case ("trim", List(a)) => Typed(trim(strOf(compile(a, scope))), KStr)
+    case ("ltrim", List(a)) => Typed(ltrim(strOf(compile(a, scope))), KStr)
+    case ("rtrim", List(a)) => Typed(rtrim(strOf(compile(a, scope))), KStr)
+    case ("reverse", List(a)) => Typed(reverse(strOf(compile(a, scope))), KStr)
+    case ("replace", List(a, b, c)) =>
+      Typed(replace(strOf(compile(a, scope)), strOf(compile(b, scope)), strOf(compile(c, scope))), KStr)
+    // openCypher substring(s, start[, len]) is 0-based; Spark substring is 1-based
+    case ("substring", List(a, b)) =>
+      Typed(substring(strOf(compile(a, scope)),
+        numOf(compile(b, scope)).cast(IntegerType) + 1, lit(Int.MaxValue)), KStr)
+    case ("substring", List(a, b, c)) =>
+      Typed(substring(strOf(compile(a, scope)),
+        numOf(compile(b, scope)).cast(IntegerType) + 1,
+        numOf(compile(c, scope)).cast(IntegerType)), KStr)
+    case ("split", List(a, b)) =>
+      Typed(split(strOf(compile(a, scope)), strOf(compile(b, scope)), lit(-1)), KOther)
+    case ("coalesce", as) if as.nonEmpty =>
+      val ts = as.map(compile(_, scope))
+      Typed(coalesce(ts.map(_.col): _*), ts.head.kind)
+    case ("abs", List(a)) => Typed(abs(numOf(compile(a, scope))), KNum)
+    case ("sign", List(a)) => Typed(signum(numOf(compile(a, scope))), KNum)
+    case ("ceil", List(a)) => Typed(ceil(numOf(compile(a, scope))).cast(DoubleType), KNum)
+    case ("floor", List(a)) => Typed(floor(numOf(compile(a, scope))).cast(DoubleType), KNum)
+    case ("sqrt", List(a)) => Typed(sqrt(numOf(compile(a, scope))), KNum)
+    case ("round", List(a)) => Typed(round(numOf(compile(a, scope)), 0), KNum)
+    case ("round", List(a, b)) =>
+      val places = b match {
+        case IntLit(v) => v.toInt
+        case other => throw CypherParseException(
+          s"round() precision must be an integer literal, got ${text(other)}")
+      }
+      Typed(round(numOf(compile(a, scope)), places), KNum)
     case _ =>
       throw CypherParseException(
         s"function '$name'/${args.length} not supported (reference implements only id(); we add " +
-          "type, labels, properties, toFloat, toInteger, toString, size, startNode, endNode)")
+          "type, labels, properties, toFloat, toInteger, toString, size, startNode, endNode, " +
+          "toUpper, toLower, trim, lTrim, rTrim, reverse, replace, substring, split, coalesce, " +
+          "abs, sign, ceil, floor, sqrt, round)")
   }
 
   private def strOf(t: Typed): Column = t.col.cast(StringType)

@@ -236,6 +236,29 @@ class CypherSpec extends SparkSpec {
     intercept[CypherParseException] { Cypher.run(g, "MATCH (n) DELETE n") }
   }
 
+  test("scalar functions: string, numeric, coalesce (parity-plus)") {
+    val r = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '10' RETURN toUpper(n.name) AS up, toLower(n.name) AS lo, " +
+        "substring(n.name, 1) AS sub1, substring(n.name, 0, 3) AS sub2, " +
+        "replace(n.name, 'F', 'Z') AS rep, reverse(n.name) AS rev, " +
+        "coalesce(n.missing, n.name) AS co, abs(0 - n.age) AS ab, " +
+        "sqrt(n.age * n.age) AS sq, round(n.age / 2) AS ro").collect()(0)
+    assert(r.getString(0) === "FIONA")
+    assert(r.getString(1) === "fiona")
+    assert(r.getString(2) === "iona")   // 0-based substring
+    assert(r.getString(3) === "Fio")
+    assert(r.getString(4) === "Ziona")
+    assert(r.getString(5) === "anoiF")
+    assert(r.getString(6) === "Fiona")
+    assert(r.getDouble(7) === 25.0)
+    assert(r.getDouble(8) === 25.0)
+    assert(r.getDouble(9) === 13.0)    // round(12.5) half-up
+    // size() of a split list
+    val sz = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '10' RETURN size(split(n.name, 'o')) AS parts").collect()(0)
+    assert(sz.getInt(0) === 2)
+  }
+
   test("CALL/YIELD invokes registered procedures and composes with the query") {
     // catalog procedures
     val labels = Cypher.run(g, "CALL db.labels() YIELD label RETURN label ORDER BY label")
