@@ -179,23 +179,47 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val posting = ngramPosting(df, textCol, idCol, n)
-    val indexed =
-      if (maxDocFreq == Long.MaxValue) posting
-      else {
-        // df per gram is a map-side-combinable aggregate on the same key
-        // as the self-join — one extra narrow shuffle, no row explosion
-        val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq)
-          .select("shingle")
-        posting.join(rare, Seq("shingle"))
-      }
+    val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val indexed = posting
+      .join(dfreq.where(col("df") <= maxDocFreq).select("shingle"), Seq("shingle"))
+
+    // ONE pass produces both the candidate pairs and their rare-gram
+    // intersection counts — the count the old shape threw away and then
+    // recomputed by re-joining every candidate against its FULL posting
+    // list (|candidates| × avg-grams-per-doc intermediate rows, the
+    // dominant cost of this operator).
     val l = indexed.select(col("shingle"), col("id").as("idA"))
     val r = indexed.select(col("shingle"), col("id").as("idB"))
-    val candidates = l.join(r, Seq("shingle"))
+    val interRare = l.join(r, Seq("shingle"))
       .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"))
-      .distinct()
-    verifyJaccard(candidates, posting, threshold)
+      .groupBy("idA", "idB").agg(count(lit(1)).as("interR"))
+
+    // capped runs add back the FREQUENT-gram intersections, but only for
+    // the candidate pairs and only over the few df>cap grams — so the
+    // reported jaccard stays exact while the Σdf² explosion never happens
+    val inter =
+      if (maxDocFreq == Long.MaxValue)
+        interRare.select(col("idA"), col("idB"), col("interR").as("inter"))
+      else {
+        val freqPost = posting
+          .join(dfreq.where(col("df") > maxDocFreq).select("shingle"), Seq("shingle"))
+        val interFreq = interRare.select(col("idA"), col("idB"))
+          .join(freqPost.select(col("id").as("idA"), col("shingle")), Seq("idA"))
+          .join(freqPost.select(col("id").as("idB"), col("shingle")), Seq("idB", "shingle"))
+          .groupBy("idA", "idB").agg(count(lit(1)).as("interF"))
+        interRare.join(interFreq, Seq("idA", "idB"), "left")
+          .select(col("idA"), col("idB"),
+            (col("interR") + coalesce(col("interF"), lit(0L))).as("inter"))
+      }
+
+    inter
+      .join(sizes.select(col("id").as("idA"), col("sz").as("szA")), Seq("idA"))
+      .join(sizes.select(col("id").as("idB"), col("sz").as("szB")), Seq("idB"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("szA") + col("szB") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ----- SimHash ----------------------------------------------------------
