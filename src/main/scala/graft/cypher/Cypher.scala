@@ -33,6 +33,26 @@ object Cypher {
     }
   }
 
+  /**
+   * Row intersection of two read queries — the reference DECLARES an
+   * Intersection operator (`Operators.h:177-192`) but never executes it;
+   * executable here (parity-plus). Distinct rows present in both results;
+   * entity columns intersect by id/eid, map values by their sorted-entry
+   * rendering (Spark's set operators reject MAP columns outright).
+   */
+  def intersect(graph: PropertyGraph, q1: String, q2: String): DataFrame = {
+    val a = run(graph, q1)
+    val b = run(graph, q2)
+    if (!a.columns.sameElements(b.columns))
+      throw CypherParseException(
+        s"INTERSECT requires identical output columns: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val (ak, keys, tmp) = Planner.withDedupKeys(a)
+    val (bk, _, _) = Planner.withDedupKeys(b)
+    ak.dropDuplicates(keys)
+      .join(bk.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys.toSeq, "left_semi")
+      .drop(tmp: _*)
+  }
+
   private def runSingle(graph: PropertyGraph, q: Query): DataFrame = {
     if (q.isMutation)
       throw CypherParseException(

@@ -479,7 +479,12 @@ object Planner {
    * `subset` restricts the dedup key to the named columns (RETURN
    * DISTINCT items); other columns survive with arbitrary representatives.
    */
-  private[cypher] def dedupRows(df: DataFrame, subset: Option[Seq[String]] = None): DataFrame = {
+  /** Attach comparable dedup-key columns for the named columns: entity
+    * structs key by id/eid, map-bearing values by a deterministic JSON
+    * rendering, plain values by themselves. Returns (df + temp key cols,
+    * all key names, the temp key names to drop afterwards). */
+  private[cypher] def withDedupKeys(df: DataFrame, subset: Option[Seq[String]] = None)
+      : (DataFrame, Seq[String], Seq[String]) = {
     def hasMap(dt: DataType): Boolean = dt match {
       case _: MapType => true
       case s: StructType => s.fields.exists(f => hasMap(f.dataType))
@@ -502,7 +507,11 @@ object Planner {
         case _ => n
       }
     }
-    val tmp = keys.filter(_.startsWith("__dk"))
+    (out, keys, keys.filter(_.startsWith("__dk")))
+  }
+
+  private[cypher] def dedupRows(df: DataFrame, subset: Option[Seq[String]] = None): DataFrame = {
+    val (out, keys, tmp) = withDedupKeys(df, subset)
     out.dropDuplicates(keys).drop(tmp: _*)
   }
 }

@@ -297,6 +297,24 @@ class CypherSpec extends SparkSpec {
     assert(ego > 0)
   }
 
+  test("INTERSECT returns distinct rows present in both results, entities by id") {
+    // scalar intersection with a real overlap
+    val both = Cypher.intersect(g,
+      "MATCH (n:Person) RETURN n.occupation AS occ",
+      "MATCH (n:Person) WHERE n.age IS NOT NULL RETURN n.occupation AS occ")
+      .collect().map(_.getString(0)).toSet
+    assert(both === Set("Artist")) // Fiona is the only aged Person
+    // entity intersection keys on id (struct contains a map)
+    val ents = Cypher.intersect(g,
+      "MATCH (n:Person) RETURN n",
+      "MATCH (n) WHERE n.age IS NOT NULL RETURN n").collect()
+    assert(ents.length === 1)
+    // mismatched output columns rejected clearly
+    intercept[CypherParseException] {
+      Cypher.intersect(g, "MATCH (n) RETURN n.id AS a", "MATCH (n) RETURN n.id AS b")
+    }
+  }
+
   test("UNION dedups, UNION ALL concatenates") {
     val all = Cypher.run(g,
       "MATCH (n:Person) RETURN n.id AS id UNION ALL MATCH (n:Person) RETURN n.id AS id").count()
