@@ -68,8 +68,12 @@ object Dedup {
    * functions don't participate in whole-stage codegen at all. Explode +
    * projection + hash-aggregate do.
    */
-  private def shinglePosting(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+  /** `dedup = false` skips the distinct — a full-data shuffle that
+    * aggregates insensitive to duplicates (min over a multiset == min
+    * over its set) don't need. */
+  private def shinglePosting(df: DataFrame, textCol: String, idCol: String, k: Int,
+                             dedup: Boolean = true): DataFrame = {
+    val raw = df.select(col(idCol).as("id"),
       regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("norm"))
       .where(length(col("norm")) >= k)
       .select(col("id"), col("norm"),
@@ -78,7 +82,8 @@ object Dedup {
       // join/aggregate shuffles 8-byte keys (collisions are ~(n^2)/2^65 —
       // negligible and deterministic)
       .select(col("id"), xxhash64(col("norm").substr(col("pos") + 1, lit(k))).as("shingle"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
+  }
 
   /** One row per distinct word n-gram: (id, shingle). Tokens are exploded
     * with positions and n-grams assembled with window lead()s — same
@@ -137,11 +142,15 @@ object Dedup {
     val rows = numHashes / bands
     val (as, bs) = hashParams(numHashes)
 
-    val posting = shinglePosting(df, textCol, idCol, shingleSize)
+    // signatures read the RAW posting (no distinct): min() is duplicate-
+    // insensitive, so the dedup shuffle would be pure waste on the
+    // dominant-volume path. All per-row hash work happens map-side inside
+    // the partial aggregate; only 64 mins per id cross the wire.
+    val rawPosting = shinglePosting(df, textCol, idCol, shingleSize, dedup = false)
     val h = pmod(xxhash64(col("shingle")), lit(P))
     val sigCols = (0 until numHashes).map(i =>
       min(pmod(lit(as(i)) * h + lit(bs(i)), lit(P))).as(s"s$i"))
-    val sigs = posting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = rawPosting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
 
     val bucketCols = (0 until bands).map { b =>
       val bandSig = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
@@ -157,6 +166,13 @@ object Dedup {
       .select(col("idA"), col("idB"))
       .distinct()
 
+    // exact verification touches only the docs that appear in some
+    // candidate pair — semi-join BEFORE the distinct, so the dedup
+    // shuffle runs over the (much smaller) candidate corpus only
+    val candDocs = candidates.select(col("idA").as("id"))
+      .unionByName(candidates.select(col("idB").as("id")))
+      .distinct()
+    val posting = rawPosting.join(candDocs, Seq("id"), "left_semi").distinct()
     verifyJaccard(candidates, posting, threshold)
   }
 
