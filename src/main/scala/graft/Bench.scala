@@ -29,23 +29,45 @@ object Bench {
     TpchBridge.graph(spark, sfDir).edges.count()
     TpchBridge.undirectedGraph(spark, sfDir).edges.count()
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must be MARKED, not silently recorded as a fast
+    // timing (a broken query would otherwise *improve* the bench total):
+    // failures surface as queries.<name> = -1 plus an errors.<name> entry.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable =>
+          Some(t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse("").take(200))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,alg_triangles
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val samples = Seq.fill(runs)(timeOnce(fn)).sorted
-        name -> samples(samples.length / 2)
+        val samples = Seq.fill(runs)(timeOnce(fn))
+        val firstErr = samples.flatMap(_._2).headOption
+        val median = samples.map(_._1).sorted.apply(samples.length / 2)
+        (name, if (firstErr.isEmpty) median else -1.0, firstErr)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val ok = results.filter(_._3.isEmpty)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

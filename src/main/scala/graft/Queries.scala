@@ -9,6 +9,7 @@ import graft.algorithms.GraphAlgorithms
 import graft.cypher.Cypher
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.TpchBridge
+import graft.streaming.StreamingTriangles
 
 /**
  * The declared operator surface: every entry is one operator/capability
@@ -376,7 +377,48 @@ object Queries {
             "MATCH (m:Probe) RETURN m.id AS id, m.name AS name")
         res.get
       },
-      Some("SELECT 'probe1' AS id, 'alpha' AS name"))))
+      Some("SELECT 'probe1' AS id, 'alpha' AS name"))),
+
+    // Intersection (reference declares the operator but never executes
+    // it, `Operators.h:177-192`): distinct rows present in both branches.
+    // The branches overlap on the mktsegments of mid-balance customers.
+    "cy_intersect" -> ((
+      (s: SparkSession, d: String) =>
+        Cypher.intersect(TpchBridge.graph(s, d),
+          "MATCH (c:Customer) WHERE c.acctbal > 5000 RETURN c.mktsegment AS seg",
+          "MATCH (c:Customer) WHERE c.acctbal < 2000 RETURN c.mktsegment AS seg")
+          .orderBy(col("seg")),
+      Some("""SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 5000
+             |INTERSECT
+             |SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal < 2000
+             |ORDER BY seg""".stripMargin))),
+
+    // MERGE upsert arms: first MERGE matches the created probe node (ON
+    // MATCH fires), second misses (ON CREATE fires) — the classic
+    // match-vs-create branch pair, read back through read-your-writes.
+    "cy_merge_upsert" -> ((
+      (s: SparkSession, d: String) => {
+        val (_, res) = Cypher.execute(TpchBridge.graph(s, d),
+          "CREATE (x:Probe {id: 'm1', name: 'alpha'}) " +
+            "MERGE (m:Probe {id: 'm1'}) ON MATCH SET m.status = 'matched' ON CREATE SET m.status = 'created' " +
+            "MERGE (n:Probe {id: 'm2'}) ON CREATE SET n.status = 'created' ON MATCH SET n.status = 'matched' " +
+            "MATCH (p:Probe) RETURN p.id AS id, p.name AS name, p.status AS status ORDER BY id")
+        res.get
+      },
+      Some("""SELECT * FROM (VALUES ('m1', 'alpha', 'matched'),
+             |('m2', CAST(NULL AS VARCHAR), 'created')) AS t(id, name, status)
+             |ORDER BY id""".stripMargin))),
+
+    // Correlated (lateral) CALL after a binding clause — compiled as an
+    // equi-join on the bound node's id, not a per-row re-invocation.
+    "cy_call_lateral" -> ((
+      cy("MATCH (c:Customer) CALL graft.degree(c, 'out') YIELD degree " +
+        "RETURN c.id AS id, degree ORDER BY id"),
+      Some(bridgeSql(
+        """SELECT n.id, COUNT(e.src) AS degree FROM nodes n
+          |LEFT JOIN edges e ON n.id = e.src
+          |WHERE n.label = 'Customer'
+          |GROUP BY n.id ORDER BY n.id""".stripMargin)))))
 
   // ======================================================================
   // Graph algorithms (SURVEY.md §2.3)
@@ -400,6 +442,14 @@ object Queries {
     s"WITH ${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges},\n${chain.toString}\n" +
       s"SELECT id, CAST(ROUND(rank, 4) AS DOUBLE) AS rank FROM r$iters ORDER BY id"
   }
+
+  /** alg_strian parameters: 3 batches over the induced subgraph on vertex
+    * ids < 20000 (keeps the per-prefix recount oracle tractable while the
+    * graph stays dense enough to close triangles in every batch).
+    * Declared BEFORE the `algorithms` map: the oracle SQL string is built
+    * eagerly at object init, so later-declared vals would read as 0. */
+  private val strianBatches = 3
+  private val strianMaxVertex = 20000
 
   val algorithms: Map[String, (Q, Option[String])] = Map(
     "alg_counts" -> ((
@@ -534,7 +584,51 @@ object Queries {
              |allv AS (SELECT * FROM n UNION ALL SELECT * FROM rg),
              |comp AS (SELECT r, MIN(id) AS comp FROM allv GROUP BY r)
              |SELECT a.id, c.comp FROM allv a JOIN comp c ON a.r = c.r
-             |ORDER BY a.id""".stripMargin))))
+             |ORDER BY a.id""".stripMargin))),
+
+    // Streaming triangles (`strian`): three deterministic disjoint edge
+    // batches of a vertex-induced hash-graph subgraph fed through
+    // StreamingTriangles.addBatch; the returned rows are the RUNNING
+    // totals after each batch. The oracle recounts each prefix's
+    // triangles from scratch in DuckDB (batch-chained CTEs, the PageRank
+    // oracle technique), so a green row proves the incremental ΔT
+    // bookkeeping — tri(E∪D) − tri(E) summed over batches — end to end.
+    "alg_strian" -> ((
+      (s: SparkSession, d: String) => {
+        val hg = TpchBridge.hashGraphEdges(s, d)
+          .where(col("src").cast(LongType) < strianMaxVertex &&
+            col("dst").cast(LongType) < strianMaxVertex)
+        val st = new StreamingTriangles(s)
+        val totals = (0 until strianBatches).map { b =>
+          val batch = hg.where(
+            pmod(col("src").cast(LongType) + col("dst").cast(LongType), lit(strianBatches)) === b)
+          (b, st.addBatch(batch))
+        }
+        import s.implicits._
+        totals.toDF("batch", "triangles")
+      },
+      Some(strianOracleSql))))
+
+  /** Per-prefix brute-force triangle recount in DuckDB: prefix p = all
+    * batches ≤ p; same canonical-orientation 3-join as the alg_triangles
+    * oracle. Batch assignment (s + d) % n is replayable in both engines. */
+  private def strianOracleSql: String = {
+    val prefixes = (0 until strianBatches).map { p =>
+      s"""p$p AS (SELECT s, d FROM eb WHERE b <= $p),
+         |t$p AS (SELECT $p AS batch, COUNT(*) AS triangles
+         |  FROM p$p e1 JOIN p$p e2 ON e1.d = e2.s
+         |  JOIN p$p e3 ON e3.s = e1.s AND e3.d = e2.d)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until strianBatches).map(p => s"SELECT * FROM t$p").mkString(" UNION ALL ")
+    s"""WITH ${TpchBridge.sql.hashGraph},
+       |eb AS (
+       |  SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d,
+       |    (CAST(src AS BIGINT) + CAST(dst AS BIGINT)) % $strianBatches AS b
+       |  FROM hg
+       |  WHERE CAST(src AS BIGINT) < $strianMaxVertex AND CAST(dst AS BIGINT) < $strianMaxVertex),
+       |$prefixes
+       |SELECT CAST(batch AS INTEGER) AS batch, triangles FROM ($union) ORDER BY batch""".stripMargin
+  }
 
   // ======================================================================
   // Training-data pipeline operators over documents/embeddings

@@ -141,8 +141,13 @@ object Ast {
   final case class RemoveClause(items: List[(String, String)])
   /** [DETACH] DELETE v, ... */
   final case class DeleteClause(variables: List[String], detach: Boolean)
-  /** MERGE (match-or-create over full path patterns). */
-  final case class MergeClause(paths: List[PathPattern])
+  /** MERGE (match-or-create over full path patterns), with optional
+    * `ON CREATE SET` / `ON MATCH SET` arms (items shaped like SetClause's).
+    * The reference parses MERGE but never executes it; both arms are
+    * executable here (parity-plus). */
+  final case class MergeClause(paths: List[PathPattern],
+      onCreate: List[(String, String, Expr)] = Nil,
+      onMatch: List[(String, String, Expr)] = Nil)
   /** CALL proc(args) [YIELD col [AS alias], ...] — executable against the
     * procedure registry (parity-plus: the reference parses CALL but has
     * no runtime executor). Empty `yields` = all output columns. */

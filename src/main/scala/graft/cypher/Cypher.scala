@@ -176,16 +176,47 @@ object Cypher {
    */
   private def applyMerge(g: PropertyGraph, mc: MergeClause): PropertyGraph = {
     var out = g
+    if (mc.paths.size > 1 && (mc.onCreate.nonEmpty || mc.onMatch.nonEmpty))
+      throw CypherParseException(
+        "ON CREATE SET / ON MATCH SET require a single MERGE pattern")
     mc.paths.foreach { path =>
       val planner = new Planner(out)
-      val matched = planner
+      val matchedCtx = planner
         .applyMatch(Planner.BindCtx(None, Map.empty), MatchClause(List(path), None))
-        .df.getOrElse(out.nodes.sparkSession.range(1).toDF())
+      val matched = matchedCtx.df.getOrElse(out.nodes.sparkSession.range(1).toDF())
       // nonempty iff the full pattern already has a match
       val gate = matched.select(lit(1).as("__hit")).limit(1)
-      out = truncated(applyCreate(out.nodes.sparkSession, out, CreateClause(List(path)), Some(gate)))
+      // ON CREATE SET folds into the literal rows before the gated create,
+      // so it applies exactly when the create fires — no extra gate needed
+      val createPath = if (mc.onCreate.isEmpty) path else foldOnCreate(path, mc.onCreate)
+      out = truncated(applyCreate(out.nodes.sparkSession, out, CreateClause(List(createPath)), Some(gate)))
+      // ON MATCH SET rides the matched binding: zero matched rows produce
+      // zero (id, value) updates, so the arm is naturally gated and the
+      // whole MERGE stays lazy (no driver-side matched/created decision)
+      if (mc.onMatch.nonEmpty)
+        out = truncated(applySet(out, matchedCtx, SetClause(mc.onMatch)))
     }
     out
+  }
+
+  /** Rewrite the MERGE pattern's property maps with the ON CREATE SET
+    * items so created entities carry them; values must be literals (the
+    * CREATE restriction). Unknown variables are rejected eagerly. */
+  private def foldOnCreate(path: PathPattern, sets: List[(String, String, Expr)]): PathPattern = {
+    val byVar = sets.groupBy(_._1)
+    val known = (path.start :: path.hops.map(_._2)).flatMap(_.variable) ++
+      path.hops.flatMap(_._1.variable)
+    byVar.keys.find(v => !known.contains(v)).foreach(v =>
+      throw CypherParseException(s"ON CREATE SET references variable '$v' not bound by the MERGE pattern"))
+    def nodeProps(np: NodePattern): NodePattern = np.variable.flatMap(byVar.get) match {
+      case Some(items) => np.copy(properties = np.properties ++ items.map(i => i._2 -> i._3))
+      case None => np
+    }
+    def relProps(rp: RelPattern): RelPattern = rp.variable.flatMap(byVar.get) match {
+      case Some(items) => rp.copy(properties = rp.properties ++ items.map(i => i._2 -> i._3))
+      case None => rp
+    }
+    PathPattern(nodeProps(path.start), path.hops.map { case (r, n) => (relProps(r), nodeProps(n)) })
   }
 
   private def emptyMap = map().cast(MapType(StringType, StringType))
@@ -241,14 +272,27 @@ object Cypher {
       ctx.scope.getOrElse(v, throw CypherParseException(s"undefined variable '$v' in DELETE")) match {
         case KNode =>
           val ids = bound.select(col(s"$v.id").as("__did")).distinct()
+          var nodes = out.nodes.join(ids, col("id") === col("__did"), "left_anti")
           if (!dc.detach) {
-            val incident = out.edges.join(ids,
-              col("src") === col("__did") || col("dst") === col("__did")).limit(1).count()
-            if (incident > 0)
-              throw CypherParseException(
-                s"cannot DELETE node '$v' with relationships — use DETACH DELETE")
+            // "cannot delete a node with relationships" (openCypher) as a
+            // PLAN-EMBEDDED guard: the incident-edge count is folded into
+            // the node plan (1-row aggregate, broadcast cross join) and
+            // raise_error fires when the mutated graph's plan first
+            // materializes — under AQE that is this statement's own
+            // lineage-truncation checkpoint; without AQE, the first user
+            // action. Either way there is no DELETE-specific driver
+            // action: the former eager limit(1).count() here serialized
+            // DELETE-heavy scripts on an EXTRA job per statement — the
+            // same pathology the MERGE driver-count fix removed.
+            val guard = out.edges.join(ids,
+              col("src") === col("__did") || col("dst") === col("__did"))
+              .agg(count(lit(1)).as("__incident"))
+            nodes = nodes.crossJoin(guard)
+              .where(when(col("__incident") > 0, raise_error(
+                lit(s"cannot DELETE node '$v' with relationships — use DETACH DELETE")))
+                .otherwise(lit(true)))
+              .drop("__incident")
           }
-          val nodes = out.nodes.join(ids, col("id") === col("__did"), "left_anti")
           val edges =
             if (dc.detach)
               out.edges

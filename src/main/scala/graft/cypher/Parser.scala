@@ -245,7 +245,31 @@ object Parser {
           val paths = List.newBuilder[PathPattern]
           paths += parsePath(p)
           while (p.eatSym(",")) paths += parsePath(p)
-          clauses += MergePart(MergeClause(paths.result()))
+          // ON CREATE SET / ON MATCH SET arms, each a comma list of
+          // n.prop = value items ("ON" isn't a reserved keyword — it
+          // arrives as an Ident)
+          var onCreate = List.empty[(String, String, Expr)]
+          var onMatch = List.empty[(String, String, Expr)]
+          def atOn = p.peek.exists { case Ident(t) => t.equalsIgnoreCase("ON"); case _ => false }
+          while (atOn) {
+            p.next()
+            val isCreate =
+              if (p.eatKw("CREATE")) true
+              else if (p.eatKw("MATCH")) false
+              else throw CypherParseException("expected CREATE or MATCH after ON in MERGE")
+            p.expectKw("SET")
+            val items = List.newBuilder[(String, String, Expr)]
+            def armItem(): Unit = parseExpr(p) match {
+              case Cmp("=", Property(v, k), value) => items += ((v, k, value))
+              case other => throw CypherParseException(
+                s"ON ${if (isCreate) "CREATE" else "MATCH"} SET expects n.prop = value, got ${text(other)}")
+            }
+            armItem()
+            while (p.eatSym(",")) armItem()
+            if (isCreate) onCreate = onCreate ++ items.result()
+            else onMatch = onMatch ++ items.result()
+          }
+          clauses += MergePart(MergeClause(paths.result(), onCreate, onMatch))
         case Some(Kw("RETURN", _)) =>
           p.next()
           clauses += ReturnPart(parseReturn(p))

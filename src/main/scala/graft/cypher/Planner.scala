@@ -147,15 +147,18 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 
   /**
    * CALL proc(args) [YIELD ...]: invoke a registered procedure and bind
-   * its (selected) output columns as scalar variables. Restricted to the
-   * FIRST clause of a query part — per-row CALL (openCypher's correlated
-   * form) would need a lateral join per binding row; rejected clearly.
-   * Arguments must be literals.
+   * its (selected) output columns as scalar variables.
+   *
+   * As the FIRST clause: the procedure result IS the binding frame.
+   * After a binding clause (openCypher's correlated form): supported for
+   * the lateral-safe built-ins — `graft.degree(node[, 'in'|'out'])`
+   * correlates per row via an equi-join on the bound node's id, and the
+   * single-row procedures (`graft.counts`, `graft.triangleCount`) attach
+   * via a broadcast cross join. Anything else would need a true lateral
+   * re-invocation per row; rejected clearly.
    */
   def applyCall(start: BindCtx, c: CallClause): BindCtx = {
-    if (start.df.nonEmpty)
-      throw CypherParseException(
-        "CALL is supported as the first clause only (correlated per-row CALL is not executable)")
+    if (start.df.nonEmpty) return applyLateralCall(start, c)
     val argValues: List[Any] = c.args.map {
       case IntLit(v) => v
       case DblLit(v) => v
@@ -165,16 +168,69 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
         s"CALL arguments must be literals, got ${Ast.text(other)}")
     }
     val out = Procedures.invoke(graph, c.procedure, argValues)
-    val selected: List[(String, String)] =
-      if (c.yields.isEmpty) out.columns.toList.map(n => (n, n))
-      else c.yields.map { case (name, alias) =>
-        val actual = out.columns.find(_.equalsIgnoreCase(name)).getOrElse(
-          throw CypherParseException(
-            s"procedure '${c.procedure}' yields ${out.columns.mkString(", ")} — no column '$name'"))
-        (actual, alias.getOrElse(name))
-      }
+    val selected = yieldSelection(out, c)
     val df = out.select(selected.map { case (src, as) => col(s"`$src`").as(as) }: _*)
     BindCtx(Some(df), selected.map { case (_, as) => as -> ExprCompiler.KValue }.toMap)
+  }
+
+  /** Resolve the YIELD list against a procedure's output columns
+    * (empty YIELD = all columns, unaliased). */
+  private def yieldSelection(out: DataFrame, c: CallClause): List[(String, String)] =
+    if (c.yields.isEmpty) out.columns.toList.map(n => (n, n))
+    else c.yields.map { case (name, alias) =>
+      val actual = out.columns.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw CypherParseException(
+          s"procedure '${c.procedure}' yields ${out.columns.mkString(", ")} — no column '$name'"))
+      (actual, alias.getOrElse(name))
+    }
+
+  /** Correlated CALL after a binding clause — compiled as a join, never a
+    * per-row re-invocation, so the lateral form shuffles once like any
+    * other join at scale. */
+  private def applyLateralCall(start: BindCtx, c: CallClause): BindCtx = {
+    val df = start.df.get
+    def bindYields(joined: DataFrame, selected: List[(String, String)],
+                   prefix: String): BindCtx = {
+      selected.foreach { case (_, as) =>
+        if (start.scope.contains(as) || df.columns.contains(as))
+          throw CypherParseException(s"YIELD column '$as' is already bound — alias it with AS")
+      }
+      val keep = df.columns.map(n => col(s"`$n`")) ++
+        selected.map { case (src, as) => col(s"`$prefix$src`").as(as) }
+      BindCtx(Some(joined.select(keep.toIndexedSeq: _*)),
+        start.scope ++ selected.map { case (_, as) => as -> ExprCompiler.KValue })
+    }
+    c.procedure.toLowerCase match {
+      case "graft.degree" =>
+        val (v, rest) = c.args match {
+          case Variable(v0) :: tail => (v0, tail)
+          case _ => throw CypherParseException(
+            "correlated CALL graft.degree(node[, 'in'|'out']) needs a bound node variable as its first argument")
+        }
+        if (!start.scope.get(v).contains(ExprCompiler.KNode))
+          throw CypherParseException(s"'$v' is not a bound node variable")
+        val lits: List[Any] = rest.map {
+          case StrLit(s) => s
+          case other => throw CypherParseException(
+            s"CALL arguments after the node variable must be literals, got ${Ast.text(other)}")
+        }
+        val out = Procedures.invoke(graph, c.procedure, lits) // (id, degree)
+        val prefix = fresh("lat") + "_"
+        val prefixed = out.columns.foldLeft(out)((d, n) => d.withColumnRenamed(n, s"$prefix$n"))
+        val joined = df.join(prefixed, col(s"$v.id") === col(s"${prefix}id"), "left")
+        bindYields(joined, yieldSelection(out, c), prefix)
+      case p @ ("graft.counts" | "graft.trianglecount") =>
+        if (c.args.nonEmpty)
+          throw CypherParseException(s"$p takes no arguments")
+        val out = Procedures.invoke(graph, p, Nil) // single row
+        val prefix = fresh("lat") + "_"
+        val prefixed = out.columns.foldLeft(out)((d, n) => d.withColumnRenamed(n, s"$prefix$n"))
+        bindYields(df.crossJoin(broadcast(prefixed)), yieldSelection(out, c), prefix)
+      case other =>
+        throw CypherParseException(
+          "CALL after a binding clause is supported for the lateral-safe procedures only " +
+            s"(graft.degree, graft.counts, graft.triangleCount) — '$other' must be the first clause")
+    }
   }
 
   /** UNWIND list AS var: explode the list into one row per element

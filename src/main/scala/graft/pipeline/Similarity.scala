@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Similarity search over an embedding column (`ARRAY<FLOAT>`).
@@ -107,6 +108,15 @@ object Similarity {
    * similarity to the query; each hop expands frontier along edges,
    * re-scores destinations by embedding similarity, keeps the best
    * beamWidth. An iterative DataFrame loop — each hop is one join.
+   *
+   * The corpus is scored ONCE and persisted (vectors dropped — only
+   * (id, score) survives the scan), and the beam is localCheckpointed per
+   * hop, so the per-hop plan is O(1) regardless of hop count. Without the
+   * checkpoint, `beam` appears twice in each iteration (union + frontier),
+   * embedding ~2^h copies of the seed scan at hop h — exponential plan
+   * growth, the same pathology pageRank's checkpointInterval prevents.
+   * At cluster scale the checkpoint target would be a parquet/Delta table;
+   * the beam itself is beamWidth rows, trivially materializable.
    */
   def beamSearch(nodeEmb: DataFrame, idCol: String, vecCol: String,
                  edges: DataFrame, queryVec: Seq[Float],
@@ -114,11 +124,16 @@ object Similarity {
     val qv = array(queryVec.map(v => lit(v)): _*)
     val scored = nodeEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("score", cosine(col("vec"), qv))
+      .select(col("id"), col("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var beam = scored.orderBy(col("score").desc, col("id").asc).limit(beamWidth)
       .select(col("id"), col("score"), lit(0).as("hop"))
+      .localCheckpoint(true)
     for (h <- 1 to hops) {
       val frontier = beam.select(col("id").as("src"))
-        .join(edges.select(col("src"), col("dst")), Seq("src"))
+        .join(e, Seq("src"))
         .select(col("dst").as("id")).distinct()
       val rescored = frontier.join(scored, Seq("id"))
         .select(col("id"), col("score"), lit(h).as("hop"))
@@ -127,7 +142,12 @@ object Similarity {
           Window.partitionBy("id").orderBy(col("hop").asc)))
         .where(col("rn") === 1).drop("rn")
         .orderBy(col("score").desc, col("id").asc).limit(beamWidth)
+        .localCheckpoint(true)
     }
+    // the final beam is checkpointed (plan-independent), so releasing the
+    // shared inputs cannot trigger recomputation
+    scored.unpersist()
+    e.unpersist()
     beam
   }
 }

@@ -139,6 +139,24 @@ object GraphSources {
       spark.read.parquet(s"$dir/edges"),
       isDirected)
 
+  /**
+   * Embedding-at-ingest (reference `TextEmbedder.h:29-43` wired into the
+   * incremental store): embed a node text property into the graph's
+   * vector-store companion table (id, embedding ARRAY<FLOAT>) via
+   * batched `mapPartitions` calls — see [[graft.pipeline.Embedder]].
+   * Nodes missing the property embed the empty string, mirroring the
+   * reference (which embeds whatever the property bytes are). Call after
+   * [[fromEdgeRecords]]/[[readJsonEdges]] as the optional ingest step;
+   * the result feeds [[graft.pipeline.Similarity]] unchanged.
+   */
+  def embedNodes(g: PropertyGraph, textProp: String,
+                 embedder: graft.pipeline.Embedder, batchSize: Int = 64): DataFrame =
+    graft.pipeline.Embedder.embed(
+      g.nodes.select(col("id"),
+        coalesce(element_at(col("properties"), textProp), lit("")).as("__text")),
+      "__text", embedder, "embedding", batchSize)
+      .select(col("id"), col("embedding"))
+
   /** Build a PropertyGraph from a DataFrame shaped like [[edgeStreamSchema]]
     * (shared by the batch reader and the streaming foreachBatch path). */
   def fromEdgeRecords(parsed: DataFrame, isDirected: Boolean): PropertyGraph = {

@@ -380,6 +380,63 @@ class CypherSpec extends SparkSpec {
     assert(g4.vertexCount === v1 + 1 && g4.edgeCount === e1 + 1)
   }
 
+  test("MERGE ON CREATE SET fires only when the pattern misses") {
+    // pattern misses → node created WITH the ON CREATE properties
+    val (g1, _) = Cypher.execute(g,
+      "MERGE (n:Person {id: '600'}) ON CREATE SET n.status = 'created', n.rank = 7")
+    val made = Cypher.run(g1,
+      "MATCH (n) WHERE n.id = '600' RETURN n.status AS s, n.rank AS r").collect()(0)
+    assert(made.getString(0) === "created" && made.getString(1) === "7")
+    // pattern matches → ON CREATE does not fire
+    val (g2, _) = Cypher.execute(g1,
+      "MERGE (n:Person {id: '600'}) ON CREATE SET n.status = 'again'")
+    val kept = Cypher.run(g2, "MATCH (n) WHERE n.id = '600' RETURN n.status AS s").collect()(0)
+    assert(kept.getString(0) === "created")
+  }
+
+  test("MERGE ON MATCH SET fires only when the pattern matches") {
+    // Charlie (id 2) exists → ON MATCH updates him, nothing created
+    val before = g.vertexCount
+    val (g1, _) = Cypher.execute(g,
+      "MERGE (n:Person {id: '2'}) ON MATCH SET n.seen = 'yes' ON CREATE SET n.seen = 'no'")
+    assert(g1.vertexCount === before)
+    val charlie = Cypher.run(g1, "MATCH (n) WHERE n.id = '2' RETURN n.seen AS s").collect()(0)
+    assert(charlie.getString(0) === "yes")
+    // no other node gained the property
+    assert(Cypher.run(g1, "MATCH (n) WHERE n.seen IS NOT NULL RETURN n.id").count() === 1L)
+    // missing pattern with both arms → ON CREATE wins
+    val (g2, _) = Cypher.execute(g1,
+      "MERGE (n:Person {id: '601'}) ON MATCH SET n.seen = 'yes' ON CREATE SET n.seen = 'no'")
+    val fresh = Cypher.run(g2, "MATCH (n) WHERE n.id = '601' RETURN n.seen AS s").collect()(0)
+    assert(fresh.getString(0) === "no")
+  }
+
+  test("ON CREATE SET referencing a variable outside the MERGE pattern is rejected") {
+    intercept[CypherParseException] {
+      Cypher.execute(g, "MERGE (n:Person {id: '700'}) ON CREATE SET z.status = 'x'")
+    }
+  }
+
+  test("correlated CALL compiles as a lateral join for whitelisted procedures") {
+    // per-row degree: every Person row gains its out-degree column
+    val rows = Cypher.run(g,
+      "MATCH (n:Person) CALL graft.degree(n, 'out') YIELD degree " +
+        "RETURN n.id AS id, degree ORDER BY id").collect()
+    assert(rows.nonEmpty)
+    val expected = graft.algorithms.GraphAlgorithms.outDegrees(g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === expected(r.getString(0))))
+    // single-row procedure attaches via broadcast cross join
+    val counted = Cypher.run(g,
+      "MATCH (n:Person) CALL graft.counts() YIELD vertices " +
+        "RETURN n.id AS id, vertices ORDER BY id").collect()
+    assert(counted.forall(_.getLong(1) === g.vertexCount))
+    // non-whitelisted procedures after a binding clause stay rejected
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH (n) CALL db.labels() YIELD label RETURN label")
+    }
+  }
+
   test("RETURN DISTINCT and UNION work on entity variables (dedup by id)") {
     // struct columns contain MAP<STRING,STRING>; a naive dropDuplicates
     // throws AnalysisException — entity dedup must key on id/eid
@@ -440,10 +497,20 @@ class CypherSpec extends SparkSpec {
     val marked = g4.edges.where(element_at(col("properties"), "strength") === "high").count()
     assert(marked > 0)
 
-    // plain DELETE refuses on connected nodes; DETACH DELETE cascades
-    intercept[CypherParseException] {
-      Cypher.execute(g4, "MATCH (n) WHERE n.id = '10' DELETE n")
+    // plain DELETE refuses on connected nodes; DETACH DELETE cascades.
+    // The refusal is a PLAN-EMBEDDED guard (no DELETE-specific driver
+    // action): it fires on the first materialization of the mutated
+    // graph — under AQE that is the statement's own lineage-truncation
+    // checkpoint inside execute(); without AQE it is the first user
+    // action. The intercept spans both so the spec holds either way.
+    val deleteErr = intercept[Exception] {
+      val (gBad, _) = Cypher.execute(g4, "MATCH (n) WHERE n.id = '10' DELETE n")
+      gBad.nodes.count()
     }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(deleteErr).exists(_.contains("DETACH DELETE")),
+      s"expected the DELETE guard message, got: $deleteErr")
     val (g5, _) = Cypher.execute(g4, "MATCH (n) WHERE n.id = '10' DETACH DELETE n")
     assert(g5.vertexCount === 19L)
     assert(g5.edges.where(col("src") === "10" || col("dst") === "10").count() === 0L)

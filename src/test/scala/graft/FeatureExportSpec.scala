@@ -53,6 +53,38 @@ class FeatureExportSpec extends SparkSpec {
     assert(missingHome === 0L)
   }
 
+  test("golden fixture: per-partition CSVs match the committed expectation (ghosts included)") {
+    // committed tiny graph (6 nodes, 6 edges) + committed expected CSV
+    // contents per partition, loaded the way fl_server.py:225-256 loads
+    // them (CSV with header; row order is not part of the contract, so
+    // data lines compare as sets). xxhash64 homes: n1,n2,n3 → p0 and
+    // n4,n5,n6 → p1; the p0 edge n1→n4 makes n4 a ghost in p0, and the
+    // p1 edges n5→n3 / n6→n1 make n3 and n1 ghosts in p1.
+    def resource(name: String): java.nio.file.Path =
+      java.nio.file.Paths.get(getClass.getResource(s"/feature_export/$name").toURI)
+    import scala.jdk.CollectionConverters._
+    def expectedLines(name: String): Set[String] =
+      java.nio.file.Files.readAllLines(resource(name)).asScala.drop(1).toSet
+    def producedLines(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+        .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala.drop(1)).toSet
+    val gg = GraphSources.readJsonEdges(spark, resource("graph.json").toString)
+    val out = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    try {
+      val feats = FeatureExport.featuresFromProperties(gg, Seq("age"))
+      FeatureExport.writeTrainingData(gg, feats, numPartitions = 2, out)
+      for (p <- 0 to 1) {
+        assert(producedLines(s"$out/nodes/partition_id=$p") ===
+          expectedLines(s"expected_nodes_partition$p.csv"), s"nodes partition $p")
+        assert(producedLines(s"$out/edges/partition_id=$p") ===
+          expectedLines(s"expected_edges_partition$p.csv"), s"edges partition $p")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("writeTrainingData lays out per-partition CSV directories") {
     val out = java.nio.file.Files.createTempDirectory("graft-ml").toString
     try {

@@ -127,4 +127,20 @@ class GraphCoreSpec extends SparkSpec {
     assert(GraphCatalog("pg").vertexCount === 4941L)
     assert(GraphCatalog.list.contains("pg"))
   }
+
+  test("embedding-at-ingest: embedNodes builds the vector-store companion table") {
+    // the reference embeds node text into its vector store at ingest
+    // (TextEmbedder.h wired into the incremental store); here the seam is
+    // a batched mapPartitions step over the ingested graph's nodes
+    val emb = new graft.pipeline.Embedder.HashEmbedder(dim = 12)
+    val vecs = GraphSources.embedNodes(fixture, "name", emb)
+    assert(vecs.columns.toSeq === Seq("id", "embedding"))
+    assert(vecs.count() === fixture.vertexCount)
+    val a = vecs.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(a.values.forall(_.length === 12))
+    // deterministic across invocations (same stub, same texts)
+    val b = GraphSources.embedNodes(fixture, "name", emb)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(a === b)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Embedder, Multimodal, Similarity, TextAnalysis}
 
 /** Pipeline operators over the driver's documents/embeddings tables (sf0.001). */
 class PipelineSpec extends SparkSpec {
@@ -142,6 +142,38 @@ class PipelineSpec extends SparkSpec {
     val beam = Similarity.beamSearch(nodeEmb, "id", "embedding", edges, q, beamWidth = 10, hops = 2)
     assert(beam.count() <= 10)
     assert(beam.columns.toSet === Set("id", "score", "hop"))
+  }
+
+  test("beam search stays bounded at hops=8 (per-hop checkpoint: no exponential plan growth)") {
+    val edges = embs.limit(200).select(
+      col("vec_id").cast("string").as("src"),
+      ((col("vec_id") + 7) % 100).cast("string").as("dst"))
+    val nodeEmb = embs.select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val q = embs.limit(1).collect()(0).getSeq[Float](1)
+    // pre-fix this embedded ~2^8 copies of the corpus scan in the plan and
+    // re-scored the corpus every hop; with the checkpointed beam it is 8
+    // constant-size iterations
+    val t0 = System.nanoTime()
+    val beam = Similarity.beamSearch(nodeEmb, "id", "embedding", edges, q, beamWidth = 10, hops = 8)
+    val n = beam.count()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(n <= 10)
+    assert(elapsedSec < 120.0, s"hops=8 beam search took ${elapsedSec}s — plan growth regression?")
+  }
+
+  test("embedder seam: deterministic stub, batching, null texts, schema") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"),
+      (4L, null.asInstanceOf[String]), (5L, "")).toDF("id", "text")
+    val out = Embedder.embed(docs, "text", new Embedder.HashEmbedder(dim = 8), batchSize = 2)
+    assert(out.columns.toSeq === Seq("id", "text", "embedding"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(m.values.forall(_.length === 8))
+    assert(m(1L) === m(2L), "same text must embed identically")
+    assert(m(1L) !== m(3L))
+    assert(m(4L) === m(5L), "null text embeds as empty string")
+    val norm = math.sqrt(m(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"stub vectors are unit-norm, got $norm")
   }
 
   test("langId picks the language with most marker hits") {
