@@ -557,6 +557,37 @@ object Queries {
              |SELECT qid, vec_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine, rank
              |FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))),
 
+    // IVF with TRAINED centroids (k-means, round-4 closure of the
+    // "probe-only IVF" gap): Similarity.trainCentroids learns k=8
+    // spherical-k-means centroids from the corpus itself, then the same
+    // assign→probe pipeline runs over them. Probing ALL 8 clusters makes
+    // the result exactly the brute-force top-k whatever the trained
+    // centroids are — so the brute-force DuckDB oracle proves the whole
+    // train→assign→probe pipeline loses nothing (exactness-at-full-probe,
+    // the alg_knn_ivf technique; training quality itself is spec-tested
+    // on separated blobs where the learned partition is checkable).
+    "alg_knn_ivf_trained" -> ((
+      (s: SparkSession, d: String) => {
+        val embs = t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val centroids = Similarity.trainCentroids(embs, "vec_id", "vec", k = 8, iters = 5)
+        val clustered = Similarity.assignClusters(embs, "vec_id", "vec", centroids, "cid", "cvec")
+        val queries = embs.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.knnIvf(clustered, "vec_id", "vec", centroids, "cid", "cvec",
+          queries, "qid", "qvec", k = 10, nprobe = 8)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+             |q AS (SELECT vec_id AS qid, vec AS qvec FROM c WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id, list_cosine_similarity(c.vec, q.qvec) AS cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY q.qid
+             |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS rank
+             |  FROM c CROSS JOIN q)
+             |SELECT qid, vec_id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine, rank
+             |FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))),
+
     // GraphX connected components, oracled on the bipartite nation—region
     // graph (5 components, diameter 2). GraphX's internal component ids
     // are remapped to min(node id) per component so both engines name

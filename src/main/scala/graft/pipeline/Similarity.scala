@@ -75,6 +75,79 @@ object Similarity {
   }
 
   /**
+   * Lloyd's k-means, spherical (cosine) variant — the IVF training step:
+   * [[assignClusters]]/[[knnIvf]] take any (cid, cvec) frame, this
+   * produces one from the data. Parity-plus: the reference's FAISS
+   * wrapper is flat-L2 with no training either
+   * (`src/vectorstore/FaissIndex.h:20-53`).
+   *
+   * Deterministic seeding: the k corpus vectors with the smallest ids,
+   * L2-normalized. Each iteration assigns every vector to its nearest
+   * centroid (broadcast k×dim frame, one corpus pass) and recomputes
+   * each centroid as the L2-normalized mean of its members via a single
+   * posexplode + groupBy(cluster, pos) aggregate; only k×dim doubles
+   * travel to the driver per iteration. Empty clusters keep their
+   * previous centroid. Early-stops when no centroid moves more than
+   * `tol` in any coordinate.
+   *
+   * Scale note: train on a sample (`corpus.sample(...)`) as standard
+   * IVF practice — assignment is O(n·k) per iteration while driver
+   * traffic stays k×dim regardless of corpus size; the corpus is
+   * persisted across iterations and released on return.
+   */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 10, tol: Double = 1e-9): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    val base = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast(DoubleType)).as("raw"))
+      .where(col("raw").isNotNull && size(col("raw")) > 0)
+      .withColumn("n", l2norm(col("raw")))
+      .where(col("n") > 0) // zero-norm vectors train nothing (and ANSI
+      .select(col("id"), // divide-by-zero would throw before any filter)
+        transform(col("raw"), x => x / col("n")).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def centroidDf(cents: Array[Array[Double]]): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      val rows = cents.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i, v.toSeq)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    }
+    var cents: Array[Array[Double]] = base.orderBy(col("id")).limit(k)
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == k,
+      s"need at least k=$k distinct non-zero vectors, found ${cents.length}")
+    var moved = true
+    var it = 0
+    while (moved && it < iters) {
+      it += 1
+      val assigned = assignClusters(base, "id", "vec", centroidDf(cents), "cid", "cvec")
+      val sums = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        val mean = new Array[Double](cents(cid).length)
+        rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        if (n > 0) next(cid) = mean.map(_ / n) // else: empty/degenerate keeps previous
+      }
+      moved = cents.zip(next).exists { case (a, b) =>
+        a.zip(b).exists { case (x, y) => math.abs(x - y) > tol }
+      }
+      cents = next
+    }
+    base.unpersist()
+    centroidDf(cents)
+  }
+
+  /**
    * IVF-style search: per query, rank centroids, keep nprobe nearest,
    * scan only corpus rows assigned to those clusters. `clustered` is the
    * output of [[assignClusters]]. Recall < 1 by design; the brute-force

@@ -133,6 +133,56 @@ class PipelineSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("k-means training separates well-separated blobs and normalizes centroids") {
+    import spark.implicits._
+    // two orthogonal blobs in 4-d: axis-0-ish vectors and axis-2-ish
+    // vectors, with small deterministic jitter on a neighbor axis
+    val rows = (0 until 20).map { i =>
+      val j = 0.1 * (i % 5) / 5.0
+      if (i % 2 == 0) (i.toLong, Seq(1.0, j, 0.0, 0.0))
+      else (i.toLong, Seq(0.0, 0.0, 1.0, j))
+    }
+    val df = rows.toDF("id", "vec")
+    val cents = Similarity.trainCentroids(df, "id", "vec", k = 2, iters = 10)
+    val got = cents.orderBy("cid").collect()
+    assert(got.length === 2)
+    // unit-norm centroids
+    got.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // the learned partition puts each blob wholly in one cluster
+    val assigned = Similarity.assignClusters(df, "id", "vec", cents, "cid", "cvec")
+      .select(col("id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val blobA = (0 until 20 by 2).map(i => assigned(i.toLong)).toSet
+    val blobB = (1 until 20 by 2).map(i => assigned(i.toLong)).toSet
+    assert(blobA.size === 1 && blobB.size === 1 && blobA != blobB)
+  }
+
+  test("k-means training skips null/empty/zero vectors and full-probe IVF stays exact") {
+    import spark.implicits._
+    val dirty = Seq(
+      (100L, Seq(0.0, 0.0, 0.0, 0.0)), // zero norm — must not poison training
+      (101L, null.asInstanceOf[Seq[Double]]),
+      (102L, Seq.empty[Double])
+    ).toDF("id", "vec")
+    val clean = (0 until 12).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.5), math.sin(i * 0.5), 0.2 * (i % 3), 0.1)))
+      .toDF("id", "vec")
+    val corpus = clean.unionByName(dirty)
+    val cents = Similarity.trainCentroids(corpus, "id", "vec", k = 3, iters = 5)
+    assert(cents.count() === 3)
+    val clustered = Similarity.assignClusters(clean, "id", "vec", cents, "cid", "cvec")
+    val queries = clean.limit(2).select(col("id").as("qid"), col("vec").as("qvec"))
+    val ivf = Similarity.knnIvf(clustered, "id", "vec", cents, "cid", "cvec",
+      queries, "qid", "qvec", k = 4, nprobe = 3)
+    val brute = Similarity.knnCosine(clean, "id", "vec", queries, "qid", "qvec", k = 4)
+    val a = ivf.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = brute.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("beam search expands over graph edges and respects beam width") {
     val edges = embs.limit(200).select(
       col("vec_id").cast("string").as("src"),
