@@ -137,7 +137,7 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, prefilterMargin: Double = 0.25): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val (as, bs) = hashParams(numHashes)
@@ -161,18 +161,53 @@ object Dedup {
 
     val l = banded.select(col("band"), col("bucket"), col("id").as("idA"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("idB"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    val collided = l.join(r, Seq("band", "bucket"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"))
       .distinct()
 
+    // Signature-agreement prefilter: the banding S-curve at r rows/band is
+    // permissive well below the threshold (r=4 collides j≈0.3 pairs at
+    // ~1% per band), and every surviving candidate costs |A|+|B| posting
+    // rows in the exact-verify join — the dominant term when the corpus
+    // has broad template overlap. The estimated jaccard (fraction of the
+    // numHashes already-computed mins agreeing — a codegen'd sum of
+    // equality flags, ~numHashes ops per PAIR instead of per shingle)
+    // drops candidates more than `prefilterMargin` below the threshold.
+    // At 64 hashes the estimator's σ is ≤ 0.0625, so the default margin
+    // of 0.25 is a ≥4σ guard: miss probability ~3e-7 per true pair —
+    // orders of magnitude below the banding's own miss rate (~2e-4 at
+    // j = 0.8), i.e. strictly within the existing LSH recall budget.
+    // The signature aggregate is the same exchange the banding read, so
+    // Spark reuses it rather than recomputing (ReusedExchange).
+    val minAgree = math.ceil((threshold - prefilterMargin) * numHashes)
+    val candidates = if (minAgree <= 0) collided else {
+      val aSig = sigs.select(col("id").as("idA") +:
+        (0 until numHashes).map(i => col(s"s$i").as(s"a$i")): _*)
+      val bSig = sigs.select(col("id").as("idB") +:
+        (0 until numHashes).map(i => col(s"s$i").as(s"b$i")): _*)
+      val agree = (0 until numHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      collided.join(aSig, Seq("idA")).join(bSig, Seq("idB"))
+        .where(agree >= lit(minAgree))
+        .select(col("idA"), col("idB"))
+    }
+
     // exact verification touches only the docs that appear in some
-    // candidate pair — semi-join BEFORE the distinct, so the dedup
-    // shuffle runs over the (much smaller) candidate corpus only
+    // candidate pair — and the semi-join runs against the DOCUMENTS
+    // table, BEFORE the shingle explode. Semi-joining the exploded
+    // posting instead would re-run the full-corpus shingle generation
+    // a second time (Catalyst cannot push a join through the generate),
+    // doubling the dominant cost; here the verify-side explode touches
+    // candidate docs only, and the posting-dedup distinct runs over that
+    // same small corpus.
     val candDocs = candidates.select(col("idA").as("id"))
       .unionByName(candidates.select(col("idB").as("id")))
       .distinct()
-    val posting = rawPosting.join(candDocs, Seq("id"), "left_semi").distinct()
+    val candCorpus = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candDocs, Seq("id"), "left_semi")
+    val posting = shinglePosting(candCorpus, "__text", "id", shingleSize, dedup = true)
     verifyJaccard(candidates, posting, threshold)
   }
 
