@@ -418,7 +418,41 @@ object Queries {
         """SELECT n.id, COUNT(e.src) AS degree FROM nodes n
           |LEFT JOIN edges e ON n.id = e.src
           |WHERE n.label = 'Customer'
-          |GROUP BY n.id ORDER BY n.id""".stripMargin)))))
+          |GROUP BY n.id ORDER BY n.id""".stripMargin)))),
+
+    // List comprehension [x IN list WHERE pred | proj] (reference grammar
+    // parses comprehensions, planner TODO) — filter + transform HOFs;
+    // UNWIND flattens the result so the oracle compares scalar rows.
+    "cy_list_comp" -> ((
+      cy("MATCH (n:Nation) " +
+        "UNWIND [x IN split(n.name, 'A') WHERE x <> '' | toLower(x)] AS part " +
+        "RETURN n.name AS name, part ORDER BY name, part"),
+      Some("""WITH p AS (SELECT n_name AS name,
+             |  unnest(list_filter(string_split(n_name, 'A'), x -> x <> '')) AS part
+             |  FROM nation)
+             |SELECT name, lower(part) AS part FROM p ORDER BY name, part""".stripMargin))),
+
+    // Pattern predicate in WHERE → LEFT SEMI join (openCypher pattern
+    // expression; reference grammar-only). The endpoint is property-
+    // constrained because the synthetic data references every key —
+    // structural EXISTS would never be empty.
+    "cy_pattern_exists" -> ((
+      cy("MATCH (c:Customer) WHERE c.acctbal > 9000.0 AND " +
+        "(c)-[:PLACED]->(:Order {status: 'F'}) RETURN c.id AS id ORDER BY id"),
+      Some("""SELECT 'c' || c_custkey AS id FROM customer
+             |WHERE c_acctbal > 9000 AND EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = customer.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY id""".stripMargin))),
+
+    // NOT pattern → LEFT ANTI join (71 customers lack an 'F' order at
+    // sf0.01 — nonempty on both sides).
+    "cy_pattern_not_exists" -> ((
+      cy("MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->(:Order {status: 'F'}) " +
+        "RETURN c.id AS id ORDER BY id"),
+      Some("""SELECT 'c' || c_custkey AS id FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = customer.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY id""".stripMargin))))
 
   // ======================================================================
   // Graph algorithms (SURVEY.md §2.3)

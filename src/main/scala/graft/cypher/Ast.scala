@@ -38,6 +38,15 @@ object Ast {
   final case class Arith(op: String, left: Expr, right: Expr) extends Expr // + - * / % ^
   final case class Neg(child: Expr) extends Expr
   /** CASE [subject] WHEN v THEN r ... [ELSE d] END — simple and searched. */
+  /** List comprehension `[v IN list WHERE pred | proj]` (WHERE and the
+    * projection each optional). The reference grammar parses these
+    * (`ASTBuilder.h:139-183`) with no planner support; executable here
+    * via Spark's filter/transform higher-order functions. */
+  final case class ListComp(variable: String, list: Expr,
+      where: Option[Expr], proj: Option[Expr]) extends Expr
+  /** Pattern used as a boolean predicate in WHERE — `(n)-[:T]->(:L)` or
+    * `exists((n)-...)`; compiled to a semi/anti join by the planner. */
+  final case class PatternPred(path: PathPattern) extends Expr
   final case class CaseExpr(subject: Option[Expr], whens: List[(Expr, Expr)],
       otherwise: Option[Expr]) extends Expr
 
@@ -90,6 +99,13 @@ object Ast {
       "CASE" + subj.map(" " + text(_)).getOrElse("") +
         whens.map { case (w, t) => s" WHEN ${text(w)} THEN ${text(t)}" }.mkString +
         els.map(" ELSE " + text(_)).getOrElse("") + " END"
+    case ListComp(v, l, w, pr) =>
+      s"[$v IN ${text(l)}" + w.map(" WHERE " + text(_)).getOrElse("") +
+        pr.map(" | " + text(_)).getOrElse("") + "]"
+    case PatternPred(path) =>
+      val hops = path.hops.map { case (r, n) =>
+        s"-[${r.types.mkString("|")}]-${n.labels.mkString(":")}" }.mkString
+      s"(${path.start.variable.getOrElse("")})$hops"
   }
 
   // ----- patterns ---------------------------------------------------------

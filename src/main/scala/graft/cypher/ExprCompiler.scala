@@ -41,15 +41,23 @@ object ExprCompiler {
 
   final case class Typed(col: Column, kind: Kind)
 
-  /** Which variables are bound to nodes vs relationships. */
-  final case class Scope(vars: Map[String, Kind]) {
+  /** Which variables are bound to nodes vs relationships. `lambdas` are
+    * list-comprehension element variables, bound to the enclosing
+    * higher-order function's lambda Column; they shadow outer bindings
+    * for the comprehension's extent. */
+  final case class Scope(vars: Map[String, Kind],
+      lambdas: Map[String, Column] = Map.empty) {
     def kindOf(v: String): Kind =
       vars.getOrElse(v, throw CypherParseException(s"undefined variable '$v'"))
+    def withLambda(v: String, c: Column): Scope = copy(lambdas = lambdas + (v -> c))
   }
 
   /** Value-mode compilation: expression → column (used by RETURN items,
     * ORDER BY keys, property-map literals and WHERE subtrees alike). */
   def compile(e: Expr, scope: Scope): Typed = e match {
+    case Variable(v) if scope.lambdas.contains(v) =>
+      // comprehension element: coerces contextually like a property value
+      Typed(scope.lambdas(v), KPropStr)
     case Variable(v) =>
       scope.kindOf(v) match {
         // WITH-projected scalars coerce contextually like property values
@@ -75,6 +83,28 @@ object ExprCompiler {
     case NullLit => Typed(lit(null).cast(StringType), KNull)
     case ListLit(xs) =>
       Typed(array(xs.map(x => compile(x, scope).col): _*), KOther)
+
+    // [v IN list WHERE pred | proj] → filter/transform higher-order
+    // functions with the element variable lambda-bound. The captured
+    // outer columns are plain attribute reads (cheap per element); the
+    // per-element work is exactly the predicate/projection itself.
+    case ListComp(v, lst, where, proj) =>
+      val listCol = compile(lst, scope).col
+      val filtered = where match {
+        case Some(w) =>
+          filter(listCol, x => compile(w, scope.withLambda(v, x)).col.try_cast(BooleanType))
+        case None => listCol
+      }
+      val projected = proj match {
+        case Some(pe) => transform(filtered, x => compile(pe, scope.withLambda(v, x)).col)
+        case None => filtered
+      }
+      Typed(projected, KOther)
+
+    case PatternPred(_) =>
+      throw CypherParseException(
+        "pattern predicates are supported as top-level WHERE conjuncts only " +
+          "(optionally under NOT / exists(...)) — not nested inside other expressions")
 
     case Func(name, args) => compileFunc(name, args, scope)
 
@@ -175,6 +205,14 @@ object ExprCompiler {
       }
     case ("startnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.src"), KPropStr)
     case ("endnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.dst"), KPropStr)
+    // exists(n.prop) — property existence (openCypher 9). The pattern
+    // form exists((n)-[:T]->()) is handled by the planner as a semi-join;
+    // reaching here with one means it was nested inside another expression.
+    case ("exists", List(prop @ Property(_, _))) =>
+      Typed(compile(prop, scope).col.isNotNull, KBool)
+    case ("exists", List(PatternPred(_))) =>
+      throw CypherParseException(
+        "exists(pattern) is supported as a top-level WHERE conjunct only")
     // common scalar functions (parity-plus; reference implements only id())
     case ("toupper", List(a)) => Typed(upper(strOf(compile(a, scope))), KStr)
     case ("tolower", List(a)) => Typed(lower(strOf(compile(a, scope))), KStr)
@@ -215,7 +253,7 @@ object ExprCompiler {
         s"function '$name'/${args.length} not supported (reference implements only id(); we add " +
           "type, labels, properties, toFloat, toInteger, toString, size, startNode, endNode, " +
           "toUpper, toLower, trim, lTrim, rTrim, reverse, replace, substring, split, coalesce, " +
-          "abs, sign, ceil, floor, sqrt, round)")
+          "abs, sign, ceil, floor, sqrt, round, exists)")
   }
 
   private def strOf(t: Typed): Column = t.col.cast(StringType)

@@ -466,11 +466,29 @@ object Parser {
   private def parseAtomOrList(p: P): Expr =
     if (p.atSym("[")) {
       p.expectSym("[")
-      val xs = List.newBuilder[Expr]
-      if (!p.atSym("]")) { xs += parseExpr(p); while (p.eatSym(",")) xs += parseExpr(p) }
-      p.expectSym("]")
-      ListLit(xs.result())
+      parseListBody(p)
     } else parseAdd(p)
+
+  /** After `[`: list literal or comprehension. `[x IN l ...]` parses the
+    * first element as an In-expression; a following `]`, `WHERE` or `|`
+    * (i.e. anything but `,`) makes it a comprehension, per openCypher. */
+  private def parseListBody(p: P): Expr = {
+    if (p.atSym("]")) { p.next(); return ListLit(Nil) }
+    val first = parseExpr(p)
+    first match {
+      case In(Variable(v), lst) if !p.atSym(",") =>
+        val where = if (p.atKw("WHERE")) { p.next(); Some(parseExpr(p)) } else None
+        val proj = if (p.eatSym("|")) Some(parseExpr(p)) else None
+        p.expectSym("]")
+        ListComp(v, lst, where, proj)
+      case _ =>
+        val xs = List.newBuilder[Expr]
+        xs += first
+        while (p.eatSym(",")) xs += parseExpr(p)
+        p.expectSym("]")
+        ListLit(xs.result())
+    }
+  }
 
   private def parseAdd(p: P): Expr = {
     var l = parseMul(p)
@@ -519,14 +537,27 @@ object Parser {
     case Kw("FALSE", _) => BoolLit(false)
     case Kw("NULL", _) => NullLit
     case Sym("(") =>
-      val e = parseExpr(p)
-      p.expectSym(")")
-      e
-    case Sym("[") =>
-      val xs = List.newBuilder[Expr]
-      if (!p.atSym("]")) { xs += parseExpr(p); while (p.eatSym(",")) xs += parseExpr(p) }
-      p.expectSym("]")
-      ListLit(xs.result())
+      // `(` opens either a parenthesized expression or a pattern
+      // predicate `(n)-[:T]->(:L)`. Try the pattern first with
+      // backtracking (the parser is an index over a token vector, so
+      // rewinding is free); a path with ≥1 hop is a pattern predicate,
+      // anything else — including a bare `(x)` — is an expression.
+      val mark = p.pos - 1
+      val asPattern =
+        try {
+          p.pos = mark
+          val path = parsePath(p)
+          if (path.hops.nonEmpty) Some(PatternPred(path)) else None
+        } catch { case _: CypherParseException => None }
+      asPattern match {
+        case Some(pp) => pp
+        case None =>
+          p.pos = mark + 1
+          val e = parseExpr(p)
+          p.expectSym(")")
+          e
+      }
+    case Sym("[") => parseListBody(p)
     case Ident(name) =>
       p.peek match {
         case Some(Sym("(")) =>

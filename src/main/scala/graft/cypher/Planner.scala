@@ -71,11 +71,70 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     if (m.optional && start.df.nonEmpty) return applyOptionalMatch(start, m)
     var ctx = start
     m.paths.foreach { path => ctx = compilePath(path, ctx) }
-    m.where.foreach { w =>
-      val cond = ExprCompiler.compile(w, Scope(ctx.scope)).col.try_cast(BooleanType)
+    m.where.foreach { w => ctx = applyWhere(ctx, w) }
+    ctx
+  }
+
+  /** WHERE handling: top-level conjuncts that are pattern predicates —
+    * `(n)-[:T]->(:L)`, `exists(pattern)`, possibly under NOT — become
+    * semi/anti joins; everything else recombines into one scalar filter.
+    * A pattern nested deeper (e.g. under OR) is rejected with a clear
+    * message by the expression compiler. */
+  private def applyWhere(start: BindCtx, w: Ast.Expr): BindCtx = {
+    def conjuncts(e: Ast.Expr): List[Ast.Expr] = e match {
+      case Ast.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => List(other)
+    }
+    def patternOf(e: Ast.Expr, negated: Boolean): Option[(PathPattern, Boolean)] = e match {
+      case Ast.PatternPred(p) => Some((p, negated))
+      case Ast.Func(n, List(Ast.PatternPred(p))) if n.equalsIgnoreCase("exists") =>
+        Some((p, negated))
+      case Ast.Not(inner) => patternOf(inner, !negated)
+      case _ => None
+    }
+    val (patterns, scalars) = conjuncts(w).partition(patternOf(_, negated = false).isDefined)
+    var ctx = start
+    scalars.reduceOption(Ast.And.apply).foreach { s =>
+      val cond = ExprCompiler.compile(s, Scope(ctx.scope)).col.try_cast(BooleanType)
       ctx = ctx.copy(df = Some(ctx.df.getOrElse(emptyRow()).filter(cond)))
     }
+    patterns.foreach { pe =>
+      val (path, negated) = patternOf(pe, negated = false).get
+      ctx = applyPatternPredicate(ctx, path, negated)
+    }
     ctx
+  }
+
+  /**
+   * Pattern predicate (parity-plus — the reference grammar parses pattern
+   * expressions, planner TODO): compile the pattern as a standalone
+   * subplan, then LEFT SEMI (or LEFT ANTI under NOT) join the running
+   * binding on the shared variables' ids. Per openCypher, variables
+   * introduced inside the predicate do not bind outside it — a semi join
+   * keeps only the outer columns, so that falls out of the join shape.
+   * At scale this is one equi-join shuffle on the shared ids, never a
+   * per-row re-execution.
+   */
+  private def applyPatternPredicate(start: BindCtx, path: PathPattern,
+                                    negated: Boolean): BindCtx = {
+    val sub = compilePath(path, BindCtx(None, Map.empty))
+    val shared = sub.scope.keySet.intersect(start.scope.keySet).toSeq.sorted
+      .filterNot(_.startsWith("__"))
+    shared.foreach { v =>
+      if (sub.scope(v) != start.scope(v))
+        throw CypherParseException(
+          s"variable '$v' rebound with a different kind in a pattern predicate")
+    }
+    val pruned =
+      if (shared.isEmpty) sub.df.get.select(lit(1).as("__pp"))
+      else sub.df.get.select(shared.map(v => col(s"`$v`").as(s"__pp_$v")): _*)
+    val joinCond = shared.map { v =>
+      val key = if (start.scope(v) == KRel) "eid" else "id"
+      col(s"$v.$key") === col(s"__pp_$v.$key")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val joined = start.df.getOrElse(emptyRow())
+      .join(pruned, joinCond, if (negated) "left_anti" else "left_semi")
+    start.copy(df = Some(joined))
   }
 
   /**
@@ -89,10 +148,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
   private def applyOptionalMatch(start: BindCtx, m: MatchClause): BindCtx = {
     var sub = BindCtx(None, Map.empty)
     m.paths.foreach { path => sub = compilePath(path, sub) }
-    m.where.foreach { w =>
-      val cond = ExprCompiler.compile(w, Scope(sub.scope)).col.try_cast(BooleanType)
-      sub = sub.copy(df = Some(sub.df.getOrElse(emptyRow()).filter(cond)))
-    }
+    m.where.foreach { w => sub = applyWhere(sub, w) }
     val shared = sub.scope.keySet.intersect(start.scope.keySet).toSeq.sorted
       .filterNot(_.startsWith("__"))
     shared.foreach { v =>

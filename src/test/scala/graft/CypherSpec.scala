@@ -589,4 +589,78 @@ class CypherSpec extends SparkSpec {
     assert(rows(0).getString(0) === "Fiona")
     assert(rows(0).getDouble(1) === 50.0)
   }
+
+  test("list comprehensions: identity, filter, projection, shadowing") {
+    // Charlie → split on 'r' → ["Cha", "lie"] → upper-projected
+    val proj = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '2' RETURN [x IN split(n.name, 'r') | toUpper(x)] AS parts")
+      .collect()(0).getSeq[String](0)
+    assert(proj === Seq("CHA", "LIE"))
+    // filter without projection, over a literal list (coerced numerically)
+    val cnt = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '2' RETURN size([x IN [1, 2, 3, 4] WHERE x > 2]) AS c")
+      .collect()(0)
+    assert(cnt.getInt(0) === 2)
+    // identity comprehension == the list itself
+    val ident = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '2' RETURN [x IN split(n.name, 'r')] AS parts")
+      .collect()(0).getSeq[String](0)
+    assert(ident === Seq("Cha", "lie"))
+    // the element variable shadows an outer binding for the comprehension
+    val shadow = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '2' RETURN [n IN ['a', 'b'] | toUpper(n)] AS l")
+      .collect()(0).getSeq[String](0)
+    assert(shadow === Seq("A", "B"))
+    // a comma after the In-expression still parses as a list literal
+    val lit2 = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '2' RETURN size([n.id IN ['2'], true]) AS c")
+      .collect()(0)
+    assert(lit2.getInt(0) === 2)
+  }
+
+  test("pattern predicates compile to semi/anti joins") {
+    // ground truth from the expand form
+    val neighborIds = Cypher.run(g,
+      "MATCH (n)-[:NEIGHBORS]-(m) WHERE m.name = 'Fiona' RETURN DISTINCT n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(neighborIds.nonEmpty)
+    val exists = Cypher.run(g,
+      "MATCH (n) WHERE (n)-[:NEIGHBORS]-(m {name: 'Fiona'}) RETURN n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(exists === neighborIds)
+    // exists(pattern) function form is the same plan
+    val existsFn = Cypher.run(g,
+      "MATCH (n) WHERE exists((n)-[:NEIGHBORS]-(m {name: 'Fiona'})) RETURN n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(existsFn === neighborIds)
+    // NOT pattern → anti join, complements within the 20 nodes
+    val notExists = Cypher.run(g,
+      "MATCH (n) WHERE NOT (n)-[:NEIGHBORS]-(m {name: 'Fiona'}) RETURN n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(notExists === g.nodes.select("id").collect().map(_.getString(0)).toSet -- neighborIds)
+    // pattern variables do not bind outside the predicate
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH (n) WHERE (n)-[:NEIGHBORS]-(m {name: 'Fiona'}) RETURN m.id")
+    }
+    // combined with a scalar conjunct
+    val mixed = Cypher.run(g,
+      "MATCH (n) WHERE n.id < 5 AND (n)-[:NEIGHBORS]-(m {name: 'Fiona'}) RETURN n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(mixed === neighborIds.filter(_.toInt < 5))
+    // a pattern with no shared variable gates on (non)emptiness
+    assert(Cypher.run(g,
+      "MATCH (n) WHERE (x:NoSuchLabel)-[:NEIGHBORS]-(y) RETURN n.id").count() === 0L)
+    assert(Cypher.run(g,
+      "MATCH (n) WHERE (x:Person)-[:NEIGHBORS]-(y) RETURN n.id").count() === 20L)
+    // nested under OR → clear rejection, not silent misplan
+    intercept[CypherParseException] {
+      Cypher.run(g,
+        "MATCH (n) WHERE n.id = '1' OR (n)-[:NEIGHBORS]-(m {name: 'Fiona'}) RETURN n.id")
+    }
+    // exists(n.prop) scalar form still works
+    val withAge = Cypher.run(g,
+      "MATCH (n) WHERE exists(n.age) RETURN n.name AS name")
+      .collect().map(_.getString(0)).toSet
+    assert(withAge === Set("Fiona"))
+  }
 }
