@@ -672,7 +672,36 @@ object Queries {
         import s.implicits._
         totals.toDF("batch", "triangles")
       },
-      Some(strianOracleSql))))
+      Some(strianOracleSql))),
+
+    // Single-source shortest paths (BFS, parity-plus). Graph: the dense
+    // mod-2000 order—part projection of lineitem (the canonical hashGraph
+    // is too fragmented for an interesting BFS — avg degree < 1), expanded
+    // undirected, source '0', hop cap 6 on BOTH sides. The oracle replays
+    // the BFS as a bounded recursive CTE and takes MIN(dist) per vertex —
+    // any walk of length ℓ ≤ 6 reaching a vertex witnesses shortest ≤ ℓ,
+    // so the minima agree exactly with the frontier BFS.
+    "alg_shortest_paths" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .select((col("l_orderkey") % 2000).cast(StringType).as("src"),
+            (col("l_partkey") % 2000).cast(StringType).as("dst"))
+          .where(col("src") =!= col("dst")).distinct()
+        GraphAlgorithms.shortestPaths(eb, "0", maxHops = 6)
+          .orderBy(col("id").cast(LongType))
+      },
+      Some("""WITH RECURSIVE eb AS (
+              |  SELECT DISTINCT CAST(l_orderkey % 2000 AS VARCHAR) AS src,
+              |    CAST(l_partkey % 2000 AS VARCHAR) AS dst
+              |  FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000),
+              |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
+              |walk(id, dist) AS (
+              |  SELECT '0', 0
+              |  UNION
+              |  SELECT e.v, w.dist + 1 FROM walk w JOIN ue e ON e.u = w.id WHERE w.dist < 6
+              |)
+              |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
+              |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))))
 
   /** Per-prefix brute-force triangle recount in DuckDB: prefix p = all
     * batches ≤ p; same canonical-orientation 3-join as the alg_triangles

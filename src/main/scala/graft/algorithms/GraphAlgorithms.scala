@@ -108,6 +108,46 @@ object GraphAlgorithms {
     ranks
   }
 
+  /**
+   * Single-source shortest paths, unweighted (BFS) — parity-plus: the
+   * reference ships no shortest-path command, but it is the first thing
+   * a graph-engine user reaches for next to PageRank/triangles.
+   *
+   * DataFrame-iterative frontier expansion: each hop is ONE equi-join
+   * shuffle of the current frontier against the edge table plus an
+   * anti-join against the settled set; the frontier is eagerly
+   * localCheckpointed per hop (the pageRank/beamSearch pattern), so the
+   * per-hop plan is O(1) in hop count and the loop stops as soon as a
+   * frontier is empty. At cluster scale the edge table is the only large
+   * operand and it is persisted once; frontiers are reachability sets.
+   * Returns (id, dist) for every vertex reached within `maxHops`.
+   */
+  def shortestPaths(edges: DataFrame, sourceId: String, maxHops: Int = 10,
+                    undirected: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = Seq((sourceId, 0)).toDF("id", "dist").localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.select(col("id").as("u")).join(e, Seq("u"))
+        .select(col("v").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Out-degree per vertex (reference `odd`). Zero-degree vertices included. */
   def outDegrees(g: PropertyGraph): DataFrame = degrees(g, col("src"))
 

@@ -74,6 +74,19 @@ object Procedures {
   register("graft.trianglecount", (g, _) =>
     GraphAlgorithms.triangleCountDF(g.edges))
 
+  /** Parity-plus BFS: CALL graft.shortestPath(sourceId[, maxHops]) —
+    * (id, dist) for every vertex within maxHops of the source, expanding
+    * the graph's edges undirected. */
+  register("graft.shortestpath", (g, args) => {
+    val source = args.headOption match {
+      case Some(s: String) => s
+      case other => throw CypherParseException(
+        s"graft.shortestPath needs a source id string, got $other")
+    }
+    val maxHops = args.lift(1).map(num(_, "maxHops").toInt).getOrElse(10)
+    GraphAlgorithms.shortestPaths(g.edges, source, maxHops)
+  })
+
   /** Reference `vcnt`/`ecnt` catalog counts as a one-row relation. */
   register("graft.counts", (g, _) =>
     g.nodes.select(count(lit(1)).as("vertices"))

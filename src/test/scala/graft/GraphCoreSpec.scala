@@ -143,4 +143,28 @@ class GraphCoreSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
     assert(a === b)
   }
+
+  test("shortestPaths: BFS distances, hop cap, directed mode, CALL surface") {
+    import spark.implicits._
+    // 1-2-3-4 chain, 1-5 branch, 6-7 disconnected; stored one direction
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("1", "5"), ("6", "7"))
+      .toDF("src", "dst")
+    val d = GraphAlgorithms.shortestPaths(edges, "1")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d === Map("1" -> 0, "2" -> 1, "5" -> 1, "3" -> 2, "4" -> 3))
+    // hop cap cuts the frontier
+    val capped = GraphAlgorithms.shortestPaths(edges, "1", maxHops = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(capped === Set("1", "2", "5"))
+    // directed: stored orientation only — "4" reaches nothing
+    val dir = GraphAlgorithms.shortestPaths(edges, "4", undirected = false)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dir === Map("4" -> 0))
+    // CALL surface on the fixture graph: every vertex within 0..maxHops
+    val viaCall = graft.cypher.Cypher.run(fixture,
+      "CALL graft.shortestPath('1', 3) YIELD id, dist RETURN id, dist ORDER BY id")
+    val rows = viaCall.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 3))
+  }
 }
