@@ -20,6 +20,12 @@ import graft.model.PropertyGraph
  * DataFrame with a fixed column set; YIELD selects/renames columns and
  * the rest of the query composes as usual. User procedures can be
  * registered at runtime (`Procedures.register`).
+ *
+ * Scope note: the registry is process-global (like Neo4j's, where
+ * procedures are deployed per DBMS, not per session) — a deliberate
+ * trade-off kept honest two ways: built-ins can never be overridden or
+ * shadowed (a user registration under a built-in name is rejected), and
+ * `unregister` exists so tests/sessions can clean up after themselves.
  */
 object Procedures {
 
@@ -28,9 +34,26 @@ object Procedures {
   type Proc = (PropertyGraph, List[Any]) => DataFrame
 
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Proc]
+  private var builtinNames = Set.empty[String]
+  private var sealed_ = false
 
-  /** Register a procedure under a dotted, case-insensitive name. */
-  def register(name: String, proc: Proc): Unit = registry.put(name.toLowerCase, proc)
+  /** Register a procedure under a dotted, case-insensitive name.
+    * Built-in names are reserved. */
+  def register(name: String, proc: Proc): Unit = {
+    val key = name.toLowerCase
+    if (sealed_ && builtinNames.contains(key))
+      throw CypherParseException(s"cannot override built-in procedure '$name'")
+    registry.put(key, proc)
+    if (!sealed_) builtinNames += key
+  }
+
+  /** Remove a user-registered procedure (built-ins are permanent). */
+  def unregister(name: String): Unit = {
+    val key = name.toLowerCase
+    if (builtinNames.contains(key))
+      throw CypherParseException(s"cannot unregister built-in procedure '$name'")
+    registry.remove(key)
+  }
 
   def invoke(g: PropertyGraph, name: String, args: List[Any]): DataFrame =
     registry.getOrElse(name.toLowerCase, throw CypherParseException(
@@ -91,4 +114,8 @@ object Procedures {
   register("graft.counts", (g, _) =>
     g.nodes.select(count(lit(1)).as("vertices"))
       .crossJoin(g.edges.select(count(lit(1)).as("edges"))))
+
+  // everything registered above is a protected built-in; registrations
+  // from here on are user procedures
+  sealed_ = true
 }

@@ -295,6 +295,13 @@ class CypherSpec extends SparkSpec {
       graft.algorithms.GraphAlgorithms.egonet(pg, args.head.toString))
     val ego = Cypher.run(g, "CALL test.ego('10') YIELD src, dst RETURN src, dst").count()
     assert(ego > 0)
+    Procedures.unregister("test.ego")
+    intercept[CypherParseException] { Cypher.run(g, "CALL test.ego('10') RETURN src") }
+    // built-ins cannot be shadowed or removed
+    intercept[CypherParseException] {
+      Procedures.register("db.labels", (pg, _) => pg.nodes)
+    }
+    intercept[CypherParseException] { Procedures.unregister("graft.pageRank") }
   }
 
   test("INTERSECT returns distinct rows present in both results, entities by id") {
