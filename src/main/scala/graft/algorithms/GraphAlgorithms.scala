@@ -131,6 +131,9 @@ object GraphAlgorithms {
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // only each hop's FRONTIER is checkpointed; the distance table is a
+    // union of those checkpointed frontiers (depth ≤ maxHops, every leaf
+    // materialized), so the settled set is never re-materialized per hop
     var dist = Seq((sourceId, 0)).toDF("id", "dist").localCheckpoint(true)
     var frontier = dist
     var h = 0
@@ -141,7 +144,7 @@ object GraphAlgorithms {
         .join(dist, Seq("id"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+      dist = dist.unionByName(next)
       frontier = next
     }
     e.unpersist()
