@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Event-stream analytics over the `events` shape (ts, user_id,
+ * event_type, value) — the Structured-Streaming counterparts of the
+ * batch `q_events_hourly` / `q_sessionize` queries, built on the three
+ * canonical streaming primitives:
+ *
+ *  - event-time WATERMARK bounding state and lateness,
+ *  - tumbling-window aggregation (append mode: a window emits exactly
+ *    once, when the watermark passes its end),
+ *  - `flatMapGroupsWithState` with event-time timeout for custom
+ *    session state (the reference has no analog — its streaming surface
+ *    is ingest-only, `StreamHandler.cpp:66-140`; parity-plus).
+ *
+ * Scale posture: both operators shuffle once on their grouping key
+ * (window×type / user_id), state is per-key-bounded (one open window
+ * aggregate / one open session), and the watermark GCs state — the
+ * standard unbounded-stream memory contract.
+ */
+object EventStream {
+
+  /** One event for sessionization (event-time `ts` must carry the
+    * stream's watermark). */
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+
+  /** Open-session state: epoch-millis bounds + event count. */
+  final case class SessionState(start: Long, last: Long, events: Long)
+
+  /** A closed session. */
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           events: Long)
+
+  /**
+   * Tumbling hourly counts with an event-time watermark — the streaming
+   * form of `q_events_hourly`. In append mode each (hour, event_type) row
+   * is emitted exactly once, `delay` after the hour closes; late events
+   * beyond the watermark are dropped (counted consistently by re-runs).
+   */
+  def hourlyCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("events"), col("sum_value"))
+
+  /**
+   * Gap-based sessionization with custom state — the streaming form of
+   * `q_sessionize` (30-minute default gap): a session closes when no
+   * event arrives within `gapMinutes` of its last event, enforced by an
+   * event-time timeout, so sessions are emitted as soon as the watermark
+   * proves the gap. Within a micro-batch the group's events are sorted
+   * in memory (bounded by per-key batch volume, not stream length).
+   */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+                 delay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed last + gap: the open session is closed
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.events))
+          } else {
+            val ts = batch.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Iterator.newBuilder[Session]
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.last, t), s.events + 1))
+                case Some(s) =>
+                  closed += Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.events)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -91,4 +91,71 @@ class StreamingSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.toSet === Set("source", "destination", "properties"))
   }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("streaming hourly counts: watermarked tumbling windows emit once per closed window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = EventStream.hourlyCounts(input.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      // hour 00: 2 clicks + 1 view; hour 01: 1 click
+      input.addData(
+        (ts("00:05:00"), "click", 1.0), (ts("00:40:00"), "click", 2.5),
+        (ts("00:20:00"), "view", 1.0), (ts("01:10:00"), "click", 4.0))
+      q.processAllAvailable()
+      // nothing closed yet: watermark = 01:10 − 1h < hour-00 end
+      assert(spark.table("hourly").count() === 0L)
+      // advance event time past 02:00 + delay → hours 00 and 01 close
+      input.addData((ts("03:30:00"), "view", 9.0))
+      q.processAllAvailable()
+      input.addData((ts("03:45:00"), "view", 1.0)) // extra trigger flushes state
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(col("hour").cast("string"), col("event_type"), col("events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", "click", 2L, 3.5),
+        ("2024-01-01 00:00:00", "view", 1L, 1.0),
+        ("2024-01-01 01:00:00", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization: flatMapGroupsWithState closes sessions on gap and timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.SessionEvent
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 30, delay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart, then a 50-min gap — the in-batch
+      // fold closes the first session immediately
+      input.addData(SessionEvent(1L, ts("00:00:00")),
+        SessionEvent(1L, ts("00:10:00")), SessionEvent(1L, ts("01:00:00")))
+      q.processAllAvailable()
+      val first = spark.table("sess").as[EventStream.Session].collect()
+      assert(first.toSet === Set(
+        EventStream.Session(1L, ts("00:00:00"), ts("00:10:00"), 2L)))
+      // a far-future sentinel advances the watermark past 01:30 …
+      input.addData(SessionEvent(99L, ts("06:00:00")))
+      q.processAllAvailable()
+      // … and the next trigger fires user 1's event-time timeout
+      input.addData(SessionEvent(98L, ts("06:01:00")))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[EventStream.Session].collect().toSet
+      assert(closed.contains(EventStream.Session(1L, ts("01:00:00"), ts("01:00:00"), 1L)))
+      // open sessions (users 98/99) are not emitted
+      assert(closed.forall(s => s.user_id == 1L))
+    } finally q.stop()
+  }
 }
