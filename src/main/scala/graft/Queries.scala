@@ -701,6 +701,45 @@ object Queries {
               |  SELECT e.v, w.dist + 1 FROM walk w JOIN ue e ON e.u = w.id WHERE w.dist < 6
               |)
               |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
+              |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))),
+
+    // Weighted shortest paths (hop-bounded Bellman–Ford, parity-plus) on
+    // the sparse canonical hash-graph (small components keep the oracle's
+    // path enumeration finite): weight = (src+dst) % 7 + 1 replayed in
+    // both engines, source = the max-degree vertex (ties → smallest id),
+    // 6 relaxation rounds vs a ≤6-hop weighted-walk CTE taking MIN(dist).
+    // Bellman–Ford after k rounds == min over ≤k-hop paths, exactly.
+    "alg_weighted_sp" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = TpchBridge.hashGraphEdges(s, d)
+          .where(col("src").cast(LongType) < strianMaxVertex &&
+            col("dst").cast(LongType) < strianMaxVertex)
+          .select(col("src"), col("dst"),
+            (pmod(col("src").cast(LongType) + col("dst").cast(LongType), lit(7)) + 1).as("weight"))
+        val ue = eb.select(col("src").as("u"))
+          .unionByName(eb.select(col("dst").as("u")))
+          .groupBy("u").agg(count(lit(1)).as("deg"))
+        val source = ue.orderBy(col("deg").desc, col("u").cast(LongType)).limit(1)
+          .collect()(0).getString(0)
+        GraphAlgorithms.weightedShortestPaths(eb, source, maxHops = 6)
+          .orderBy(col("id").cast(LongType))
+      },
+      Some(s"""WITH RECURSIVE ${TpchBridge.sql.hashGraph},
+              |eb AS (SELECT src, dst, (CAST(src AS BIGINT) + CAST(dst AS BIGINT)) % 7 + 1 AS w
+              |  FROM hg WHERE CAST(src AS BIGINT) < $strianMaxVertex AND CAST(dst AS BIGINT) < $strianMaxVertex),
+              |ue AS (SELECT u, v, MIN(w) AS w FROM (
+              |    SELECT src AS u, dst AS v, w FROM eb UNION ALL SELECT dst, src, w FROM eb)
+              |  GROUP BY u, v),
+              |deg AS (SELECT u, COUNT(*) AS d FROM (
+              |    SELECT src AS u FROM eb UNION ALL SELECT dst FROM eb) GROUP BY u),
+              |s AS (SELECT u AS sid FROM deg ORDER BY d DESC, CAST(u AS BIGINT) LIMIT 1),
+              |walk(id, dist, hops) AS (
+              |  SELECT sid, CAST(0 AS BIGINT), 0 FROM s
+              |  UNION
+              |  SELECT e.v, w.dist + e.w, w.hops + 1 FROM walk w JOIN ue e ON e.u = w.id
+              |  WHERE w.hops < 6
+              |)
+              |SELECT id, MIN(dist) AS dist FROM walk
               |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))))
 
   /** Per-prefix brute-force triangle recount in DuckDB: prefix p = all

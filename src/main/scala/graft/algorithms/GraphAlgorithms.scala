@@ -151,6 +151,40 @@ object GraphAlgorithms {
     dist
   }
 
+  /**
+   * Weighted shortest paths, hop-bounded Bellman–Ford (parity-plus, the
+   * weighted sibling of [[shortestPaths]]): after k iterations `dist` is
+   * exactly the minimum path weight over paths of ≤ k hops. Each
+   * iteration is one equi-join (settled × edges) plus a groupBy-min,
+   * localCheckpointed — O(1) plan per iteration, two shuffles on id.
+   * Parallel edges collapse to their minimum weight up front. Expects
+   * non-negative weights (Bellman–Ford tolerates negatives, but the hop
+   * bound then changes meaning from "converged" to "budgeted").
+   */
+  def weightedShortestPaths(edges: DataFrame, sourceId: String, maxHops: Int,
+                            undirected: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
+      col("weight").cast("long").as("w"))
+    val e = (if (undirected)
+               e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+             else e0)
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = Seq((sourceId, 0L)).toDF("id", "dist").localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.select(col("id").as("u"), col("dist")).join(e, Seq("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Out-degree per vertex (reference `odd`). Zero-degree vertices included. */
   def outDegrees(g: PropertyGraph): DataFrame = degrees(g, col("src"))
 

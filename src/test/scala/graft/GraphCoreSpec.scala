@@ -167,4 +167,23 @@ class GraphCoreSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 3))
   }
+
+  test("weightedShortestPaths: relaxation beats direct edges, hop budget binds") {
+    import spark.implicits._
+    // 1→3 direct costs 5; the 1→2→3 detour costs 2; 3→4 extends it
+    val edges = Seq(("1", "2", 1L), ("2", "3", 1L), ("1", "3", 5L), ("3", "4", 10L))
+      .toDF("src", "dst", "weight")
+    val d = GraphAlgorithms.weightedShortestPaths(edges, "1", maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("1" -> 0L, "2" -> 1L, "3" -> 2L, "4" -> 12L))
+    // one hop only: the detour is out of budget, the direct edge wins
+    val d1 = GraphAlgorithms.weightedShortestPaths(edges, "1", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 === Map("1" -> 0L, "2" -> 1L, "3" -> 5L))
+    // parallel edges collapse to the min weight
+    val par = Seq(("1", "2", 9L), ("1", "2", 2L)).toDF("src", "dst", "weight")
+    val dp = GraphAlgorithms.weightedShortestPaths(par, "1", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dp === Map("1" -> 0L, "2" -> 2L))
+  }
 }
