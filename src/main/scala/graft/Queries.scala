@@ -420,6 +420,22 @@ object Queries {
           |WHERE n.label = 'Customer'
           |GROUP BY n.id ORDER BY n.id""".stripMargin)))),
 
+    // openCypher statistics aggregates (grammar-only in the reference):
+    // stDev/stDevP are FP-order-sensitive, so both sides round to 4
+    // places (the PageRank recipe); percentileDisc == DuckDB
+    // quantile_disc element-identically (exact-mode percentile_approx).
+    "cy_stats_agg" -> ((
+      cy("MATCH (c:Customer) " +
+        "WITH percentileCont(c.acctbal, 0.5) AS p50, percentileDisc(c.acctbal, 0.9) AS p90, " +
+        "stDev(c.acctbal) AS sd, stDevP(c.acctbal) AS sdp " +
+        "RETURN round(p50, 4) AS p50, round(p90, 4) AS p90, round(sd, 4) AS sd, round(sdp, 4) AS sdp"),
+      Some("""SELECT
+             |  CAST(ROUND(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 4) AS DOUBLE) AS p50,
+             |  CAST(ROUND(quantile_disc(CAST(c_acctbal AS DOUBLE), 0.9), 4) AS DOUBLE) AS p90,
+             |  CAST(ROUND(stddev_samp(CAST(c_acctbal AS DOUBLE)), 4) AS DOUBLE) AS sd,
+             |  CAST(ROUND(stddev_pop(CAST(c_acctbal AS DOUBLE)), 4) AS DOUBLE) AS sdp
+             |FROM customer""".stripMargin))),
+
     // List comprehension [x IN list WHERE pred | proj] (reference grammar
     // parses comprehensions, planner TODO) — filter + transform HOFs;
     // UNWIND flattens the result so the oracle compares scalar rows.

@@ -18,7 +18,10 @@ object Ast {
   final case class Variable(name: String) extends Expr
   final case class Property(variable: String, key: String) extends Expr
   final case class Func(name: String, args: List[Expr]) extends Expr
-  final case class Aggregate(name: String, distinct: Boolean, arg: Option[Expr]) extends Expr
+  /** Aggregation function call. `param` carries percentileCont/Disc's
+    * second (percentile) argument. */
+  final case class Aggregate(name: String, distinct: Boolean, arg: Option[Expr],
+      param: Option[Expr] = None) extends Expr
   final case class StrLit(value: String) extends Expr
   final case class IntLit(value: Long) extends Expr
   final case class DblLit(value: Double) extends Expr
@@ -50,7 +53,8 @@ object Ast {
   final case class CaseExpr(subject: Option[Expr], whens: List[(Expr, Expr)],
       otherwise: Option[Expr]) extends Expr
 
-  val aggregateNames = Set("avg", "sum", "min", "max", "count", "collect")
+  val aggregateNames = Set("avg", "sum", "min", "max", "count", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc")
 
   def containsAggregate(e: Expr): Boolean = e match {
     case _: Aggregate => true
@@ -74,8 +78,8 @@ object Ast {
     case Variable(n) => n
     case Property(v, k) => s"$v.$k"
     case Func(n, args) => s"$n(${args.map(text).mkString(", ")})"
-    case Aggregate(n, d, a) =>
-      val inner = a.map(text).getOrElse("*")
+    case Aggregate(n, d, a, prm) =>
+      val inner = a.map(text).getOrElse("*") + prm.map(", " + text(_)).getOrElse("")
       s"$n(${if (d) "DISTINCT " else ""}$inner)"
     case StrLit(s) => s"'$s'"
     case IntLit(v) => v.toString

@@ -569,8 +569,10 @@ object Parser {
               if (p.atSym("*")) { p.next(); None }
               else if (p.atSym(")")) None
               else Some(parseExpr(p))
+            // percentileCont/percentileDisc carry the percentile here
+            val param = if (p.eatSym(",")) Some(parseExpr(p)) else None
             p.expectSym(")")
-            Aggregate(lower, distinct, arg)
+            Aggregate(lower, distinct, arg, param)
           } else {
             val args = List.newBuilder[Expr]
             if (!p.atSym(")")) { args += parseExpr(p); while (p.eatSym(",")) args += parseExpr(p) }

@@ -518,8 +518,8 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     }
     val aggCols = aggItems.map { i =>
       i.expr match {
-        case Aggregate(fn, distinct, argOpt) =>
-          compileAggFn(fn, distinct, argOpt, scope).as(i.name)
+        case Aggregate(fn, distinct, argOpt, param) =>
+          compileAggFn(fn, distinct, argOpt, param, scope).as(i.name)
         case other =>
           throw CypherParseException(
             s"aggregates must be bare RETURN items, got ${text(other)}")
@@ -541,10 +541,22 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     df
   }
 
-  private def compileAggFn(fn: String, distinct: Boolean, argOpt: Option[Expr], scope: Scope): Column = {
+  private def compileAggFn(fn: String, distinct: Boolean, argOpt: Option[Expr],
+                           param: Option[Expr], scope: Scope): Column = {
     def arg: Column = ExprCompiler.compile(argOpt.get, scope).col
     def argNum: Column = arg.try_cast(DoubleType)
     def d(c: Column): Column = c // distinct applied via countDistinct etc. below
+    def noDistinct(): Unit = if (distinct)
+      throw CypherParseException(s"DISTINCT is not supported for $fn()")
+    def pct: Double = param match {
+      case Some(DblLit(v)) if v >= 0 && v <= 1 => v
+      case Some(IntLit(v)) if v == 0 || v == 1 => v.toDouble
+      case other => throw CypherParseException(
+        s"$fn() needs a literal percentile in [0, 1] as its second argument, got " +
+          other.map(text).getOrElse("none"))
+    }
+    if (param.nonEmpty && fn != "percentilecont" && fn != "percentiledisc")
+      throw CypherParseException(s"$fn() takes one argument")
     fn match {
       case "count" =>
         argOpt match {
@@ -566,6 +578,16 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           case _ => max(arg)
         }
       case "collect" => if (distinct) collect_set(arg) else collect_list(arg)
+      // openCypher statistics aggregates (parity-plus, grammar-only in the
+      // reference). percentileDisc is Spark's percentile_approx in exact
+      // mode (accuracy >> group size): verified element-identical to
+      // DuckDB's quantile_disc across rank conventions; percentileCont is
+      // the exact interpolated percentile (== quantile_cont).
+      case "stdev" => noDistinct(); stddev_samp(argNum)
+      case "stdevp" => noDistinct(); stddev_pop(argNum)
+      case "percentilecont" => noDistinct(); percentile(argNum, lit(pct))
+      case "percentiledisc" =>
+        noDistinct(); percentile_approx(argNum, lit(pct), lit(10000000))
       case other => throw CypherParseException(s"unknown aggregate '$other'")
     }
   }

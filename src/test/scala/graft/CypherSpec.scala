@@ -597,6 +597,27 @@ class CypherSpec extends SparkSpec {
     assert(rows(0).getDouble(1) === 50.0)
   }
 
+  test("statistics aggregates: stDev, stDevP, percentileCont, percentileDisc") {
+    // ids 0..9: mean 4.5, sample sd sqrt(82.5/9), population sd sqrt(8.25)
+    val r = Cypher.run(g,
+      "MATCH (n) WHERE n.id < 10 RETURN stDev(n.id) AS sd, stDevP(n.id) AS sdp, " +
+        "percentileCont(n.id, 0.5) AS pc, percentileDisc(n.id, 0.5) AS pd").collect()(0)
+    assert(math.abs(r.getDouble(0) - math.sqrt(82.5 / 9)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(8.25)) < 1e-12)
+    assert(r.getDouble(2) === 4.5)
+    assert(r.getDouble(3) === 4.0)
+    // grouped, and composable through WITH + round
+    val grouped = Cypher.run(g,
+      "MATCH (n) WITH percentileCont(n.id, 1.0) AS mx RETURN round(mx, 0) AS mx").collect()(0)
+    assert(grouped.getDouble(0) === 19.0)
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH (n) RETURN percentileCont(n.id, 1.5) AS x")
+    }
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH (n) RETURN stDev(DISTINCT n.id) AS x")
+    }
+  }
+
   test("list comprehensions: identity, filter, projection, shadowing") {
     // Charlie → split on 'r' → ["Cha", "lie"] → upper-projected
     val proj = Cypher.run(g,
