@@ -436,6 +436,19 @@ object Queries {
              |  CAST(ROUND(stddev_pop(CAST(c_acctbal AS DOUBLE)), 4) AS DOUBLE) AS sdp
              |FROM customer""".stripMargin))),
 
+    // List machinery end-to-end: range → UNWIND → reduce/head/last over a
+    // per-row list, checked against DuckDB's range/list_aggregate. The
+    // reduce fold runs in DOUBLE (engine-wide arithmetic semantics), so
+    // the oracle sums DOUBLEs too.
+    "cy_list_fns" -> ((
+      cy("MATCH (n:Nation) WHERE n.id = 'n3' " +
+        "UNWIND range(1, 5) AS i " +
+        "RETURN i, reduce(s = 0, x IN range(1, i) | s + x) AS tri, " +
+        "head(range(i, 9)) AS h, last(range(i, 9)) AS l ORDER BY i"),
+      Some("""SELECT i, CAST(i * (i + 1) / 2 AS DOUBLE) AS tri,
+             |  i AS h, CAST(9 AS BIGINT) AS l
+             |FROM (SELECT unnest(range(1, 6)) AS i) ORDER BY i""".stripMargin))),
+
     // List comprehension [x IN list WHERE pred | proj] (reference grammar
     // parses comprehensions, planner TODO) — filter + transform HOFs;
     // UNWIND flattens the result so the oracle compares scalar rows.

@@ -50,6 +50,10 @@ object Ast {
   /** Pattern used as a boolean predicate in WHERE — `(n)-[:T]->(:L)` or
     * `exists((n)-...)`; compiled to a semi/anti join by the planner. */
   final case class PatternPred(path: PathPattern) extends Expr
+  /** `reduce(acc = init, v IN list | expr)` — openCypher list fold,
+    * compiled to Spark's `aggregate` higher-order function. */
+  final case class ReduceExpr(acc: String, init: Expr, variable: String,
+      list: Expr, body: Expr) extends Expr
   final case class CaseExpr(subject: Option[Expr], whens: List[(Expr, Expr)],
       otherwise: Option[Expr]) extends Expr
 
@@ -110,6 +114,8 @@ object Ast {
       val hops = path.hops.map { case (r, n) =>
         s"-[${r.types.mkString("|")}]-${n.labels.mkString(":")}" }.mkString
       s"(${path.start.variable.getOrElse("")})$hops"
+    case ReduceExpr(a, i, v, l, b) =>
+      s"reduce($a = ${text(i)}, $v IN ${text(l)} | ${text(b)})"
   }
 
   // ----- patterns ---------------------------------------------------------

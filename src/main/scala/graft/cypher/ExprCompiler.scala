@@ -46,18 +46,21 @@ object ExprCompiler {
     * higher-order function's lambda Column; they shadow outer bindings
     * for the comprehension's extent. */
   final case class Scope(vars: Map[String, Kind],
-      lambdas: Map[String, Column] = Map.empty) {
+      lambdas: Map[String, Typed] = Map.empty) {
     def kindOf(v: String): Kind =
       vars.getOrElse(v, throw CypherParseException(s"undefined variable '$v'"))
-    def withLambda(v: String, c: Column): Scope = copy(lambdas = lambdas + (v -> c))
+    def withLambda(v: String, c: Column, kind: Kind = KPropStr): Scope =
+      copy(lambdas = lambdas + (v -> Typed(c, kind)))
   }
 
   /** Value-mode compilation: expression → column (used by RETURN items,
     * ORDER BY keys, property-map literals and WHERE subtrees alike). */
   def compile(e: Expr, scope: Scope): Typed = e match {
     case Variable(v) if scope.lambdas.contains(v) =>
-      // comprehension element: coerces contextually like a property value
-      Typed(scope.lambdas(v), KPropStr)
+      // comprehension element / reduce accumulator: the binding carries
+      // its kind (elements coerce like property values; accumulators
+      // keep their init's kind)
+      scope.lambdas(v)
     case Variable(v) =>
       scope.kindOf(v) match {
         // WITH-projected scalars coerce contextually like property values
@@ -106,6 +109,23 @@ object ExprCompiler {
         "pattern predicates are supported as top-level WHERE conjuncts only " +
           "(optionally under NOT / exists(...)) — not nested inside other expressions")
 
+    // reduce(acc = init, v IN list | body) → the aggregate HOF. Spark
+    // requires the fold body's type to equal the zero's type, so both
+    // coerce through the init expression's static kind (numeric folds run
+    // in DOUBLE — the engine-wide arithmetic semantic; string folds in
+    // STRING).
+    case ReduceExpr(acc, init, v, lst, body) =>
+      val listCol = compile(lst, scope).col
+      val initT = compile(init, scope)
+      val (zero, coerce): (Column, Column => Column) = initT.kind match {
+        case KNum => (initT.col.cast(DoubleType), (c: Column) => c.try_cast(DoubleType))
+        case KStr => (initT.col.cast(StringType), (c: Column) => c.cast(StringType))
+        case _ => (initT.col, (c: Column) => c)
+      }
+      Typed(aggregate(listCol, zero, (a, x) =>
+        coerce(compile(body,
+          scope.withLambda(acc, a, initT.kind).withLambda(v, x)).col)), KOther)
+
     case Func(name, args) => compileFunc(name, args, scope)
 
     case Cmp(op, l, r) =>
@@ -149,7 +169,13 @@ object ExprCompiler {
       Typed(if (negated) t.col.isNotNull else t.col.isNull, KBool)
 
     case Arith(op, l, r) =>
-      val a = numOf(compile(l, scope)); val b = numOf(compile(r, scope))
+      val lt = compile(l, scope); val rt = compile(r, scope)
+      // openCypher `+` concatenates when a side is statically a string
+      // (literal or a string-typed function result); property values keep
+      // the engine-wide numeric-coercion semantics
+      if (op == "+" && (lt.kind == KStr || rt.kind == KStr))
+        return Typed(concat(strOf(lt), strOf(rt)), KStr)
+      val a = numOf(lt); val b = numOf(rt)
       val c = op match {
         case "+" => a + b
         case "-" => a - b
@@ -205,6 +231,28 @@ object ExprCompiler {
       }
     case ("startnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.src"), KPropStr)
     case ("endnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.dst"), KPropStr)
+    case ("keys", List(Variable(v))) if scope.kindOf(v) == KNode || scope.kindOf(v) == KRel =>
+      Typed(array_sort(map_keys(col(s"$v.properties"))), KOther)
+    // range(a, b[, step]) — inclusive bounds, openCypher semantics
+    case ("range", List(a, b)) =>
+      Typed(sequence(numOf(compile(a, scope)).cast(LongType),
+        numOf(compile(b, scope)).cast(LongType)), KOther)
+    case ("range", List(a, b, st)) =>
+      Typed(sequence(numOf(compile(a, scope)).cast(LongType),
+        numOf(compile(b, scope)).cast(LongType),
+        numOf(compile(st, scope)).cast(LongType)), KOther)
+    // list accessors; out-of-range/empty → null, per openCypher
+    case ("head", List(a)) => Typed(element_at(compile(a, scope).col, 1), KPropStr)
+    case ("last", List(a)) => Typed(element_at(compile(a, scope).col, -1), KPropStr)
+    case ("tail", List(a)) =>
+      val c = compile(a, scope).col
+      Typed(slice(c, lit(2), greatest(size(c) - 1, lit(0))), KOther)
+    case ("toboolean", List(a)) =>
+      Typed(compile(a, scope).col.try_cast(BooleanType), KBool)
+    case ("left", List(a, n)) =>
+      Typed(left(strOf(compile(a, scope)), numOf(compile(n, scope)).cast(IntegerType)), KStr)
+    case ("right", List(a, n)) =>
+      Typed(right(strOf(compile(a, scope)), numOf(compile(n, scope)).cast(IntegerType)), KStr)
     // exists(n.prop) — property existence (openCypher 9). The pattern
     // form exists((n)-[:T]->()) is handled by the planner as a semi-join;
     // reaching here with one means it was nested inside another expression.
@@ -253,7 +301,8 @@ object ExprCompiler {
         s"function '$name'/${args.length} not supported (reference implements only id(); we add " +
           "type, labels, properties, toFloat, toInteger, toString, size, startNode, endNode, " +
           "toUpper, toLower, trim, lTrim, rTrim, reverse, replace, substring, split, coalesce, " +
-          "abs, sign, ceil, floor, sqrt, round, exists)")
+          "abs, sign, ceil, floor, sqrt, round, exists, keys, range, head, last, tail, " +
+          "toBoolean, left, right, reduce)")
   }
 
   private def strOf(t: Typed): Column = t.col.cast(StringType)

@@ -563,7 +563,26 @@ object Parser {
         case Some(Sym("(")) =>
           p.next()
           val lower = name.toLowerCase
-          if (aggregateNames.contains(lower)) {
+          if (lower == "reduce") {
+            // reduce(acc = init, v IN list | body)
+            val acc = p.next() match {
+              case Ident(a) => a
+              case t => throw CypherParseException(s"reduce() accumulator name expected, got '${t.text}'")
+            }
+            p.expectSym("=")
+            val init = parseExpr(p)
+            p.expectSym(",")
+            val v = p.next() match {
+              case Ident(a) => a
+              case t => throw CypherParseException(s"reduce() element variable expected, got '${t.text}'")
+            }
+            p.expectKw("IN")
+            val lst = parseAtomOrList(p)
+            p.expectSym("|")
+            val body = parseExpr(p)
+            p.expectSym(")")
+            ReduceExpr(acc, init, v, lst, body)
+          } else if (aggregateNames.contains(lower)) {
             val distinct = p.eatKw("DISTINCT")
             val arg =
               if (p.atSym("*")) { p.next(); None }

@@ -646,6 +646,32 @@ class CypherSpec extends SparkSpec {
     assert(lit2.getInt(0) === 2)
   }
 
+  test("list/scalar functions: reduce, range, head/last/tail, keys, left/right, toBoolean") {
+    def one(q: String) = Cypher.run(g, s"MATCH (n) WHERE n.id = '2' RETURN $q AS x").collect()(0)
+    assert(one("reduce(s = 0, x IN [1, 2, 3, 4] | s + x)").getDouble(0) === 10.0)
+    assert(one("reduce(s = '', x IN split('a b c', ' ') | s + x)").getString(0) === "abc")
+    // accumulator sees prior state, element shadows outer scope
+    assert(one("reduce(s = 1, n IN [2, 3] | s * n)").getDouble(0) === 6.0)
+    assert(one("size(range(1, 10))").getInt(0) === 10)
+    assert(one("size(range(0, 10, 3))").getInt(0) === 4) // 0,3,6,9
+    assert(one("head(range(5, 9))").getLong(0) === 5L)
+    assert(one("last(range(5, 9))").getLong(0) === 9L)
+    assert(one("size(tail(range(5, 9)))").getInt(0) === 4)
+    assert(one("size(tail([1]))").getInt(0) === 0)
+    assert(one("left('spark', 2)").getString(0) === "sp")
+    assert(one("right('spark', 3)").getString(0) === "ark")
+    assert(one("toBoolean('true')").getBoolean(0) === true)
+    assert(one("toBoolean('nope')").isNullAt(0))
+    // keys() lists the property map's keys, sorted
+    val ks = one("keys(n)").getSeq[String](0)
+    assert(ks.contains("name") && ks === ks.sorted)
+    // reduce composes with UNWIND/aggregation downstream
+    val total = Cypher.run(g,
+      "MATCH (n) WHERE n.id < 3 UNWIND range(0, n.id) AS i RETURN count(i) AS c")
+      .collect()(0).getLong(0)
+    assert(total === 6L) // 1 + 2 + 3 elements for ids 0,1,2
+  }
+
   test("pattern predicates compile to semi/anti joins") {
     // ground truth from the expand form
     val neighborIds = Cypher.run(g,
