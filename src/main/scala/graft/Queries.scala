@@ -481,7 +481,25 @@ object Queries {
       Some("""SELECT 'c' || c_custkey AS id FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders o
              |  WHERE o.o_custkey = customer.c_custkey AND o.o_orderstatus = 'F')
-             |ORDER BY id""".stripMargin))))
+             |ORDER BY id""".stripMargin))),
+
+    // Named path over a variable-length expansion (`p = ...` with
+    // nodes()/relationships()/length()): the planner materializes the
+    // path as node/rel struct arrays per unrolled branch, so length(p)
+    // is the branch's hop count. Oracle replays the 1- and 2-hop walks
+    // from c1 explicitly (directed edges; all bridge edges cross node
+    // kinds, so consecutive hops can never reuse an edge here).
+    "cy_named_path" -> ((
+      cy("MATCH p = (c:Customer)-[*1..2]->(x) WHERE id(c) = 'c1' " +
+        "RETURN id(x) AS xid, length(p) AS len, size(nodes(p)) AS nn ORDER BY xid, len"),
+      Some(s"""WITH ${TpchBridge.sql.edges},
+              |walks AS (
+              |  SELECT dst AS xid, 1 AS len FROM edges WHERE src = 'c1'
+              |  UNION ALL
+              |  SELECT e2.dst, 2 FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+              |  WHERE e1.src = 'c1'
+              |)
+              |SELECT xid, len, len + 1 AS nn FROM walks ORDER BY xid, len""".stripMargin))))
 
   // ======================================================================
   // Graph algorithms (SURVEY.md §2.3)

@@ -136,7 +136,12 @@ object Ast {
       properties: Map[String, Expr],
       varLength: Option[(Int, Int)] = None)
 
-  final case class PathPattern(start: NodePattern, hops: List[(RelPattern, NodePattern)])
+  /** `name` binds the whole path (`MATCH p = (a)-[]->(b)`) — the planner
+    * materializes it as a struct of node/relationship arrays so
+    * `nodes(p)` / `relationships(p)` / `length(p)` are plain column
+    * accesses (no re-traversal). MATCH-only; CREATE/MERGE reject names. */
+  final case class PathPattern(start: NodePattern, hops: List[(RelPattern, NodePattern)],
+      name: Option[String] = None)
 
   // ----- clauses ----------------------------------------------------------
   final case class MatchClause(paths: List[PathPattern], where: Option[Expr], optional: Boolean = false)

@@ -36,6 +36,7 @@ object ExprCompiler {
   case object KNull extends Kind
   case object KNode extends Kind
   case object KRel extends Kind
+  case object KPath extends Kind // named path: struct(nodes: array<node>, rels: array<rel>)
   case object KValue extends Kind // scalar bound by a WITH projection
   case object KOther extends Kind
 
@@ -231,6 +232,24 @@ object ExprCompiler {
       }
     case ("startnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.src"), KPropStr)
     case ("endnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.dst"), KPropStr)
+    // named-path accessors: the planner materialized the path as
+    // struct(nodes, rels), so these are field reads — no re-traversal
+    case ("nodes", List(a)) =>
+      val t = compile(a, scope)
+      if (t.kind != KPath) throw CypherParseException("nodes() takes a named path")
+      Typed(t.col.getField("nodes"), KOther)
+    case ("relationships" | "rels", List(a)) =>
+      val t = compile(a, scope)
+      if (t.kind != KPath)
+        throw CypherParseException("relationships() takes a named path")
+      Typed(t.col.getField("rels"), KOther)
+    case ("length", List(a)) =>
+      compile(a, scope) match {
+        case Typed(c, KPath) => Typed(size(c.getField("rels")), KNum)
+        case Typed(c, KOther) => Typed(size(c), KNum) // legacy list length
+        case _ => throw CypherParseException(
+          "length() takes a path or list (use size() for strings)")
+      }
     case ("keys", List(Variable(v))) if scope.kindOf(v) == KNode || scope.kindOf(v) == KRel =>
       Typed(array_sort(map_keys(col(s"$v.properties"))), KOther)
     // range(a, b[, step]) — inclusive bounds, openCypher semantics
@@ -302,7 +321,7 @@ object ExprCompiler {
           "type, labels, properties, toFloat, toInteger, toString, size, startNode, endNode, " +
           "toUpper, toLower, trim, lTrim, rTrim, reverse, replace, substring, split, coalesce, " +
           "abs, sign, ceil, floor, sqrt, round, exists, keys, range, head, last, tail, " +
-          "toBoolean, left, right, reduce)")
+          "toBoolean, left, right, reduce, nodes, relationships, length)")
   }
 
   private def strOf(t: Typed): Column = t.col.cast(StringType)

@@ -185,8 +185,8 @@ object Parser {
           val optional = p.eatKw("OPTIONAL")
           p.expectKw("MATCH")
           val paths = List.newBuilder[PathPattern]
-          paths += parsePath(p)
-          while (p.eatSym(",")) paths += parsePath(p)
+          paths += parseMatchPath(p)
+          while (p.eatSym(",")) paths += parseMatchPath(p)
           val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
           clauses += MatchPart(MatchClause(paths.result(), where, optional))
         case Some(Kw("UNWIND", _)) =>
@@ -281,6 +281,21 @@ object Parser {
   }
 
   // ----- patterns ---------------------------------------------------------
+  /** MATCH pattern, optionally named: `p = (a)-[r]->(b)`. Only MATCH
+    * accepts path names — CREATE/MERGE parse bare paths, so a name there
+    * is a syntax error, matching openCypher's read-only path binding.
+    * (`p =~ ...` can't be mistaken for this: `=~` is one token.) */
+  private def parseMatchPath(p: P): PathPattern = {
+    val mark = p.pos
+    p.peek match {
+      case Some(Ident(name)) =>
+        p.next()
+        if (p.eatSym("=")) parsePath(p).copy(name = Some(name))
+        else { p.pos = mark; parsePath(p) }
+      case _ => parsePath(p)
+    }
+  }
+
   private def parsePath(p: P): PathPattern = {
     val start = parseNode(p)
     val hops = List.newBuilder[(RelPattern, NodePattern)]

@@ -306,9 +306,28 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 
   private def emptyRow(): DataFrame = graph.nodes.sparkSession.range(1).drop("id")
 
+  /** Correctly-typed empty ARRAY<edge struct> — the seed for a named
+    * path's relationship list (slice to length 0 keeps the element type,
+    * unlike a bare `array()` whose elements would be NullType). */
+  private def emptyEdgeArray: Column = {
+    val sch = graph.edges.schema
+    val nullEdge = struct(Seq("eid", "src", "dst", "type", "properties")
+      .map(f => lit(null).cast(sch(f).dataType).as(f)): _*)
+    slice(array(nullEdge), 1, 0)
+  }
+
   private def compilePath(path: PathPattern, start: BindCtx): BindCtx = {
     var ctx = start
     val startVar = path.start.variable.getOrElse(fresh("n"))
+
+    // Named path (`p = ...`): materialized incrementally as two array
+    // columns (visited node structs / traversed rel structs) so it
+    // composes with variable-length hops — each unrolled branch appends
+    // its own hop entities before intermediates are projected away. The
+    // final struct(nodes, rels) makes nodes()/relationships()/length()
+    // plain field reads.
+    val pnCol = path.name.map(n => s"__pn_$n")
+    val prCol = path.name.map(n => s"__pr_$n")
 
     // Anchor: reuse an existing binding, else scan (AllNodeScan /
     // NodeScanByLabel collapse into a filtered scan; Catalyst pushes the
@@ -325,6 +344,11 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       propFilter(startVar, path.start.properties, Scope(ctx.scope))
         .foreach(c => scan = scan.filter(c))
       ctx = ctx.copy(df = Some(ctx.df.map(_.crossJoin(scan)).getOrElse(scan)))
+    }
+    path.name.foreach { _ =>
+      ctx = ctx.copy(df = Some(ctx.df.get
+        .withColumn(pnCol.get, array(col(startVar)))
+        .withColumn(prCol.get, emptyEdgeArray)))
     }
 
     var prevNode = startVar
@@ -384,6 +408,11 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           ctx = ctx.copy(df = Some(step(ctx.df.get, prevNode, relVar, prevRel, nodeVar, targetBound)))
           propFilter(relVar, rel.properties, Scope(ctx.scope))
             .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
+          path.name.foreach { _ =>
+            ctx = ctx.copy(df = Some(ctx.df.get
+              .withColumn(pnCol.get, concat(col(pnCol.get), array(col(nodeVar))))
+              .withColumn(prCol.get, concat(col(prCol.get), array(col(relVar))))))
+          }
           prevRel = Some(relVar)
 
         case Some((mn, mx)) =>
@@ -409,6 +438,11 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
               val target = if (isLast) nodeVar else fresh("n")
               val boundTarget = isLast && targetBound
               df = step(df, prev, rv, prevR, target, boundTarget)
+              path.name.foreach { _ =>
+                df = df
+                  .withColumn(pnCol.get, concat(col(pnCol.get), array(col(target))))
+                  .withColumn(prCol.get, concat(col(prCol.get), array(col(rv))))
+              }
               prev = target
               prevR = Some(rv)
             }
@@ -428,6 +462,16 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 
       prevNode = nodeVar
       ()
+    }
+    path.name.foreach { pn =>
+      // checked at the end so entity variables bound INSIDE this path
+      // (e.g. `MATCH p = (a)-[]->(p)`) also count as collisions
+      if (ctx.scope.contains(pn))
+        throw CypherParseException(s"path variable '$pn' is already bound")
+      ctx = ctx.copy(df = Some(ctx.df.get
+        .withColumn(pn, struct(col(pnCol.get).as("nodes"), col(prCol.get).as("rels")))
+        .drop(pnCol.get, prCol.get)))
+      ctx = ctx.withVar(pn, ExprCompiler.KPath)
     }
     ctx
   }
@@ -506,12 +550,18 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       i.expr match {
         case Variable(v) if scope.kindOf(v) == KNode => col(s"$v.id")
         case Variable(v) if scope.kindOf(v) == KRel => col(s"$v.eid")
+        // path structs contain maps (not groupable); key by the node/rel
+        // id sequence, which identifies a path
+        case Variable(v) if scope.kindOf(v) == ExprCompiler.KPath =>
+          struct(transform(col(s"$v.nodes"), _.getField("id")),
+            transform(col(s"$v.rels"), _.getField("eid")))
         case e => ExprCompiler.compile(e, scope).col
       }
     }
     val keyOutCols = keyItems.map { i =>
       i.expr match {
-        case Variable(v) if scope.kindOf(v) == KNode || scope.kindOf(v) == KRel =>
+        case Variable(v) if scope.kindOf(v) == KNode || scope.kindOf(v) == KRel ||
+            scope.kindOf(v) == ExprCompiler.KPath =>
           first(col(v)).as(i.name)
         case e => first(ExprCompiler.compile(e, scope).col).as(i.name)
       }

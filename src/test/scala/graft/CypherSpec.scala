@@ -717,4 +717,61 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(withAge === Set("Fiona"))
   }
+
+  test("named path: nodes()/relationships()/length() over a fixed pattern") {
+    val rows = Cypher.run(g,
+      "MATCH p = (a)-[r:NEIGHBORS]->(b) " +
+        "RETURN length(p) AS len, size(nodes(p)) AS nn, size(relationships(p)) AS nr")
+      .collect()
+    assert(rows.length === 2 * g.edges.where(col("type") === "NEIGHBORS").count())
+    assert(rows.forall(r => r.getInt(0) == 1 && r.getInt(1) == 2 && r.getInt(2) == 1))
+    // the path's entities ARE the bound variables, in traversal order
+    val one = Cypher.run(g,
+      "MATCH p = (a)-[r:NEIGHBORS]->(b) WHERE a.id = '1' RETURN p, a.id AS aid, b.id AS bid")
+      .collect()
+    assert(one.nonEmpty)
+    one.foreach { row =>
+      val p = row.getStruct(0)
+      val nodeIds = p.getSeq[org.apache.spark.sql.Row](0).map(_.getAs[String]("id"))
+      assert(nodeIds === Seq(row.getString(1), row.getString(2)))
+      val relTypes = p.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[String]("type"))
+      assert(relTypes === Seq("NEIGHBORS"))
+    }
+  }
+
+  test("named path composes with variable-length hops: length(p) = branch hop count") {
+    val rows = Cypher.run(g,
+      "MATCH p = (a)-[:NEIGHBORS*1..2]-(b) WHERE a.id = '1' " +
+        "RETURN length(p) AS len, b.id AS bid")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSet === Set(1, 2))
+    // row count matches the same pattern without the path binding
+    val bare = Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS*1..2]-(b) WHERE a.id = '1' RETURN b.id").count()
+    assert(rows.length.toLong === bare)
+    // per-branch node-array length tracks the hop count
+    val viaNodes = Cypher.run(g,
+      "MATCH p = (a)-[:NEIGHBORS*1..2]-(b) WHERE a.id = '1' " +
+        "RETURN size(nodes(p)) - 1 AS len, length(p) AS len2").collect()
+    assert(viaNodes.forall(r => r.getDouble(0) == r.getInt(1))) // arithmetic runs in DOUBLE
+  }
+
+  test("named path: zero-hop, aggregation key, and error shapes") {
+    val zero = Cypher.run(g, "MATCH p = (a) WHERE a.id = '1' RETURN length(p) AS len").collect()
+    assert(zero.map(_.getInt(0)).toSeq === Seq(0))
+    // a path is a valid (id-sequence keyed) grouping key
+    val grouped = Cypher.run(g,
+      "MATCH p = (a)-[:NEIGHBORS]->(b) WHERE a.id = '1' RETURN p, count(*) AS c").collect()
+    assert(grouped.nonEmpty && grouped.forall(_.getLong(1) == 1L))
+    intercept[CypherParseException] { // name collision
+      Cypher.run(g, "MATCH p = (a)-[]->(p) RETURN length(p)")
+    }
+    intercept[CypherParseException] { // nodes() needs a path
+      Cypher.run(g, "MATCH (a) RETURN nodes(a)")
+    }
+    intercept[CypherParseException] { // length() of a string is size()'s job
+      Cypher.run(g, "MATCH (a) RETURN length(a.name)")
+    }
+  }
 }
