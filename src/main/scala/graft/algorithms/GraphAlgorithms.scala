@@ -185,6 +185,114 @@ object GraphAlgorithms {
     dist
   }
 
+  /**
+   * Synchronous label propagation (community detection, parity-plus).
+   * Every vertex starts labeled with its own id; each round it adopts the
+   * most frequent label among its neighbors, ties broken by the SMALLEST
+   * label — fully deterministic, unlike classic async LPA. The argmax is
+   * one aggregate per round: max(struct(count, -label)) picks highest
+   * count then lowest label with map-side partial aggregation (no window
+   * sort). Each round is two shuffles (join on v, groupBy u) over the
+   * persisted edge list; labels are eagerly localCheckpointed so the plan
+   * stays O(1) in round count — the pageRank pattern.
+   *
+   * Vertex ids must be numeric-castable (the negation trick needs a
+   * numeric label); non-numeric graphs should dictionary-encode first.
+   */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       undirected: Boolean = true): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      // labels flow along edge direction: v adopts the most frequent
+      // label among its in-neighbors u (symmetric in undirected mode)
+      val counts = e.join(labels.select(col("id").as("u"), col("label")), "u")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+      val best = counts.groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v").as("id"), (-col("m.nl")).as("label"))
+      // vertices with no in-neighbors (directed mode) keep their label
+      labels = labels.select(col("id"), col("label").as("__old"))
+        .join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("__old")).as("label"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    labels
+  }
+
+  /**
+   * Bounded k-core peeling (parity-plus): `rounds` synchronous rounds of
+   * "drop every vertex whose degree in the surviving induced subgraph is
+   * < k". Returns (id, degree) for survivors with their induced degree.
+   * Run with `rounds` large enough to reach the fixpoint and this IS the
+   * k-core; the bounded form exists so the result is replayable
+   * round-by-round by an external oracle. Each round is one induced-
+   * subgraph semi-join pair + a degree aggregate over the persisted
+   * canonical edge list, survivors localCheckpointed — O(1) plan depth.
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val canon = PropertyGraph.canonicalUndirected(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def degreesWithin(alive: DataFrame): DataFrame = {
+      val induced = canon
+        .join(alive.select(col("id").as("src")), "src", "left_semi")
+        .join(alive.select(col("id").as("dst")), "dst", "left_semi")
+      induced.select(col("src").as("id"))
+        .unionAll(induced.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+    }
+    var alive = canon.select(col("src").as("id"))
+      .unionAll(canon.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      alive = degreesWithin(alive).where(col("degree") >= k)
+        .select(col("id")).localCheckpoint(true)
+    }
+    val out = degreesWithin(alive)
+    canon.unpersist()
+    out
+  }
+
+  /**
+   * Per-vertex triangle counts + local clustering coefficient
+   * (parity-plus over the reference's global `trian`). Triangles are
+   * enumerated once via the canonical (src<dst) 3-join — each triangle
+   * a<b<c appears exactly once as (a,b)(b,c)(a,c) — then
+   * attributed to all three corners; coeff = 2T / d(d-1) over the
+   * undirected degree, 0 when d < 2. One triangle enumeration + one
+   * grouped count — no per-vertex subgraph work.
+   */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val canon = PropertyGraph.canonicalUndirected(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = canon.select(col("src").as("id"))
+      .unionAll(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val e2 = canon.select(col("src").as("b2a"), col("dst").as("b2b"))
+    val e3 = canon.select(col("src").as("c1"), col("dst").as("c2"))
+    val tris = canon
+      .join(e2, col("dst") === col("b2a"))
+      .join(e3, col("c1") === col("src") && col("c2") === col("b2b"))
+      .select(col("src").as("a"), col("dst").as("b"), col("b2b").as("c"))
+    val perVertex = tris.select(col("a").as("id"))
+      .unionAll(tris.select(col("b").as("id")))
+      .unionAll(tris.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("t"))
+    deg.join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(col("d") < 2, 0.0)
+          .otherwise(lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - lit(1.0)))), 4)
+          .as("coeff"))
+  }
+
   /** Out-degree per vertex (reference `odd`). Zero-degree vertices included. */
   def outDegrees(g: PropertyGraph): DataFrame = degrees(g, col("src"))
 

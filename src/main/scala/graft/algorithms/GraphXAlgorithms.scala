@@ -69,4 +69,17 @@ object GraphXAlgorithms {
     val cc = gx.connectedComponents().vertices.toDF("vid", "component")
     cc.join(dict, "vid").select(col("id"), col("component"))
   }
+
+  /** Strongly connected components (directed mutual reachability,
+    * parity-plus); returns (id, component) where component is an
+    * arbitrary-but-consistent member vid — remap to min(id) per
+    * component for a stable labeling. `numIter` bounds the internal
+    * coloring iterations; it must cover the longest cycle for exactness. */
+  def stronglyConnectedComponents(g: PropertyGraph, numIter: Int): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val (gx, dict) = toGraphX(g)
+    val scc = gx.stronglyConnectedComponents(numIter).vertices.toDF("vid", "component")
+    scc.join(dict, "vid").select(col("id"), col("component"))
+  }
 }

@@ -186,4 +186,58 @@ class GraphCoreSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dp === Map("1" -> 0L, "2" -> 2L))
   }
+
+  test("labelPropagation: deterministic min-label communities") {
+    import spark.implicits._
+    // two disconnected triangles: each converges to its minimal id
+    val twoTris = Seq(("1", "2"), ("2", "3"), ("1", "3"),
+      ("7", "8"), ("8", "9"), ("7", "9")).toDF("src", "dst")
+    val l = GraphAlgorithms.labelPropagation(twoTris, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // deterministic: identical reruns
+    val l2 = GraphAlgorithms.labelPropagation(twoTris, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l === l2)
+    // directed mode: a vertex with no in-neighbors keeps its own label
+    val chain = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
+    val ld = GraphAlgorithms.labelPropagation(chain, iterations = 1, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ld(1L) === 1L) // nothing points at 1
+    assert(ld(2L) === 1L && ld(3L) === 2L)
+  }
+
+  test("kCore: bounded peeling reaches the true core, round semantics exact") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + tail 4-5-6
+    val edges = Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"),
+      ("3", "4"), ("4", "5"), ("5", "6")).toDF("src", "dst")
+    val core2 = GraphAlgorithms.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 === Map("1" -> 3L, "2" -> 3L, "3" -> 3L, "4" -> 3L))
+    // one round only: 6 (deg 1) is gone; 5 survives (deg was 2) with
+    // induced deg 1, and 4 still counts the edge to the surviving 5
+    val oneRound = GraphAlgorithms.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneRound === Map("1" -> 3L, "2" -> 3L, "3" -> 3L, "4" -> 4L, "5" -> 1L))
+    // k=4: the 4-clique is only 3-regular — everything peels away
+    assert(GraphAlgorithms.kCore(edges, k = 4, rounds = 3).count() === 0L)
+    // fixpoint: extra rounds change nothing
+    val more = GraphAlgorithms.kCore(edges, k = 2, rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(more === core2)
+  }
+
+  test("clusteringCoefficients: per-vertex triangles and coefficient") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4
+    val edges = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4")).toDF("src", "dst")
+    val cc = GraphAlgorithms.clusteringCoefficients(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    assert(cc === List(("1", 1L, 1.0), ("2", 1L, 1.0), ("3", 1L, 0.3333), ("4", 0L, 0.0)))
+    // powergrid: per-vertex counts sum to 3 × the golden 651
+    val pv = GraphAlgorithms.clusteringCoefficients(pg.edges)
+      .agg(org.apache.spark.sql.functions.sum("triangles")).collect()(0).getLong(0)
+    assert(pv === 3L * 651L)
+  }
 }

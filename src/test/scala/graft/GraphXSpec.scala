@@ -29,4 +29,23 @@ class GraphXSpec extends SparkSpec {
     val cc = GraphXAlgorithms.connectedComponents(pg)
     assert(cc.select("component").distinct().count() === 1L)
   }
+
+  test("strongly connected components: cycle vs acyclic tail") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.PropertyGraph
+    // 1→2→3→1 cycle; 3→4→5 tail: SCCs {1,2,3}, {4}, {5}
+    val raw = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("4", "5"))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("E").as("type"),
+        map().cast("map<string,string>").as("properties"))
+    val nodes = Seq("1", "2", "3", "4", "5").toDF("id")
+      .select(col("id"), lit("").as("label"), map().cast("map<string,string>").as("properties"))
+    val g = PropertyGraph(nodes, PropertyGraph.withEid(raw), isDirected = true)
+    val scc = GraphXAlgorithms.stronglyConnectedComponents(g, numIter = 5)
+    val labels = scc.groupBy("component").agg(min(col("id")).as("comp"))
+    val byId = scc.join(labels, "component").select(col("id"), col("comp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId === Map("1" -> "1", "2" -> "1", "3" -> "1", "4" -> "4", "5" -> "5"))
+  }
 }
