@@ -787,7 +787,79 @@ object Queries {
               |  WHERE w.hops < 6
               |)
               |SELECT id, MIN(dist) AS dist FROM walk
-              |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))))
+              |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))),
+
+    // Deterministic synchronous label propagation (community detection,
+    // parity-plus) over the full hash graph. The oracle replays each
+    // round with chained CTEs (the PageRank technique): per-round
+    // neighbor-label counts, argmax by (count DESC, label ASC) — the
+    // exact tie-break the Spark side encodes as max(struct(c, -label)).
+    "alg_label_prop" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.labelPropagation(TpchBridge.hashGraphEdges(s, d), iterations = 2)
+          .orderBy(col("id")),
+      Some(lpaOracleSql(2)))),
+
+    // Bounded k-core peeling (k=3, 2 synchronous rounds) over the full
+    // hash graph; survivors reported with their induced degree. The
+    // oracle replays each round's induced-degree filter as chained CTEs
+    // — round semantics (not just the fixpoint) are what's checked.
+    "alg_kcore" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.kCore(TpchBridge.hashGraphEdges(s, d), k = 3, rounds = 2)
+          .orderBy(col("id").cast(LongType)),
+      Some(kcoreOracleSql(3, 2)))),
+
+    // Per-vertex triangle counts + local clustering coefficient on the
+    // vertex-capped hash graph (same cap as strian — the full-graph
+    // 3-join cost is already exercised by alg_triangles). Single-SQL
+    // oracle: same canonical 3-join, triangles attributed to all three
+    // corners, coeff = 2T / d(d-1) rounded to 4.
+    "alg_clustering_coeff" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.clusteringCoefficients(
+            TpchBridge.hashGraphEdges(s, d)
+              .where(col("src").cast(LongType) < strianMaxVertex &&
+                col("dst").cast(LongType) < strianMaxVertex))
+          .orderBy(col("id").cast(LongType)),
+      Some(coeffOracleSql))),
+
+    // GraphX strongly connected components on a constructed directed
+    // graph whose SCCs are relationally known: each region's nations
+    // form a directed cycle (ordered by nationkey, last wraps to first)
+    // = one SCC per region, plus an ACYCLIC cross-region chain between
+    // region minima. Plain connected components would merge everything
+    // into one component — a green row proves directed mutual
+    // reachability, not mere connectivity. Component ids are remapped to
+    // min(node id) on both sides (the alg_connected_components trick).
+    "alg_scc" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.model.PropertyGraph
+        val nat = t(s, d, "nation").select(
+          concat(lit("nat"), col("n_nationkey")).as("id"),
+          col("n_regionkey").as("r"), col("n_nationkey").as("k"))
+        val w = Window.partitionBy(col("r")).orderBy(col("k"))
+        val cyc = nat.select(col("id").as("src"),
+          coalesce(lead(col("id"), 1).over(w), first(col("id")).over(w)).as("dst"))
+        val firsts = nat.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select(col("r"), col("id").as("fid"))
+        val chain = firsts.alias("a").join(firsts.alias("b"),
+            col("a.r") + 1 === col("b.r"))
+          .select(col("a.fid").as("src"), col("b.fid").as("dst"))
+        val edges = cyc.unionByName(chain)
+          .select(col("src"), col("dst"), lit("NEXT").as("type"),
+            map().cast("map<string,string>").as("properties"))
+        val nodes = nat.select(col("id"), lit("Nation").as("label"),
+          map().cast("map<string,string>").as("properties"))
+        val g = PropertyGraph(nodes, PropertyGraph.withEid(edges), isDirected = true)
+        val scc = graft.algorithms.GraphXAlgorithms.stronglyConnectedComponents(g, numIter = 10)
+        val labels = scc.groupBy("component").agg(min(col("id")).as("comp"))
+        scc.join(labels, "component").select(col("id"), col("comp")).orderBy(col("id"))
+      },
+      Some("""WITH n AS (SELECT 'nat' || n_nationkey AS id, n_regionkey AS r FROM nation),
+             |comp AS (SELECT r, MIN(id) AS comp FROM n GROUP BY r)
+             |SELECT a.id, c.comp FROM n a JOIN comp c ON a.r = c.r
+             |ORDER BY a.id""".stripMargin))))
 
   /** Per-prefix brute-force triangle recount in DuckDB: prefix p = all
     * batches ≤ p; same canonical-orientation 3-join as the alg_triangles
@@ -809,6 +881,79 @@ object Queries {
        |$prefixes
        |SELECT CAST(batch AS INTEGER) AS batch, triangles FROM ($union) ORDER BY batch""".stripMargin
   }
+
+  /** Chained-CTE replay of deterministic synchronous LPA: per round,
+    * count neighbor labels along symmetric edges, argmax by
+    * (count DESC, label ASC) via ROW_NUMBER — identical to the Spark
+    * side's max(struct(c, -label)); vertices with no winner keep theirs. */
+  private def lpaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.v, l.label, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.id = e.u GROUP BY e.v, l.label),
+         |b$i AS (SELECT v, label FROM (
+         |    SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |l$i AS (SELECT l.id, COALESCE(b.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN b$i b ON b.v = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TpchBridge.sql.hashGraph},
+       |e0 AS (SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v FROM hg),
+       |e AS (SELECT u, v FROM (SELECT u, v FROM e0 UNION SELECT v, u FROM e0) WHERE u <> v),
+       |l0 AS (SELECT id, id AS label FROM (SELECT u AS id FROM e UNION SELECT v AS id FROM e)),
+       |$rounds
+       |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
+  }
+
+  /** Chained-CTE replay of bounded k-core peeling: round i computes
+    * induced degrees over round i-1's survivors and keeps degree >= k;
+    * the final row set is the induced degree over the last survivor set
+    * (vertices with zero surviving incident edges drop out, exactly as
+    * the Spark side's degreesWithin does). String-canonical edge
+    * orientation (LEAST/GREATEST on VARCHAR) mirrors
+    * PropertyGraph.canonicalUndirected — binary collation both sides. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    def degCte(name: String, alive: String): String =
+      s"""$name AS (SELECT id, COUNT(*) AS degree FROM (
+         |    SELECT e.s AS id FROM cn e
+         |      JOIN $alive x ON e.s = x.id JOIN $alive y ON e.d = y.id
+         |    UNION ALL
+         |    SELECT e.d FROM cn e
+         |      JOIN $alive x ON e.s = x.id JOIN $alive y ON e.d = y.id)
+         |  GROUP BY id)""".stripMargin
+    val chain = (1 to rounds).map { i =>
+      s"""${degCte(s"g$i", s"a${i - 1}")},
+         |a$i AS (SELECT id FROM g$i WHERE degree >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TpchBridge.sql.hashGraph},
+       |cn AS (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d FROM hg),
+       |a0 AS (SELECT s AS id FROM cn UNION SELECT d FROM cn),
+       |$chain,
+       |${degCte("gf", s"a$rounds")}
+       |SELECT id, degree FROM gf ORDER BY CAST(id AS BIGINT)""".stripMargin
+  }
+
+  /** Single-SQL mirror of clusteringCoefficients on the vertex-capped
+    * hash graph: canonical 3-join enumerates each triangle once,
+    * attributed to all three corners; coeff = 2T / d(d-1), 0 when d < 2,
+    * rounded to 4 (identical double math both sides). */
+  private def coeffOracleSql: String =
+    s"""WITH ${TpchBridge.sql.hashGraph},
+       |eb AS (SELECT src, dst FROM hg
+       |  WHERE CAST(src AS BIGINT) < $strianMaxVertex AND CAST(dst AS BIGINT) < $strianMaxVertex),
+       |cn AS (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d FROM eb),
+       |deg AS (SELECT id, COUNT(*) AS dg FROM (
+       |    SELECT s AS id FROM cn UNION ALL SELECT d FROM cn) GROUP BY id),
+       |tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+       |  FROM cn e1 JOIN cn e2 ON e1.d = e2.s
+       |  JOIN cn e3 ON e3.s = e1.s AND e3.d = e2.d),
+       |pv AS (SELECT id, COUNT(*) AS t FROM (
+       |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY id)
+       |SELECT deg.id, COALESCE(pv.t, 0) AS triangles,
+       |  CAST(ROUND(CASE WHEN deg.dg < 2 THEN 0
+       |    ELSE 2.0 * COALESCE(pv.t, 0) / (deg.dg * (deg.dg - 1.0)) END, 4) AS DOUBLE) AS coeff
+       |FROM deg LEFT JOIN pv ON deg.id = pv.id
+       |ORDER BY CAST(deg.id AS BIGINT)""".stripMargin
 
   // ======================================================================
   // Training-data pipeline operators over documents/embeddings
