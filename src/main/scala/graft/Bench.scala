@@ -67,7 +67,14 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // sbt interleaves its own tags with stdout, which breaks the driver's
+    // JSON-line scrape (every BENCH_r*.json records parsed:null) — also
+    // write the line verbatim to a file when SPARK_GRAFT_BENCH_OUT is set.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

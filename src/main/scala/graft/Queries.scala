@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.algorithms.GraphAlgorithms
 import graft.cypher.Cypher
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.TpchBridge
 import graft.streaming.StreamingTriangles
 
@@ -1129,6 +1129,73 @@ object Queries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |ORDER BY src, dst""".stripMargin))))
 
+  // ======================================================================
+  // Deterministic sampling / packing (training-data pipeline, §Sampling)
+  // ======================================================================
+
+  /** The Knuth bucket map of [[Sampling.bucketOf]] in verifiable mode,
+    * replayed in DuckDB SQL. Keys here are non-negative, so DuckDB's %
+    * coincides with Spark's pmod; the residue-first form keeps the
+    * product < 2.7e15, far from BIGINT overflow in both engines. */
+  private def knuthBucketSql(key: String): String =
+    s"(($key % 1000000) * 2654435761) % 1000000"
+
+  val sampling: Map[String, (Q, Option[String])] = Map(
+    // Deterministic Bernoulli sample at 20%: a pure codegen'd filter that
+    // rides the parquet scan (no shuffle, no RNG state). Verifiable mode
+    // so DuckDB replays the exact keep-set, not just the keep-rate.
+    "samp_hash" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.hashSample(
+            t(s, d, "documents").select(col("doc_id"), col("lang")),
+            "doc_id", fraction = 0.2, verifiable = true)
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${knuthBucketSql("doc_id")} < 200000
+              |ORDER BY doc_id""".stripMargin))),
+
+    // Stratified cap: ≤100 orders per priority class, chosen by hash
+    // priority with the key as total tie-break — one shuffle on the
+    // stratum column, identical rank semantics replayed via ROW_NUMBER.
+    "samp_stratified" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.stratifiedCap(
+            t(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey")),
+            "o_orderpriority", "o_orderkey", n = 100, verifiable = true)
+          .orderBy(col("o_orderpriority"), col("o_orderkey")),
+      Some(s"""SELECT o_orderpriority, o_orderkey FROM (
+              |  SELECT o_orderpriority, o_orderkey,
+              |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY ${knuthBucketSql("o_orderkey")}, o_orderkey) AS rn
+              |  FROM orders) WHERE rn <= 100
+              |ORDER BY o_orderpriority, o_orderkey""".stripMargin))),
+
+    // Token-budget packing: per-shard concat-then-split placement — the
+    // windowed cumulative sum is SUM(...) OVER in both engines. The
+    // DuckDB sum is CAST back to BIGINT (DuckDB widens integer SUM to
+    // HUGEINT, which the driver's hasher encodes differently).
+    "samp_pack" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            TextAnalysis.tokenCount("text").as("tokens"))
+        Sampling.packByTokenBudget(docs, "shard", "doc_id", "tokens", budget = 512)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS tokens
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, shard, tokens,
+             |    CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS strt
+             |  FROM tk)
+             |SELECT doc_id, shard, tokens,
+             |  CAST(FLOOR(strt / 512.0) AS BIGINT) AS chunk, strt % 512 AS offset
+             |FROM p ORDER BY doc_id""".stripMargin))))
+
   /** Exact near-duplicate-pair ground truth: all-pairs jaccard over
     * distinct char-k-shingles (charShingle=true) or word-k-grams of the
     * normalized text. Division int/int→double is bit-identical across
@@ -1350,7 +1417,7 @@ object Queries {
 
   /** All declared queries. */
   val all: Map[String, (Q, Option[String])] =
-    relational ++ cypherQueries ++ algorithms ++ pipeline
+    relational ++ cypherQueries ++ algorithms ++ pipeline ++ sampling
 
   def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
   def oracleSql: Map[String, String] = all.collect { case (k, (_, Some(sql))) => k -> sql }
