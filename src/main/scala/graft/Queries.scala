@@ -499,7 +499,25 @@ object Queries {
               |  SELECT e2.dst, 2 FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
               |  WHERE e1.src = 'c1'
               |)
-              |SELECT xid, len, len + 1 AS nn FROM walks ORDER BY xid, len""".stripMargin))))
+              |SELECT xid, len, len + 1 AS nn FROM walks ORDER BY xid, len""".stripMargin))),
+
+    // Zero-length variable-length paths (`*0..n`, openCypher's identity
+    // branch): hop 0 binds the target to the start node itself with no
+    // relationship traversed — length(p) = 0. The oracle adds the
+    // explicit identity row to the 1- and 2-hop walk replay.
+    "cy_var_zero" -> ((
+      cy("MATCH p = (c:Customer)-[*0..2]->(x) WHERE id(c) = 'c1' " +
+        "RETURN id(x) AS xid, length(p) AS len ORDER BY xid, len"),
+      Some(s"""WITH ${TpchBridge.sql.edges},
+              |walks AS (
+              |  SELECT 'c1' AS xid, 0 AS len
+              |  UNION ALL
+              |  SELECT dst, 1 FROM edges WHERE src = 'c1'
+              |  UNION ALL
+              |  SELECT e2.dst, 2 FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+              |  WHERE e1.src = 'c1'
+              |)
+              |SELECT xid, len FROM walks ORDER BY xid, len""".stripMargin))))
 
   // ======================================================================
   // Graph algorithms (SURVEY.md §2.3)

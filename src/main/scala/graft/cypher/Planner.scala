@@ -424,11 +424,23 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           if (rel.variable.isDefined)
             throw CypherParseException(
               "binding a variable-length relationship to a variable is not supported")
-          if (mn < 1 || mx < mn)
+          if (mn < 0 || mx < mn)
             throw CypherParseException(s"invalid variable-length bounds *$mn..$mx")
           val base = ctx.df.get
           val keepCols = base.columns.toSeq
-          val branches = (mn to mx).map { k =>
+          val branches = (mn to mx).map {
+            // Zero-length hop (openCypher `*0..n`): the identity branch —
+            // the target IS the start node, no relationship traversed, so
+            // type/property constraints on the (absent) rel don't apply.
+            // A named path gains no nodes/rels here: length(p) = 0.
+            case 0 =>
+              if (targetBound)
+                base.filter(col(s"$prevNode.id") === col(s"$nodeVar.id"))
+                  .select(keepCols.map(c => col(s"`$c`")): _*)
+              else
+                base.withColumn(nodeVar, col(prevNode))
+                  .select((keepCols :+ nodeVar).map(c => col(s"`$c`")): _*)
+            case k =>
             var df = base
             var prev = prevNode
             var prevR = prevRel

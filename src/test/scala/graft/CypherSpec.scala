@@ -589,6 +589,33 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("zero-length variable-length paths (*0..n) include the identity branch") {
+    val e = g.orientedEdges.where(col("type") === "NEIGHBORS")
+      .select(col("src"), col("dst"), col("eid"))
+    val oneHop = e.where(col("src") === "4").count()
+
+    // *0 alone: exactly the start node, rel type irrelevant
+    val star0 = Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS*0]-(b) WHERE a.id = '4' RETURN b.id AS bid").collect()
+    assert(star0.length === 1)
+    assert(star0(0).getString(0) === "4")
+    // *0..1 = identity + one-hop
+    val star01 = Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS*0..1]-(b) WHERE a.id = '4' RETURN b.id").count()
+    assert(star01 === 1 + oneHop)
+    // zero branch against an ALREADY-BOUND target: (a)-[*0..1]-(a) keeps
+    // the identity row (self-loops would add more; this graph has none)
+    val selfZero = Cypher.run(g,
+      "MATCH (a) WHERE a.id = '4' MATCH (a)-[:NEIGHBORS*0..1]-(a) RETURN a.id").count()
+    assert(selfZero === 1)
+    // named path over *0..1: identity branch has length 0, one node
+    val p0 = Cypher.run(g,
+      "MATCH p = (a)-[:NEIGHBORS*0..1]-(b) WHERE a.id = '4' " +
+        "RETURN length(p) AS len, size(nodes(p)) AS nn ORDER BY len LIMIT 1").collect()(0)
+    assert(p0.getInt(0) === 0)
+    assert(p0.getInt(1) === 1)
+  }
+
   test("arithmetic in WHERE and RETURN") {
     val rows = Cypher.run(g,
       "MATCH (n) WHERE n.age + 5 = 30 RETURN n.name AS name, n.age * 2 AS dbl").collect()
