@@ -501,6 +501,25 @@ object Queries {
               |)
               |SELECT xid, len, len + 1 AS nn FROM walks ORDER BY xid, len""".stripMargin))),
 
+    // shortestPath() pattern function (reference grammar parses it,
+    // planner TODO): min-hop filter over the bounded var-length unroll,
+    // one deterministic row per endpoint pair. Oracle: unrolled walks
+    // with MIN(len) per target — one row per pair on both sides.
+    "cy_shortest_fn" -> ((
+      cy("MATCH p = shortestPath((c:Customer)-[*1..3]->(x)) WHERE id(c) = 'c1' " +
+        "RETURN id(x) AS xid, length(p) AS len ORDER BY xid"),
+      Some(s"""WITH ${TpchBridge.sql.edges},
+              |walks AS (
+              |  SELECT dst AS xid, 1 AS len FROM edges WHERE src = 'c1'
+              |  UNION ALL
+              |  SELECT e2.dst, 2 FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+              |  WHERE e1.src = 'c1'
+              |  UNION ALL
+              |  SELECT e3.dst, 3 FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+              |  JOIN edges e3 ON e3.src = e2.dst WHERE e1.src = 'c1'
+              |)
+              |SELECT xid, MIN(len) AS len FROM walks GROUP BY xid ORDER BY xid""".stripMargin))),
+
     // Zero-length variable-length paths (`*0..n`, openCypher's identity
     // branch): hop 0 binds the target to the start node itself with no
     // relationship traversed — length(p) = 0. The oracle adds the

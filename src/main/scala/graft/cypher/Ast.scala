@@ -140,8 +140,13 @@ object Ast {
     * materializes it as a struct of node/relationship arrays so
     * `nodes(p)` / `relationships(p)` / `length(p)` are plain column
     * accesses (no re-traversal). MATCH-only; CREATE/MERGE reject names. */
+  /** `shortest`: the path is wrapped in a shortest-path pattern function —
+    * `Some(false)` = `shortestPath(...)` (one deterministic shortest path
+    * per endpoint pair), `Some(true)` = `allShortestPaths(...)` (every
+    * minimal-length path). The reference grammar accepts both with no
+    * planner support (`ASTBuilder.h:139-183`); executable here. */
   final case class PathPattern(start: NodePattern, hops: List[(RelPattern, NodePattern)],
-      name: Option[String] = None)
+      name: Option[String] = None, shortest: Option[Boolean] = None)
 
   // ----- clauses ----------------------------------------------------------
   final case class MatchClause(paths: List[PathPattern], where: Option[Expr], optional: Boolean = false)

@@ -297,6 +297,20 @@ object Parser {
   }
 
   private def parsePath(p: P): PathPattern = {
+    // shortestPath((a)-[*..k]-(b)) / allShortestPaths(...) — pattern
+    // functions, MATCH-position only (not general expressions).
+    p.peek match {
+      case Some(Ident(fn))
+          if fn.equalsIgnoreCase("shortestPath") || fn.equalsIgnoreCase("allShortestPaths") =>
+        p.next(); p.expectSym("(")
+        val inner = parsePath(p)
+        p.expectSym(")")
+        if (inner.hops.size != 1 || inner.hops.head._1.varLength.isEmpty)
+          throw CypherParseException(
+            s"$fn() requires a single variable-length relationship pattern")
+        return inner.copy(shortest = Some(fn.equalsIgnoreCase("allShortestPaths")))
+      case _ => ()
+    }
     val start = parseNode(p)
     val hops = List.newBuilder[(RelPattern, NodePattern)]
     var continue = true

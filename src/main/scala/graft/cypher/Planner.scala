@@ -326,8 +326,13 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     // its own hop entities before intermediates are projected away. The
     // final struct(nodes, rels) makes nodes()/relationships()/length()
     // plain field reads.
-    val pnCol = path.name.map(n => s"__pn_$n")
-    val prCol = path.name.map(n => s"__pr_$n")
+    // Shortest-path filtering needs the arrays too, even unnamed.
+    val trackTag =
+      if (path.name.isDefined || path.shortest.isDefined)
+        Some(path.name.getOrElse(fresh("sp")))
+      else None
+    val pnCol = trackTag.map(n => s"__pn_$n")
+    val prCol = trackTag.map(n => s"__pr_$n")
 
     // Anchor: reuse an existing binding, else scan (AllNodeScan /
     // NodeScanByLabel collapse into a filtered scan; Catalyst pushes the
@@ -345,7 +350,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
         .foreach(c => scan = scan.filter(c))
       ctx = ctx.copy(df = Some(ctx.df.map(_.crossJoin(scan)).getOrElse(scan)))
     }
-    path.name.foreach { _ =>
+    pnCol.foreach { _ =>
       ctx = ctx.copy(df = Some(ctx.df.get
         .withColumn(pnCol.get, array(col(startVar)))
         .withColumn(prCol.get, emptyEdgeArray)))
@@ -408,7 +413,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           ctx = ctx.copy(df = Some(step(ctx.df.get, prevNode, relVar, prevRel, nodeVar, targetBound)))
           propFilter(relVar, rel.properties, Scope(ctx.scope))
             .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
-          path.name.foreach { _ =>
+          pnCol.foreach { _ =>
             ctx = ctx.copy(df = Some(ctx.df.get
               .withColumn(pnCol.get, concat(col(pnCol.get), array(col(nodeVar))))
               .withColumn(prCol.get, concat(col(prCol.get), array(col(relVar))))))
@@ -450,7 +455,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
               val target = if (isLast) nodeVar else fresh("n")
               val boundTarget = isLast && targetBound
               df = step(df, prev, rv, prevR, target, boundTarget)
-              path.name.foreach { _ =>
+              pnCol.foreach { _ =>
                 df = df
                   .withColumn(pnCol.get, concat(col(pnCol.get), array(col(target))))
                   .withColumn(prCol.get, concat(col(prCol.get), array(col(rv))))
@@ -475,6 +480,37 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       prevNode = nodeVar
       ()
     }
+    // shortestPath()/allShortestPaths(): keep only minimal-length rows per
+    // (start, end) endpoint pair — a window min over the traversed-rel
+    // count, partitioned by the path arrays' endpoints (works whether or
+    // not the endpoint variables are named). shortestPath() additionally
+    // collapses ties to ONE deterministic path per pair: among min-length
+    // rows, keep those carrying the lexicographically-least relationship
+    // eid signature — a value filter, so outer bindings that share
+    // endpoints all survive with the same winning path.
+    path.shortest.foreach { all =>
+      import org.apache.spark.sql.expressions.Window
+      val sId = element_at(col(pnCol.get), 1).getField("id")
+      val eId = element_at(col(pnCol.get), -1).getField("id")
+      var df = ctx.df.get
+        .withColumn("__sp_len", size(col(prCol.get)))
+        .withColumn("__sp_min", min(size(col(prCol.get))).over(Window.partitionBy(sId, eId)))
+        .where(col("__sp_len") === col("__sp_min"))
+        .drop("__sp_len", "__sp_min")
+      if (!all) {
+        val sig = array_join(
+          transform(col(prCol.get), r => r.getField("eid").cast(StringType)), "\u0001")
+        df = df.withColumn("__sp_sig", sig)
+          .withColumn("__sp_win", min(col("__sp_sig")).over(Window.partitionBy(sId, eId)))
+          .where(col("__sp_sig") === col("__sp_win"))
+          .drop("__sp_sig", "__sp_win")
+      }
+      ctx = ctx.copy(df = Some(df))
+    }
+    if (path.name.isEmpty)
+      trackTag.foreach { _ =>
+        ctx = ctx.copy(df = Some(ctx.df.get.drop(pnCol.get, prCol.get)))
+      }
     path.name.foreach { pn =>
       // checked at the end so entity variables bound INSIDE this path
       // (e.g. `MATCH p = (a)-[]->(p)`) also count as collisions

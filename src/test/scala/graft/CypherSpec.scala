@@ -589,6 +589,40 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("shortestPath()/allShortestPaths() pattern functions") {
+    // oracle: per-target min hop over the plain var-length unroll
+    val minLens = Cypher.run(g,
+      "MATCH p = (a)-[:NEIGHBORS*1..3]-(b) WHERE a.id = '4' " +
+        "RETURN b.id AS bid, length(p) AS len")
+      .groupBy("bid").agg(min(col("len")).as("minLen"))
+
+    val sp = Cypher.run(g,
+      "MATCH p = shortestPath((a)-[:NEIGHBORS*1..3]-(b)) WHERE a.id = '4' " +
+        "RETURN b.id AS bid, length(p) AS len")
+    // exactly ONE row per reachable endpoint, at the minimal length
+    assert(sp.count() === minLens.count())
+    assert(sp.join(minLens, "bid").where(col("len") =!= col("minLen")).count() === 0)
+
+    val asp = Cypher.run(g,
+      "MATCH p = allShortestPaths((a)-[:NEIGHBORS*1..3]-(b)) WHERE a.id = '4' " +
+        "RETURN b.id AS bid, length(p) AS len")
+    // all minimal paths: ≥1 per endpoint, every row at the per-pair min
+    assert(asp.count() >= sp.count())
+    assert(asp.join(minLens, "bid").where(col("len") =!= col("minLen")).count() === 0)
+    assert(asp.select("bid").distinct().count() === minLens.count())
+
+    // unnamed form works too (no path variable needed)
+    val unnamed = Cypher.run(g,
+      "MATCH shortestPath((a)-[:NEIGHBORS*1..3]-(b)) WHERE a.id = '4' " +
+        "RETURN b.id AS bid")
+    assert(unnamed.count() === sp.count())
+
+    // fixed-length inside the pattern function is rejected clearly
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH p = shortestPath((a)-[:NEIGHBORS]->(b)) RETURN b.id")
+    }
+  }
+
   test("zero-length variable-length paths (*0..n) include the identity branch") {
     val e = g.orientedEdges.where(col("type") === "NEIGHBORS")
       .select(col("src"), col("dst"), col("eid"))
