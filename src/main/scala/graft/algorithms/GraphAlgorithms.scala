@@ -196,11 +196,49 @@ object GraphAlgorithms {
    * persisted edge list; labels are eagerly localCheckpointed so the plan
    * stays O(1) in round count — the pageRank pattern.
    *
-   * Vertex ids must be numeric-castable (the negation trick needs a
-   * numeric label); non-numeric graphs should dictionary-encode first.
+   * The argmax negation trick needs numeric labels; non-numeric vertex
+   * ids (e.g. the bridge graph's 'c42'/'o17') are detected and routed
+   * through an order-preserving dictionary encode — codes are assigned in
+   * ascending id order, so "ties broken by the smallest label" means
+   * lexicographically-smallest original id, and results decode back to
+   * the original ids. Numeric graphs skip the dictionary entirely.
    */
   def labelPropagation(edges: DataFrame, iterations: Int,
                        undirected: Boolean = true): DataFrame = {
+    val raw = edges.select(col("src").cast("string").as("u"), col("dst").cast("string").as("v"))
+    // head(1) short-circuits on the first non-castable id; the silent
+    // failure mode this replaces was cast-to-NULL dropping every vertex
+    val hasNonNumeric = raw
+      .where(expr("try_cast(u AS LONG)").isNull || expr("try_cast(v AS LONG)").isNull)
+      .head(1).nonEmpty
+    if (hasNonNumeric) {
+      // order-preserving dictionary: sort-then-zipWithIndex rides the
+      // range partitioner, so codes are globally ascending in id order
+      // without a single-partition window
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val dict = raw.select(col("u").as("id"))
+        .unionByName(raw.select(col("v").as("id"))).distinct()
+        .orderBy("id").as[String].rdd.zipWithIndex
+        .toDF("id", "code")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val enc = raw
+        .join(dict.select(col("id").as("u"), col("code").as("cu")), "u")
+        .join(dict.select(col("id").as("v"), col("code").as("cv")), "v")
+        .select(col("cu").as("src"), col("cv").as("dst"))
+      val coded = labelPropagationNumeric(enc, iterations, undirected)
+      val out = coded
+        .join(dict.select(col("code").as("id"), col("id").as("__oid")), "id")
+        .join(dict.select(col("code").as("label"), col("id").as("__olbl")), "label")
+        .select(col("__oid").as("id"), col("__olbl").as("label"))
+        .localCheckpoint(false)
+      dict.unpersist()
+      out
+    } else labelPropagationNumeric(edges, iterations, undirected)
+  }
+
+  private def labelPropagationNumeric(edges: DataFrame, iterations: Int,
+                                      undirected: Boolean): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
              else e0)
@@ -238,7 +276,21 @@ object GraphAlgorithms {
    * subgraph semi-join pair + a degree aggregate over the persisted
    * canonical edge list, survivors localCheckpointed — O(1) plan depth.
    */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreImpl(edges, k, rounds)._1
+
+  /** k-core to the FIXPOINT: peel until the survivor set stops changing
+    * (maxRounds is a runaway bound, not a semantic knob). */
+  def kCoreFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame =
+    kCoreImpl(edges, k, maxRounds)._1
+
+  /** Shared peeling loop; returns (survivors-with-degree, rounds actually
+    * executed). Early-stops once a round removes nothing: each round's
+    * survivor set is a subset of the previous one, so an unchanged COUNT
+    * is an unchanged SET — and every later round is the identity, which
+    * keeps the bounded form's round-by-round oracle contract intact
+    * while a converged peel stops paying per-round materializations. */
+  private[graft] def kCoreImpl(edges: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
     val canon = PropertyGraph.canonicalUndirected(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     def degreesWithin(alive: DataFrame): DataFrame = {
@@ -252,13 +304,20 @@ object GraphAlgorithms {
     var alive = canon.select(col("src").as("id"))
       .unionAll(canon.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var aliveCount = alive.count()
+    var executed = 0
+    var converged = false
+    while (executed < rounds && !converged) {
       alive = degreesWithin(alive).where(col("degree") >= k)
         .select(col("id")).localCheckpoint(true)
+      val c = alive.count()
+      converged = c == aliveCount
+      aliveCount = c
+      executed += 1
     }
     val out = degreesWithin(alive)
     canon.unpersist()
-    out
+    (out, executed)
   }
 
   /**

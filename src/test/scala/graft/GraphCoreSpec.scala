@@ -228,6 +228,33 @@ class GraphCoreSpec extends SparkSpec {
     assert(more === core2)
   }
 
+  test("labelPropagation: non-numeric ids dictionary-encode and decode back") {
+    import spark.implicits._
+    // bridge-style string ids used to cast to NULL silently; now they
+    // route through the order-preserving dictionary — ties break by
+    // lexicographically-smallest original id, results decode back
+    val twoTris = Seq(("c1", "c2"), ("c2", "c3"), ("c1", "c3"),
+      ("x8", "x9"), ("x9", "x7"), ("x7", "x8")).toDF("src", "dst")
+    val l = GraphAlgorithms.labelPropagation(twoTris, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(l === Map("c1" -> "c1", "c2" -> "c1", "c3" -> "c1",
+      "x7" -> "x7", "x8" -> "x7", "x9" -> "x7"))
+  }
+
+  test("kCore: converged peel early-stops; fixpoint API matches") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 3-4 at k=2: round 1 drops 4, round 2
+    // removes nothing → converged after 2 executed rounds, not 50
+    val edges = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4")).toDF("src", "dst")
+    val (res, executed) = GraphAlgorithms.kCoreImpl(edges, k = 2, rounds = 50)
+    assert(executed === 2)
+    val m = res.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("1" -> 2L, "2" -> 2L, "3" -> 2L))
+    val fix = GraphAlgorithms.kCoreFixpoint(edges, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fix === m)
+  }
+
   test("clusteringCoefficients: per-vertex triangles and coefficient") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant edge 3-4
