@@ -628,6 +628,28 @@ object Queries {
           |      UNION SELECT dst FROM edges WHERE src = 'n0') b ON e.dst = b.id
           |ORDER BY 1, 2""".stripMargin)))),
 
+    // Batched egonets: three nation egos resolved in ONE pass over the
+    // edge list (tagged membership table + two joins), vs the per-ego
+    // single-egonet operator. Oracle replays the same membership/induced
+    // joins per ego in SQL.
+    "alg_egonet_multi" -> ((
+      (s: SparkSession, d: String) => {
+        val egos = t(s, d, "nation").where(col("n_nationkey") < 3)
+          .select(concat(lit("n"), col("n_nationkey")).as("ego"))
+        GraphAlgorithms.egonets(TpchBridge.graph(s, d), egos)
+          .orderBy(col("ego"), col("src"), col("dst"))
+      },
+      Some(bridgeSql(
+        """, egos AS (SELECT 'n' || n_nationkey AS ego FROM nation WHERE n_nationkey < 3),
+          |mem AS (
+          |  SELECT ego, ego AS m FROM egos
+          |  UNION SELECT g.ego, e.dst FROM egos g JOIN edges e ON e.src = g.ego
+          |  UNION SELECT g.ego, e.src FROM egos g JOIN edges e ON e.dst = g.ego)
+          |SELECT a.ego, e.src, e.dst FROM edges e
+          |JOIN mem a ON e.src = a.m
+          |JOIN mem b ON b.ego = a.ego AND e.dst = b.m
+          |ORDER BY 1, 2, 3""".stripMargin)))),
+
     "alg_knn_cosine" -> ((
       (s: SparkSession, d: String) => {
         val embs = t(s, d, "embeddings")

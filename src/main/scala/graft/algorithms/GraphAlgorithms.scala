@@ -389,4 +389,29 @@ object GraphAlgorithms {
       .join(broadcast(members.withColumnRenamed("m", "dst")), "dst")
       .select(col("src"), col("dst"))
   }
+
+  /**
+   * Egonets for a whole SET of ego vertices in one shot (the reference
+   * batches egonets per partition rather than per-vertex —
+   * `JasmineGraphInstanceService.cpp:1404-1500`). `egos`' first column
+   * holds the ego ids. Returns (ego, src, dst): each ego's induced
+   * subgraph over {ego} ∪ neighbors(ego), computed with ONE tagged
+   * membership table and two joins — per-ego invocations would rescan
+   * the edge list |egos| times. No broadcast hint: the membership table
+   * scales with Σ ego-degree, so AQE picks the join strategy.
+   */
+  def egonets(g: PropertyGraph, egos: DataFrame): DataFrame = {
+    val es = g.orientedEdges.select(col("src"), col("dst"))
+    val e = egos.select(col(egos.columns.head).cast("string").as("ego")).distinct()
+    val members = es.join(e, col("src") === col("ego"))
+      .select(col("ego"), col("dst").as("m"))
+      .unionByName(es.join(e, col("dst") === col("ego"))
+        .select(col("ego"), col("src").as("m")))
+      .unionByName(e.select(col("ego"), col("ego").as("m")))
+      .distinct()
+    es.join(members.select(col("ego"), col("m").as("src")), "src")
+      .join(members.select(col("ego").as("__e2"), col("m").as("__d2")),
+        col("ego") === col("__e2") && col("dst") === col("__d2"))
+      .select(col("ego"), col("src"), col("dst"))
+  }
 }
