@@ -1152,6 +1152,38 @@ object Queries {
       },
       Some(beamSearchOracleSql(beamWidth = 16, hops = 3)))),
 
+    // Path-scored beam search (the reference's full ScoredPath +
+    // typeEmbeddingCache semantics): cumulative score = seed cosine +
+    // per-hop (destination cosine + edge-TYPE-embedding cosine); the beam
+    // holds paths and is replaced per hop; dead-end paths are emitted at
+    // death. Edge types t0..t3 map to embedding rows 10..13, so the
+    // type-score table is replayable. Oracle: hop loop unrolled into
+    // chained CTEs carrying (path list, sig, score).
+    "alg_beam_path" -> ((
+      (s: SparkSession, d: String) => {
+        val nodeEmb = t(s, d, "embeddings")
+          .select(col("vec_id").cast(StringType).as("id"),
+            transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val edges = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast(StringType).as("src"),
+          (col("l_partkey") % 500).cast(StringType).as("dst"),
+          concat(lit("t"), pmod(col("l_orderkey") + col("l_partkey"), lit(4))).as("type"))
+          .distinct()
+        val typeEmb = t(s, d, "embeddings")
+          .where(col("vec_id") >= 10 && col("vec_id") < 14)
+          .select(concat(lit("t"), col("vec_id") - 10).as("type"),
+            transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val q = t(s, d, "embeddings").where(col("vec_id") === 0)
+          .select(transform(col("embedding"), _.cast(DoubleType)))
+          .collect()(0).getSeq[Double](0).map(_.toFloat)
+        Similarity.pathBeamSearch(nodeEmb, "id", "vec", edges, typeEmb, q,
+            beamWidth = 8, hops = 3)
+          .select(array_join(col("path"), "->").as("path"), col("id"),
+            round(col("score"), 6).as("score"), col("hop"))
+          .orderBy(col("score").desc, col("path"))
+      },
+      Some(pathBeamOracleSql(beamWidth = 8, hops = 3)))),
+
     "mm_frames" -> ((
       (s: SparkSession, d: String) =>
         Multimodal.sampleFrames(
@@ -1433,6 +1465,51 @@ object Queries {
     }
     s"WITH ${chain.toString}\n" +
       s"SELECT id, CAST(ROUND(score, 6) AS DOUBLE) AS score, hop FROM b$hops ORDER BY score DESC, id"
+  }
+
+  /** Path-beam oracle: [[graft.pipeline.Similarity.pathBeamSearch]]'s hop
+    * loop unrolled into chained CTEs. Each hop: candidates from the beam
+    * along edges (skipping immediate backtracks via path[-2]), expansions
+    * append the destination and add (dest cosine + type cosine) to the
+    * running score, dead-end beam rows (no candidate) are emitted, and
+    * the next beam is the top-w expansions by (score DESC, sig) — sig is
+    * the chr(1)-joined id string, the same collision-free tie-break the
+    * Spark side carries. */
+  private def pathBeamOracleSql(beamWidth: Int, hops: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""nodes AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT id, list_cosine_similarity(vec, (SELECT qvec FROM q)) AS ns FROM nodes),
+         |te AS (SELECT 't' || CAST(vec_id - 10 AS VARCHAR) AS type,
+         |  list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qvec FROM q)) AS ts
+         |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 14),
+         |e0 AS (SELECT DISTINCT CAST(l_orderkey % 500 AS VARCHAR) AS src,
+         |  CAST(l_partkey % 500 AS VARCHAR) AS dst,
+         |  't' || CAST((l_orderkey + l_partkey) % 4 AS VARCHAR) AS type FROM lineitem),
+         |e AS (SELECT e0.src, e0.dst, COALESCE(te.ts, 0.0) AS ts
+         |  FROM e0 LEFT JOIN te ON e0.type = te.type),
+         |b0 AS (SELECT [id] AS path, id AS last, id AS sig, ns AS score
+         |  FROM s ORDER BY ns DESC, id LIMIT $beamWidth)""".stripMargin)
+    for (h <- 1 to hops) {
+      chain.append(s""",
+        |c$h AS (SELECT b.path, b.sig, b.score, e.dst, e.ts FROM b${h - 1} b
+        |  JOIN e ON e.src = b.last
+        |  WHERE len(b.path) < 2 OR e.dst <> b.path[-2]),
+        |x$h AS (SELECT list_append(c.path, c.dst) AS path, c.dst AS last,
+        |    c.sig || chr(1) || c.dst AS sig, c.score + s.ns + c.ts AS score
+        |  FROM c$h c JOIN s ON s.id = c.dst),
+        |d$h AS (SELECT * FROM b${h - 1} WHERE sig NOT IN (SELECT sig FROM c$h)),
+        |b$h AS (SELECT path, last, sig, score FROM x$h
+        |  ORDER BY score DESC, sig LIMIT $beamWidth)""".stripMargin)
+    }
+    val emitted = (1 to hops).map(h => s"SELECT * FROM d$h").mkString(" UNION ALL ")
+    s"WITH ${chain.toString}\n" +
+      s"""SELECT array_to_string(path, '->') AS path, last AS id,
+         |  CAST(ROUND(score, 6) AS DOUBLE) AS score,
+         |  CAST(len(path) - 1 AS INTEGER) AS hop
+         |FROM ($emitted UNION ALL SELECT * FROM b$hops)
+         |ORDER BY score DESC, path""".stripMargin
   }
 
   /** mm_features oracle: modality assignment + the stub's byte-sum

@@ -223,4 +223,73 @@ object Similarity {
     e.unpersist()
     beam
   }
+
+  /**
+   * Path-scored semantic beam search — the reference's full `sbs`
+   * semantics (`SemanticBeamSearch.h:36-62`, `.cpp:93-460`): the beam
+   * holds scored PATHS, not nodes, and each expansion ADDS to the path's
+   * cumulative score both the destination-node similarity and the
+   * edge-TYPE-embedding similarity (the reference's `typeEmbeddingCache`;
+   * here a broadcast (type, vec) table — types without an embedding add
+   * nothing, mirroring the reference's cache-miss warning path).
+   *
+   * Per hop the beam is REPLACED by the top-`beamWidth` expansions
+   * (`paths = expandedPaths`); paths with no outgoing expansion are
+   * emitted immediately with their score at death, like the reference's
+   * buffer writes. Immediate backtracking (returning straight to the
+   * previous node) is skipped — the DataFrame analog of the reference's
+   * "skip parent relation". The reference's final unstable sort on equal
+   * scores is made deterministic here: ties break on the smaller path
+   * signature.
+   *
+   * Same scale posture as [[beamSearch]]: the corpus is scored once into
+   * a persisted (id, score) frame, type scores ride the (small) edge-type
+   * table as a broadcast, and the beam (≤ beamWidth rows of
+   * (path, last, score)) is localCheckpointed per hop for O(1) plan depth.
+   *
+   * Returns (path ARRAY<STRING>, id = last node, score, hop).
+   */
+  def pathBeamSearch(nodeEmb: DataFrame, idCol: String, vecCol: String,
+                     edges: DataFrame, typeEmb: DataFrame, queryVec: Seq[Float],
+                     beamWidth: Int, hops: Int): DataFrame = {
+    val qv = array(queryVec.map(v => lit(v)): _*)
+    val scored = nodeEmb.select(col(idCol).as("id"), cosine(col(vecCol), qv).as("ns"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tscores = typeEmb.select(col("type"), cosine(col("vec"), qv).as("ts"))
+    // per-edge traversal bonus: missing type embedding contributes 0
+    val e = edges.select(col("src"), col("dst"), col("type"))
+      .join(broadcast(tscores), Seq("type"), "left")
+      .select(col("src"), col("dst"), coalesce(col("ts"), lit(0.0)).as("ts"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val sep = "\u0001" // keeps concatenated ids collision-free ("1"+"12" vs "11"+"2")
+    var beam = scored.orderBy(col("ns").desc, col("id").asc).limit(beamWidth)
+      .select(array(col("id")).as("path"), col("id").as("last"),
+        col("id").as("sig"), col("ns").as("score"))
+      .localCheckpoint(true)
+    var emitted = beam.limit(0)
+    for (_ <- 1 to hops) {
+      val cand = beam.join(e, col("last") === col("src"))
+        .where(size(col("path")) < 2 ||
+          col("dst") =!= element_at(col("path"), -2))
+      val expanded = cand.join(scored.select(col("id"), col("ns")),
+          col("dst") === col("id"))
+        .select(concat(col("path"), array(col("dst"))).as("path"),
+          col("dst").as("last"),
+          concat(col("sig"), lit(sep), col("dst")).as("sig"),
+          (col("score") + col("ns") + col("ts")).as("score"))
+      val dead = beam.join(cand.select(col("sig").as("__s")).distinct(),
+        col("sig") === col("__s"), "left_anti")
+      emitted = emitted.unionByName(dead).localCheckpoint(true)
+      beam = expanded
+        .orderBy(col("score").desc, col("sig").asc).limit(beamWidth)
+        .localCheckpoint(true)
+    }
+    val out = emitted.unionByName(beam)
+      .select(col("path"), col("last").as("id"), col("score"),
+        (size(col("path")) - 1).as("hop"))
+    scored.unpersist()
+    e.unpersist()
+    out
+  }
 }

@@ -211,6 +211,41 @@ class PipelineSpec extends SparkSpec {
     assert(elapsedSec < 120.0, s"hops=8 beam search took ${elapsedSec}s — plan growth regression?")
   }
 
+  test("path beam search: cumulative path+type scores, dead-end emission, backtrack skip") {
+    import spark.implicits._
+    // hand-built 4-node line a-b-c plus dead-end d: a->b->c, b->d (d has
+    // no out-edges). Query = a's vector, orthogonal unit vectors
+    // elsewhere, so every cosine is exactly 0 or 1 and scores are exact.
+    val nodeEmb = Seq(
+      ("a", Seq(1.0, 0.0, 0.0)), ("b", Seq(1.0, 0.0, 0.0)),
+      ("c", Seq(0.0, 1.0, 0.0)), ("d", Seq(1.0, 0.0, 0.0))).toDF("id", "vec")
+    val edges = Seq(("a", "b", "T"), ("b", "c", "T"), ("b", "d", "T"),
+      ("b", "a", "T")).toDF("src", "dst", "type")
+    val typeEmb = Seq(("T", Seq(1.0, 0.0, 0.0))).toDF("type", "vec")
+    val q = Seq(1.0f, 0.0f, 0.0f)
+
+    val out = Similarity.pathBeamSearch(nodeEmb, "id", "vec", edges, typeEmb, q,
+      beamWidth = 4, hops = 2).collect()
+      .map(r => (r.getSeq[String](0).mkString("->"), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // seeds: a, b, d (cos 1) and c (cos 0) — beam 4 takes all.
+    // hop 1: a->b (1+1+1=3); b->c (1+0+1=2); b->d (1+1+1=3); b->a would
+    //   be fine (no previous node) → (1+1+1=3); c and d are dead ends
+    //   (c: no out-edges; d: none) → emitted with seed scores.
+    // hop 2: a->b->c (3+0+1=4), a->b->d (3+1+1=5), a->b->a SKIPPED
+    //   (immediate backtrack), b->a->b SKIPPED, b->c dead (c no out),
+    //   b->d dead → emitted at their hop-1 scores.
+    assert(out.contains(("c", 0.0, 0)))      // dead-end seed c
+    assert(out.contains(("d", 1.0, 0)))      // dead-end seed d
+    assert(out.contains(("b->c", 2.0, 1)))   // dead end after hop 1
+    assert(out.contains(("b->d", 3.0, 1)))
+    assert(out.contains(("a->b->d", 5.0, 2)))
+    assert(out.contains(("a->b->c", 4.0, 2)))
+    // no immediate backtracks anywhere
+    assert(!out.exists(_._1.matches(".*a->b->a.*")))
+    assert(!out.exists(_._1.matches(".*b->a->b.*")))
+  }
+
   test("embedder seam: deterministic stub, batching, null texts, schema") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"),
