@@ -1200,6 +1200,45 @@ object Queries {
           .orderBy(col("asset_id")),
       Some(mmFeaturesOracleSql))),
 
+    // `adgr-cust` ingest: edge-list + vertex-attribute-file upload. Lines
+    // are synthesized from nation/region; attribute i lands as property
+    // a<i>. Region nodes are absent from the attribute file → NULL lookups.
+    "adgr_cust_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val edgeLines = t(s, d, "nation").select(concat_ws(" ",
+          concat(lit("n"), col("n_nationkey")),
+          concat(lit("r"), col("n_regionkey"))).as("value"))
+        val attrLines = t(s, d, "nation").select(concat_ws(" ",
+          concat(lit("n"), col("n_nationkey")),
+          col("n_regionkey"), length(col("n_name"))).as("value"))
+        val g = graft.sources.GraphSources.parseEdgeListWithAttributes(
+          edgeLines, attrLines, isDirected = true)
+        g.nodes.select(col("id"),
+          element_at(col("properties"), "a0").as("a0"),
+          element_at(col("properties"), "a1").as("a1"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT 'n' || n_nationkey AS id, CAST(n_regionkey AS VARCHAR) AS a0,
+             |  CAST(length(n_name) AS VARCHAR) AS a1 FROM nation
+             |UNION ALL
+             |SELECT DISTINCT 'r' || r_regionkey, NULL, NULL FROM region
+             |ORDER BY id""".stripMargin))),
+
+    // `adstrmkcsv` payload parsing: CSV edge lines through the same
+    // record shape and graph derivation as the JSON stream.
+    "csv_ingest" -> ((
+      (s: SparkSession, d: String) => {
+        val lines = t(s, d, "nation").select(concat_ws(",",
+          concat(lit("n"), col("n_nationkey")),
+          concat(lit("r"), col("n_regionkey")), lit("IN")).as("value"))
+        val recs = graft.streaming.EdgeStream.parseCsvEdges(lines)
+        graft.sources.GraphSources.fromEdgeRecords(recs, isDirected = true)
+          .edges.select(col("src"), col("dst"), col("type"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst,
+             |  'IN' AS type FROM nation ORDER BY src, dst""".stripMargin))),
+
     // RDF ingest (`adrdf`): N-Triples lines are synthesized from
     // nation⋈region (URIs may contain spaces — TPC-H nation names do),
     // parsed by the columnar triple reader, and returned as the ingested

@@ -29,9 +29,14 @@ object GraphSources {
    * batch format (reference `tests/integration/env_init/data/powergrid.dl`).
    * Nodes are the distinct endpoint ids; no labels/properties.
    */
-  def readEdgeList(spark: SparkSession, path: String, isDirected: Boolean = false): PropertyGraph = {
-    val lines = spark.read.text(path)
-      .select(split(trim(col("value")), "\\s+").as("f"))
+  def readEdgeList(spark: SparkSession, path: String, isDirected: Boolean = false): PropertyGraph =
+    parseEdgeList(spark.read.text(path), isDirected)
+
+  /** [[readEdgeList]] over an already-loaded DataFrame of lines. */
+  def parseEdgeList(rawLines: DataFrame, isDirected: Boolean = false,
+                    lineCol: String = "value"): PropertyGraph = {
+    val lines = rawLines
+      .select(split(trim(col(lineCol)), "\\s+").as("f"))
       .where(size(col("f")) >= 2)
     val rawEdges = lines.select(
       col("f").getItem(0).as("src"),
@@ -44,6 +49,42 @@ object GraphSources {
       .select(col("id"), lit("").as("label"),
         map().cast(MapType(StringType, StringType)).as("properties"))
     PropertyGraph(nodes, PropertyGraph.withEid(rawEdges), isDirected)
+  }
+
+  /**
+   * `adgr-cust` custom graph upload (reference frontend
+   * `JasmineGraphFrontEnd.cpp:979-1080`): an edge list PLUS a per-vertex
+   * attribute file — whitespace-separated `vertexId v1 v2 ... vk` lines
+   * (the reference's text-attribute form; its JSON/XML forms differ only
+   * in file parsing, and its numpy dtype knob is storage advice, not
+   * semantics). Attribute i lands in the node property map as key `a<i>`,
+   * so downstream property access / [[graft.ml.FeatureExport]] see them
+   * like any other node property. Vertices absent from the attribute
+   * file keep an empty map; attribute rows for unknown vertices are
+   * dropped (the edge list defines the vertex set).
+   */
+  def readEdgeListWithAttributes(spark: SparkSession, edgePath: String, attrPath: String,
+                                 isDirected: Boolean = false): PropertyGraph =
+    parseEdgeListWithAttributes(spark.read.text(edgePath), spark.read.text(attrPath), isDirected)
+
+  /** [[readEdgeListWithAttributes]] over already-loaded line DataFrames. */
+  def parseEdgeListWithAttributes(edgeLines: DataFrame, attrLines: DataFrame,
+                                  isDirected: Boolean = false): PropertyGraph = {
+    val g = parseEdgeList(edgeLines, isDirected)
+    val attrs = attrLines
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .where(size(col("f")) >= 2)
+      .select(
+        col("f").getItem(0).as("id"),
+        map_from_arrays(
+          transform(sequence(lit(0), size(col("f")) - 2), i => concat(lit("a"), i)),
+          slice(col("f"), lit(2), size(col("f")) - 1)).as("__attrs"))
+    val nodes = g.nodes.drop("properties")
+      .join(attrs, Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("__attrs"), map().cast(MapType(StringType, StringType)))
+          .as("properties"))
+    PropertyGraph(nodes, g.edges, isDirected)
   }
 
   /**

@@ -56,6 +56,29 @@ object EdgeStream {
         col("e.properties").as("properties"))
 
   /**
+   * CSV edge payloads (`adstrmkcsv` — declared in the reference protocol,
+   * `JasmineGraphFrontEndProtocol.cpp:32`, with no dispatched handler;
+   * the CSV shape is the JSON stream's flat form): each line/message is
+   * `src,dst[,type]`. Emits records in [[GraphSources.edgeStreamSchema]]
+   * shape so the downstream plan — [[GraphSources.fromEdgeRecords]],
+   * catalog upsert, incremental triangles — is byte-identical to the
+   * JSON path. Works on a batch DataFrame of lines or a streaming
+   * `value` column alike; pure codegen'd column work.
+   */
+  def parseCsvEdges(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val emptyProps = map().cast(MapType(StringType, StringType))
+    val f = split(trim(col(lineCol)), "\\s*,\\s*")
+    lines
+      .select(f.as("f"))
+      .where(size(col("f")) >= 2 && col("f").getItem(0) =!= "" && col("f").getItem(1) =!= "")
+      .select(
+        struct(col("f").getItem(0).as("id"), emptyProps.as("properties")).as("source"),
+        struct(col("f").getItem(1).as("id"), emptyProps.as("properties")).as("destination"),
+        when(size(col("f")) >= 3, map(lit("type"), col("f").getItem(2)))
+          .otherwise(emptyProps).as("properties"))
+  }
+
+  /**
    * Apply a stream of edge records to a named catalog graph: each
    * micro-batch is converted with the same derivation as batch ingest and
    * unioned in (node upsert = richest-property-map-wins re-aggregation on
