@@ -66,13 +66,22 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     Some(conds.reduce(_ && _))
   }
 
-  /** One MATCH clause applied to the running binding context. */
+  /** One MATCH clause applied to the running binding context. Deferred
+    * path finalizers (the shortest-path window filter) run AFTER the
+    * WHERE, so endpoint predicates reach the scans first. */
   def applyMatch(start: BindCtx, m: MatchClause): BindCtx = {
     if (m.optional && start.df.nonEmpty) return applyOptionalMatch(start, m)
     var ctx = start
     m.paths.foreach { path => ctx = compilePath(path, ctx) }
     m.where.foreach { w => ctx = applyWhere(ctx, w) }
-    ctx
+    applyPending(ctx)
+  }
+
+  /** Apply any deferred per-path finalizers (see BindCtx.pending). */
+  private def applyPending(start: BindCtx): BindCtx = {
+    var ctx = start
+    ctx.pending.foreach(f => ctx = ctx.copy(df = Some(f(ctx.df.get))))
+    ctx.copy(pending = Nil)
   }
 
   /** WHERE handling: top-level conjuncts that are pattern predicates —
@@ -117,7 +126,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
    */
   private def applyPatternPredicate(start: BindCtx, path: PathPattern,
                                     negated: Boolean): BindCtx = {
-    val sub = compilePath(path, BindCtx(None, Map.empty))
+    val sub = applyPending(compilePath(path, BindCtx(None, Map.empty)))
     val shared = sub.scope.keySet.intersect(start.scope.keySet).toSeq.sorted
       .filterNot(_.startsWith("__"))
     shared.foreach { v =>
@@ -149,6 +158,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     var sub = BindCtx(None, Map.empty)
     m.paths.foreach { path => sub = compilePath(path, sub) }
     m.where.foreach { w => sub = applyWhere(sub, w) }
+    sub = applyPending(sub)
     val shared = sub.scope.keySet.intersect(start.scope.keySet).toSeq.sorted
       .filterNot(_.startsWith("__"))
     shared.foreach { v =>
@@ -480,34 +490,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       prevNode = nodeVar
       ()
     }
-    // shortestPath()/allShortestPaths(): keep only minimal-length rows per
-    // (start, end) endpoint pair — a window min over the traversed-rel
-    // count, partitioned by the path arrays' endpoints (works whether or
-    // not the endpoint variables are named). shortestPath() additionally
-    // collapses ties to ONE deterministic path per pair: among min-length
-    // rows, keep those carrying the lexicographically-least relationship
-    // eid signature — a value filter, so outer bindings that share
-    // endpoints all survive with the same winning path.
-    path.shortest.foreach { all =>
-      import org.apache.spark.sql.expressions.Window
-      val sId = element_at(col(pnCol.get), 1).getField("id")
-      val eId = element_at(col(pnCol.get), -1).getField("id")
-      var df = ctx.df.get
-        .withColumn("__sp_len", size(col(prCol.get)))
-        .withColumn("__sp_min", min(size(col(prCol.get))).over(Window.partitionBy(sId, eId)))
-        .where(col("__sp_len") === col("__sp_min"))
-        .drop("__sp_len", "__sp_min")
-      if (!all) {
-        val sig = array_join(
-          transform(col(prCol.get), r => r.getField("eid").cast(StringType)), "\u0001")
-        df = df.withColumn("__sp_sig", sig)
-          .withColumn("__sp_win", min(col("__sp_sig")).over(Window.partitionBy(sId, eId)))
-          .where(col("__sp_sig") === col("__sp_win"))
-          .drop("__sp_sig", "__sp_win")
-      }
-      ctx = ctx.copy(df = Some(df))
-    }
-    if (path.name.isEmpty)
+    if (path.name.isEmpty && path.shortest.isEmpty)
       trackTag.foreach { _ =>
         ctx = ctx.copy(df = Some(ctx.df.get.drop(pnCol.get, prCol.get)))
       }
@@ -520,6 +503,51 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
         .withColumn(pn, struct(col(pnCol.get).as("nodes"), col(prCol.get).as("rels")))
         .drop(pnCol.get, prCol.get)))
       ctx = ctx.withVar(pn, ExprCompiler.KPath)
+    }
+    // shortestPath()/allShortestPaths(): keep only minimal-length rows per
+    // (start, end) endpoint pair — a window min over the traversed-rel
+    // count, partitioned by the path arrays' endpoints (works whether or
+    // not the endpoint variables are named). shortestPath() additionally
+    // collapses ties to ONE deterministic path per pair: among min-length
+    // rows, keep those carrying the lexicographically-least relationship
+    // eid signature — a value filter, so outer bindings that share
+    // endpoints all survive with the same winning path.
+    //
+    // DEFERRED via ctx.pending: applyMatch runs this after the clause's
+    // WHERE, so endpoint predicates push into the scans below the unroll
+    // (a filter cannot push through the window). Endpoint predicates are
+    // constant per (start, end) pair — they keep or drop whole pairs,
+    // never individual paths of a pair — so the per-pair minima are
+    // unchanged (openCypher's shortest-path pre-filtering). Other callers
+    // (pattern predicates, OPTIONAL MATCH) apply pending immediately.
+    path.shortest.foreach { all =>
+      import org.apache.spark.sql.expressions.Window
+      // after the optional name fold, the arrays live either in the path
+      // struct or in the still-present tracking columns
+      val (nodesArr, relsArr, dropAfter) = path.name match {
+        case Some(pn) => (col(s"`$pn`").getField("nodes"),
+          col(s"`$pn`").getField("rels"), Seq.empty[String])
+        case None => (col(pnCol.get), col(prCol.get), Seq(pnCol.get, prCol.get))
+      }
+      val finalize: DataFrame => DataFrame = { df0 =>
+        val sId = element_at(nodesArr, 1).getField("id")
+        val eId = element_at(nodesArr, -1).getField("id")
+        var df = df0
+          .withColumn("__sp_len", size(relsArr))
+          .withColumn("__sp_min", min(size(relsArr)).over(Window.partitionBy(sId, eId)))
+          .where(col("__sp_len") === col("__sp_min"))
+          .drop("__sp_len", "__sp_min")
+        if (!all) {
+          val sig = array_join(
+            transform(relsArr, r => r.getField("eid").cast(StringType)), "\u0001")
+          df = df.withColumn("__sp_sig", sig)
+            .withColumn("__sp_win", min(col("__sp_sig")).over(Window.partitionBy(sId, eId)))
+            .where(col("__sp_sig") === col("__sp_win"))
+            .drop("__sp_sig", "__sp_win")
+        }
+        if (dropAfter.nonEmpty) df.drop(dropAfter: _*) else df
+      }
+      ctx = ctx.copy(pending = ctx.pending :+ finalize)
     }
     ctx
   }
@@ -694,7 +722,12 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 object Planner {
   /** Running binding state: the bound DataFrame (absent before any scan)
     * plus variable kinds. */
-  final case class BindCtx(df: Option[DataFrame], scope: Map[String, Kind]) {
+  /** `pending`: deferred whole-frame transforms (the shortest-path window
+    * filter) applied by `applyMatch` AFTER the clause's WHERE, so endpoint
+    * predicates (`WHERE id(c) = ...`) push into the scans below the unroll
+    * instead of being blocked behind the window. */
+  final case class BindCtx(df: Option[DataFrame], scope: Map[String, Kind],
+      pending: List[DataFrame => DataFrame] = Nil) {
     def withVar(v: String, k: Kind): BindCtx = copy(scope = scope + (v -> k))
   }
 
