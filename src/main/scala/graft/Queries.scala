@@ -323,6 +323,15 @@ object Queries {
         """SELECT n.id, COUNT(e.src) AS deg FROM nodes n
           |LEFT JOIN edges e ON n.id = e.src GROUP BY n.id ORDER BY n.id""".stripMargin)))),
 
+    // CALL surface over the round-5/6 algorithms: bounded k-core through
+    // Cypher, replaying the same chained-CTE oracle on the BRIDGE edges
+    // (string ids — exercises canonicalUndirected's string collation).
+    "cy_call_kcore" -> ((
+      cy("CALL graft.kCore(2, 2) YIELD id, degree RETURN id, degree ORDER BY id"),
+      Some(kcoreOracleSql(2, 2,
+        withClause = s"${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges}",
+        rel = "edges", orderExpr = "id")))),
+
     // MultipleNodeScanByLabel: (:A:B) label lists mean label IN (A, B)
     // (reference QueryPlanner.cpp:284-297).
     "cy_multi_label" -> ((
@@ -970,7 +979,9 @@ object Queries {
     * the Spark side's degreesWithin does). String-canonical edge
     * orientation (LEAST/GREATEST on VARCHAR) mirrors
     * PropertyGraph.canonicalUndirected — binary collation both sides. */
-  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+  private def kcoreOracleSql(k: Int, rounds: Int,
+      withClause: String = TpchBridge.sql.hashGraph, rel: String = "hg",
+      orderExpr: String = "CAST(id AS BIGINT)"): String = {
     def degCte(name: String, alive: String): String =
       s"""$name AS (SELECT id, COUNT(*) AS degree FROM (
          |    SELECT e.s AS id FROM cn e
@@ -983,12 +994,12 @@ object Queries {
       s"""${degCte(s"g$i", s"a${i - 1}")},
          |a$i AS (SELECT id FROM g$i WHERE degree >= $k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${TpchBridge.sql.hashGraph},
-       |cn AS (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d FROM hg),
+    s"""WITH $withClause,
+       |cn AS (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d FROM $rel),
        |a0 AS (SELECT s AS id FROM cn UNION SELECT d FROM cn),
        |$chain,
        |${degCte("gf", s"a$rounds")}
-       |SELECT id, degree FROM gf ORDER BY CAST(id AS BIGINT)""".stripMargin
+       |SELECT id, degree FROM gf ORDER BY $orderExpr""".stripMargin
   }
 
   /** Single-SQL mirror of clusteringCoefficients on the vertex-capped

@@ -115,6 +115,39 @@ object Procedures {
     g.nodes.select(count(lit(1)).as("vertices"))
       .crossJoin(g.edges.select(count(lit(1)).as("edges"))))
 
+  /** Parity-plus community detection: CALL graft.labelPropagation([iters])
+    * — (id, label); directed graphs propagate along edge direction. */
+  register("graft.labelpropagation", (g, args) => {
+    val iters = args.headOption.map(num(_, "iterations").toInt).getOrElse(5)
+    GraphAlgorithms.labelPropagation(g.edges, iters, undirected = !g.isDirected)
+  })
+
+  /** Parity-plus k-core: CALL graft.kCore(k[, rounds]) — survivors with
+    * induced degree; without `rounds` it peels to the fixpoint. */
+  register("graft.kcore", (g, args) => {
+    val k = args.headOption.map(num(_, "k").toInt).getOrElse(2)
+    args.lift(1).map(num(_, "rounds").toInt) match {
+      case Some(r) => GraphAlgorithms.kCore(g.edges, k, r)
+      case None => GraphAlgorithms.kCoreFixpoint(g.edges, k)
+    }
+  })
+
+  /** Parity-plus: per-vertex triangle counts + local clustering coefficient. */
+  register("graft.clusteringcoefficients", (g, _) =>
+    GraphAlgorithms.clusteringCoefficients(g.edges))
+
+  /** GraphX connected components — (id, component). */
+  register("graft.connectedcomponents", (g, _) =>
+    graft.algorithms.GraphXAlgorithms.connectedComponents(g))
+
+  /** Reference `egnt`: CALL graft.egonet(id) — the ego's induced subgraph
+    * edges (src, dst). */
+  register("graft.egonet", (g, args) => args.headOption match {
+    case Some(id: String) => GraphAlgorithms.egonet(g, id)
+    case other => throw CypherParseException(
+      s"graft.egonet needs an ego id string, got $other")
+  })
+
   // everything registered above is a protected built-in; registrations
   // from here on are user procedures
   sealed_ = true

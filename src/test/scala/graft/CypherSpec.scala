@@ -290,6 +290,24 @@ class CypherSpec extends SparkSpec {
       Cypher.run(g, "CALL no.such.proc() RETURN x")
     }
 
+    // round-6 algorithm built-ins through the Cypher surface
+    val kc = Cypher.run(g, "CALL graft.kCore(1) YIELD id, degree RETURN id, degree").count()
+    assert(kc > 0) // fixpoint form (no rounds arg)
+    val lp = Cypher.run(g,
+      "CALL graft.labelPropagation(2) YIELD id, label RETURN id, label").count()
+    assert(lp === g.vertexCount)
+    val cc = Cypher.run(g,
+      "CALL graft.connectedComponents() YIELD id, component RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(cc === g.vertexCount)
+    val coeff = Cypher.run(g,
+      "CALL graft.clusteringCoefficients() YIELD id, triangles, coeff " +
+        "RETURN id, coeff ORDER BY coeff DESC LIMIT 1").count()
+    assert(coeff === 1)
+    val egoBuiltin = Cypher.run(g,
+      "CALL graft.egonet('10') YIELD src, dst RETURN src, dst").count()
+    assert(egoBuiltin > 0)
+
     // user-registered procedure
     Procedures.register("test.ego", (pg, args) =>
       graft.algorithms.GraphAlgorithms.egonet(pg, args.head.toString))
