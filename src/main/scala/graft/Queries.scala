@@ -1311,6 +1311,20 @@ object Queries {
               |  FROM orders) WHERE rn <= 100
               |ORDER BY o_orderpriority, o_orderkey""".stripMargin))),
 
+    // Train/val/test assignment by hash range: 80/10/10, verifiable mode
+    // — the CASE over the Knuth bucket replayed verbatim.
+    "samp_split" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.hashSplit(t(s, d, "documents").select(col("doc_id")),
+            "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+            verifiable = true)
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN ${knuthBucketSql("doc_id")} < 800000 THEN 'train'
+              |       WHEN ${knuthBucketSql("doc_id")} < 900000 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin))),
+
     // Token-budget packing: per-shard concat-then-split placement — the
     // windowed cumulative sum is SUM(...) OVER in both engines. The
     // DuckDB sum is CAST back to BIGINT (DuckDB widens integer SUM to

@@ -62,6 +62,33 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/validation/test splits: assign each row a split
+   * name by hash range — `splits` are (name, fraction) pairs in order;
+   * fractions must sum to ≤ 1 and any remainder falls to the LAST split.
+   * The same pure narrow filter shape as [[hashSample]] (one codegen'd
+   * CASE over the bucket, no shuffle), and the same auditability
+   * guarantee: reruns produce bit-identical splits, and a row's split
+   * never depends on the presence of other rows.
+   */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+                verifiable: Boolean = false): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0), "fractions must be non-negative")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val bucket = bucketOf(col(keyCol), verifiable)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * Buckets).toLong
+    }.tail
+    val cases = splits.zip(bounds).dropRight(1).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), hi)) =>
+        val c = when(bucket < hi, lit(name))
+        Some(acc.fold(c)(prev => prev.when(bucket < hi, lit(name))))
+    }
+    val splitCol = cases.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn("split", splitCol)
+  }
+
+  /**
    * Token-budget packing — the pretraining layout step: documents are
    * (logically) concatenated in key order within each shard and the
    * stream is cut every `budget` tokens. Emits per-document placement:

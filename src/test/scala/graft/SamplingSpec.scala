@@ -70,4 +70,47 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(withEnd === Map("A" -> 240L, "B" -> 120L))
   }
+
+  test("hashSplit: exhaustive, disjoint, deterministic, remainder to last") {
+    val df = ids(10000)
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = Sampling.hashSplit(df, "id", splits, verifiable = true)
+    // every row gets exactly one split; fractions hold near-exactly on the
+    // bijective residue map
+    assert(out.count() === 10000L)
+    val byName = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train") > 7800 && byName("train") < 8200)
+    // deterministic rerun
+    val again = Sampling.hashSplit(df, "id", splits, verifiable = true)
+    assert(out.exceptAll(again).count() === 0L)
+    // remainder (fractions summing under 1) falls to the LAST split
+    val under = Sampling.hashSplit(df, "id", Seq(("a", 0.5), ("b", 0.1)), verifiable = true)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(under("b") > 4000) // 0.1 nominal + 0.4 remainder
+    // splits are consistent with hashSample at the same fraction: the
+    // first split IS the 80% sample (same hash, same cut)
+    val sample80 = Sampling.hashSample(df, "id", 0.8, verifiable = true)
+    val train = out.where(col("split") === "train").select("id")
+    assert(train.exceptAll(sample80.select("id")).count() === 0L)
+  }
+
+  test("plan posture: sampling filters/splits add NO shuffle") {
+    // hashSample and hashSplit must stay narrow — a pure filter/projection
+    // over the scan. An Exchange in these plans would mean the 100 TB
+    // sampling pass shuffles the corpus; fail loudly if one appears.
+    val df = ids(1000)
+    val samplePlan = Sampling.hashSample(df, "id", 0.1, verifiable = true)
+      .queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Exchange"), s"hashSample shuffles:\n$samplePlan")
+    val splitPlan = Sampling.hashSplit(df, "id", Seq(("a", 0.5), ("b", 0.5)))
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), s"hashSplit shuffles:\n$splitPlan")
+    // stratifiedCap is allowed exactly ONE shuffle (on the stratum key)
+    val strat = Sampling.stratifiedCap(
+      ids(1000).withColumn("g", col("id") % 7), "g", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(strat.split("Exchange").length - 1 <= 1, s"stratifiedCap shuffles twice:\n$strat")
+  }
 }
