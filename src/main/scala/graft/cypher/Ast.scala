@@ -54,6 +54,21 @@ object Ast {
     * compiled to Spark's `aggregate` higher-order function. */
   final case class ReduceExpr(acc: String, init: Expr, variable: String,
       list: Expr, body: Expr) extends Expr
+  /** `EXISTS { [MATCH] paths [WHERE pred] }` — existential subquery. The
+    * reference grammar parses these (`ASTBuilder.cpp:1086-1092`,
+    * visitOC_ExistentialSubquery) with no planner support; executable here
+    * as a decorrelated LEFT SEMI / LEFT ANTI join (Planner.applyExistsSub).
+    * Variables shared with the outer scope correlate; the inner WHERE may
+    * reference outer variables. */
+  final case class ExistsSub(paths: List[PathPattern], where: Option[Expr]) extends Expr
+  /** Pattern comprehension `[(a)-[:T]->(b) WHERE pred | proj]` — a list
+    * per outer row of the projection over every match of the pattern.
+    * Reference grammar: `ASTBuilder.cpp:1094-1160` (planner TODO).
+    * Compiled to a grouped collect + left join, never per-row
+    * re-execution; the list is sorted for determinism (openCypher leaves
+    * comprehension order unspecified). */
+  final case class PatternComp(path: PathPattern, where: Option[Expr],
+      proj: Expr) extends Expr
   final case class CaseExpr(subject: Option[Expr], whens: List[(Expr, Expr)],
       otherwise: Option[Expr]) extends Expr
 
@@ -116,6 +131,85 @@ object Ast {
       s"(${path.start.variable.getOrElse("")})$hops"
     case ReduceExpr(a, i, v, l, b) =>
       s"reduce($a = ${text(i)}, $v IN ${text(l)} | ${text(b)})"
+    case ExistsSub(paths, w) =>
+      s"EXISTS { ${paths.map(p => text(PatternPred(p))).mkString(", ")}" +
+        w.map(" WHERE " + text(_)).getOrElse("") + " }"
+    case PatternComp(path, w, proj) =>
+      s"[${text(PatternPred(path))}" + w.map(" WHERE " + text(_)).getOrElse("") +
+        s" | ${text(proj)}]"
+  }
+
+  /** Variable names bound or referenced by a pattern: node/rel variables,
+    * the path name, and free variables of inline property-map values. */
+  def patternVars(p: PathPattern): Set[String] = {
+    val nodes = p.start :: p.hops.map(_._2)
+    val rels = p.hops.map(_._1)
+    nodes.flatMap(_.variable).toSet ++ rels.flatMap(_.variable) ++ p.name ++
+      nodes.flatMap(_.properties.values.flatMap(freeVars)) ++
+      rels.flatMap(_.properties.values.flatMap(freeVars))
+  }
+
+  /** Free variable names of an expression (comprehension / reduce lambda
+    * variables excluded within their extent). Used by the planner to
+    * decide which outer bindings an EXISTS / pattern comprehension
+    * correlates on. */
+  def freeVars(e: Expr): Set[String] = e match {
+    case Variable(n) => Set(n)
+    case Property(v, _) => Set(v)
+    case Func(_, args) => args.flatMap(freeVars).toSet
+    case Aggregate(_, _, a, prm) => (a.toList ++ prm.toList).flatMap(freeVars).toSet
+    case Cmp(_, l, r) => freeVars(l) ++ freeVars(r)
+    case And(l, r) => freeVars(l) ++ freeVars(r)
+    case Or(l, r) => freeVars(l) ++ freeVars(r)
+    case Xor(l, r) => freeVars(l) ++ freeVars(r)
+    case Not(c) => freeVars(c)
+    case StartsWith(l, r) => freeVars(l) ++ freeVars(r)
+    case EndsWith(l, r) => freeVars(l) ++ freeVars(r)
+    case Contains(l, r) => freeVars(l) ++ freeVars(r)
+    case In(l, r) => freeVars(l) ++ freeVars(r)
+    case IsNull(c, _) => freeVars(c)
+    case Arith(_, l, r) => freeVars(l) ++ freeVars(r)
+    case Neg(c) => freeVars(c)
+    case ListLit(xs) => xs.flatMap(freeVars).toSet
+    case CaseExpr(s, ws, o) =>
+      (s.toList ++ ws.flatMap(w => List(w._1, w._2)) ++ o.toList).flatMap(freeVars).toSet
+    case ListComp(v, lst, w, pr) =>
+      freeVars(lst) ++ ((w.toList ++ pr.toList).flatMap(freeVars).toSet - v)
+    case ReduceExpr(acc, init, v, lst, body) =>
+      freeVars(init) ++ freeVars(lst) ++ (freeVars(body) -- Set(acc, v))
+    case PatternPred(p) => patternVars(p)
+    case ExistsSub(paths, w) =>
+      paths.flatMap(patternVars).toSet ++ w.toList.flatMap(freeVars)
+    case PatternComp(path, w, proj) =>
+      patternVars(path) ++ (w.toList :+ proj).flatMap(freeVars)
+    case _ => Set.empty
+  }
+
+  /** Rebuild an expression with `f` applied to each direct child. Does NOT
+    * descend into ExistsSub / PatternComp / PatternPred — those carry
+    * whole subplans with their own variable scopes and are handled by
+    * their own planner machinery. */
+  def mapChildren(e: Expr, f: Expr => Expr): Expr = e match {
+    case Func(n, args) => Func(n, args.map(f))
+    case Aggregate(n, d, a, p) => Aggregate(n, d, a.map(f), p.map(f))
+    case Cmp(op, l, r) => Cmp(op, f(l), f(r))
+    case And(l, r) => And(f(l), f(r))
+    case Or(l, r) => Or(f(l), f(r))
+    case Xor(l, r) => Xor(f(l), f(r))
+    case Not(c) => Not(f(c))
+    case StartsWith(l, r) => StartsWith(f(l), f(r))
+    case EndsWith(l, r) => EndsWith(f(l), f(r))
+    case Contains(l, r) => Contains(f(l), f(r))
+    case In(l, r) => In(f(l), f(r))
+    case IsNull(c, n) => IsNull(f(c), n)
+    case Arith(op, l, r) => Arith(op, f(l), f(r))
+    case Neg(c) => Neg(f(c))
+    case ListLit(xs) => ListLit(xs.map(f))
+    case CaseExpr(s, ws, o) =>
+      CaseExpr(s.map(f), ws.map { case (a, b) => (f(a), f(b)) }, o.map(f))
+    case ListComp(v, l, w, pr) => ListComp(v, f(l), w.map(f), pr.map(f))
+    case ReduceExpr(a, i, v, l, b) => ReduceExpr(a, f(i), v, f(l), f(b))
+    case other => other
   }
 
   // ----- patterns ---------------------------------------------------------

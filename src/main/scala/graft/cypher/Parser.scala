@@ -498,11 +498,33 @@ object Parser {
       parseListBody(p)
     } else parseAdd(p)
 
-  /** After `[`: list literal or comprehension. `[x IN l ...]` parses the
-    * first element as an In-expression; a following `]`, `WHERE` or `|`
-    * (i.e. anything but `,`) makes it a comprehension, per openCypher. */
+  /** After `[`: list literal, list comprehension, or pattern
+    * comprehension. `[x IN l ...]` parses the first element as an
+    * In-expression; a following `]`, `WHERE` or `|` (i.e. anything but
+    * `,`) makes it a comprehension, per openCypher. A path pattern with
+    * ≥1 hop followed by WHERE or `|` is a pattern comprehension
+    * (`[(a)-[:T]->(b) WHERE pred | proj]` — the projection is mandatory,
+    * per the openCypher grammar). */
   private def parseListBody(p: P): Expr = {
     if (p.atSym("]")) { p.next(); return ListLit(Nil) }
+    // try a pattern comprehension first with backtracking (rewind is free)
+    if (p.atSym("(")) {
+      val mark = p.pos
+      val asPattern =
+        try {
+          val path = parsePath(p)
+          if (path.hops.nonEmpty && (p.atKw("WHERE") || p.atSym("|"))) Some(path) else None
+        } catch { case _: CypherParseException => None }
+      asPattern match {
+        case Some(path) =>
+          val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
+          p.expectSym("|")
+          val proj = parseExpr(p)
+          p.expectSym("]")
+          return PatternComp(path, where, proj)
+        case None => p.pos = mark
+      }
+    }
     val first = parseExpr(p)
     first match {
       case In(Variable(v), lst) if !p.atSym(",") =>
@@ -589,6 +611,17 @@ object Parser {
     case Sym("[") => parseListBody(p)
     case Ident(name) =>
       p.peek match {
+        // EXISTS { [MATCH] paths [WHERE pred] } — existential subquery
+        // (reference grammar: ASTBuilder.cpp:1086, planner TODO)
+        case Some(Sym("{")) if name.equalsIgnoreCase("exists") =>
+          p.next()
+          p.eatKw("MATCH") // optional inside the braces
+          val paths = List.newBuilder[PathPattern]
+          paths += parsePath(p)
+          while (p.eatSym(",")) paths += parsePath(p)
+          val where = if (p.eatKw("WHERE")) Some(parseExpr(p)) else None
+          p.expectSym("}")
+          ExistsSub(paths.result(), where)
         case Some(Sym("(")) =>
           p.next()
           val lower = name.toLowerCase

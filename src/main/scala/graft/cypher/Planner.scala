@@ -94,24 +94,71 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       case Ast.And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => List(other)
     }
-    def patternOf(e: Ast.Expr, negated: Boolean): Option[(PathPattern, Boolean)] = e match {
-      case Ast.PatternPred(p) => Some((p, negated))
+    def patternOf(e: Ast.Expr, negated: Boolean)
+        : Option[(Either[PathPattern, ExistsSub], Boolean)] = e match {
+      case Ast.PatternPred(p) => Some((Left(p), negated))
       case Ast.Func(n, List(Ast.PatternPred(p))) if n.equalsIgnoreCase("exists") =>
-        Some((p, negated))
+        Some((Left(p), negated))
+      case es: Ast.ExistsSub => Some((Right(es), negated))
       case Ast.Not(inner) => patternOf(inner, !negated)
       case _ => None
     }
     val (patterns, scalars) = conjuncts(w).partition(patternOf(_, negated = false).isDefined)
     var ctx = start
     scalars.reduceOption(Ast.And.apply).foreach { s =>
-      val cond = ExprCompiler.compile(s, Scope(ctx.scope)).col.try_cast(BooleanType)
+      val (ctx2, rewritten) = materializePatternComps(ctx, List(s))
+      ctx = ctx2
+      val cond = ExprCompiler.compile(rewritten.head, Scope(ctx.scope)).col.try_cast(BooleanType)
       ctx = ctx.copy(df = Some(ctx.df.getOrElse(emptyRow()).filter(cond)))
     }
     patterns.foreach { pe =>
-      val (path, negated) = patternOf(pe, negated = false).get
-      ctx = applyPatternPredicate(ctx, path, negated)
+      patternOf(pe, negated = false).get match {
+        case (Left(path), negated) => ctx = applyPatternPredicate(ctx, path, negated)
+        case (Right(es), negated) => ctx = applyExistsSub(ctx, es, negated)
+      }
     }
     ctx
+  }
+
+  /**
+   * EXISTS { [MATCH] paths [WHERE pred] } (parity-plus — the reference
+   * grammar parses existential subqueries, `ASTBuilder.cpp:1086`, planner
+   * TODO): decorrelated into one LEFT SEMI (LEFT ANTI under NOT) join.
+   * The subquery is compiled over a SEED frame — the distinct outer
+   * bindings of every correlated variable (variables the subquery shares
+   * with the outer scope, whether in its patterns or its WHERE) — so the
+   * inner WHERE can reference outer variables, and the whole construct is
+   * one equi-join shuffle at scale, never a per-row re-execution. An
+   * uncorrelated EXISTS joins on a constant (broadcast 0/1-row side).
+   */
+  private def applyExistsSub(start: BindCtx, sub: ExistsSub, negated: Boolean): BindCtx = {
+    val mentioned = sub.paths.flatMap(Ast.patternVars).toSet ++
+      sub.where.toList.flatMap(Ast.freeVars)
+    val shared = (mentioned & start.scope.keySet).toSeq.sorted.filterNot(_.startsWith("__"))
+    shared.find(v => start.scope(v) == ExprCompiler.KPath).foreach { v =>
+      throw CypherParseException(s"EXISTS cannot correlate on path variable '$v'")
+    }
+    var ctx =
+      if (shared.isEmpty) BindCtx(None, Map.empty)
+      else BindCtx(
+        Some(Planner.dedupRows(start.df.get.select(shared.map(v => col(s"`$v`")): _*))),
+        shared.map(v => v -> start.scope(v)).toMap)
+    sub.paths.foreach { p => ctx = compilePath(p, ctx) }
+    sub.where.foreach { w => ctx = applyWhere(ctx, w) }
+    ctx = applyPending(ctx)
+    val pruned =
+      if (shared.isEmpty) ctx.df.get.select(lit(1).as("__ex"))
+      else ctx.df.get.select(shared.map(v => col(s"`$v`").as(s"__ex_$v")): _*)
+    val joinCond = shared.map { v =>
+      start.scope(v) match {
+        case KRel => col(s"$v.eid") === col(s"__ex_$v.eid")
+        case KNode => col(s"$v.id") === col(s"__ex_$v.id")
+        case _ => col(s"`$v`") === col(s"`__ex_$v`")
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val joined = start.df.getOrElse(emptyRow())
+      .join(pruned, joinCond, if (negated) "left_anti" else "left_semi")
+    start.copy(df = Some(joined))
   }
 
   /**
