@@ -545,7 +545,64 @@ object Queries {
               |  SELECT e2.dst, 2 FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
               |  WHERE e1.src = 'c1'
               |)
-              |SELECT xid, len FROM walks ORDER BY xid, len""".stripMargin))))
+              |SELECT xid, len FROM walks ORDER BY xid, len""".stripMargin))),
+
+    // EXISTS { pattern WHERE pred } existential subquery (reference
+    // grammar `ASTBuilder.cpp:1086`, planner TODO): decorrelated into one
+    // LEFT SEMI join on the shared customer binding — the inner WHERE
+    // filters the subquery side before the join, never per-row.
+    "cy_exists_sub" -> ((
+      cy("MATCH (c:Customer) WHERE c.acctbal > 9000.0 AND " +
+        "EXISTS { (c)-[:PLACED]->(o:Order) WHERE o.totalprice > 100000.0 } " +
+        "RETURN c.id AS id ORDER BY id"),
+      Some("""SELECT 'c' || c_custkey AS id FROM customer
+             |WHERE c_acctbal > 9000 AND EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = customer.c_custkey AND o.o_totalprice > 100000)
+             |ORDER BY id""".stripMargin))),
+
+    // NOT EXISTS { MATCH ... } → LEFT ANTI join (explicit MATCH keyword
+    // form; complements cy_pattern_not_exists which uses the bare
+    // pattern-expression syntax).
+    "cy_not_exists_sub" -> ((
+      cy("MATCH (c:Customer) WHERE NOT EXISTS { MATCH (c)-[:PLACED]->(:Order {status: 'F'}) } " +
+        "RETURN c.id AS id ORDER BY id"),
+      Some("""SELECT 'c' || c_custkey AS id FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = customer.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY id""".stripMargin))),
+
+    // Pattern comprehension in RETURN (reference grammar
+    // `ASTBuilder.cpp:1094-1160`, planner TODO): materialized as ONE
+    // grouped collect + left join on n.id; nations with no supplier get
+    // an EMPTY list (size 0), exercising the missing-match coalesce.
+    "cy_pattern_comp_size" -> ((
+      cy("MATCH (n:Nation) RETURN n.id AS id, " +
+        "size([(s:Supplier)-[:FROM]->(n) | s.id]) AS nsupp ORDER BY id"),
+      Some("""SELECT 'n' || n_nationkey AS id,
+             |  CAST((SELECT COUNT(*) FROM supplier s
+             |        WHERE s.s_nationkey = nation.n_nationkey) AS INT) AS nsupp
+             |FROM nation ORDER BY id""".stripMargin))),
+
+    // Pattern comprehension contents: UNWIND flattens the collected list
+    // so the oracle compares scalar rows; the inner WHERE filters before
+    // collection.
+    "cy_pattern_comp_unwind" -> ((
+      cy("MATCH (n:Nation) WHERE n.id = 'n3' " +
+        "UNWIND [(s:Supplier)-[:FROM]->(n) WHERE s.acctbal > 0.0 | s.name] AS sname " +
+        "RETURN sname ORDER BY sname"),
+      Some("""SELECT s_name AS sname FROM supplier
+             |WHERE s_nationkey = 3 AND s_acctbal > 0 ORDER BY sname""".stripMargin))),
+
+    // Pattern comprehension inside a WHERE scalar conjunct — the rewrite
+    // happens before the filter compiles, so size([...]) >= k is an
+    // ordinary codegen'd predicate over the pre-joined list column.
+    "cy_pattern_comp_where" -> ((
+      cy("MATCH (n:Nation) WHERE size([(s:Supplier)-[:FROM]->(n) | s.id]) >= 2 " +
+        "RETURN n.id AS id ORDER BY id"),
+      Some("""SELECT 'n' || n_nationkey AS id FROM nation
+             |WHERE (SELECT COUNT(*) FROM supplier s
+             |       WHERE s.s_nationkey = nation.n_nationkey) >= 2
+             |ORDER BY id""".stripMargin))))
 
   // ======================================================================
   // Graph algorithms (SURVEY.md §2.3)

@@ -110,6 +110,16 @@ object ExprCompiler {
         "pattern predicates are supported as top-level WHERE conjuncts only " +
           "(optionally under NOT / exists(...)) — not nested inside other expressions")
 
+    case _: ExistsSub =>
+      throw CypherParseException(
+        "EXISTS { ... } subqueries are supported as top-level WHERE conjuncts only " +
+          "(optionally under NOT) — not nested inside other expressions")
+
+    case _: PatternComp =>
+      throw CypherParseException(
+        "pattern comprehensions are supported in WHERE, RETURN/WITH items, " +
+          "ORDER BY keys and UNWIND only — not in this position")
+
     // reduce(acc = init, v IN list | body) → the aggregate HOF. Spark
     // requires the fold body's type to equal the zero's type, so both
     // coerce through the init expression's static kind (numeric folds run

@@ -151,8 +151,8 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       else ctx.df.get.select(shared.map(v => col(s"`$v`").as(s"__ex_$v")): _*)
     val joinCond = shared.map { v =>
       start.scope(v) match {
-        case KRel => col(s"$v.eid") === col(s"__ex_$v.eid")
-        case KNode => col(s"$v.id") === col(s"__ex_$v.id")
+        case KRel => col(s"`$v`.eid") === col(s"`__ex_$v`.eid")
+        case KNode => col(s"`$v`.id") === col(s"`__ex_$v`.id")
         case _ => col(s"`$v`") === col(s"`__ex_$v`")
       }
     }.reduceOption(_ && _).getOrElse(lit(true))
@@ -186,11 +186,99 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       else sub.df.get.select(shared.map(v => col(s"`$v`").as(s"__pp_$v")): _*)
     val joinCond = shared.map { v =>
       val key = if (start.scope(v) == KRel) "eid" else "id"
-      col(s"$v.$key") === col(s"__pp_$v.$key")
+      col(s"`$v`.$key") === col(s"`__pp_$v`.$key")
     }.reduceOption(_ && _).getOrElse(lit(true))
     val joined = start.df.getOrElse(emptyRow())
       .join(pruned, joinCond, if (negated) "left_anti" else "left_semi")
     start.copy(df = Some(joined))
+  }
+
+  /**
+   * Pattern comprehension `[(a)-[:T]->(b) WHERE pred | proj]` (parity-plus
+   * — reference grammar `ASTBuilder.cpp:1094-1160`, planner TODO):
+   * replace each PatternComp inside `exprs` with a fresh list-column
+   * variable, materialized once as ONE grouped collect + ONE left
+   * equi-join — never a per-row re-execution. Identical comprehensions
+   * are memoized to a single materialization, so a comprehension repeated
+   * across RETURN items / ORDER BY keys shares its join.
+   */
+  private def materializePatternComps(start: BindCtx, exprs: List[Expr])
+      : (BindCtx, List[Expr]) = {
+    var ctx = start
+    val memo = scala.collection.mutable.Map.empty[PatternComp, String]
+    def rewrite(e: Expr): Expr = e match {
+      case pc: PatternComp =>
+        val name = memo.getOrElseUpdate(pc, {
+          val n = fresh("pcomp")
+          ctx = attachPatternComp(ctx, pc, n)
+          n
+        })
+        Variable(name)
+      case other => mapChildren(other, rewrite)
+    }
+    val rewritten = exprs.map(rewrite)
+    (ctx, rewritten)
+  }
+
+  /**
+   * Materialize one pattern comprehension as a list column named
+   * `outName` on the running binding. The subpattern is compiled over a
+   * distinct SEED of the correlated outer variables (like EXISTS), the
+   * projection is collected per correlation key, and the grouped lists
+   * LEFT-join back on the entity ids — rows with no match get an empty
+   * list (openCypher). At scale: one grouped shuffle plus one equi-join;
+   * an uncorrelated comprehension reduces to a broadcast 1-row side.
+   * Lists of orderable elements are sorted for determinism (openCypher
+   * leaves comprehension order unspecified); map-bearing elements (whole
+   * entities) are left unsorted — Spark cannot compare maps.
+   */
+  private def attachPatternComp(start: BindCtx, pc: PatternComp, outName: String): BindCtx = {
+    val mentioned = patternVars(pc.path) ++ (pc.where.toList :+ pc.proj).flatMap(freeVars)
+    val shared = (mentioned & start.scope.keySet).toSeq.sorted.filterNot(_.startsWith("__"))
+    shared.find(v => start.scope(v) == ExprCompiler.KPath).foreach { v =>
+      throw CypherParseException(
+        s"pattern comprehension cannot correlate on path variable '$v'")
+    }
+    var sub =
+      if (shared.isEmpty) BindCtx(None, Map.empty)
+      else BindCtx(
+        Some(Planner.dedupRows(start.df.get.select(shared.map(v => col(s"`$v`")): _*))),
+        shared.map(v => v -> start.scope(v)).toMap)
+    sub = compilePath(pc.path, sub)
+    pc.where.foreach { w => sub = applyWhere(sub, w) }
+    sub = applyPending(sub)
+    def keyOf(v: String): Column = start.scope(v) match {
+      case KRel => col(s"`$v`.eid")
+      case KNode => col(s"`$v`.id")
+      case _ => col(s"`$v`")
+    }
+    def keyName(v: String): String = s"${outName}_k_$v"
+    val projected = sub.df.get.select(
+      shared.map(v => keyOf(v).as(keyName(v))) :+
+        ExprCompiler.compile(pc.proj, Scope(sub.scope)).col.as(s"${outName}_elem"): _*)
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val collected = {
+      val c = collect_list(col(s"`${outName}_elem`"))
+      val sorted =
+        if (hasMap(projected.schema(s"${outName}_elem").dataType)) c else sort_array(c)
+      sorted.as(outName)
+    }
+    val grouped =
+      if (shared.isEmpty) broadcast(projected.agg(collected))
+      else projected.groupBy(shared.map(v => col(s"`${keyName(v)}`")): _*).agg(collected)
+    val joinCond = shared.map(v => keyOf(v) === col(s"`${keyName(v)}`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val listType = grouped.schema(outName).dataType
+    val joined = start.df.getOrElse(emptyRow())
+      .join(grouped, joinCond, "left")
+      .drop(shared.map(keyName): _*)
+      .withColumn(outName, coalesce(col(s"`$outName`"), array().cast(listType)))
+    start.copy(df = Some(joined)).withVar(outName, ExprCompiler.KOther)
   }
 
   /**
@@ -217,7 +305,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     val pruned = sub.df.get.select((shared ++ newVars).map(v => col(s"`$v`").as(s"__opt_$v")): _*)
     val joinCond = shared.map { v =>
       val key = if (start.scope(v) == KRel) "eid" else "id"
-      col(s"$v.$key") === col(s"__opt_$v.$key")
+      col(s"`$v`.$key") === col(s"`__opt_$v`.$key")
     }.reduceOption(_ && _).getOrElse(lit(true))
     val joined = start.df.get.join(pruned, joinCond, "left")
     val keep = start.df.get.columns.map(c => col(s"`$c`")) ++
@@ -239,8 +327,9 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
    * executable here as straightforward DataFrame composition.
    */
   def applyWith(start: BindCtx, w: WithClause): BindCtx = {
-    val scope = Scope(start.scope)
-    val newScope: Map[String, Kind] = w.projection.items.map { i =>
+    val (ctx, projection) = rewriteProjection(start, w.projection)
+    val scope = Scope(ctx.scope)
+    val newScope: Map[String, Kind] = projection.items.map { i =>
       i.expr match {
         case Variable(v) => i.alias.getOrElse(v) -> scope.kindOf(v)
         case other =>
@@ -249,7 +338,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           name -> ExprCompiler.KValue
       }
     }.toMap
-    val projected = compileReturn(start.df.getOrElse(emptyRow()), scope, w.projection)
+    val projected = compileReturn(ctx.df.getOrElse(emptyRow()), scope, projection)
     val filtered = w.where match {
       case Some(cond) =>
         projected.filter(ExprCompiler.compile(cond, Scope(newScope)).col.try_cast(BooleanType))
@@ -351,15 +440,35 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
   def applyUnwind(start: BindCtx, u: UnwindClause): BindCtx = {
     if (start.scope.contains(u.variable))
       throw CypherParseException(s"UNWIND variable '${u.variable}' is already bound")
-    val base = start.df.getOrElse(emptyRow())
-    val listCol = ExprCompiler.compile(u.list, Scope(start.scope)).col
+    val (ctx, rewritten) = materializePatternComps(start, List(u.list))
+    val base = ctx.df.getOrElse(emptyRow())
+    val listCol = ExprCompiler.compile(rewritten.head, Scope(ctx.scope)).col
     BindCtx(Some(base.withColumn(u.variable, explode(listCol))),
-      start.scope + (u.variable -> ExprCompiler.KValue))
+      ctx.scope + (u.variable -> ExprCompiler.KValue))
   }
 
-  /** Terminal RETURN. */
-  def applyReturn(ctx: BindCtx, r: ReturnClause): DataFrame =
-    compileReturn(ctx.df.getOrElse(emptyRow()), Scope(ctx.scope), r)
+  /** Terminal RETURN. Pattern comprehensions in items / sort keys
+    * materialize first (one grouped join each, memoized). */
+  def applyReturn(ctx0: BindCtx, r: ReturnClause): DataFrame = {
+    val (ctx, rewritten) = rewriteProjection(ctx0, r)
+    compileReturn(ctx.df.getOrElse(emptyRow()), Scope(ctx.scope), rewritten)
+  }
+
+  /** Materialize pattern comprehensions referenced by a RETURN / WITH
+    * projection, rewriting items and sort keys to the new list columns.
+    * An unaliased rewritten item keeps its user-visible column name (the
+    * original expression text) via an injected alias. */
+  private def rewriteProjection(ctx0: BindCtx, r: ReturnClause): (BindCtx, ReturnClause) = {
+    val exprs = r.items.map(_.expr) ++ r.orderBy.map(_.expr)
+    val (ctx, rewritten) = materializePatternComps(ctx0, exprs)
+    if (rewritten == exprs) return (ctx0, r)
+    val (itemExprs, sortExprs) = rewritten.splitAt(r.items.size)
+    val items = r.items.zip(itemExprs).map { case (i, e) =>
+      if (e == i.expr) i else ReturnItem(e, Some(i.name))
+    }
+    val sorts = r.orderBy.zip(sortExprs).map { case (s, e) => s.copy(expr = e) }
+    (ctx, r.copy(items = items, orderBy = sorts))
+  }
 
   private def emptyRow(): DataFrame = graph.nodes.sparkSession.range(1).drop("id")
 

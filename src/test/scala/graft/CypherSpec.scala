@@ -853,4 +853,88 @@ class CypherSpec extends SparkSpec {
       Cypher.run(g, "MATCH (a) RETURN length(a.name)")
     }
   }
+
+  test("EXISTS { } subquery: correlated semi/anti joins, inner WHERE sees outer vars") {
+    // ground truth from the expand form
+    val neighborIds = Cypher.run(g,
+      "MATCH (n)-[:NEIGHBORS]-(m) WHERE m.name = 'Fiona' RETURN DISTINCT n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    val ex = Cypher.run(g,
+      "MATCH (n) WHERE EXISTS { MATCH (n)-[:NEIGHBORS]-(m) WHERE m.name = 'Fiona' } " +
+        "RETURN n.id AS id").collect().map(_.getString(0)).toSet
+    assert(ex === neighborIds)
+    // NOT EXISTS → anti join, complements within the 20 nodes
+    val notEx = Cypher.run(g,
+      "MATCH (n) WHERE NOT EXISTS { (n)-[:NEIGHBORS]-(m) WHERE m.name = 'Fiona' } " +
+        "RETURN n.id AS id").collect().map(_.getString(0)).toSet
+    assert(notEx === g.nodes.select("id").collect().map(_.getString(0)).toSet -- neighborIds)
+    // inner WHERE referencing BOTH outer and inner variables (true correlation)
+    val corr = Cypher.run(g,
+      "MATCH (n) WHERE EXISTS { (n)-[:NEIGHBORS]-(m) WHERE m.id > n.id } " +
+        "RETURN n.id AS id").collect().map(_.getString(0)).toSet
+    val corrTruth = Cypher.run(g,
+      "MATCH (n)-[:NEIGHBORS]-(m) WHERE m.id > n.id RETURN DISTINCT n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(corr === corrTruth)
+    // uncorrelated EXISTS gates on global (non)emptiness
+    assert(Cypher.run(g,
+      "MATCH (n) WHERE EXISTS { (x:NoSuchLabel)-[:NEIGHBORS]-(y) } RETURN n.id").count() === 0L)
+    assert(Cypher.run(g,
+      "MATCH (n) WHERE EXISTS { (x)-[:NEIGHBORS]-(y) } RETURN n.id").count() === 20L)
+    // nested under OR → clear rejection, not a MatchError
+    val err = intercept[CypherParseException] {
+      Cypher.run(g,
+        "MATCH (n) WHERE n.id = '1' OR EXISTS { (n)-[:NEIGHBORS]-(m) } RETURN n.id")
+    }
+    assert(err.getMessage.contains("top-level WHERE conjuncts"))
+  }
+
+  test("pattern comprehension: RETURN / WHERE / UNWIND, empty-match → empty list") {
+    // [pattern | proj] in RETURN: neighbor names per node, sorted
+    val rows = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '1' RETURN [(n)-[:NEIGHBORS]-(m) | m.name] AS names")
+      .collect()
+    assert(rows.length === 1)
+    val names = rows(0).getSeq[String](0)
+    val truth = Cypher.run(g,
+      "MATCH (n)-[:NEIGHBORS]-(m) WHERE n.id = '1' RETURN m.name AS name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names === truth)
+    // size() over the comprehension inside WHERE
+    val deg = Cypher.run(g,
+      "MATCH (n) WHERE size([(n)-[:NEIGHBORS]-(m) | m.id]) >= 12 RETURN n.id AS id")
+      .collect().map(_.getString(0)).toSet
+    val degTruth = Cypher.run(g,
+      "MATCH (n)-[:NEIGHBORS]-(m) RETURN n.id AS id, count(m) AS c")
+      .collect().filter(_.getLong(1) >= 12).map(_.getString(0)).toSet
+    assert(deg === degTruth)
+    // inner WHERE filters before collection; UNWIND flattens the list
+    val unwound = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '1' " +
+        "UNWIND [(n)-[:NEIGHBORS]-(m) WHERE m.id < 5 | m.id] AS mid RETURN mid")
+      .collect().map(_.getString(0)).toSet
+    val unwoundTruth = Cypher.run(g,
+      "MATCH (n)-[:NEIGHBORS]-(m) WHERE n.id = '1' AND m.id < 5 RETURN m.id AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(unwound === unwoundTruth)
+    // no match → EMPTY list (not null), so size() = 0 keeps the row
+    val empty = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '1' RETURN size([(n)-[:NOSUCHTYPE]->(m) | m.id]) AS z")
+      .collect()
+    assert(empty.length === 1 && empty(0).getInt(0) === 0)
+    // whole-entity projection (map-bearing elements skip the sort)
+    val ent = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '1' RETURN size([(n)-[:NEIGHBORS]-(m) | m]) AS c")
+      .collect()
+    assert(ent(0).getInt(0) === truth.size)
+    // WITH-projected comprehension carries through as a list value
+    val viaWith = Cypher.run(g,
+      "MATCH (n) WHERE n.id = '1' WITH [(n)-[:NEIGHBORS]-(m) | m.name] AS names " +
+        "RETURN size(names) AS c").collect()
+    assert(viaWith(0).getInt(0) === truth.size)
+    // comprehension variables do not leak into the outer scope
+    intercept[CypherParseException] {
+      Cypher.run(g, "MATCH (n) RETURN [(n)-[:NEIGHBORS]-(m) | m.name] AS x, m.id")
+    }
+  }
 }
