@@ -293,29 +293,42 @@ object GraphAlgorithms {
   private[graft] def kCoreImpl(edges: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
     val canon = PropertyGraph.canonicalUndirected(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def degreesWithin(alive: DataFrame): DataFrame = {
-      val induced = canon
-        .join(alive.select(col("id").as("src")), "src", "left_semi")
-        .join(alive.select(col("id").as("dst")), "dst", "left_semi")
-      induced.select(col("src").as("id"))
-        .unionAll(induced.select(col("dst").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("degree"))
-    }
-    var alive = canon.select(col("src").as("id"))
-      .unionAll(canon.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    var aliveCount = alive.count()
+    // DELTA peeling: maintain each survivor's induced degree and subtract
+    // the contribution of just-removed neighbors, instead of recomputing
+    // induced degrees from the full edge list every round. Cost per round
+    // is two joins of the edge list against the REMOVED set — which
+    // shrinks round over round (AQE broadcasts it once small) — plus one
+    // id-keyed degree update; the old shape paid two full semi-joins and
+    // a fresh edge-wide aggregate per round AND once more for the final
+    // answer. Synchronous-round semantics are unchanged (the bounded form
+    // stays replayable round-by-round by the SQL oracle).
+    var deg = canon
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
     var executed = 0
     var converged = false
     while (executed < rounds && !converged) {
-      alive = degreesWithin(alive).where(col("degree") >= k)
-        .select(col("id")).localCheckpoint(true)
-      val c = alive.count()
-      converged = c == aliveCount
-      aliveCount = c
-      executed += 1
+      val removed = deg.where(col("degree") < k).select("id").localCheckpoint(true)
+      executed += 1 // a round that removes nothing still counts as executed
+      if (removed.isEmpty) converged = true
+      else {
+        val delta = canon.join(removed.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id"))
+          .unionAll(canon.join(removed.select(col("id").as("dst")), Seq("dst"))
+            .select(col("src").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("drop"))
+        deg = deg.where(col("degree") >= k)
+          .join(delta, Seq("id"), "left")
+          .select(col("id"),
+            (col("degree") - coalesce(col("drop"), lit(0L))).as("degree"))
+          .localCheckpoint(true)
+      }
     }
-    val out = degreesWithin(alive)
+    // survivors keep their maintained induced degree; vertices whose last
+    // neighbor was just removed (degree 0) are omitted, matching the old
+    // induced-edge aggregate which never emitted them
+    val out = deg.where(col("degree") > 0)
     canon.unpersist()
     (out, executed)
   }

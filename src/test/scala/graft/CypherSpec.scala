@@ -937,4 +937,31 @@ class CypherSpec extends SparkSpec {
       Cypher.run(g, "MATCH (n) RETURN [(n)-[:NEIGHBORS]-(m) | m.name] AS x, m.id")
     }
   }
+
+  test("plan posture: EXISTS/comprehension compile to equi-joins, never per-row loops") {
+    // correlated EXISTS → one LEFT SEMI equi-join; NOT EXISTS → LEFT ANTI.
+    // A nested-loop or cartesian here would re-execute the subquery per
+    // row at 100 TB; fail loudly if one appears.
+    val semi = Cypher.run(g,
+      "MATCH (n) WHERE EXISTS { (n)-[:NEIGHBORS]-(m) WHERE m.name = 'Fiona' } RETURN n.id")
+      .queryExecution.executedPlan.toString
+    assert(semi.contains("LeftSemi"), s"EXISTS is not a semi join:\n$semi")
+    assert(!semi.contains("CartesianProduct") && !semi.contains("NestedLoop"),
+      s"EXISTS plan has a per-row loop:\n$semi")
+    val anti = Cypher.run(g,
+      "MATCH (n) WHERE NOT EXISTS { (n)-[:NEIGHBORS]-(m) WHERE m.name = 'Fiona' } RETURN n.id")
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("LeftAnti"), s"NOT EXISTS is not an anti join:\n$anti")
+    // pattern comprehension → grouped collect + ONE outer equi-join; the
+    // collect aggregate must appear exactly once (memoized, not re-run
+    // per reference) even when the comprehension is used twice.
+    val comp = Cypher.run(g,
+      "MATCH (n) RETURN n.id AS id, [(n)-[:NEIGHBORS]-(m) | m.name] AS names, " +
+        "size([(n)-[:NEIGHBORS]-(m) | m.name]) AS c")
+      .queryExecution.executedPlan.toString
+    assert(comp.split("collect_list").length - 1 <= 2, // partial+final of ONE aggregate
+      s"comprehension collect runs more than once:\n$comp")
+    assert(!comp.contains("CartesianProduct") && !comp.contains("NestedLoop"),
+      s"comprehension plan has a per-row loop:\n$comp")
+  }
 }
