@@ -688,19 +688,20 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       val finalize: DataFrame => DataFrame = { df0 =>
         val sId = element_at(nodesArr, 1).getField("id")
         val eId = element_at(nodesArr, -1).getField("id")
-        var df = df0
-          .withColumn("__sp_len", size(relsArr))
-          .withColumn("__sp_min", min(size(relsArr)).over(Window.partitionBy(sId, eId)))
-          .where(col("__sp_len") === col("__sp_min"))
-          .drop("__sp_len", "__sp_min")
-        if (!all) {
-          val sig = array_join(
-            transform(relsArr, r => r.getField("eid").cast(StringType)), "\u0001")
-          df = df.withColumn("__sp_sig", sig)
-            .withColumn("__sp_win", min(col("__sp_sig")).over(Window.partitionBy(sId, eId)))
-            .where(col("__sp_sig") === col("__sp_win"))
-            .drop("__sp_sig", "__sp_win")
-        }
+        // ONE window pass for both variants: allShortestPaths keys on the
+        // hop count alone; shortestPath keys on struct(len, sig) whose
+        // lexicographic min is exactly (min length, then least signature
+        // among min-length rows) — folding the tiebreak into the same
+        // window instead of paying a second exchange+sort over the unroll.
+        val key =
+          if (all) struct(size(relsArr))
+          else struct(size(relsArr), array_join(
+            transform(relsArr, r => r.getField("eid").cast(StringType)), "\u0001"))
+        val df = df0
+          .withColumn("__sp_key", key)
+          .withColumn("__sp_win", min(col("__sp_key")).over(Window.partitionBy(sId, eId)))
+          .where(col("__sp_key") === col("__sp_win"))
+          .drop("__sp_key", "__sp_win")
         if (dropAfter.nonEmpty) df.drop(dropAfter: _*) else df
       }
       ctx = ctx.copy(pending = ctx.pending :+ finalize)
