@@ -1171,6 +1171,26 @@ object Queries {
           .orderBy(col("idA"), col("idB")),
       Some(jaccardGroundTruthSql(charShingle = false, k = 3, threshold = 0.3)))),
 
+    // Near-dup CLUSTERS: minhash pair list → connected components via
+    // min-label propagation → (member, canonical) per cluster; a corpus
+    // compaction keeps canonical == id. Oracled against the exact-jaccard
+    // pair list closed transitively with a recursive CTE.
+    "doc_dedup_cluster" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupClusters(
+          Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id", threshold = 0.8))
+          .orderBy(col("id")),
+      Some(clusterOracleSql(k = 5, threshold = 0.8)))),
+
+    // Top-3 characteristic terms per document by TF-IDF (tf × ln(N/df)),
+    // ranked on the 4-decimal-rounded score so the selection replays
+    // identically in engines whose ln() differs in the last ulp.
+    "doc_tfidf_topk" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "text", "doc_id", k = 3)
+          .orderBy(col("id"), col("rank")),
+      Some(tfidfOracleSql(k = 3)))),
+
     // The driver's embeddings are near-orthogonal random vectors (zero
     // true pairs at cosine ≥ 0.6), so the dedup corpus plants
     // deterministic near-duplicates: every 5th vector re-scaled
@@ -1446,6 +1466,43 @@ object Queries {
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $threshold
        |ORDER BY idA, idB""".stripMargin
   }
+
+  /** Near-dup cluster oracle: the exact-jaccard pair list (same CTEs as
+    * [[jaccardGroundTruthSql]]) closed transitively with a recursive walk
+    * — MIN(reaching id) per member is the component's canonical id. */
+  private def clusterOracleSql(k: Int, threshold: Double): String = {
+    val pairBody = jaccardGroundTruthSql(charShingle = true, k = k, threshold = threshold)
+    // reuse the full pair query as a CTE; DuckDB allows nested WITH in a CTE body
+    s"""WITH RECURSIVE pr AS ($pairBody),
+       |e AS (SELECT idA AS a, idB AS b FROM pr UNION ALL SELECT idB, idA FROM pr),
+       |walk(id, r) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id
+       |)
+       |SELECT id, MIN(r) AS canonical FROM walk GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  /** TF-IDF oracle: identical tokenize/tf/df/ln pipeline; ranking on the
+    * 4-decimal-rounded score exactly as the Spark side ranks. */
+  private def tfidfOracleSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id AS id, tf.term,
+       |    CAST(ROUND(tf * LN(CAST(n.n AS DOUBLE) / df), 4) AS DOUBLE) AS tfidf
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+       |ranked AS (
+       |  SELECT id, term, tfidf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS INT) AS rank
+       |  FROM scored)
+       |SELECT id, term, tfidf, rank FROM ranked WHERE rank <= $k
+       |ORDER BY id, rank""".stripMargin
 
   /** langId oracle: replicate marker counting + argmax tie-break exactly. */
   private def langIdOracleSql: String = {

@@ -466,4 +466,49 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ----- near-dup clustering ------------------------------------------------
+
+  /**
+   * Connected components over a near-duplicate PAIR list (the output of
+   * [[minhashPairs]] / [[simhashPairs]] / [[ngramJaccardPairs]] /
+   * [[embeddingCosinePairs]]): returns (id, canonical) for every document
+   * appearing in some pair, where canonical is the smallest id in the
+   * component — a corpus compaction keeps exactly the rows with
+   * canonical == id (plus every document in no pair at all).
+   *
+   * Iterative min-label propagation, per-round localCheckpoint: each
+   * round is one equi-join + grouped min over the PAIR graph only — tiny
+   * relative to the corpus, since only near-dup members appear — and
+   * converges in O(component diameter) rounds (near-dup clusters are
+   * shallow: most are pairs or small templates-with-variants stars).
+   * `maxRounds` is a runaway bound, not a semantic knob.
+   */
+  def nearDupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB",
+                      maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("canonical", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a")).agg(min(col("canonical")).as("nmin"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(labels("id"),
+          least(labels("canonical"), coalesce(col("nmin"), labels("canonical")))
+            .as("canonical"),
+          (col("nmin") < labels("canonical")).as("__chg"))
+        .localCheckpoint(true)
+      converged = updated.where(col("__chg")).isEmpty
+      labels = updated.drop("__chg")
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -120,4 +120,36 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
       s => size(split(s, " ")) === n)
   }
+
+  /**
+   * Top-k characteristic terms per document by TF-IDF: term frequency ×
+   * ln(N / document frequency), natural log, no smoothing (every scored
+   * term has df ≥ 1). Returns (id, term, tfidf, rank) with rank 1..k per
+   * document, ordered by (tfidf ROUNDED to 4 decimals desc, term asc) —
+   * ranking on the rounded value keeps the selection replayable across
+   * engines whose ln() may differ in the last ulp.
+   *
+   * Shape at scale: one tokenize+explode (narrow), one (id, term) count,
+   * one term-keyed document-frequency aggregate joined back — the df
+   * side is vocabulary-sized, broadcastable — a 1-row corpus count
+   * broadcast, and one per-document top-k window. No all-pairs, no
+   * driver-side vocabulary.
+   */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("term"), col("tfidf"), col("rank"))
+  }
 }

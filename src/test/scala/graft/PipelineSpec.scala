@@ -290,6 +290,52 @@ class PipelineSpec extends SparkSpec {
     assert(fp2(0).getString(0) === fp2(1).getString(0))
   }
 
+  test("nearDupClusters: transitive closure to min-id canonical, singles untouched") {
+    import spark.implicits._
+    // two chains (1-2, 2-3) + (7-8), pair (5-6): components {1,2,3} {7,8} {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (5L, 6L)).toDF("idA", "idB")
+    val m = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 5L -> 5L, 6L -> 5L))
+    // a longer chain needs multiple propagation rounds: 10-11-...-15
+    val chain = (10L until 15L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val cm = Dedup.nearDupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm === (10L to 15L).map(_ -> 10L).toMap)
+    // composes with minhash pairs over duplicated docs: dup joins its base
+    val base = docs.limit(3).select(col("doc_id"), col("text"))
+    val dup = base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val clusters = Dedup.nearDupClusters(
+      Dedup.minhashPairs(base.unionByName(dup), "text", "doc_id", threshold = 0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(clusters(id + 1000000) === clusters(id))
+    }
+  }
+
+  test("tfIdfTopTerms: rarity wins over raw frequency, k respected, ranks dense") {
+    import spark.implicits._
+    // 'rare' appears once in one doc; 'common' everywhere — despite equal
+    // tf in doc 1, rare must outrank common (ln(3/1) vs ln(3/3)=0)
+    val corpus = Seq(
+      (1L, "rare common common"),
+      (2L, "common common other"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(corpus, "text", "doc_id", k = 2)
+    val doc1 = top.where(col("id") === 1).orderBy(col("rank")).collect()
+    assert(doc1.map(_.getString(1)).toSeq === Seq("rare", "common"))
+    assert(doc1(0).getDouble(2) > doc1(1).getDouble(2))
+    // ubiquitous term scores exactly 0 (ln 1)
+    assert(doc1(1).getDouble(2) === 0.0)
+    // every doc gets at most k rows with dense ranks starting at 1
+    val byDoc = top.collect().groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("multimodal: stub decode keeps schema/batch plumbing honest") {
     val assets = Multimodal.syntheticAssets(docs.limit(30), "doc_id", "text")
     assert(assets.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
