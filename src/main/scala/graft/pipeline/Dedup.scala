@@ -106,8 +106,12 @@ object Dedup {
   /** Exact Jaccard for candidate pairs, from posting lists alone:
     * |A∩B| via a shingle-equality join restricted to the candidates,
     * |A∪B| = |A| + |B| − |A∩B|. Only narrow rows ever shuffle. */
-  private def verifyJaccard(candidates: DataFrame, posting: DataFrame,
+  private def verifyJaccard(candidates0: DataFrame, posting0: DataFrame,
                             threshold: Double): DataFrame = {
+    // both inputs feed ≥3 joins below; persist() pins one computation of
+    // each (the posting side carries a full shingle explode + distinct)
+    val candidates = candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = posting0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(posting.select(col("id").as("idA"), col("shingle")), Seq("idA"))
@@ -150,7 +154,14 @@ object Dedup {
     val h = pmod(xxhash64(col("shingle")), lit(P))
     val sigCols = (0 until numHashes).map(i =>
       min(pmod(lit(as(i)) * h + lit(bs(i)), lit(P))).as(s"s$i"))
+    // sigs feeds THREE consumers (the banded bucket join's two sides and
+    // the agreement prefilter's A/B sides). persist() pins one
+    // materialization; relying on runtime exchange reuse instead was
+    // observed NOT to fire here (the consumers sit under differently-
+    // shaped parent exchanges), which re-ran the full shingle explode +
+    // 64-min aggregate per consumer — the dominant cost of the pipeline.
     val sigs = rawPosting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bucketCols = (0 until bands).map { b =>
       val bandSig = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))

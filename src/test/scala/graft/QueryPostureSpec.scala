@@ -1,0 +1,59 @@
+package graft
+
+/**
+ * Physical-plan posture assertions for flagship queries: the plans a
+ * 1000-executor/100 TB run needs, checked at spec scale so a regression
+ * in join strategy, aggregate splitting, or scan pruning fails loudly
+ * long before it costs a cluster. Each assertion names the property it
+ * protects, not a full plan snapshot — Spark may legally reshape the
+ * rest.
+ */
+class QueryPostureSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q5: small dims broadcast; no cartesian anywhere") {
+    val p = plan("q5_nation_revenue")
+    // nation/region (25/5 rows at any SF — dimension tables) must come in
+    // as broadcast joins, not shuffle both sides of a 100 TB fact chain
+    assert(p.contains("BroadcastHashJoin"), s"q5 lost its broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q5 has a cartesian:\n$p")
+  }
+
+  test("q1: aggregation splits into partial + final (map-side combine)") {
+    val p = plan("q1_agg")
+    // two HashAggregate levels around the exchange — the partial pass is
+    // what keeps a 100 TB groupBy from shuffling raw rows
+    val aggs = p.split("HashAggregate").length - 1
+    assert(aggs >= 2, s"q1 lost partial aggregation ($aggs HashAggregate):\n$p")
+  }
+
+  test("q3: filters reach the parquet scan (PushedFilters non-empty)") {
+    val p = plan("q3_top_revenue")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []")
+      || p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("IsNotNull")),
+      s"q3 scan shows no pushed filters:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("column pruning: token-count scan reads only the columns it needs") {
+    val p = plan("doc_token_count")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // doc_token_count projects doc_id + text; reading category/url/etc
+    // would drag every byte of the corpus through the scan
+    assert(!reads.contains("category") && !reads.contains("url"),
+      s"documents scan reads unused columns:\n$reads")
+  }
+
+  test("minhash: banding and prefilter REUSE the signature aggregate") {
+    val p = plan("doc_minhash_pairs")
+    // the signature aggregate feeds the band join AND the agreement
+    // prefilter; recomputing it would re-run the full shingle explode.
+    // Reuse surfaces either as cache hits (the persist() in minhashPairs
+    // → InMemoryTableScan at every consumer) or as exchange reuse.
+    assert(p.contains("InMemoryTableScan") || p.contains("ReusedExchange"),
+      s"minhash signatures recomputed:\n" +
+      p.linesIterator.filter(l => l.contains("Exchange") || l.contains("HashAggregate"))
+        .take(30).mkString("\n"))
+  }
+}
