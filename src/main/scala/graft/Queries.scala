@@ -1191,6 +1191,37 @@ object Queries {
           .orderBy(col("id"), col("rank")),
       Some(tfidfOracleSql(k = 3)))),
 
+    // Benchmark-contamination detection: the eval set is every 37th
+    // document; every other document reports the fraction of its distinct
+    // word 3-grams that appear anywhere in that set. The oracle replays
+    // gram construction and the membership probe on raw gram strings
+    // (Spark joins on the 8-byte gram hash — identical counts modulo
+    // ~n²/2⁶⁵ xxhash collisions).
+    "doc_contamination" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.contamination(
+          docs.where(pmod(col("doc_id"), lit(37)) =!= 0), "text", "doc_id",
+          docs.where(pmod(col("doc_id"), lit(37)) === 0), "text", n = 3)
+          .orderBy(col("id"))
+      },
+      Some(contaminationOracleSql(n = 3, modulus = 37)))),
+
+    // Line-level dedup (the C4/RefinedWeb boilerplate pass): documents are
+    // framed with a corpus-wide header line and an every-other-doc footer
+    // line; both exceed the document-frequency threshold and are removed,
+    // body lines survive unless the corpus itself repeats them ≥ 5 times.
+    "doc_line_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val framed = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("<<header>>\n"), col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("\n<<even-footer>>"))
+              .otherwise(lit(""))).as("framed"))
+        TextAnalysis.lineDedup(framed, "framed", "doc_id", minDocFreq = 5)
+          .orderBy(col("id"))
+      },
+      Some(lineDedupOracleSql(minDocFreq = 5)))),
+
     // The driver's embeddings are near-orthogonal random vectors (zero
     // true pairs at cosine ≥ 0.6), so the dedup corpus plants
     // deterministic near-duplicates: every 5th vector re-scaled
@@ -1503,6 +1534,57 @@ object Queries {
        |  FROM scored)
        |SELECT id, term, tfidf, rank FROM ranked WHERE rank <= $k
        |ORDER BY id, rank""".stripMargin
+
+  /** Contamination oracle: replay 3-gram construction for corpus and
+    * eval-set sides on raw gram strings, probe membership, count distinct
+    * grams and hits per document. */
+  private def contaminationOracleSql(n: Int, modulus: Int): String = {
+    val parts = (0 until n).map(j => s"ts[CAST(i AS INTEGER) + $j]").mkString(" || ' ' || ")
+    def grams(src: String) =
+      s"""SELECT DISTINCT doc_id, $parts AS g
+         |  FROM (SELECT doc_id, list_filter(
+         |          regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts
+         |        FROM $src),
+         |    UNNEST(range(1, len(ts) - ${n - 2})) t(i)
+         |  WHERE len(ts) >= $n""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % $modulus <> 0),
+       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % $modulus = 0),
+       |cg AS (${grams("corpus")}),
+       |bg AS (SELECT DISTINCT g FROM (${grams("bench")})),
+       |tot AS (SELECT doc_id, COUNT(*) AS grams FROM cg GROUP BY 1),
+       |hit AS (SELECT doc_id, COUNT(*) AS hits FROM cg WHERE g IN (SELECT g FROM bg) GROUP BY 1)
+       |SELECT c.doc_id AS id, COALESCE(tot.grams, 0) AS grams, COALESCE(hit.hits, 0) AS hits,
+       |  CAST(ROUND(CASE WHEN COALESCE(tot.grams, 0) > 0
+       |    THEN CAST(COALESCE(hit.hits, 0) AS DOUBLE) / tot.grams ELSE 0.0 END, 6) AS DOUBLE)
+       |    AS contamination
+       |FROM corpus c
+       |LEFT JOIN tot ON tot.doc_id = c.doc_id
+       |LEFT JOIN hit ON hit.doc_id = c.doc_id
+       |ORDER BY id""".stripMargin
+  }
+
+  /** Line-dedup oracle: identical framing, line split with position,
+    * distinct-document line frequency, ordered rebuild of survivors. */
+  private def lineDedupOracleSql(minDocFreq: Long): String =
+    s"""WITH framed AS (
+       |  SELECT doc_id, '<<header>>' || chr(10) || text ||
+       |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || '<<even-footer>>' ELSE '' END AS ftext
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, ls[CAST(i AS INTEGER)] AS l
+       |  FROM (SELECT doc_id, string_split(ftext, chr(10)) AS ls FROM framed),
+       |    UNNEST(range(1, len(ls) + 1)) t(i)),
+       |dfreq AS (SELECT l, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+       |kept AS (
+       |  SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text, COUNT(*) AS kept
+       |  FROM lines JOIN dfreq USING (l) WHERE df < $minDocFreq GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS total FROM lines GROUP BY 1)
+       |SELECT f.doc_id AS id, COALESCE(kept.text, '') AS text,
+       |  tot.total - COALESCE(kept.kept, 0) AS removed
+       |FROM framed f
+       |JOIN tot ON tot.doc_id = f.doc_id
+       |LEFT JOIN kept ON kept.doc_id = f.doc_id
+       |ORDER BY id""".stripMargin
 
   /** langId oracle: replicate marker counting + argmax tie-break exactly. */
   private def langIdOracleSql: String = {

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/**
+ * Column-level API for graft's native Catalyst expressions.
+ *
+ * [[functions.vecDot]] / [[functions.vecNorm]] / [[functions.vecCosine]] /
+ * [[functions.vecL2Dist]] are drop-in replacements for the
+ * `aggregate(zip_with(...))` higher-order-function forms (bit-identical
+ * results — see [[graft.functions.ArrayDot]]), compiled to tight
+ * generated loops instead of per-element interpreted lambda calls.
+ */
+package object functions {
+
+  private def column(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Σ aᵢ·bᵢ, codegen'd. Null on null input / length mismatch / null element. */
+  def vecDot(a: Column, b: Column): Column =
+    column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** √(Σ aᵢ²), codegen'd. */
+  def vecNorm(a: Column): Column = {
+    val e = ColumnBridge.expression(a)
+    org.apache.spark.sql.functions.sqrt(column(ArrayDot(e, e)))
+  }
+
+  /** dot(a,b) / (‖a‖·‖b‖) — factored exactly like the HOF original so
+    * results (incl. NaN on zero norms) are unchanged. */
+  def vecCosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** √(Σ (aᵢ−bᵢ)²), codegen'd. */
+  def vecL2Dist(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.sqrt(
+      column(ArraySqDiff(ColumnBridge.expression(a), ColumnBridge.expression(b))))
+}

@@ -87,8 +87,9 @@ object Dedup {
 
   /** One row per distinct word n-gram: (id, shingle). Tokens are exploded
     * with positions and n-grams assembled with window lead()s — same
-    * no-lambda-capture, codegen-friendly shape as [[shinglePosting]]. */
-  private def ngramPosting(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    * no-lambda-capture, codegen-friendly shape as [[shinglePosting]].
+    * Shared with [[TextAnalysis.contamination]]. */
+  private[pipeline] def ngramPosting(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(lower(trim(col(textCol))), "\\s+")))
@@ -454,8 +455,8 @@ object Dedup {
       struct(lit(b).as("band"), sig.as("bucket"))
     }
 
-    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
-    val vecs = clean.select(col(idCol).as("id"), v.as("vec"), norm.as("nrm"))
+    val vecs = clean.select(col(idCol).as("id"), v.as("vec"),
+      graft.functions.vecNorm(v).as("nrm"))
 
     // candidate generation shuffles ONLY (band, bucket, id) — vectors are
     // joined back for the verification pass, never through the bucket join
@@ -472,8 +473,7 @@ object Dedup {
       .join(vecs.select(col("id").as("idA"), col("vec").as("vA"), col("nrm").as("nA")), Seq("idA"))
       .join(vecs.select(col("id").as("idB"), col("vec").as("vB"), col("nrm").as("nB")), Seq("idB"))
       .withColumn("cosine",
-        aggregate(zip_with(col("vA"), col("vB"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
-          (col("nA") * col("nB")))
+        graft.functions.vecDot(col("vA"), col("vB")) / (col("nA") * col("nB")))
       .where(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }

@@ -22,22 +22,20 @@ import org.apache.spark.storage.StorageLevel
  *    nprobe closest clusters per query — the scale path that turns a
  *    full scan into a fraction-of-corpus scan.
  *
- * Dot products are `zip_with` + `aggregate` higher-order expressions —
- * codegen'd, no UDFs.
+ * Dot products are native codegen'd Catalyst expressions
+ * ([[graft.functions.ArrayDot]]) — a tight generated loop per row, no
+ * UDFs, no interpreted higher-order lambdas in the hot path.
  */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a codegen'd expression. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as a codegen'd native expression. */
+  def dot(a: Column, b: Column): Column = graft.functions.vecDot(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2norm(a: Column): Column = graft.functions.vecNorm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.vecCosine(a, b)
 
-  def l2dist(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+  def l2dist(a: Column, b: Column): Column = graft.functions.vecL2Dist(a, b)
 
   /**
    * Brute-force top-k by cosine similarity for every query vector.

@@ -152,4 +152,80 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col("id"), col("term"), col("tfidf"), col("rank"))
   }
+
+  /**
+   * Benchmark-contamination detection — the decontamination step of a
+   * training-data pipeline: for every document, the fraction of its
+   * distinct word n-grams that appear anywhere in the `benchmark` corpus
+   * (the eval set). Returns (id, grams, hits, contamination); documents
+   * with fewer than n tokens have zero grams and contamination 0.
+   *
+   * Shape at scale: both sides are one tokenize+explode (narrow) to
+   * distinct (id, gram) postings; the benchmark's distinct-gram set is
+   * eval-set-sized — tiny next to a 100 TB corpus — so the membership
+   * probe is a broadcastable left-semi join keyed on an 8-byte gram hash,
+   * followed by one per-document count aggregate. The corpus is never
+   * shuffled on anything wider than (id, gramHash); no all-pairs, no
+   * driver-side gram set.
+   */
+  def contamination(df: DataFrame, textCol: String, idCol: String,
+                    benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val docGrams = Dedup.ngramPosting(df, textCol, idCol, n)
+    val benchGrams = Dedup.ngramPosting(
+      benchmark.select(col(benchTextCol), monotonically_increasing_id().as("__bid")),
+      benchTextCol, "__bid", n)
+      .select(col("shingle")).distinct()
+    val perDoc = docGrams
+      .join(benchGrams, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+    val totals = docGrams.groupBy("id").agg(count(lit(1)).as("grams"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("grams", "hits"))
+      .withColumn("contamination",
+        round(when(col("grams") > 0,
+          col("hits").cast(DoubleType) / col("grams").cast(DoubleType)).otherwise(0.0), 6))
+  }
+
+  /**
+   * Line-level deduplication (the C4/RefinedWeb-style boilerplate pass):
+   * drop every line that occurs in at least `minDocFreq` DISTINCT
+   * documents, preserving the order of surviving lines. Returns
+   * (id, text, removed) — `removed` counts dropped line instances;
+   * documents whose every line is boilerplate come back with empty text.
+   *
+   * `sep` is a LITERAL separator (default newline), used both to split
+   * and to rejoin.
+   *
+   * Shape at scale: one split+posexplode (narrow), one distinct +
+   * line-keyed document-frequency aggregate joined back on the line —
+   * frequent lines are by construction few distinct values, and the join
+   * key is the line itself so skew concentrates on exactly the rows being
+   * dropped — then one per-document sort-and-concat aggregate. Line order
+   * is restored from the carried position, not a global sort.
+   */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                minDocFreq: Long, sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), quoted)).as(Seq("pos", "l")))
+    val dfreq = lines.select(col("id"), col("l")).distinct()
+      .groupBy("l").agg(count(lit(1)).as("df"))
+    val tagged = lines.join(dfreq, Seq("l"))
+    val kept = tagged.where(col("df") < minDocFreq)
+      .groupBy("id")
+      .agg(
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("pos"), col("l")))), _.getField("l")))
+          .as("__text"),
+        count(lit(1)).as("__kept"))
+    val totals = lines.groupBy("id").agg(count(lit(1)).as("__total"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__text"), lit("")).as("text"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("removed"))
+  }
 }

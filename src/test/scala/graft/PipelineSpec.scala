@@ -336,6 +336,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contamination: gram-overlap fraction against a benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),        // grams: abc bcd cde → abc,bcd in bench → 2/3
+      (2L, "x y z w"),          // grams: xyz yzw → none in bench → 0/2
+      (3L, "a b c"),            // gram: abc → 1/1
+      (4L, "a b")               // too short → 0 grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d q r")).toDF("doc_id", "text") // grams abc bcd cdq dqr
+    val out = TextAnalysis.contamination(corpus, "text", "doc_id", bench, "text", n = 3)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, 2L), (2L, 2L, 0L), (3L, 1L, 1L), (4L, 0L, 0L)))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.666667, 0.0, 1.0, 0.0))
+  }
+
+  test("lineDedup: frequent lines drop, order survives, all-boilerplate docs empty") {
+    import spark.implicits._
+    val boiler = "SUBSCRIBE NOW"
+    val corpus = Seq(
+      (1L, s"alpha\n$boiler\nbravo"),
+      (2L, s"$boiler\ncharlie"),
+      (3L, s"delta\n$boiler"),
+      (4L, boiler) // only the boilerplate line → empty survivor
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(corpus, "text", "doc_id", minDocFreq = 3)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq === Seq(
+      (1L, "alpha\nbravo", 1L), (2L, "charlie", 1L), (3L, "delta", 1L), (4L, "", 1L)))
+    // below threshold nothing is removed
+    val keepAll = TextAnalysis.lineDedup(corpus, "text", "doc_id", minDocFreq = 5)
+      .agg(sum("removed")).collect()(0).getLong(0)
+    assert(keepAll === 0L)
+  }
+
   test("multimodal: stub decode keeps schema/batch plumbing honest") {
     val assets = Multimodal.syntheticAssets(docs.limit(30), "doc_id", "text")
     assert(assets.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
