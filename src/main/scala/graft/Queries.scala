@@ -172,7 +172,40 @@ object Queries {
       Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour, event_type,
              |COUNT(*) AS events,
              |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))))
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))),
+
+    // Backward as-of join: each click's latest view at-or-before it per
+    // user (union + running-last window — one shuffle on user_id, no
+    // range cross join). Spark matches on raw int64 NANOS; the oracle
+    // replays with a correlated LATERAL LIMIT 1, ties broken (vts DESC,
+    // vid DESC) exactly like the operator's payload-struct ordering with
+    // vid as the first right column. The reported lag truncates each
+    // timestamp to MICROS first — DuckDB reads the nanos parquet column
+    // as microsecond TIMESTAMP, so nano-precision lags can't replay.
+    "q_events_asof" -> ((
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = t(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("vid"), col("user_id"), col("ts").as("vts"))
+        graft.operators.Relational.asofJoin(
+          clicks, views, Seq("user_id"), "ts", "vts", rightPrefix = "v_")
+          .select(col("event_id"), col("user_id"), col("v_vid"),
+            (expr("ts DIV 1000") - expr("v_vts DIV 1000")).as("lag_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+             |          FROM events WHERE event_type = 'click'),
+             |v AS (SELECT event_id AS vid, user_id, epoch_us(ts) AS vtsu
+             |      FROM events WHERE event_type = 'view')
+             |SELECT c.event_id, c.user_id, q.vid AS v_vid, c.tsu - q.vtsu AS lag_us
+             |FROM c LEFT JOIN LATERAL (
+             |  SELECT vid, vtsu FROM v
+             |  WHERE v.user_id = c.user_id AND v.vtsu <= c.tsu
+             |  ORDER BY vtsu DESC, vid DESC LIMIT 1) q ON TRUE
+             |ORDER BY c.event_id""".stripMargin))))
 
   // ======================================================================
   // Cypher operator surface over the TPC-H bridge graph (SURVEY.md §2.1)

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operators Spark lacks as built-ins, composed from existing
+ * primitives (preference (a) of the custom-operator ladder — no custom
+ * physical plan needed).
+ */
+object Relational {
+
+  /**
+   * Backward as-of join: every left row picks the LATEST right row (per
+   * key) whose timestamp is ≤ the left row's timestamp; left rows with no
+   * eligible right row keep nulls (left-outer semantics). The classic
+   * event-stream primitive ("state as of this moment") that plain SQL
+   * needs a correlated LIMIT 1 for.
+   *
+   * Implementation is the union + running-`last` window pattern, NOT a
+   * range cross join: tag both sides, sort each key's rows by (ts, side),
+   * and carry the most recent right payload forward with
+   * `last(ignoreNulls) OVER rowsBetween(unboundedPreceding, current)`.
+   * One shuffle on the key columns, O(n log n) in the key's row count —
+   * survives 100 TB where the naive `l JOIN r ON key AND r.ts <= l.ts`
+   * (then max-per-group) explodes quadratically on hot keys.
+   *
+   * Ordering details that make the result deterministic:
+   *  - at equal timestamps the right row is visible to the left row
+   *    (right sorts first — `<=` semantics);
+   *  - among right rows with identical (key, ts), the one with the
+   *    largest payload struct wins, comparing the right frame's columns
+   *    in order — callers wanting a specific tie-break put that column
+   *    first in `right`.
+   *
+   * Output: all left columns, then every right column prefixed with
+   * `rightPrefix` (the key columns are emitted once, unprefixed).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPrefix: String = "r_"): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    val rightPayloadCols = right.columns.filterNot(keyCols.contains).toSeq
+    val leftCols = left.columns.toSeq
+
+    // a right row with no timestamp has no as-of position; without this
+    // filter it would sort before every real row (nulls-first) and become
+    // a spurious universal fallback match
+    val rTagged = right.where(col(rightTs).isNotNull).select(
+      keyCols.map(col) :+
+        col(rightTs).as("__ts") :+
+        lit(0).as("__side") :+
+        struct(rightPayloadCols.map(col): _*).as("__r"): _*)
+    val rStructType = rTagged.schema("__r").dataType
+
+    val lTagged = left.select(
+      keyCols.map(col) :+
+        col(leftTs).as("__ts") :+
+        lit(1).as("__side") :+
+        lit(null).cast(rStructType).as("__r") :+
+        struct(leftCols.map(col): _*).as("__l"): _*)
+
+    val unioned = rTagged
+      .withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
+      .unionByName(lTagged)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    matched.select(
+      leftCols.map(c => col("__l").getField(c).as(c)) ++
+        rightPayloadCols.map(c => col("__m").getField(c).as(s"$rightPrefix$c")): _*)
+  }
+}

@@ -15,4 +15,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime registration of a graft expression on an EXISTING session
+    * (the session-build-time path is [[graft.functions.GraftExtensions]];
+    * this one serves sessions graft didn't construct, e.g. a host
+    * application's). `sessionState` is private[sql] — same doorway. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

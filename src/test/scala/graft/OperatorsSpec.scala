@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class OperatorsSpec extends SparkSpec {
+
+  test("asofJoin: latest right at-or-before left, per key, left-outer") {
+    import spark.implicits._
+    val quotes = Seq( // (qid, sym, qts, px)
+      (1L, "A", 10L, 1.0), (2L, "A", 20L, 2.0), (3L, "A", 30L, 3.0),
+      (4L, "B", 15L, 9.0)
+    ).toDF("qid", "sym", "qts", "px")
+    val trades = Seq( // (tid, sym, tts)
+      (100L, "A", 5L),   // before any quote → null
+      (101L, "A", 20L),  // equal ts → that quote is visible
+      (102L, "A", 25L),  // between → ts=20 quote
+      (103L, "A", 99L),  // after all → ts=30 quote
+      (104L, "B", 14L),  // before B's quote → null
+      (105L, "C", 50L)   // key with no quotes at all → null
+    ).toDF("tid", "sym", "tts")
+    val out = Relational.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
+      .select(col("tid"), col("r_qid"), col("r_px")).orderBy("tid").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq === Seq(
+      (100L, None, None),
+      (101L, Some(2L), Some(2.0)),
+      (102L, Some(2L), Some(2.0)),
+      (103L, Some(3L), Some(3.0)),
+      (104L, None, None),
+      (105L, None, None)))
+  }
+
+  test("asofJoin: equal-timestamp right rows tie-break on payload struct order") {
+    import spark.implicits._
+    val right = Seq((7L, "A", 10L), (9L, "A", 10L), (8L, "A", 10L)).toDF("rid", "k", "rts")
+    val left = Seq((1L, "A", 10L)).toDF("lid", "k", "lts")
+    val out = Relational.asofJoin(left, right, Seq("k"), "lts", "rts").collect()
+    // rid is the first right payload column → largest rid wins the tie
+    assert(out.head.getAs[Long]("r_rid") === 9L)
+  }
+
+  test("asofJoin: null-timestamp right rows never match; null-ts left rows survive") {
+    import spark.implicits._
+    val right = Seq((Some(1L), "A", Option.empty[Long]), (Some(2L), "A", Some(10L)))
+      .toDF("rid", "k", "rts")
+    val left = Seq((Some(1L), "A", Some(5L)), (Some(2L), "A", Option.empty[Long]))
+      .toDF("lid", "k", "lts")
+    val out = Relational.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .orderBy("lid").collect()
+    // lid=1 at ts=5: the null-ts right row must NOT be a fallback match
+    assert(out(0).isNullAt(out(0).fieldIndex("r_rid")))
+    // lid=2 has no timestamp → emitted, unmatched
+    assert(out(1).isNullAt(out(1).fieldIndex("r_rid")))
+  }
+
+  test("graft SQL functions register and run (runtime registration path)") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_vec_norm(array(3.0D, 4.0D)) AS n,
+        |       graft_vec_sqdiff(array(1.0D, 1.0D), array(4.0D, 5.0D)) AS s""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 25.0)
+  }
+}
