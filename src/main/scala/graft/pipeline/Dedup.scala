@@ -488,18 +488,36 @@ object Dedup {
    * component — a corpus compaction keeps exactly the rows with
    * canonical == id (plus every document in no pair at all).
    *
-   * Iterative min-label propagation, per-round localCheckpoint: each
-   * round is one equi-join + grouped min over the PAIR graph only — tiny
-   * relative to the corpus, since only near-dup members appear — and
+   * Adaptive execution: the pair graph is SMALL relative to the corpus
+   * by construction (only near-dup members appear), so up to
+   * `localThreshold` pairs the components are solved exactly by a
+   * single-task union-find ON AN EXECUTOR (union-by-min-root + path
+   * compression — the root invariant makes the final root the component
+   * minimum, i.e. the same canonical the iterative form computes). 10M
+   * pairs ≈ a few hundred MB in one task — cheap next to the dedup scan
+   * that produced them. Beyond the threshold (a 100 TB corpus can emit
+   * billions of pairs) the distributed path takes over:
+   *
+   * iterative min-label propagation, per-round localCheckpoint: each
+   * round is one equi-join + grouped min over the PAIR graph only, and
    * converges in O(component diameter) rounds (near-dup clusters are
    * shallow: most are pairs or small templates-with-variants stars).
    * `maxRounds` is a runaway bound, not a semantic knob.
    */
   def nearDupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB",
-                      maxRounds: Int = 50): DataFrame = {
+                      maxRounds: Int = 50,
+                      localThreshold: Long = 10000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    val rawEdges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = rawEdges.count()
+    if (nPairs <= localThreshold) {
+      val out = unionFindClusters(rawEdges)
+      rawEdges.unpersist()
+      return out
+    }
+    val edges = rawEdges
+      .unionAll(rawEdges.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("canonical", col("id"))
@@ -520,6 +538,50 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    rawEdges.unpersist()
     labels
+  }
+
+  /** Exact connected components of a pair list in ONE executor task:
+    * union-find with union-by-min-root and path compression, so the final
+    * root of every member is the smallest id of its component. Ids are
+    * compared numerically for integral columns, as strings otherwise. */
+  private def unionFindClusters(edges: DataFrame): DataFrame = {
+    val dt = edges.schema("a").dataType
+    val ord: Ordering[Any] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+      case _ => Ordering.by((x: Any) => String.valueOf(x))
+    }
+    val spark = edges.sparkSession
+    val outRdd = edges.rdd.coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x0: Any): Any = {
+        var x = x0
+        while (parent(x) != x) {
+          val gp = parent(parent(x))
+          parent(x) = gp // path halving
+          x = gp
+        }
+        x
+      }
+      it.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        if (a != null && b != null) {
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            // min root absorbs: the invariant that makes root == min(component)
+            if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      // snapshot keys before the final finds — path halving mutates values
+      val ks = parent.keys.toArray
+      ks.iterator.map(k => org.apache.spark.sql.Row(k, find(k)))
+    }
+    spark.createDataFrame(outRdd, StructType(Seq(
+      StructField("id", dt), StructField("canonical", dt))))
   }
 }

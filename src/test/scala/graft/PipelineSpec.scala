@@ -297,11 +297,22 @@ class PipelineSpec extends SparkSpec {
     val m = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 5L -> 5L, 6L -> 5L))
-    // a longer chain needs multiple propagation rounds: 10-11-...-15
+    // a longer chain needs multiple propagation rounds: 10-11-...-15 —
+    // force BOTH execution paths and require identical results
     val chain = (10L until 15L).map(i => (i, i + 1)).toDF("idA", "idB")
     val cm = Dedup.nearDupClusters(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cm === (10L to 15L).map(_ -> 10L).toMap)
+    val cmDist = Dedup.nearDupClusters(chain, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cmDist === cm)
+    // string ids compare lexicographically in both paths
+    val sPairs = Seq(("b", "a"), ("b", "c"), ("z", "y")).toDF("idA", "idB")
+    for (thr <- Seq(10L, 0L)) {
+      val sm = Dedup.nearDupClusters(sPairs, localThreshold = thr).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(sm === Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"), s"thr=$thr")
+    }
     // composes with minhash pairs over duplicated docs: dup joins its base
     val base = docs.limit(3).select(col("doc_id"), col("text"))
     val dup = base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
