@@ -158,4 +158,35 @@ class StreamingSpec extends SparkSpec {
       assert(closed.forall(s => s.user_id == 1L))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: first occurrence wins, state expires with the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamDedup.dedupExact(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("00:00:00"), "alpha"), (2L, ts("00:01:00"), "alpha"), // dup in batch
+        (3L, ts("00:02:00"), "bravo"))
+      q.processAllAvailable()
+      input.addData((4L, ts("00:10:00"), "alpha")) // dup across batches
+      q.processAllAvailable()
+      val ids1 = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids1 === Set(1L, 3L), s"got $ids1")
+      // push the watermark far past 00:00 + 30m, expiring alpha's state;
+      // a late re-arrival of the same text is then re-emitted — the
+      // documented watermark-horizon contract
+      input.addData((5L, ts("02:00:00"), "charlie"))
+      q.processAllAvailable()
+      input.addData((6L, ts("02:01:00"), "alpha"))
+      q.processAllAvailable()
+      val ids2 = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids2 === Set(1L, 3L, 5L, 6L), s"got $ids2")
+    } finally q.stop()
+  }
 }
