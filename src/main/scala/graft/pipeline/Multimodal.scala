@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
  *
  * The Spark-side mechanics — schema, batch iteration via mapPartitions,
  * deterministic partitioning by asset id, feature-array output shape — are
- * real and tested. The actual media decoding is STUBBED (this container
- * ships no image/audio codecs): `decodeStub` derives deterministic fake
- * features from the payload bytes. A production deployment replaces ONLY
- * the marked function body with a real decoder (e.g. javacv / a JNI
- * codec); every plan around it is unchanged.
+ * real and tested. Decoding is REAL for the codec-free formats a bare JVM
+ * can parse — binary PPM/PGM images (`decodePpm`) and RIFF/WAV 16-bit PCM
+ * audio (`decodeWav`), dispatched by magic bytes — and STUBBED for
+ * compressed codecs (JPEG/MP3/H.264 need libraries this container doesn't
+ * ship): `decodeStub` derives deterministic fake features from the
+ * payload bytes. A production deployment replaces ONLY the stub body with
+ * a real codec (e.g. javacv / JNI); every plan around it is unchanged.
  */
 object Multimodal {
 
@@ -73,6 +75,133 @@ object Multimodal {
       feature = feat)
   }
 
+  /** Binary PPM (P6, RGB) / PGM (P5, gray) decode — pure byte parsing, no
+    * codec. Header: magic, width, height, maxval (≤ 255) as whitespace-
+    * separated tokens with `#` comments, then one whitespace byte and the
+    * raw samples. Features: per-channel means and stddevs, then global
+    * min/max, all in [0,1]; gray fills the first mean/std slot.
+    * Returns None on any malformation (wrong magic handled by the
+    * dispatcher; truncated data / oversized maxval fall back to the stub). */
+  private[graft] def decodePpm(assetId: Long, payload: Array[Byte]): Option[AssetFeatures] = {
+    if (payload == null || payload.length < 2) return None
+    val gray = payload(1) == '5'
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < payload.length) {
+        val c = payload(i).toChar
+        if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def token(): Option[Int] = {
+      skipWs()
+      val s = i
+      while (i < payload.length && !payload(i).toChar.isWhitespace) i += 1
+      val t = new String(payload, s, i - s, "US-ASCII")
+      t.toIntOption.filter(_ >= 0)
+    }
+    val parsed = for {
+      w <- token(); h <- token(); maxv <- token()
+      if maxv > 0 && maxv <= 255 && w > 0 && h > 0
+    } yield (w, h, maxv)
+    parsed.flatMap { case (w, h, maxv) =>
+      i += 1 // the single whitespace byte after maxval
+      val ch = if (gray) 1 else 3
+      val need = w.toLong * h * ch
+      if (i + need > payload.length) None
+      else {
+        val sum = new Array[Double](3); val sqSum = new Array[Double](3)
+        var mn = 255; var mx = 0
+        var p = i; var k = 0
+        while (p < i + need) {
+          val v = payload(p) & 0xFF
+          val c = k % ch
+          sum(c) += v; sqSum(c) += v.toDouble * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          p += 1; k += 1
+        }
+        val nPix = (w.toLong * h).toDouble
+        val feat = new Array[Float](8)
+        var c = 0
+        while (c < ch) {
+          val mean = sum(c) / nPix
+          feat(c) = (mean / maxv).toFloat
+          feat(c + 3) = (math.sqrt(math.max(0.0, sqSum(c) / nPix - mean * mean)) / maxv).toFloat
+          c += 1
+        }
+        feat(6) = mn.toFloat / maxv
+        feat(7) = mx.toFloat / maxv
+        Some(AssetFeatures(assetId, "image", w, h, ch, feat))
+      }
+    }
+  }
+
+  /** RIFF/WAV 16-bit PCM decode — pure little-endian byte parsing of the
+    * fmt and data chunks. width = frames per channel, height = sample
+    * rate, channels from the header. Features: mean, RMS and peak of the
+    * normalized samples, zero-crossing rate, duration in seconds, channel
+    * count. Returns None on non-PCM / non-16-bit / malformed chunks. */
+  private[graft] def decodeWav(assetId: Long, payload: Array[Byte]): Option[AssetFeatures] = {
+    if (payload == null || payload.length < 44) return None
+    def u16(o: Int) = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def u32(o: Int) = (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+      ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    var data: Option[(Int, Int)] = None // (offset, bytes)
+    while (o + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(o); val sz = u32(o + 4).toInt
+      if (sz < 0) return None // malformed size would walk the cursor backwards
+      if (id == "fmt " && o + 24 <= payload.length) {
+        val audioFormat = u16(o + 8)
+        val bits = u16(o + 22)
+        if (audioFormat != 1 || bits != 16) return None // PCM16 only
+        fmt = Some((u16(o + 10), u32(o + 12).toInt))
+      } else if (id == "data") {
+        data = Some((o + 8, math.min(sz, payload.length - o - 8)))
+      }
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    for ((ch, rate) <- fmt; (off, bytes) <- data; if ch > 0 && rate > 0 && bytes >= 2) yield {
+      val n = bytes / 2
+      var sum = 0.0; var sq = 0.0; var peak = 0.0; var zc = 0L
+      var prevNeg = false
+      var k = 0
+      while (k < n) {
+        val s = (u16(off + 2 * k).toShort.toDouble) / 32768.0
+        sum += s; sq += s * s
+        val a = math.abs(s); if (a > peak) peak = a
+        val neg = s < 0
+        if (k > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        k += 1
+      }
+      val frames = n / ch
+      val feat = Array(
+        (sum / n).toFloat, math.sqrt(sq / n).toFloat, peak.toFloat,
+        (zc.toDouble / math.max(1, n - 1)).toFloat,
+        frames.toFloat / rate, ch.toFloat, 0f, 0f)
+      AssetFeatures(assetId, "audio", frames, rate, ch, feat)
+    }
+  }
+
+  /** Magic-byte dispatch: real decoders for codec-free formats, the
+    * marked stub for everything else. */
+  private def decode(assetId: Long, modality: String, payload: Array[Byte]): AssetFeatures = {
+    val real =
+      if (payload != null && payload.length >= 2 && payload(0) == 'P' &&
+        (payload(1) == '5' || payload(1) == '6')) decodePpm(assetId, payload)
+      else if (payload != null && payload.length >= 12 && payload(0) == 'R' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') decodeWav(assetId, payload)
+      else None
+    real.getOrElse(decodeStub(assetId, modality, payload))
+  }
+
   /**
    * Batched feature extraction: partition-local iteration (the Scala
    * analogue of `mapInPandas` — each partition's rows stream through the
@@ -91,7 +220,7 @@ object Multimodal {
         // decoder would reuse codec state across a batch.
         rows.grouped(64).flatMap { batch =>
           batch.iterator.map { r =>
-            decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+            decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
           }
         }
       }

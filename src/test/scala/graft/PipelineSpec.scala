@@ -394,4 +394,46 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(assets)
     assert(frames.columns.toSet === Set("asset_id", "frame_no", "frame"))
   }
+
+  test("multimodal: real PPM/PGM decode — exact dimensions and channel stats") {
+    // 2x2 P6, maxval 255: pixels (R,G,B) = (10,20,30) x4 → means exact,
+    // stds 0; min 10, max 30
+    val header = "P6\n# comment\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array.fill(4)(Array[Byte](10, 20, 30)).flatten
+    val ppm = header ++ pixels
+    val img = Multimodal.decodePpm(7L, ppm).get
+    assert((img.width, img.height, img.channels) === ((2, 2, 3)))
+    assert(img.feature(0) === 10f / 255 && img.feature(1) === 20f / 255 &&
+      img.feature(2) === 30f / 255)
+    assert(img.feature(3) === 0f && img.feature(4) === 0f && img.feature(5) === 0f)
+    assert(img.feature(6) === 10f / 255 && img.feature(7) === 30f / 255)
+    // P5 gray 3x1: values 0, 128, 255
+    val pgm = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, -128, -1)
+    val g = Multimodal.decodePpm(8L, pgm).get
+    assert((g.width, g.height, g.channels) === ((3, 1, 1)))
+    assert(math.abs(g.feature(0) - (0 + 128 + 255) / 3.0 / 255.0) < 1e-6)
+    // truncated data → None (dispatcher falls back to the stub)
+    assert(Multimodal.decodePpm(9L, header ++ pixels.take(5)).isEmpty)
+  }
+
+  test("multimodal: real WAV PCM16 decode — header fields and sample stats") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val samples = Seq[Short](16384, -16384, 16384, -16384) // square wave, peak 0.5
+    val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      fmt ++ "data".getBytes ++ le32(data.length) ++ data
+    val a = Multimodal.decodeWav(1L, wav).get
+    assert((a.width, a.height, a.channels) === ((4, 8000, 1)))
+    assert(a.feature(0) === 0f)           // mean of the symmetric square wave
+    assert(a.feature(1) === 0.5f)         // rms
+    assert(a.feature(2) === 0.5f)         // peak
+    assert(a.feature(3) === 1f)           // every adjacent pair crosses zero
+    assert(a.feature(5) === 1f)           // channels
+    // non-PCM format rejected → stub path
+    val bad = wav.clone(); bad(20) = 3    // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(1L, bad).isEmpty)
+  }
 }
