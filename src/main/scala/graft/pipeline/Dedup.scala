@@ -241,7 +241,12 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // the posting (tokenize + window-lead n-grams + distinct) feeds the
+    // size aggregate, the inverted index AND the capped add-back joins —
+    // pin one materialization instead of re-running the explode per
+    // consumer (same fix as minhashPairs' signature aggregate)
     val posting = ngramPosting(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val indexed = posting
