@@ -45,6 +45,17 @@ class QueryPostureSpec extends SparkSpec {
       s"documents scan reads unused columns:\n$reads")
   }
 
+  test("asof join: one key shuffle, no range cross join") {
+    val p = plan("q_events_asof")
+    // the union + running-last pattern must not degrade into a
+    // key-equi range join (quadratic on hot keys at scale)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof join produced a product:\n$p")
+    val keyExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("user_id")).size
+    assert(keyExchanges <= 2, s"asof join shuffles the key more than expected:\n$p")
+  }
+
   test("minhash: banding and prefilter REUSE the signature aggregate") {
     val p = plan("doc_minhash_pairs")
     // the signature aggregate feeds the band join AND the agreement
