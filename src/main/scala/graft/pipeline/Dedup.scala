@@ -104,21 +104,47 @@ object Dedup {
     grams.where(okCols).select(col("id"), xxhash64(col("g")).as("shingle")).distinct()
   }
 
+  /** Materialize a small result frame and release the pinned
+    * intermediates that produced it: localCheckpoint(eager) computes the
+    * result with full parallelism and truncates its lineage, so the
+    * unpersists can't trigger a recompute at the caller's terminal
+    * action. This is the leak fix for the persist()-without-unpersist
+    * pattern (each invocation used to pin MEMORY_AND_DISK blocks for the
+    * session lifetime) AND the fix for downstream single-task consumers
+    * (union-find's coalesce(1) used to re-run the whole pair pipeline in
+    * one thread once the cache was gone). */
+  private def materializeAndRelease(result: DataFrame, pinned: Seq[DataFrame]): DataFrame = {
+    val out = result.localCheckpoint(true)
+    pinned.foreach(_.unpersist())
+    out
+  }
+
   /** Exact Jaccard for candidate pairs, from posting lists alone:
     * |A∩B| via a shingle-equality join restricted to the candidates,
-    * |A∪B| = |A| + |B| − |A∩B|. Only narrow rows ever shuffle. */
+    * |A∪B| = |A| + |B| − |A∩B|. Only narrow rows ever shuffle.
+    * Returns the result plus the frames it pinned, for the caller to
+    * release once the result is materialized. */
   private def verifyJaccard(candidates0: DataFrame, posting0: DataFrame,
-                            threshold: Double): DataFrame = {
-    // both inputs feed ≥3 joins below; persist() pins one computation of
-    // each (the posting side carries a full shingle explode + distinct)
-    val candidates = candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = posting0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                            threshold: Double, eager: Boolean): (DataFrame, Seq[DataFrame]) = {
+    // both inputs feed ≥3 joins below. Eager mode: the caller passes
+    // already-materialized candidates and the posting is checkpointed
+    // here — row-store blocks, no columnar cache build, nothing pinned
+    // past the call. Lazy mode: persist() pins one computation of each
+    // (the posting side carries a full shingle explode + distinct) and
+    // ownership of the pins transfers to the caller via the return.
+    val (candidates, posting, pinned) =
+      if (eager) (candidates0, posting0.localCheckpoint(true), Seq.empty[DataFrame])
+      else {
+        val c = candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val p = posting0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (c, p, Seq(c, p))
+      }
     val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(posting.select(col("id").as("idA"), col("shingle")), Seq("idA"))
       .join(posting.select(col("id").as("idB"), col("shingle")), Seq("idB", "shingle"))
       .groupBy("idA", "idB").agg(count(lit(1)).as("inter"))
-    candidates
+    val res = candidates
       .join(inter, Seq("idA", "idB"), "left")
       .na.fill(0L, Seq("inter"))
       .join(sizes.select(col("id").as("idA"), col("sz").as("szA")), Seq("idA"))
@@ -127,6 +153,7 @@ object Dedup {
         col("inter").cast(DoubleType) / (col("szA") + col("szB") - col("inter")).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    (res, Seq(candidates, posting))
   }
 
   /**
@@ -138,11 +165,22 @@ object Dedup {
    * numHashes min() columns (the signature; all codegen'd) → banded
    * bucket self-join on (band, bucket, id) only → exact verification via
    * posting-intersection joins. No all-pairs product, no wide shuffles.
+   *
+   * `eager = true` (default) materializes the (small) pair list via
+   * localCheckpoint and releases every pinned intermediate before
+   * returning — no cache blocks outlive the call, and downstream
+   * consumers (e.g. [[nearDupClusters]]' single-task union-find) read
+   * checkpointed blocks instead of re-running the pipeline. Pass
+   * `eager = false` to get the fully lazy plan (plan-inspection /
+   * composition into a larger lazy pipeline); the caller then owns the
+   * lifecycle of the pinned intermediates (clear with
+   * `spark.sharedState.cacheManager.clearCache()` or accept the leak).
    */
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, prefilterMargin: Double = 0.25): DataFrame = {
+      threshold: Double = 0.8, prefilterMargin: Double = 0.25,
+      eager: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val (as, bs) = hashParams(numHashes)
@@ -156,13 +194,19 @@ object Dedup {
     val sigCols = (0 until numHashes).map(i =>
       min(pmod(lit(as(i)) * h + lit(bs(i)), lit(P))).as(s"s$i"))
     // sigs feeds THREE consumers (the banded bucket join's two sides and
-    // the agreement prefilter's A/B sides). persist() pins one
-    // materialization; relying on runtime exchange reuse instead was
-    // observed NOT to fire here (the consumers sit under differently-
-    // shaped parent exchanges), which re-ran the full shingle explode +
-    // 64-min aggregate per consumer — the dominant cost of the pipeline.
-    val sigs = rawPosting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the agreement prefilter's A/B sides) — one materialization is
+    // mandatory; relying on runtime exchange reuse instead was observed
+    // NOT to fire here (the consumers sit under differently-shaped parent
+    // exchanges), which re-ran the full shingle explode + 64-min
+    // aggregate per consumer — the dominant cost of the pipeline. Eager
+    // mode checkpoints (row-store blocks, self-cleaning via the
+    // ContextCleaner); lazy mode persists (the 65-column columnar cache
+    // build costs whole seconds at bench scale and the pin outlives the
+    // call — acceptable only for plan inspection / caller-owned caches).
+    val sigsPlan = rawPosting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs =
+      if (eager) sigsPlan.localCheckpoint(true)
+      else sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bucketCols = (0 until bands).map { b =>
       val bandSig = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
@@ -205,6 +249,10 @@ object Dedup {
         .where(agree >= lit(minAgree))
         .select(col("idA"), col("idB"))
     }
+    // the candidate list feeds the doc semi-join AND both verify joins;
+    // eager mode pins the (tiny) list once so the banding join never re-runs
+    val cand =
+      if (eager) candidates.localCheckpoint(true) else candidates
 
     // exact verification touches only the docs that appear in some
     // candidate pair — and the semi-join runs against the DOCUMENTS
@@ -214,13 +262,14 @@ object Dedup {
     // doubling the dominant cost; here the verify-side explode touches
     // candidate docs only, and the posting-dedup distinct runs over that
     // same small corpus.
-    val candDocs = candidates.select(col("idA").as("id"))
-      .unionByName(candidates.select(col("idB").as("id")))
+    val candDocs = cand.select(col("idA").as("id"))
+      .unionByName(cand.select(col("idB").as("id")))
       .distinct()
     val candCorpus = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(candDocs, Seq("id"), "left_semi")
     val posting = shinglePosting(candCorpus, "__text", "id", shingleSize, dedup = true)
-    verifyJaccard(candidates, posting, threshold)
+    val (res, pinned) = verifyJaccard(cand, posting, threshold, eager)
+    if (eager) materializeAndRelease(res, pinned) else res
   }
 
   /**
@@ -240,13 +289,17 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+      maxDocFreq: Long = Long.MaxValue,
+      eager: Boolean = true): DataFrame = {
     // the posting (tokenize + window-lead n-grams + distinct) feeds the
     // size aggregate, the inverted index AND the capped add-back joins —
     // pin one materialization instead of re-running the explode per
-    // consumer (same fix as minhashPairs' signature aggregate)
-    val posting = ngramPosting(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumer (same fix as minhashPairs' signature aggregate). Eager →
+    // checkpoint (self-cleaning); lazy → persist (caller-owned pin).
+    val postingPlan = ngramPosting(df, textCol, idCol, n)
+    val posting =
+      if (eager) postingPlan.localCheckpoint(true)
+      else postingPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val indexed = posting
@@ -281,13 +334,14 @@ object Dedup {
             (col("interR") + coalesce(col("interF"), lit(0L))).as("inter"))
       }
 
-    inter
+    val res = inter
       .join(sizes.select(col("id").as("idA"), col("sz").as("szA")), Seq("idA"))
       .join(sizes.select(col("id").as("idB"), col("sz").as("szB")), Seq("idB"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("szA") + col("szB") - col("inter")).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    if (eager) materializeAndRelease(res, Seq.empty) else res
   }
 
   // ----- SimHash ----------------------------------------------------------
@@ -517,7 +571,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = rawEdges.count()
     if (nPairs <= localThreshold) {
-      val out = unionFindClusters(rawEdges)
+      // materialize BEFORE unpersisting: the union-find runs in one
+      // coalesced task, and leaving it lazy meant the caller's terminal
+      // action re-ran the entire upstream pair pipeline single-threaded
+      // once the cache below was dropped (observed 16 s vs 2 s for the
+      // identical minhash pipeline)
+      val out = unionFindClusters(rawEdges).localCheckpoint(true)
       rawEdges.unpersist()
       return out
     }
@@ -542,6 +601,15 @@ object Dedup {
       labels = updated.drop("__chg")
       rounds += 1
     }
+    // min-label propagation needs O(component diameter) rounds; a long
+    // duplicate chain (templated documents) can exceed maxRounds, in which
+    // case the canonical labels are NOT yet component minima — fail loudly
+    // rather than return silently-wrong clusters
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters: min-label propagation did not converge in $maxRounds rounds " +
+        s"($nPairs pairs); a component's diameter exceeds maxRounds — raise maxRounds " +
+        "or pre-contract with large-star/small-star")
     edges.unpersist()
     rawEdges.unpersist()
     labels
