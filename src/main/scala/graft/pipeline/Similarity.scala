@@ -265,7 +265,12 @@ object Similarity {
       .select(array(col("id")).as("path"), col("id").as("last"),
         col("id").as("sig"), col("ns").as("score"))
       .localCheckpoint(true)
-    var emitted = beam.limit(0)
+    // dead paths accumulate LAZILY: each hop's frame is ≤ beamWidth rows
+    // anchored on that hop's (checkpointed) beam, so deferring them costs
+    // one bounded anti-join replay at the end instead of an extra eager
+    // Spark action per hop — which measured as the whole difference
+    // between path- and node-scored beam search (9.8 s vs 3.6 s at sf0.1)
+    var deadFrames = List.empty[org.apache.spark.sql.DataFrame]
     for (_ <- 1 to hops) {
       val cand = beam.join(e, col("last") === col("src"))
         .where(size(col("path")) < 2 ||
@@ -276,16 +281,19 @@ object Similarity {
           col("dst").as("last"),
           concat(col("sig"), lit(sep), col("dst")).as("sig"),
           (col("score") + col("ns") + col("ts")).as("score"))
-      val dead = beam.join(cand.select(col("sig").as("__s")).distinct(),
+      deadFrames ::= beam.join(cand.select(col("sig").as("__s")).distinct(),
         col("sig") === col("__s"), "left_anti")
-      emitted = emitted.unionByName(dead).localCheckpoint(true)
       beam = expanded
         .orderBy(col("score").desc, col("sig").asc).limit(beamWidth)
         .localCheckpoint(true)
     }
-    val out = emitted.unionByName(beam)
+    // ONE materialization of everything that still references the shared
+    // persisted inputs, then release them — the checkpoint (not the
+    // return-value laziness) is what makes the unpersists safe
+    val out = deadFrames.foldLeft(beam)(_ unionByName _)
       .select(col("path"), col("last").as("id"), col("score"),
         (size(col("path")) - 1).as("hop"))
+      .localCheckpoint(true)
     scored.unpersist()
     e.unpersist()
     out
