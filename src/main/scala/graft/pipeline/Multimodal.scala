@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
  *
  * The Spark-side mechanics — schema, batch iteration via mapPartitions,
  * deterministic partitioning by asset id, feature-array output shape — are
- * real and tested. Decoding is REAL for the codec-free formats a bare JVM
- * can parse — binary PPM/PGM images (`decodePpm`) and RIFF/WAV 16-bit PCM
- * audio (`decodeWav`), dispatched by magic bytes — and STUBBED for
- * compressed codecs (JPEG/MP3/H.264 need libraries this container doesn't
- * ship): `decodeStub` derives deterministic fake features from the
- * payload bytes. A production deployment replaces ONLY the stub body with
- * a real codec (e.g. javacv / JNI); every plan around it is unchanged.
+ * real and tested. Decoding is REAL for every format the bare JVM can
+ * parse — binary PPM/PGM images (`decodePpm`), JPEG/PNG/BMP/GIF via the
+ * JDK's built-in `javax.imageio.ImageIO` (`decodeImage` — no external
+ * dependency), and RIFF/WAV 16-bit PCM audio (`decodeWav`), dispatched by
+ * magic bytes — and STUBBED only for codecs the JVM genuinely lacks
+ * (MP3/H.264/video): `decodeStub` derives deterministic fake features
+ * from the payload bytes. A production deployment replaces ONLY the stub
+ * body with a real codec (e.g. javacv / JNI); every plan around it is
+ * unchanged. Any real-decoder failure on a malformed payload degrades to
+ * the stub (never fails the job).
  */
 object Multimodal {
 
@@ -139,6 +142,68 @@ object Multimodal {
     }
   }
 
+  /** JPEG/PNG/BMP/GIF decode via the JDK's built-in `javax.imageio` — no
+    * external dependency. Emits the same 8-slot feature shape as
+    * [[decodePpm]]: per-channel means and stddevs (gray fills slot 0/3),
+    * then global min/max, all normalized to [0,1]. Pixels are read
+    * through `getRGB` (ARGB ints), so indexed/palette formats (GIF,
+    * 8-bit PNG) come back as their expanded colors. Returns None when
+    * ImageIO cannot parse the payload. */
+  private[graft] def decodeImage(assetId: Long, payload: Array[Byte]): Option[AssetFeatures] = {
+    // ImageIO returns null for unrecognized formats but THROWS on
+    // recognized-but-truncated payloads — fold both into None
+    val img = scala.util.Try(
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))))
+      .toOption.flatten
+    img.flatMap { im =>
+      val w = im.getWidth; val h = im.getHeight
+      if (w <= 0 || h <= 0) None
+      else {
+        val gray = im.getColorModel.getNumColorComponents == 1
+        val ch = if (gray) 1 else 3
+        val sum = new Array[Double](3); val sqSum = new Array[Double](3)
+        var mn = 255; var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if (gray) {
+              // raw raster sample: getRGB would gamma-convert linear gray
+              // to sRGB and shift every statistic
+              val r = im.getRaster.getSample(x, y, 0) & 0xFF
+              sum(0) += r; sqSum(0) += r.toDouble * r
+              if (r < mn) mn = r
+              if (r > mx) mx = r
+            } else {
+              val rgb = im.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+              sum(0) += r; sqSum(0) += r.toDouble * r
+              sum(1) += g; sqSum(1) += g.toDouble * g
+              sum(2) += b; sqSum(2) += b.toDouble * b
+              val lo = math.min(r, math.min(g, b)); val hi = math.max(r, math.max(g, b))
+              if (lo < mn) mn = lo
+              if (hi > mx) mx = hi
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val nPix = w.toDouble * h
+        val feat = new Array[Float](8)
+        var c = 0
+        while (c < ch) {
+          val mean = sum(c) / nPix
+          feat(c) = (mean / 255.0).toFloat
+          feat(c + 3) = (math.sqrt(math.max(0.0, sqSum(c) / nPix - mean * mean)) / 255.0).toFloat
+          c += 1
+        }
+        feat(6) = mn / 255.0f
+        feat(7) = mx / 255.0f
+        Some(AssetFeatures(assetId, "image", w, h, ch, feat))
+      }
+    }
+  }
+
   /** RIFF/WAV 16-bit PCM decode — pure little-endian byte parsing of the
     * fmt and data chunks. width = frames per channel, height = sample
     * rate, channels from the header. Features: mean, RMS and peak of the
@@ -151,19 +216,21 @@ object Multimodal {
       ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
     def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var o = 12
+    // the cursor walks as Long: a corrupt chunk size near 2^31 would wrap
+    // an Int cursor negative, pass the loop guard, and throw on tag(o)
+    var o = 12L
     var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
     var data: Option[(Int, Int)] = None // (offset, bytes)
     while (o + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = tag(o); val sz = u32(o + 4).toInt
-      if (sz < 0) return None // malformed size would walk the cursor backwards
+      val oi = o.toInt // safe: o + 8 <= length fits Int
+      val id = tag(oi); val sz = u32(oi + 4) // u32 is non-negative as Long
       if (id == "fmt " && o + 24 <= payload.length) {
-        val audioFormat = u16(o + 8)
-        val bits = u16(o + 22)
+        val audioFormat = u16(oi + 8)
+        val bits = u16(oi + 22)
         if (audioFormat != 1 || bits != 16) return None // PCM16 only
-        fmt = Some((u16(o + 10), u32(o + 12).toInt))
+        fmt = Some((u16(oi + 10), u32(oi + 12).toInt))
       } else if (id == "data") {
-        data = Some((o + 8, math.min(sz, payload.length - o - 8)))
+        data = Some(((o + 8).toInt, math.min(sz, payload.length - o - 8).toInt))
       }
       o += 8 + sz + (sz & 1) // chunks are word-aligned
     }
@@ -190,14 +257,23 @@ object Multimodal {
     }
   }
 
-  /** Magic-byte dispatch: real decoders for codec-free formats, the
-    * marked stub for everything else. */
+  /** Magic-byte dispatch: real decoders for JVM-parseable formats, the
+    * marked stub for everything else. Real decoders are contractually
+    * total — Try guarantees any parse exception on a malformed payload
+    * degrades to the stub instead of failing the extract job. */
   private def decode(assetId: Long, modality: String, payload: Array[Byte]): AssetFeatures = {
-    val real =
+    def magic(bs: Int*): Boolean =
+      payload != null && payload.length >= bs.length &&
+        bs.zipWithIndex.forall { case (b, i) => (payload(i) & 0xFF) == b }
+    val real: Option[AssetFeatures] =
       if (payload != null && payload.length >= 2 && payload(0) == 'P' &&
-        (payload(1) == '5' || payload(1) == '6')) decodePpm(assetId, payload)
-      else if (payload != null && payload.length >= 12 && payload(0) == 'R' &&
-        payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') decodeWav(assetId, payload)
+        (payload(1) == '5' || payload(1) == '6'))
+        scala.util.Try(decodePpm(assetId, payload)).toOption.flatten
+      else if (magic('R', 'I', 'F', 'F') && payload.length >= 12)
+        scala.util.Try(decodeWav(assetId, payload)).toOption.flatten
+      else if (magic(0x89, 'P', 'N', 'G') || magic(0xFF, 0xD8, 0xFF) ||
+        magic('B', 'M') || magic('G', 'I', 'F', '8'))
+        scala.util.Try(decodeImage(assetId, payload)).toOption.flatten
       else None
     real.getOrElse(decodeStub(assetId, modality, payload))
   }

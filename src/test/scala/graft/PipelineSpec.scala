@@ -435,5 +435,53 @@ class PipelineSpec extends SparkSpec {
     // non-PCM format rejected → stub path
     val bad = wav.clone(); bad(20) = 3    // audioFormat = IEEE float
     assert(Multimodal.decodeWav(1L, bad).isEmpty)
+    // corrupt chunk size near 2^31: an Int cursor would wrap negative and
+    // throw IndexOutOfBounds; the Long walk must return None instead
+    val corrupt = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0x7FFFFFF8) ++ new Array[Byte](16)
+    assert(Multimodal.decodeWav(1L, corrupt).isEmpty)
+  }
+
+  test("multimodal: real JPEG/PNG decode via ImageIO — dims exact, stats match pixels") {
+    import java.awt.image.BufferedImage
+    def encode(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    // 2x2 RGB with known colors; PNG is lossless → stats exact
+    val im = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0xFF0A141E); im.setRGB(1, 0, 0xFF0A141E) // (10,20,30)
+    im.setRGB(0, 1, 0xFF0A141E); im.setRGB(1, 1, 0xFF0A141E)
+    val png = encode(im, "png")
+    val p = Multimodal.decodeImage(1L, png).get
+    assert((p.width, p.height, p.channels) === ((2, 2, 3)))
+    assert(p.feature(0) === 10f / 255 && p.feature(1) === 20f / 255 &&
+      p.feature(2) === 30f / 255)
+    assert(p.feature(6) === 10f / 255 && p.feature(7) === 30f / 255)
+    // JPEG is lossy → dims exact, means within codec tolerance
+    val jpg = encode(im, "jpg")
+    val j = Multimodal.decodeImage(2L, jpg).get
+    assert((j.width, j.height, j.channels) === ((2, 2, 3)))
+    assert(math.abs(j.feature(0) - 10f / 255) < 0.05 &&
+      math.abs(j.feature(2) - 30f / 255) < 0.05)
+    // gray PNG reports 1 channel with the mean in slot 0
+    val gim = new BufferedImage(3, 1, BufferedImage.TYPE_BYTE_GRAY)
+    gim.getRaster.setSample(0, 0, 0, 0); gim.getRaster.setSample(1, 0, 0, 128)
+    gim.getRaster.setSample(2, 0, 0, 255)
+    val g = Multimodal.decodeImage(3L, encode(gim, "png")).get
+    assert((g.width, g.height, g.channels) === ((3, 1, 1)))
+    assert(math.abs(g.feature(0) - (0 + 128 + 255) / 3.0 / 255.0) < 1e-6)
+    // truncated PNG payload falls back to None (dispatcher → stub)
+    assert(Multimodal.decodeImage(4L, png.take(10)).isEmpty)
+
+    // end-to-end: a PNG payload through extractFeatures emits REAL dims
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(99L, "image", png, Map.empty[String, String]))),
+      Multimodal.assetSchema)
+    val row = Multimodal.extractFeatures(assets).collect()(0)
+    assert(row.getAs[Int]("width") === 2 && row.getAs[Int]("height") === 2 &&
+      row.getAs[Int]("channels") === 3)
   }
 }
