@@ -32,7 +32,16 @@ object Relational {
    *  - among right rows with identical (key, ts), the one with the
    *    largest payload struct wins, comparing the right frame's columns
    *    in order — callers wanting a specific tie-break put that column
-   *    first in `right`.
+   *    first in `right`. When the payload contains a MapType column
+   *    (maps are unorderable — a struct tiebreak would fail analysis),
+   *    the tiebreak falls back to the largest canonical-JSON rendering
+   *    of the payload: still deterministic, but lexicographic rather
+   *    than column-ordered.
+   *
+   * Null keys follow EQUI-JOIN semantics: a null-keyed right row matches
+   * nothing (it is filtered out), and a null-keyed left row keeps nulls —
+   * unlike a raw window partitionBy, which groups nulls together and
+   * would match them to each other.
    *
    * Output: all left columns, then every right column prefixed with
    * `rightPrefix` (the key columns are emitted once, unprefixed).
@@ -46,8 +55,13 @@ object Relational {
 
     // a right row with no timestamp has no as-of position; without this
     // filter it would sort before every real row (nulls-first) and become
-    // a spurious universal fallback match
-    val rTagged = right.where(col(rightTs).isNotNull).select(
+    // a spurious universal fallback match. Null-keyed right rows are
+    // dropped for the same reason: equi-join semantics, null matches
+    // nothing (see Scaladoc).
+    val rTagged = right
+      .where(col(rightTs).isNotNull)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keyCols.map(col) :+
         col(rightTs).as("__ts") :+
         lit(0).as("__side") :+
@@ -65,8 +79,17 @@ object Relational {
       .withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
       .unionByName(lTagged)
 
+    // maps are unorderable — ordering by the raw payload struct would
+    // fail at analysis if any right column is a MapType
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val tiebreak = if (hasMap(rStructType)) to_json(col("__r")).asc else col("__r").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, tiebreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

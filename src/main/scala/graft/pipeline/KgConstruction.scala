@@ -1,10 +1,103 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.PropertyGraph
+
+/** One extracted fact. The reference's LLM returns
+  * [subject, predicate, object, subject_type, object_type] arrays
+  * (`knowledgegraph/construction/Prompt.h:16-23`); types default to
+  * "Entity" for extractors that don't produce them. */
+final case class KgTuple(subj: String, rel: String, obj: String,
+                         subjType: String = "Entity", objType: String = "Entity")
+
+/**
+ * Tuple-extraction seam — the analogue of the reference's pluggable LLM
+ * streamers (`OllamaTupleStreamer`/`VLLMTupleStreamer`, selected by the
+ * `llmInferenceEngine` parameter of `Pipeline.h:34-38`). Spark-side the
+ * seam is the same shape as [[Embedder]]: executors batch chunks per
+ * partition and call the extractor once per batch, so a production HTTP
+ * inference endpoint drops in without touching the plan.
+ *
+ * Implementations must be Serializable (they ship to executors) and may
+ * return zero or many tuples per chunk.
+ */
+trait TupleExtractor extends Serializable {
+  /** Extract facts from one batch of text chunks; must return exactly one
+    * (possibly empty) tuple list per input chunk, in order. */
+  def extractBatch(chunks: Seq[String]): Seq[Seq[KgTuple]]
+}
+
+object TupleExtractor {
+
+  /** Deterministic default: first match of a 3-group regex per chunk —
+    * the executor-side twin of [[KgConstruction.extractTuples]]'s
+    * columnar expression (same pattern, same first-match semantics), so
+    * the seam can be verified against the codegen'd path. */
+  final class RegexExtractor(pattern: String = KgConstruction.prosePattern)
+      extends TupleExtractor {
+    @transient private lazy val rx = pattern.r
+    def extractBatch(chunks: Seq[String]): Seq[Seq[KgTuple]] =
+      chunks.map { c =>
+        rx.findFirstMatchIn(c) match {
+          case Some(m) if m.groupCount >= 3 &&
+            m.group(1).nonEmpty && m.group(2).nonEmpty && m.group(3).nonEmpty =>
+            Seq(KgTuple(m.group(1), m.group(2), m.group(3)))
+          case _ => Seq.empty
+        }
+      }
+  }
+
+  /**
+   * Production LLM extractor skeleton — Ollama/vLLM-generate-shaped HTTP
+   * POST, one call per batch, mirroring the reference's curl loop
+   * (`OllamaTupleStreamer.cpp:178-200`) minus response streaming (the
+   * batch call is the Spark-native unit of work). Expected response body:
+   * a JSON object whose "response" field contains a JSON array of
+   * [subject, predicate, object, subject_type, object_type] arrays —
+   * the reference's `KNOWLEDGE_EXTRACTION` prompt contract
+   * (`Prompt.h:16-23`). This container has no egress and no model
+   * endpoint, so the class is compile-checked but exercised only through
+   * fakes in tests.
+   */
+  final class LlmHttpExtractor(endpoint: String, model: String,
+                               promptPrefix: String, timeoutMs: Int = 60000)
+      extends TupleExtractor {
+    def extractBatch(chunks: Seq[String]): Seq[Seq[KgTuple]] =
+      chunks.map { chunk =>
+        val prompt = promptPrefix + "\n" + chunk
+        val payload = s"""{"model":${jstr(model)},"prompt":${jstr(prompt)},"stream":false}"""
+        val conn = new java.net.URL(endpoint).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(payload.getBytes("UTF-8"))
+          parseTuples(new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+        } finally conn.disconnect()
+      }
+
+    private def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r") + "\""
+
+    /** Parse `[["s","p","o","st","ot"], ...]` out of the response text;
+      * malformed entries are skipped (the reference logs-and-continues on
+      * array parse failures, `OllamaTupleStreamer.cpp:140-145`). */
+    private[graft] def parseTuples(body: String): Seq[KgTuple] =
+      "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\")?(?:\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\")?\\s*\\]".r
+        .findAllMatchIn(body).map { m =>
+          KgTuple(m.group(1), m.group(2), m.group(3),
+            Option(m.group(4)).getOrElse("Entity"),
+            Option(m.group(5)).getOrElse("Entity"))
+        }.toSeq
+  }
+}
 
 /**
  * Knowledge-graph construction from free text — the reference's
@@ -56,6 +149,37 @@ object KgConstruction {
       regexp_extract(col("chunk"), pattern, 2).as("rel"),
       regexp_extract(col("chunk"), pattern, 3).as("obj"))
       .where(col("subj") =!= "" && col("rel") =!= "" && col("obj") =!= "")
+
+  /**
+   * Extraction through the [[TupleExtractor]] seam: chunks batch through
+   * the extractor per partition (one `extractBatch` call per `batchSize`
+   * chunks — connection/model setup amortizes across the batch), any
+   * number of tuples per chunk. Same output schema as [[extractTuples]]
+   * plus the type columns, so [[toGraph]] accepts either. Use the
+   * columnar [[extractTuples]] when the extractor IS a regex (codegen'd,
+   * no serialization boundary); use this for anything with per-batch
+   * state — an HTTP LLM endpoint, a local model, a test fake.
+   */
+  def extractTuplesWith(chunks: DataFrame, extractor: TupleExtractor,
+                        batchSize: Int = 16): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = chunks.sparkSession
+    val docIdType = chunks.schema("doc_id").dataType
+    val outSchema = StructType(Seq(
+      StructField("doc_id", docIdType),
+      StructField("subj", StringType), StructField("rel", StringType),
+      StructField("obj", StringType),
+      StructField("subj_type", StringType), StructField("obj_type", StringType)))
+    val rdd = chunks.select(col("doc_id"), col("chunk")).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val tuples = extractor.extractBatch(batch.map(_.getString(1)))
+        batch.lazyZip(tuples).flatMap { (r, ts) =>
+          ts.map(t => Row(r.get(0), t.subj, t.rel, t.obj, t.subjType, t.objType))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 
   /** Assemble extracted tuples into a PropertyGraph (nodes = entities,
     * edges typed by the relation phrase, provenance kept as properties). */

@@ -221,11 +221,15 @@ object TextAnalysis {
           .as("__text"),
         count(lit(1)).as("__kept"))
     val totals = lines.groupBy("id").agg(count(lit(1)).as("__total"))
+    // totals is LEFT-joined: split(null) explodes to zero rows, so a
+    // null-text document is absent from `lines` — an inner join would
+    // silently drop it from the output (unlike contamination(), which
+    // preserves every input document); it comes back as (id, "", 0)
     df.select(col(idCol).as("id"))
-      .join(totals, Seq("id"))
+      .join(totals, Seq("id"), "left")
       .join(kept, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("__text"), lit("")).as("text"),
-        (col("__total") - coalesce(col("__kept"), lit(0L))).as("removed"))
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("removed"))
   }
 }

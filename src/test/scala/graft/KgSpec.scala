@@ -24,6 +24,64 @@ class KgSpec extends SparkSpec {
     assert(who.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("Alice", "Bob")))
   }
 
+  test("TupleExtractor seam: batched fake extractor feeds the same graph assembly") {
+    import spark.implicits._
+    import graft.pipeline.{KgTuple, TupleExtractor}
+    val docs = Seq(
+      (1L, "alpha sentence. beta sentence."),
+      (2L, "gamma sentence.")).toDF("doc_id", "text")
+    val chunks = KgConstruction.chunk(docs, "text", "doc_id")
+    // fake LLM: emits two typed tuples for chunks containing "alpha",
+    // none otherwise — exercises multi-tuple-per-chunk and empty output
+    val fake = new TupleExtractor {
+      def extractBatch(cs: Seq[String]): Seq[Seq[KgTuple]] = cs.map { c =>
+        if (c.contains("alpha"))
+          Seq(KgTuple("Alice", "manages", "Bob", "Person", "Person"),
+            KgTuple("Alice", "visits", "Paris", "Person", "City"))
+        else Seq.empty
+      }
+    }
+    val tuples = KgConstruction.extractTuplesWith(chunks, fake, batchSize = 2)
+    assert(tuples.columns.toSeq ===
+      Seq("doc_id", "subj", "rel", "obj", "subj_type", "obj_type"))
+    val got = tuples.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getString(4), r.getString(5))).toSet
+    assert(got === Set(
+      (1L, "Alice", "manages", "Bob", "Person", "Person"),
+      (1L, "Alice", "visits", "Paris", "Person", "City")))
+    // the seam's output plugs straight into the shared graph assembly
+    val g = KgConstruction.toGraph(tuples)
+    assert(g.vertexCount === 3L && g.edgeCount === 2L)
+  }
+
+  test("RegexExtractor through the seam matches the columnar extractTuples path") {
+    import spark.implicits._
+    import graft.pipeline.TupleExtractor
+    val docs = Seq(
+      (1L, "Alice manages Bob. Bob visits Paris! no capitals here."),
+      (2L, "Paris hosts Conferences.")).toDF("doc_id", "text")
+    val chunks = KgConstruction.chunk(docs, "text", "doc_id")
+    val columnar = KgConstruction.extractTuples(chunks)
+      .select("doc_id", "subj", "rel", "obj").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val seam = KgConstruction.extractTuplesWith(
+      chunks, new TupleExtractor.RegexExtractor(), batchSize = 1)
+      .select("doc_id", "subj", "rel", "obj").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(seam === columnar && seam.nonEmpty)
+  }
+
+  test("LlmHttpExtractor parses the reference's array-of-arrays response contract") {
+    val ex = new graft.pipeline.TupleExtractor.LlmHttpExtractor(
+      "http://localhost:9/generate", "m", "extract")
+    val parsed = ex.parseTuples(
+      """[["Alice", "manages", "Bob", "Person", "Person"],
+        |["Paris","hosts","Conf"], ["malformed"] ] trailing junk""".stripMargin)
+    assert(parsed === Seq(
+      graft.pipeline.KgTuple("Alice", "manages", "Bob", "Person", "Person"),
+      graft.pipeline.KgTuple("Paris", "hosts", "Conf")))
+  }
+
   test("catalog truncate and merge commands") {
     import spark.implicits._
     val docs = Seq((1L, "Alice manages Bob.")).toDF("doc_id", "text")

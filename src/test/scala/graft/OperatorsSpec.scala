@@ -54,6 +54,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("r_rid")))
   }
 
+  test("asofJoin: MapType payload columns don't break the tiebreak ordering") {
+    import spark.implicits._
+    // maps are unorderable; the struct tiebreak must fall back to the
+    // canonical-JSON rendering instead of failing analysis
+    val right = Seq((1L, "A", 10L, Map("a" -> "1")), (2L, "A", 10L, Map("b" -> "2")))
+      .toDF("rid", "k", "rts", "attrs")
+    val left = Seq((1L, "A", 15L)).toDF("lid", "k", "lts")
+    val out = Relational.asofJoin(left, right, Seq("k"), "lts", "rts").collect()
+    // deterministic: {"rid":2,...,"attrs":{"b":"2"}} > {"rid":1,...} lexicographically
+    assert(out.head.getAs[Long]("r_rid") === 2L)
+  }
+
+  test("asofJoin: null keys follow equi-join semantics — null matches nothing") {
+    import spark.implicits._
+    val right = Seq((Some(1L), Option.empty[String], Some(10L)), (Some(2L), Some("A"), Some(10L)))
+      .toDF("rid", "k", "rts")
+    val left = Seq((Some(1L), Option.empty[String], Some(15L)), (Some(2L), Some("A"), Some(15L)))
+      .toDF("lid", "k", "lts")
+    val out = Relational.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .orderBy("lid").collect()
+    // null-keyed left row survives but must NOT match the null-keyed right row
+    assert(out(0).isNullAt(out(0).fieldIndex("r_rid")))
+    assert(out(1).getAs[Long]("r_rid") === 2L)
+  }
+
   test("graft SQL functions register and run (runtime registration path)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -380,6 +380,15 @@ class PipelineSpec extends SparkSpec {
     val keepAll = TextAnalysis.lineDedup(corpus, "text", "doc_id", minDocFreq = 5)
       .agg(sum("removed")).collect()(0).getLong(0)
     assert(keepAll === 0L)
+    // null-text documents are preserved as (id, "", 0) — split(null)
+    // explodes to nothing, and an inner totals-join used to drop them
+    val withNull = corpus.unionByName(
+      Seq((5L, Option.empty[String])).toDF("doc_id", "text"))
+    val survived = TextAnalysis.lineDedup(withNull, "text", "doc_id", minDocFreq = 3)
+      .orderBy("id").collect()
+    assert(survived.length === 5)
+    assert((survived(4).getLong(0), survived(4).getString(1), survived(4).getLong(2))
+      === ((5L, "", 0L)))
   }
 
   test("multimodal: stub decode keeps schema/batch plumbing honest") {
