@@ -557,11 +557,16 @@ object Dedup {
    * that produced them. Beyond the threshold (a 100 TB corpus can emit
    * billions of pairs) the distributed path takes over:
    *
-   * iterative min-label propagation, per-round localCheckpoint: each
-   * round is one equi-join + grouped min over the PAIR graph only, and
-   * converges in O(component diameter) rounds (near-dup clusters are
-   * shallow: most are pairs or small templates-with-variants stars).
-   * `maxRounds` is a runaway bound, not a semantic knob.
+   * alternating large-star/small-star contraction (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+   * re-points nodes at their neighborhood minimum, converging in
+   * O(log n) rounds REGARDLESS of component diameter — a long duplicate
+   * chain (templated documents) that would starve min-label propagation
+   * (O(diameter) rounds) contracts in a handful. Each round is two
+   * grouped-min + join passes over the pair graph only, localCheckpointed
+   * to keep plan depth O(1). `maxRounds` is a runaway bound, not a
+   * semantic knob; non-convergence throws rather than returning wrong
+   * canonicals.
    */
   def nearDupClusters(pairs: DataFrame, idA: String = "idA", idB: String = "idB",
                       maxRounds: Int = 50,
@@ -580,39 +585,82 @@ object Dedup {
       rawEdges.unpersist()
       return out
     }
-    val edges = rawEdges
-      .unionAll(rawEdges.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("canonical", col("id"))
-      .localCheckpoint(true)
+    val out = starContractionClusters(rawEdges, maxRounds, nPairs)
+    rawEdges.unpersist()
+    out
+  }
+
+  /** One large-star round: every node's strictly-larger neighbors re-point
+    * at the minimum of its full neighborhood (incl. itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val m = nbrs.groupBy("a").agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("a"), col("mn")).as("m"))
+    nbrs.join(m, Seq("a"))
+      .where(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** One small-star round: every node and its ≤-neighbors re-point at the
+    * minimum of that ≤-neighborhood. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val nbrs = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .where(col("b") <= col("a"))
+    val m = nbrs.groupBy("a").agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("a"), col("mn")).as("m"))
+    nbrs.join(m, Seq("a"))
+      .select(col("b").as("x"), col("m"))
+      .unionAll(m.select(col("a").as("x"), col("m")))
+      .where(col("x") =!= col("m"))
+      .select(col("x").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Distributed connected components by alternating star contraction.
+    * Convergence is detected by an order-insensitive (count, XOR of
+    * xxhash64) signature of the edge set — two consecutive identical
+    * signatures on a distinct-ed set mean the set is fixed (collision
+    * odds ~2⁻⁶⁴, strictly below the minhash pipeline's own error
+    * budget; XOR rather than sum because an ANSI-mode sum of 2⁶³-scale
+    * hashes overflows). At the fixpoint the edge set IS the star:
+    * (member, component-min) rows; roots are added back as their own
+    * canonical. */
+  private[pipeline] def starContractionClusters(rawEdges: DataFrame, maxRounds: Int,
+                                                nPairs: Long): DataFrame = {
+    var edges = rawEdges.where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("c"),
+        coalesce(call_function("bit_xor", xxhash64(col("a"), col("b"))), lit(0L)).as("h"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a")).agg(min(col("canonical")).as("nmin"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
-        .select(labels("id"),
-          least(labels("canonical"), coalesce(col("nmin"), labels("canonical")))
-            .as("canonical"),
-          (col("nmin") < labels("canonical")).as("__chg"))
-        .localCheckpoint(true)
-      converged = updated.where(col("__chg")).isEmpty
-      labels = updated.drop("__chg")
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(edges)
+      converged = nsig == sig
+      sig = nsig
       rounds += 1
     }
-    // min-label propagation needs O(component diameter) rounds; a long
-    // duplicate chain (templated documents) can exceed maxRounds, in which
-    // case the canonical labels are NOT yet component minima — fail loudly
-    // rather than return silently-wrong clusters
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupClusters: min-label propagation did not converge in $maxRounds rounds " +
-        s"($nPairs pairs); a component's diameter exceeds maxRounds — raise maxRounds " +
-        "or pre-contract with large-star/small-star")
-    edges.unpersist()
-    rawEdges.unpersist()
-    labels
+        s"nearDupClusters: star contraction did not converge in $maxRounds rounds " +
+        s"($nPairs pairs) — converging runs need ~2·log2(n) rounds, so this points at " +
+        "a bug or a pathological id domain, not a deep component")
+    val roots = edges.select(col("b")).distinct()
+      .join(edges.select(col("a").as("b")), Seq("b"), "left_anti")
+    // degenerate self-pairs (a == b) are dropped by the contraction but
+    // are members of the pair list — keep them as singletons unless a
+    // real pair already placed them in a component (union-find parity)
+    val selfOnly = rawEdges.where(col("a") === col("b")).select(col("a")).distinct()
+      .join(edges.select(col("a")), Seq("a"), "left_anti")
+      .join(edges.select(col("b").as("a")), Seq("a"), "left_anti")
+    edges.select(col("a").as("id"), col("b").as("canonical"))
+      .unionAll(roots.select(col("b").as("id"), col("b").as("canonical")))
+      .unionAll(selfOnly.select(col("a").as("id"), col("a").as("canonical")))
   }
 
   /** Exact connected components of a pair list in ONE executor task:

@@ -325,6 +325,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("nearDupClusters distributed path: star contraction handles deep chains and matches union-find") {
+    import spark.implicits._
+    // a 120-node chain has diameter 119 — min-label propagation would
+    // need 119 rounds; star contraction must converge within the default
+    // 50-round runaway bound (it needs ~log2(n))
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val cm = Dedup.nearDupClusters(chain, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm === (0L to 119L).map(_ -> 0L).toMap)
+    // randomized parity: arbitrary pair soup, distributed == local
+    val rnd = new scala.util.Random(7)
+    val soup = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .toDF("idA", "idB")
+    val local = Dedup.nearDupClusters(soup).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.nearDupClusters(soup, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+  }
+
   test("tfIdfTopTerms: rarity wins over raw frequency, k respected, ranks dense") {
     import spark.implicits._
     // 'rare' appears once in one doc; 'common' everywhere — despite equal
