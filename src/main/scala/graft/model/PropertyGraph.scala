@@ -93,13 +93,34 @@ object PropertyGraph {
  */
 object GraphCatalog {
   private val graphs = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+  private val sources = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def register(name: String, g: PropertyGraph): PropertyGraph = { graphs.put(name, g); g }
+
+  /** Register a graph together with its upload path — the reference
+    * records this in metadb's `graph.upload_path` and the `ktop` command
+    * reads it back (`JasmineGraphFrontEnd.cpp:2779-2795`). Streaming
+    * Kafka ingests use `kafka:<topic>` paths. */
+  def register(name: String, g: PropertyGraph, sourcePath: String): PropertyGraph = {
+    sources.put(name, sourcePath)
+    register(name, g)
+  }
+
   def get(name: String): Option[PropertyGraph] = graphs.get(name)
   def apply(name: String): PropertyGraph =
     graphs.getOrElse(name, throw new NoSuchElementException(s"graph not registered: $name"))
-  def remove(name: String): Unit = graphs.remove(name)
+  def remove(name: String): Unit = { graphs.remove(name); sources.remove(name) }
   def list: Seq[String] = graphs.keys.toSeq.sorted
+  def sourcePath(name: String): Option[String] = sources.get(name)
+
+  /** `ktop` command: distinct Kafka topic names across registered graphs
+    * ingested from `kafka:<topic>` sources (reference
+    * `kafka_topics_command`: `SELECT upload_path FROM graph WHERE
+    * upload_path LIKE 'kafka:%'` → topic-name extraction). */
+  def kafkaTopics: Seq[String] =
+    sources.values.collect {
+      case p if p.startsWith("kafka:") && p.length > 6 => p.substring(6)
+    }.toSeq.distinct.sorted
 
   /** `truncate` command: drop a graph's data but keep it registered as an
     * empty graph (reference frontend `truncate`). */

@@ -82,6 +82,19 @@ class KgSpec extends SparkSpec {
       graft.pipeline.KgTuple("Paris", "hosts", "Conf")))
   }
 
+  test("catalog ktop: kafka topic names from registered source paths") {
+    import spark.implicits._
+    val g = KgConstruction.constructKg(
+      Seq((1L, "Alice manages Bob.")).toDF("doc_id", "text"), "text", "doc_id")
+    GraphCatalog.register("k1", g, "kafka:edges-prod")
+    GraphCatalog.register("k2", g, "kafka:edges-prod") // duplicate topic
+    GraphCatalog.register("k3", g, "kafka:clicks")
+    GraphCatalog.register("f1", g, "/data/batch/edges.txt") // non-kafka ignored
+    try assert(GraphCatalog.kafkaTopics === Seq("clicks", "edges-prod"))
+    finally Seq("k1", "k2", "k3", "f1").foreach(GraphCatalog.remove)
+    assert(GraphCatalog.kafkaTopics.isEmpty)
+  }
+
   test("catalog truncate and merge commands") {
     import spark.implicits._
     val docs = Seq((1L, "Alice manages Bob.")).toDF("doc_id", "text")
