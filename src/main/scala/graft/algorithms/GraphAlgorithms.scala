@@ -227,11 +227,13 @@ object GraphAlgorithms {
         .join(dict.select(col("id").as("v"), col("code").as("cv")), "v")
         .select(col("cu").as("src"), col("cv").as("dst"))
       val coded = labelPropagationNumeric(enc, iterations, undirected)
+      // EAGER checkpoint: a lazy one would let dict.unpersist() race the
+      // caller's terminal action and re-run the dictionary + decode joins
       val out = coded
         .join(dict.select(col("code").as("id"), col("id").as("__oid")), "id")
         .join(dict.select(col("code").as("label"), col("id").as("__olbl")), "label")
         .select(col("__oid").as("id"), col("__olbl").as("label"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       dict.unpersist()
       out
     } else labelPropagationNumeric(edges, iterations, undirected)

@@ -22,7 +22,15 @@ import graft.model.PropertyGraph
  */
 object GraphXAlgorithms {
 
-  /** Build a GraphX graph + id dictionary from a PropertyGraph. */
+  /** Build a GraphX graph + id dictionary from a PropertyGraph.
+    *
+    * Partition count is sized to the VERTEX COUNT (~100k vertices per
+    * partition, min 1, capped at the session default): Pregel runs one
+    * task per partition per superstep, so a 25-node graph inheriting the
+    * session's 32 shuffle partitions schedules ~64 near-empty tasks per
+    * iteration — pure scheduling latency that dominated alg_scc at bench
+    * scale and wastes the same per-superstep overhead on a cluster. The
+    * dict count is free: zipWithIndex has already materialized it. */
   private def toGraphX(g: PropertyGraph): (Graph[Unit, Unit], DataFrame) = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
@@ -30,13 +38,18 @@ object GraphXAlgorithms {
       .rdd.map(_.getString(0)).zipWithIndex()
       .toDF("id", "vid")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = dict.count()
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val parts = math.max(1, math.min(defaultPar, (n / 100000L).toInt + 1))
     val edgeRdd: RDD[Edge[Unit]] = g.orientedEdges
       .select(col("src"), col("dst"))
       .join(dict.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), "src")
       .join(dict.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), "dst")
       .select(col("svid"), col("dvid"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val vertexRdd: RDD[(VertexId, Unit)] = dict.select(col("vid")).rdd.map(r => (r.getLong(0), ()))
+      .coalesce(parts)
+    val vertexRdd: RDD[(VertexId, Unit)] =
+      dict.select(col("vid")).rdd.map(r => (r.getLong(0), ())).coalesce(parts)
     (Graph(vertexRdd, edgeRdd), dict)
   }
 
