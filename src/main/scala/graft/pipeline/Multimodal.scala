@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
  * real and tested. Decoding is REAL for every format the bare JVM can
  * parse — binary PPM/PGM images (`decodePpm`), JPEG/PNG/BMP/GIF via the
  * JDK's built-in `javax.imageio.ImageIO` (`decodeImage` — no external
- * dependency), and RIFF/WAV 16-bit PCM audio (`decodeWav`), dispatched by
- * magic bytes — and STUBBED only for codecs the JVM genuinely lacks
+ * dependency), RIFF/WAV 16-bit PCM audio (`decodeWav`), and AIFF/AU via
+ * `javax.sound.sampled` incl. µ-law/a-law conversion (`decodeAudio`),
+ * dispatched by magic bytes — and STUBBED only for codecs the JVM
+ * genuinely lacks
  * (MP3/H.264/video): `decodeStub` derives deterministic fake features
  * from the payload bytes. A production deployment replaces ONLY the stub
  * body with a real codec (e.g. javacv / JNI); every plan around it is
@@ -257,6 +259,54 @@ object Multimodal {
     }
   }
 
+  /** AIFF / AU (Sun audio) decode via the JDK's built-in
+    * `javax.sound.sampled` — no external dependency, same rationale as
+    * [[decodeImage]]. Non-PCM16 payloads are converted to signed 16-bit
+    * PCM by the JDK codec chain (covers µ-law/a-law AU files), then the
+    * same features as [[decodeWav]] are computed: mean, RMS, peak,
+    * zero-crossing rate, duration, channel count. Returns None when the
+    * sound system cannot parse the payload. */
+  private[graft] def decodeAudio(assetId: Long, payload: Array[Byte]): Option[AssetFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val f0 = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+        f0.getSampleRate, f0.isBigEndian)
+      val pcm = if (f0.matches(target)) in else AudioSystem.getAudioInputStream(target, in)
+      val bytes = pcm.readAllBytes()
+      val big = target.isBigEndian
+      val ch = target.getChannels
+      val rate = target.getSampleRate.toInt
+      val n = bytes.length / 2
+      if (ch <= 0 || rate <= 0 || n == 0) None
+      else {
+        def s16(k: Int): Short =
+          if (big) (((bytes(2 * k) & 0xFF) << 8) | (bytes(2 * k + 1) & 0xFF)).toShort
+          else (((bytes(2 * k + 1) & 0xFF) << 8) | (bytes(2 * k) & 0xFF)).toShort
+        var sum = 0.0; var sq = 0.0; var peak = 0.0; var zc = 0L
+        var prevNeg = false
+        var k = 0
+        while (k < n) {
+          val s = s16(k).toDouble / 32768.0
+          sum += s; sq += s * s
+          val a = math.abs(s); if (a > peak) peak = a
+          val neg = s < 0
+          if (k > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          k += 1
+        }
+        val frames = n / ch
+        val feat = Array(
+          (sum / n).toFloat, math.sqrt(sq / n).toFloat, peak.toFloat,
+          (zc.toDouble / math.max(1, n - 1)).toFloat,
+          frames.toFloat / rate, ch.toFloat, 0f, 0f)
+        Some(AssetFeatures(assetId, "audio", frames, rate, ch, feat))
+      }
+    } finally in.close()
+  }
+
   /** Magic-byte dispatch: real decoders for JVM-parseable formats, the
     * marked stub for everything else. Real decoders are contractually
     * total — Try guarantees any parse exception on a malformed payload
@@ -274,6 +324,10 @@ object Multimodal {
       else if (magic(0x89, 'P', 'N', 'G') || magic(0xFF, 0xD8, 0xFF) ||
         magic('B', 'M') || magic('G', 'I', 'F', '8'))
         scala.util.Try(decodeImage(assetId, payload)).toOption.flatten
+      else if ((magic('F', 'O', 'R', 'M') && payload.length >= 12 &&
+        payload(8) == 'A' && payload(9) == 'I' && payload(10) == 'F') ||
+        magic('.', 's', 'n', 'd'))
+        scala.util.Try(decodeAudio(assetId, payload)).toOption.flatten
       else None
     real.getOrElse(decodeStub(assetId, modality, payload))
   }

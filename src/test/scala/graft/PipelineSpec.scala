@@ -471,6 +471,33 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeWav(1L, corrupt).isEmpty)
   }
 
+  test("multimodal: real AIFF/AU decode via javax.sound — same stats as the WAV twin") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Seq[Short](16384, -16384, 16384, -16384) // the WAV test's square wave
+    def encode(tp: AudioFileFormat.Type, big: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, big)
+      val raw = samples.flatMap { s =>
+        val v = s & 0xFFFF
+        if (big) Seq((v >> 8).toByte, v.toByte) else Seq(v.toByte, (v >> 8).toByte)
+      }.toArray
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length), tp, bos)
+      bos.toByteArray
+    }
+    for ((tp, big, label) <- Seq(
+        (AudioFileFormat.Type.AIFF, true, "aiff"),
+        (AudioFileFormat.Type.AU, true, "au"))) {
+      val a = Multimodal.decodeAudio(1L, encode(tp, big)).get
+      assert((a.width, a.height, a.channels) === ((4, 8000, 1)), label)
+      assert(a.feature(0) === 0f && a.feature(1) === 0.5f &&
+        a.feature(2) === 0.5f && a.feature(3) === 1f, label)
+    }
+    // garbage payload → None (dispatcher falls back to the stub)
+    assert(scala.util.Try(Multimodal.decodeAudio(2L, "FORMxxxxAIFFgarbage".getBytes))
+      .toOption.flatten.isEmpty)
+  }
+
   test("multimodal: real JPEG/PNG decode via ImageIO — dims exact, stats match pixels") {
     import java.awt.image.BufferedImage
     def encode(im: BufferedImage, fmt: String): Array[Byte] = {
