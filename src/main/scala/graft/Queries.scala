@@ -1160,6 +1160,17 @@ object Queries {
           .orderBy(col("doc_id")),
       Some(qualityOracleSql))),
 
+    // Gopher structural/repetition quality rules (Rae et al. 2021 Table
+    // A1): per-doc word/length/symbol/bullet/ellipsis/stopword measures
+    // as codegen'd columns, duplicate-line character fraction as a
+    // linear (id, line)-count aggregate. The oracle replays every rule
+    // in DuckDB with list lambdas + a line-unnest CTE.
+    "doc_gopher" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.gopherQuality(t(s, d, "documents"), "text", "doc_id")
+          .orderBy(col("id")),
+      Some(gopherOracleSql))),
+
     "doc_fingerprint" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
@@ -1641,6 +1652,66 @@ object Queries {
   }
 
   /** quality oracle: mirror of TextAnalysis.withQuality. */
+  /** doc_gopher oracle: every rule replayed in DuckDB — token-list
+    * lambdas for the word measures, a line-unnest + count CTE for the
+    * duplicate-line character fraction, LIKE-containment for stop hits. */
+  private def gopherOracleSql: String = {
+    val stopHits = TextAnalysis.langMarkers("en")
+      .map(w => s"(CASE WHEN p LIKE '% $w %' THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'),
+       |      x -> len(x) > 0) AS toks,
+       |    string_split(coalesce(text,''), chr(10)) AS lines,
+       |    coalesce(text,'') AS t,
+       |    ' ' || regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g') || ' ' AS p
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS word_count,
+       |    CAST(len(toks) AS DOUBLE) AS wc,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE) AS charsum,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS alphaw,
+       |    CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) AS hashes,
+       |    CAST((length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE) AS ell,
+       |    CAST(len(lines) AS DOUBLE) AS lc,
+       |    CAST(len(list_filter(lines, l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•')))
+       |      AS DOUBLE) AS bullets,
+       |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+       |      OR ends_with(rtrim(l), '…'))) AS DOUBLE) AS ellLines,
+       |    CAST($stopHits AS BIGINT) AS stop_hits
+       |  FROM base),
+       |dl AS (
+       |  SELECT doc_id, trim(l) AS l
+       |  FROM (SELECT doc_id, unnest(string_split(coalesce(text,''), chr(10))) AS l
+       |        FROM documents)
+       |  WHERE length(trim(l)) > 0),
+       |dg AS (SELECT doc_id, l, count(*) AS c, length(l) AS ln FROM dl GROUP BY 1, 2),
+       |da AS (SELECT doc_id,
+       |    ROUND(CAST(sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS DOUBLE)
+       |      / CAST(sum(c * ln) AS DOUBLE), 6) AS dup_line_char_ratio
+       |  FROM dg GROUP BY 1),
+       |r AS (
+       |  SELECT m.doc_id AS id,
+       |    word_count,
+       |    ROUND(CASE WHEN wc > 0 THEN charsum / wc ELSE 0 END, 6) AS mean_word_len,
+       |    ROUND(CASE WHEN wc > 0 THEN alphaw / wc ELSE 0 END, 6) AS alpha_word_ratio,
+       |    ROUND(CASE WHEN wc > 0 THEN (hashes + ell) / wc ELSE 0 END, 6) AS symbol_word_ratio,
+       |    ROUND(CASE WHEN lc > 0 THEN bullets / lc ELSE 0 END, 6) AS bullet_ratio,
+       |    ROUND(CASE WHEN lc > 0 THEN ellLines / lc ELSE 0 END, 6) AS ellipsis_ratio,
+       |    coalesce(da.dup_line_char_ratio, 0.0) AS dup_line_char_ratio,
+       |    stop_hits
+       |  FROM m LEFT JOIN da ON m.doc_id = da.doc_id)
+       |SELECT id, word_count, mean_word_len, alpha_word_ratio, symbol_word_ratio,
+       |  bullet_ratio, ellipsis_ratio, dup_line_char_ratio, stop_hits,
+       |  (word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |   AND symbol_word_ratio <= 0.1 AND bullet_ratio <= 0.9
+       |   AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+       |   AND stop_hits >= 2 AND dup_line_char_ratio <= 0.2) AS gopher_pass
+       |FROM r ORDER BY id""".stripMargin
+  }
+
   private def qualityOracleSql: String = {
     val stop = TextAnalysis.langMarkers("en")
       .map(w => s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}")

@@ -95,6 +95,86 @@ object TextAnalysis {
             (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.2)), 6))
   }
 
+  /**
+   * Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+   * Models", Table A1) — the structural/repetition filters a pretraining
+   * pipeline applies before anything model-based:
+   *
+   *  - 50 ≤ word_count ≤ 100 000
+   *  - 3 ≤ mean word length ≤ 10
+   *  - symbol-to-word ratio ('#' chars + '...' runs per word) ≤ 0.1
+   *  - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+   *  - ≥ 80% of words contain an alphabetic character
+   *  - ≥ 2 distinct English stop words present
+   *  - ≤ 20% of characters in duplicated (non-unique) lines
+   *
+   * Every per-document measure is a codegen'd column expression; the one
+   * corpus-shaped measure (duplicate-line character fraction) is a
+   * line-explode + (id, line) count + per-id aggregate — linear, one
+   * shuffle on (id, line), never quadratic in lines per document.
+   * Returns (id, word_count, mean_word_len, alpha_word_ratio,
+   * symbol_word_ratio, bullet_ratio, ellipsis_ratio,
+   * dup_line_char_ratio, stop_hits, gopher_pass); ratios rounded to 6 so
+   * the DuckDB oracle replays bit-identically. Null text behaves as "".
+   */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = filter(split(trim(t), "\\s+"), x => length(x) > 0)
+    val wc = size(toks).cast(DoubleType)
+    val meanWl = when(wc > 0,
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / wc)
+      .otherwise(0.0)
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast(DoubleType)
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast(DoubleType)
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast(DoubleType)
+    val lines = split(t, "\n")
+    val lc = size(lines).cast(DoubleType)
+    val bulletLines = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast(DoubleType)
+    val ellipsisLines = size(filter(lines,
+      l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…")))).cast(DoubleType)
+    val padded = paddedLower(t)
+    val stopHits = langMarkers("en")
+      .map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+
+    val base = df.select(
+      col(idCol).as("id"),
+      size(toks).cast(LongType).as("word_count"),
+      round(meanWl, 6).as("mean_word_len"),
+      round(when(wc > 0, alphaWords / wc).otherwise(0.0), 6).as("alpha_word_ratio"),
+      round(when(wc > 0, (hashes + ellipses) / wc).otherwise(0.0), 6).as("symbol_word_ratio"),
+      round(when(lc > 0, bulletLines / lc).otherwise(0.0), 6).as("bullet_ratio"),
+      round(when(lc > 0, ellipsisLines / lc).otherwise(0.0), 6).as("ellipsis_ratio"),
+      stopHits.cast(LongType).as("stop_hits"))
+
+    // duplicate-line character fraction, linear shape (cf. lineDedup)
+    val docLines = df.select(col(idCol).as("id"),
+      explode(split(coalesce(col(textCol), lit("")), "\n")).as("l0"))
+      .select(col("id"), trim(col("l0")).as("l"))
+      .where(length(col("l")) > 0)
+    val lineCounts = docLines.groupBy("id", "l")
+      .agg(count(lit(1)).as("c"))
+      .select(col("id"),
+        (col("c") * length(col("l"))).cast(DoubleType).as("chars"),
+        when(col("c") > 1, col("c") * length(col("l"))).otherwise(0L)
+          .cast(DoubleType).as("dupChars"))
+    val dupAgg = lineCounts.groupBy("id")
+      .agg(round(sum(col("dupChars")) / sum(col("chars")), 6).as("dup_line_char_ratio"))
+
+    base.join(dupAgg, Seq("id"), "left")
+      .withColumn("dup_line_char_ratio", coalesce(col("dup_line_char_ratio"), lit(0.0)))
+      .withColumn("gopher_pass",
+        col("word_count").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stop_hits") >= 2 &&
+          col("dup_line_char_ratio") <= 0.2)
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * lowercase token set. Identical in DuckDB:
     * md5(array_to_string(list_sort(list_distinct(...)), ' ')). */

@@ -345,6 +345,31 @@ class PipelineSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("gopherQuality: each rule fires independently; a clean doc passes") {
+    import spark.implicits._
+    val clean = (("the quick brown fox jumps over the lazy dog and then " * 6)
+      + "it is of value to everyone").trim // >50 words, stopwords, no symbols
+    val corpus = Seq(
+      (1L, clean),
+      (2L, "short text"),                                  // word_count < 50
+      (3L, clean + " ####### " + "# " * 20),               // symbol ratio
+      (4L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // bullets
+      (5L, clean + "\n" + ("same line\n" * 40)),           // duplicate lines
+      (6L, Option.empty[String].orNull)                    // null text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(corpus, "text", "doc_id")
+      .orderBy("id").collect()
+    val pass = out.map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("gopher_pass"))).toMap
+    assert(pass(1L), "clean doc must pass")
+    assert(!pass(2L) && !pass(3L) && !pass(4L) && !pass(5L) && !pass(6L))
+    val r5 = out(4)
+    assert(r5.getDouble(r5.fieldIndex("dup_line_char_ratio")) > 0.2)
+    val r4 = out(3)
+    assert(r4.getDouble(r4.fieldIndex("bullet_ratio")) > 0.9)
+    val r6 = out(5)
+    assert(r6.getLong(r6.fieldIndex("word_count")) === 0L)
+  }
+
   test("tfIdfTopTerms: rarity wins over raw frequency, k respected, ranks dense") {
     import spark.implicits._
     // 'rare' appears once in one doc; 'common' everywhere — despite equal
