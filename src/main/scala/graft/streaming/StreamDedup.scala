@@ -37,4 +37,102 @@ object StreamDedup {
         md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** One bucketed signature row: a document appears once per 16-bit
+    * SimHash chunk, so near-dups (Hamming ≤ 3) share ≥1 bucket by
+    * pigeonhole — the streaming twin of [[graft.pipeline.Dedup.simhashPairs]]'
+    * banding. */
+  private[streaming] final case class BucketRow(chunk: Int, v: Long, id: Long, sig: Long,
+                                     ts: java.sql.Timestamp)
+  private[streaming] final case class NearDupPair(idA: Long, idB: Long, hamming: Int,
+                                       ts: java.sql.Timestamp)
+
+  private def parseDelayMs(delay: String): Long = {
+    val m = "(\\d+)\\s*(second|minute|hour|day)s?".r.findFirstMatchIn(delay.trim.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse delay '$delay' (expected e.g. '30 minutes')"))
+    val unit = m.group(2) match {
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+    }
+    m.group(1).toLong * unit
+  }
+
+  /**
+   * Streaming NEAR-duplicate detection by SimHash banding: each document's
+   * 64-bit signature is split into four 16-bit chunks; documents sharing a
+   * chunk value land in the same state bucket, where the new arrival is
+   * verified (bit_count(xor) ≤ maxHamming) against the bucket's recent
+   * members — exactly [[graft.pipeline.Dedup.simhashPairs]]' candidate
+   * generation, with the bucket join replaced by per-bucket
+   * `flatMapGroupsWithState` state.
+   *
+   * Emits (idA, idB, hamming, ts) with idA < idB, at-least-once: a pair
+   * agreeing in several chunks is reported from each shared bucket —
+   * downstream exact-dedup on (idA, idB) (or a set-union consumer) is the
+   * caller's contract, mirroring the batch pipeline's dropDuplicates.
+   *
+   * State contract: bucket members older than `delay` behind the
+   * watermark are pruned on every visit, and idle buckets expire via
+   * event-time timeout — state size tracks bucket arrival rate × horizon,
+   * not stream length. A duplicate arriving later than the horizon is not
+   * paired (same trade-off as [[dedupExact]]); batch simhashPairs over the
+   * landed corpus is the exactness backstop.
+   */
+  def nearDupSimhash(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+                     maxHamming: Int = 3, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = parseDelayMs(delay)
+
+    val sigs = docs.select(
+        col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        graft.pipeline.Dedup.simhash(textCol).as("sig"))
+      .withWatermark("ts", delay)
+    val bucketed = sigs.select(col("id"), col("sig"), col("ts"),
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("chunk"),
+            call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("v")))).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.v").as("v"),
+        col("id"), col("sig"), col("ts"))
+      .as[BucketRow]
+
+    val pairs = bucketed
+      .groupByKey(r => (r.chunk, r.v))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[BucketRow], state: GroupState[List[(Long, Long, Long)]]) => {
+          val wm = state.getCurrentWatermarkMs()
+          var members = state.getOption.getOrElse(Nil).filter(_._3 >= wm - horizonMs)
+          if (!state.hasTimedOut) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
+              members.foreach { case (mid, msig, _) =>
+                if (mid != r.id) {
+                  val h = java.lang.Long.bitCount(msig ^ r.sig)
+                  if (h <= maxHamming)
+                    out += NearDupPair(math.min(mid, r.id), math.max(mid, r.id), h, r.ts)
+                }
+              }
+              members = (r.id, r.sig, r.ts.getTime) :: members
+            }
+            state.update(members)
+            // expire the bucket once every member is past the horizon
+            // (clamped above the watermark — required by the API)
+            state.setTimeoutTimestamp(math.max(wm + 1, members.map(_._3).max + horizonMs))
+            out.iterator
+          } else {
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(members)
+              state.setTimeoutTimestamp(math.max(wm + 1, members.map(_._3).max + horizonMs))
+            }
+            Iterator.empty
+          }
+        })
+    pairs.toDF()
+  }
 }

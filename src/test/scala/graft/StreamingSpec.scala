@@ -189,4 +189,40 @@ class StreamingSpec extends SparkSpec {
       assert(ids2 === Set(1L, 3L, 5L, 6L), s"got $ids2")
     } finally q.stop()
   }
+
+  test("streaming simhash near-dup: close texts pair within the horizon, far texts don't") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val near = base.replace("yard", "garden") // one token differs → tiny hamming
+    val far = "completely unrelated text about database partitioning strategies and shuffles"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamDedup.nearDupSimhash(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      maxHamming = 3, delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("00:00:00"), base), (2L, ts("00:01:00"), near),
+        (3L, ts("00:02:00"), far))
+      q.processAllAvailable()
+      val pairs1 = spark.table("neardup").select("idA", "idB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs1 === Set((1L, 2L)), s"got $pairs1")
+      // hamming recorded and small
+      val h = spark.table("neardup").select("hamming").as[Int].collect().min
+      assert(h <= 3)
+      // push the watermark far past the horizon; a late near-dup of the
+      // original is NOT paired (state expired) — documented contract
+      input.addData((4L, ts("02:00:00"), far + " padding"))
+      q.processAllAvailable()
+      input.addData((5L, ts("02:01:00"), base))
+      q.processAllAvailable()
+      val pairs2 = spark.table("neardup").select("idA", "idB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs2 === Set((1L, 2L)), s"got $pairs2")
+    } finally q.stop()
+  }
 }
