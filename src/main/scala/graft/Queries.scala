@@ -1171,6 +1171,28 @@ object Queries {
           .orderBy(col("id")),
       Some(gopherOracleSql))),
 
+    // Corpus profile grouped by detected language: doc counts, token
+    // volume, and mean quality — the summary a pipeline operator reads
+    // before deciding filter thresholds. Quality is summed as
+    // DECIMAL(18,6) of the per-doc rounded scores so the average is
+    // order-insensitive and replays exactly in DuckDB.
+    "doc_corpus_stats" -> ((
+      (s: SparkSession, d: String) => {
+        val q = TextAnalysis.withQuality(t(s, d, "documents"), "text")
+        q.select(TextAnalysis.langId("text").as("lang"),
+            TextAnalysis.tokenCount("text").cast(LongType).as("tk"),
+            col("quality_score"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tk")).as("total_tokens"),
+            round(sum(col("tk")).cast(DoubleType) / count(lit(1)), 6).as("avg_tokens"),
+            round(sum(col("quality_score").cast("decimal(18,6)")).cast(DoubleType)
+              / count(lit(1)), 6).as("avg_quality"))
+          .orderBy(col("lang"))
+      },
+      Some(corpusStatsOracleSql))),
+
     "doc_fingerprint" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
@@ -1649,6 +1671,49 @@ object Queries {
        |withbest AS (SELECT *, $best AS best FROM scored)
        |SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang
        |FROM withbest ORDER BY doc_id""".stripMargin
+  }
+
+  /** doc_corpus_stats oracle: langid + token count + per-doc quality
+    * composed, grouped by language; quality averaged through an exact
+    * DECIMAL(18,6) sum (order-insensitive) like the Spark side. */
+  private def corpusStatsOracleSql: String = {
+    def hits(w: String) =
+      s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}"
+    val scores = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> ws.map(hits).mkString(" + ")
+    }
+    val scoreDefs = scores.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(",\n")
+    val best = "GREATEST(" + scores.map(s => "s_" + s._1).mkString(", ") + ")"
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("\n")
+    val stop = TextAnalysis.langMarkers("en")
+      .map(w => s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    CAST(length(text) AS DOUBLE) AS len,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS toks,
+       |    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p
+       |  FROM documents),
+       |scored AS (SELECT doc_id, toks, p, $scoreDefs,
+       |    ROUND(LEAST(1.0, GREATEST(0.0,
+       |      ROUND(CASE WHEN len > 0 THEN alpha / len ELSE 0 END, 6) * 0.5 +
+       |      LEAST(ROUND(CASE WHEN toks > 0 THEN CAST($stop AS DOUBLE) / toks ELSE 0 END, 6) * 2, 1.0) * 0.3 +
+       |      (1.0 - LEAST(ROUND(CASE WHEN len > 0 THEN punct / len ELSE 0 END, 6) * 5, 1.0)) * 0.2)), 6) AS q
+       |  FROM base),
+       |withbest AS (SELECT *, $best AS best FROM scored),
+       |labeled AS (
+       |  SELECT CASE $cases ELSE 'unknown' END AS lang,
+       |    CAST(toks AS BIGINT) AS tk, q
+       |  FROM withbest)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS total_tokens,
+       |  ROUND(CAST(sum(tk) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       |  ROUND(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+       |FROM labeled GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** quality oracle: mirror of TextAnalysis.withQuality. */

@@ -148,6 +148,15 @@ object Procedures {
       s"graft.egonet needs an ego id string, got $other")
   })
 
+  /** Reference `ktop`: CALL graft.kafkaTopics() — distinct Kafka topic
+    * names across catalog graphs registered with kafka:<topic> source
+    * paths (frontend `kafka_topics_command`). */
+  register("graft.kafkatopics", (g, _) => {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    graft.model.GraphCatalog.kafkaTopics.toDF("topic")
+  })
+
   // everything registered above is a protected built-in; registrations
   // from here on are user procedures
   sealed_ = true

@@ -90,8 +90,13 @@ class KgSpec extends SparkSpec {
     GraphCatalog.register("k2", g, "kafka:edges-prod") // duplicate topic
     GraphCatalog.register("k3", g, "kafka:clicks")
     GraphCatalog.register("f1", g, "/data/batch/edges.txt") // non-kafka ignored
-    try assert(GraphCatalog.kafkaTopics === Seq("clicks", "edges-prod"))
-    finally Seq("k1", "k2", "k3", "f1").foreach(GraphCatalog.remove)
+    try {
+      assert(GraphCatalog.kafkaTopics === Seq("clicks", "edges-prod"))
+      // exposed on the Cypher surface as CALL graft.kafkaTopics()
+      val viaCall = Cypher.run(g, "CALL graft.kafkaTopics() YIELD topic RETURN topic")
+        .collect().map(_.getString(0)).toSeq.sorted
+      assert(viaCall === Seq("clicks", "edges-prod"))
+    } finally Seq("k1", "k2", "k3", "f1").foreach(GraphCatalog.remove)
     assert(GraphCatalog.kafkaTopics.isEmpty)
   }
 
