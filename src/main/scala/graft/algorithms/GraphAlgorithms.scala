@@ -173,13 +173,31 @@ object GraphAlgorithms {
       .where(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Frontier Bellman–Ford: only vertices whose distance IMPROVED last
+    // round relax their out-edges (an unchanged vertex would re-produce
+    // the identical candidates), and the loop exits when a round improves
+    // nothing — at that fixpoint min-over-≤k-hop equals min-over-≤K for
+    // every K ≥ k, so results match the full-relaxation form exactly.
+    // Each round is ONE aggregate over (settled ∪ relaxed) that yields
+    // both the new distance and the changed flag, checkpointed once.
     var dist = Seq((sourceId, 0L)).toDF("id", "dist").localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
-      val relaxed = dist.select(col("id").as("u"), col("dist")).join(e, Seq("u"))
-        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val relaxed = frontier.select(col("id").as("u"), col("dist")).join(e, Seq("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"),
+          lit(true).as("__new"))
+      val combined = dist.withColumn("__new", lit(false))
+        .unionByName(relaxed)
+        .groupBy(col("id"))
+        .agg(min(col("dist")).as("dist"),
+          min(when(!col("__new"), col("dist"))).as("__old"))
         .localCheckpoint(true)
+      dist = combined.select(col("id"), col("dist"))
+      frontier = combined
+        .where(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("id"), col("dist"))
     }
     e.unpersist()
     dist
