@@ -185,6 +185,12 @@ class GraphCoreSpec extends SparkSpec {
     val dp = GraphAlgorithms.weightedShortestPaths(par, "1", maxHops = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dp === Map("1" -> 0L, "2" -> 2L))
+    // frontier early exit: a 2-hop graph under a huge hop budget must
+    // produce the fixpoint (the loop stops when nothing improves, so an
+    // oversized maxHops costs nothing and changes nothing)
+    val dBig = GraphAlgorithms.weightedShortestPaths(edges, "1", maxHops = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dBig === Map("1" -> 0L, "2" -> 1L, "3" -> 2L, "4" -> 12L))
   }
 
   test("labelPropagation: deterministic min-label communities") {
