@@ -207,59 +207,41 @@ object GraphAlgorithms {
    * Synchronous label propagation (community detection, parity-plus).
    * Every vertex starts labeled with its own id; each round it adopts the
    * most frequent label among its neighbors, ties broken by the SMALLEST
-   * label — fully deterministic, unlike classic async LPA. The argmax is
-   * one aggregate per round: max(struct(count, -label)) picks highest
-   * count then lowest label with map-side partial aggregation (no window
-   * sort). Each round is two shuffles (join on v, groupBy u) over the
-   * persisted edge list; labels are eagerly localCheckpointed so the plan
-   * stays O(1) in round count — the pageRank pattern.
-   *
-   * The argmax negation trick needs numeric labels; non-numeric vertex
-   * ids (e.g. the bridge graph's 'c42'/'o17') are detected and routed
-   * through an order-preserving dictionary encode — codes are assigned in
-   * ascending id order, so "ties broken by the smallest label" means
-   * lexicographically-smallest original id, and results decode back to
-   * the original ids. Numeric graphs skip the dictionary entirely.
+   * label (numeric order for numeric ids, lexicographic for strings) —
+   * fully deterministic, unlike classic async LPA. The argmax is one
+   * aggregate per round: min(struct(-count, label)) picks highest count
+   * then lowest label with map-side partial aggregation (no window
+   * sort), for labels of ANY orderable type. Each round is two shuffles
+   * (join on v, groupBy u) over the persisted edge list; labels are
+   * eagerly localCheckpointed so the plan stays O(1) in round count —
+   * the pageRank pattern.
    */
   def labelPropagation(edges: DataFrame, iterations: Int,
                        undirected: Boolean = true): DataFrame = {
-    val raw = edges.select(col("src").cast("string").as("u"), col("dst").cast("string").as("v"))
-    // head(1) short-circuits on the first non-castable id; the silent
-    // failure mode this replaces was cast-to-NULL dropping every vertex
-    val hasNonNumeric = raw
-      .where(expr("try_cast(u AS LONG)").isNull || expr("try_cast(v AS LONG)").isNull)
-      .head(1).nonEmpty
-    if (hasNonNumeric) {
-      // order-preserving dictionary: sort-then-zipWithIndex rides the
-      // range partitioner, so codes are globally ascending in id order
-      // without a single-partition window
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val dict = raw.select(col("u").as("id"))
-        .unionByName(raw.select(col("v").as("id"))).distinct()
-        .orderBy("id").as[String].rdd.zipWithIndex
-        .toDF("id", "code")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val enc = raw
-        .join(dict.select(col("id").as("u"), col("code").as("cu")), "u")
-        .join(dict.select(col("id").as("v"), col("code").as("cv")), "v")
-        .select(col("cu").as("src"), col("cv").as("dst"))
-      val coded = labelPropagationNumeric(enc, iterations, undirected)
-      // EAGER checkpoint: a lazy one would let dict.unpersist() race the
-      // caller's terminal action and re-run the dictionary + decode joins
-      val out = coded
-        .join(dict.select(col("code").as("id"), col("id").as("__oid")), "id")
-        .join(dict.select(col("code").as("label"), col("id").as("__olbl")), "label")
-        .select(col("__oid").as("id"), col("__olbl").as("label"))
-        .localCheckpoint(true)
-      dict.unpersist()
-      out
-    } else labelPropagationNumeric(edges, iterations, undirected)
-  }
-
-  private def labelPropagationNumeric(edges: DataFrame, iterations: Int,
-                                      undirected: Boolean): DataFrame = {
-    val e0 = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    // The "(count DESC, label ASC)" argmax is one grouped aggregate:
+    // min(struct(-count, label)) — the count is always numeric so its
+    // negation handles the DESC leg, and the label rides in its OWN type.
+    // This replaces the previous order-preserving zipWithIndex dictionary
+    // + decode joins, which existed only because the argmax negated the
+    // LABEL. The numeric probe stays: all-numeric ids (even as strings)
+    // tie-break NUMERICALLY ("9" < "10"), which lexicographic strings
+    // would get wrong — so they're cast to long up front, exactly like
+    // the oracle's CAST(src AS BIGINT).
+    // schema-numeric columns skip the data probe entirely; string columns
+    // pay one scan — head(1) short-circuits on the first non-castable id
+    // (the silent failure mode this replaces was cast-to-NULL dropping
+    // every vertex)
+    val schemaNumeric = Seq("src", "dst").forall(c =>
+      edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val hasNonNumeric = !schemaNumeric && {
+      val raw = edges.select(col("src").cast("string").as("u"),
+        col("dst").cast("string").as("v"))
+      raw.where(expr("try_cast(u AS LONG)").isNull || expr("try_cast(v AS LONG)").isNull)
+        .head(1).nonEmpty
+    }
+    val e0 =
+      if (hasNonNumeric) edges.select(col("src").as("u"), col("dst").as("v"))
+      else edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
              else e0)
       .where(col("u") =!= col("v")).distinct()
@@ -274,8 +256,8 @@ object GraphAlgorithms {
       val counts = e.join(labels.select(col("id").as("u"), col("label")), "u")
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
       val best = counts.groupBy(col("v"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("v").as("id"), (-col("m.nl")).as("label"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("v").as("id"), col("m.l").as("label"))
       // vertices with no in-neighbors (directed mode) keep their label
       labels = labels.select(col("id"), col("label").as("__old"))
         .join(best, Seq("id"), "left")
