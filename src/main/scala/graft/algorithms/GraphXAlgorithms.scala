@@ -88,11 +88,93 @@ object GraphXAlgorithms {
     * arbitrary-but-consistent member vid — remap to min(id) per
     * component for a stable labeling. `numIter` bounds the internal
     * coloring iterations; it must cover the longest cycle for exactness. */
-  def stronglyConnectedComponents(g: PropertyGraph, numIter: Int): DataFrame = {
+  def stronglyConnectedComponents(g: PropertyGraph, numIter: Int): DataFrame =
+    stronglyConnectedComponents(g, numIter, 10000000L)
+
+  /** Adaptive execution (the [[graft.pipeline.Dedup.nearDupClusters]]
+    * pattern): up to `localThreshold` nodes+edges the SCCs are solved
+    * exactly by driver-side iterative Tarjan — linear time, microseconds
+    * on the graphs where GraphX's SCC costs seconds of per-superstep
+    * job-scheduling latency (each Pregel iteration is several Spark jobs
+    * regardless of data volume). Beyond the threshold the GraphX
+    * implementation takes over. Both paths label every vertex; the local
+    * path labels components by their minimum member id (GraphX labels by
+    * minimum internal vid — callers needing stable ids remap to
+    * min(id) per component either way). */
+  def stronglyConnectedComponents(g: PropertyGraph, numIter: Int,
+                                  localThreshold: Long): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
+    val size = g.nodes.count() + g.edges.count()
+    if (size <= localThreshold) return tarjanScc(g)
     val (gx, dict) = toGraphX(g)
     val scc = gx.stronglyConnectedComponents(numIter).vertices.toDF("vid", "component")
     scc.join(dict, "vid").select(col("id"), col("component"))
+  }
+
+  /** Exact SCCs by iterative (explicit-stack) Tarjan on the driver;
+    * component = minimum member id. Bounded by the caller's threshold. */
+  private def tarjanScc(g: PropertyGraph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val ids = g.nodes.select(col("id")).collect().map(_.getString(0))
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val adj = Array.fill(n)(List.empty[Int])
+    g.orientedEdges.select(col("src"), col("dst")).collect().foreach { r =>
+      for (s <- idx.get(r.getString(0)); d <- idx.get(r.getString(1)))
+        adj(s) = d :: adj(s)
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val comp = Array.fill(n)(-1)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var counter = 0
+    var nComp = 0
+    // explicit work stack of (vertex, remaining neighbors) — recursion
+    // would overflow on long chains
+    for (root <- 0 until n if index(root) == -1) {
+      var work = List((root, adj(root)))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack(root) = true
+      while (work.nonEmpty) {
+        val (v, rest) = work.head
+        rest match {
+          case w :: tail =>
+            work = (v, tail) :: work.tail
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack(w) = true
+              work = (w, adj(w)) :: work
+            } else if (onStack(w)) {
+              if (index(w) < low(v)) low(v) = index(w)
+            }
+          case Nil =>
+            work = work.tail
+            work.headOption.foreach { case (p, _) =>
+              if (low(v) < low(p)) low(p) = low(v)
+            }
+            if (low(v) == index(v)) {
+              var done = false
+              while (!done) {
+                val w = stack.remove(stack.length - 1)
+                onStack(w) = false
+                comp(w) = nComp
+                done = w == v
+              }
+              nComp += 1
+            }
+        }
+      }
+    }
+    // label components by their minimum member id (string ordering — the
+    // same ordering Spark's min() uses on the id column)
+    val minId = new Array[String](nComp)
+    for (i <- 0 until n) {
+      val c = comp(i)
+      if (minId(c) == null || ids(i) < minId(c)) minId(c) = ids(i)
+    }
+    (0 until n).map(i => (ids(i), minId(comp(i)))).toDF("id", "component")
   }
 }

@@ -42,10 +42,41 @@ class GraphXSpec extends SparkSpec {
     val nodes = Seq("1", "2", "3", "4", "5").toDF("id")
       .select(col("id"), lit("").as("label"), map().cast("map<string,string>").as("properties"))
     val g = PropertyGraph(nodes, PropertyGraph.withEid(raw), isDirected = true)
+    // both execution paths (driver Tarjan ≤ threshold, GraphX above)
+    // must agree after the min-id remap
+    for (thr <- Seq(10000000L, 0L)) {
+      val scc = GraphXAlgorithms.stronglyConnectedComponents(g, numIter = 5, thr)
+      val labels = scc.groupBy("component").agg(min(col("id")).as("comp"))
+      val byId = scc.join(labels, "component").select(col("id"), col("comp"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(byId === Map("1" -> "1", "2" -> "1", "3" -> "1", "4" -> "4", "5" -> "5"),
+        s"threshold=$thr")
+    }
+  }
+
+  test("tarjan scc: self-loops, long chains, nested cycles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.PropertyGraph
+    // chain of 2-cycles: (0↔1)→(2↔3)→(4↔5)…, plus a self-loop node
+    val pairs = (0 until 200 by 2).flatMap { i =>
+      Seq((i.toString, (i + 1).toString), ((i + 1).toString, i.toString)) ++
+        (if (i + 2 < 200) Seq(((i + 1).toString, (i + 2).toString)) else Nil)
+    } :+ (("self", "self"))
+    val raw = pairs.toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("E").as("type"),
+        map().cast("map<string,string>").as("properties"))
+    val nodeIds = (0 until 200).map(_.toString) :+ "self"
+    val nodes = nodeIds.toDF("id")
+      .select(col("id"), lit("").as("label"), map().cast("map<string,string>").as("properties"))
+    val g = PropertyGraph(nodes, PropertyGraph.withEid(raw), isDirected = true)
     val scc = GraphXAlgorithms.stronglyConnectedComponents(g, numIter = 5)
-    val labels = scc.groupBy("component").agg(min(col("id")).as("comp"))
-    val byId = scc.join(labels, "component").select(col("id"), col("comp"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(byId === Map("1" -> "1", "2" -> "1", "3" -> "1", "4" -> "4", "5" -> "5"))
+    // each 2-cycle is one SCC labeled by its (string-)min member
+    assert(scc("0") === scc("1") && scc("2") === scc("3"))
+    assert(scc("0") !== scc("2"))
+    assert(scc("self") === "self")
+    // 100 SCCs from the cycles + the self-loop
+    assert(scc.values.toSet.size === 101)
   }
 }
