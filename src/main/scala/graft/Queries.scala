@@ -1248,6 +1248,26 @@ object Queries {
           .orderBy(col("id")),
       Some(clusterOracleSql(k = 5, threshold = 0.8)))),
 
+    // One-call corpus compaction: minhash pairs → clusters → anti-join,
+    // keeping cluster canonicals + documents in no pair. The oracle
+    // closes the exact-jaccard pair list transitively and removes every
+    // non-canonical member.
+    "doc_compact" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.compact(t(s, d, "documents"), "text", "doc_id", threshold = 0.8)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some(compactOracleSql(k = 5, threshold = 0.8)))),
+
+    // PII scrubbing: emails → phones → IPv4 redacted in order (each
+    // category counts on the text AFTER the previous redactions), match
+    // counts per category. Oracle chains the identical regexes.
+    "doc_pii_scrub" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.scrubPii(t(s, d, "documents"), "text", "doc_id")
+          .orderBy(col("id")),
+      Some(piiOracleSql))),
+
     // Top-3 characteristic terms per document by TF-IDF (tf × ln(N/df)),
     // ranked on the 4-decimal-rounded score so the selection replays
     // identically in engines whose ln() differs in the last ulp.
@@ -1578,6 +1598,51 @@ object Queries {
        |  SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id
        |)
        |SELECT id, MIN(r) AS canonical FROM walk GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  /** doc_compact oracle: transitive closure of the exact-jaccard pair
+    * list (the clusterOracleSql walk), then documents minus non-canonical
+    * members. */
+  private def compactOracleSql(k: Int, threshold: Double): String = {
+    val pairBody = jaccardGroundTruthSql(charShingle = true, k = k, threshold = threshold)
+    s"""WITH RECURSIVE pr AS ($pairBody),
+       |e AS (SELECT idA AS a, idB AS b FROM pr UNION ALL SELECT idB, idA FROM pr),
+       |walk(id, r) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id
+       |),
+       |losers AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS canonical FROM walk GROUP BY id)
+       |  WHERE id <> canonical)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** doc_pii_scrub oracle: the same ordered regex chain — each category
+    * counts on the previous category's output, then redacts. */
+  private def piiOracleSql: String = {
+    val steps = TextAnalysis.piiPatterns.zipWithIndex
+    // chained CTEs: each category counts on the previous category's
+    // output text, carrying earlier counts forward (DuckDB
+    // regexp_replace needs the 'g' flag for replace-all)
+    val chain = steps.map { case ((name, p), i) =>
+      val src = if (i == 0) "base" else s"s${i - 1}"
+      val carried = steps.take(i).map { case ((n2, _), _) => s"n_$n2" } match {
+        case Nil => ""
+        case xs => xs.mkString(", ", ", ", "")
+      }
+      s"""s$i AS (SELECT doc_id$carried,
+         |  CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_$name,
+         |  regexp_replace(t, '$p', '[${name.toUpperCase}]', 'g') AS t
+         |FROM $src)""".stripMargin
+    }.mkString(",\n")
+    val names = steps.map { case ((n2, _), _) => s"n_$n2" }.mkString(", ")
+    s"""WITH base AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+       |$chain
+       |SELECT doc_id AS id, t AS text, $names
+       |FROM s${steps.length - 1} ORDER BY id""".stripMargin
   }
 
   /** TF-IDF oracle: identical tokenize/tf/df/ln pipeline; ranking on the

@@ -537,6 +537,25 @@ object Dedup {
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /**
+   * One-call near-duplicate corpus COMPACTION — the operation a training
+   * pipeline actually runs: [[minhashPairs]] → [[nearDupClusters]] →
+   * anti-join, keeping every document that is its cluster's canonical
+   * (smallest id) plus every document in no near-dup pair at all. The
+   * pair list and cluster map are tiny relative to the corpus, so the
+   * only full-corpus costs are the minhash scan and one broadcast-sized
+   * anti-join against the loser set.
+   */
+  def compact(df: DataFrame, textCol: String, idCol: String,
+              shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+              threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
+    val clusters = nearDupClusters(pairs)
+    val losers = clusters.where(col("id") =!= col("canonical"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   // ----- near-dup clustering ------------------------------------------------
 
   /**

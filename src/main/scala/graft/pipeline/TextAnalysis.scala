@@ -175,6 +175,38 @@ object TextAnalysis {
           col("dup_line_char_ratio") <= 0.2)
   }
 
+  /** PII patterns used by [[scrubPii]] — kept in the regex subset both
+    * Java (Spark codegen) and RE2 (DuckDB oracle) accept: no lookaround,
+    * no backreferences. Order matters: emails are scrubbed before phone
+    * numbers so digit runs inside a local-part don't double-count. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /**
+   * PII scrubbing — the redaction pass a training pipeline runs before
+   * anything leaves the ingest boundary: emails, phone-number shapes and
+   * IPv4 literals are replaced with `[EMAIL]`/`[PHONE]`/`[IP]` sentinels,
+   * and per-category match counts are reported so downstream can filter
+   * or audit. Pure regexp_replace/regexp_count chains — codegen'd,
+   * pushdown-friendly, and replayed verbatim by the DuckDB oracle.
+   * Patterns are deliberately shape-based (this is a scrubber, not a
+   * validator): over-redaction is the safe failure mode.
+   */
+  def scrubPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // each category counts matches on the text AFTER the previous
+    // categories were redacted, so a digit run inside an email local-part
+    // is an email, not also a phone number — the oracle chains the same way
+    val (scrubbed, counts) = piiPatterns
+      .foldLeft((coalesce(col(textCol), lit("")), Seq.empty[Column])) {
+        case ((c, cnts), (name, p)) =>
+          (regexp_replace(c, p, s"[${name.toUpperCase}]"),
+            cnts :+ regexp_count(c, lit(p)).cast(LongType).as(s"n_$name"))
+      }
+    df.select(col(idCol).as("id") +: scrubbed.as("text") +: counts: _*)
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * lowercase token set. Identical in DuckDB:
     * md5(array_to_string(list_sort(list_distinct(...)), ' ')). */

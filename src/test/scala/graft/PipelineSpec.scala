@@ -345,6 +345,42 @@ class PipelineSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("scrubPii: redacts in order, counts per category, null-safe") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "mail me at jane.doe+spam@example.co.uk or call +1 (415) 555-0123."),
+      (2L, "server at 10.0.12.7 and 192.168.1.1, no mail"),
+      (3L, "nothing sensitive here"),
+      (4L, Option.empty[String].orNull)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(corpus, "text", "doc_id")
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getString(1).contains("[EMAIL]") && r1.getString(1).contains("[PHONE]"))
+    assert(!r1.getString(1).contains("example.co.uk") && !r1.getString(1).contains("555"))
+    assert(r1.getLong(r1.fieldIndex("n_email")) === 1L)
+    assert(r1.getLong(r1.fieldIndex("n_phone")) === 1L)
+    val r2 = out(1)
+    assert(r2.getLong(r2.fieldIndex("n_ip")) === 2L)
+    assert(r2.getString(1) === "server at [IP] and [IP], no mail")
+    assert(out(2).getString(1) === "nothing sensitive here")
+    assert(out(3).getString(1) === "" && out(3).getLong(out(3).fieldIndex("n_email")) === 0L)
+  }
+
+  test("compact: keeps canonicals and unpaired docs, drops near-dup losers") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + "!"),          // near-dup of 1 → loser
+      (3L, "a completely different document about spark shuffles and joins"),
+      (4L, base.replace("today", "tonight"))  // near-dup of 1 → loser
+    ).toDF("doc_id", "text")
+    val kept = Dedup.compact(corpus, "text", "doc_id", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("gopherQuality: each rule fires independently; a clean doc passes") {
     import spark.implicits._
     val clean = (("the quick brown fox jumps over the lazy dog and then " * 6)
