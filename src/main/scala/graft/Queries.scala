@@ -1268,6 +1268,16 @@ object Queries {
           .orderBy(col("id")),
       Some(piiOracleSql))),
 
+    // Token-budgeted chunking with overlap (pre-training windowing):
+    // 32-token windows, 8-token overlap. Oracle replays the window
+    // arithmetic with list_slice over the token array.
+    "doc_chunk" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.chunkTokens(t(s, d, "documents"), "text", "doc_id",
+            maxTokens = 32, overlap = 8)
+          .orderBy(col("id"), col("chunk_no")),
+      Some(chunkOracleSql(maxTokens = 32, overlap = 8)))),
+
     // Top-3 characteristic terms per document by TF-IDF (tf × ln(N/df)),
     // ranked on the 4-decimal-rounded score so the selection replays
     // identically in engines whose ln() differs in the last ulp.
@@ -1598,6 +1608,33 @@ object Queries {
        |  SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id
        |)
        |SELECT id, MIN(r) AS canonical FROM walk GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  /** doc_chunk oracle: identical window arithmetic over the token list —
+    * nChunks = max(1, ceil((n - overlap)/stride)), chunk i =
+    * list_slice(toks, i*stride+1, i*stride+maxTokens). */
+  private def chunkOracleSql(maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'),
+       |      x -> len(x) > 0) AS ts
+       |  FROM documents),
+       |sized AS (
+       |  SELECT id, ts,
+       |    CASE WHEN len(ts) = 0 THEN 0
+       |      ELSE GREATEST(1, CAST(ceil(CAST(len(ts) - $overlap AS DOUBLE) / $stride) AS INTEGER))
+       |    END AS n
+       |  FROM toks),
+       |chunks AS (
+       |  SELECT id, CAST(i AS INTEGER) AS chunk_no,
+       |    list_slice(ts, CAST(i AS INTEGER) * $stride + 1,
+       |      CAST(i AS INTEGER) * $stride + $maxTokens) AS c
+       |  FROM sized, unnest(range(CAST(n AS BIGINT))) AS t(i)
+       |  WHERE n > 0)
+       |SELECT id, chunk_no, array_to_string(c, ' ') AS chunk,
+       |  CAST(len(c) AS INTEGER) AS n_tokens
+       |FROM chunks ORDER BY id, chunk_no""".stripMargin
   }
 
   /** doc_compact oracle: transitive closure of the exact-jaccard pair

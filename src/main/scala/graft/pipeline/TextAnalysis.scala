@@ -207,6 +207,39 @@ object TextAnalysis {
     df.select(col(idCol).as("id") +: scrubbed.as("text") +: counts: _*)
   }
 
+  /**
+   * Token-budgeted document chunking — the pre-training windowing pass:
+   * split each document's whitespace tokens into chunks of `maxTokens`
+   * with `overlap` tokens repeated between consecutive chunks (stride =
+   * maxTokens − overlap). Returns (id, chunk_no, chunk, n_tokens);
+   * chunk_no is 0-based, the final chunk may be short, and empty/null
+   * documents produce no chunks. One narrow explode per document —
+   * chunk COUNT not corpus size drives the row multiplier, so the shape
+   * survives 100 TB (no shuffle at all until the caller aggregates).
+   */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+      x => length(x) > 0)
+    // ceil((n - overlap)/stride), min 1: the last window reaching the end
+    // terminates the sequence — a tail that would sit entirely inside the
+    // previous window is never emitted
+    val nChunks = when(size(toks) === 0, lit(0))
+      .otherwise(greatest(lit(1),
+        ceil((size(toks) - overlap).cast(DoubleType) / stride).cast(IntegerType)))
+    df.select(col(idCol).as("id"), toks.as("__toks"), nChunks.as("__n"))
+      .where(col("__n") > 0)
+      .select(col("id"), col("__toks"),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(maxTokens)))))
+      .select(col("id"), col("pos").cast(IntegerType).as("chunk_no"),
+        concat_ws(" ", col("col")).as("chunk"),
+        size(col("col")).as("n_tokens"))
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * lowercase token set. Identical in DuckDB:
     * md5(array_to_string(list_sort(list_distinct(...)), ' ')). */

@@ -345,6 +345,30 @@ class PipelineSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("chunkTokens: window arithmetic, overlap, no redundant tail, empty docs") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val corpus = Seq(
+      (1L, ten),                       // 10 tokens
+      (2L, "a b c"),                   // shorter than one window
+      (3L, ""), (4L, Option.empty[String].orNull) // no chunks
+    ).toDF("doc_id", "text")
+    // maxTokens=8, overlap=4, stride=4 → ceil((10-4)/4)=2 chunks: 1-8, 5-10
+    val out = TextAnalysis.chunkTokens(corpus, "text", "doc_id", maxTokens = 8, overlap = 4)
+      .orderBy("id", "chunk_no").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(1L).length === 2)
+    assert(byDoc(1L)(0).getString(2) === (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(byDoc(1L)(1).getString(2) === (5 to 10).map(i => s"t$i").mkString(" "))
+    assert(byDoc(1L)(1).getInt(3) === 6)
+    assert(byDoc(2L).length === 1 && byDoc(2L)(0).getString(2) === "a b c")
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // overlap=0: exact partition, last chunk short
+    val flat = TextAnalysis.chunkTokens(corpus, "text", "doc_id", maxTokens = 4)
+      .where(col("id") === 1L).orderBy("chunk_no").collect()
+    assert(flat.map(_.getInt(3)).toSeq === Seq(4, 4, 2))
+  }
+
   test("scrubPii: redacts in order, counts per category, null-safe") {
     import spark.implicits._
     val corpus = Seq(
