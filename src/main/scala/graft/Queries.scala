@@ -749,6 +749,27 @@ object Queries {
           |JOIN mem b ON b.ego = a.ego AND e.dst = b.m
           |ORDER BY 1, 2, 3""".stripMargin)))),
 
+    // int8 symmetric quantization of the embedding column: per-vector
+    // scale (rounded for the float comparison) + codes, replayed
+    // bit-identically in DuckDB via the floor(x/scale + 0.5) formula
+    // (exact IEEE double ops — round() dialects differ on ties).
+    "emb_quantize" -> ((
+      (s: SparkSession, d: String) => {
+        val q = Similarity.quantizeInt8(col("embedding"))
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            round(q.getField("scale"), 6).as("scale"),
+            q.getField("codes").as("codes"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 6) AS scale,
+             |  CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0 THEN
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> CAST(floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0) + 0.5) AS TINYINT))
+             |  ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS TINYINT)) END AS codes
+             |FROM embeddings ORDER BY vec_id""".stripMargin))),
+
     "alg_knn_cosine" -> ((
       (s: SparkSession, d: String) => {
         val embs = t(s, d, "embeddings")

@@ -43,6 +43,32 @@ object Similarity {
    * the corpus is scanned once regardless of query count; ties broken by
    * corpus id for determinism.
    */
+  /**
+   * Symmetric int8 vector quantization — the storage form a 100 TB
+   * embedding corpus actually ships (4× smaller than float32, SIMD
+   * dot-product friendly): per-vector scale = max|x|/127, code_i =
+   * floor(x_i/scale + 0.5) in [-127, 127]. `floor(+0.5)` rather than
+   * round(): both engines evaluate it with exact IEEE double ops, so the
+   * DuckDB oracle replays codes bit-identically (round() dialects differ
+   * on tie handling). Zero vectors quantize to zero codes with scale 0.
+   * Reconstruction error is ≤ scale/2 per element; [[dequantizeInt8]]
+   * inverts.
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0d
+    struct(
+      scale.as("scale"),
+      when(scale > 0,
+        transform(vec, x => floor(x.cast("double") / scale + 0.5d).cast("tinyint")))
+        .otherwise(transform(vec, _ => lit(0).cast("tinyint"))).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale as float32. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => (c.cast("double") * q.getField("scale")).cast("float"))
+
   def knnCosine(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),

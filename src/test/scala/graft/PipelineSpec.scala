@@ -345,6 +345,34 @@ class PipelineSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("quantizeInt8: codes bounded, round-trip error <= scale/2, zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(127.0f, -127.0f, 1.0f, -1.0f))
+    ).toDF("id", "vec")
+    val q = Similarity.quantizeInt8(col("vec"))
+    val out = vecs.select(col("id"), q.as("q"),
+        Similarity.dequantizeInt8(q).as("back"), col("vec"))
+      .orderBy("id").collect()
+    out.foreach { r =>
+      val scale = r.getStruct(1).getDouble(0)
+      val codes = r.getStruct(1).getSeq[Byte](1)
+      val back = r.getSeq[Float](2)
+      val orig = r.getSeq[Float](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"codes out of range: $codes")
+      orig.lazyZip(back).foreach { (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-6, s"err ${math.abs(o - b)} > ${scale / 2}")
+      }
+    }
+    val zero = out(1)
+    assert(zero.getStruct(1).getDouble(0) === 0.0)
+    assert(zero.getStruct(1).getSeq[Byte](1).forall(_ === 0))
+    val big = out(2).getStruct(1)
+    assert(big.getSeq[Byte](1).take(2) === Seq[Byte](127, -127))
+  }
+
   test("chunkTokens: window arithmetic, overlap, no redundant tail, empty docs") {
     import spark.implicits._
     val ten = (1 to 10).map(i => s"t$i").mkString(" ")
