@@ -128,6 +128,53 @@ object Queries {
              |COUNT(DISTINCT l_partkey) AS parts
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // Ordered funnel: users completing view < click < purchase at
+    // strictly increasing timestamps, earliest-completion semantics.
+    // ts stays the raw int64 nanos on both sides — exact comparisons.
+    "q_funnel" -> ((
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.operators.EventOps.funnel(t(s, d, "events"),
+            "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .orderBy(col("step_no"))
+      },
+      Some("""WITH r1 AS (SELECT user_id AS u, MIN(ts) AS tk FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |r2 AS (SELECT e.user_id AS u, MIN(e.ts) AS tk FROM events e
+             |  JOIN r1 ON e.user_id = r1.u
+             |  WHERE e.event_type = 'click' AND e.ts > r1.tk GROUP BY 1),
+             |r3 AS (SELECT e.user_id AS u, MIN(e.ts) AS tk FROM events e
+             |  JOIN r2 ON e.user_id = r2.u
+             |  WHERE e.event_type = 'purchase' AND e.ts > r2.tk GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step,
+             |    (SELECT COUNT(*) FROM r1) AS users
+             |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM r2)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM r3))
+             |ORDER BY step_no""".stripMargin))),
+
+    // Weekly cohort retention: cohort = Monday-truncated week of each
+    // user's first event; cells count the cohort's users active at each
+    // week offset. Mondays differ by exact multiples of 7 days, so the
+    // offset division is exact in both engines.
+    "q_retention" -> ((
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.operators.EventOps.weeklyRetention(
+            t(s, d, "events")
+              .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
+            "user_id", "ts")
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH ev AS (SELECT user_id AS u,
+             |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+             |cohort AS (SELECT u, MIN(w) AS cw FROM ev GROUP BY 1)
+             |SELECT cw AS cohort_week,
+             |  CAST(date_diff('day', cw, w) / 7 AS INTEGER) AS week_offset,
+             |  COUNT(*) AS users
+             |FROM (SELECT DISTINCT u, w FROM ev) d JOIN cohort USING (u)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     "q_sessionize" -> ((
       (s: SparkSession, d: String) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -79,6 +79,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("r_rid") === 2L)
   }
 
+  test("funnel: order matters, earliest-completion, per-step counts") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    val ev = Seq(
+      // u1 completes A<B<C
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // u2 does B before A — B must re-occur after A to count; it doesn't
+      (2L, 10L, "B"), (2L, 20L, "A"),
+      // u3: A then B, no C
+      (3L, 10L, "A"), (3L, 15L, "B"),
+      // u4: earliest-completion — first B after A counts even though a
+      // later B would also allow C
+      (4L, 10L, "A"), (4L, 20L, "B"), (4L, 40L, "B"), (4L, 50L, "C")
+    ).toDF("u", "ts", "t")
+    val out = EventOps.funnel(ev, "u", "ts", "t", Seq("A", "B", "C"))
+      .orderBy("step_no").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1, "A", 4L), (2, "B", 3L), (3, "C", 2L)))
+  }
+
+  test("weeklyRetention: cohort by first week, offsets count active users") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 12:00:00")
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-08")),  // cohort W0, active W0+W1
+      (2L, ts("2024-01-02")),                          // cohort W0, only W0
+      (3L, ts("2024-01-10")), (3L, ts("2024-01-22"))   // cohort W1, active W1+W3
+    ).toDF("u", "ts")
+    val out = EventOps.weeklyRetention(ev, "u", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
+  }
+
   test("graft SQL functions register and run (runtime registration path)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
