@@ -46,6 +46,43 @@ object Relational {
    * Output: all left columns, then every right column prefixed with
    * `rightPrefix` (the key columns are emitted once, unprefixed).
    */
+  /**
+   * Skew-salted inner equi-join: the LEFT (large, skewed) side gets a
+   * random salt in [0, salts); the RIGHT side is replicated once per
+   * salt value, so a hot key's rows spread across `salts` reducers
+   * instead of melting one. Semantics are exactly
+   * `left.join(right, keys)` — every left row still meets every matching
+   * right row exactly once (each left row carries ONE salt; the right
+   * replica set covers all salts).
+   *
+   * Use when a handful of keys dominate (power-law join keys at 100 TB)
+   * and AQE's skew-join split isn't available or isn't enough — e.g.
+   * when the skew is in a hash-aggregate's input rather than detectable
+   * post-shuffle. Cost model: right side shuffles `salts`× its size; pick
+   * the smallest `salts` that levels the hot partitions.
+   *
+   * The salt is `pmod(hash(monotonically_increasing_id()), salts)` —
+   * per-ROW (not per-key, so literal duplicate rows of a hot key still
+   * spread), stable across task retries (the id is a function of
+   * partition layout), never part of the output. Non-key column names
+   * must be disjoint between the two sides (same rule as an unaliased
+   * join).
+   */
+  def skewJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               salts: Int = 8): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(keyCols.nonEmpty, "skewJoin needs at least one key column")
+    val leftCols = left.columns.toSeq
+    val rightOut = right.columns.toSeq.filterNot(keyCols.contains)
+    val l = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keyCols :+ "__salt")
+      .select((keyCols ++ leftCols.filterNot(keyCols.contains) ++ rightOut)
+        .map(col): _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
                rightPrefix: String = "r_"): DataFrame = {

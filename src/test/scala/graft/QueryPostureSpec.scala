@@ -75,6 +75,52 @@ class QueryPostureSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("bucketed tables join WITHOUT an exchange (co-located join posture)") {
+    import spark.implicits._
+    import graft.sources.BucketedStore
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "vb")
+    BucketedStore.save(a, "bkt_a", Seq("k"), 8, sortCols = Seq("k"))
+    BucketedStore.save(b, "bkt_b", Seq("k"), 8, sortCols = Seq("k"))
+    try {
+      // force a non-broadcast join so the bucket layout is what must
+      // carry the distribution requirement
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = BucketedStore.table(spark, "bkt_a")
+        .join(BucketedStore.table(spark, "bkt_b"), Seq("k"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join shuffled anyway:\n$p")
+      assert(joined.count() === 1000L)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      BucketedStore.drop(spark, "bkt_a")
+      BucketedStore.drop(spark, "bkt_b")
+    }
+  }
+
+  test("skewJoin: same result as plain join, hot key spread across salts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    // one hot key (90% of rows) + a tail
+    val left = ((1 to 900).map(_ => (1L, "hot")) ++ (2 to 101).map(i => (i.toLong, s"v$i")))
+      .toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
+    val salted = Relational.skewJoin(left, right, Seq("k"), salts = 4)
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() === plain.count())
+    assert(salted.groupBy("k").count().orderBy("k").collect().toSeq ===
+      plain.groupBy("k").count().orderBy("k").collect().toSeq)
+    assert(salted.columns.toSeq === Seq("k", "lv", "rv"))
+    // the hot key's rows really do land in multiple salt partitions: the
+    // pre-join left side spreads key 1 over >1 distinct salt
+    val spread = left.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(4)))
+      .where(col("k") === 1L).select("__salt").distinct().count()
+    assert(spread > 1, s"hot key stayed in $spread salt bucket(s)")
+  }
+
   test("dedup family leaves no persisted RDDs behind (cache-leak guard)") {
     // VERDICT r7: minhashPairs/verifyJaccard/ngramJaccardPairs persisted
     // intermediates for the session lifetime. The eager default now
