@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.operators.Relational
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * Property-based invariants over randomized inputs — the contracts the
+ * example-based specs can't exhaust: quantization error bounds, chunk
+ * reconstruction, SimHash banding recall, cluster-path equivalence, and
+ * as-of join agreement with the naive quadratic definition.
+ *
+ * Raw ScalaCheck Gen with a FIXED seed (no scalatestplus bridge in the
+ * offline dependency set): deterministic across runs, 10 cases per
+ * property.
+ */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], cases: Int = 10)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until cases).foreach { _ =>
+      f(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  test("quantizeInt8 round-trip error is bounded by scale/2 on random vectors") {
+    import spark.implicits._
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-100.0f, 100.0f))
+    forAll(Gen.listOfN(8, genVec)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "vec")
+      val q = Similarity.quantizeInt8(col("vec"))
+      val rows = df.select(col("vec"), q.as("q"), Similarity.dequantizeInt8(q).as("back"))
+        .collect()
+      rows.foreach { r =>
+        val scale = r.getStruct(1).getDouble(0)
+        r.getSeq[Float](0).lazyZip(r.getSeq[Float](2)).foreach { (o, b) =>
+          assert(math.abs(o - b) <= scale / 2 + 1e-5)
+        }
+      }
+    }
+  }
+
+  test("chunkTokens with overlap reconstructs the original token stream") {
+    import spark.implicits._
+    val genDoc = Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(5)).suchThat(_.nonEmpty)))
+    forAll(genDoc, Gen.chooseNum(2, 16), Gen.chooseNum(0, 1)) { (toks, mt, ovFlag) =>
+      val overlap = if (ovFlag == 1 && mt > 1) mt / 2 else 0
+      val stride = mt - overlap
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkTokens(df, "text", "doc_id", mt, overlap)
+        .orderBy("chunk_no").collect()
+      // chunk i starts at token i*stride: mapping every chunk token back
+      // to its absolute position must cover [0, n) exactly, with every
+      // position holding its original token (overlapped positions agree)
+      val covered = chunks.flatMap { r =>
+        val s = r.getInt(1) * stride
+        r.getString(2).split(" ").toSeq.zipWithIndex.map { case (t, j) => (s + j, t) }
+      }.toMap
+      assert(covered.size === toks.length, s"coverage holes: ${covered.size} vs ${toks.length}")
+      toks.zipWithIndex.foreach { case (t, i) => assert(covered(i) === t) }
+    }
+  }
+
+  test("simhash banding recall: hamming<=3 pairs ALWAYS share a 16-bit chunk") {
+    // pigeonhole determinism, checked directly on random signatures: flip
+    // at most 3 bits of a 64-bit value — at least one of the four 16-bit
+    // chunks must be untouched
+    forAll(Gen.long, Gen.listOfN(3, Gen.chooseNum(0, 63))) { (sig, flips) =>
+      val other = flips.distinct.foldLeft(sig)((s, b) => s ^ (1L << b))
+      val shares = (0 until 4).exists { c =>
+        ((sig >>> (c * 16)) & 0xFFFFL) == ((other >>> (c * 16)) & 0xFFFFL)
+      }
+      assert(shares)
+    }
+  }
+
+  test("nearDupClusters: distributed star contraction == local union-find on random graphs") {
+    import spark.implicits._
+    val genEdges = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L))))
+    forAll(genEdges) { pairs =>
+      val df = pairs.toDF("idA", "idB")
+      val local = Dedup.nearDupClusters(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.nearDupClusters(df, localThreshold = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === local)
+    }
+  }
+
+  test("asofJoin agrees with the naive quadratic definition on random data") {
+    import spark.implicits._
+    val genRows = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 50L)))
+    forAll(genRows, genRows) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "lts")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "k", "rts")
+      val got = Relational.asofJoin(left, right, Seq("k"), "lts", "rts")
+        .select("lid", "r_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // naive: latest right at-or-before, ties by (rts, then largest
+      // payload struct = largest rid first column)
+      val naive = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt <= t }
+        val best = if (cands.isEmpty) -1L
+          else cands.maxBy { case ((_, rt), ri) => (rt, ri.toLong) }._2.toLong
+        i.toLong -> best
+      }.toMap
+      assert(got === naive)
+    }
+  }
+}
