@@ -742,7 +742,9 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
             val c =
               if (sortRefersToOutput(s.expr, ret.items)) colByName(outputName(s.expr, ret.items))
               else colByName(s"__sort$idx")
-            if (s.ascending) c.asc else c.desc
+            // openCypher null ordering: nulls sort LAST ascending, FIRST
+            // descending (Spark's default is the opposite for asc)
+            if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
           }
           df = df.orderBy(sortCols: _*)
         }
@@ -817,7 +819,8 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     if (ret.orderBy.nonEmpty) {
       val sortCols = ret.orderBy.map { s =>
         val c = colByName(outputName(s.expr, ret.items))
-        if (s.ascending) c.asc else c.desc
+        // openCypher null ordering (see compileReturn's twin)
+        if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
       }
       df = df.orderBy(sortCols: _*)
     }

@@ -964,4 +964,29 @@ class CypherSpec extends SparkSpec {
     assert(!comp.contains("CartesianProduct") && !comp.contains("NestedLoop"),
       s"comprehension plan has a per-row loop:\n$comp")
   }
+
+  test("openCypher null semantics: aggregates skip nulls, nulls sort last ASC / first DESC") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nodes = Seq(
+      ("1", "P", Map("age" -> "30")), ("2", "P", Map.empty[String, String]),
+      ("3", "P", Map("age" -> "40"))
+    ).toDF("id", "label", "properties")
+    val edges = Seq.empty[(String, String, String, Map[String, String])]
+      .toDF("src", "dst", "type", "properties")
+    val gp = PropertyGraph(nodes, PropertyGraph.withEid(edges), isDirected = true)
+    // count(prop)/avg ignore nulls; count(*) doesn't; collect() skips nulls
+    val agg = Cypher.run(gp,
+      "MATCH (p:P) RETURN count(p.age) AS c, avg(toFloat(p.age)) AS a, " +
+        "count(*) AS n, collect(p.age) AS l").collect()(0)
+    assert(agg.getLong(0) === 2L && agg.getDouble(1) === 35.0 && agg.getLong(2) === 3L)
+    assert(agg.getSeq[String](3).toSet === Set("30", "40"))
+    // ORDER BY ASC: nulls LAST (Neo4j), not Spark's default nulls-first
+    val asc = Cypher.run(gp, "MATCH (p:P) RETURN p.age AS a ORDER BY a")
+      .collect().map(r => Option(r.getString(0)))
+    assert(asc.toSeq === Seq(Some("30"), Some("40"), None))
+    val desc = Cypher.run(gp, "MATCH (p:P) RETURN p.age AS a ORDER BY a DESC")
+      .collect().map(r => Option(r.getString(0)))
+    assert(desc.toSeq === Seq(None, Some("40"), Some("30")))
+  }
 }
