@@ -1870,10 +1870,12 @@ object Queries {
        |    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p
        |  FROM documents),
        |scored AS (SELECT doc_id, toks, p, $scoreDefs,
-       |    ROUND(LEAST(1.0, GREATEST(0.0,
-       |      ROUND(CASE WHEN len > 0 THEN alpha / len ELSE 0 END, 6) * 0.5 +
-       |      LEAST(ROUND(CASE WHEN toks > 0 THEN CAST($stop AS DOUBLE) / toks ELSE 0 END, 6) * 2, 1.0) * 0.3 +
-       |      (1.0 - LEAST(ROUND(CASE WHEN len > 0 THEN punct / len ELSE 0 END, 6) * 5, 1.0)) * 0.2)), 6) AS q
+       |    -- exact micro-unit weighting, mirrors TextAnalysis.withQuality
+       |    CAST((LEAST(GREATEST(
+       |        CAST(ROUND(ROUND(CASE WHEN len > 0 THEN alpha / len ELSE 0 END, 6) * 1000000) AS BIGINT) * 5 +
+       |        LEAST(CAST(ROUND(ROUND(CASE WHEN toks > 0 THEN CAST($stop AS DOUBLE) / toks ELSE 0 END, 6) * 1000000) AS BIGINT) * 2, 1000000) * 3 +
+       |        (1000000 - LEAST(CAST(ROUND(ROUND(CASE WHEN len > 0 THEN punct / len ELSE 0 END, 6) * 1000000) AS BIGINT) * 5, 1000000)) * 2,
+       |      0), 10000000) + 5) // 10 AS DOUBLE) / 1000000.0 AS q
        |  FROM base),
        |withbest AS (SELECT *, $best AS best FROM scored),
        |labeled AS (
@@ -1968,9 +1970,13 @@ object Queries {
        |    ROUND(CASE WHEN toks > 0 THEN len / toks ELSE 0 END, 6) AS avg_word_len
        |  FROM base)
        |SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio, avg_word_len,
-       |  ROUND(LEAST(1.0, GREATEST(0.0,
-       |    alpha_ratio * 0.5 + LEAST(stopword_ratio * 2, 1.0) * 0.3 +
-       |    (1.0 - LEAST(punct_ratio * 5, 1.0)) * 0.2)), 6) AS quality_score
+       |  -- exact integer micro-unit weighting (see TextAnalysis.withQuality):
+       |  -- 1e-7-grid sum, half-up to 1e-6 in BIGINT, one final double divide
+       |  CAST((LEAST(GREATEST(
+       |      CAST(ROUND(alpha_ratio * 1000000) AS BIGINT) * 5 +
+       |      LEAST(CAST(ROUND(stopword_ratio * 1000000) AS BIGINT) * 2, 1000000) * 3 +
+       |      (1000000 - LEAST(CAST(ROUND(punct_ratio * 1000000) AS BIGINT) * 5, 1000000)) * 2,
+       |    0), 10000000) + 5) // 10 AS DOUBLE) / 1000000.0 AS quality_score
        |FROM c ORDER BY doc_id""".stripMargin
   }
 

@@ -442,7 +442,16 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       throw CypherParseException(s"UNWIND variable '${u.variable}' is already bound")
     val (ctx, rewritten) = materializePatternComps(start, List(u.list))
     val base = ctx.df.getOrElse(emptyRow())
-    val listCol = ExprCompiler.compile(rewritten.head, Scope(ctx.scope)).col
+    val listCol0 = ExprCompiler.compile(rewritten.head, Scope(ctx.scope)).col
+    // UNWIND null produces ZERO rows (openCypher); the null literal
+    // compiles as a STRING column (the property model's value type),
+    // which explode() rejects — retype it as an array so the null flows
+    // through explode's no-rows path (row-level null lists already
+    // produce no rows without help)
+    val listCol = rewritten.head match {
+      case Ast.NullLit => lit(null).cast("array<string>")
+      case _ => listCol0
+    }
     BindCtx(Some(base.withColumn(u.variable, explode(listCol))),
       ctx.scope + (u.variable -> ExprCompiler.KValue))
   }

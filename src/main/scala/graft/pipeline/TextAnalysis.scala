@@ -84,15 +84,26 @@ object TextAnalysis {
     val toks = tokenCount(textCol).cast(DoubleType)
     val padded = paddedLower(t)
     val stop = langMarkers("en").map(w => markerHits(padded, w)).reduce(_ + _).cast(DoubleType)
+    // The composite score is computed on an exact integer grid: the
+    // rounded component ratios are multiples of 1e-6, so the weighted sum
+    // (weights 0.5/0.3/0.2) lives on a 1e-7 grid where binary-double
+    // arithmetic lands exact half-ties — rounding those back to 6
+    // decimals is engine-dependent (Spark HALF_UP on Decimal vs a
+    // DuckDB/C double round). Doing the weighting and the final half-up
+    // in Long micro-units keeps Spark and any ANSI-SQL oracle
+    // bit-identical.
+    val aM = round(col("alpha_ratio") * 1e6).cast(LongType)
+    val sM = round(col("stopword_ratio") * 1e6).cast(LongType)
+    val pM = round(col("punct_ratio") * 1e6).cast(LongType)
+    val raw7 = aM * 5 + least(sM * 2, lit(1000000L)) * 3 +
+      (lit(1000000L) - least(pM * 5, lit(1000000L))) * 2 // 1e-7 units, in [0, 1e7]
     df.withColumn("alpha_ratio", round(when(len > 0, alpha / len).otherwise(0.0), 6))
       .withColumn("punct_ratio", round(when(len > 0, punct / len).otherwise(0.0), 6))
       .withColumn("stopword_ratio", round(when(toks > 0, stop / toks).otherwise(0.0), 6))
       .withColumn("avg_word_len", round(when(toks > 0, len / toks).otherwise(0.0), 6))
-      .withColumn("quality_score", round(
-        least(lit(1.0), greatest(lit(0.0),
-          col("alpha_ratio") * 0.5 +
-            least(col("stopword_ratio") * 2, lit(1.0)) * 0.3 +
-            (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.2)), 6))
+      .withColumn("quality_score",
+        floor((least(greatest(raw7, lit(0L)), lit(10000000L)) + lit(5L)) / lit(10.0))
+          .cast(LongType).cast(DoubleType) / lit(1000000.0))
   }
 
   /**

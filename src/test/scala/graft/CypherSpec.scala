@@ -226,6 +226,9 @@ class CypherSpec extends SparkSpec {
     val crossed = Cypher.run(g,
       "MATCH (n:Location) UNWIND ['a', 'b'] AS tag RETURN n.id, tag").count()
     assert(crossed === 2 * g.nodes.where(col("label") === "Location").count())
+    // openCypher: UNWIND over null or the empty list yields zero rows
+    assert(Cypher.run(g, "UNWIND null AS x RETURN x").count() === 0)
+    assert(Cypher.run(g, "UNWIND [] AS x RETURN x").count() === 0)
   }
 
   test("unsupported-but-parsed constructs are rejected with a clear error") {
