@@ -538,6 +538,27 @@ object Queries {
              |  i AS h, CAST(9 AS BIGINT) AS l
              |FROM (SELECT unnest(range(1, 6)) AS i) ORDER BY i""".stripMargin))),
 
+    // List quantifiers all/any/none/single (openCypher 9 §4.2; reference
+    // grammar parses them, planner TODO) — forall/exists HOFs, plus the
+    // math-function surface (log = ln, degrees/pi) for engine replay.
+    "cy_quantifiers" -> ((
+      cy("MATCH (n:Nation) WITH n, size(n.name) AS len " +
+        "RETURN n.name AS name, " +
+        "all(x IN range(1, len) WHERE x > 0) AS q_all, " +
+        "any(x IN range(1, len) WHERE x = 7) AS q_any, " +
+        "none(x IN range(1, len) WHERE x > 25) AS q_none, " +
+        "single(x IN range(1, len) WHERE x = len) AS q_single, " +
+        "round(log(exp(len)), 6) AS ln_e, round(degrees(pi()), 6) AS deg " +
+        "ORDER BY name"),
+      Some("""SELECT n_name AS name,
+             |  TRUE AS q_all,
+             |  (length(n_name) >= 7) AS q_any,
+             |  (length(n_name) <= 25) AS q_none,
+             |  TRUE AS q_single,
+             |  ROUND(CAST(length(n_name) AS DOUBLE), 6) AS ln_e,
+             |  ROUND(CAST(180 AS DOUBLE), 6) AS deg
+             |FROM nation ORDER BY name""".stripMargin))),
+
     // List comprehension [x IN list WHERE pred | proj] (reference grammar
     // parses comprehensions, planner TODO) — filter + transform HOFs;
     // UNWIND flattens the result so the oracle compares scalar rows.

@@ -71,9 +71,16 @@ object Ast {
       proj: Expr) extends Expr
   final case class CaseExpr(subject: Option[Expr], whens: List[(Expr, Expr)],
       otherwise: Option[Expr]) extends Expr
+  /** `all/any/none/single(v IN list WHERE pred)` — openCypher list
+    * quantifiers, compiled to Spark's forall/exists higher-order
+    * functions (whose three-valued null semantics match openCypher's). */
+  final case class Quantifier(kind: String, variable: String,
+      list: Expr, pred: Expr) extends Expr
 
   val aggregateNames = Set("avg", "sum", "min", "max", "count", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  val quantifierNames = Set("all", "any", "none", "single")
 
   def containsAggregate(e: Expr): Boolean = e match {
     case _: Aggregate => true
@@ -137,6 +144,7 @@ object Ast {
     case PatternComp(path, w, proj) =>
       s"[${text(PatternPred(path))}" + w.map(" WHERE " + text(_)).getOrElse("") +
         s" | ${text(proj)}]"
+    case Quantifier(k, v, l, p) => s"$k($v IN ${text(l)} WHERE ${text(p)})"
   }
 
   /** Variable names bound or referenced by a pattern: node/rel variables,
@@ -182,6 +190,7 @@ object Ast {
       paths.flatMap(patternVars).toSet ++ w.toList.flatMap(freeVars)
     case PatternComp(path, w, proj) =>
       patternVars(path) ++ (w.toList :+ proj).flatMap(freeVars)
+    case Quantifier(v0, v, l, p) => freeVars(l) ++ (freeVars(p) - v)
     case _ => Set.empty
   }
 
@@ -209,6 +218,7 @@ object Ast {
       CaseExpr(s.map(f), ws.map { case (a, b) => (f(a), f(b)) }, o.map(f))
     case ListComp(v, l, w, pr) => ListComp(v, f(l), w.map(f), pr.map(f))
     case ReduceExpr(a, i, v, l, b) => ReduceExpr(a, f(i), v, f(l), f(b))
+    case Quantifier(k, v, l, p) => Quantifier(k, v, f(l), f(p))
     case other => other
   }
 

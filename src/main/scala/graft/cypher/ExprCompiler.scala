@@ -93,7 +93,7 @@ object ExprCompiler {
     // outer columns are plain attribute reads (cheap per element); the
     // per-element work is exactly the predicate/projection itself.
     case ListComp(v, lst, where, proj) =>
-      val listCol = compile(lst, scope).col
+      val listCol = listColOf(lst, scope)
       val filtered = where match {
         case Some(w) =>
           filter(listCol, x => compile(w, scope.withLambda(v, x)).col.try_cast(BooleanType))
@@ -104,6 +104,26 @@ object ExprCompiler {
         case None => filtered
       }
       Typed(projected, KOther)
+
+    // all/any/none/single(v IN list WHERE pred): forall/exists carry
+    // openCypher's three-valued null logic natively; single needs the
+    // exact true/null element counts to distinguish false from unknown
+    case Quantifier(kind, v, lst, pred) =>
+      val listCol = listColOf(lst, scope)
+      def p(x: Column): Column = compile(pred, scope.withLambda(v, x)).col.try_cast(BooleanType)
+      val c = kind match {
+        case "all" => forall(listCol, p)
+        case "any" => exists(listCol, p)
+        case "none" => !exists(listCol, p)
+        case "single" =>
+          val trues = size(filter(listCol, x => coalesce(p(x), lit(false))))
+          val unknowns = size(filter(listCol, x => p(x).isNull))
+          when(listCol.isNull, lit(null).cast(BooleanType))
+            .when(trues > 1, lit(false))
+            .when(unknowns > 0, lit(null).cast(BooleanType))
+            .otherwise(trues === 1)
+      }
+      Typed(c, KBool)
 
     case PatternPred(_) =>
       throw CypherParseException(
@@ -126,7 +146,7 @@ object ExprCompiler {
     // in DOUBLE — the engine-wide arithmetic semantic; string folds in
     // STRING).
     case ReduceExpr(acc, init, v, lst, body) =>
-      val listCol = compile(lst, scope).col
+      val listCol = listColOf(lst, scope)
       val initT = compile(init, scope)
       val (zero, coerce): (Column, Column => Column) = initT.kind match {
         case KNum => (initT.col.cast(DoubleType), (c: Column) => c.try_cast(DoubleType))
@@ -141,7 +161,10 @@ object ExprCompiler {
 
     case Cmp(op, l, r) =>
       val entity = (l, r) match {
-        case (Variable(a), Variable(b)) =>
+        // lambda-bound variables (comprehension/quantifier elements)
+        // shadow outer bindings and are never entities
+        case (Variable(a), Variable(b))
+            if !scope.lambdas.contains(a) && !scope.lambdas.contains(b) =>
           (scope.kindOf(a), scope.kindOf(b)) match {
             // entity equality compares ids (reference Helpers.cpp:171-182)
             case (KNode, KNode) => Some(applyOp(op, col(s"$a.id"), col(s"$b.id")))
@@ -314,6 +337,32 @@ object ExprCompiler {
       Typed(coalesce(ts.map(_.col): _*), ts.head.kind)
     case ("abs", List(a)) => Typed(abs(numOf(compile(a, scope))), KNum)
     case ("sign", List(a)) => Typed(signum(numOf(compile(a, scope))), KNum)
+    // openCypher math surface: log() is the NATURAL log (ln), matching
+    // Neo4j; haversin(x) = (1 - cos(x)) / 2
+    case ("exp", List(a)) => Typed(exp(numOf(compile(a, scope))), KNum)
+    case ("log", List(a)) => Typed(log(numOf(compile(a, scope))), KNum)
+    case ("log10", List(a)) => Typed(log10(numOf(compile(a, scope))), KNum)
+    case ("sin", List(a)) => Typed(sin(numOf(compile(a, scope))), KNum)
+    case ("cos", List(a)) => Typed(cos(numOf(compile(a, scope))), KNum)
+    case ("tan", List(a)) => Typed(tan(numOf(compile(a, scope))), KNum)
+    case ("cot", List(a)) => Typed(lit(1.0) / tan(numOf(compile(a, scope))), KNum)
+    case ("asin", List(a)) => Typed(asin(numOf(compile(a, scope))), KNum)
+    case ("acos", List(a)) => Typed(acos(numOf(compile(a, scope))), KNum)
+    case ("atan", List(a)) => Typed(atan(numOf(compile(a, scope))), KNum)
+    case ("atan2", List(a, b)) =>
+      Typed(atan2(numOf(compile(a, scope)), numOf(compile(b, scope))), KNum)
+    case ("degrees", List(a)) => Typed(degrees(numOf(compile(a, scope))), KNum)
+    case ("radians", List(a)) => Typed(radians(numOf(compile(a, scope))), KNum)
+    case ("haversin", List(a)) =>
+      Typed((lit(1.0) - cos(numOf(compile(a, scope)))) / 2.0, KNum)
+    case ("pi", Nil) => Typed(lit(math.Pi), KNum)
+    case ("e", Nil) => Typed(lit(math.E), KNum)
+    case ("isempty", List(a)) =>
+      val t = compile(a, scope)
+      t.kind match {
+        case KOther => Typed(size(t.col) === 0, KBool)
+        case _ => Typed(length(t.col.cast(StringType)) === 0, KBool)
+      }
     case ("ceil", List(a)) => Typed(ceil(numOf(compile(a, scope))).cast(DoubleType), KNum)
     case ("floor", List(a)) => Typed(floor(numOf(compile(a, scope))).cast(DoubleType), KNum)
     case ("sqrt", List(a)) => Typed(sqrt(numOf(compile(a, scope))), KNum)
@@ -330,12 +379,23 @@ object ExprCompiler {
         s"function '$name'/${args.length} not supported (reference implements only id(); we add " +
           "type, labels, properties, toFloat, toInteger, toString, size, startNode, endNode, " +
           "toUpper, toLower, trim, lTrim, rTrim, reverse, replace, substring, split, coalesce, " +
-          "abs, sign, ceil, floor, sqrt, round, exists, keys, range, head, last, tail, " +
-          "toBoolean, left, right, reduce, nodes, relationships, length)")
+          "abs, sign, ceil, floor, sqrt, round, exp, log, log10, sin, cos, tan, cot, asin, " +
+          "acos, atan, atan2, degrees, radians, haversin, pi, e, isEmpty, exists, keys, range, " +
+          "head, last, tail, toBoolean, left, right, reduce, nodes, relationships, length, " +
+          "all, any, none, single)")
   }
 
   private def strOf(t: Typed): Column = t.col.cast(StringType)
   private def numOf(t: Typed): Column = t.col.try_cast(DoubleType)
+
+  /** List-position compile: a bare null literal types as STRING in the
+    * property model, which the array higher-order functions reject —
+    * retype it as a null array so filter/forall/exists follow their
+    * null-in → null-out path (openCypher's null-list semantics). */
+  private def listColOf(lst: Expr, scope: Scope): Column = lst match {
+    case NullLit => lit(null).cast(ArrayType(StringType))
+    case _ => compile(lst, scope).col
+  }
 
   /**
    * Comparison with contextual coercion. The decision table follows the

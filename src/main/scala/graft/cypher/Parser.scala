@@ -644,6 +644,20 @@ object Parser {
             val body = parseExpr(p)
             p.expectSym(")")
             ReduceExpr(acc, init, v, lst, body)
+          } else if (quantifierNames.contains(lower)) {
+            // all/any/none/single(v IN list WHERE pred) — openCypher list
+            // quantifiers (the predicate is mandatory)
+            val v = p.next() match {
+              case Ident(a) => a
+              case t => throw CypherParseException(
+                s"$lower() element variable expected, got '${t.text}'")
+            }
+            p.expectKw("IN")
+            val lst = parseAtomOrList(p)
+            p.expectKw("WHERE")
+            val pred = parseExpr(p)
+            p.expectSym(")")
+            Quantifier(lower, v, lst, pred)
           } else if (aggregateNames.contains(lower)) {
             val distinct = p.eatKw("DISTINCT")
             val arg =

@@ -608,6 +608,36 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
             throw CypherParseException(s"invalid variable-length bounds *$mn..$mx")
           val base = ctx.df.get
           val keepCols = base.columns.toSeq
+          // Shared prefix walks: walk s extends walk s−1 (one step), so
+          // every branch of the union references LITERALLY the same
+          // subplan (same exprIds) for its prefix. Building each branch
+          // from `base` with per-branch fresh variable names used to
+          // defeat plan canonicalization — no exchange was ever reused
+          // across branches, re-running the k−1 prefix joins per branch.
+          // The last hop always lands on an anonymous target; branch k
+          // then binds `nodeVar` by struct copy (unbound) or an id filter
+          // (bound) — same rows either way, since a bound nodeVar comes
+          // from the nodes table the anonymous join also reads.
+          val prefixes = Vector.newBuilder[(DataFrame, String)]
+          if (mx >= 1) {
+            var df = base
+            var prev = prevNode
+            var prevR = prevRel
+            for (_ <- 1 to mx) {
+              val rv = fresh("r")
+              val target = fresh("n")
+              df = step(df, prev, rv, prevR, target, targetIsBound = false)
+              pnCol.foreach { _ =>
+                df = df
+                  .withColumn(pnCol.get, concat(col(pnCol.get), array(col(target))))
+                  .withColumn(prCol.get, concat(col(prCol.get), array(col(rv))))
+              }
+              prefixes += ((df, target))
+              prev = target
+              prevR = Some(rv)
+            }
+          }
+          val walks = prefixes.result()
           val branches = (mn to mx).map {
             // Zero-length hop (openCypher `*0..n`): the identity branch —
             // the target IS the start node, no relationship traversed, so
@@ -621,25 +651,12 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
                 base.withColumn(nodeVar, col(prevNode))
                   .select((keepCols :+ nodeVar).map(c => col(s"`$c`")): _*)
             case k =>
-            var df = base
-            var prev = prevNode
-            var prevR = prevRel
-            for (s <- 1 to k) {
-              val rv = fresh("r")
-              val isLast = s == k
-              val target = if (isLast) nodeVar else fresh("n")
-              val boundTarget = isLast && targetBound
-              df = step(df, prev, rv, prevR, target, boundTarget)
-              pnCol.foreach { _ =>
-                df = df
-                  .withColumn(pnCol.get, concat(col(pnCol.get), array(col(target))))
-                  .withColumn(prCol.get, concat(col(prCol.get), array(col(rv))))
-              }
-              prev = target
-              prevR = Some(rv)
-            }
-            val outCols = if (targetBound) keepCols else keepCols :+ nodeVar
-            df.select(outCols.map(c => col(s"`$c`")): _*)
+              val (df, target) = walks(k - 1)
+              val bound =
+                if (targetBound) df.filter(col(s"$target.id") === col(s"$nodeVar.id"))
+                else df.withColumn(nodeVar, col(s"`$target`"))
+              val outCols = if (targetBound) keepCols else keepCols :+ nodeVar
+              bound.select(outCols.map(c => col(s"`$c`")): _*)
           }
           if (!targetBound) ctx = ctx.withVar(nodeVar, KNode)
           ctx = ctx.copy(df = Some(branches.reduce(_ unionByName _)))

@@ -754,6 +754,54 @@ class CypherSpec extends SparkSpec {
     assert(total === 6L) // 1 + 2 + 3 elements for ids 0,1,2
   }
 
+  test("quantifiers all/any/none/single with openCypher null semantics") {
+    def one(q: String) = Cypher.run(g, s"RETURN $q AS x").collect()(0)
+    assert(one("all(x IN [1, 2, 3] WHERE x > 0)").getBoolean(0) === true)
+    assert(one("all(x IN [1, 2, 3] WHERE x > 2)").getBoolean(0) === false)
+    assert(one("any(x IN [1, 2, 3] WHERE x > 2)").getBoolean(0) === true)
+    assert(one("any(x IN [] WHERE x > 0)").getBoolean(0) === false)
+    assert(one("none(x IN [1, 2, 3] WHERE x > 5)").getBoolean(0) === true)
+    assert(one("none(x IN [1, 2] WHERE x = 2)").getBoolean(0) === false)
+    assert(one("single(x IN [1, 2, 3] WHERE x = 2)").getBoolean(0) === true)
+    assert(one("single(x IN [2, 2] WHERE x = 2)").getBoolean(0) === false)
+    assert(one("single(x IN [] WHERE x = 2)").getBoolean(0) === false)
+    // three-valued logic: null list → null; unknown elements may decide
+    assert(one("all(x IN null WHERE x > 0)").isNullAt(0))
+    assert(one("all(x IN [1, null] WHERE x > 0)").isNullAt(0))
+    assert(one("all(x IN [0, null] WHERE x > 0)").getBoolean(0) === false) // false wins
+    assert(one("any(x IN [1, null] WHERE x > 1)").isNullAt(0))
+    assert(one("any(x IN [2, null] WHERE x > 1)").getBoolean(0) === true) // true wins
+    assert(one("single(x IN [2, null] WHERE x = 2)").isNullAt(0))
+    assert(one("single(x IN [2, 2, null] WHERE x = 2)").getBoolean(0) === false)
+    // quantifier over an entity's keys, inside WHERE
+    val withAge = Cypher.run(g,
+      "MATCH (n) WHERE any(k IN keys(n) WHERE k = 'age') RETURN count(*) AS c")
+      .collect()(0).getLong(0)
+    assert(withAge > 0)
+  }
+
+  test("math functions: exp/log/trig/degrees/pi and isEmpty") {
+    def one(q: String) = Cypher.run(g, s"RETURN $q AS x").collect()(0)
+    assert(one("exp(0)").getDouble(0) === 1.0)
+    assert(one("log(e())").getDouble(0) === 1.0) // log is the natural log
+    assert(one("log10(1000)").getDouble(0) === 3.0)
+    assert(one("round(degrees(pi()), 6)").getDouble(0) === 180.0)
+    assert(one("round(radians(180) - pi(), 6)").getDouble(0) === 0.0)
+    assert(one("sin(0)").getDouble(0) === 0.0)
+    assert(one("cos(0)").getDouble(0) === 1.0)
+    assert(one("round(atan2(1.0, 1.0) * 4, 6)").getDouble(0) ===
+      one("round(pi(), 6)").getDouble(0))
+    assert(one("round(cot(pi() / 4), 6)").getDouble(0) === 1.0)
+    assert(one("haversin(0)").getDouble(0) === 0.0)
+    assert(one("asin(1.0)").getDouble(0) === math.Pi / 2)
+    assert(one("acos(1.0)").getDouble(0) === 0.0)
+    assert(one("atan(0)").getDouble(0) === 0.0)
+    assert(one("isEmpty([])").getBoolean(0) === true)
+    assert(one("isEmpty([1])").getBoolean(0) === false)
+    assert(one("isEmpty('')").getBoolean(0) === true)
+    assert(one("isEmpty('x')").getBoolean(0) === false)
+  }
+
   test("pattern predicates compile to semi/anti joins") {
     // ground truth from the expand form
     val neighborIds = Cypher.run(g,
