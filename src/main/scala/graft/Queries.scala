@@ -1260,6 +1260,18 @@ object Queries {
           .orderBy(col("id")),
       Some(gopherOracleSql))),
 
+    // Gopher repetition filters (the gram-shaped Table A1 measures):
+    // top-{2,3}-gram character coverage and duplicated-5-gram character
+    // coverage per document — one tokenize, window-lead gram assembly,
+    // (id, gram) counts, per-id argmax/sum. Oracle replays gram
+    // construction with list indexing and the same (c DESC, g) argmax.
+    "doc_repetition" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.repetitionStats(t(s, d, "documents"), "text", "doc_id",
+            topNs = Seq(2, 3), dupNs = Seq(5))
+          .orderBy(col("id")),
+      Some(repetitionOracleSql(topNs = Seq(2, 3), dupNs = Seq(5))))),
+
     // Corpus profile grouped by detected language: doc counts, token
     // volume, and mean quality — the summary a pipeline operator reads
     // before deciding filter thresholds. Quality is summed as
@@ -1618,6 +1630,29 @@ object Queries {
               |       ELSE 'test' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // Temperature-reweighted mixture sampling (alpha = 0.5, target 30%):
+    // per-language keep rates ∝ count^0.5 capped at 1, replayed exactly —
+    // integer weight/total arithmetic plus one correctly-rounded IEEE
+    // multiply/divide chain, then the Knuth bucket filter.
+    "samp_temperature" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.temperatureSample(
+            t(s, d, "documents").select(col("doc_id"), col("lang")),
+            "lang", "doc_id", alpha = 0.5, targetFraction = 0.3, verifiable = true)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+              |w AS (SELECT lang, c,
+              |  CAST(ROUND(POW(CAST(c AS DOUBLE), 0.5), 0) AS BIGINT) AS w FROM cnt),
+              |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw FROM w),
+              |r AS (SELECT lang,
+              |  CAST(FLOOR(LEAST(1.0,
+              |    (0.3 * CAST(n AS DOUBLE) * CAST(w AS DOUBLE)) / CAST(sw * c AS DOUBLE))
+              |    * 1000000.0) AS BIGINT) AS thr
+              |  FROM w CROSS JOIN tot)
+              |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+              |WHERE ${knuthBucketSql("doc_id")} < r.thr
+              |ORDER BY d.doc_id""".stripMargin))),
+
     // Token-budget packing: per-shard concat-then-split placement — the
     // windowed cumulative sum is SUM(...) OVER in both engines. The
     // DuckDB sum is CAST back to BIGINT (DuckDB widens integer SUM to
@@ -1643,6 +1678,53 @@ object Queries {
              |SELECT doc_id, shard, tokens,
              |  CAST(FLOOR(strt / 512.0) AS BIGINT) AS chunk, strt % 512 AS offset
              |FROM p ORDER BY doc_id""".stripMargin))))
+
+  /** doc_repetition oracle: n-grams by list indexing over the filtered
+    * token array, per-id argmax by (count DESC, gram ASC) via ROW_NUMBER,
+    * duplicated-gram coverage as a filtered sum; ratios on ROUND(...,6)
+    * of an exact-integer-over-integer double division. */
+  private def repetitionOracleSql(topNs: Seq[Int], dupNs: Seq[Int]): String = {
+    def gramCte(n: Int): String = {
+      val parts = (0 until n).map(j => s"ts[CAST(i AS INTEGER) + $j]").mkString(" || ' ' || ")
+      s"""c$n AS (
+         |  SELECT id, g, COUNT(*) AS c FROM (
+         |    SELECT id, $parts AS g
+         |    FROM base, unnest(range(1, len(ts) - ${n - 2})) AS t(i))
+         |  GROUP BY id, g)""".stripMargin
+    }
+    val topCtes = topNs.map { n =>
+      s"""top$n AS (
+         |  SELECT id, c * length(g) AS cover FROM (
+         |    SELECT id, g, c,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, g) AS rn
+         |    FROM c$n) WHERE rn = 1)""".stripMargin
+    }
+    val dupCtes = dupNs.map { n =>
+      s"""dup$n AS (
+         |  SELECT id, SUM(c * length(g)) AS cover FROM c$n
+         |  WHERE c > 1 GROUP BY id)""".stripMargin
+    }
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val joins = (topNs.map(n => s"LEFT JOIN top$n ON base.id = top$n.id") ++
+      dupNs.map(n => s"LEFT JOIN dup$n ON base.id = dup$n.id")).mkString("\n")
+    val outCols = (topNs.map(n =>
+        s"CASE WHEN chars > 0 THEN ROUND(coalesce(top$n.cover, 0) / CAST(chars AS DOUBLE), 6) ELSE 0.0 END AS top${n}_char_ratio") ++
+      dupNs.map(n =>
+        s"CASE WHEN chars > 0 THEN ROUND(coalesce(dup$n.cover, 0) / CAST(chars AS DOUBLE), 6) ELSE 0.0 END AS dup${n}_char_ratio"))
+      .mkString(",\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, length(trim(coalesce(text,''))) AS chars,
+       |    list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\\s+'),
+       |      x -> len(x) > 0) AS ts
+       |  FROM documents),
+       |${ns.map(gramCte).mkString(",\n")},
+       |${(topCtes ++ dupCtes).mkString(",\n")}
+       |SELECT base.id,
+       |  $outCols
+       |FROM base
+       |$joins
+       |ORDER BY base.id""".stripMargin
+  }
 
   /** Exact near-duplicate-pair ground truth: all-pairs jaccard over
     * distinct char-k-shingles (charShingle=true) or word-k-grams of the

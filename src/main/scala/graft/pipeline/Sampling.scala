@@ -89,6 +89,48 @@ object Sampling {
   }
 
   /**
+   * Temperature-reweighted mixture sampling — the multilingual/multi-source
+   * training-mix step (Conneau & Lample 2019 §3.1; the reference has no
+   * analogue — this is training-pipeline surface): group g with c_g rows
+   * gets target share ∝ c_g^alpha, so alpha = 1 preserves the natural
+   * distribution, alpha → 0 approaches uniform-over-groups, and
+   * low-resource groups are upsampled RELATIVELY (never beyond their own
+   * size: rates cap at 1 — this is sampling without replacement).
+   *
+   * Per-group keep rate: rate_g = min(1, targetFraction·N·w_g / (Σw·c_g))
+   * with w_g = round(c_g^alpha) held in EXACT integer arithmetic — the one
+   * inexact step is the single pow() per group (Math.pow is ≤1 ulp, so a
+   * flip needs the true value within an ulp of a half-integer); everything
+   * after is integer sums plus one correctly-rounded IEEE multiply/divide
+   * chain, making rates bit-replayable by any engine. Rows are then kept
+   * by the same deterministic bucket filter as [[hashSample]].
+   *
+   * Scale shape: one aggregate over the group column (group cardinality ≪
+   * rows — languages, sources), the tiny rate table broadcast back, and
+   * the keep decision a pure codegen'd filter riding the scan. No global
+   * shuffle of the corpus.
+   */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+                        alpha: Double, targetFraction: Double,
+                        verifiable: Boolean = false): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1]: $targetFraction")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__w", round(pow(col("__c").cast("double"), lit(alpha)), 0).cast(LongType))
+    val totals = counts.agg(sum(col("__c")).as("__n"), sum(col("__w")).as("__sw"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("__rate", least(lit(1.0),
+        (lit(targetFraction) * col("__n").cast("double") * col("__w").cast("double")) /
+          (col("__sw") * col("__c")).cast("double")))
+      .withColumn("__thr", floor(col("__rate") * lit(Buckets.toDouble)).cast(LongType))
+      .select(col(groupCol).as("__g"), col("__thr"))
+    df.join(broadcast(rates), col(groupCol) === col("__g"))
+      .where(bucketOf(col(keyCol), verifiable) < col("__thr"))
+      .drop("__g", "__thr")
+  }
+
+  /**
    * Token-budget packing — the pretraining layout step: documents are
    * (logically) concatenated in key order within each shard and the
    * stream is cut every `budget` tokens. Emits per-document placement:

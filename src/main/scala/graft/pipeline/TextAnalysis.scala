@@ -186,6 +186,87 @@ object TextAnalysis {
           col("dup_line_char_ratio") <= 0.2)
   }
 
+  /**
+   * Gopher repetition filters (Rae et al. 2021, Table A1 — the measures
+   * [[gopherQuality]] leaves out because they are gram-shaped, not
+   * line-shaped):
+   *
+   *  - `top{n}_char_ratio` for n in `topNs`: fraction of the document's
+   *    characters covered by its single most frequent word n-gram,
+   *    count × len(gram) / len(trim(text)) — ties broken by the
+   *    lexicographically smallest gram so the pick is deterministic;
+   *  - `dup{n}_char_ratio` for n in `dupNs`: fraction covered by ALL
+   *    duplicated n-grams, Σ_{count>1} count × len(gram) / len(trim(text)).
+   *    (Overlapping occurrences are each counted — the standard
+   *    reimplementation convention, e.g. Dolma/NeMo-Curator; Gopher's
+   *    prose is ambiguous on overlap.)
+   *
+   * Shape at scale: ONE tokenize+posexplode of the corpus feeds every n
+   * (the lead() window extends grams in place), then one (id, gram)
+   * count per n and a per-id aggregate — linear in corpus tokens, one
+   * shuffle per n on (id, gram-hash-sized keys), never quadratic.
+   * Tokens are lowercased like [[tfIdfTopTerms]]; grams join with single
+   * spaces; ratios round to 6 so the DuckDB oracle replays bit-identically.
+   * Null/blank text yields zero ratios.
+   */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+                      topNs: Seq[Int] = Seq(2, 3), dupNs: Seq[Int] = Seq(5)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require((topNs ++ dupNs).forall(_ >= 1), "n-gram sizes must be >= 1")
+    val ids = df.select(col(idCol).as("id"),
+      length(trim(coalesce(col(textCol), lit("")))).cast(DoubleType).as("__chars"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")))
+      .where(length(col("col")) > 0)
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val w = Window.partitionBy("id").orderBy("pos")
+
+    def gramCover(n: Int): DataFrame = {
+      // gram = tok ++ lead(tok,1) ... ++ lead(tok,n-1); rows where any
+      // lead is null (document tail) carry no full gram
+      val withG = (1 until n).foldLeft(toks.withColumn("g", col("tok"))) { (d, i) =>
+        d.withColumn("g", concat_ws(" ", col("g"), lead(col("tok"), i).over(w)))
+          .withColumn(s"ok$i", lead(col("tok"), i).over(w).isNotNull)
+      }
+      val okCols = (1 until n).map(i => col(s"ok$i")).reduceOption(_ && _).getOrElse(lit(true))
+      withG.where(okCols).groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("id"), col("g"), col("c"),
+          (col("c") * length(col("g"))).cast(DoubleType).as("cover"))
+    }
+
+    val topAggs = topNs.map { n =>
+      // argmax by (count DESC, gram ASC) via min(struct(-c, g)) — the
+      // labelPropagation trick; covered chars recomputed from the winner
+      val winner = gramCover(n).groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("top"))
+        .select(col("id"),
+          ((-col("top.nc")) * length(col("top.g"))).cast(DoubleType).as(s"__topcover$n"))
+      (n, winner)
+    }
+    val dupAggs = dupNs.map { n =>
+      val d = gramCover(n).where(col("c") > 1).groupBy("id")
+        .agg(sum(col("cover")).as(s"__dupcover$n"))
+      (n, d)
+    }
+
+    val joined = (topAggs.map(_._2) ++ dupAggs.map(_._2))
+      .foldLeft(ids)((acc, d) => acc.join(d, Seq("id"), "left"))
+    val withTop = topNs.foldLeft(joined) { (d, n) =>
+      d.withColumn(s"top${n}_char_ratio",
+        round(when(col("__chars") > 0,
+          coalesce(col(s"__topcover$n"), lit(0.0)) / col("__chars")).otherwise(0.0), 6))
+    }
+    val withDup = dupNs.foldLeft(withTop) { (d, n) =>
+      d.withColumn(s"dup${n}_char_ratio",
+        round(when(col("__chars") > 0,
+          coalesce(col(s"__dupcover$n"), lit(0.0)) / col("__chars")).otherwise(0.0), 6))
+    }
+    withDup.select(col("id") +:
+      (topNs.map(n => col(s"top${n}_char_ratio")) ++
+        dupNs.map(n => col(s"dup${n}_char_ratio"))): _*)
+  }
+
   /** PII patterns used by [[scrubPii]] — kept in the regex subset both
     * Java (Spark codegen) and RE2 (DuckDB oracle) accept: no lookaround,
     * no backreferences. Order matters: emails are scrubbed before phone

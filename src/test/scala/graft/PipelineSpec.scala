@@ -458,6 +458,36 @@ class PipelineSpec extends SparkSpec {
     assert(r6.getLong(r6.fieldIndex("word_count")) === 0L)
   }
 
+  test("repetitionStats: top-gram coverage hand-checked, dup grams counted, ties deterministic") {
+    import spark.implicits._
+    val corpus = Seq(
+      // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top "a b" ×3,
+      // chars = 11, cover = 3*3 = 9 → 9/11
+      (1L, "a b a b a b"),
+      // no repeated 5-gram → dup5 = 0; top2 tie between "x y" and "y z"
+      // (1 each) breaks to the lexicographically smaller "x y"
+      (2L, "x y z"),
+      // a repeated 5-gram: "p q r s t" appears twice (positions 0 and 5),
+      // chars = 21, dup5 cover = 2*9 = 18
+      (3L, "p q r s t p q r s t u"),
+      (4L, ""),
+      (5L, Option.empty[String].orNull)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(corpus, "text", "doc_id",
+      topNs = Seq(2, 3), dupNs = Seq(5)).orderBy("id").collect()
+    def d(i: Int, c: String) = out(i).getDouble(out(i).fieldIndex(c))
+    assert(math.abs(d(0, "top2_char_ratio") - 9.0 / 11) < 1e-6)
+    // doc 2: top2 cover = 1*3 = 3, chars = 5
+    assert(math.abs(d(1, "top2_char_ratio") - 3.0 / 5) < 1e-6)
+    assert(d(1, "dup5_char_ratio") === 0.0)
+    // doc 3: dup5 = 18/21; its top2 is "p q" (or tie-broken smallest) ×2
+    assert(math.abs(d(2, "dup5_char_ratio") - 18.0 / 21) < 1e-6)
+    // blank and null text → all zeros, rows preserved
+    assert(d(3, "top2_char_ratio") === 0.0 && d(3, "dup5_char_ratio") === 0.0)
+    assert(d(4, "top2_char_ratio") === 0.0 && d(4, "top3_char_ratio") === 0.0)
+    assert(out.length === 5)
+  }
+
   test("tfIdfTopTerms: rarity wins over raw frequency, k respected, ranks dense") {
     import spark.implicits._
     // 'rare' appears once in one doc; 'common' everywhere — despite equal

@@ -96,6 +96,37 @@ class SamplingSpec extends SparkSpec {
     assert(train.exceptAll(sample80.select("id")).count() === 0L)
   }
 
+  test("temperatureSample: alpha reweights shares, rates cap at group size") {
+    // 9000 'big' + 100 'small' rows: natural share of 'small' is ~1%;
+    // alpha=0.5 weights sqrt(9000)≈95 vs sqrt(100)=10 → small's target
+    // share rises to ~9.5% of the sampled rows
+    val df = ((0 until 9000).map(i => (i.toLong, "big")) ++
+      (9000 until 9100).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "g", "id", alpha = 0.5,
+      targetFraction = 0.2, verifiable = true)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected rates: n=9100, w=(95,10), sw=105
+    // big:   0.2*9100*95/(105*9000) ≈ 0.183 → ~1646 rows
+    // small: 0.2*9100*10/(105*100)  ≈ 1.733 → capped at 1.0 → all 100
+    assert(byG("small") === 100L, s"small group should be kept whole: $byG")
+    assert(byG("big") > 1450 && byG("big") < 1850, s"big group off nominal: $byG")
+    // deterministic rerun
+    val again = Sampling.temperatureSample(df, "g", "id", alpha = 0.5,
+      targetFraction = 0.2, verifiable = true)
+    assert(out.exceptAll(again).count() === 0L)
+    // alpha = 1 → natural distribution: every group sampled at the same
+    // rate (rate_g = targetFraction exactly, since w_g = c_g)
+    val nat = Sampling.temperatureSample(df, "g", "id", alpha = 1.0,
+      targetFraction = 0.5, verifiable = true)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(nat("big") - 4500L) < 200, s"alpha=1 big: $nat")
+    assert(math.abs(nat("small") - 50L) < 20, s"alpha=1 small: $nat")
+    // kept rows are a subset of the input rows for their group (no
+    // replacement, no cross-group leakage)
+    assert(out.join(df, Seq("id", "g"), "left_anti").count() === 0L)
+  }
+
   test("plan posture: sampling filters/splits add NO shuffle") {
     // hashSample and hashSplit must stay narrow — a pure filter/projection
     // over the scan. An Exchange in these plans would mean the 100 TB
