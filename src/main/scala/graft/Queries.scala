@@ -997,6 +997,22 @@ object Queries {
               |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
               |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))),
 
+    // Closeness + harmonic centrality via hop-bounded multi-source BFS on
+    // a hash-thinned sparse mod-900 lineitem graph (~1% of pairs kept so
+    // distances are non-trivial). The oracle recomputes every source's
+    // BFS with a recursive walk CTE and folds harmonic in the same fixed
+    // hop order (n1/1 + ... + n6/6) — bit-identical double arithmetic.
+    "alg_closeness" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(900)).cast(StringType).as("dst"))
+        GraphAlgorithms.closenessCentrality(eb, maxHops = 6)
+          .orderBy(col("id").cast(LongType))
+      },
+      Some(closenessOracleSql(maxHops = 6)))),
+
     // Weighted shortest paths (hop-bounded Bellman–Ford, parity-plus) on
     // the sparse canonical hash-graph (small components keep the oracle's
     // path enumeration finite): weight = (src+dst) % 7 + 1 replayed in
@@ -1441,6 +1457,27 @@ object Queries {
           .orderBy(col("idA"), col("idB"))
       },
       Some(embCosineOracleSql(threshold = 0.99)))),
+
+    // SemDeDup semantic dedup on the same planted-duplicate corpus,
+    // oracled by the exactness-at-full-coverage technique (the
+    // alg_knn_ivf pattern): with k = 1 every vector lands in ONE cluster,
+    // so within-cluster pairing must equal brute-force all-pairs cosine —
+    // the oracle closes that pair list transitively and checks the total
+    // (id, canonical) map. Cross-cluster pruning at k > 1 is spec-tested
+    // on separated blobs where the partition is checkable.
+    "emb_semdedup" -> ((
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "embeddings")
+          .select(col("vec_id").as("id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val planted = base.where(col("id") % 5 === 0)
+          .select((-col("id") - 1).as("id"),
+            zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+              (x, j) => x * (lit(1.0) + lit(0.02) * (pmod(j, lit(2)) * 2 - 1).cast(DoubleType))).as("vec"))
+        Dedup.semanticDedup(base.unionByName(planted), "vec", "id",
+          k = 1, iters = 3, threshold = 0.99)
+          .orderBy(col("id"))
+      },
+      Some(semDedupOracleSql(threshold = 0.99)))),
 
     "kg_construct" -> ((
       (s: SparkSession, d: String) => {
@@ -2129,6 +2166,70 @@ object Queries {
        |FROM corpus a JOIN corpus b ON a.id < b.id
        |WHERE list_cosine_similarity(a.vec, b.vec) >= $threshold
        |ORDER BY idA, idB""".stripMargin
+
+  /** emb_semdedup oracle (k = 1 → full coverage): brute-force all-pairs
+    * cosine pairs, transitive closure to min-id canonical, total map over
+    * the corpus (unpaired rows map to themselves). */
+  private def semDedupOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |planted AS (
+       |  SELECT -id - 1 AS id,
+       |    list_transform(range(1, len(vec) + 1),
+       |      i -> vec[CAST(i AS INTEGER)] * (1.0 + 0.02 * CAST(((i - 1) % 2) * 2 - 1 AS DOUBLE))) AS vec
+       |  FROM base WHERE id % 5 = 0),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |pr AS (
+       |  SELECT a.id AS ia, b.id AS ib
+       |  FROM corpus a JOIN corpus b ON a.id < b.id
+       |  WHERE list_cosine_similarity(a.vec, b.vec) >= $threshold),
+       |e AS (SELECT ia AS a, ib AS b FROM pr UNION ALL SELECT ib, ia FROM pr),
+       |walk(id, r) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id
+       |),
+       |cl AS (SELECT id, MIN(r) AS canonical FROM walk GROUP BY id)
+       |SELECT c.id, coalesce(cl.canonical, c.id) AS canonical
+       |FROM corpus c LEFT JOIN cl ON c.id = cl.id
+       |ORDER BY c.id""".stripMargin
+
+  /** alg_closeness oracle: all-sources BFS as a recursive walk with
+    * MIN(dist) per (source, vertex); harmonic folded in fixed hop order
+    * from exact per-distance counts so the double sum replays exactly. */
+  private def closenessOracleSql(maxHops: Int): String = {
+    val nCols = (1 to maxHops)
+      .map(d => s"COUNT(CASE WHEN dist = $d THEN 1 END) AS n$d").mkString(",\n  ")
+    val harmonic = (1 to maxHops)
+      .map(d => s"CAST(n$d AS DOUBLE) / $d.0").mkString(" + ")
+    s"""WITH RECURSIVE eb AS (
+       |  SELECT DISTINCT CAST(l_orderkey % 900 AS VARCHAR) AS src,
+       |    CAST(l_partkey % 900 AS VARCHAR) AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
+       |uec AS (SELECT u, v FROM ue WHERE u <> v),
+       |verts AS (SELECT DISTINCT u AS id FROM uec),
+       |walk(s, id, dist) AS (
+       |  SELECT id, id, 0 FROM verts
+       |  UNION
+       |  SELECT w.s, e.v, w.dist + 1 FROM walk w JOIN uec e ON e.u = w.id
+       |  WHERE w.dist < $maxHops
+       |),
+       |md AS (SELECT s, id, MIN(dist) AS dist FROM walk GROUP BY s, id),
+       |r AS (SELECT s, dist FROM md WHERE dist > 0),
+       |ag AS (SELECT s, COUNT(*) AS reached, SUM(dist) AS sum_dist,
+       |  $nCols
+       |  FROM r GROUP BY s)
+       |SELECT v.id,
+       |  CAST(coalesce(ag.reached, 0) AS BIGINT) AS reached,
+       |  CAST(coalesce(ag.sum_dist, 0) AS BIGINT) AS sum_dist,
+       |  CASE WHEN coalesce(ag.sum_dist, 0) > 0
+       |    THEN ROUND(CAST(ag.reached AS DOUBLE) / CAST(ag.sum_dist AS DOUBLE), 6)
+       |    ELSE 0.0 END AS closeness,
+       |  ROUND(coalesce($harmonic, 0.0), 6) AS harmonic
+       |FROM verts v LEFT JOIN ag ON v.id = ag.s
+       |ORDER BY CAST(v.id AS BIGINT)""".stripMargin
+  }
 
   /** kg_construct oracle: replay chunk → first-match 3-group regex →
     * triple dedup → edge projection. Same leftmost-first regex semantics

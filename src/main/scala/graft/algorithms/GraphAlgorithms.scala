@@ -152,6 +152,74 @@ object GraphAlgorithms {
   }
 
   /**
+   * Closeness + harmonic centrality (parity-plus, the natural next step
+   * after [[shortestPaths]]): hop-bounded multi-source BFS over the state
+   * (source, vertex, dist) — the [[shortestPaths]] frontier loop with the
+   * source carried as a key, so each hop stays ONE equi-join shuffle plus
+   * one anti-join against the settled set, frontier localCheckpointed per
+   * hop. Per source s (within `maxHops`):
+   *
+   *  - `reached`   — vertices at distance ≥ 1
+   *  - `sum_dist`  — Σ d(s, v)
+   *  - `closeness` — reached / sum_dist (0 when nothing is reached)
+   *  - `harmonic`  — Σ 1/d(s, v), the variant that handles disconnected
+   *    graphs without a reachability correction
+   *
+   * Both ratios replay bit-identically in any engine: reached/sum_dist is
+   * one correctly-rounded integer division, and harmonic is folded in
+   * FIXED hop order as n_1/1 + n_2/2 + … + n_maxHops/maxHops from exact
+   * per-distance counts — never a data-ordered float sum.
+   *
+   * Scale posture: all-sources closeness is inherently O(V · reach) state;
+   * at 100 TB pass `sources` (landmark / hash-sampled vertices — the
+   * standard approximation) to bound state at |sources| · reach while the
+   * per-hop shuffle shape stays identical.
+   */
+  def closenessCentrality(edges: DataFrame, maxHops: Int = 10,
+                          undirected: Boolean = true,
+                          sources: Option[DataFrame] = None): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("u").as("id")).distinct()
+    val srcs = sources.map(_.select(col("id"))).getOrElse(verts)
+      .localCheckpoint(true)
+    var dist = srcs.select(col("id").as("s"), col("id"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.select(col("s"), col("id").as("u")).join(e, Seq("u"))
+        .select(col("s"), col("v").as("id")).distinct()
+        .join(dist, Seq("s", "id"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    e.unpersist()
+    val aggCols = count(lit(1)).as("__reached") +: sum(col("dist")).as("__sum") +:
+      (1 to maxHops).map(d => count(when(col("dist") === d, 1)).as(s"__n$d"))
+    val agg = dist.where(col("dist") > 0).groupBy(col("s"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val harmonic = (1 to maxHops)
+      .map(d => col(s"__n$d").cast("double") / lit(d.toDouble))
+      .reduce(_ + _)
+    srcs.join(agg, col("id") === col("s"), "left")
+      .select(col("id"),
+        coalesce(col("__reached"), lit(0L)).as("reached"),
+        coalesce(col("__sum"), lit(0L)).as("sum_dist"),
+        round(when(coalesce(col("__sum"), lit(0L)) > 0,
+          col("__reached").cast("double") / col("__sum").cast("double"))
+          .otherwise(0.0), 6).as("closeness"),
+        round(coalesce(harmonic, lit(0.0)), 6).as("harmonic"))
+  }
+
+  /**
    * Weighted shortest paths, hop-bounded Bellman–Ford (parity-plus, the
    * weighted sibling of [[shortestPaths]]): after k iterations `dist` is
    * exactly the minimum path weight over paths of ≤ k hops. Each

@@ -538,6 +538,58 @@ object Dedup {
   }
 
   /**
+   * SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-cluster the embedding space, then find
+   * near-duplicate pairs by exact cosine WITHIN each cluster only — the
+   * cluster bound is what makes the quadratic verify tractable (per-
+   * cluster cost (n/k)², choose k ∝ n / target-cluster-size; vs
+   * [[embeddingCosinePairs]], which band-hashes for near-exact duplicates,
+   * this catches semantically-close rewrites at lower thresholds where
+   * hyperplane LSH would need impractically many bands).
+   *
+   * Returns a TOTAL map (id, canonical) over every input row with a
+   * usable vector: canonical = smallest id in the row's within-cluster
+   * cosine-component ([[nearDupClusters]]), or the row itself when it has
+   * no semantic duplicate. Compaction keeps rows where id == canonical.
+   * Deterministic end to end ([[Similarity.trainCentroids]] seeds from
+   * the k smallest ids). Null/empty/zero-norm vectors are excluded (they
+   * have no cosine direction).
+   *
+   * Scale shape: training is the sampled-k-means cost; assignment is one
+   * broadcast pass; pair generation shuffles vectors ONCE on cluster id;
+   * clustering of the (tiny) pair list is adaptive union-find /
+   * star-contraction. The assignment frame feeds both join sides, so it
+   * is materialized eagerly (minhashPairs' checkpoint pattern) and
+   * nothing stays pinned after the call.
+   */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 8, iters: Int = 5, threshold: Double = 0.9): DataFrame = {
+    val clean = df
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast(DoubleType)).as("vec"))
+      .where(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("nrm", graft.functions.vecNorm(col("vec")))
+      .where(col("nrm") > 0)
+    val cents = Similarity.trainCentroids(clean, "id", "vec", k, iters)
+    val assigned = Similarity
+      .assignClusters(clean, "id", "vec", cents, "cid", "cvec")
+      .select(col("cid"), col("id"), col("vec"), col("nrm"))
+      .localCheckpoint(true)
+    val l = assigned.select(col("cid"), col("id").as("idA"),
+      col("vec").as("vA"), col("nrm").as("nA"))
+    val r = assigned.select(col("cid"), col("id").as("idB"),
+      col("vec").as("vB"), col("nrm").as("nB"))
+    val pairs = l.join(r, Seq("cid"))
+      .where(col("idA") < col("idB"))
+      .where(graft.functions.vecDot(col("vA"), col("vB")) / (col("nA") * col("nB"))
+        >= lit(threshold))
+      .select(col("idA"), col("idB"))
+    val clusters = nearDupClusters(pairs)
+    assigned.select(col("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
+  }
+
+  /**
    * One-call near-duplicate corpus COMPACTION — the operation a training
    * pipeline actually runs: [[minhashPairs]] → [[nearDupClusters]] →
    * anti-join, keeping every document that is its cluster's canonical

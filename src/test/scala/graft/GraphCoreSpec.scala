@@ -168,6 +168,31 @@ class GraphCoreSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 3))
   }
 
+  test("closenessCentrality: hand-checked path graph, hop cap, sampled sources") {
+    import spark.implicits._
+    // 1-2-3-4 path, 5-6 disconnected pair
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("5", "6")).toDF("src", "dst")
+    val out = GraphAlgorithms.closenessCentrality(edges, maxHops = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // vertex 1: dists 1,2,3 → reached 3, sum 6, closeness 0.5,
+    // harmonic 1 + 1/2 + 1/3 = 1.833333
+    assert(out("1") === ((3L, 6L, 0.5, 1.833333)))
+    // vertex 2: dists 1,1,2 → closeness 3/4, harmonic 2.5
+    assert(out("2") === ((3L, 4L, 0.75, 2.5)))
+    // disconnected pair sees only each other
+    assert(out("5") === ((1L, 1L, 1.0, 1.0)))
+    // hop cap: maxHops=1 → reached == degree
+    val capped = GraphAlgorithms.closenessCentrality(edges, maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("2") === 2L && capped("1") === 1L)
+    // sampled sources: only the requested rows come back, same values
+    val some = GraphAlgorithms.closenessCentrality(edges, maxHops = 6,
+      sources = Some(Seq("1").toDF("id")))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(some === Map("1" -> 0.5))
+  }
+
   test("weightedShortestPaths: relaxation beats direct edges, hop budget binds") {
     import spark.implicits._
     // 1→3 direct costs 5; the 1→2→3 detour costs 2; 3→4 extends it

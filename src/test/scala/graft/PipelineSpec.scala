@@ -160,6 +160,33 @@ class PipelineSpec extends SparkSpec {
     assert(blobA.size === 1 && blobB.size === 1 && blobA != blobB)
   }
 
+  test("semanticDedup: within-cluster duplicates collapse, map is total, dirty vectors dropped") {
+    import spark.implicits._
+    // two orthogonal blobs; ids 0/2 are exact duplicates in blob A, ids
+    // 1/3 exact duplicates in blob B; 100/101 are singletons (distinct
+    // jitter); plus null/empty/zero vectors that must vanish from the map
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (100L, Seq(1.0, 0.5, 0.0, 0.0)),
+      (1L, Seq(0.0, 0.0, 1.0, 0.0)), (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (101L, Seq(0.0, 0.5, 1.0, 0.0)))
+    val dirty = Seq((200L, null: Seq[Double]), (201L, Seq.empty[Double]),
+      (202L, Seq(0.0, 0.0, 0.0, 0.0)))
+    val df = (rows ++ dirty).toDF("id", "vec")
+    val out = Dedup.semanticDedup(df, "vec", "id", k = 2, iters = 10, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // duplicates collapse to the min id within their component
+    assert(out(0L) === 0L && out(2L) === 0L)
+    assert(out(1L) === 1L && out(3L) === 1L)
+    // singletons map to themselves; map covers exactly the clean rows
+    assert(out(100L) === 100L && out(101L) === 101L)
+    assert(out.keySet === rows.map(_._1).toSet)
+    // deterministic rerun
+    val again = Dedup.semanticDedup(df, "vec", "id", k = 2, iters = 10, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   test("k-means training skips null/empty/zero vectors and full-probe IVF stays exact") {
     import spark.implicits._
     val dirty = Seq(
