@@ -412,6 +412,32 @@ object Queries {
         withClause = s"${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges}",
         rel = "edges", orderExpr = "id")))),
 
+    // Reference k-NN frontend verb through the CALL surface: the
+    // embeddings table registered as a named vector store (the per-graph
+    // FAISS-index analogue), then CALL graft.knn(store, '7', 5) — top-5
+    // cosine neighbours of vector 7. Oracle: brute-force ranking with the
+    // same (cosine DESC, id ASC) string-id tie order.
+    "cy_call_knn" -> ((
+      (s: SparkSession, d: String) => {
+        graft.model.GraphCatalog.registerVectors("embstore",
+          t(s, d, "embeddings").select(col("vec_id").cast(StringType).as("id"),
+            col("embedding")))
+        Cypher.run(TpchBridge.graph(s, d),
+          "CALL graft.knn('embstore', '7', 5) YIELD qid, id, cosine, rank " +
+            "RETURN qid, id, cosine, rank ORDER BY rank")
+      },
+      Some("""WITH c AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+             |    CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+             |q AS (SELECT id AS qid, vec AS qvec FROM c WHERE qid = '7'),
+             |scored AS (
+             |  SELECT q.qid, c.id, list_cosine_similarity(c.vec, q.qvec) AS cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY q.qid
+             |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.id) AS rank
+             |  FROM c CROSS JOIN q)
+             |SELECT qid, id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank
+             |FROM scored WHERE rank <= 5 ORDER BY rank""".stripMargin))),
+
     // MultipleNodeScanByLabel: (:A:B) label lists mean label IN (A, B)
     // (reference QueryPlanner.cpp:284-297).
     "cy_multi_label" -> ((

@@ -148,6 +148,39 @@ object Procedures {
       s"graft.egonet needs an ego id string, got $other")
   })
 
+  /** Reference k-NN frontend verb: CALL graft.knn(store, queryId[, k]) —
+    * top-k corpus neighbours of the store's own `queryId` vector by
+    * cosine, (qid, id, cosine, rank). `store` is a vector store
+    * registered via [[graft.model.GraphCatalog.registerVectors]] (the
+    * per-graph FAISS-index analogue, `src/vectorstore/FaissIndex.h`);
+    * typically `GraphSources.embedNodes` output. */
+  register("graft.knn", (g, args) => {
+    val store = args.headOption match {
+      case Some(s: String) => s
+      case other => throw CypherParseException(
+        s"graft.knn needs a vector-store name string, got $other")
+    }
+    val qid = args.lift(1) match {
+      case Some(s: String) => s
+      case other => throw CypherParseException(
+        s"graft.knn needs a query id string, got $other")
+    }
+    val k = args.lift(2).map(num(_, "k").toInt).getOrElse(10)
+    val vecs = graft.model.GraphCatalog.vectors(store)
+      .select(col("id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    val q = vecs.where(col("id") === qid)
+      .select(col("id").as("qid"), col("embedding").as("qvec"))
+    graft.pipeline.Similarity.knnCosine(vecs, "id", "embedding", q, "qid", "qvec", k)
+  })
+
+  /** Parity-plus centrality: CALL graft.closeness([maxHops]) —
+    * (id, reached, sum_dist, closeness, harmonic) over the graph's edges
+    * expanded undirected (see [[GraphAlgorithms.closenessCentrality]]). */
+  register("graft.closeness", (g, args) => {
+    val maxHops = args.headOption.map(num(_, "maxHops").toInt).getOrElse(10)
+    GraphAlgorithms.closenessCentrality(g.edges, maxHops)
+  })
+
   /** Reference `ktop`: CALL graft.kafkaTopics() — distinct Kafka topic
     * names across catalog graphs registered with kafka:<topic> source
     * paths (frontend `kafka_topics_command`). */

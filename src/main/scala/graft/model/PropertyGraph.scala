@@ -109,7 +109,30 @@ object GraphCatalog {
   def get(name: String): Option[PropertyGraph] = graphs.get(name)
   def apply(name: String): PropertyGraph =
     graphs.getOrElse(name, throw new NoSuchElementException(s"graph not registered: $name"))
-  def remove(name: String): Unit = { graphs.remove(name); sources.remove(name) }
+  def remove(name: String): Unit = {
+    graphs.remove(name); sources.remove(name); vectorStores.remove(name)
+  }
+
+  // ----- vector stores ----------------------------------------------------
+  // The reference keeps a per-graph FAISS index next to the property data
+  // (src/vectorstore/FaissIndex.h) and serves the frontend k-NN verb from
+  // it; here a store is any (id, embedding) DataFrame — typically
+  // GraphSources.embedNodes output or an external embedding table —
+  // registered under a name the CALL surface can address.
+  private val vectorStores = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** Register (or replace) a named vector store: columns (id, embedding). */
+  def registerVectors(name: String, vecs: org.apache.spark.sql.DataFrame): Unit = {
+    require(vecs.columns.contains("id") && vecs.columns.contains("embedding"),
+      s"vector store needs (id, embedding) columns, got ${vecs.columns.mkString(",")}")
+    vectorStores.put(name, vecs)
+  }
+
+  def vectors(name: String): org.apache.spark.sql.DataFrame =
+    vectorStores.getOrElse(name,
+      throw new NoSuchElementException(s"vector store not registered: $name"))
+
+  def vectorStoreNames: Seq[String] = vectorStores.keys.toSeq.sorted
   def list: Seq[String] = graphs.keys.toSeq.sorted
   def sourcePath(name: String): Option[String] = sources.get(name)
 

@@ -168,6 +168,32 @@ class GraphCoreSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 3))
   }
 
+  test("CALL graft.knn serves a registered vector store; graft.closeness the graph") {
+    import spark.implicits._
+    // a 4-vector store where the neighbours of 'a' are unambiguous
+    val vecs = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("b", Seq(0.9f, 0.1f)),
+      ("c", Seq(0.0f, 1.0f)), ("d", Seq(-1.0f, 0.0f))).toDF("id", "embedding")
+    graft.model.GraphCatalog.registerVectors("specstore", vecs)
+    val out = graft.cypher.Cypher.run(fixture,
+      "CALL graft.knn('specstore', 'a', 3) YIELD qid, id, cosine, rank " +
+        "RETURN id, rank ORDER BY rank")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq === Seq(("a", 1), ("b", 2), ("c", 3)))
+    // unknown store fails loudly
+    val err = intercept[Exception] {
+      graft.cypher.Cypher.run(fixture,
+        "CALL graft.knn('nosuch', 'a', 3) YIELD qid, id, cosine, rank RETURN id").collect()
+    }
+    assert(err.getMessage.contains("nosuch"))
+    // closeness over the fixture graph via CALL: sane, bounded values
+    val cl = graft.cypher.Cypher.run(fixture,
+      "CALL graft.closeness(3) YIELD id, closeness, harmonic RETURN id, closeness, harmonic")
+      .collect()
+    assert(cl.nonEmpty)
+    assert(cl.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("closenessCentrality: hand-checked path graph, hop cap, sampled sources") {
     import spark.implicits._
     // 1-2-3-4 path, 5-6 disconnected pair
