@@ -121,6 +121,32 @@ class QueryPostureSpec extends SparkSpec {
     assert(spread > 1, s"hot key stayed in $spread salt bucket(s)")
   }
 
+  test("temperatureSample: rate table broadcast back, keep-filter not a shuffle of the corpus") {
+    val p = plan("samp_temperature")
+    // the tiny per-group rate table must come back as a broadcast join —
+    // a shuffled join here would re-partition the whole 100 TB corpus to
+    // apply what is logically a per-row filter
+    assert(p.contains("BroadcastHashJoin"), s"temperatureSample lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"temperatureSample shuffles the corpus:\n$p")
+  }
+
+  test("semanticDedup and closeness leave no persisted RDDs behind") {
+    // both embed iterative/multi-consumer stages (k-means corpus persist,
+    // BFS edge persist, assignment checkpoint) — everything must be
+    // released by the time the query returns (the r7 leak lesson)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("emb_semdedup", "alg_closeness").foreach { q =>
+      Queries.queries(q)(spark, sf0001).count()
+    }
+    def locallyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.getClass.getMethod("isLocallyCheckpointed").invoke(rdd).asInstanceOf[Boolean]
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before.contains(id) && !locallyCheckpointed(rdd) }
+    assert(leaked.isEmpty,
+      s"persisted RDDs leaked: ${leaked.values.map(_.toString).mkString("; ")}")
+  }
+
   test("dedup family leaves no persisted RDDs behind (cache-leak guard)") {
     // VERDICT r7: minhashPairs/verifyJaccard/ngramJaccardPairs persisted
     // intermediates for the session lifetime. The eager default now
