@@ -221,6 +221,30 @@ object Queries {
              |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))),
 
+    // Bucketed range join: each order priced into overlapping 2000-wide
+    // price bands (each band spans [i*2000, i*2000+2999], so most points
+    // match two bands). Buckets turn the range predicate into an
+    // equi-join + filter — one hash shuffle, no nested-loop product; the
+    // oracle runs the naive range join directly.
+    "q_range_join" -> ((
+      (s: SparkSession, d: String) => {
+        val pts = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val iv = s.range(0, 200).select(col("id").as("band"),
+          (col("id") * 2000).cast(DoubleType).as("lo"),
+          (col("id") * 2000 + 2999).cast(DoubleType).as("hi"))
+        graft.operators.Relational.rangeJoin(pts, iv, Seq.empty,
+            "o_totalprice", "lo", "hi", bucketWidth = 1000)
+          .select(col("o_orderkey"), col("o_totalprice"), col("r_band"))
+          .orderBy(col("o_orderkey"), col("r_band"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT CAST(i AS BIGINT) AS band, CAST(i*2000 AS DOUBLE) AS lo,
+             |    CAST(i*2000+2999 AS DOUBLE) AS hi
+             |  FROM range(0, 200) t(i))
+             |SELECT o_orderkey, o_totalprice, band AS r_band
+             |FROM orders JOIN iv ON o_totalprice >= lo AND o_totalprice <= hi
+             |ORDER BY o_orderkey, r_band""".stripMargin))),
+
     // Backward as-of join: each click's latest view at-or-before it per
     // user (union + running-last window — one shuffle on user_id, no
     // range cross join). Spark matches on raw int64 NANOS; the oracle

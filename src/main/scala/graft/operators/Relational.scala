@@ -83,6 +83,57 @@ object Relational {
         .map(col): _*)
   }
 
+  /**
+   * Scalable RANGE join: inner-join every point row to the interval rows
+   * that contain it (`start ≤ point ≤ end`, optionally also matching on
+   * equi-key columns). Spark has no shuffle strategy for a bare range
+   * predicate — it falls back to BroadcastNestedLoopJoin or a cartesian
+   * product, both quadratic at 100 TB. This is the standard bucketed
+   * formulation instead:
+   *
+   *  - every interval explodes to the fixed-width buckets it overlaps
+   *    (`floor(start/w) .. floor(end/w)`), every point maps to exactly
+   *    one bucket — so the join becomes an EQUI-join on (keys, bucket)
+   *    followed by the exact range filter, one hash shuffle, no product;
+   *  - a point lies in exactly one bucket, so no post-join dedup is
+   *    needed — each qualifying (point, interval) pair appears once.
+   *
+   * Cost model: interval replication is ceil(len/w)+1 rows; pick
+   * `bucketWidth` near the median interval length so replication stays
+   * O(1) while bucket membership stays selective. Degenerate long
+   * intervals (≫ w) are the skew risk — cap or split them upstream.
+   *
+   * Numeric columns only (cast timestamps to epoch first); values must
+   * stay within double's 2^53 exact-integer range for the bucket
+   * arithmetic. Null points, null bounds and null keys match nothing
+   * (equi-join semantics). Output: all point columns, then every
+   * interval column prefixed `rightPrefix` (key columns emitted once,
+   * unprefixed).
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val ivCols = intervals.columns.toSeq.filterNot(keyCols.contains)
+    val pCols = points.columns.toSeq
+    val w = lit(bucketWidth.toDouble)
+    val iv = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .where(keyCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select(keyCols.map(col) ++ ivCols.map(c => col(c).as(s"__iv_$c")) :+
+        explode(sequence(floor(col(startCol) / w).cast("long"),
+          floor(col(endCol) / w).cast("long"))).as("__bucket"): _*)
+    val pts = points
+      .where(col(pointCol).isNotNull)
+      .withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
+    pts.join(iv, keyCols :+ "__bucket")
+      .where(col(pointCol) >= col(s"__iv_$startCol") &&
+        col(pointCol) <= col(s"__iv_$endCol"))
+      .select((keyCols ++ pCols.filterNot(keyCols.contains)).map(col) ++
+        ivCols.map(c => col(s"__iv_$c").as(s"$rightPrefix$c")): _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
                rightPrefix: String = "r_"): DataFrame = {

@@ -79,6 +79,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("r_rid") === 2L)
   }
 
+  test("rangeJoin: containment exact at bucket edges, keys respected, no product in the plan") {
+    import spark.implicits._
+    val pts = Seq((1L, "k1", 5.0), (2L, "k1", 10.0), (3L, "k1", 25.0),
+      (4L, "k2", 10.0), (5L, "k1", -3.0)).toDF("pid", "key", "x")
+    val iv = Seq(("k1", "a", 0.0, 10.0), ("k1", "b", 10.0, 20.0),
+      ("k2", "c", 0.0, 10.0), ("k1", "d", -10.0, -1.0)).toDF("key", "name", "lo", "hi")
+    val out = Relational.rangeJoin(pts, iv, Seq("key"), "x", "lo", "hi", bucketWidth = 7)
+      .select(col("pid"), col("r_name")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 5.0 ∈ a only; 10.0 ∈ a AND b (inclusive both ends); 25.0 matches
+    // nothing; k2's 10.0 only sees k2 intervals; -3.0 ∈ d (negative
+    // buckets work)
+    assert(out === Set((1L, "a"), (2L, "a"), (2L, "b"), (4L, "c"), (5L, "d")))
+    // exactly one row per qualifying pair (bucket replication never dupes)
+    val n = Relational.rangeJoin(pts, iv, Seq("key"), "x", "lo", "hi", bucketWidth = 7).count()
+    assert(n === 5L)
+    // bucket width doesn't change semantics
+    val w1 = Relational.rangeJoin(pts, iv, Seq("key"), "x", "lo", "hi", bucketWidth = 1)
+      .select(col("pid"), col("r_name")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w1 === out)
+    // the whole point: an equi-join shape, not a nested-loop product
+    val plan = Relational.rangeJoin(pts, iv, Seq("key"), "x", "lo", "hi", bucketWidth = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rangeJoin degraded to a product:\n$plan")
+    // inverted and null intervals drop; null points drop
+    val bad = Seq(("k1", "z", Some(20.0), Some(0.0)), ("k1", "n", None, Some(5.0)))
+      .toDF("key", "name", "lo", "hi")
+    assert(Relational.rangeJoin(pts, bad, Seq("key"),
+      "x", "lo", "hi", bucketWidth = 7).count() === 0L)
+  }
+
   test("funnel: order matters, earliest-completion, per-step counts") {
     import spark.implicits._
     import graft.operators.EventOps
