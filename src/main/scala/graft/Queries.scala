@@ -1048,17 +1048,26 @@ object Queries {
               |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))),
 
     // Closeness + harmonic centrality via hop-bounded multi-source BFS on
-    // a hash-thinned sparse mod-900 lineitem graph (~1% of pairs kept so
-    // distances are non-trivial). The oracle recomputes every source's
-    // BFS with a recursive walk CTE and folds harmonic in the same fixed
-    // hop order (n1/1 + ... + n6/6) — bit-identical double arithmetic.
+    // a hash-thinned mod-900 lineitem graph (~1% of pairs kept so
+    // distances are non-trivial), in LANDMARK mode — every 9th vertex is
+    // a source, the operator's documented posture at scale (all-sources
+    // state is |V|·reach; the graph densifies with SF, so the sampled
+    // form is what a 100 TB run would execute). The oracle recomputes
+    // each landmark's BFS with a recursive walk CTE and folds harmonic in
+    // the same fixed hop order (n1/1 + ... + n6/6) — bit-identical
+    // double arithmetic.
     "alg_closeness" -> ((
       (s: SparkSession, d: String) => {
         val eb = t(s, d, "lineitem")
           .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
           .select(pmod(col("l_orderkey"), lit(900)).cast(StringType).as("src"),
             pmod(col("l_partkey"), lit(900)).cast(StringType).as("dst"))
-        GraphAlgorithms.closenessCentrality(eb, maxHops = 6)
+        val nz = eb.where(col("src") =!= col("dst"))
+        val landmarks = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id").cast(LongType), lit(9)) === 0)
+        GraphAlgorithms.closenessCentrality(eb, maxHops = 6,
+            sources = Some(landmarks))
           .orderBy(col("id").cast(LongType))
       },
       Some(closenessOracleSql(maxHops = 6)))),
@@ -2258,7 +2267,8 @@ object Queries {
        |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
        |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
        |uec AS (SELECT u, v FROM ue WHERE u <> v),
-       |verts AS (SELECT DISTINCT u AS id FROM uec),
+       |verts AS (SELECT DISTINCT u AS id FROM uec
+       |          WHERE CAST(u AS BIGINT) % 9 = 0),
        |walk(s, id, dist) AS (
        |  SELECT id, id, 0 FROM verts
        |  UNION

@@ -174,16 +174,30 @@ object GraphAlgorithms {
    * at 100 TB pass `sources` (landmark / hash-sampled vertices — the
    * standard approximation) to bound state at |sources| · reach while the
    * per-hop shuffle shape stays identical.
+   *
+   * Adaptive execution (the [[GraphXAlgorithms.stronglyConnectedComponents]]
+   * / [[graft.pipeline.Dedup.nearDupClusters]] pattern): up to
+   * `localThreshold` oriented edges the BFS sweep runs driver-side over an
+   * array adjacency — each distributed hop costs several Spark jobs of
+   * fixed scheduling latency regardless of data volume, which dominates on
+   * small graphs. Identical semantics (same hop bound, same fixed-order
+   * harmonic fold, same HALF_UP rounding); parity is spec-asserted.
    */
   def closenessCentrality(edges: DataFrame, maxHops: Int = 10,
                           undirected: Boolean = true,
-                          sources: Option[DataFrame] = None): DataFrame = {
+                          sources: Option[DataFrame] = None,
+                          localThreshold: Long = 10000000L): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
     val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localThreshold) {
+      val out = localCloseness(e, maxHops, sources)
+      e.unpersist()
+      return out
+    }
     val verts = e.select(col("u").as("id")).distinct()
     val srcs = sources.map(_.select(col("id"))).getOrElse(verts)
       .localCheckpoint(true)
@@ -217,6 +231,83 @@ object GraphAlgorithms {
           col("__reached").cast("double") / col("__sum").cast("double"))
           .otherwise(0.0), 6).as("closeness"),
         round(coalesce(harmonic, lit(0.0)), 6).as("harmonic"))
+  }
+
+  /** Driver-side BFS sweep for [[closenessCentrality]]'s small regime.
+    * `e` is the already-oriented (u, v) edge frame (both directions when
+    * undirected). Arithmetic mirrors the distributed form exactly:
+    * reached/sum_dist as one double division, harmonic folded
+    * left-to-right over hop order, HALF_UP rounding to 6 (Spark's
+    * `round`). */
+  private def localCloseness(e: DataFrame, maxHops: Int,
+                             sources: Option[DataFrame]): DataFrame = {
+    val spark = e.sparkSession
+    val dt = e.schema("u").dataType
+    val edgeRows = e.collect()
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val adjBuf = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
+    edgeRows.foreach { r =>
+      val (a, b) = (intern(r.get(0)), intern(r.get(1)))
+      while (adjBuf.length <= math.max(a, b)) adjBuf += scala.collection.mutable.ArrayBuffer.empty[Int]
+      adjBuf(a) += b
+    }
+    val n = ids.length
+    val adj = adjBuf.map(_.toArray).toArray
+    val srcList: Seq[Any] = sources match {
+      case Some(df) => df.select(col("id")).collect().map(_.get(0)).toSeq
+      case None => ids.toSeq
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seen = Array.fill(n)(-1)
+    var stamp = 0
+    val queue = new Array[Int](n)
+    val out = srcList.map { src =>
+      var reached = 0L
+      var sumDist = 0L
+      val perDist = new Array[Long](maxHops + 1)
+      idx.get(src).foreach { s0 =>
+        stamp += 1
+        var head = 0; var tail = 0
+        queue(tail) = s0; tail += 1; seen(s0) = stamp
+        val distArr = new Array[Int](n)
+        distArr(s0) = 0
+        while (head < tail) {
+          val u = queue(head); head += 1
+          val du = distArr(u)
+          if (du < maxHops) {
+            var i = 0
+            val nb = if (u < adj.length) adj(u) else Array.emptyIntArray
+            while (i < nb.length) {
+              val v = nb(i)
+              if (seen(v) != stamp) {
+                seen(v) = stamp
+                distArr(v) = du + 1
+                reached += 1L
+                sumDist += du + 1L
+                perDist(du + 1) += 1L
+                queue(tail) = v; tail += 1
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      val closeness = if (sumDist > 0) round6(reached.toDouble / sumDist.toDouble) else 0.0
+      var h = 0.0
+      var d = 1
+      while (d <= maxHops) { h += perDist(d).toDouble / d.toDouble; d += 1 }
+      val harmonic = round6(h)
+      org.apache.spark.sql.Row(src, reached, sumDist, closeness, harmonic)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("reached", LongType),
+      StructField("sum_dist", LongType), StructField("closeness", DoubleType),
+      StructField("harmonic", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /**

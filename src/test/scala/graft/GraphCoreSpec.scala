@@ -217,6 +217,13 @@ class GraphCoreSpec extends SparkSpec {
       sources = Some(Seq("1").toDF("id")))
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(some === Map("1" -> 0.5))
+    // adaptive parity: localThreshold = 0 forces the distributed loop;
+    // results must be identical row-for-row to the driver-side sweep
+    val dist6 = GraphAlgorithms.closenessCentrality(edges, maxHops = 6,
+      localThreshold = 0L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(dist6 === out)
   }
 
   test("weightedShortestPaths: relaxation beats direct edges, hop budget binds") {
