@@ -33,9 +33,15 @@ object GraphAlgorithms {
   def triangleCount(edges: DataFrame): Long =
     triangleCountDF(edges).collect()(0).getLong(0)
 
-  /** Lazy single-row (triangles BIGINT) plan — composable into Verify/Bench
-    * harnesses; identical shuffles across the self-joins are deduplicated
-    * by Spark's exchange reuse, so the canonical edge set is built once. */
+  /** Single-row (triangles BIGINT) plan over an EAGERLY-materialized
+    * oriented edge set: the canonicalize + degree + orient pipeline feeds
+    * all three self-join branches, and exchange reuse does NOT fire
+    * across them once AQE turns the closing joins into broadcasts (the
+    * branches sit under differently-shaped parent exchanges — the
+    * minhash-signature lesson, measured 3× the whole scan+orient cost).
+    * localCheckpoint materializes it once (row-store blocks, cleaned by
+    * the ContextCleaner when the frame is GC'd); the returned 3-join
+    * frame itself stays lazy/composable. */
   def triangleCountDF(edges: DataFrame): DataFrame = {
     val canon = PropertyGraph.canonicalUndirected(edges)
     val deg = canon.select(col("src").as("v"))
@@ -51,9 +57,17 @@ object GraphAlgorithms {
           struct(col("src").as("a"), col("dst").as("b")))
           .otherwise(struct(col("dst").as("a"), col("src").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint(true)
 
-    val e2 = oriented.select(col("a").as("b2a"), col("b").as("b2b"))
-    val e3 = oriented.select(col("a").as("c1"), col("b").as("c2"))
+    // adaptive closing joins: below ~10M oriented edges the build sides
+    // hash-broadcast (the checkpointed frame has no runtime shuffle for
+    // AQE to re-plan, so without the hint they degrade to sort-merge
+    // joins that shuffle every wedge); above, the shuffle joins are the
+    // right call — a billion-edge build side can't broadcast
+    val small = oriented.count() <= 10000000L
+    def side(d: DataFrame): DataFrame = if (small) broadcast(d) else d
+    val e2 = side(oriented.select(col("a").as("b2a"), col("b").as("b2b")))
+    val e3 = side(oriented.select(col("a").as("c1"), col("b").as("c2")))
 
     oriented
       .join(e2, col("b") === col("b2a"))                            // wedge a->b->c
