@@ -1047,6 +1047,23 @@ object Queries {
               |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
               |GROUP BY id ORDER BY CAST(id AS BIGINT)""".stripMargin))),
 
+    // k-truss (parity-plus cohesion mining): 3 synchronous support-peel
+    // rounds at k=4 (edges in < 2 triangles drop each round) on a
+    // mod-600 thinned lineitem graph dense enough to carry triangles.
+    // The oracle replays each round as chained CTEs — triangle
+    // enumeration, per-edge support, peel — then reports the surviving
+    // edges' support, exactly like the kCore round-by-round contract.
+    "alg_ktruss" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
+          .select(pmod(col("l_orderkey"), lit(600)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(600)).cast(StringType).as("dst"))
+        GraphAlgorithms.kTruss(eb, k = 4, rounds = 3)
+          .orderBy(col("src").cast(LongType), col("dst").cast(LongType))
+      },
+      Some(ktrussOracleSql(k = 4, rounds = 3)))),
+
     // Closeness + harmonic centrality via hop-bounded multi-source BFS on
     // a hash-thinned mod-900 lineitem graph (~1% of pairs kept so
     // distances are non-trivial), in LANDMARK mode — every 9th vertex is
@@ -1254,6 +1271,42 @@ object Queries {
        |$chain,
        |${degCte("gf", s"a$rounds")}
        |SELECT id, degree FROM gf ORDER BY $orderExpr""".stripMargin
+  }
+
+  /** alg_ktruss oracle: each synchronous peel round replayed as chained
+    * CTEs (canonical triangle enumeration → per-edge support → filter),
+    * final support computed on the surviving edge set. */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val km2 = k - 2
+    def triCte(name: String, src: String): String =
+      s"""$name AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+         |  FROM $src e1 JOIN $src e2 ON e1.d = e2.s
+         |  JOIN $src e3 ON e3.s = e1.s AND e3.d = e2.d)""".stripMargin
+    def supCte(name: String, tri: String): String =
+      s"""$name AS (SELECT s, d, COUNT(*) AS sup FROM (
+         |    SELECT a AS s, b AS d FROM $tri
+         |    UNION ALL SELECT b, c FROM $tri
+         |    UNION ALL SELECT a, c FROM $tri) GROUP BY s, d)""".stripMargin
+    val chain = (1 to rounds).map { i =>
+      s"""${triCte(s"tri$i", s"e${i - 1}")},
+         |${supCte(s"sup$i", s"tri$i")},
+         |e$i AS (SELECT e.s, e.d FROM e${i - 1} e
+         |  LEFT JOIN sup$i ON e.s = sup$i.s AND e.d = sup$i.d
+         |  WHERE COALESCE(sup, 0) >= $km2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS (
+       |  SELECT CAST(l_orderkey % 600 AS VARCHAR) AS src,
+       |    CAST(l_partkey % 600 AS VARCHAR) AS dst
+       |  FROM lineitem WHERE (l_orderkey + l_partkey) % 7 = 0),
+       |cn AS (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM eb WHERE src <> dst),
+       |e0 AS (SELECT s, d FROM cn),
+       |$chain,
+       |${triCte("trif", s"e$rounds")},
+       |${supCte("supf", "trif")}
+       |SELECT e.s AS src, e.d AS dst, COALESCE(sup, 0) AS support
+       |FROM e$rounds e LEFT JOIN supf ON e.s = supf.s AND e.d = supf.d
+       |ORDER BY CAST(e.s AS BIGINT), CAST(e.d AS BIGINT)""".stripMargin
   }
 
   /** Single-SQL mirror of clusteringCoefficients on the vertex-capped

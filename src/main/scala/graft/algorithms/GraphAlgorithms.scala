@@ -508,6 +508,62 @@ object GraphAlgorithms {
     (out, executed)
   }
 
+  /** k-truss after `rounds` synchronous peels — see [[kTrussFixpoint]]
+    * for the converged form. Each round computes every surviving edge's
+    * SUPPORT (triangles containing it in the current graph) and removes
+    * all edges with support < k−2 simultaneously, so the bounded form is
+    * replayable round-by-round by a SQL oracle (the [[kCore]] contract).
+    * Early-stops when a round removes nothing (every later round is the
+    * identity). Returns surviving canonical edges (src < dst) with their
+    * support in the surviving graph. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kTrussImpl(edges, k, rounds)._1
+
+  /** k-truss to the fixpoint (maxRounds is a runaway bound — peeling
+    * removes ≥1 edge per non-final round, so it binds only on graphs
+    * with more edges than rounds). */
+  def kTrussFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame =
+    kTrussImpl(edges, k, maxRounds)._1
+
+  private[graft] def kTrussImpl(edges: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
+    require(k >= 2, s"k must be >= 2: $k")
+    var e = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    var n = e.count()
+    var executed = 0
+    var converged = false
+    while (executed < rounds && !converged) {
+      executed += 1
+      val kept = edgeSupport(e).where(col("support") >= k - 2)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val kn = kept.count()
+      converged = kn == n
+      n = kn
+      e = kept
+    }
+    (edgeSupport(e), executed)
+  }
+
+  /** Support (triangle membership count) per canonical edge: triangles
+    * enumerated once via the id-ordered 3-join — a<b<c appears exactly
+    * once as (a,b)(b,c)(a,c) — each contributing to its three edges.
+    * Same shape as [[clusteringCoefficients]]' enumeration; the skew
+    * bound at scale is the wedge fan-out of high-degree vertices
+    * (degree-orient upstream if that bites). */
+  private def edgeSupport(cn: DataFrame): DataFrame = {
+    val e2 = cn.select(col("src").as("b2a"), col("dst").as("b2b"))
+    val e3 = cn.select(col("src").as("c1"), col("dst").as("c2"))
+    val tris = cn
+      .join(e2, col("dst") === col("b2a"))
+      .join(e3, col("c1") === col("src") && col("c2") === col("b2b"))
+      .select(col("src").as("a"), col("dst").as("b"), col("b2b").as("c"))
+    val contrib = tris.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(tris.select(col("b").as("src"), col("c").as("dst")))
+      .unionAll(tris.select(col("a").as("src"), col("c").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+    cn.join(contrib, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /**
    * Per-vertex triangle counts + local clustering coefficient
    * (parity-plus over the reference's global `trian`). Triangles are

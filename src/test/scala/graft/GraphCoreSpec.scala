@@ -319,6 +319,26 @@ class GraphCoreSpec extends SparkSpec {
     assert(fix === m)
   }
 
+  test("kTruss: K4 survives at k=4, pendant triangle peels, cascade reaches fixpoint") {
+    import spark.implicits._
+    // K4 on 1-4 (every edge in 2 triangles) + a pendant triangle 1-5-6
+    // (each of its edges in exactly 1 triangle)
+    val k4 = Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4"))
+    val pendant = Seq(("1", "5"), ("5", "6"), ("1", "6"))
+    val edges = (k4 ++ pendant).toDF("src", "dst")
+    val out = GraphAlgorithms.kTruss(edges, k = 4, rounds = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === k4.map { case (a, b) => (a, b, 2L) }.toSet)
+    // k=3 keeps everything (every edge is in >= 1 triangle)
+    assert(GraphAlgorithms.kTruss(edges, k = 3, rounds = 10).count() === 9L)
+    // k=5 peels K4 too — after the pendant drops nothing has support 3;
+    // cascade must reach the empty fixpoint, not stop after one round
+    assert(GraphAlgorithms.kTrussFixpoint(edges, k = 5).count() === 0L)
+    // bounded form: round 1 at k=4 removes the pendant edges only
+    val (r1, executed) = GraphAlgorithms.kTrussImpl(edges, k = 4, rounds = 1)
+    assert(r1.count() === 6L && executed === 1)
+  }
+
   test("clusteringCoefficients: per-vertex triangles and coefficient") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant edge 3-4
