@@ -24,8 +24,21 @@ for name in sorted(os.listdir(out)):
     b = odf.reindex(sorted(odf.columns), axis=1)
     if list(a.columns) != list(b.columns):
         bad.append((name, f"schema: {list(a.columns)} vs {list(b.columns)}")); continue
-    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
-    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    # list/array cells (e.g. token or code arrays) are unhashable for
+    # sort_values — canonicalize to tuples first, mirroring the driver's
+    # value-hash compare
+    import numpy as np
+    def canon(df):
+        for c in df.columns:
+            if df[c].map(lambda x: isinstance(x, (list, np.ndarray))).any():
+                df[c] = df[c].map(lambda x: tuple(x) if isinstance(x, (list, np.ndarray)) else x)
+        return df
+    a, b = canon(a), canon(b)
+    try:
+        a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    except Exception as e:
+        bad.append((name, f"sort error: {e}")); continue
     if len(a) != len(b):
         bad.append((name, f"rows: {len(a)} vs {len(b)}")); continue
     try:

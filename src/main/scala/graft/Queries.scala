@@ -1050,13 +1050,18 @@ object Queries {
     // k-truss (parity-plus cohesion mining): 3 synchronous support-peel
     // rounds at k=4 (edges in < 2 triangles drop each round) on a
     // mod-600 thinned lineitem graph dense enough to carry triangles.
-    // The oracle replays each round as chained CTEs — triangle
-    // enumeration, per-edge support, peel — then reports the surviving
-    // edges' support, exactly like the kCore round-by-round contract.
+    // The orderkey cap makes the subgraph SCALE-INVARIANT (orderkeys are
+    // dense from 0, so the same ~8.6k pairs are selected at every SF —
+    // a fixed-modulus graph otherwise densifies linearly with SF and the
+    // wedge joins quadratically). The oracle replays each round as
+    // chained CTEs — triangle enumeration, per-edge support, peel — then
+    // reports the surviving edges' support, the kCore round-by-round
+    // contract.
     "alg_ktruss" -> ((
       (s: SparkSession, d: String) => {
         val eb = t(s, d, "lineitem")
-          .where(pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
+          .where(col("l_orderkey") < 15000 &&
+            pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
           .select(pmod(col("l_orderkey"), lit(600)).cast(StringType).as("src"),
             pmod(col("l_partkey"), lit(600)).cast(StringType).as("dst"))
         GraphAlgorithms.kTruss(eb, k = 4, rounds = 3)
@@ -1275,32 +1280,37 @@ object Queries {
 
   /** alg_ktruss oracle: each synchronous peel round replayed as chained
     * CTEs (canonical triangle enumeration → per-edge support → filter),
-    * final support computed on the surviving edge set. */
+    * final support computed on the surviving edge set. Every CTE is
+    * MATERIALIZED (DuckDB/Postgres hint): each round references the
+    * previous edge set 4× (3 triangle legs + the peel join), so default
+    * CTE inlining re-expands the whole chain multiplicatively — >5 min
+    * at sf0.01 inlined vs 0.5 s materialized. */
   private def ktrussOracleSql(k: Int, rounds: Int): String = {
     val km2 = k - 2
     def triCte(name: String, src: String): String =
-      s"""$name AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      s"""$name AS MATERIALIZED (SELECT e1.s AS a, e1.d AS b, e2.d AS c
          |  FROM $src e1 JOIN $src e2 ON e1.d = e2.s
          |  JOIN $src e3 ON e3.s = e1.s AND e3.d = e2.d)""".stripMargin
     def supCte(name: String, tri: String): String =
-      s"""$name AS (SELECT s, d, COUNT(*) AS sup FROM (
+      s"""$name AS MATERIALIZED (SELECT s, d, COUNT(*) AS sup FROM (
          |    SELECT a AS s, b AS d FROM $tri
          |    UNION ALL SELECT b, c FROM $tri
          |    UNION ALL SELECT a, c FROM $tri) GROUP BY s, d)""".stripMargin
     val chain = (1 to rounds).map { i =>
       s"""${triCte(s"tri$i", s"e${i - 1}")},
          |${supCte(s"sup$i", s"tri$i")},
-         |e$i AS (SELECT e.s, e.d FROM e${i - 1} e
+         |e$i AS MATERIALIZED (SELECT e.s, e.d FROM e${i - 1} e
          |  LEFT JOIN sup$i ON e.s = sup$i.s AND e.d = sup$i.d
          |  WHERE COALESCE(sup, 0) >= $km2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH eb AS (
+    s"""WITH eb AS MATERIALIZED (
        |  SELECT CAST(l_orderkey % 600 AS VARCHAR) AS src,
        |    CAST(l_partkey % 600 AS VARCHAR) AS dst
-       |  FROM lineitem WHERE (l_orderkey + l_partkey) % 7 = 0),
-       |cn AS (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM lineitem
+       |  WHERE l_orderkey < 15000 AND (l_orderkey + l_partkey) % 7 = 0),
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
        |  FROM eb WHERE src <> dst),
-       |e0 AS (SELECT s, d FROM cn),
+       |e0 AS MATERIALIZED (SELECT s, d FROM cn),
        |$chain,
        |${triCte("trif", s"e$rounds")},
        |${supCte("supf", "trif")}

@@ -515,20 +515,29 @@ object GraphAlgorithms {
     * replayable round-by-round by a SQL oracle (the [[kCore]] contract).
     * Early-stops when a round removes nothing (every later round is the
     * identity). Returns surviving canonical edges (src < dst) with their
-    * support in the surviving graph. */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame =
-    kTrussImpl(edges, k, rounds)._1
+    * support in the surviving graph.
+    *
+    * Adaptive (the [[closenessCentrality]]/SCC pattern): ≤
+    * `localThreshold` canonical edges → driver-side peel over adjacency
+    * sets (each distributed round costs several fixed-latency jobs, the
+    * dominant term on small graphs); above → the DataFrame loop. Parity
+    * spec-asserted via `localThreshold = 0`. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int,
+             localThreshold: Long = 10000000L): DataFrame =
+    kTrussImpl(edges, k, rounds, localThreshold)._1
 
   /** k-truss to the fixpoint (maxRounds is a runaway bound — peeling
     * removes ≥1 edge per non-final round, so it binds only on graphs
     * with more edges than rounds). */
   def kTrussFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame =
-    kTrussImpl(edges, k, maxRounds)._1
+    kTrussImpl(edges, k, maxRounds, 10000000L)._1
 
-  private[graft] def kTrussImpl(edges: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
+  private[graft] def kTrussImpl(edges: DataFrame, k: Int, rounds: Int,
+                                localThreshold: Long = 10000000L): (DataFrame, Int) = {
     require(k >= 2, s"k must be >= 2: $k")
     var e = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
     var n = e.count()
+    if (n <= localThreshold) return localKTruss(e, k, rounds)
     var executed = 0
     var converged = false
     while (executed < rounds && !converged) {
@@ -541,6 +550,49 @@ object GraphAlgorithms {
       e = kept
     }
     (edgeSupport(e), executed)
+  }
+
+  /** Driver-side synchronous peel for [[kTruss]]'s small regime: support
+    * by adjacency-set intersection, all below-threshold edges removed
+    * per round — identical round semantics to the DataFrame loop. */
+  private def localKTruss(cn: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
+    val spark = cn.sparkSession
+    val dt = cn.schema("src").dataType
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    var live = cn.collect().map(r => (intern(r.get(0)), intern(r.get(1)))).toSet
+    val nbrs = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.HashSet[Int]]
+    def link(a: Int, b: Int): Unit = {
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    live.foreach { case (a, b) => link(a, b) }
+    def support(a: Int, b: Int): Long = {
+      val (sm, lg) = {
+        val na = nbrs(a); val nb = nbrs(b)
+        if (na.size <= nb.size) (na, nb) else (nb, na)
+      }
+      sm.count(lg.contains).toLong
+    }
+    var executed = 0
+    var converged = false
+    while (executed < rounds && !converged) {
+      executed += 1
+      val dead = live.filter { case (a, b) => support(a, b) < k - 2 }
+      if (dead.isEmpty) converged = true
+      else {
+        live = live -- dead
+        dead.foreach { case (a, b) => nbrs(a) -= b; nbrs(b) -= a }
+      }
+    }
+    val rows = live.toSeq.map { case (a, b) =>
+      org.apache.spark.sql.Row(ids(a), ids(b), support(a, b))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("src", dt), StructField("dst", dt),
+      StructField("support", LongType)))
+    (spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema), executed)
   }
 
   /** Support (triangle membership count) per canonical edge: triangles

@@ -337,6 +337,11 @@ class GraphCoreSpec extends SparkSpec {
     // bounded form: round 1 at k=4 removes the pendant edges only
     val (r1, executed) = GraphAlgorithms.kTrussImpl(edges, k = 4, rounds = 1)
     assert(r1.count() === 6L && executed === 1)
+    // adaptive parity: the distributed loop (localThreshold = 0) must
+    // match the driver-side peel row-for-row
+    val dist = GraphAlgorithms.kTruss(edges, k = 4, rounds = 10, localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(dist === out)
   }
 
   test("clusteringCoefficients: per-vertex triangles and coefficient") {
