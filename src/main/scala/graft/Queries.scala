@@ -1069,6 +1069,48 @@ object Queries {
       },
       Some(ktrussOracleSql(k = 4, rounds = 3)))),
 
+    // Link prediction (common-neighbors / Jaccard / Adamic–Adar /
+    // resource-allocation) on the same scale-invariant capped subgraph as
+    // alg_ktruss: one wedge self-join generates candidates, never an
+    // all-pairs product. minCommon=4 bounds the emitted pair list.
+    // Jaccard is one correctly-rounded integer division (exact replay);
+    // the two float sums round to 6 (the pageRank oracle contract).
+    "alg_linkpred" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(col("l_orderkey") < 15000 &&
+            pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
+          .select(pmod(col("l_orderkey"), lit(600)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(600)).cast(StringType).as("dst"))
+        GraphAlgorithms.linkPrediction(eb, minCommon = 4)
+          .orderBy(col("u").cast(LongType), col("v").cast(LongType))
+      },
+      Some(linkPredOracleSql(minCommon = 4)))),
+
+    // HITS hubs/authorities on the directed bridge graph, 3 iterations,
+    // UNNORMALIZED — integer scores replay bit-identically (normalized
+    // float sums would be summation-order-dependent); the ranking is
+    // unchanged since normalization is a positive per-iteration scalar.
+    "alg_hits" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.hits(TpchBridge.graph(s, d).edges, iterations = 3)
+          .orderBy(col("id")),
+      Some(hitsOracleSql(iterations = 3)))),
+
+    // Personalized PageRank: restart onto the 25 Nation nodes — the
+    // random-walk-with-restart relevance score, oracled like alg_pagerank
+    // (same iteration chain, restart indicator instead of uniform
+    // teleport, round-4 contract).
+    "alg_ppr" -> ((
+      (s: SparkSession, d: String) => {
+        val g = TpchBridge.graph(s, d)
+        val sources = g.nodes.where(col("label") === "Nation").select(col("id"))
+        GraphAlgorithms.personalizedPageRank(g, sources, alpha = 0.85, iterations = 5)
+          .select(col("id"), round(col("rank"), 4).as("rank"))
+          .orderBy(col("id"))
+      },
+      Some(pprOracleSql(0.85, 5)))),
+
     // Closeness + harmonic centrality via hop-bounded multi-source BFS on
     // a hash-thinned mod-900 lineitem graph (~1% of pairs kept so
     // distances are non-trivial), in LANDMARK mode — every 9th vertex is
@@ -1317,6 +1359,91 @@ object Queries {
        |SELECT e.s AS src, e.d AS dst, COALESCE(sup, 0) AS support
        |FROM e$rounds e LEFT JOIN supf ON e.s = supf.s AND e.d = supf.d
        |ORDER BY CAST(e.s AS BIGINT), CAST(e.d AS BIGINT)""".stripMargin
+  }
+
+  /** alg_linkpred oracle: the same wedge-join candidate generation and
+    * per-pair aggregates on the capped subgraph — NOT EXISTS replaces the
+    * anti-join, float sums round to 6, jaccard stays one exact integer
+    * division. */
+  private def linkPredOracleSql(minCommon: Long): String =
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT CAST(l_orderkey % 600 AS VARCHAR) AS src,
+       |    CAST(l_partkey % 600 AS VARCHAR) AS dst
+       |  FROM lineitem
+       |  WHERE l_orderkey < 15000 AND (l_orderkey + l_partkey) % 7 = 0),
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM eb WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT s AS w, d AS u FROM cn UNION ALL SELECT d, s FROM cn),
+       |dg AS MATERIALIZED (SELECT w, COUNT(*) AS dg FROM nb GROUP BY w),
+       |nd AS MATERIALIZED (SELECT nb.w, nb.u, dg.dg FROM nb JOIN dg ON nb.w = dg.w),
+       |wedge AS MATERIALIZED (
+       |  SELECT a.u AS u, b.u AS v, a.w AS w, a.dg AS dg
+       |  FROM nd a JOIN nd b ON a.w = b.w WHERE a.u < b.u),
+       |cand AS MATERIALIZED (
+       |  SELECT u, v, COUNT(*) AS common,
+       |    SUM(1.0 / LN(dg)) AS aa, SUM(1.0 / dg) AS ra
+       |  FROM wedge
+       |  WHERE NOT EXISTS (SELECT 1 FROM cn WHERE cn.s = wedge.u AND cn.d = wedge.v)
+       |  GROUP BY u, v HAVING COUNT(*) >= $minCommon)
+       |SELECT c.u, c.v, c.common,
+       |  CAST(c.common AS DOUBLE) / CAST(du.dg + dv.dg - c.common AS DOUBLE) AS jaccard,
+       |  CAST(ROUND(aa, 6) AS DOUBLE) AS adamic_adar,
+       |  CAST(ROUND(ra, 6) AS DOUBLE) AS resource_alloc
+       |FROM cand c
+       |JOIN dg du ON c.u = du.w
+       |JOIN dg dv ON c.v = dv.w
+       |ORDER BY CAST(c.u AS BIGINT), CAST(c.v AS BIGINT)""".stripMargin
+
+  /** alg_hits oracle: the hub/auth recurrence unrolled as chained
+    * MATERIALIZED CTEs — all-integer arithmetic, so no rounding contract
+    * is needed at all. DuckDB's integer SUM returns HUGEINT; cast back to
+    * BIGINT to match Spark's long sums. */
+  private def hitsOracleSql(iterations: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      """e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        |ids AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS hub FROM ids)""".stripMargin)
+    for (i <- 1 to iterations) {
+      chain.append(s""",
+        |a$i AS MATERIALIZED (SELECT i.id, CAST(COALESCE(s.x, 0) AS BIGINT) AS auth
+        |  FROM ids i LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(SUM(h.hub) AS BIGINT) AS x
+        |    FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst) s
+        |  ON i.id = s.id),
+        |h$i AS MATERIALIZED (SELECT i.id, CAST(COALESCE(s.x, 0) AS BIGINT) AS hub
+        |  FROM ids i LEFT JOIN (
+        |    SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT) AS x
+        |    FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src) s
+        |  ON i.id = s.id)""".stripMargin)
+    }
+    s"WITH ${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges},\n${chain.toString}\n" +
+      s"SELECT h.id, h.hub, a.auth FROM h$iterations h JOIN a$iterations a ON h.id = a.id " +
+      "ORDER BY h.id"
+  }
+
+  /** alg_ppr oracle: [[pageRankOracleSql]] with the uniform teleport
+    * replaced by the Nation-node restart indicator — same round-4
+    * contract. */
+  private def pprOracleSql(alpha: Double, iters: Int): String = {
+    val chain = new StringBuilder
+    chain.append("outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),\n")
+    chain.append("ed AS (SELECT e.src, e.dst, o.d FROM edges e JOIN outdeg o ON e.src = o.src),\n")
+    chain.append(
+      """base AS (SELECT id, CASE WHEN label = 'Nation' THEN CAST(1.0 AS DOUBLE)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS restart FROM nodes),
+        |r0 AS (SELECT id, restart AS rank FROM base)""".stripMargin)
+    for (i <- 1 to iters) {
+      chain.append(s""",
+        |r$i AS (SELECT n.id, CAST(${1 - alpha} AS DOUBLE) * n.restart
+        |    + CAST($alpha AS DOUBLE) * COALESCE(s.c, 0) AS rank
+        |  FROM base n LEFT JOIN (
+        |    SELECT ed.dst AS id, SUM(r.rank / ed.d) AS c
+        |    FROM ed JOIN r${i - 1} r ON ed.src = r.id GROUP BY ed.dst) s
+        |  ON n.id = s.id)""".stripMargin)
+    }
+    s"WITH ${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges},\n${chain.toString}\n" +
+      s"SELECT id, CAST(ROUND(rank, 4) AS DOUBLE) AS rank FROM r$iters ORDER BY id"
   }
 
   /** Single-SQL mirror of clusteringCoefficients on the vertex-capped

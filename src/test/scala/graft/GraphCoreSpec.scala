@@ -319,6 +319,81 @@ class GraphCoreSpec extends SparkSpec {
     assert(fix === m)
   }
 
+  test("kCore: adaptive driver-side peel matches the distributed loop") {
+    import spark.implicits._
+    val edges = Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"),
+      ("3", "4"), ("4", "5"), ("5", "6")).toDF("src", "dst")
+    for (r <- Seq(1, 3)) {
+      val local = GraphAlgorithms.kCore(edges, k = 2, rounds = r)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val dist = GraphAlgorithms.kCore(edges, k = 2, rounds = r, localThreshold = 0L)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(dist === local, s"rounds=$r")
+    }
+  }
+
+  test("linkPrediction: path fixture scores by hand") {
+    import spark.implicits._
+    // path 1-2-3 plus 2-4: non-adjacent pairs through middles:
+    // (1,3) via 2; (1,4) via 2; (3,4) via 2 — deg(2)=3; and the
+    // adjacent pair check: (2,x) pairs are edges, excluded
+    val edges = Seq(("1", "2"), ("2", "3"), ("2", "4")).toDF("src", "dst")
+    val out = GraphAlgorithms.linkPrediction(edges, minCommon = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val aa = BigDecimal(1.0 / math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ra = BigDecimal(1.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === Set(("1", "3"), ("1", "4"), ("3", "4")))
+    // deg(1)=deg(3)=deg(4)=1 → jaccard = 1/(1+1-1) = 1.0
+    out.values.foreach { case (c, j, a, r) =>
+      assert(c === 1L && j === 1.0 && a === aa && r === ra)
+    }
+    // triangle closes: adjacent pairs never appear
+    val tri = Seq(("1", "2"), ("2", "3"), ("1", "3")).toDF("src", "dst")
+    assert(GraphAlgorithms.linkPrediction(tri, minCommon = 1).count() === 0L)
+  }
+
+  test("hits: integer recurrence on a two-level chain") {
+    import spark.implicits._
+    // a -> b, a -> c, b -> c: classic tiny web graph
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    // k=1: auth = indeg (b:1, c:2, a:0); hub(u) = sum auth over out-nbrs
+    // → a: auth(b)+auth(c) = 3, b: auth(c) = 2, c: 0
+    val h1 = GraphAlgorithms.hits(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h1 === Map("a" -> (3L, 0L), "b" -> (2L, 1L), "c" -> (0L, 2L)))
+    // k=2: auth(b) = hub(a) = 3; auth(c) = hub(a)+hub(b) = 5;
+    // hub(a) = 3+5 = 8, hub(b) = 5
+    val h2 = GraphAlgorithms.hits(edges, iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h2 === Map("a" -> (8L, 0L), "b" -> (5L, 3L), "c" -> (0L, 5L)))
+    // adaptive parity: distributed loop (localThreshold = 0) matches the
+    // driver-side recurrence row-for-row
+    val dist = GraphAlgorithms.hits(edges, iterations = 2, localThreshold = 0L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dist === h2)
+  }
+
+  test("personalizedPageRank: mass restarts at the source only") {
+    import spark.implicits._
+    val nodes = Seq("1", "2", "3").toDF("id")
+    val edges = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
+      .withColumn("type", lit("E"))
+    val g = PropertyGraph(nodes, edges, isDirected = true)
+    val src = Seq("1").toDF("id")
+    val r = GraphAlgorithms.personalizedPageRank(g, src, alpha = 0.5, iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // r0 = (1, 0, 0); r1 = (0.5·1, 0.5·1, 0) = (0.5, 0.5, 0);
+    // r2 = (0.5, 0.5·0.5, 0.5·0.5) = (0.5, 0.25, 0.25)
+    assert(r === Map("1" -> 0.5, "2" -> 0.25, "3" -> 0.25))
+    // unlike pageRank, an untouched sink far from S stays at EXACT zero
+    val far = Seq(("1", "2")).toDF("src", "dst").withColumn("type", lit("E"))
+    val g2 = PropertyGraph(Seq("1", "2", "9").toDF("id"), far, isDirected = true)
+    val r2 = GraphAlgorithms.personalizedPageRank(g2, src, alpha = 0.5, iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r2("9") === 0.0)
+  }
+
   test("kTruss: K4 survives at k=4, pendant triangle peels, cascade reaches fixpoint") {
     import spark.implicits._
     // K4 on 1-4 (every edge in 2 triangles) + a pendant triangle 1-5-6
