@@ -1669,6 +1669,45 @@ object Queries {
       },
       Some(contaminationOracleSql(n = 3, modulus = 37)))),
 
+    // FUZZY contamination: cross-corpus banded MinHash between the same
+    // %37 corpus/benchmark split — catches paraphrased benchmark leaks
+    // that share most shingles without any exact 3-gram run. Oracle is
+    // the exact cross-side all-pairs jaccard ground truth (the
+    // doc_minhash_pairs full-recall contract at threshold 0.8).
+    "doc_fuzzy_contamination" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.crossMinhashPairs(
+          docs.where(pmod(col("doc_id"), lit(37)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(37)) === 0),
+          "text", "doc_id", threshold = 0.8)
+          .orderBy(col("idA"), col("idB"))
+      },
+      Some(crossJaccardOracleSql(k = 5, threshold = 0.8, modulus = 37)))),
+
+    // C4 line-level cleaning (terminal punctuation, >=5 words, the
+    // javascript/lorem-ipsum/curly-brace rules) with the kept lines
+    // re-joined in order — the rebuilt document is oracled verbatim, so
+    // the whole keep-predicate chain is hash-checked per line. The
+    // single-line fixture docs are FRAMED first (sentence-ish breaks at
+    // ' table ', a trailing period, an enable-javascript line, %7 lorem
+    // and %11 curly lines) so every rule fires on real rows.
+    "doc_c4_filters" -> ((
+      (s: SparkSession, d: String) => {
+        val framed = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            call_function("replace", coalesce(col("text"), lit("")),
+              lit(" table "), lit(".\ntable ")),
+            lit("."),
+            lit("\nplease enable javascript to view this page properly."),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              lit("\nfunction f() { return 1; }")).otherwise(lit(""))).as("framed"))
+        TextAnalysis.c4Filters(framed, "framed", "doc_id").orderBy(col("id"))
+      },
+      Some(c4FiltersOracleSql(minLineWords = 5, minKeptLines = 3)))),
+
     // Line-level dedup (the C4/RefinedWeb boilerplate pass): documents are
     // framed with a corpus-wide header line and an every-other-doc footer
     // line; both exceed the document-frequency threshold and are removed,
@@ -2187,6 +2226,64 @@ object Queries {
        |LEFT JOIN hit ON hit.doc_id = c.doc_id
        |ORDER BY id""".stripMargin
   }
+
+  /** doc_fuzzy_contamination oracle: EXACT cross-side all-pairs shingle
+    * jaccard between the %modulus corpus/benchmark split — the
+    * doc_minhash_pairs full-recall ground-truth contract, with the two
+    * sides from different slices instead of a self-join. */
+  private def crossJaccardOracleSql(k: Int, threshold: Double, modulus: Int): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       |  FROM documents
+       |  WHERE length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) >= $k),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, substr(n, CAST(i AS INTEGER), $k) AS s
+       |  FROM norm, UNNEST(range(1, length(n) - ${k - 2})) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |  WHERE a.doc_id % $modulus <> 0 AND b.doc_id % $modulus = 0
+       |  GROUP BY 1, 2)
+       |SELECT idA, idB,
+       |  CAST(ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = idA JOIN sizes sb ON sb.doc_id = idB
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $threshold
+       |ORDER BY idA, idB""".stripMargin
+
+  /** doc_c4_filters oracle: the same line keep-predicate chain replayed
+    * with DuckDB list lambdas; clean_text compares the rebuilt document
+    * verbatim. */
+  private def c4FiltersOracleSql(minLineWords: Int, minKeptLines: Int): String =
+    s"""WITH base AS (SELECT doc_id,
+       |  replace(COALESCE(text, ''), ' table ', '.' || chr(10) || 'table ') || '.' ||
+       |  chr(10) || 'please enable javascript to view this page properly.' ||
+       |  CASE WHEN doc_id % 7 = 0
+       |    THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0
+       |    THEN chr(10) || 'function f() { return 1; }' ELSE '' END AS t
+       |  FROM documents),
+       |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM base),
+       |k AS (SELECT doc_id, t, lines,
+       |  list_filter(lines, x ->
+       |    right(rtrim(x), 1) IN ('.', '!', '?', '"')
+       |    AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+       |          y -> len(y) > 0)) >= $minLineWords
+       |    AND NOT contains(lower(x), 'javascript')) AS kept
+       |  FROM l)
+       |SELECT doc_id AS id,
+       |  CAST(len(lines) AS BIGINT) AS line_total,
+       |  CAST(len(kept) AS BIGINT) AS lines_kept,
+       |  CAST(ROUND(CASE WHEN len(lines) > 0
+       |    THEN CAST(len(kept) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS DOUBLE)
+       |    AS kept_ratio,
+       |  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+       |  contains(t, '{') AS has_curly,
+       |  (len(kept) >= $minKeptLines AND NOT contains(lower(t), 'lorem ipsum')
+       |    AND NOT contains(t, '{')) AS c4_pass,
+       |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+       |FROM k ORDER BY doc_id""".stripMargin
 
   /** Line-dedup oracle: identical framing, line split with position,
     * distinct-document line frequency, ordered rebuild of survivors. */

@@ -273,6 +273,91 @@ object Dedup {
   }
 
   /**
+   * CROSS-corpus fuzzy contamination: near-duplicate (corpus, benchmark)
+   * pairs via the same banded-MinHash construction as [[minhashPairs]],
+   * but with the two sides coming from different frames — the fuzzy
+   * complement of [[TextAnalysis.contamination]]'s exact-gram overlap
+   * (a paraphrased or lightly-edited benchmark leak shares most shingles
+   * without sharing any exact 8-gram). Returns (idA, idB, jaccard) with
+   * idA from `corpus`, idB from `bench`, exact shingle Jaccard ≥
+   * threshold.
+   *
+   * Shape at scale: signatures are computed per side (the benchmark side
+   * is tiny — typically thousands of eval documents vs billions of
+   * training docs), the bucket join shuffles only (band, bucket, id), and
+   * exact verification explodes candidate documents only. Everything is
+   * eagerly checkpointed and released — no cache blocks outlive the call.
+   */
+  def crossMinhashPairs(
+      corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, prefilterMargin: Double = 0.25): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val (as, bs) = hashParams(numHashes)
+    val h = pmod(xxhash64(col("shingle")), lit(P))
+    val sigCols = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * h + lit(bs(i)), lit(P))).as(s"s$i"))
+    def sigsOf(df: DataFrame): DataFrame =
+      shinglePosting(df, textCol, idCol, shingleSize, dedup = false)
+        .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+        .localCheckpoint(true)
+    val bucketCols = (0 until bands).map { b =>
+      val bandSig = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
+      struct(lit(b).as("band"), xxhash64(bandSig: _*).as("bucket"))
+    }
+    def bandedOf(sigs: DataFrame, side: String): DataFrame =
+      sigs.select(col("id").as(side), explode(array(bucketCols: _*)).as("bb"))
+        .select(col(side), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val sigsA = sigsOf(corpus)
+    val sigsB = sigsOf(bench)
+    val collided = bandedOf(sigsA, "idA").join(bandedOf(sigsB, "idB"), Seq("band", "bucket"))
+      .select(col("idA"), col("idB")).distinct()
+
+    // signature-agreement prefilter, same ≥4σ-margin contract as
+    // minhashPairs (the estimator reads the already-computed mins)
+    val minAgree = math.ceil((threshold - prefilterMargin) * numHashes)
+    val candidates = if (minAgree <= 0) collided else {
+      val aSig = sigsA.select(col("id").as("idA") +:
+        (0 until numHashes).map(i => col(s"s$i").as(s"a$i")): _*)
+      val bSig = sigsB.select(col("id").as("idB") +:
+        (0 until numHashes).map(i => col(s"s$i").as(s"b$i")): _*)
+      val agree = (0 until numHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      collided.join(aSig, Seq("idA")).join(bSig, Seq("idB"))
+        .where(agree >= lit(minAgree))
+        .select(col("idA"), col("idB"))
+    }
+    val cand = candidates.localCheckpoint(true)
+
+    // exact verification: explode only the candidate documents per side
+    def postingOf(df: DataFrame, keep: DataFrame): DataFrame =
+      shinglePosting(
+        df.select(col(idCol).as("id"), col(textCol).as("__text"))
+          .join(keep, Seq("id"), "left_semi"),
+        "__text", "id", shingleSize, dedup = true).localCheckpoint(true)
+    val postA = postingOf(corpus, cand.select(col("idA").as("id")).distinct())
+    val postB = postingOf(bench, cand.select(col("idB").as("id")).distinct())
+    val szA = postA.groupBy("id").agg(count(lit(1)).as("szA"))
+    val szB = postB.groupBy("id").agg(count(lit(1)).as("szB"))
+    val inter = cand
+      .join(postA.select(col("id").as("idA"), col("shingle")), Seq("idA"))
+      .join(postB.select(col("id").as("idB"), col("shingle")), Seq("idB", "shingle"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("inter"))
+    val res = cand
+      .join(inter, Seq("idA", "idB"), "left").na.fill(0L, Seq("inter"))
+      .join(szA.select(col("id").as("idA"), col("szA")), Seq("idA"))
+      .join(szB.select(col("id").as("idB"), col("szB")), Seq("idB"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("szA") + col("szB") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    materializeAndRelease(res, Seq.empty)
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for all candidate pairs sharing at
    * least one n-gram (inverted-index join; quadratic only within posting
    * lists).

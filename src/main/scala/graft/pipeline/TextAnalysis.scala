@@ -187,6 +187,48 @@ object TextAnalysis {
   }
 
   /**
+   * C4 heuristic cleaning (Raffel et al. 2020, §2.2 — the line-level
+   * rules [[gopherQuality]]'s document-level measures don't cover). A
+   * line is KEPT iff it ends in terminal punctuation (`.` `!` `?` `"`),
+   * has ≥ `minLineWords` words, and doesn't mention "javascript" (the
+   * enable-JS boilerplate rule). Document-level: any "lorem ipsum" or a
+   * curly brace (code) fails the doc outright; `c4_pass` additionally
+   * requires ≥ `minKeptLines` surviving lines (the ≥3-sentences rule,
+   * line-approximated). Returns per doc:
+   * (id, line_total, lines_kept, kept_ratio, has_lorem_ipsum, has_curly,
+   * c4_pass, clean_text) where clean_text is the kept lines re-joined in
+   * order — the rebuilt document C4 actually trains on.
+   *
+   * Shape at scale: one narrow map per document (array ops over the line
+   * split — no explode, no shuffle at all); kept_ratio rounds to 6 so the
+   * DuckDB oracle replays bit-identically. Null text behaves as "".
+   * (C4's bad-words list is licensing-encumbered and out of scope; its
+   * 3-sentence-span dedup is [[lineDedup]]'s family.)
+   */
+  def c4Filters(df: DataFrame, textCol: String, idCol: String,
+                minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val keep = (l: Column) =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(trim(l), "\\s+"), x => length(x) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, keep)
+    val lc = size(lines).cast(DoubleType)
+    df.select(
+      col(idCol).as("id"),
+      size(lines).cast(LongType).as("line_total"),
+      size(kept).cast(LongType).as("lines_kept"),
+      round(when(lc > 0, size(kept).cast(DoubleType) / lc).otherwise(0.0), 6)
+        .as("kept_ratio"),
+      lower(t).contains("lorem ipsum").as("has_lorem_ipsum"),
+      t.contains("{").as("has_curly"),
+      (size(kept) >= minKeptLines &&
+        !lower(t).contains("lorem ipsum") && !t.contains("{")).as("c4_pass"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /**
    * Gopher repetition filters (Rae et al. 2021, Table A1 — the measures
    * [[gopherQuality]] leaves out because they are gram-shaped, not
    * line-shaped):

@@ -553,6 +553,68 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.getDouble(3)).toSeq === Seq(0.666667, 0.0, 1.0, 0.0))
   }
 
+  test("c4Filters: each line rule and doc rule fires independently") {
+    import spark.implicits._
+    val good = "this sentence has more than five words."
+    val corpus = Seq(
+      (1L, s"$good\nanother proper sentence with enough words here.\nand one more full stop line indeed."),
+      (2L, s"$good\nno terminal punctuation on this line at all"), // line 2 dropped
+      (3L, s"$good\ntoo short."),                                  // < 5 words
+      (4L, s"$good\nplease enable JavaScript to continue reading."), // js rule
+      (5L, s"$good\nlorem ipsum dolor sit amet."),                 // doc fails outright
+      (6L, s"$good\nif (x) { return; } and some words.")           // curly fails doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(corpus, "text", "doc_id", minKeptLines = 2)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 1: all 3 lines kept, passes
+    assert(byId(1L).getLong(2) === 3L && byId(1L).getBoolean(6))
+    // docs 2-4: only the good line survives → below minKeptLines
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(byId(id).getLong(2) === 1L, s"doc $id")
+      assert(byId(id).getString(7) === good, s"doc $id clean_text")
+      assert(!byId(id).getBoolean(6), s"doc $id pass")
+    }
+    // doc 5: lorem flag fails the doc even though 2 lines are kept
+    assert(byId(5L).getBoolean(4) && !byId(5L).getBoolean(6) && byId(5L).getLong(2) === 2L)
+    // doc 6: curly flag fails; the curly line itself still ends in '.'
+    assert(byId(6L).getBoolean(5) && !byId(6L).getBoolean(6))
+    // null text → one empty line, nothing kept, no flags
+    val nul = TextAnalysis.c4Filters(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0)
+    assert(nul.getLong(1) === 1L && nul.getLong(2) === 0L &&
+      !nul.getBoolean(4) && !nul.getBoolean(5) && nul.getString(7) === "")
+  }
+
+  test("crossMinhashPairs: planted benchmark leaks found across frames, none within") {
+    import spark.implicits._
+    docs.count() // register the spec-shared cache before the leak snapshot
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val bench = docs.limit(3).select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+    // corpus contains exact copies of two bench docs (different ids) plus
+    // unrelated documents; within-corpus duplicates must NOT pair
+    val leak = docs.limit(2).select(col("doc_id"), col("text"))
+    val corpus = docs.limit(40)
+    val pairs = Dedup.crossMinhashPairs(corpus, bench, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val leakIds = leak.collect().map(_.getLong(0)).toSet
+    // every planted leak is found at jaccard 1 against its bench twin
+    leakIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 5000000 && p._3 === 1.0),
+        s"missing leak $id; got ${pairs.toSeq}")
+    }
+    // directionality: idA always from corpus, idB always from bench
+    assert(pairs.forall(p => p._2 >= 5000000 && p._1 < 5000000))
+    // nothing pinned after the call except ContextCleaner-owned local
+    // checkpoints (the QueryPostureSpec cache-leak-guard contract)
+    def locallyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.getClass.getMethod("isLocallyCheckpointed").invoke(rdd).asInstanceOf[Boolean]
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before.contains(id) && !locallyCheckpointed(rdd) }
+    assert(leaked.isEmpty, s"leaked: ${leaked.values.mkString("; ")}")
+  }
+
   test("lineDedup: frequent lines drop, order survives, all-boilerplate docs empty") {
     import spark.implicits._
     val boiler = "SUBSCRIBE NOW"
