@@ -1111,6 +1111,28 @@ object Queries {
       },
       Some(pprOracleSql(0.85, 5)))),
 
+    // Betweenness centrality (hop-bounded Brandes, landmark sources — the
+    // Brandes & Pich sampled approximation, the only form that scales) on
+    // the same mod-900 thinned graph as alg_closeness. σ path counts are
+    // exact integers; δ sums round to 4 (the pageRank float contract).
+    // The oracle unrolls the forward σ-levels and backward δ-levels as
+    // MATERIALIZED CTEs — identical DAG semantics level by level.
+    "alg_betweenness" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(900)).cast(StringType).as("dst"))
+        val nz = eb.where(col("src") =!= col("dst"))
+        val landmarks = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id").cast(LongType), lit(9)) === 0)
+        GraphAlgorithms.betweennessCentrality(eb, maxHops = 4,
+            sources = Some(landmarks))
+          .orderBy(col("id").cast(LongType))
+      },
+      Some(betweennessOracleSql(maxHops = 4)))),
+
     // Closeness + harmonic centrality via hop-bounded multi-source BFS on
     // a hash-thinned mod-900 lineitem graph (~1% of pairs kept so
     // distances are non-trivial), in LANDMARK mode — every 9th vertex is
@@ -2576,6 +2598,55 @@ object Queries {
        |  ROUND(coalesce($harmonic, 0.0), 6) AS harmonic
        |FROM verts v LEFT JOIN ag ON v.id = ag.s
        |ORDER BY CAST(v.id AS BIGINT)""".stripMargin
+  }
+
+  /** alg_betweenness oracle: hop-bounded Brandes replayed level by level
+    * — forward CTEs f_i carry (source, vertex, σ) per BFS depth with the
+    * settled-set NOT EXISTS guard (σ only sums over the shortest-path
+    * DAG), backward CTEs b_i fold δ = Σ σ_u/σ_w·(1+δ_w) from the deepest
+    * level inward, kept TOTAL per level via LEFT JOIN + COALESCE. All
+    * MATERIALIZED (each level is read twice — the k-truss CTE lesson). */
+  private def betweennessOracleSql(maxHops: Int): String = {
+    val fwd = new StringBuilder
+    fwd.append(
+      """f0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma FROM lm),
+        |c0 AS MATERIALIZED (SELECT s, v FROM f0)""".stripMargin)
+    for (i <- 1 to maxHops) {
+      fwd.append(s""",
+        |f$i AS MATERIALIZED (SELECT f.s, e.v AS v, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+        |  FROM f${i - 1} f JOIN uec e ON f.v = e.u
+        |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c WHERE c.s = f.s AND c.v = e.v)
+        |  GROUP BY f.s, e.v),
+        |c$i AS MATERIALIZED (SELECT s, v FROM c${i - 1} UNION ALL SELECT s, v FROM f$i)""".stripMargin)
+    }
+    val bwd = new StringBuilder
+    bwd.append(s""",
+      |b$maxHops AS MATERIALIZED (SELECT s, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f$maxHops)""".stripMargin)
+    for (d <- (maxHops - 1) to 1 by -1) {
+      bwd.append(s""",
+        |b$d AS MATERIALIZED (
+        |  SELECT l.s, l.v, l.sigma, COALESCE(a.delta, 0.0) AS delta
+        |  FROM f$d l LEFT JOIN (
+        |    SELECT u.s, u.v, SUM(CAST(u.sigma AS DOUBLE) / w.sigma * (1.0 + w.delta)) AS delta
+        |    FROM f$d u JOIN uec e ON u.v = e.u
+        |    JOIN b${d + 1} w ON w.s = u.s AND w.v = e.v
+        |    GROUP BY u.s, u.v) a ON a.s = l.s AND a.v = l.v)""".stripMargin)
+    }
+    val layers = (1 to maxHops).map(d => s"SELECT v, delta FROM b$d").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey % 900 AS VARCHAR) AS src,
+       |    CAST(l_partkey % 900 AS VARCHAR) AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
+       |uec AS MATERIALIZED (SELECT u, v FROM ue WHERE u <> v),
+       |verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM uec),
+       |lm AS MATERIALIZED (SELECT id FROM verts WHERE CAST(id AS BIGINT) % 9 = 0),
+       |${fwd.toString}${bwd.toString},
+       |alld AS ($layers),
+       |bc AS (SELECT v, SUM(delta) AS b FROM alld GROUP BY v)
+       |SELECT verts.id, CAST(ROUND(COALESCE(bc.b, 0.0), 4) AS DOUBLE) AS betweenness
+       |FROM verts LEFT JOIN bc ON verts.id = bc.v
+       |ORDER BY CAST(verts.id AS BIGINT)""".stripMargin
   }
 
   /** kg_construct oracle: replay chunk → first-match 3-group regex →

@@ -325,6 +325,169 @@ object GraphAlgorithms {
   }
 
   /**
+   * Betweenness centrality, hop-bounded Brandes (parity-plus — the last
+   * classic centrality next to [[pageRank]]/[[closenessCentrality]]):
+   * betweenness(v) = Σ_{s ∈ sources} δ_s(v), where δ is Brandes'
+   * dependency, accumulated over the shortest-path DAG truncated at
+   * `maxHops`. Pass `sources` (landmarks) for the standard sampled
+   * approximation (Brandes & Pich 2007) — exact all-sources betweenness
+   * is O(V·E) and infeasible at corpus scale; the hop bound caps
+   * per-source state exactly like [[closenessCentrality]].
+   *
+   * Distributed shape: forward = the closeness multi-source BFS carrying
+   * a path-count (σ, exact integers — contributions only cross
+   * frontier→new-vertex edges, the BFS DAG); backward = one join +
+   * grouped sum per depth level from the deepest layer inward, each level
+   * localCheckpointed. Both directions are O(maxHops) equi-join shuffles
+   * on (s, v) — no all-pairs state.
+   *
+   * δ sums are data-ordered doubles, so the result contract is
+   * round-to-4 (the pageRank precedent: ~1e-13 cross-engine drift vs a
+   * 5e-5 rounding margin). Adaptive: ≤ `localThreshold` oriented edges →
+   * driver-side Brandes sweep, parity spec-asserted via
+   * `localThreshold = 0`.
+   */
+  def betweennessCentrality(edges: DataFrame, maxHops: Int = 6,
+                            undirected: Boolean = true,
+                            sources: Option[DataFrame] = None,
+                            localThreshold: Long = 10000000L): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localThreshold) {
+      val out = localBetweenness(e, maxHops, sources)
+      e.unpersist()
+      return out
+    }
+    val verts = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct().localCheckpoint(true)
+    val srcs = sources.map(_.select(col("id"))).getOrElse(verts).localCheckpoint(true)
+
+    // forward: layers of (s, v, sigma) — sigma only ever sums over edges
+    // from the previous frontier into unsettled vertices (the BFS DAG)
+    var frontier = srcs.select(col("id").as("s"), col("id").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var settled = frontier.select(col("s"), col("v")).localCheckpoint(true)
+    var layers = Vector(frontier) // index == dist
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      val nf = frontier.select(col("s"), col("v").as("u"), col("sigma"))
+        .join(e, Seq("u"))
+        .select(col("s"), col("v"), col("sigma"))
+        .groupBy("s", "v").agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      if (nf.isEmpty) done = true
+      else {
+        h += 1
+        settled = settled.unionByName(nf.select(col("s"), col("v"))).localCheckpoint(true)
+        layers = layers :+ nf
+        frontier = nf
+      }
+    }
+    e.unpersist()
+
+    // backward: δ at the deepest layer is 0; each shallower layer sums
+    // σ_u/σ_w · (1 + δ_w) over its DAG successors, kept TOTAL per layer
+    // (left join + coalesce — a vertex with no successors still carries
+    // δ = 0 into the next step's (1 + δ) term)
+    val maxD = layers.length - 1
+    var bw = layers(maxD).select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    var acc = List(bw)
+    for (d <- (maxD - 1) to 1 by -1) {
+      val ld = layers(d)
+      val contrib = ld.select(col("s"), col("v").as("u"), col("sigma"))
+        .join(e, Seq("u"))
+        .select(col("s"), col("u"), col("v"), col("sigma"))
+        .join(bw.select(col("s"), col("v"),
+          col("sigma").as("sigmaW"), col("delta").as("deltaW")), Seq("s", "v"))
+        .groupBy("s", "u")
+        .agg(sum(col("sigma").cast("double") / col("sigmaW").cast("double")
+          * (lit(1.0) + col("deltaW"))).as("delta"))
+      bw = ld.join(contrib.select(col("s"), col("u").as("v"), col("delta")),
+          Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      acc = bw :: acc
+    }
+    val allDelta =
+      if (maxD == 0) verts.limit(0).select(col("id").as("v"), lit(0.0).as("delta"))
+      else acc.map(_.select(col("v"), col("delta"))).reduce(_ unionByName _)
+    val bc = allDelta.groupBy("v").agg(sum(col("delta")).as("b"))
+    verts.join(bc, verts("id") === bc("v"), "left")
+      .select(col("id"), round(coalesce(col("b"), lit(0.0)), 4).as("betweenness"))
+  }
+
+  /** Driver-side hop-bounded Brandes for [[betweennessCentrality]]'s
+    * small regime: per source, BFS to maxHops building σ and the visit
+    * order, then dependency accumulation in reverse visit order over
+    * in-neighbor predecessor checks — identical DAG semantics to the
+    * distributed level-by-level form. */
+  private def localBetweenness(e: DataFrame, maxHops: Int,
+                               sources: Option[DataFrame]): DataFrame = {
+    val spark = e.sparkSession
+    val dt = e.schema("u").dataType
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val pairs = e.collect().map(r => (intern(r.get(0)), intern(r.get(1))))
+    val n = ids.length
+    val outAdj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val inAdj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    pairs.foreach { case (u, v) => outAdj(u) += v; inAdj(v) += u }
+    val srcList: Seq[Int] = sources match {
+      case Some(df) => df.select(col("id")).collect().map(_.get(0))
+        .flatMap(idx.get).toSeq
+      case None => 0 until n
+    }
+    val bc = new Array[Double](n)
+    val dist = Array.fill(n)(-1)
+    val sigma = new Array[Long](n)
+    val delta = new Array[Double](n)
+    val order = new Array[Int](n)
+    srcList.foreach { s =>
+      java.util.Arrays.fill(dist, -1)
+      java.util.Arrays.fill(sigma, 0L)
+      java.util.Arrays.fill(delta, 0.0)
+      var head = 0; var tail = 0
+      dist(s) = 0; sigma(s) = 1L
+      order(tail) = s; tail += 1
+      while (head < tail) {
+        val u = order(head); head += 1
+        if (dist(u) < maxHops) {
+          outAdj(u).foreach { v =>
+            if (dist(v) < 0) { dist(v) = dist(u) + 1; order(tail) = v; tail += 1 }
+            if (dist(v) == dist(u) + 1) sigma(v) += sigma(u)
+          }
+        }
+      }
+      var i = tail - 1
+      while (i > 0) { // reverse visit order; order(0) == s is skipped
+        val w = order(i)
+        inAdj(w).foreach { u =>
+          if (dist(u) == dist(w) - 1)
+            delta(u) += sigma(u).toDouble / sigma(w).toDouble * (1.0 + delta(w))
+        }
+        bc(w) += delta(w)
+        i -= 1
+      }
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (0 until n).map(i => org.apache.spark.sql.Row(ids(i), round4(bc(i))))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("betweenness", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
    * Weighted shortest paths, hop-bounded Bellman–Ford (parity-plus, the
    * weighted sibling of [[shortestPaths]]): after k iterations `dist` is
    * exactly the minimum path weight over paths of ≤ k hops. Each

@@ -181,6 +181,14 @@ object Procedures {
     GraphAlgorithms.closenessCentrality(g.edges, maxHops)
   })
 
+  /** Parity-plus centrality: CALL graft.betweenness([maxHops]) —
+    * (id, betweenness) by hop-bounded Brandes, all sources, undirected
+    * expansion (see [[GraphAlgorithms.betweennessCentrality]]). */
+  register("graft.betweenness", (g, args) => {
+    val maxHops = args.headOption.map(num(_, "maxHops").toInt).getOrElse(6)
+    GraphAlgorithms.betweennessCentrality(g.edges, maxHops)
+  })
+
   /** Reference `ktop`: CALL graft.kafkaTopics() — distinct Kafka topic
     * names across catalog graphs registered with kafka:<topic> source
     * paths (frontend `kafka_topics_command`). */

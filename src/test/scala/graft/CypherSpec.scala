@@ -310,6 +310,10 @@ class CypherSpec extends SparkSpec {
     val egoBuiltin = Cypher.run(g,
       "CALL graft.egonet('10') YIELD src, dst RETURN src, dst").count()
     assert(egoBuiltin > 0)
+    val bt = Cypher.run(g,
+      "CALL graft.betweenness(4) YIELD id, betweenness " +
+        "RETURN id, betweenness ORDER BY betweenness DESC LIMIT 1").collect()
+    assert(bt.length === 1 && bt(0).getDouble(1) >= 0.0)
 
     // user-registered procedure
     Procedures.register("test.ego", (pg, args) =>

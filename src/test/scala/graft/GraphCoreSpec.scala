@@ -374,6 +374,42 @@ class GraphCoreSpec extends SparkSpec {
     assert(dist === h2)
   }
 
+  test("betweennessCentrality: hand-checked path + star, adaptive parity") {
+    import spark.implicits._
+    // path 1-2-3-4 (undirected). Convention: every ordered (s, t) pair
+    // counts (both directions — the all-sources directed sum, no /2).
+    // Ordered shortest paths THROUGH 2 (2 not an endpoint): 1→3, 1→4,
+    // 3→1, 4→1 → bc(2) = 4; through 3 symmetric → 4.
+    val path = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    val bc = GraphAlgorithms.betweennessCentrality(path, maxHops = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bc === Map("1" -> 0.0, "2" -> 4.0, "3" -> 4.0, "4" -> 0.0))
+    // star: center on every pair path — K leaves → K·(K−1) ordered pairs
+    val star = Seq(("c", "a"), ("c", "b"), ("c", "d")).toDF("src", "dst")
+    val bs = GraphAlgorithms.betweennessCentrality(star, maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bs === Map("c" -> 6.0, "a" -> 0.0, "b" -> 0.0, "d" -> 0.0))
+    // tie split: square 1-2-4-3-1; two shortest 1→4 paths (via 2, via 3)
+    // → δ contribution 0.5 each; bc(2) = 0.5 (s=1) + 0.5 (s=4) = 1
+    val square = Seq(("1", "2"), ("2", "4"), ("1", "3"), ("3", "4")).toDF("src", "dst")
+    val bq = GraphAlgorithms.betweennessCentrality(square, maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bq === Map("1" -> 1.0, "2" -> 1.0, "3" -> 1.0, "4" -> 1.0))
+    // hop bound truncates: maxHops=1 sees no intermediate vertices
+    val b1 = GraphAlgorithms.betweennessCentrality(path, maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b1.values.forall(_ === 0.0))
+    // adaptive parity: the distributed level-by-level form matches the
+    // driver-side Brandes sweep row-for-row (sources subset included)
+    val lm = Seq("1", "3").toDF("id")
+    val loc = GraphAlgorithms.betweennessCentrality(square, maxHops = 4,
+      sources = Some(lm)).collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val dist = GraphAlgorithms.betweennessCentrality(square, maxHops = 4,
+      sources = Some(lm), localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(dist === loc)
+  }
+
   test("personalizedPageRank: mass restarts at the source only") {
     import spark.implicits._
     val nodes = Seq("1", "2", "3").toDF("id")
