@@ -1745,6 +1745,24 @@ object Queries {
       },
       Some(lineDedupOracleSql(minDocFreq = 5)))),
 
+    // C4 three-sentence-span dedup: docs are framed into sentences
+    // (breaks at ' table ') and every doc gets the same 4-sentence
+    // boilerplate tail, so its 3-sentence spans repeat corpus-wide —
+    // only the globally-first occurrence (min doc, pos) keeps them. The
+    // rebuilt text is oracled verbatim.
+    "doc_span_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val framed = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            call_function("replace", coalesce(col("text"), lit("")),
+              lit(" table "), lit(". table ")),
+            lit(". one shared sentence alpha. two shared sentence beta" +
+              ". three shared sentence gamma. four shared sentence delta."))
+            .as("framed"))
+        TextAnalysis.spanDedup(framed, "framed", "doc_id").orderBy(col("id"))
+      },
+      Some(spanDedupOracleSql))),
+
     // The driver's embeddings are near-orthogonal random vectors (zero
     // true pairs at cosine ≥ 0.6), so the dedup corpus plants
     // deterministic near-duplicates: every 5th vector re-scaled
@@ -2306,6 +2324,47 @@ object Queries {
        |    AND NOT contains(t, '{')) AS c4_pass,
        |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
        |FROM k ORDER BY doc_id""".stripMargin
+
+  /** doc_span_dedup oracle: identical framing, '.'-split sentences with
+    * re-indexed adjacency, lead()-window span assembly, global
+    * first-occurrence rank per span string (ROW_NUMBER over (doc, pos) —
+    * rn ≥ 2 marks its sentences), ordered rebuild of survivors. */
+  private def spanDedupOracleSql: String =
+    s"""WITH framed AS (SELECT doc_id,
+       |  replace(COALESCE(text, ''), ' table ', '. table ') ||
+       |  '. one shared sentence alpha. two shared sentence beta' ||
+       |  '. three shared sentence gamma. four shared sentence delta.' AS t
+       |  FROM documents),
+       |rawseg AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    trim(ss[CAST(i AS INTEGER)]) AS s
+       |  FROM (SELECT doc_id, string_split(t, '.') AS ss FROM framed),
+       |    UNNEST(range(1, len(ss) + 1)) u(i)),
+       |seg AS (SELECT doc_id, pos, s FROM rawseg WHERE length(s) > 0),
+       |sent AS MATERIALIZED (SELECT doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS sidx, s
+       |  FROM seg),
+       |sp AS MATERIALIZED (SELECT doc_id, sidx, s || '.' || l1 || '.' || l2 AS span
+       |  FROM (SELECT doc_id, sidx, s,
+       |      LEAD(s, 1) OVER (PARTITION BY doc_id ORDER BY sidx) AS l1,
+       |      LEAD(s, 2) OVER (PARTITION BY doc_id ORDER BY sidx) AS l2
+       |    FROM sent)
+       |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+       |rk AS (SELECT doc_id, sidx,
+       |  ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, sidx) AS rn FROM sp),
+       |marked AS (SELECT DISTINCT doc_id, sidx + d AS sidx
+       |  FROM rk, UNNEST([0, 1, 2]) t(d) WHERE rn >= 2),
+       |kepts AS (SELECT s.doc_id, s.sidx, s.s FROM sent s
+       |  LEFT JOIN marked m ON s.doc_id = m.doc_id AND s.sidx = m.sidx
+       |  WHERE m.doc_id IS NULL),
+       |agg AS (SELECT doc_id, string_agg(s, '. ' ORDER BY sidx) AS text,
+       |  COUNT(*) AS kept FROM kepts GROUP BY 1),
+       |tot AS (SELECT doc_id, COUNT(*) AS total FROM sent GROUP BY 1)
+       |SELECT d.doc_id AS id, COALESCE(agg.text, '') AS text,
+       |  CAST(COALESCE(tot.total, 0) - COALESCE(agg.kept, 0) AS BIGINT) AS removed
+       |FROM documents d
+       |LEFT JOIN tot ON tot.doc_id = d.doc_id
+       |LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |ORDER BY id""".stripMargin
 
   /** Line-dedup oracle: identical framing, line split with position,
     * distinct-document line frequency, ordered rebuild of survivors. */

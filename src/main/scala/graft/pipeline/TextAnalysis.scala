@@ -511,4 +511,69 @@ object TextAnalysis {
         coalesce(col("__text"), lit("")).as("text"),
         (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("removed"))
   }
+
+  /**
+   * C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we removed
+   * all but one of any three-sentence span occurring more than once") —
+   * the cross-document complement of [[lineDedup]]'s per-line frequency
+   * pass. Sentences are '.'-delimited segments (trimmed, empties
+   * dropped); every `spanSentences`-sentence sliding window is ranked
+   * globally by first occurrence (doc id, then position), and every
+   * occurrence after the first marks its sentences for removal. The
+   * document is rebuilt from surviving sentences joined with ". " — the
+   * kept text a C4 pipeline trains on. Returns (id, text, removed).
+   *
+   * Shape at scale: one sentence explode, one lead() window per doc for
+   * span assembly, ONE shuffle on the span hash for the global
+   * first-occurrence rank, a tiny marked-set explode, and the ordered
+   * rebuild aggregate — linear in corpus sentences, never quadratic.
+   * Determinism: the "first" occurrence is min (id, position) — total
+   * order, no data-order dependence anywhere.
+   */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                spanSentences: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanSentences >= 2, s"spanSentences must be >= 2: $spanSentences")
+    val segs = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\\.")).as(Seq("pos", "s0")))
+      .select(col("id"), col("pos"), trim(col("s0")).as("s"))
+      .where(length(col("s")) > 0)
+    // re-index surviving sentences so spans are over ADJACENT sentences
+    val w = Window.partitionBy("id").orderBy("pos")
+    val sent = segs.withColumn("sidx", row_number().over(w) - 1).drop("pos")
+    val withLeads = (1 until spanSentences).foldLeft(sent.withColumn("span", col("s"))) {
+      (d, i) =>
+        // '.' as the span separator cannot appear inside a sentence
+        // segment (sentences are the '.'-split), so distinct sentence
+        // triples never concatenate to the same span string
+        d.withColumn("span", concat_ws(".", col("span"), lead(col("s"), i).over(
+          Window.partitionBy("id").orderBy("sidx"))))
+          .withColumn(s"ok$i", lead(col("s"), i).over(
+            Window.partitionBy("id").orderBy("sidx")).isNotNull)
+    }
+    val okAll = (1 until spanSentences).map(i => col(s"ok$i")).reduce(_ && _)
+    val spans = withLeads.where(okAll)
+      .select(col("id"), col("sidx"), xxhash64(col("span")).as("h"))
+    // global first-occurrence rank per span; rank >= 2 → remove sentences
+    val ranked = spans.withColumn("rn",
+      row_number().over(Window.partitionBy("h").orderBy(col("id"), col("sidx"))))
+    val marked = ranked.where(col("rn") >= 2)
+      .select(col("id"), explode(sequence(col("sidx"),
+        col("sidx") + lit(spanSentences - 1))).as("sidx"))
+      .distinct()
+    val kept = sent.join(marked, Seq("id", "sidx"), "left_anti")
+      .groupBy("id")
+      .agg(
+        concat_ws(". ",
+          transform(array_sort(collect_list(struct(col("sidx"), col("s")))), _.getField("s")))
+          .as("__text"),
+        count(lit(1)).as("__kept"))
+    val totals = sent.groupBy("id").agg(count(lit(1)).as("__total"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__text"), lit("")).as("text"),
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("removed"))
+  }
 }

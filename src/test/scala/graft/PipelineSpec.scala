@@ -615,6 +615,34 @@ class PipelineSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked: ${leaked.values.mkString("; ")}")
   }
 
+  test("spanDedup: first occurrence survives, later spans removed, rebuild ordered") {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-sentence span (b, c, d); doc 1 is first
+    // (min id) and keeps it; doc 2 loses b, c, d but keeps its unique
+    // sentences around them — rebuild preserves original order
+    val corpus = Seq(
+      (1L, "a. b. c. d. e."),
+      (2L, "x. b. c. d. y."),
+      (3L, "p. q.") // too short for any span — untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(corpus, "text", "doc_id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, "a. b. c. d. e", 0L)))
+    assert(out(1) === ((2L, "x. y", 3L)))
+    assert(out(2) === ((3L, "p. q", 0L)))
+    // within-document repeat: the second occurrence of the span is
+    // removed even inside the same doc
+    val selfDup = Seq((7L, "s1. s2. s3. zz. s1. s2. s3."))
+      .toDF("doc_id", "text")
+    val sd = TextAnalysis.spanDedup(selfDup, "text", "doc_id").collect()(0)
+    assert(sd.getString(1) === "s1. s2. s3. zz" && sd.getLong(2) === 3L)
+    // null text → ("", 0)
+    val nul = TextAnalysis.spanDedup(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0)
+    assert(nul.getString(1) === "" && nul.getLong(2) === 0L)
+  }
+
   test("lineDedup: frequent lines drop, order survives, all-boilerplate docs empty") {
     import spark.implicits._
     val boiler = "SUBSCRIBE NOW"
