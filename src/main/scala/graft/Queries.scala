@@ -888,6 +888,24 @@ object Queries {
              |  ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS TINYINT)) END AS codes
              |FROM embeddings ORDER BY vec_id""".stripMargin))),
 
+    // Product-quantization ADC search (Jégou et al. 2011): m=4 subspaces
+    // × k=8 codewords seeded from the 8 smallest-id vectors (iters=0 —
+    // the codebook an independent engine reconstructs from the data
+    // alone), exact-arithmetic oracle: squared-L2 folds are in-order
+    // both engines, the argmin tie-breaks by code, and the ADC total is
+    // an explicit left-associated 4-term add, never a data-ordered SUM.
+    "emb_pq_adc" -> ((
+      (s: SparkSession, d: String) => {
+        val embs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cb = Similarity.pqTrain(embs, "vec_id", "embedding", m = 4, k = 8)
+        val codes = Similarity.pqEncode(embs, "vec_id", "embedding", cb, m = 4)
+        val queries = embs.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.pqSearch(codes, cb, queries, "qid", "qvec", m = 4, topK = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(pqAdcOracleSql(m = 4, k = 8, dim = 64, topK = 10)))),
+
     "alg_knn_cosine" -> ((
       (s: SparkSession, d: String) => {
         val embs = t(s, d, "embeddings")
@@ -2265,6 +2283,51 @@ object Queries {
        |LEFT JOIN tot ON tot.doc_id = c.doc_id
        |LEFT JOIN hit ON hit.doc_id = c.doc_id
        |ORDER BY id""".stripMargin
+  }
+
+  /** emb_pq_adc oracle: PQ replayed end to end — seed codebook from the
+    * k smallest ids, per-subspace argmin codes (squared-L2 via an
+    * in-order list fold, ties → smallest code), per-query LUT, ADC as an
+    * explicit left-associated m-term add. Every float op is the same
+    * IEEE op in the same order as the Spark side. */
+  private def pqAdcOracleSql(m: Int, k: Int, dim: Int, topK: Int): String = {
+    val sd = dim / m
+    val sqd = (a: String, b: String) =>
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    val codeCols = (0 until m)
+      .map(j => s"MAX(CASE WHEN sub = $j THEN code END) AS c$j").mkString(",\n    ")
+    val lutJoins = (0 until m).map { j =>
+      val extra = if (j == 0) "" else " AND l$j.qid = l0.qid".replace("$j", j.toString)
+      s"JOIN lut l$j ON l$j.sub = $j AND l$j.code = cp.c$j$extra"
+    }.mkString("\n  ")
+    val adc = (1 until m).foldLeft("l0.pd")((acc, j) => s"($acc + l$j.pd)")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |seeds AS MATERIALIZED (SELECT vec, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT $k)),
+       |cb AS MATERIALIZED (SELECT CAST(j AS INTEGER) AS sub, code,
+       |    vec[CAST(j AS INTEGER)*$sd + 1 : CAST(j AS INTEGER)*$sd + $sd] AS cvec
+       |  FROM seeds, UNNEST(range(0, $m)) t(j)),
+       |sv AS MATERIALIZED (SELECT vec_id, CAST(j AS INTEGER) AS sub,
+       |    vec[CAST(j AS INTEGER)*$sd + 1 : CAST(j AS INTEGER)*$sd + $sd] AS svec
+       |  FROM c, UNNEST(range(0, $m)) t(j)),
+       |dist AS (SELECT sv.vec_id, sv.sub, cb.code, ${sqd("sv.svec", "cb.cvec")} AS dd
+       |  FROM sv JOIN cb ON sv.sub = cb.sub),
+       |codes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |cp AS MATERIALIZED (SELECT vec_id,
+       |    $codeCols
+       |  FROM codes GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS qid, sub, svec FROM sv WHERE vec_id < 5),
+       |lut AS MATERIALIZED (SELECT qs.qid, qs.sub, cb.code, ${sqd("qs.svec", "cb.cvec")} AS pd
+       |  FROM qs JOIN cb ON qs.sub = cb.sub),
+       |scored AS (SELECT l0.qid, cp.vec_id, $adc AS adc
+       |  FROM cp
+       |  $lutJoins),
+       |rk AS (SELECT qid, vec_id, adc,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM scored)
+       |SELECT qid, vec_id AS id, CAST(ROUND(adc, 6) AS DOUBLE) AS adc, rank
+       |FROM rk WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
   }
 
   /** doc_fuzzy_contamination oracle: EXACT cross-side all-pairs shingle

@@ -36,4 +36,10 @@ package object functions {
   def vecL2Dist(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.sqrt(
       column(ArraySqDiff(ColumnBridge.expression(a), ColumnBridge.expression(b))))
+
+  /** Σ (aᵢ−bᵢ)² (squared L2, no sqrt — the PQ/argmin form: sqrt is
+    * monotone, so comparisons are identical and one IEEE op fewer has
+    * one fewer rounding to replay), codegen'd. */
+  def vecSqDiff(a: Column, b: Column): Column =
+    column(ArraySqDiff(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -199,6 +199,147 @@ object Similarity {
       .select(col("qid"), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  // ----- product quantization (PQ) ----------------------------------------
+
+  /**
+   * PQ codebook: `k` codewords per each of `m` subspaces — (sub, code,
+   * cvec) with |cvec| = dim/m. Product quantization (Jégou et al. 2011)
+   * is the compressed-domain ANN complement of [[knnIvf]]: vectors store
+   * as m small codes (m bytes at k ≤ 256 vs 4·dim float32) and queries
+   * scan codes with a per-query lookup table instead of touching raw
+   * vectors.
+   *
+   * Deterministic seeding: the k smallest-id vectors' subvectors —
+   * `iters = 0` (the default) keeps the codebook EXACTLY these seeds,
+   * which an independent engine can reconstruct from the data alone (the
+   * oracle-replayable mode, like [[trainCentroids]]' seeding contract).
+   * `iters > 0` refines per-subspace with standard L2 Lloyd steps
+   * (production mode, spec-tested rather than oracled).
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int = 0): DataFrame = {
+    require(m > 0 && k > 0, s"m and k must be positive: m=$m k=$k")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast(DoubleType)).as("vec"))
+    val dim = base.select(size(col("vec")).as("d")).where(col("d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqTrain: no non-empty vectors"))
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    val seeds = base.where(size(col("vec")) === dim).orderBy("id").limit(k).collect()
+    require(seeds.length == k, s"pqTrain: need k=$k seed vectors, found ${seeds.length}")
+    val rows = for {
+      (r, code) <- seeds.zipWithIndex.toSeq
+      j <- 0 until m
+    } yield org.apache.spark.sql.Row(j, code,
+      r.getSeq[Double](1).slice(j * sd, (j + 1) * sd))
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType), nullable = false)))
+    var cb = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    if (iters > 0) {
+      val subs = subspaceExplode(base, dim, m, sd).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 1 to iters) {
+        val assigned = subs.join(broadcast(cb), Seq("sub"))
+          .withColumn("dist", graft.functions.vecSqDiff(col("svec"), col("cvec")))
+          .groupBy("id", "sub")
+          .agg(min(struct(col("dist"), col("code"), col("svec"))).as("best"))
+          .select(col("sub"), col("best.code").as("code"), col("best.svec").as("svec"))
+        val means = assigned
+          .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("pos", "x")))
+          .groupBy("sub", "code", "pos").agg(avg(col("x")).as("mx"))
+          .groupBy("sub", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+            _.getField("mx")).as("cvec"))
+        // empty codes keep their previous codeword
+        cb = cb.select(col("sub"), col("code"), col("cvec").as("prev"))
+          .join(means, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"), coalesce(col("cvec"), col("prev")).as("cvec"))
+          .localCheckpoint(true)
+      }
+      subs.unpersist()
+    }
+    cb
+  }
+
+  /** (id, sub, svec) — every vector split into its m subvectors. */
+  private def subspaceExplode(base: DataFrame, dim: Int, m: Int, sd: Int): DataFrame = {
+    val subCols = array((0 until m).map(j =>
+      struct(lit(j).as("sub"), slice(col("vec"), j * sd + 1, sd).as("svec"))): _*)
+    base.where(size(col("vec")) === dim)
+      .select(col("id"), explode(subCols).as("ss"))
+      .select(col("id"), col("ss.sub").as("sub"), col("ss.svec").as("svec"))
+  }
+
+  /**
+   * PQ encoding: (id, codes) where codes[j] is the index of subspace j's
+   * nearest codeword by squared L2 (ties → smallest code). One subspace
+   * explode + one broadcast codebook join + one argmin aggregate —
+   * linear in corpus size, the compressed representation a 100 TB
+   * corpus persists instead of raw vectors.
+   */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast(DoubleType)).as("vec"))
+    val dim = base.select(size(col("vec")).as("d")).where(col("d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(1)
+    val sd = dim / m
+    subspaceExplode(base, dim, m, sd)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist", graft.functions.vecSqDiff(col("svec"), col("cvec")))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
+        _.getField("code")).as("codes"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k search over PQ codes: per query, a
+   * lookup table pd[sub][code] = ‖q_sub − codeword‖² is built against
+   * the broadcast codebook (m·k doubles per query), then every encoded
+   * vector scores as the FIXED-ORDER sum pd[0][c0] + pd[1][c1] + … —
+   * m broadcast map-joins and explicit left-associated adds, so the
+   * approximate distance replays bit-identically cross-engine (a grouped
+   * SUM over subspace rows would be data-ordered). Returns
+   * (qid, id, adc, rank ≤ topK), adc ascending, ties by id.
+   */
+  def pqSearch(codes: DataFrame, codebook: DataFrame,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               m: Int, topK: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"),
+      transform(col(qvecCol), _.cast(DoubleType)).as("vec"))
+    val dim = q.select(size(col("vec")).as("d")).where(col("d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(1)
+    val sd = dim / m
+    val qsubs = subspaceExplode(q.withColumnRenamed("qid", "id"), dim, m, sd)
+      .withColumnRenamed("id", "qid")
+    val lut = qsubs.join(broadcast(codebook), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        graft.functions.vecSqDiff(col("svec"), col("cvec")).as("pd"))
+    // per-sub LUT slices joined one by one: codes[j] (0-based) is looked
+    // up in sub j's slice; adds left-associate in subspace order
+    var joined = codes.crossJoin(broadcast(lut.select(col("qid")).distinct()))
+    for (j <- 0 until m) {
+      val slice = lut.where(col("sub") === j)
+        .select(col("qid").as(s"__q$j"), col("code").as(s"__c$j"), col("pd").as(s"__pd$j"))
+      joined = joined.join(broadcast(slice),
+        col("qid") === col(s"__q$j") &&
+          element_at(col("codes"), j + 1) === col(s"__c$j"))
+        .drop(s"__q$j", s"__c$j")
+    }
+    val adc = (0 until m).map(j => col(s"__pd$j")).reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("id").asc)
+    joined.withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("id"), round(col("adc"), 6).as("adc"), col("rank"))
+  }
+
   /**
    * Multi-hop semantic beam search (reference `sbs`,
    * `SemanticBeamSearch.h:36-62`): seed = top-beamWidth nodes by embedding

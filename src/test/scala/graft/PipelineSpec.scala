@@ -372,6 +372,44 @@ class PipelineSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("pq: codes bounded, seed queries score zero, Lloyd refinement shrinks error") {
+    import spark.implicits._
+    val m = 4; val k = 4
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding", m, k)
+    assert(cb.count() === (m * k).toLong)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb, m)
+    val all = codes.collect()
+    assert(all.length === corpus.count())
+    all.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === m && cs.forall(c => c >= 0 && c < k))
+    }
+    // a SEED vector's subvectors are themselves codewords → ADC distance
+    // to itself is exactly 0 and it ranks first for its own query
+    val seedId = corpus.agg(min("vec_id")).collect()(0).getLong(0)
+    val q = corpus.where(col("vec_id") === seedId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Similarity.pqSearch(codes, cb, q, "qid", "qvec", m, topK = 3)
+      .orderBy("rank").collect()
+    assert(res(0).getLong(1) === seedId && res(0).getDouble(2) === 0.0)
+    // Lloyd refinement: mean quantization error never increases
+    def qErr(book: org.apache.spark.sql.DataFrame): Double = {
+      val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", book, m)
+      val base = corpus.select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      enc.join(base, Seq("id"))
+        .select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(base, Seq("id"))
+        .join(book, Seq("sub", "code"))
+        .select(graft.functions.vecSqDiff(
+          slice(col("vec"), col("sub") * 16 + 1, lit(16)), col("cvec")).as("e"))
+        .agg(avg("e")).collect()(0).getDouble(0)
+    }
+    val cbT = Similarity.pqTrain(corpus, "vec_id", "embedding", m, k, iters = 3)
+    assert(qErr(cbT) <= qErr(cb) + 1e-12)
+  }
+
   test("quantizeInt8: codes bounded, round-trip error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
