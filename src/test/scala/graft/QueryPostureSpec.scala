@@ -147,6 +147,33 @@ class QueryPostureSpec extends SparkSpec {
       s"persisted RDDs leaked: ${leaked.values.map(_.toString).mkString("; ")}")
   }
 
+  test("link prediction: wedge equi-joins only — no cartesian, no nested loop") {
+    val p = plan("alg_linkpred")
+    // candidate generation must stay the wedge self-join on the middle
+    // vertex (Σdeg² bound); a cartesian/all-pairs product is the scale
+    // failure this operator exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"linkPrediction produced a product:\n$p")
+  }
+
+  test("c4 filters: a pure narrow map — zero exchanges") {
+    // the OPERATOR (not the bench query, whose ORDER BY adds a range
+    // exchange) must be a single narrow projection over the scan
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.pipeline.TextAnalysis.c4Filters(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"c4Filters should not shuffle at all:\n$p")
+  }
+
+  test("pq search: codebook and LUT sides broadcast; no shuffled join") {
+    val p = plan("emb_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), s"pqSearch lost its broadcast LUT joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pqSearch shuffles the corpus for a k×m lookup table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pqSearch has a cartesian:\n$p")
+  }
+
   test("dedup family leaves no persisted RDDs behind (cache-leak guard)") {
     // VERDICT r7: minhashPairs/verifyJaccard/ngramJaccardPairs persisted
     // intermediates for the session lifetime. The eager default now
