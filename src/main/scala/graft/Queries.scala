@@ -1151,6 +1151,27 @@ object Queries {
       },
       Some(betweennessOracleSql(maxHops = 4)))),
 
+    // Deterministic random walks (the DeepWalk/node2vec corpus
+    // generator) on the mod-900 graph with BIGINT vertex ids (so both
+    // engines rank adjacency numerically): every 9th vertex starts one
+    // 8-step walk; each step's choice is the pure-integer LCG of
+    // (walk id, step) — replayable in plain SQL, no RNG state.
+    "alg_random_walks" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        val nz = eb.where(col("src") =!= col("dst"))
+        val starts = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id"), lit(9)) === 0)
+          .select(col("id").as("wid"), col("id"))
+        GraphAlgorithms.randomWalks(eb, starts, steps = 8)
+          .orderBy(col("wid"), col("step"))
+      },
+      Some(randomWalksOracleSql(steps = 8)))),
+
     // Closeness + harmonic centrality via hop-bounded multi-source BFS on
     // a hash-thinned mod-900 lineitem graph (~1% of pairs kept so
     // distances are non-trivial), in LANDMARK mode — every 9th vertex is
@@ -2769,6 +2790,33 @@ object Queries {
        |SELECT verts.id, CAST(ROUND(COALESCE(bc.b, 0.0), 4) AS DOUBLE) AS betweenness
        |FROM verts LEFT JOIN bc ON verts.id = bc.v
        |ORDER BY CAST(verts.id AS BIGINT)""".stripMargin
+  }
+
+  /** alg_random_walks oracle: the ranked adjacency and the per-step LCG
+    * draw replayed step by step as chained MATERIALIZED CTEs — all
+    * positive-integer arithmetic, identical mod semantics both engines. */
+  private def randomWalksOracleSql(steps: Int): String = {
+    val chain = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT w.wid, a.v FROM w${t - 1} w
+         |  JOIN dg ON dg.u = w.v
+         |  JOIN adj a ON a.u = w.v AND a.rk =
+         |    ((1103515245 * (w.wid * 1000003 + $t * 101) + 12345) % 2147483647) % dg.d + 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT wid, $t AS step, v AS id FROM w$t").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
+       |uec AS MATERIALIZED (SELECT u, v FROM ue WHERE u <> v),
+       |adj AS MATERIALIZED (SELECT u, v,
+       |  ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk FROM uec),
+       |dg AS MATERIALIZED (SELECT u, MAX(rk) AS d FROM adj GROUP BY u),
+       |w0 AS MATERIALIZED (SELECT DISTINCT u AS wid, u AS v FROM uec WHERE u % 9 = 0),
+       |$chain
+       |SELECT wid, step, id FROM (
+       |  $union)
+       |ORDER BY wid, step""".stripMargin
   }
 
   /** kg_construct oracle: replay chunk → first-match 3-group regex →

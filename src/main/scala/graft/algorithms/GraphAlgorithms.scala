@@ -488,6 +488,57 @@ object GraphAlgorithms {
   }
 
   /**
+   * Deterministic random walks — the training-corpus generator for
+   * DeepWalk/node2vec-style graph embeddings (parity-plus: the
+   * reference's GCN pipeline consumes exported edge frames,
+   * `src_python/fl_client.py`; walk corpora are the other standard
+   * graph-representation input). Every step's neighbor choice is a pure
+   * integer LCG of (walk id, step) — (1103515245·(wid·1000003 + t·101)
+   * + 12345) mod 2³¹−1, then mod degree — so the same walks come out of
+   * ANY engine: no RNG state, no seed files, replayable in plain SQL.
+   *
+   * `starts` is (wid LONG, id) — one row per walk. Returns
+   * (wid, step, id) for steps 0..`steps`; a walk that reaches a vertex
+   * with no outgoing edges (possible only in directed mode) ends early.
+   *
+   * Shape at scale: the ranked adjacency (one row_number window over the
+   * edge list, persisted) is built once; each step is ONE equi-join of
+   * the walk frontier against it on (vertex, chosen-rank) — walk state
+   * never exceeds |starts| rows, localCheckpointed per step.
+   */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                  undirected: Boolean = true): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .where(col("u") =!= col("v")).distinct()
+    val adj = e.withColumn("rk",
+        row_number().over(Window.partitionBy("u").orderBy("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("u").agg(max(col("rk")).as("d"))
+    val adjD = adj.join(deg, Seq("u"))
+    var cur = starts.select(col("wid").cast("long").as("wid"), col("id").as("v"))
+      .localCheckpoint(true)
+    var out = cur.select(col("wid"), lit(0).as("step"), col("v").as("id"))
+    for (t <- 1 to steps) {
+      val draw = pmod(
+        lit(1103515245L) * (col("wid") * lit(1000003L) + lit(t.toLong) * lit(101L))
+          + lit(12345L), lit(2147483647L))
+      cur = cur.select(col("wid"), col("v").as("u"))
+        .withColumn("__draw", draw)
+        .join(adjD, Seq("u"))
+        .where(col("rk") === pmod(col("__draw"), col("d")) + 1)
+        .select(col("wid"), col("v"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.select(col("wid"), lit(t).as("step"), col("v").as("id")))
+    }
+    adj.unpersist()
+    out
+  }
+
+  /**
    * Weighted shortest paths, hop-bounded Bellman–Ford (parity-plus, the
    * weighted sibling of [[shortestPaths]]): after k iterations `dist` is
    * exactly the minimum path weight over paths of ≤ k hops. Each

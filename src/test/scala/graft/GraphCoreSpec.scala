@@ -410,6 +410,36 @@ class GraphCoreSpec extends SparkSpec {
     assert(dist === loc)
   }
 
+  test("randomWalks: deterministic, edge-following, directed dead ends stop") {
+    import spark.implicits._
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("2", "4")).toDF("src", "dst")
+    val starts = Seq((1L, "1"), (2L, "2")).toDF("wid", "id")
+    def run() = GraphAlgorithms.randomWalks(edges, starts, steps = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val a = run()
+    // deterministic: identical output on re-execution
+    assert(a === run())
+    // every walk emits step 0 at its start and 6 more steps (undirected
+    // graph: no dead ends)
+    assert(a.count(_._2 == 0) === 2 && a.size === 14)
+    // every consecutive (step, step+1) pair is a real edge
+    val adj = Set(("1", "2"), ("2", "3"), ("3", "1"), ("2", "4"))
+      .flatMap { case (x, y) => Set((x, y), (y, x)) }
+    val byWalk = a.groupBy(_._1).values
+    byWalk.foreach { w =>
+      val path = w.toSeq.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { p =>
+        assert(adj.contains((p(0), p(1))), s"non-edge hop $p")
+      }
+    }
+    // directed: vertex 4 is a sink — a walk reaching it ends early
+    val sink = GraphAlgorithms.randomWalks(
+      Seq(("1", "4")).toDF("src", "dst"), Seq((9L, "1")).toDF("wid", "id"),
+      steps = 5, undirected = false)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(sink.toSeq === Seq((0, "1"), (1, "4")))
+  }
+
   test("personalizedPageRank: mass restarts at the source only") {
     import spark.implicits._
     val nodes = Seq("1", "2", "3").toDF("id")
