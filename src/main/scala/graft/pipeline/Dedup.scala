@@ -189,10 +189,15 @@ object Dedup {
     // insensitive, so the dedup shuffle would be pure waste on the
     // dominant-volume path. All per-row hash work happens map-side inside
     // the partial aggregate; only 64 mins per id cross the wire.
+    // the base hash h is PROJECTED once per posting row before the
+    // aggregate — referencing pmod(xxhash64(...)) from inside all 64 min()
+    // expressions relies on cross-aggregate subexpression elimination,
+    // which partial aggregates don't guarantee (observed 64 hash evals
+    // per row in the generated code)
     val rawPosting = shinglePosting(df, textCol, idCol, shingleSize, dedup = false)
-    val h = pmod(xxhash64(col("shingle")), lit(P))
+      .select(col("id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
     val sigCols = (0 until numHashes).map(i =>
-      min(pmod(lit(as(i)) * h + lit(bs(i)), lit(P))).as(s"s$i"))
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
     // sigs feeds THREE consumers (the banded bucket join's two sides and
     // the agreement prefilter's A/B sides) — one materialization is
     // mandatory; relying on runtime exchange reuse instead was observed
