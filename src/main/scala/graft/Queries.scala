@@ -1172,6 +1172,26 @@ object Queries {
       },
       Some(randomWalksOracleSql(steps = 8)))),
 
+    // Skip-gram (center, context) co-occurrence counts over the same
+    // walk corpus, window 2 — the word2vec-style training-pair input an
+    // embedding pipeline consumes after the walks.
+    "alg_walk_pairs" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        val nz = eb.where(col("src") =!= col("dst"))
+        val starts = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id"), lit(9)) === 0)
+          .select(col("id").as("wid"), col("id"))
+        val walks = GraphAlgorithms.randomWalks(eb, starts, steps = 8)
+        GraphAlgorithms.walkSkipGramPairs(walks, window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some(walkPairsOracleSql(steps = 8, window = 2)))),
+
     // Closeness + harmonic centrality via hop-bounded multi-source BFS on
     // a hash-thinned mod-900 lineitem graph (~1% of pairs kept so
     // distances are non-trivial), in LANDMARK mode — every 9th vertex is
@@ -2792,10 +2812,11 @@ object Queries {
        |ORDER BY CAST(verts.id AS BIGINT)""".stripMargin
   }
 
-  /** alg_random_walks oracle: the ranked adjacency and the per-step LCG
-    * draw replayed step by step as chained MATERIALIZED CTEs — all
-    * positive-integer arithmetic, identical mod semantics both engines. */
-  private def randomWalksOracleSql(steps: Int): String = {
+  /** Shared WITH-body for the walk oracles: ranked adjacency + the
+    * per-step LCG draw replayed as chained MATERIALIZED CTEs — all
+    * positive-integer arithmetic, identical mod semantics both engines.
+    * Exposes w0..w$steps plus `allsteps(wid, step, id)`. */
+  private def randomWalksCtes(steps: Int): String = {
     val chain = (1 to steps).map { t =>
       s"""w$t AS MATERIALIZED (SELECT w.wid, a.v FROM w${t - 1} w
          |  JOIN dg ON dg.u = w.v
@@ -2804,7 +2825,7 @@ object Queries {
     }.mkString(",\n")
     val union = (0 to steps)
       .map(t => s"SELECT wid, $t AS step, v AS id FROM w$t").mkString("\n  UNION ALL ")
-    s"""WITH eb AS MATERIALIZED (
+    s"""eb AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
        |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
        |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
@@ -2813,11 +2834,24 @@ object Queries {
        |  ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk FROM uec),
        |dg AS MATERIALIZED (SELECT u, MAX(rk) AS d FROM adj GROUP BY u),
        |w0 AS MATERIALIZED (SELECT DISTINCT u AS wid, u AS v FROM uec WHERE u % 9 = 0),
-       |$chain
-       |SELECT wid, step, id FROM (
-       |  $union)
-       |ORDER BY wid, step""".stripMargin
+       |$chain,
+       |allsteps AS MATERIALIZED (SELECT wid, step, id FROM (
+       |  $union))""".stripMargin
   }
+
+  private def randomWalksOracleSql(steps: Int): String =
+    s"""WITH ${randomWalksCtes(steps)}
+       |SELECT wid, step, id FROM allsteps ORDER BY wid, step""".stripMargin
+
+  /** alg_walk_pairs oracle: the walk chain + the banded self-join on
+    * walk id and the (center, context) count aggregate. */
+  private def walkPairsOracleSql(steps: Int, window: Int): String =
+    s"""WITH ${randomWalksCtes(steps)}
+       |SELECT a.id AS center, b.id AS context, COUNT(*) AS cnt
+       |FROM allsteps a JOIN allsteps b
+       |  ON a.wid = b.wid AND a.step <> b.step AND ABS(a.step - b.step) <= $window
+       |GROUP BY 1, 2
+       |ORDER BY center, context""".stripMargin
 
   /** kg_construct oracle: replay chunk → first-match 3-group regex →
     * triple dedup → edge projection. Same leftmost-first regex semantics

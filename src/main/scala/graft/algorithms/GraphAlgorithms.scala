@@ -539,6 +539,25 @@ object GraphAlgorithms {
   }
 
   /**
+   * Skip-gram co-occurrence pairs from a walk corpus — the step after
+   * [[randomWalks]] in an embedding pipeline: every (center, context)
+   * vertex pair within `window` steps on the same walk, aggregated to
+   * counts (the word2vec-style training input; both directions emitted,
+   * Δstep ≠ 0). ONE self-join on walk id with the |Δstep| band predicate
+   * plus one count aggregate — walk frames are |starts|·steps rows, so
+   * this is never corpus-scale.
+   */
+  def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val a = walks.select(col("wid"), col("step").as("sa"), col("id").as("center"))
+    val b = walks.select(col("wid"), col("step").as("sb"), col("id").as("context"))
+    a.join(b, Seq("wid"))
+      .where(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * Weighted shortest paths, hop-bounded Bellman–Ford (parity-plus, the
    * weighted sibling of [[shortestPaths]]): after k iterations `dist` is
    * exactly the minimum path weight over paths of ≤ k hops. Each

@@ -440,6 +440,24 @@ class GraphCoreSpec extends SparkSpec {
     assert(sink.toSeq === Seq((0, "1"), (1, "4")))
   }
 
+  test("walkSkipGramPairs: window band, both directions, counts aggregate") {
+    import spark.implicits._
+    // one walk a-b-c-d: window 1 pairs = adjacent ordered pairs
+    val walks = Seq((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"), (1L, 3, "d"))
+      .toDF("wid", "step", "id")
+    val w1 = GraphAlgorithms.walkSkipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 === Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("c", "d") -> 1L, ("d", "c") -> 1L))
+    // window 2 adds the step-2 pairs; revisits aggregate counts
+    val loop = Seq((7L, 0, "x"), (7L, 1, "y"), (7L, 2, "x"))
+      .toDF("wid", "step", "id")
+    val w2 = GraphAlgorithms.walkSkipGramPairs(loop, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (x,y): steps (0,1) and (2,1) → 2; (x,x): (0,2) and (2,0) → 2
+    assert(w2 === Map(("x", "y") -> 2L, ("y", "x") -> 2L, ("x", "x") -> 2L))
+  }
+
   test("personalizedPageRank: mass restarts at the source only") {
     import spark.implicits._
     val nodes = Seq("1", "2", "3").toDF("id")
