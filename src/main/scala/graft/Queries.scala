@@ -1151,6 +1151,33 @@ object Queries {
       },
       Some(betweennessOracleSql(maxHops = 4)))),
 
+    // Wedge + rectangle (4-cycle) motif counts on the capped subgraph —
+    // the motif statistics beyond triangles, all-integer arithmetic.
+    "alg_motifs" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(col("l_orderkey") < 15000 &&
+            pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
+          .select(pmod(col("l_orderkey"), lit(600)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(600)).cast(StringType).as("dst"))
+        GraphAlgorithms.motifCounts(eb)
+      },
+      Some(
+        """WITH eb AS MATERIALIZED (
+          |  SELECT CAST(l_orderkey % 600 AS VARCHAR) AS src,
+          |    CAST(l_partkey % 600 AS VARCHAR) AS dst
+          |  FROM lineitem
+          |  WHERE l_orderkey < 15000 AND (l_orderkey + l_partkey) % 7 = 0),
+          |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+          |  FROM eb WHERE src <> dst),
+          |nb AS MATERIALIZED (SELECT s AS w, d AS u FROM cn UNION ALL SELECT d, s FROM cn),
+          |dg AS (SELECT w, COUNT(*) AS d FROM nb GROUP BY w),
+          |pc AS (SELECT a.u, b.u AS v, COUNT(*) AS n
+          |  FROM nb a JOIN nb b ON a.w = b.w WHERE a.u < b.u GROUP BY 1, 2)
+          |SELECT
+          |  CAST((SELECT SUM((d * (d - 1)) // 2) FROM dg) AS BIGINT) AS wedges,
+          |  CAST((SELECT SUM((n * (n - 1)) // 2) // 2 FROM pc) AS BIGINT) AS rectangles""".stripMargin))),
+
     // Deterministic random walks (the DeepWalk/node2vec corpus
     // generator) on the mod-900 graph with BIGINT vertex ids (so both
     // engines rank adjacency numerically): every 9th vertex starts one

@@ -539,6 +539,38 @@ object GraphAlgorithms {
   }
 
   /**
+   * Wedge and rectangle (4-cycle) counts — the motif statistics one step
+   * beyond [[triangleCount]] (parity-plus; the reference counts
+   * triangles only). wedges = Σ_v C(deg v, 2); rectangles = ½ Σ_{u<w}
+   * C(cn(u, w), 2) where cn is the common-neighbor count of the
+   * (not necessarily adjacent) pair — each 4-cycle has exactly two
+   * diagonal pairs, hence the halving; chords don't matter. All-integer
+   * arithmetic, so the result replays exactly.
+   *
+   * Shape: ONE wedge self-join on the middle vertex (the Σdeg² bound
+   * shared with [[linkPrediction]]/[[triangleCountDF]]) + two aggregates
+   * — no all-pairs product, no iteration.
+   */
+  def motifCounts(edges: DataFrame): DataFrame = {
+    val cn = PropertyGraph.canonicalUndirected(edges)
+    val nbrs = cn.select(col("src").as("w"), col("dst").as("u"))
+      .unionByName(cn.select(col("dst").as("w"), col("src").as("u")))
+    val deg = nbrs.groupBy("w").agg(count(lit(1)).as("d"))
+    // DIV (integer division) keeps every intermediate an exact long —
+    // `/` would route through doubles and lose exactness past 2^53
+    val wedges = deg.selectExpr("(d * (d - 1)) DIV 2 AS wc")
+      .agg(sum(col("wc")).as("wedges"))
+    val pairCn = nbrs
+      .join(nbrs.select(col("w"), col("u").as("v")), Seq("w"))
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n"))
+    val rects = pairCn.selectExpr("(n * (n - 1)) DIV 2 AS rc")
+      .agg(sum(col("rc")).as("s"))
+      .selectExpr("s DIV 2 AS rectangles")
+    wedges.crossJoin(rects)
+  }
+
+  /**
    * Skip-gram co-occurrence pairs from a walk corpus — the step after
    * [[randomWalks]] in an embedding pipeline: every (center, context)
    * vertex pair within `window` steps on the same walk, aggregated to

@@ -440,6 +440,23 @@ class GraphCoreSpec extends SparkSpec {
     assert(sink.toSeq === Seq((0, "1"), (1, "4")))
   }
 
+  test("motifCounts: square and K4 hand-checked") {
+    import spark.implicits._
+    // square 1-2-3-4-1: each vertex has degree 2 → 4 wedges, 1 rectangle
+    val square = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")).toDF("src", "dst")
+    val sq = GraphAlgorithms.motifCounts(square).collect()(0)
+    assert((sq.getLong(0), sq.getLong(1)) === ((4L, 1L)))
+    // K4: 4 vertices of degree 3 → 12 wedges; 3 distinct 4-cycles
+    val k4 = Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4"))
+      .toDF("src", "dst")
+    val k = GraphAlgorithms.motifCounts(k4).collect()(0)
+    assert((k.getLong(0), k.getLong(1)) === ((12L, 3L)))
+    // a triangle has wedges but no 4-cycle
+    val tri = Seq(("1", "2"), ("2", "3"), ("1", "3")).toDF("src", "dst")
+    val t3 = GraphAlgorithms.motifCounts(tri).collect()(0)
+    assert((t3.getLong(0), t3.getLong(1)) === ((3L, 0L)))
+  }
+
   test("walkSkipGramPairs: window band, both directions, counts aggregate") {
     import spark.implicits._
     // one walk a-b-c-d: window 1 pairs = adjacent ordered pairs
