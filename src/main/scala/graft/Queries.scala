@@ -1178,6 +1178,21 @@ object Queries {
           |  CAST((SELECT SUM((d * (d - 1)) // 2) FROM dg) AS BIGINT) AS wedges,
           |  CAST((SELECT SUM((n * (n - 1)) // 2) // 2 FROM pc) AS BIGINT) AS rectangles""".stripMargin))),
 
+    // Maximal independent set by deterministic Luby rounds on the
+    // mod-900 BIGINT graph — priorities are the pure-integer LCG, so the
+    // oracle replays every round; 12 unrolled rounds cover convergence
+    // (expected O(log n); empty rounds are no-ops on both sides).
+    "alg_mis" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.maximalIndependentSet(eb, rounds = 12)
+          .orderBy(col("id"))
+      },
+      Some(misOracleSql(rounds = 12)))),
+
     // Deterministic random walks (the DeepWalk/node2vec corpus
     // generator) on the mod-900 graph with BIGINT vertex ids (so both
     // engines rank adjacency numerically): every 9th vertex starts one
@@ -2837,6 +2852,43 @@ object Queries {
        |SELECT verts.id, CAST(ROUND(COALESCE(bc.b, 0.0), 4) AS DOUBLE) AS betweenness
        |FROM verts LEFT JOIN bc ON verts.id = bc.v
        |ORDER BY CAST(verts.id AS BIGINT)""".stripMargin
+  }
+
+  /** alg_mis oracle: deterministic Luby replayed round by round. The
+    * (priority, id) lexicographic compare is encoded as one BIGINT key
+    * p·2³² + id (priority < 2³¹, ids < 2³² — exact and order-identical
+    * to the Spark side's struct comparison). Rounds past convergence
+    * are empty on both sides, so a fixed unroll matches the early-stop
+    * loop. */
+  private def misOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT id,
+         |  (1103515245 * (id * 1000003 + $r * 101) + 12345) % 2147483647 AS p
+         |  FROM l${r - 1}),
+         |mn$r AS MATERIALIZED (SELECT e.u AS id, MIN(p.p * 4294967296 + p.id) AS mk
+         |  FROM e${r - 1} e JOIN p$r p ON e.v = p.id GROUP BY e.u),
+         |w$r AS MATERIALIZED (SELECT p.id FROM p$r p
+         |  LEFT JOIN mn$r m ON p.id = m.id
+         |  WHERE m.id IS NULL OR (p.p * 4294967296 + p.id) < m.mk),
+         |rm$r AS MATERIALIZED (SELECT id FROM w$r
+         |  UNION SELECT e.v FROM e${r - 1} e JOIN w$r w ON e.u = w.id),
+         |l$r AS MATERIALIZED (SELECT id FROM l${r - 1}
+         |  WHERE id NOT IN (SELECT id FROM rm$r)),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN l$r a ON e.u = a.id JOIN l$r b ON e.v = b.id)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT id, $r AS round FROM w$r").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
+       |e0 AS MATERIALIZED (SELECT u, v FROM ue WHERE u <> v),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM e0),
+       |$chain
+       |SELECT id, round FROM (
+       |  $union)
+       |ORDER BY id""".stripMargin
   }
 
   /** Shared WITH-body for the walk oracles: ranked adjacency + the

@@ -539,6 +539,131 @@ object GraphAlgorithms {
   }
 
   /**
+   * Maximal independent set by DETERMINISTIC Luby rounds (parity-plus —
+   * the classic symmetry-breaking primitive behind distributed coloring
+   * and scheduling): in round r every live vertex draws the pure-integer
+   * priority LCG(v·1000003 + r·101) (the [[randomWalks]] generator — no
+   * RNG state, replayable in plain SQL; ids must cast to BIGINT), joins
+   * the MIS iff its (priority, id) is strictly smaller than every live
+   * neighbor's, and winners plus their neighbors leave the graph.
+   * Synchronous rounds, early-stop when nothing is live — the bounded
+   * form is replayable round by round (the [[kCore]] oracle contract);
+   * at the fixpoint the result is a true MIS (independent by the winner
+   * rule, maximal because a vertex only leaves as winner or neighbor).
+   * Expected O(log n) rounds. Returns (id, round) per MIS member.
+   *
+   * Shape: each round is one join of the live edge list against the
+   * (priority-annotated) live vertices + one grouped min + two
+   * anti-joins, all localCheckpointed — O(1) plan depth per round, and
+   * the live set only shrinks.
+   */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 20,
+                            localThreshold: Long = 10000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val both = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Adaptive (the kCore/kTruss/HITS pattern): each distributed round
+    // costs several fixed-latency jobs; below the threshold the
+    // synchronous rounds run driver-side with identical semantics
+    // (parity spec-asserted via localThreshold = 0)
+    if (both.count() <= localThreshold) {
+      val out = localMis(both, rounds)
+      both.unpersist()
+      return out
+    }
+    var live = both.select(col("u").as("id")).distinct().localCheckpoint(true)
+    var liveE = both.localCheckpoint(true)
+    both.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var mis = live.limit(0).select(col("id"), lit(0).as("round"))
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      def prio(c: Column): Column = pmod(
+        lit(1103515245L) * (c.cast("long") * lit(1000003L) + lit(r.toLong) * lit(101L))
+          + lit(12345L), lit(2147483647L))
+      val pri = live.select(col("id"), prio(col("id")).as("p"))
+      // ties break on the BIGINT id (matching the LCG's numeric domain,
+      // the local path, and the oracle) — never on raw string order
+      val minN = liveE
+        .join(pri.select(col("id").as("v"), col("p").as("pv")), Seq("v"))
+        .groupBy("u").agg(min(struct(col("pv"), col("v").cast("long"))).as("mn"))
+      val winners = pri
+        .join(minN.select(col("u").as("id"), col("mn")), Seq("id"), "left")
+        .where(col("mn").isNull ||
+          struct(col("p"), col("id").cast("long")) < col("mn"))
+        .select(col("id"))
+        .localCheckpoint(true)
+      if (winners.isEmpty) {
+        // no winner with live vertices left can only mean live is empty
+        // (some live vertex always holds the global minimum priority)
+        done = true
+      } else {
+        mis = mis.unionByName(winners.select(col("id"), lit(r).as("round")))
+        val removed = winners
+          .unionByName(liveE.join(winners.select(col("id").as("u")), Seq("u"))
+            .select(col("v").as("id")))
+          .distinct().localCheckpoint(true)
+        live = live.join(removed, Seq("id"), "left_anti").localCheckpoint(true)
+        if (live.isEmpty) done = true
+        else liveE = liveE
+          .join(live.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(live.select(col("id").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    mis
+  }
+
+  /** Driver-side Luby rounds for [[maximalIndependentSet]]'s small
+    * regime — identical synchronous semantics over interned arrays.
+    * Ids must cast to Long (the priority LCG input), matching the
+    * distributed form's cast. */
+  private def localMis(both: DataFrame, rounds: Int): DataFrame = {
+    val spark = both.sparkSession
+    val dt = both.schema("u").dataType
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val pairs = both.selectExpr("u", "v", "CAST(u AS BIGINT) AS ul")
+      .collect().map(r => (intern(r.get(0)), intern(r.get(1)), r.getLong(2)))
+    val n = ids.length
+    val num = new Array[Long](n)
+    pairs.foreach { case (a, _, ul) => num(a) = ul }
+    val nbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    pairs.foreach { case (a, b, _) => nbrs(a) += b }
+    val alive = Array.fill(n)(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Int)]
+    var liveCount = n
+    var r = 0
+    while (r < rounds && liveCount > 0) {
+      r += 1
+      def prio(i: Int): Long =
+        math.floorMod(1103515245L * (num(i) * 1000003L + r * 101L) + 12345L, 2147483647L)
+      val p = Array.tabulate(n)(i => if (alive(i)) prio(i) else Long.MaxValue)
+      val winners = (0 until n).filter { i =>
+        alive(i) && nbrs(i).forall { j =>
+          !alive(j) || p(i) < p(j) || (p(i) == p(j) && num(i) < num(j))
+        }
+      }
+      winners.foreach { i =>
+        out += ((ids(i), r))
+        alive(i) = false; liveCount -= 1
+        nbrs(i).foreach { j => if (alive(j)) { alive(j) = false; liveCount -= 1 } }
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", dt),
+      StructField("round", IntegerType, nullable = false)))
+    val rows = out.map { case (id, rr) => org.apache.spark.sql.Row(id, rr) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
    * Wedge and rectangle (4-cycle) counts — the motif statistics one step
    * beyond [[triangleCount]] (parity-plus; the reference counts
    * triangles only). wedges = Σ_v C(deg v, 2); rectangles = ½ Σ_{u<w}

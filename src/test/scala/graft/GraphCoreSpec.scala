@@ -440,6 +440,41 @@ class GraphCoreSpec extends SparkSpec {
     assert(sink.toSeq === Seq((0, "1"), (1, "4")))
   }
 
+  test("maximalIndependentSet: independent, maximal, deterministic") {
+    import spark.implicits._
+    // path + star mix with BIGINT-castable ids
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("2", "6"), ("2", "7"), ("7", "8")).toDF("src", "dst")
+    val mis = GraphAlgorithms.maximalIndependentSet(edges)
+      .collect().map(r => r.getString(0)).toSet
+    val adj = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("2", "6"), ("2", "7"), ("7", "8"))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    // independence: no two members adjacent
+    for (a <- mis; b <- mis if a != b) assert(!adj.contains((a, b)), s"$a-$b both in MIS")
+    // maximality: every non-member has a member neighbor
+    val verts = adj.map(_._1)
+    (verts -- mis).foreach { v =>
+      assert(adj.exists { case (x, y) => x == v && mis.contains(y) },
+        s"$v has no MIS neighbor")
+    }
+    // deterministic: identical on re-execution
+    val again = GraphAlgorithms.maximalIndependentSet(edges)
+      .collect().map(r => r.getString(0)).toSet
+    assert(again === mis)
+    // isolated-pair graph: exactly one endpoint per edge wins in round 1
+    val pair = Seq(("10", "20")).toDF("src", "dst")
+    val p = GraphAlgorithms.maximalIndependentSet(pair).collect()
+    assert(p.length === 1 && p(0).getInt(1) === 1)
+    // adaptive parity: the distributed rounds (localThreshold = 0) match
+    // the driver-side sweep member-for-member, round-for-round
+    val loc = GraphAlgorithms.maximalIndependentSet(edges)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val dist = GraphAlgorithms.maximalIndependentSet(edges, localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(dist === loc)
+  }
+
   test("motifCounts: square and K4 hand-checked") {
     import spark.implicits._
     // square 1-2-3-4-1: each vertex has degree 2 → 4 wedges, 1 rectangle
