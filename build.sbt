@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: an 8g heap left the full 126-query bench one GC spike
+  // away from an executor-thread OOM (observed once — fatal, stops the
+  // SparkContext); the box has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

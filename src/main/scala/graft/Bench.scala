@@ -16,24 +16,34 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    // warm shared inputs (cached bridge graphs) once, outside timings
-    TpchBridge.graph(spark, sfDir).edges.count()
-    TpchBridge.undirectedGraph(spark, sfDir).edges.count()
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // warm shared inputs (cached bridge graphs) once, outside timings
+      TpchBridge.graph(s, sfDir).edges.count()
+      TpchBridge.undirectedGraph(s, sfDir).edges.count()
+      s
+    }
+    var spark = newSession()
 
     // A throwing query must be MARKED, not silently recorded as a fast
     // timing (a broken query would otherwise *improve* the bench total):
     // failures surface as queries.<name> = -1 plus an errors.<name> entry.
+    // A FATAL failure (executor-thread OOM stops the SparkContext) must
+    // not poison every later query — rebuild the session and carry on.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        graft.sources.TpchBridge.invalidateCaches()
+        spark = newSession()
+      }
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case t: Throwable =>

@@ -32,6 +32,10 @@ object TpchBridge {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
   private val undirCache = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
 
+  /** Drop cached bridge graphs — required after a SparkContext restart,
+    * since the cached frames are bound to the dead session. */
+  def invalidateCaches(): Unit = { cache.clear(); undirCache.clear() }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
