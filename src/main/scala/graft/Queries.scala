@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.algorithms.GraphAlgorithms
 import graft.cypher.Cypher
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{BpeVocab, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.TpchBridge
 import graft.streaming.StreamingTriangles
 
@@ -1775,6 +1775,18 @@ object Queries {
         TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "text", "doc_id", k = 3)
           .orderBy(col("id"), col("rank")),
       Some(tfidfOracleSql(k = 3)))),
+
+    // BPE tokenizer-vocabulary induction (Sennrich et al. 2016): 12
+    // merge rounds over the corpus word table. The merge step is the
+    // deterministic "two-pass replace" contract (see BpeVocab scaladoc)
+    // so Spark, the adaptive driver path, and the DuckDB oracle replay
+    // the identical token stream; the oracle unrolls every round as
+    // MATERIALIZED CTEs with the same (total DESC, lhs, rhs) argmax.
+    "doc_bpe_vocab" -> ((
+      (s: SparkSession, d: String) =>
+        BpeVocab.train(t(s, d, "documents"), "text", rounds = 12)
+          .orderBy(col("merge_round")),
+      Some(BpeVocab.oracleSql(rounds = 12)))),
 
     // Benchmark-contamination detection: the eval set is every 37th
     // document; every other document reports the fraction of its distinct

@@ -838,4 +838,27 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Int]("width") === 2 && row.getAs[Int]("height") === 2 &&
       row.getAs[Int]("channels") === 3)
   }
+
+  test("BPE vocab: first merges on a known corpus, adaptive parity, two-pass contract") {
+    import graft.pipeline.BpeVocab
+    val tiny = spark.createDataFrame(Seq(
+      (1L, "ab ab ab abc"), (2L, "ZZ zz"))).toDF("doc_id", "text")
+    val m = BpeVocab.train(tiny, "text", rounds = 2).collect()
+    // round 1: (a,b) appears in ab x3 (x2 incl. the lowercased zz dup? no:
+    // words = {ab:3, abc:1, zz:2}) -> count 4; round 2 merges ab+EOW (3).
+    assert((m(0).getInt(0), m(0).getString(1), m(0).getString(2),
+      m(0).getString(3), m(0).getLong(4)) === ((1, "a", "b", "ab", 4L)))
+    assert((m(1).getInt(0), m(1).getString(1), m(1).getString(2),
+      m(1).getLong(4)) === ((2, "ab", BpeVocab.EOW, 3L)))
+
+    // adaptive parity on the real fixture: distributed loop
+    // (localThreshold = 0) emits the identical merge table
+    val loc = BpeVocab.train(docs, "text", rounds = 6).collect().toSeq
+    val dist = BpeVocab.train(docs, "text", rounds = 6, localThreshold = 0L).collect().toSeq
+    assert(loc === dist)
+    // merged is always lhs ++ rhs and merge counts never increase
+    loc.foreach(r => assert(r.getString(3) === r.getString(1) + r.getString(2)))
+    val cnts = loc.map(_.getLong(4))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a })
+  }
 }
