@@ -780,7 +780,8 @@ object GraphAlgorithms {
    * the pageRank pattern.
    */
   def labelPropagation(edges: DataFrame, iterations: Int,
-                       undirected: Boolean = true): DataFrame = {
+                       undirected: Boolean = true,
+                       localThreshold: Long = 10000000L): DataFrame = {
     // The "(count DESC, label ASC)" argmax is one grouped aggregate:
     // min(struct(-count, label)) — the count is always numeric so its
     // negation handles the DESC leg, and the label rides in its OWN type.
@@ -796,19 +797,46 @@ object GraphAlgorithms {
     // every vertex)
     val schemaNumeric = Seq("src", "dst").forall(c =>
       edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val hasNonNumeric = !schemaNumeric && {
-      val raw = edges.select(col("src").cast("string").as("u"),
-        col("dst").cast("string").as("v"))
-      raw.where(expr("try_cast(u AS LONG)").isNull || expr("try_cast(v AS LONG)").isNull)
-        .head(1).nonEmpty
+    // When the probe must run it scans the ENTIRE upstream (all-numeric
+    // ids are only proven by exhausting the scan), so persist the raw
+    // projection first — otherwise the upstream pipeline executes once
+    // for the probe and again for the canonical dedup below.
+    val raw = if (schemaNumeric) None else Some(
+      edges.select(col("src").cast("string").as("u"), col("dst").cast("string").as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val hasNonNumeric = raw.exists(r =>
+      r.where(expr("try_cast(u AS LONG)").isNull || expr("try_cast(v AS LONG)").isNull)
+        .head(1).nonEmpty)
+    val e0 = raw match {
+      case Some(r) if hasNonNumeric => r
+      case Some(r) => r.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      case None => edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     }
-    val e0 =
-      if (hasNonNumeric) edges.select(col("src").as("u"), col("dst").as("v"))
-      else edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-             else e0)
-      .where(col("u") =!= col("v")).distinct()
+    // Dedup in SINGLE orientation: for undirected graphs the distinct
+    // runs over the canonical (least, greatest) list — half the rows of
+    // the old distinct-after-doubling — and the doubled list is then
+    // duplicate-free by construction (the orientations are disjoint once
+    // self-loops are gone).
+    val eCanon = (if (undirected)
+        e0.where(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      else e0.where(col("u") =!= col("v")))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Adaptive (the kCore/closeness/SCC pattern): below the threshold
+    // the synchronous rounds run driver-side over adjacency arrays —
+    // each distributed round is two shuffles of fixed job latency, the
+    // dominant term on small graphs. Parity spec via localThreshold = 0.
+    val eCount = eCanon.count()
+    raw.foreach(_.unpersist()) // eCanon is materialized; raw is done
+    if (eCount <= localThreshold) {
+      val out = localLabelPropagation(eCanon, iterations, undirected)
+      eCanon.unpersist()
+      return out
+    }
+    val e = if (undirected)
+      eCanon.unionByName(eCanon.select(col("v").as("u"), col("u").as("v")))
+    else eCanon
     var labels = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct()
       .select(col("id"), col("id").as("label"))
@@ -827,8 +855,66 @@ object GraphAlgorithms {
         .select(col("id"), coalesce(col("label"), col("__old")).as("label"))
         .localCheckpoint(true)
     }
-    e.unpersist()
+    eCanon.unpersist()
     labels
+  }
+
+  /** Driver-side synchronous LPA for [[labelPropagation]]'s small regime —
+    * identical round semantics: every vertex simultaneously adopts the
+    * most frequent in-neighbor label, ties to the SMALLEST label (Long
+    * order for the numeric regime, string order otherwise — the same
+    * ordering the distributed argmax struct uses), isolated-in-degree
+    * vertices keep their label. */
+  private def localLabelPropagation(e: DataFrame, iterations: Int,
+                                    undirected: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    val dt = e.schema("u").dataType
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    // e arrives in canonical single orientation for undirected graphs —
+    // the reverse direction is added here, in memory, not as a shuffle
+    val es = e.collect().map(r => (intern(r.get(0)), intern(r.get(1))))
+    val n = ids.length
+    // labels flow u -> v: v's candidates are its IN-neighbors' labels
+    val inNbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    es.foreach { case (u, v) =>
+      inNbrs(v) += u
+      if (undirected) inNbrs(u) += v
+    }
+    // ids never change set; order candidate labels by the ORIGINAL value
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case _ => (a, b) => String.valueOf(a).compareTo(String.valueOf(b)) < 0
+    }
+    var labels = Array.tabulate(n)(identity) // label = vertex index of the label VALUE
+    for (_ <- 1 to iterations) {
+      val next = new Array[Int](n)
+      val cnt = scala.collection.mutable.HashMap.empty[Int, Long]
+      var v = 0
+      while (v < n) {
+        val nb = inNbrs(v)
+        if (nb.isEmpty) next(v) = labels(v)
+        else {
+          cnt.clear()
+          nb.foreach { u => val l = labels(u); cnt.update(l, cnt.getOrElse(l, 0L) + 1L) }
+          var bestL = -1
+          var bestC = -1L
+          cnt.foreach { case (l, c) =>
+            if (c > bestC || (c == bestC && lt(ids(l), ids(bestL)))) { bestL = l; bestC = c }
+          }
+          next(v) = bestL
+        }
+        v += 1
+      }
+      labels = next
+    }
+    val rows = (0 until n).map(i => org.apache.spark.sql.Row(ids(i), ids(labels(i))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("label", dt)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /**

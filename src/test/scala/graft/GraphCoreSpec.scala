@@ -305,6 +305,28 @@ class GraphCoreSpec extends SparkSpec {
       "x7" -> "x7", "x8" -> "x7", "x9" -> "x7"))
   }
 
+  test("labelPropagation: adaptive parity — distributed loop matches local rounds") {
+    import spark.implicits._
+    // numeric regime, wheel + tail (ties + isolated in-degree cases),
+    // non-converged round count so per-round semantics are what's compared
+    val g = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"), ("1", "3"),
+      ("4", "5"), ("5", "6"), ("9", "6")).toDF("src", "dst")
+    for (iters <- Seq(1, 2, 3); undir <- Seq(true, false)) {
+      val loc = GraphAlgorithms.labelPropagation(g, iters, undir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = GraphAlgorithms.labelPropagation(g, iters, undir, localThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(loc === dist, s"iters=$iters undirected=$undir")
+    }
+    // string regime
+    val sg = Seq(("b", "a"), ("a", "c"), ("c", "b"), ("c", "d")).toDF("src", "dst")
+    val locS = GraphAlgorithms.labelPropagation(sg, 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val distS = GraphAlgorithms.labelPropagation(sg, 2, localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(locS === distS)
+  }
+
   test("kCore: converged peel early-stops; fixpoint API matches") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 3-4 at k=2: round 1 drops 4, round 2
