@@ -137,7 +137,8 @@ object GraphAlgorithms {
    * Returns (id, dist) for every vertex reached within `maxHops`.
    */
   def shortestPaths(edges: DataFrame, sourceId: String, maxHops: Int = 10,
-                    undirected: Boolean = true): DataFrame = {
+                    undirected: Boolean = true,
+                    localThreshold: Long = 10000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -145,6 +146,15 @@ object GraphAlgorithms {
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Adaptive (the closeness/kCore/LPA pattern): string-id graphs below
+    // the threshold BFS on driver adjacency arrays — each distributed hop
+    // costs a join + anti-join of fixed job latency. Parity spec-pinned.
+    if (e.schema("u").dataType == org.apache.spark.sql.types.StringType &&
+        e.count() <= localThreshold) {
+      val out = localBfs(e, sourceId, maxHops)
+      e.unpersist()
+      return out
+    }
     // only each hop's FRONTIER is checkpointed; the distance table is a
     // union of those checkpointed frontiers (depth ≤ maxHops, every leaf
     // materialized), so the settled set is never re-materialized per hop
@@ -163,6 +173,42 @@ object GraphAlgorithms {
     }
     e.unpersist()
     dist
+  }
+
+  /** Driver-side hop-bounded BFS for [[shortestPaths]]'s small regime —
+    * identical semantics: dist = first hop the vertex is reached within
+    * `maxHops`, source row always present (even off-graph sources). */
+  private def localBfs(e: DataFrame, sourceId: String, maxHops: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idx = scala.collection.mutable.HashMap.empty[String, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+    def intern(x: String): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val es = e.collect().map(r => (intern(r.getString(0)), intern(r.getString(1))))
+    val n = ids.length
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    es.foreach { case (u, v) => adj(u) += v }
+    idx.get(sourceId) match {
+      case None => Seq((sourceId, 0)).toDF("id", "dist")
+      case Some(src) =>
+        val dist = Array.fill(n)(-1)
+        dist(src) = 0
+        var frontier = List(src)
+        var h = 0
+        while (h < maxHops && frontier.nonEmpty) {
+          h += 1
+          var next = List.empty[Int]
+          frontier.foreach { u =>
+            adj(u).foreach { v =>
+              if (dist(v) < 0) { dist(v) = h; next = v :: next }
+            }
+          }
+          frontier = next
+        }
+        val rows = (0 until n).iterator.filter(dist(_) >= 0)
+          .map(i => (ids(i), dist(i))).toSeq
+        spark.createDataFrame(rows).toDF("id", "dist")
+    }
   }
 
   /**
@@ -725,7 +771,8 @@ object GraphAlgorithms {
    * bound then changes meaning from "converged" to "budgeted").
    */
   def weightedShortestPaths(edges: DataFrame, sourceId: String, maxHops: Int,
-                            undirected: Boolean = true): DataFrame = {
+                            undirected: Boolean = true,
+                            localThreshold: Long = 10000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
@@ -736,6 +783,15 @@ object GraphAlgorithms {
       .where(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Adaptive: driver-side synchronous Bellman-Ford rounds below the
+    // threshold — same hop-bounded min-relaxation semantics, parity
+    // spec-pinned via localThreshold = 0.
+    if (e.schema("u").dataType == org.apache.spark.sql.types.StringType &&
+        e.count() <= localThreshold) {
+      val out = localWeightedSp(e, sourceId, maxHops)
+      e.unpersist()
+      return out
+    }
     // Frontier Bellman–Ford: only vertices whose distance IMPROVED last
     // round relax their out-edges (an unchanged vertex would re-produce
     // the identical candidates), and the loop exits when a round improves
@@ -764,6 +820,53 @@ object GraphAlgorithms {
     }
     e.unpersist()
     dist
+  }
+
+  /** Driver-side synchronous Bellman-Ford for [[weightedShortestPaths]]'s
+    * small regime — identical round semantics: every round relaxes the
+    * out-edges of the vertices improved LAST round against the previous
+    * round's distances, stops when a round improves nothing or at
+    * `maxHops` rounds; source row always present. */
+  private def localWeightedSp(e: DataFrame, sourceId: String, maxHops: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idx = scala.collection.mutable.HashMap.empty[String, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+    def intern(x: String): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val es = e.collect().map(r => (intern(r.getString(0)), intern(r.getString(1)), r.getLong(2)))
+    val n = ids.length
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Long)])
+    es.foreach { case (u, v, w) => adj(u) += ((v, w)) }
+    idx.get(sourceId) match {
+      case None => Seq((sourceId, 0L)).toDF("id", "dist")
+      case Some(src) =>
+        val unreached = Long.MaxValue
+        var dist = Array.fill(n)(unreached)
+        dist(src) = 0L
+        var frontier = List(src)
+        var h = 0
+        while (h < maxHops && frontier.nonEmpty) {
+          h += 1
+          val next = dist.clone()
+          frontier.foreach { u =>
+            val base = dist(u)
+            adj(u).foreach { case (v, w) =>
+              if (base + w < next(v)) next(v) = base + w
+            }
+          }
+          var improved = List.empty[Int]
+          var i = 0
+          while (i < n) {
+            if (next(i) < dist(i)) improved = i :: improved
+            i += 1
+          }
+          dist = next
+          frontier = improved
+        }
+        val rows = (0 until n).iterator.filter(dist(_) != unreached)
+          .map(i => (ids(i), dist(i))).toSeq
+        spark.createDataFrame(rows).toDF("id", "dist")
+    }
   }
 
   /**

@@ -251,6 +251,28 @@ class GraphCoreSpec extends SparkSpec {
     assert(dBig === Map("1" -> 0L, "2" -> 1L, "3" -> 2L, "4" -> 12L))
   }
 
+  test("shortestPaths/weightedShortestPaths: adaptive parity — distributed matches local") {
+    import spark.implicits._
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("1", "5"), ("6", "7"),
+      ("5", "4"), ("2", "5")).toDF("src", "dst")
+    for (src <- Seq("1", "4", "99"); hops <- Seq(1, 3, 10); undir <- Seq(true, false)) {
+      val loc = GraphAlgorithms.shortestPaths(edges, src, hops, undir)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val dist = GraphAlgorithms.shortestPaths(edges, src, hops, undir, localThreshold = 0L)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(loc === dist, s"src=$src hops=$hops undirected=$undir")
+    }
+    val we = Seq(("1", "2", 1L), ("2", "3", 1L), ("1", "3", 5L), ("3", "4", 10L),
+      ("4", "5", 1L), ("2", "5", 20L)).toDF("src", "dst", "weight")
+    for (src <- Seq("1", "3", "99"); hops <- Seq(1, 2, 100); undir <- Seq(true, false)) {
+      val loc = GraphAlgorithms.weightedShortestPaths(we, src, hops, undir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val dist = GraphAlgorithms.weightedShortestPaths(we, src, hops, undir, localThreshold = 0L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(loc === dist, s"src=$src hops=$hops undirected=$undir")
+    }
+  }
+
   test("labelPropagation: deterministic min-label communities") {
     import spark.implicits._
     // two disconnected triangles: each converges to its minimal id
