@@ -2112,6 +2112,26 @@ object Queries {
     // per-language keep rates ∝ count^0.5 capped at 1, replayed exactly —
     // integer weight/total arithmetic plus one correctly-rounded IEEE
     // multiply/divide chain, then the Knuth bucket filter.
+    // Domain mixture weights (DoReMi-style temperature reweighting):
+    // per-source token volume -> alpha-scaled sampling weight, shipped as
+    // all-integer parts-per-million (raw_w*1e6 div sum) so the oracle is
+    // exact with no float-rounding fine print.
+    "samp_domain_weights" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.domainMixtureWeights(t(s, d, "documents"), "source", "text", alpha = 0.5)
+          .orderBy(col("domain")),
+      Some("""WITH agg AS (
+             |  SELECT source AS domain, COUNT(*) AS n_docs,
+             |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT domain, n_docs, total_tokens,
+             |  CAST(ROUND(POW(CAST(total_tokens AS DOUBLE), 0.5), 0) AS BIGINT) AS raw_w FROM agg),
+             |tot AS (SELECT CAST(SUM(raw_w) AS BIGINT) AS sw FROM w)
+             |SELECT domain, n_docs, total_tokens, raw_w,
+             |  CAST((raw_w * 1000000) // sw AS BIGINT) AS weight_ppm
+             |FROM w CROSS JOIN tot ORDER BY domain""".stripMargin))),
+
     "samp_temperature" -> ((
       (s: SparkSession, d: String) =>
         Sampling.temperatureSample(

@@ -152,4 +152,38 @@ object Sampling {
     df.withColumn("chunk", floor(start / budget).cast(LongType))
       .withColumn("offset", pmod(start, lit(budget.toLong)))
   }
+
+  /**
+   * Domain mixture weights — the table a training sampler consumes
+   * (DoReMi-style temperature reweighting, Xie et al. 2023; the α-scaled
+   * mixture of multilingual LM pretraining). Per domain: document count,
+   * total token volume, and the normalized sampling weight
+   * w_d = tokens_d^alpha / Σ tokens^alpha, flattened toward uniform as
+   * alpha -> 0.
+   *
+   * Determinism contract (all-integer outputs, no float in the result):
+   * the α-power is rounded to an integer ONCE per domain (`raw_w`, the
+   * [[temperatureSample]] trick — the single ≤1-ulp pow is followed only
+   * by exact arithmetic), and the normalized weight ships as parts-per-
+   * million computed with INTEGER division: weight_ppm = raw_w·10⁶ div
+   * Σraw_w. Hash-replayable by any engine, no rounding-mode fine print.
+   *
+   * Scale shape: one map-side-combinable aggregate over the corpus (the
+   * token count rides the scan as a codegen'd column), then a broadcast-
+   * sized domain table; nothing else touches the data.
+   */
+  def domainMixtureWeights(df: DataFrame, domainCol: String, textCol: String,
+                           alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val agg = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(textCol).cast(LongType)).as("total_tokens"))
+      .withColumn("raw_w",
+        round(pow(col("total_tokens").cast("double"), lit(alpha)), 0).cast(LongType))
+    val tot = agg.agg(sum(col("raw_w")).as("__sw"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("CAST((raw_w * 1000000) DIV __sw AS BIGINT)"))
+      .select(col("domain"), col("n_docs"), col("total_tokens"),
+        col("raw_w"), col("weight_ppm"))
+  }
 }

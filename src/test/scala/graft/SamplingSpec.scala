@@ -144,4 +144,25 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(strat.split("Exchange").length - 1 <= 1, s"stratifiedCap shuffles twice:\n$strat")
   }
+
+  test("domainMixtureWeights: integer ppm contract, alpha flattens toward uniform") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "big", "a b c d e f g h"), (2L, "big", "a b c d e f g h"),
+      (3L, "big", "a b c d e f g h"), (4L, "small", "a b")
+    ).toDF("doc_id", "source", "text")
+    val w = Sampling.domainMixtureWeights(corpus, "source", "text", alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // alpha=1: raw_w == total_tokens; ppm = tokens*1e6 div 26
+    assert(w("big") === ((3L, 24L, 24L, 24L * 1000000 / 26)))
+    assert(w("small") === ((1L, 2L, 2L, 2L * 1000000 / 26)))
+    // ppm sums to at most 1e6 (integer truncation) and within #domains of it
+    val ppmSum = w.values.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - w.size)
+    // alpha -> 0 flattens: the small domain's share strictly grows
+    val flat = Sampling.domainMixtureWeights(corpus, "source", "text", alpha = 0.25)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(flat("small") > w("small")._4)
+  }
 }
