@@ -1788,6 +1788,16 @@ object Queries {
           .orderBy(col("merge_round")),
       Some(BpeVocab.oracleSql(rounds = 12)))),
 
+    // BPE tokenization with the trained vocabulary: the 12 merges apply
+    // to the DISTINCT-word table (tokenization = broadcast dictionary
+    // join, the corpus is never re-walked per merge); per-document word
+    // and BPE-token totals, zero-word documents preserved.
+    "doc_bpe_encode" -> ((
+      (s: SparkSession, d: String) =>
+        BpeVocab.encode(t(s, d, "documents"), "text", "doc_id", rounds = 12)
+          .orderBy(col("doc_id")),
+      Some(BpeVocab.encodeOracleSql(rounds = 12)))),
+
     // Benchmark-contamination detection: the eval set is every 37th
     // document; every other document reports the fraction of its distinct
     // word 3-grams that appear anywhere in that set. The oracle replays
@@ -2131,6 +2141,22 @@ object Queries {
              |SELECT domain, n_docs, total_tokens, raw_w,
              |  CAST((raw_w * 1000000) // sw AS BIGINT) AS weight_ppm
              |FROM w CROSS JOIN tot ORDER BY domain""".stripMargin))),
+
+    // Deterministic epoch shuffle: epoch-keyed Knuth permutation ->
+    // (shard, pos) training order; the only wide op is the per-shard
+    // window, so shards order independently at scale.
+    "samp_shuffle" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.epochShuffle(t(s, d, "documents").select(col("doc_id")),
+            "doc_id", epoch = 1, nShards = 8, verifiable = true)
+          .orderBy(col("shard"), col("pos")),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 1000000 + 7919) % 1000000 * 2654435761) % 1000000 AS hb
+             |  FROM documents)
+             |SELECT doc_id, CAST(hb % 8 AS BIGINT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY hb % 8 ORDER BY hb, doc_id) AS BIGINT) AS pos
+             |FROM b ORDER BY shard, pos""".stripMargin))),
 
     "samp_temperature" -> ((
       (s: SparkSession, d: String) =>

@@ -168,10 +168,44 @@ object BpeVocab {
     } finally base.unpersist()
   }
 
-  /** DuckDB replay of `train` — same word filter, same sentinel walk,
-    * same two-pass replace, same (total DESC, lhs, rhs) argmax, unrolled
-    * per round with MATERIALIZED CTEs. */
-  def oracleSql(rounds: Int, table: String = "documents", textCol: String = "text"): String = {
+  /**
+   * Tokenize with a trained vocabulary: trains `rounds` merges on the
+   * corpus, applies them (in merge order, the two-pass replace contract)
+   * to the DISTINCT-word table — tokenization is a dictionary join, the
+   * corpus is never re-walked per merge — and emits per-document totals:
+   * (id, n_words, bpe_tokens). `bpe_tokens` counts every token of the
+   * final piece string INCLUDING the end-of-word token (merged into the
+   * last piece or standalone). Documents with no admissible words (null
+   * text, non-ASCII soup) report zeros rather than vanishing.
+   */
+  def encode(df: DataFrame, textCol: String, idCol: String, rounds: Int,
+             localThreshold: Long = 4000000L): DataFrame = {
+    val merges = train(df, textCol, rounds, localThreshold).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val pieceCol = merges.foldLeft(initialPiece(col("w"))) { case (c, (l, rr)) =>
+      val (pat, rep) = mergePattern(l, rr)
+      replace(replace(c, lit(pat), lit(rep)), lit(pat), lit(rep))
+    }
+    val wordTok = wordCounts(df, textCol)
+      .select(col("w"),
+        size(filter(split(pieceCol, US), x => length(x) > 0)).cast(LongType).as("n_tok"))
+    val docWords = df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .where(col("w").rlike("^[!-~]+$"))
+    val sums = docWords.join(broadcast(wordTok), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("bpe_tokens"))
+    df.select(col(idCol)).join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** Shared CTE chain: word counts, initial pieces (word carried through
+    * every round for [[encodeOracleSql]]), and per-round (pair counts,
+    * argmax, two-pass replace) — all MATERIALIZED (DuckDB re-inlines
+    * chained CTEs multiplicatively otherwise). */
+  private def cteChain(rounds: Int, table: String, textCol: String): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH words AS MATERIALIZED (
               |  SELECT w, COUNT(*) AS cnt FROM (
@@ -179,7 +213,7 @@ object BpeVocab {
               |    FROM $table) u
               |  WHERE regexp_full_match(w, '[!-~]+') GROUP BY w),
               |p0 AS MATERIALIZED (
-              |  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
+              |  SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
               |         || chr(4) || chr(31) AS piece, cnt FROM words)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
@@ -192,16 +226,48 @@ object BpeVocab {
                 |b$r AS MATERIALIZED (
                 |  SELECT lhs, rhs, total FROM c$r ORDER BY total DESC, lhs, rhs LIMIT 1),
                 |p$r AS MATERIALIZED (
-                |  SELECT replace(replace(piece,
+                |  SELECT w, replace(replace(piece,
                 |           chr(31) || lhs || chr(31) || rhs || chr(31), chr(31) || lhs || rhs || chr(31)),
                 |           chr(31) || lhs || chr(31) || rhs || chr(31), chr(31) || lhs || rhs || chr(31))
                 |         AS piece, cnt FROM p${r - 1}, b$r)""".stripMargin
     }
+    sb.result()
+  }
+
+  /** DuckDB replay of `train` — same word filter, same sentinel walk,
+    * same two-pass replace, same (total DESC, lhs, rhs) argmax, unrolled
+    * per round with MATERIALIZED CTEs. */
+  def oracleSql(rounds: Int, table: String = "documents", textCol: String = "text"): String = {
+    val sb = new StringBuilder
+    sb ++= cteChain(rounds, table, textCol)
     sb ++= "\nSELECT merge_round, lhs, rhs, merged, cnt FROM (\n"
     sb ++= (1 to rounds).map(r =>
       s"  SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged, total AS cnt FROM b$r")
       .mkString("", "\n  UNION ALL\n", ")\n")
     sb ++= "ORDER BY merge_round"
     sb.result()
+  }
+
+  /** DuckDB replay of [[encode]]: final pieces joined back to every
+    * document's admissible words, zeros preserved via left join. */
+  def encodeOracleSql(rounds: Int, table: String = "documents",
+                      textCol: String = "text", idCol: String = "doc_id"): String = {
+    cteChain(rounds, table, textCol) + s""",
+      |wt AS MATERIALIZED (
+      |  SELECT w, CAST(len(list_filter(string_split(piece, chr(31)), x -> length(x) > 0)) AS BIGINT)
+      |         AS n_tok FROM p$rounds),
+      |dw AS MATERIALIZED (
+      |  SELECT $idCol, w FROM (
+      |    SELECT $idCol, unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
+      |    FROM $table) u
+      |  WHERE regexp_full_match(w, '[!-~]+')),
+      |sums AS MATERIALIZED (
+      |  SELECT dw.$idCol, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |         CAST(SUM(wt.n_tok) AS BIGINT) AS bpe_tokens
+      |  FROM dw JOIN wt USING (w) GROUP BY 1)
+      |SELECT d.$idCol, COALESCE(s.n_words, 0) AS n_words,
+      |       COALESCE(s.bpe_tokens, 0) AS bpe_tokens
+      |FROM $table d LEFT JOIN sums s ON d.$idCol = s.$idCol
+      |ORDER BY d.$idCol""".stripMargin
   }
 }

@@ -154,6 +154,36 @@ object Sampling {
   }
 
   /**
+   * Deterministic epoch shuffle — the training-data ordering step.
+   * Each epoch permutes the corpus by hashing the key WITH the epoch
+   * folded in, then assigns every row a shard and a position inside that
+   * shard: the global order of epoch e is (shard, pos). No global sort
+   * exists anywhere — the only wide operation is the per-shard window,
+   * so at 100 TB each shard orders independently (this is how epoch
+   * shuffling actually ships: shard-level shuffle + within-shard order,
+   * readers interleave shards).
+   *
+   * Verifiable mode keeps the whole chain in exact 64-bit arithmetic
+   * (the [[hashSample]] Knuth bucket with the epoch mixed in mod the
+   * bucket space), so any engine replays the permutation; production
+   * mode uses xxhash64(key, epoch) for better mixing.
+   */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int, nShards: Int,
+                   verifiable: Boolean = false): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    require(epoch >= 0, s"epoch must be non-negative: $epoch")
+    val mixed =
+      if (verifiable)
+        pmod(pmod(pmod(col(keyCol).cast(LongType), lit(Buckets)) + lit(epoch.toLong * 7919L), lit(Buckets))
+          * Multiplier, lit(Buckets))
+      else pmod(xxhash64(col(keyCol), lit(epoch)), lit(Buckets))
+    val withBucket = df.withColumn("__b", mixed)
+      .withColumn("shard", pmod(col("__b"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__b"), col(keyCol))
+    withBucket.withColumn("pos", row_number().over(w).cast(LongType)).drop("__b")
+  }
+
+  /**
    * Domain mixture weights — the table a training sampler consumes
    * (DoReMi-style temperature reweighting, Xie et al. 2023; the α-scaled
    * mixture of multilingual LM pretraining). Per domain: document count,

@@ -861,4 +861,18 @@ class PipelineSpec extends SparkSpec {
     val cnts = loc.map(_.getLong(4))
     assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a })
   }
+
+  test("BPE encode: dictionary-join tokenization matches hand-applied merges, zeros preserved") {
+    import graft.pipeline.BpeVocab
+    val tiny = spark.createDataFrame(Seq(
+      (1L, "ab ab ab abc"), (2L, "ZZ zz"), (3L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    // rounds=2 trains (a,b) then (ab,EOW): "ab" -> [ab+EOW] = 1 token,
+    // "abc" -> [ab, c, EOW] = 3, "zz" untouched -> [z, z, EOW] = 3
+    val enc = BpeVocab.encode(tiny, "text", "doc_id", rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(1L) === ((4L, 1L + 1L + 1L + 3L)))
+    assert(enc(2L) === ((2L, 3L + 3L)))
+    assert(enc(3L) === ((0L, 0L))) // null text reports zeros, not absence
+  }
 }

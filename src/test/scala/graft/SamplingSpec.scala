@@ -165,4 +165,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(flat("small") > w("small")._4)
   }
+
+  test("epochShuffle: deterministic per epoch, epochs differ, per-shard positions contiguous") {
+    import spark.implicits._
+    val df = ids(500)
+    val e1 = Sampling.epochShuffle(df, "id", epoch = 1, nShards = 4, verifiable = true)
+    val e1b = Sampling.epochShuffle(df, "id", epoch = 1, nShards = 4, verifiable = true)
+    val rows1 = e1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows1 === e1b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // a different epoch is a different permutation
+    val e2 = Sampling.epochShuffle(df, "id", epoch = 2, nShards = 4, verifiable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows1 !== e2)
+    // every row appears once; positions are 1..n inside each shard
+    assert(rows1.size === 500)
+    rows1.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).toSeq.sorted === (1L to g.size).toSeq) }
+    // posture: the only wide op is the per-shard window (one Exchange)
+    val plan = Sampling.epochShuffle(df, "id", 1, 4, verifiable = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, s"epochShuffle wide ops:\n$plan")
+  }
 }
