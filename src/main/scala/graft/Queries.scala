@@ -894,6 +894,31 @@ object Queries {
     // alone), exact-arithmetic oracle: squared-L2 folds are in-order
     // both engines, the argmin tie-breaks by code, and the ADC total is
     // an explicit left-associated 4-term add, never a data-ordered SUM.
+    // IVF-PQ combined search (FAISS IndexIVFPQ shape): coarse centroid
+    // routing prunes the candidate set to the probed clusters' PQ codes,
+    // then the fixed-order ADC chain scores them. nprobe = #centroids
+    // prunes nothing, so the result must EXACTLY equal pqSearch — the
+    // exactness-at-full-probe oracle technique (alg_knn_ivf); partial
+    // probe is spec-tested.
+    "emb_ivfpq" -> ((
+      (s: SparkSession, d: String) => {
+        val embs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val vecs = embs.select(col("vec_id"),
+          transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+        val centroids = vecs.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+        val clustered = Similarity.assignClusters(vecs, "vec_id", "vec", centroids, "cid", "cvec")
+        val cb = Similarity.pqTrain(embs, "vec_id", "embedding", m = 4, k = 8)
+        val codes = Similarity.pqEncode(embs, "vec_id", "embedding", cb, m = 4)
+        val queries = embs.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.knnIvfPq(clustered, "vec_id", codes, cb,
+            centroids, "cid", "cvec", queries, "qid", "qvec",
+            m = 4, topK = 10, nprobe = 8)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(pqAdcOracleSql(m = 4, k = 8, dim = 64, topK = 10)))),
+
     "emb_pq_adc" -> ((
       (s: SparkSession, d: String) => {
         val embs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))

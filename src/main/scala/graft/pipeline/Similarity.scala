@@ -311,6 +311,14 @@ object Similarity {
   def pqSearch(codes: DataFrame, codebook: DataFrame,
                queries: DataFrame, qidCol: String, qvecCol: String,
                m: Int, topK: Int): DataFrame = {
+    val lut = pqLut(codebook, queries, qidCol, qvecCol, m)
+    val cands = codes.crossJoin(broadcast(lut.select(col("qid")).distinct()))
+    adcTopK(cands, lut, m, topK)
+  }
+
+  /** Per-query subspace lookup table pd[qid][sub][code] = ‖q_sub − cw‖². */
+  private def pqLut(codebook: DataFrame, queries: DataFrame,
+                    qidCol: String, qvecCol: String, m: Int): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"),
       transform(col(qvecCol), _.cast(DoubleType)).as("vec"))
     val dim = q.select(size(col("vec")).as("d")).where(col("d") > 0).limit(1)
@@ -318,12 +326,18 @@ object Similarity {
     val sd = dim / m
     val qsubs = subspaceExplode(q.withColumnRenamed("qid", "id"), dim, m, sd)
       .withColumnRenamed("id", "qid")
-    val lut = qsubs.join(broadcast(codebook), Seq("sub"))
+    qsubs.join(broadcast(codebook), Seq("sub"))
       .select(col("qid"), col("sub"), col("code"),
         graft.functions.vecSqDiff(col("svec"), col("cvec")).as("pd"))
-    // per-sub LUT slices joined one by one: codes[j] (0-based) is looked
-    // up in sub j's slice; adds left-associate in subspace order
-    var joined = codes.crossJoin(broadcast(lut.select(col("qid")).distinct()))
+  }
+
+  /** ADC scoring over candidate (qid, id, codes) rows: per-sub LUT slices
+    * joined one by one — codes[j] (0-based) looked up in sub j's slice —
+    * and the approximate distance assembled as the explicit left-
+    * associated add chain, so it replays bit-identically cross-engine (a
+    * grouped SUM over subspace rows would be data-ordered). */
+  private def adcTopK(cands: DataFrame, lut: DataFrame, m: Int, topK: Int): DataFrame = {
+    var joined = cands
     for (j <- 0 until m) {
       val slice = lut.where(col("sub") === j)
         .select(col("qid").as(s"__q$j"), col("code").as(s"__c$j"), col("pd").as(s"__pd$j"))
@@ -338,6 +352,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("qid"), col("id"), round(col("adc"), 6).as("adc"), col("rank"))
+  }
+
+  /**
+   * IVF-PQ: the combined coarse-quantizer + compressed-domain search a
+   * 100 TB vector corpus actually runs (Jégou et al. 2011; FAISS
+   * `IndexIVFPQ`). Queries probe their `nprobe` nearest centroids
+   * (cosine, the [[knnIvf]] routing), the candidate set is the PQ codes
+   * of the probed clusters only — a partition-pruned join on the cluster
+   * key, never a corpus scan — and candidates score by the same
+   * fixed-order ADC chain as [[pqSearch]]. With nprobe = #centroids the
+   * result is EXACTLY [[pqSearch]] (nothing pruned), which is what the
+   * oracle checks; partial-probe recall is spec-tested.
+   *
+   * `clustered` is [[assignClusters]] output (or any frame with idCol +
+   * `cid`); `codes` is [[pqEncode]] output keyed by `id`.
+   */
+  def knnIvfPq(clustered: DataFrame, idCol: String,
+               codes: DataFrame, codebook: DataFrame,
+               centroids: DataFrame, cidCol: String, cvecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               m: Int, topK: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    val cents = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cvec"),
+      l2norm(col(cvecCol)).as("cvn"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      l2norm(col(qvecCol)).as("qn"))
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim", dot(col("qvec"), col("cvec")) / (col("qn") * col("cvn")))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val cands = clustered.select(col(idCol).as("id"), col("cid"))
+      .join(codes, Seq("id"))
+      .join(broadcast(probes), Seq("cid"))
+      .select(col("qid"), col("id"), col("codes"))
+    adcTopK(cands, pqLut(codebook, queries, qidCol, qvecCol, m), m, topK)
   }
 
   /**
