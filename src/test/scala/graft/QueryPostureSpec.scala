@@ -193,4 +193,42 @@ class QueryPostureSpec extends SparkSpec {
     assert(leaked.isEmpty,
       s"persisted RDDs leaked by dedup queries: ${leaked.values.map(_.toString).mkString("; ")}")
   }
+
+  test("ivf-pq: probes and LUT broadcast; no non-broadcast product") {
+    val p = plan("emb_ivfpq")
+    // the LUT/probe/centroid sides must all come in as broadcasts; the
+    // centroid-routing cross joins are BROADCAST nested loops over a
+    // k-row build side (the intended IVF shape — fine at any scale).
+    // A CartesianProduct (both sides shuffled) is the scale failure.
+    assert(p.contains("BroadcastHashJoin"), s"knnIvfPq lost its broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"knnIvfPq produced a cartesian:\n$p")
+  }
+
+  test("bpe encode: tokenization is a broadcast dictionary join with partial aggregation") {
+    val p = plan("doc_bpe_encode")
+    // the word->piece dictionary must broadcast (vocab-sized), and the
+    // per-doc totals must map-side combine — a 100 TB corpus shuffles
+    // (doc_id, partial counts), never raw exploded words
+    assert(p.contains("BroadcastHashJoin"), s"encode lost the dictionary broadcast:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      s"encode lost partial aggregation:\n$p")
+  }
+
+  test("epoch shuffle: exactly one wide op (the per-shard window)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id")
+    val p = graft.pipeline.Sampling.epochShuffle(docs, "doc_id", epoch = 1,
+      nShards = 8, verifiable = true).queryExecution.executedPlan.toString
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"epochShuffle needs exactly one exchange (shard window):\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"epochShuffle must never global-sort:\n$p")
+  }
+
+  test("domain weights: one corpus aggregate, map-side combined, totals broadcast") {
+    val p = plan("samp_domain_weights")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      s"domainMixtureWeights lost partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"domainMixtureWeights shuffles a broadcast-sized table:\n$p")
+  }
 }
