@@ -78,6 +78,9 @@ class GraphCoreSpec extends SparkSpec {
 
   test("powergrid triangle count matches golden (651)") {
     assert(GraphAlgorithms.triangleCount(pg.edges) === 651L)
+    // adaptive parity: the distributed three-join counts the same 651
+    assert(GraphAlgorithms.triangleCountDF(pg.edges, localThreshold = 0L)
+      .collect()(0).getLong(0) === 651L)
   }
 
   test("json edge fixture loads 20 nodes / 100 edges with merged properties") {
