@@ -1259,6 +1259,26 @@ object Queries {
       },
       Some(walkPairsOracleSql(steps = 8, window = 2)))),
 
+    // Positive PMI over the walk corpus (the matrix SGNS embeddings
+    // factorize): marginals + total from the same pair table, ln with a
+    // fixed-shape argument, round 6 (the Adamic-Adar precedent).
+    "alg_walk_ppmi" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        val nz = eb.where(col("src") =!= col("dst"))
+        val starts = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id"), lit(9)) === 0)
+          .select(col("id").as("wid"), col("id"))
+        val walks = GraphAlgorithms.randomWalks(eb, starts, steps = 8)
+        GraphAlgorithms.walkPpmiScores(walks, window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some(walkPpmiOracleSql(steps = 8, window = 2)))),
+
     // Closeness + harmonic centrality via hop-bounded multi-source BFS on
     // a hash-thinned mod-900 lineitem graph (~1% of pairs kept so
     // distances are non-trivial), in LANDMARK mode — every 9th vertex is
@@ -3013,6 +3033,24 @@ object Queries {
        |FROM allsteps a JOIN allsteps b
        |  ON a.wid = b.wid AND a.step <> b.step AND ABS(a.step - b.step) <= $window
        |GROUP BY 1, 2
+       |ORDER BY center, context""".stripMargin
+
+  /** alg_walk_ppmi oracle: pair counts + marginals + total from the same
+    * replayed walk table; LN argument assembled in the identical
+    * (cnt·N)/(cc·cx) shape before the single round-6 transcendental. */
+  private def walkPpmiOracleSql(steps: Int, window: Int): String =
+    s"""WITH ${randomWalksCtes(steps)},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS center, b.id AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM allsteps a JOIN allsteps b
+       |    ON a.wid = b.wid AND a.step <> b.step AND ABS(a.step - b.step) <= $window
+       |  GROUP BY 1, 2),
+       |cn AS (SELECT center, CAST(SUM(cnt) AS BIGINT) AS cc FROM pairs GROUP BY 1),
+       |cx AS (SELECT context, CAST(SUM(cnt) AS BIGINT) AS cx FROM pairs GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pairs)
+       |SELECT center, context, cnt,
+       |  CAST(ROUND(GREATEST(0.0, LN(CAST(cnt AS DOUBLE) * n / (cc * cx))), 6) AS DOUBLE) AS ppmi
+       |FROM pairs JOIN cn USING (center) JOIN cx USING (context) CROSS JOIN tot
        |ORDER BY center, context""".stripMargin
 
   /** kg_construct oracle: replay chunk → first-match 3-group regex →

@@ -821,6 +821,36 @@ object GraphAlgorithms {
   }
 
   /**
+   * PPMI co-occurrence scores over the walk corpus — the matrix
+   * word2vec-style graph embeddings factorize (Levy & Goldberg 2014:
+   * SGNS ≈ shifted PMI). For each skip-gram pair:
+   * PMI = ln(cnt·N / (cnt_center·cnt_context)), clamped at 0 (positive
+   * PMI). Marginals and the total come from the SAME pair table, which
+   * is persisted once, aggregated twice (map-side combined), and
+   * released after the scored result eagerly checkpoints — no cache
+   * residue (the Dedup eager contract). The single transcendental is
+   * one `ln` per pair with the argument assembled in a fixed
+   * multiply/divide shape, so round(…, 6) replays cross-engine (the
+   * linkPrediction Adamic–Adar precedent).
+   */
+  def walkPpmiScores(walks: DataFrame, window: Int): DataFrame = {
+    val pairs = walkSkipGramPairs(walks, window).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val cN = pairs.groupBy("center").agg(sum(col("cnt")).as("cc"))
+    val cX = pairs.groupBy("context").agg(sum(col("cnt")).as("cx"))
+    val tot = pairs.agg(sum(col("cnt")).as("n"))
+    val out = pairs.join(cN, Seq("center")).join(cX, Seq("context"))
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"), col("cnt"),
+        round(greatest(lit(0.0),
+          log(col("cnt").cast("double") * col("n") / (col("cc") * col("cx")))), 6)
+          .as("ppmi"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    out
+  }
+
+  /**
    * Weighted shortest paths, hop-bounded Bellman–Ford (parity-plus, the
    * weighted sibling of [[shortestPaths]]): after k iterations `dist` is
    * exactly the minimum path weight over paths of ≤ k hops. Each

@@ -614,4 +614,23 @@ class GraphCoreSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("triangles")).collect()(0).getLong(0)
     assert(pv === 3L * 651L)
   }
+
+  test("walkPpmiScores: hand-checked PPMI on a single walk, clamped at zero, no cache residue") {
+    import spark.implicits._
+    // one walk 1-2-3, window 1: pairs (1,2),(2,1),(2,3),(3,2) each cnt 1;
+    // N=4, marginals 1:1 2:2 3:1 -> ppmi(1,2) = ln(4/(1*2)) = ln 2
+    val walks = Seq((0L, 0, "1"), (0L, 1, "2"), (0L, 2, "3"))
+      .toDF("wid", "step", "id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val m = GraphAlgorithms.walkPpmiScores(walks, window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.size === 4)
+    assert(m(("1", "2")) === ((1L, BigDecimal(math.log(2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(m(("2", "1")) === m(("1", "2")))
+    // ppmi(2,x): ln(1*4/(2*1)) = ln 2 as well; all values non-negative
+    m.values.foreach { case (_, p) => assert(p >= 0.0) }
+    // the pair table was released (localCheckpoint blocks are not persist entries)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
+  }
 }
