@@ -121,4 +121,41 @@ class PropertySpec extends SparkSpec {
       assert(got === naive)
     }
   }
+
+  test("BPE train: Spark distributed rounds == driver rounds on random corpora") {
+    import spark.implicits._
+    import graft.pipeline.BpeVocab
+    // small alphabet forces dense pair collisions (ties, back-to-back
+    // runs — the two-pass-replace edge cases)
+    val genWord = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genDoc = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    forAll(Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, genDoc)), cases = 6) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val loc = BpeVocab.train(df, "text", rounds = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val dist = BpeVocab.train(df, "text", rounds = 4, localThreshold = 0L)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(loc === dist, s"corpus: $docs")
+    }
+  }
+
+  test("epochShuffle is a permutation and matches the naive hash-sort definition") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    forAll(Gen.chooseNum(1, 200), Gen.chooseNum(0, 5), Gen.chooseNum(1, 7)) { (n, epoch, shards) =>
+      val df = (0L until n.toLong).toDF("id")
+      val got = Sampling.epochShuffle(df, "id", epoch, shards, verifiable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._1).toSet === (0L until n.toLong).toSet)
+      // naive reference: bucket every key, group by bucket%shards, sort
+      def bucket(k: Long) = (k % 1000000 + epoch.toLong * 7919) % 1000000 * 2654435761L % 1000000
+      val want = (0L until n.toLong).map(k => (k, bucket(k)))
+        .groupBy(_._2 % shards)
+        .flatMap { case (s, g) =>
+          g.sortBy { case (k, b) => (b, k) }.zipWithIndex
+            .map { case ((k, _), i) => (k, s, i.toLong + 1) } }.toSet
+      assert(got.toSet === want)
+    }
+  }
 }
