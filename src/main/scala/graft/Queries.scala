@@ -102,6 +102,25 @@ object Queries {
               |JOIN lineitem ON o_orderkey = l_orderkey
               |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))),
 
+    // OLAP rollup: the classic subtotal/grand-total report in ONE pass —
+    // Spark expands grouping sets before the partial aggregate, so a
+    // 100 TB rollup still map-side combines instead of re-scanning per
+    // level. Exact-decimal revenue (the q1/q5 technique), grouping_id
+    // disambiguates subtotal rows (same bitmask convention both engines).
+    "q_rollup_revenue" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(money(sum(revenue)).as("revenue"), count(lit(1)).as("lines"),
+            grouping_id().cast(IntegerType).as("grp"))
+          .orderBy(col("grp"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |CAST(ROUND(SUM($revenueSql),2) AS DOUBLE) AS revenue,
+              |COUNT(*) AS lines,
+              |CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS grp
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY grp, l_returnflag, l_linestatus""".stripMargin))),
+
     "q_window_top_orders" -> ((
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy(col("o_custkey"))

@@ -231,4 +231,13 @@ class QueryPostureSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"domainMixtureWeights shuffles a broadcast-sized table:\n$p")
   }
+
+  test("rollup: grouping sets expand once, then partial + final aggregate") {
+    val p = plan("q_rollup_revenue")
+    // one Expand node (grouping-set multiplication) feeding a split
+    // aggregate - NOT one scan per rollup level
+    assert(p.contains("Expand"), s"rollup lost the Expand strategy:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      s"rollup lost partial aggregation:\n$p")
+  }
 }
