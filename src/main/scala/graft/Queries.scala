@@ -1278,6 +1278,26 @@ object Queries {
       },
       Some(walkPairsOracleSql(steps = 8, window = 2)))),
 
+    // Weight-biased walks (node2vec-style static bias): neighbor chosen
+    // by exact integer cumulative-weight interval containing the LCG
+    // draw mod total weight — replayed row-for-row by the oracle.
+    "alg_weighted_walks" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+          .withColumn("weight", pmod(col("src") + col("dst"), lit(7)) + 1)
+        val nz = eb.where(col("src") =!= col("dst"))
+        val starts = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id"), lit(9)) === 0)
+          .select(col("id").as("wid"), col("id"))
+        GraphAlgorithms.weightedRandomWalks(eb, starts, steps = 6)
+          .orderBy(col("wid"), col("step"))
+      },
+      Some(weightedWalksOracleSql(steps = 6)))),
+
     // Positive PMI over the walk corpus (the matrix SGNS embeddings
     // factorize): marginals + total from the same pair table, ln with a
     // fixed-shape argument, round 6 (the Adamic-Adar precedent).
@@ -3038,6 +3058,38 @@ object Queries {
        |$chain,
        |allsteps AS MATERIALIZED (SELECT wid, step, id FROM (
        |  $union))""".stripMargin
+  }
+
+  /** alg_weighted_walks oracle: the walk chain with weighted transition
+    * replay — exact integer cumulative weights per ordered neighbor, the
+    * chosen row is the [cw-w, cw) interval containing draw mod total. */
+  private def weightedWalksOracleSql(steps: Int): String = {
+    val chain = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT w.wid, a.v FROM w${t - 1} w
+         |  JOIN twt ON twt.u = w.v
+         |  JOIN wadj a ON a.u = w.v
+         |    AND ((1103515245 * (w.wid * 1000003 + $t * 101) + 12345) % 2147483647) % twt.tw
+         |        BETWEEN a.cw - a.w AND a.cw - 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT wid, $t AS step, v AS id FROM w$t").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT l_orderkey % 900 AS src, l_partkey % 900 AS dst,
+       |         (l_orderkey % 900 + l_partkey % 900) % 7 + 1 AS w
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS (SELECT src AS u, dst AS v, w FROM eb
+       |       UNION ALL SELECT dst, src, w FROM eb),
+       |uec AS MATERIALIZED (
+       |  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM ue WHERE u <> v GROUP BY 1, 2),
+       |wadj AS MATERIALIZED (SELECT u, v, w,
+       |  CAST(SUM(w) OVER (PARTITION BY u ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw FROM uec),
+       |twt AS MATERIALIZED (SELECT u, MAX(cw) AS tw FROM wadj GROUP BY u),
+       |w0 AS MATERIALIZED (SELECT DISTINCT u AS wid, u AS v FROM uec WHERE u % 9 = 0),
+       |$chain,
+       |allsteps AS MATERIALIZED (SELECT wid, step, id FROM (
+       |  $union))
+       |SELECT wid, step, id FROM allsteps ORDER BY wid, step""".stripMargin
   }
 
   private def randomWalksOracleSql(steps: Int): String =

@@ -645,6 +645,55 @@ object GraphAlgorithms {
   }
 
   /**
+   * Weight-biased deterministic random walks — the transition rule
+   * node2vec-style corpora are built from (Grover & Leskovec 2016, with
+   * static edge weights as the bias): at each step the walker picks
+   * neighbor v with probability w(u,v)/W(u). Selection replays in plain
+   * SQL: neighbors order by v with an exact integer cumulative weight
+   * `cw`, the LCG draw reduces mod W(u), and the chosen row is the one
+   * whose [cw−w, cw) interval contains the draw — pure 64-bit integer
+   * arithmetic end to end (the [[randomWalks]] contract, weighted).
+   * Parallel edges SUM their weights (multigraph mass); weights must be
+   * positive integers after the cast.
+   */
+  def weightedRandomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                          undirected: Boolean = true): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
+      col("weight").cast("long").as("w"))
+    val e = (if (undirected)
+               e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+             else e0)
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val adj = e.withColumn("cw",
+        sum(col("w")).over(Window.partitionBy("u").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = adj.groupBy("u").agg(max(col("cw")).as("tw"))
+    val adjT = adj.join(tot, Seq("u"))
+    var cur = starts.select(col("wid").cast("long").as("wid"), col("id").as("v"))
+      .localCheckpoint(true)
+    var out = cur.select(col("wid"), lit(0).as("step"), col("v").as("id"))
+    for (t <- 1 to steps) {
+      val draw = pmod(
+        lit(1103515245L) * (col("wid") * lit(1000003L) + lit(t.toLong) * lit(101L))
+          + lit(12345L), lit(2147483647L))
+      val r = pmod(col("__draw"), col("tw"))
+      cur = cur.select(col("wid"), col("v").as("u"))
+        .withColumn("__draw", draw)
+        .join(adjT, Seq("u"))
+        .where(r >= col("cw") - col("w") && r < col("cw"))
+        .select(col("wid"), col("v"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.select(col("wid"), lit(t).as("step"), col("v").as("id")))
+    }
+    adj.unpersist()
+    out
+  }
+
+  /**
    * Maximal independent set by DETERMINISTIC Luby rounds (parity-plus —
    * the classic symmetry-breaking primitive behind distributed coloring
    * and scheduling): in round r every live vertex draws the pure-integer

@@ -633,4 +633,31 @@ class GraphCoreSpec extends SparkSpec {
     // the pair table was released (localCheckpoint blocks are not persist entries)
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
+
+  test("weightedRandomWalks: deterministic, edge-valid, biased toward heavy weights") {
+    import spark.implicits._
+    // star center 0 with a heavy edge to 1 (w=999) and light edges to 2,3 (w=1)
+    val edges = Seq((0L, 1L, 999L), (0L, 2L, 1L), (0L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    val starts = (1L to 60L).map(i => (i, 0L)).toDF("wid", "id")
+    val walks = GraphAlgorithms.weightedRandomWalks(edges, starts, steps = 1)
+    val step1 = walks.where(col("step") === 1)
+      .collect().map(_.getLong(2))
+    assert(step1.length === 60)
+    // draw mod 1001: picks 1 unless the draw lands in the 2-in-1001 tail
+    val heavy = step1.count(_ == 1L)
+    assert(heavy >= 55, s"heavy-edge picks: $heavy/60")
+    assert(step1.forall(v => v == 1L || v == 2L || v == 3L))
+    // deterministic across reruns
+    val again = GraphAlgorithms.weightedRandomWalks(edges, starts, steps = 1)
+      .where(col("step") === 1).collect().map(_.getLong(2))
+    assert(step1.toSeq === again.toSeq)
+    // every consecutive walk pair is a real (undirected) edge; parallel
+    // edges collapse by SUMMED weight without breaking validity
+    val par = Seq((0L, 1L, 1L), (0L, 1L, 5L), (1L, 2L, 3L)).toDF("src", "dst", "weight")
+    val pw = GraphAlgorithms.weightedRandomWalks(par, Seq((7L, 0L)).toDF("wid", "id"), steps = 4)
+      .orderBy("step").collect().map(_.getLong(2))
+    val allowed = Set((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+    pw.sliding(2).foreach { case Array(a, b) => assert(allowed.contains((a, b)), s"$a->$b") }
+  }
 }
