@@ -1721,6 +1721,18 @@ object Queries {
           .orderBy(col("doc_id")),
       Some(qualityOracleSql))),
 
+    // Corpus-relative quality cut: keep everything at or above the
+    // global 25th percentile of quality_score. The percentile is EXACT
+    // at any scale: the score lives on a 1e-6 grid, so selection runs on
+    // its bounded histogram (one map-side-combined aggregate + one
+    // window over <=1e6 buckets), never a corpus sort.
+    "doc_quality_filter" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityPercentileFilter(t(s, d, "documents"), "text", "doc_id",
+            percentile = 0.25)
+          .orderBy(col("doc_id")),
+      Some(qualityPercentileOracleSql(0.25)))),
+
     // Gopher structural/repetition quality rules (Rae et al. 2021 Table
     // A1): per-doc word/length/symbol/bullet/ellipsis/stopword measures
     // as codegen'd columns, duplicate-line character fraction as a
@@ -2804,7 +2816,12 @@ object Queries {
        |FROM r ORDER BY id""".stripMargin
   }
 
-  private def qualityOracleSql: String = {
+  private def qualityOracleSql: String = qualityScoreSql + "\nORDER BY doc_id"
+
+  /** Full per-doc quality statement (no ORDER BY) — shared by the
+    * doc_quality oracle and the percentile-filter oracle, which nests it
+    * as a CTE subquery. */
+  private def qualityScoreSql: String = {
     val stop = TextAnalysis.langMarkers("en")
       .map(w => s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}")
       .mkString(" + ")
@@ -2832,8 +2849,22 @@ object Queries {
        |      LEAST(CAST(ROUND(stopword_ratio * 1000000) AS BIGINT) * 2, 1000000) * 3 +
        |      (1000000 - LEAST(CAST(ROUND(punct_ratio * 1000000) AS BIGINT) * 5, 1000000)) * 2,
        |    0), 10000000) + 5) // 10 AS DOUBLE) / 1000000.0 AS quality_score
-       |FROM c ORDER BY doc_id""".stripMargin
+       |FROM c""".stripMargin
   }
+
+  /** doc_quality_filter oracle: the same histogram percentile — smallest
+    * score whose cumulative count reaches ceil(p*n) — over the nested
+    * quality statement, then the inclusive filter. */
+  private def qualityPercentileOracleSql(p: Double): String =
+    s"""WITH qall AS MATERIALIZED (
+       |  SELECT doc_id, quality_score FROM ($qualityScoreSql) qsub),
+       |hist AS (SELECT quality_score AS s, COUNT(*) AS c FROM qall GROUP BY 1),
+       |cum AS (SELECT s, CAST(SUM(c) OVER (ORDER BY s
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM hist),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+       |thr AS (SELECT MIN(s) AS thr FROM cum CROSS JOIN tot WHERE cum >= CEIL($p * n))
+       |SELECT doc_id, quality_score FROM qall CROSS JOIN thr
+       |WHERE quality_score >= thr ORDER BY doc_id""".stripMargin
 
   /** SimHash brute-force oracle: recompute every doc's 64-bit signature
     * (md5-derived token bits, the exact definition in [[Dedup.simhash]])

@@ -107,6 +107,38 @@ object TextAnalysis {
   }
 
   /**
+   * Keep documents at or above the global `percentile` of
+   * `quality_score` — the corpus-relative quality cut a pipeline applies
+   * when it wants "the best 75%" rather than a fixed threshold.
+   *
+   * The percentile is EXACT at any scale because the score lives on a
+   * 1e-6 grid (see [[withQuality]]): the selection runs on the score
+   * HISTOGRAM (≤ 1e6+1 buckets regardless of corpus size — one
+   * map-side-combined aggregate), whose cumulative sum fits one window
+   * partition by construction. Threshold = smallest score with
+   * cum ≥ ceil(p·n) (inclusive-rank percentile-disc), broadcast back as
+   * a pure filter on the scored scan.
+   */
+  def qualityPercentileFilter(df: DataFrame, textCol: String, idCol: String,
+                              percentile: Double): DataFrame = {
+    require(percentile > 0 && percentile < 1,
+      s"percentile must be in (0,1): $percentile")
+    import org.apache.spark.sql.expressions.Window
+    val q = withQuality(df, textCol)
+    val hist = q.groupBy(col("quality_score")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("quality_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .where(col("cum") >= ceil(lit(percentile) * col("n")))
+      .agg(min(col("quality_score")).as("thr"))
+    q.crossJoin(broadcast(thr))
+      .where(col("quality_score") >= col("thr"))
+      .select(col(idCol), col("quality_score"))
+  }
+
+  /**
    * Gopher-style quality rules (Rae et al. 2021, "Scaling Language
    * Models", Table A1) — the structural/repetition filters a pretraining
    * pipeline applies before anything model-based:

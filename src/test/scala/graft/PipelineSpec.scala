@@ -914,4 +914,21 @@ class PipelineSpec extends SparkSpec {
     assert(part.count() > 0)
     assert(probed.count() === 3) // sanity: one assignment per query
   }
+
+  test("qualityPercentileFilter: clean score partition at the exact histogram percentile") {
+    val kept = TextAnalysis.qualityPercentileFilter(docs, "text", "doc_id", percentile = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = TextAnalysis.withQuality(docs, "text")
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dropped = all.filter { case (id, _) => !kept.contains(id) }
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    // every dropped score is strictly below every kept score
+    assert(dropped.values.max < kept.values.min)
+    // inclusive-rank contract: #(scores < threshold) < ceil(p*n)
+    val n = all.size
+    assert(dropped.size < math.ceil(0.25 * n))
+    // at least (1-p) of the corpus survives
+    assert(kept.size >= n - math.ceil(0.25 * n).toInt)
+  }
 }
