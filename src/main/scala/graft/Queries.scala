@@ -2100,6 +2100,20 @@ object Queries {
           .orderBy(col("asset_id")),
       Some(mmFeaturesOracleSql))),
 
+    // Nearest-neighbor image resize: synthetic payloads are text (not a
+    // parseable codec) so the deterministic stub raster path runs — the
+    // real PPM/ImageIO raster paths are exercised by MultimodalSpec with
+    // generated PNG/PPM fixtures. Oracle replays the integer floor-sample
+    // math over the ASCII payload bytes.
+    "mm_resize" -> ((
+      (s: SparkSession, d: String) =>
+        Multimodal.resizeImages(
+          Multimodal.syntheticAssets(t(s, d, "documents"), "doc_id", "text"), 12, 12)
+          .select(col("asset_id"), col("src_w"), col("src_h"),
+            col("out_w"), col("out_h"), col("channels"), col("pix_sum"))
+          .orderBy(col("asset_id")),
+      Some(mmResizeOracleSql(12, 12)))),
+
     // `adgr-cust` ingest: edge-list + vertex-attribute-file upload. Lines
     // are synthesized from nation/region; attribute i lands as property
     // a<i>. Region nodes are absent from the attribute file → NULL lookups.
@@ -3265,6 +3279,36 @@ object Queries {
       |  CAST(wsum % 768 + 1 AS INTEGER) AS height,
       |  CAST(CASE WHEN modality = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels
       |FROM s ORDER BY asset_id""".stripMargin
+
+  /** mm_resize oracle: replay the stub-raster nearest-neighbor sample —
+    * payload bytes laid out gray row-major at width ceil(sqrt(n)),
+    * integer floor mapping sx = x·srcW/outW — over the pure-ASCII corpus
+    * (codepoints ARE the payload bytes). All-integer result contract. */
+  private def mmResizeOracleSql(outW: Int, outH: Int): String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, text, length(text) AS n
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |d AS (
+       |  SELECT asset_id, text, n,
+       |    greatest(1, CAST(ceil(sqrt(n)) AS BIGINT)) AS sw FROM a),
+       |e AS (
+       |  SELECT asset_id, text, n, sw,
+       |    greatest(1, (n + sw - 1) // sw) AS sh FROM d),
+       |p AS (
+       |  SELECT asset_id, sw, sh,
+       |    ((k // $outW) * sh // $outH) * sw + (k % $outW) * sw // $outW AS idx,
+       |    text, n
+       |  FROM e, UNNEST(range(0, ${outW * outH})) t(k)),
+       |v AS (
+       |  SELECT asset_id, sw, sh,
+       |    CASE WHEN idx < n
+       |      THEN unicode(substr(text, CAST(idx + 1 AS INTEGER), 1))
+       |      ELSE 0 END AS pix
+       |  FROM p)
+       |SELECT asset_id, CAST(sw AS INTEGER) AS src_w, CAST(sh AS INTEGER) AS src_h,
+       |  CAST($outW AS INTEGER) AS out_w, CAST($outH AS INTEGER) AS out_h,
+       |  CAST(1 AS INTEGER) AS channels, CAST(SUM(pix) AS BIGINT) AS pix_sum
+       |FROM v GROUP BY asset_id, sw, sh ORDER BY asset_id""".stripMargin
 
   /** mm_frames oracle: chunk the payload into frameBytes-byte frames,
     * keep every stride-th, digest. The payload is the UTF-8 encoding of a

@@ -357,6 +357,120 @@ object Multimodal {
     out.toDF()
   }
 
+  final case class ResizedAsset(
+      asset_id: Long, src_w: Int, src_h: Int, out_w: Int, out_h: Int,
+      channels: Int, pix_sum: Long, payload: Array[Byte])
+
+  /** Parse a binary PPM/PGM header; returns (width, height, channels,
+    * maxval, rasterOffset) when the full raster is present. */
+  private def ppmHeader(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (payload == null || payload.length < 2 || payload(0) != 'P' ||
+      (payload(1) != '5' && payload(1) != '6')) return None
+    val ch = if (payload(1) == '5') 1 else 3
+    var i = 2
+    def token(): Option[Int] = {
+      var go = true
+      while (go && i < payload.length) {
+        val c = payload(i).toChar
+        if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+      val s = i
+      while (i < payload.length && !payload(i).toChar.isWhitespace) i += 1
+      new String(payload, s, i - s, "US-ASCII").toIntOption.filter(_ >= 0)
+    }
+    for {
+      w <- token(); h <- token(); maxv <- token()
+      if w > 0 && h > 0 && maxv > 0 && maxv <= 255
+      off = i + 1
+      if off + w.toLong * h * ch <= payload.length
+    } yield (w, h, ch, maxv, off)
+  }
+
+  /** Nearest-neighbor resize of one image payload to outW×outH.
+    *
+    * Source raster, in preference order: binary PPM/PGM (direct byte
+    * raster), any ImageIO-parseable codec (PNG/JPEG/BMP/GIF), and — for
+    * payloads that are not images at all — the deterministic STUB raster:
+    * the payload bytes laid out row-major as a gray image of width
+    * ceil(sqrt(n)), zero-padded to the last row. Sampling is integer
+    * floor mapping sx = x·srcW/outW (replayable exactly by any engine —
+    * no interpolation, no float). Output payload is a binary PGM (P5) or
+    * PPM (P6) so the result round-trips through [[extractFeatures]];
+    * `pix_sum` is the integer sum of resized raster bytes. */
+  private[graft] def resizeOne(assetId: Long, payload: Array[Byte],
+      outW: Int, outH: Int): ResizedAsset = {
+    val n = if (payload == null) 0 else payload.length
+    // (srcW, srcH, channels, sample(x, y, c) -> 0..255)
+    val src: (Int, Int, Int, (Int, Int, Int) => Int) =
+      scala.util.Try(ppmHeader(payload)).toOption.flatten match {
+        case Some((w, h, ch, _, off)) =>
+          (w, h, ch, (x, y, c) => payload(off + (y * w + x) * ch + c) & 0xFF)
+        case None =>
+          val img = if (n == 0) None else scala.util.Try(
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))))
+            .toOption.flatten.filter(im => im.getWidth > 0 && im.getHeight > 0)
+          img match {
+            case Some(im) if im.getColorModel.getNumColorComponents == 1 =>
+              (im.getWidth, im.getHeight, 1,
+                (x, y, _) => im.getRaster.getSample(x, y, 0) & 0xFF)
+            case Some(im) =>
+              (im.getWidth, im.getHeight, 3,
+                (x, y, c) => (im.getRGB(x, y) >> (16 - 8 * c)) & 0xFF)
+            case None => // STUB raster — deterministic, oracle-replayable
+              val sw = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+              val sh = math.max(1, (n + sw - 1) / sw)
+              (sw, sh, 1, (x, y, _) => {
+                val idx = y * sw + x
+                if (idx < n) payload(idx) & 0xFF else 0
+              })
+          }
+      }
+    val (sw, sh, ch, sample) = src
+    val header = (if (ch == 1) s"P5\n$outW $outH\n255\n" else s"P6\n$outW $outH\n255\n")
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + outW * outH * ch)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pixSum = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * sh / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * sw / outW).toInt
+        var c = 0
+        while (c < ch) {
+          val v = sample(sx, sy, c)
+          out(header.length + (y * outW + x) * ch + c) = v.toByte
+          pixSum += v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    ResizedAsset(assetId, sw, sh, outW, outH, ch, pixSum, out)
+  }
+
+  /** Batched image resize: image-modality assets → nearest-neighbor
+    * resized PPM/PGM payloads (see [[resizeOne]]). Same partition-local
+    * batch shape as [[extractFeatures]] — narrow map, no shuffle beyond
+    * the deterministic id repartition. */
+  def resizeImages(assets: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "output dimensions must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("modality") === "image")
+      .select(col("asset_id"), col("payload"))
+      .repartition(col("asset_id"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(64).flatMap(_.iterator.map { r =>
+          resizeOne(r.getLong(0), r.getAs[Array[Byte]](1), outW, outH)
+        })
+      }.toDF()
+  }
+
   /** Video frame sampling stub: split the payload into fixed-size BINARY
     * chunks ("frames") and keep every `stride`-th — the plumbing (binary
     * slices, exploded frame rows) is the real shape a decoder would fill. */

@@ -839,6 +839,48 @@ class PipelineSpec extends SparkSpec {
       row.getAs[Int]("channels") === 3)
   }
 
+  test("multimodal: nearest-neighbor resize — PPM upscale, PNG downscale, stub raster") {
+    // PPM path: 2x2 P6 with 4 distinct pixels, upscaled 2x — NN duplicates
+    // each source pixel into a 2x2 block
+    val src = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](
+      10, 11, 12,  20, 21, 22,
+      30, 31, 32,  40, 41, 42)
+    val up = Multimodal.resizeOne(1L, src, 4, 4)
+    assert((up.src_w, up.src_h, up.out_w, up.out_h, up.channels) === ((2, 2, 4, 4, 3)))
+    val h = up.payload.indexOf('\n'.toByte,
+      up.payload.indexOf('\n'.toByte, up.payload.indexOf('\n'.toByte) + 1) + 1) + 1
+    def pix(x: Int, y: Int) = (0 until 3).map(c => up.payload(h + (y * 4 + x) * 3 + c))
+    assert(pix(0, 0) === Seq[Byte](10, 11, 12) && pix(1, 1) === Seq[Byte](10, 11, 12))
+    assert(pix(2, 0) === Seq[Byte](20, 21, 22) && pix(3, 3) === Seq[Byte](40, 41, 42))
+    assert(up.pix_sum === (10 + 11 + 12 + 20 + 21 + 22 + 30 + 31 + 32 + 40 + 41 + 42) * 4L)
+    // the resized payload round-trips through the PPM decoder
+    val rt = Multimodal.decodePpm(1L, up.payload).get
+    assert((rt.width, rt.height, rt.channels) === ((4, 4, 3)))
+
+    // ImageIO path: 4x4 gray PNG downscaled to 2x2 — NN picks (0,0),(2,0),(0,2),(2,2)
+    import java.awt.image.BufferedImage
+    val gim = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4) gim.getRaster.setSample(x, y, 0, y * 4 + x)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gim, "png", bos)
+    val down = Multimodal.resizeOne(2L, bos.toByteArray, 2, 2)
+    assert((down.src_w, down.src_h, down.channels) === ((4, 4, 1)))
+    assert(down.pix_sum === (0 + 2 + 8 + 10).toLong)
+
+    // stub path: 5 non-image bytes → gray raster sw=3, sh=2, zero-padded
+    val stub = Multimodal.resizeOne(3L, Array[Byte](1, 2, 3, 4, 5), 2, 2)
+    assert((stub.src_w, stub.src_h, stub.channels) === ((3, 2, 1)))
+    // sx∈{0,1}, sy∈{0,1} → idx {0,1,3,4} → values 1,2,4,5
+    assert(stub.pix_sum === (1 + 2 + 4 + 5).toLong)
+
+    // DataFrame surface: only image modality, schema as declared
+    val assets2 = Multimodal.syntheticAssets(docs.limit(30), "doc_id", "text")
+    val rs = Multimodal.resizeImages(assets2, 8, 8)
+    assert(rs.columns.toSeq === Seq("asset_id", "src_w", "src_h", "out_w", "out_h",
+      "channels", "pix_sum", "payload"))
+    assert(rs.count() === assets2.where("modality = 'image'").count())
+  }
+
   test("BPE vocab: first merges on a known corpus, adaptive parity, two-pass contract") {
     import graft.pipeline.BpeVocab
     val tiny = spark.createDataFrame(Seq(
