@@ -1298,6 +1298,26 @@ object Queries {
       },
       Some(weightedWalksOracleSql(steps = 6)))),
 
+    // Second-order node2vec walks: p/q return/in-out bias from the
+    // (prev, cur) state, scaled to exact integers {q, p·q, p} — the
+    // oracle replays every candidate's bias, cumulative interval and
+    // draw step by step. p=2, q=3 makes all three bias classes distinct.
+    "alg_node2vec_walks" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        val nz = eb.where(col("src") =!= col("dst"))
+        val starts = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id"), lit(9)) === 0)
+          .select(col("id").as("wid"), col("id"))
+        GraphAlgorithms.node2vecWalks(eb, starts, steps = 6, p = 2, q = 3)
+          .orderBy(col("wid"), col("step"))
+      },
+      Some(node2vecWalksOracleSql(steps = 6, p = 2, q = 3)))),
+
     // Positive PMI over the walk corpus (the matrix SGNS embeddings
     // factorize): marginals + total from the same pair table, ln with a
     // fixed-shape argument, round 6 (the Adamic-Adar precedent).
@@ -3140,6 +3160,53 @@ object Queries {
   private def randomWalksOracleSql(steps: Int): String =
     s"""WITH ${randomWalksCtes(steps)}
        |SELECT wid, step, id FROM allsteps ORDER BY wid, step""".stripMargin
+
+  /** alg_node2vec_walks oracle: uniform first step, then per step the
+    * candidate set (frontier × adjacency) with the scaled integer bias
+    * {q return, p·q neighbor-of-prev, p otherwise}, walk-partitioned
+    * cumulative/total windows, and the LCG-draw interval pick — the
+    * exact replay of [[GraphAlgorithms.node2vecWalks]]. */
+  private def node2vecWalksOracleSql(steps: Int, p: Int, q: Int): String = {
+    val chain = (2 to steps).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT w.wid, w.v AS cu, w.prev, a.v,
+         |    CASE WHEN a.v = w.prev THEN $q
+         |         WHEN n.u IS NOT NULL THEN ${p * q}
+         |         ELSE $p END AS bw
+         |  FROM w${t - 1} w
+         |  JOIN adj a ON a.u = w.v
+         |  LEFT JOIN uec n ON n.u = w.prev AND n.v = a.v),
+         |d$t AS MATERIALIZED (
+         |  SELECT wid, cu, v, bw,
+         |    CAST(SUM(bw) OVER (PARTITION BY wid ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         |    CAST(SUM(bw) OVER (PARTITION BY wid) AS BIGINT) AS tw
+         |  FROM c$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT wid, cu AS prev, v FROM d$t
+         |  WHERE ((1103515245 * (wid * 1000003 + $t * 101) + 12345) % 2147483647) % tw
+         |        BETWEEN cw - bw AND cw - 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT wid, $t AS step, v AS id FROM w$t").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
+       |uec AS MATERIALIZED (SELECT u, v FROM ue WHERE u <> v),
+       |adj AS MATERIALIZED (SELECT u, v,
+       |  ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk FROM uec),
+       |dg AS MATERIALIZED (SELECT u, MAX(rk) AS d FROM adj GROUP BY u),
+       |w0 AS MATERIALIZED (SELECT DISTINCT u AS wid, u AS v FROM uec WHERE u % 9 = 0),
+       |w1 AS MATERIALIZED (SELECT w.wid, w.v AS prev, a.v FROM w0 w
+       |  JOIN dg ON dg.u = w.v
+       |  JOIN adj a ON a.u = w.v AND a.rk =
+       |    ((1103515245 * (w.wid * 1000003 + 101) + 12345) % 2147483647) % dg.d + 1),
+       |$chain
+       |SELECT wid, step, id FROM (
+       |  $union)
+       |ORDER BY wid, step""".stripMargin
+  }
 
   /** alg_walk_pairs oracle: the walk chain + the banded self-join on
     * walk id and the (center, context) count aggregate. */

@@ -694,6 +694,77 @@ object GraphAlgorithms {
   }
 
   /**
+   * Second-order (node2vec) deterministic walks — Grover & Leskovec
+   * 2016's p/q-biased transition, the full DeepWalk→node2vec upgrade
+   * over [[weightedRandomWalks]]'s static bias. From state (prev=s,
+   * cur=u) candidate v draws unnormalized bias α = 1/p if v = s
+   * (return), 1 if v is a neighbor of s (stay close), 1/q otherwise
+   * (move outward). To keep the selection exactly replayable the biases
+   * are scaled by p·q into the integers {q, p·q, p} — ratios unchanged,
+   * pure 64-bit arithmetic end to end, same LCG/interval contract as
+   * [[weightedRandomWalks]]. The first step (no prev) is uniform.
+   *
+   * Shape at scale: per step ONE frontier×adjacency join (fanout =
+   * degree), one broadcast-or-shuffle semi-join against the edge set for
+   * the is-neighbor-of-prev flag, and two walk-partitioned windows for
+   * the cumulative/total bias — the standard distributed second-order
+   * walk formulation; state never exceeds |starts| rows and is
+   * localCheckpointed per step to bound plan depth.
+   */
+  def node2vecWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                    p: Int = 1, q: Int = 2, undirected: Boolean = true): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    require(p >= 1 && q >= 1, s"p and q must be positive integers: p=$p q=$q")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .where(col("u") =!= col("v")).distinct()
+    val adj = e.withColumn("rk",
+        row_number().over(Window.partitionBy("u").orderBy("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("u").agg(max(col("rk")).as("d"))
+    val adjD = adj.join(deg, Seq("u"))
+    val s0 = starts.select(col("wid").cast("long").as("wid"), col("id").as("v"))
+    var out = s0.select(col("wid"), lit(0).as("step"), col("v").as("id"))
+    val draw1 = pmod(
+      lit(1103515245L) * (col("wid") * lit(1000003L) + lit(101L))
+        + lit(12345L), lit(2147483647L))
+    // step 1: uniform — there is no prev to bias against yet
+    var cur = s0.select(col("wid"), col("v").as("u"))
+      .withColumn("__draw", draw1)
+      .join(adjD, Seq("u"))
+      .where(col("rk") === pmod(col("__draw"), col("d")) + 1)
+      .select(col("wid"), col("u").as("prev"), col("v"))
+      .localCheckpoint(true)
+    out = out.unionByName(cur.select(col("wid"), lit(1).as("step"), col("v").as("id")))
+    for (t <- 2 to steps) {
+      val cand = cur.select(col("wid"), col("v").as("cu"), col("prev"))
+        .join(adj.select(col("u").as("cu"), col("v")), Seq("cu"))
+        .join(e.select(col("u").as("prev"), col("v"), lit(1).as("__nb")),
+          Seq("prev", "v"), "left")
+      val bias = when(col("v") === col("prev"), lit(q.toLong))
+        .when(col("__nb").isNotNull, lit(p.toLong * q))
+        .otherwise(lit(p.toLong))
+      val wd = Window.partitionBy("wid").orderBy("v")
+      val scored = cand.withColumn("bw", bias)
+        .withColumn("cw", sum(col("bw")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum(col("bw")).over(Window.partitionBy("wid")))
+      val draw = pmod(
+        lit(1103515245L) * (col("wid") * lit(1000003L) + lit(t.toLong) * lit(101L))
+          + lit(12345L), lit(2147483647L))
+      val r = pmod(draw, col("tw"))
+      cur = scored.where(r >= col("cw") - col("bw") && r < col("cw"))
+        .select(col("wid"), col("cu").as("prev"), col("v"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.select(col("wid"), lit(t).as("step"), col("v").as("id")))
+    }
+    adj.unpersist()
+    out
+  }
+
+  /**
    * Maximal independent set by DETERMINISTIC Luby rounds (parity-plus —
    * the classic symmetry-breaking primitive behind distributed coloring
    * and scheduling): in round r every live vertex draws the pure-integer

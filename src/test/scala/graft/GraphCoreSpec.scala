@@ -660,4 +660,59 @@ class GraphCoreSpec extends SparkSpec {
     val allowed = Set((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
     pw.sliding(2).foreach { case Array(a, b) => assert(allowed.contains((a, b)), s"$a->$b") }
   }
+
+  test("node2vecWalks: p=q=1 collapses to uniform; bias steers return vs outward") {
+    import spark.implicits._
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("2", "4"), ("4", "5"))
+      .toDF("src", "dst")
+    val starts = Seq((1L, "1"), (2L, "2"), (9L, "4")).toDF("wid", "id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // all biases equal → the interval pick degenerates to draw mod degree,
+    // i.e. exactly the uniform randomWalks contract, step for step
+    val flat = norm(GraphAlgorithms.node2vecWalks(edges, starts, steps = 6, p = 1, q = 1))
+    val uniform = norm(GraphAlgorithms.randomWalks(edges, starts, steps = 6))
+    assert(flat === uniform)
+    // deterministic and edge-valid under real bias
+    val biased = GraphAlgorithms.node2vecWalks(edges, starts, steps = 6, p = 2, q = 3)
+    val a = norm(biased)
+    assert(a === norm(GraphAlgorithms.node2vecWalks(edges, starts, steps = 6, p = 2, q = 3)))
+    val adj = Set(("1", "2"), ("2", "3"), ("3", "1"), ("2", "4"), ("4", "5"))
+      .flatMap { case (x, y) => Set((x, y), (y, x)) }
+    a.groupBy(_._1).values.foreach { w =>
+      w.toSeq.sortBy(_._2).map(_._3).sliding(2).foreach { p =>
+        if (p.length == 2) assert(adj.contains((p(0), p(1))), s"non-edge hop $p")
+      }
+    }
+    // scalar replay of the full contract: recompute every step of every
+    // walk with plain Scala integer math and compare position for position
+    val und = adj
+    def nbrs(u: String) = und.collect { case (x, y) if x == u => y }.toSeq.sorted
+    def lcg(wid: Long, t: Int): Long =
+      ((BigInt(1103515245L) * (wid * 1000003L + t.toLong * 101L) + 12345L)
+        .mod(BigInt(2147483647L))).toLong
+    for ((wid, start) <- Seq((1L, "1"), (2L, "2"), (9L, "4"))) {
+      var prev = start
+      var curV = nbrs(start)(
+        (lcg(wid, 1) % nbrs(start).length).toInt) // uniform first step
+      assert(a.find(r => r._1 == wid && r._2 == 1).get._3 === curV)
+      for (t <- 2 to 6) {
+        val cands = nbrs(curV)
+        val bw = cands.map { v =>
+          if (v == prev) 3L // q
+          else if (und.contains((prev, v))) 6L // p·q
+          else 2L // p
+        }
+        val r = lcg(wid, t) % bw.sum
+        var acc = 0L; var pick = cands.head
+        cands.zip(bw).foreach { case (v, w) =>
+          if (r >= acc && r < acc + w) pick = v
+          acc += w
+        }
+        assert(a.find(x => x._1 == wid && x._2 == t).get._3 === pick,
+          s"wid=$wid t=$t prev=$prev cur=$curV")
+        prev = curV; curV = pick
+      }
+    }
+  }
 }
