@@ -1733,6 +1733,38 @@ object Queries {
              |CAST(length(text) AS INTEGER) AS chars
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // Corpus-trained bigram LM predictability (CCNet-style quality
+    // signal as an exact integer ppm contract — see TextAnalysis.lmScore).
+    "doc_lm_score" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.lmScore(t(s, d, "documents"), "text", "doc_id")
+          .orderBy(col("id")),
+      Some("""WITH w AS (
+             |  SELECT doc_id AS id,
+             |    list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+             |      x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |bi AS MATERIALIZED (
+             |  SELECT id, ts[CAST(i AS INTEGER)] AS w1,
+             |         ts[CAST(i + 1 AS INTEGER)] AS w2
+             |  FROM w, UNNEST(range(1, len(ts))) t(i)),
+             |cnt AS MATERIALIZED (
+             |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+             |marg AS MATERIALIZED (
+             |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
+             |sc AS (
+             |  SELECT b.id, (c.c12 * 1000000) // m.c1 AS ppm
+             |  FROM bi b JOIN cnt c USING (w1, w2) JOIN marg m ON m.w1 = b.w1),
+             |agg AS (
+             |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |    CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS score_ppm
+             |  FROM sc GROUP BY id)
+             |SELECT d.doc_id AS id,
+             |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+             |  COALESCE(a.score_ppm, 0) AS score_ppm
+             |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+             |ORDER BY id""".stripMargin))),
+
     "doc_quality" -> ((
       (s: SparkSession, d: String) =>
         TextAnalysis.withQuality(t(s, d, "documents"), "text")

@@ -608,4 +608,46 @@ object TextAnalysis {
         coalesce(col("__text"), lit("")).as("text"),
         (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L))).as("removed"))
   }
+
+  /**
+   * Corpus-trained bigram language-model predictability score — the
+   * CCNet-style LM quality signal (Wenzek et al. 2020; there a KenLM
+   * wikipedia perplexity, here the corpus itself is the training set and
+   * the score is an EXACT integer contract any engine replays): tokens
+   * are the lowercased whitespace split (the house tokenization); corpus
+   * bigram counts c(w1,w2); left marginal c(w1·) = Σ_w2 c(w1,w2); each
+   * doc bigram scores c(w1,w2)·10⁶ div c(w1·) — the conditional
+   * probability p(w2|w1) in parts-per-million — and the doc score is the
+   * integer mean over its bigrams (0 when it has none; such docs are
+   * preserved, not dropped). High = predictable/templated text, low =
+   * surprising — the two tails a quality-filtering pipeline cuts.
+   *
+   * Shape at scale: one narrow explode, one shuffle on (w1,w2) for the
+   * count table, a vocabulary-sized groupBy for the marginal, one join
+   * of doc bigrams back on (w1,w2), one groupBy id — no all-pairs, no
+   * driver state, and the count/marginal tables are vocabulary-sized
+   * (broadcastable for natural-language vocabularies).
+   */
+  def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")))
+      .where(length(col("col")) > 0)
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val bi = toks.withColumn("w2", lead(col("tok"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("id"), col("tok").as("w1"), col("w2"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val marg = cnt.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val perDoc = bi.join(cnt, Seq("w1", "w2")).join(marg, Seq("w1"))
+      .select(col("id"), expr("c12 * 1000000 DIV c1").as("ppm"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), expr("SUM(ppm) DIV COUNT(*)").as("score_ppm"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
+  }
 }

@@ -709,6 +709,24 @@ class PipelineSpec extends SparkSpec {
       === ((5L, "", 0L)))
   }
 
+  test("lmScore: exact ppm bigram predictability, empty/null docs preserved") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Some("a B a b")), // bigrams (a,b) (b,a) (a,b) — lowercased
+      (2L, Some("a b c")),   // (a,b) (b,c)
+      (3L, Some("")),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(corpus, "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a·)=3 c(b·)=2
+    // ppm(a,b)=1000000, ppm(b,a)=ppm(b,c)=500000
+    assert(out(0) === ((1L, 3L, (1000000L + 500000L + 1000000L) / 3)))
+    assert(out(1) === ((2L, 2L, 750000L)))
+    assert(out(2) === ((3L, 0L, 0L)))
+    assert(out(3) === ((4L, 0L, 0L)))
+  }
+
   test("multimodal: stub decode keeps schema/batch plumbing honest") {
     val assets = Multimodal.syntheticAssets(docs.limit(30), "doc_id", "text")
     assert(assets.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
