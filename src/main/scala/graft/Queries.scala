@@ -1896,6 +1896,17 @@ object Queries {
           .orderBy(col("doc_id")),
       Some(compactOracleSql(k = 5, threshold = 0.8)))),
 
+    // Keep-best compaction: per near-dup cluster keep the member with
+    // the highest token count (tie → smaller id) — the representative
+    // policy real pipelines use. Oracle = transitive closure + the same
+    // integer argmax.
+    "doc_dedup_keep_best" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.compactBest(t(s, d, "documents"), "text", "doc_id", threshold = 0.8)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some(compactBestOracleSql(k = 5, threshold = 0.8)))),
+
     // PII scrubbing: emails → phones → IPv4 redacted in order (each
     // category counts on the text AFTER the previous redactions), match
     // counts per category. Oracle chains the identical regexes.
@@ -2509,6 +2520,32 @@ object Queries {
        |losers AS (
        |  SELECT id FROM (SELECT id, MIN(r) AS canonical FROM walk GROUP BY id)
        |  WHERE id <> canonical)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** doc_dedup_keep_best oracle: the compactOracleSql closure, with the
+    * winner per component picked by the house token count (DESC, id ASC)
+    * instead of the minimum id. */
+  private def compactBestOracleSql(k: Int, threshold: Double): String = {
+    val pairBody = jaccardGroundTruthSql(charShingle = true, k = k, threshold = threshold)
+    s"""WITH RECURSIVE pr AS ($pairBody),
+       |e AS (SELECT idA AS a, idB AS b FROM pr UNION ALL SELECT idB, idA FROM pr),
+       |walk(id, r) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN e ON e.a = w.id
+       |),
+       |cl AS (SELECT id, MIN(r) AS canonical FROM walk GROUP BY id),
+       |sc AS (
+       |  SELECT cl.id, cl.canonical,
+       |    CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS INTEGER) AS score
+       |  FROM cl JOIN documents d ON d.doc_id = cl.id),
+       |rk AS (SELECT id, ROW_NUMBER() OVER (
+       |    PARTITION BY canonical ORDER BY score DESC, id) AS rk FROM sc),
+       |losers AS (SELECT id FROM rk WHERE rk > 1)
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin

@@ -698,6 +698,36 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /**
+   * Corpus compaction keeping the BEST member of each near-dup cluster —
+   * the selection policy real training pipelines use (keep the longest /
+   * highest-scoring copy, drop the rest) instead of [[compact]]'s
+   * smallest-id canonical. The representative is argmax(score), ties to
+   * the smaller id; the score is the house integer token count of
+   * `textCol` (an exact, engine-replayable ranking — no float ordering).
+   * Documents in no near-dup pair survive untouched.
+   *
+   * Shape at scale: pairs and clusters are near-dup-sized by
+   * construction; the winner pick is one window over clusters; the full
+   * corpus is touched only by the final left_anti join on id.
+   */
+  def compactBest(df: DataFrame, textCol: String, idCol: String,
+                  shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                  threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
+    val clusters = nearDupClusters(pairs)
+    val scored = clusters.join(
+      df.select(col(idCol).as("id"), TextAnalysis.tokenCount(textCol).as("__score")),
+      Seq("id"))
+    val w = Window.partitionBy("canonical")
+      .orderBy(col("__score").desc, col("id"))
+    val losers = scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1)
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   // ----- near-dup clustering ------------------------------------------------
 
   /**

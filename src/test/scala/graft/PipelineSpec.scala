@@ -498,6 +498,27 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("compactBest: keeps the longest cluster member, not the smallest id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " ok"), // one extra token, still a near-dup of 1 → winner
+      (3L, "a completely different document about spark shuffles and joins"),
+      (4L, base.replace("today", "tonight"))
+    ).toDF("doc_id", "text")
+    val kept = Dedup.compactBest(corpus, "text", "doc_id", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2,4 cluster; 2 has the most tokens → 1 and 4 drop
+    assert(kept === Set(2L, 3L))
+    // tie on token count falls back to the smaller id
+    val tied = Seq((7L, base), (9L, base + "!"), (8L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val keptTied = Dedup.compactBest(tied, "text", "doc_id", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTied === Set(7L, 8L))
+  }
+
   test("gopherQuality: each rule fires independently; a clean doc passes") {
     import spark.implicits._
     val clean = (("the quick brown fox jumps over the lazy dog and then " * 6)
