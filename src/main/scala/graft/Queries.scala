@@ -938,6 +938,17 @@ object Queries {
       },
       Some(pqAdcOracleSql(m = 4, k = 8, dim = 64, topK = 10)))),
 
+    // JL sign random projection 64 → 16: data-independent LCG sign
+    // matrix, one codegen'd dot per output coordinate, exact double
+    // parity with DuckDB's left-to-right list_sum fold (no rounding).
+    "emb_random_projection" -> ((
+      (s: SparkSession, d: String) =>
+        Similarity.randomProjection(t(s, d, "embeddings"), "vec_id", "embedding",
+            dim = 64, outDim = 16)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy(col("vec_id")),
+      Some(randomProjectionOracleSql(dim = 64, outDim = 16)))),
+
     "emb_pq_adc" -> ((
       (s: SparkSession, d: String) => {
         val embs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -3415,6 +3426,22 @@ object Queries {
       |  CAST(wsum % 768 + 1 AS INTEGER) AS height,
       |  CAST(CASE WHEN modality = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels
       |FROM s ORDER BY asset_id""".stripMargin
+
+  /** emb_random_projection oracle: one left-to-right list_sum fold per
+    * output coordinate with the identical LCG sign — ±1 multiplies are
+    * exact sign flips, so the doubles hash-match with no rounding. */
+  private def randomProjectionOracleSql(dim: Int, outDim: Int): String = {
+    val coords = (0 until outDim).map { j =>
+      s"""  list_sum(list_transform(range(1, ${dim + 1}),
+         |    i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) *
+         |      (CASE WHEN ((1103515245 * ((i - 1) * 1000003 + $j * 101) + 12345)
+         |        % 2147483647) % 2 = 0 THEN 1 ELSE -1 END)))""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT vec_id, [
+       |$coords
+       |] AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
 
   /** mm_resize oracle: replay the stub-raster nearest-neighbor sample —
     * payload bytes laid out gray row-major at width ceil(sqrt(n)),

@@ -69,6 +69,35 @@ object Similarity {
     transform(q.getField("codes"),
       c => (c.cast("double") * q.getField("scale")).cast("float"))
 
+  /**
+   * Johnson-Lindenstrauss SIGN random projection (Achlioptas 2003 —
+   * entries ±1, no Gaussians, distances preserved within 1±ε for
+   * outDim = O(log n / ε²)): the dimensionality-reduction step a 100 TB
+   * embedding pipeline runs before clustering/near-dup search. The sign
+   * matrix is data-independent and derived from the house LCG —
+   * sign(i,j) = + iff LCG(i·1000003 + j·101) is even — so any engine
+   * reproduces the identical projection with no seed exchange. Each
+   * output coordinate is one codegen'd [[graft.functions.vecDot]]
+   * against a broadcast ±1 literal: d·k float multiplies per row, NO
+   * shuffle; float-by-±1 multiply is an exact sign flip and the in-order
+   * double accumulation is bit-identical to a left-to-right list fold
+   * (the emb_pq_adc parity contract), so results hash-match exactly.
+   * Returns (id, proj ARRAY<DOUBLE> of length outDim).
+   */
+  def randomProjection(embs: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, outDim: Int): DataFrame = {
+    require(dim > 0 && outDim > 0, "dim and outDim must be positive")
+    val projCols = (0 until outDim).map { j =>
+      val signs = Array.tabulate(dim) { i =>
+        val h = (1103515245L * (i.toLong * 1000003L + j.toLong * 101L) + 12345L) %
+          2147483647L
+        if (h % 2 == 0) 1.0f else -1.0f
+      }
+      graft.functions.vecDot(col(vecCol), typedlit(signs))
+    }
+    embs.select(col(idCol).as("id"), array(projCols: _*).as("proj"))
+  }
+
   def knnCosine(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),

@@ -730,6 +730,27 @@ class PipelineSpec extends SparkSpec {
       === ((5L, "", 0L)))
   }
 
+  test("randomProjection: exact LCG sign dots, shape and determinism") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(-1.0f, 0.5f, 0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(vecs, "vec_id", "embedding", dim = 4, outDim = 2)
+      .orderBy("id").collect()
+    def sign(i: Int, j: Int): Double = {
+      val h = (1103515245L * (i.toLong * 1000003L + j.toLong * 101L) + 12345L) % 2147483647L
+      if (h % 2 == 0) 1.0 else -1.0
+    }
+    for ((r, vec) <- out.zip(Seq(Array(1.0f, 2.0f, 3.0f, 4.0f),
+        Array(-1.0f, 0.5f, 0.0f, 2.0f)))) {
+      val proj = r.getSeq[Double](r.fieldIndex("proj"))
+      assert(proj.length === 2)
+      for (j <- 0 until 2) {
+        val expect = (0 until 4).map(i => (vec(i) * sign(i, j).toFloat).toDouble).sum
+        assert(proj(j) === expect, s"coord $j of ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("lmScore: exact ppm bigram predictability, empty/null docs preserved") {
     import spark.implicits._
     val corpus = Seq(
