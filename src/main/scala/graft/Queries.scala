@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.algorithms.GraphAlgorithms
 import graft.cypher.Cypher
-import graft.pipeline.{BpeVocab, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{BpeVocab, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.TpchBridge
 import graft.streaming.StreamingTriangles
 
@@ -146,6 +146,35 @@ object Queries {
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supps,
              |COUNT(DISTINCT l_partkey) AS parts
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // HyperLogLog register table (m=256) over the order custkeys — the
+    // mergeable cardinality sketch, exact integer contract: bucket =
+    // first md5 byte, rho = leading-zero-bits of the next 64 + 1,
+    // replayed digit for digit from the hex string. The float estimate
+    // is spec-tested; the registers ARE the oracled artifact.
+    "q_hll_registers" -> ((
+      (s: SparkSession, d: String) =>
+        Sketches.hllRegisters(t(s, d, "orders"), "o_custkey")
+          .orderBy(col("bucket")),
+      Some(hllRegistersOracleSql("orders", "o_custkey")))),
+
+    // Count-min sketch (depth 4 × width 256) of lineitem partkey
+    // frequencies — the mergeable heavy-hitter counter matrix.
+    "q_cms_sketch" -> ((
+      (s: SparkSession, d: String) =>
+        Sketches.cmsSketch(t(s, d, "lineitem"), "l_partkey")
+          .orderBy(col("hrow"), col("hcol")),
+      Some(cmsSketchOracleSql("lineitem", "l_partkey", depth = 4, width = 256)))),
+
+    // CMS point-query read path: min-over-rows estimate for 30 probe
+    // keys — the classic upper-bound estimate, exact integers end to end.
+    "q_cms_estimate" -> ((
+      (s: SparkSession, d: String) =>
+        Sketches.cmsEstimate(
+            Sketches.cmsSketch(t(s, d, "lineitem"), "l_partkey"),
+            t(s, d, "part").where(col("p_partkey") < 30), "p_partkey")
+          .orderBy(col("key")),
+      Some(cmsEstimateOracleSql(depth = 4, width = 256)))),
 
     // Ordered funnel: users completing view < click < purchase at
     // strictly increasing timestamps, earliest-completion semantics.
@@ -3426,6 +3455,61 @@ object Queries {
       |  CAST(wsum % 768 + 1 AS INTEGER) AS height,
       |  CAST(CASE WHEN modality = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels
       |FROM s ORDER BY asset_id""".stripMargin
+
+  /** SQL fragment: integer value of the lowercase hex char expression. */
+  private def hvSql(e: String): String =
+    s"(CASE WHEN ascii($e) >= 97 THEN ascii($e) - 87 ELSE ascii($e) - 48 END)"
+
+  /** q_hll_registers oracle: bucket/rho replayed digit for digit from
+    * the md5 hex string — 4 leading-zero bits per '0' digit plus a CASE
+    * on the first non-zero digit. */
+  private def hllRegistersOracleSql(table: String, key: String): String =
+    s"""WITH h AS (SELECT md5(CAST($key AS VARCHAR)) AS m
+       |  FROM $table WHERE $key IS NOT NULL),
+       |b AS (SELECT ${hvSql("substr(m, 1, 1)")} * 16 + ${hvSql("substr(m, 2, 1)")} AS bucket,
+       |  substr(m, 3, 16) AS w FROM h),
+       |z AS (SELECT bucket, w, len(regexp_extract(w, '^0*')) AS nz FROM b),
+       |r AS (SELECT bucket,
+       |  CASE WHEN nz = 16 THEN 65
+       |    ELSE 4 * nz + (CASE WHEN d = 1 THEN 3 WHEN d <= 3 THEN 2
+       |                        WHEN d <= 7 THEN 1 ELSE 0 END) + 1 END AS rho
+       |  FROM (SELECT bucket, nz,
+       |          ${hvSql("substr(w, CAST(nz + 1 AS INTEGER), 1)")} AS d FROM z))
+       |SELECT bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
+       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q_cms_sketch oracle: identical per-row md5("k:key") column hash and
+    * the grouped counter. */
+  private def cmsSketchOracleSql(table: String, key: String,
+                                 depth: Int, width: Int): String =
+    s"""WITH k AS (SELECT CAST($key AS VARCHAR) AS kk
+       |  FROM $table WHERE $key IS NOT NULL),
+       |c AS (SELECT CAST(r AS INTEGER) AS hrow,
+       |  (${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 1, 1)")} * 16
+       |   + ${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 2, 1)")}) % $width AS hcol
+       |  FROM k, UNNEST(range(0, $depth)) t(r))
+       |SELECT hrow, hcol, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM c GROUP BY 1, 2 ORDER BY hrow, hcol""".stripMargin
+
+  /** q_cms_estimate oracle: the sketch CTE + min-over-rows lookup for
+    * the probe keys. */
+  private def cmsEstimateOracleSql(depth: Int, width: Int): String =
+    s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS kk
+       |  FROM lineitem WHERE l_partkey IS NOT NULL),
+       |c AS (SELECT CAST(r AS INTEGER) AS hrow,
+       |  (${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 1, 1)")} * 16
+       |   + ${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 2, 1)")}) % $width AS hcol
+       |  FROM k, UNNEST(range(0, $depth)) t(r)),
+       |s AS (SELECT hrow, hcol, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM c GROUP BY 1, 2),
+       |p AS (SELECT p_partkey AS key FROM part WHERE p_partkey < 30),
+       |pc AS (SELECT key, CAST(r AS INTEGER) AS hrow,
+       |  (${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 1)")} * 16
+       |   + ${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 2, 1)")}) % $width AS hcol
+       |  FROM p, UNNEST(range(0, $depth)) t(r))
+       |SELECT key, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+       |FROM pc LEFT JOIN s USING (hrow, hcol)
+       |GROUP BY key ORDER BY key""".stripMargin
 
   /** emb_random_projection oracle: one left-to-right list_sum fold per
     * output coordinate with the identical LCG sign — ±1 multiplies are

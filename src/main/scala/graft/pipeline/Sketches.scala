@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable data sketches over md5 — the approximate-query infrastructure
+ * a 100 TB pipeline runs when exact groupBys are too expensive to keep
+ * around: HyperLogLog registers for cardinality (Flajolet et al. 2007)
+ * and count-min for frequency/heavy-hitters (Cormode & Muthukrishnan
+ * 2005). The reference keeps per-graph aggregates in a central store
+ * (`metadb`/`performancedb` DDL); sketches are the scale-correct
+ * equivalent for streaming/distributed maintenance.
+ *
+ * Both sketches hash with md5 hex digits (the [[Dedup.simhash]]
+ * precedent) so ANY engine replays the identical sketch — the register /
+ * counter tables are exact integer contracts, verifiable row for row.
+ * Sketch MERGE is trivially distributed: HLL registers merge by
+ * grouped MAX, count-min counters by grouped SUM — union two shards'
+ * tables and re-aggregate; no driver state anywhere.
+ */
+object Sketches {
+
+  /** Integer value of one lowercase hex char. */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+
+  /** Integer value of the two hex chars at 1-based `pos` — 0..255. */
+  private def hex2(m: Column, pos: Int): Column =
+    hexVal(substring(m, pos, 1)) * 16 + hexVal(substring(m, pos + 1, 1))
+
+  /**
+   * HyperLogLog register table with m = 256 buckets: bucket = first md5
+   * byte; rho = 1 + the number of leading zero BITS of the next 64 bits
+   * (hex digits 3..18), computed exactly from the hex string — 4 per
+   * leading '0' digit plus a 4-way CASE on the first non-zero digit —
+   * or 65 when all 16 digits are zero. Returns (bucket, max_rho), one
+   * row per non-empty bucket.
+   *
+   * This IS the sketch: one narrow map + one 256-group aggregate per
+   * shard, merged across shards by the same grouped MAX. Feed it to
+   * [[hllEstimate]] for the cardinality.
+   */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+    val m = md5(col(keyCol).cast("string"))
+    val w = substring(m, 3, 16)
+    val z = length(regexp_extract(w, "^0*", 0))
+    val d = hexVal(w.substr(z + 1, lit(1)))
+    val lz = when(d === 1, 3).when(d <= 3, 2).when(d <= 7, 1).otherwise(0)
+    val rho = when(z === 16, lit(65)).otherwise(lit(4) * z + lz + 1)
+    df.where(col(keyCol).isNotNull)
+      .select(hex2(m, 1).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /**
+   * Cardinality estimate from a register table (driver-side arithmetic
+   * on ≤ 256 rows): alpha·m²/Σ2^(−M_j) with the standard small-range
+   * linear-counting correction. Empty buckets count as 2⁰.
+   */
+  def hllEstimate(registers: DataFrame, m: Int = 256): Double = {
+    val regs = registers.collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // standard constant for m >= 128
+    val sum = (0 until m).map(j => math.pow(2.0, -regs.getOrElse(j, 0).toDouble)).sum
+    val raw = alpha * m * m / sum
+    val zeros = (0 until m).count(j => !regs.contains(j))
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  /**
+   * Count-min sketch: `depth` independent hash rows (md5 of "k:key",
+   * two hex digits → column 0..width−1, width ≤ 256), counters = total
+   * key occurrences per cell. Returns (hrow, hcol, cnt) — depth·width
+   * cells max, merged across shards by grouped SUM.
+   *
+   * Shape: the key column explodes by depth (a constant), then ONE
+   * shuffle on (row, col) — at 100 TB the sketch build is a single
+   * bounded-cardinality aggregate, never a per-key table.
+   */
+  def cmsSketch(df: DataFrame, keyCol: String,
+                depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1 && width <= 256,
+      s"need 1 <= depth and 1 <= width <= 256: depth=$depth width=$width")
+    val rows = df.where(col(keyCol).isNotNull).select(
+      col(keyCol).cast("string").as("__k"),
+      explode(sequence(lit(0), lit(depth - 1))).as("hrow"))
+    rows.select(col("hrow"),
+        pmod(hex2(md5(concat_ws(":", col("hrow"), col("__k"))), 1), lit(width)).as("hcol"))
+      .groupBy("hrow", "hcol").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Point-query read path: estimated occurrence count of each probe key
+   * = MIN over rows of the counter at that row's hash column (the
+   * classic CMS upper-bound estimate, exact integer arithmetic).
+   * Returns (key, est); keys hashing only to empty cells estimate 0.
+   */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val cells = probes.select(col(keyCol).as("key"))
+      .withColumn("hrow", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("key"), col("hrow"),
+        pmod(hex2(md5(concat_ws(":", col("hrow"), col("key").cast("string"))), 1),
+          lit(width)).as("hcol"))
+    cells.join(sketch, Seq("hrow", "hcol"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -730,6 +730,49 @@ class PipelineSpec extends SparkSpec {
       === ((5L, "", 0L)))
   }
 
+  test("sketches: HLL registers merge by MAX and the estimate lands near truth") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val keys = (1L to 2000L).toDF("k")
+    val regs = Sketches.hllRegisters(keys, "k")
+    // deterministic sketch, bounded register table
+    assert(regs.count() <= 256)
+    val est = Sketches.hllEstimate(regs)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.15, s"estimate $est for n=2000")
+    // the sketch is mergeable: registers of two shards, grouped MAX,
+    // equal the whole corpus' registers exactly
+    val a = Sketches.hllRegisters((1L to 1000L).toDF("k"), "k")
+    val b = Sketches.hllRegisters((1001L to 2000L).toDF("k"), "k")
+    val merged = a.unionByName(b).groupBy("bucket")
+      .agg(max(col("max_rho")).as("max_rho"))
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val whole = regs.orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(merged === whole)
+  }
+
+  test("sketches: CMS estimates upper-bound true counts; shards merge by SUM") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val data = (Seq.fill(50)(7L) ++ Seq.fill(20)(8L) ++ (100L to 400L)).toDF("k")
+    val sk = Sketches.cmsSketch(data, "k")
+    val est = Sketches.cmsEstimate(sk, Seq(7L, 8L, 100L, 999L).toDF("k"), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // CMS never undercounts present keys
+    assert(est(7L) >= 50L && est(8L) >= 20L && est(100L) >= 1L)
+    // absent key estimates only what collisions put in its cells
+    assert(est(999L) <= est.values.max)
+    // merge: shard sketches, union + grouped SUM == whole-corpus sketch
+    val s1 = Sketches.cmsSketch(data.where(col("k") < 150), "k")
+    val s2 = Sketches.cmsSketch(data.where(col("k") >= 150), "k")
+    val merged = s1.unionByName(s2).groupBy("hrow", "hcol")
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy("hrow", "hcol").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val whole = sk.orderBy("hrow", "hcol").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(merged === whole)
+  }
+
   test("randomProjection: exact LCG sign dots, shape and determinism") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
