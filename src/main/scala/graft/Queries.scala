@@ -147,6 +147,26 @@ object Queries {
              |COUNT(DISTINCT l_partkey) AS parts
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // Semi-structured extraction: pull the numeric field out of the JSON
+    // props column and aggregate it per event type — the schema-on-read
+    // path (get_json_object stays codegen'd; no UDF).
+    "q_events_json" -> ((
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(s, d, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("events"), sum(col("k")).as("k_sum"),
+            min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS events,
+             |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+             |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+             |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))),
+
     // HyperLogLog register table (m=256) over the order custkeys — the
     // mergeable cardinality sketch, exact integer contract: bucket =
     // first md5 byte, rho = leading-zero-bits of the next 64 + 1,
