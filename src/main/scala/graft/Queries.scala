@@ -1286,6 +1286,21 @@ object Queries {
     // mod-900 BIGINT graph — priorities are the pure-integer LCG, so the
     // oracle replays every round; 12 unrolled rounds cover convergence
     // (expected O(log n); empty rounds are no-ops on both sides).
+    // Jones–Plassmann deterministic greedy coloring on the mod-900
+    // graph: fixed LCG priorities, per-round mex over colored
+    // neighbors — the oracle replays every round's ready set and color
+    // choice as MATERIALIZED CTEs.
+    "alg_coloring" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.jpColoring(eb, rounds = 20)
+          .orderBy(col("id"))
+      },
+      Some(coloringOracleSql(rounds = 20)))),
+
     "alg_mis" -> ((
       (s: SparkSession, d: String) => {
         val eb = t(s, d, "lineitem")
@@ -3196,6 +3211,52 @@ object Queries {
     * to the Spark side's struct comparison). Rounds past convergence
     * are empty on both sides, so a fixed unroll matches the early-stop
     * loop. */
+  /** alg_coloring oracle: the Jones–Plassmann rounds replayed as
+    * MATERIALIZED CTEs — fixed composite priority p·2³² + id, per-round
+    * ready set (strictly greatest among live neighbors), and the mex
+    * color from list_filter over the colored-neighbor color list. */
+  private def coloringOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""mx$r AS MATERIALIZED (SELECT e.u AS id, MAX(p.p * 4294967296 + p.id) AS mk
+         |  FROM e${r - 1} e JOIN pri p ON p.id = e.v GROUP BY e.u),
+         |w$r AS MATERIALIZED (SELECT l.id FROM l${r - 1} l
+         |  JOIN pri p ON p.id = l.id
+         |  LEFT JOIN mx$r m ON m.id = l.id
+         |  WHERE m.id IS NULL OR p.p * 4294967296 + p.id > m.mk),
+         |u$r AS MATERIALIZED (SELECT w.id,
+         |    list(DISTINCT CAST(c.color AS BIGINT)) AS used
+         |  FROM w$r w JOIN ue e ON e.u = w.id JOIN c${r - 1} c ON c.id = e.v
+         |  GROUP BY w.id),
+         |n$r AS MATERIALIZED (SELECT w.id,
+         |  CAST(COALESCE(list_min(list_filter(range(0, len(u.used) + 1),
+         |    x -> NOT list_contains(u.used, x))), 0) AS INTEGER) AS color
+         |  FROM w$r w LEFT JOIN u$r u ON u.id = w.id),
+         |c$r AS MATERIALIZED (SELECT id, color FROM c${r - 1}
+         |  UNION ALL SELECT id, color FROM n$r),
+         |l$r AS MATERIALIZED (SELECT id FROM l${r - 1}
+         |  WHERE id NOT IN (SELECT id FROM n$r)),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN l$r a ON e.u = a.id JOIN l$r b ON e.v = b.id)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT id, color, $r AS round FROM n$r").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS MATERIALIZED (
+       |  SELECT u, v FROM (SELECT src AS u, dst AS v FROM eb
+       |                    UNION SELECT dst, src FROM eb) WHERE u <> v),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue),
+       |pri AS MATERIALIZED (SELECT id,
+       |  (1103515245 * (id * 1000003 + 101) + 12345) % 2147483647 AS p FROM l0),
+       |c0 AS MATERIALIZED (SELECT id, 0 AS color FROM l0 WHERE FALSE),
+       |e0 AS MATERIALIZED (SELECT u, v FROM ue),
+       |$chain
+       |SELECT id, color, round FROM (
+       |  $union)
+       |ORDER BY id""".stripMargin
+  }
+
   private def misOracleSql(rounds: Int): String = {
     val chain = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT id,

@@ -890,6 +890,139 @@ object GraphAlgorithms {
   }
 
   /**
+   * Deterministic greedy graph coloring by Jones–Plassmann rounds (the
+   * other classic symmetry-breaking primitive next to
+   * [[maximalIndependentSet]] — registers, channel assignment,
+   * conflict-free scheduling): every vertex gets the FIXED pure-integer
+   * priority LCG(id·1000003 + 101) (ties broken by id); in each
+   * synchronous round the vertices whose (priority, id) exceeds every
+   * still-uncolored neighbor's take the smallest color ≥ 0 not used by
+   * an already-colored neighbor (the mex). The ready set of a round is
+   * independent by construction, so simultaneous assignment is safe;
+   * random priorities give O(log n) expected rounds. Returns
+   * (id, color, round) for vertices colored within `rounds` — the
+   * bounded replayable contract (the [[kCore]]/[[maximalIndependentSet]]
+   * precedent); on every tested graph the default bound completes.
+   *
+   * Shape: per round one grouped-max over the live edge list (who is
+   * ready), one join of ready vertices against colored neighbors + a
+   * grouped color-set, and two anti/semi-joins to shrink the live set —
+   * all localCheckpointed, O(1) plan depth per round. Below
+   * `localThreshold` edges the identical synchronous semantics run
+   * driver-side (the adaptive kCore/HITS/MIS pattern; parity
+   * spec-asserted via localThreshold = 0).
+   */
+  def jpColoring(edges: DataFrame, rounds: Int = 30,
+                 localThreshold: Long = 10000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val both = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (both.count() <= localThreshold) {
+      val out = localJp(both, rounds)
+      both.unpersist()
+      return out
+    }
+    val allE = both.localCheckpoint(true)
+    both.unpersist()
+    def prio(c: Column): Column = pmod(
+      lit(1103515245L) * (c.cast("long") * lit(1000003L) + lit(101L))
+        + lit(12345L), lit(2147483647L))
+    var live = allE.select(col("u").as("id")).distinct()
+      .select(col("id"), prio(col("id")).as("p")).localCheckpoint(true)
+    var liveE = allE
+    var colored = live.limit(0).select(col("id"), lit(0).as("color"))
+      .localCheckpoint(true)
+    var out = colored.select(col("id"), col("color"), lit(0).as("round"))
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val mx = liveE
+        .join(live.select(col("id").as("v"), col("p").as("pv")), Seq("v"))
+        .groupBy("u").agg(max(struct(col("pv"), col("v").cast("long"))).as("mx"))
+      val ready = live
+        .join(mx.select(col("u").as("id"), col("mx")), Seq("id"), "left")
+        .where(col("mx").isNull ||
+          struct(col("p"), col("id").cast("long")) > col("mx"))
+        .select(col("id"))
+        .localCheckpoint(true)
+      if (ready.isEmpty) done = true // live always holds a global max → empty live
+      else {
+        val used = allE.join(ready.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(colored.select(col("id").as("v"), col("color")), Seq("v"))
+          .groupBy("u").agg(collect_set(col("color")).as("used"))
+        val mex = array_min(filter(
+          sequence(lit(0), size(col("used"))),
+          c => !array_contains(col("used"), c)))
+        val newly = ready
+          .join(used.select(col("u").as("id"), col("used")), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(mex, lit(0)).cast("int").as("color"))
+          .localCheckpoint(true)
+        out = out.unionByName(newly.select(col("id"), col("color"), lit(r).as("round")))
+        colored = colored.unionByName(newly).localCheckpoint(true)
+        live = live.join(newly.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        if (live.isEmpty) done = true
+        else liveE = liveE
+          .join(live.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(live.select(col("id").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    out
+  }
+
+  /** Driver-side Jones–Plassmann rounds for [[jpColoring]]'s small
+    * regime — identical synchronous semantics over interned arrays. */
+  private def localJp(both: DataFrame, rounds: Int): DataFrame = {
+    val spark = both.sparkSession
+    val dt = both.schema("u").dataType
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val pairs = both.selectExpr("u", "v", "CAST(u AS BIGINT) AS ul")
+      .collect().map(r => (intern(r.get(0)), intern(r.get(1)), r.getLong(2)))
+    val n = ids.length
+    val num = new Array[Long](n)
+    pairs.foreach { case (a, _, ul) => num(a) = ul }
+    val nbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    pairs.foreach { case (a, b, _) => nbrs(a) += b }
+    val p = Array.tabulate(n)(i =>
+      math.floorMod(1103515245L * (num(i) * 1000003L + 101L) + 12345L, 2147483647L))
+    val color = Array.fill(n)(-1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Int, Int)]
+    var liveCount = n
+    var r = 0
+    while (r < rounds && liveCount > 0) {
+      r += 1
+      val ready = (0 until n).filter { i =>
+        color(i) < 0 && nbrs(i).forall { j =>
+          color(j) >= 0 || p(i) > p(j) || (p(i) == p(j) && num(i) > num(j))
+        }
+      }
+      // the ready set is independent — immediate assignment only reads
+      // colors fixed in earlier rounds
+      ready.foreach { i =>
+        val used = nbrs(i).iterator.map(color).filter(_ >= 0).toSet
+        var c = 0
+        while (used(c)) c += 1
+        color(i) = c
+        out += ((ids(i), c, r))
+        liveCount -= 1
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", dt),
+      StructField("color", IntegerType, nullable = false),
+      StructField("round", IntegerType, nullable = false)))
+    val rows = out.map { case (id, c, rr) => org.apache.spark.sql.Row(id, c, rr) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
    * Wedge and rectangle (4-cycle) counts — the motif statistics one step
    * beyond [[triangleCount]] (parity-plus; the reference counts
    * triangles only). wedges = Σ_v C(deg v, 2); rectangles = ½ Σ_{u<w}

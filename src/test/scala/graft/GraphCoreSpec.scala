@@ -661,6 +661,29 @@ class GraphCoreSpec extends SparkSpec {
     pw.sliding(2).foreach { case Array(a, b) => assert(allowed.contains((a, b)), s"$a->$b") }
   }
 
+  test("jpColoring: proper coloring, complete, local/distributed parity") {
+    import spark.implicits._
+    // path + star mix (the MIS fixture) plus a triangle for a 3-color need
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("2", "6"), ("2", "7"), ("7", "8"), ("3", "5")).toDF("src", "dst")
+    val out = GraphAlgorithms.jpColoring(edges)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val colors = out.map(t => t._1 -> t._2).toMap
+    // complete: every vertex colored
+    assert(colors.keySet === Set("1", "2", "3", "4", "5", "6", "7", "8"))
+    // proper: no edge with equal endpoint colors
+    Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("2", "6"), ("2", "7"), ("7", "8"), ("3", "5")).foreach { case (a, b) =>
+      assert(colors(a) !== colors(b), s"edge $a-$b shares color ${colors(a)}")
+    }
+    // greedy mex keeps colors compact: ≤ maxDegree + 1 (Δ = 4 for "2")
+    assert(colors.values.max <= 4)
+    // parity: the distributed rounds produce the identical rows
+    val dist = GraphAlgorithms.jpColoring(edges, localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(dist.toSet === out.toSet)
+  }
+
   test("node2vecWalks: p=q=1 collapses to uniform; bias steers return vs outward") {
     import spark.implicits._
     val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("2", "4"), ("4", "5"))
