@@ -33,6 +33,25 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     TpchBridge.table(spark, dir, name)
 
+  /**
+   * The events table with `ts` normalized to raw int64 epoch NANOS.
+   * The driver has shipped two physical layouts for events.parquet:
+   * int64 TIMESTAMP(NANOS) (readable as long via the legacy
+   * nanosAsLong conf) and plain timestamp[us] (read as TIMESTAMP_NTZ).
+   * Downstream operators do exact integer arithmetic on nanos, so both
+   * layouts converge here; the session timezone is pinned to UTC, so
+   * the NTZ wall time round-trips exactly.
+   */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
+
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def money(c: Column): Column = round(c, 2).cast(DoubleType)
 
@@ -152,8 +171,7 @@ object Queries {
     // path (get_json_object stays codegen'd; no UDF).
     "q_events_json" -> ((
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        t(s, d, "events")
+        events(s, d)
           .select(col("event_type"),
             get_json_object(col("props"), "$.k").cast("long").as("k"))
           .groupBy(col("event_type"))
@@ -201,8 +219,7 @@ object Queries {
     // ts stays the raw int64 nanos on both sides — exact comparisons.
     "q_funnel" -> ((
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        graft.operators.EventOps.funnel(t(s, d, "events"),
+        graft.operators.EventOps.funnel(events(s, d),
             "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
           .orderBy(col("step_no"))
       },
@@ -227,9 +244,8 @@ object Queries {
     // offset division is exact in both engines.
     "q_retention" -> ((
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         graft.operators.EventOps.weeklyRetention(
-            t(s, d, "events")
+            events(s, d)
               .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
             "user_id", "ts")
           .orderBy(col("cohort_week"), col("week_offset"))
@@ -245,9 +261,8 @@ object Queries {
 
     "q_sessionize" -> ((
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        t(s, d, "events")
+        events(s, d)
           .withColumn("prev", lag(col("ts"), 1).over(w))
           .withColumn("new_session",
             when(col("prev").isNull || col("ts") - col("prev") > 30L * 60 * 1000000000L, 1)
@@ -275,8 +290,7 @@ object Queries {
         // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
         // reader rejects; read the raw int64 nanos and convert. The
         // session timezone is UTC, so the naive wall time round-trips.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        t(s, d, "events")
+        events(s, d)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
           .groupBy(date_trunc("hour", col("ts")).cast(StringType).as("hour"),
             col("event_type"))
@@ -323,8 +337,7 @@ object Queries {
     // as microsecond TIMESTAMP, so nano-precision lags can't replay.
     "q_events_asof" -> ((
       (s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = t(s, d, "events")
+        val ev = events(s, d)
         val clicks = ev.where(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
         val views = ev.where(col("event_type") === "view")
