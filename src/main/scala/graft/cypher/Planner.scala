@@ -72,9 +72,41 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
   def applyMatch(start: BindCtx, m: MatchClause): BindCtx = {
     if (m.optional && start.df.nonEmpty) return applyOptionalMatch(start, m)
     var ctx = start
-    m.paths.foreach { path => ctx = compilePath(path, ctx) }
+    val seeds = m.where.map(seedPredicates).getOrElse(Map.empty)
+    m.paths.foreach { path => ctx = compilePath(path, ctx, seeds) }
     m.where.foreach { w => ctx = applyWhere(ctx, w) }
     applyPending(ctx)
+  }
+
+  /**
+   * WHERE conjuncts of the form `id(v) = <literal>` (either operand
+   * order). Such a predicate pins `v` to AT MOST ONE node, so a path
+   * anchored at `v` is a pinpoint traversal: the anchor scan is seeded
+   * with the filter and every expansion step broadcast-joins the (tiny)
+   * accumulated frontier against the edge table instead of shuffling the
+   * edges — the plan a 100 TB single-source query needs. Without this,
+   * Catalyst keeps sort-merge joins: the cached node relation's size
+   * estimate doesn't shrink under a filter (no CBO column stats), and
+   * while AQE later flips the join to broadcast, the edge-side shuffles
+   * have already run. The WHERE itself still applies afterwards
+   * (idempotent — Catalyst collapses the duplicate filter).
+   */
+  private def seedPredicates(w: Ast.Expr): Map[String, Ast.Expr] = {
+    def conjuncts(e: Ast.Expr): List[Ast.Expr] = e match {
+      case Ast.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => List(other)
+    }
+    def lit(e: Ast.Expr): Boolean = e match {
+      case _: Ast.StrLit | _: Ast.IntLit | _: Ast.DblLit => true
+      case _ => false
+    }
+    conjuncts(w).flatMap {
+      case c @ Ast.Cmp("=", Ast.Func(f, List(Ast.Variable(v))), r)
+          if f.equalsIgnoreCase("id") && lit(r) => Some(v -> c)
+      case c @ Ast.Cmp("=", l, Ast.Func(f, List(Ast.Variable(v))))
+          if f.equalsIgnoreCase("id") && lit(l) => Some(v -> c)
+      case _ => None
+    }.toMap
   }
 
   /** Apply any deferred per-path finalizers (see BindCtx.pending). */
@@ -491,9 +523,13 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     slice(array(nullEdge), 1, 0)
   }
 
-  private def compilePath(path: PathPattern, start: BindCtx): BindCtx = {
+  private def compilePath(path: PathPattern, start: BindCtx,
+                          seeds: Map[String, Ast.Expr] = Map.empty): BindCtx = {
     var ctx = start
     val startVar = path.start.variable.getOrElse(fresh("n"))
+    // set when the anchor scan is pinned to ≤1 row by an id-equality
+    // seed — expansion steps then broadcast the accumulated frontier
+    var seededFrontier = false
 
     // Named path (`p = ...`): materialized incrementally as two array
     // columns (visited node structs / traversed rel structs) so it
@@ -523,6 +559,13 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       ctx = ctx.withVar(startVar, KNode)
       propFilter(startVar, path.start.properties, Scope(ctx.scope))
         .foreach(c => scan = scan.filter(c))
+      // pinpoint anchor (see seedPredicates): ≤1 row after this filter,
+      // so the whole path becomes a broadcast-frontier traversal
+      seeds.get(startVar).filter(_ => ctx.df.isEmpty).foreach { pred =>
+        scan = scan.filter(
+          ExprCompiler.compile(pred, Scope(ctx.scope)).col.try_cast(BooleanType))
+        seededFrontier = true
+      }
       ctx = ctx.copy(df = Some(ctx.df.map(_.crossJoin(scan)).getOrElse(scan)))
     }
     pnCol.foreach { _ =>
@@ -558,8 +601,11 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 
       /** One edge traversal step from `prev`; binds relVar (+ target node
         * struct unless joining to an already-bound variable). */
-      def step(df: DataFrame, prev: String, relVar: String, prevR: Option[String],
+      def step(df0: DataFrame, prev: String, relVar: String, prevR: Option[String],
                target: String, targetIsBound: Boolean): DataFrame = {
+        // a seeded frontier descends from a ≤1-row anchor: broadcast it
+        // so the edge/node tables are probed in place, never shuffled
+        val df = if (seededFrontier) broadcast(df0) else df0
         val edges = edgeStruct(relVar, bothDirs)
         var joinCond = col(s"$prev.id") === col(s"$relVar.$fromField")
         if (rel.types.nonEmpty) joinCond = joinCond &&
@@ -569,9 +615,11 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
         prevR.foreach(pr => joinCond = joinCond && col(s"$pr.eid") =!= col(s"$relVar.eid"))
         if (targetIsBound)
           df.join(edges, joinCond && col(s"$relVar.$toField") === col(s"$target.id"))
-        else
-          df.join(edges, joinCond)
+        else {
+          val joined = df.join(edges, joinCond)
+          (if (seededFrontier) broadcast(joined) else joined)
             .join(nodeStruct(target), col(s"$relVar.$toField") === col(s"$target.id"))
+        }
       }
 
       val targetBound = ctx.scope.contains(nodeVar)
