@@ -19,6 +19,62 @@ import graft.model.PropertyGraph
 object GraphAlgorithms {
 
   /**
+   * Local-regime loader shared by the adaptive algorithms: ONE plain
+   * collect of the RAW (possibly duplicated) pair frame, with dedup and
+   * id-interning fused into the driver-side pass. Measured at 1.4M edges
+   * (sf0.1 bridge graph, 32 cores): the previous
+   * distinct→persist→count→collect staging cost ~2 s for the distinct
+   * shuffle plus ~3-4 s collecting the persisted post-shuffle frame,
+   * while a straight collect off the source plan is ~0.6 s — the cached
+   * block deserialization, not the dedup, was the bottleneck. Callers
+   * gate on the RAW count (an upper bound on the distinct count, and a
+   * cheap cached scan when the edges come from the persisted graph).
+   *
+   * `canonical=true` dedups UNORDERED pairs and emits one pair per
+   * undirected edge (oriented by intern index — any consistent
+   * orientation serves the undirected-simple-graph consumers);
+   * `canonical=false` dedups ordered pairs. Self-loops are dropped.
+   */
+  private[graft] final case class InternedEdges(
+      pairs: Array[(Int, Int)],
+      ids: scala.collection.mutable.ArrayBuffer[Any],
+      idx: scala.collection.mutable.HashMap[Any, Int])
+
+  /** Probe-collect: `limit(threshold+1).collect()` gates and loads in the
+    * SAME single pass — None means over threshold (take the distributed
+    * path; the probe work was bounded by the limit), Some means every raw
+    * row is already on the driver. This beats a separate count job (which
+    * recomputes an unpersisted upstream once more for the collect) and
+    * beats persist→count→collect (cache write + columnar decode both
+    * measured slower than the straight collect). */
+  private[graft] def collectInternedGated(raw: DataFrame, canonical: Boolean,
+      threshold: Long): Option[InternedEdges] = {
+    val cap = math.min(threshold, 100000000L)
+    if (cap < 0 || cap >= Int.MaxValue - 1) return None
+    val rows = raw.limit(cap.toInt + 1).collect()
+    if (rows.length > cap) return None
+    Some(collectInterned(rows, canonical))
+  }
+
+  private[graft] def collectInterned(rows: Array[org.apache.spark.sql.Row],
+      canonical: Boolean): InternedEdges = {
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    rows.foreach { r =>
+      val s0 = intern(r.get(0)); val d0 = intern(r.get(1))
+      if (s0 != d0) {
+        val (s, d) = if (canonical && s0 > d0) (d0, s0) else (s0, d0)
+        val k = (s.toLong << 32) | (d.toLong & 0xffffffffL)
+        if (seen.add(k)) out += ((s, d))
+      }
+    }
+    InternedEdges(out.toArray, ids, idx)
+  }
+
+  /**
    * Exact triangle count. Reference: node-iterator over merged local +
    * central adjacency with canonicalized (v1<v2<v3) dedup
    * (`src/query/algorithms/triangles/Triangles.cpp:33-230`).
@@ -52,17 +108,19 @@ object GraphAlgorithms {
     * spec-pinned via `localThreshold = 0` plus the powergrid golden 651. */
   def triangleCountDF(edges: DataFrame, localThreshold: Long): DataFrame = {
     val spark = edges.sparkSession
+    val raw = edges.select(col("src"), col("dst"))
+    // local regime gates on the RAW count (upper bound on the canonical
+    // count); canonicalization + dedup fuse into the driver-side intern
+    // pass — see collectInternedGated
+    collectInternedGated(raw, canonical = true, localThreshold).foreach { in =>
+      import spark.implicits._
+      return Seq(localTriangleCount(in.pairs)).toDF("triangles")
+    }
     val canonAll = PropertyGraph.canonicalUndirected(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (canonAll.count() <= localThreshold) {
-      val n = localTriangleCount(canonAll)
-      canonAll.unpersist()
-      import spark.implicits._
-      return Seq(n).toDF("triangles")
-    }
-    // above threshold the persisted frame feeds the degree + orient
-    // pipeline; it is released right after `oriented` eagerly
-    // checkpoints (the only consumer of the lineage)
+    // the persisted frame feeds the degree + orient pipeline; it is
+    // released right after `oriented` eagerly checkpoints (the only
+    // consumer of the lineage)
     val canon = canonAll
     val deg = canon.select(col("src").as("v"))
       .unionAll(canon.select(col("dst").as("v")))
@@ -100,12 +158,8 @@ object GraphAlgorithms {
     * same low-degree→high-degree (ties by id) orientation as the
     * distributed three-join, counted by sorted-adjacency intersection
     * per edge — O(Σ d_out) per edge, the compact-forward algorithm. */
-  private def localTriangleCount(canon: DataFrame): Long = {
-    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
-    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-    val es = canon.collect().map(r => (intern(r.get(0)), intern(r.get(1))))
-    val n = ids.length
+  private def localTriangleCount(es: Array[(Int, Int)]): Long = {
+    val n = es.foldLeft(-1) { case (m, (a, b)) => math.max(m, math.max(a, b)) } + 1
     val deg = new Array[Int](n)
     es.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
     // orient to the endpoint with (higher degree, then higher intern id —
@@ -202,19 +256,24 @@ object GraphAlgorithms {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    // Adaptive (the closeness/kCore/LPA pattern): string-id graphs below
+    // the threshold BFS on driver adjacency arrays — each distributed hop
+    // costs a join + anti-join of fixed job latency. Parity spec-pinned.
+    // The gate counts the RAW base orientation (one cheap scan); the
+    // reverse direction for undirected mode is added in memory.
+    if (e0.schema("u").dataType == org.apache.spark.sql.types.StringType) {
+      // canonical dedup for undirected (one pair per unordered edge,
+      // reverse added in memory); ordered dedup when directed
+      collectInternedGated(e0, canonical = undirected,
+          localThreshold / (if (undirected) 2 else 1)).foreach { in =>
+        return localBfs(in, undirected, sourceId, maxHops, spark)
+      }
+    }
     val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Adaptive (the closeness/kCore/LPA pattern): string-id graphs below
-    // the threshold BFS on driver adjacency arrays — each distributed hop
-    // costs a join + anti-join of fixed job latency. Parity spec-pinned.
-    if (e.schema("u").dataType == org.apache.spark.sql.types.StringType &&
-        e.count() <= localThreshold) {
-      val out = localBfs(e, sourceId, maxHops)
-      e.unpersist()
-      return out
-    }
+    e.count()
     // only each hop's FRONTIER is checkpointed; the distance table is a
     // union of those checkpointed frontiers (depth ≤ maxHops, every leaf
     // materialized), so the settled set is never re-materialized per hop
@@ -238,17 +297,15 @@ object GraphAlgorithms {
   /** Driver-side hop-bounded BFS for [[shortestPaths]]'s small regime —
     * identical semantics: dist = first hop the vertex is reached within
     * `maxHops`, source row always present (even off-graph sources). */
-  private def localBfs(e: DataFrame, sourceId: String, maxHops: Int): DataFrame = {
-    val spark = e.sparkSession
+  private def localBfs(in: InternedEdges,
+                       undirected: Boolean, sourceId: String, maxHops: Int,
+                       spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val idx = scala.collection.mutable.HashMap.empty[String, Int]
-    val ids = scala.collection.mutable.ArrayBuffer.empty[String]
-    def intern(x: String): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-    val es = e.collect().map(r => (intern(r.getString(0)), intern(r.getString(1))))
+    val ids = in.ids
     val n = ids.length
     val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
-    es.foreach { case (u, v) => adj(u) += v }
-    idx.get(sourceId) match {
+    in.pairs.foreach { case (u, v) => adj(u) += v; if (undirected) adj(v) += u }
+    in.idx.get(sourceId) match {
       case None => Seq((sourceId, 0)).toDF("id", "dist")
       case Some(src) =>
         val dist = Array.fill(n)(-1)
@@ -266,7 +323,7 @@ object GraphAlgorithms {
           frontier = next
         }
         val rows = (0 until n).iterator.filter(dist(_) >= 0)
-          .map(i => (ids(i), dist(i))).toSeq
+          .map(i => (ids(i).asInstanceOf[String], dist(i))).toSeq
         spark.createDataFrame(rows).toDF("id", "dist")
     }
   }
@@ -1120,21 +1177,28 @@ object GraphAlgorithms {
     import spark.implicits._
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
       col("weight").cast("long").as("w"))
+    // Adaptive: driver-side synchronous Bellman-Ford rounds below the
+    // threshold — same hop-bounded min-relaxation semantics, parity
+    // spec-pinned via localThreshold = 0. The local path skips the
+    // min-per-pair dedup entirely: relaxing over duplicate (u,v) entries
+    // is equivalent to relaxing over their min, so one plain collect of
+    // the raw triples suffices (see collectInterned for why that beats
+    // collecting a persisted post-shuffle frame).
+    if (e0.schema("u").dataType == org.apache.spark.sql.types.StringType) {
+      val cap = math.min(localThreshold / (if (undirected) 2 else 1), 100000000L)
+      if (cap >= 0 && cap < Int.MaxValue - 1) {
+        val rows = e0.limit(cap.toInt + 1).collect()
+        if (rows.length <= cap)
+          return localWeightedSp(rows, undirected, sourceId, maxHops, spark)
+      }
+    }
     val e = (if (undirected)
                e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
              else e0)
       .where(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Adaptive: driver-side synchronous Bellman-Ford rounds below the
-    // threshold — same hop-bounded min-relaxation semantics, parity
-    // spec-pinned via localThreshold = 0.
-    if (e.schema("u").dataType == org.apache.spark.sql.types.StringType &&
-        e.count() <= localThreshold) {
-      val out = localWeightedSp(e, sourceId, maxHops)
-      e.unpersist()
-      return out
-    }
+    e.count()
     // Frontier Bellman–Ford: only vertices whose distance IMPROVED last
     // round relax their out-edges (an unchanged vertex would re-produce
     // the identical candidates), and the loop exits when a round improves
@@ -1170,16 +1234,20 @@ object GraphAlgorithms {
     * out-edges of the vertices improved LAST round against the previous
     * round's distances, stops when a round improves nothing or at
     * `maxHops` rounds; source row always present. */
-  private def localWeightedSp(e: DataFrame, sourceId: String, maxHops: Int): DataFrame = {
-    val spark = e.sparkSession
+  private def localWeightedSp(rows: Array[org.apache.spark.sql.Row],
+                              undirected: Boolean,
+                              sourceId: String, maxHops: Int,
+                              spark: SparkSession): DataFrame = {
     import spark.implicits._
     val idx = scala.collection.mutable.HashMap.empty[String, Int]
     val ids = scala.collection.mutable.ArrayBuffer.empty[String]
     def intern(x: String): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-    val es = e.collect().map(r => (intern(r.getString(0)), intern(r.getString(1)), r.getLong(2)))
+    val es = rows.map(r => (intern(r.getString(0)), intern(r.getString(1)), r.getLong(2)))
     val n = ids.length
     val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Long)])
-    es.foreach { case (u, v, w) => adj(u) += ((v, w)) }
+    es.foreach { case (u, v, w) =>
+      if (u != v) { adj(u) += ((v, w)); if (undirected) adj(v) += ((u, w)) }
+    }
     idx.get(sourceId) match {
       case None => Seq((sourceId, 0L)).toDF("id", "dist")
       case Some(src) =>
@@ -1258,28 +1326,31 @@ object GraphAlgorithms {
       case Some(r) => r.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       case None => edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     }
+    // Adaptive (the kCore/closeness/SCC pattern): below the threshold
+    // the synchronous rounds run driver-side over adjacency arrays —
+    // each distributed round is two shuffles of fixed job latency, the
+    // dominant term on small graphs. Parity spec via localThreshold = 0.
+    // Gate on the RAW count; the canonical dedup fuses into the
+    // driver-side intern pass (see collectInterned).
+    val rawPairs = e0.where(col("u") =!= col("v"))
+    collectInternedGated(rawPairs, canonical = undirected, localThreshold).foreach { in =>
+      raw.foreach(_.unpersist())
+      return localLabelPropagation(in, e0.schema("u").dataType,
+        edges.sparkSession, iterations, undirected)
+    }
     // Dedup in SINGLE orientation: for undirected graphs the distinct
     // runs over the canonical (least, greatest) list — half the rows of
     // the old distinct-after-doubling — and the doubled list is then
     // duplicate-free by construction (the orientations are disjoint once
     // self-loops are gone).
     val eCanon = (if (undirected)
-        e0.where(col("u") =!= col("v"))
+        rawPairs
           .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      else e0.where(col("u") =!= col("v")))
+      else rawPairs)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Adaptive (the kCore/closeness/SCC pattern): below the threshold
-    // the synchronous rounds run driver-side over adjacency arrays —
-    // each distributed round is two shuffles of fixed job latency, the
-    // dominant term on small graphs. Parity spec via localThreshold = 0.
-    val eCount = eCanon.count()
+    eCanon.count()
     raw.foreach(_.unpersist()) // eCanon is materialized; raw is done
-    if (eCount <= localThreshold) {
-      val out = localLabelPropagation(eCanon, iterations, undirected)
-      eCanon.unpersist()
-      return out
-    }
     val e = if (undirected)
       eCanon.unionByName(eCanon.select(col("v").as("u"), col("u").as("v")))
     else eCanon
@@ -1311,16 +1382,14 @@ object GraphAlgorithms {
     * order for the numeric regime, string order otherwise — the same
     * ordering the distributed argmax struct uses), isolated-in-degree
     * vertices keep their label. */
-  private def localLabelPropagation(e: DataFrame, iterations: Int,
+  private def localLabelPropagation(in: InternedEdges,
+                                    dt: org.apache.spark.sql.types.DataType,
+                                    spark: SparkSession, iterations: Int,
                                     undirected: Boolean): DataFrame = {
-    val spark = e.sparkSession
-    val dt = e.schema("u").dataType
-    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
-    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-    // e arrives in canonical single orientation for undirected graphs —
+    // pairs arrive in canonical single orientation for undirected graphs —
     // the reverse direction is added here, in memory, not as a shuffle
-    val es = e.collect().map(r => (intern(r.get(0)), intern(r.get(1))))
+    val es = in.pairs
+    val ids = in.ids
     val n = ids.length
     // labels flow u -> v: v's candidates are its IN-neighbors' labels
     val inNbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
@@ -1390,18 +1459,19 @@ object GraphAlgorithms {
     * while a converged peel stops paying per-round materializations. */
   private[graft] def kCoreImpl(edges: DataFrame, k: Int, rounds: Int,
                                localThreshold: Long = 10000000L): (DataFrame, Int) = {
-    val canon = PropertyGraph.canonicalUndirected(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Adaptive (the kTruss/closeness/SCC pattern): below the threshold the
     // synchronous peel runs driver-side over an adjacency map — each
     // distributed round costs several fixed-latency Spark jobs, the
     // dominant term on small graphs. Parity spec-asserted via
-    // localThreshold = 0.
-    if (canon.count() <= localThreshold) {
-      val out = localKCore(canon, k, rounds)
-      canon.unpersist()
-      return out
+    // localThreshold = 0. Gate on the RAW count; canonicalization fuses
+    // into the driver-side intern pass (see collectInterned).
+    val raw = edges.select(col("src"), col("dst"))
+    collectInternedGated(raw, canonical = true, localThreshold).foreach { in =>
+      return localKCore(in, edges.schema("src").dataType, edges.sparkSession, k, rounds)
     }
+    val canon = PropertyGraph.canonicalUndirected(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    canon.count()
     // DELTA peeling: maintain each survivor's induced degree and subtract
     // the contribution of just-removed neighbors, instead of recomputing
     // induced degrees from the full edge list every round. Cost per round
@@ -1447,13 +1517,10 @@ object GraphAlgorithms {
     * vertices below k simultaneously, early-stops when a round removes
     * nothing, survivors report their induced degree (degree-0 survivors
     * omitted, matching the distributed output contract). */
-  private def localKCore(canon: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
-    val spark = canon.sparkSession
-    val dt = canon.schema("src").dataType
-    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
-    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-    val edges = canon.collect().map(r => (intern(r.get(0)), intern(r.get(1))))
+  private def localKCore(in: InternedEdges, dt: org.apache.spark.sql.types.DataType,
+                         spark: SparkSession, k: Int, rounds: Int): (DataFrame, Int) = {
+    val edges = in.pairs
+    val ids = in.ids
     val nbrs = Array.fill(ids.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
     edges.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
     val deg = Array.tabulate(ids.length)(i => nbrs(i).length)
@@ -1634,13 +1701,12 @@ object GraphAlgorithms {
            localThreshold: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 6,
       s"iterations must be in [1, 6] (integer scores grow like deg^(2k)): $iterations")
-    val e = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= localThreshold) {
-      val out = localHits(e, iterations)
-      e.unpersist()
-      return out
+    val raw = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+    collectInternedGated(raw, canonical = false, localThreshold).foreach { in =>
+      return localHits(in, edges.schema("src").dataType, edges.sparkSession, iterations)
     }
+    val e = raw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val ids = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     var hub = ids.select(col("id"), lit(1L).as("hub"))
@@ -1667,13 +1733,11 @@ object GraphAlgorithms {
 
   /** Driver-side HITS for the small regime — identical recurrence over
     * interned index arrays. */
-  private def localHits(e: DataFrame, iterations: Int): DataFrame = {
-    val spark = e.sparkSession
-    val dt = e.schema("src").dataType
-    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
-    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-    val pairs = e.collect().map(r => (intern(r.get(0)), intern(r.get(1))))
+  private def localHits(in: InternedEdges,
+      dt: org.apache.spark.sql.types.DataType, spark: SparkSession,
+      iterations: Int): DataFrame = {
+    val pairs = in.pairs
+    val ids = in.ids
     val n = ids.length
     var hub = Array.fill(n)(1L)
     var auth = Array.fill(n)(0L)
