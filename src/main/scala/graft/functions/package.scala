@@ -42,4 +42,10 @@ package object functions {
     * one fewer rounding to replay), codegen'd. */
   def vecSqDiff(a: Column, b: Column): Column =
     column(ArraySqDiff(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Whole MinHash signature (array of `as.length` longs) of a string in
+    * one pass — see [[MinhashSignature]] for the exact contract. NULL for
+    * inputs shorter than k characters. */
+  def minhashSig(s: Column, k: Int, as: Array[Long], bs: Array[Long], p: Long): Column =
+    column(MinhashSignature(ColumnBridge.expression(s), k, as, bs, p))
 }

@@ -47,6 +47,25 @@ object Dedup {
 
   private val P = 1000000007L
 
+  /** The (id, s0..s{H-1}) signature table, computed by the one-pass
+    * [[graft.functions.MinhashSignature]] expression: no shingle explode,
+    * no 64-min aggregate, no exchange on the signature path (the explode +
+    * aggregate formulation it replaces measured ~2.5 s of the sf0.1
+    * pipeline's ~3.7 s — dominating banding and verification; parity with
+    * it is spec-asserted). Documents shorter than `shingleSize` chars
+    * have no shingles and are absent, exactly like the row formulation. */
+  private def sigTable(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int, numHashes: Int): DataFrame = {
+    val (as, bs) = hashParams(numHashes)
+    df.select(col(idCol).as("id"),
+        graft.functions.minhashSig(
+          regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+          shingleSize, as.toArray, bs.toArray, P).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("id") +: (0 until numHashes).map(j =>
+        col("sig").getItem(j).as(s"s$j")): _*)
+  }
+
   /** MinHash signature (array of numHashes longs) over a shingle-array
     * column. h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P; signature_i
     * = min over shingles. Computed columnar with transform/array_min. */
@@ -185,30 +204,16 @@ object Dedup {
     val rows = numHashes / bands
     val (as, bs) = hashParams(numHashes)
 
-    // signatures read the RAW posting (no distinct): min() is duplicate-
-    // insensitive, so the dedup shuffle would be pure waste on the
-    // dominant-volume path. All per-row hash work happens map-side inside
-    // the partial aggregate; only 64 mins per id cross the wire.
-    // the base hash h is PROJECTED once per posting row before the
-    // aggregate — referencing pmod(xxhash64(...)) from inside all 64 min()
-    // expressions relies on cross-aggregate subexpression elimination,
-    // which partial aggregates don't guarantee (observed 64 hash evals
-    // per row in the generated code)
-    val rawPosting = shinglePosting(df, textCol, idCol, shingleSize, dedup = false)
-      .select(col("id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
-    val sigCols = (0 until numHashes).map(i =>
-      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
     // sigs feeds THREE consumers (the banded bucket join's two sides and
     // the agreement prefilter's A/B sides) — one materialization is
     // mandatory; relying on runtime exchange reuse instead was observed
     // NOT to fire here (the consumers sit under differently-shaped parent
-    // exchanges), which re-ran the full shingle explode + 64-min
-    // aggregate per consumer — the dominant cost of the pipeline. Eager
-    // mode checkpoints (row-store blocks, self-cleaning via the
-    // ContextCleaner); lazy mode persists (the 65-column columnar cache
-    // build costs whole seconds at bench scale and the pin outlives the
-    // call — acceptable only for plan inspection / caller-owned caches).
-    val sigsPlan = rawPosting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    // exchanges), which re-ran the signature computation per consumer.
+    // Eager mode checkpoints (row-store blocks, self-cleaning via the
+    // ContextCleaner); lazy mode persists (the columnar cache build and
+    // the pin outliving the call are acceptable only for plan
+    // inspection / caller-owned caches).
+    val sigsPlan = sigTable(df, textCol, idCol, shingleSize, numHashes)
     val sigs =
       if (eager) sigsPlan.localCheckpoint(true)
       else sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -299,13 +304,8 @@ object Dedup {
       threshold: Double = 0.8, prefilterMargin: Double = 0.25): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val (as, bs) = hashParams(numHashes)
-    val h = pmod(xxhash64(col("shingle")), lit(P))
-    val sigCols = (0 until numHashes).map(i =>
-      min(pmod(lit(as(i)) * h + lit(bs(i)), lit(P))).as(s"s$i"))
     def sigsOf(df: DataFrame): DataFrame =
-      shinglePosting(df, textCol, idCol, shingleSize, dedup = false)
-        .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      sigTable(df, textCol, idCol, shingleSize, numHashes)
         .localCheckpoint(true)
     val bucketCols = (0 until bands).map { b =>
       val bandSig = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))

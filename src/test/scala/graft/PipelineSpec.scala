@@ -21,6 +21,51 @@ class PipelineSpec extends SparkSpec {
     assert(joined.count() === unique.count())
   }
 
+  test("one-pass MinhashSignature expression matches the explode + 64-min aggregate") {
+    // the row formulation the expression replaced — byte-identical
+    // contract (same normalization, SQL-substring char windows, xxhash64
+    // seed 42, same (a,b,P) permutation family)
+    import spark.implicits._
+    val numHashes = 64
+    val k = 5
+    val P = 1000000007L
+    var state = 42L
+    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); math.floorMod(state, P - 1) + 1 }
+    val as = Array.fill(numHashes)(next())
+    val bs = Array.fill(numHashes)(next())
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val posting = docs.select(col("doc_id").as("id"), norm.as("norm"))
+      .where(length(col("norm")) >= k)
+      .select(col("id"), col("norm"),
+        explode(sequence(lit(0), length(col("norm")) - k)).as("pos"))
+      .select(col("id"), pmod(xxhash64(col("norm").substr(col("pos") + 1, lit(k))), lit(P)).as("h"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"s$i"))
+    val oldSigs = posting.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val newSigs = docs.select(col("doc_id").as("id"),
+        graft.functions.minhashSig(norm, k, as, bs, P).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("id") +: (0 until numHashes).map(j => col("sig").getItem(j).as(s"s$j")): _*)
+    assert(oldSigs.exceptAll(newSigs).isEmpty && newSigs.exceptAll(oldSigs).isEmpty,
+      "one-pass signature diverges from the aggregate formulation")
+    // multibyte + short-input edges: SQL substring is char-based, and
+    // <k-char docs are NULL (absent), empty string included
+    val edge = Seq((1L, "héllo wörld héllo"), (2L, "abcd"), (3L, ""), (4L, "ab€cd€ef"))
+      .toDF("doc_id", "text")
+    val ePosting = edge.select(col("doc_id").as("id"), norm.as("norm"))
+      .where(length(col("norm")) >= k)
+      .select(col("id"), col("norm"),
+        explode(sequence(lit(0), length(col("norm")) - k)).as("pos"))
+      .select(col("id"), pmod(xxhash64(col("norm").substr(col("pos") + 1, lit(k))), lit(P)).as("h"))
+      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val eNew = edge.select(col("doc_id").as("id"),
+        graft.functions.minhashSig(norm, k, as, bs, P).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("id") +: (0 until numHashes).map(j => col("sig").getItem(j).as(s"s$j")): _*)
+    assert(ePosting.exceptAll(eNew).isEmpty && eNew.exceptAll(ePosting).isEmpty,
+      "edge-case signatures diverge (multibyte / short / empty)")
+  }
+
   test("minhash LSH finds every exact duplicate pair (jaccard = 1)") {
     // construct known near-dups: duplicate first 5 docs with new ids
     val base = docs.limit(5).select(col("doc_id"), col("text"))
