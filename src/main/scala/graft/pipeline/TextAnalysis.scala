@@ -124,7 +124,15 @@ object TextAnalysis {
     require(percentile > 0 && percentile < 1,
       s"percentile must be in (0,1): $percentile")
     import org.apache.spark.sql.expressions.Window
-    val q = withQuality(df, textCol)
+    // score once, materialize ONLY (id, score): the scored projection
+    // feeds the histogram AND the final filter, and without a
+    // materialization each consumer re-runs the regex-heavy scoring
+    // (hist twice — cum and tot — plus the filter: 3 evaluations,
+    // measured ~3.6 s vs ~1.2 s for one). At cluster scale this
+    // two-column table is exactly the score artifact a real pipeline
+    // persists before thresholding.
+    val q = withQuality(df, textCol).select(col(idCol), col("quality_score"))
+      .localCheckpoint(true)
     val hist = q.groupBy(col("quality_score")).agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("quality_score"))
