@@ -670,10 +670,32 @@ object GraphAlgorithms {
    * never exceeds |starts| rows, localCheckpointed per step.
    */
   def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
-                  undirected: Boolean = true): DataFrame = {
+                  undirected: Boolean = true,
+                  localThreshold: Long = 10000000L): DataFrame = {
     require(steps >= 1, s"steps must be >= 1: $steps")
     import org.apache.spark.sql.expressions.Window
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    // Adaptive (the BFS/kCore pattern): each distributed step is a
+    // checkpointed join job of fixed latency — steps × ~0.2 s dominates
+    // small graphs. The LCG transition is pure integer arithmetic, so the
+    // driver replay is exact. Integral ids only: the local rank must
+    // reproduce `row_number() ORDER BY v` (numeric order); string
+    // collation is left to the distributed path.
+    val integralIds = Seq("u", "v").forall(c => e0.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (integralIds) {
+      collectInternedGated(e0.where(col("u") =!= col("v")),
+          canonical = undirected, localThreshold / (if (undirected) 2 else 1)).foreach { in =>
+        val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
+          .limit(10000001).collect()
+        if (startRows.length <= 10000000) {
+          return localRandomWalks(in, startRows, steps, undirected,
+            e0.schema("u").dataType, edges.sparkSession)
+        }
+      }
+    }
     val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
              else e0)
       .where(col("u") =!= col("v")).distinct()
@@ -699,6 +721,41 @@ object GraphAlgorithms {
     }
     adj.unpersist()
     out
+  }
+
+  /** Driver-side replay of [[randomWalks]] for the small regime —
+    * identical LCG draws, identical `row_number() ORDER BY v` neighbor
+    * ranks (numeric order; the caller gates on integral id types). */
+  private def localRandomWalks(in: InternedEdges,
+      startRows: Array[org.apache.spark.sql.Row], steps: Int,
+      undirected: Boolean, dt: org.apache.spark.sql.types.DataType,
+      spark: SparkSession): DataFrame = {
+    val ids = in.ids
+    val n = ids.length
+    def longOf(x: Any): Long = x.asInstanceOf[Number].longValue
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    in.pairs.foreach { case (u, v) => adj(u) += v; if (undirected) adj(v) += u }
+    val sorted = adj.map(_.toArray.sortBy(i => longOf(ids(i))))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    startRows.foreach { r =>
+      val wid = r.getLong(0)
+      val startId = r.get(1)
+      rows += org.apache.spark.sql.Row(wid, 0, startId)
+      var cur = in.idx.getOrElse(startId, -1)
+      var t = 1
+      while (t <= steps && cur >= 0 && sorted(cur).nonEmpty) {
+        val nb = sorted(cur)
+        val draw = java.lang.Math.floorMod(
+          1103515245L * (wid * 1000003L + t.toLong * 101L) + 12345L, 2147483647L)
+        cur = nb(java.lang.Math.floorMod(draw, nb.length.toLong).toInt)
+        rows += org.apache.spark.sql.Row(wid, t, ids(cur))
+        t += 1
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("wid", LongType),
+      StructField("step", IntegerType), StructField("id", dt)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /**
@@ -769,11 +826,30 @@ object GraphAlgorithms {
    * localCheckpointed per step to bound plan depth.
    */
   def node2vecWalks(edges: DataFrame, starts: DataFrame, steps: Int,
-                    p: Int = 1, q: Int = 2, undirected: Boolean = true): DataFrame = {
+                    p: Int = 1, q: Int = 2, undirected: Boolean = true,
+                    localThreshold: Long = 10000000L): DataFrame = {
     require(steps >= 1, s"steps must be >= 1: $steps")
     require(p >= 1 && q >= 1, s"p and q must be positive integers: p=$p q=$q")
     import org.apache.spark.sql.expressions.Window
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    // Adaptive, same contract as [[randomWalks]]' local replay: the bias
+    // weights and cumulative-in-neighbor-order selection are pure integer
+    // arithmetic, exactly reproducible on driver adjacency arrays.
+    val integralIds = Seq("u", "v").forall(c => e0.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (integralIds) {
+      collectInternedGated(e0.where(col("u") =!= col("v")),
+          canonical = undirected, localThreshold / (if (undirected) 2 else 1)).foreach { in =>
+        val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
+          .limit(10000001).collect()
+        if (startRows.length <= 10000000) {
+          return localNode2vecWalks(in, startRows, steps, p, q, undirected,
+            e0.schema("u").dataType, edges.sparkSession)
+        }
+      }
+    }
     val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
              else e0)
       .where(col("u") =!= col("v")).distinct()
@@ -819,6 +895,74 @@ object GraphAlgorithms {
     }
     adj.unpersist()
     out
+  }
+
+  /** Driver-side replay of [[node2vecWalks]] for the small regime —
+    * identical LCG draws, v-ascending cumulative integer bias weights
+    * (v==prev → q, neighbor-of-prev → p·q, else p), selection by the
+    * [cw−bw, cw) interval containing draw mod total-weight. */
+  private def localNode2vecWalks(in: InternedEdges,
+      startRows: Array[org.apache.spark.sql.Row], steps: Int,
+      p: Int, q: Int, undirected: Boolean,
+      dt: org.apache.spark.sql.types.DataType, spark: SparkSession): DataFrame = {
+    val ids = in.ids
+    val n = ids.length
+    def longOf(x: Any): Long = x.asInstanceOf[Number].longValue
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val edgeSet = new java.util.HashSet[Long]()
+    def pack(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    in.pairs.foreach { case (u, v) =>
+      adj(u) += v; edgeSet.add(pack(u, v))
+      if (undirected) { adj(v) += u; edgeSet.add(pack(v, u)) }
+    }
+    val sorted = adj.map(_.toArray.sortBy(i => longOf(ids(i))))
+    def draw(wid: Long, t: Int): Long = java.lang.Math.floorMod(
+      1103515245L * (wid * 1000003L + t.toLong * 101L) + 12345L, 2147483647L)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    startRows.foreach { r =>
+      val wid = r.getLong(0)
+      val startId = r.get(1)
+      rows += org.apache.spark.sql.Row(wid, 0, startId)
+      var cur = in.idx.getOrElse(startId, -1)
+      if (cur >= 0 && sorted(cur).nonEmpty) {
+        // step 1: uniform, no prev to bias against yet
+        var prev = cur
+        cur = sorted(cur)(java.lang.Math.floorMod(draw(wid, 1), sorted(cur).length.toLong).toInt)
+        rows += org.apache.spark.sql.Row(wid, 1, ids(cur))
+        var t = 2
+        while (t <= steps && sorted(cur).nonEmpty) {
+          val nb = sorted(cur)
+          var tw = 0L
+          val bw = new Array[Long](nb.length)
+          var i = 0
+          while (i < nb.length) {
+            val v = nb(i)
+            bw(i) = if (v == prev) q.toLong
+              else if (edgeSet.contains(pack(prev, v))) p.toLong * q
+              else p.toLong
+            tw += bw(i)
+            i += 1
+          }
+          val r0 = java.lang.Math.floorMod(draw(wid, t), tw)
+          var cw = 0L
+          i = 0
+          var chosen = -1
+          while (chosen < 0 && i < nb.length) {
+            cw += bw(i)
+            if (r0 < cw) chosen = nb(i)
+            i += 1
+          }
+          prev = cur
+          cur = chosen
+          rows += org.apache.spark.sql.Row(wid, t, ids(cur))
+          t += 1
+        }
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("wid", LongType),
+      StructField("step", IntegerType), StructField("id", dt)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /**

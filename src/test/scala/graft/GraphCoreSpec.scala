@@ -487,6 +487,42 @@ class GraphCoreSpec extends SparkSpec {
     assert(sink.toSeq === Seq((0, "1"), (1, "4")))
   }
 
+  test("randomWalks: local LCG replay matches the distributed step loop") {
+    import spark.implicits._
+    // integral ids (the local gate), a directed sink, an unknown start,
+    // duplicate edge rows (the local dedup must mirror the distinct)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (2L, 4L), (5L, 5L))
+      .toDF("src", "dst")
+    val starts = Seq((1L, 1L), (2L, 2L), (3L, 99L)).toDF("wid", "id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    for (undirected <- Seq(true, false)) {
+      val loc = norm(GraphAlgorithms.randomWalks(edges, starts, steps = 6,
+        undirected = undirected))
+      val dist = norm(GraphAlgorithms.randomWalks(edges, starts, steps = 6,
+        undirected = undirected, localThreshold = 0L))
+      assert(loc === dist, s"undirected=$undirected local/distributed walk divergence")
+    }
+  }
+
+  test("node2vecWalks: local biased replay matches the distributed step loop") {
+    import spark.implicits._
+    // a triangle + tail so all three bias cases fire (return-to-prev,
+    // neighbor-of-prev, outward), plus duplicate rows and a sink
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L), (2L, 3L))
+      .toDF("src", "dst")
+    val starts = Seq((1L, 1L), (2L, 2L), (7L, 4L)).toDF("wid", "id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    for ((undirected, pp, qq) <- Seq((true, 1, 2), (false, 1, 2), (true, 3, 1))) {
+      val loc = norm(GraphAlgorithms.node2vecWalks(edges, starts, steps = 6,
+        p = pp, q = qq, undirected = undirected))
+      val dist = norm(GraphAlgorithms.node2vecWalks(edges, starts, steps = 6,
+        p = pp, q = qq, undirected = undirected, localThreshold = 0L))
+      assert(loc === dist, s"undirected=$undirected p=$pp q=$qq node2vec divergence")
+    }
+  }
+
   test("maximalIndependentSet: independent, maximal, deterministic") {
     import spark.implicits._
     // path + star mix with BIGINT-castable ids
