@@ -48,4 +48,9 @@ package object functions {
     * inputs shorter than k characters. */
   def minhashSig(s: Column, k: Int, as: Array[Long], bs: Array[Long], p: Long): Column =
     column(MinhashSignature(ColumnBridge.expression(s), k, as, bs, p))
+
+  /** 64-bit SimHash signature of a whitespace-tokenized string in one
+    * pass — see [[SimhashSignature]]. NULL when there are no tokens. */
+  def simhashSig(s: Column): Column =
+    column(SimhashSignature(ColumnBridge.expression(s)))
 }

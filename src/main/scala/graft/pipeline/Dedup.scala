@@ -479,22 +479,18 @@ object Dedup {
     *    isn't needed. */
   private def simhashSigs(df: DataFrame, textCol: String, idCol: String,
                           verifiable: Boolean = true): DataFrame = {
+    if (verifiable) {
+      // one-pass native expression (the MinhashSignature treatment): no
+      // token explode, no 16-digit projection, no 64 sum() aggregates —
+      // parity with the row formulation is spec-asserted
+      return df.select(col(idCol).as("id"),
+          graft.functions.simhashSig(lower(trim(col(textCol)))).as("sig"))
+        .where(col("sig").isNotNull)
+    }
     val toksRaw = df.select(col(idCol).as("id"),
       posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .where(length(col("col")) > 0)
-    val votes =
-      if (verifiable) {
-        val toks = toksRaw.select(col("id"), md5(col("col")).as("m"))
-        // materialize the 16 digit values once per token in a projection —
-        // referencing substr(m, …) from all 64 aggregates would re-evaluate
-        // the string slicing 4× per digit inside the aggregate
-        val digits = toks.select(
-          col("id") +: (0 until 16).map(i => hexVal(substring(col("m"), i + 1, 1)).as(s"d$i")): _*)
-        val voteCols = (0 until 64).map { b =>
-          sum(call_function("shiftright", col(s"d${b / 4}"), lit(b % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
-        }
-        digits.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      } else {
+    val votes = {
         val toks = toksRaw.select(col("id"), xxhash64(col("col")).as("h"))
         val voteCols = (0 until 64).map { b =>
           sum(call_function("shiftright", col("h"), lit(b)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")

@@ -66,6 +66,40 @@ class PipelineSpec extends SparkSpec {
       "edge-case signatures diverge (multibyte / short / empty)")
   }
 
+  test("one-pass SimhashSignature expression matches the md5 vote aggregate") {
+    import spark.implicits._
+    def hexVal(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(c, 16, 10).cast("long")
+    def oldSigs(df: DataFrame): DataFrame = {
+      val toks = df.select(col("doc_id").as("id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")))
+        .where(length(col("col")) > 0)
+        .select(col("id"), md5(col("col")).as("m"))
+      val digits = toks.select(
+        col("id") +: (0 until 16).map(i => hexVal(substring(col("m"), i + 1, 1)).as(s"d$i")): _*)
+      val voteCols = (0 until 64).map { b =>
+        sum(call_function("shiftright", col(s"d${b / 4}"), lit(b % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b")
+      }
+      val votes = digits.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      val sig = (0 until 64).map(b =>
+        when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce((a, c) => a.bitwiseOR(c))
+      votes.select(col("id"), sig.as("sig"))
+    }
+    def newSigs(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("id"),
+          graft.functions.simhashSig(lower(trim(col("text")))).as("sig"))
+        .where(col("sig").isNotNull)
+    val a = oldSigs(docs); val b = newSigs(docs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "one-pass simhash diverges from the vote aggregate")
+    val edge = Seq((1L, "  héllo   wörld\tmixed\n€uro  "), (2L, "   "), (3L, ""),
+      (4L, "one")).toDF("doc_id", "text")
+    val ea = oldSigs(edge); val eb = newSigs(edge)
+    assert(ea.exceptAll(eb).isEmpty && eb.exceptAll(ea).isEmpty,
+      "simhash edge cases diverge (multibyte / blank / single-token)")
+  }
+
   test("minhash LSH finds every exact duplicate pair (jaccard = 1)") {
     // construct known near-dups: duplicate first 5 docs with new ids
     val base = docs.limit(5).select(col("doc_id"), col("text"))
