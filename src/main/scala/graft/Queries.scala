@@ -214,6 +214,22 @@ object Queries {
           .orderBy(col("key")),
       Some(cmsEstimateOracleSql(depth = 4, width = 256)))),
 
+    // Bloom filter build + membership probe: the mergeable set sketch a
+    // 100 TB pipeline broadcasts as a join prefilter. Bits pack 32 per
+    // BIGINT word (no sign-bit shifts in any engine), k=5 md5-derived
+    // hashes; probing the first 200 customers against the order-placing
+    // set yields definite-absent zeros plus the sketch's false-positive
+    // ones — replayed bit for bit in DuckDB.
+    "q_bloom_probe" -> ((
+      (s: SparkSession, d: String) =>
+        Sketches.bloomMightContain(
+            Sketches.bloomFilter(t(s, d, "orders"), "o_custkey"),
+            t(s, d, "customer").where(col("c_custkey") < 200)
+              .select(col("c_custkey").as("key")),
+            "key")
+          .orderBy(col("key")),
+      Some(bloomProbeOracleSql(bits = 4096, k = 5)))),
+
     // Ordered funnel: users completing view < click < purchase at
     // strictly increasing timestamps, earliest-completion semantics.
     // ts stays the raw int64 nanos on both sides — exact comparisons.
@@ -3587,6 +3603,27 @@ object Queries {
 
   /** q_cms_estimate oracle: the sketch CTE + min-over-rows lookup for
     * the probe keys. */
+  /** q_bloom_probe oracle: identical md5-digit bit positions, 32-bit
+    * words BIT_OR'd with `<<` kept under the sign bit, probe = all k
+    * bits set. */
+  private def bloomProbeOracleSql(bits: Int, k: Int): String = {
+    def posSql(key: String): String = {
+      val m = s"md5(CAST(r AS VARCHAR) || ':' || CAST($key AS VARCHAR))"
+      s"((${hvSql(s"substr($m, 1, 1)")} * 4096 + ${hvSql(s"substr($m, 2, 1)")} * 256 + " +
+        s"${hvSql(s"substr($m, 3, 1)")} * 16 + ${hvSql(s"substr($m, 4, 1)")}) % $bits)"
+    }
+    s"""WITH bld AS (SELECT ${posSql("o_custkey")} AS pos
+       |  FROM orders, UNNEST(range(0, $k)) t(r) WHERE o_custkey IS NOT NULL),
+       |sk AS (SELECT CAST(pos // 32 AS INTEGER) AS word,
+       |  BIT_OR(CAST(1 AS BIGINT) << (pos % 32)) AS bits FROM bld GROUP BY 1),
+       |pr AS (SELECT c_custkey AS key, ${posSql("c_custkey")} AS pos
+       |  FROM customer, UNNEST(range(0, $k)) t(r) WHERE c_custkey < 200)
+       |SELECT key, CAST(MIN(CASE WHEN COALESCE(sk.bits, 0) & (CAST(1 AS BIGINT) << (pos % 32))
+       |    = (CAST(1 AS BIGINT) << (pos % 32)) THEN 1 ELSE 0 END) AS INTEGER) AS might_contain
+       |FROM pr LEFT JOIN sk ON CAST(pr.pos // 32 AS INTEGER) = sk.word
+       |GROUP BY key ORDER BY key""".stripMargin
+  }
+
   private def cmsEstimateOracleSql(depth: Int, width: Int): String =
     s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS kk
        |  FROM lineitem WHERE l_partkey IS NOT NULL),

@@ -90,6 +90,52 @@ object Sketches {
   }
 
   /**
+   * Bloom filter as a (word, bits) table: `bits` filter bits packed 32
+   * per BIGINT word — 32, not 64, so no engine's `<<` ever crosses the
+   * sign bit and the word values replay as plain positive integers —
+   * with `k` md5-derived hash functions: hash i of a key sets bit
+   * (4 hex digits of md5("i:key")) mod bits. Build = one constant-k
+   * explode + ONE bounded aggregate (≤ bits/32 groups); shards merge by
+   * the same grouped BIT_OR. The classic join-prefilter at 100 TB: ship
+   * the (bits/32)-row table broadcast, drop probe rows whose k bits
+   * aren't all set before the real join.
+   */
+  def bloomFilter(df: DataFrame, keyCol: String,
+                  bits: Int = 4096, k: Int = 5): DataFrame = {
+    require(bits >= 32 && bits <= 65536 && Integer.bitCount(bits) == 1,
+      s"bits must be a power of two in [32, 65536]: $bits")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16]: $k")
+    val cells = df.where(col(keyCol).isNotNull).select(
+        col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+    val m = md5(concat_ws(":", col("i"), col("__k")))
+    val pos = pmod(hex2(m, 1) * 256 + hex2(m, 3), lit(bits))
+    cells.select(floor(pos / 32).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), pos % 32).as("mask"))
+      .groupBy("word").agg(call_function("bit_or", col("mask")).as("bits"))
+  }
+
+  /**
+   * Membership probe: key MIGHT be in the set iff every one of its k
+   * bits is set (1) — 0 only for keys definitely absent. Same hash
+   * derivation as [[bloomFilter]]; absent words read as empty (0).
+   * Returns (key, might_contain INT 0/1).
+   */
+  def bloomMightContain(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                        bits: Int = 4096, k: Int = 5): DataFrame = {
+    val cells = probes.select(col(keyCol).as("key"))
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+    val m = md5(concat_ws(":", col("i"), col("key").cast("string")))
+    val pos = pmod(hex2(m, 1) * 256 + hex2(m, 3), lit(bits))
+    cells.select(col("key"), floor(pos / 32).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), pos % 32).as("mask"))
+      .join(sketch, Seq("word"), "left")
+      .groupBy("key")
+      .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"), 1)
+        .otherwise(0)).as("might_contain"))
+  }
+
+  /**
    * Point-query read path: estimated occurrence count of each probe key
    * = MIN over rows of the counter at that row's hash column (the
    * classic CMS upper-bound estimate, exact integer arithmetic).
