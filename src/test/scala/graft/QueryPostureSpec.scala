@@ -45,6 +45,31 @@ class QueryPostureSpec extends SparkSpec {
       s"documents scan reads unused columns:\n$reads")
   }
 
+  test("id-pinned Cypher traversal: broadcast frontier, edges never sort-merge") {
+    // WHERE id(c) = <literal> pins the anchor to ≤1 row; the planner
+    // must broadcast the accumulated frontier at every expansion step —
+    // a sort-merge join here means the edge table shuffles per hop,
+    // which is exactly what kills a pinpoint query at 100 TB
+    val p = plan("cy_shortest_fn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pinpoint traversal lost its broadcast frontier:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pinpoint traversal sort-merges (edge shuffle per hop):\n$p")
+  }
+
+  test("minhash signatures: one-pass expression, no explode/aggregate on the sig path") {
+    // the signature table must come from the native one-pass expression —
+    // a Generate (shingle explode) or a 64-min HashAggregate back in the
+    // plan means the dominant-volume path regressed to row generation
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.pipeline.Dedup
+      .minhashPairs(docs, "text", "doc_id", threshold = 0.8, eager = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("minhash_signature"),
+      s"signature path no longer uses the one-pass expression:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("asof join: one key shuffle, no range cross join") {
     val p = plan("q_events_asof")
     // the union + running-last pattern must not degrade into a
