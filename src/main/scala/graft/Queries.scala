@@ -230,6 +230,33 @@ object Queries {
           .orderBy(col("key")),
       Some(bloomProbeOracleSql(bits = 4096, k = 5)))),
 
+    // Z-order (Morton) layout codes: interleave two key dimensions into
+    // one sort key so min/max file statistics prune 2-D range predicates
+    // — the Delta/Iceberg Z-ORDER clustering primitive. The per-code
+    // profile (row count + per-dimension min/max) makes the locality
+    // visible; pure integer bit math, replayed term for term in DuckDB.
+    "q_zorder_layout" -> ((
+      (s: SparkSession, d: String) => {
+        val keyed = t(s, d, "lineitem").select(
+          pmod(col("l_orderkey"), lit(1024)).as("x"),
+          pmod(col("l_partkey"), lit(1024)).as("y"))
+        keyed.select(col("x"), col("y"),
+            graft.operators.Layout.mortonCode(col("x"), col("y"), bits = 10).as("z"))
+          .groupBy(col("z"))
+          .agg(count(lit(1)).as("rows"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+          .orderBy(col("z")).limit(500)
+      },
+      Some("""WITH keyed AS (
+             |  SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem),
+             |coded AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 10),
+             |    i -> ((((x >> i) & 1) << (2*i)) | (((y >> i) & 1) << (2*i+1))))) AS BIGINT) AS z
+             |  FROM keyed)
+             |SELECT z, COUNT(*) AS rows,
+             |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+             |FROM coded GROUP BY z ORDER BY z LIMIT 500""".stripMargin))),
+
     // Ordered funnel: users completing view < click < purchase at
     // strictly increasing timestamps, earliest-completion semantics.
     // ts stays the raw int64 nanos on both sides — exact comparisons.
