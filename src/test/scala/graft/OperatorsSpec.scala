@@ -158,4 +158,46 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(1) === 5.0)
     assert(r.getDouble(2) === 25.0)
   }
+
+  test("mortonCode: exact interleave, ordering clusters both dimensions") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (1023L, 1023L))
+      .toDF("x", "y")
+    val got = df.select(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"),
+        Layout.mortonCode(org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y"), bits = 10).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def ref(x: Long, y: Long): Long =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    got.foreach { case ((x, y), z) => assert(z === ref(x, y), s"($x,$y)") }
+    // (1023,1023) uses every interleaved bit: 2^20 - 1
+    assert(got((1023L, 1023L)) === (1L << 20) - 1)
+  }
+
+  test("bloomFilter: no false negatives, absent keys mostly reject, shards merge by BIT_OR") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val members = (1L to 300L).map(i => i * 7).toDF("k")
+    val sketch = Sketches.bloomFilter(members, "k")
+    val probes = ((1L to 300L).map(i => i * 7) ++ (1L to 300L).map(i => i * 7 + 1)).toDF("k")
+    val res = Sketches.bloomMightContain(sketch, probes.select($"k".as("key")), "key")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // every member MUST probe positive (bloom contract: no false negatives)
+    (1L to 300L).map(_ * 7).foreach(k => assert(res(k) === 1, s"false negative for $k"))
+    // absent keys mostly reject (4096 bits / 300 keys / k=5 -> fp rate ~1%)
+    val fp = (1L to 300L).map(_ * 7 + 1).count(k => res(k) === 1)
+    assert(fp < 30, s"false-positive rate implausibly high: $fp/300")
+    // shard merge: union of per-shard sketches re-aggregated by BIT_OR
+    // equals the single-pass sketch
+    val sh1 = Sketches.bloomFilter(members.where($"k" <= 1000), "k")
+    val sh2 = Sketches.bloomFilter(members.where($"k" > 1000), "k")
+    val merged = sh1.unionByName(sh2).groupBy("word")
+      .agg(org.apache.spark.sql.functions.call_function("bit_or",
+        org.apache.spark.sql.functions.col("bits")).as("bits"))
+    assert(merged.exceptAll(sketch).isEmpty && sketch.exceptAll(merged).isEmpty,
+      "shard-merged sketch differs from single-pass sketch")
+  }
+
 }
