@@ -2060,4 +2060,331 @@ object GraphAlgorithms {
         col("ego") === col("__e2") && col("dst") === col("__d2"))
       .select(col("ego"), col("src"), col("dst"))
   }
+
+  // ════════════════════════════════════════════════════════════════════
+  // Structural graph metrics (parity-plus next to the reference's
+  // idd/odd degree statistics, `JasmineGraphInstanceService.cpp:1249-1388`
+  // — the summary numbers a graph-analytics user reads first).
+  // ════════════════════════════════════════════════════════════════════
+
+  /**
+   * Hop-bounded per-vertex eccentricity: ecc(s) = max distance from `s`
+   * to any vertex reachable within `maxHops` (0 when nothing is
+   * reached). Diameter = max over the result, radius = min over vertices
+   * that reach the whole graph — both one aggregate away.
+   *
+   * Same BFS state shape as [[closenessCentrality]] (per-(source,vertex)
+   * distance, one hop per round); a true unbounded eccentricity needs
+   * `maxHops` ≥ the graph diameter. At 100 TB pass `sources` (landmarks)
+   * — all-sources state is |V| · reach, exactly like closeness.
+   *
+   * Adaptive: ≤ `localThreshold` oriented edges runs the BFS sweep
+   * driver-side (each distributed hop costs several fixed-latency Spark
+   * jobs); identical semantics, parity spec-pinned via
+   * `localThreshold = 0`.
+   */
+  def eccentricity(edges: DataFrame, maxHops: Int = 10,
+                   undirected: Boolean = true,
+                   sources: Option[DataFrame] = None,
+                   localThreshold: Long = 10000000L): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+             else e0)
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localThreshold) {
+      val out = localEccentricity(e, maxHops, sources)
+      e.unpersist()
+      return out
+    }
+    val verts = e.select(col("u").as("id")).distinct()
+    val srcs = sources.map(_.select(col("id"))).getOrElse(verts)
+      .localCheckpoint(true)
+    var dist = srcs.select(col("id").as("s"), col("id"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.select(col("s"), col("id").as("u")).join(e, Seq("u"))
+        .select(col("s"), col("v").as("id")).distinct()
+        .join(dist, Seq("s", "id"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    e.unpersist()
+    val agg = dist.where(col("dist") > 0).groupBy(col("s"))
+      .agg(count(lit(1)).as("__reached"), max(col("dist")).as("__ecc"))
+    srcs.join(agg, col("id") === col("s"), "left")
+      .select(col("id"),
+        coalesce(col("__reached"), lit(0L)).as("reached"),
+        coalesce(col("__ecc").cast("long"), lit(0L)).as("eccentricity"))
+  }
+
+  /** Driver-side BFS sweep for [[eccentricity]]'s small regime — the
+    * [[localCloseness]] walk with a max fold instead of the sum/harmonic
+    * folds. */
+  private def localEccentricity(e: DataFrame, maxHops: Int,
+                                sources: Option[DataFrame]): DataFrame = {
+    val spark = e.sparkSession
+    val dt = e.schema("u").dataType
+    val in = collectInterned(e.collect(), canonical = false)
+    val n = in.ids.length
+    val adjBuf = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    in.pairs.foreach { case (a, b) => adjBuf(a) += b }
+    val adj = adjBuf.map(_.toArray)
+    val srcList: Seq[Any] = sources match {
+      case Some(df) => df.select(col("id")).collect().map(_.get(0)).toSeq
+      case None => in.ids.toSeq
+    }
+    val seen = Array.fill(n)(-1)
+    var stamp = 0
+    val queue = new Array[Int](n)
+    val distArr = new Array[Int](n)
+    val out = srcList.map { src =>
+      var reached = 0L
+      var ecc = 0L
+      in.idx.get(src).foreach { s0 =>
+        stamp += 1
+        var head = 0; var tail = 0
+        queue(tail) = s0; tail += 1; seen(s0) = stamp
+        distArr(s0) = 0
+        while (head < tail) {
+          val u = queue(head); head += 1
+          val du = distArr(u)
+          if (du < maxHops) {
+            val nb = adj(u)
+            var i = 0
+            while (i < nb.length) {
+              val v = nb(i)
+              if (seen(v) != stamp) {
+                seen(v) = stamp
+                distArr(v) = du + 1
+                reached += 1L
+                if (du + 1L > ecc) ecc = du + 1L
+                queue(tail) = v; tail += 1
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      org.apache.spark.sql.Row(src, reached, ecc)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("reached", LongType),
+      StructField("eccentricity", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+
+  /**
+   * Edge reciprocity of a DIRECTED graph: the fraction of distinct
+   * non-loop edges (u,v) whose reverse (v,u) is also present — the
+   * standard directed-graph summary statistic (Newman, *Networks* §7.10).
+   *
+   * One hash self-join on (src,dst) + one aggregate; the edge set is
+   * localCheckpointed once because it feeds both probe sides. Counts are
+   * exact integers; the ratio is one correctly-rounded double division,
+   * so the row replays bit-identically in any engine.
+   */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("__rev"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("total"), count(col("__rev")).as("reciprocated"),
+        coalesce(round(count(col("__rev")).cast("double") /
+          count(lit(1)).cast("double"), 6), lit(0.0)).as("reciprocity"))
+  }
+
+  /**
+   * Degree assortativity (Newman 2002): the Pearson correlation of the
+   * degrees at the two ends of an undirected edge, computed over both
+   * orientations of every canonical edge (so the x/y marginals are
+   * symmetric and Σx = Σy, Σx² = Σy²).
+   *
+   * The sufficient statistics (ends = 2m, Σx, Σx², Σxy) are exact BIGINT
+   * sums — one shuffle for degrees, two vertex-keyed joins, one final
+   * aggregate; r is then a fixed-order double expression over them, so
+   * the single result row replays bit-identically cross-engine. The
+   * double products are exact below 2^53; beyond that (≫10^15-scale
+   * statistics) swap the final expression to DECIMAL(38,0) arithmetic.
+   * Degenerate regular graphs (zero degree variance) report r = 0.
+   */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    val nb = cn.unionByName(cn.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = nb.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val pair = nb
+      .join(deg.select(col("id").as("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("y")), Seq("dst"))
+    val stats = pair.agg(
+      count(lit(1)).as("ends"),
+      sum(col("x")).as("sum_x"),
+      sum(col("x") * col("x")).as("sum_xx"),
+      sum(col("x") * col("y")).as("sum_xy"))
+    val num = col("ends").cast("double") * col("sum_xy").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double")
+    val den = col("ends").cast("double") * col("sum_xx").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double")
+    stats.select(col("ends"), col("sum_x"), col("sum_xx"), col("sum_xy"),
+      round(when(den =!= 0.0, num / den).otherwise(0.0), 6)
+        .as("assortativity"))
+  }
+
+  /**
+   * Newman–Girvan modularity of a community partition over the
+   * undirected simple graph: Q = intra/m − Σ_c d_c² / (4m²), where
+   * intra = edges with both endpoints in the same community, m = total
+   * canonical edges, d_c = degree volume of community c.
+   *
+   * Both Σ terms are exact BIGINT sums (never a data-ordered float
+   * accumulation), so Q is two divisions and a subtraction in fixed
+   * order — bit-identical cross-engine. `communities` must cover every
+   * vertex incident to an edge (e.g. [[graft.pipeline.Dedup.nearDupClusters]]
+   * output, label propagation labels); vertices without a community row
+   * drop out of BOTH the intra count and the degree volume (inner
+   * joins), keeping the two terms consistent.
+   *
+   * Shape: one shuffle for degrees, vertex-keyed joins against the
+   * (small) community map, two single-row aggregates — scales with the
+   * edge count, never quadratic.
+   */
+  def modularity(edges: DataFrame, communities: DataFrame,
+                 idCol: String = "id", commCol: String = "community"): DataFrame = {
+    val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    val cm = communities.select(col(idCol).as("__id"), col(commCol).as("__c"))
+      .distinct().localCheckpoint(true)
+    val intra = cn
+      .join(cm.select(col("__id").as("src"), col("__c").as("__cs")), Seq("src"))
+      .join(cm.select(col("__id").as("dst"), col("__c").as("__cd")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        count(when(col("__cs") === col("__cd"), 1)).as("intra"))
+    val degsq = cn.select(col("src").as("__id"))
+      .unionAll(cn.select(col("dst").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("d"))
+      .join(cm, Seq("__id"))
+      .groupBy("__c").agg(sum(col("d")).as("dc"))
+      .agg(coalesce(sum(col("dc") * col("dc")), lit(0L)).as("degsq"))
+    // 1-row × 1-row guard join (the Cypher.scala:290 convention)
+    intra.crossJoin(degsq)
+      .select(col("m"), col("intra"), col("degsq"),
+        round(when(col("m") > 0,
+          col("intra").cast("double") / col("m").cast("double") -
+            col("degsq").cast("double") /
+              (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+          .otherwise(0.0), 6).as("modularity"))
+  }
+
+  /**
+   * Topological levels of a DAG: level(v) = length of the longest path
+   * from any zero-in-degree vertex to v (sources are level 0) — Kahn
+   * layering, the scheduling depth a dependency-graph user asks for.
+   *
+   * Distributed form: bounded longest-path relaxation — each round joins
+   * the improved frontier against the edge list and folds max(level)
+   * per vertex; on a DAG it converges in longest-path rounds. Input with
+   * a cycle either keeps relaxing (reachable cycle → detected at
+   * `maxRounds`) or strands the cycle's vertices with no level
+   * (unreachable cycle → detected by a final vertex-count check); both
+   * throw IllegalArgumentException rather than returning wrong levels.
+   *
+   * Adaptive: ≤ `localThreshold` edges runs Kahn's algorithm driver-side
+   * (same cycle contract); parity spec-pinned via `localThreshold = 0`.
+   */
+  def topologicalLevels(edges: DataFrame, maxRounds: Int = 100,
+                        localThreshold: Long = 10000000L): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = edges.sparkSession
+    val raw = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    collectInternedGated(raw, canonical = false, localThreshold).foreach { in =>
+      return localTopoLevels(spark, in, raw.schema("src").dataType)
+    }
+    val e = raw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val nVerts = verts.count()
+    var best = verts.join(e.select(col("dst").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .withColumn("level", lit(0L))
+      .localCheckpoint(true)
+    var frontier = best
+    var r = 0
+    while (r < maxRounds && !frontier.isEmpty) {
+      r += 1
+      val cand = frontier.select(col("id").as("src"), col("level"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(max(col("level") + 1L).as("__lv"))
+      val improved = cand.join(best, Seq("id"), "left")
+        .where(col("level").isNull || col("__lv") > col("level"))
+        .select(col("id"), col("__lv").as("level"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) {
+        frontier = improved
+      } else {
+        best = best.unionByName(improved)
+          .groupBy("id").agg(max(col("level")).as("level"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    e.unpersist()
+    if (r == maxRounds && !frontier.isEmpty)
+      throw new IllegalArgumentException(
+        s"topologicalLevels: still relaxing after $maxRounds rounds — " +
+          "the input has a reachable cycle (or raise maxRounds)")
+    if (best.count() < nVerts)
+      throw new IllegalArgumentException(
+        "topologicalLevels: some vertices are unreachable from any " +
+          "zero-in-degree vertex — the input has a cycle")
+    best
+  }
+
+  /** Driver-side Kahn layering for [[topologicalLevels]]'s small regime. */
+  private def localTopoLevels(spark: SparkSession, in: InternedEdges,
+                              dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val n = in.ids.length
+    val adjBuf = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val indeg = new Array[Int](n)
+    in.pairs.foreach { case (a, b) => adjBuf(a) += b; indeg(b) += 1 }
+    val adj = adjBuf.map(_.toArray)
+    val level = new Array[Long](n)
+    val queue = new Array[Int](n)
+    var head = 0; var tail = 0
+    var i = 0
+    while (i < n) { if (indeg(i) == 0) { queue(tail) = i; tail += 1 }; i += 1 }
+    var done = 0
+    while (head < tail) {
+      val u = queue(head); head += 1; done += 1
+      val nb = adj(u)
+      var j = 0
+      while (j < nb.length) {
+        val v = nb(j)
+        if (level(u) + 1L > level(v)) level(v) = level(u) + 1L
+        indeg(v) -= 1
+        if (indeg(v) == 0) { queue(tail) = v; tail += 1 }
+        j += 1
+      }
+    }
+    if (done < n)
+      throw new IllegalArgumentException(
+        "topologicalLevels: the input has a cycle")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("level", LongType)))
+    val rows = (0 until n).map(k => org.apache.spark.sql.Row(in.ids(k), level(k)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

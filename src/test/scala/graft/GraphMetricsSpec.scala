@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.GraphAlgorithms
+
+/**
+ * Structural graph metrics: eccentricity, reciprocity, degree
+ * assortativity, modularity, topological levels — hand-checked fixtures
+ * plus local/distributed parity (`localThreshold = 0` forces the
+ * distributed loop, the closeness/SCC adaptive contract).
+ */
+class GraphMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pathGraph: DataFrame =
+    Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+
+  test("eccentricity: path graph hand-checked, hop cap, local/distributed parity") {
+    val ecc = GraphAlgorithms.eccentricity(pathGraph, maxHops = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ecc("a") === ((4L, 4L))) // reaches b,c,d,e; farthest e at 4
+    assert(ecc("b") === ((4L, 3L)))
+    assert(ecc("c") === ((4L, 2L))) // the center: radius vertex
+    assert(ecc("e") === ((4L, 4L)))
+    // diameter = max ecc = 4, radius = min ecc = 2
+
+    // hop cap truncates both reach and eccentricity
+    val capped = GraphAlgorithms.eccentricity(pathGraph, maxHops = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped("a") === ((1L, 1L)))
+    assert(capped("c") === ((2L, 1L)))
+
+    // sources subset restricts rows, not semantics
+    val srcOnly = GraphAlgorithms.eccentricity(pathGraph, maxHops = 10,
+      sources = Some(Seq("c").toDF("id")))
+    assert(srcOnly.collect().map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("c", 2L)))
+
+    // parity: distributed loop computes the identical frame
+    val dist = GraphAlgorithms.eccentricity(pathGraph, maxHops = 10,
+      localThreshold = 0L)
+    assert(dist.orderBy("id").collect().toSeq ===
+      GraphAlgorithms.eccentricity(pathGraph, maxHops = 10).orderBy("id").collect().toSeq)
+  }
+
+  test("reciprocity: mutual pairs over distinct non-loop edges") {
+    val e = Seq(("1", "2"), ("2", "1"), ("1", "3"),
+      ("1", "3"), // duplicate — collapses
+      ("4", "4")  // self-loop — dropped
+    ).toDF("src", "dst")
+    val r = GraphAlgorithms.reciprocity(e).collect()(0)
+    assert(r.getLong(0) === 3L)        // total distinct non-loop edges
+    assert(r.getLong(1) === 2L)        // (1,2) and (2,1)
+    assert(r.getDouble(2) === 0.666667)
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative, regular graph reports 0") {
+    val star = Seq(("c", "a"), ("c", "b"), ("c", "d")).toDF("src", "dst")
+    val s = GraphAlgorithms.degreeAssortativity(star).collect()(0)
+    assert(s.getLong(0) === 6L)   // ends = 2m
+    assert(s.getLong(1) === 12L)  // Σx
+    assert(s.getLong(2) === 30L)  // Σx²
+    assert(s.getLong(3) === 18L)  // Σxy
+    assert(s.getDouble(4) === -1.0)
+
+    // 4-cycle: every degree 2 → zero variance → r reported as 0
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    assert(GraphAlgorithms.degreeAssortativity(cyc).collect()(0).getDouble(4) === 0.0)
+  }
+
+  test("modularity: two triangles + bridge, hand-checked Q") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")).toDF("src", "dst")
+    val comm = Seq(("a", 1), ("b", 1), ("c", 1),
+      ("d", 2), ("e", 2), ("f", 2)).toDF("id", "community")
+    val q = GraphAlgorithms.modularity(e, comm).collect()(0)
+    assert(q.getLong(0) === 7L)   // m
+    assert(q.getLong(1) === 6L)   // intra (the bridge crosses)
+    assert(q.getLong(2) === 98L)  // 7² + 7²
+    // Q = 6/7 − 98/(4·49) = 0.857142857… − 0.5
+    assert(q.getDouble(3) === 0.357143)
+
+    // everything in one community: Q = 1 − 1/1? no — intra/m = 1,
+    // degsq = (2m)² so Q = 1 − 1 = 0 exactly
+    val one = comm.withColumn("community", lit(9))
+    assert(GraphAlgorithms.modularity(e, one).collect()(0).getDouble(3) === 0.0)
+  }
+
+  test("topologicalLevels: diamond layering, cycle detection, parity") {
+    val dag = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("e", "d"))
+      .toDF("src", "dst")
+    val lv = GraphAlgorithms.topologicalLevels(dag)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lv === Map("a" -> 0L, "e" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+
+    // longest path wins: a→d direct edge does not demote d below level 2
+    val lp = GraphAlgorithms.topologicalLevels(
+      dag.unionByName(Seq(("a", "d")).toDF("src", "dst")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lp("d") === 2L)
+
+    // distributed parity
+    val dist = GraphAlgorithms.topologicalLevels(dag, localThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist === lv)
+
+    // reachable cycle throws in both regimes
+    val cyc = Seq(("s", "p"), ("p", "q"), ("q", "p")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.topologicalLevels(cyc)
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.topologicalLevels(cyc, maxRounds = 5, localThreshold = 0L)
+    }
+    // unreachable cycle (no path from any source into it) also throws
+    val stranded = Seq(("s", "x"), ("p", "q"), ("q", "p")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.topologicalLevels(stranded)
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.topologicalLevels(stranded, maxRounds = 20, localThreshold = 0L)
+    }
+  }
+}
