@@ -1494,6 +1494,154 @@ object Queries {
       },
       Some(closenessOracleSql(maxHops = 6)))),
 
+    // Hop-bounded eccentricity from the same landmark set as
+    // alg_closeness (per-source max BFS distance; diameter/radius are
+    // one aggregate away). Exact integer outputs — no float contract
+    // needed.
+    "alg_eccentricity" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(900)).cast(StringType).as("dst"))
+        val nz = eb.where(col("src") =!= col("dst"))
+        val landmarks = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id").cast(LongType), lit(9)) === 0)
+        GraphAlgorithms.eccentricity(eb, maxHops = 6,
+            sources = Some(landmarks))
+          .orderBy(col("id").cast(LongType))
+      },
+      Some(eccentricityOracleSql(maxHops = 6)))),
+
+    // Edge reciprocity of the DIRECTED capped graph — the fraction of
+    // distinct edges whose reverse edge exists. One self-join + one
+    // aggregate; exact counts, one rounded division.
+    "alg_reciprocity" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.reciprocity(
+          t(s, d, "lineitem")
+            .where(col("l_orderkey") < 15000 &&
+              pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
+            .select(pmod(col("l_orderkey"), lit(600)).cast(StringType).as("src"),
+              pmod(col("l_partkey"), lit(600)).cast(StringType).as("dst"))),
+      Some("""WITH eb AS MATERIALIZED (
+             |  SELECT DISTINCT CAST(l_orderkey % 600 AS VARCHAR) AS src,
+             |    CAST(l_partkey % 600 AS VARCHAR) AS dst
+             |  FROM lineitem
+             |  WHERE l_orderkey < 15000 AND (l_orderkey + l_partkey) % 7 = 0),
+             |e AS MATERIALIZED (SELECT src, dst FROM eb WHERE src <> dst)
+             |SELECT COUNT(*) AS total, COUNT(r.src) AS reciprocated,
+             |  COALESCE(ROUND(CAST(COUNT(r.src) AS DOUBLE) /
+             |    CAST(COUNT(*) AS DOUBLE), 6), 0.0) AS reciprocity
+             |FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src""".stripMargin))),
+
+    // Degree assortativity (Newman 2002) of the capped undirected graph:
+    // exact BIGINT sufficient statistics over both orientations of each
+    // canonical edge, r as a fixed-order double expression over them.
+    "alg_assortativity" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.degreeAssortativity(
+          t(s, d, "lineitem")
+            .where(col("l_orderkey") < 15000 &&
+              pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
+            .select(pmod(col("l_orderkey"), lit(600)).cast(StringType).as("src"),
+              pmod(col("l_partkey"), lit(600)).cast(StringType).as("dst"))),
+      Some("""WITH eb AS MATERIALIZED (
+             |  SELECT DISTINCT CAST(l_orderkey % 600 AS VARCHAR) AS src,
+             |    CAST(l_partkey % 600 AS VARCHAR) AS dst
+             |  FROM lineitem
+             |  WHERE l_orderkey < 15000 AND (l_orderkey + l_partkey) % 7 = 0),
+             |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+             |  FROM eb WHERE src <> dst),
+             |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+             |dg AS (SELECT u, COUNT(*) AS deg FROM nb GROUP BY u),
+             |st AS (SELECT COUNT(*) AS ends,
+             |    CAST(SUM(a.deg) AS BIGINT) AS sum_x,
+             |    CAST(SUM(a.deg * a.deg) AS BIGINT) AS sum_xx,
+             |    CAST(SUM(a.deg * b.deg) AS BIGINT) AS sum_xy
+             |  FROM nb JOIN dg a ON a.u = nb.u JOIN dg b ON b.u = nb.v)
+             |SELECT ends, sum_x, sum_xx, sum_xy,
+             |  ROUND(CASE WHEN CAST(ends AS DOUBLE) * CAST(sum_xx AS DOUBLE) -
+             |      CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <> 0.0
+             |    THEN (CAST(ends AS DOUBLE) * CAST(sum_xy AS DOUBLE) -
+             |      CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) /
+             |      (CAST(ends AS DOUBLE) * CAST(sum_xx AS DOUBLE) -
+             |      CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+             |    ELSE 0.0 END, 6) AS assortativity
+             |FROM st""".stripMargin))),
+
+    // Newman–Girvan modularity of the connected-components partition on
+    // the thinned mod-900 graph (58 components at sf0.01 → Q ≈ 0.30, a
+    // non-trivial partition) — composes Dedup.nearDupClusters (the
+    // distributed components machinery) with the modularity metric; the
+    // oracle recomputes components as min-reachable-id and replays the
+    // two exact integer terms.
+    "alg_modularity" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(900)).cast(StringType).as("dst"))
+        val comm = graft.pipeline.Dedup.nearDupClusters(
+            eb.where(col("src") =!= col("dst"))
+              .select(col("src").as("idA"), col("dst").as("idB")))
+          .select(col("id"), col("canonical").as("community"))
+        GraphAlgorithms.modularity(eb, comm)
+      },
+      Some("""WITH RECURSIVE eb AS (
+             |  SELECT DISTINCT CAST(l_orderkey % 900 AS VARCHAR) AS src,
+             |    CAST(l_partkey % 900 AS VARCHAR) AS dst
+             |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+             |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+             |  FROM eb WHERE src <> dst),
+             |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+             |verts AS (SELECT DISTINCT u FROM nb),
+             |reach(s, v) AS (SELECT u, u FROM verts
+             |  UNION SELECT r.s, nb.v FROM reach r JOIN nb ON nb.u = r.v),
+             |comp AS MATERIALIZED (SELECT s AS id, MIN(v) AS c FROM reach GROUP BY s),
+             |mi AS (SELECT COUNT(*) AS m,
+             |    COUNT(CASE WHEN c1.c = c2.c THEN 1 END) AS intra
+             |  FROM cn JOIN comp c1 ON c1.id = cn.s JOIN comp c2 ON c2.id = cn.d),
+             |dg AS (SELECT u AS id, COUNT(*) AS deg FROM nb GROUP BY u),
+             |dc AS (SELECT c, SUM(deg) AS vol FROM dg JOIN comp ON dg.id = comp.id GROUP BY c),
+             |b AS (SELECT CAST(COALESCE(SUM(vol * vol), 0) AS BIGINT) AS degsq FROM dc)
+             |SELECT mi.m, mi.intra, b.degsq,
+             |  ROUND(CASE WHEN mi.m > 0
+             |    THEN CAST(mi.intra AS DOUBLE) / CAST(mi.m AS DOUBLE) -
+             |      CAST(b.degsq AS DOUBLE) /
+             |        (4.0 * CAST(mi.m AS DOUBLE) * CAST(mi.m AS DOUBLE))
+             |    ELSE 0.0 END, 6) AS modularity
+             |FROM mi, b""".stripMargin))),
+
+    // Kahn layering of the capped graph oriented small-id → large-id (a
+    // DAG by construction): level = longest path from any zero-in-degree
+    // vertex — the scheduling-depth query. The oracle replays it as a
+    // bounded longest-path walk taking MAX(d).
+    "alg_topo_levels" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(col("l_orderkey") < 15000 &&
+            pmod(col("l_orderkey") + col("l_partkey"), lit(7)) === 0)
+          .select(
+            least(pmod(col("l_orderkey"), lit(600)), pmod(col("l_partkey"), lit(600))).as("src"),
+            greatest(pmod(col("l_orderkey"), lit(600)), pmod(col("l_partkey"), lit(600))).as("dst"))
+        GraphAlgorithms.topologicalLevels(eb, maxRounds = 650)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT LEAST(l_orderkey % 600, l_partkey % 600) AS u,
+             |    GREATEST(l_orderkey % 600, l_partkey % 600) AS v
+             |  FROM lineitem
+             |  WHERE l_orderkey < 15000 AND (l_orderkey + l_partkey) % 7 = 0
+             |    AND l_orderkey % 600 <> l_partkey % 600),
+             |src AS (SELECT DISTINCT u FROM e WHERE u NOT IN (SELECT v FROM e)),
+             |walk(v, d) AS (SELECT u, 0 FROM src
+             |  UNION SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.v
+             |  WHERE w.d < 650)
+             |SELECT v AS id, CAST(MAX(d) AS BIGINT) AS level FROM walk
+             |GROUP BY v ORDER BY id""".stripMargin))),
+
     // Weighted shortest paths (hop-bounded Bellman–Ford, parity-plus) on
     // the sparse canonical hash-graph (small components keep the oracle's
     // path enumeration finite): weight = (src+dst) % 7 + 1 replayed in
@@ -3211,6 +3359,32 @@ object Queries {
        |FROM verts v LEFT JOIN ag ON v.id = ag.s
        |ORDER BY CAST(v.id AS BIGINT)""".stripMargin
   }
+
+  /** alg_eccentricity oracle: the closeness BFS walk with a MAX(dist)
+    * fold — per-landmark reach + eccentricity, exact integers only. */
+  private def eccentricityOracleSql(maxHops: Int): String =
+    s"""WITH RECURSIVE eb AS (
+       |  SELECT DISTINCT CAST(l_orderkey % 900 AS VARCHAR) AS src,
+       |    CAST(l_partkey % 900 AS VARCHAR) AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |ue AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb),
+       |uec AS (SELECT u, v FROM ue WHERE u <> v),
+       |verts AS (SELECT DISTINCT u AS id FROM uec
+       |          WHERE CAST(u AS BIGINT) % 9 = 0),
+       |walk(s, id, dist) AS (
+       |  SELECT id, id, 0 FROM verts
+       |  UNION
+       |  SELECT w.s, e.v, w.dist + 1 FROM walk w JOIN uec e ON e.u = w.id
+       |  WHERE w.dist < $maxHops
+       |),
+       |md AS (SELECT s, id, MIN(dist) AS dist FROM walk GROUP BY s, id),
+       |r AS (SELECT s, dist FROM md WHERE dist > 0),
+       |ag AS (SELECT s, COUNT(*) AS reached, MAX(dist) AS ecc FROM r GROUP BY s)
+       |SELECT v.id,
+       |  CAST(coalesce(ag.reached, 0) AS BIGINT) AS reached,
+       |  CAST(coalesce(ag.ecc, 0) AS BIGINT) AS eccentricity
+       |FROM verts v LEFT JOIN ag ON v.id = ag.s
+       |ORDER BY CAST(v.id AS BIGINT)""".stripMargin
 
   /** alg_betweenness oracle: hop-bounded Brandes replayed level by level
     * — forward CTEs f_i carry (source, vertex, σ) per BFS depth with the
