@@ -140,6 +140,66 @@ object Queries {
               |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
               |ORDER BY grp, l_returnflag, l_linestatus""".stripMargin))),
 
+    // OLAP cube: all four grouping sets of (returnflag, linestatus) in
+    // ONE pass — like rollup, Spark expands the sets before the partial
+    // aggregate so the scan still map-side combines; grouping_id
+    // disambiguates the null-as-total rows (same bitmask both engines).
+    "q_cube" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(money(sum(revenue)).as("revenue"), count(lit(1)).as("lines"),
+            grouping_id().cast(IntegerType).as("grp"))
+          .orderBy(col("grp"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |CAST(ROUND(SUM($revenueSql),2) AS DOUBLE) AS revenue,
+              |COUNT(*) AS lines,
+              |CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS grp
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY grp, l_returnflag, l_linestatus""".stripMargin))),
+
+    // Pivot: one row per user, one column per event type — the
+    // wide-report reshape. The value list is EXPLICIT (no extra distinct
+    // pass, deterministic column order — the at-scale posture); sums go
+    // through exact DECIMAL like every money aggregate.
+    "q_pivot" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(money(sum(dec(col("value")))))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |CAST(ROUND(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS click,
+             |CAST(ROUND(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS error,
+             |CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS purchase,
+             |CAST(ROUND(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS signup,
+             |CAST(ROUND(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS "view"
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))),
+
+    // Skew-salted join (operators.Relational.skewJoin): lineitem ⋈ part
+    // on partkey with an 8-way salt — semantics must equal the plain
+    // equi-join, which is exactly what the oracle checks; the aggregate
+    // collapses the salted result so the compare is key-sized.
+    "q_skew_join" -> ((
+      (s: SparkSession, d: String) => {
+        val l = t(s, d, "lineitem")
+          .select(col("l_partkey").as("partkey"), revenue.as("rev"))
+        val p = t(s, d, "part")
+          .where(col("p_size") <= 10)
+          .select(col("p_partkey").as("partkey"), col("p_brand"))
+        graft.operators.Relational.skewJoin(l, p, Seq("partkey"), salts = 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("lines"), money(sum(col("rev"))).as("revenue"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""SELECT p_brand,
+              |COUNT(*) AS lines,
+              |CAST(ROUND(SUM($revenueSql),2) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE p_size <= 10
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin))),
+
     "q_window_top_orders" -> ((
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy(col("o_custkey"))
