@@ -1674,6 +1674,23 @@ object Queries {
              |    ELSE 0.0 END, 6) AS modularity
              |FROM mi, b""".stripMargin))),
 
+    // Louvain-style community detection (one level of synchronous
+    // modularity-greedy local moves, alternating-parity determinism,
+    // exact integer gains) on the thinned mod-900 BIGINT graph. The
+    // oracle replays every round: community volumes, neighbor-community
+    // counts, the 2m-scaled integer gain, (gain DESC, label ASC) argmax,
+    // parity-gated adoption.
+    "alg_louvain" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.louvainCommunities(
+          t(s, d, "lineitem")
+            .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+            .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+              pmod(col("l_partkey"), lit(900)).as("dst")),
+          rounds = 4)
+          .orderBy(col("id")),
+      Some(louvainOracleSql(rounds = 4)))),
+
     // Kahn layering of the capped graph oriented small-id → large-id (a
     // DAG by construction): level = longest path from any zero-in-degree
     // vertex — the scheduling-depth query. The oracle replays it as a
@@ -3418,6 +3435,46 @@ object Queries {
        |  ROUND(coalesce($harmonic, 0.0), 6) AS harmonic
        |FROM verts v LEFT JOIN ag ON v.id = ag.s
        |ORDER BY CAST(v.id AS BIGINT)""".stripMargin
+  }
+
+  /** alg_louvain oracle: every synchronous local-move round unrolled as
+    * MATERIALIZED CTEs — volumes, neighbor-community counts, the
+    * 2m-scaled integer gain, ROW_NUMBER argmax (gain DESC, label ASC),
+    * parity-gated adoption. Pure integer arithmetic throughout. */
+  private def louvainOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""vol$i AS MATERIALIZED (SELECT c, CAST(SUM(deg) AS BIGINT) AS vol
+         |  FROM l${i - 1} JOIN dg USING (id) GROUP BY c),
+         |kvc$i AS MATERIALIZED (SELECT nb.u AS id, cm.c, COUNT(*) AS kvc
+         |  FROM nb JOIN l${i - 1} cm ON cm.id = nb.v GROUP BY nb.u, cm.c),
+         |cand$i AS MATERIALIZED (SELECT id, c, CAST(MAX(kvc) AS BIGINT) AS kvc FROM (
+         |    SELECT id, c, kvc FROM kvc$i
+         |    UNION ALL SELECT id, c, 0 FROM l${i - 1}) GROUP BY id, c),
+         |gain$i AS MATERIALIZED (SELECT cd.id, cd.c,
+         |    2 * mm.m * cd.kvc - dg.deg *
+         |      (v.vol - CASE WHEN cur.c = cd.c THEN dg.deg ELSE 0 END) AS gain
+         |  FROM cand$i cd
+         |    JOIN l${i - 1} cur ON cur.id = cd.id
+         |    JOIN vol$i v ON v.c = cd.c
+         |    JOIN dg ON dg.id = cd.id, mm),
+         |b$i AS MATERIALIZED (SELECT id, c FROM (
+         |    SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, c) AS rn
+         |    FROM gain$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l.id,
+         |    CASE WHEN l.id % 2 = ${i % 2} THEN b.c ELSE l.c END AS c
+         |  FROM l${i - 1} l JOIN b$i b ON b.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM eb WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+       |dg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS deg FROM nb GROUP BY u),
+       |mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM cn),
+       |l0 AS MATERIALIZED (SELECT id, id AS c FROM dg),
+       |$chain
+       |SELECT id, c AS community FROM l$rounds ORDER BY id""".stripMargin
   }
 
   /** alg_eccentricity oracle: the closeness BFS walk with a MAX(dist)

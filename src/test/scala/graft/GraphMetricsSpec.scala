@@ -88,6 +88,28 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphAlgorithms.modularity(e, one).collect()(0).getDouble(3) === 0.0)
   }
 
+  test("louvainCommunities: two triangles + bridge converge to the textbook partition") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    val comm = GraphAlgorithms.louvainCommunities(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the two triangles each share one label; the labels differ
+    assert(Set(comm(0L), comm(1L), comm(2L)).size === 1)
+    assert(Set(comm(3L), comm(4L), comm(5L)).size === 1)
+    assert(comm(0L) !== comm(3L))
+
+    // deterministic: an identical rerun yields identical labels
+    val again = GraphAlgorithms.louvainCommunities(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === comm)
+
+    // composes with the modularity metric: the found partition scores
+    // the hand-computed optimum for this graph
+    val q = GraphAlgorithms.modularity(e,
+      GraphAlgorithms.louvainCommunities(e, rounds = 4))
+    assert(q.collect()(0).getDouble(3) === 0.357143)
+  }
+
   test("topologicalLevels: diamond layering, cycle detection, parity") {
     val dag = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("e", "d"))
       .toDF("src", "dst")
