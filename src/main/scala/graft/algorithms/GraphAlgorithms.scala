@@ -2314,8 +2314,15 @@ object GraphAlgorithms {
    * Integer gains overflow past 2m·k ≈ 2^63 (≈ 10^9 edges × 10^9
    * degree) — swap to DECIMAL(38,0) beyond that.
    */
-  def louvainCommunities(edges: DataFrame, rounds: Int = 4): DataFrame = {
+  def louvainCommunities(edges: DataFrame, rounds: Int = 4,
+                         localThreshold: Long = 10000000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val raw = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    collectInternedGated(raw, canonical = true, localThreshold).foreach { in =>
+      return localLouvain(edges.sparkSession, in, rounds,
+        raw.schema("src").dataType)
+    }
     val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
     val m = cn.count()
     val nb = cn.select(col("src").as("u"), col("dst").as("v"))
@@ -2352,6 +2359,71 @@ object GraphAlgorithms {
         .localCheckpoint(true)
     }
     comm.select(col("id"), col("c").as("community"))
+  }
+
+  /** Driver-side replay of [[louvainCommunities]]' small regime —
+    * identical integer gains, identical (gain DESC, label ASC)
+    * tie-break (label ordering mirrors the column type: numeric for
+    * integral ids, binary-lexicographic for strings), identical
+    * alternating-parity gate. Parity spec-pinned via
+    * `localThreshold = 0`. */
+  private def localLouvain(spark: SparkSession, in: InternedEdges, rounds: Int,
+                           dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ord: Ordering[Any] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+      case _ => Ordering.by((x: Any) => String.valueOf(x))
+    }
+    val n = in.ids.length
+    val adjBuf = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    in.pairs.foreach { case (a, b) => adjBuf(a) += b; adjBuf(b) += a }
+    val adj = adjBuf.map(_.toArray)
+    val deg = adj.map(_.length.toLong)
+    val m = in.pairs.length.toLong
+    // parity of the VERTEX id (cast-to-long semantics: numeric ids
+    // directly, numeric strings parsed, anything else never moves)
+    val par: Array[Long] = in.ids.map {
+      case num: Number => math.floorMod(num.longValue, 2L)
+      case s => scala.util.Try(math.floorMod(String.valueOf(s).trim.toLong, 2L))
+        .getOrElse(-1L)
+    }.toArray
+    var comm: Array[Int] = Array.tabulate(n)(identity)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val vol = new Array[Long](n)
+      var v = 0
+      while (v < n) { vol(comm(v)) += deg(v); v += 1 }
+      val next = comm.clone()
+      v = 0
+      while (v < n) {
+        if (par(v) == (r % 2).toLong) {
+          val kvc = scala.collection.mutable.HashMap.empty[Int, Long]
+          adj(v).foreach { u => kvc(comm(u)) = kvc.getOrElse(comm(u), 0L) + 1L }
+          val cur = comm(v)
+          if (!kvc.contains(cur)) kvc(cur) = 0L
+          var bestC = -1
+          var bestG = Long.MinValue
+          kvc.foreach { case (c, k) =>
+            val g = 2L * m * k -
+              deg(v) * (vol(c) - (if (c == cur) deg(v) else 0L))
+            if (g > bestG ||
+                (g == bestG && bestC >= 0 && ord.lt(in.ids(c), in.ids(bestC)))) {
+              bestG = g; bestC = c
+            }
+          }
+          next(v) = bestC
+        }
+        v += 1
+      }
+      comm = next
+    }
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("community", dt)))
+    val rows = (0 until n).map(k =>
+      org.apache.spark.sql.Row(in.ids(k), in.ids(comm(k))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /**

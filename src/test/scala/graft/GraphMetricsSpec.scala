@@ -108,6 +108,24 @@ class GraphMetricsSpec extends SparkSpec {
     val q = GraphAlgorithms.modularity(e,
       GraphAlgorithms.louvainCommunities(e, rounds = 4))
     assert(q.collect()(0).getDouble(3) === 0.357143)
+
+    // local/distributed parity (localThreshold = 0 forces the
+    // distributed synchronous rounds)
+    val dist = GraphAlgorithms.louvainCommunities(e, rounds = 4,
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === comm)
+
+    // string ids: same partition through the lexicographic tie-break
+    val se = e.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+    val sLocal = GraphAlgorithms.louvainCommunities(se, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sDist = GraphAlgorithms.louvainCommunities(se, rounds = 4,
+        localThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sDist === sLocal)
+    assert(Set(sLocal("0"), sLocal("1"), sLocal("2")).size === 1)
   }
 
   test("topologicalLevels: diamond layering, cycle detection, parity") {
