@@ -620,6 +620,38 @@ object Queries {
         withClause = s"${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges}",
         rel = "edges", orderExpr = "id")))),
 
+    // Whole-graph summary statistics through the CALL surface:
+    // reciprocity of the directed bridge edges (structurally 0 — the
+    // typed layers never reverse, which the oracle computes rather than
+    // assumes) + degree assortativity of the undirected collapse.
+    "cy_call_graphstats" -> ((
+      cy("CALL graft.graphstats() YIELD total, reciprocated, reciprocity, assortativity " +
+        "RETURN total, reciprocated, reciprocity, assortativity"),
+      Some(bridgeSql(
+        """, e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+          |tot AS (SELECT COUNT(*) AS total, COUNT(r.src) AS reciprocated,
+          |    COALESCE(ROUND(CAST(COUNT(r.src) AS DOUBLE) /
+          |      CAST(COUNT(*) AS DOUBLE), 6), 0.0) AS reciprocity
+          |  FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src),
+          |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+          |  FROM edges WHERE src <> dst),
+          |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+          |dg AS (SELECT u, COUNT(*) AS deg FROM nb GROUP BY u),
+          |st AS (SELECT COUNT(*) AS ends,
+          |    CAST(SUM(a.deg) AS BIGINT) AS sum_x,
+          |    CAST(SUM(a.deg * a.deg) AS BIGINT) AS sum_xx,
+          |    CAST(SUM(a.deg * b.deg) AS BIGINT) AS sum_xy
+          |  FROM nb JOIN dg a ON a.u = nb.u JOIN dg b ON b.u = nb.v)
+          |SELECT tot.total, tot.reciprocated, tot.reciprocity,
+          |  ROUND(CASE WHEN CAST(st.ends AS DOUBLE) * CAST(st.sum_xx AS DOUBLE) -
+          |      CAST(st.sum_x AS DOUBLE) * CAST(st.sum_x AS DOUBLE) <> 0.0
+          |    THEN (CAST(st.ends AS DOUBLE) * CAST(st.sum_xy AS DOUBLE) -
+          |      CAST(st.sum_x AS DOUBLE) * CAST(st.sum_x AS DOUBLE)) /
+          |      (CAST(st.ends AS DOUBLE) * CAST(st.sum_xx AS DOUBLE) -
+          |      CAST(st.sum_x AS DOUBLE) * CAST(st.sum_x AS DOUBLE))
+          |    ELSE 0.0 END, 6) AS assortativity
+          |FROM tot, st""".stripMargin)))),
+
     // Reference k-NN frontend verb through the CALL surface: the
     // embeddings table registered as a named vector store (the per-graph
     // FAISS-index analogue), then CALL graft.knn(store, '7', 5) — top-5

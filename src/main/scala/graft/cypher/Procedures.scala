@@ -189,6 +189,34 @@ object Procedures {
     GraphAlgorithms.betweennessCentrality(g.edges, maxHops)
   })
 
+  /** Parity-plus community detection: CALL graft.louvain([rounds]) —
+    * (id, community) by deterministic synchronous modularity-greedy
+    * local moves (see [[GraphAlgorithms.louvainCommunities]]). */
+  register("graft.louvain", (g, args) => {
+    val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(4)
+    GraphAlgorithms.louvainCommunities(g.edges, rounds)
+  })
+
+  /** Parity-plus structural metrics: CALL graft.eccentricity([maxHops])
+    * — (id, reached, eccentricity); diameter/radius are one aggregate
+    * away (see [[GraphAlgorithms.eccentricity]]). */
+  register("graft.eccentricity", (g, args) => {
+    val maxHops = args.headOption.map(num(_, "maxHops").toInt).getOrElse(10)
+    GraphAlgorithms.eccentricity(g.edges, maxHops)
+  })
+
+  /** Parity-plus structural metrics: CALL graft.graphstats() — one row
+    * of whole-graph summary statistics: directed-edge reciprocity and
+    * undirected degree assortativity (see
+    * [[GraphAlgorithms.reciprocity]]/[[GraphAlgorithms.degreeAssortativity]]). */
+  register("graft.graphstats", (g, _) => {
+    val r = GraphAlgorithms.reciprocity(g.edges)
+      .select(col("total"), col("reciprocated"), col("reciprocity"))
+    val a = GraphAlgorithms.degreeAssortativity(g.edges)
+      .select(col("assortativity"))
+    r.crossJoin(a) // 1-row × 1-row
+  })
+
   /** Reference `ktop`: CALL graft.kafkaTopics() — distinct Kafka topic
     * names across catalog graphs registered with kafka:<topic> source
     * paths (frontend `kafka_topics_command`). */
