@@ -2477,6 +2477,28 @@ object Queries {
       },
       Some(semDedupOracleSql(threshold = 0.99)))),
 
+    // k-NN graph (every vector's top-3 neighbors) in exact mode
+    // (clusters = 1 → within-cluster scoring IS all-pairs — the
+    // knnIvf exactness-at-full-coverage technique); the clustered scale
+    // path is spec-pinned on separated blobs.
+    "emb_knn_graph" -> ((
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraph(
+          t(s, d, "embeddings").where(col("vec_id") < 300),
+          "vec_id", "embedding", k = 3, clusters = 1)
+          .orderBy(col("id"), col("rank")),
+      Some("""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+             |  FROM embeddings WHERE vec_id < 300),
+             |p AS (SELECT a.id, b.id AS nbr,
+             |    list_cosine_similarity(a.vec, b.vec) AS cosine
+             |  FROM c a JOIN c b ON a.id <> b.id),
+             |r AS (SELECT id, nbr, cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rank
+             |  FROM p)
+             |SELECT id, nbr, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank
+             |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin))),
+
     "kg_construct" -> ((
       (s: SparkSession, d: String) => {
         val g = graft.pipeline.KgConstruction.constructKg(

@@ -113,6 +113,55 @@ object Similarity {
       .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /**
+   * k-NN GRAPH construction — every vector's top-k cosine neighbors in
+   * one call: the batch all-neighbors primitive behind SemDeDup-style
+   * curation, graph-ANN index bootstraps and embedding-space
+   * diagnostics.
+   *
+   * All-pairs scoring is quadratic and dead at 100 TB, so this is the
+   * cluster-bucketed formulation: partition the space with the
+   * deterministically-seeded [[trainCentroids]], score pairs ONLY within
+   * a cluster (one equi-join on the cluster key — never a cartesian,
+   * the [[graft.pipeline.Dedup.semanticDedup]] shape), then one window
+   * for the per-vector top-k. `clusters = 1` degrades to exact brute
+   * force (the oracle mode — same exactness-at-full-coverage technique
+   * as knnIvf); recall loss at cluster boundaries is the standard IVF
+   * trade-off, so raise `clusters` to bound partition size, not to
+   * tune accuracy. Ranks order by (cosine DESC, neighbor id ASC) on the
+   * raw double cosine (the [[knnCosine]] contract) and the emitted
+   * cosine rounds to 6 — engine-replayable.
+   */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, clusters: Int = 1, iters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val clean = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast(DoubleType)).as("vec"))
+      .where(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("nrm", l2norm(col("vec")))
+      .where(col("nrm") > 0)
+    val assigned = (if (clusters <= 1) clean.withColumn("cid", lit(0))
+      else {
+        val cents = trainCentroids(clean, "id", "vec", clusters, iters)
+        assignClusters(clean, "id", "vec", cents, "cid", "cvec")
+      })
+      .select(col("cid"), col("id"), col("vec"), col("nrm"))
+      .localCheckpoint(true)
+    val l = assigned.select(col("cid"), col("id"),
+      col("vec").as("vA"), col("nrm").as("nA"))
+    val r = assigned.select(col("cid"), col("id").as("nbr"),
+      col("vec").as("vB"), col("nrm").as("nB"))
+    val scored = l.join(r, Seq("cid"))
+      .where(col("id") =!= col("nbr"))
+      .withColumn("cosine", dot(col("vA"), col("vB")) / (col("nA") * col("nB")))
+    val w = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("nbr"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Assign each corpus vector to its nearest centroid (by cosine).
     * Centroids are broadcast; result is corpus + cluster column, meant to
     * be persisted/bucketed once and reused by every query batch. */

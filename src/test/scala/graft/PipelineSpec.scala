@@ -239,6 +239,36 @@ class PipelineSpec extends SparkSpec {
     assert(blobA.size === 1 && blobB.size === 1 && blobA != blobB)
   }
 
+  test("knnGraph: exact mode equals brute force; clustered mode keeps neighbors within blobs") {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      val j = 0.1 * (i % 5) / 5.0
+      if (i % 2 == 0) (i.toLong, Seq(1.0, j, 0.0, 0.0))
+      else (i.toLong, Seq(0.0, 0.0, 1.0, j))
+    }
+    val df = rows.toDF("id", "vec")
+    // exact mode = knnCosine with queries == corpus (minus self-match)
+    val g = Similarity.knnGraph(df, "id", "vec", k = 2, clusters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(g.length === 40) // 20 vectors × k=2
+    val brute = Similarity.knnCosine(df, "id", "vec", df, "id", "vec", k = 3)
+      .where(col("qid") =!= col("id")) // drop the self-match (rank 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g.map(t => (t._1, t._2)).toSet === brute)
+
+    // clustered mode: with the blobs cleanly separable, every reported
+    // neighbor is in the vector's own blob (same parity)
+    val cg = Similarity.knnGraph(df, "id", "vec", k = 2, clusters = 2, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cg.nonEmpty)
+    cg.foreach { case (id, nbr) => assert(id % 2 === nbr % 2) }
+
+    // deterministic
+    val again = Similarity.knnGraph(df, "id", "vec", k = 2, clusters = 2, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === cg.toSeq)
+  }
+
   test("semanticDedup: within-cluster duplicates collapse, map is total, dirty vectors dropped") {
     import spark.implicits._
     // two orthogonal blobs; ids 0/2 are exact duplicates in blob A, ids
