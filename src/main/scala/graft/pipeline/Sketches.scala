@@ -41,16 +41,24 @@ object Sketches {
    * shard, merged across shards by the same grouped MAX. Feed it to
    * [[hllEstimate]] for the cardinality.
    */
-  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
-    val m = md5(col(keyCol).cast("string"))
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(hllBucket(col(keyCol)).as("bucket"), hllRho(col(keyCol)).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
+
+  /** HLL bucket of a key: first md5 byte (0..255). Shared with the
+    * streaming register build ([[graft.streaming.EventStream.hllRegisterStream]]). */
+  private[graft] def hllBucket(key: Column): Column = hex2(md5(key.cast("string")), 1)
+
+  /** HLL rho of a key: 1 + leading zero bits of md5 bits 8..72 (65 when
+    * all zero), computed exactly from the hex string. */
+  private[graft] def hllRho(key: Column): Column = {
+    val m = md5(key.cast("string"))
     val w = substring(m, 3, 16)
     val z = length(regexp_extract(w, "^0*", 0))
     val d = hexVal(w.substr(z + 1, lit(1)))
     val lz = when(d === 1, 3).when(d <= 3, 2).when(d <= 7, 1).otherwise(0)
-    val rho = when(z === 16, lit(65)).otherwise(lit(4) * z + lz + 1)
-    df.where(col(keyCol).isNotNull)
-      .select(hex2(m, 1).as("bucket"), rho.as("rho"))
-      .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
+    when(z === 16, lit(65)).otherwise(lit(4) * z + lz + 1)
   }
 
   /**

@@ -52,6 +52,33 @@ object EventStream {
         col("events"), col("sum_value"))
 
   /**
+   * Streaming distinct-count SKETCH per event-time window: the
+   * HyperLogLog register stream. Emits `(window_start, bucket, max_rho)`
+   * rows in append mode once a window closes — ≤ 256 rows per window
+   * regardless of stream volume, the bounded-state way to count
+   * distincts on an unbounded stream (exact distinct state grows with
+   * the key cardinality; HLL state is 256 bytes).
+   *
+   * The registers are the SAME mergeable sketch
+   * [[graft.pipeline.Sketches.hllRegisters]] builds in batch — grouped
+   * MAX merges shards, windows, or batch-vs-stream builds
+   * interchangeably, and [[graft.pipeline.Sketches.hllEstimate]] turns
+   * any merged register set into the cardinality. Batch/stream register
+   * equality is spec-pinned.
+   */
+  def hllRegisterStream(events: DataFrame, keyCol: String,
+                        windowDuration: String = "1 hour",
+                        delay: String = "1 hour"): DataFrame =
+    events
+      .where(col(keyCol).isNotNull)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDuration),
+        graft.pipeline.Sketches.hllBucket(col(keyCol)).as("bucket"))
+      .agg(max(graft.pipeline.Sketches.hllRho(col(keyCol))).as("max_rho"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("max_rho"))
+
+  /**
    * Gap-based sessionization with custom state — the streaming form of
    * `q_sessionize` (30-minute default gap): a session closes when no
    * event arrives within `gapMinutes` of its last event, enforced by an

@@ -95,6 +95,49 @@ class StreamingSpec extends SparkSpec {
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s"2024-01-01 $s")
 
+  test("streaming HLL registers: per-window sketch equals the batch sketch, estimate merges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.pipeline.Sketches
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = EventStream.hllRegisterStream(
+      input.toDF().toDF("ts", "key"), "key", delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("hllreg")
+      .outputMode("append").start()
+    try {
+      val hour0 = (0 until 40).map(i => (ts("00:10:00"), s"user-${i % 25}"))
+      val hour1 = (0 until 10).map(i => (ts("01:15:00"), s"user-${i + 20}"))
+      input.addData(hour0 ++ hour1: _*)
+      q.processAllAvailable()
+      input.addData((ts("03:00:00"), "flush")) // advance the watermark
+      q.processAllAvailable()
+      input.addData((ts("03:10:00"), "flush2"))
+      q.processAllAvailable()
+      val got = spark.table("hllreg")
+        .select(col("window_start").cast("string"), col("bucket"), col("max_rho"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      // the streamed registers ARE the batch sketch of each hour's keys
+      val batch0 = Sketches.hllRegisters(
+          hour0.map(_._2).toDF("key"), "key")
+        .collect().map(r => ("2024-01-01 00:00:00", r.getInt(0), r.getInt(1))).toSet
+      val batch1 = Sketches.hllRegisters(
+          hour1.map(_._2).toDF("key"), "key")
+        .collect().map(r => ("2024-01-01 01:00:00", r.getInt(0), r.getInt(1))).toSet
+      assert(got === batch0 ++ batch1)
+      // merged across the two windows by grouped MAX, the estimate is the
+      // batch estimate of the union (25 ∪ 10 keys = 30 distinct)
+      val merged = spark.table("hllreg")
+        .groupBy("bucket").agg(max(col("max_rho")).as("max_rho"))
+      val est = Sketches.hllEstimate(merged)
+      val batchEst = Sketches.hllEstimate(Sketches.hllRegisters(
+        (hour0 ++ hour1).map(_._2).toDF("key"), "key"))
+      assert(est === batchEst)
+      assert(math.abs(est - 30.0) / 30.0 < 0.2) // HLL error at m=256 ≈ 6.5%
+    } finally q.stop()
+  }
+
   test("streaming hourly counts: watermarked tumbling windows emit once per closed window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
