@@ -1706,6 +1706,21 @@ object Queries {
              |    ELSE 0.0 END, 6) AS modularity
              |FROM mi, b""".stripMargin))),
 
+    // Full core-number (k-shell) decomposition of the thinned mod-900
+    // graph under the bounded schedule (maxK=4, 6 rounds per level —
+    // enough for exactness here: the graph's degeneracy is 2). The
+    // oracle replays every level's every round as MATERIALIZED CTEs.
+    "alg_core_numbers" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.coreNumbers(
+          t(s, d, "lineitem")
+            .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+            .select(pmod(col("l_orderkey"), lit(900)).cast(StringType).as("src"),
+              pmod(col("l_partkey"), lit(900)).cast(StringType).as("dst")),
+          maxK = 4, roundsPerK = 6)
+          .orderBy(col("id").cast(LongType)),
+      Some(coreNumbersOracleSql(maxK = 4, roundsPerK = 6)))),
+
     // Louvain-style community detection (one level of synchronous
     // modularity-greedy local moves, alternating-parity determinism,
     // exact integer gains) on the thinned mod-900 BIGINT graph. The
@@ -3489,6 +3504,39 @@ object Queries {
        |  ROUND(coalesce($harmonic, 0.0), 6) AS harmonic
        |FROM verts v LEFT JOIN ag ON v.id = ag.s
        |ORDER BY CAST(v.id AS BIGINT)""".stripMargin
+  }
+
+  /** alg_core_numbers oracle: the bounded k-shell schedule unrolled —
+    * level k round r keeps vertices whose induced degree over the
+    * previous survivor set is ≥ k; core = MAX level whose final round a
+    * vertex survived (0 if none — only under truncation). */
+  private def coreNumbersOracleSql(maxK: Int, roundsPerK: Int): String = {
+    val chain = new StringBuilder
+    var prev = "a_0_0"
+    for (k <- 1 to maxK; r <- 1 to roundsPerK) {
+      val name = s"a_${k}_$r"
+      chain.append(s""",
+        |$name AS MATERIALIZED (SELECT id FROM (
+        |  SELECT x.id, COUNT(*) AS deg FROM $prev x
+        |    JOIN cn e ON (e.s = x.id OR e.d = x.id)
+        |    JOIN $prev y ON y.id = CASE WHEN e.s = x.id THEN e.d ELSE e.s END
+        |  GROUP BY x.id) WHERE deg >= $k)""".stripMargin)
+      prev = name
+    }
+    val lvl = (1 to maxK)
+      .map(k => s"SELECT id, $k AS k FROM a_${k}_$roundsPerK")
+      .mkString(" UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey % 900 AS VARCHAR) AS src,
+       |    CAST(l_partkey % 900 AS VARCHAR) AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM eb WHERE src <> dst),
+       |a_0_0 AS MATERIALIZED (SELECT DISTINCT s AS id FROM cn UNION SELECT d FROM cn)
+       |$chain
+       |SELECT v.id, CAST(COALESCE(MAX(lvl.k), 0) AS BIGINT) AS core
+       |FROM a_0_0 v LEFT JOIN ($lvl) lvl ON lvl.id = v.id
+       |GROUP BY v.id ORDER BY CAST(v.id AS BIGINT)""".stripMargin
   }
 
   /** alg_louvain oracle: every synchronous local-move round unrolled as

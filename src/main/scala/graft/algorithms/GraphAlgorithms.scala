@@ -2285,6 +2285,127 @@ object GraphAlgorithms {
   }
 
   /**
+   * Full core-number (k-shell) decomposition under a BOUNDED schedule:
+   * for k = 1..maxK, run `roundsPerK` synchronous peel rounds at
+   * threshold k over the previous level's survivor graph; core(v) = the
+   * highest level v survives (0 for vertices peeled immediately — can
+   * only appear under truncation, every edge endpoint survives level 1).
+   * With `roundsPerK` ≥ the deepest peel cascade and `maxK` ≥ the true
+   * degeneracy this IS the exact core decomposition; the bounded
+   * schedule (not a convergence test) is the contract, which keeps every
+   * round replayable by the SQL oracle — the [[kCore]]/[[kTruss]]
+   * round-semantics discipline applied to the whole decomposition.
+   * Survivors of level maxK report core = maxK (truncation, like
+   * closeness' maxHops).
+   *
+   * Shape: each round is two alive-set semi-joins + one degree
+   * aggregate over the CURRENT induced edge set, which only shrinks;
+   * levels early-stop once a round removes nothing. Adaptive: ≤
+   * `localThreshold` raw edges replays the schedule driver-side
+   * (parity spec-pinned via `localThreshold = 0`).
+   */
+  def coreNumbers(edges: DataFrame, maxK: Int = 8, roundsPerK: Int = 6,
+                  localThreshold: Long = 10000000L): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1: $maxK")
+    require(roundsPerK >= 1, s"roundsPerK must be >= 1: $roundsPerK")
+    val spark = edges.sparkSession
+    val raw = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")) // keep the local intern pass loop-free
+    collectInternedGated(raw, canonical = true, localThreshold).foreach { in =>
+      return localCoreNumbers(spark, in, maxK, roundsPerK,
+        raw.schema("src").dataType)
+    }
+    var cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    val verts = cn.select(col("src").as("id"))
+      .unionByName(cn.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var levels = List.empty[DataFrame]
+    var k = 0
+    var empty = false
+    while (k < maxK && !empty) {
+      k += 1
+      var r = 0
+      var converged = false
+      var alive: DataFrame = null
+      while (r < roundsPerK && !converged) {
+        r += 1
+        val deg = cn.select(explode(array(col("src"), col("dst"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("degree"))
+        val kept = deg.where(col("degree") >= k).select("id")
+          .localCheckpoint(true)
+        val next = cn
+          .join(kept.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(kept.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        if (next.count() == cn.count()) converged = true
+        cn = next
+        alive = kept
+      }
+      if (alive.isEmpty) empty = true
+      else levels ::= alive.withColumn("k", lit(k.toLong))
+    }
+    val lvl =
+      if (levels.isEmpty) verts.select(col("id"), lit(0L).as("k")).where(lit(false))
+      else levels.reduce(_.unionByName(_))
+    verts.join(lvl.groupBy("id").agg(max(col("k")).as("__core")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__core"), lit(0L)).as("core"))
+  }
+
+  /** Driver-side replay of [[coreNumbers]]' bounded schedule — identical
+    * synchronous round semantics, parity spec-pinned. */
+  private def localCoreNumbers(spark: SparkSession, in: InternedEdges,
+                               maxK: Int, roundsPerK: Int,
+                               dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val n = in.ids.length
+    val adjBuf = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    in.pairs.foreach { case (a, b) => adjBuf(a) += b; adjBuf(b) += a }
+    val adj = adjBuf.map(_.toArray)
+    val alive = Array.fill(n)(true)
+    val core = new Array[Long](n)
+    var k = 0
+    var anyAlive = n > 0
+    while (k < maxK && anyAlive) {
+      k += 1
+      var r = 0
+      var converged = false
+      while (r < roundsPerK && !converged) {
+        r += 1
+        // synchronous: degrees over the CURRENT alive set, then remove
+        val deg = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          if (alive(i)) {
+            var d = 0
+            adj(i).foreach(j => if (alive(j)) d += 1)
+            deg(i) = d
+          }
+          i += 1
+        }
+        var removed = false
+        i = 0
+        while (i < n) {
+          if (alive(i) && deg(i) < k) { alive(i) = false; removed = true }
+          i += 1
+        }
+        if (!removed) converged = true
+      }
+      anyAlive = false
+      var i = 0
+      while (i < n) {
+        if (alive(i)) { core(i) = k.toLong; anyAlive = true }
+        i += 1
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("core", LongType)))
+    val rows = (0 until n).map(i => org.apache.spark.sql.Row(in.ids(i), core(i)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
    * Louvain-style community detection — one level of modularity-greedy
    * local moves (Blondel et al. 2008 §2), made deterministic and
    * cross-engine replayable:

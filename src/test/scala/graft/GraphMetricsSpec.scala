@@ -128,6 +128,27 @@ class GraphMetricsSpec extends SparkSpec {
     assert(Set(sLocal("0"), sLocal("1"), sLocal("2")).size === 1)
   }
 
+  test("coreNumbers: K4 + pendant path hand-checked, truncation, parity") {
+    // K4 on {0,1,2,3} (core 3), pendant path 3-4-5 (cores 1)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = GraphAlgorithms.coreNumbers(e, maxK = 8, roundsPerK = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 1L, 5L -> 1L))
+
+    // truncation at maxK: the K4 reports the cap
+    val capped = GraphAlgorithms.coreNumbers(e, maxK = 2, roundsPerK = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(0L) === 2L && capped(4L) === 1L)
+
+    // local/distributed parity
+    val dist = GraphAlgorithms.coreNumbers(e, maxK = 8, roundsPerK = 6,
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === core)
+  }
+
   test("topologicalLevels: diamond layering, cycle detection, parity") {
     val dag = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("e", "d"))
       .toDF("src", "dst")
