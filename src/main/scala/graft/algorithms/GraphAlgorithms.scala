@@ -2222,22 +2222,34 @@ object GraphAlgorithms {
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
     val nb = cn.unionByName(cn.select(col("dst").as("src"), col("src").as("dst")))
+    // vertex-sized; materialized once — it feeds the moment aggregate,
+    // the edge-wide join AND the neighbor-sum join
     val deg = nb.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-    val pair = nb
-      .join(deg.select(col("id").as("src"), col("d").as("x")), Seq("src"))
-      .join(deg.select(col("id").as("dst"), col("d").as("y")), Seq("dst"))
-    val stats = pair.agg(
-      count(lit(1)).as("ends"),
-      sum(col("x")).as("sum_x"),
-      sum(col("x") * col("x")).as("sum_xx"),
-      sum(col("x") * col("y")).as("sum_xy"))
+      .localCheckpoint(true)
+    // each directed pair (u,v) contributes x = deg(u), so the x-marginal
+    // moments collapse to degree-table sums (u appears deg(u) times):
+    //   ends = Σ deg, Σx = Σ deg², Σx² = Σ deg³
+    // — only Σxy needs an edge-wide join (deg(v) onto nb, one shuffle),
+    // folded per-vertex so the final products are vertex-sized. Same
+    // exact integers as the naive two-join pair formulation, half the
+    // shuffle volume.
+    val moments = deg.agg(
+      coalesce(sum(col("d")), lit(0L)).as("ends"),
+      coalesce(sum(col("d") * col("d")), lit(0L)).as("sum_x"),
+      coalesce(sum(col("d") * col("d") * col("d")), lit(0L)).as("sum_xx"))
+    val nbrSum = nb.join(deg.select(col("id").as("dst"), col("d").as("dv")), Seq("dst"))
+      .groupBy(col("src").as("id")).agg(sum(col("dv")).as("s"))
+    val sxy = nbrSum.join(deg, Seq("id"))
+      .agg(coalesce(sum(col("d") * col("s")), lit(0L)).as("sum_xy"))
     val num = col("ends").cast("double") * col("sum_xy").cast("double") -
       col("sum_x").cast("double") * col("sum_x").cast("double")
     val den = col("ends").cast("double") * col("sum_xx").cast("double") -
       col("sum_x").cast("double") * col("sum_x").cast("double")
-    stats.select(col("ends"), col("sum_x"), col("sum_xx"), col("sum_xy"),
-      round(when(den =!= 0.0, num / den).otherwise(0.0), 6)
-        .as("assortativity"))
+    // 1-row × 1-row guard join (the Cypher.scala:290 convention)
+    moments.crossJoin(sxy)
+      .select(col("ends"), col("sum_x"), col("sum_xx"), col("sum_xy"),
+        round(when(den =!= 0.0, num / den).otherwise(0.0), 6)
+          .as("assortativity"))
   }
 
   /**
