@@ -460,6 +460,34 @@ object Queries {
              |  SELECT vid, vtsu FROM v
              |  WHERE v.user_id = c.user_id AND v.vtsu <= c.tsu
              |  ORDER BY vtsu DESC, vid DESC LIMIT 1) q ON TRUE
+             |ORDER BY c.event_id""".stripMargin))),
+
+    // Forward as-of: each click matched to the EARLIEST view at-or-after
+    // it (pandas merge_asof direction='forward') — same union +
+    // running-window shape as q_events_asof, window ordered descending.
+    "q_events_asof_fwd" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("vid"), col("user_id"), col("ts").as("vts"))
+        graft.operators.Relational.asofJoin(
+          clicks, views, Seq("user_id"), "ts", "vts", rightPrefix = "v_",
+          direction = "forward")
+          .select(col("event_id"), col("user_id"), col("v_vid"),
+            (expr("v_vts DIV 1000") - expr("ts DIV 1000")).as("lead_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+             |          FROM events WHERE event_type = 'click'),
+             |v AS (SELECT event_id AS vid, user_id, epoch_us(ts) AS vtsu
+             |      FROM events WHERE event_type = 'view')
+             |SELECT c.event_id, c.user_id, q.vid AS v_vid, q.vtsu - c.tsu AS lead_us
+             |FROM c LEFT JOIN LATERAL (
+             |  SELECT vid, vtsu FROM v
+             |  WHERE v.user_id = c.user_id AND v.vtsu >= c.tsu
+             |  ORDER BY vtsu ASC, vid DESC LIMIT 1) q ON TRUE
              |ORDER BY c.event_id""".stripMargin))))
 
   // ======================================================================

@@ -134,10 +134,20 @@ object Relational {
         ivCols.map(c => col(s"__iv_$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** `direction = "backward"` (default) matches the latest right row with
+    * rightTs ≤ leftTs — the classic as-of; `"forward"` matches the
+    * EARLIEST right row with rightTs ≥ leftTs (pandas merge_asof
+    * direction semantics). Same one-shuffle union + running-window shape
+    * either way — the window just orders descending for forward; among
+    * equal-timestamp right rows the greatest canonical payload wins in
+    * both directions. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
-               rightPrefix: String = "r_"): DataFrame = {
+               rightPrefix: String = "r_",
+               direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward': $direction")
     val rightPayloadCols = right.columns.filterNot(keyCols.contains).toSeq
     val leftCols = left.columns.toSeq
 
@@ -176,8 +186,9 @@ object Relational {
       case _ => false
     }
     val tiebreak = if (hasMap(rStructType)) to_json(col("__r")).asc else col("__r").asc
+    val tsOrder = if (direction == "forward") col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, tiebreak)
+      .orderBy(tsOrder, col("__side").asc, tiebreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

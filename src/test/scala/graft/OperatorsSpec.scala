@@ -31,6 +31,38 @@ class OperatorsSpec extends SparkSpec {
       (105L, None, None)))
   }
 
+  test("asofJoin forward: earliest right at-or-after left, per key, left-outer") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, "A", 10L, 1.0), (2L, "A", 20L, 2.0), (3L, "A", 30L, 3.0),
+      (4L, "B", 15L, 9.0)
+    ).toDF("qid", "sym", "qts", "px")
+    val trades = Seq(
+      (100L, "A", 5L),   // before any quote → first quote (ts=10)
+      (101L, "A", 20L),  // equal ts → that quote
+      (102L, "A", 25L),  // between → ts=30 quote
+      (103L, "A", 99L),  // after all → null
+      (104L, "B", 14L),  // before B's quote → that quote
+      (105L, "C", 50L)   // key with no quotes → null
+    ).toDF("tid", "sym", "tts")
+    val out = Relational.asofJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        direction = "forward")
+      .select(col("tid"), col("r_qid"), col("r_px")).orderBy("tid").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq === Seq(
+      (100L, Some(1L), Some(1.0)),
+      (101L, Some(2L), Some(2.0)),
+      (102L, Some(3L), Some(3.0)),
+      (103L, None, None),
+      (104L, Some(4L), Some(9.0)),
+      (105L, None, None)))
+    // equal-timestamp ties resolve to the greatest payload, same as backward
+    val right = Seq((7L, "A", 10L), (9L, "A", 10L), (8L, "A", 10L)).toDF("rid", "k", "rts")
+    val left = Seq((1L, "A", 10L)).toDF("lid", "k", "lts")
+    val tie = Relational.asofJoin(left, right, Seq("k"), "lts", "rts",
+      direction = "forward").collect()
+    assert(tie.head.getAs[Long]("r_rid") === 9L)
+  }
+
   test("asofJoin: equal-timestamp right rows tie-break on payload struct order") {
     import spark.implicits._
     val right = Seq((7L, "A", 10L), (9L, "A", 10L), (8L, "A", 10L)).toDF("rid", "k", "rts")
