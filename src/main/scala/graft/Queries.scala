@@ -462,6 +462,47 @@ object Queries {
              |  ORDER BY vtsu DESC, vid DESC LIMIT 1) q ON TRUE
              |ORDER BY c.event_id""".stripMargin))),
 
+    // Per-type z-score outliers — the events-warehouse anomaly sweep.
+    // Moments are EXACT decimal sums (count, Σv, Σv² at DECIMAL(18,6)
+    // per value), z is then one fixed-order double expression over them,
+    // so the flagged set replays bit-identically; the per-type moment
+    // table is broadcast back (no second corpus shuffle).
+    "q_zscore_outliers" -> ((
+      (s: SparkSession, d: String) => {
+        val d6 = col("value").cast(DecimalType(18, 6))
+        val ev = t(s, d, "events")
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(d6).as("sv"), sum(d6 * d6).as("svv"))
+        val mean = col("sv").cast(DoubleType) / col("n").cast(DoubleType)
+        val std = sqrt(col("svv").cast(DoubleType) / col("n").cast(DoubleType) -
+          mean * mean)
+        val z = (d6.cast(DoubleType) - mean) / std
+        ev.join(broadcast(stats), Seq("event_type"))
+          .where(std > 0 && abs(z) >= 2.0)
+          .select(col("event_id"), col("event_type"), round(z, 4).as("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH st AS (SELECT event_type, COUNT(*) AS n,
+             |    SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+             |    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv
+             |  FROM events GROUP BY event_type)
+             |SELECT event_id, e.event_type,
+             |  ROUND((CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) -
+             |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |    SQRT(CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) -
+             |      (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS z
+             |FROM events e JOIN st ON e.event_type = st.event_type
+             |WHERE SQRT(CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) -
+             |      (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+             |  AND ABS((CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) -
+             |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |    SQRT(CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) -
+             |      (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))) >= 2.0
+             |ORDER BY event_id""".stripMargin))),
+
     // Forward as-of: each click matched to the EARLIEST view at-or-after
     // it (pandas merge_asof direction='forward') — same union +
     // running-window shape as q_events_asof, window ordered descending.
