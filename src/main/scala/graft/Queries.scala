@@ -462,6 +462,38 @@ object Queries {
              |  ORDER BY vtsu DESC, vid DESC LIMIT 1) q ON TRUE
              |ORDER BY c.event_id""".stripMargin))),
 
+    // EXACT discrete percentiles per group (p50/p95/p99 of order totals
+    // per order-priority): one window rank + one filter — at 100 TB
+    // exact percentiles are one sort-shuffle, and percentile_disc
+    // semantics (smallest value with cume ≥ p) replay exactly in any
+    // engine, where approximate sketches would not hash-match.
+    "q_percentiles" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val n = Window.partitionBy(col("o_orderpriority"))
+        val ranked = t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(n))
+        def pick(p: Double, name: String) =
+          max(when(col("rn") === ceil(lit(p) * col("n")).cast(LongType),
+            col("o_totalprice"))).as(name)
+        ranked.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("orders"),
+            pick(0.5, "p50"), pick(0.95, "p95"), pick(0.99, "p99"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH ranked AS (SELECT o_orderpriority, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice, o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM orders)
+             |SELECT o_orderpriority, COUNT(*) AS orders,
+             |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+             |  MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN o_totalprice END) AS p95,
+             |  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+             |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))),
+
     // Per-type z-score outliers — the events-warehouse anomaly sweep.
     // Moments are EXACT decimal sums (count, Σv, Σv² at DECIMAL(18,6)
     // per value), z is then one fixed-order double expression over them,
