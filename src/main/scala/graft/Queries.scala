@@ -1839,6 +1839,26 @@ object Queries {
           .orderBy(col("id")),
       Some(louvainOracleSql(rounds = 4)))),
 
+    // Deterministic snowball sampling of the thinned mod-900 BIGINT
+    // graph: seeds = ids ≡ 0 (mod 90), 3 capped hops, ≤4 LCG-ranked
+    // neighbors admitted per frontier vertex; result = induced edges.
+    // The oracle replays every hop (LCG priority, per-vertex rank ≤ 4,
+    // member anti-join) and the closing induced-edge semi-joins.
+    "alg_graph_sample" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        val nz = eb.where(col("src") =!= col("dst"))
+        val seeds = nz.select(col("src").as("id"))
+          .unionByName(nz.select(col("dst").as("id"))).distinct()
+          .where(pmod(col("id"), lit(90)) === 0)
+        GraphAlgorithms.snowballSample(eb, seeds, hops = 3, maxNeighbors = 4)
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(snowballOracleSql(hops = 3, cap = 4)))),
+
     // Kahn layering of the capped graph oriented small-id → large-id (a
     // DAG by construction): level = longest path from any zero-in-degree
     // vertex — the scheduling-depth query. The oracle replays it as a
@@ -3605,6 +3625,38 @@ object Queries {
        |  ROUND(coalesce($harmonic, 0.0), 6) AS harmonic
        |FROM verts v LEFT JOIN ag ON v.id = ag.s
        |ORDER BY CAST(v.id AS BIGINT)""".stripMargin
+  }
+
+  /** alg_graph_sample oracle: hop-by-hop replay of the capped snowball
+    * expansion — house walk-LCG priority, per-frontier-vertex
+    * ROW_NUMBER ≤ cap, member anti-join — then the induced-edge
+    * closure. */
+  private def snowballOracleSql(hops: Int, cap: Int): String = {
+    val chain = new StringBuilder
+    for (i <- 1 to hops) {
+      chain.append(s""",
+        |cand$i AS MATERIALIZED (SELECT nb.u, nb.v,
+        |    (1103515245 * (nb.u * 1000003 + nb.v * 101) + 12345) % 2147483647 AS p
+        |  FROM nb JOIN f${i - 1} f ON f.id = nb.u),
+        |adm$i AS MATERIALIZED (SELECT DISTINCT v AS id FROM (
+        |    SELECT v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY p, v) AS rn
+        |    FROM cand$i) WHERE rn <= $cap),
+        |f$i AS MATERIALIZED (SELECT id FROM adm$i
+        |  WHERE id NOT IN (SELECT id FROM m${i - 1})),
+        |m$i AS MATERIALIZED (SELECT id FROM m${i - 1} UNION ALL SELECT id FROM f$i)""".stripMargin)
+    }
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM eb WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+       |m0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM nb WHERE u % 90 = 0),
+       |f0 AS MATERIALIZED (SELECT id FROM m0)
+       |$chain
+       |SELECT cn.s AS src, cn.d AS dst FROM cn
+       |JOIN m$hops a ON a.id = cn.s JOIN m$hops b ON b.id = cn.d
+       |ORDER BY src, dst""".stripMargin
   }
 
   /** alg_core_numbers oracle: the bounded k-shell schedule unrolled —

@@ -2297,6 +2297,63 @@ object GraphAlgorithms {
   }
 
   /**
+   * Deterministic snowball (capped-BFS) graph sampling — the standard
+   * way to cut a workable subgraph out of a graph too large to process
+   * whole (Leskovec & Faloutsos 2006 §3): start from `seeds`, expand
+   * `hops` rounds, and at each round every frontier vertex admits at
+   * most `maxNeighbors` of its neighbors, chosen by a pure-integer LCG
+   * priority over the (u, v) pair — "random" neighbor selection that
+   * replays exactly in any engine (the [[randomWalks]] discipline; ids
+   * must be integral). Already-admitted neighbors still consume budget
+   * (the cap ranks the FULL neighbor list), which keeps each round a
+   * pure function of the member set. Returns the induced canonical edge
+   * set among sampled vertices.
+   *
+   * Shape per hop: one frontier-keyed join against the doubled edge
+   * list, one per-vertex window (rank ≤ cap), one anti-join against the
+   * member set — frontier-sized work, never corpus-wide; the member set
+   * grows ≤ |frontier|·cap per hop, so state is budget-bounded by
+   * construction. The final induced-edge join is two member semi-joins.
+   */
+  def snowballSample(edges: DataFrame, seeds: DataFrame, hops: Int,
+                     maxNeighbors: Int): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1: $hops")
+    require(maxNeighbors >= 1, s"maxNeighbors must be >= 1: $maxNeighbors")
+    val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    val nb = cn.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(cn.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    // LCG priority on the ordered pair — the house walk-LCG constants
+    // (replayable as plain BIGINT arithmetic in SQL; in-range for ids up
+    // to ~8e3 — larger id spaces should pre-hash ids into a compact
+    // range, the same constraint the walk generators document)
+    val prio = pmod(lit(1103515245L) *
+      (col("u").cast("long") * lit(1000003L) + col("v").cast("long") * lit(101L)) +
+      lit(12345L), lit(2147483647L))
+    var members = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .localCheckpoint(true)
+    var frontier = members
+    var h = 0
+    while (h < hops && !frontier.isEmpty) {
+      h += 1
+      val cand = frontier.select(col("id").as("u")).join(nb, Seq("u"))
+        .withColumn("__p", prio)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("__p").asc, col("v").asc)
+      val admitted = cand.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= maxNeighbors)
+        .select(col("v").as("id")).distinct()
+        .join(members, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      members = members.unionByName(admitted).localCheckpoint(true)
+      frontier = admitted
+    }
+    cn.join(members.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(members.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
+  /**
    * Full core-number (k-shell) decomposition under a BOUNDED schedule:
    * for k = 1..maxK, run `roundsPerK` synchronous peel rounds at
    * threshold k over the previous level's survivor graph; core(v) = the

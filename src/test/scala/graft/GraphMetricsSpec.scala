@@ -88,6 +88,31 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphAlgorithms.modularity(e, one).collect()(0).getDouble(3) === 0.0)
   }
 
+  test("snowballSample: budget-bounded expansion, determinism, induced-edge closure") {
+    // hub 0 with spokes 1..10 (no spoke-spoke edges)
+    val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val s1 = GraphAlgorithms.snowballSample(star, Seq(0L).toDF("id"),
+      hops = 1, maxNeighbors = 3).collect()
+    assert(s1.length === 3) // exactly cap edges, all incident to the hub
+    assert(s1.forall(r => r.getLong(0) === 0L))
+    // deterministic
+    val again = GraphAlgorithms.snowballSample(star, Seq(0L).toDF("id"),
+      hops = 1, maxNeighbors = 3).collect()
+    assert(again.map(_.toString).sorted.toSeq === s1.map(_.toString).sorted.toSeq)
+    // full budget covers the whole star
+    val all = GraphAlgorithms.snowballSample(star, Seq(0L).toDF("id"),
+      hops = 1, maxNeighbors = 10).collect()
+    assert(all.length === 10)
+    // member growth is ≤ frontier×cap per hop: path 0-1-2-3-4, cap 1 —
+    // at most 1 new member per hop, and edges stay a prefix of the path
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = GraphAlgorithms.snowballSample(path, Seq(0L).toDF("id"),
+      hops = 3, maxNeighbors = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.subsetOf(Set((0L, 1L), (1L, 2L), (2L, 3L))))
+    assert(p.contains((0L, 1L))) // hop 1 always admits 0's only neighbor
+  }
+
   test("louvainCommunities: two triangles + bridge converge to the textbook partition") {
     val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
       (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)).toDF("src", "dst")
