@@ -92,10 +92,15 @@ object Sketches {
     val rows = df.where(col(keyCol).isNotNull).select(
       col(keyCol).cast("string").as("__k"),
       explode(sequence(lit(0), lit(depth - 1))).as("hrow"))
-    rows.select(col("hrow"),
-        pmod(hex2(md5(concat_ws(":", col("hrow"), col("__k"))), 1), lit(width)).as("hcol"))
+    rows.select(col("hrow"), cmsHcol(col("hrow"), col("__k"), width).as("hcol"))
       .groupBy("hrow", "hcol").agg(count(lit(1)).as("cnt"))
   }
+
+  /** CMS column of a key under hash row `hrow`: first md5 byte of
+    * "row:key", mod width. Shared with the streaming sketch build
+    * ([[graft.streaming.EventStream.cmsSketchStream]]). */
+  private[graft] def cmsHcol(hrow: Column, key: Column, width: Int): Column =
+    pmod(hex2(md5(concat_ws(":", hrow, key.cast("string"))), 1), lit(width))
 
   /**
    * Bloom filter as a (word, bits) table: `bits` filter bits packed 32

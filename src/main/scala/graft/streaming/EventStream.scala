@@ -79,6 +79,36 @@ object EventStream {
         col("max_rho"))
 
   /**
+   * Streaming count-min sketch per event-time window — the heavy-hitter
+   * companion to [[hllRegisterStream]]: emits
+   * `(window_start, hrow, hcol, cnt)` cells in append mode once a
+   * window closes, ≤ depth·width rows per window regardless of stream
+   * volume (exact per-key counts grow with cardinality; CMS state is a
+   * fixed grid). Cells are the SAME mergeable sketch
+   * [[graft.pipeline.Sketches.cmsSketch]] builds in batch — grouped SUM
+   * merges shards, windows or batch-vs-stream builds, and
+   * [[graft.pipeline.Sketches.cmsEstimate]] serves point queries off
+   * any merged grid. Batch/stream cell equality is spec-pinned.
+   */
+  def cmsSketchStream(events: DataFrame, keyCol: String,
+                      windowDuration: String = "1 hour",
+                      delay: String = "1 hour",
+                      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1 && width <= 256,
+      s"need 1 <= depth and 1 <= width <= 256: depth=$depth width=$width")
+    events
+      .withWatermark("ts", delay)
+      .where(col(keyCol).isNotNull)
+      .select(col("ts"), col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("hrow"))
+      .groupBy(window(col("ts"), windowDuration), col("hrow"),
+        graft.pipeline.Sketches.cmsHcol(col("hrow"), col("__k"), width).as("hcol"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("hrow"),
+        col("hcol"), col("cnt"))
+  }
+
+  /**
    * Gap-based sessionization with custom state — the streaming form of
    * `q_sessionize` (30-minute default gap): a session closes when no
    * event arrives within `gapMinutes` of its last event, enforced by an

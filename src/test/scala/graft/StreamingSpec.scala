@@ -138,6 +138,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS cells: per-window sketch equals the batch sketch, merged grid serves estimates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.pipeline.Sketches
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = EventStream.cmsSketchStream(
+      input.toDF().toDF("ts", "key"), "key", delay = "30 minutes",
+      depth = 3, width = 64)
+    val q = out.writeStream.format("memory").queryName("cmscells")
+      .outputMode("append").start()
+    try {
+      val hour0 = (0 until 30).map(i => (ts("00:10:00"), s"k${i % 5}")) // 6 each
+      val hour1 = (0 until 8).map(_ => (ts("01:15:00"), "k0"))
+      input.addData(hour0 ++ hour1: _*)
+      q.processAllAvailable()
+      input.addData((ts("03:00:00"), "flush"))
+      q.processAllAvailable()
+      input.addData((ts("03:10:00"), "flush2"))
+      q.processAllAvailable()
+      val got = spark.table("cmscells")
+        .select(col("window_start").cast("string"), col("hrow"), col("hcol"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      val batch0 = Sketches.cmsSketch(hour0.map(_._2).toDF("key"), "key",
+          depth = 3, width = 64)
+        .collect().map(r => ("2024-01-01 00:00:00", r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val batch1 = Sketches.cmsSketch(hour1.map(_._2).toDF("key"), "key",
+          depth = 3, width = 64)
+        .collect().map(r => ("2024-01-01 01:00:00", r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === batch0 ++ batch1)
+      // merged across windows by grouped SUM, point estimates ≥ true
+      // counts (CMS one-sided error): k0 = 6 + 8 = 14 across both hours
+      val merged = spark.table("cmscells")
+        .groupBy("hrow", "hcol").agg(sum(col("cnt")).as("cnt"))
+      val est = Sketches.cmsEstimate(merged, Seq("k0", "k3").toDF("key"), "key",
+          depth = 3, width = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est("k0") >= 14L)
+      assert(est("k3") >= 6L)
+    } finally q.stop()
+  }
+
   test("streaming hourly counts: watermarked tumbling windows emit once per closed window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
