@@ -57,6 +57,37 @@ class QueryPostureSpec extends SparkSpec {
       s"pinpoint traversal sort-merges (edge shuffle per hop):\n$p")
   }
 
+  test("knnGraph clustered mode: within-cluster equi-join, never a nested-loop product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 24).map { i =>
+      if (i % 2 == 0) (i.toLong, Seq(1.0, 0.1 * (i % 3), 0.0, 0.0))
+      else (i.toLong, Seq(0.0, 0.0, 1.0, 0.1 * (i % 3)))
+    }
+    val g = graft.pipeline.Similarity.knnGraph(rows.toDF("id", "vec"),
+      "id", "vec", k = 2, clusters = 2, iters = 3)
+    val p = g.queryExecution.executedPlan.toString
+    // the pair generator must be the cid equi-join — a nested-loop or
+    // cartesian here is the quadratic all-pairs shape this operator
+    // exists to avoid at 100 TB
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"knnGraph pair join degenerated to a product:\n$p")
+  }
+
+  test("snowballSample: induced-edge closure is two semi-joins, no product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = (0 until 30).map(i => (i.toLong, ((i + 1) % 30).toLong))
+      .toDF("src", "dst")
+    val s = graft.algorithms.GraphAlgorithms.snowballSample(
+      edges, Seq(0L).toDF("id"), hops = 2, maxNeighbors = 2)
+    val p = s.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"snowball induced closure lost its semi-joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"snowball closure has a product:\n$p")
+  }
+
   test("minhash signatures: one-pass expression, no explode/aggregate on the sig path") {
     // the signature table must come from the native one-pass expression —
     // a Generate (shingle explode) or a 64-min HashAggregate back in the
