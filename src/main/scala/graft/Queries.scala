@@ -2238,6 +2238,57 @@ object Queries {
              |MIN(doc_id) AS doc_id, COUNT(*) AS dupes
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // End-to-end curation composition — the four pipeline stages a real
+    // corpus build chains, as ONE declarative plan Catalyst optimizes
+    // whole: quality gate (absolute score cut) → normalized exact dedup
+    // (keep min-id per digest) → token count → token-budget shard pack.
+    // Each stage reuses the already-oracled operator; the oracle chains
+    // the same four definitions.
+    "doc_curation_e2e" -> ((
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "documents")
+        // plant exact duplicates (every 7th doc re-id'd) so the dedup
+        // stage provably removes rows, and cut at the corpus-median-ish
+        // score so the quality gate provably drops rows
+        val docs = base.unionByName(
+          base.where(pmod(col("doc_id"), lit(7)) === 0)
+            .withColumn("doc_id", col("doc_id") + lit(10000L)))
+        val q = TextAnalysis.withQuality(docs, "text")
+          .where(col("quality_score") >= 0.62)
+        val keepIds = Dedup.normalizedExact(q, "text", "doc_id")
+          .select(col("doc_id"))
+        val toks = q
+          .join(keepIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(4)).as("shard"),
+            TextAnalysis.tokenCount("text").as("tokens"))
+        Sampling.packByTokenBudget(toks, "shard", "doc_id", "tokens", budget = 512)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS MATERIALIZED (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+              |q AS MATERIALIZED (
+              |  SELECT aug.doc_id, aug.text
+              |  FROM aug JOIN (${qualityScoreSql("aug")}) qs ON qs.doc_id = aug.doc_id
+              |  WHERE qs.quality_score >= 0.62),
+              |keep AS MATERIALIZED (
+              |  SELECT MIN(doc_id) AS doc_id FROM q
+              |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+              |tk AS (
+              |  SELECT q.doc_id, q.doc_id % 4 AS shard,
+              |    CAST(CASE WHEN length(trim(q.text)) = 0 THEN 0
+              |      ELSE len(regexp_split_to_array(trim(q.text), '\\s+')) END AS INTEGER) AS tokens
+              |  FROM q JOIN keep ON keep.doc_id = q.doc_id),
+              |p AS (
+              |  SELECT doc_id, shard, tokens,
+              |    CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS strt
+              |  FROM tk)
+              |SELECT doc_id, shard, tokens,
+              |  CAST(FLOOR(strt / 512.0) AS BIGINT) AS chunk, strt % 512 AS offset
+              |FROM p ORDER BY doc_id""".stripMargin))),
+
     "doc_langid" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
@@ -3470,7 +3521,9 @@ object Queries {
   /** Full per-doc quality statement (no ORDER BY) — shared by the
     * doc_quality oracle and the percentile-filter oracle, which nests it
     * as a CTE subquery. */
-  private def qualityScoreSql: String = {
+  private def qualityScoreSql: String = qualityScoreSql("documents")
+
+  private def qualityScoreSql(rel: String): String = {
     val stop = TextAnalysis.langMarkers("en")
       .map(w => s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}")
       .mkString(" + ")
@@ -3482,7 +3535,7 @@ object Queries {
        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS toks,
        |    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p
-       |  FROM documents),
+       |  FROM $rel),
        |c AS (
        |  SELECT doc_id,
        |    ROUND(CASE WHEN len > 0 THEN alpha / len ELSE 0 END, 6) AS alpha_ratio,
