@@ -1931,6 +1931,23 @@ object Queries {
     // round with chained CTEs (the PageRank technique): per-round
     // neighbor-label counts, argmax by (count DESC, label ASC) — the
     // exact tie-break the Spark side encodes as max(struct(c, -label)).
+    // Weighted PageRank (parity-plus next to alg_pagerank): rank
+    // distributed ∝ integer edge weight on the same capped hash graph
+    // as alg_weighted_sp; 4 iterations in EXACT micro-unit integer
+    // arithmetic (hash-exact, no round-N float contract needed).
+    "alg_weighted_pagerank" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = TpchBridge.hashGraphEdges(s, d)
+          .where(col("src").cast(LongType) < strianMaxVertex &&
+            col("dst").cast(LongType) < strianMaxVertex)
+          .select(col("src"), col("dst"),
+            (pmod(col("src").cast(LongType) + col("dst").cast(LongType), lit(7)) + 1).as("weight"))
+        GraphAlgorithms.weightedPageRank(eb, alphaNum = 85, alphaDen = 100,
+            iterations = 4)
+          .orderBy(col("id").cast(LongType))
+      },
+      Some(weightedPagerankOracleSql(85, 100, 4)))),
+
     "alg_label_prop" -> ((
       (s: SparkSession, d: String) =>
         GraphAlgorithms.labelPropagation(TpchBridge.hashGraphEdges(s, d), iterations = 2)
@@ -2195,6 +2212,37 @@ object Queries {
     }
     s"WITH ${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges},\n${chain.toString}\n" +
       s"SELECT id, CAST(ROUND(rank, 4) AS DOUBLE) AS rank FROM r$iters ORDER BY id"
+  }
+
+  /** alg_weighted_pagerank oracle: the pprOracleSql iteration chain with
+    * weight-proportional shares in EXACT micro-unit integer arithmetic —
+    * per-edge share r·w // Σw, damping (1−α)·1e6 + α·contrib via the
+    * same floor divisions as the Spark side; final double is the exact
+    * micro/1e6. */
+  private def weightedPagerankOracleSql(alphaNum: Int, alphaDen: Int,
+                                        iters: Int): String = {
+    val base = 1000000L * (alphaDen - alphaNum) / alphaDen
+    val chain = new StringBuilder
+    chain.append(
+      s"""eb AS (SELECT src, dst,
+         |    (CAST(src AS BIGINT) + CAST(dst AS BIGINT)) % 7 + 1 AS w FROM hg
+         |  WHERE CAST(src AS BIGINT) < $strianMaxVertex AND CAST(dst AS BIGINT) < $strianMaxVertex),
+         |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM eb GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, e.w, o.wout FROM eb e JOIN ow o ON e.src = o.src),
+         |verts AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts)""".stripMargin)
+    for (i <- 1 to iters) {
+      chain.append(s""",
+        |r$i AS (SELECT v.id, CAST($base + ($alphaNum * COALESCE(s.c, 0)) // $alphaDen AS BIGINT) AS r
+        |  FROM verts v LEFT JOIN (
+        |    SELECT ed.dst AS id, SUM((r.r * ed.w) // ed.wout) AS c
+        |    FROM ed JOIN r${i - 1} r ON ed.src = r.id GROUP BY ed.dst) s
+        |  ON v.id = s.id)""".stripMargin)
+    }
+    s"WITH ${TpchBridge.sql.hashGraph},\n${chain.toString}\n" +
+      s"SELECT id, r AS rank_micro, CAST(r AS DOUBLE) / 1000000.0 AS rank " +
+      s"FROM r$iters ORDER BY CAST(id AS BIGINT)"
   }
 
   /** Single-SQL mirror of clusteringCoefficients on the vertex-capped

@@ -88,6 +88,27 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphAlgorithms.modularity(e, one).collect()(0).getDouble(3) === 0.0)
   }
 
+  test("weightedPageRank: hand-checked micro-unit iteration, weight proportionality") {
+    // a -> b (w=3), a -> c (w=1): b gets 3/4 of a's rank, c gets 1/4
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "weight")
+    val r1 = GraphAlgorithms.weightedPageRank(e, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: no in-edges -> 150000; b: 150000 + 85*750000/100 = 787500;
+    // c: 150000 + 85*250000/100 = 362500
+    assert(r1 === Map("a" -> 150000L, "b" -> 787500L, "c" -> 362500L))
+    // the exact double emission is micro/1e6
+    val d1 = GraphAlgorithms.weightedPageRank(e, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d1("b") === 0.7875)
+    // non-positive weights drop; duplicate rows add weight
+    val e2 = Seq(("a", "b", 1L), ("a", "b", 2L), ("a", "c", 1L), ("a", "x", 0L))
+      .toDF("src", "dst", "weight")
+    val r2 = GraphAlgorithms.weightedPageRank(e2, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2("b") === 787500L) // same 3/4 share as the single w=3 edge
+    assert(!r2.contains("x"))
+  }
+
   test("snowballSample: budget-bounded expansion, determinism, induced-edge closure") {
     // hub 0 with spokes 1..10 (no spoke-spoke edges)
     val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
