@@ -217,6 +217,27 @@ object Procedures {
     r.crossJoin(a) // 1-row × 1-row
   })
 
+  /** Parity-plus: CALL graft.coreNumbers([maxK[, roundsPerK]]) — the
+    * full k-shell decomposition (see [[GraphAlgorithms.coreNumbers]]). */
+  register("graft.corenumbers", (g, args) => {
+    val maxK = args.headOption.map(num(_, "maxK").toInt).getOrElse(8)
+    val rounds = args.drop(1).headOption.map(num(_, "roundsPerK").toInt).getOrElse(6)
+    GraphAlgorithms.coreNumbers(g.edges, maxK, rounds)
+  })
+
+  /** Parity-plus: CALL graft.weightedPageRank([iterations]) — weighted
+    * PageRank over the edge `weight` property when present, weight 1
+    * otherwise (see [[GraphAlgorithms.weightedPageRank]]). */
+  register("graft.weightedpagerank", (g, args) => {
+    val iters = args.headOption.map(num(_, "iterations").toInt).getOrElse(10)
+    val w = if (g.edges.columns.contains("properties"))
+      coalesce(element_at(col("properties"), "weight").cast("long"), lit(1L))
+    else lit(1L)
+    GraphAlgorithms.weightedPageRank(
+      g.edges.select(col("src"), col("dst"), w.as("weight")),
+      iterations = iters)
+  })
+
   /** Reference `ktop`: CALL graft.kafkaTopics() — distinct Kafka topic
     * names across catalog graphs registered with kafka:<topic> source
     * paths (frontend `kafka_topics_command`). */

@@ -88,6 +88,17 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphAlgorithms.modularity(e, one).collect()(0).getDouble(3) === 0.0)
   }
 
+  test("CALL surface: graft.coreNumbers and graft.weightedPageRank procedures") {
+    val g = graft.sources.TpchBridge.graph(spark, sf0001)
+    val c = graft.cypher.Cypher.run(g,
+      "CALL graft.coreNumbers(2, 2) YIELD id, core RETURN id, core ORDER BY id LIMIT 5")
+    assert(c.columns.toSeq === Seq("id", "core"))
+    assert(c.count() === 5)
+    val w = graft.cypher.Cypher.run(g,
+      "CALL graft.weightedPageRank(2) YIELD id, rank RETURN id, rank ORDER BY rank DESC, id LIMIT 5")
+    assert(w.count() === 5)
+  }
+
   test("weightedPageRank: hand-checked micro-unit iteration, weight proportionality") {
     // a -> b (w=3), a -> c (w=1): b gets 3/4 of a's rank, c gets 1/4
     val e = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "weight")
