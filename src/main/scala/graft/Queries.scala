@@ -1561,6 +1561,22 @@ object Queries {
       },
       Some(misOracleSql(rounds = 12)))),
 
+    // Deterministic maximal matching (Luby on the line graph without
+    // materializing it): per round each live edge draws a pure-integer
+    // LCG priority and matches iff it is the strict minimum at BOTH
+    // endpoints — the oracle replays every round's per-endpoint min and
+    // two-sided winner join as MATERIALIZED CTEs.
+    "alg_matching" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.maximalMatching(eb, rounds = 12)
+          .orderBy(col("u"), col("v"))
+      },
+      Some(matchingOracleSql(rounds = 12)))),
+
     // Deterministic random walks (the DeepWalk/node2vec corpus
     // generator) on the mod-900 graph with BIGINT vertex ids (so both
     // engines rank adjacency numerically): every 9th vertex starts one
@@ -3989,6 +4005,43 @@ object Queries {
        |SELECT id, round FROM (
        |  $union)
        |ORDER BY id""".stripMargin
+  }
+
+  /** alg_matching oracle: the deterministic edge-local-minimum matching
+    * replayed round by round. The (priority, u, v) lexicographic compare
+    * is one BIGINT key p·2³² + u·2¹⁶ + v (priority < 2³¹ and fixture
+    * ids < 900 < 2¹⁶ — exact and order-identical to the Spark side's
+    * struct comparison). Rounds past convergence are empty on both
+    * sides, so a fixed unroll matches the early-stop loop. */
+  private def matchingOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT u, v,
+         |  ((1103515245 * (u * 1000003 + v * 7919 + $r * 101) + 12345)
+         |   % 2147483647) * 4294967296 + u * 65536 + v AS k
+         |  FROM e${r - 1}),
+         |mn$r AS MATERIALIZED (SELECT id, MIN(k) AS mk FROM (
+         |    SELECT u AS id, k FROM k$r UNION ALL SELECT v, k FROM k$r)
+         |  GROUP BY id),
+         |w$r AS MATERIALIZED (SELECT k.u, k.v FROM k$r k
+         |  JOIN mn$r a ON a.id = k.u JOIN mn$r b ON b.id = k.v
+         |  WHERE k.k = a.mk AND k.k = b.mk),
+         |m$r AS (SELECT u AS id FROM w$r UNION SELECT v FROM w$r),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  WHERE e.u NOT IN (SELECT id FROM m$r)
+         |    AND e.v NOT IN (SELECT id FROM m$r))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT u, v, $r AS round FROM w$r").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |  FROM eb WHERE src <> dst),
+       |$chain
+       |SELECT u, v, round FROM (
+       |  $union)
+       |ORDER BY u, v""".stripMargin
   }
 
   /** Shared WITH-body for the walk oracles: ranked adjacency + the

@@ -1291,6 +1291,138 @@ object GraphAlgorithms {
   }
 
   /**
+   * Maximal matching by DETERMINISTIC edge-local-minimum rounds — the
+   * third classic symmetry-breaking primitive next to
+   * [[maximalIndependentSet]] and [[jpColoring]] (pairing/scheduling,
+   * graph coarsening for multilevel partitioners): this is Luby's MIS
+   * run on the LINE graph without materializing it. Edges are
+   * canonicalized u < v on the BIGINT cast (ids must cast to BIGINT —
+   * the [[maximalIndependentSet]] contract); in round r every live edge
+   * draws the pure-integer priority
+   * LCG(u·1000003 + v·7919 + r·101) (replayable in plain SQL, no RNG
+   * state) and joins the matching iff its (priority, u, v) key is the
+   * strict minimum among ALL edges incident to either endpoint; matched
+   * endpoints leave the graph. Synchronous rounds, early-stop when no
+   * edge is live — at the fixpoint the result is a true maximal
+   * matching (vertex-disjoint by the two-sided-minimum rule; maximal
+   * because an edge only dies when an endpoint is matched). Expected
+   * O(log n) rounds. Returns (u, v, round) per matched edge.
+   *
+   * Shape: each round is one per-endpoint grouped min over the live
+   * edge list (edges explode to exactly 2 endpoint rows) + one
+   * two-sided equi-join back + two anti-joins, all localCheckpointed —
+   * O(1) plan depth per round, and the live edge set only shrinks.
+   * Below `localThreshold` edges the identical synchronous semantics
+   * run driver-side (the adaptive kCore/HITS/MIS pattern; parity
+   * spec-asserted via localThreshold = 0).
+   */
+  def maximalMatching(edges: DataFrame, rounds: Int = 20,
+                      localThreshold: Long = 10000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = edges.select(col("src").as("a"), col("dst").as("b"))
+      .withColumn("al", col("a").cast("long"))
+      .withColumn("bl", col("b").cast("long"))
+      .where(col("al") =!= col("bl"))
+    val canon = e0.select(
+      when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("u"),
+      when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("v"),
+      least(col("al"), col("bl")).as("ul"),
+      greatest(col("al"), col("bl")).as("vl"))
+      .dropDuplicates("ul", "vl")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (canon.count() <= localThreshold) {
+      val out = localMatching(canon, rounds)
+      canon.unpersist()
+      return out
+    }
+    var liveE = canon.localCheckpoint(true)
+    canon.unpersist()
+    var out = liveE.limit(0).select(col("u"), col("v"), lit(0).as("round"))
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val keyed = liveE.withColumn("p", pmod(
+        lit(1103515245L) * (col("ul") * lit(1000003L) + col("vl") * lit(7919L)
+          + lit(r.toLong) * lit(101L)) + lit(12345L), lit(2147483647L)))
+      val k = struct(col("p"), col("ul"), col("vl"))
+      val byEnd = keyed.select(col("ul").as("idl"), k.as("k"))
+        .unionByName(keyed.select(col("vl").as("idl"), k.as("k")))
+      val mn = byEnd.groupBy("idl").agg(min(col("k")).as("mk"))
+      val winners = keyed
+        .join(mn.select(col("idl").as("ul"), col("mk").as("mku")), Seq("ul"))
+        .join(mn.select(col("idl").as("vl"), col("mk").as("mkv")), Seq("vl"))
+        .where(k === col("mku") && k === col("mkv"))
+        .select(col("u"), col("v"), col("ul"), col("vl"))
+        .localCheckpoint(true)
+      if (winners.isEmpty) {
+        // a live edge always holds the global minimum key → live is empty
+        done = true
+      } else {
+        out = out.unionByName(winners.select(col("u"), col("v"), lit(r).as("round")))
+        val matched = winners.select(col("ul").as("ml"))
+          .unionByName(winners.select(col("vl").as("ml")))
+          .distinct().localCheckpoint(true)
+        liveE = liveE
+          .join(matched.select(col("ml").as("ul")), Seq("ul"), "left_anti")
+          .join(matched.select(col("ml").as("vl")), Seq("vl"), "left_anti")
+          .localCheckpoint(true)
+        if (liveE.isEmpty) done = true
+      }
+    }
+    out
+  }
+
+  /** Driver-side rounds for [[maximalMatching]]'s small regime —
+    * identical synchronous semantics over interned arrays. */
+  private def localMatching(canon: DataFrame, rounds: Int): DataFrame = {
+    val spark = canon.sparkSession
+    val ut = canon.schema("u").dataType
+    val vt = canon.schema("v").dataType
+    val rows0 = canon.select("u", "v", "ul", "vl").collect()
+    val eu = rows0.map(_.get(0)); val ev = rows0.map(_.get(1))
+    val ul = rows0.map(_.getLong(2)); val vl = rows0.map(_.getLong(3))
+    val m = rows0.length
+    // endpoint → incident edge indices
+    val inc = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    (0 until m).foreach { i =>
+      inc.getOrElseUpdate(ul(i), scala.collection.mutable.ArrayBuffer.empty) += i
+      inc.getOrElseUpdate(vl(i), scala.collection.mutable.ArrayBuffer.empty) += i
+    }
+    val alive = Array.fill(m)(true)
+    var liveCount = m
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, Int)]
+    var r = 0
+    while (r < rounds && liveCount > 0) {
+      r += 1
+      def prio(i: Int): Long = math.floorMod(
+        1103515245L * (ul(i) * 1000003L + vl(i) * 7919L + r * 101L) + 12345L,
+        2147483647L)
+      val p = Array.tabulate(m)(i => if (alive(i)) prio(i) else Long.MaxValue)
+      def less(i: Int, j: Int): Boolean =
+        p(i) < p(j) || (p(i) == p(j) && (ul(i) < ul(j) ||
+          (ul(i) == ul(j) && vl(i) < vl(j))))
+      val winners = (0 until m).filter { i =>
+        alive(i) && (inc(ul(i)).iterator ++ inc(vl(i)).iterator).forall { j =>
+          j == i || !alive(j) || less(i, j)
+        }
+      }
+      winners.foreach { i =>
+        out += ((eu(i), ev(i), r))
+        // kill every edge touching either matched endpoint
+        (inc(ul(i)).iterator ++ inc(vl(i)).iterator).foreach { j =>
+          if (alive(j)) { alive(j) = false; liveCount -= 1 }
+        }
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("u", ut), StructField("v", vt),
+      StructField("round", IntegerType, nullable = false)))
+    val rows = out.map { case (u, v, rr) => org.apache.spark.sql.Row(u, v, rr) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
    * Wedge and rectangle (4-cycle) counts — the motif statistics one step
    * beyond [[triangleCount]] (parity-plus; the reference counts
    * triangles only). wedges = Σ_v C(deg v, 2); rectangles = ½ Σ_{u<w}

@@ -241,6 +241,24 @@ object Procedures {
   /** Reference `ktop`: CALL graft.kafkaTopics() — distinct Kafka topic
     * names across catalog graphs registered with kafka:<topic> source
     * paths (frontend `kafka_topics_command`). */
+  /** Parity-plus symmetry-breaking primitives: CALL graft.mis([rounds]) /
+    * graft.coloring([rounds]) / graft.matching([rounds]) — deterministic
+    * Luby MIS, Jones–Plassmann coloring, and edge-local-minimum maximal
+    * matching (see [[GraphAlgorithms]]); all replayable, BIGINT-castable
+    * ids required. */
+  register("graft.mis", (g, args) => {
+    val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(20)
+    GraphAlgorithms.maximalIndependentSet(g.edges, rounds)
+  })
+  register("graft.coloring", (g, args) => {
+    val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(30)
+    GraphAlgorithms.jpColoring(g.edges, rounds)
+  })
+  register("graft.matching", (g, args) => {
+    val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(20)
+    GraphAlgorithms.maximalMatching(g.edges, rounds)
+  })
+
   register("graft.kafkatopics", (g, _) => {
     val spark = g.nodes.sparkSession
     import spark.implicits._

@@ -558,6 +558,44 @@ class GraphCoreSpec extends SparkSpec {
     assert(dist === loc)
   }
 
+  test("maximalMatching: vertex-disjoint, maximal, local/distributed parity") {
+    import spark.implicits._
+    // path + star mix (star center 2 can match at most one edge) with
+    // duplicate rows, a self-loop and both orientations of one edge
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("2", "6"), ("2", "7"), ("7", "8"), ("3", "4"), ("4", "3"), ("5", "5"))
+      .toDF("src", "dst")
+    val m = GraphAlgorithms.maximalMatching(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // vertex-disjoint: no endpoint appears twice
+    val ends = m.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    assert(ends.distinct.length === ends.length, s"shared endpoint in $m")
+    // canonical orientation: u < v numerically
+    m.foreach { case (a, b) => assert(a.toLong < b.toLong) }
+    // maximality: every (deduped, non-loop) edge has a matched endpoint
+    val matched = ends.toSet
+    val all = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("2", "6"), ("2", "7"), ("7", "8"))
+    all.foreach { case (a, b) =>
+      assert(matched.contains(a) || matched.contains(b), s"edge $a-$b unmatched")
+    }
+    // deterministic on re-execution
+    val again = GraphAlgorithms.maximalMatching(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again === m)
+    // single-edge graph matches in round 1
+    val p = GraphAlgorithms.maximalMatching(Seq(("10", "20")).toDF("src", "dst"))
+      .collect()
+    assert(p.length === 1 && p(0).getInt(2) === 1)
+    // adaptive parity: distributed rounds (localThreshold = 0) match the
+    // driver-side sweep edge-for-edge, round-for-round
+    val loc = GraphAlgorithms.maximalMatching(edges)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val dist = GraphAlgorithms.maximalMatching(edges, localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(dist === loc)
+  }
+
   test("motifCounts: square and K4 hand-checked") {
     import spark.implicits._
     // square 1-2-3-4-1: each vertex has degree 2 → 4 wedges, 1 rectangle
