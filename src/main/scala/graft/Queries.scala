@@ -1577,6 +1577,21 @@ object Queries {
       },
       Some(matchingOracleSql(rounds = 12)))),
 
+    // One METIS-style coarsening level: contract the deterministic
+    // maximal matching into supervertices; coarse edge weight counts the
+    // fine edges each coarse edge absorbs (the heavy-edge-matching
+    // weight of the next level).
+    "alg_coarsen" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.coarsenGraph(eb, rounds = 12)
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(coarsenOracleSql(rounds = 12)))),
+
     // Deterministic random walks (the DeepWalk/node2vec corpus
     // generator) on the mod-900 graph with BIGINT vertex ids (so both
     // engines rank adjacency numerically): every 9th vertex starts one
@@ -4013,7 +4028,10 @@ object Queries {
     * ids < 900 < 2¹⁶ — exact and order-identical to the Spark side's
     * struct comparison). Rounds past convergence are empty on both
     * sides, so a fixed unroll matches the early-stop loop. */
-  private def matchingOracleSql(rounds: Int): String = {
+  /** Shared WITH-body for the matching/coarsening oracles: the canonical
+    * mod-900 fixture edges (e0) plus the per-round matching chain —
+    * exposes w1..w$rounds (the per-round winners). */
+  private def matchingChainCtes(rounds: Int): String = {
     val chain = (1 to rounds).map { r =>
       s"""k$r AS MATERIALIZED (SELECT u, v,
          |  ((1103515245 * (u * 1000003 + v * 7919 + $r * 101) + 12345)
@@ -4030,18 +4048,43 @@ object Queries {
          |  WHERE e.u NOT IN (SELECT id FROM m$r)
          |    AND e.v NOT IN (SELECT id FROM m$r))""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds)
-      .map(r => s"SELECT u, v, $r AS round FROM w$r").mkString("\n  UNION ALL ")
-    s"""WITH eb AS MATERIALIZED (
+    s"""eb AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
        |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
        |  FROM eb WHERE src <> dst),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  private def matchingOracleSql(rounds: Int): String = {
+    val union = (1 to rounds)
+      .map(r => s"SELECT u, v, $r AS round FROM w$r").mkString("\n  UNION ALL ")
+    s"""WITH ${matchingChainCtes(rounds)}
        |SELECT u, v, round FROM (
        |  $union)
        |ORDER BY u, v""".stripMargin
+  }
+
+  /** alg_coarsen oracle: the matching chain, then every matched pair
+    * contracts into its smaller endpoint, fine edges re-map through the
+    * contraction, internal edges vanish and parallel coarse edges merge
+    * with an absorbed-edge count. */
+  private def coarsenOracleSql(rounds: Int): String = {
+    val union = (1 to rounds)
+      .map(r => s"SELECT u, v FROM w$r").mkString("\n  UNION ALL ")
+    s"""WITH ${matchingChainCtes(rounds)},
+       |mt AS MATERIALIZED (
+       |  $union),
+       |re AS (SELECT COALESCE(mu.u, e.u) AS a, COALESCE(mv.u, e.v) AS b
+       |  FROM e0 e
+       |  LEFT JOIN mt mu ON mu.v = e.u
+       |  LEFT JOIN mt mv ON mv.v = e.v)
+       |SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst,
+       |  COUNT(*) AS weight
+       |FROM re WHERE a <> b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** Shared WITH-body for the walk oracles: ranked adjacency + the

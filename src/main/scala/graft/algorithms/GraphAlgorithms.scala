@@ -1318,25 +1318,37 @@ object GraphAlgorithms {
    */
   def maximalMatching(edges: DataFrame, rounds: Int = 20,
                       localThreshold: Long = 10000000L): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val canon = canonicalSimpleEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = matchingOnCanon(canon, rounds, localThreshold)
+    canon.unpersist() // both paths materialize eagerly (collect / localCheckpoint)
+    out
+  }
+
+  /** Canonical simple undirected edge list: u < v on the BIGINT cast,
+    * self-loops and duplicate rows dropped; (u, v) keep the input id
+    * type, (ul, vl) carry the numeric order key. */
+  private def canonicalSimpleEdges(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("src").as("a"), col("dst").as("b"))
       .withColumn("al", col("a").cast("long"))
       .withColumn("bl", col("b").cast("long"))
       .where(col("al") =!= col("bl"))
-    val canon = e0.select(
+    e0.select(
       when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("u"),
       when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("v"),
       least(col("al"), col("bl")).as("ul"),
       greatest(col("al"), col("bl")).as("vl"))
       .dropDuplicates("ul", "vl")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[maximalMatching]]'s adaptive dispatch over an already-canonical
+    * (persisted) edge frame. */
+  private def matchingOnCanon(canon: DataFrame, rounds: Int,
+                              localThreshold: Long): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     if (canon.count() <= localThreshold) {
-      val out = localMatching(canon, rounds)
-      canon.unpersist()
-      return out
+      return localMatching(canon, rounds)
     }
     var liveE = canon.localCheckpoint(true)
-    canon.unpersist()
     var out = liveE.limit(0).select(col("u"), col("v"), lit(0).as("round"))
     var r = 0
     var done = false
@@ -1420,6 +1432,46 @@ object GraphAlgorithms {
       StructField("round", IntegerType, nullable = false)))
     val rows = out.map { case (u, v, rr) => org.apache.spark.sql.Row(u, v, rr) }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /**
+   * One multilevel-coarsening level: contract a deterministic
+   * [[maximalMatching]] (the heavy-edge-matching step at the heart of
+   * METIS-family partitioners — the reference partitions ingest with
+   * exactly that family, `src/partitioner/local/MetisPartitioner.*`).
+   * Every matched pair (u, v) collapses into the supervertex u (the
+   * numerically smaller endpoint — deterministic, replayable in plain
+   * SQL); unmatched vertices survive as themselves; the canonical simple
+   * edge list re-maps through the contraction, internal edges vanish,
+   * and parallel coarse edges merge with `weight` = how many fine edges
+   * they absorb (the weight a next level's heavy-edge matching would
+   * maximize). A maximal matching halves the vertex count in the worst
+   * case by at most 2× per level, so O(log n) levels reach any target
+   * size. Returns (src, dst, weight), canonical src < v numerically.
+   *
+   * Shape: the matching rounds plus two broadcast-or-shuffle equi-joins
+   * (fine edge → supervertex map, map size ≤ |matching| ≤ n/2) and ONE
+   * grouped count — no iteration beyond the matching's own rounds.
+   */
+  def coarsenGraph(edges: DataFrame, rounds: Int = 20,
+                   localThreshold: Long = 10000000L): DataFrame = {
+    val canon = canonicalSimpleEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val m = matchingOnCanon(canon, rounds, localThreshold)
+    val mapped = canon
+      .join(m.select(col("v").as("u"), col("u").as("su")), Seq("u"), "left")
+      .join(m.select(col("v"), col("u").as("sv")), Seq("v"), "left")
+      .select(coalesce(col("su"), col("u")).as("a"),
+        coalesce(col("sv"), col("v")).as("b"))
+      .withColumn("al", col("a").cast("long"))
+      .withColumn("bl", col("b").cast("long"))
+      .where(col("al") =!= col("bl"))
+      .select(
+        when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("src"),
+        when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    val out = mapped.localCheckpoint(true)
+    canon.unpersist()
+    out
   }
 
   /**

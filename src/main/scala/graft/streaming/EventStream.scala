@@ -155,4 +155,46 @@ object EventStream {
           }
       }
   }
+
+  /**
+   * Stream-stream event-time INTERVAL join — the click-attribution
+   * shape, and the fourth canonical streaming primitive next to
+   * watermarked windows, sketches and custom session state: every
+   * conversion event pairs with the SAME user's impression events whose
+   * timestamp lies within `[conv_ts - horizon, conv_ts]`. Both sides
+   * carry event-time watermarks and the join condition bounds the time
+   * range in BOTH directions, so Spark's stream-stream join keeps only
+   * `watermark + horizon` of per-key state on each side and GCs the
+   * rest — the bounded-state contract an unbounded 100 TB/day stream
+   * needs (an unconstrained stream-stream join would buffer forever).
+   *
+   * Inputs are `events`-shaped (ts, user_id, event_type, value);
+   * `impressionType`/`conversionType` select the two roles from either
+   * stream. Emits (user_id, imp_ts, conv_ts, lag_seconds, imp_value,
+   * conv_value) in append mode once the watermark proves a pair final.
+   */
+  def attributeWithin(impressions: DataFrame, conversions: DataFrame,
+                      impressionType: String = "view",
+                      conversionType: String = "purchase",
+                      horizon: String = "30 minutes",
+                      delay: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .where(col("event_type") === impressionType)
+      .select(col("user_id").as("imp_user"), col("ts").as("imp_ts"),
+        col("value").as("imp_value"))
+      .withWatermark("imp_ts", delay)
+    val conv = conversions
+      .where(col("event_type") === conversionType)
+      .select(col("user_id").as("conv_user"), col("ts").as("conv_ts"),
+        col("value").as("conv_value"))
+      .withWatermark("conv_ts", delay)
+    imp.join(conv,
+      col("imp_user") === col("conv_user") &&
+        col("conv_ts") >= col("imp_ts") &&
+        col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("imp_user").as("user_id"), col("imp_ts"), col("conv_ts"),
+        ((col("conv_ts").cast("long")) - col("imp_ts").cast("long"))
+          .as("lag_seconds"),
+        col("imp_value"), col("conv_value"))
+  }
 }

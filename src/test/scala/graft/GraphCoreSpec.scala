@@ -596,6 +596,40 @@ class GraphCoreSpec extends SparkSpec {
     assert(dist === loc)
   }
 
+  test("coarsenGraph: contraction invariants and hand-checked weights") {
+    import spark.implicits._
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("2", "6"), ("2", "7"), ("7", "8")).toDF("src", "dst")
+    val matched = GraphAlgorithms.maximalMatching(edges)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val coarse = GraphAlgorithms.coarsenGraph(edges)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // matched pairs vanished: no coarse edge touches a matched v (every
+    // matched v contracted into its partner u)
+    val contracted = matched.map(_._2).toSet
+    coarse.foreach { case (a, b, _) =>
+      assert(!contracted.contains(a) && !contracted.contains(b),
+        s"contracted vertex survives in $a-$b")
+    }
+    // weight conservation: coarse weights sum to fine edges minus internal
+    val internal = matched.length // simple graph: 1 fine edge per matched pair
+    assert(coarse.map(_._3).sum === 7 - internal)
+    // canonical orientation and no self-loops
+    coarse.foreach { case (a, b, w) =>
+      assert(a.toLong < b.toLong && w >= 1)
+    }
+    // vertex count shrinks by exactly the matching size
+    val fineVerts = Seq("1", "2", "3", "4", "5", "6", "7", "8").toSet
+    val coarseVerts = coarse.flatMap(c => Seq(c._1, c._2)).toSet
+    assert(coarseVerts.subsetOf(fineVerts -- contracted))
+    // triangle fixture: matching {1-2} contracts a triangle 1-2-3 into a
+    // single weight-2 edge (the two absorbed sides)
+    val tri = Seq(("1", "2"), ("2", "3"), ("1", "3")).toDF("src", "dst")
+    val ct = GraphAlgorithms.coarsenGraph(tri)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(ct.toSeq === Seq(("1", "3", 2L)))
+  }
+
   test("motifCounts: square and K4 hand-checked") {
     import spark.implicits._
     // square 1-2-3-4-1: each vertex has degree 2 → 4 wedges, 1 rectangle

@@ -213,6 +213,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: conversions attribute to in-horizon impressions only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val convs = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val joined = EventStream.attributeWithin(
+      imps.toDF().toDF("ts", "user_id", "event_type", "value"),
+      convs.toDF().toDF("ts", "user_id", "event_type", "value"),
+      horizon = "30 minutes", delay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // user 1: view at 00:00; purchase at 00:20 (in horizon) and at
+      // 01:30 (outside); user 2: view only; user 3: purchase only;
+      // wrong-type rows on both streams must be filtered
+      imps.addData(
+        (ts("00:00:00"), 1L, "view", 1.0), (ts("00:10:00"), 2L, "view", 2.0),
+        (ts("00:01:00"), 1L, "purchase", 9.0))
+      convs.addData(
+        (ts("00:20:00"), 1L, "purchase", 5.0), (ts("01:30:00"), 1L, "purchase", 6.0),
+        (ts("00:15:00"), 3L, "purchase", 7.0), (ts("00:25:00"), 2L, "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select(col("user_id"), col("lag_seconds"), col("imp_value"), col("conv_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(rows === Set((1L, 1200L, 1.0, 5.0)))
+      // state is watermark-bounded: the plan carries watermarks on both
+      // sides and a time-range condition in both directions
+      val prog = q.lastProgress
+      assert(prog.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: flatMapGroupsWithState closes sessions on gap and timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
