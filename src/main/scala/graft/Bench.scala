@@ -23,6 +23,15 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // iterative operators localCheckpoint() aggressively; the blocks
+        // are freed by ContextCleaner only when the owning RDD is GC'd,
+        // and a 16g heap under light allocation can go minutes between
+        // collections — long enough for a 160-query run to accumulate
+        // gigabytes of dead checkpoint blocks and make LATER queries pay
+        // eviction/memory pressure for EARLIER queries' history (observed
+        // 3-28x inflation of late-alphabet queries vs isolated runs).
+        // A resident service wants the same setting.
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       // warm shared inputs (cached bridge graphs) once, outside timings
@@ -71,6 +80,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // steady-state isolation: release earlier queries' unreachable
+        // checkpoint/persist blocks before timing this one (see the
+        // periodicGC comment above) — GC cost stays outside the timings
+        System.gc()
         val samples = Seq.fill(runs)(timeOnce(fn))
         val firstErr = samples.flatMap(_._2).headOption
         val median = samples.map(_._1).sorted.apply(samples.length / 2)

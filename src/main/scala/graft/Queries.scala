@@ -1592,6 +1592,25 @@ object Queries {
       },
       Some(coarsenOracleSql(rounds = 12)))),
 
+    // Deterministic Borůvka minimum spanning forest: per round every
+    // component selects its minimum incident edge under the strict
+    // (weight, cu, cv) key and contracts along it via pointer doubling —
+    // the oracle replays each round's per-label best edge, the
+    // 2-cycle-broken pointer graph, ten doubling steps and the
+    // contraction merge as MATERIALIZED CTEs.
+    "alg_mst" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"),
+            (pmod(col("l_orderkey") * 7 + col("l_partkey") * 13, lit(100)) + 1)
+              .as("weight"))
+        GraphAlgorithms.minimumSpanningForest(eb, rounds = 10)
+          .orderBy(col("u"), col("v"))
+      },
+      Some(mstOracleSql(rounds = 10)))),
+
     // Deterministic random walks (the DeepWalk/node2vec corpus
     // generator) on the mod-900 graph with BIGINT vertex ids (so both
     // engines rank adjacency numerically): every 9th vertex starts one
@@ -4085,6 +4104,64 @@ object Queries {
        |FROM re WHERE a <> b
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** alg_mst oracle: Borůvka replayed round by round. The strict edge
+    * key (w, cu, cv) packs into one BIGINT w·2²⁰ + cu·2¹⁰ + cv (fixture
+    * weights ≤ 100, ids < 900 < 2¹⁰ — order-identical to the Spark
+    * side's struct comparison); each round materializes the per-label
+    * best edge, the pointer graph with its 2-cycles broken at the
+    * smaller label, ten pointer-doubling steps (2¹⁰ ≥ any chain length
+    * at 900 labels), and the contraction merge keeping the minimum
+    * (w, ul, vl) fine edge per coarse pair. Rounds past convergence are
+    * empty on both sides. */
+  private def mstOracleSql(rounds: Int): String = {
+    val jumps = 10
+    def key(a: String) = s"$a.w * 1048576 + $a.cu * 1024 + $a.cv"
+    val chain = (1 to rounds).map { r =>
+      val jumpCtes = (1 to jumps).map { j =>
+        s"""q${r}_$j AS MATERIALIZED (SELECT x.lbl, y.ptr
+           |  FROM q${r}_${j - 1} x JOIN q${r}_${j - 1} y ON x.ptr = y.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""b$r AS MATERIALIZED (SELECT lbl, MIN(k) AS mk FROM (
+         |    SELECT cu AS lbl, ${key("s")} AS k FROM s${r - 1} s
+         |    UNION ALL SELECT cv, ${key("s")} FROM s${r - 1} s)
+         |  GROUP BY lbl),
+         |sel$r AS MATERIALIZED (SELECT DISTINCT s.ul AS u, s.vl AS v, s.w
+         |  FROM s${r - 1} s JOIN b$r b ON ${key("s")} = b.mk),
+         |p$r AS MATERIALIZED (SELECT b.lbl,
+         |    CASE WHEN s.cu = b.lbl THEN s.cv ELSE s.cu END AS ptr
+         |  FROM b$r b JOIN s${r - 1} s ON ${key("s")} = b.mk),
+         |q${r}_0 AS MATERIALIZED (SELECT x.lbl,
+         |    CASE WHEN y.ptr = x.lbl THEN LEAST(x.lbl, x.ptr) ELSE x.ptr END AS ptr
+         |  FROM p$r x JOIN p$r y ON x.ptr = y.lbl),
+         |$jumpCtes,
+         |s$r AS MATERIALIZED (SELECT cu, cv, ul, vl, w FROM (
+         |    SELECT LEAST(ju.ptr, jv.ptr) AS cu, GREATEST(ju.ptr, jv.ptr) AS cv,
+         |      s.ul, s.vl, s.w,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY LEAST(ju.ptr, jv.ptr), GREATEST(ju.ptr, jv.ptr)
+         |        ORDER BY s.w, s.ul, s.vl) AS rn
+         |    FROM s${r - 1} s
+         |    JOIN q${r}_$jumps ju ON ju.lbl = s.cu
+         |    JOIN q${r}_$jumps jv ON jv.lbl = s.cv
+         |    WHERE ju.ptr <> jv.ptr)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT u, v, w FROM sel$r").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT l_orderkey % 900 AS src, l_partkey % 900 AS dst,
+       |    (l_orderkey * 7 + l_partkey * 13) % 100 + 1 AS w
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |s0 AS MATERIALIZED (
+       |  SELECT LEAST(src, dst) AS cu, GREATEST(src, dst) AS cv,
+       |    LEAST(src, dst) AS ul, GREATEST(src, dst) AS vl, MIN(w) AS w
+       |  FROM eb WHERE src <> dst GROUP BY 1, 2, 3, 4),
+       |$chain
+       |SELECT u, v, w AS weight FROM (
+       |  $union)
+       |ORDER BY u, v""".stripMargin
   }
 
   /** Shared WITH-body for the walk oracles: ranked adjacency + the

@@ -1475,6 +1475,194 @@ object GraphAlgorithms {
   }
 
   /**
+   * Minimum spanning forest by DETERMINISTIC Borůvka rounds — the
+   * textbook O(log n)-round distributed MST (and the fourth member of
+   * the contraction family here, next to [[maximalMatching]] /
+   * [[coarsenGraph]] / the large-star components in Dedup): each round
+   * every component selects its minimum incident edge under the STRICT
+   * total key (weight, cu, cv) — weight ties broken by the canonical
+   * coarse endpoint pair, so selection is replayable in plain SQL —
+   * selected fine edges join the forest, and components contract along
+   * them. Contraction is pointer-doubling: each component label points
+   * at its selected edge's other endpoint; under a strict total order
+   * the pointer graph of every pseudo-tree has exactly one 2-cycle,
+   * whose smaller label becomes the root, and log-many jump steps
+   * (p ← p∘p) flatten every pointer chain to its root. With all-equal
+   * weights this degrades gracefully to a deterministic spanning
+   * forest; with distinct weights it is THE unique MSF. Returns the
+   * forest's fine edges (u, v, weight), canonical u < v numerically
+   * (BIGINT-castable ids — the [[maximalIndependentSet]] contract).
+   *
+   * Shape: per round one grouped min over both orientations of the
+   * coarse edge list (per-label best edge), a handful of label-sized
+   * self-joins for the pointer jumps (labels at least halve per round),
+   * and one grouped min to merge parallel coarse edges — all
+   * localCheckpointed, O(1) plan depth per step. Below `localThreshold`
+   * edges the identical synchronous semantics run driver-side (the
+   * adaptive kCore/HITS/MIS pattern; parity spec-asserted via
+   * localThreshold = 0).
+   */
+  def minimumSpanningForest(edges: DataFrame, weightCol: String = "weight",
+                            rounds: Int = 12,
+                            localThreshold: Long = 10000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    // canonical fine edges with the min weight among parallel edges;
+    // (ou, ov) keep the original id type for the output
+    val e0 = edges.select(col("src").as("a"), col("dst").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("al", col("a").cast("long"))
+      .withColumn("bl", col("b").cast("long"))
+      .where(col("al") =!= col("bl"))
+    val canon = e0.select(
+        when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("ou"),
+        when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("ov"),
+        least(col("al"), col("bl")).as("ul"),
+        greatest(col("al"), col("bl")).as("vl"),
+        col("w"))
+      .groupBy("ul", "vl")
+      .agg(min(struct(col("w"), col("ou"), col("ov"))).as("m"))
+      .select(col("m.ou").as("ou"), col("m.ov").as("ov"),
+        col("ul"), col("vl"), col("m.w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (canon.count() <= localThreshold) {
+      val out = localBoruvka(canon, rounds)
+      canon.unpersist()
+      return out
+    }
+    // coarse edge state: (cu, cv) current component labels (cu < cv),
+    // (ou, ov, ul, vl, w) the best underlying fine edge (ul/vl carry the
+    // numeric order keys so merges tie-break numerically for any id type)
+    var active = canon.select(col("ul").as("cu"), col("vl").as("cv"),
+      col("ou"), col("ov"), col("ul"), col("vl"), col("w")).localCheckpoint(true)
+    canon.unpersist()
+    var forest = active.limit(0).select(col("ou").as("u"), col("ov").as("v"),
+      col("w").as("weight"))
+    var r = 0
+    while (r < rounds && !active.isEmpty) {
+      r += 1
+      val key = struct(col("w"), col("cu"), col("cv"))
+      val byEnd = active.select(col("cu").as("lbl"), key.as("k"), col("cv").as("other"))
+        .unionByName(active.select(col("cv").as("lbl"), key.as("k"), col("cu").as("other")))
+      // per-label minimum incident edge + the pointer to its other end
+      val best = byEnd.groupBy("lbl").agg(min(struct(col("k"), col("other"))).as("m"))
+        .select(col("lbl"), col("m.k").as("k"), col("m.other").as("ptr"))
+        .localCheckpoint(true)
+      // selected coarse edges (distinct by coarse pair), fine edges out
+      val sel = active
+        .join(best.select(col("k")).distinct(), key === col("k"), "left_semi")
+        .localCheckpoint(true)
+      forest = forest.unionByName(
+        sel.select(col("ou").as("u"), col("ov").as("v"), col("w").as("weight")))
+      // pointer graph: break each 2-cycle at its smaller label
+      val p = best.select(col("lbl"), col("ptr"))
+      var jump = p.as("x").join(p.as("y"), col("x.ptr") === col("y.lbl"))
+        .select(col("x.lbl").as("lbl"),
+          when(col("y.ptr") === col("x.lbl"), least(col("x.lbl"), col("x.ptr")))
+            .otherwise(col("x.ptr")).as("ptr"))
+        .localCheckpoint(true)
+      // pointer doubling to the fixpoint (chains at least halve per
+      // step; 48 doublings cover any chain below 2^48 labels)
+      var stable = false
+      var jumps = 0
+      while (!stable && jumps < 48) {
+        jumps += 1
+        val next = jump.as("x").join(jump.as("y"), col("x.ptr") === col("y.lbl"))
+          .select(col("x.lbl").as("lbl"), col("y.ptr").as("ptr"))
+          .localCheckpoint(true)
+        stable = next.as("a").join(jump.as("b"),
+          col("a.lbl") === col("b.lbl") && col("a.ptr") =!= col("b.ptr")).isEmpty
+        jump = next
+      }
+      // contract: relabel both endpoints, drop internal edges, merge
+      // parallel coarse edges keeping the minimum fine edge
+      active = active
+        .join(jump.select(col("lbl").as("cu"), col("ptr").as("nu")), Seq("cu"))
+        .join(jump.select(col("lbl").as("cv"), col("ptr").as("nv")), Seq("cv"))
+        .where(col("nu") =!= col("nv"))
+        .select(least(col("nu"), col("nv")).as("cu"),
+          greatest(col("nu"), col("nv")).as("cv"),
+          col("ou"), col("ov"), col("ul"), col("vl"), col("w"))
+        .groupBy("cu", "cv")
+        .agg(min(struct(col("w"), col("ul"), col("vl"), col("ou"), col("ov"))).as("m"))
+        .select(col("cu"), col("cv"), col("m.ou").as("ou"), col("m.ov").as("ov"),
+          col("m.ul").as("ul"), col("m.vl").as("vl"), col("m.w").as("w"))
+        .localCheckpoint(true)
+    }
+    forest
+  }
+
+  /** Driver-side Borůvka rounds for [[minimumSpanningForest]]'s small
+    * regime — identical synchronous semantics over interned maps. */
+  private def localBoruvka(canon: DataFrame, rounds: Int): DataFrame = {
+    val spark = canon.sparkSession
+    val ut = canon.schema("ou").dataType
+    val vt = canon.schema("ov").dataType
+    val rows0 = canon.select("ou", "ov", "ul", "vl", "w").collect()
+    // coarse edge map: (cu, cv) -> (w, ou index, ov index) best fine edge
+    val eu = rows0.map(_.get(0)); val ev = rows0.map(_.get(1))
+    var act = scala.collection.mutable.HashMap.empty[(Long, Long), (Long, Int)]
+    rows0.zipWithIndex.foreach { case (row, i) =>
+      act((row.getLong(2), row.getLong(3))) = (row.getLong(4), i)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, Long)]
+    var r = 0
+    while (r < rounds && act.nonEmpty) {
+      r += 1
+      // per-label min incident (key = (w, cu, cv)) and its pointer
+      val best = scala.collection.mutable.HashMap.empty[Long, (Long, Long, Long, Long)]
+      act.foreach { case ((cu, cv), (w, _)) =>
+        for ((lbl, other) <- Seq((cu, cv), (cv, cu))) {
+          val k = (w, cu, cv, other)
+          if (!best.contains(lbl) ||
+            Ordering[(Long, Long, Long)].lt((k._1, k._2, k._3),
+              (best(lbl)._1, best(lbl)._2, best(lbl)._3))) best(lbl) = k
+        }
+      }
+      val selected = best.values.map(k => (k._2, k._3)).toSet
+      selected.toSeq.sorted.foreach { cc =>
+        val (w, i) = act(cc)
+        out += ((eu(i), ev(i), w))
+      }
+      // pointer graph with 2-cycles broken at the smaller label
+      val ptr0 = best.map { case (lbl, k) => lbl -> k._4 }
+      def broken(l: Long): Long = {
+        val p = ptr0(l)
+        if (ptr0.get(p).contains(l)) math.min(l, p) else p
+      }
+      val root = scala.collection.mutable.HashMap.empty[Long, Long]
+      ptr0.keys.foreach { l =>
+        var x = broken(l)
+        while (broken(x) != x) x = broken(x)
+        root(l) = x
+      }
+      // contract + merge parallel edges (min fine edge)
+      val next = scala.collection.mutable.HashMap.empty[(Long, Long), (Long, Int)]
+      act.foreach { case ((cu, cv), (w, i)) =>
+        val nu = root.getOrElse(cu, cu); val nv = root.getOrElse(cv, cv)
+        if (nu != nv) {
+          val cc = (math.min(nu, nv), math.max(nu, nv))
+          val cur = next.get(cc)
+          // tie-break on the canonical fine pair so the merge is
+          // deterministic (matches the distributed min(struct(w,ou,ov))
+          // via the ul/vl ordering encoded in edge index order)
+          if (cur.isEmpty || w < cur.get._1 || (w == cur.get._1 &&
+            Ordering[(Long, Long)].lt(keyOf(rows0, i), keyOf(rows0, cur.get._2))))
+            next(cc) = (w, i)
+        }
+      }
+      act = next
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("u", ut), StructField("v", vt),
+      StructField("weight", LongType, nullable = false)))
+    val rows = out.map { case (u, v, w) => org.apache.spark.sql.Row(u, v, w) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def keyOf(rows: Array[org.apache.spark.sql.Row], i: Int): (Long, Long) =
+    (rows(i).getLong(2), rows(i).getLong(3))
+
+  /**
    * Wedge and rectangle (4-cycle) counts — the motif statistics one step
    * beyond [[triangleCount]] (parity-plus; the reference counts
    * triangles only). wedges = Σ_v C(deg v, 2); rectangles = ½ Σ_{u<w}

@@ -630,6 +630,44 @@ class GraphCoreSpec extends SparkSpec {
     assert(ct.toSeq === Seq(("1", "3", 2L)))
   }
 
+  test("minimumSpanningForest: hand-checked MST, forest invariants, parity") {
+    import spark.implicits._
+    // weighted wheel: unique MST is the three weight-1 spokes + the
+    // cheapest rim edge... hand-trace: spokes 0-1 (1), 0-2 (2), 0-3 (3);
+    // rim 1-2 (10), 2-3 (10), 1-3 (4). MST = {0-1, 0-2, 0-3} weight 6.
+    val wheel = Seq(("0", "1", 1L), ("0", "2", 2L), ("0", "3", 3L),
+      ("1", "2", 10L), ("2", "3", 10L), ("1", "3", 4L))
+      .toDF("src", "dst", "weight")
+    val mst = GraphAlgorithms.minimumSpanningForest(wheel)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(mst === Set(("0", "1", 1L), ("0", "2", 2L), ("0", "3", 3L)))
+    // parallel edges keep the cheaper; duplicate rows and self-loops drop
+    val par = Seq(("1", "2", 5L), ("2", "1", 3L), ("1", "2", 5L), ("2", "2", 1L))
+      .toDF("src", "dst", "weight")
+    assert(GraphAlgorithms.minimumSpanningForest(par)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq(("1", "2", 3L)))
+    // two components + all-equal weights: a spanning forest with
+    // |V| - #components edges, deterministic across runs
+    val twoComp = Seq(("1", "2", 7L), ("2", "3", 7L), ("1", "3", 7L),
+      ("10", "11", 7L), ("11", "12", 7L))
+      .toDF("src", "dst", "weight")
+    val f1 = GraphAlgorithms.minimumSpanningForest(twoComp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(f1.size === 4) // 6 vertices, 2 components
+    assert(f1 === GraphAlgorithms.minimumSpanningForest(twoComp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+    // adaptive parity: distributed rounds (localThreshold = 0) match the
+    // driver-side sweep edge-for-edge on every fixture above
+    for (g <- Seq(wheel, par, twoComp)) {
+      val loc = GraphAlgorithms.minimumSpanningForest(g)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val dist = GraphAlgorithms.minimumSpanningForest(g, localThreshold = 0L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(dist === loc, s"boruvka local/distributed divergence")
+    }
+  }
+
   test("motifCounts: square and K4 hand-checked") {
     import spark.implicits._
     // square 1-2-3-4-1: each vertex has degree 2 → 4 wedges, 1 rectangle
