@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // away from an executor-thread OOM (observed once — fatal, stops the
   // SparkContext); the box has 125 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The 160-query bench generates enough whole-stage-codegen classes to
+  // exhaust JDK17's default 240 MB code cache mid-run — the JIT then
+  // silently stops compiling and later queries run partially interpreted
+  // (measured 3-10x inflation of late queries vs isolated runs). Size it
+  // so a full sweep stays JIT-compiled; flushing guards the tail.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

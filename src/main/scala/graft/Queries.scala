@@ -290,6 +290,29 @@ object Queries {
           .orderBy(col("key")),
       Some(bloomProbeOracleSql(bits = 4096, k = 5)))),
 
+    // KMV (bottom-k) distinct sketch per order priority: the k smallest
+    // distinct 56-bit md5 hashes of the custkey — the third mergeable
+    // cardinality tool (set-operation-capable, exact below k), an exact
+    // integer contract replayed digit for digit.
+    "q_kmv_sketch" -> ((
+      (s: SparkSession, d: String) =>
+        Sketches.kmvSketch(t(s, d, "orders"), "o_custkey", k = 16,
+            groupCols = Seq("o_orderpriority"))
+          .orderBy(col("o_orderpriority"), col("rank")),
+      Some(kmvSketchOracleSql(k = 16)))),
+
+    // KMV read path: per-priority distinct-custkey estimate from the
+    // bottom-32 sketch — (k−1)·D/h(k) in all-BIGINT floor arithmetic,
+    // exact-count mode for groups below k.
+    "q_kmv_estimate" -> ((
+      (s: SparkSession, d: String) =>
+        Sketches.kmvEstimate(
+            Sketches.kmvSketch(t(s, d, "orders"), "o_custkey", k = 32,
+              groupCols = Seq("o_orderpriority")),
+            k = 32, groupCols = Seq("o_orderpriority"))
+          .orderBy(col("o_orderpriority")),
+      Some(kmvEstimateOracleSql(k = 32)))),
+
     // Z-order (Morton) layout codes: interleave two key dimensions into
     // one sort key so min/max file statistics prune 2-D range predicates
     // — the Delta/Iceberg Z-ORDER clustering primitive. The per-code
@@ -4416,6 +4439,42 @@ object Queries {
   /** SQL fragment: integer value of the lowercase hex char expression. */
   private def hvSql(e: String): String =
     s"(CASE WHEN ascii($e) >= 97 THEN ascii($e) - 87 ELSE ascii($e) - 48 END)"
+
+  /** 56-bit KMV hash in SQL: the first 14 md5 hex digits, digit-summed
+    * into one BIGINT (matches `Sketches.kmvHash`'s conv(...,16,10)). */
+  private def kmvHashSql(key: String): String = {
+    val m = s"md5(CAST($key AS VARCHAR))"
+    (1 to 14).map { i =>
+      val pw = java.math.BigInteger.valueOf(16L).pow(14 - i)
+      s"${hvSql(s"substr($m, $i, 1)")} * CAST($pw AS BIGINT)"
+    }.mkString(" + ")
+  }
+
+  /** q_kmv_sketch oracle: distinct per-group hashes + ROW_NUMBER bottom-k. */
+  private def kmvSketchOracleSql(k: Int): String =
+    s"""WITH h AS (SELECT DISTINCT o_orderpriority, ${kmvHashSql("o_custkey")} AS hval
+       |  FROM orders WHERE o_custkey IS NOT NULL),
+       |r AS (SELECT o_orderpriority, hval,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hval) AS INTEGER) AS rank
+       |  FROM h)
+       |SELECT o_orderpriority, rank, hval FROM r WHERE rank <= $k
+       |ORDER BY o_orderpriority, rank""".stripMargin
+
+  /** q_kmv_estimate oracle: the sketch CTE + (k−1)·D // h(k) floor
+    * arithmetic with the exact-count mode below k. */
+  private def kmvEstimateOracleSql(k: Int): String =
+    s"""WITH h AS (SELECT DISTINCT o_orderpriority, ${kmvHashSql("o_custkey")} AS hval
+       |  FROM orders WHERE o_custkey IS NOT NULL),
+       |r AS (SELECT o_orderpriority, hval,
+       |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hval) AS rank
+       |  FROM h),
+       |sk AS (SELECT o_orderpriority, COUNT(*) AS n, MAX(hval) AS hk
+       |  FROM r WHERE rank <= $k GROUP BY 1)
+       |SELECT o_orderpriority,
+       |  CAST(CASE WHEN n < $k THEN n
+       |    ELSE (CAST(${k - 1} AS BIGINT) * CAST(72057594037927936 AS BIGINT)) // hk
+       |  END AS BIGINT) AS est
+       |FROM sk ORDER BY o_orderpriority""".stripMargin
 
   /** q_hll_registers oracle: bucket/rho replayed digit for digit from
     * the md5 hex string — 4 leading-zero bits per '0' digit plus a CASE

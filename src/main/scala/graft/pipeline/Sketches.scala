@@ -165,4 +165,68 @@ object Sketches {
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** KMV hash of a key: the first 14 md5 hex digits as a 56-bit BIGINT —
+    * small enough that (k−1)·2⁵⁶ stays inside BIGINT for k ≤ 128. */
+  private[graft] def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 14), 16, 10).cast("long")
+
+  /**
+   * KMV (k-minimum-values / bottom-k) distinct sketch per group — the
+   * third mergeable cardinality tool next to [[hllRegisters]] (HLL wins
+   * on size; KMV additionally supports set operations and yields an
+   * UNBIASED estimator with a trivially exact small-range mode): the
+   * sketch is the k smallest DISTINCT 56-bit hash values of the key per
+   * group (Bar-Yossef et al. 2002). Returns (groupCols*, rank, hval),
+   * rank 1..k ascending — ≤ k rows per group regardless of volume.
+   *
+   * MERGE is union + re-bottom-k (the same window); shards, partitions
+   * and batch-vs-stream builds compose. Shape: one distinct-aggregate
+   * shuffle on (group, hash) + one per-group window over ≤ k·shards
+   * rows. Feed to [[kmvEstimate]] for cardinalities.
+   */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int = 32,
+                groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 2 && k <= 128, s"need 2 <= k <= 128: $k")
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val hashed = df.where(col(keyCol).isNotNull)
+      .select(grp :+ kmvHash(col(keyCol)).as("hval"): _*)
+      .distinct()
+    // scale guard: the final per-group rank would otherwise pull EVERY
+    // distinct hash of a group through one window task — prune to each
+    // PARTITION's bottom-k first (a superset of the global bottom-k, so
+    // the result is layout-invariant), leaving <= k * numPartitions rows
+    val withPid = hashed.withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(grp :+ col("__pid"): _*).orderBy(col("hval"))
+    val pruned = withPid
+      .withColumn("__lr", row_number().over(localW))
+      .where(col("__lr") <= k).drop("__pid", "__lr")
+    val w = if (groupCols.isEmpty) Window.orderBy(col("hval"))
+      else Window.partitionBy(grp: _*).orderBy(col("hval"))
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(grp ++ Seq(col("rank"), col("hval")): _*)
+  }
+
+  /**
+   * Distinct-count estimate from a KMV sketch: a group holding fewer
+   * than k values has seen its WHOLE distinct set (the sketch is exact
+   * below k); at k values the estimate is the standard (k−1)·D / h(k)
+   * with D = 16¹⁴ the hash domain and h(k) the k-th smallest hash —
+   * all-BIGINT floor arithmetic, replayable in plain SQL. Returns
+   * (groupCols*, est).
+   */
+  def kmvEstimate(sketch: DataFrame, k: Int = 32,
+                  groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val grp = groupCols.map(col)
+    val domain = 72057594037927936L // 16^14
+    val agg = if (groupCols.isEmpty) sketch.groupBy()
+      else sketch.groupBy(grp: _*)
+    agg.agg(count(lit(1)).as("n"), max(col("hval")).as("hk"))
+      .select(grp :+
+        when(col("n") < k, col("n"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * CAST($domain AS BIGINT) DIV hk"))
+          .as("est"): _*)
+  }
 }

@@ -882,6 +882,38 @@ class PipelineSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("sketches: KMV bottom-k is exact below k, merges by re-bottom-k, estimates near truth") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    // exact mode: 10 distinct keys < k=16 → estimate is the exact count
+    val small = (1L to 10L).toDF("k")
+    val estSmall = Sketches.kmvEstimate(Sketches.kmvSketch(small, "k", k = 16), k = 16)
+      .collect()(0).getLong(0)
+    assert(estSmall === 10L)
+    // estimator: 2000 distinct keys, k=32 → within 40% (KMV stderr ~ 1/sqrt(k-2))
+    val keys = (1L to 2000L).toDF("k")
+    val sk = Sketches.kmvSketch(keys, "k", k = 32)
+    assert(sk.count() === 32L)
+    val est = Sketches.kmvEstimate(sk, k = 32).collect()(0).getLong(0)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.4, s"estimate $est for n=2000")
+    // merge: union of shard sketches re-bottom-k'd == whole-corpus sketch
+    import org.apache.spark.sql.expressions.Window
+    val a = Sketches.kmvSketch((1L to 1000L).toDF("k"), "k", k = 32)
+    val b = Sketches.kmvSketch((1001L to 2000L).toDF("k"), "k", k = 32)
+    val merged = a.unionByName(b).select(col("hval")).distinct()
+      .withColumn("rank", row_number().over(Window.orderBy(col("hval"))))
+      .where(col("rank") <= 32)
+      .orderBy("rank").collect().map(r => r.getLong(0)).toSeq
+    val whole = sk.orderBy("rank").collect().map(r => r.getLong(1)).toSeq
+    assert(merged === whole)
+    // grouped form: one bounded sketch per group, ranks 1..k ascending
+    val grouped = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L))
+      .toDF("g", "k")
+    val gs = Sketches.kmvSketch(grouped, "k", k = 16, groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(gs.count(_._1 == "a") === 3 && gs.count(_._1 == "b") === 1)
+  }
+
   test("randomProjection: exact LCG sign dots, shape and determinism") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
