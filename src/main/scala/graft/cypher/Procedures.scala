@@ -259,6 +259,23 @@ object Procedures {
     GraphAlgorithms.maximalMatching(g.edges, rounds)
   })
 
+  /** Parity-plus contraction family: CALL graft.coarsen([rounds]) — one
+    * METIS-style matching-contraction level; graft.mst([rounds]) — the
+    * Borůvka minimum spanning forest over the edge `weight` property
+    * (weight 1 when absent, the graft.weightedpagerank convention). */
+  register("graft.coarsen", (g, args) => {
+    val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(20)
+    GraphAlgorithms.coarsenGraph(g.edges, rounds)
+  })
+  register("graft.mst", (g, args) => {
+    val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(12)
+    val w = if (g.edges.columns.contains("properties"))
+      coalesce(element_at(col("properties"), "weight").cast("long"), lit(1L))
+    else lit(1L)
+    GraphAlgorithms.minimumSpanningForest(
+      g.edges.select(col("src"), col("dst"), w.as("weight")), rounds = rounds)
+  })
+
   register("graft.kafkatopics", (g, _) => {
     val spark = g.nodes.sparkSession
     import spark.implicits._

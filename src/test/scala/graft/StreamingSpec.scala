@@ -213,6 +213,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming partitioner: LDG keeps communities together, placements stable, cuts counted both sides") {
+    import graft.streaming.StreamingPartitioner
+    // triangle a-b-c then a far pair d-e: LDG co-locates each community
+    val p = new StreamingPartitioner(k = 3, mode = "ldg", capacity = 100.0)
+    for ((u, v) <- Seq(("a", "b"), ("b", "c"), ("a", "c"), ("d", "e")))
+      p.addEdge(u, v)
+    val tri = Seq("a", "b", "c").map(p.partitionOf(_).get)
+    assert(tri.distinct.size === 1, s"triangle split across $tri")
+    assert(p.partitionOf("d") === p.partitionOf("e"))
+    // least-loaded tie-break put the pair in a DIFFERENT partition
+    assert(p.partitionOf("d").get !== tri.head)
+    assert(p.internalEdgeCount === 4L && p.cutEdgeCount === 0L)
+    // stability: replaying an edge never moves a vertex
+    val before = Seq("a", "b", "c", "d", "e").map(p.partitionOf)
+    p.addEdge("a", "b")
+    assert(Seq("a", "b", "c", "d", "e").map(p.partitionOf) === before)
+    // forced cut: capacity 1 on k=2 splits a pair; cuts count on BOTH sides
+    val tight = new StreamingPartitioner(k = 2, mode = "ldg", capacity = 1.0)
+    tight.addEdge("1", "2")
+    val st = tight.stats(spark).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tight.cutEdgeCount === 1L)
+    assert(st.map(_._3).sum === 2L, s"cut must count on both sides: $st")
+    // hash mode: reference stoi(id) % k parity
+    val h = new StreamingPartitioner(k = 4, mode = "hash")
+    assert(h.addEdge("10", "7") === ((2, 3)))
+    // fennel: balances isolated vertices across partitions
+    val f = new StreamingPartitioner(k = 2, mode = "fennel")
+    for (i <- 1 to 8) f.addEdge(s"x$i", s"y$i")
+    val fs = f.stats(spark).collect().map(_.getLong(1))
+    assert(math.abs(fs(0) - fs(1)) <= 2, s"fennel imbalance: ${fs.toSeq}")
+    // batch API: annotates rows in order with the live assignment
+    import spark.implicits._
+    val bp = new StreamingPartitioner(k = 2, mode = "ldg", capacity = 100.0)
+    val out = bp.addBatch(Seq(("m", "n"), ("n", "o")).toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3)))
+    assert(out.length === 2)
+    assert(bp.vertexCount === 3)
+  }
+
   test("stream-stream interval join: conversions attribute to in-horizon impressions only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
