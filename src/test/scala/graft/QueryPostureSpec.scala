@@ -296,4 +296,55 @@ class QueryPostureSpec extends SparkSpec {
     assert(p.split("HashAggregate").length - 1 >= 2,
       s"rollup lost partial aggregation:\n$p")
   }
+
+  test("contraction family (matching/coarsen/mst): equi-joins only in every round, never a product") {
+    // The loops checkpoint eagerly, so the FINAL plan is just RDD scans —
+    // capture every executed per-round plan through a listener instead
+    // and assert no round degenerates to a nested-loop/cartesian
+    // (quadratic at scale). Forced distributed via localThreshold = 0.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+        .toDF("src", "dst")
+      graft.algorithms.GraphAlgorithms
+        .maximalMatching(edges, rounds = 2, localThreshold = 0L).collect()
+      graft.algorithms.GraphAlgorithms
+        .coarsenGraph(edges, rounds = 2, localThreshold = 0L).collect()
+      graft.algorithms.GraphAlgorithms
+        .minimumSpanningForest(edges.withColumn("weight", col("src") + col("dst")),
+          rounds = 2, localThreshold = 0L).collect()
+      // listener delivery is async; poll briefly for the bus to drain
+      var waited = 0
+      while (plans.synchronized(plans.size) < 3 && waited < 10000) {
+        Thread.sleep(200); waited += 200
+      }
+      val captured = plans.synchronized(plans.toList)
+      assert(captured.nonEmpty, "listener captured no per-round plans")
+      captured.foreach { p =>
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"a contraction round produced a product join:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("kmv sketch: partition-pruned before the per-group rank window") {
+    val p = plan("q_kmv_sketch")
+    // the guard that keeps any single window task under k*P rows: a
+    // per-partition row_number filter BEFORE the final rank
+    assert(p.split("RunningWindowFunction|Window").length - 1 >= 2,
+      s"kmvSketch lost its two-level window (local prune + global rank):\n$p")
+    assert(!p.contains("CartesianProduct"), s"kmvSketch has a cartesian:\n$p")
+  }
 }
