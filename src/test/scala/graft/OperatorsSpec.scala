@@ -232,4 +232,31 @@ class OperatorsSpec extends SparkSpec {
       "shard-merged sketch differs from single-pass sketch")
   }
 
+  test("perf catalog: append-only history, sla report grid, admission gate") {
+    import graft.operators.PerfCatalog
+    val dir = java.nio.file.Files.createTempDirectory("perfcat").toString
+    val cat = new PerfCatalog(s"$dir/perf")
+    // no history yet: first attempt must be admitted
+    assert(cat.admit(spark, "trian", partitions = 4, slaMs = 10L))
+    // record a few runs across two graphs / partition counts
+    cat.record(spark, "trian", "powergrid", 4, 100L)
+    cat.record(spark, "trian", "powergrid", 4, 200L)
+    cat.record(spark, "trian", "powergrid", 4, 300L)
+    cat.record(spark, "trian", "social", 8, 5000L)
+    cat.record(spark, "pgrnk", "powergrid", 4, 50L)
+    // the sla report grid: per (graph, partitions) attempts + median/max
+    val rep = cat.slaReport(spark, "trian").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(4))).toSeq
+    assert(rep === Seq(("powergrid", 4, 3L, 300L), ("social", 8, 1L, 5000L)))
+    // admission: p90 of {100,200,300} = 300 fits a 400ms SLA, not 250ms
+    assert(cat.admit(spark, "trian", 4, slaMs = 400L))
+    assert(!cat.admit(spark, "trian", 4, slaMs = 250L))
+    // unseen (command, partitions) combination admits
+    assert(cat.admit(spark, "trian", 16, slaMs = 1L))
+    // timed() wraps a body, records, and passes the result through
+    val out = cat.timed(spark, "vcnt", "powergrid", 4) { 42 }
+    assert(out === 42)
+    assert(cat.history(spark).where(col("command") === "vcnt").count() === 1L)
+  }
+
 }
