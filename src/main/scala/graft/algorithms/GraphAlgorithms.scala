@@ -1296,8 +1296,9 @@ object GraphAlgorithms {
    * [[maximalIndependentSet]] and [[jpColoring]] (pairing/scheduling,
    * graph coarsening for multilevel partitioners): this is Luby's MIS
    * run on the LINE graph without materializing it. Edges are
-   * canonicalized u < v on the BIGINT cast (ids must cast to BIGINT —
-   * the [[maximalIndependentSet]] contract); in round r every live edge
+   * canonicalized u < v on the BIGINT cast, with an xxhash64 fallback
+   * order key for non-numeric ids (see [[canonicalSimpleEdges]]); in
+   * round r every live edge
    * draws the pure-integer priority
    * LCG(u·1000003 + v·7919 + r·101) (replayable in plain SQL, no RNG
    * state) and joins the matching iff its (priority, u, v) key is the
@@ -1326,11 +1327,17 @@ object GraphAlgorithms {
 
   /** Canonical simple undirected edge list: u < v on the BIGINT cast,
     * self-loops and duplicate rows dropped; (u, v) keep the input id
-    * type, (ul, vl) carry the numeric order key. */
+    * type, (ul, vl) carry the numeric order key. Ids that do NOT cast
+    * to BIGINT (e.g. the bridge graph's "c123") fall back to xxhash64
+    * of the string form — a deterministic order key, so matching/
+    * coarsening/MST run on any id type (outputs always carry the
+    * original ids; only priorities and tie-breaks use the key). */
   private def canonicalSimpleEdges(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("src").as("a"), col("dst").as("b"))
-      .withColumn("al", col("a").cast("long"))
-      .withColumn("bl", col("b").cast("long"))
+      .withColumn("al",
+        coalesce(col("a").try_cast("long"), xxhash64(col("a").cast("string"))))
+      .withColumn("bl",
+        coalesce(col("b").try_cast("long"), xxhash64(col("b").cast("string"))))
       .where(col("al") =!= col("bl"))
     e0.select(
       when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("u"),
@@ -1354,9 +1361,16 @@ object GraphAlgorithms {
     var done = false
     while (r < rounds && !done) {
       r += 1
-      val keyed = liveE.withColumn("p", pmod(
-        lit(1103515245L) * (col("ul") * lit(1000003L) + col("vl") * lit(7919L)
-          + lit(r.toLong) * lit(101L)) + lit(12345L), lit(2147483647L)))
+      // stepwise mod keeps every intermediate under 2^62 even for
+      // hashed 64-bit order keys (ANSI overflow-safe); for ids < 2^31
+      // the inner pmod is the identity, so the replayable oracle form
+      // pmod(A*(ul*c1 + vl*c2 + r*c3) + B, M) is unchanged
+      val m31 = lit(2147483647L)
+      val inner = pmod(
+        pmod(col("ul"), m31) * lit(1000003L) +
+          pmod(col("vl"), m31) * lit(7919L) + lit(r.toLong) * lit(101L), m31)
+      val keyed = liveE.withColumn("p",
+        pmod(lit(1103515245L) * inner + lit(12345L), m31))
       val k = struct(col("p"), col("ul"), col("vl"))
       val byEnd = keyed.select(col("ul").as("idl"), k.as("k"))
         .unionByName(keyed.select(col("vl").as("idl"), k.as("k")))
@@ -1407,9 +1421,14 @@ object GraphAlgorithms {
     var r = 0
     while (r < rounds && liveCount > 0) {
       r += 1
-      def prio(i: Int): Long = math.floorMod(
-        1103515245L * (ul(i) * 1000003L + vl(i) * 7919L + r * 101L) + 12345L,
-        2147483647L)
+      def prio(i: Int): Long = {
+        // mirrors the distributed stepwise-mod form exactly (identity
+        // inner pmod for ids < 2^31, overflow-safe for hashed keys)
+        val m = 2147483647L
+        val inner = math.floorMod(math.floorMod(ul(i), m) * 1000003L +
+          math.floorMod(vl(i), m) * 7919L + r * 101L, m)
+        math.floorMod(1103515245L * inner + 12345L, m)
+      }
       val p = Array.tabulate(m)(i => if (alive(i)) prio(i) else Long.MaxValue)
       def less(i: Int, j: Int): Boolean =
         p(i) < p(j) || (p(i) == p(j) && (ul(i) < ul(j) ||
@@ -1462,8 +1481,10 @@ object GraphAlgorithms {
       .join(m.select(col("v"), col("u").as("sv")), Seq("v"), "left")
       .select(coalesce(col("su"), col("u")).as("a"),
         coalesce(col("sv"), col("v")).as("b"))
-      .withColumn("al", col("a").cast("long"))
-      .withColumn("bl", col("b").cast("long"))
+      .withColumn("al",
+        coalesce(col("a").try_cast("long"), xxhash64(col("a").cast("string"))))
+      .withColumn("bl",
+        coalesce(col("b").try_cast("long"), xxhash64(col("b").cast("string"))))
       .where(col("al") =!= col("bl"))
       .select(
         when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("src"),
@@ -1490,8 +1511,8 @@ object GraphAlgorithms {
    * (p ← p∘p) flatten every pointer chain to its root. With all-equal
    * weights this degrades gracefully to a deterministic spanning
    * forest; with distinct weights it is THE unique MSF. Returns the
-   * forest's fine edges (u, v, weight), canonical u < v numerically
-   * (BIGINT-castable ids — the [[maximalIndependentSet]] contract).
+   * forest's fine edges (u, v, weight), canonical u < v on the numeric
+   * (or hashed, for non-numeric ids) order key of [[canonicalSimpleEdges]].
    *
    * Shape: per round one grouped min over both orientations of the
    * coarse edge list (per-label best edge), a handful of label-sized
@@ -1510,8 +1531,10 @@ object GraphAlgorithms {
     // (ou, ov) keep the original id type for the output
     val e0 = edges.select(col("src").as("a"), col("dst").as("b"),
         col(weightCol).cast("long").as("w"))
-      .withColumn("al", col("a").cast("long"))
-      .withColumn("bl", col("b").cast("long"))
+      .withColumn("al",
+        coalesce(col("a").try_cast("long"), xxhash64(col("a").cast("string"))))
+      .withColumn("bl",
+        coalesce(col("b").try_cast("long"), xxhash64(col("b").cast("string"))))
       .where(col("al") =!= col("bl"))
     val canon = e0.select(
         when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("ou"),

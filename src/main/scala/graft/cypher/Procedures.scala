@@ -244,8 +244,9 @@ object Procedures {
   /** Parity-plus symmetry-breaking primitives: CALL graft.mis([rounds]) /
     * graft.coloring([rounds]) / graft.matching([rounds]) — deterministic
     * Luby MIS, Jones–Plassmann coloring, and edge-local-minimum maximal
-    * matching (see [[GraphAlgorithms]]); all replayable, BIGINT-castable
-    * ids required. */
+    * matching (see [[GraphAlgorithms]]); all replayable. mis/coloring
+    * need BIGINT-castable ids; matching (and coarsen/mst below) accept
+    * any id type via a hashed order key. */
   register("graft.mis", (g, args) => {
     val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(20)
     GraphAlgorithms.maximalIndependentSet(g.edges, rounds)

@@ -594,6 +594,23 @@ class GraphCoreSpec extends SparkSpec {
     val dist = GraphAlgorithms.maximalMatching(edges, localThreshold = 0L)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(dist === loc)
+    // NON-NUMERIC ids (the bridge graph's "c1"/"o2" shape): the hashed
+    // order-key fallback must keep every edge — a silent cast-to-null
+    // would return an empty matching here
+    val named = Seq(("c1", "o2"), ("o2", "p3"), ("s4", "p3"))
+      .toDF("src", "dst")
+    val nm = GraphAlgorithms.maximalMatching(named).collect()
+    assert(nm.nonEmpty, "string-id graph produced an empty matching")
+    val nEnds = nm.flatMap(r => Seq(r.getString(0), r.getString(1)))
+    assert(nEnds.distinct.length === nEnds.length)
+    // and parity holds there too
+    val nmDist = GraphAlgorithms.maximalMatching(named, localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(nmDist === nm.map(r => (r.getString(0), r.getString(1))).toSet)
+    // MST with string ids: spanning tree of the 4-vertex path
+    val nf = GraphAlgorithms.minimumSpanningForest(
+      named.withColumn("weight", length(col("src"))))
+    assert(nf.count() === 3L)
   }
 
   test("coarsenGraph: contraction invariants and hand-checked weights") {
