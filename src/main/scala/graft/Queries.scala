@@ -274,6 +274,35 @@ object Queries {
           .orderBy(col("key")),
       Some(cmsEstimateOracleSql(depth = 4, width = 256)))),
 
+    // Sketch-driven heavy hitters with exact verification: candidate
+    // keys whose CMS estimate clears the threshold (one vertex-sized
+    // probe against the broadcastable grid), then ONE targeted exact
+    // count join over just the candidates — the two-phase top-k pattern
+    // that avoids a full exact groupBy at 100 TB when only the head of
+    // the distribution matters. CMS never undercounts, so no true heavy
+    // hitter can be missed; the exact join kills the false positives.
+    "q_cms_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val sketch = Sketches.cmsSketch(ev, "user_id")
+        // scale-relative threshold: 115% of the mean per-key count, in
+        // exact integer floor arithmetic (identical in any engine)
+        val thr = ev.agg(
+          expr("115 * count(1) DIV (100 * count(DISTINCT user_id))").as("thr"))
+        val cand = Sketches.cmsEstimate(sketch,
+          ev.select(col("user_id")).distinct().select(col("user_id").as("key")),
+          "key")
+        val exact = ev.groupBy(col("user_id").as("key"))
+          .agg(count(lit(1)).as("exact"))
+        cand.crossJoin(thr) // 1-row guard join
+          .where(col("est") >= col("thr"))
+          .join(exact, Seq("key"))
+          .where(col("exact") >= col("thr"))
+          .select(col("key"), col("est"), col("exact"))
+          .orderBy(col("key"))
+      },
+      Some(cmsTopkOracleSql(depth = 4, width = 256)))),
+
     // Bloom filter build + membership probe: the mergeable set sketch a
     // 100 TB pipeline broadcasts as a join prefilter. Bits pack 32 per
     // BIGINT word (no sign-bit shifts in any engine), k=5 md5-derived
@@ -2358,6 +2387,27 @@ object Queries {
       Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
              |MIN(doc_id) AS doc_id, COUNT(*) AS dupes
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Cross-source priority dedup: groups keyed by the 40-char
+    // normalized prefix (the templated-document key); each group keeps
+    // the doc from the best-ranked source (src1 beats src0 beats the
+    // rest), ties to the smallest id — the corpus-union step of a
+    // curation pipeline, one shuffle total.
+    "doc_priority_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.priorityDedup(t(s, d, "documents"), "doc_id", "source",
+            md5(substring(lower(trim(col("text"))), 1, 40)),
+            priority = Seq("src1", "src0"))
+          .orderBy(col("digest")),
+      Some("""WITH ranked AS (
+             |  SELECT md5(substr(lower(trim(text)), 1, 40)) AS digest, doc_id, source,
+             |    CASE source WHEN 'src1' THEN 0 WHEN 'src0' THEN 1 ELSE 2 END AS r
+             |  FROM documents),
+             |g AS (SELECT digest, doc_id, source,
+             |  ROW_NUMBER() OVER (PARTITION BY digest ORDER BY r, doc_id) AS rn,
+             |  COUNT(*) OVER (PARTITION BY digest) AS dupes FROM ranked)
+             |SELECT digest, doc_id, source, dupes FROM g WHERE rn = 1
+             |ORDER BY digest""".stripMargin))),
 
     // End-to-end curation composition — the four pipeline stages a real
     // corpus build chains, as ONE declarative plan Catalyst optimizes
@@ -4529,6 +4579,34 @@ object Queries {
        |FROM pr LEFT JOIN sk ON CAST(pr.pos // 32 AS INTEGER) = sk.word
        |GROUP BY key ORDER BY key""".stripMargin
   }
+
+  /** q_cms_topk oracle: the per-key CMS min-over-rows estimate for every
+    * distinct key, the integer-floor relative threshold, and the exact
+    * verification join. */
+  private def cmsTopkOracleSql(depth: Int, width: Int): String =
+    s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS kk
+       |  FROM events WHERE user_id IS NOT NULL),
+       |c AS (SELECT CAST(r AS INTEGER) AS hrow,
+       |  (${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 1, 1)")} * 16
+       |   + ${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 2, 1)")}) % $width AS hcol
+       |  FROM k, UNNEST(range(0, $depth)) t(r)),
+       |sk AS (SELECT hrow, hcol, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+       |thr AS (SELECT 115 * COUNT(*) // (100 * COUNT(DISTINCT user_id)) AS thr
+       |  FROM events WHERE user_id IS NOT NULL),
+       |probes AS (SELECT DISTINCT user_id AS key, CAST(user_id AS VARCHAR) AS kk
+       |  FROM events WHERE user_id IS NOT NULL),
+       |pc AS (SELECT key, CAST(r AS INTEGER) AS hrow,
+       |  (${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 1, 1)")} * 16
+       |   + ${hvSql("substr(md5(CAST(r AS VARCHAR) || ':' || kk), 2, 1)")}) % $width AS hcol
+       |  FROM probes, UNNEST(range(0, $depth)) t(r)),
+       |est AS (SELECT key, MIN(COALESCE(sk.cnt, 0)) AS est
+       |  FROM pc LEFT JOIN sk ON pc.hrow = sk.hrow AND pc.hcol = sk.hcol
+       |  GROUP BY key),
+       |exact AS (SELECT user_id AS key, COUNT(*) AS exact FROM events GROUP BY 1)
+       |SELECT e.key, CAST(e.est AS BIGINT) AS est, CAST(x.exact AS BIGINT) AS exact
+       |FROM est e JOIN exact x ON e.key = x.key, thr
+       |WHERE e.est >= thr.thr AND x.exact >= thr.thr
+       |ORDER BY e.key""".stripMargin
 
   private def cmsEstimateOracleSql(depth: Int, width: Int): String =
     s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS kk

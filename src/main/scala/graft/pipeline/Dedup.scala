@@ -32,6 +32,36 @@ object Dedup {
     df.groupBy(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
 
+  /**
+   * Cross-source PRIORITY dedup — the corpus-union step of a curation
+   * pipeline: when the same content arrives from several sources
+   * (curated dump vs crawl vs mirror), each duplicate group keeps ONE
+   * document chosen by source priority, not arrival order. `key` is the
+   * grouping column (a digest, a normalized-prefix hash for templated
+   * docs, or a near-dup cluster label); `priority` lists sources best
+   * first — unlisted sources rank behind every listed one, ties break on
+   * the smallest id, so the winner is total-order deterministic.
+   * Returns one row per group: (digest, idCol, sourceCol, dupes).
+   *
+   * Shape: ONE shuffle on the group key; both window functions (rank
+   * row_number + group count) share that partitioning. At 100 TB this
+   * is the same cost as exact dedup — the priority logic is free.
+   */
+  def priorityDedup(df: DataFrame, idCol: String, sourceCol: String,
+                    key: Column, priority: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = priority.zipWithIndex.foldRight(lit(priority.size): Column) {
+      case ((s, i), acc) => when(col(sourceCol) === s, lit(i)).otherwise(acc)
+    }
+    val byKey = Window.partitionBy(col("digest"))
+    df.select(key.as("digest"), col(idCol), col(sourceCol), rank.as("__rank"))
+      .withColumn("__rn",
+        row_number().over(byKey.orderBy(col("__rank"), col(idCol))))
+      .withColumn("dupes", count(lit(1)).over(byKey))
+      .where(col("__rn") === 1)
+      .select(col("digest"), col(idCol), col(sourceCol), col("dupes"))
+  }
+
   // ----- MinHash + LSH ----------------------------------------------------
 
   /** Deterministic permutation parameters (a_i, b_i) for H hash functions,

@@ -914,6 +914,23 @@ class PipelineSpec extends SparkSpec {
     assert(gs.count(_._1 == "a") === 3 && gs.count(_._1 == "b") === 1)
   }
 
+  test("priorityDedup: source priority beats id, unlisted sources rank last, one row per group") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "same text", "crawl"),    // unlisted source, smallest id
+      (2L, "same text", "curated"),  // priority 0 -> wins despite larger id
+      (3L, "same text", "mirror"),   // priority 1
+      (4L, "other", "crawl"),        // singleton group
+      (5L, "third", "curated"), (6L, "third", "curated")) // tie -> min id
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.priorityDedup(docs, "doc_id", "source",
+        org.apache.spark.sql.functions.md5(col("text")),
+        priority = Seq("curated", "mirror"))
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(out === Set((2L, "curated", 3L), (4L, "crawl", 1L), (5L, "curated", 2L)))
+  }
+
   test("randomProjection: exact LCG sign dots, shape and determinism") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
