@@ -245,6 +245,34 @@ object Queries {
              |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // Batch click-attribution (the oracled twin of the streaming
+    // stream-stream interval join): purchases pair with the same user's
+    // views within a 30-minute lookback — one equi-join on user_id,
+    // time bound as a filter, lag in floor-seconds (exact integer in
+    // both engines).
+    "q_attribution" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        graft.operators.EventOps.attribution(ev,
+            impressionType = "view", conversionType = "purchase",
+            horizonSec = 1800L)
+          .orderBy(col("user_id"), col("imp_ts"), col("conv_ts"))
+      },
+      Some("""WITH imp AS (SELECT user_id, ts AS imp_ts, value AS imp_value
+             |  FROM events WHERE event_type = 'view'),
+             |conv AS (SELECT user_id, ts AS conv_ts, value AS conv_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT i.user_id, i.imp_ts, c.conv_ts,
+             |  epoch_us(c.conv_ts) // 1000000 - epoch_us(i.imp_ts) // 1000000
+             |    AS lag_seconds,
+             |  i.imp_value, c.conv_value
+             |FROM imp i JOIN conv c ON i.user_id = c.user_id
+             |WHERE c.conv_ts >= i.imp_ts
+             |  AND epoch_us(c.conv_ts) // 1000000 - epoch_us(i.imp_ts) // 1000000
+             |      <= 1800
+             |ORDER BY i.user_id, i.imp_ts, c.conv_ts""".stripMargin))),
+
     // HyperLogLog register table (m=256) over the order custkeys — the
     // mergeable cardinality sketch, exact integer contract: bucket =
     // first md5 byte, rho = leading-zero-bits of the next 64 + 1,

@@ -70,4 +70,31 @@ object EventOps {
         (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /**
+   * Batch click-attribution — the oracled twin of the streaming
+   * [[graft.streaming.EventStream.attributeWithin]], SAME semantics:
+   * every conversion pairs with the same user's impressions whose
+   * timestamp lies within `[conv_ts − horizonSec, conv_ts]` (both ends
+   * inclusive). Returns (user_id, imp_ts, conv_ts, lag_seconds,
+   * imp_value, conv_value).
+   *
+   * Shape: one EQUI-join shuffle on the user key with the time bound as
+   * a post-join filter — per-user event counts are human-bounded, so the
+   * equi-join never degenerates; there is no range cross join anywhere.
+   */
+  def attribution(events: DataFrame, impressionType: String = "view",
+                  conversionType: String = "purchase",
+                  horizonSec: Long = 1800L): DataFrame = {
+    val imp = events.where(col("event_type") === impressionType)
+      .select(col("user_id"), col("ts").as("imp_ts"), col("value").as("imp_value"))
+    val conv = events.where(col("event_type") === conversionType)
+      .select(col("user_id"), col("ts").as("conv_ts"), col("value").as("conv_value"))
+    imp.join(conv, Seq("user_id"))
+      .where(col("conv_ts") >= col("imp_ts") &&
+        col("conv_ts").cast("long") - col("imp_ts").cast("long") <= horizonSec)
+      .select(col("user_id"), col("imp_ts"), col("conv_ts"),
+        (col("conv_ts").cast("long") - col("imp_ts").cast("long")).as("lag_seconds"),
+        col("imp_value"), col("conv_value"))
+  }
 }
