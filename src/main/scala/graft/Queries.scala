@@ -1641,6 +1641,20 @@ object Queries {
       },
       Some(misOracleSql(rounds = 12)))),
 
+    // Katz centrality in exact micro-unit integer arithmetic: x ← β +
+    // α·Aᵀx without degree normalization (all incoming walks, length-
+    // attenuated) — the oracle unrolls every iteration's grouped sum
+    // and floor division.
+    "alg_katz" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = TpchBridge.hashGraphEdges(s, d)
+          .where(col("src").cast(LongType) < strianMaxVertex &&
+            col("dst").cast(LongType) < strianMaxVertex)
+        GraphAlgorithms.katz(eb, alphaNum = 1, alphaDen = 10, iterations = 6)
+          .orderBy(col("id").cast(LongType))
+      },
+      Some(katzOracleSql(alphaNum = 1, alphaDen = 10, iters = 6)))),
+
     // Deterministic maximal matching (Luby on the line graph without
     // materializing it): per round each live edge draws a pure-integer
     // LCG priority and matches iff it is the strict minimum at BOTH
@@ -2372,6 +2386,32 @@ object Queries {
     }
     s"WITH ${TpchBridge.sql.hashGraph},\n${chain.toString}\n" +
       s"SELECT id, r AS rank_micro, CAST(r AS DOUBLE) / 1000000.0 AS rank " +
+      s"FROM r$iters ORDER BY CAST(id AS BIGINT)"
+  }
+
+  /** alg_katz oracle: x ← β + α·Aᵀx unrolled as chained CTEs in the
+    * weightedPagerank micro-unit discipline — no degree normalization,
+    * one floor division per update. */
+  private def katzOracleSql(alphaNum: Int, alphaDen: Int, iters: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""eb AS (SELECT DISTINCT src, dst FROM hg
+         |  WHERE CAST(src AS BIGINT) < $strianMaxVertex
+         |    AND CAST(dst AS BIGINT) < $strianMaxVertex AND src <> dst),
+         |verts AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts)""".stripMargin)
+    for (i <- 1 to iters) {
+      chain.append(s""",
+        |r$i AS (SELECT v.id,
+        |    CAST(1000000 + ($alphaNum * COALESCE(s.c, 0)) // $alphaDen AS BIGINT) AS r
+        |  FROM verts v LEFT JOIN (
+        |    SELECT eb.dst AS id, CAST(SUM(r.r) AS BIGINT) AS c
+        |    FROM eb JOIN r${i - 1} r ON eb.src = r.id GROUP BY eb.dst) s
+        |  ON v.id = s.id)""".stripMargin)
+    }
+    s"WITH ${TpchBridge.sql.hashGraph},\n${chain.toString}\n" +
+      s"SELECT id, r AS katz_micro, CAST(r AS DOUBLE) / 1000000.0 AS katz " +
       s"FROM r$iters ORDER BY CAST(id AS BIGINT)"
   }
 

@@ -304,6 +304,55 @@ object GraphAlgorithms {
   }
 
   /**
+   * Katz centrality (parity-plus, the third member of the
+   * eigenvector-centrality family next to [[pageRank]] and [[hits]]):
+   * x ← β + α·Aᵀx, counting ALL incoming walks attenuated by length —
+   * unlike PageRank there is no out-degree normalization, so a vertex
+   * pointed at by well-connected vertices scores high even when those
+   * vertices also point elsewhere. Same EXACT micro-unit integer
+   * discipline as [[weightedPageRank]]: β = 1 000 000 micro, the
+   * attenuation is the exact fraction `alphaNum/alphaDen` applied as
+   * one floor division per update — no floats, hash-exact replay in any
+   * engine. Convergence needs α < 1/λ_max(A); the caller picks a small
+   * fraction (default 1/10) as usual for Katz. Emits
+   * (id, katz_micro BIGINT, katz DOUBLE = micro/1e6).
+   *
+   * Shape: the simple-digraph edge list persists once; each iteration
+   * is one rank-keyed equi-join + one destination-grouped sum, plans
+   * kept flat by checkpointing every `checkpointInterval` iterations.
+   */
+  def katz(edges: DataFrame, alphaNum: Int = 1, alphaDen: Int = 10,
+           iterations: Int = 6, checkpointInterval: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
+      s"need 0 <= alphaNum < alphaDen: $alphaNum/$alphaDen")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var ranks = verts.select(col("id"), lit(1000000L).as("r"))
+    for (i <- 1 to iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .groupBy(col("dst")).agg(sum(col("r")).as("contrib"))
+      ranks = verts
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1000000L) + expr(s"$alphaNum * coalesce(contrib, 0L) DIV $alphaDen"))
+            .as("r"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    val out = ranks
+      .select(col("id"), col("r").as("katz_micro"),
+        (col("r").cast("double") / lit(1000000.0)).as("katz"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
+  /**
    * Single-source shortest paths, unweighted (BFS) — parity-plus: the
    * reference ships no shortest-path command, but it is the first thing
    * a graph-engine user reaches for next to PageRank/triangles.

@@ -277,6 +277,16 @@ object Procedures {
       g.edges.select(col("src"), col("dst"), w.as("weight")), rounds = rounds)
   })
 
+  /** Parity-plus: CALL graft.katz([alphaNum[, alphaDen[, iterations]]]) —
+    * Katz centrality in exact micro-unit arithmetic (see
+    * [[GraphAlgorithms.katz]]). */
+  register("graft.katz", (g, args) => {
+    val alphaNum = args.headOption.map(num(_, "alphaNum").toInt).getOrElse(1)
+    val alphaDen = args.lift(1).map(num(_, "alphaDen").toInt).getOrElse(10)
+    val iters = args.lift(2).map(num(_, "iterations").toInt).getOrElse(6)
+    GraphAlgorithms.katz(g.edges, alphaNum, alphaDen, iters)
+  })
+
   register("graft.kafkatopics", (g, _) => {
     val spark = g.nodes.sparkSession
     import spark.implicits._

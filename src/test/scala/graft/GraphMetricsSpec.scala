@@ -120,6 +120,33 @@ class GraphMetricsSpec extends SparkSpec {
     assert(!r2.contains("x"))
   }
 
+  test("katz: hand-checked micro-unit chain, no degree normalization") {
+    // chain a -> b -> c at alpha = 1/2: after 2 iterations
+    //   b = 1e6 + 1e6/2 = 1_500_000 (stable),
+    //   c = 1e6 + r1(b)/2 = 1e6 + 750_000 = 1_750_000
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = GraphAlgorithms.katz(e, alphaNum = 1, alphaDen = 2, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r === Map("a" -> 1000000L, "b" -> 1500000L, "c" -> 1750000L))
+    // NO out-degree normalization: a fan-out a -> {b, c} gives each child
+    // a's FULL attenuated rank (PageRank would split it)
+    val fan = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val rf = GraphAlgorithms.katz(fan, alphaNum = 1, alphaDen = 2, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rf("b") === 1500000L && rf("c") === 1500000L)
+    // duplicate edges and self-loops drop; doubles are exact micro/1e6
+    val dup = Seq(("a", "b"), ("a", "b"), ("b", "b")).toDF("src", "dst")
+    val rd = GraphAlgorithms.katz(dup, alphaNum = 1, alphaDen = 2, iterations = 1)
+    assert(rd.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a" -> 1000000L, "b" -> 1500000L))
+    assert(rd.where(col("id") === "b").collect()(0).getDouble(2) === 1.5)
+    // CALL surface
+    val g = graft.sources.TpchBridge.graph(spark, sf0001)
+    val k = graft.cypher.Cypher.run(g,
+      "CALL graft.katz(1, 10, 3) YIELD id, katz RETURN id, katz ORDER BY katz DESC, id LIMIT 5")
+    assert(k.count() === 5)
+  }
+
   test("snowballSample: budget-bounded expansion, determinism, induced-edge closure") {
     // hub 0 with spokes 1..10 (no spoke-spoke edges)
     val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
