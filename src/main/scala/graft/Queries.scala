@@ -347,6 +347,36 @@ object Queries {
           .orderBy(col("key")),
       Some(bloomProbeOracleSql(bits = 4096, k = 5)))),
 
+    // Weighted sampling WITHOUT replacement via priority sampling
+    // (Duffield-Lund-Thorup): q = w/u with the deterministic md5
+    // uniform, top-10 per language by n_chars weight — the whole chain
+    // is casts and IEEE divisions (both correctly rounded everywhere),
+    // so ranks replay bit-identically with no libm fine print.
+    "samp_weighted" -> ((
+      (s: SparkSession, d: String) =>
+        Sampling.prioritySample(
+            t(s, d, "documents").select(col("lang"), col("doc_id"), col("n_chars")),
+            keyCol = "doc_id", weightCol = "n_chars", k = 10,
+            groupCols = Seq("lang"))
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            round(col("priority"), 4).as("priority"), col("rank"))
+          .orderBy(col("lang"), col("rank")),
+      Some(s"""WITH h AS (SELECT lang, doc_id, n_chars,
+             |    ${kmvHashSql("doc_id")} AS h
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+             |p AS (SELECT lang, doc_id, n_chars,
+             |  CAST(n_chars AS DOUBLE) /
+             |    (CAST(h + 1 AS DOUBLE) / 72057594037927936.0) AS priority
+             |  FROM h),
+             |r AS (SELECT lang, doc_id, n_chars, priority,
+             |  CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY lang ORDER BY priority DESC, doc_id) AS INTEGER) AS rank
+             |  FROM p)
+             |SELECT lang, doc_id, n_chars,
+             |  CAST(ROUND(priority, 4) AS DOUBLE) AS priority, rank
+             |FROM r WHERE rank <= 10
+             |ORDER BY lang, rank""".stripMargin))),
+
     // KMV (bottom-k) distinct sketch per order priority: the k smallest
     // distinct 56-bit md5 hashes of the custkey — the third mergeable
     // cardinality tool (set-operation-capable, exact below k), an exact

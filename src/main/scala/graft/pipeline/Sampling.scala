@@ -216,4 +216,49 @@ object Sampling {
       .select(col("domain"), col("n_docs"), col("total_tokens"),
         col("raw_w"), col("weight_ppm"))
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement by PRIORITY SAMPLING
+   * (Duffield, Lund & Thorup, JACM 2007): every row draws the
+   * deterministic uniform u = (h+1)/2⁵⁶ from the first 14 md5 hex
+   * digits of its key, gets priority q = w/u, and the k highest
+   * priorities per group are the sample — heavy rows surface with
+   * probability ≈ min(1, w/τ) and the scheme supports unbiased
+   * subset-sum estimation, which plain weighted-Bernoulli doesn't.
+   *
+   * Replayability: the whole chain is hash digits → one BIGINT→DOUBLE
+   * cast → two IEEE divisions. Casts and divisions are CORRECTLY
+   * ROUNDED by IEEE 754 in every engine (unlike ln/pow, which vary by
+   * libm), so priorities are bit-identical and the ranking replays
+   * exactly; ties (impossible unless keys collide in 56 bits) break on
+   * the key.
+   *
+   * Scale shape: narrow map for the priority, then the kmvSketch
+   * two-level rank — per-PARTITION top-k first (layout-invariant
+   * superset), so no single window task ever holds a whole group.
+   * Returns the sampled rows with `priority` and `rank` (1..k).
+   */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val grp = groupCols.map(col)
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 14), 16, 10)
+      .cast(LongType)
+    val priority = col(weightCol).cast("double") /
+      ((h + lit(1L)).cast("double") / lit(72057594037927936.0)) // 16^14
+    val scored = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority", priority)
+    val localW = Window
+      .partitionBy(grp :+ col("__pid"): _*)
+      .orderBy(col("priority").desc, col(keyCol))
+    val pruned = scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW))
+      .where(col("__lr") <= k).drop("__pid", "__lr")
+    val w = if (groupCols.isEmpty)
+      Window.orderBy(col("priority").desc, col(keyCol))
+    else Window.partitionBy(grp: _*).orderBy(col("priority").desc, col(keyCol))
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

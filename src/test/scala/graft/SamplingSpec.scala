@@ -186,4 +186,28 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 <= 1, s"epochShuffle wide ops:\n$plan")
   }
+
+  test("prioritySample: per-group k bound, weight bias, determinism, zero-weight drop") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // 10 heavy rows (w=1000) among 500 light (w=1): top-5 priorities are
+    // overwhelmingly heavy (a light row needs u < ~1e-4 to compete)
+    val rows = ((1 to 10).map(i => (s"h$i", 1000L, "g")) ++
+      (11 to 510).map(i => (s"l$i", 1L, "g"))).toDF("key", "w", "g")
+    val s1 = Sampling.prioritySample(rows, "key", "w", k = 5, groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(4))).toSeq
+    assert(s1.length === 5)
+    assert(s1.map(_._2).sorted === Seq(1, 2, 3, 4, 5))
+    assert(s1.count(_._1.startsWith("h")) >= 4,
+      s"priority sampling under-selected heavy rows: $s1")
+    // deterministic
+    val s2 = Sampling.prioritySample(rows, "key", "w", k = 5, groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(4))).toSeq
+    assert(s2 === s1)
+    // zero/negative weights never sampled; ungrouped form caps globally
+    val mixed = Seq(("a", 0L), ("b", -3L), ("c", 7L), ("d", 2L)).toDF("key", "w")
+    val s3 = Sampling.prioritySample(mixed, "key", "w", k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(s3 === Set("c", "d"))
+  }
 }
