@@ -1671,6 +1671,23 @@ object Queries {
       },
       Some(misOracleSql(rounds = 12)))),
 
+    // HyperANF neighborhood sketch: per-vertex 256-bucket HLL registers
+    // max-merged over 3 hops (probed at every 90th vertex) — the
+    // probabilistic neighborhood-function algorithm under an exact
+    // integer replay contract; registers feed hllEstimate for ball
+    // sizes / effective diameter.
+    "alg_nsketch" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.neighborhoodRegisters(eb, hops = 3)
+          .where(pmod(col("id"), lit(90)) === 0)
+          .orderBy(col("hop"), col("id"), col("bucket"))
+      },
+      Some(nsketchOracleSql(hops = 3)))),
+
     // Katz centrality in exact micro-unit integer arithmetic: x ← β +
     // α·Aᵀx without degree normalization (all incoming walks, length-
     // attenuated) — the oracle unrolls every iteration's grouped sum
@@ -4210,6 +4227,49 @@ object Queries {
        |SELECT id, round FROM (
        |  $union)
        |ORDER BY id""".stripMargin
+  }
+
+  /** alg_nsketch oracle: per-vertex HLL registers max-merged hop by hop
+    * — the r0 bucket/rho digits are the hllRegistersOracleSql recipe,
+    * each later hop is one union + grouped MAX. */
+  private def nsketchOracleSql(hops: Int): String = {
+    val chain = (1 to hops).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT id, bucket, MAX(rho) AS rho FROM (
+         |    SELECT id, bucket, rho FROM r${t - 1}
+         |    UNION ALL
+         |    SELECT e.v AS id, r.bucket, r.rho FROM e
+         |    JOIN r${t - 1} r ON e.u = r.id)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to hops)
+      .map(t => s"SELECT $t AS hop, id, bucket, rho AS max_rho FROM r$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+       |    SELECT src AS u, dst AS v FROM eb UNION ALL SELECT dst, src FROM eb)
+       |  WHERE u <> v),
+       |verts AS (SELECT DISTINCT u AS id FROM e),
+       |h AS (SELECT id, md5(CAST(id AS VARCHAR)) AS m FROM verts),
+       |z AS (SELECT id,
+       |  ${hvSql("substr(m, 1, 1)")} * 16 + ${hvSql("substr(m, 2, 1)")} AS bucket,
+       |  substr(m, 3, 16) AS w FROM h),
+       |r0 AS MATERIALIZED (SELECT id, bucket,
+       |  CASE WHEN nz = 16 THEN 65
+       |    ELSE 4 * nz + (CASE WHEN d = 1 THEN 3 WHEN d <= 3 THEN 2
+       |                        WHEN d <= 7 THEN 1 ELSE 0 END) + 1 END AS rho
+       |  FROM (SELECT id, bucket, nz,
+       |          ${hvSql("substr(w, CAST(nz + 1 AS INTEGER), 1)")} AS d
+       |        FROM (SELECT id, bucket, w,
+       |                len(regexp_extract(w, '^0*')) AS nz FROM z))),
+       |$chain
+       |SELECT hop, id, CAST(bucket AS INTEGER) AS bucket,
+       |  CAST(max_rho AS INTEGER) AS max_rho
+       |FROM (
+       |  $union)
+       |WHERE id % 90 = 0
+       |ORDER BY hop, id, bucket""".stripMargin
   }
 
   /** alg_matching oracle: the deterministic edge-local-minimum matching

@@ -1735,6 +1735,51 @@ object GraphAlgorithms {
     (rows(i).getLong(2), rows(i).getLong(3))
 
   /**
+   * HyperANF-style neighborhood-function sketch (Boldi, Rosa & Vigna,
+   * WWW 2011): every vertex carries a 256-bucket HyperLogLog of the
+   * vertex set within t hops; one synchronous round max-merges each
+   * vertex's registers with its in-neighbors' — after t rounds the
+   * registers sketch the t-ball, and [[graft.pipeline.Sketches.hllEstimate]]
+   * turns any vertex's register set into |B(v, t)| (the neighborhood
+   * function / effective-diameter estimator, at 256 bytes per vertex
+   * where the exact ball is unbounded). Registers are the SAME
+   * deterministic md5 sketch as [[graft.pipeline.Sketches.hllRegisters]],
+   * so the whole computation is EXACT INTEGER and replays row for row
+   * in any engine — the classic probabilistic algorithm with a
+   * deterministic replay contract.
+   *
+   * Returns (hop, id, bucket, max_rho) for hop = 0..hops, every vertex.
+   * Shape: per round ONE edge equi-join + one (id, bucket) grouped max,
+   * localCheckpointed — register volume is ≤ verts×256 rows regardless
+   * of graph density, the whole point of sketching the balls.
+   */
+  def neighborhoodRegisters(edges: DataFrame, hops: Int,
+                            undirected: Boolean = true): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1: $hops")
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+      .where(col("u") =!= col("v"))
+    val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      else e0).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+    var regs = verts.select(col("id"),
+        graft.pipeline.Sketches.hllBucket(col("id")).as("bucket"),
+        graft.pipeline.Sketches.hllRho(col("id")).as("max_rho"))
+      .localCheckpoint(true)
+    var out = regs.withColumn("hop", lit(0))
+    for (t <- 1 to hops) {
+      regs = regs.unionByName(
+          e.join(regs.withColumnRenamed("id", "u"), Seq("u"))
+            .select(col("v").as("id"), col("bucket"), col("max_rho")))
+        .groupBy("id", "bucket").agg(max(col("max_rho")).as("max_rho"))
+        .localCheckpoint(true)
+      out = out.unionByName(regs.withColumn("hop", lit(t)))
+    }
+    e.unpersist()
+    out.select(col("hop"), col("id"), col("bucket"), col("max_rho"))
+  }
+
+  /**
    * Wedge and rectangle (4-cycle) counts — the motif statistics one step
    * beyond [[triangleCount]] (parity-plus; the reference counts
    * triangles only). wedges = Σ_v C(deg v, 2); rectangles = ½ Σ_{u<w}

@@ -147,6 +147,29 @@ class GraphMetricsSpec extends SparkSpec {
     assert(k.count() === 5)
   }
 
+  test("neighborhoodRegisters: hop balls match direct sketches; estimate tracks ball size") {
+    import graft.pipeline.Sketches
+    // path 1-2-3-4-5 (undirected): B(3,1) = {2,3,4}, B(3,2) = everything
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val regs = GraphAlgorithms.neighborhoodRegisters(edges, hops = 2)
+    def ball(hop: Int, id: Long) = regs
+      .where(col("hop") === hop && col("id") === id)
+      .select("bucket", "max_rho").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    def direct(ids: Seq[Long]) = Sketches.hllRegisters(ids.toDF("k"), "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(ball(2, 3L) === direct(Seq(1L, 2L, 3L, 4L, 5L)))
+    assert(ball(1, 3L) === direct(Seq(2L, 3L, 4L)))
+    assert(ball(1, 1L) === direct(Seq(1L, 2L)))
+    assert(ball(0, 5L) === direct(Seq(5L)))
+    // the estimate read path: hop-2 ball of the center is all 5 vertices
+    // (linear-counting regime is near-exact at this size)
+    val est = Sketches.hllEstimate(
+      regs.where(col("hop") === 2 && col("id") === 3)
+        .select(col("bucket"), col("max_rho")))
+    assert(math.round(est) === 5L, s"ball estimate $est for true size 5")
+  }
+
   test("snowballSample: budget-bounded expansion, determinism, induced-edge closure") {
     // hub 0 with spokes 1..10 (no spoke-spoke edges)
     val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
