@@ -1780,6 +1780,44 @@ object GraphAlgorithms {
   }
 
   /**
+   * Effective diameter from the [[neighborhoodRegisters]] sketch: the
+   * smallest hop t where the average sketched ball size reaches
+   * `q` × its value at `hops` (the HyperANF read path — q = 0.9 gives
+   * the standard "90% effective diameter"). The per-hop neighborhood
+   * function N(t) = Σ_v |B(v, t)| comes from one grouped register
+   * aggregate per hop (driver touches only `hops`+1 numbers). Returns
+   * (hop, n_estimate, effective) — one row per hop, `effective` marking
+   * the chosen t.
+   */
+  def effectiveDiameter(edges: DataFrame, hops: Int = 8, q: Double = 0.9,
+                        undirected: Boolean = true): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
+    val regs = neighborhoodRegisters(edges, hops, undirected)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    // N(t) = Σ_v estimate(v, t): per-(hop, id) register sums stay
+    // distributed; only the hops+1 totals reach the driver
+    val perHop = (0 to hops).map { t =>
+      val sum = regs.where(col("hop") === t)
+        .groupBy("id")
+        .agg(org.apache.spark.sql.functions.sum(
+          pow(lit(2.0), -col("max_rho").cast("double"))).as("s"),
+          count(lit(1)).as("nonzero"))
+        .agg(org.apache.spark.sql.functions.sum(
+          graft.pipeline.Sketches.hllEstimateCol(col("s"), col("nonzero"), 256))
+          .as("n"))
+        .collect()(0).getDouble(0)
+      (t, sum)
+    }
+    regs.unpersist()
+    val target = q * perHop.last._2
+    val eff = perHop.find(_._2 >= target).map(_._1).getOrElse(hops)
+    import spark.implicits._
+    perHop.map { case (t, n) => (t, n, t == eff) }
+      .toDF("hop", "n_estimate", "effective")
+  }
+
+  /**
    * Wedge and rectangle (4-cycle) counts — the motif statistics one step
    * beyond [[triangleCount]] (parity-plus; the reference counts
    * triangles only). wedges = Σ_v C(deg v, 2); rectangles = ½ Σ_{u<w}
@@ -2762,6 +2800,37 @@ object GraphAlgorithms {
   }
 
   /**
+   * Fused whole-graph summary — [[reciprocity]] and
+   * [[degreeAssortativity]] in ONE pass over ONE materialized distinct
+   * edge set (the `CALL graft.graphstats()` backing): the two metrics
+   * share their dominant cost (the distinct scan of the edge table), so
+   * computing them together halves the checkpoints and scans of calling
+   * each operator separately. Value-identical to the separate operators
+   * for null-free inputs (null-keyed edges are dropped up front, the
+   * reciprocity convention). One row: (total, reciprocated,
+   * reciprocity, assortativity).
+   */
+  def graphStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true) // ONE materialization feeds both metrics
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("__rev"))
+    val recip = e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("total"), count(col("__rev")).as("reciprocated"),
+        coalesce(round(count(col("__rev")).cast("double") /
+          count(lit(1)).cast("double"), 6), lit(0.0)).as("reciprocity"))
+    // e is already distinct + loop-free, so the canonical set is one
+    // narrow projection + distinct away
+    val cn = e.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+    val asrt = assortativityFromCanonical(cn).select(col("assortativity"))
+    recip.crossJoin(asrt) // 1-row × 1-row
+  }
+
+  /**
    * Degree assortativity (Newman 2002): the Pearson correlation of the
    * degrees at the two ends of an undirected edge, computed over both
    * orientations of every canonical edge (so the x/y marginals are
@@ -2777,6 +2846,12 @@ object GraphAlgorithms {
    */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    assortativityFromCanonical(cn)
+  }
+
+  /** [[degreeAssortativity]]'s body over an already-materialized
+    * canonical edge set (shared with [[graphStats]]). */
+  private def assortativityFromCanonical(cn: DataFrame): DataFrame = {
     val nb = cn.unionByName(cn.select(col("dst").as("src"), col("src").as("dst")))
     // vertex-sized; materialized once — it feeds the moment aggregate,
     // the edge-wide join AND the neighbor-sum join

@@ -209,13 +209,10 @@ object Procedures {
     * of whole-graph summary statistics: directed-edge reciprocity and
     * undirected degree assortativity (see
     * [[GraphAlgorithms.reciprocity]]/[[GraphAlgorithms.degreeAssortativity]]). */
-  register("graft.graphstats", (g, _) => {
-    val r = GraphAlgorithms.reciprocity(g.edges)
-      .select(col("total"), col("reciprocated"), col("reciprocity"))
-    val a = GraphAlgorithms.degreeAssortativity(g.edges)
-      .select(col("assortativity"))
-    r.crossJoin(a) // 1-row × 1-row
-  })
+  register("graft.graphstats", (g, _) =>
+    // fused single-pass form: both metrics share one materialized
+    // distinct edge set (see GraphAlgorithms.graphStats)
+    GraphAlgorithms.graphStats(g.edges))
 
   /** Parity-plus: CALL graft.coreNumbers([maxK[, roundsPerK]]) — the
     * full k-shell decomposition (see [[GraphAlgorithms.coreNumbers]]). */

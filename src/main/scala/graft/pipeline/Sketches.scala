@@ -75,6 +75,23 @@ object Sketches {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
 
+  /** Column form of [[hllEstimate]] for DISTRIBUTED read paths (e.g.
+    * per-vertex ball sizes in
+    * [[graft.algorithms.GraphAlgorithms.effectiveDiameter]]):
+    * `presentSum` = Σ 2^(−rho) over the present buckets, `presentCount`
+    * = how many buckets are present; empty buckets contribute 2⁰ and
+    * the small-range linear-counting correction matches the driver-side
+    * form exactly. */
+  private[graft] def hllEstimateCol(presentSum: Column, presentCount: Column,
+                                    m: Int): Column = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zeros = lit(m.toDouble) - presentCount.cast("double")
+    val s = presentSum + zeros
+    val raw = lit(alpha * m * m) / s
+    when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+  }
+
   /**
    * Count-min sketch: `depth` independent hash rows (md5 of "k:key",
    * two hex digits → column 0..width−1, width ≤ 256), counters = total

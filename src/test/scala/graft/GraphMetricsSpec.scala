@@ -170,6 +170,23 @@ class GraphMetricsSpec extends SparkSpec {
     assert(math.round(est) === 5L, s"ball estimate $est for true size 5")
   }
 
+  test("effectiveDiameter: monotone neighborhood function, correct cut hop on a path") {
+    // path 1..5: true N(t) = 5, 13, 19, 23, 25; at q = 0.8 the target is
+    // 20, first reached at hop 3 (margin ≫ the sketch's error at n=5)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val out = GraphAlgorithms.effectiveDiameter(edges, hops = 4, q = 0.8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq === Seq(0, 1, 2, 3, 4))
+    // monotone non-decreasing ball growth
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 - 1e-9, s"N(t) not monotone: $a -> $b")
+    }
+    assert(math.round(out(0)._2) === 5L) // hop-0 balls are the vertices
+    assert(math.round(out(4)._2) === 25L)
+    assert(out.filter(_._3).map(_._1).toSeq === Seq(3),
+      s"effective hop wrong: ${out.toSeq}")
+  }
+
   test("snowballSample: budget-bounded expansion, determinism, induced-edge closure") {
     // hub 0 with spokes 1..10 (no spoke-spoke edges)
     val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")

@@ -251,6 +251,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3)))
     assert(out.length === 2)
     assert(bp.vertexCount === 3)
+    // quality evidence: on a two-clique + bridge graph, LDG's greedy
+    // co-location cuts strictly fewer edges than id-hash placement
+    val cliques =
+      (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toString, b.toString)) ++
+      (for (a <- 5 to 8; b <- (a + 1) to 8) yield (a.toString, b.toString)) ++
+      Seq(("4", "5"))
+    val ldg = new StreamingPartitioner(k = 2, mode = "ldg", capacity = 100.0)
+    val hsh = new StreamingPartitioner(k = 2, mode = "hash")
+    cliques.foreach { case (u, v) => ldg.addEdge(u, v); hsh.addEdge(u, v) }
+    assert(ldg.cutEdgeCount < hsh.cutEdgeCount,
+      s"LDG (${ldg.cutEdgeCount} cuts) should beat hash (${hsh.cutEdgeCount})")
+    assert(ldg.cutEdgeCount <= 1L)
   }
 
   test("stream-stream interval join: conversions attribute to in-horizon impressions only") {
