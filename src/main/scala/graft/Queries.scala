@@ -3103,6 +3103,48 @@ object Queries {
     // nation⋈region (URIs may contain spaces — TPC-H nation names do),
     // parsed by the columnar triple reader, and returned as the ingested
     // edge list. The oracle rebuilds the same triples relationally.
+    // SPARQL over the TPC-H-derived triple store — the reference
+    // DECLARES the sparql verb (JasmineGraphFrontEndProtocol.h:59) and
+    // ships no handler; here BGPs execute as constant-filtered scans +
+    // natural equi-joins (graft.sparql.Sparql).
+    "sparql_bgp" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n ?r WHERE {
+            |  ?c <fromNation> ?n .
+            |  ?n <locatedIn> ?r .
+            |  ?c <segment> "BUILDING" .
+            |} ORDER BY ?c LIMIT 200""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |li AS (SELECT 'nation/' || n_name AS n, 'region/' || r_name AS r
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |seg AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_mktsegment = 'BUILDING')
+             |SELECT fn.c, fn.n, li.r FROM fn
+             |JOIN li ON fn.n = li.n
+             |JOIN seg ON fn.c = seg.c
+             |ORDER BY fn.c LIMIT 200""".stripMargin))),
+
+    // SPARQL OPTIONAL (left join) + numeric FILTER + DISTINCT: nations
+    // in a key range with their region when one exists, plus the
+    // partial bigspender predicate exercising unmatched OPTIONAL rows.
+    "sparql_filter_optional" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT DISTINCT ?c ?n ?b WHERE {
+            |  ?c <fromNation> ?n .
+            |  OPTIONAL { ?c <bigspender> ?b . }
+            |  FILTER(?n = "nation/NATION_3" || ?n = "nation/NATION_7")
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |bs AS (SELECT 'customer/' || c_custkey AS c, '1' AS b FROM customer
+             |  WHERE c_acctbal > 9000)
+             |SELECT DISTINCT fn.c, fn.n, bs.b FROM fn LEFT JOIN bs ON fn.c = bs.c
+             |WHERE fn.n = 'nation/NATION_3' OR fn.n = 'nation/NATION_7'
+             |ORDER BY fn.c""".stripMargin))),
+
     "rdf_ingest" -> ((
       (s: SparkSession, d: String) => {
         val lines = t(s, d, "nation")
@@ -3122,6 +3164,30 @@ object Queries {
   // ======================================================================
   // Deterministic sampling / packing (training-data pipeline, §Sampling)
   // ======================================================================
+
+  /** TPC-H-derived triple store for the SPARQL queries: customer
+    * nationality, nation location, customer segment, nation key (an
+    * integer literal for numeric FILTERs) and the PARTIAL bigspender
+    * predicate (only acctbal > 9000 — exercises OPTIONAL). */
+  private def sparqlTriples(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+    def tr(sC: Column, p: String, oC: Column) =
+      Seq(sC.as("s"), lit(p).as("p"), oC.as("o"))
+    val fn = c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(tr(concat(lit("customer/"), col("c_custkey")), "fromNation",
+        concat(lit("nation/"), col("n_name"))): _*)
+    val li = n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(tr(concat(lit("nation/"), col("n_name")), "locatedIn",
+        concat(lit("region/"), col("r_name"))): _*)
+    val seg = c.select(tr(concat(lit("customer/"), col("c_custkey")), "segment",
+      col("c_mktsegment")): _*)
+    val key = n.select(tr(concat(lit("nation/"), col("n_name")), "key",
+      col("n_nationkey").cast(StringType)): _*)
+    val big = c.where(col("c_acctbal") > 9000)
+      .select(tr(concat(lit("customer/"), col("c_custkey")), "bigspender",
+        lit("1")): _*)
+    fn.unionByName(li).unionByName(seg).unionByName(key).unionByName(big)
+  }
 
   /** The Knuth bucket map of [[Sampling.bucketOf]] in verifiable mode,
     * replayed in DuckDB SQL. Keys here are non-negative, so DuckDB's %

@@ -1,0 +1,265 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Minimal SPARQL engine over an (s, p, o) triple frame — basic graph
+ * patterns as DataFrame equi-joins.
+ *
+ * The reference DECLARES the `sparql` frontend verb
+ * (`src/frontend/JasmineGraphFrontEndProtocol.h:59`, `SPARQL` /
+ * `S_QUERY_SEND`) but ships no handler for it anywhere in the tree —
+ * declared-only surface, the Intersection precedent — while its RDF
+ * side stops at ingest (`src/partitioner/local/RDFPartitioner.*`).
+ * Here the verb is EXECUTABLE over the triples
+ * [[graft.sources.GraphSources.parseRdfTriples]] produces: each triple
+ * pattern becomes a constant-filtered scan of the triple table, shared
+ * variables become natural equi-joins (never a theta join), OPTIONAL
+ * blocks become left joins, FILTERs compile to Catalyst predicates, and
+ * the modifiers (DISTINCT / ORDER BY / LIMIT) map 1:1. Catalyst then
+ * owns join order and pushdown — the scale story is the same as any
+ * multi-join star query.
+ *
+ * Supported subset (documented, parse-and-reject beyond it):
+ *  - `SELECT [DISTINCT] ?a ?b … | *  WHERE { … }`
+ *  - triple patterns `term term term .` with terms `?var`, `<iri>`,
+ *    `"literal"`, or a plain token; a variable repeated inside one
+ *    pattern constrains equality (e.g. `?x <p> ?x`)
+ *  - `OPTIONAL { patterns }` (left join on the shared variables)
+ *  - `FILTER (expr)` with `=`, `!=`, `<`, `<=`, `>`, `>=`, `&&`, `||`,
+ *    `!`, parentheses; a numeric literal side compares numerically
+ *    (both sides cast to double), otherwise lexically
+ *  - `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`
+ */
+object Sparql {
+
+  // ----- AST ---------------------------------------------------------------
+  sealed trait Term
+  final case class V(name: String) extends Term
+  final case class Const(value: String) extends Term // IRI (brackets stripped) or literal
+  final case class Pattern(s: Term, p: Term, o: Term)
+  sealed trait FilterExpr
+  final case class Cmp(op: String, l: Term, r: Term, numeric: Boolean) extends FilterExpr
+  final case class And(l: FilterExpr, r: FilterExpr) extends FilterExpr
+  final case class Or(l: FilterExpr, r: FilterExpr) extends FilterExpr
+  final case class Not(e: FilterExpr) extends FilterExpr
+  final case class Query(distinct: Boolean, projection: Seq[String],
+                         patterns: Seq[Pattern], optionals: Seq[Seq[Pattern]],
+                         filters: Seq[FilterExpr],
+                         orderBy: Seq[(String, Boolean)], limit: Option[Int])
+
+  // ----- Parser (recursive descent over a simple token stream) -------------
+  private def tokenize(q: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    val s = q
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '<') {
+        // '<' opens an IRI only when a whitespace-free '<...>' follows;
+        // otherwise it is the less-than (or <=) operator
+        val j = s.indexOf('>', i)
+        if (j > i && !s.substring(i + 1, j)
+            .exists(ch => ch.isWhitespace || "{}()\"&|=!".contains(ch))) {
+          out += s.substring(i, j + 1); i = j + 1
+        } else if (i + 1 < s.length && s(i + 1) == '=') {
+          out += "<="; i += 2
+        } else { out += "<"; i += 1 }
+      } else if (c == '"') {
+        val j = s.indexOf('"', i + 1)
+        require(j > 0, s"unterminated literal at offset $i")
+        out += s.substring(i, j + 1); i = j + 1
+      } else if ("{}().".contains(c)) { out += c.toString; i += 1 }
+      else if (c == '&' || c == '|') {
+        require(i + 1 < s.length && s(i + 1) == c, s"single '$c' at offset $i")
+        out += s.substring(i, i + 2); i += 2
+      } else if (">=!".contains(c)) {
+        if (i + 1 < s.length && s(i + 1) == '=') {
+          out += s.substring(i, i + 2); i += 2
+        } else { out += c.toString; i += 1 }
+      } else {
+        var j = i
+        while (j < s.length && !s(j).isWhitespace && !"{}().\"<>=!&|".contains(s(j))) j += 1
+        out += s.substring(i, j); i = j
+      }
+    }
+    out.toList
+  }
+
+  def parse(q: String): Query = {
+    var ts = tokenize(q)
+    def peek: String = ts.headOption.getOrElse("")
+    def pop(): String = { val h = peek; require(ts.nonEmpty, "unexpected end of query"); ts = ts.tail; h }
+    def expect(t: String): Unit = {
+      val got = pop()
+      require(got.equalsIgnoreCase(t), s"expected '$t', got '$got'")
+    }
+    def isVar(t: String) = t.startsWith("?") && t.length > 1
+    def term(t: String): Term =
+      if (isVar(t)) V(t.drop(1))
+      else if (t.startsWith("<")) Const(t.substring(1, t.length - 1))
+      else if (t.startsWith("\"")) Const(t.substring(1, t.length - 1))
+      else Const(t)
+
+    expect("SELECT")
+    val distinct = peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
+    val proj = scala.collection.mutable.ListBuffer.empty[String]
+    var star = false
+    while (!peek.equalsIgnoreCase("WHERE")) {
+      val t = pop()
+      if (t == "*") star = true
+      else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
+    }
+    expect("WHERE"); expect("{")
+    val patterns = scala.collection.mutable.ListBuffer.empty[Pattern]
+    val optionals = scala.collection.mutable.ListBuffer.empty[Seq[Pattern]]
+    val filters = scala.collection.mutable.ListBuffer.empty[FilterExpr]
+
+    def parsePattern(): Pattern = {
+      val p = Pattern(term(pop()), term(pop()), term(pop()))
+      if (peek == ".") pop()
+      p
+    }
+    def numericLit(t: Term): Boolean = t match {
+      case Const(v) => scala.util.Try(v.toDouble).isSuccess
+      case _ => false
+    }
+    def parseFilter(): FilterExpr = {
+      def atom(): FilterExpr = {
+        if (peek == "!") { pop(); Not(atom()) }
+        else if (peek == "(") { pop(); val e = orExpr(); expect(")"); e }
+        else {
+          val l = term(pop())
+          val op = pop()
+          require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator '$op'")
+          val r = term(pop())
+          Cmp(op, l, r, numericLit(l) || numericLit(r))
+        }
+      }
+      def andExpr(): FilterExpr = {
+        var e = atom()
+        while (peek == "&&") { pop(); e = And(e, atom()) }
+        e
+      }
+      def orExpr(): FilterExpr = {
+        var e = andExpr()
+        while (peek == "||") { pop(); e = Or(e, andExpr()) }
+        e
+      }
+      orExpr()
+    }
+
+    while (peek != "}") {
+      if (peek.equalsIgnoreCase("FILTER")) {
+        pop(); expect("("); filters += parseFilter(); expect(")")
+        if (peek == ".") pop()
+      } else if (peek.equalsIgnoreCase("OPTIONAL")) {
+        pop(); expect("{")
+        val block = scala.collection.mutable.ListBuffer.empty[Pattern]
+        while (peek != "}") block += parsePattern()
+        expect("}")
+        optionals += block.toSeq
+      } else patterns += parsePattern()
+    }
+    expect("}")
+    val order = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    var limit: Option[Int] = None
+    while (ts.nonEmpty) {
+      val t = pop()
+      if (t.equalsIgnoreCase("ORDER")) {
+        expect("BY")
+        while (ts.nonEmpty && !peek.equalsIgnoreCase("LIMIT")) {
+          val n = pop()
+          if (n.equalsIgnoreCase("ASC") || n.equalsIgnoreCase("DESC")) {
+            expect("("); val v = pop(); expect(")")
+            require(isVar(v), s"ORDER BY needs a ?var, got '$v'")
+            order += ((v.drop(1), n.equalsIgnoreCase("ASC")))
+          } else {
+            require(isVar(n), s"ORDER BY needs a ?var, got '$n'")
+            order += ((n.drop(1), true))
+          }
+        }
+      } else if (t.equalsIgnoreCase("LIMIT")) limit = Some(pop().toInt)
+      else throw new IllegalArgumentException(s"unexpected trailing token '$t'")
+    }
+    require(patterns.nonEmpty, "WHERE block needs at least one triple pattern")
+    val known = (patterns ++ optionals.flatten)
+      .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
+    val projection: scala.collection.immutable.Seq[String] =
+      if (star || proj.isEmpty) known.toList else proj.toList
+    projection.foreach(v => require(known.contains(v), s"unknown variable ?$v"))
+    Query(distinct, projection, patterns.toSeq, optionals.toSeq,
+      filters.toSeq, order.toSeq, limit)
+  }
+
+  // ----- Execution ---------------------------------------------------------
+  /** One triple pattern → constant-filtered scan projected to its
+    * variables (repeated variables constrain equality in-pattern). */
+  private def patternFrame(triples: DataFrame, pat: Pattern): DataFrame = {
+    val cols = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
+    var df = triples
+    cols.foreach { case (c, t) => t match {
+      case Const(v) => df = df.where(col(c) === v)
+      case V(_) => ()
+    } }
+    // in-pattern equality for repeated vars
+    val varCols = cols.collect { case (c, V(n)) => (c, n) }
+    varCols.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
+      dup.sliding(2).foreach { case Seq((a, _), (b, _)) => df = df.where(col(a) === col(b)) }
+    }
+    val proj = varCols.map(_._2).distinct.map { n =>
+      col(varCols.find(_._2 == n).get._1).as(n)
+    }
+    if (proj.isEmpty) df.select(lit(1).as("__const")).limit(1) else df.select(proj: _*)
+  }
+
+  private def joinAll(triples: DataFrame, pats: Seq[Pattern]): DataFrame =
+    pats.map(patternFrame(triples, _)).reduceLeft { (acc, next) =>
+      val shared = acc.columns.toSeq.intersect(next.columns.toSeq)
+      if (shared.isEmpty) acc.crossJoin(next) // disjoint BGP components
+      else acc.join(next, shared)
+    }
+
+  private def compileFilter(e: FilterExpr): Column = e match {
+    case And(l, r) => compileFilter(l) && compileFilter(r)
+    case Or(l, r) => compileFilter(l) || compileFilter(r)
+    case Not(x) => !compileFilter(x)
+    case Cmp(op, l, r, numeric) =>
+      def side(t: Term): Column = t match {
+        case V(n) => if (numeric) col(n).cast("double") else col(n)
+        case Const(v) => if (numeric) lit(v.toDouble) else lit(v)
+      }
+      val (a, b) = (side(l), side(r))
+      op match {
+        case "=" => a === b
+        case "!=" => a =!= b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+      }
+  }
+
+  /** Run a query over a (s, p, o) triple frame. */
+  def run(triples: DataFrame, query: String): DataFrame = {
+    val q = parse(query)
+    val t = triples.select(col("s"), col("p"), col("o"))
+    var df = joinAll(t, q.patterns)
+    q.optionals.foreach { block =>
+      val opt = joinAll(t, block)
+      val shared = df.columns.toSeq.intersect(opt.columns.toSeq)
+      require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
+      df = df.join(opt, shared, "left")
+    }
+    q.filters.foreach(f => df = df.where(compileFilter(f)))
+    df = df.select(q.projection.map(col): _*)
+    if (q.distinct) df = df.distinct()
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc }: _*)
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+}

@@ -1044,4 +1044,52 @@ class CypherSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(0)))
     assert(desc.toSeq === Seq(None, Some("40"), Some("30")))
   }
+
+  test("sparql: BGP joins, repeated vars, OPTIONAL nulls, filters, modifiers, rejects") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "knows", "b"), ("b", "knows", "c"), ("a", "knows", "c"),
+      ("a", "age", "41"), ("b", "age", "7"), ("self", "knows", "self"))
+      .toDF("s", "p", "o")
+    // chain join: ?x knows ?y, ?y knows ?z
+    val chain = Sparql.run(triples,
+      "SELECT ?x ?z WHERE { ?x <knows> ?y . ?y <knows> ?z . } ORDER BY ?x ?z")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(chain === Seq(("a", "c"), ("self", "self")))
+    // repeated variable constrains equality in-pattern
+    val selfs = Sparql.run(triples, "SELECT ?x WHERE { ?x <knows> ?x . }")
+      .collect().map(_.getString(0)).toSeq
+    assert(selfs === Seq("self"))
+    // OPTIONAL leaves unmatched rows with null
+    val opt = Sparql.run(triples,
+      "SELECT ?x ?a WHERE { ?x <knows> ?y . OPTIONAL { ?x <age> ?a . } FILTER(?y = \"c\") } ORDER BY ?x")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(opt === Set(("a", Some("41")), ("b", Some("7"))))
+    val optNull = Sparql.run(triples,
+      "SELECT DISTINCT ?x ?a WHERE { ?x <knows> ?y . OPTIONAL { ?x <age> ?a . } } ORDER BY ?x")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(optNull(("self", None)))
+    // numeric FILTER casts both sides (string "7" > 10 lexically but not numerically)
+    val adults = Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <age> ?a . FILTER(?a > 10) }")
+      .collect().map(_.getString(0)).toSeq
+    assert(adults === Seq("a"))
+    // bare < is the operator, not an IRI opener
+    val kids = Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <age> ?a . FILTER(?a < 10) }")
+      .collect().map(_.getString(0)).toSeq
+    assert(kids === Seq("b"))
+    // LIMIT + DISTINCT + constant-object pattern
+    val l = Sparql.run(triples,
+      "SELECT DISTINCT ?x WHERE { ?x <knows> \"c\" . } ORDER BY ?x LIMIT 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(l === Seq("a"))
+    // clear rejections: unknown projection var, empty WHERE, bad trailing
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?nope WHERE { ?x <knows> ?y . }"))
+    intercept[IllegalArgumentException](Sparql.parse("SELECT ?x WHERE { }"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x WHERE { ?x <knows> ?y . } GARBAGE"))
+  }
 }
