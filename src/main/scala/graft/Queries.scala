@@ -3145,6 +3145,24 @@ object Queries {
              |WHERE fn.n = 'nation/NATION_3' OR fn.n = 'nation/NATION_7'
              |ORDER BY fn.c""".stripMargin))),
 
+    // SPARQL 1.1 aggregate: customers counted per region through the
+    // two-hop BGP, grouped and ordered — one grouped count after the
+    // equi-join chain.
+    "sparql_group_count" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?r (COUNT(?c) AS ?customers) WHERE {
+            |  ?c <fromNation> ?n .
+            |  ?n <locatedIn> ?r .
+            |} GROUP BY ?r ORDER BY ?r""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |li AS (SELECT 'nation/' || n_name AS n, 'region/' || r_name AS r
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+             |SELECT li.r, CAST(COUNT(fn.c) AS BIGINT) AS customers
+             |FROM fn JOIN li ON fn.n = li.n
+             |GROUP BY li.r ORDER BY li.r""".stripMargin))),
+
     "rdf_ingest" -> ((
       (s: SparkSession, d: String) => {
         val lines = t(s, d, "nation")

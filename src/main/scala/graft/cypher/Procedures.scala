@@ -284,6 +284,15 @@ object Procedures {
     GraphAlgorithms.katz(g.edges, alphaNum, alphaDen, iters)
   })
 
+  /** Parity-plus: CALL graft.effectiveDiameter([maxHops[, q]]) — the
+    * HyperANF neighborhood-function read path (see
+    * [[GraphAlgorithms.effectiveDiameter]]). */
+  register("graft.effectivediameter", (g, args) => {
+    val hops = args.headOption.map(num(_, "maxHops").toInt).getOrElse(8)
+    val quant = args.lift(1).map(num(_, "q")).getOrElse(0.9)
+    GraphAlgorithms.effectiveDiameter(g.edges, hops, quant)
+  })
+
   register("graft.kafkatopics", (g, _) => {
     val spark = g.nodes.sparkSession
     import spark.implicits._

@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions._
  *  - `FILTER (expr)` with `=`, `!=`, `<`, `<=`, `>`, `>=`, `&&`, `||`,
  *    `!`, parentheses; a numeric literal side compares numerically
  *    (both sides cast to double), otherwise lexically
+ *  - `(COUNT(?v | *) AS ?alias)` projections with `GROUP BY ?v …`
+ *    (plain projected vars must be grouped — the SPARQL 1.1 rule)
  *  - `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`
  */
 object Sparql {
@@ -44,7 +46,10 @@ object Sparql {
   final case class And(l: FilterExpr, r: FilterExpr) extends FilterExpr
   final case class Or(l: FilterExpr, r: FilterExpr) extends FilterExpr
   final case class Not(e: FilterExpr) extends FilterExpr
+  /** One COUNT aggregate: (argument variable or None for *, alias). */
+  final case class Agg(arg: Option[String], alias: String)
   final case class Query(distinct: Boolean, projection: Seq[String],
+                         aggregates: Seq[Agg], groupBy: Seq[String],
                          patterns: Seq[Pattern], optionals: Seq[Seq[Pattern]],
                          filters: Seq[FilterExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int])
@@ -106,10 +111,26 @@ object Sparql {
     expect("SELECT")
     val distinct = peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
     val proj = scala.collection.mutable.ListBuffer.empty[String]
+    val aggs = scala.collection.mutable.ListBuffer.empty[Agg]
     var star = false
     while (!peek.equalsIgnoreCase("WHERE")) {
       val t = pop()
       if (t == "*") star = true
+      else if (t == "(") {
+        // ( COUNT(?v | *) AS ?alias ) -- the SPARQL 1.1 aggregate form
+        val fn = pop()
+        require(fn.equalsIgnoreCase("COUNT"), s"only COUNT is supported, got '$fn'")
+        expect("(")
+        val at = pop()
+        val arg = if (at == "*") None
+          else { require(isVar(at), s"COUNT needs ?var or *, got '$at'"); Some(at.drop(1)) }
+        expect(")"); expect("AS")
+        val al = pop()
+        require(isVar(al), s"AS needs a ?alias, got '$al'")
+        expect(")")
+        aggs += Agg(arg, al.drop(1))
+        proj += al.drop(1)
+      }
       else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
     }
     expect("WHERE"); expect("{")
@@ -165,10 +186,19 @@ object Sparql {
     }
     expect("}")
     val order = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val groupBy = scala.collection.mutable.ListBuffer.empty[String]
     var limit: Option[Int] = None
     while (ts.nonEmpty) {
       val t = pop()
-      if (t.equalsIgnoreCase("ORDER")) {
+      if (t.equalsIgnoreCase("GROUP")) {
+        expect("BY")
+        while (ts.nonEmpty && !peek.equalsIgnoreCase("ORDER") &&
+          !peek.equalsIgnoreCase("LIMIT")) {
+          val v = pop()
+          require(isVar(v), s"GROUP BY needs ?vars, got '$v'")
+          groupBy += v.drop(1)
+        }
+      } else if (t.equalsIgnoreCase("ORDER")) {
         expect("BY")
         while (ts.nonEmpty && !peek.equalsIgnoreCase("LIMIT")) {
           val n = pop()
@@ -187,11 +217,19 @@ object Sparql {
     require(patterns.nonEmpty, "WHERE block needs at least one triple pattern")
     val known = (patterns ++ optionals.flatten)
       .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
+    val aliases = aggs.map(_.alias)
     val projection: scala.collection.immutable.Seq[String] =
       if (star || proj.isEmpty) known.toList else proj.toList
-    projection.foreach(v => require(known.contains(v), s"unknown variable ?$v"))
-    Query(distinct, projection, patterns.toSeq, optionals.toSeq,
-      filters.toSeq, order.toSeq, limit)
+    projection.filterNot(aliases.contains)
+      .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
+    aggs.flatMap(_.arg)
+      .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
+    groupBy.foreach(v => require(known.contains(v), s"unknown variable ?$v"))
+    if (aggs.nonEmpty)
+      projection.filterNot(aliases.contains).foreach(v =>
+        require(groupBy.contains(v), s"?$v is projected but not in GROUP BY"))
+    Query(distinct, projection, aggs.toList, groupBy.toList,
+      patterns.toSeq, optionals.toSeq, filters.toSeq, order.toSeq, limit)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -254,6 +292,13 @@ object Sparql {
       df = df.join(opt, shared, "left")
     }
     q.filters.foreach(f => df = df.where(compileFilter(f)))
+    if (q.aggregates.nonEmpty) {
+      val aggCols = q.aggregates.map(a =>
+        a.arg.map(v => count(col(v))).getOrElse(count(lit(1))).as(a.alias))
+      df = if (q.groupBy.nonEmpty)
+        df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      else df.agg(aggCols.head, aggCols.tail: _*)
+    }
     df = df.select(q.projection.map(col): _*)
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty)

@@ -1085,6 +1085,18 @@ class CypherSpec extends SparkSpec {
       "SELECT DISTINCT ?x WHERE { ?x <knows> \"c\" . } ORDER BY ?x LIMIT 1")
       .collect().map(_.getString(0)).toSeq
     assert(l === Seq("a"))
+    // aggregates: COUNT(?v) per group and global COUNT(*)
+    val perX = Sparql.run(triples,
+      "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x <knows> ?y . } GROUP BY ?x ORDER BY ?x")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(perX === Seq(("a", 2L), ("b", 1L), ("self", 1L)))
+    val total = Sparql.run(triples,
+      "SELECT (COUNT(*) AS ?n) WHERE { ?x <knows> ?y . }")
+      .collect().map(_.getLong(0)).toSeq
+    assert(total === Seq(4L))
+    // SPARQL 1.1 rule: projecting an ungrouped plain var rejects
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x ?y (COUNT(*) AS ?n) WHERE { ?x <knows> ?y . } GROUP BY ?x"))
     // clear rejections: unknown projection var, empty WHERE, bad trailing
     intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?nope WHERE { ?x <knows> ?y . }"))
