@@ -3163,6 +3163,27 @@ object Queries {
              |FROM fn JOIN li ON fn.n = li.n
              |GROUP BY li.r ORDER BY li.r""".stripMargin))),
 
+    // SPARQL UNION: customers and suppliers of EUROPE nations in one
+    // result — bag-union of the two branch BGPs joined with the shared
+    // location pattern.
+    "sparql_union" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?e ?n WHERE {
+            |  { ?e <fromNation> ?n . } UNION { ?e <suppliesFrom> ?n . }
+            |  ?n <locatedIn> <region/EUROPE> .
+            |} ORDER BY ?e LIMIT 150""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS e, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |sf AS (SELECT 'supplier/' || s_suppkey AS e, 'nation/' || n_name AS n
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+             |li AS (SELECT 'nation/' || n_name AS n, 'region/' || r_name AS r
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |u AS (SELECT e, n FROM fn UNION ALL SELECT e, n FROM sf)
+             |SELECT u.e, u.n FROM u JOIN li ON u.n = li.n
+             |WHERE li.r = 'region/EUROPE'
+             |ORDER BY u.e LIMIT 150""".stripMargin))),
+
     "rdf_ingest" -> ((
       (s: SparkSession, d: String) => {
         val lines = t(s, d, "nation")
@@ -3204,7 +3225,12 @@ object Queries {
     val big = c.where(col("c_acctbal") > 9000)
       .select(tr(concat(lit("customer/"), col("c_custkey")), "bigspender",
         lit("1")): _*)
+    val sup = t(s, d, "supplier")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(tr(concat(lit("supplier/"), col("s_suppkey")), "suppliesFrom",
+        concat(lit("nation/"), col("n_name"))): _*)
     fn.unionByName(li).unionByName(seg).unionByName(key).unionByName(big)
+      .unionByName(sup)
   }
 
   /** The Knuth bucket map of [[Sampling.bucketOf]] in verifiable mode,

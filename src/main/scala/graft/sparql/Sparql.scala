@@ -50,7 +50,8 @@ object Sparql {
   final case class Agg(arg: Option[String], alias: String)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
-                         patterns: Seq[Pattern], optionals: Seq[Seq[Pattern]],
+                         patterns: Seq[Pattern], unionBranches: Seq[Seq[Pattern]],
+                         optionals: Seq[Seq[Pattern]],
                          filters: Seq[FilterExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int])
 
@@ -172,8 +173,22 @@ object Sparql {
       orExpr()
     }
 
+    val unionBranches = scala.collection.mutable.ListBuffer.empty[Seq[Pattern]]
     while (peek != "}") {
-      if (peek.equalsIgnoreCase("FILTER")) {
+      if (peek == "{") {
+        // { bgp } UNION { bgp } [UNION { bgp } ...] -- one chain per query
+        require(unionBranches.isEmpty, "only one UNION chain is supported")
+        def group(): Seq[Pattern] = {
+          expect("{")
+          val b = scala.collection.mutable.ListBuffer.empty[Pattern]
+          while (peek != "}") b += parsePattern()
+          expect("}")
+          b.toSeq
+        }
+        unionBranches += group()
+        while (peek.equalsIgnoreCase("UNION")) { pop(); unionBranches += group() }
+        require(unionBranches.size >= 2, "a group block needs at least one UNION")
+      } else if (peek.equalsIgnoreCase("FILTER")) {
         pop(); expect("("); filters += parseFilter(); expect(")")
         if (peek == ".") pop()
       } else if (peek.equalsIgnoreCase("OPTIONAL")) {
@@ -214,8 +229,9 @@ object Sparql {
       } else if (t.equalsIgnoreCase("LIMIT")) limit = Some(pop().toInt)
       else throw new IllegalArgumentException(s"unexpected trailing token '$t'")
     }
-    require(patterns.nonEmpty, "WHERE block needs at least one triple pattern")
-    val known = (patterns ++ optionals.flatten)
+    require(patterns.nonEmpty || unionBranches.nonEmpty,
+      "WHERE block needs at least one triple pattern")
+    val known = (patterns ++ unionBranches.flatten ++ optionals.flatten)
       .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
     val aliases = aggs.map(_.alias)
     val projection: scala.collection.immutable.Seq[String] =
@@ -229,7 +245,8 @@ object Sparql {
       projection.filterNot(aliases.contains).foreach(v =>
         require(groupBy.contains(v), s"?$v is projected but not in GROUP BY"))
     Query(distinct, projection, aggs.toList, groupBy.toList,
-      patterns.toSeq, optionals.toSeq, filters.toSeq, order.toSeq, limit)
+      patterns.toSeq, unionBranches.toList, optionals.toSeq,
+      filters.toSeq, order.toSeq, limit)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -284,7 +301,26 @@ object Sparql {
   def run(triples: DataFrame, query: String): DataFrame = {
     val q = parse(query)
     val t = triples.select(col("s"), col("p"), col("o"))
-    var df = joinAll(t, q.patterns)
+    // UNION chain: bag union of the branch solutions, absent variables
+    // null-padded (SPARQL UNION semantics), joined with the remaining
+    // top-level BGP on the shared variables when one exists
+    val unioned: Option[DataFrame] = if (q.unionBranches.isEmpty) None else {
+      val frames = q.unionBranches.map(joinAll(t, _))
+      val allVars = frames.flatMap(_.columns).distinct
+      Some(frames.map { f =>
+        val padded = allVars.map(v =>
+          if (f.columns.contains(v)) col(v) else lit(null).cast("string").as(v))
+        f.select(padded: _*)
+      }.reduceLeft(_ unionByName _))
+    }
+    var df = (unioned, q.patterns) match {
+      case (Some(u), Seq()) => u
+      case (None, ps) => joinAll(t, ps)
+      case (Some(u), ps) =>
+        val base = joinAll(t, ps)
+        val shared = u.columns.toSeq.intersect(base.columns.toSeq)
+        if (shared.isEmpty) u.crossJoin(base) else u.join(base, shared)
+    }
     q.optionals.foreach { block =>
       val opt = joinAll(t, block)
       val shared = df.columns.toSeq.intersect(opt.columns.toSeq)

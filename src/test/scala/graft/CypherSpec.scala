@@ -1085,6 +1085,12 @@ class CypherSpec extends SparkSpec {
       "SELECT DISTINCT ?x WHERE { ?x <knows> \"c\" . } ORDER BY ?x LIMIT 1")
       .collect().map(_.getString(0)).toSeq
     assert(l === Seq("a"))
+    // UNION: bag semantics, null padding for branch-only vars, join
+    // with the remaining top-level pattern on shared vars
+    val uni = Sparql.run(triples,
+      "SELECT ?x ?a WHERE { { ?x <knows> \"c\" . } UNION { ?x <age> ?a . ?x <knows> \"c\" . } } ORDER BY ?x")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(uni === Seq(("a", None), ("a", Some("41")), ("b", None), ("b", Some("7"))))
     // aggregates: COUNT(?v) per group and global COUNT(*)
     val perX = Sparql.run(triples,
       "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x <knows> ?y . } GROUP BY ?x ORDER BY ?x")
