@@ -197,4 +197,39 @@ object EventStream {
           .as("lag_seconds"),
         col("imp_value"), col("conv_value"))
   }
+
+  /**
+   * OUTER form of [[attributeWithin]]: every conversion emits — matched
+   * rows as they pair, UNATTRIBUTED conversions with null impression
+   * columns once the watermark proves no in-horizon impression can
+   * still arrive (the organic-vs-driven split a marketing pipeline
+   * feeds its models). Same bounded-state contract: the two-sided time
+   * bound plus both watermarks let Spark GC join state at
+   * `watermark + horizon`.
+   */
+  def attributeLeftOuter(impressions: DataFrame, conversions: DataFrame,
+                         impressionType: String = "view",
+                         conversionType: String = "purchase",
+                         horizon: String = "30 minutes",
+                         delay: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .where(col("event_type") === impressionType)
+      .select(col("user_id").as("imp_user"), col("ts").as("imp_ts"),
+        col("value").as("imp_value"))
+      .withWatermark("imp_ts", delay)
+    val conv = conversions
+      .where(col("event_type") === conversionType)
+      .select(col("user_id").as("conv_user"), col("ts").as("conv_ts"),
+        col("value").as("conv_value"))
+      .withWatermark("conv_ts", delay)
+    conv.join(imp,
+      col("imp_user") === col("conv_user") &&
+        col("conv_ts") >= col("imp_ts") &&
+        col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("conv_user").as("user_id"), col("imp_ts"), col("conv_ts"),
+        ((col("conv_ts").cast("long")) - col("imp_ts").cast("long"))
+          .as("lag_seconds"),
+        col("imp_value"), col("conv_value"))
+  }
 }

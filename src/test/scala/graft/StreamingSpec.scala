@@ -300,6 +300,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer join: unattributed conversions emit nulls after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val convs = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val joined = EventStream.attributeLeftOuter(
+      imps.toDF().toDF("ts", "user_id", "event_type", "value"),
+      convs.toDF().toDF("ts", "user_id", "event_type", "value"),
+      horizon = "30 minutes", delay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // user 1 converts WITH an in-horizon impression; user 3 converts
+      // with none — the outer row may only emit once the watermark
+      // proves no impression can still arrive
+      imps.addData((ts("00:00:00"), 1L, "view", 1.0))
+      convs.addData((ts("00:20:00"), 1L, "purchase", 5.0),
+        (ts("00:15:00"), 3L, "purchase", 7.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 00:15 + horizon + delay
+      imps.addData((ts("03:00:00"), 99L, "view", 0.0))
+      convs.addData((ts("03:00:00"), 99L, "purchase", 0.0))
+      q.processAllAvailable()
+      imps.addData((ts("03:30:00"), 99L, "view", 0.0))
+      convs.addData((ts("03:30:00"), 99L, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer")
+        .where(col("user_id").isin(1L, 3L))
+        .select(col("user_id"), col("lag_seconds"), col("conv_value"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getDouble(2))).toSet
+      assert(rows === Set((1L, Some(1200L), 5.0), (3L, None, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: flatMapGroupsWithState closes sessions on gap and timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
