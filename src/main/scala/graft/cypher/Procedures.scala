@@ -293,6 +293,15 @@ object Procedures {
     GraphAlgorithms.effectiveDiameter(g.edges, hops, quant)
   })
 
+  /** Parity-plus: CALL graft.neighborhood([hops]) — the HyperANF
+    * per-vertex register table itself (see
+    * [[GraphAlgorithms.neighborhoodRegisters]]); feed any vertex's rows
+    * to `Sketches.hllEstimate` for its ball size. */
+  register("graft.neighborhood", (g, args) => {
+    val hops = args.headOption.map(num(_, "hops").toInt).getOrElse(4)
+    GraphAlgorithms.neighborhoodRegisters(g.edges, hops)
+  })
+
   register("graft.kafkatopics", (g, _) => {
     val spark = g.nodes.sparkSession
     import spark.implicits._
