@@ -1367,9 +1367,12 @@ object GraphAlgorithms {
    * spec-asserted via localThreshold = 0).
    */
   def maximalMatching(edges: DataFrame, rounds: Int = 20,
-                      localThreshold: Long = 10000000L): DataFrame = {
-    val canon = canonicalSimpleEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val out = matchingOnCanon(canon, rounds, localThreshold)
+                      localThreshold: Long = 10000000L,
+                      weightCol: Option[String] = None): DataFrame = {
+    val canon = canonicalSimpleEdges(edges, weightCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = matchingOnCanon(canon, rounds, localThreshold,
+      weighted = weightCol.isDefined)
     canon.unpersist() // both paths materialize eagerly (collect / localCheckpoint)
     out
   }
@@ -1381,28 +1384,38 @@ object GraphAlgorithms {
     * of the string form — a deterministic order key, so matching/
     * coarsening/MST run on any id type (outputs always carry the
     * original ids; only priorities and tie-breaks use the key). */
-  private def canonicalSimpleEdges(edges: DataFrame): DataFrame = {
-    val e0 = edges.select(col("src").as("a"), col("dst").as("b"))
+  private def canonicalSimpleEdges(edges: DataFrame,
+                                   weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e0 = edges.select(col("src").as("a"), col("dst").as("b"), w.as("w"))
       .withColumn("al",
         coalesce(col("a").try_cast("long"), xxhash64(col("a").cast("string"))))
       .withColumn("bl",
         coalesce(col("b").try_cast("long"), xxhash64(col("b").cast("string"))))
       .where(col("al") =!= col("bl"))
+    // parallel edges collapse to one canonical edge; with a weight
+    // column their weights ADD (multigraph semantics, the coarsening
+    // convention), without one the canonical edge carries w = 1
     e0.select(
       when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("u"),
       when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("v"),
       least(col("al"), col("bl")).as("ul"),
-      greatest(col("al"), col("bl")).as("vl"))
-      .dropDuplicates("ul", "vl")
+      greatest(col("al"), col("bl")).as("vl"),
+      col("w"))
+      .groupBy("ul", "vl")
+      .agg(min(col("u")).as("u"), min(col("v")).as("v"),
+        (if (weightCol.isDefined) sum(col("w")) else lit(1L)).as("w"))
+      .select(col("u"), col("v"), col("ul"), col("vl"), col("w"))
   }
 
   /** [[maximalMatching]]'s adaptive dispatch over an already-canonical
     * (persisted) edge frame. */
   private def matchingOnCanon(canon: DataFrame, rounds: Int,
-                              localThreshold: Long): DataFrame = {
+                              localThreshold: Long,
+                              weighted: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     if (canon.count() <= localThreshold) {
-      return localMatching(canon, rounds)
+      return localMatching(canon, rounds, weighted)
     }
     var liveE = canon.localCheckpoint(true)
     var out = liveE.limit(0).select(col("u"), col("v"), lit(0).as("round"))
@@ -1420,7 +1433,12 @@ object GraphAlgorithms {
           pmod(col("vl"), m31) * lit(7919L) + lit(r.toLong) * lit(101L), m31)
       val keyed = liveE.withColumn("p",
         pmod(lit(1103515245L) * inner + lit(12345L), m31))
-      val k = struct(col("p"), col("ul"), col("vl"))
+      // heavy-edge mode (the METIS HEM heuristic): the HEAVIEST incident
+      // edge wins locally, the LCG only breaks weight ties; unweighted
+      // mode carries a constant lead field, so the key order — and every
+      // replayed oracle — is exactly the (p, ul, vl) order
+      val lead = if (weighted) -col("w") else lit(0L)
+      val k = struct(lead.as("negw"), col("p"), col("ul"), col("vl"))
       val byEnd = keyed.select(col("ul").as("idl"), k.as("k"))
         .unionByName(keyed.select(col("vl").as("idl"), k.as("k")))
       val mn = byEnd.groupBy("idl").agg(min(col("k")).as("mk"))
@@ -1450,13 +1468,15 @@ object GraphAlgorithms {
 
   /** Driver-side rounds for [[maximalMatching]]'s small regime —
     * identical synchronous semantics over interned arrays. */
-  private def localMatching(canon: DataFrame, rounds: Int): DataFrame = {
+  private def localMatching(canon: DataFrame, rounds: Int,
+                            weighted: Boolean = false): DataFrame = {
     val spark = canon.sparkSession
     val ut = canon.schema("u").dataType
     val vt = canon.schema("v").dataType
-    val rows0 = canon.select("u", "v", "ul", "vl").collect()
+    val rows0 = canon.select("u", "v", "ul", "vl", "w").collect()
     val eu = rows0.map(_.get(0)); val ev = rows0.map(_.get(1))
     val ul = rows0.map(_.getLong(2)); val vl = rows0.map(_.getLong(3))
+    val ew = rows0.map(r => if (weighted) -r.getLong(4) else 0L)
     val m = rows0.length
     // endpoint → incident edge indices
     val inc = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
@@ -1480,8 +1500,9 @@ object GraphAlgorithms {
       }
       val p = Array.tabulate(m)(i => if (alive(i)) prio(i) else Long.MaxValue)
       def less(i: Int, j: Int): Boolean =
-        p(i) < p(j) || (p(i) == p(j) && (ul(i) < ul(j) ||
-          (ul(i) == ul(j) && vl(i) < vl(j))))
+        ew(i) < ew(j) || (ew(i) == ew(j) && (
+          p(i) < p(j) || (p(i) == p(j) && (ul(i) < ul(j) ||
+            (ul(i) == ul(j) && vl(i) < vl(j))))))
       val winners = (0 until m).filter { i =>
         alive(i) && (inc(ul(i)).iterator ++ inc(vl(i)).iterator).forall { j =>
           j == i || !alive(j) || less(i, j)
@@ -1522,14 +1543,22 @@ object GraphAlgorithms {
    * grouped count — no iteration beyond the matching's own rounds.
    */
   def coarsenGraph(edges: DataFrame, rounds: Int = 20,
-                   localThreshold: Long = 10000000L): DataFrame = {
-    val canon = canonicalSimpleEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val m = matchingOnCanon(canon, rounds, localThreshold)
+                   localThreshold: Long = 10000000L,
+                   weightCol: Option[String] = None): DataFrame = {
+    val canon = canonicalSimpleEdges(edges, weightCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // with a weight column the matching is HEAVY-EDGE (the METIS HEM
+    // heuristic — heaviest incident edge wins, maximizing the weight a
+    // level absorbs) and coarse edges SUM the fine weights they absorb,
+    // so levels chain: coarsenGraph(coarsenGraph(e, weightCol=...),
+    // weightCol = Some("weight")) is the multilevel loop
+    val m = matchingOnCanon(canon, rounds, localThreshold,
+      weighted = weightCol.isDefined)
     val mapped = canon
       .join(m.select(col("v").as("u"), col("u").as("su")), Seq("u"), "left")
       .join(m.select(col("v"), col("u").as("sv")), Seq("v"), "left")
       .select(coalesce(col("su"), col("u")).as("a"),
-        coalesce(col("sv"), col("v")).as("b"))
+        coalesce(col("sv"), col("v")).as("b"), col("w"))
       .withColumn("al",
         coalesce(col("a").try_cast("long"), xxhash64(col("a").cast("string"))))
       .withColumn("bl",
@@ -1537,8 +1566,11 @@ object GraphAlgorithms {
       .where(col("al") =!= col("bl"))
       .select(
         when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("src"),
-        when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+        when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("dst"),
+        col("w"))
+      .groupBy("src", "dst")
+      .agg((if (weightCol.isDefined) sum(col("w")) else count(lit(1)))
+        .as("weight"))
     val out = mapped.localCheckpoint(true)
     canon.unpersist()
     out

@@ -613,6 +613,44 @@ class GraphCoreSpec extends SparkSpec {
     assert(nf.count() === 3L)
   }
 
+  test("heavy-edge matching and weighted multilevel coarsening") {
+    import spark.implicits._
+    // triangle with one heavy side: unweighted matching picks the
+    // LCG-minimum edge (1,2); heavy-edge mode must pick (2,3) w=100
+    val tri = Seq(("1", "2", 1L), ("2", "3", 100L), ("1", "3", 1L))
+      .toDF("src", "dst", "weight")
+    val hem = GraphAlgorithms.maximalMatching(tri, weightCol = Some("weight"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(hem === Seq(("2", "3")))
+    val unw = GraphAlgorithms.maximalMatching(tri.drop("weight"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(unw === Seq(("1", "2")))
+    // weighted mode parity local/distributed, including parallel-edge
+    // weight addition (two w=60 edges beat one w=100)
+    val par = Seq(("1", "2", 60L), ("2", "1", 60L), ("2", "3", 100L), ("1", "3", 1L))
+      .toDF("src", "dst", "weight")
+    val lp = GraphAlgorithms.maximalMatching(par, weightCol = Some("weight"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(lp === Seq(("1", "2"))) // 120 beats 100
+    val dp = GraphAlgorithms.maximalMatching(par, localThreshold = 0L,
+        weightCol = Some("weight"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(dp === lp)
+    // multilevel chaining: weighted coarsen of the weighted coarse graph —
+    // coarse weights SUM absorbed fine weights and levels keep shrinking
+    val chain = Seq(("1", "2", 9L), ("2", "3", 1L), ("3", "4", 9L), ("4", "5", 1L),
+      ("5", "6", 9L)).toDF("src", "dst", "weight")
+    val l1 = GraphAlgorithms.coarsenGraph(chain, weightCol = Some("weight"))
+    // HEM matches the three w=9 edges -> supervertices {1,3,5}, coarse
+    // edges (1,3,w=1) and (3,5,w=1)
+    val l1rows = l1.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(l1rows === Set(("1", "3", 1L), ("3", "5", 1L)))
+    val l2 = GraphAlgorithms.coarsenGraph(l1, weightCol = Some("weight"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // level 2 matches one of the two coarse edges; one edge remains
+    assert(l2.size === 1 && l2.head._3 === 1L)
+  }
+
   test("coarsenGraph: contraction invariants and hand-checked weights") {
     import spark.implicits._
     val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
