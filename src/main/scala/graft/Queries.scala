@@ -1733,6 +1733,23 @@ object Queries {
       },
       Some(coarsenOracleSql(rounds = 12)))),
 
+    // Heavy-edge-matching coarsening level (the true METIS HEM step):
+    // weighted fixture, heaviest incident edge wins each local
+    // decision, coarse edges SUM absorbed fine weights — the oracle
+    // replays the weighted key ((100−w)·2⁵² leading) round by round.
+    "alg_coarsen_hem" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"),
+            (pmod(col("l_orderkey") * 13 + col("l_partkey") * 3, lit(100)) + 1)
+              .as("weight"))
+        GraphAlgorithms.coarsenGraph(eb, rounds = 12, weightCol = Some("weight"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(coarsenHemOracleSql(rounds = 12)))),
+
     // Deterministic Borůvka minimum spanning forest: per round every
     // component selects its minimum incident edge under the strict
     // (weight, cu, cv) key and contracts along it via pointer doubling —
@@ -4442,6 +4459,55 @@ object Queries {
        |  LEFT JOIN mt mv ON mv.v = e.v)
        |SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst,
        |  COUNT(*) AS weight
+       |FROM re WHERE a <> b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** alg_coarsen_hem oracle: the WEIGHTED matching chain — per-label
+    * best incident edge under (w DESC, lcg, u, v) via a multi-key
+    * ROW_NUMBER (no bit packing needed), two-sided winner join,
+    * endpoint removal; then the contraction re-map with SUMMED absorbed
+    * weights. Canonical fine edges sum parallel weights (the multigraph
+    * convention). */
+  private def coarsenHemOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT u, v, w,
+         |  (1103515245 * (u * 1000003 + v * 7919 + $r * 101) + 12345)
+         |    % 2147483647 AS p
+         |  FROM e${r - 1}),
+         |rn$r AS MATERIALIZED (SELECT id, eu, ev,
+         |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, p, eu, ev) AS rn
+         |  FROM (SELECT u AS id, u AS eu, v AS ev, w, p FROM p$r
+         |        UNION ALL SELECT v, u, v, w, p FROM p$r)),
+         |mn$r AS MATERIALIZED (SELECT id, eu, ev FROM rn$r WHERE rn = 1),
+         |w$r AS MATERIALIZED (SELECT p.u, p.v FROM p$r p
+         |  JOIN mn$r a ON a.id = p.u AND a.eu = p.u AND a.ev = p.v
+         |  JOIN mn$r b ON b.id = p.v AND b.eu = p.u AND b.ev = p.v),
+         |m$r AS (SELECT u AS id FROM w$r UNION SELECT v FROM w$r),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v, e.w FROM e${r - 1} e
+         |  WHERE e.u NOT IN (SELECT id FROM m$r)
+         |    AND e.v NOT IN (SELECT id FROM m$r))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT u, v FROM w$r").mkString("\n  UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT l_orderkey % 900 AS src, l_partkey % 900 AS dst,
+       |    (l_orderkey * 13 + l_partkey * 3) % 100 + 1 AS w
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+       |    CAST(SUM(w) AS BIGINT) AS w
+       |  FROM eb WHERE src <> dst GROUP BY 1, 2),
+       |$chain,
+       |mt AS MATERIALIZED (
+       |  $union),
+       |re AS (SELECT COALESCE(mu.u, e.u) AS a, COALESCE(mv.u, e.v) AS b, e.w
+       |  FROM e0 e
+       |  LEFT JOIN mt mu ON mu.v = e.u
+       |  LEFT JOIN mt mv ON mv.v = e.v)
+       |SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst,
+       |  CAST(SUM(w) AS BIGINT) AS weight
        |FROM re WHERE a <> b
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
