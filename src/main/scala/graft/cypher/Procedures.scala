@@ -263,7 +263,15 @@ object Procedures {
     * (weight 1 when absent, the graft.weightedpagerank convention). */
   register("graft.coarsen", (g, args) => {
     val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(20)
-    GraphAlgorithms.coarsenGraph(g.edges, rounds)
+    // heavy-edge matching over the edge `weight` property when present
+    // (the graft.mst convention); unweighted otherwise
+    if (g.edges.columns.contains("properties"))
+      GraphAlgorithms.coarsenGraph(
+        g.edges.select(col("src"), col("dst"),
+          coalesce(element_at(col("properties"), "weight").cast("long"), lit(1L))
+            .as("weight")),
+        rounds, weightCol = Some("weight"))
+    else GraphAlgorithms.coarsenGraph(g.edges, rounds)
   })
   register("graft.mst", (g, args) => {
     val rounds = args.headOption.map(num(_, "rounds").toInt).getOrElse(12)
