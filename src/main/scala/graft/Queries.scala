@@ -245,6 +245,33 @@ object Queries {
              |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // SCD type-2 interval derivation: each user's event_type change
+    // history collapsed into validity intervals (merge same-value runs,
+    // last-wins at equal timestamps, open current version) — one key
+    // shuffle, two windows sharing it.
+    "q_scd2" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts DIV 1000").as("ts_us"), col("event_type"), col("event_id"))
+        graft.operators.Relational.scd2(ev, Seq("user_id"), "ts_us",
+            "event_type", tiebreakCol = Some("event_id"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+             |  FROM events),
+             |pt AS (SELECT user_id, ts_us, event_type,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+             |                     ORDER BY event_id DESC) AS rn FROM ev),
+             |d AS (SELECT user_id, ts_us, event_type FROM pt WHERE rn = 1),
+             |ch AS (SELECT user_id, ts_us, event_type,
+             |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+             |  FROM d),
+             |f AS (SELECT user_id, event_type, ts_us AS valid_from,
+             |  LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to
+             |  FROM ch WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, valid_from, valid_to
+             |FROM f ORDER BY user_id, valid_from""".stripMargin))),
+
     // Batch click-attribution (the oracled twin of the streaming
     // stream-stream interval join): purchases pair with the same user's
     // views within a 30-minute lookback — one equi-join on user_id,

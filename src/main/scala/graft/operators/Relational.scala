@@ -198,4 +198,41 @@ object Relational {
       leftCols.map(c => col("__l").getField(c).as(c)) ++
         rightPayloadCols.map(c => col("__m").getField(c).as(s"$rightPrefix$c")): _*)
   }
+
+  /**
+   * SCD type-2 interval derivation — the warehouse companion of
+   * [[asofJoin]]: collapse a change-event stream (key, ts, value) into
+   * validity intervals. Consecutive rows with the SAME value merge; a
+   * version starts where the value differs from the key's previous row
+   * and runs until the next version starts (`valid_to` null on the open
+   * current version). Ties at one timestamp keep the LAST value in the
+   * deterministic (ts, tiebreakCol) order. Returns all key columns +
+   * `valueCol`, `valid_from`, `valid_to`.
+   *
+   * Shape: ONE shuffle on the key columns; the change filter (lag) and
+   * the interval close (lead over the surviving rows) are two windows
+   * sharing that partitioning. At 100 TB per-key history is
+   * human-bounded, so no task ever sees more than one key's rows.
+   */
+  def scd2(events: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String, tiebreakCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    // last-wins at equal ts: keep only the final row per (key, ts)
+    val perTs = events
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((keyCols :+ tsCol).map(col): _*)
+          .orderBy(tiebreakCol.map(col(_).desc).getOrElse(lit(1)))))
+      .where(col("__rn") === 1).drop("__rn")
+    // after the dedup (key, ts) is unique, so ts alone totally orders
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+    val changed = perTs
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(valueCol))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(keyCols.map(col) ++
+        Seq(col(valueCol), col("valid_from"), col("valid_to")): _*)
+  }
 }

@@ -232,6 +232,28 @@ class OperatorsSpec extends SparkSpec {
       "shard-merged sketch differs from single-pass sketch")
   }
 
+  test("scd2: same-value runs merge, last-wins ties, open current version") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val ev = Seq(
+      (1L, 10L, "A", 1L), (1L, 20L, "A", 2L), // run merges
+      (1L, 30L, "B", 3L),                     // version change
+      (1L, 30L, "C", 4L),                     // tie: higher event_id wins -> C
+      (1L, 40L, "A", 5L),                     // back to A = new version
+      (2L, 10L, "X", 6L))                     // second key, open version
+      .toDF("user_id", "ts", "v", "event_id")
+    val out = Relational.scd2(ev, Seq("user_id"), "ts", "v",
+        tiebreakCol = Some("event_id"))
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq === Seq(
+      (1L, "A", 10L, Some(30L)),
+      (1L, "C", 30L, Some(40L)),
+      (1L, "A", 40L, None),
+      (2L, "X", 10L, None)))
+  }
+
   test("perf catalog: append-only history, sla report grid, admission gate") {
     import graft.operators.PerfCatalog
     val dir = java.nio.file.Files.createTempDirectory("perfcat").toString
