@@ -3228,6 +3228,32 @@ object Queries {
              |WHERE li.r = 'region/EUROPE'
              |ORDER BY u.e LIMIT 150""".stripMargin))),
 
+    // SPARQL ASK: boolean existence of a building-segment big spender.
+    "sparql_ask" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """ASK WHERE { ?c <segment> "BUILDING" . ?c <bigspender> ?b . }"""),
+      Some("""SELECT EXISTS(
+             |  SELECT 1 FROM customer
+             |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000) AS ask""".stripMargin))),
+
+    // SPARQL CONSTRUCT: derive (customer, locatedInRegion, region)
+    // triples from the two-hop BGP — the result graph is a SET.
+    "sparql_construct" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """CONSTRUCT { ?c <locatedInRegion> ?r . } WHERE {
+            |  ?c <fromNation> ?n .
+            |  ?n <locatedIn> ?r .
+            |}""".stripMargin)
+          .orderBy(col("s"), col("o")),
+      Some("""SELECT DISTINCT 'customer/' || c_custkey AS s,
+             |  'locatedInRegion' AS p, 'region/' || r_name AS o
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY s, o""".stripMargin))),
+
     "rdf_ingest" -> ((
       (s: SparkSession, d: String) => {
         val lines = t(s, d, "nation")

@@ -53,7 +53,9 @@ object Sparql {
                          patterns: Seq[Pattern], unionBranches: Seq[Seq[Pattern]],
                          optionals: Seq[Seq[Pattern]],
                          filters: Seq[FilterExpr],
-                         orderBy: Seq[(String, Boolean)], limit: Option[Int])
+                         orderBy: Seq[(String, Boolean)], limit: Option[Int],
+                         ask: Boolean = false,
+                         construct: Seq[Pattern] = Seq.empty)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -109,12 +111,26 @@ object Sparql {
       else if (t.startsWith("\"")) Const(t.substring(1, t.length - 1))
       else Const(t)
 
-    expect("SELECT")
-    val distinct = peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
+    // query form: SELECT … WHERE | ASK WHERE | CONSTRUCT { template } WHERE
+    val form = pop().toUpperCase
+    require(Seq("SELECT", "ASK", "CONSTRUCT").contains(form),
+      s"expected SELECT/ASK/CONSTRUCT, got '$form'")
+    val distinct = form == "SELECT" &&
+      peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
     val proj = scala.collection.mutable.ListBuffer.empty[String]
     val aggs = scala.collection.mutable.ListBuffer.empty[Agg]
+    val template = scala.collection.mutable.ListBuffer.empty[Pattern]
     var star = false
-    while (!peek.equalsIgnoreCase("WHERE")) {
+    if (form == "CONSTRUCT") {
+      expect("{")
+      while (peek != "}") {
+        val a = pop(); val b = pop(); val c = pop()
+        template += Pattern(term(a), term(b), term(c))
+        if (peek == ".") pop()
+      }
+      expect("}")
+    }
+    while (form == "SELECT" && !peek.equalsIgnoreCase("WHERE")) {
       val t = pop()
       if (t == "*") star = true
       else if (t == "(") {
@@ -244,9 +260,12 @@ object Sparql {
     if (aggs.nonEmpty)
       projection.filterNot(aliases.contains).foreach(v =>
         require(groupBy.contains(v), s"?$v is projected but not in GROUP BY"))
+    template.flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }
+      .foreach(v => require(known.contains(v), s"unknown template variable ?$v"))
     Query(distinct, projection, aggs.toList, groupBy.toList,
       patterns.toSeq, unionBranches.toList, optionals.toSeq,
-      filters.toSeq, order.toSeq, limit)
+      filters.toSeq, order.toSeq, limit,
+      ask = form == "ASK", construct = template.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -328,6 +347,23 @@ object Sparql {
       df = df.join(opt, shared, "left")
     }
     q.filters.foreach(f => df = df.where(compileFilter(f)))
+    if (q.ask) {
+      // ASK: one boolean row — does any solution exist (lazy, no action)
+      return df.limit(1).select(lit(1).as("__x"))
+        .agg((count(lit(1)) > 0).as("ask"))
+    }
+    if (q.construct.nonEmpty) {
+      // CONSTRUCT: instantiate each template triple per solution; the
+      // result graph is a SET of triples (SPARQL semantics), hence the
+      // distinct
+      def side(t: Term): Column = t match {
+        case V(n) => col(n).cast("string")
+        case Const(v) => lit(v)
+      }
+      return q.construct.map { tp =>
+        df.select(side(tp.s).as("s"), side(tp.p).as("p"), side(tp.o).as("o"))
+      }.reduceLeft(_ unionByName _).distinct()
+    }
     if (q.aggregates.nonEmpty) {
       val aggCols = q.aggregates.map(a =>
         a.arg.map(v => count(col(v))).getOrElse(count(lit(1))).as(a.alias))

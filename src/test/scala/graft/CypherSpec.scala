@@ -1100,6 +1100,19 @@ class CypherSpec extends SparkSpec {
       "SELECT (COUNT(*) AS ?n) WHERE { ?x <knows> ?y . }")
       .collect().map(_.getLong(0)).toSeq
     assert(total === Seq(4L))
+    // ASK: true when a solution exists, false otherwise (lazy plans)
+    assert(Sparql.run(triples, "ASK WHERE { ?x <knows> \"c\" . }")
+      .collect()(0).getBoolean(0))
+    assert(!Sparql.run(triples, "ASK WHERE { ?x <knows> \"zzz\" . }")
+      .collect()(0).getBoolean(0))
+    // CONSTRUCT: template instantiation, set semantics (dup solutions
+    // collapse), constants allowed in the template
+    val built = Sparql.run(triples,
+      "CONSTRUCT { ?x <reaches> \"c\" . } WHERE { ?x <knows> ?y . ?y <knows> ?z . }")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(built === Set(("a", "reaches", "c"), ("self", "reaches", "c")))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "CONSTRUCT { ?nope <p> ?x . } WHERE { ?x <knows> ?y . }"))
     // SPARQL 1.1 rule: projecting an ungrouped plain var rejects
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x ?y (COUNT(*) AS ?n) WHERE { ?x <knows> ?y . } GROUP BY ?x"))
