@@ -1045,6 +1045,27 @@ class CypherSpec extends SparkSpec {
     assert(desc.toSeq === Seq(None, Some("40"), Some("30")))
   }
 
+  test("sparql over adrdf: N-Triples ingest feeds the query engine end to end") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    // the reference's adrdf pipeline: N-Triples lines -> triple graph;
+    // its declared-only sparql verb then queries the same triples
+    val lines = Seq(
+      "<alice> <knows> <bob> .",
+      "<bob> <knows> <carol> .",
+      "<alice> <worksAt> \"acme\" .",
+      "# comment", "").toDF("value")
+    val g = graft.sources.GraphSources.parseRdfTriples(lines)
+    val triples = g.edges.select(col("src").as("s"), col("type").as("p"),
+      col("dst").as("o"))
+    val out = Sparql.run(triples,
+      "SELECT ?x ?z WHERE { ?x <knows> ?y . ?y <knows> ?z . }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out === Seq(("alice", "carol")))
+    assert(Sparql.run(triples, "ASK WHERE { ?w <worksAt> \"acme\" . }")
+      .collect()(0).getBoolean(0))
+  }
+
   test("sparql: BGP joins, repeated vars, OPTIONAL nulls, filters, modifiers, rejects") {
     import spark.implicits._
     import graft.sparql.Sparql
