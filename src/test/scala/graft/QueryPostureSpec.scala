@@ -339,6 +339,18 @@ class QueryPostureSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("priorityDedup and scd2: windows share the key shuffle") {
+    // priorityDedup's rank + group-count windows partition identically,
+    // so ONE hash exchange feeds both; scd2's per-ts dedup and interval
+    // windows need at most two (different partition keys)
+    val p1 = plan("doc_priority_dedup")
+    assert(p1.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"priorityDedup shuffles the corpus more than once:\n$p1")
+    val p2 = plan("q_scd2")
+    assert(p2.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"scd2 exceeds its two key shuffles:\n$p2")
+  }
+
   test("kmv sketch: partition-pruned before the per-group rank window") {
     val p = plan("q_kmv_sketch")
     // the guard that keeps any single window task under k*P rows: a
