@@ -1325,21 +1325,25 @@ object Queries {
     // scale (rounded for the float comparison) + codes, replayed
     // bit-identically in DuckDB via the floor(x/scale + 0.5) formula
     // (exact IEEE double ops — round() dialects differ on ties).
+    // Codes are emitted CSV-joined: the driver's pandas compare
+    // sort_values-crashes on raw array cells (round-8 err), so declared
+    // outputs must be scalar-sortable — values unchanged, shape only.
     "emb_quantize" -> ((
       (s: SparkSession, d: String) => {
         val q = Similarity.quantizeInt8(col("embedding"))
         t(s, d, "embeddings")
           .select(col("vec_id"),
             round(q.getField("scale"), 6).as("scale"),
-            q.getField("codes").as("codes"))
+            array_join(transform(q.getField("codes"), _.cast("string")), ",")
+              .as("codes"))
           .orderBy(col("vec_id"))
       },
       Some("""SELECT vec_id,
              |  ROUND(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 6) AS scale,
-             |  CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0 THEN
+             |  array_to_string(CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0 THEN
              |    list_transform(CAST(embedding AS DOUBLE[]),
              |      x -> CAST(floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0) + 0.5) AS TINYINT))
-             |  ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS TINYINT)) END AS codes
+             |  ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS TINYINT)) END, ',') AS codes
              |FROM embeddings ORDER BY vec_id""".stripMargin))),
 
     // Product-quantization ADC search (Jégou et al. 2011): m=4 subspaces
@@ -1376,12 +1380,15 @@ object Queries {
     // JL sign random projection 64 → 16: data-independent LCG sign
     // matrix, one codegen'd dot per output coordinate, exact double
     // parity with DuckDB's left-to-right list_sum fold (no rounding).
+    // Declared per-coordinate — (vec_id, i, x) rows via posexplode —
+    // because the driver's compare cannot sort raw array cells.
     "emb_random_projection" -> ((
       (s: SparkSession, d: String) =>
         Similarity.randomProjection(t(s, d, "embeddings"), "vec_id", "embedding",
             dim = 64, outDim = 16)
           .withColumnRenamed("id", "vec_id")
-          .orderBy(col("vec_id")),
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("i", "x")))
+          .orderBy(col("vec_id"), col("i")),
       Some(randomProjectionOracleSql(dim = 64, outDim = 16)))),
 
     "emb_pq_adc" -> ((
@@ -5015,7 +5022,9 @@ object Queries {
 
   /** emb_random_projection oracle: one left-to-right list_sum fold per
     * output coordinate with the identical LCG sign — ±1 multiplies are
-    * exact sign flips, so the doubles hash-match with no rounding. */
+    * exact sign flips, so the doubles hash-match with no rounding.
+    * Emitted per-coordinate (vec_id, i, x) to stay scalar-sortable for
+    * the driver's pandas compare (raw list cells crash its sort). */
   private def randomProjectionOracleSql(dim: Int, outDim: Int): String = {
     val coords = (0 until outDim).map { j =>
       s"""  list_sum(list_transform(range(1, ${dim + 1}),
@@ -5023,10 +5032,14 @@ object Queries {
          |      (CASE WHEN ((1103515245 * ((i - 1) * 1000003 + $j * 101) + 12345)
          |        % 2147483647) % 2 = 0 THEN 1 ELSE -1 END)))""".stripMargin
     }.mkString(",\n")
-    s"""SELECT vec_id, [
+    s"""WITH p AS (SELECT vec_id, [
        |$coords
        |] AS proj
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+       |FROM embeddings)
+       |SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+       |  proj[CAST(t.i + 1 AS INTEGER)] AS x
+       |FROM p, UNNEST(range(0, $outDim)) t(i)
+       |ORDER BY vec_id, i""".stripMargin
   }
 
   /** mm_resize oracle: replay the stub-raster nearest-neighbor sample —

@@ -16,6 +16,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for LSH-family ops whose bucketing
-    * hash has no DuckDB equivalent → driver records a rows-only check. */
+    * hash has no DuckDB equivalent → driver records a rows-only check.
+    *
+    * HARNESS CONTRACT (learned round 8): declared outputs must contain NO
+    * raw array/map columns — the driver's pandas compare sort_values over
+    * every column and crashes on unhashable cells (numpy.ndarray). Flatten
+    * vectors to CSV strings (array_join / array_to_string) or explode to
+    * per-element rows, and mirror the shape in the DuckDB SQL. */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }
