@@ -2808,57 +2808,72 @@ object GraphAlgorithms {
   }
 
   /**
+   * Canonical non-loop edge pairs annotated with how many of the two
+   * directions are present (`ndir` ∈ {1, 2}): ONE groupBy shuffle that
+   * simultaneously dedups raw edges, canonicalizes orientation AND
+   * counts mutuality — replacing the distinct + edge-wide reverse
+   * self-join formulation of reciprocity (an (u,v)⋈(v,u) probe over
+   * the full edge set) with a map-side-combinable aggregation whose
+   * keys ARE the canonical undirected edge set assortativity needs.
+   */
+  private def canonicalDirections(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        when(col("src") < col("dst"), 1).otherwise(2).as("__dir"))
+      .groupBy(col("src"), col("dst"))
+      // __dir ∈ {1,2}: min≠max ⇔ both directions present — same answer
+      // as countDistinct without its two-phase distinct-agg expansion
+      .agg(when(min(col("__dir")) =!= max(col("__dir")), 2L).otherwise(1L)
+        .as("ndir"))
+
+  /** The 1-row reciprocity aggregate over [[canonicalDirections]]
+    * output: total = Σ ndir (distinct directed non-loop edges),
+    * reciprocated = 2·#{mutual pairs}. */
+  private def reciprocityAgg(canon: DataFrame): DataFrame =
+    canon.agg(
+      coalesce(sum(col("ndir")), lit(0L)).as("total"),
+      coalesce(sum(when(col("ndir") === 2, 2L).otherwise(0L)), lit(0L))
+        .as("reciprocated"),
+      coalesce(round(sum(when(col("ndir") === 2, 2L).otherwise(0L)).cast("double") /
+        sum(col("ndir")).cast("double"), 6), lit(0.0)).as("reciprocity"))
+
+  /**
    * Edge reciprocity of a DIRECTED graph: the fraction of distinct
    * non-loop edges (u,v) whose reverse (v,u) is also present — the
    * standard directed-graph summary statistic (Newman, *Networks* §7.10).
    *
-   * One hash self-join on (src,dst) + one aggregate; the edge set is
-   * localCheckpointed once because it feeds both probe sides. Counts are
-   * exact integers; the ratio is one correctly-rounded double division,
-   * so the row replays bit-identically in any engine.
+   * One map-side-combinable groupBy on the canonical pair counting the
+   * distinct directions present, then a 1-row aggregate — no self-join,
+   * no checkpoint, a single edge-keyed shuffle. Counts are exact
+   * integers; the ratio is one correctly-rounded double division, so
+   * the row replays bit-identically in any engine.
    */
-  def reciprocity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
-      lit(1).as("__rev"))
-    e.join(rev, Seq("src", "dst"), "left")
-      .agg(count(lit(1)).as("total"), count(col("__rev")).as("reciprocated"),
-        coalesce(round(count(col("__rev")).cast("double") /
-          count(lit(1)).cast("double"), 6), lit(0.0)).as("reciprocity"))
-  }
+  def reciprocity(edges: DataFrame): DataFrame =
+    reciprocityAgg(canonicalDirections(edges))
 
   /**
    * Fused whole-graph summary — [[reciprocity]] and
-   * [[degreeAssortativity]] in ONE pass over ONE materialized distinct
-   * edge set (the `CALL graft.graphstats()` backing): the two metrics
-   * share their dominant cost (the distinct scan of the edge table), so
-   * computing them together halves the checkpoints and scans of calling
-   * each operator separately. Value-identical to the separate operators
-   * for null-free inputs (null-keyed edges are dropped up front, the
-   * reciprocity convention). One row: (total, reciprocated,
-   * reciprocity, assortativity).
+   * [[degreeAssortativity]] in ONE pass over ONE materialized canonical
+   * edge set (the `CALL graft.graphstats()` backing): the
+   * [[canonicalDirections]] groupBy is the only edge-sized shuffle and
+   * its checkpoint the only edge-sized materialization — reciprocity is
+   * a 1-row fold over it and assortativity reuses its keys as the
+   * canonical undirected edges, so the old shape's reverse self-join
+   * and second canonical distinct are gone entirely. Value-identical to
+   * the separate operators for null-free inputs (null-keyed edges are
+   * dropped up front, the reciprocity convention). The two 1-row
+   * aggregates meet in one crossJoin plan, so the final action is one
+   * job. One row: (total, reciprocated, reciprocity, assortativity).
    */
   def graphStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true) // ONE materialization feeds both metrics
-    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
-      lit(1).as("__rev"))
-    val recip = e.join(rev, Seq("src", "dst"), "left")
-      .agg(count(lit(1)).as("total"), count(col("__rev")).as("reciprocated"),
-        coalesce(round(count(col("__rev")).cast("double") /
-          count(lit(1)).cast("double"), 6), lit(0.0)).as("reciprocity"))
-    // e is already distinct + loop-free, so the canonical set is one
-    // narrow projection + distinct away
-    val cn = e.select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst")).distinct()
-    val asrt = assortativityFromCanonical(cn).select(col("assortativity"))
+    // ONE edge-sized materialization feeds both metrics
+    val canon = canonicalDirections(edges).localCheckpoint(true)
+    val recip = reciprocityAgg(canon)
+    val asrt = assortativityFromCanonical(canon.select(col("src"), col("dst")))
+      .select(col("assortativity"))
     recip.crossJoin(asrt) // 1-row × 1-row
   }
 

@@ -359,4 +359,32 @@ class QueryPostureSpec extends SparkSpec {
       s"kmvSketch lost its two-level window (local prune + global rank):\n$p")
     assert(!p.contains("CartesianProduct"), s"kmvSketch has a cartesian:\n$p")
   }
+
+  test("reciprocity: single canonical groupBy, no reverse self-join") {
+    import spark.implicits._
+    // the (u,v)⋈(v,u) probe over the full edge set is the shape this
+    // operator must never regress to at 100 TB — one map-side-combinable
+    // aggregation, zero joins
+    val e = Seq(("1", "2"), ("2", "1"), ("1", "3")).toDF("src", "dst")
+    val p = graft.algorithms.GraphAlgorithms.reciprocity(e)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"reciprocity reintroduced a join:\n$p")
+  }
+
+  test("graphStats: both metrics share ONE edge-sized materialization") {
+    import spark.implicits._
+    // posture contract (round-9 VERDICT): the canonicalDirections
+    // checkpoint is the ONLY edge-sized materialization (deg inside
+    // assortativity is the one other, vertex-sized, checkpoint). If
+    // reciprocity and assortativity ever stop sharing it, a third
+    // LogicalRDD appears here and this fails.
+    val e = (0 until 200).map(i => (s"v$i", s"v${(i * 7) % 200}")).toDF("src", "dst")
+    val df = graft.algorithms.GraphAlgorithms.graphStats(e)
+    val rddIds = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    assert(rddIds.size <= 2,
+      s"graphStats materializes ${rddIds.size} RDDs (budget: canon + deg = 2)")
+    assert(df.collect()(0).getLong(0) > 0L)
+  }
 }
