@@ -105,23 +105,45 @@ object GraphXAlgorithms {
                                   localThreshold: Long): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val size = g.nodes.count() + g.edges.count()
-    if (size <= localThreshold) return tarjanScc(g)
-    val (gx, dict) = toGraphX(g)
-    val scc = gx.stronglyConnectedComponents(numIter).vertices.toDF("vid", "component")
-    scc.join(dict, "vid").select(col("id"), col("component"))
+    // Probe-collect regime gate (the GraphAlgorithms.collectInternedGated
+    // discipline): limit(budget+1).collect() gates AND loads in the same
+    // bounded pass — the old nodes.count()+edges.count() gate paid two
+    // full actions before every call just to pick the regime. Semantics
+    // preserved exactly: local iff |nodes|+|edges| ≤ localThreshold.
+    val local: Option[(Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row])] =
+      if (localThreshold < 0 || localThreshold >= Int.MaxValue - 2) None
+      else {
+        val cap = localThreshold.toInt
+        val nodeRows = g.nodes.select(col("id")).limit(cap + 1).collect()
+        if (nodeRows.length > cap) None
+        else {
+          val edgeBudget = cap - nodeRows.length
+          val edgeRows = g.orientedEdges.select(col("src"), col("dst"))
+            .limit(edgeBudget + 1).collect()
+          if (edgeRows.length > edgeBudget) None else Some((nodeRows, edgeRows))
+        }
+      }
+    local match {
+      case Some((nodeRows, edgeRows)) => tarjanScc(spark, nodeRows, edgeRows)
+      case None =>
+        val (gx, dict) = toGraphX(g)
+        val scc = gx.stronglyConnectedComponents(numIter).vertices.toDF("vid", "component")
+        scc.join(dict, "vid").select(col("id"), col("component"))
+    }
   }
 
-  /** Exact SCCs by iterative (explicit-stack) Tarjan on the driver;
-    * component = minimum member id. Bounded by the caller's threshold. */
-  private def tarjanScc(g: PropertyGraph): DataFrame = {
-    val spark = g.nodes.sparkSession
+  /** Exact SCCs by iterative (explicit-stack) Tarjan on the driver over
+    * the probe-collected rows; component = minimum member id. Bounded by
+    * the caller's threshold. */
+  private def tarjanScc(spark: org.apache.spark.sql.SparkSession,
+      nodeRows: Array[org.apache.spark.sql.Row],
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val ids = g.nodes.select(col("id")).collect().map(_.getString(0))
+    val ids = nodeRows.map(_.getString(0))
     val idx = ids.zipWithIndex.toMap
     val n = ids.length
     val adj = Array.fill(n)(List.empty[Int])
-    g.orientedEdges.select(col("src"), col("dst")).collect().foreach { r =>
+    edgeRows.foreach { r =>
       for (s <- idx.get(r.getString(0)); d <- idx.get(r.getString(1)))
         adj(s) = d :: adj(s)
     }
