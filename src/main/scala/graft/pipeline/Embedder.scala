@@ -59,9 +59,9 @@ object Embedder {
    * Production HTTP embedder skeleton — the direct analogue of the
    * reference's `TextEmbedder` (HTTP POST of a text batch to an embedding
    * service, one call per batch). The request/response wire format is the
-   * one documented swap-in point: this container has no egress and no
-   * embedding service, so the class is compile-checked but exercised only
-   * through [[HashEmbedder]] in tests.
+   * one documented swap-in point; exercised end-to-end against an
+   * in-process loopback HTTP stub in `HttpSeamSpec` (this container has
+   * no egress, so no live service run is possible).
    *
    * One connection per batch per partition; at cluster scale the batch
    * size bounds concurrent requests at (executors × cores), which is the
@@ -96,6 +96,25 @@ object Embedder {
         s"embedding service returned ${arrays.size} vectors for $expected texts")
       arrays
     }
+  }
+
+  /**
+   * Degrade-on-failure wrapper — the documented embed-at-ingest failure
+   * posture: try `primary` for each batch; on any non-fatal failure
+   * (connection refused, HTTP error status, response-contract violation)
+   * embed THAT batch with `fallback` instead, so ingest never stalls on
+   * the embedding service. With the deterministic [[HashEmbedder]] as
+   * fallback, affected rows stay dimension-correct and reproducible — a
+   * later backfill can recompute exactly the hash-embedded vectors.
+   */
+  final class FallbackEmbedder(primary: Embedder, fallback: Embedder)
+      extends Embedder {
+    require(primary.dim == fallback.dim,
+      s"primary dim ${primary.dim} != fallback dim ${fallback.dim}")
+    val dim: Int = primary.dim
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+      try primary.embedBatch(texts)
+      catch { case scala.util.control.NonFatal(_) => fallback.embedBatch(texts) }
   }
 
   /**

@@ -58,9 +58,9 @@ object TupleExtractor {
    * a JSON object whose "response" field contains a JSON array of
    * [subject, predicate, object, subject_type, object_type] arrays —
    * the reference's `KNOWLEDGE_EXTRACTION` prompt contract
-   * (`Prompt.h:16-23`). This container has no egress and no model
-   * endpoint, so the class is compile-checked but exercised only through
-   * fakes in tests.
+   * (`Prompt.h:16-23`). Exercised end-to-end against an in-process
+   * loopback HTTP stub in `HttpSeamSpec` (this container has no egress
+   * and no live model endpoint).
    */
   final class LlmHttpExtractor(endpoint: String, model: String,
                                promptPrefix: String, timeoutMs: Int = 60000)
@@ -88,14 +88,45 @@ object TupleExtractor {
 
     /** Parse `[["s","p","o","st","ot"], ...]` out of the response text;
       * malformed entries are skipped (the reference logs-and-continues on
-      * array parse failures, `OllamaTupleStreamer.cpp:140-145`). */
-    private[graft] def parseTuples(body: String): Seq[KgTuple] =
+      * array parse failures, `OllamaTupleStreamer.cpp:140-145`).
+      *
+      * The Ollama/vLLM envelopes carry the array as a JSON-ENCODED STRING
+      * (`"response":"[[\"s\",...]]"` / `"text":["..."]`) — quotes arrive
+      * backslash-escaped, so the envelope field is unwrapped and
+      * JSON-unescaped before tuple matching; a body with no envelope
+      * (plain array, tests, other engines) is matched as-is. */
+    private[graft] def parseTuples(body: String): Seq[KgTuple] = {
+      val content =
+        "\"(?:response|text)\"\\s*:\\s*\\[?\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findFirstMatchIn(body).map(m => unescapeJson(m.group(1)))
+          .getOrElse(body)
       "\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\")?(?:\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\")?\\s*\\]".r
-        .findAllMatchIn(body).map { m =>
+        .findAllMatchIn(content).map { m =>
           KgTuple(m.group(1), m.group(2), m.group(3),
             Option(m.group(4)).getOrElse("Entity"),
             Option(m.group(5)).getOrElse("Entity"))
         }.toSeq
+    }
+
+    private def unescapeJson(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' if i + 5 < s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
   }
 }
 
