@@ -658,7 +658,10 @@ object Dedup {
    * arXiv:2303.09540): k-means-cluster the embedding space, then find
    * near-duplicate pairs by exact cosine WITHIN each cluster only — the
    * cluster bound is what makes the quadratic verify tractable (per-
-   * cluster cost (n/k)², choose k ∝ n / target-cluster-size; vs
+   * cluster cost (n/k)²; `k = 0`, the default, AUTO-SCALES k ≈ √n via
+   * [[Similarity.autoClusterCount]] so total pair work grows ~n^1.5
+   * instead of quadratically — pass an explicit k for replayable-oracle
+   * or known-scale regimes; vs
    * [[embeddingCosinePairs]], which band-hashes for near-exact duplicates,
    * this catches semantically-close rewrites at lower thresholds where
    * hyperplane LSH would need impractically many bands).
@@ -679,13 +682,15 @@ object Dedup {
    * nothing stays pinned after the call.
    */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
-                    k: Int = 8, iters: Int = 5, threshold: Double = 0.9): DataFrame = {
+                    k: Int = 0, iters: Int = 5, threshold: Double = 0.9): DataFrame = {
+    require(k >= 0, s"k must be >= 0 (0 = auto): $k")
     val clean = df
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast(DoubleType)).as("vec"))
       .where(col("vec").isNotNull && size(col("vec")) > 0)
       .withColumn("nrm", graft.functions.vecNorm(col("vec")))
       .where(col("nrm") > 0)
-    val cents = Similarity.trainCentroids(clean, "id", "vec", k, iters)
+    val nClusters = if (k == 0) Similarity.autoClusterCount(clean) else k
+    val cents = Similarity.trainCentroids(clean, "id", "vec", nClusters, iters)
     val assigned = Similarity
       .assignClusters(clean, "id", "vec", cents, "cid", "cvec")
       .select(col("cid"), col("id"), col("vec"), col("nrm"))

@@ -128,22 +128,29 @@ object Similarity {
    * force (the oracle mode — same exactness-at-full-coverage technique
    * as knnIvf); recall loss at cluster boundaries is the standard IVF
    * trade-off, so raise `clusters` to bound partition size, not to
-   * tune accuracy. Ranks order by (cosine DESC, neighbor id ASC) on the
+   * tune accuracy. `clusters = 0` (the default) AUTO-SCALES via
+   * [[autoClusterCount]] — cluster size tracks ~√n, so the within-
+   * cluster pair join grows ~n^1.5 with corpus size instead of the n²
+   * a fixed cluster count degrades to (round-9 VERDICT). Pass an
+   * explicit count for exact-recall (1 = brute) or replayable-oracle
+   * regimes. Ranks order by (cosine DESC, neighbor id ASC) on the
    * raw double cosine (the [[knnCosine]] contract) and the emitted
    * cosine rounds to 6 — engine-replayable.
    */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
-               k: Int, clusters: Int = 1, iters: Int = 3): DataFrame = {
+               k: Int, clusters: Int = 0, iters: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(clusters >= 0, s"clusters must be >= 0 (0 = auto): $clusters")
     val clean = corpus
       .select(col(idCol).as("id"),
         transform(col(vecCol), _.cast(DoubleType)).as("vec"))
       .where(col("vec").isNotNull && size(col("vec")) > 0)
       .withColumn("nrm", l2norm(col("vec")))
       .where(col("nrm") > 0)
-    val assigned = (if (clusters <= 1) clean.withColumn("cid", lit(0))
+    val nClusters = if (clusters == 0) autoClusterCount(clean) else clusters
+    val assigned = (if (nClusters <= 1) clean.withColumn("cid", lit(0))
       else {
-        val cents = trainCentroids(clean, "id", "vec", clusters, iters)
+        val cents = trainCentroids(clean, "id", "vec", nClusters, iters)
         assignClusters(clean, "id", "vec", cents, "cid", "cvec")
       })
       .select(col("cid"), col("id"), col("vec"), col("nrm"))
@@ -160,6 +167,24 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("id"), col("nbr"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /**
+   * AUTO cluster count for within-cluster pair generation: k = ⌈√n⌉
+   * clamped to [1, 4096]. With cluster size s = n/k ≈ √n, the two costs
+   * that pull in opposite directions balance — assignment is O(n·k) =
+   * O(n^1.5) and pair generation is O(k·s²) = O(n^1.5) — so total work
+   * grows ~n^1.5 where a FIXED k degrades to O(n²/k) pair joins
+   * (the round-9 VERDICT's quadratic-within-cluster caveat). The 4096
+   * cap bounds the broadcast centroid frame and the per-iteration
+   * training cost; beyond ~16M vectors callers should shard or train on
+   * a sample and pass an explicit count. One bounded count job on the
+   * cleaned corpus picks k; callers that already know their scale pass
+   * k explicitly and skip it (the oracle/test mode).
+   */
+  private[graft] def autoClusterCount(clean: DataFrame): Int = {
+    val n = clean.count()
+    math.max(1, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
   }
 
   /** Assign each corpus vector to its nearest centroid (by cosine).
