@@ -3235,6 +3235,47 @@ object Queries {
              |WHERE li.r = 'region/EUROPE'
              |ORDER BY u.e LIMIT 150""".stripMargin))),
 
+    // SPARQL 1.1 property path — sequence: the two-hop BGP collapses to
+    // one `<fromNation>/<locatedIn>` path (parse-time rewrite through a
+    // non-projectable intermediate; Catalyst plans the identical join
+    // chain as sparql_bgp).
+    "sparql_path_seq" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?r WHERE {
+            |  ?c <fromNation>/<locatedIn> ?r .
+            |  ?c <segment> "BUILDING" .
+            |} ORDER BY ?c LIMIT 200""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |li AS (SELECT 'nation/' || n_name AS n, 'region/' || r_name AS r
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |seg AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_mktsegment = 'BUILDING')
+             |SELECT fn.c, li.r FROM fn
+             |JOIN li ON fn.n = li.n
+             |JOIN seg ON fn.c = seg.c
+             |ORDER BY fn.c LIMIT 200""".stripMargin))),
+
+    // SPARQL 1.1 property path — inverse: `?n ^<fromNation> ?c` flips
+    // the scan orientation at parse time (≡ `?c <fromNation> ?n`), and
+    // the `a` rdf:type keyword gates on the typed customers.
+    "sparql_path_inverse" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n ?c WHERE {
+            |  ?n ^<fromNation> ?c .
+            |  ?c a <Customer> .
+            |  ?n <locatedIn> <region/EUROPE> .
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |li AS (SELECT 'nation/' || n_name AS n, 'region/' || r_name AS r
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+             |SELECT fn.n, fn.c FROM fn JOIN li ON fn.n = li.n
+             |WHERE li.r = 'region/EUROPE'
+             |ORDER BY fn.c LIMIT 150""".stripMargin))),
+
     // SPARQL ASK: boolean existence of a building-segment big spender.
     "sparql_ask" -> ((
       (s: SparkSession, d: String) =>
@@ -3306,8 +3347,11 @@ object Queries {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .select(tr(concat(lit("supplier/"), col("s_suppkey")), "suppliesFrom",
         concat(lit("nation/"), col("n_name"))): _*)
+    // rdf:type triples back the `a` keyword (sparql_path_type)
+    val typ = c.select(tr(concat(lit("customer/"), col("c_custkey")),
+      graft.sparql.Sparql.RdfType, lit("Customer")): _*)
     fn.unionByName(li).unionByName(seg).unionByName(key).unionByName(big)
-      .unionByName(sup)
+      .unionByName(sup).unionByName(typ)
   }
 
   /** The Knuth bucket map of [[Sampling.bucketOf]] in verifiable mode,

@@ -33,8 +33,21 @@ import org.apache.spark.sql.functions._
  *  - `(COUNT(?v | *) AS ?alias)` projections with `GROUP BY ?v …`
  *    (plain projected vars must be grouped — the SPARQL 1.1 rule)
  *  - `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`
+ *  - property paths in the predicate position: `^p` inverse, `p1/p2`
+ *    sequence (composable, e.g. `^p1/p2`), and the `a` rdf:type
+ *    keyword — rewritten at parse time into ordinary triple patterns
+ *    chained through non-projectable intermediates, so Catalyst plans
+ *    them as the same equi-join chain; `*`/`+`/`?`/`|` path operators
+ *    and variables inside paths are parse-rejected
+ *  - UNION restriction: a variable shared between the union block and
+ *    the surrounding BGP must be bound in EVERY branch (unbound-is-
+ *    compatible solutions would otherwise be silently dropped by the
+ *    equi-join — rejected rather than mis-answered)
  */
 object Sparql {
+
+  /** The `a` predicate keyword's expansion (SPARQL 1.1 §9.1). */
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
   // ----- AST ---------------------------------------------------------------
   sealed trait Term
@@ -155,10 +168,58 @@ object Sparql {
     val optionals = scala.collection.mutable.ListBuffer.empty[Seq[Pattern]]
     val filters = scala.collection.mutable.ListBuffer.empty[FilterExpr]
 
-    def parsePattern(): Pattern = {
-      val p = Pattern(term(pop()), term(pop()), term(pop()))
+    // ---- property paths (SPARQL 1.1 subset: ^inverse, p1/p2 sequence,
+    // `a` = rdf:type) — each path step compiles to one ordinary triple
+    // pattern chained through fresh non-projectable `__path*` variables,
+    // so the existing join machinery executes paths with no new
+    // operator. Parse-rejects beyond the subset (*, +, ?, |,
+    // variables inside a multi-step or inverted path).
+    var pathId = 0
+    def pathTerm(t: String): Term = {
+      require(!t.endsWith("*") && !t.endsWith("+") && t != "?",
+        s"unsupported path operator in '$t' (supported: ^ inverse, / sequence, a)")
+      if (t == "a") Const(RdfType) else term(t)
+    }
+    def parsePatterns(): Seq[Pattern] = {
+      val sT = term(pop())
+      val steps = scala.collection.mutable.ListBuffer.empty[(Term, Boolean)]
+      def feedTok(tok0: String): Unit = {
+        var tok = tok0
+        var inv = false
+        if (tok == "^") { inv = true; tok = pop() }
+        else if (tok.startsWith("^") && tok.length > 1) { inv = true; tok = tok.drop(1) }
+        // a plain (non-IRI, non-var, non-literal) token may carry the
+        // whole sequence: `knows/worksAt` tokenizes as one token
+        if (!tok.startsWith("<") && !tok.startsWith("\"") && !tok.startsWith("?") &&
+            tok.contains("/")) {
+          val parts = tok.split("/")
+          require(parts.length >= 2 && parts.forall(_.nonEmpty), s"bad path '$tok'")
+          steps += ((pathTerm(parts.head), inv))
+          parts.tail.foreach(p => steps += ((pathTerm(p), false)))
+        } else steps += ((pathTerm(tok), inv))
+      }
+      feedTok(pop())
+      // the tokenizer glues '/' onto a following plain step (`<p>/a` →
+      // tokens "<p>", "/a"), so both the bare separator and the glued
+      // form continue the path
+      while (peek == "/" || (peek.startsWith("/") && peek.length > 1)) {
+        val tok = pop()
+        if (tok == "/") feedTok(pop()) else feedTok(tok.drop(1))
+      }
+      if (steps.size > 1 || steps.exists(_._2))
+        require(steps.forall(_._1.isInstanceOf[Const]),
+          "property paths cannot contain variables (SPARQL 1.1)")
+      val oT = term(pop())
       if (peek == ".") pop()
-      p
+      val out = scala.collection.mutable.ListBuffer.empty[Pattern]
+      var cur = sT
+      steps.zipWithIndex.foreach { case ((pt, inv), i) =>
+        val nxt = if (i == steps.size - 1) oT
+          else { pathId += 1; V(s"__path$pathId") }
+        out += (if (inv) Pattern(nxt, pt, cur) else Pattern(cur, pt, nxt))
+        cur = nxt
+      }
+      out.toSeq
     }
     def numericLit(t: Term): Boolean = t match {
       case Const(v) => scala.util.Try(v.toDouble).isSuccess
@@ -197,7 +258,7 @@ object Sparql {
         def group(): Seq[Pattern] = {
           expect("{")
           val b = scala.collection.mutable.ListBuffer.empty[Pattern]
-          while (peek != "}") b += parsePattern()
+          while (peek != "}") b ++= parsePatterns()
           expect("}")
           b.toSeq
         }
@@ -210,10 +271,10 @@ object Sparql {
       } else if (peek.equalsIgnoreCase("OPTIONAL")) {
         pop(); expect("{")
         val block = scala.collection.mutable.ListBuffer.empty[Pattern]
-        while (peek != "}") block += parsePattern()
+        while (peek != "}") block ++= parsePatterns()
         expect("}")
         optionals += block.toSeq
-      } else patterns += parsePattern()
+      } else patterns ++= parsePatterns()
     }
     expect("}")
     val order = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
@@ -247,8 +308,11 @@ object Sparql {
     }
     require(patterns.nonEmpty || unionBranches.nonEmpty,
       "WHERE block needs at least one triple pattern")
+    // `__path*` intermediates exist only to chain path steps: invisible
+    // to `*` projections and not addressable by name
     val known = (patterns ++ unionBranches.flatten ++ optionals.flatten)
-      .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
+      .flatMap(p => Seq(p.s, p.p, p.o))
+      .collect { case V(n) if !n.startsWith("__path") => n }.distinct
     val aliases = aggs.map(_.alias)
     val projection: scala.collection.immutable.Seq[String] =
       if (star || proj.isEmpty) known.toList else proj.toList
@@ -338,6 +402,17 @@ object Sparql {
       case (Some(u), ps) =>
         val base = joinAll(t, ps)
         val shared = u.columns.toSeq.intersect(base.columns.toSeq)
+        // SPARQL compatibility semantics treat an UNBOUND shared variable
+        // as compatible with any binding; an inner equi-join on a
+        // null-padded column would silently drop those solutions, so the
+        // supported subset requires every branch to bind the join
+        // variables — reject rather than mis-answer.
+        shared.foreach { v =>
+          require(q.unionBranches.forall(b =>
+            b.exists(p => Seq(p.s, p.p, p.o).contains(V(v)))),
+            s"unsupported: a UNION branch leaves ?$v unbound but it joins " +
+              "with the top-level patterns (every branch must bind it)")
+        }
         if (shared.isEmpty) u.crossJoin(base) else u.join(base, shared)
     }
     q.optionals.foreach { block =>

@@ -1144,4 +1144,84 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?x WHERE { ?x <knows> ?y . } GARBAGE"))
   }
+
+  test("sparql property paths: inverse, sequence, rdf:type keyword, rejects") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "knows", "b"), ("b", "knows", "c"), ("a", "knows", "c"),
+      ("b", "worksAt", "acme"),
+      ("a", Sparql.RdfType, "Person"), ("b", Sparql.RdfType, "Person"),
+      ("acme", Sparql.RdfType, "Company"))
+      .toDF("s", "p", "o")
+    // sequence p1/p2 — IRI form and the single-token plain form
+    val seqIri = Sparql.run(triples,
+      "SELECT ?x ?w WHERE { ?x <knows>/<worksAt> ?w . }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(seqIri === Seq(("a", "acme")))
+    val seqPlain = Sparql.run(triples,
+      "SELECT ?x ?w WHERE { ?x knows/worksAt ?w . }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(seqPlain === seqIri)
+    // inverse: ?s ^knows ?o ≡ ?o knows ?s
+    val inv = Sparql.run(triples,
+      "SELECT ?y ?x WHERE { ?y ^<knows> ?x . FILTER(?y = \"c\") } ORDER BY ?x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(inv === Seq(("c", "a"), ("c", "b")))
+    // composed ^p1/p2: who-knows-s, then their workplace
+    val comp = Sparql.run(triples,
+      "SELECT ?s ?w WHERE { ?s ^<knows>/<worksAt> ?w . }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(comp === Seq(("c", "acme")))
+    // `a` = rdf:type keyword, alone and inside a sequence
+    val typed = Sparql.run(triples,
+      "SELECT ?p WHERE { ?p a <Person> . } ORDER BY ?p")
+      .collect().map(_.getString(0)).toSeq
+    assert(typed === Seq("a", "b"))
+    val seqType = Sparql.run(triples,
+      "SELECT ?x ?t WHERE { ?x <worksAt>/a ?t . }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(seqType === Seq(("b", "Company")))
+    // star projection hides the __path intermediates
+    val star = Sparql.run(triples, "SELECT * WHERE { ?x <knows>/<knows> ?z . }")
+    assert(star.columns.toSeq === Seq("x", "z"))
+    assert(star.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "c")))
+    // parse-rejects beyond the subset: Kleene operators, path variables
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x WHERE { ?x knows+ ?y . }"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x WHERE { ?x knows* ?y . }"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x ?y WHERE { ?x ?p/<knows> ?y . }"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x ?y WHERE { ?x ^?p ?y . }"))
+    // intermediates are not addressable by name
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?__path1 WHERE { ?x <knows>/<knows> ?z . }"))
+  }
+
+  test("sparql UNION: branch leaving a shared join variable unbound is rejected") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(("a", "knows", "b"), ("a", "age", "41"))
+      .toDF("s", "p", "o")
+    // ?y joins the union block with the top-level pattern but the second
+    // branch never binds it — unbound-is-compatible solutions would be
+    // silently dropped by the equi-join, so this is rejected
+    val e = intercept[IllegalArgumentException](Sparql.run(triples,
+      """SELECT ?x WHERE {
+        |  { ?x <knows> ?y . } UNION { ?x <age> ?z . }
+        |  ?y <age> ?w .
+        |}""".stripMargin).collect())
+    assert(e.getMessage.contains("unbound"))
+    // both branches binding the join variable still executes
+    val ok = Sparql.run(triples,
+      """SELECT ?x ?y WHERE {
+        |  { ?x <knows> ?y . } UNION { ?x <age> ?y . }
+        |  ?x <age> "41" .
+        |} ORDER BY ?y""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ok === Seq(("a", "41"), ("a", "b")))
+  }
 }
