@@ -341,8 +341,11 @@ object Queries {
         val ev = t(s, d, "events")
         val sketch = Sketches.cmsSketch(ev, "user_id")
         // scale-relative threshold: 115% of the mean per-key count, in
-        // exact integer floor arithmetic (identical in any engine)
-        val thr = ev.agg(
+        // exact integer floor arithmetic (identical in any engine);
+        // null keys are outside the sketch domain, so they stay out of
+        // BOTH threshold counts (count(1) would otherwise include rows
+        // count(DISTINCT) ignores — the oracle filters them too)
+        val thr = ev.where(col("user_id").isNotNull).agg(
           expr("115 * count(1) DIV (100 * count(DISTINCT user_id))").as("thr"))
         val cand = Sketches.cmsEstimate(sketch,
           ev.select(col("user_id")).distinct().select(col("user_id").as("key")),

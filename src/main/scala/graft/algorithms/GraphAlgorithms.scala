@@ -1383,7 +1383,14 @@ object GraphAlgorithms {
     * to BIGINT (e.g. the bridge graph's "c123") fall back to xxhash64
     * of the string form — a deterministic order key, so matching/
     * coarsening/MST run on any id type (outputs always carry the
-    * original ids; only priorities and tie-breaks use the key). */
+    * original ids; only priorities and tie-breaks use the key).
+    *
+    * Correctness does NOT ride on the 64-bit key being collision-free:
+    * self-loops drop on ORIGINAL id equality, the orientation falls
+    * back to string order when the keys tie, and dedup groups on the
+    * original (u, v) pair — so two distinct ids colliding in xxhash64
+    * can at worst share a tie-break priority, never lose or merge an
+    * edge. */
   private def canonicalSimpleEdges(edges: DataFrame,
                                    weightCol: Option[String] = None): DataFrame = {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
@@ -1392,18 +1399,21 @@ object GraphAlgorithms {
         coalesce(col("a").try_cast("long"), xxhash64(col("a").cast("string"))))
       .withColumn("bl",
         coalesce(col("b").try_cast("long"), xxhash64(col("b").cast("string"))))
-      .where(col("al") =!= col("bl"))
+      .where(col("a").cast("string") =!= col("b").cast("string"))
+    // orientation: numeric key first, original string order on key ties
+    val aFirst = col("al") < col("bl") ||
+      (col("al") === col("bl") && col("a").cast("string") < col("b").cast("string"))
     // parallel edges collapse to one canonical edge; with a weight
     // column their weights ADD (multigraph semantics, the coarsening
     // convention), without one the canonical edge carries w = 1
     e0.select(
-      when(col("al") < col("bl"), col("a")).otherwise(col("b")).as("u"),
-      when(col("al") < col("bl"), col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
       least(col("al"), col("bl")).as("ul"),
       greatest(col("al"), col("bl")).as("vl"),
       col("w"))
-      .groupBy("ul", "vl")
-      .agg(min(col("u")).as("u"), min(col("v")).as("v"),
+      .groupBy("u", "v") // exact id pair — colliding keys never merge edges
+      .agg(min(col("ul")).as("ul"), min(col("vl")).as("vl"),
         (if (weightCol.isDefined) sum(col("w")) else lit(1L)).as("w"))
       .select(col("u"), col("v"), col("ul"), col("vl"), col("w"))
   }

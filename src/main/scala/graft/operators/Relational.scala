@@ -206,8 +206,10 @@ object Relational {
    * version starts where the value differs from the key's previous row
    * and runs until the next version starts (`valid_to` null on the open
    * current version). Ties at one timestamp keep the LAST value in the
-   * deterministic (ts, tiebreakCol) order. Returns all key columns +
-   * `valueCol`, `valid_from`, `valid_to`.
+   * deterministic (ts, tiebreakCol) order; with no tiebreak column the
+   * VALUE itself breaks ties (max value survives), so equal-ts
+   * survivors are total-order deterministic either way. Returns all key
+   * columns + `valueCol`, `valid_from`, `valid_to`.
    *
    * Shape: ONE shuffle on the key columns; the change filter (lag) and
    * the interval close (lead over the surviving rows) are two windows
@@ -217,11 +219,13 @@ object Relational {
   def scd2(events: DataFrame, keyCols: Seq[String], tsCol: String,
            valueCol: String, tiebreakCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "scd2 needs at least one key column")
-    // last-wins at equal ts: keep only the final row per (key, ts)
+    // last-wins at equal ts: keep only the final row per (key, ts);
+    // with no tiebreak column, order by the value itself — a constant
+    // here would make the equal-ts survivor partition-order-dependent
     val perTs = events
       .withColumn("__rn", row_number().over(
         Window.partitionBy((keyCols :+ tsCol).map(col): _*)
-          .orderBy(tiebreakCol.map(col(_).desc).getOrElse(lit(1)))))
+          .orderBy(col(tiebreakCol.getOrElse(valueCol)).desc)))
       .where(col("__rn") === 1).drop("__rn")
     // after the dedup (key, ts) is unique, so ts alone totally orders
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
