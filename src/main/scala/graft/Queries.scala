@@ -3238,6 +3238,47 @@ object Queries {
              |WHERE li.r = 'region/EUROPE'
              |ORDER BY u.e LIMIT 150""".stripMargin))),
 
+    // GCN forward pass (engine-side `predict`): one mean-aggregation
+    // convolution over the nation–region bipartite graph with
+    // power-of-two weights. Bit-exact replay: feature sums are
+    // integer-valued doubles (exact, order-free), ONE division by the
+    // neighbor count, dyadic-rational weight multiplies (exponent
+    // shifts), one fixed-order addition per output — no rounding
+    // discipline needed anywhere.
+    "ml_gcn_forward" -> ((
+      (s: SparkSession, d: String) => {
+        val n = t(s, d, "nation"); val r = t(s, d, "region")
+        val e0 = n.select(concat(lit("n"), col("n_nationkey")).as("src"),
+          concat(lit("r"), col("n_regionkey")).as("dst"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val feats = n.select(concat(lit("n"), col("n_nationkey")).as("id"),
+            col("n_nationkey").cast("double").as("f0"),
+            col("n_regionkey").cast("double").as("f1"))
+          .unionByName(r.select(concat(lit("r"), col("r_regionkey")).as("id"),
+            (col("r_regionkey") + 100).cast("double").as("f0"),
+            lit(0.0).as("f1")))
+        graft.ml.Gcn.layer(edges, feats, "id", Seq("f0", "f1"),
+            Array(Array(0.5, -0.25), Array(0.125, 1.0)))
+          .orderBy(col("id"))
+      },
+      Some("""WITH e0 AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+             |f AS (SELECT 'n' || n_nationkey AS id, CAST(n_nationkey AS DOUBLE) AS f0,
+             |    CAST(n_regionkey AS DOUBLE) AS f1 FROM nation
+             |  UNION ALL
+             |  SELECT 'r' || r_regionkey, CAST(r_regionkey + 100 AS DOUBLE), 0.0
+             |  FROM region),
+             |m AS (SELECT e.dst AS id, f.f0, f.f1 FROM e JOIN f ON e.src = f.id
+             |  UNION ALL SELECT id, f0, f1 FROM f),
+             |s AS (SELECT id, COUNT(*) AS n, SUM(f0) AS s0, SUM(f1) AS s1
+             |  FROM m GROUP BY id),
+             |mm AS (SELECT id, s0 / n AS m0, s1 / n AS m1 FROM s)
+             |SELECT id, greatest(0, m0 * 0.5 + m1 * 0.125) AS h0,
+             |  greatest(0, m0 * -0.25 + m1 * 1.0) AS h1
+             |FROM mm ORDER BY id""".stripMargin))),
+
     // SPARQL 1.1 property path — sequence: the two-hop BGP collapses to
     // one `<fromNation>/<locatedIn>` path (parse-time rewrite through a
     // non-projectable intermediate; Catalyst plans the identical join

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic fixture scale-up for cross-SF spot benchmarks:
+ * replicate every fact table `factor`× with key offsets while the
+ * dimension tables (region, nation) stay fixed — the shape a real
+ * TPC-H-style scale-up has. Usage:
+ *
+ *   sbt "runMain graft.ScaleFixture /root/testdata/sf0.1 /tmp/sf1 10"
+ *
+ * Workload CHARACTER is preserved, not just row counts:
+ *  - Foreign keys offset consistently (replica i's orders reference
+ *    replica i's customers), so join fan-outs match the source SF.
+ *  - `documents.text` passes through a per-replica substitution cipher
+ *    (a rotated `translate` alphabet): bijective per character, so
+ *    length/token/shingle statistics and WITHIN-replica similarity are
+ *    exactly preserved while cross-replica near-dup similarity drops to
+ *    noise — naive copies would put every document in a factor-sized
+ *    near-dup cluster and quadratically distort the dedup benchmarks.
+ *  - `embeddings.embedding` is coordinate-rotated by replica index: a
+ *    permutation is orthogonal, so within-replica cosine geometry is
+ *    exact while cross-replica cosines decorrelate.
+ *  - `events` keeps its time range (10× density, the realistic form of
+ *    event-stream growth) with offset user/event ids.
+ */
+object ScaleFixture {
+
+  private val KeyOffset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleFixture <srcDir> <outDir> [factor]")
+    val (src, out) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .appName("graft-scale-fixture").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try scale(spark, src, out, factor) finally spark.stop()
+  }
+
+  def scale(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // dimensions: fixed (25 nations / 5 regions at every SF)
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    /** Union `factor` replicas of `df`, transformed per replica index. */
+    def reps(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i)).reduceLeft(_ unionByName _)
+
+    def off(c: String, i: Int) = (col(c) + lit(i * KeyOffset)).as(c)
+
+    wr(reps(rd("customer")) { (d, i) =>
+      d.select(off("c_custkey", i), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    }, "customer")
+    wr(reps(rd("supplier")) { (d, i) =>
+      d.select(off("s_suppkey", i), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    }, "supplier")
+    wr(reps(rd("part")) { (d, i) =>
+      d.select(off("p_partkey", i), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+    }, "part")
+    wr(reps(rd("orders")) { (d, i) =>
+      d.select(off("o_orderkey", i), off("o_custkey", i), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    }, "orders")
+    wr(reps(rd("lineitem")) { (d, i) =>
+      d.select(off("l_orderkey", i), off("l_partkey", i), off("l_suppkey", i),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }, "lineitem")
+    wr(reps(rd("events")) { (d, i) =>
+      d.select(off("event_id", i), col("ts"), off("user_id", i),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    // documents: per-replica substitution cipher on the text
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    wr(reps(rd("documents")) { (d, i) =>
+      val rot = i % alpha.length
+      val mapped = alpha.drop(rot) + alpha.take(rot)
+      d.select(off("doc_id", i),
+        translate(col("text"), alpha + alpha.toUpperCase,
+          mapped + mapped.toUpperCase).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }, "documents")
+
+    // embeddings: coordinate rotation by replica index (orthogonal)
+    wr(reps(rd("embeddings")) { (d, i) =>
+      val dcol =
+        if (i == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
+          slice(col("embedding"), lit(1), lit(i)))
+      d.select(off("vec_id", i), dcol.as("embedding"), col("label"))
+    }, "embeddings")
+  }
+}
