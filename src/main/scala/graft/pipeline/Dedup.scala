@@ -573,9 +573,17 @@ object Dedup {
    *  - exact cosine verification on the candidate pairs only.
    *
    * Scale notes: the shuffle key is (band, bucket) with bands·2^r distinct
-   * values (4096 at the default); raise `rowsPerBand` for larger corpora
-   * to keep per-bucket membership sub-quadratic (and add bands to hold
-   * recall). Vectors shuffle once into buckets; no all-pairs product.
+   * values; per-band-bucket membership is what must stay sub-quadratic,
+   * so `rowsPerBand = 0` (the default) AUTO-SCALES r with the corpus —
+   * r = ⌈log₂(n/4)⌉ clamped [8, 20], holding expected occupancy ~4 as n
+   * grows (a FIXED r made candidate pairs grow quadratically: 10× the
+   * embeddings measured 14× the wall in the round-9 sf1 spot bench).
+   * `bands = 0` then derives b from the threshold's per-plane collision
+   * probability to pin miss ≤ 1e-6 (clamped [8, 64]; at thresholds
+   * ≲0.85 the cap binds — pass explicit geometry there). Auto mode pays
+   * one bounded count; explicit (bands, rowsPerBand) skips it and is the
+   * replayable-oracle regime. Vectors shuffle once into buckets; no
+   * all-pairs product.
    */
   /** Deterministic ±1 Rademacher hyperplane matrix (planes × dim) from a
     * fixed LCG — precomputed driver-side so bucketing costs multiply-adds
@@ -588,20 +596,39 @@ object Dedup {
 
   def embeddingCosinePairs(
       df: DataFrame, vecCol: String, idCol: String,
-      bands: Int = 16, rowsPerBand: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val planes = bands * rowsPerBand
+      bands: Int = 0, rowsPerBand: Int = 0, threshold: Double = 0.95): DataFrame = {
+    require(bands >= 0 && rowsPerBand >= 0, "bands/rowsPerBand must be >= 0 (0 = auto)")
     val v = col(vecCol)
     // dimensionality probed from the first row with a non-empty vector
     // (null vectors produce a null size and are skipped); empty input
     // short-circuits dim to 1 and yields zero candidates
     val dim = df.select(size(v).as("d")).where(col("d") > 0).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
-    val signs = planeSignMatrix(planes, dim)
 
     // rows whose vector is null or differently-sized are excluded up
     // front — zip_with null-padding would otherwise send them all to
     // bucket 0, degenerating the bucket join to an all-pairs product
     val clean = df.where(size(v) === dim)
+
+    // auto LSH geometry (see scaladoc): r holds ~4 rows per band-bucket,
+    // b pins the OR-of-bands miss probability at ≤1e-6 for this threshold
+    val autoRows =
+      if (rowsPerBand > 0) rowsPerBand
+      else {
+        val n = math.max(1L, clean.count())
+        math.max(8, math.min(20,
+          math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt))
+      }
+    val autoBands =
+      if (bands > 0) bands
+      else {
+        val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+        val denom = math.log1p(-math.pow(p, autoRows))
+        if (!(denom < 0.0)) 8 // p^r ~ 1: one band already catches everything
+        else math.max(8, math.min(64, math.ceil(math.log(1e-6) / denom).toInt))
+      }
+    val planes = autoBands * autoRows
+    val signs = planeSignMatrix(planes, dim)
 
     // Bucketing in the simhashSigs shape: the vector exploded ONCE, the
     // (pos → plane sign) matrix broadcast as a dim-row table, and all
@@ -623,9 +650,9 @@ object Dedup {
     val dotCols = (0 until planes).map(p => sum(col("x") * col(s"sg$p")).as(s"dot$p"))
     val dots = exploded.join(broadcast(planesDf), Seq("pos"))
       .groupBy("id").agg(dotCols.head, dotCols.tail: _*)
-    val bucketCols = (0 until bands).map { b =>
-      val sig = (0 until rowsPerBand).map { r =>
-        when(col(s"dot${b * rowsPerBand + r}") >= 0, lit(1L << r)).otherwise(lit(0L))
+    val bucketCols = (0 until autoBands).map { b =>
+      val sig = (0 until autoRows).map { r =>
+        when(col(s"dot${b * autoRows + r}") >= 0, lit(1L << r)).otherwise(lit(0L))
       }.reduce((a, c) => a.bitwiseOR(c))
       struct(lit(b).as("band"), sig.as("bucket"))
     }
