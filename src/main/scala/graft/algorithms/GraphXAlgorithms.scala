@@ -89,7 +89,7 @@ object GraphXAlgorithms {
     * component for a stable labeling. `numIter` bounds the internal
     * coloring iterations; it must cover the longest cycle for exactness. */
   def stronglyConnectedComponents(g: PropertyGraph, numIter: Int): DataFrame =
-    stronglyConnectedComponents(g, numIter, 10000000L)
+    stronglyConnectedComponents(g, numIter, 1000000L)
 
   /** Adaptive execution (the [[graft.pipeline.Dedup.nearDupClusters]]
     * pattern): up to `localThreshold` nodes+edges the SCCs are solved
@@ -105,22 +105,44 @@ object GraphXAlgorithms {
                                   localThreshold: Long): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    // Probe-collect regime gate (the GraphAlgorithms.collectInternedGated
-    // discipline): limit(budget+1).collect() gates AND loads in the same
-    // bounded pass — the old nodes.count()+edges.count() gate paid two
-    // full actions before every call just to pick the regime. Semantics
-    // preserved exactly: local iff |nodes|+|edges| ≤ localThreshold.
+    // Regime gate with a DRIVER-SAFE probe budget. The gate semantics are
+    // "local iff |nodes| + |orientedEdges| ≤ localThreshold" (oriented
+    // rows — 2× the stored edges for an undirected graph — because they
+    // are what Tarjan consumes), with localThreshold clamped to
+    // Int.MaxValue-2 (driver array bound). Up to probeCap = min(threshold,
+    // 1M) total rows, a limit(budget+1).collect() both GATES and LOADS in
+    // one bounded pass — no separate count actions, and a huge graph
+    // ships at most ~1M rows to the driver before the distributed path is
+    // chosen. Only when the caller EXPLICITLY budgeted beyond the probe
+    // cap does an overflowing probe escalate to two count-only aggregates
+    // (no row transfer), and the full collect happens only after the
+    // counts prove the graph is within that explicit budget.
+    val clamped = math.min(localThreshold, Int.MaxValue - 2L)
+    val probeCap = math.min(clamped, 1000000L).toInt
     val local: Option[(Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row])] =
-      if (localThreshold < 0 || localThreshold >= Int.MaxValue - 2) None
+      if (localThreshold < 0) None
       else {
-        val cap = localThreshold.toInt
-        val nodeRows = g.nodes.select(col("id")).limit(cap + 1).collect()
-        if (nodeRows.length > cap) None
-        else {
-          val edgeBudget = cap - nodeRows.length
-          val edgeRows = g.orientedEdges.select(col("src"), col("dst"))
-            .limit(edgeBudget + 1).collect()
-          if (edgeRows.length > edgeBudget) None else Some((nodeRows, edgeRows))
+        val nodeProbe = g.nodes.select(col("id")).limit(probeCap + 1).collect()
+        if (nodeProbe.length <= probeCap) {
+          // complete node set in hand; probe edges within the remainder
+          val edgeProbeBudget = probeCap - nodeProbe.length
+          val edgeProbe = g.orientedEdges.select(col("src"), col("dst"))
+            .limit(edgeProbeBudget + 1).collect()
+          if (edgeProbe.length <= edgeProbeBudget) Some((nodeProbe, edgeProbe))
+          else if (clamped <= probeCap) None
+          else { // explicit budget beyond the probe cap: count-gate edges
+            val nEdges = g.orientedEdges.count()
+            if (nodeProbe.length + nEdges > clamped) None
+            else Some((nodeProbe,
+              g.orientedEdges.select(col("src"), col("dst")).collect()))
+          }
+        } else if (clamped <= probeCap) None
+        else { // nodes alone overflow the probe: count-gate both sides
+          val nNodes = g.nodes.count()
+          val nEdges = g.orientedEdges.count()
+          if (nNodes + nEdges > clamped) None
+          else Some((g.nodes.select(col("id")).collect(),
+            g.orientedEdges.select(col("src"), col("dst")).collect()))
         }
       }
     local match {
