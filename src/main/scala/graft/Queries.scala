@@ -3303,6 +3303,48 @@ object Queries {
              |  greatest(0, m0 * -0.25 + m1 * 1.0) AS h1
              |FROM mm ORDER BY id""".stripMargin))),
 
+    // Link-prediction TRAINING (engine-side `train`): GCN embeddings
+    // over the customer–nation graph, deterministic rotation negatives,
+    // Hadamard edge features, and 4 full-batch logistic-GD iterations —
+    // each ONE map-side-combinable aggregation; the driver holds only
+    // the 3-vector of weights. The oracle deep-replays the ENTIRE
+    // pipeline (GCN layer, Knuth-hash rotation, unrolled GD) in DuckDB;
+    // scores rounded to 6 decimals absorb cross-engine summation-order
+    // and exp-ulp drift (~1e-13, far inside the rounding granule).
+    "ml_train_linkpred" -> ((
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        val pos = c.select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"),
+          col("c_custkey").cast("long").as("hk"))
+        val e0 = pos.select(col("src"), col("dst"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val feats = c.select(concat(lit("c"), col("c_custkey")).as("id"),
+            (col("c_custkey") % 8).cast("double").as("f0"),
+            col("c_nationkey").cast("double").as("f1"))
+          .unionByName(n.select(concat(lit("n"), col("n_nationkey")).as("id"),
+            col("n_nationkey").cast("double").as("f0"),
+            col("n_regionkey").cast("double").as("f1")))
+        val emb = graft.ml.Gcn.layer(edges, feats, "id", Seq("f0", "f1"),
+          Array(Array(0.5, -0.25), Array(0.125, 1.0)))
+        val neg = graft.ml.LinkPrediction
+          .rotationNegatives(pos, "src", "dst", "hk")
+        val pairs = pos.select(col("src"), col("dst"), lit(1).as("label"))
+          .unionByName(neg.select(col("src"), col("dst"), lit(0).as("label")))
+        val ex = graft.ml.LinkPrediction
+          .edgeFeatures(pairs, emb, "id", Seq("h0", "h1"))
+          .withColumn("x0", col("x0") / 64)
+          .withColumn("x1", col("x1") / 64)
+        val w = graft.ml.LinkPrediction.trainLogistic(
+          ex, Seq("x0", "x1"), "label", iters = 4, lr = 0.5)
+        ex.select(col("src"), col("dst"), col("label"),
+            round(graft.ml.LinkPrediction.scoreColumn(Seq("x0", "x1"), w), 6)
+              .as("score"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(linkpredTrainOracleSql(iters = 4)))),
+
     // SPARQL 1.1 property path — sequence: the two-hop BGP collapses to
     // one `<fromNation>/<locatedIn>` path (parse-time rewrite through a
     // non-projectable intermediate; Catalyst plans the identical join
@@ -4228,6 +4270,73 @@ object Queries {
        |SELECT c.id, coalesce(cl.canonical, c.id) AS canonical
        |FROM corpus c LEFT JOIN cl ON c.id = cl.id
        |ORDER BY c.id""".stripMargin
+
+  /** ml_train_linkpred oracle — deep replay of the ENTIRE training
+    * pipeline in DuckDB: the GCN mean-aggregation layer (bit-exact —
+    * integer-valued features, one correctly-rounded division, dyadic
+    * weights, fixed-order fold: the ml_gcn_forward argument), the
+    * Knuth-hash rotation negative sampler (exact 64-bit integer
+    * arithmetic), Hadamard edge features with a /64 exponent-shift
+    * rescale (exact), then `iters` UNROLLED full-batch logistic-GD
+    * steps. The GD sums are order-dependent doubles and exp() may
+    * differ by an ulp between engines, so the replayed weights agree to
+    * ~1e-13 relative — the final scores are rounded to 6 decimals on
+    * both sides, which absorbs that drift (the pagerank/katz rounding
+    * precedent). Update arithmetic mirrors the engine exactly:
+    * w' = w − (0.5·Σ)/n with the same association order. */
+  private def linkpredTrainOracleSql(iters: Int): String = {
+    def p(w: String) =
+      s"1.0 / (1.0 + exp(-($w.b + ex.x0 * $w.a0 + ex.x1 * $w.a1)))"
+    def gd(i: Int): String = {
+      val pw = s"w${i - 1}"
+      s"""g$i AS (SELECT
+         |    SUM((${p(pw)} - ex.label) * ex.x0) AS s0,
+         |    SUM((${p(pw)} - ex.label) * ex.x1) AS s1,
+         |    SUM(${p(pw)} - ex.label) AS sb,
+         |    COUNT(*) AS n
+         |  FROM ex CROSS JOIN $pw),
+         |w$i AS (SELECT $pw.a0 - 0.5 * g$i.s0 / g$i.n AS a0,
+         |    $pw.a1 - 0.5 * g$i.s1 / g$i.n AS a1,
+         |    $pw.b - 0.5 * g$i.sb / g$i.n AS b
+         |  FROM $pw CROSS JOIN g$i)""".stripMargin
+    }
+    val steps = (1 to iters).map(gd).mkString(",\n")
+    s"""WITH e0 AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst,
+       |    CAST(c_custkey AS BIGINT) AS hk FROM customer),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |f AS (SELECT 'c' || c_custkey AS id, CAST(c_custkey % 8 AS DOUBLE) AS f0,
+       |    CAST(c_nationkey AS DOUBLE) AS f1 FROM customer
+       |  UNION ALL
+       |  SELECT 'n' || n_nationkey, CAST(n_nationkey AS DOUBLE),
+       |    CAST(n_regionkey AS DOUBLE) FROM nation),
+       |m AS (SELECT e.dst AS id, f.f0, f.f1 FROM e JOIN f ON e.src = f.id
+       |  UNION ALL SELECT id, f0, f1 FROM f),
+       |s AS (SELECT id, COUNT(*) AS n, SUM(f0) AS s0, SUM(f1) AS s1
+       |  FROM m GROUP BY id),
+       |mm AS (SELECT id, s0 / n AS m0, s1 / n AS m1 FROM s),
+       |emb AS (SELECT id, greatest(0, m0 * 0.5 + m1 * 0.125) AS h0,
+       |  greatest(0, m0 * -0.25 + m1 * 1.0) AS h1 FROM mm),
+       |didx AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY dst) - 1 AS j
+       |  FROM (SELECT DISTINCT dst FROM e0)),
+       |nn AS (SELECT COUNT(*) AS n FROM didx),
+       |cand AS (SELECT e0.src,
+       |    (d.j + 1 + (((e0.hk % 1000000) * 2654435761) % 1000000) % (nn.n - 1)) % nn.n AS nj
+       |  FROM e0 JOIN didx d ON e0.dst = d.dst CROSS JOIN nn),
+       |neg AS (SELECT c.src, d2.dst FROM cand c JOIN didx d2 ON c.nj = d2.j
+       |  WHERE NOT EXISTS (SELECT 1 FROM e0
+       |                    WHERE e0.src = c.src AND e0.dst = d2.dst)),
+       |pr AS (SELECT src, dst, 1 AS label FROM e0
+       |  UNION ALL SELECT src, dst, 0 AS label FROM neg),
+       |ex AS (SELECT pr.src, pr.dst, pr.label,
+       |    hs.h0 * hd.h0 / 64 AS x0, hs.h1 * hd.h1 / 64 AS x1
+       |  FROM pr JOIN emb hs ON pr.src = hs.id JOIN emb hd ON pr.dst = hd.id),
+       |w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS b),
+       |$steps
+       |SELECT ex.src, ex.dst, ex.label,
+       |  ROUND(${p(s"w$iters")}, 6) AS score
+       |FROM ex CROSS JOIN w$iters
+       |ORDER BY ex.src, ex.dst""".stripMargin
+  }
 
   /** emb_semdedup oracle — deep replay of the PRODUCTION ⌈√n⌉-bucketed
     * SemDeDup path ([[graft.pipeline.Dedup.semanticDedup]] with k = 0,

@@ -1,0 +1,167 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Engine-side link-prediction TRAINING — the other half of the
+ * reference's `train` verb. The reference ships each graph partition to
+ * a Python worker that fits a GraphSAGE + inner-product link classifier
+ * with Keras (`src_python/models/supervised.py:86-133`: sigmoid 'ip'
+ * head, binary cross-entropy, Adam) and federates the weights through
+ * `src_python/fl_server.py`. Here the same supervised objective trains
+ * INSIDE the engine as a sequence of Spark aggregations, so no Python
+ * round-trip, no per-partition model shipping:
+ *
+ *  - node representations come from [[Gcn.forward]] (the engine's
+ *    GraphSAGE-style convolution);
+ *  - an edge example is the Hadamard product of its endpoint embeddings
+ *    (the node2vec/GraphSAGE binary-operator family; the reference's
+ *    'ip' inner-product head is this feature map with all-ones weights);
+ *  - negatives are DETERMINISTIC rotation samples (below) rather than
+ *    `EdgeSplitter`'s seeded RNG — reruns are bit-identical, which is
+ *    what makes the training auditable and oracle-replayable;
+ *  - the optimizer is full-batch gradient descent on the logistic loss:
+ *    each iteration is ONE map-side-combinable aggregation producing the
+ *    d+1 gradient sums, and the driver holds only the weight vector.
+ *    Full-batch GD over Spark replaces mini-batch Adam: same objective,
+ *    deterministic trajectory, and the per-iteration cost is a single
+ *    scan however large the example set is — the right trade at 100 TB
+ *    where a shuffled mini-batch stream would dominate runtime.
+ *
+ * Scale shape: `trainLogistic` is iters × (one scan + partial agg);
+ * nothing but a (d+1)-vector ever reaches the driver. `edgeFeatures` is
+ * two equi-joins against the embedding frame (broadcast when small).
+ * `rotationNegatives` sorts only the DISTINCT destination set — fine
+ * whenever destinations are label-like (bipartite product/category/IP
+ * graphs); for a billion-destination social graph swap in a hash-range
+ * rotation (documented on the method).
+ */
+object LinkPrediction {
+
+  private val Multiplier = 2654435761L // Knuth 2^32/phi (Sampling.scala discipline)
+  private val Buckets = 1000000L
+  private def knuth(c: Column): Column =
+    pmod(pmod(c.cast(LongType), lit(Buckets)) * Multiplier, lit(Buckets))
+
+  /**
+   * Deterministic negative sampling by destination rotation: index the
+   * distinct destinations 0..n-1 in sorted order; a positive edge whose
+   * destination sits at index j yields the candidate negative at index
+   * `(j + 1 + knuth(hashKey) mod (n-1)) mod n` — never j itself, and the
+   * Knuth-hash shift decorrelates the rotation from insertion order.
+   * Candidates that happen to be REAL edges are dropped by an anti-join,
+   * so the output is a true negative set of ≤ one row per positive.
+   *
+   * The `ROW_NUMBER` over distinct destinations is a single-partition
+   * sort of the DISTINCT dst set only — the positives themselves are
+   * never globally sorted. Intended for label-like destination sets
+   * (categories, nations, products); for huge dst sets rotate within
+   * hash ranges instead of one global index.
+   *
+   * @param edges      positive edges.
+   * @param hashKeyCol numeric column of `edges` seeding the per-edge
+   *                   rotation shift.
+   * @return (srcCol, dstCol) negative pairs (same column names).
+   */
+  def rotationNegatives(edges: DataFrame, srcCol: String, dstCol: String,
+                        hashKeyCol: String): DataFrame = {
+    val dsts = edges.select(col(dstCol)).distinct()
+    val idx = dsts.withColumn("__j",
+      row_number().over(Window.orderBy(col(dstCol))) - 1)
+    val n = idx.count()
+    require(n >= 2, "need at least two distinct destinations to rotate")
+    val cand = edges.select(col(srcCol), col(dstCol), col(hashKeyCol))
+      .join(idx, Seq(dstCol))
+      .select(col(srcCol),
+        pmod(col("__j") + 1 + pmod(knuth(col(hashKeyCol)), lit(n - 1)),
+          lit(n)).as("__nj"))
+      .join(idx.withColumnRenamed("__j", "__nj"), Seq("__nj"))
+      .select(col(srcCol), col(dstCol))
+    cand.join(edges.select(col(srcCol), col(dstCol)),
+      Seq(srcCol, dstCol), "left_anti")
+  }
+
+  /**
+   * Hadamard edge features: join endpoint embeddings onto (src, dst)
+   * pairs and emit `x_k = h_src[k] * h_dst[k]` per embedding column —
+   * the symmetric binary operator under which a linear scorer with
+   * all-ones weights recovers the reference's inner-product head.
+   * Carries through any extra columns of `pairs` (e.g. a label).
+   */
+  def edgeFeatures(pairs: DataFrame, emb: DataFrame, idCol: String,
+                   featCols: Seq[String], srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    val hs = emb.select(col(idCol).as(srcCol) +:
+      featCols.map(c => col(c).as(s"__s_$c")): _*)
+    val hd = emb.select(col(idCol).as(dstCol) +:
+      featCols.map(c => col(c).as(s"__d_$c")): _*)
+    val joined = pairs.join(hs, Seq(srcCol)).join(hd, Seq(dstCol))
+    val keep = pairs.columns.map(col).toSeq
+    val xs = featCols.zipWithIndex.map { case (c, k) =>
+      (col(s"__s_$c") * col(s"__d_$c")).as(s"x$k")
+    }
+    joined.select(keep ++ xs: _*)
+  }
+
+  /**
+   * Full-batch logistic-regression training by gradient descent.
+   *
+   * Model: p = sigmoid(w · x + b); loss = mean binary cross-entropy
+   * (the reference head's objective, `supervised.py:127`). Update per
+   * iteration, zero-initialized:
+   *
+   *   g_k = Σ (p_i − y_i) x_ik / n      g_b = Σ (p_i − y_i) / n
+   *   w_k ← w_k − lr · g_k              b ← b − lr · g_b
+   *
+   * Each iteration executes as ONE aggregation (d+1 sums + a count,
+   * all map-side combinable); the weight vector lives on the driver as
+   * d+1 doubles and is folded into the next iteration's expressions as
+   * literals — no broadcast, no shuffle beyond the partial-agg exchange.
+   * Deterministic given the example set up to floating-point summation
+   * order; callers comparing cross-engine round the scores.
+   *
+   * @return weights (aligned with featCols) :+ bias.
+   */
+  def trainLogistic(examples: DataFrame, featCols: Seq[String],
+                    labelCol: String, iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 0 && lr > 0, "iters >= 0, lr > 0")
+    val d = featCols.size
+    val w = Array.fill(d + 1)(0.0)
+    // eager localCheckpoint: the example frame is scanned once per
+    // iteration — pin the computed values, self-cleaning via the
+    // ContextCleaner (the Dedup.scala cache-leak discipline)
+    val ex = examples.select(
+        featCols.map(c => col(c).cast(DoubleType)) :+
+          col(labelCol).cast(DoubleType).as(labelCol): _*)
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val p = sigmoid(margin(featCols, w))
+      val r = p - col(labelCol)
+      val aggs = featCols.map(c => sum(r * col(c))) :+ sum(r) :+ count(lit(1))
+      val row: Row = ex.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(d + 1).toDouble
+      var k = 0
+      while (k <= d) { w(k) -= lr * row.getDouble(k) / n; k += 1 }
+      it += 1
+    }
+    w
+  }
+
+  /** sigmoid(w · x + b) as a column over the feature columns. */
+  def scoreColumn(featCols: Seq[String], weights: Array[Double]): Column = {
+    require(weights.length == featCols.size + 1,
+      s"need ${featCols.size} weights + bias, got ${weights.length}")
+    sigmoid(margin(featCols, weights))
+  }
+
+  private def margin(featCols: Seq[String], w: Array[Double]): Column =
+    featCols.zipWithIndex
+      .map { case (c, k) => col(c) * lit(w(k)) }
+      .foldLeft(lit(w(featCols.size)).cast(DoubleType))(_ + _)
+
+  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+}
