@@ -3387,6 +3387,52 @@ object Queries {
              |ORDER BY fn.c LIMIT 150""".stripMargin))),
 
     // SPARQL ASK: boolean existence of a building-segment big spender.
+    // SPARQL 1.1 Kleene path over an alternation set — `+` on
+    // (fromNation|locatedIn) closes customer→nation→region
+    // transitively. Var–var shape → the engine's semi-naive pair
+    // closure; the oracle is the equivalent recursive CTE (UNION =
+    // DISTINCT fixpoint, the §18.4 set semantics).
+    "sparql_path_plus" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?dest WHERE {
+            |  ?c <segment> "MACHINERY" .
+            |  ?c (<fromNation>|<locatedIn>)+ ?dest .
+            |} ORDER BY ?c ?dest""".stripMargin),
+      Some("""WITH RECURSIVE ed AS (
+             |  SELECT DISTINCT a, b FROM (
+             |    SELECT 'customer/' || c_custkey AS a, 'nation/' || n_name AS b
+             |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |    UNION ALL
+             |    SELECT 'nation/' || n_name, 'region/' || r_name
+             |    FROM nation JOIN region ON n_regionkey = r_regionkey)),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM ed
+             |  UNION
+             |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+             |seg AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_mktsegment = 'MACHINERY')
+             |SELECT seg.c, reach.b AS dest
+             |FROM seg JOIN reach ON reach.a = seg.c
+             |ORDER BY seg.c, reach.b""".stripMargin))),
+
+    // SPARQL 1.1 `p*` seeded by a constant subject — the BFS regime
+    // (reachable SET, no pair closure) plus the zero-length
+    // self-binding the `*` semantics require.
+    "sparql_path_star" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?x WHERE { <nation/NATION_7> <locatedIn>* ?x . }
+            |ORDER BY ?x""".stripMargin),
+      Some("""WITH RECURSIVE li AS (
+             |  SELECT DISTINCT 'nation/' || n_name AS a, 'region/' || r_name AS b
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |reach(x) AS (
+             |  SELECT 'nation/NATION_7'
+             |  UNION
+             |  SELECT li.b FROM reach r JOIN li ON li.a = r.x)
+             |SELECT x FROM reach ORDER BY x""".stripMargin))),
+
     "sparql_ask" -> ((
       (s: SparkSession, d: String) =>
         graft.sparql.Sparql.run(sparqlTriples(s, d),

@@ -37,8 +37,18 @@ import org.apache.spark.sql.functions._
  *    sequence (composable, e.g. `^p1/p2`), and the `a` rdf:type
  *    keyword — rewritten at parse time into ordinary triple patterns
  *    chained through non-projectable intermediates, so Catalyst plans
- *    them as the same equi-join chain; `*`/`+`/`?`/`|` path operators
- *    and variables inside paths are parse-rejected
+ *    them as the same equi-join chain. Alternation `(p1|p2)` over
+ *    constant predicates compiles to an `isin` scan filter (one
+ *    pattern, no union). Kleene `p+` / `p*` / `p?` over a constant
+ *    predicate (or alternation set) evaluates per SPARQL 1.1 §18.4
+ *    ArbitraryLengthPath — DISTINCT reachable endpoint pairs, computed
+ *    as a semi-naive fixpoint: a constant endpoint seeds a frontier
+ *    BFS (reachable SET, linear in edges); variable–variable paths
+ *    build the pair closure (inherently quadratic in the worst case —
+ *    same as any engine). Zero-length solutions (`*`/`?`) bind a
+ *    constant endpoint to itself and a variable pair to every term of
+ *    the graph (subject∪object positions, the Jena reading of
+ *    "terms in G"). Variables inside paths remain parse-rejected
  *  - UNION restriction: a variable shared between the union block and
  *    the surrounding BGP must be bound in EVERY branch (unbound-is-
  *    compatible solutions would otherwise be silently dropped by the
@@ -53,7 +63,18 @@ object Sparql {
   sealed trait Term
   final case class V(name: String) extends Term
   final case class Const(value: String) extends Term // IRI (brackets stripped) or literal
-  final case class Pattern(s: Term, p: Term, o: Term)
+  /** Predicate-position alternation `(p1|p2|…)` — an `isin` scan filter. */
+  final case class AnyOf(values: Seq[String]) extends Term
+  sealed trait Pat
+  final case class Pattern(s: Term, p: Term, o: Term) extends Pat
+  /** Kleene path step: `+` (zero = false), `*` (zero = true) or `?`
+    * (zero = true, single = true) over a constant predicate set. */
+  final case class PathPat(s: Term, preds: Seq[String], inverse: Boolean,
+                           zero: Boolean, single: Boolean, o: Term) extends Pat
+  private def termsOf(p: Pat): Seq[Term] = p match {
+    case Pattern(s, pr, o) => Seq(s, pr, o)
+    case PathPat(s, _, _, _, _, o) => Seq(s, o)
+  }
   sealed trait FilterExpr
   final case class Cmp(op: String, l: Term, r: Term, numeric: Boolean) extends FilterExpr
   final case class And(l: FilterExpr, r: FilterExpr) extends FilterExpr
@@ -63,8 +84,8 @@ object Sparql {
   final case class Agg(arg: Option[String], alias: String)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
-                         patterns: Seq[Pattern], unionBranches: Seq[Seq[Pattern]],
-                         optionals: Seq[Seq[Pattern]],
+                         patterns: Seq[Pat], unionBranches: Seq[Seq[Pat]],
+                         optionals: Seq[Seq[Pat]],
                          filters: Seq[FilterExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
                          ask: Boolean = false,
@@ -93,9 +114,14 @@ object Sparql {
         require(j > 0, s"unterminated literal at offset $i")
         out += s.substring(i, j + 1); i = j + 1
       } else if ("{}().".contains(c)) { out += c.toString; i += 1 }
-      else if (c == '&' || c == '|') {
+      else if (c == '&') {
         require(i + 1 < s.length && s(i + 1) == c, s"single '$c' at offset $i")
         out += s.substring(i, i + 2); i += 2
+      } else if (c == '|') {
+        // '||' is the FILTER disjunction; a single '|' separates path
+        // alternation branches
+        if (i + 1 < s.length && s(i + 1) == '|') { out += "||"; i += 2 }
+        else { out += "|"; i += 1 }
       } else if (">=!".contains(c)) {
         if (i + 1 < s.length && s(i + 1) == '=') {
           out += s.substring(i, i + 2); i += 2
@@ -164,59 +190,118 @@ object Sparql {
       else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
     }
     expect("WHERE"); expect("{")
-    val patterns = scala.collection.mutable.ListBuffer.empty[Pattern]
-    val optionals = scala.collection.mutable.ListBuffer.empty[Seq[Pattern]]
+    val patterns = scala.collection.mutable.ListBuffer.empty[Pat]
+    val optionals = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
     val filters = scala.collection.mutable.ListBuffer.empty[FilterExpr]
 
     // ---- property paths (SPARQL 1.1 subset: ^inverse, p1/p2 sequence,
-    // `a` = rdf:type) — each path step compiles to one ordinary triple
-    // pattern chained through fresh non-projectable `__path*` variables,
-    // so the existing join machinery executes paths with no new
-    // operator. Parse-rejects beyond the subset (*, +, ?, |,
-    // variables inside a multi-step or inverted path).
+    // (p1|p2) alternation, Kleene */+/? on constant predicate sets,
+    // `a` = rdf:type) — unmodified steps compile to ordinary triple
+    // patterns chained through fresh non-projectable `__path*`
+    // variables (alternation = an AnyOf predicate, one isin-filtered
+    // scan), and a Kleene-modified step becomes a PathPat evaluated by
+    // the fixpoint machinery in kleeneFrame. Parse-rejects beyond the
+    // subset (variables inside a multi-step, inverted or modified path).
     var pathId = 0
-    def pathTerm(t: String): Term = {
-      require(!t.endsWith("*") && !t.endsWith("+") && t != "?",
-        s"unsupported path operator in '$t' (supported: ^ inverse, / sequence, a)")
+    def pathTerm(t: String): Term =
       if (t == "a") Const(RdfType) else term(t)
+    def altValues(t: Term): Seq[String] = t match {
+      case Const(v) => Seq(v)
+      case AnyOf(vs) => vs
+      case V(n) => throw new IllegalArgumentException(
+        s"property paths cannot contain variables (?$n)")
     }
-    def parsePatterns(): Seq[Pattern] = {
+    // trailing Kleene modifier glued to a PLAIN token (`knows+`); IRIs
+    // and literals close with '>' / '"' so stripping is always safe
+    def stripMod(tok: String): (String, Option[Char]) =
+      if (tok.length > 1 && "*+?".contains(tok.last)) (tok.dropRight(1), Some(tok.last))
+      else (tok, None)
+    def parsePatterns(): Seq[Pat] = {
       val sT = term(pop())
-      val steps = scala.collection.mutable.ListBuffer.empty[(Term, Boolean)]
-      def feedTok(tok0: String): Unit = {
+      // (predicate term, inverse, Kleene modifier)
+      val steps = scala.collection.mutable.ListBuffer.empty[(Term, Boolean, Option[Char])]
+      def setMod(m: Char): Unit = {
+        val (pt, inv, mod) = steps.remove(steps.size - 1)
+        require(mod.isEmpty, s"duplicate path modifier '$m'")
+        steps += ((pt, inv, Some(m)))
+      }
+      def feedTok(tok0: String, inv0: Boolean): Unit = {
         var tok = tok0
-        var inv = false
+        var inv = inv0
         if (tok == "^") { inv = true; tok = pop() }
         else if (tok.startsWith("^") && tok.length > 1) { inv = true; tok = tok.drop(1) }
         // a plain (non-IRI, non-var, non-literal) token may carry the
-        // whole sequence: `knows/worksAt` tokenizes as one token
+        // whole sequence: `knows/worksAt+` tokenizes as one token
         if (!tok.startsWith("<") && !tok.startsWith("\"") && !tok.startsWith("?") &&
             tok.contains("/")) {
           val parts = tok.split("/")
           require(parts.length >= 2 && parts.forall(_.nonEmpty), s"bad path '$tok'")
-          steps += ((pathTerm(parts.head), inv))
-          parts.tail.foreach(p => steps += ((pathTerm(p), false)))
-        } else steps += ((pathTerm(tok), inv))
+          val (h, hm) = stripMod(parts.head)
+          steps += ((pathTerm(h), inv, hm))
+          parts.tail.foreach { p =>
+            val (x, m) = stripMod(p); steps += ((pathTerm(x), false, m))
+          }
+        } else {
+          val (x, m) = stripMod(tok)
+          steps += ((pathTerm(x), inv, m))
+        }
       }
-      feedTok(pop())
-      // the tokenizer glues '/' onto a following plain step (`<p>/a` →
-      // tokens "<p>", "/a"), so both the bare separator and the glued
-      // form continue the path
-      while (peek == "/" || (peek.startsWith("/") && peek.length > 1)) {
-        val tok = pop()
-        if (tok == "/") feedTok(pop()) else feedTok(tok.drop(1))
+      // one predicate unit: `^`-prefixed, parenthesized alternation, or
+      // a single token
+      def feedUnit(): Unit = {
+        var inv = false
+        if (peek == "^") { pop(); inv = true }
+        if (peek == "(") {
+          pop()
+          val vals = scala.collection.mutable.ListBuffer.empty[String]
+          vals ++= altValues(pathTerm(pop()))
+          while (peek == "|") { pop(); vals ++= altValues(pathTerm(pop())) }
+          expect(")")
+          steps += ((AnyOf(vals.toList.distinct), inv, None))
+        } else feedTok(pop(), inv)
       }
-      if (steps.size > 1 || steps.exists(_._2))
-        require(steps.forall(_._1.isInstanceOf[Const]),
+      feedUnit()
+      // continuation: Kleene modifier tokens, bare `|` alternation, and
+      // `/` sequence steps (the tokenizer glues '/' onto a following
+      // plain step: `<p>/a` → tokens "<p>", "/a")
+      var more = true
+      while (more) {
+        val pk = peek
+        if (pk == "*" || pk == "+" || pk == "?") { pop(); setMod(pk.head) }
+        else if (pk == "|") {
+          // bare alternation: extend the last step's predicate set
+          pop()
+          val (pt, inv, mod) = steps.remove(steps.size - 1)
+          require(mod.isEmpty,
+            "Kleene modifier must follow the whole alternation; parenthesize")
+          steps += ((AnyOf((altValues(pt) ++ altValues(pathTerm(pop()))).distinct),
+            inv, None))
+        } else if (pk == "/") { pop(); feedUnit() }
+        else if (pk.length > 1 && pk.head == '/') { pop(); feedTok(pk.drop(1), false) }
+        else if (pk.length > 1 && "*+".contains(pk.head) && pk(1) == '/') {
+          // glued modifier + sequence remainder: `<p>*/q` → token "*/q"
+          pop(); setMod(pk.head)
+          if (pk.length > 2) feedTok(pk.drop(2), false) else feedUnit()
+        } else more = false
+      }
+      if (steps.size > 1 || steps.exists(t => t._2 || t._3.nonEmpty))
+        require(steps.forall(t =>
+          t._1.isInstanceOf[Const] || t._1.isInstanceOf[AnyOf]),
           "property paths cannot contain variables (SPARQL 1.1)")
       val oT = term(pop())
       if (peek == ".") pop()
-      val out = scala.collection.mutable.ListBuffer.empty[Pattern]
+      val out = scala.collection.mutable.ListBuffer.empty[Pat]
       var cur = sT
-      steps.zipWithIndex.foreach { case ((pt, inv), i) =>
+      steps.zipWithIndex.foreach { case ((pt, inv, mod), i) =>
         val nxt = if (i == steps.size - 1) oT
           else { pathId += 1; V(s"__path$pathId") }
-        out += (if (inv) Pattern(nxt, pt, cur) else Pattern(cur, pt, nxt))
+        mod match {
+          case None =>
+            out += (if (inv) Pattern(nxt, pt, cur) else Pattern(cur, pt, nxt))
+          case Some(m) =>
+            out += PathPat(cur, altValues(pt), inv,
+              zero = m != '+', single = m == '?', nxt)
+        }
         cur = nxt
       }
       out.toSeq
@@ -250,14 +335,14 @@ object Sparql {
       orExpr()
     }
 
-    val unionBranches = scala.collection.mutable.ListBuffer.empty[Seq[Pattern]]
+    val unionBranches = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
     while (peek != "}") {
       if (peek == "{") {
         // { bgp } UNION { bgp } [UNION { bgp } ...] -- one chain per query
         require(unionBranches.isEmpty, "only one UNION chain is supported")
-        def group(): Seq[Pattern] = {
+        def group(): Seq[Pat] = {
           expect("{")
-          val b = scala.collection.mutable.ListBuffer.empty[Pattern]
+          val b = scala.collection.mutable.ListBuffer.empty[Pat]
           while (peek != "}") b ++= parsePatterns()
           expect("}")
           b.toSeq
@@ -270,7 +355,7 @@ object Sparql {
         if (peek == ".") pop()
       } else if (peek.equalsIgnoreCase("OPTIONAL")) {
         pop(); expect("{")
-        val block = scala.collection.mutable.ListBuffer.empty[Pattern]
+        val block = scala.collection.mutable.ListBuffer.empty[Pat]
         while (peek != "}") block ++= parsePatterns()
         expect("}")
         optionals += block.toSeq
@@ -311,7 +396,7 @@ object Sparql {
     // `__path*` intermediates exist only to chain path steps: invisible
     // to `*` projections and not addressable by name
     val known = (patterns ++ unionBranches.flatten ++ optionals.flatten)
-      .flatMap(p => Seq(p.s, p.p, p.o))
+      .flatMap(termsOf)
       .collect { case V(n) if !n.startsWith("__path") => n }.distinct
     val aliases = aggs.map(_.alias)
     val projection: scala.collection.immutable.Seq[String] =
@@ -333,17 +418,17 @@ object Sparql {
   }
 
   // ----- Execution ---------------------------------------------------------
-  /** One triple pattern → constant-filtered scan projected to its
-    * variables (repeated variables constrain equality in-pattern). */
-  private def patternFrame(triples: DataFrame, pat: Pattern): DataFrame = {
-    val cols = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
-    var df = triples
-    cols.foreach { case (c, t) => t match {
+  /** Constant/alternation terms filter their column; variables project
+    * it under their name (repeated variables constrain equality). The
+    * shared tail of triple-pattern and Kleene-pair evaluation. */
+  private def bindVars(df0: DataFrame, bindings: Seq[(String, Term)]): DataFrame = {
+    var df = df0
+    bindings.foreach { case (c, t) => t match {
       case Const(v) => df = df.where(col(c) === v)
+      case AnyOf(vs) => df = df.where(col(c).isin(vs: _*))
       case V(_) => ()
     } }
-    // in-pattern equality for repeated vars
-    val varCols = cols.collect { case (c, V(n)) => (c, n) }
+    val varCols = bindings.collect { case (c, V(n)) => (c, n) }
     varCols.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
       dup.sliding(2).foreach { case Seq((a, _), (b, _)) => df = df.where(col(a) === col(b)) }
     }
@@ -353,8 +438,109 @@ object Sparql {
     if (proj.isEmpty) df.select(lit(1).as("__const")).limit(1) else df.select(proj: _*)
   }
 
-  private def joinAll(triples: DataFrame, pats: Seq[Pattern]): DataFrame =
-    pats.map(patternFrame(triples, _)).reduceLeft { (acc, next) =>
+  /** One triple pattern → constant-filtered scan projected to its
+    * variables (repeated variables constrain equality in-pattern). */
+  private def patternFrame(triples: DataFrame, pat: Pattern): DataFrame =
+    bindVars(triples, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
+
+  /** Fixpoint safety cap: semi-naive expansion adds ≥1 hop per round,
+    * so this bounds the path length explored. Real RDF hierarchies are
+    * shallow; exceeding the cap throws rather than under-answers. */
+  private val MaxPathHops = 64
+
+  /**
+   * Kleene path evaluation (SPARQL 1.1 §18.4 ArbitraryLengthPath):
+   * DISTINCT endpoint pairs connected by ≥1 (`+`) / ≥0 (`*`) / ≤1 (`?`)
+   * hops over the constant predicate set.
+   *
+   * Regimes, picked by the binding shape:
+   *  - constant endpoint → frontier BFS over the node SET (linear in
+   *    edges × diameter; the 100 TB path — the closure never
+   *    materializes);
+   *  - variable–variable → semi-naive pair closure (worst-case
+   *    quadratic output, inherent to the query itself);
+   *  - `?` → no iteration at all (the one-hop frame union zero-length).
+   *
+   * Each round localCheckpoints (eager, ContextCleaner-managed) to cut
+   * the iterative lineage; rounds stop at the first empty frontier.
+   * Zero-length solutions: a constant endpoint pairs with itself; a
+   * variable pair binds every term of the graph (subject∪object).
+   */
+  private def kleeneFrame(triples: DataFrame, pp: PathPat): DataFrame = {
+    val raw = triples.where(
+      if (pp.preds.size == 1) col("p") === pp.preds.head
+      else col("p").isin(pp.preds: _*))
+    val step = (if (pp.inverse) raw.select(col("o").as("a"), col("s").as("b"))
+                else raw.select(col("s").as("a"), col("o").as("b")))
+      .distinct().localCheckpoint(true)
+
+    // expand `frontier` one hop along `edges`, dropping rows already in
+    // `acc`; works for pair frames (a, b) and set frames (b) alike
+    def grow(edges: DataFrame, acc0: DataFrame, frontier0: DataFrame,
+             keyCols: Seq[String]): DataFrame = {
+      var acc = acc0; var frontier = frontier0; var hops = 1
+      var growing = !frontier.isEmpty
+      while (growing) {
+        require(hops < MaxPathHops,
+          s"property-path fixpoint exceeded $MaxPathHops hops")
+        val next = frontier.withColumnRenamed("b", "__mid")
+          .join(edges.withColumnRenamed("a", "__mid"), Seq("__mid"))
+          .drop("__mid").distinct()
+          .join(acc, keyCols, "left_anti")
+          .localCheckpoint(true)
+        if (next.isEmpty) growing = false
+        else {
+          acc = acc.unionByName(next).localCheckpoint(true)
+          frontier = next; hops += 1
+        }
+      }
+      acc
+    }
+
+    val sess = triples.sparkSession
+    import sess.implicits._
+    def constRow(v: String): DataFrame = Seq((v, v)).toDF("a", "b")
+    def zeroPairs(): DataFrame = (pp.s, pp.o) match {
+      case (Const(c), _) => constRow(c)
+      case (_, Const(c)) => constRow(c)
+      case _ => // every term of the graph, paired with itself
+        triples.select(col("s").as("x"))
+          .unionByName(triples.select(col("o").as("x"))).distinct()
+          .select(col("x").as("a"), col("x").as("b"))
+    }
+
+    val pairs: DataFrame =
+      if (pp.single) {
+        if (pp.zero) step.unionByName(zeroPairs()).distinct() else step
+      } else (pp.s, pp.o) match {
+        case (Const(c), _) =>
+          val seed = step.where(col("a") === c).select(col("b"))
+            .distinct().localCheckpoint(true)
+          val reach = grow(step, seed, seed, Seq("b"))
+            .select(lit(c).as("a"), col("b"))
+          if (pp.zero) reach.unionByName(zeroPairs()).distinct() else reach
+        case (_, Const(c)) =>
+          // who REACHES c: BFS over the reversed step relation
+          val rev = step.select(col("b").as("a"), col("a").as("b"))
+          val seed = rev.where(col("a") === c).select(col("b"))
+            .distinct().localCheckpoint(true)
+          val reach = grow(rev, seed, seed, Seq("b"))
+            .select(col("b").as("a"), lit(c).as("b"))
+          if (pp.zero) reach.unionByName(zeroPairs()).distinct() else reach
+        case _ =>
+          val closure = grow(step, step, step, Seq("a", "b"))
+          if (pp.zero) closure.unionByName(zeroPairs()).distinct() else closure
+      }
+    bindVars(pairs, Seq("a" -> pp.s, "b" -> pp.o))
+  }
+
+  private def patFrame(triples: DataFrame, p: Pat): DataFrame = p match {
+    case tp: Pattern => patternFrame(triples, tp)
+    case kp: PathPat => kleeneFrame(triples, kp)
+  }
+
+  private def joinAll(triples: DataFrame, pats: Seq[Pat]): DataFrame =
+    pats.map(patFrame(triples, _)).reduceLeft { (acc, next) =>
       val shared = acc.columns.toSeq.intersect(next.columns.toSeq)
       if (shared.isEmpty) acc.crossJoin(next) // disjoint BGP components
       else acc.join(next, shared)
@@ -368,6 +554,8 @@ object Sparql {
       def side(t: Term): Column = t match {
         case V(n) => if (numeric) col(n).cast("double") else col(n)
         case Const(v) => if (numeric) lit(v.toDouble) else lit(v)
+        case AnyOf(_) => throw new IllegalArgumentException(
+          "alternation is only valid in the predicate position")
       }
       val (a, b) = (side(l), side(r))
       op match {
@@ -409,7 +597,7 @@ object Sparql {
         // variables — reject rather than mis-answer.
         shared.foreach { v =>
           require(q.unionBranches.forall(b =>
-            b.exists(p => Seq(p.s, p.p, p.o).contains(V(v)))),
+            b.exists(p => termsOf(p).contains(V(v)))),
             s"unsupported: a UNION branch leaves ?$v unbound but it joins " +
               "with the top-level patterns (every branch must bind it)")
         }
@@ -434,6 +622,8 @@ object Sparql {
       def side(t: Term): Column = t match {
         case V(n) => col(n).cast("string")
         case Const(v) => lit(v)
+        case AnyOf(_) => throw new IllegalArgumentException(
+          "alternation is only valid in the predicate position")
       }
       return q.construct.map { tp =>
         df.select(side(tp.s).as("s"), side(tp.p).as("p"), side(tp.o).as("o"))

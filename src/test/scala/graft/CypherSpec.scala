@@ -1187,18 +1187,107 @@ class CypherSpec extends SparkSpec {
     assert(star.columns.toSeq === Seq("x", "z"))
     assert(star.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("a", "c")))
-    // parse-rejects beyond the subset: Kleene operators, path variables
-    intercept[IllegalArgumentException](
-      Sparql.parse("SELECT ?x WHERE { ?x knows+ ?y . }"))
-    intercept[IllegalArgumentException](
-      Sparql.parse("SELECT ?x WHERE { ?x knows* ?y . }"))
+    // parse-rejects beyond the subset: path variables
     intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?x ?y WHERE { ?x ?p/<knows> ?y . }"))
     intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?x ?y WHERE { ?x ^?p ?y . }"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x ?y WHERE { ?x ?p+ ?y . }"))
     // intermediates are not addressable by name
     intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?__path1 WHERE { ?x <knows>/<knows> ?z . }"))
+  }
+
+  test("sparql Kleene paths: +, *, ?, alternation, cycles, regimes") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    // chain a→b→c→d plus a cycle x→y→x and a second predicate
+    val triples = Seq(
+      ("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "d"),
+      ("x", "knows", "y"), ("y", "knows", "x"),
+      ("c", "worksAt", "acme"))
+      .toDF("s", "p", "o")
+    def rows2(q: String): Seq[(String, String)] =
+      Sparql.run(triples, q).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+
+    // p+ var–var: distinct closure pairs; the cycle yields (x,x),(y,y)
+    // but no duplicates (SPARQL §18.4 set semantics)
+    val plus = rows2("SELECT ?s ?o WHERE { ?s <knows>+ ?o . } ORDER BY ?s ?o")
+    assert(plus === Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")))
+
+    // p+ seeded by a constant subject: BFS regime, same answers
+    val fromA = Sparql.run(triples,
+      "SELECT ?o WHERE { <a> <knows>+ ?o . } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSeq
+    assert(fromA === Seq("b", "c", "d"))
+    // constant OBJECT: who reaches d
+    val toD = Sparql.run(triples,
+      "SELECT ?s WHERE { ?s <knows>+ <d> . } ORDER BY ?s")
+      .collect().map(_.getString(0)).toSeq
+    assert(toD === Seq("a", "b", "c"))
+
+    // p* from a constant includes the zero-length self-binding
+    val star = Sparql.run(triples,
+      "SELECT ?o WHERE { <a> <knows>* ?o . } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSeq
+    assert(star === Seq("a", "b", "c", "d"))
+    // ...even for a term absent from the graph (SPARQL zero-length rule)
+    val ghost = Sparql.run(triples,
+      "SELECT ?o WHERE { <zzz> <knows>* ?o . }")
+      .collect().map(_.getString(0)).toSeq
+    assert(ghost === Seq("zzz"))
+    // p* var–var zero-length binds every term of the graph to itself
+    val starAll = rows2("SELECT ?s ?o WHERE { ?s <knows>* ?o . }")
+    val terms = Seq("a", "b", "c", "d", "x", "y", "acme")
+    assert(starAll.toSet === (plus ++ terms.map(t => (t, t))).toSet)
+
+    // p? = zero or one hop
+    val opt = Sparql.run(triples,
+      "SELECT ?o WHERE { <a> <knows>? ?o . } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSeq
+    assert(opt === Seq("a", "b"))
+
+    // alternation as a plain isin step, parenthesized and bare
+    val alt = rows2(
+      "SELECT ?s ?o WHERE { ?s (<knows>|<worksAt>) ?o . FILTER(?s = \"c\") } ORDER BY ?o")
+    assert(alt === Seq(("c", "acme"), ("c", "d")))
+    val altBare = rows2(
+      "SELECT ?s ?o WHERE { ?s <knows>|<worksAt> ?o . FILTER(?s = \"c\") } ORDER BY ?o")
+    assert(altBare === alt)
+
+    // Kleene over an alternation set: c reaches acme via worksAt and d
+    // via knows; b reaches all of c, d, acme
+    val altPlus = Sparql.run(triples,
+      "SELECT ?o WHERE { <b> (<knows>|<worksAt>)+ ?o . } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSeq
+    assert(altPlus === Seq("acme", "c", "d"))
+
+    // Kleene step inside a sequence: one hop then closure
+    val seqPlus = Sparql.run(triples,
+      "SELECT ?o WHERE { <a> <knows>/<knows>+ ?o . } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSeq
+    assert(seqPlus === Seq("c", "d"))
+
+    // inverse Kleene: ^knows+ from d walks the chain backwards
+    val invPlus = Sparql.run(triples,
+      "SELECT ?o WHERE { <d> ^<knows>+ ?o . } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSeq
+    assert(invPlus === Seq("a", "b", "c"))
+
+    // glued plain-token forms parse too
+    assert(Sparql.run(triples,
+      "SELECT ?o WHERE { <a> knows+ ?o . } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSeq === fromA)
+
+    // repeated variable: ?n p+ ?n = cycle members only
+    val cyc = Sparql.run(triples,
+      "SELECT ?n WHERE { ?n <knows>+ ?n . } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+    assert(cyc === Seq("x", "y"))
   }
 
   test("sparql UNION: branch leaving a shared join variable unbound is rejected") {
