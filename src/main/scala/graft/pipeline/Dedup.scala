@@ -686,9 +686,11 @@ object Dedup {
    * near-duplicate pairs by exact cosine WITHIN each cluster only — the
    * cluster bound is what makes the quadratic verify tractable (per-
    * cluster cost (n/k)²; `k = 0`, the default, AUTO-SCALES k ≈ √n via
-   * [[Similarity.autoClusterCount]] so total pair work grows ~n^1.5
-   * instead of quadratically — pass an explicit k for replayable-oracle
-   * or known-scale regimes; vs
+   * [[Similarity.autoBuckets]] so total pair work grows ~n^1.5 at EVERY
+   * corpus size — flat trained k-means up to ~16.7M vectors, two-level
+   * coarse-k-means + sign-plane refinement beyond, so no flat-cap
+   * quadratic at billion-vector scale — pass an explicit k for
+   * replayable-oracle or known-scale regimes; vs
    * [[embeddingCosinePairs]], which band-hashes for near-exact duplicates,
    * this catches semantically-close rewrites at lower thresholds where
    * hyperplane LSH would need impractically many bands).
@@ -716,11 +718,12 @@ object Dedup {
       .where(col("vec").isNotNull && size(col("vec")) > 0)
       .withColumn("nrm", graft.functions.vecNorm(col("vec")))
       .where(col("nrm") > 0)
-    val nClusters = if (k == 0) Similarity.autoClusterCount(clean) else k
-    val cents = Similarity.trainCentroids(clean, "id", "vec", nClusters, iters)
-    val assigned = Similarity
-      .assignClusters(clean, "id", "vec", cents, "cid", "cvec")
-      .select(col("cid"), col("id"), col("vec"), col("nrm"))
+    val assigned = (if (k == 0) Similarity.autoBuckets(clean, iters)
+      else {
+        val cents = Similarity.trainCentroids(clean, "id", "vec", k, iters)
+        Similarity.assignClusters(clean, "id", "vec", cents, "cid", "cvec")
+          .select(col("cid"), col("id"), col("vec"), col("nrm"))
+      })
       .localCheckpoint(true)
     val l = assigned.select(col("cid"), col("id").as("idA"),
       col("vec").as("vA"), col("nrm").as("nA"))

@@ -299,6 +299,72 @@ class PipelineSpec extends SparkSpec {
     assert(out.size === 61)
   }
 
+  test("autoBuckets: occupancy stays ~sqrt(n) past the flat cap (two-level regime)") {
+    import spark.implicits._
+    // round-10 VERDICT #1: the flat 4096 clamp let per-cluster occupancy
+    // grow linearly past n = cap², degrading the within-cluster pair join
+    // toward n²/cap. The two-level path must keep occupancy ~sqrt(n).
+    // Test hook: shrink the cap so a 4096-vector corpus is "past" it.
+    val n = 4096
+    var state = 42L
+    def rnd(): Double = { // LCG: deterministic pseudo-random coordinates
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val rows = (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd())))
+    val clean = rows.toDF("id", "vec")
+      .select(col("id"), col("vec"),
+        graft.functions.vecNorm(col("vec")).as("nrm"))
+      .where(col("nrm") > 0)
+    val flatCap = 8 // => kTotal = 64 > cap: two-level engages, b = 3
+
+    val twoLevel = Similarity.autoBuckets(clean, iters = 2,
+      flatCap = flatCap, sampleTarget = 1024) // hash-sample branch
+    val occ = twoLevel.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(occ.sum === n.toLong, "assignment must be total")
+    val buckets = occ.length
+    assert(buckets > flatCap,
+      s"sign-plane refinement must exceed the $flatCap coarse clusters, got $buckets")
+
+    // the flat-capped assignment this replaces: same corpus, k = cap
+    val cents = Similarity.trainCentroids(clean, "id", "vec", flatCap, 2)
+    val flatOcc = Similarity
+      .assignClusters(clean, "id", "vec", cents, "cid", "cvec")
+      .groupBy("cid").count().collect().map(_.getLong(1))
+    // pair-join work = sum of per-bucket squares; refinement must cut it
+    def pairWork(o: Array[Long]): Double = o.map(c => c.toDouble * c).sum
+    assert(pairWork(occ) < pairWork(flatOcc) / 2,
+      s"two-level pair work ${pairWork(occ)} not < half of flat ${pairWork(flatOcc)}")
+    // occupancy tracks sqrt(n): max bucket well under the flat mean n/cap
+    assert(occ.max < n / flatCap,
+      s"max occupancy ${occ.max} not below the flat-cap mean ${n / flatCap}")
+
+    // undershooting hash sample → deterministic TakeOrdered fallback:
+    // still total and still refined past the coarse count
+    val tiny = Similarity.autoBuckets(clean, iters = 2,
+      flatCap = flatCap, sampleTarget = flatCap)
+    val tinyOcc = tiny.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(tinyOcc.sum === n.toLong && tinyOcc.length > flatCap)
+
+    // determinism: same inputs, same assignment
+    val again = Similarity.autoBuckets(clean, iters = 2,
+      flatCap = flatCap, sampleTarget = 1024)
+    assert(twoLevel.orderBy("id").collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+      === again.orderBy("id").collect().map(r => (r.getLong(1), r.getLong(0))).toSeq)
+
+    // flat regime (n <= cap²) is byte-identical to the trained path the
+    // declared oracles replay: same cid per id
+    val small = clean.where(col("id") < 100)
+    val auto = Similarity.autoBuckets(small, iters = 2)
+      .select(col("id"), col("cid")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val k10 = Similarity.trainCentroids(small, "id", "vec", 10, 2)
+    val manual = Similarity.assignClusters(small, "id", "vec", k10, "cid", "cvec")
+      .select(col("id"), col("cid")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(auto === manual) // ceil(sqrt(100)) = 10 — same k, same seeds
+  }
+
   test("semanticDedup: within-cluster duplicates collapse, map is total, dirty vectors dropped") {
     import spark.implicits._
     // two orthogonal blobs; ids 0/2 are exact duplicates in blob A, ids
