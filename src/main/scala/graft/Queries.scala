@@ -4395,7 +4395,16 @@ object Queries {
     * canonical. Every fold is deterministic on both engines; the only
     * cross-engine risk is an argmax flip at a centroid boundary, which
     * needs two similarities within float-ulp of each other — never the
-    * case for the driver's random corpus. */
+    * case for the driver's random corpus. The oracle always unrolls
+    * exactly 2 rounds while the engine's trainCentroids may EARLY-STOP
+    * once no centroid coordinate moves more than tol=1e-9; equivalence
+    * still holds because the extra unrolled round then assigns against
+    * centroids within tol of the engine's — flipping no argmax unless
+    * two similarities sit within ~1e-9 of each other — and recomputes
+    * each centroid from those identical member sets, whose final
+    * assignment round then agrees with the engine's. Both residual
+    * failure modes are the same measure-zero near-tie the boundary
+    * caveat above already covers. */
   private def semDedupBucketedOracleSql(threshold: Double): String = {
     // one Lloyd round: assign `in` (normalized vecs) to argmax-cosine
     // centroid of `cents`, then rebuild centroids as normalized sums

@@ -47,13 +47,26 @@ object GraphAlgorithms {
     * recomputes an unpersisted upstream once more for the collect) and
     * beats persist→count→collect (cache write + columnar decode both
     * measured slower than the straight collect). */
+  /** Driver-safe local-regime gate (the SCC probe-cap pattern): up to
+    * `probeCap` rows, one limit(probe+1).collect() both GATES and LOADS
+    * — a huge frame ships at most ~probeCap rows to the driver before
+    * the distributed path is chosen. Only when the caller EXPLICITLY
+    * budgeted beyond the probe cap does an overflowing probe escalate
+    * to a count-only aggregate (no row transfer), and the full collect
+    * happens only after the count proves the frame is within that
+    * budget — itself hard-clamped at 100M rows, the sanity ceiling for
+    * a driver-side adjacency (a Long.MaxValue "sentinel" threshold can
+    * therefore never trigger a multi-billion-row collect). */
   private[graft] def collectInternedGated(raw: DataFrame, canonical: Boolean,
-      threshold: Long): Option[InternedEdges] = {
+      threshold: Long, probeCap: Int = 1000000): Option[InternedEdges] = {
     val cap = math.min(threshold, 100000000L)
-    if (cap < 0 || cap >= Int.MaxValue - 1) return None
-    val rows = raw.limit(cap.toInt + 1).collect()
-    if (rows.length > cap) return None
-    Some(collectInterned(rows, canonical))
+    if (cap < 0) return None
+    val probe = math.min(cap, probeCap.toLong).toInt
+    val rows = raw.limit(probe + 1).collect()
+    if (rows.length <= probe) return Some(collectInterned(rows, canonical))
+    if (cap <= probe) return None
+    if (raw.count() > cap) None
+    else Some(collectInterned(raw.collect(), canonical))
   }
 
   private[graft] def collectInterned(rows: Array[org.apache.spark.sql.Row],
@@ -804,9 +817,11 @@ object GraphAlgorithms {
     if (integralIds) {
       collectInternedGated(e0.where(col("u") =!= col("v")),
           canonical = undirected, localThreshold / (if (undirected) 2 else 1)).foreach { in =>
+        // starts probe-cap: ≤1M walk rows replay locally; a bigger
+        // start set stays distributed (ships at most 1M+1 rows here)
         val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
-          .limit(10000001).collect()
-        if (startRows.length <= 10000000) {
+          .limit(1000001).collect()
+        if (startRows.length <= 1000000) {
           return localRandomWalks(in, startRows, steps, undirected,
             e0.schema("u").dataType, edges.sparkSession)
         }
@@ -958,9 +973,10 @@ object GraphAlgorithms {
     if (integralIds) {
       collectInternedGated(e0.where(col("u") =!= col("v")),
           canonical = undirected, localThreshold / (if (undirected) 2 else 1)).foreach { in =>
+        // starts probe-cap: ≤1M walk rows replay locally (see randomWalks)
         val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
-          .limit(10000001).collect()
-        if (startRows.length <= 10000000) {
+          .limit(1000001).collect()
+        if (startRows.length <= 1000000) {
           return localNode2vecWalks(in, startRows, steps, p, q, undirected,
             e0.schema("u").dataType, edges.sparkSession)
         }

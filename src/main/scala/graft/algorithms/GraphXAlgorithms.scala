@@ -89,7 +89,7 @@ object GraphXAlgorithms {
     * component for a stable labeling. `numIter` bounds the internal
     * coloring iterations; it must cover the longest cycle for exactness. */
   def stronglyConnectedComponents(g: PropertyGraph, numIter: Int): DataFrame =
-    stronglyConnectedComponents(g, numIter, 1000000L)
+    stronglyConnectedComponents(g, numIter, 10000000L)
 
   /** Adaptive execution (the [[graft.pipeline.Dedup.nearDupClusters]]
     * pattern): up to `localThreshold` nodes+edges the SCCs are solved
@@ -102,23 +102,35 @@ object GraphXAlgorithms {
     * minimum internal vid — callers needing stable ids remap to
     * min(id) per component either way). */
   def stronglyConnectedComponents(g: PropertyGraph, numIter: Int,
-                                  localThreshold: Long): DataFrame = {
+                                  localThreshold: Long): DataFrame =
+    stronglyConnectedComponents(g, numIter, localThreshold, 1000000)
+
+  /** Probe-cap override for specs — exercises the count-gate escalation
+    * branches without building a >1M-row fixture. */
+  private[graft] def stronglyConnectedComponents(
+      g: PropertyGraph, numIter: Int, localThreshold: Long,
+      probeBudget: Int): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     // Regime gate with a DRIVER-SAFE probe budget. The gate semantics are
     // "local iff |nodes| + |orientedEdges| ≤ localThreshold" (oriented
     // rows — 2× the stored edges for an undirected graph — because they
-    // are what Tarjan consumes), with localThreshold clamped to
-    // Int.MaxValue-2 (driver array bound). Up to probeCap = min(threshold,
-    // 1M) total rows, a limit(budget+1).collect() both GATES and LOADS in
+    // are what Tarjan consumes), with localThreshold hard-clamped at
+    // 100M rows — the sanity ceiling for a driver-side adjacency, so a
+    // Long.MaxValue "sentinel" threshold can never trigger a
+    // multi-billion-row collect. Up to probeCap = min(threshold, 1M)
+    // total rows, a limit(budget+1).collect() both GATES and LOADS in
     // one bounded pass — no separate count actions, and a huge graph
     // ships at most ~1M rows to the driver before the distributed path is
     // chosen. Only when the caller EXPLICITLY budgeted beyond the probe
     // cap does an overflowing probe escalate to two count-only aggregates
     // (no row transfer), and the full collect happens only after the
-    // counts prove the graph is within that explicit budget.
-    val clamped = math.min(localThreshold, Int.MaxValue - 2L)
-    val probeCap = math.min(clamped, 1000000L).toInt
+    // counts prove the graph is within that explicit budget. The default
+    // 10M budget therefore keeps the r9 exactness regime for 1M–10M-row
+    // graphs (driver Tarjan, exact at any cycle length) at the cost of
+    // one count job — never a >1M-row speculative transfer.
+    val clamped = math.min(localThreshold, 100000000L)
+    val probeCap = math.min(clamped, probeBudget.toLong).toInt
     val local: Option[(Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row])] =
       if (localThreshold < 0) None
       else {

@@ -939,4 +939,26 @@ class GraphCoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("collectInternedGated: probe cap, count-gate escalation, budgets") {
+    import spark.implicits._
+    // 10 canonical edges
+    val e = (0 until 10).map(i => (i.toString, (i + 100).toString))
+      .toDF("src", "dst")
+    def gate(thr: Long, probe: Int) =
+      GraphAlgorithms.collectInternedGated(e, canonical = false, thr, probe)
+    // rows fit the probe → gated-and-loaded in one pass
+    assert(gate(thr = 100L, probe = 16).map(_.pairs.length) === Some(10))
+    // probe overflows, budget ≤ probe → distributed (None), ≤ probe+1 shipped
+    assert(gate(thr = 4L, probe = 4) === None)
+    // probe overflows, explicit budget beyond it → count-gate, then the
+    // full collect once the count (10) proves it fits
+    assert(gate(thr = 100L, probe = 4).map(_.pairs.length) === Some(10))
+    // count exceeds the budget → distributed, no row transfer
+    assert(gate(thr = 8L, probe = 4) === None)
+    // negative budget disables the local regime outright
+    assert(gate(thr = -1L, probe = 4) === None)
+    // sentinel budget: the 100M hard clamp keeps arithmetic sane
+    assert(gate(thr = Long.MaxValue, probe = 4).map(_.pairs.length) === Some(10))
+  }
 }

@@ -54,6 +54,43 @@ class GraphXSpec extends SparkSpec {
     }
   }
 
+  test("scc count-gate escalation: probe overflow with an explicit budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.PropertyGraph
+    // same cycle+tail fixture as above; the probe-cap hook shrinks the
+    // probe so these 10 rows (5 nodes + 5 oriented edges) OVERFLOW it,
+    // exercising the count-then-collect escalation branches that a
+    // production run only reaches past 1M rows
+    val raw = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("4", "5"))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("E").as("type"),
+        map().cast("map<string,string>").as("properties"))
+    val nodes = Seq("1", "2", "3", "4", "5").toDF("id")
+      .select(col("id"), lit("").as("label"),
+        map().cast("map<string,string>").as("properties"))
+    val g = PropertyGraph(nodes, PropertyGraph.withEid(raw), isDirected = true)
+    val want = Map("1" -> "1", "2" -> "1", "3" -> "1", "4" -> "4", "5" -> "5")
+    def run(thr: Long, probe: Int): Map[String, String] = {
+      val scc = GraphXAlgorithms
+        .stronglyConnectedComponents(g, numIter = 5, thr, probe)
+      val labels = scc.groupBy("component").agg(min(col("id")).as("comp"))
+      scc.join(labels, "component").select(col("id"), col("comp"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    // probe = 2: nodes alone overflow → count-gate both sides → local
+    assert(run(thr = 100L, probe = 2) === want)
+    // probe = 7: nodes fit (5), edges overflow the remainder (2) →
+    // edge count-gate → local
+    assert(run(thr = 100L, probe = 7) === want)
+    // probe overflows AND the counts exceed the budget → distributed
+    assert(run(thr = 8L, probe = 2) === want)
+    assert(run(thr = 8L, probe = 7) === want)
+    // sentinel budget: hard 100M clamp keeps the gate well-defined and
+    // the tiny graph still resolves locally, exactly
+    assert(run(thr = Long.MaxValue, probe = 2) === want)
+  }
+
   test("tarjan scc: self-loops, long chains, nested cycles") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
