@@ -1725,6 +1725,24 @@ object Queries {
       },
       Some(nsketchOracleSql(hops = 3)))),
 
+    // HyperANF READ path: the neighborhood function N(t) per hop from
+    // the register sketch and the q-effective diameter — the first t
+    // where N(t) reaches q·N(hops). Registers are exact-integer
+    // (alg_nsketch contract); the estimate/N(t) doubles round to 4 on
+    // both sides.
+    "alg_eff_diameter" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.effectiveDiameter(eb, hops = 4, q = 0.9)
+          .select(col("hop"), round(col("n_estimate"), 4).as("n_estimate"),
+            col("effective"))
+          .orderBy(col("hop"))
+      },
+      Some(effDiameterOracleSql(hops = 4, q = 0.9)))),
+
     // Katz centrality in exact micro-unit integer arithmetic: x ← β +
     // α·Aᵀx without degree normalization (all incoming walks, length-
     // attenuated) — the oracle unrolls every iteration's grouped sum
@@ -4784,10 +4802,10 @@ object Queries {
        |ORDER BY id""".stripMargin
   }
 
-  /** alg_nsketch oracle: per-vertex HLL registers max-merged hop by hop
-    * — the r0 bucket/rho digits are the hllRegistersOracleSql recipe,
-    * each later hop is one union + grouped MAX. */
-  private def nsketchOracleSql(hops: Int): String = {
+  /** Shared CTE body for the HyperANF oracles: the nsketch edge
+    * fixture, per-vertex HLL r0 registers (hllRegistersOracleSql digit
+    * recipe), and one union + grouped MAX per hop → r0..r`hops`. */
+  private def nsketchRegisterCtes(hops: Int): String = {
     val chain = (1 to hops).map { t =>
       s"""r$t AS MATERIALIZED (SELECT id, bucket, MAX(rho) AS rho FROM (
          |    SELECT id, bucket, rho FROM r${t - 1}
@@ -4796,10 +4814,7 @@ object Queries {
          |    JOIN r${t - 1} r ON e.u = r.id)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    val union = (0 to hops)
-      .map(t => s"SELECT $t AS hop, id, bucket, rho AS max_rho FROM r$t")
-      .mkString("\n  UNION ALL ")
-    s"""WITH eb AS MATERIALIZED (
+    s"""eb AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
        |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
        |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
@@ -4818,13 +4833,56 @@ object Queries {
        |          ${hvSql("substr(w, CAST(nz + 1 AS INTEGER), 1)")} AS d
        |        FROM (SELECT id, bucket, w,
        |                len(regexp_extract(w, '^0*')) AS nz FROM z))),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  /** alg_nsketch oracle: per-vertex HLL registers max-merged hop by hop
+    * — the r0 bucket/rho digits are the hllRegistersOracleSql recipe,
+    * each later hop is one union + grouped MAX. */
+  private def nsketchOracleSql(hops: Int): String = {
+    val union = (0 to hops)
+      .map(t => s"SELECT $t AS hop, id, bucket, rho AS max_rho FROM r$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${nsketchRegisterCtes(hops)}
        |SELECT hop, id, CAST(bucket AS INTEGER) AS bucket,
        |  CAST(max_rho AS INTEGER) AS max_rho
        |FROM (
        |  $union)
        |WHERE id % 90 = 0
        |ORDER BY hop, id, bucket""".stripMargin
+  }
+
+  /** alg_eff_diameter oracle: the HyperANF READ path replayed — per
+    * (hop, id) the registers collapse to the HLL estimate (alpha·m²
+    * over the zero-padded 2^-rho sum, linear-counting branch below
+    * 2.5·m — the exact [[graft.pipeline.Sketches.hllEstimateCol]]
+    * expression, same association order), N(t) = Σ_v estimate, and the
+    * effective hop is the first t with N(t) ≥ q·N(hops). N(t) sums
+    * doubles, so both engines round to 4 decimals (drift ~1e-12,
+    * granule 1e-4 — the pagerank precedent); the effective flag
+    * compares whole-hop jumps against the target, far from any
+    * float boundary. */
+  private def effDiameterOracleSql(hops: Int, q: Double): String = {
+    val union = (0 to hops)
+      .map(t => s"SELECT $t AS hop, id, rho FROM r$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${nsketchRegisterCtes(hops)},
+       |allr AS (
+       |  $union),
+       |pid AS (SELECT hop, id, SUM(POWER(2.0, -CAST(rho AS DOUBLE))) AS s,
+       |    COUNT(*) AS nonzero
+       |  FROM allr GROUP BY hop, id),
+       |perhop AS (SELECT hop,
+       |    SUM(CASE WHEN raw <= 640.0 AND zeros > 0
+       |        THEN 256.0 * ln(256.0 / zeros) ELSE raw END) AS n
+       |  FROM (SELECT hop, 256.0 - CAST(nonzero AS DOUBLE) AS zeros,
+       |          0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+       |            / (s + (256.0 - CAST(nonzero AS DOUBLE))) AS raw
+       |        FROM pid) GROUP BY hop),
+       |lastn AS (SELECT n AS nl FROM perhop WHERE hop = $hops),
+       |eff AS (SELECT MIN(hop) AS e FROM perhop, lastn WHERE n >= $q * nl)
+       |SELECT p.hop, ROUND(p.n, 4) AS n_estimate, p.hop = eff.e AS effective
+       |FROM perhop p, eff ORDER BY p.hop""".stripMargin
   }
 
   /** alg_matching oracle: the deterministic edge-local-minimum matching
