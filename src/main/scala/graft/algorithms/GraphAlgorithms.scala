@@ -69,6 +69,20 @@ object GraphAlgorithms {
     else Some(collectInterned(raw.collect(), canonical))
   }
 
+  /** [[collectInternedGated]]'s probe/count-gate for RAW rows — no pair
+    * interning or dedup, for operators where multi-edges carry meaning
+    * (weighted PageRank). Same probe-cap and 100M hard clamp. */
+  private[graft] def collectRowsGated(raw: DataFrame, threshold: Long,
+      probeCap: Int = 1000000): Option[Array[org.apache.spark.sql.Row]] = {
+    val cap = math.min(threshold, 100000000L)
+    if (cap < 0) return None
+    val probe = math.min(cap, probeCap.toLong).toInt
+    val rows = raw.limit(probe + 1).collect()
+    if (rows.length <= probe) return Some(rows)
+    if (cap <= probe) return None
+    if (raw.count() > cap) None else Some(raw.collect())
+  }
+
   private[graft] def collectInterned(rows: Array[org.apache.spark.sql.Row],
       canonical: Boolean): InternedEdges = {
     val idx = scala.collection.mutable.HashMap.empty[Any, Int]
@@ -277,13 +291,24 @@ object GraphAlgorithms {
    */
   def weightedPageRank(edges: DataFrame, alphaNum: Int = 85,
                        alphaDen: Int = 100, iterations: Int = 10,
-                       checkpointInterval: Int = 6): DataFrame = {
+                       checkpointInterval: Int = 6,
+                       localThreshold: Long = 10000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
       s"need 0 <= alphaNum <= alphaDen: $alphaNum/$alphaDen")
     val e = edges.select(col("src"), col("dst"),
         col("weight").cast("long").as("w"))
       .where(col("w") > 0)
+    // Adaptive (the katz/BFS pattern): every update is exact Long
+    // arithmetic — per edge r·w DIV wout, per vertex base + (αnum·Σ)
+    // DIV αden — so a ≤threshold WEIGHTED edge list (multi-edges kept,
+    // hence the row gate, not the interning pair-dedup one) replays
+    // exactly on the driver. Distributed parity spec-pinned via
+    // localThreshold = 0.
+    collectRowsGated(e, localThreshold).foreach { rows =>
+      return localWeightedPageRank(rows, edges.schema("src").dataType,
+        alphaNum, alphaDen, iterations, edges.sparkSession)
+    }
     val outW = e.groupBy("src").agg(sum(col("w")).as("wout"))
     val withW = e.join(outW, "src")
       .select(col("src"), col("dst"), col("w"), col("wout"))
@@ -316,6 +341,82 @@ object GraphAlgorithms {
     out
   }
 
+  /** (id, <micro> BIGINT, <out> DOUBLE = micro/1e6) frame from driver
+    * arrays — the local twins' shared emitter, id type preserved. */
+  private def rankFrame(spark: SparkSession, ids: scala.collection.Seq[Any],
+      idType: org.apache.spark.sql.types.DataType, micro: Array[Long],
+      microCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", idType),
+      StructField(microCol, LongType, nullable = false),
+      StructField(outCol, DoubleType, nullable = false)))
+    val rows = micro.indices.map(i =>
+      org.apache.spark.sql.Row(ids(i), micro(i), micro(i).toDouble / 1000000.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Exact driver replay of [[katz]]: contrib(v) = Σ_{u→v} r(u), then
+    * r'(v) = β + (αnum·contrib) DIV αden — identical Long arithmetic,
+    * identical results. */
+  private def localKatz(in: InternedEdges,
+      idType: org.apache.spark.sql.types.DataType, alphaNum: Int,
+      alphaDen: Int, iterations: Int, spark: SparkSession): DataFrame = {
+    val n = in.ids.length
+    var r = Array.fill(n)(1000000L)
+    var it = 0
+    while (it < iterations) {
+      val contrib = new Array[Long](n)
+      in.pairs.foreach { case (s, d) => contrib(d) += r(s) }
+      val nr = new Array[Long](n)
+      var v = 0
+      while (v < n) { nr(v) = 1000000L + alphaNum * contrib(v) / alphaDen; v += 1 }
+      r = nr
+      it += 1
+    }
+    rankFrame(spark, in.ids, idType, r, "katz_micro", "katz")
+  }
+
+  /** Exact driver replay of [[weightedPageRank]] over raw (src, dst, w)
+    * rows — multi-edges contribute individually, each edge's share is
+    * (r·w) DIV wout exactly as the distributed expression computes it. */
+  private def localWeightedPageRank(rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType, alphaNum: Int,
+      alphaDen: Int, iterations: Int, spark: SparkSession): DataFrame = {
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val m = rows.length
+    val srcs = new Array[Int](m); val dsts = new Array[Int](m)
+    val ws = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = rows(i)
+      srcs(i) = intern(row.get(0)); dsts(i) = intern(row.get(1))
+      ws(i) = row.getLong(2)
+      i += 1
+    }
+    val n = ids.length
+    val wout = new Array[Long](n)
+    i = 0; while (i < m) { wout(srcs(i)) += ws(i); i += 1 }
+    val base = 1000000L * (alphaDen - alphaNum) / alphaDen
+    var rk = Array.fill(n)(1000000L)
+    var it = 0
+    while (it < iterations) {
+      val contrib = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        contrib(dsts(i)) += rk(srcs(i)) * ws(i) / wout(srcs(i))
+        i += 1
+      }
+      val nr = new Array[Long](n)
+      var v = 0
+      while (v < n) { nr(v) = base + alphaNum * contrib(v) / alphaDen; v += 1 }
+      rk = nr
+      it += 1
+    }
+    rankFrame(spark, ids, idType, rk, "rank_micro", "rank")
+  }
+
   /**
    * Katz centrality (parity-plus, the third member of the
    * eigenvector-centrality family next to [[pageRank]] and [[hits]]):
@@ -335,10 +436,22 @@ object GraphAlgorithms {
    * kept flat by checkpointing every `checkpointInterval` iterations.
    */
   def katz(edges: DataFrame, alphaNum: Int = 1, alphaDen: Int = 10,
-           iterations: Int = 6, checkpointInterval: Int = 6): DataFrame = {
+           iterations: Int = 6, checkpointInterval: Int = 6,
+           localThreshold: Long = 10000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
       s"need 0 <= alphaNum < alphaDen: $alphaNum/$alphaDen")
+    // Adaptive (the BFS/kCore/walks pattern): the update is pure Long
+    // arithmetic — β + (αnum·Σ) DIV αden — so a ≤threshold edge list
+    // replays exactly on driver adjacency arrays, skipping iterations ×
+    // (join + agg + join) shuffle-stage latency that dominates small
+    // graphs. Distributed parity is spec-pinned via localThreshold = 0.
+    collectInternedGated(edges.select(col("src"), col("dst"))
+        .where(col("src") =!= col("dst")), canonical = false,
+        localThreshold).foreach { in =>
+      return localKatz(in, edges.schema("src").dataType,
+        alphaNum, alphaDen, iterations, edges.sparkSession)
+    }
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

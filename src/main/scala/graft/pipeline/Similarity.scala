@@ -679,7 +679,7 @@ object Similarity {
     // Spark action per hop — which measured as the whole difference
     // between path- and node-scored beam search (9.8 s vs 3.6 s at sf0.1)
     var deadFrames = List.empty[org.apache.spark.sql.DataFrame]
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val cand = beam.join(e, col("last") === col("src"))
         .where(size(col("path")) < 2 ||
           col("dst") =!= element_at(col("path"), -2))
@@ -693,7 +693,13 @@ object Similarity {
         col("sig") === col("__s"), "left_anti")
       beam = expanded
         .orderBy(col("score").desc, col("sig").asc).limit(beamWidth)
-        .localCheckpoint(true)
+      // checkpoint PERIODICALLY, not per hop: each eager checkpoint is a
+      // whole Spark job, and with ≤beamWidth rows per hop a 4-deep lazy
+      // ladder (joins against the two cached inputs + a TakeOrdered) is
+      // cheaper to replay inside the final materialization than 4 extra
+      // scheduled jobs cost up front — the iteration-floor shave. Deeper
+      // searches still checkpoint so plan depth stays bounded.
+      if (h % 4 == 0 && h < hops) beam = beam.localCheckpoint(true)
     }
     // ONE materialization of everything that still references the shared
     // persisted inputs, then release them — the checkpoint (not the

@@ -120,6 +120,30 @@ class GraphMetricsSpec extends SparkSpec {
     assert(!r2.contains("x"))
   }
 
+  test("katz/weightedPageRank: local replay matches the distributed loop") {
+    // adaptive parity (the BFS/kCore discipline): localThreshold = 0
+    // forces the distributed path; the driver replay must produce the
+    // exact same micro-unit integers on a messy pseudo-random multigraph
+    val edges = (0 until 400).map { i =>
+      val s = (i * 37) % 53; val d = (i * 91 + 11) % 53
+      (s.toString, d.toString, (i % 7 + 1).toLong)
+    }
+    val we = edges.toDF("src", "dst", "weight")
+    val wLocal = GraphAlgorithms.weightedPageRank(we, 85, 100, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wDist = GraphAlgorithms.weightedPageRank(we, 85, 100, iterations = 3,
+        checkpointInterval = 6, localThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wLocal === wDist)
+    val ke = edges.map { case (s, d, _) => (s, d) }.toDF("src", "dst")
+    val kLocal = GraphAlgorithms.katz(ke, 1, 10, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kDist = GraphAlgorithms.katz(ke, 1, 10, iterations = 4,
+        checkpointInterval = 6, localThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kLocal === kDist)
+  }
+
   test("katz: hand-checked micro-unit chain, no degree normalization") {
     // chain a -> b -> c at alpha = 1/2: after 2 iterations
     //   b = 1e6 + 1e6/2 = 1_500_000 (stable),
