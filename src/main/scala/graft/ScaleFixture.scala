@@ -95,13 +95,20 @@ object ScaleFixture {
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
-    // embeddings: coordinate rotation by replica index (orthogonal)
+    // embeddings: coordinate rotation by replica index (orthogonal);
+    // the rotation wraps at the vector dimension so factors beyond dim
+    // stay well-defined (replicas i and i+dim then share geometry —
+    // acceptable for throughput probes, noted for dedup-recall ones)
+    val embDim = rd("embeddings")
+      .select(size(col("embedding")).as("d")).where(col("d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
     wr(reps(rd("embeddings")) { (d, i) =>
+      val r = i % embDim
       val dcol =
-        if (i == 0) col("embedding")
+        if (r == 0) col("embedding")
         else concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
-          slice(col("embedding"), lit(1), lit(i)))
+          slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
+          slice(col("embedding"), lit(1), lit(r)))
       d.select(off("vec_id", i), dcol.as("embedding"), col("label"))
     }, "embeddings")
   }

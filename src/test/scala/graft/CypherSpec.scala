@@ -1290,6 +1290,32 @@ class CypherSpec extends SparkSpec {
     assert(cyc === Seq("x", "y"))
   }
 
+  test("sparql path solutions: sequence is bag, Kleene is set (SPARQL 1.1 §18.4)") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    // diamond: a→b→d and a→c→d — two distinct length-2 paths a⇝d
+    val triples = Seq(
+      ("a", "p", "b"), ("a", "p", "c"), ("b", "p", "d"), ("c", "p", "d"))
+      .toDF("s", "p", "o")
+    // fixed-length sequence path: BAG semantics — one solution PER PATH,
+    // the intermediate is a real (non-projected) binding, so a⇝d twice
+    val seq2 = Sparql.run(triples,
+      "SELECT ?x WHERE { <a> <p>/<p> ?x . }")
+      .collect().map(_.getString(0)).toSeq
+    assert(seq2 === Seq("d", "d"), "two paths -> two bag solutions")
+    // ArbitraryLengthPath: SET semantics — connectivity, not path count;
+    // a⇝d once no matter how many routes exist
+    val plus = Sparql.run(triples,
+      "SELECT ?x WHERE { <a> <p>+ ?x . } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(plus === Seq("b", "c", "d"), "Kleene dedups multi-path pairs")
+    // ...and DISTINCT collapses the sequence bag to the set answer
+    val dseq = Sparql.run(triples,
+      "SELECT DISTINCT ?x WHERE { <a> <p>/<p> ?x . }")
+      .collect().map(_.getString(0)).toSeq
+    assert(dseq === Seq("d"))
+  }
+
   test("sparql UNION: branch leaving a shared join variable unbound is rejected") {
     import spark.implicits._
     import graft.sparql.Sparql
