@@ -84,31 +84,61 @@ object ScaleFixture {
         col("event_type"), col("value"), col("props"))
     }, "events")
 
-    // documents: per-replica substitution cipher on the text
+    // documents: per-replica substitution cipher on the text. A full
+    // LCG-shuffled permutation per replica (26! >> any factor), not a
+    // rotation — rotations wrap at 26, and the r11 100× probe showed
+    // replicas i and i+26 becoming EXACT copies, inflating every
+    // near-dup cluster 4× and quadratically distorting the dedup
+    // benches at factor 100.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def permutedAlpha(i: Int): String = {
+      val arr = alpha.toCharArray
+      var state = 0x9E3779B97F4A7C15L ^ (i.toLong * 0x6A09E667F3BCC909L)
+      def next(): Long = {
+        state = state * 6364136223846793005L + 1442695040888963407L; state
+      }
+      var j = arr.length - 1
+      while (j >= 1) {
+        val k = ((next() >>> 33) % (j + 1)).toInt
+        val t = arr(j); arr(j) = arr(k); arr(k) = t
+        j -= 1
+      }
+      new String(arr)
+    }
     wr(reps(rd("documents")) { (d, i) =>
-      val rot = i % alpha.length
-      val mapped = alpha.drop(rot) + alpha.take(rot)
+      val mapped = if (i == 0) alpha else permutedAlpha(i)
       d.select(off("doc_id", i),
         translate(col("text"), alpha + alpha.toUpperCase,
           mapped + mapped.toUpperCase).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
-    // embeddings: coordinate rotation by replica index (orthogonal);
-    // the rotation wraps at the vector dimension so factors beyond dim
-    // stay well-defined (replicas i and i+dim then share geometry —
-    // acceptable for throughput probes, noted for dedup-recall ones)
+    // embeddings: a SIGNED coordinate rotation per replica — rotate by
+    // i mod dim, then flip each coordinate's sign from a per-replica
+    // LCG bit pattern. A signed permutation is orthogonal, so
+    // within-replica cosine geometry stays exact, and the dim·2^dim
+    // distinct maps keep replicas decorrelated at any factor (a bare
+    // rotation wraps at dim — replicas i and i+dim shared geometry).
     val embDim = rd("embeddings")
       .select(size(col("embedding")).as("d")).where(col("d") > 0)
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
+    def signPattern(i: Int): Seq[Float] = {
+      var state = 0x9E3779B97F4A7C15L ^ (i.toLong * 0xC2B2AE3D27D4EB4FL)
+      def next(): Long = {
+        state = state * 6364136223846793005L + 1442695040888963407L; state
+      }
+      Seq.fill(embDim)(if (((next() >>> 32) & 1L) == 1L) -1.0f else 1.0f)
+    }
     wr(reps(rd("embeddings")) { (d, i) =>
       val r = i % embDim
-      val dcol =
+      val rotated =
         if (r == 0) col("embedding")
         else concat(
           slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
           slice(col("embedding"), lit(1), lit(r)))
+      val dcol =
+        if (i == 0) rotated
+        else zip_with(rotated, typedlit(signPattern(i)), (x, s) => x * s)
       d.select(off("vec_id", i), dcol.as("embedding"), col("label"))
     }, "embeddings")
   }

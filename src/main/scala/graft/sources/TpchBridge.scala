@@ -93,8 +93,18 @@ object TpchBridge {
 
   /**
    * Undirected companion graph: Customer and Supplier nodes, one stored
-   * SAME_NATION edge per (customer, supplier) pair sharing a nation.
-   * Undirected relationship scans must emit both orientations.
+   * SAME_NATION edge per CUSTOMER to a deterministically-picked supplier
+   * of its nation (rank = c_custkey mod the nation's supplier count,
+   * suppliers ranked by key). Undirected relationship scans must emit
+   * both orientations.
+   *
+   * The pick replaces the original full customer×supplier-per-nation
+   * product, whose edge count grew QUADRATICALLY with scale factor —
+   * the r11 100× spot probe caught it materializing ~6B rows (50 GiB of
+   * cache spill) at sf10 where sf0.1 hid it at 600k. One edge per
+   * customer keeps the fixture linear at every SF; the two-key
+   * (nationkey, rank) equi-join against the broadcast per-nation counts
+   * never forms the product even transiently.
    */
   def undirectedGraph(spark: SparkSession, sfDir: String): PropertyGraph =
     undirCache.getOrElseUpdate(sfDir, {
@@ -105,7 +115,18 @@ object TpchBridge {
           props("name" -> col("c_name"), "nationkey" -> col("c_nationkey")).as("properties"))
         .unionByName(supp.select(concat(lit("s"), col("s_suppkey")).as("id"), lit("Supplier").as("label"),
           props("name" -> col("s_name"), "nationkey" -> col("s_nationkey")).as("properties")))
-      val edges = cust.join(supp, col("c_nationkey") === col("s_nationkey"))
+      import org.apache.spark.sql.expressions.Window
+      val suppRanked = supp.select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("s_nationkey").orderBy("s_suppkey")) - 1)
+      val nSup = supp.groupBy(col("s_nationkey").as("n_key"))
+        .agg(count(lit(1)).as("n_sup"))
+      val edges = cust
+        .join(broadcast(nSup), col("c_nationkey") === col("n_key"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          pmod(col("c_custkey"), col("n_sup")).as("pick"))
+        .join(suppRanked,
+          col("c_nationkey") === col("s_nationkey") && col("pick") === col("rn"))
         .select(concat(lit("c"), col("c_custkey")).as("src"),
           concat(lit("s"), col("s_suppkey")).as("dst"),
           lit("SAME_NATION").as("type"),
@@ -156,7 +177,13 @@ object TpchBridge {
     val sameNationEdges: String =
       """sn_edges AS (
         |  SELECT 'c' || c_custkey AS src, 's' || s_suppkey AS dst
-        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |  FROM customer
+        |  JOIN (SELECT s_suppkey, s_nationkey,
+        |          ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |            ORDER BY s_suppkey) - 1 AS rn,
+        |          COUNT(*) OVER (PARTITION BY s_nationkey) AS n_sup
+        |        FROM supplier) s
+        |    ON c_nationkey = s_nationkey AND c_custkey % n_sup = rn
         |)""".stripMargin
 
     val hashGraph: String =
