@@ -3363,6 +3363,56 @@ object Queries {
       },
       Some(linkpredTrainOracleSql(iters = 4)))),
 
+    // Link-prediction EVALUATION (the reference's `evaluate()` metric
+    // log: accuracy/recall/AUC/F1/precision, supervised.py:195-207):
+    // deterministic 90/10 split on the customer key, train on the 90%,
+    // score the held-out 10% (rounded to 6 so both engines tie
+    // identically), then threshold metrics + exact Mann–Whitney AUC via
+    // average ranks. All metric arithmetic is sums of exactly-
+    // representable doubles + single divisions — replay-exact.
+    "ml_eval_linkpred" -> ((
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        val pos = c.select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"),
+          col("c_custkey").cast("long").as("hk"))
+        val e0 = pos.select(col("src"), col("dst"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val feats = c.select(concat(lit("c"), col("c_custkey")).as("id"),
+            (col("c_custkey") % 8).cast("double").as("f0"),
+            col("c_nationkey").cast("double").as("f1"))
+          .unionByName(n.select(concat(lit("n"), col("n_nationkey")).as("id"),
+            col("n_nationkey").cast("double").as("f0"),
+            col("n_regionkey").cast("double").as("f1")))
+        val emb = graft.ml.Gcn.layer(edges, feats, "id", Seq("f0", "f1"),
+          Array(Array(0.5, -0.25), Array(0.125, 1.0)))
+        val neg = graft.ml.LinkPrediction
+          .rotationNegatives(pos, "src", "dst", "hk")
+          .join(pos.select(col("src"), col("hk")), Seq("src"))
+        val pairs = pos
+          .select(col("src"), col("dst"), lit(1).as("label"), col("hk"))
+          .unionByName(
+            neg.select(col("src"), col("dst"), lit(0).as("label"), col("hk")))
+        val ex = graft.ml.LinkPrediction
+          .edgeFeatures(pairs, emb, "id", Seq("h0", "h1"))
+          .withColumn("x0", col("x0") / 64)
+          .withColumn("x1", col("x1") / 64)
+        val train = ex.where(col("hk") % 10 =!= 0)
+        val test = ex.where(col("hk") % 10 === 0)
+        val w = graft.ml.LinkPrediction.trainLogistic(
+          train, Seq("x0", "x1"), "label", iters = 4, lr = 0.5)
+        val scoredTest = test.withColumn("score",
+          round(graft.ml.LinkPrediction.scoreColumn(Seq("x0", "x1"), w), 6))
+        graft.ml.LinkPrediction.evaluate(scoredTest, "score", "label")
+          .select(round(col("accuracy"), 6).as("accuracy"),
+            round(col("precision"), 6).as("precision"),
+            round(col("recall"), 6).as("recall"),
+            round(col("f1"), 6).as("f1"),
+            round(col("auc"), 6).as("auc"))
+      },
+      Some(linkpredEvalOracleSql(iters = 4)))),
+
     // SPARQL 1.1 property path — sequence: the two-hop BGP collapses to
     // one `<fromNation>/<locatedIn>` path (parse-time rewrite through a
     // non-projectable intermediate; Catalyst plans the identical join
@@ -4351,21 +4401,34 @@ object Queries {
   private def linkpredTrainOracleSql(iters: Int): String = {
     def p(w: String) =
       s"1.0 / (1.0 + exp(-($w.b + ex.x0 * $w.a0 + ex.x1 * $w.a1)))"
-    def gd(i: Int): String = {
+    def gd(i: Int, rel: String): String = {
       val pw = s"w${i - 1}"
       s"""g$i AS (SELECT
          |    SUM((${p(pw)} - ex.label) * ex.x0) AS s0,
          |    SUM((${p(pw)} - ex.label) * ex.x1) AS s1,
          |    SUM(${p(pw)} - ex.label) AS sb,
          |    COUNT(*) AS n
-         |  FROM ex CROSS JOIN $pw),
+         |  FROM $rel ex CROSS JOIN $pw),
          |w$i AS (SELECT $pw.a0 - 0.5 * g$i.s0 / g$i.n AS a0,
          |    $pw.a1 - 0.5 * g$i.s1 / g$i.n AS a1,
          |    $pw.b - 0.5 * g$i.sb / g$i.n AS b
          |  FROM $pw CROSS JOIN g$i)""".stripMargin
     }
-    val steps = (1 to iters).map(gd).mkString(",\n")
-    s"""WITH e0 AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst,
+    val steps = (1 to iters).map(gd(_, "ex")).mkString(",\n")
+    s"""WITH ${linkpredPipelineCtes()},
+       |w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS b),
+       |$steps
+       |SELECT ex.src, ex.dst, ex.label,
+       |  ROUND(${p(s"w$iters")}, 6) AS score
+       |FROM ex CROSS JOIN w$iters
+       |ORDER BY ex.src, ex.dst""".stripMargin
+  }
+
+  /** Shared DuckDB CTE body for the link-prediction oracles: GCN layer,
+    * rotation negatives, Hadamard /64 features → `ex` with columns
+    * (src, dst, label, hk, x0, x1). */
+  private def linkpredPipelineCtes(): String =
+    s"""e0 AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst,
        |    CAST(c_custkey AS BIGINT) AS hk FROM customer),
        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |f AS (SELECT 'c' || c_custkey AS id, CAST(c_custkey % 8 AS DOUBLE) AS f0,
@@ -4389,17 +4452,60 @@ object Queries {
        |neg AS (SELECT c.src, d2.dst FROM cand c JOIN didx d2 ON c.nj = d2.j
        |  WHERE NOT EXISTS (SELECT 1 FROM e0
        |                    WHERE e0.src = c.src AND e0.dst = d2.dst)),
-       |pr AS (SELECT src, dst, 1 AS label FROM e0
-       |  UNION ALL SELECT src, dst, 0 AS label FROM neg),
-       |ex AS (SELECT pr.src, pr.dst, pr.label,
+       |pr AS (SELECT src, dst, 1 AS label, hk FROM e0
+       |  UNION ALL
+       |  SELECT n.src, n.dst, 0 AS label, p0.hk FROM neg n
+       |  JOIN (SELECT src, hk FROM e0) p0 ON n.src = p0.src),
+       |ex AS (SELECT pr.src, pr.dst, pr.label, pr.hk,
        |    hs.h0 * hd.h0 / 64 AS x0, hs.h1 * hd.h1 / 64 AS x1
-       |  FROM pr JOIN emb hs ON pr.src = hs.id JOIN emb hd ON pr.dst = hd.id),
+       |  FROM pr JOIN emb hs ON pr.src = hs.id JOIN emb hd ON pr.dst = hd.id)""".stripMargin
+
+  /** ml_eval_linkpred oracle: the training replay over the 90% split,
+    * then the held-out metrics — thresholded counts plus exact
+    * Mann–Whitney AUC on average ranks over the ROUNDED scores (both
+    * engines tie identically after round-6). Every metric is sums of
+    * exactly-representable doubles and single divisions. */
+  private def linkpredEvalOracleSql(iters: Int): String = {
+    def p(w: String) =
+      s"1.0 / (1.0 + exp(-($w.b + ex.x0 * $w.a0 + ex.x1 * $w.a1)))"
+    def gd(i: Int): String = {
+      val pw = s"w${i - 1}"
+      s"""g$i AS (SELECT
+         |    SUM((${p(pw)} - ex.label) * ex.x0) AS s0,
+         |    SUM((${p(pw)} - ex.label) * ex.x1) AS s1,
+         |    SUM(${p(pw)} - ex.label) AS sb,
+         |    COUNT(*) AS n
+         |  FROM extr ex CROSS JOIN $pw),
+         |w$i AS (SELECT $pw.a0 - 0.5 * g$i.s0 / g$i.n AS a0,
+         |    $pw.a1 - 0.5 * g$i.s1 / g$i.n AS a1,
+         |    $pw.b - 0.5 * g$i.sb / g$i.n AS b
+         |  FROM $pw CROSS JOIN g$i)""".stripMargin
+    }
+    val steps = (1 to iters).map(gd).mkString(",\n")
+    s"""WITH ${linkpredPipelineCtes()},
+       |extr AS (SELECT * FROM ex WHERE hk % 10 <> 0),
+       |exte AS (SELECT * FROM ex WHERE hk % 10 = 0),
        |w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS b),
-       |$steps
-       |SELECT ex.src, ex.dst, ex.label,
-       |  ROUND(${p(s"w$iters")}, 6) AS score
-       |FROM ex CROSS JOIN w$iters
-       |ORDER BY ex.src, ex.dst""".stripMargin
+       |$steps,
+       |sc AS (SELECT CAST(ex.label AS DOUBLE) AS y,
+       |    ROUND(${p(s"w$iters")}, 6) AS sco
+       |  FROM exte ex CROSS JOIN w$iters),
+       |rk AS (SELECT y, sco,
+       |    CASE WHEN sco > 0.5 THEN 1.0 ELSE 0.0 END AS pred,
+       |    RANK() OVER (ORDER BY sco)
+       |      + (COUNT(*) OVER (PARTITION BY sco) - 1) / 2.0 AS avgrk
+       |  FROM sc),
+       |a AS (SELECT SUM(y * pred) AS tp, SUM((1.0 - y) * pred) AS fp,
+       |    SUM(y * (1.0 - pred)) AS fn, SUM((1.0 - y) * (1.0 - pred)) AS tn,
+       |    SUM(y) AS npos, SUM(1.0 - y) AS nneg,
+       |    SUM(avgrk * y) AS posranks
+       |  FROM rk)
+       |SELECT ROUND((tp + tn) / (npos + nneg), 6) AS accuracy,
+       |  ROUND(tp / nullif(tp + fp, 0), 6) AS precision,
+       |  ROUND(tp / nullif(tp + fn, 0), 6) AS recall,
+       |  ROUND(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1,
+       |  ROUND((posranks - npos * (npos + 1) / 2) / nullif(npos * nneg, 0), 6) AS auc
+       |FROM a""".stripMargin
   }
 
   /** emb_semdedup oracle — deep replay of the PRODUCTION ⌈√n⌉-bucketed

@@ -158,6 +158,50 @@ object LinkPrediction {
     sigmoid(margin(featCols, weights))
   }
 
+  /**
+   * Classifier evaluation — the engine-side half of the reference's
+   * `evaluate()` (`supervised.py:146-152, 195-207` logs accuracy,
+   * recall, AUC, F1, precision on the held-out split). One row:
+   * (accuracy, precision, recall, f1, auc), each NULL when its
+   * denominator is empty (no predicted positives, one-class set).
+   *
+   * Accuracy/precision/recall/F1 threshold `scoreCol` at `threshold`;
+   * AUC is the exact Mann–Whitney statistic via average ranks —
+   * avgrank = min-rank + (ties−1)/2 over ONE global sort of the
+   * evaluation set (held-out sets are bounded by construction; bin the
+   * scores first if yours is not), ties counted ½ as the statistic
+   * requires. Callers wanting cross-engine replay round the score
+   * column first so both engines tie identically.
+   */
+  def evaluate(scored: DataFrame, scoreCol: String, labelCol: String,
+               threshold: Double = 0.5): DataFrame = {
+    val s = col(scoreCol).cast(DoubleType)
+    val y = col(labelCol).cast(DoubleType)
+    val pred = (s > lit(threshold)).cast(DoubleType)
+    val ranked = scored.select(s.as("__s"), y.as("__y"), pred.as("__p"))
+      .withColumn("__minrk", rank().over(Window.orderBy(col("__s"))))
+      .withColumn("__ties", count(lit(1)).over(Window.partitionBy(col("__s"))))
+      .withColumn("__avgrk",
+        col("__minrk") + (col("__ties") - 1).cast(DoubleType) / 2)
+    val agg = ranked.agg(
+      sum(col("__y") * col("__p")).as("tp"),
+      sum((lit(1.0) - col("__y")) * col("__p")).as("fp"),
+      sum(col("__y") * (lit(1.0) - col("__p"))).as("fn"),
+      sum((lit(1.0) - col("__y")) * (lit(1.0) - col("__p"))).as("tn"),
+      sum(col("__y")).as("npos"), sum(lit(1.0) - col("__y")).as("nneg"),
+      sum(col("__avgrk") * col("__y")).as("posranks"))
+    agg.select(
+      ((col("tp") + col("tn")) / (col("npos") + col("nneg"))).as("accuracy"),
+      (col("tp") / nullIfZero(col("tp") + col("fp"))).as("precision"),
+      (col("tp") / nullIfZero(col("tp") + col("fn"))).as("recall"),
+      (lit(2.0) * col("tp") /
+        nullIfZero(lit(2.0) * col("tp") + col("fp") + col("fn"))).as("f1"),
+      ((col("posranks") - col("npos") * (col("npos") + 1) / 2)
+        / nullIfZero(col("npos") * col("nneg"))).as("auc"))
+  }
+
+  private def nullIfZero(c: Column): Column = when(c =!= 0, c)
+
   private def margin(featCols: Seq[String], w: Array[Double]): Column =
     featCols.zipWithIndex
       .map { case (c, k) => col(c) * lit(w(k)) }

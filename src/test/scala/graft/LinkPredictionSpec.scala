@@ -82,6 +82,32 @@ class LinkPredictionSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("evaluate: hand-checked threshold metrics and tie-aware AUC") {
+    // scores: pos {0.9, 0.6, 0.4}, neg {0.6, 0.2} — one tie at 0.6
+    val sc = Seq((0.9, 1), (0.6, 1), (0.4, 1), (0.6, 0), (0.2, 0))
+      .toDF("score", "label")
+    val m = LinkPrediction.evaluate(sc, "score", "label").head()
+    // threshold 0.5: predicted pos = {0.9, 0.6, 0.6} → tp=2 fp=1 fn=1 tn=1
+    assert(m.getDouble(0) === 3.0 / 5.0)       // accuracy
+    assert(m.getDouble(1) === 2.0 / 3.0)       // precision
+    assert(m.getDouble(2) === 2.0 / 3.0)       // recall
+    assert(m.getDouble(3) === 2.0 * 2 / (2 * 2 + 1 + 1)) // f1
+    // ranks ASC: 0.2→1, 0.4→2, 0.6→avg(3,4)=3.5, 0.9→5;
+    // posranks = 2 + 3.5 + 5 = 10.5; AUC = (10.5 − 3·4/2)/(3·2) = 0.75
+    // (check: pairs — 0.9 beats both; 0.6 beats 0.2, ties 0.6 (½);
+    //  0.4 beats 0.2 only → (2 + 1.5 + 1)/6 = 0.75)
+    assert(m.getDouble(4) === 0.75)            // auc
+
+    // degenerate sets: no predicted positives → precision NULL;
+    // one-class input → AUC NULL
+    val none = LinkPrediction.evaluate(
+      Seq((0.1, 1), (0.2, 0)).toDF("score", "label"), "score", "label").head()
+    assert(none.isNullAt(1) && none.getDouble(2) === 0.0)
+    val oneClass = LinkPrediction.evaluate(
+      Seq((0.9, 1), (0.1, 1)).toDF("score", "label"), "score", "label").head()
+    assert(oneClass.isNullAt(4))
+  }
+
   test("scoreColumn: sigmoid of the affine margin, bias last") {
     val ex = Seq((0.0, 0.0)).toDF("x0", "x1")
     val s0 = ex.select(LinkPrediction.scoreColumn(Seq("x0", "x1"),
