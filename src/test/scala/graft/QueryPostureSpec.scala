@@ -387,4 +387,16 @@ class QueryPostureSpec extends SparkSpec {
       s"graphStats materializes ${rddIds.size} RDDs (budget: canon + deg = 2)")
     assert(df.collect()(0).getLong(0) > 0L)
   }
+
+  test("link-prediction training: broadcast embedding joins, no product") {
+    // edgeFeatures joins the (customer+nation)-sized embedding frame
+    // twice; at 100 TB the PAIRS side is the fact and the embedding
+    // frame per-partition model state — both joins must broadcast the
+    // small side, and nothing in the pipeline may plan a cartesian
+    val p = plan("ml_train_linkpred")
+    assert(p.contains("BroadcastHashJoin"),
+      s"linkpred scoring lost its broadcast embedding joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"linkpred pipeline has a cartesian:\n$p")
+  }
 }
