@@ -37,6 +37,7 @@ object Bench {
       // warm shared inputs (cached bridge graphs) once, outside timings
       TpchBridge.graph(s, sfDir).edges.count()
       TpchBridge.undirectedGraph(s, sfDir).edges.count()
+      TpchBridge.hashGraphEdges(s, sfDir).count()
       // JIT/codegen warmup: one run of the flagship join+agg query so the
       // alphabetically-first timed queries don't absorb the JVM's C2
       // compilation of the common operator shapes (standard benchmarking

@@ -1964,23 +1964,23 @@ object GraphAlgorithms {
                         undirected: Boolean = true): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
     val regs = neighborhoodRegisters(edges, hops, undirected)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
-    // N(t) = Σ_v estimate(v, t): per-(hop, id) register sums stay
-    // distributed; only the hops+1 totals reach the driver
-    val perHop = (0 to hops).map { t =>
-      val sum = regs.where(col("hop") === t)
-        .groupBy("id")
-        .agg(org.apache.spark.sql.functions.sum(
-          pow(lit(2.0), -col("max_rho").cast("double"))).as("s"),
-          count(lit(1)).as("nonzero"))
-        .agg(org.apache.spark.sql.functions.sum(
-          graft.pipeline.Sketches.hllEstimateCol(col("s"), col("nonzero"), 256))
-          .as("n"))
-        .collect()(0).getDouble(0)
-      (t, sum)
-    }
-    regs.unpersist()
+    // N(t) = Σ_v estimate(v, t): ONE two-level aggregation job over the
+    // whole register frame — grouped by (hop, id) for the per-vertex
+    // estimate, then by hop for the totals; only the hops+1 numbers
+    // reach the driver (a per-hop filter-and-collect loop costs a whole
+    // Spark job per hop for the same answer — the iteration-floor shave)
+    val perHop = regs
+      .groupBy("hop", "id")
+      .agg(org.apache.spark.sql.functions.sum(
+        pow(lit(2.0), -col("max_rho").cast("double"))).as("s"),
+        count(lit(1)).as("nonzero"))
+      .groupBy("hop")
+      .agg(org.apache.spark.sql.functions.sum(
+        graft.pipeline.Sketches.hllEstimateCol(col("s"), col("nonzero"), 256))
+        .as("n"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
     val target = q * perHop.last._2
     val eff = perHop.find(_._2 >= target).map(_._1).getOrElse(hops)
     import spark.implicits._

@@ -31,10 +31,13 @@ object TpchBridge {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
   private val undirCache = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+  private val hashEdgeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Drop cached bridge graphs — required after a SparkContext restart,
     * since the cached frames are bound to the dead session. */
-  def invalidateCaches(): Unit = { cache.clear(); undirCache.clear() }
+  def invalidateCaches(): Unit = {
+    cache.clear(); undirCache.clear(); hashEdgeCache.clear()
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -139,16 +142,21 @@ object TpchBridge {
    * lineitem — sparse enough for triangle counting at sf0.1 while being a
    * pure SQL-expressible derivation. ~1 edge per lineitem row.
    */
-  def hashGraphEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = table(spark, sfDir, "lineitem")
-    li.select(
-        ((col("l_orderkey") * 7919 + col("l_linenumber")) % 50000).as("src"),
-        ((col("l_partkey") * 104729 + col("l_suppkey")) % 50000).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).cast(StringType).as("src"),
-        greatest(col("src"), col("dst")).cast(StringType).as("dst"))
-      .distinct()
-  }
+  def hashGraphEdges(spark: SparkSession, sfDir: String): DataFrame =
+    hashEdgeCache.getOrElseUpdate(sfDir, {
+      val li = table(spark, sfDir, "lineitem")
+      li.select(
+          ((col("l_orderkey") * 7919 + col("l_linenumber")) % 50000).as("src"),
+          ((col("l_partkey") * 104729 + col("l_suppkey")) % 50000).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).cast(StringType).as("src"),
+          greatest(col("src"), col("dst")).cast(StringType).as("dst"))
+        .distinct()
+        // persisted per scale dir like the bridge graphs: eight alg_*
+        // queries consume this derivation — a resident service computes
+        // the scan+distinct once, not per query
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   // ---------------------------------------------------------------------
   // SQL mirrors (DuckDB dialect ⊆ ANSI) of the derivations above, used to
