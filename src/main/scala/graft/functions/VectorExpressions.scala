@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -166,4 +166,155 @@ case class ArraySqDiff(left: Expression, right: Expression)
     foldCodeGen(ctx, ev)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArraySqDiff =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * argmax-cosine centroid assignment as ONE projection — the row-shape
+ * fix for broadcast k-means/IVF assignment. The column formulation
+ * (corpus ⋈ broadcast(centroids) → per-id window) MATERIALIZES n·k rows
+ * through a sort: 82 BILLION rows for 20M vectors at k = 4096 (the r11
+ * autoBuckets probe). Here the k×dim matrix rides the expression as a
+ * plan constant and each corpus row runs a generated triple-nested
+ * loop — n rows stay n rows, arithmetic cost is the same n·k·dim flops
+ * the assignment inherently needs.
+ *
+ * Value parity with the window formulation (what the DuckDB oracles
+ * replay) is EXACT: sim = dot/(‖v‖·‖c‖) with dot and both norms folded
+ * left-to-right (the ArrayDot element-type rules — float inputs square
+ * in float, everything accumulates in double; centroid norms are
+ * precomputed with the same fold), and the argmax applies
+ * `java.lang.Double.compare` descending with first-wins ties — exactly
+ * the window's (sim DESC, cid ASC) order including its NaN-sorts-first
+ * rule. Divergence exists only for malformed rows the callers filter:
+ * a null element or all-dims-mismatched vector yields NULL here where
+ * the window picked an arbitrary-but-deterministic cid off null sims.
+ *
+ * Returns the 0-based INDEX into `centroids`; callers map index → cid
+ * (ordering centroids by cid makes ties replay the cid-ASC rule).
+ */
+case class NearestCentroid(child: Expression,
+                           centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def prettyName: String = "graft_nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  /** ‖c‖ per centroid, the same left-to-right double fold l2norm uses. */
+  private lazy val cnorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private def isFloat: Boolean = elemType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val d = a.numElements()
+    val x = new Array[Double](d)
+    var vn = 0.0
+    var i = 0
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      if (isFloat) {
+        val f = a.getFloat(i)
+        x(i) = f.toDouble
+        vn += (f * f).toDouble // square in float, accumulate in double
+      } else {
+        val e = a.getDouble(i)
+        x(i) = e
+        vn += e * e
+      }
+      i += 1
+    }
+    vn = math.sqrt(vn)
+    var best = -1
+    var bestSim = 0.0
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      if (c.length == d) {
+        var dot = 0.0
+        var k = 0
+        while (k < d) { dot += x(k) * c(k); k += 1 }
+        val sim = dot / (vn * cnorms(j))
+        if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+          best = j; bestSim = sim
+        }
+      }
+      j += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val vn = ctx.freshName("vn")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val bad = ctx.freshName("bad")
+      val load =
+        if (isFloat)
+          s"""float f = $a.getFloat($i);
+             |      $x[$i] = (double) f;
+             |      $vn += (double)(f * f);""".stripMargin
+        else
+          s"""double e = $a.getDouble($i);
+             |      $x[$i] = e;
+             |      $vn += e * e;""".stripMargin
+      s"""
+         |final int $d = $a.numElements();
+         |final double[] $x = new double[$d];
+         |double $vn = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  $load
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $vn = java.lang.Math.sqrt($vn);
+         |  int $best = -1;
+         |  double $bestSim = 0.0;
+         |  for (int $j = 0; $j < $cRef.length; $j++) {
+         |    final double[] $c = $cRef[$j];
+         |    if ($c.length == $d) {
+         |      double $dot = 0.0;
+         |      for (int $k = 0; $k < $d; $k++) $dot += $x[$k] * $c[$k];
+         |      final double $sim = $dot / ($vn * $nRef[$j]);
+         |      if ($best < 0 || java.lang.Double.compare($sim, $bestSim) > 0) {
+         |        $best = $j; $bestSim = $sim;
+         |      }
+         |    }
+         |  }
+         |  if ($best < 0) ${ev.isNull} = true; else ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
 }

@@ -43,6 +43,12 @@ package object functions {
   def vecSqDiff(a: Column, b: Column): Column =
     column(ArraySqDiff(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** 0-based index of the argmax-cosine centroid for a vector column,
+    * as ONE codegen'd projection over the plan-constant k×dim matrix —
+    * see [[NearestCentroid]] for the exact window-parity contract. */
+  def vecNearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(ColumnBridge.expression(v), centroids))
+
   /** Whole MinHash signature (array of `as.length` longs) of a string in
     * one pass — see [[MinhashSignature]] for the exact contract. NULL for
     * inputs shorter than k characters. */

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
  */
 class VectorExprSpec extends SparkSpec {
 
-  import graft.functions.{vecCosine, vecDot, vecL2Dist, vecNorm}
+  import graft.functions.{vecCosine, vecDot, vecL2Dist, vecNearestCentroid, vecNorm}
 
   private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -93,6 +93,57 @@ class VectorExprSpec extends SparkSpec {
     out.foreach { r =>
       assert(Option(r.get(0)) == Option(r.get(1)), s"row $r")
     }
+  }
+
+  test("nearestCentroid: window-formulation parity, ties, NaN, dirty rows") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // pseudo-random corpus + centroids; compare the codegen'd argmax
+    // against the exact window formulation assignClusters replaced
+    val rng = new scala.util.Random(7)
+    val dim = 6
+    val cents = Array.fill(5)(Array.fill(dim)(rng.nextDouble() - 0.5))
+    val rows = (0 until 200).map(i => (i.toLong, Seq.fill(dim)(rng.nextDouble() - 0.5)))
+    val corpus = rows.toDF("id", "vec")
+    val centDf = cents.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq.toDF("cid", "cvec")
+    val fast = corpus
+      .select(col("id"), vecNearestCentroid(col("vec"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val slow = corpus.crossJoin(broadcast(
+        centDf.select(col("cid"), col("cvec"), vecNorm(col("cvec")).as("cvn"))))
+      .withColumn("sim",
+        vecDot(col("vec"), col("cvec")) / (vecNorm(col("vec")) * col("cvn")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("sim").desc, col("cid").asc)))
+      .where(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(fast === slow)
+
+    // exact tie: duplicate centroid — first (lowest) index must win
+    val dup = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val t = Seq((1L, Seq(2.0, 0.0))).toDF("id", "vec")
+      .select(vecNearestCentroid(col("vec"), dup)).head().getInt(0)
+    assert(t === 0)
+    // zero-norm corpus vector → all sims NaN → NaN sorts first, ties to
+    // the lowest index (the Spark descending-order rule)
+    val z = Seq((1L, Seq(0.0, 0.0))).toDF("id", "vec")
+      .select(vecNearestCentroid(col("vec"), dup)).head().getInt(0)
+    assert(z === 0)
+    // null vector / null element / no dimension match → null
+    val dirty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, null), Row(2L, Seq(1.0, null)), Row(3L, Seq(1.0, 2.0, 3.0)))
+        .map(r => Row(r.get(0), r.get(1)))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("vec", ArrayType(DoubleType, containsNull = true)))))
+    val d = dirty.select(vecNearestCentroid(col("vec"), dup)).collect()
+    assert(d.forall(_.isNullAt(0)))
+    // assignClusters end-to-end: maps index back to the cid values
+    val asg = graft.pipeline.Similarity
+      .assignClusters(corpus, "id", "vec", centDf, "cid", "cvec")
+      .select("id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg === slow)
   }
 
   test("native expressions stay inside whole-stage codegen") {
