@@ -265,9 +265,30 @@ object Similarity {
         val dim = clean.select(size(col("vec")).as("d")).limit(1).collect()
           .headOption.map(_.getInt(0)).getOrElse(1)
         val signs = Dedup.planeSignMatrix(b, dim)
+        // CLUSTER-RELATIVE sign split: threshold each plane at the OWN
+        // centroid's projection, not at 0 — a tight cluster sits almost
+        // entirely on one side of a global hyperplane (the r11 20M probe
+        // measured only ~half the fine buckets populated), while the
+        // centroid's projection bisects its cluster around its center.
+        // The normalized projection dot(v, p)/‖v‖ compares against
+        // dot(ĉ, p) (centroids are unit vectors), so the bit is a pure
+        // direction test — same recall trade-off class, far better
+        // balance. Thresholds are a b×k driver-side matrix of doubles
+        // riding the plan as literals.
+        val cvecs = cents.orderBy(col("cid")).select(col("cvec")).collect()
+          .map(_.getSeq[Double](0).toArray)
         val code = (0 until b).map { i =>
-          when(dot(col("vec"), typedlit(signs(i).toSeq)) >= 0, lit(1L << i))
-            .otherwise(lit(0L))
+          val plane = signs(i)
+          val th = cvecs.map { c =>
+            var s = 0.0; var j = 0
+            while (j < math.min(c.length, plane.length)) {
+              s += c(j) * plane(j); j += 1
+            }
+            s
+          }
+          when(dot(col("vec"), typedlit(plane.toSeq)) / col("nrm")
+              >= element_at(typedlit(th.toSeq), col("cid") + 1),
+            lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _)
         coarse.withColumn("cid", col("cid").cast(LongType) * (1L << b) + code)
       }
