@@ -2094,11 +2094,11 @@ object GraphAlgorithms {
     // the raw triples suffices (see collectInterned for why that beats
     // collecting a persisted post-shuffle frame).
     if (e0.schema("u").dataType == org.apache.spark.sql.types.StringType) {
-      val cap = math.min(localThreshold / (if (undirected) 2 else 1), 100000000L)
-      if (cap >= 0 && cap < Int.MaxValue - 1) {
-        val rows = e0.limit(cap.toInt + 1).collect()
-        if (rows.length <= cap)
-          return localWeightedSp(rows, undirected, sourceId, maxHops, spark)
+      // probe-capped row gate (multi-edges kept — relaxation over
+      // duplicates is relaxation over their min)
+      collectRowsGated(e0,
+          localThreshold / (if (undirected) 2 else 1)).foreach { rows =>
+        return localWeightedSp(rows, undirected, sourceId, maxHops, spark)
       }
     }
     val e = (if (undirected)
