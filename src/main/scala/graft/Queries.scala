@@ -3280,6 +3280,63 @@ object Queries {
              |WHERE li.r = 'region/EUROPE'
              |ORDER BY u.e LIMIT 150""".stripMargin))),
 
+    // SPARQL 1.1 MINUS (§8.3): EUROPE customers minus the bigspenders —
+    // an anti-join on the shared ?c. The disjoint-domain no-op rule and
+    // the MINUS-vs-NOT-EXISTS contrast are spec-pinned (CypherSpec).
+    "sparql_minus" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <fromNation> ?n .
+            |  ?n <locatedIn> <region/EUROPE> .
+            |  MINUS { ?c <bigspender> "1" . }
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |li AS (SELECT 'nation/' || n_name AS n, 'region/' || r_name AS r
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |bs AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_acctbal > 9000)
+             |SELECT fn.c, fn.n FROM fn JOIN li ON fn.n = li.n
+             |WHERE li.r = 'region/EUROPE'
+             |  AND NOT EXISTS (SELECT 1 FROM bs WHERE bs.c = fn.c)
+             |ORDER BY fn.c LIMIT 150""".stripMargin))),
+
+    // SPARQL 1.1 FILTER NOT EXISTS (§8.1.1): customers counted per
+    // nation excluding the BUILDING segment — an anti-join on the
+    // shared ?c ahead of the grouped count.
+    "sparql_not_exists" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n (COUNT(?c) AS ?nonbuilding) WHERE {
+            |  ?c <fromNation> ?n .
+            |  FILTER NOT EXISTS { ?c <segment> "BUILDING" . }
+            |} GROUP BY ?n ORDER BY ?n""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |bld AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_mktsegment = 'BUILDING')
+             |SELECT fn.n, CAST(COUNT(fn.c) AS BIGINT) AS nonbuilding FROM fn
+             |WHERE NOT EXISTS (SELECT 1 FROM bld WHERE bld.c = fn.c)
+             |GROUP BY fn.n ORDER BY fn.n""".stripMargin))),
+
+    // SPARQL 1.1 FILTER EXISTS: bigspender customers with their nation —
+    // a semi-join on the shared ?c (?b never binds outward).
+    "sparql_exists" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <fromNation> ?n .
+            |  FILTER EXISTS { ?c <bigspender> ?b . }
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |bs AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_acctbal > 9000)
+             |SELECT fn.c, fn.n FROM fn
+             |WHERE EXISTS (SELECT 1 FROM bs WHERE bs.c = fn.c)
+             |ORDER BY fn.c LIMIT 150""".stripMargin))),
+
     // GCN forward pass (engine-side `predict`): one mean-aggregation
     // convolution over the nation–region bipartite graph with
     // power-of-two weights. Bit-exact replay: feature sums are

@@ -53,6 +53,15 @@ import org.apache.spark.sql.functions._
  *    the surrounding BGP must be bound in EVERY branch (unbound-is-
  *    compatible solutions would otherwise be silently dropped by the
  *    equi-join — rejected rather than mis-answered)
+ *  - `MINUS { patterns }` (SPARQL 1.1 §8.3): an anti-join on the shared
+ *    variables; disjoint domains remove nothing (the spec's no-op
+ *    case). `FILTER EXISTS { patterns }` / `FILTER NOT EXISTS { … }`
+ *    (§8.1.1): a semi-/anti-join on the shared variables, or a
+ *    broadcast existence probe when no variable is shared. Both reuse
+ *    the UNION discipline: a shared variable that could arrive UNBOUND
+ *    (introduced only by OPTIONAL, or missing from a union branch)
+ *    is rejected rather than mis-answered — null-padded equi-join keys
+ *    and SPARQL compatibility diverge exactly there
  */
 object Sparql {
 
@@ -89,7 +98,9 @@ object Sparql {
                          filters: Seq[FilterExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
                          ask: Boolean = false,
-                         construct: Seq[Pattern] = Seq.empty)
+                         construct: Seq[Pattern] = Seq.empty,
+                         minuses: Seq[Seq[Pat]] = Seq.empty,
+                         existsFilters: Seq[(Boolean, Seq[Pat])] = Seq.empty)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -193,6 +204,8 @@ object Sparql {
     val patterns = scala.collection.mutable.ListBuffer.empty[Pat]
     val optionals = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
     val filters = scala.collection.mutable.ListBuffer.empty[FilterExpr]
+    val minuses = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
+    val existsFilters = scala.collection.mutable.ListBuffer.empty[(Boolean, Seq[Pat])]
 
     // ---- property paths (SPARQL 1.1 subset: ^inverse, p1/p2 sequence,
     // (p1|p2) alternation, Kleene */+/? on constant predicate sets,
@@ -335,30 +348,43 @@ object Sparql {
       orExpr()
     }
 
+    // a brace-delimited BGP group, as used by UNION branches, OPTIONAL,
+    // MINUS, and FILTER [NOT] EXISTS blocks
+    def braceBlock(): Seq[Pat] = {
+      expect("{")
+      val b = scala.collection.mutable.ListBuffer.empty[Pat]
+      while (peek != "}") b ++= parsePatterns()
+      expect("}")
+      b.toSeq
+    }
+
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
     while (peek != "}") {
       if (peek == "{") {
         // { bgp } UNION { bgp } [UNION { bgp } ...] -- one chain per query
         require(unionBranches.isEmpty, "only one UNION chain is supported")
-        def group(): Seq[Pat] = {
-          expect("{")
-          val b = scala.collection.mutable.ListBuffer.empty[Pat]
-          while (peek != "}") b ++= parsePatterns()
-          expect("}")
-          b.toSeq
-        }
-        unionBranches += group()
-        while (peek.equalsIgnoreCase("UNION")) { pop(); unionBranches += group() }
+        unionBranches += braceBlock()
+        while (peek.equalsIgnoreCase("UNION")) { pop(); unionBranches += braceBlock() }
         require(unionBranches.size >= 2, "a group block needs at least one UNION")
       } else if (peek.equalsIgnoreCase("FILTER")) {
-        pop(); expect("("); filters += parseFilter(); expect(")")
+        pop()
+        // FILTER [NOT] EXISTS { patterns } — a pattern-existence test,
+        // not a value expression (SPARQL 1.1 §8.1.1)
+        val negated = peek.equalsIgnoreCase("NOT") && { pop(); true }
+        if (negated || peek.equalsIgnoreCase("EXISTS")) {
+          expect("EXISTS")
+          existsFilters += ((!negated, braceBlock()))
+        } else {
+          require(!negated, "expected EXISTS after FILTER NOT")
+          expect("("); filters += parseFilter(); expect(")")
+        }
         if (peek == ".") pop()
       } else if (peek.equalsIgnoreCase("OPTIONAL")) {
-        pop(); expect("{")
-        val block = scala.collection.mutable.ListBuffer.empty[Pat]
-        while (peek != "}") block ++= parsePatterns()
-        expect("}")
-        optionals += block.toSeq
+        pop()
+        optionals += braceBlock()
+      } else if (peek.equalsIgnoreCase("MINUS")) {
+        pop()
+        minuses += braceBlock()
       } else patterns ++= parsePatterns()
     }
     expect("}")
@@ -414,7 +440,8 @@ object Sparql {
     Query(distinct, projection, aggs.toList, groupBy.toList,
       patterns.toSeq, unionBranches.toList, optionals.toSeq,
       filters.toSeq, order.toSeq, limit,
-      ask = form == "ASK", construct = template.toList)
+      ask = form == "ASK", construct = template.toList,
+      minuses = minuses.toList, existsFilters = existsFilters.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -608,6 +635,42 @@ object Sparql {
       val shared = df.columns.toSeq.intersect(opt.columns.toSeq)
       require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
       df = df.join(opt, shared, "left")
+    }
+    // a shared variable that can arrive UNBOUND (null) makes equi-join
+    // keys diverge from SPARQL compatibility semantics — the same
+    // discipline as the UNION restriction: reject, never mis-answer
+    def requireBound(shared: Seq[String], ctx: String): Unit =
+      shared.foreach { v =>
+        val inBase = q.patterns.exists(p => termsOf(p).contains(V(v)))
+        val inAllBranches = q.unionBranches.nonEmpty &&
+          q.unionBranches.forall(_.exists(p => termsOf(p).contains(V(v))))
+        require(inBase || inAllBranches,
+          s"unsupported: ?$v joins a $ctx block but may be unbound " +
+            "(bind it in the required patterns)")
+      }
+    q.minuses.foreach { block =>
+      val m = joinAll(t, block)
+      val shared = df.columns.toSeq.intersect(m.columns.toSeq)
+      // SPARQL 1.1 §8.3: solutions with DISJOINT domains are kept —
+      // a MINUS block sharing no variable removes nothing
+      if (shared.nonEmpty) {
+        requireBound(shared, "MINUS")
+        df = df.join(m, shared, "left_anti")
+      }
+    }
+    q.existsFilters.foreach { case (positive, block) =>
+      val e = joinAll(t, block)
+      val shared = df.columns.toSeq.intersect(e.columns.toSeq)
+      df = if (shared.isEmpty) {
+        // no shared variable: pure existence probe — one broadcast row
+        // decides the whole frame (never a row-count job on `e`)
+        val any = broadcast(e.limit(1).select(lit(1).as("__e")))
+        if (positive) df.join(any, lit(true), "left_semi")
+        else df.join(any, lit(true), "left_anti")
+      } else {
+        requireBound(shared, if (positive) "FILTER EXISTS" else "FILTER NOT EXISTS")
+        df.join(e, shared, if (positive) "left_semi" else "left_anti")
+      }
     }
     q.filters.foreach(f => df = df.where(compileFilter(f)))
     if (q.ask) {

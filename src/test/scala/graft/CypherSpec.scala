@@ -1145,6 +1145,51 @@ class CypherSpec extends SparkSpec {
       Sparql.parse("SELECT ?x WHERE { ?x <knows> ?y . } GARBAGE"))
   }
 
+  test("sparql MINUS and FILTER [NOT] EXISTS: joins, disjoint-domain rules, rejects") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "knows", "b"), ("b", "knows", "c"), ("a", "knows", "c"),
+      ("a", "age", "41"), ("b", "age", "7"), ("c", "flag", "1"))
+      .toDF("s", "p", "o")
+    def pairs(q: String): Set[(String, String)] =
+      Sparql.run(triples, q).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    // MINUS on a shared variable: an anti-join
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . MINUS { ?x <age> \"41\" . } }")
+      === Set(("b", "c")))
+    // §8.3 disjoint domains: MINUS removes NOTHING even though the block
+    // matches, while the same block under NOT EXISTS removes everything
+    val all = Set(("a", "b"), ("b", "c"), ("a", "c"))
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . MINUS { ?u <flag> \"1\" . } }")
+      === all)
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER NOT EXISTS { ?u <flag> \"1\" . } }")
+      === Set.empty[(String, String)])
+    // NOT EXISTS on a shared variable: keep rows whose ?y has no age
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER NOT EXISTS { ?y <age> ?w . } }")
+      === Set(("a", "c"), ("b", "c")))
+    // EXISTS on a shared variable: keep rows whose ?y knows someone
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER EXISTS { ?y <knows> ?w . } }")
+      === Set(("a", "b")))
+    // no-shared-var existence probes: a matching block keeps all rows
+    // (EXISTS) / an empty block keeps all rows (NOT EXISTS)
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER EXISTS { ?q <flag> \"1\" . } }")
+      === all)
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER NOT EXISTS { ?q <flag> \"9\" . } }")
+      === all)
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER EXISTS { ?q <flag> \"9\" . } }")
+      === Set.empty[(String, String)])
+    // a shared variable bound only by OPTIONAL may be null — rejected
+    // rather than mis-answered (same discipline as the UNION check)
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <knows> ?y . OPTIONAL { ?x <age> ?a . } FILTER NOT EXISTS { ?z <age> ?a . } }"))
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <knows> ?y . OPTIONAL { ?x <age> ?a . } MINUS { ?z <age> ?a . } }"))
+    // grammar: FILTER NOT must be followed by EXISTS
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <knows> ?y . FILTER NOT (?x = \"a\") }"))
+  }
+
   test("sparql property paths: inverse, sequence, rdf:type keyword, rejects") {
     import spark.implicits._
     import graft.sparql.Sparql
