@@ -3337,6 +3337,45 @@ object Queries {
              |WHERE EXISTS (SELECT 1 FROM bs WHERE bs.c = fn.c)
              |ORDER BY fn.c LIMIT 150""".stripMargin))),
 
+    // SPARQL 1.1 aggregate surface beyond COUNT: SUM/AVG over the
+    // numeric view of the untyped <key> literal, lexical MIN, and
+    // COUNT(DISTINCT). Exactness: the argument is integer-valued, so
+    // the double SUM is order-free-exact and AVG is one deterministic
+    // IEEE division of exact operands — bit-identical in both engines,
+    // no rounding discipline needed.
+    "sparql_agg_stats" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?r (SUM(?k) AS ?sumkey) (AVG(?k) AS ?avgkey)
+            |  (MIN(?n) AS ?minn) (COUNT(DISTINCT ?n) AS ?nations)
+            |WHERE {
+            |  ?n <locatedIn> ?r .
+            |  ?n <key> ?k .
+            |} GROUP BY ?r ORDER BY ?r""".stripMargin),
+      Some("""WITH li AS (SELECT 'nation/' || n_name AS n,
+             |    'region/' || r_name AS r, n_nationkey AS k
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+             |SELECT r, SUM(CAST(k AS DOUBLE)) AS sumkey,
+             |  AVG(CAST(k AS DOUBLE)) AS avgkey, MIN(n) AS minn,
+             |  CAST(COUNT(DISTINCT n) AS BIGINT) AS nations
+             |FROM li GROUP BY r ORDER BY r""".stripMargin))),
+
+    // SPARQL 1.1 VALUES + OFFSET: an inline binding table constrains
+    // ?n via a broadcast join against the BGP, and the ordered result
+    // is paged. ?c is unique per solution, so the page is deterministic.
+    "sparql_values_page" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <fromNation> ?n .
+            |  VALUES ?n { "nation/NATION_3" "nation/NATION_7" "nation/NATION_12" }
+            |} ORDER BY ?c OFFSET 20 LIMIT 60""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT c, n FROM fn
+             |WHERE n IN ('nation/NATION_3', 'nation/NATION_7', 'nation/NATION_12')
+             |ORDER BY c LIMIT 60 OFFSET 20""".stripMargin))),
+
     // GCN forward pass (engine-side `predict`): one mean-aggregation
     // convolution over the nation–region bipartite graph with
     // power-of-two weights. Bit-exact replay: feature sums are

@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
  *  - `FILTER (expr)` with `=`, `!=`, `<`, `<=`, `>`, `>=`, `&&`, `||`,
  *    `!`, parentheses; a numeric literal side compares numerically
  *    (both sides cast to double), otherwise lexically
- *  - `(COUNT(?v | *) AS ?alias)` projections with `GROUP BY ?v …`
- *    (plain projected vars must be grouped — the SPARQL 1.1 rule)
- *  - `ORDER BY [ASC|DESC](?v) …`, `LIMIT n`
+ *  - aggregate projections `(FN(?v) AS ?alias)` with FN ∈ COUNT (also
+ *    `COUNT(*)` / `COUNT(DISTINCT ?v)`), SUM, AVG, MIN, MAX, and
+ *    `GROUP BY ?v …` (plain projected vars must be grouped — the
+ *    SPARQL 1.1 rule); SUM/AVG take the numeric view of the untyped
+ *    literal (non-numeric → null, skipped), MIN/MAX compare lexically
+ *  - `VALUES ?x { … }` / `VALUES (?x ?y) { (…) … }` inline data —
+ *    a broadcast join against the group (UNDEF rejected)
+ *  - `ORDER BY [ASC|DESC](?v) …`, `OFFSET n`, `LIMIT n`
  *  - property paths in the predicate position: `^p` inverse, `p1/p2`
  *    sequence (composable, e.g. `^p1/p2`), and the `a` rdf:type
  *    keyword — rewritten at parse time into ordinary triple patterns
@@ -89,8 +94,16 @@ object Sparql {
   final case class And(l: FilterExpr, r: FilterExpr) extends FilterExpr
   final case class Or(l: FilterExpr, r: FilterExpr) extends FilterExpr
   final case class Not(e: FilterExpr) extends FilterExpr
-  /** One COUNT aggregate: (argument variable or None for *, alias). */
-  final case class Agg(arg: Option[String], alias: String)
+  /** One aggregate projection: function (COUNT/SUM/AVG/MIN/MAX),
+    * argument variable (None = COUNT(*)), alias, and the DISTINCT
+    * modifier (COUNT only). SUM/AVG operate on the numeric view of the
+    * untyped literal (non-numeric bindings become null and are skipped
+    * — both engines' cast semantics); MIN/MAX compare lexically, the
+    * ordering the untyped string domain actually has. */
+  final case class Agg(fn: String, arg: Option[String], alias: String,
+                       isDistinct: Boolean = false)
+  /** An inline VALUES data block: variables and their binding rows. */
+  final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[String]])
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
                          patterns: Seq[Pat], unionBranches: Seq[Seq[Pat]],
@@ -100,7 +113,9 @@ object Sparql {
                          ask: Boolean = false,
                          construct: Seq[Pattern] = Seq.empty,
                          minuses: Seq[Seq[Pat]] = Seq.empty,
-                         existsFilters: Seq[(Boolean, Seq[Pat])] = Seq.empty)
+                         existsFilters: Seq[(Boolean, Seq[Pat])] = Seq.empty,
+                         valuesBlocks: Seq[ValuesBlock] = Seq.empty,
+                         offset: Option[Int] = None)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -184,18 +199,24 @@ object Sparql {
       val t = pop()
       if (t == "*") star = true
       else if (t == "(") {
-        // ( COUNT(?v | *) AS ?alias ) -- the SPARQL 1.1 aggregate form
-        val fn = pop()
-        require(fn.equalsIgnoreCase("COUNT"), s"only COUNT is supported, got '$fn'")
+        // ( FN([DISTINCT] ?v | *) AS ?alias ) -- the SPARQL 1.1
+        // aggregate form; FN ∈ COUNT/SUM/AVG/MIN/MAX, DISTINCT on COUNT
+        val fn = pop().toUpperCase
+        require(Seq("COUNT", "SUM", "AVG", "MIN", "MAX").contains(fn),
+          s"unsupported aggregate '$fn'")
         expect("(")
+        val dist = peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
+        require(!dist || fn == "COUNT", s"DISTINCT is only supported on COUNT")
         val at = pop()
-        val arg = if (at == "*") None
-          else { require(isVar(at), s"COUNT needs ?var or *, got '$at'"); Some(at.drop(1)) }
+        val arg = if (at == "*") {
+          require(fn == "COUNT" && !dist, s"$fn needs a ?var argument")
+          None
+        } else { require(isVar(at), s"$fn needs a ?var, got '$at'"); Some(at.drop(1)) }
         expect(")"); expect("AS")
         val al = pop()
         require(isVar(al), s"AS needs a ?alias, got '$al'")
         expect(")")
-        aggs += Agg(arg, al.drop(1))
+        aggs += Agg(fn, arg, al.drop(1), dist)
         proj += al.drop(1)
       }
       else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
@@ -206,6 +227,7 @@ object Sparql {
     val filters = scala.collection.mutable.ListBuffer.empty[FilterExpr]
     val minuses = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
     val existsFilters = scala.collection.mutable.ListBuffer.empty[(Boolean, Seq[Pat])]
+    val valuesBlocks = scala.collection.mutable.ListBuffer.empty[ValuesBlock]
 
     // ---- property paths (SPARQL 1.1 subset: ^inverse, p1/p2 sequence,
     // (p1|p2) alternation, Kleene */+/? on constant predicate sets,
@@ -385,25 +407,73 @@ object Sparql {
       } else if (peek.equalsIgnoreCase("MINUS")) {
         pop()
         minuses += braceBlock()
+      } else if (peek.equalsIgnoreCase("VALUES")) {
+        // VALUES ?x { v v … } | VALUES (?x ?y) { (v v) (v v) … } —
+        // inline data, joined with the group on its variables. UNDEF is
+        // rejected: an unbound inline binding breaks equi-join keys.
+        pop()
+        def constVal(): String = {
+          val tok = pop()
+          require(!tok.equalsIgnoreCase("UNDEF"), "UNDEF is not supported in VALUES")
+          term(tok) match {
+            case Const(v) => v
+            case _ => throw new IllegalArgumentException(
+              s"VALUES data must be constants, got '$tok'")
+          }
+        }
+        val vars = scala.collection.mutable.ListBuffer.empty[String]
+        val multi = peek == "("
+        if (multi) {
+          pop()
+          while (peek != ")") {
+            val v = pop()
+            require(isVar(v), s"VALUES needs ?vars, got '$v'")
+            vars += v.drop(1)
+          }
+          expect(")")
+        } else {
+          val v = pop()
+          require(isVar(v), s"VALUES needs a ?var, got '$v'")
+          vars += v.drop(1)
+        }
+        require(vars.nonEmpty, "VALUES needs at least one variable")
+        expect("{")
+        val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+        while (peek != "}") {
+          if (multi) {
+            expect("(")
+            val r = scala.collection.mutable.ListBuffer.empty[String]
+            while (peek != ")") r += constVal()
+            expect(")")
+            require(r.size == vars.size,
+              s"VALUES row has ${r.size} terms for ${vars.size} variables")
+            rows += r.toSeq
+          } else rows += Seq(constVal())
+        }
+        expect("}")
+        require(rows.nonEmpty, "VALUES needs at least one row")
+        valuesBlocks += ValuesBlock(vars.toSeq, rows.toSeq)
       } else patterns ++= parsePatterns()
     }
     expect("}")
     val order = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
     val groupBy = scala.collection.mutable.ListBuffer.empty[String]
     var limit: Option[Int] = None
+    var offset: Option[Int] = None
+    def atModifier: Boolean = peek.equalsIgnoreCase("ORDER") ||
+      peek.equalsIgnoreCase("LIMIT") || peek.equalsIgnoreCase("OFFSET")
     while (ts.nonEmpty) {
       val t = pop()
       if (t.equalsIgnoreCase("GROUP")) {
         expect("BY")
-        while (ts.nonEmpty && !peek.equalsIgnoreCase("ORDER") &&
-          !peek.equalsIgnoreCase("LIMIT")) {
+        while (ts.nonEmpty && !atModifier) {
           val v = pop()
           require(isVar(v), s"GROUP BY needs ?vars, got '$v'")
           groupBy += v.drop(1)
         }
       } else if (t.equalsIgnoreCase("ORDER")) {
         expect("BY")
-        while (ts.nonEmpty && !peek.equalsIgnoreCase("LIMIT")) {
+        while (ts.nonEmpty && !atModifier) {
           val n = pop()
           if (n.equalsIgnoreCase("ASC") || n.equalsIgnoreCase("DESC")) {
             expect("("); val v = pop(); expect(")")
@@ -415,15 +485,17 @@ object Sparql {
           }
         }
       } else if (t.equalsIgnoreCase("LIMIT")) limit = Some(pop().toInt)
+      else if (t.equalsIgnoreCase("OFFSET")) offset = Some(pop().toInt)
       else throw new IllegalArgumentException(s"unexpected trailing token '$t'")
     }
     require(patterns.nonEmpty || unionBranches.nonEmpty,
       "WHERE block needs at least one triple pattern")
     // `__path*` intermediates exist only to chain path steps: invisible
     // to `*` projections and not addressable by name
-    val known = (patterns ++ unionBranches.flatten ++ optionals.flatten)
+    val known = ((patterns ++ unionBranches.flatten ++ optionals.flatten)
       .flatMap(termsOf)
-      .collect { case V(n) if !n.startsWith("__path") => n }.distinct
+      .collect { case V(n) if !n.startsWith("__path") => n } ++
+      valuesBlocks.flatMap(_.vars)).distinct
     val aliases = aggs.map(_.alias)
     val projection: scala.collection.immutable.Seq[String] =
       if (star || proj.isEmpty) known.toList else proj.toList
@@ -441,7 +513,8 @@ object Sparql {
       patterns.toSeq, unionBranches.toList, optionals.toSeq,
       filters.toSeq, order.toSeq, limit,
       ask = form == "ASK", construct = template.toList,
-      minuses = minuses.toList, existsFilters = existsFilters.toList)
+      minuses = minuses.toList, existsFilters = existsFilters.toList,
+      valuesBlocks = valuesBlocks.toList, offset = offset)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -579,7 +652,10 @@ object Sparql {
     case Not(x) => !compileFilter(x)
     case Cmp(op, l, r, numeric) =>
       def side(t: Term): Column = t match {
-        case V(n) => if (numeric) col(n).cast("double") else col(n)
+        // try_cast: a non-numeric binding compared numerically is a
+        // SPARQL type error — the solution drops (null comparison),
+        // where ANSI cast would fail the whole query
+        case V(n) => if (numeric) col(n).try_cast("double") else col(n)
         case Const(v) => if (numeric) lit(v.toDouble) else lit(v)
         case AnyOf(_) => throw new IllegalArgumentException(
           "alternation is only valid in the predicate position")
@@ -629,6 +705,29 @@ object Sparql {
               "with the top-level patterns (every branch must bind it)")
         }
         if (shared.isEmpty) u.crossJoin(base) else u.join(base, shared)
+    }
+    // VALUES blocks join the required group BEFORE optionals (required
+    // data commutes; an inline binding must constrain the whole group,
+    // not survive as an unmatched left-join null)
+    q.valuesBlocks.foreach { vb =>
+      vb.vars.foreach { v =>
+        val inOpt = q.optionals.exists(_.exists(p => termsOf(p).contains(V(v))))
+        val inBase = q.patterns.exists(p => termsOf(p).contains(V(v))) ||
+          (q.unionBranches.nonEmpty &&
+            q.unionBranches.forall(_.exists(p => termsOf(p).contains(V(v)))))
+        require(!inOpt || inBase,
+          s"unsupported: ?$v appears in VALUES but is bound only optionally")
+      }
+      val sess = df.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+        org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
+      import scala.jdk.CollectionConverters._
+      val inline = sess.createDataFrame(
+        vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+      val shared = df.columns.toSeq.intersect(vb.vars)
+      // inline data is a LocalRelation — always the broadcast side
+      df = if (shared.isEmpty) df.crossJoin(broadcast(inline))
+           else df.join(broadcast(inline), shared)
     }
     q.optionals.foreach { block =>
       val opt = joinAll(t, block)
@@ -693,8 +792,21 @@ object Sparql {
       }.reduceLeft(_ unionByName _).distinct()
     }
     if (q.aggregates.nonEmpty) {
-      val aggCols = q.aggregates.map(a =>
-        a.arg.map(v => count(col(v))).getOrElse(count(lit(1))).as(a.alias))
+      val aggCols = q.aggregates.map { a =>
+        (a.fn match {
+          case "COUNT" => a.arg
+            .map(v => if (a.isDistinct) countDistinct(col(v)) else count(col(v)))
+            .getOrElse(count(lit(1)))
+          // numeric aggregates view the untyped literal as a double;
+          // non-numeric bindings try_cast to null and are skipped — the
+          // SQL semantics both engines share (ANSI cast would throw)
+          case "SUM" => sum(col(a.arg.get).try_cast("double"))
+          case "AVG" => avg(col(a.arg.get).try_cast("double"))
+          // untyped string literals order lexically
+          case "MIN" => min(col(a.arg.get))
+          case "MAX" => max(col(a.arg.get))
+        }).as(a.alias)
+      }
       df = if (q.groupBy.nonEmpty)
         df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
@@ -704,6 +816,7 @@ object Sparql {
     if (q.orderBy.nonEmpty)
       df = df.orderBy(q.orderBy.map { case (v, asc) =>
         if (asc) col(v).asc else col(v).desc }: _*)
+    q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     df
   }

@@ -1190,6 +1190,70 @@ class CypherSpec extends SparkSpec {
       "SELECT ?x WHERE { ?x <knows> ?y . FILTER NOT (?x = \"a\") }"))
   }
 
+  test("sparql aggregates, VALUES inline data, OFFSET") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "score", "10"), ("a", "score", "30"), ("b", "score", "5"),
+      ("b", "score", "5"), ("a", "tag", "x"), ("b", "tag", "y"),
+      ("c", "tag", "y"))
+      .toDF("s", "p", "o")
+    // SUM/AVG take the numeric view; MIN/MAX order lexically;
+    // COUNT(DISTINCT) collapses the duplicate binding
+    val stats = Sparql.run(triples,
+      """SELECT ?x (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+        |  (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (COUNT(DISTINCT ?v) AS ?nd)
+        |WHERE { ?x <score> ?v . } GROUP BY ?x ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+    assert(stats === Seq(("a", 40.0, 20.0, "10", "30", 2L),
+      ("b", 10.0, 5.0, "5", "5", 1L)))
+    // global (ungrouped) aggregate over every binding
+    val g = Sparql.run(triples,
+      "SELECT (SUM(?v) AS ?t) WHERE { ?x <score> ?v . }")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(g === Seq(50.0))
+    // non-numeric bindings cast to null and are skipped by SUM
+    val mixed = Sparql.run(triples,
+      "SELECT (SUM(?v) AS ?t) WHERE { ?x <tag> ?v . }")
+      .collect()
+    assert(mixed(0).isNullAt(0))
+    // VALUES single-var: constrains an existing variable (a broadcast
+    // semi-shaped inner join, bag multiplicity preserved)
+    val vals = Sparql.run(triples,
+      "SELECT ?x ?v WHERE { ?x <score> ?v . VALUES ?x { \"a\" } } ORDER BY ?v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(vals === Seq(("a", "10"), ("a", "30")))
+    // VALUES multi-var: row-wise binding tuples
+    val tup = Sparql.run(triples,
+      """SELECT ?x ?t WHERE { ?x <tag> ?t .
+        |VALUES (?x ?t) { ("a" "x") ("c" "y") ("c" "zz") } } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tup === Seq(("a", "x"), ("c", "y")))
+    // VALUES introducing a fresh variable: a cross product with the group
+    val fresh = Sparql.run(triples,
+      "SELECT ?x ?w WHERE { ?x <tag> \"y\" . VALUES ?w { \"p\" \"q\" } } ORDER BY ?x ?w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(fresh === Seq(("b", "p"), ("b", "q"), ("c", "p"), ("c", "q")))
+    // OFFSET slices after ORDER BY, composing with LIMIT
+    val page = Sparql.run(triples,
+      "SELECT DISTINCT ?x WHERE { ?x <tag> ?t . } ORDER BY ?x OFFSET 1 LIMIT 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(page === Seq("b"))
+    // rejects: UNDEF, DISTINCT on a non-COUNT aggregate, SUM(*),
+    // VALUES var bound only optionally, arity mismatch
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <tag> ?t . VALUES ?t { UNDEF } }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT (SUM(DISTINCT ?v) AS ?t) WHERE { ?x <score> ?v . }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT (SUM(*) AS ?t) WHERE { ?x <score> ?v . }"))
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <tag> ?t . OPTIONAL { ?x <score> ?v . } VALUES ?v { \"10\" } }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <tag> ?t . VALUES (?x ?t) { (\"a\") } }"))
+  }
+
   test("sparql property paths: inverse, sequence, rdf:type keyword, rejects") {
     import spark.implicits._
     import graft.sparql.Sparql
