@@ -71,4 +71,58 @@ class GcnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Gcn.forward(edges, feats, "id", Seq.empty))
   }
+
+  // ----- layer-weight training (trainLayerIp) ------------------------------
+
+  // driver-side replica of the trained objective over the path graph:
+  // a = self-loop means (hand-checked in the layer spec), z = aW,
+  // L = mean BCE of sigmoid(z_u . z_v)
+  private val aggMeans = Map(
+    "1" -> Array(2.0, 3.0), "2" -> Array(3.0, 4.0), "3" -> Array(4.0, 5.0))
+  private val trainPairs = Seq(
+    ("1", "2", 1.0), ("2", "3", 1.0), ("1", "3", 0.0), ("3", "1", 0.0))
+  private def replicaLoss(w: Array[Array[Double]]): Double = {
+    val o = w.head.length
+    def z(u: String): Array[Double] = Array.tabulate(o)(j =>
+      w.indices.map(i => aggMeans(u)(i) * w(i)(j)).sum)
+    trainPairs.map { case (u, v, y) =>
+      val m = z(u).zip(z(v)).map { case (a, b) => a * b }.sum
+      val s = 1.0 / (1.0 + math.exp(-m))
+      -(y * math.log(s) + (1 - y) * math.log(1 - s))
+    }.sum / trainPairs.size
+  }
+
+  test("trainLayerIp: one GD step matches finite differences of the BCE loss") {
+    val pairs = trainPairs.map { case (u, v, y) => (u, v, y.toInt) }
+      .toDF("src", "dst", "label")
+    val lr = 0.5
+    val w0 = Gcn.defaultInit(2, 2)
+    val w1 = Gcn.trainLayerIp(edges, feats, "id", Seq("f0", "f1"), pairs,
+      outDim = 2, iters = 1, lr = lr)
+    val eps = 1e-6
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val engineGrad = (w0(i)(j) - w1(i)(j)) / lr
+      val wp = w0.map(_.clone); wp(i)(j) += eps
+      val wm = w0.map(_.clone); wm(i)(j) -= eps
+      val numeric = (replicaLoss(wp) - replicaLoss(wm)) / (2 * eps)
+      assert(math.abs(engineGrad - numeric) < 1e-5,
+        s"dL/dW($i)($j): engine $engineGrad vs numeric $numeric")
+    }
+  }
+
+  test("trainLayerIp: deterministic reruns, descending loss, shape checks") {
+    val pairs = trainPairs.map { case (u, v, y) => (u, v, y.toInt) }
+      .toDF("src", "dst", "label")
+    def train(iters: Int) = Gcn.trainLayerIp(
+      edges, feats, "id", Seq("f0", "f1"), pairs, outDim = 2,
+      iters = iters, lr = 0.1)
+    val a = train(6); val b = train(6)
+    assert(a.flatten.toSeq === b.flatten.toSeq) // bit-identical reruns
+    assert(replicaLoss(train(6)) < replicaLoss(train(2)))
+    assert(replicaLoss(train(2)) < replicaLoss(Gcn.defaultInit(2, 2)))
+    intercept[IllegalArgumentException](train(-1))
+    intercept[IllegalArgumentException](Gcn.trainLayerIp(
+      edges, feats, "id", Seq("f0", "f1"), pairs, outDim = 2, iters = 1,
+      lr = 0.1, init = Some(Array(Array(1.0)))))
+  }
 }
