@@ -3636,7 +3636,54 @@ object Queries {
       Some("""SELECT 'nation/' || n_name AS src, 'region/' || r_name AS dst,
              |'locatedIn' AS type
              |FROM nation JOIN region ON n_regionkey = r_regionkey
-             |ORDER BY src, dst""".stripMargin))))
+             |ORDER BY src, dst""".stripMargin))),
+
+    // `process_dataset` (reference JSONParser.cpp): JSONL citation
+    // reformat — dense first-seen vertex ids, reindexed edge list with
+    // bag multiplicities. Lines synthesized from customer (c%5==0 lines
+    // carry no references — the skip branch); oracle replays the
+    // first-seen rank with window functions.
+    "json_dataset_edges" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sources.GraphSources.processJsonDataset(
+          citationLines(s, d), lineNoCol = Some("ln"), minFieldCount = 100L)
+          .edges.groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("src"), col("dst")),
+      Some(jsonDatasetSqlPrefix +
+        """SELECT s.id AS src, d.id AS dst, count(*) AS cnt
+          |FROM refs JOIN ids s ON refs.sv = s.v JOIN ids d ON refs.rv = d.v
+          |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin))),
+
+    // `process_dataset` attribute pass: one-hot field-of-study vectors
+    // (strict w > 0.5 / count > 100 thresholds, sorted-name positions)
+    // for every line whose id earned a dense id, flattened to a bit
+    // string (the harness takes no raw arrays).
+    "json_dataset_attrs" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sources.GraphSources.processJsonDataset(
+          citationLines(s, d), lineNoCol = Some("ln"), minFieldCount = 100L)
+          .attributes
+          .select(col("id"),
+            array_join(transform(col("attrs"), b => b.cast(StringType)), "").as("bits"))
+          .orderBy(col("id")),
+      Some(jsonDatasetSqlPrefix +
+        """, counted AS (
+          |  SELECT name FROM fos WHERE w > 0.5 GROUP BY name HAVING count(*) > 100),
+          |fields AS (
+          |  SELECT name, row_number() OVER (ORDER BY name) - 1 AS fid FROM counted),
+          |setbits AS (
+          |  SELECT DISTINCT fos.ln, f.fid FROM fos JOIN fields f ON fos.name = f.name
+          |  WHERE fos.w > 0.5),
+          |grid AS (
+          |  SELECT l.ln, l.id AS v, f.fid,
+          |         CASE WHEN b.fid IS NOT NULL THEN '1' ELSE '0' END AS bit
+          |  FROM (SELECT ln, id FROM base) l
+          |  CROSS JOIN fields f
+          |  LEFT JOIN setbits b ON b.ln = l.ln AND b.fid = f.fid)
+          |SELECT i.id, string_agg(bit, '' ORDER BY fid) AS bits
+          |FROM grid JOIN ids i ON grid.v = i.v
+          |GROUP BY grid.ln, i.id ORDER BY i.id""".stripMargin))))
 
   // ======================================================================
   // Deterministic sampling / packing (training-data pipeline, §Sampling)
@@ -3673,6 +3720,70 @@ object Queries {
     fn.unionByName(li).unionByName(seg).unionByName(key).unionByName(big)
       .unionByName(sup).unionByName(typ)
   }
+
+  /**
+   * JSONL citation fixture for the `process_dataset` queries: one line
+   * per customer (line order = c_custkey), referencing `(3c mod n)+1`
+   * and `(7c mod n)+1` (both in the contiguous custkey domain; may
+   * collide — the duplicate-ref bag branch); every fifth customer has
+   * no references (the skip branch). Fields of study: the market
+   * segment at w=0.6 (always counted) and the nation at 0.7 / 0.4
+   * depending on `c mod 3` (the strict weight filter). The real JSON
+   * round-trip is part of the query: lines go through `to_json` here
+   * and `from_json` inside the operator.
+   */
+  private def citationLines(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val n = c.agg(max(col("c_custkey").cast(LongType)).as("__n"))
+    c.crossJoin(broadcast(n)).select(
+      col("c_custkey").cast(LongType).as("ln"),
+      to_json(struct(
+        col("c_custkey").cast(StringType).as("id"),
+        when(col("c_custkey") % 5 === 0, array().cast(ArrayType(StringType)))
+          .otherwise(array(
+            ((col("c_custkey") * 3) % col("__n") + 1).cast(StringType),
+            ((col("c_custkey") * 7) % col("__n") + 1).cast(StringType)))
+          .as("references"),
+        array(
+          struct(col("c_mktsegment").as("name"), lit(0.6).as("w")),
+          struct(concat(lit("nation_"), col("c_nationkey")).as("name"),
+            when(col("c_custkey") % 3 === 0, lit(0.4)).otherwise(lit(0.7)).as("w")))
+          .as("fos"))).as("value"))
+  }
+
+  /** Shared CTE prefix replaying [[citationLines]] + the first-seen
+    * dense-id pass of `processJsonDataset` in DuckDB: the occurrence
+    * stream (subject pos 0, refs pos 1/2, reference-free lines skipped)
+    * ranked by (line, pos) first appearance. */
+  private def jsonDatasetSqlPrefix: String =
+    """WITH params AS (SELECT max(c_custkey) AS n FROM customer),
+      |base AS (
+      |  SELECT c_custkey AS ln, c_custkey AS id,
+      |         c_custkey % 5 <> 0 AS has_refs,
+      |         (c_custkey * 3) % n + 1 AS r1,
+      |         (c_custkey * 7) % n + 1 AS r2,
+      |         c_mktsegment AS seg,
+      |         'nation_' || c_nationkey AS nat,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 0.4 ELSE 0.7 END AS natw
+      |  FROM customer, params),
+      |occ AS (
+      |  SELECT ln, 0 AS pos, id AS v FROM base WHERE has_refs
+      |  UNION ALL SELECT ln, 1, r1 FROM base WHERE has_refs
+      |  UNION ALL SELECT ln, 2, r2 FROM base WHERE has_refs),
+      |fs AS (
+      |  SELECT v, ln, pos,
+      |         row_number() OVER (PARTITION BY v ORDER BY ln, pos) AS rn
+      |  FROM occ),
+      |ids AS (
+      |  SELECT v, row_number() OVER (ORDER BY ln, pos) - 1 AS id
+      |  FROM fs WHERE rn = 1),
+      |refs AS (
+      |  SELECT ln, id AS sv, r1 AS rv FROM base WHERE has_refs
+      |  UNION ALL SELECT ln, id, r2 FROM base WHERE has_refs),
+      |fos AS (
+      |  SELECT ln, seg AS name, 0.6 AS w FROM base
+      |  UNION ALL SELECT ln, nat, natw FROM base)
+      |""".stripMargin
 
   /** The Knuth bucket map of [[Sampling.bucketOf]] in verifiable mode,
     * replayed in DuckDB SQL. Keys here are non-negative, so DuckDB's %

@@ -198,6 +198,175 @@ object GraphSources {
       "__text", embedder, "embedding", batchSize)
       .select(col("id"), col("embedding"))
 
+  /** Parsed line shape of the `process_dataset` JSONL citation format
+    * (reference `src/partitioner/local/JSONParser.cpp:134-136,180-186`):
+    * a paper `id`, its `references` (cited paper ids) and its `fos`
+    * fields-of-study, each a `{name, w}` weight pair. */
+  val citationSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("references", ArrayType(StringType)),
+    StructField("fos", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("w", DoubleType)))))))
+
+  /** Result of [[processJsonDataset]]:
+    *  - `vertexIds` — (vertex BIGINT, id BIGINT): the dense first-seen
+    *    id map (the reference's `vertexToIDMap`);
+    *  - `edges` — (src BIGINT, dst BIGINT): the reindexed edge list,
+    *    bag semantics (one row per reference, duplicates preserved —
+    *    the reference writes each ref line verbatim);
+    *  - `fields` — (field STRING, field_id BIGINT): qualifying
+    *    fields-of-study and their one-hot positions;
+    *  - `attributes` — (line BIGINT, id BIGINT, attrs ARRAY<INT>): one
+    *    row per input line whose id is in the vertex map, with the
+    *    one-hot field vector (the reference's `attributeList.txt`). */
+  final case class JsonDataset(vertexIds: DataFrame, edges: DataFrame,
+                               fields: DataFrame, attributes: DataFrame)
+
+  /** Distributed dense-rank: assign 0-based consecutive ids in
+    * `(line, pos)` order. A distributed range-partitioned sort plus
+    * per-partition offsets (`zipWithIndex` = one extra count job) — the
+    * scalable alternative to a single-partition `row_number()` window,
+    * which would funnel the whole vertex set through one task. */
+  private def denseIdsByOrder(df: DataFrame, keyCol: String,
+                              lineCol: String, posCol: String,
+                              outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(lineCol).cast(LongType), col(posCol).cast(LongType),
+        col(keyCol).cast(LongType))
+      .rdd
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortByKey()
+      .zipWithIndex()
+      .map { case (((_, _), v), i) => org.apache.spark.sql.Row(v, i) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField(outCol, LongType, nullable = false))))
+  }
+
+  /**
+   * `process_dataset` (reference frontend
+   * `JasmineGraphFrontEnd.cpp:306-307,2818-2839` →
+   * `JSONParser::jsonParse`, `src/partitioner/local/JSONParser.cpp:43-58`):
+   * reformat a JSONL citation dataset (the MAG/DBLP shape — see
+   * [[citationSchema]]) into a dense-reindexed edge list plus a one-hot
+   * field-of-study attribute table. Faithful semantics:
+   *
+   *  - lines whose `references` array is empty or absent are skipped by
+   *    the edge/id pass entirely — their `id` gets no dense id unless it
+   *    appears elsewhere (`JSONParser.cpp:136-139`);
+   *  - dense ids are assigned in FIRST-SEEN order: lines in file order,
+   *    and within a line the subject id before its references, the
+   *    references in array order (`JSONParser.cpp:140-160`);
+   *  - one output edge per reference occurrence — duplicates preserved;
+   *  - a field-of-study occurrence counts only when its weight is
+   *    STRICTLY above `minFieldWeight` (`w > 0.5`,
+   *    `JSONParser.cpp:185-187`), and a field qualifies for the one-hot
+   *    vocabulary only when its count is STRICTLY above `minFieldCount`
+   *    (`> 821`, `JSONParser.cpp:200`); every line contributes counts,
+   *    including reference-free lines the edge pass skipped;
+   *  - field one-hot positions follow SORTED field-name order — the
+   *    reference iterates a `std::map` (`JSONParser.cpp:199-206`);
+   *  - the attribute pass emits one row per input LINE whose id is in
+   *    the vertex map (`JSONParser.cpp:227-230`), with bit i set when
+   *    the line carries qualifying field i at `w > minFieldWeight`.
+   *
+   * The whole pipeline is declarative column work — `from_json`,
+   * `posexplode`, two aggregations, equi-joins — plus two distributed
+   * sort+`zipWithIndex` passes for the dense ranks; nothing funnels
+   * through the driver, so a 100 TB dump reformats as a handful of
+   * shuffles.
+   *
+   * @param lines     raw JSONL lines.
+   * @param lineCol   column holding the JSON text.
+   * @param lineNoCol optional explicit 0-based/monotone line-order
+   *                  column; when absent, file order is taken from the
+   *                  partition-ordered RDD (`zipWithIndex`).
+   */
+  def processJsonDataset(lines: DataFrame, lineCol: String = "value",
+                         lineNoCol: Option[String] = None,
+                         minFieldWeight: Double = 0.5,
+                         minFieldCount: Long = 821L): JsonDataset = {
+    val spark = lines.sparkSession
+    val ordered: DataFrame = lineNoCol match {
+      case Some(c) =>
+        lines.select(col(c).cast(LongType).as("__line"), col(lineCol).as("__raw"))
+      case None =>
+        val rdd = lines.select(col(lineCol)).rdd.zipWithIndex()
+          .map { case (r, i) => org.apache.spark.sql.Row(i, r.getString(0)) }
+        spark.createDataFrame(rdd, StructType(Seq(
+          StructField("__line", LongType, nullable = false),
+          StructField("__raw", StringType))))
+    }
+    val parsed = ordered
+      .select(col("__line"), from_json(col("__raw"), citationSchema).as("j"))
+      .select(col("__line"),
+        col("j.id").cast(LongType).as("__v"),
+        coalesce(col("j.references"), array().cast(ArrayType(StringType))).as("__refs"),
+        coalesce(col("j.fos"), array().cast(citationSchema("fos").dataType)).as("__fos"))
+
+    // ---- dense first-seen ids over lines that HAVE references ----
+    val withRefs = parsed.where(size(col("__refs")) > 0)
+    // occurrence stream: subject at pos 0, references at pos 1..k
+    val occ = withRefs
+      .select(col("__line"),
+        posexplode(concat(array(col("__v").cast(StringType)), col("__refs"))))
+      .select(col("__line"), col("pos").cast(LongType).as("__pos"),
+        col("col").cast(LongType).as("__v"))
+    val firstSeen = occ.groupBy("__v")
+      .agg(min(struct(col("__line"), col("__pos"))).as("__fs"))
+      .select(col("__v"), col("__fs.__line").as("__line"), col("__fs.__pos").as("__pos"))
+    val vertexIds = denseIdsByOrder(firstSeen, "__v", "__line", "__pos", "id")
+      .withColumnRenamed("__v", "vertex")
+
+    val srcIds = vertexIds.select(col("vertex").as("__v"), col("id").as("__sid"))
+    val dstIds = vertexIds.select(col("vertex").as("__rv"), col("id").as("__did"))
+    val edges = withRefs
+      .select(col("__line"), col("__v"), explode(col("__refs")).as("__r"))
+      .select(col("__line"), col("__v"), col("__r").cast(LongType).as("__rv"))
+      .join(srcIds, Seq("__v"))
+      .join(dstIds, Seq("__rv"))
+      .select(col("__sid").as("src"), col("__did").as("dst"))
+
+    // ---- qualifying field vocabulary (strict > on weight and count;
+    // one-hot positions in sorted-name order — the std::map iteration) ----
+    val counted = parsed
+      .select(explode(col("__fos")).as("f"))
+      .where(col("f.w") > minFieldWeight)
+      .groupBy(col("f.name").as("field"))
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > minFieldCount)
+      .select(col("field"))
+    // rank by NAME (not first-seen): same distributed sort+zipWithIndex
+    val fieldRdd = counted.rdd
+      .map(_.getString(0)).sortBy(identity).zipWithIndex()
+      .map { case (f, i) => org.apache.spark.sql.Row(f, i) }
+    val fieldsByName = spark.createDataFrame(fieldRdd, StructType(Seq(
+      StructField("field", StringType, nullable = false),
+      StructField("field_id", LongType, nullable = false))))
+
+    // ---- one-hot attribute rows: every line whose id is in the map ----
+    val lineBits = parsed
+      .select(col("__line"), explode(col("__fos")).as("f"))
+      .where(col("f.w") > minFieldWeight)
+      .join(fieldsByName, col("f.name") === col("field"))
+      .groupBy("__line").agg(collect_set(col("field_id")).as("__set"))
+    val nFields = fieldsByName.agg(count(lit(1)).as("__nf"))
+    val attributes = parsed.select(col("__line"), col("__v"))
+      .join(srcIds, Seq("__v"))
+      .join(lineBits, Seq("__line"), "left")
+      .crossJoin(broadcast(nFields))
+      .select(col("__line").as("line"), col("__sid").as("id"),
+        when(col("__nf") > 0,
+          transform(sequence(lit(0L), col("__nf") - 1), i =>
+            when(array_contains(
+              coalesce(col("__set"), array().cast(ArrayType(LongType))), i), 1)
+              .otherwise(0)))
+          .otherwise(array().cast(ArrayType(IntegerType))).as("attrs"))
+
+    JsonDataset(vertexIds, edges, fieldsByName, attributes)
+  }
+
   /** Build a PropertyGraph from a DataFrame shaped like [[edgeStreamSchema]]
     * (shared by the batch reader and the streaming foreachBatch path). */
   def fromEdgeRecords(parsed: DataFrame, isDirected: Boolean): PropertyGraph = {
