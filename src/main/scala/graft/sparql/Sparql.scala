@@ -79,6 +79,10 @@ object Sparql {
   final case class Const(value: String) extends Term // IRI (brackets stripped) or literal
   /** Predicate-position alternation `(p1|p2|…)` — an `isin` scan filter. */
   final case class AnyOf(values: Seq[String]) extends Term
+  /** Negated property set `!p` / `!(p1|p2|…)` (SPARQL 1.1 §9.1
+    * PathNegatedPropertySet, forward members only) — a NOT-isin scan
+    * filter on the predicate column. */
+  final case class NotOf(values: Seq[String]) extends Term
   sealed trait Pat
   final case class Pattern(s: Term, p: Term, o: Term) extends Pat
   /** Kleene path step: `+` (zero = false), `*` (zero = true) or `?`
@@ -89,11 +93,29 @@ object Sparql {
     case Pattern(s, pr, o) => Seq(s, pr, o)
     case PathPat(s, _, _, _, _, o) => Seq(s, o)
   }
+  // ----- Expressions (BIND / FILTER operands, SPARQL 1.1 §17) -------------
+  /** Scalar expression: a term, a builtin function call, binary
+    * arithmetic, or IF. The value domain is the untyped string literal;
+    * arithmetic and STRLEN take/produce the numeric (double) view —
+    * a non-numeric operand becomes null = unbound, the SPARQL
+    * error-propagation reading `try_cast` matches. */
+  sealed trait SExpr
+  final case class ETerm(t: Term) extends SExpr
+  /** CONCAT / STR / STRLEN / UCASE / LCASE / SUBSTR / REPLACE / COALESCE. */
+  final case class EFn(name: String, args: Seq[SExpr]) extends SExpr
+  final case class EArith(op: Char, l: SExpr, r: SExpr) extends SExpr
+  final case class EIf(cond: FilterExpr, thenE: SExpr, elseE: SExpr) extends SExpr
+
   sealed trait FilterExpr
-  final case class Cmp(op: String, l: Term, r: Term, numeric: Boolean) extends FilterExpr
+  final case class Cmp(op: String, l: SExpr, r: SExpr, numeric: Boolean) extends FilterExpr
   final case class And(l: FilterExpr, r: FilterExpr) extends FilterExpr
   final case class Or(l: FilterExpr, r: FilterExpr) extends FilterExpr
   final case class Not(e: FilterExpr) extends FilterExpr
+  /** Boolean builtin: REGEX(e, pat[, "i"]) / STRSTARTS / STRENDS /
+    * CONTAINS (each (e, e)) / BOUND(?v). */
+  final case class FnCond(name: String, args: Seq[SExpr]) extends FilterExpr
+  /** `expr [NOT] IN (c1, c2, …)` — constant list membership. */
+  final case class InList(e: SExpr, values: Seq[String], negated: Boolean) extends FilterExpr
   /** One aggregate projection: function (COUNT/SUM/AVG/MIN/MAX),
     * argument variable (None = COUNT(*)), alias, and the DISTINCT
     * modifier (COUNT only). SUM/AVG operate on the numeric view of the
@@ -115,7 +137,9 @@ object Sparql {
                          minuses: Seq[Seq[Pat]] = Seq.empty,
                          existsFilters: Seq[(Boolean, Seq[Pat])] = Seq.empty,
                          valuesBlocks: Seq[ValuesBlock] = Seq.empty,
-                         offset: Option[Int] = None)
+                         offset: Option[Int] = None,
+                         binds: Seq[(String, SExpr)] = Seq.empty,
+                         describe: Seq[Term] = Seq.empty)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -139,7 +163,7 @@ object Sparql {
         val j = s.indexOf('"', i + 1)
         require(j > 0, s"unterminated literal at offset $i")
         out += s.substring(i, j + 1); i = j + 1
-      } else if ("{}().".contains(c)) { out += c.toString; i += 1 }
+      } else if ("{}().,".contains(c)) { out += c.toString; i += 1 }
       else if (c == '&') {
         require(i + 1 < s.length && s(i + 1) == c, s"single '$c' at offset $i")
         out += s.substring(i, i + 2); i += 2
@@ -154,7 +178,7 @@ object Sparql {
         } else { out += c.toString; i += 1 }
       } else {
         var j = i
-        while (j < s.length && !s(j).isWhitespace && !"{}().\"<>=!&|".contains(s(j))) j += 1
+        while (j < s.length && !s(j).isWhitespace && !"{}().,\"<>=!&|".contains(s(j))) j += 1
         out += s.substring(i, j); i = j
       }
     }
@@ -177,9 +201,10 @@ object Sparql {
       else Const(t)
 
     // query form: SELECT … WHERE | ASK WHERE | CONSTRUCT { template } WHERE
+    // | DESCRIBE term… [WHERE] — the four SPARQL 1.1 query forms
     val form = pop().toUpperCase
-    require(Seq("SELECT", "ASK", "CONSTRUCT").contains(form),
-      s"expected SELECT/ASK/CONSTRUCT, got '$form'")
+    require(Seq("SELECT", "ASK", "CONSTRUCT", "DESCRIBE").contains(form),
+      s"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got '$form'")
     val distinct = form == "SELECT" &&
       peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
     val proj = scala.collection.mutable.ListBuffer.empty[String]
@@ -195,6 +220,16 @@ object Sparql {
       }
       expect("}")
     }
+    // DESCRIBE resources: constants (no WHERE needed) and/or ?vars bound
+    // by the WHERE block
+    val describeTerms = scala.collection.mutable.ListBuffer.empty[Term]
+    if (form == "DESCRIBE") {
+      while (ts.nonEmpty && !peek.equalsIgnoreCase("WHERE"))
+        describeTerms += term(pop())
+      require(describeTerms.nonEmpty, "DESCRIBE needs at least one resource or ?var")
+    }
+    val hasWhere = form != "DESCRIBE" ||
+      (ts.nonEmpty && peek.equalsIgnoreCase("WHERE"))
     while (form == "SELECT" && !peek.equalsIgnoreCase("WHERE")) {
       val t = pop()
       if (t == "*") star = true
@@ -221,13 +256,13 @@ object Sparql {
       }
       else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
     }
-    expect("WHERE"); expect("{")
     val patterns = scala.collection.mutable.ListBuffer.empty[Pat]
     val optionals = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
     val filters = scala.collection.mutable.ListBuffer.empty[FilterExpr]
     val minuses = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
     val existsFilters = scala.collection.mutable.ListBuffer.empty[(Boolean, Seq[Pat])]
     val valuesBlocks = scala.collection.mutable.ListBuffer.empty[ValuesBlock]
+    val binds = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
 
     // ---- property paths (SPARQL 1.1 subset: ^inverse, p1/p2 sequence,
     // (p1|p2) alternation, Kleene */+/? on constant predicate sets,
@@ -243,6 +278,8 @@ object Sparql {
     def altValues(t: Term): Seq[String] = t match {
       case Const(v) => Seq(v)
       case AnyOf(vs) => vs
+      case NotOf(_) => throw new IllegalArgumentException(
+        "a negated property set cannot take a path modifier or join an alternation")
       case V(n) => throw new IllegalArgumentException(
         s"property paths cannot contain variables (?$n)")
     }
@@ -286,7 +323,24 @@ object Sparql {
       def feedUnit(): Unit = {
         var inv = false
         if (peek == "^") { pop(); inv = true }
-        if (peek == "(") {
+        if (peek == "!") {
+          // negated property set: !p | !(p1|p2|…) — forward members only
+          // (SPARQL 1.1 §9.1); compiles to a NOT-isin predicate filter
+          pop()
+          require(!inv, "cannot invert a negated property set (^!p)")
+          val vals = scala.collection.mutable.ListBuffer.empty[String]
+          def member(): Unit = {
+            require(peek != "^" && !peek.startsWith("^"),
+              "inverse members in a negated property set are not supported")
+            vals ++= altValues(pathTerm(pop()))
+          }
+          if (peek == "(") {
+            pop(); member()
+            while (peek == "|") { pop(); member() }
+            expect(")")
+          } else member()
+          steps += ((NotOf(vals.toList.distinct), false, None))
+        } else if (peek == "(") {
           pop()
           val vals = scala.collection.mutable.ListBuffer.empty[String]
           vals ++= altValues(pathTerm(pop()))
@@ -321,7 +375,8 @@ object Sparql {
       }
       if (steps.size > 1 || steps.exists(t => t._2 || t._3.nonEmpty))
         require(steps.forall(t =>
-          t._1.isInstanceOf[Const] || t._1.isInstanceOf[AnyOf]),
+          t._1.isInstanceOf[Const] || t._1.isInstanceOf[AnyOf] ||
+            t._1.isInstanceOf[NotOf]),
           "property paths cannot contain variables (SPARQL 1.1)")
       val oT = term(pop())
       if (peek == ".") pop()
@@ -345,16 +400,122 @@ object Sparql {
       case Const(v) => scala.util.Try(v.toDouble).isSuccess
       case _ => false
     }
+    // scalar-expression builtins (BIND / comparison operands) vs boolean
+    // builtins (FILTER atoms)
+    val exprFns = Set("CONCAT", "STR", "STRLEN", "UCASE", "LCASE",
+      "SUBSTR", "REPLACE", "COALESCE")
+    val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND")
+
+    /** Does the expression carry the numeric (double) view? Drives the
+      * comparison coercion exactly as bare numeric literals always have. */
+    def isNumericExpr(e: SExpr): Boolean = e match {
+      case ETerm(t) => numericLit(t)
+      case EArith(_, _, _) => true
+      case EFn("STRLEN", _) => true
+      case EIf(_, a, b) => isNumericExpr(a) || isNumericExpr(b)
+      case _ => false
+    }
+
+    /** Scalar expression: `add := mul (('+'|'-') mul)*`,
+      * `mul := primary (('*'|'/') primary)*`, primaries are parens,
+      * IF(cond, e, e), the builtin functions, or a term. Operators must
+      * be whitespace-separated (the tokenizer glues `?x+1` into one
+      * token — the Kleene-path gluing discipline). */
+    def parseExpr(): SExpr = {
+      def fnArgs(): List[SExpr] = {
+        expect("(")
+        val args = scala.collection.mutable.ListBuffer.empty[SExpr]
+        if (peek != ")") {
+          args += parseExpr()
+          while (peek == ",") { pop(); args += parseExpr() }
+        }
+        expect(")")
+        args.toList
+      }
+      def primary(): SExpr = {
+        val pk = peek
+        if (pk == "(") { pop(); val e = parseExpr(); expect(")"); e }
+        else if (pk.equalsIgnoreCase("IF")) {
+          pop(); expect("(")
+          val c = parseFilter(); expect(",")
+          val t1 = parseExpr(); expect(",")
+          val t2 = parseExpr(); expect(")")
+          EIf(c, t1, t2)
+        } else if (exprFns.contains(pk.toUpperCase)) {
+          val fn = pop().toUpperCase
+          val args = fnArgs()
+          val arity: PartialFunction[String, Boolean] = {
+            case "CONCAT" | "COALESCE" => args.nonEmpty
+            case "STR" | "STRLEN" | "UCASE" | "LCASE" => args.size == 1
+            case "SUBSTR" => args.size == 2 || args.size == 3
+            case "REPLACE" => args.size == 3
+          }
+          require(arity(fn), s"wrong number of arguments for $fn")
+          EFn(fn, args)
+        } else ETerm(term(pop()))
+      }
+      def mul(): SExpr = {
+        var e = primary()
+        while (peek == "*" || peek == "/") {
+          val op = pop().head; e = EArith(op, e, primary())
+        }
+        e
+      }
+      var e = mul()
+      while (peek == "+" || peek == "-") {
+        val op = pop().head; e = EArith(op, e, mul())
+      }
+      e
+    }
+
     def parseFilter(): FilterExpr = {
       def atom(): FilterExpr = {
         if (peek == "!") { pop(); Not(atom()) }
+        // "(" opens a parenthesized BOOLEAN group here; parenthesized
+        // arithmetic is available inside parseExpr primaries (i.e. not
+        // as the leftmost token of a comparison)
         else if (peek == "(") { pop(); val e = orExpr(); expect(")"); e }
-        else {
-          val l = term(pop())
-          val op = pop()
-          require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator '$op'")
-          val r = term(pop())
-          Cmp(op, l, r, numericLit(l) || numericLit(r))
+        else if (boolFns.contains(peek.toUpperCase)) {
+          val fn = pop().toUpperCase
+          expect("(")
+          val args = scala.collection.mutable.ListBuffer.empty[SExpr]
+          if (peek != ")") {
+            args += parseExpr()
+            while (peek == ",") { pop(); args += parseExpr() }
+          }
+          expect(")")
+          fn match {
+            case "BOUND" =>
+              require(args.size == 1 && args.head.isInstanceOf[ETerm] &&
+                args.head.asInstanceOf[ETerm].t.isInstanceOf[V],
+                "BOUND takes exactly one ?var")
+            case "REGEX" => require(args.size == 2 || args.size == 3,
+              "REGEX takes (expr, pattern[, flags])")
+            case _ => require(args.size == 2, s"$fn takes exactly two arguments")
+          }
+          FnCond(fn, args.toList)
+        } else {
+          val l = parseExpr()
+          if (peek.equalsIgnoreCase("IN") || peek.equalsIgnoreCase("NOT")) {
+            val negated = pop().equalsIgnoreCase("NOT")
+            if (negated) expect("IN")
+            expect("(")
+            val vs = scala.collection.mutable.ListBuffer.empty[String]
+            def constTok(): Unit = term(pop()) match {
+              case Const(v) => vs += v
+              case other => throw new IllegalArgumentException(
+                s"IN list must be constants, got $other")
+            }
+            constTok()
+            while (peek == ",") { pop(); constTok() }
+            expect(")")
+            InList(l, vs.toList, negated)
+          } else {
+            val op = pop()
+            require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator '$op'")
+            val r = parseExpr()
+            Cmp(op, l, r, isNumericExpr(l) || isNumericExpr(r))
+          }
         }
       }
       def andExpr(): FilterExpr = {
@@ -381,8 +542,22 @@ object Sparql {
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
+    if (hasWhere) {
+    expect("WHERE"); expect("{")
     while (peek != "}") {
-      if (peek == "{") {
+      if (peek.equalsIgnoreCase("BIND")) {
+        // BIND(expr AS ?v) — evaluated once the required patterns,
+        // inline data and OPTIONAL blocks are joined (null input =
+        // unbound = SPARQL error propagation)
+        pop(); expect("(")
+        val e = parseExpr()
+        expect("AS")
+        val v = pop()
+        require(isVar(v), s"BIND needs an ?alias, got '$v'")
+        expect(")")
+        binds += ((v.drop(1), e))
+        if (peek == ".") pop()
+      } else if (peek == "{") {
         // { bgp } UNION { bgp } [UNION { bgp } ...] -- one chain per query
         require(unionBranches.isEmpty, "only one UNION chain is supported")
         unionBranches += braceBlock()
@@ -456,6 +631,7 @@ object Sparql {
       } else patterns ++= parsePatterns()
     }
     expect("}")
+    } // hasWhere
     val order = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
     val groupBy = scala.collection.mutable.ListBuffer.empty[String]
     var limit: Option[Int] = None
@@ -488,14 +664,43 @@ object Sparql {
       else if (t.equalsIgnoreCase("OFFSET")) offset = Some(pop().toInt)
       else throw new IllegalArgumentException(s"unexpected trailing token '$t'")
     }
-    require(patterns.nonEmpty || unionBranches.nonEmpty,
+    require(!hasWhere || patterns.nonEmpty || unionBranches.nonEmpty,
       "WHERE block needs at least one triple pattern")
     // `__path*` intermediates exist only to chain path steps: invisible
     // to `*` projections and not addressable by name
-    val known = ((patterns ++ unionBranches.flatten ++ optionals.flatten)
+    val patternVars = ((patterns ++ unionBranches.flatten ++ optionals.flatten)
       .flatMap(termsOf)
       .collect { case V(n) if !n.startsWith("__path") => n } ++
       valuesBlocks.flatMap(_.vars)).distinct
+    // BIND aliases: no rebinding (SPARQL 1.1 §10.1), expressions may only
+    // reference pattern variables and EARLIER aliases
+    def varsOfExpr(e: SExpr): Seq[String] = e match {
+      case ETerm(V(n)) => Seq(n)
+      case ETerm(_) => Seq.empty
+      case EFn(_, as) => as.flatMap(varsOfExpr)
+      case EArith(_, a, b) => varsOfExpr(a) ++ varsOfExpr(b)
+      case EIf(c, a, b) => varsOfFilter(c) ++ varsOfExpr(a) ++ varsOfExpr(b)
+    }
+    def varsOfFilter(f: FilterExpr): Seq[String] = f match {
+      case Cmp(_, a, b, _) => varsOfExpr(a) ++ varsOfExpr(b)
+      case And(a, b) => varsOfFilter(a) ++ varsOfFilter(b)
+      case Or(a, b) => varsOfFilter(a) ++ varsOfFilter(b)
+      case Not(x) => varsOfFilter(x)
+      case FnCond(_, as) => as.flatMap(varsOfExpr)
+      case InList(e, _, _) => varsOfExpr(e)
+    }
+    var bindScope = patternVars
+    binds.foreach { case (v, e) =>
+      require(!bindScope.contains(v), s"BIND would rebind ?$v")
+      varsOfExpr(e).foreach(u => require(bindScope.contains(u),
+        s"BIND expression references unbound ?$u"))
+      bindScope = bindScope :+ v
+    }
+    val known = bindScope
+    describeTerms.foreach {
+      case V(n) => require(known.contains(n), s"unknown variable ?$n")
+      case _ => ()
+    }
     val aliases = aggs.map(_.alias)
     val projection: scala.collection.immutable.Seq[String] =
       if (star || proj.isEmpty) known.toList else proj.toList
@@ -514,7 +719,8 @@ object Sparql {
       filters.toSeq, order.toSeq, limit,
       ask = form == "ASK", construct = template.toList,
       minuses = minuses.toList, existsFilters = existsFilters.toList,
-      valuesBlocks = valuesBlocks.toList, offset = offset)
+      valuesBlocks = valuesBlocks.toList, offset = offset,
+      binds = binds.toList, describe = describeTerms.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
