@@ -3622,6 +3622,106 @@ object Queries {
              |JOIN region ON n_regionkey = r_regionkey
              |ORDER BY s, o""".stripMargin))),
 
+    // SPARQL 1.1 §10.1 BIND + §17 expressions: an arithmetic alias
+    // (numeric view via try_cast — error = unbound) and a string alias
+    // built from LCASE/SUBSTR/STR/CONCAT, both created by withColumn
+    // on the solution frame (pure codegen'd projections, no shuffle).
+    "sparql_bind" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n ?tag ?k2 WHERE {
+            |  ?n <locatedIn> ?r .
+            |  ?n <key> ?k .
+            |  BIND(?k * 2 + 1 AS ?k2)
+            |  BIND(CONCAT(LCASE(SUBSTR(?r, 8, 3)), "/", STR(?k)) AS ?tag)
+            |} ORDER BY ?n""".stripMargin),
+      Some("""WITH li AS (SELECT 'nation/' || n_name AS n,
+             |    'region/' || r_name AS r, n_nationkey AS k
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+             |SELECT n, lower(substr(r, 8, 3)) || '/' || CAST(k AS VARCHAR) AS tag,
+             |  CAST(k * 2 + 1 AS DOUBLE) AS k2
+             |FROM li ORDER BY n""".stripMargin))),
+
+    // SPARQL §17.4 boolean builtins: REGEX with the "i" flag,
+    // STRSTARTS/CONTAINS on the segment, and !BOUND over an OPTIONAL
+    // (the unmatched-left-join-null reading of unbound).
+    "sparql_regex" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <fromNation> ?n .
+            |  ?c <segment> ?s .
+            |  OPTIONAL { ?c <bigspender> ?b . }
+            |  FILTER(REGEX(?n, "nation_1[0-9]$", "i") && STRSTARTS(?s, "BUI")
+            |    && CONTAINS(?s, "ING") && !BOUND(?b))
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |seg AS (SELECT 'customer/' || c_custkey AS c, c_mktsegment AS s FROM customer),
+             |bs AS (SELECT 'customer/' || c_custkey AS c FROM customer WHERE c_acctbal > 9000)
+             |SELECT fn.c, fn.n FROM fn JOIN seg ON fn.c = seg.c
+             |LEFT JOIN bs ON fn.c = bs.c
+             |WHERE regexp_matches(fn.n, '(?i)nation_1[0-9]$')
+             |  AND seg.s LIKE 'BUI%' AND seg.s LIKE '%ING%' AND bs.c IS NULL
+             |ORDER BY fn.c""".stripMargin))),
+
+    // SPARQL §17.4.1.9 NOT IN: constant-list exclusion compiled to a
+    // codegen'd NOT-isin under the grouped count.
+    "sparql_in" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n (COUNT(?c) AS ?customers) WHERE {
+            |  ?c <fromNation> ?n .
+            |  ?c <segment> ?s .
+            |  FILTER(?s NOT IN ("BUILDING", "AUTOMOBILE"))
+            |} GROUP BY ?n ORDER BY ?n""".stripMargin),
+      Some("""SELECT 'nation/' || n_name AS n,
+             |  CAST(count(*) AS BIGINT) AS customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+             |GROUP BY 1 ORDER BY n""".stripMargin))),
+
+    // SPARQL 1.1 §9.1 negated property set !(p1|…): one NOT-isin scan
+    // filter on the predicate column — what survives is locatedIn and
+    // suppliesFrom (`a` = the rdf:type keyword, legal in the set).
+    "sparql_negated_path" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?s ?o WHERE {
+            |  ?s !(<fromNation>|<segment>|<key>|<bigspender>|a) ?o .
+            |} ORDER BY ?s ?o""".stripMargin),
+      Some("""SELECT * FROM (
+             |  SELECT 'nation/' || n_name AS s, 'region/' || r_name AS o
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL
+             |  SELECT 'supplier/' || s_suppkey, 'nation/' || n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+             |ORDER BY s, o""".stripMargin))),
+
+    // SPARQL 1.1 §16.4 DESCRIBE ?var WHERE: resources resolved from the
+    // WHERE solutions, then ONE broadcast semi-join sweep of the triple
+    // store for every triple touching them (symmetric CBD-lite).
+    "sparql_describe" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """DESCRIBE ?n WHERE { ?n <key> "7" . }""")
+          .orderBy(col("s"), col("p"), col("o")),
+      Some("""WITH res AS (SELECT 'nation/' || n_name AS r FROM nation
+             |  WHERE n_nationkey = 7),
+             |tri AS (
+             |  SELECT 'customer/' || c_custkey AS s, 'fromNation' AS p,
+             |    'nation/' || n_name AS o
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT 'nation/' || n_name, 'locatedIn', 'region/' || r_name
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'nation/' || n_name, 'key', CAST(n_nationkey AS VARCHAR)
+             |  FROM nation
+             |  UNION ALL SELECT 'supplier/' || s_suppkey, 'suppliesFrom', 'nation/' || n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+             |SELECT DISTINCT t.s, t.p, t.o
+             |FROM tri t JOIN res ON t.s = res.r OR t.o = res.r
+             |ORDER BY s, p, o""".stripMargin))),
+
     "rdf_ingest" -> ((
       (s: SparkSession, d: String) => {
         val lines = t(s, d, "nation")

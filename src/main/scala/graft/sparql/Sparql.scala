@@ -732,6 +732,9 @@ object Sparql {
     bindings.foreach { case (c, t) => t match {
       case Const(v) => df = df.where(col(c) === v)
       case AnyOf(vs) => df = df.where(col(c).isin(vs: _*))
+      // negated property set !p / !(p1|p2): the predicate column is
+      // never null, so NOT-isin is a plain scan filter
+      case NotOf(vs) => df = df.where(!col(c).isin(vs: _*))
       case V(_) => ()
     } }
     val varCols = bindings.collect { case (c, V(n)) => (c, n) }
@@ -852,20 +855,56 @@ object Sparql {
       else acc.join(next, shared)
     }
 
+  /** Scalar expression → Column over the variable-named solution frame.
+    * The value domain is the untyped string literal; arithmetic and
+    * STRLEN carry the numeric (double/int) view. `try_cast` encodes
+    * SPARQL error propagation: a non-numeric operand in a numeric
+    * position evaluates to null = the solution drops out of FILTERs and
+    * the BIND alias stays unbound — where ANSI cast would fail the
+    * whole query (SPARQL 1.1 §17.2). */
+  private def compileExpr(e: SExpr): Column = e match {
+    case ETerm(V(n)) => col(n)
+    case ETerm(Const(v)) => lit(v)
+    case ETerm(other) => throw new IllegalArgumentException(
+      s"property-set term $other is only valid in the predicate position")
+    case EArith(op, l, r) =>
+      val a = compileExpr(l).try_cast("double")
+      val b = compileExpr(r).try_cast("double")
+      op match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => a / b
+      }
+    case EFn(name, args) =>
+      def arg(i: Int): Column = compileExpr(args(i))
+      name match {
+        case "CONCAT" => concat(args.map(a => compileExpr(a).cast("string")): _*)
+        case "STR" => arg(0).cast("string")
+        case "STRLEN" => length(arg(0))
+        case "UCASE" => upper(arg(0))
+        case "LCASE" => lower(arg(0))
+        // SPARQL SUBSTR is 1-based with an optional length — exactly
+        // SQL substring
+        case "SUBSTR" =>
+          val start = arg(1).try_cast("int")
+          if (args.size == 3) arg(0).substr(start, arg(2).try_cast("int"))
+          else arg(0).substr(start, lit(Int.MaxValue))
+        // SPARQL REPLACE is regex-based (fn:replace)
+        case "REPLACE" => regexp_replace(arg(0), arg(1), arg(2))
+        case "COALESCE" => coalesce(args.map(compileExpr): _*)
+      }
+    case EIf(c, t1, t2) =>
+      when(compileFilter(c), compileExpr(t1)).otherwise(compileExpr(t2))
+  }
+
   private def compileFilter(e: FilterExpr): Column = e match {
     case And(l, r) => compileFilter(l) && compileFilter(r)
     case Or(l, r) => compileFilter(l) || compileFilter(r)
     case Not(x) => !compileFilter(x)
     case Cmp(op, l, r, numeric) =>
-      def side(t: Term): Column = t match {
-        // try_cast: a non-numeric binding compared numerically is a
-        // SPARQL type error — the solution drops (null comparison),
-        // where ANSI cast would fail the whole query
-        case V(n) => if (numeric) col(n).try_cast("double") else col(n)
-        case Const(v) => if (numeric) lit(v.toDouble) else lit(v)
-        case AnyOf(_) => throw new IllegalArgumentException(
-          "alternation is only valid in the predicate position")
-      }
+      def side(e: SExpr): Column =
+        if (numeric) compileExpr(e).try_cast("double") else compileExpr(e)
       val (a, b) = (side(l), side(r))
       op match {
         case "=" => a === b
@@ -875,6 +914,32 @@ object Sparql {
         case ">" => a > b
         case ">=" => a >= b
       }
+    case FnCond(fn, args) => fn match {
+      case "BOUND" => args.head match {
+        case ETerm(V(n)) => col(n).isNotNull
+        case other => throw new IllegalArgumentException(s"BOUND($other)")
+      }
+      case "REGEX" =>
+        // optional "i" flag → embedded case-insensitivity group, the
+        // java.util.regex spelling both engines understand
+        val pat0 = compileExpr(args(1))
+        val pat = if (args.size == 3) args(2) match {
+          case ETerm(Const(f)) if f.contains("i") => concat(lit("(?i)"), pat0)
+          case ETerm(Const(_)) => pat0
+          case other => throw new IllegalArgumentException(
+            s"REGEX flags must be a constant literal, got $other")
+        } else pat0
+        regexp_like(compileExpr(args(0)), pat)
+      case "STRSTARTS" => compileExpr(args(0)).startsWith(compileExpr(args(1)))
+      case "STRENDS" => compileExpr(args(0)).endsWith(compileExpr(args(1)))
+      case "CONTAINS" => compileExpr(args(0)).contains(compileExpr(args(1)))
+    }
+    // [NOT] IN over a constant list; on a null (unbound/error) operand
+    // both forms yield null → the solution drops, the SPARQL
+    // error-propagation reading
+    case InList(e, values, negated) =>
+      val in = compileExpr(e).isin(values: _*)
+      if (negated) !in else in
   }
 
   /** Run a query over a (s, p, o) triple frame. */
@@ -895,6 +960,9 @@ object Sparql {
     }
     var df = (unioned, q.patterns) match {
       case (Some(u), Seq()) => u
+      // DESCRIBE <iri> with no WHERE block: no solution frame at all —
+      // the describe step below resolves constants against the graph
+      case (None, Seq()) => null
       case (None, ps) => joinAll(t, ps)
       case (Some(u), ps) =>
         val base = joinAll(t, ps)
@@ -941,6 +1009,11 @@ object Sparql {
       require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
       df = df.join(opt, shared, "left")
     }
+    // BIND aliases, in declaration order (each may reference pattern,
+    // VALUES, OPTIONAL and earlier-alias variables — the parse-time
+    // scope check guarantees it); a null input propagates to an unbound
+    // alias, the SPARQL error semantics
+    q.binds.foreach { case (v, e) => df = df.withColumn(v, compileExpr(e)) }
     // a shared variable that can arrive UNBOUND (null) makes equi-join
     // keys diverge from SPARQL compatibility semantics — the same
     // discipline as the UNION restriction: reject, never mis-answer
@@ -978,6 +1051,26 @@ object Sparql {
       }
     }
     q.filters.foreach(f => df = df.where(compileFilter(f)))
+    if (q.describe.nonEmpty) {
+      // DESCRIBE (SPARQL 1.1 §16.4, symmetric-CBD-lite): the result is
+      // the sub-graph of every triple whose subject OR object is one of
+      // the resolved resources. Resources: constants directly; ?vars
+      // from the WHERE solutions. The resource set is small by
+      // construction (a described entity list), so it broadcasts and
+      // the triple store is swept once — no per-resource scans.
+      val consts = q.describe.collect { case Const(v) => v }
+      val vars = q.describe.collect { case V(n) => n }
+      val sess = t.sparkSession
+      import sess.implicits._
+      val parts =
+        (if (consts.isEmpty) Seq.empty[DataFrame] else Seq(consts.toDF("__r"))) ++
+        vars.map(n => df.select(col(n).cast("string").as("__r")))
+      val res = broadcast(parts.reduceLeft(_ unionByName _)
+        .where(col("__r").isNotNull).distinct())
+      return t.join(res, col("s") === col("__r") || col("o") === col("__r"),
+          "left_semi")
+        .select(col("s"), col("p"), col("o")).distinct()
+    }
     if (q.ask) {
       // ASK: one boolean row — does any solution exist (lazy, no action)
       return df.limit(1).select(lit(1).as("__x"))
@@ -990,8 +1083,8 @@ object Sparql {
       def side(t: Term): Column = t match {
         case V(n) => col(n).cast("string")
         case Const(v) => lit(v)
-        case AnyOf(_) => throw new IllegalArgumentException(
-          "alternation is only valid in the predicate position")
+        case other => throw new IllegalArgumentException(
+          s"property-set term $other is only valid in the predicate position")
       }
       return q.construct.map { tp =>
         df.select(side(tp.s).as("s"), side(tp.p).as("p"), side(tp.o).as("o"))

@@ -1448,4 +1448,133 @@ class CypherSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(ok === Seq(("a", "41"), ("a", "b")))
   }
+
+  test("sparql expressions: BIND, arithmetic, string fns, IF, error-as-unbound") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "age", "41"), ("b", "age", "7"), ("c", "age", "old"),
+      ("a", "name", "Ann"), ("b", "name", "bob"))
+      .toDF("s", "p", "o")
+    // arithmetic BIND + filter over the alias
+    val doubled = Sparql.run(triples,
+      """SELECT ?x ?d WHERE { ?x <age> ?a . BIND(?a * 2 AS ?d)
+        |  FILTER(?d > 10) } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(doubled === Seq(("a", 82.0), ("b", 14.0)))
+    // non-numeric "old" * 2 → null alias (error = unbound, not a crash);
+    // BOUND() sees it
+    val unbound = Sparql.run(triples,
+      """SELECT ?x WHERE { ?x <age> ?a . BIND(?a * 2 AS ?d)
+        |  FILTER(!BOUND(?d)) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(unbound === Seq("c"))
+    // string builtins chain + CONCAT; later BIND sees earlier alias
+    val tagged = Sparql.run(triples,
+      """SELECT ?x ?t WHERE { ?x <name> ?n .
+        |  BIND(UCASE(?n) AS ?u) . BIND(CONCAT(?u, "/", STR(STRLEN(?n))) AS ?t)
+        |} ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tagged === Seq(("a", "ANN/3"), ("b", "BOB/3")))
+    // IF + comparison inside an expression position
+    val band = Sparql.run(triples,
+      """SELECT ?x ?b WHERE { ?x <age> ?a .
+        |  BIND(IF(?a >= 18, "adult", "minor") AS ?b) } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(band === Seq(("a", "adult"), ("b", "minor"), ("c", "minor")))
+    // SUBSTR (1-based), REPLACE (regex), LCASE, COALESCE over OPTIONAL null
+    val s1 = Sparql.run(triples,
+      """SELECT ?x ?v WHERE { ?x <age> ?a . OPTIONAL { ?x <name> ?n . }
+        |  BIND(COALESCE(?n, "?") AS ?v) } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(s1 === Seq(("a", "Ann"), ("b", "bob"), ("c", "?")))
+    val s2 = Sparql.run(triples,
+      """SELECT ?v WHERE { <a> <name> ?n .
+        |  BIND(REPLACE(LCASE(SUBSTR(?n, 1, 2)), "n+", "N") AS ?v) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(s2 === Seq("aN"))
+    // rebinding and forward references are parse-time errors
+    val e1 = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <age> ?a . BIND(1 + 1 AS ?a) }"))
+    assert(e1.getMessage.contains("rebind"))
+    val e2 = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <age> ?a . BIND(?later AS ?b) }"))
+    assert(e2.getMessage.contains("unbound"))
+  }
+
+  test("sparql FILTER builtins: REGEX, STRSTARTS/ENDS/CONTAINS, IN / NOT IN") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "name", "Annette"), ("b", "name", "bob"), ("c", "name", "Carol"),
+      ("a", "seg", "AUTO"), ("b", "seg", "BUILDING"), ("c", "seg", "STEEL"))
+      .toDF("s", "p", "o")
+    def names(q: String): Seq[String] =
+      Sparql.run(triples, q).collect().map(_.getString(0)).sorted.toSeq
+    assert(names("SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, \"^ann\", \"i\")) }")
+      === Seq("a"))
+    assert(names("SELECT ?x WHERE { ?x <name> ?n . FILTER(STRSTARTS(?n, \"C\")) }")
+      === Seq("c"))
+    assert(names("SELECT ?x WHERE { ?x <name> ?n . FILTER(STRENDS(?n, \"ol\")) }")
+      === Seq("c"))
+    assert(names("SELECT ?x WHERE { ?x <name> ?n . FILTER(CONTAINS(?n, \"nn\")) }")
+      === Seq("a"))
+    assert(names(
+      "SELECT ?x WHERE { ?x <seg> ?s . FILTER(?s IN (\"AUTO\", \"STEEL\")) }")
+      === Seq("a", "c"))
+    assert(names(
+      "SELECT ?x WHERE { ?x <seg> ?s . FILTER(?s NOT IN (\"AUTO\", \"STEEL\")) }")
+      === Seq("b"))
+    // boolean combinations still compose around the new atoms
+    assert(names(
+      """SELECT ?x WHERE { ?x <name> ?n . ?x <seg> ?s .
+        |  FILTER(CONTAINS(?n, "o") && !(?s IN ("STEEL"))) }""".stripMargin)
+      === Seq("b"))
+    // IN list members must be constants
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <seg> ?s . FILTER(?s IN (?x)) }"))
+  }
+
+  test("sparql negated property sets and DESCRIBE") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "knows", "b"), ("a", "age", "41"), ("a", "name", "Ann"),
+      ("b", "likes", "c"), ("c", "age", "9"))
+      .toDF("s", "p", "o")
+    // !p and !(p1|p2) — NOT-isin scans binding both endpoints
+    val notKnows = Sparql.run(triples,
+      "SELECT ?x ?y WHERE { ?x !<knows> ?y . } ORDER BY ?x ?y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(notKnows === Seq(("a", "41"), ("a", "Ann"), ("b", "c"), ("c", "9")))
+    val notSet = Sparql.run(triples,
+      "SELECT ?x ?y WHERE { ?x !(<knows>|<age>|<name>) ?y . }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(notSet === Seq(("b", "c")))
+    // inverse/modifier forms on negated sets are rejected
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x ?y WHERE { ?x ^!<knows> ?y . }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x ?y WHERE { ?x !(<knows>|^<age>) ?y . }"))
+    // DESCRIBE <iri>: every triple with the resource as subject or object
+    val dA = Sparql.run(triples, "DESCRIBE <a>")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(dA === Set(("a", "knows", "b"), ("a", "age", "41"), ("a", "name", "Ann")))
+    val dB = Sparql.run(triples, "DESCRIBE <b>")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(dB === Set(("a", "knows", "b"), ("b", "likes", "c")))
+    // DESCRIBE ?var WHERE — resources resolved from the solutions
+    val dVar = Sparql.run(triples,
+      "DESCRIBE ?x WHERE { ?x <age> ?a . FILTER(?a > 18) }")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(dVar === dA)
+    // mixed constants + vars, duplicates collapse (a set of triples)
+    val dMix = Sparql.run(triples,
+      "DESCRIBE <b> ?x WHERE { ?x <name> ?n . }")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(dMix === (dA ++ dB))
+    intercept[IllegalArgumentException](Sparql.parse("DESCRIBE"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "DESCRIBE ?x WHERE { ?y <age> ?a . }"))
+  }
 }
