@@ -3759,6 +3759,13 @@ object Queries {
     // (strict w > 0.5 / count > 100 thresholds, sorted-name positions)
     // for every line whose id earned a dense id, flattened to a bit
     // string (the harness takes no raw arrays).
+    // ORACLE ASSUMPTION (pinned): the field vocabulary is NON-EMPTY at
+    // this fixture/threshold (market segments always clear
+    // minFieldCount=100 at sf0.01). With an empty vocabulary the Spark
+    // side emits one empty-bits row per mapped line while the CROSS
+    // JOIN grid below yields zero rows — if the threshold or fixture
+    // ever changes, switch the oracle to a LEFT JOIN from lines with
+    // coalesce(bits, '').
     "json_dataset_attrs" -> ((
       (s: SparkSession, d: String) =>
         graft.sources.GraphSources.processJsonDataset(

@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -55,11 +54,11 @@ object LinkPrediction {
    * Candidates that happen to be REAL edges are dropped by an anti-join,
    * so the output is a true negative set of ≤ one row per positive.
    *
-   * The `ROW_NUMBER` over distinct destinations is a single-partition
-   * sort of the DISTINCT dst set only — the positives themselves are
-   * never globally sorted. Intended for label-like destination sets
-   * (categories, nations, products); for huge dst sets rotate within
-   * hash ranges instead of one global index.
+   * The destination index is a DISTRIBUTED range-partitioned sort of
+   * the distinct dst set plus `zipWithIndex` partition offsets (the
+   * `denseIdsByOrder` pattern) — no single-partition `row_number()`
+   * window anywhere, so a billion-destination set still indexes as a
+   * normal sort. The positives themselves are never globally sorted.
    *
    * @param edges      positive edges.
    * @param hashKeyCol numeric column of `edges` seeding the per-edge
@@ -68,9 +67,16 @@ object LinkPrediction {
    */
   def rotationNegatives(edges: DataFrame, srcCol: String, dstCol: String,
                         hashKeyCol: String): DataFrame = {
+    val spark = edges.sparkSession
     val dsts = edges.select(col(dstCol)).distinct()
-    val idx = dsts.withColumn("__j",
-      row_number().over(Window.orderBy(col(dstCol))) - 1)
+    // dense 0-based index in engine sort order: DataFrame orderBy is a
+    // range-partitioned sort whose partitions ascend by index, so
+    // zipWithIndex yields exactly the global rank — same values the
+    // window produced, without the one-task funnel
+    val idxRdd = dsts.orderBy(col(dstCol)).rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val idx = spark.createDataFrame(idxRdd,
+      dsts.schema.add("__j", LongType, nullable = false))
     val n = idx.count()
     require(n >= 2, "need at least two distinct destinations to rotate")
     val cand = edges.select(col(srcCol), col(dstCol), col(hashKeyCol))
@@ -166,30 +172,38 @@ object LinkPrediction {
    * denominator is empty (no predicted positives, one-class set).
    *
    * Accuracy/precision/recall/F1 threshold `scoreCol` at `threshold`;
-   * AUC is the exact Mann–Whitney statistic via average ranks —
-   * avgrank = min-rank + (ties−1)/2 over ONE global sort of the
-   * evaluation set (held-out sets are bounded by construction; bin the
-   * scores first if yours is not), ties counted ½ as the statistic
-   * requires. Callers wanting cross-engine replay round the score
-   * column first so both engines tie identically.
+   * AUC is the exact Mann–Whitney statistic via average ranks. Ranks
+   * never globally sort the rows: the score HISTOGRAM (one
+   * map-side-combinable aggregate) carries per-score counts, a
+   * range-partitioned distributed prefix sum ([[graft.operators
+   * .Relational.prefixSum]]) yields each score's preceding-row count,
+   * and avgrank = cumless + (ties+1)/2 — ties counted ½ as the
+   * statistic requires. Every term is an integer or half-integer, so
+   * the statistic is EXACT regardless of summation order; callers
+   * wanting cross-engine replay round the score column first so both
+   * engines tie identically.
    */
   def evaluate(scored: DataFrame, scoreCol: String, labelCol: String,
                threshold: Double = 0.5): DataFrame = {
     val s = col(scoreCol).cast(DoubleType)
     val y = col(labelCol).cast(DoubleType)
     val pred = (s > lit(threshold)).cast(DoubleType)
-    val ranked = scored.select(s.as("__s"), y.as("__y"), pred.as("__p"))
-      .withColumn("__minrk", rank().over(Window.orderBy(col("__s"))))
-      .withColumn("__ties", count(lit(1)).over(Window.partitionBy(col("__s"))))
-      .withColumn("__avgrk",
-        col("__minrk") + (col("__ties") - 1).cast(DoubleType) / 2)
-    val agg = ranked.agg(
+    val base = scored.select(s.as("__s"), y.as("__y"), pred.as("__p"))
+    val hist = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"))
+    val ranked = graft.operators.Relational
+      .prefixSum(hist, "__s", "__cnt", "__cumless")
+      .select((col("__cumless") + (col("__cnt") + 1).cast(DoubleType) / 2)
+        .as("__avgrk"), col("__pos"))
+    val rankAgg = ranked.agg(
+      sum(col("__avgrk") * col("__pos")).as("posranks"))
+    val agg = base.agg(
       sum(col("__y") * col("__p")).as("tp"),
       sum((lit(1.0) - col("__y")) * col("__p")).as("fp"),
       sum(col("__y") * (lit(1.0) - col("__p"))).as("fn"),
       sum((lit(1.0) - col("__y")) * (lit(1.0) - col("__p"))).as("tn"),
-      sum(col("__y")).as("npos"), sum(lit(1.0) - col("__y")).as("nneg"),
-      sum(col("__avgrk") * col("__y")).as("posranks"))
+      sum(col("__y")).as("npos"), sum(lit(1.0) - col("__y")).as("nneg"))
+      .crossJoin(broadcast(rankAgg))
     agg.select(
       ((col("tp") + col("tn")) / (col("npos") + col("nneg"))).as("accuracy"),
       (col("tp") / nullIfZero(col("tp") + col("fp"))).as("precision"),

@@ -239,4 +239,44 @@ object Relational {
       .select(keyCols.map(col) ++
         Seq(col(valueCol), col("valid_from"), col("valid_to")): _*)
   }
+
+  /**
+   * Distributed EXCLUSIVE prefix sum: appends `outCol` = the sum of
+   * `sumCol` (must be LONG) over all rows strictly earlier in ascending
+   * `orderCol` order. The scalable replacement for
+   * `sum(...).over(Window.orderBy(...))`, whose un-partitioned window
+   * funnels every row through ONE task.
+   *
+   * Shape: one range-partitioned sort (pinned by an eager
+   * localCheckpoint so both passes see identical partitions), one
+   * per-partition-totals job collecting exactly `numPartitions` longs to
+   * the driver (the same bounded footprint as `zipWithIndex`), then a
+   * per-partition scan seeded with the partition's offset. No partition
+   * ever holds more than its range share; nothing row-shaped reaches
+   * the driver.
+   */
+  def prefixSum(df: DataFrame, orderCol: String, sumCol: String,
+                outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val sumIdx = schema.fieldIndex(sumCol)
+    require(schema(sumIdx).dataType ==
+      org.apache.spark.sql.types.LongType, s"$sumCol must be LONG")
+    val sorted = df.orderBy(col(orderCol)).localCheckpoint(true)
+    val rdd = sorted.rdd
+    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(s += _.getLong(sumIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(sumIdx)
+        row
+      }
+    }
+    spark.createDataFrame(out,
+      schema.add(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+  }
 }

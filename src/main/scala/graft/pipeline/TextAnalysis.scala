@@ -114,16 +114,18 @@ object TextAnalysis {
    * The percentile is EXACT at any scale because the score lives on a
    * 1e-6 grid (see [[withQuality]]): the selection runs on the score
    * HISTOGRAM (≤ 1e6+1 buckets regardless of corpus size — one
-   * map-side-combined aggregate), whose cumulative sum fits one window
-   * partition by construction. Threshold = smallest score with
-   * cum ≥ ceil(p·n) (inclusive-rank percentile-disc), broadcast back as
-   * a pure filter on the scored scan.
+   * map-side-combined aggregate), whose cumulative sum is a
+   * range-partitioned distributed prefix scan
+   * ([[graft.operators.Relational.prefixSum]] — no single-partition
+   * window anywhere, whatever the score granularity). Threshold =
+   * smallest score with cum ≥ ceil(p·n) (inclusive-rank
+   * percentile-disc), broadcast back as a pure filter on the scored
+   * scan.
    */
   def qualityPercentileFilter(df: DataFrame, textCol: String, idCol: String,
                               percentile: Double): DataFrame = {
     require(percentile > 0 && percentile < 1,
       s"percentile must be in (0,1): $percentile")
-    import org.apache.spark.sql.expressions.Window
     // score once, materialize ONLY (id, score): the scored projection
     // feeds the histogram AND the final filter, and without a
     // materialization each consumer re-runs the regex-heavy scoring
@@ -134,9 +136,9 @@ object TextAnalysis {
     val q = withQuality(df, textCol).select(col(idCol), col("quality_score"))
       .localCheckpoint(true)
     val hist = q.groupBy(col("quality_score")).agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum",
-      sum(col("c")).over(Window.orderBy(col("quality_score"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum = graft.operators.Relational
+      .prefixSum(hist, "quality_score", "c", "cumless")
+      .withColumn("cum", col("cumless") + col("c"))
     val tot = hist.agg(sum(col("c")).as("n"))
     val thr = cum.crossJoin(broadcast(tot))
       .where(col("cum") >= ceil(lit(percentile) * col("n")))

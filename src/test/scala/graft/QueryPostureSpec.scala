@@ -399,4 +399,18 @@ class QueryPostureSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"linkpred pipeline has a cartesian:\n$p")
   }
+
+  test("link-prediction + quality percentile: no window operator anywhere " +
+      "(ranks/indices are distributed prefix scans)") {
+    // rotationNegatives' destination index is sort+zipWithIndex, the AUC
+    // average ranks and the percentile cumulative are prefixSum — a
+    // WindowExec reappearing in any of these plans means a global
+    // un-partitioned rank funnel came back
+    for (name <- Seq("ml_train_linkpred", "ml_eval_linkpred",
+        "doc_quality_filter")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name re-grew a window operator (single-partition rank funnel):\n$p")
+    }
+  }
 }
