@@ -3722,6 +3722,26 @@ object Queries {
              |FROM tri t JOIN res ON t.s = res.r OR t.o = res.r
              |ORDER BY s, p, o""".stripMargin))),
 
+    // Bare VARIABLE predicate (`?s ?p ?o`): an unfiltered scan binding
+    // the predicate column — here the full predicate census, grouped.
+    // (Variables inside MULTI-step paths stay parse-rejected, as
+    // SPARQL 1.1 §9 requires.)
+    "sparql_path_var" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . }
+            |GROUP BY ?p ORDER BY ?p""".stripMargin),
+      Some("""SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT 'fromNation' AS p FROM customer
+             |  UNION ALL SELECT 'locatedIn' FROM nation
+             |  UNION ALL SELECT 'segment' FROM customer
+             |  UNION ALL SELECT 'key' FROM nation
+             |  UNION ALL SELECT 'bigspender' FROM customer WHERE c_acctbal > 9000
+             |  UNION ALL SELECT 'suppliesFrom' FROM supplier
+             |  UNION ALL
+             |  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM customer)
+             |GROUP BY p ORDER BY p""".stripMargin))),
+
     "rdf_ingest" -> ((
       (s: SparkSession, d: String) => {
         val lines = t(s, d, "nation")

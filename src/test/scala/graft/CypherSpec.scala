@@ -1576,5 +1576,13 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sparql.parse("DESCRIBE"))
     intercept[IllegalArgumentException](Sparql.parse(
       "DESCRIBE ?x WHERE { ?y <age> ?a . }"))
+    // bare variable predicate: unfiltered scan binding ?p (single-step
+    // only; multi-step paths with variables stay rejected)
+    val preds = Sparql.run(triples,
+      "SELECT ?p ?y WHERE { <a> ?p ?y . } ORDER BY ?p")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(preds === Seq(("age", "41"), ("knows", "b"), ("name", "Ann")))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x ?y WHERE { ?x ?p/<likes> ?y . }"))
   }
 }

@@ -961,4 +961,22 @@ class GraphCoreSpec extends SparkSpec {
     // sentinel budget: the 100M hard clamp keeps arithmetic sane
     assert(gate(thr = Long.MaxValue, probe = 4).map(_.pairs.length) === Some(10))
   }
+
+  test("collect gates at the DEFAULT 1M probe cap: a >1M frame escalates " +
+      "to the count gate, not a blind collect") {
+    // the only regime branch the small-probe test above can't reach:
+    // probe = the real 1,000,000 default, frame bigger than it
+    val big = spark.range(1200000L)
+      .selectExpr("CAST(id AS STRING) AS src", "CAST(id + 5000000 AS STRING) AS dst")
+    // budget beyond the probe → count-gate proves 1.2M fits → full rows
+    val rows = GraphAlgorithms.collectRowsGated(big, threshold = 2000000L)
+    assert(rows.map(_.length) === Some(1200000))
+    // budget between probe and frame size → count-gate rejects, no
+    // full-row transfer (ships at most probe+1 rows before deciding)
+    assert(GraphAlgorithms.collectRowsGated(big, threshold = 1100000L) === None)
+    // interned flavor through the same default-probe escalation
+    val interned = GraphAlgorithms.collectInternedGated(
+      big, canonical = false, threshold = 2000000L)
+    assert(interned.map(_.pairs.length) === Some(1200000))
+  }
 }
