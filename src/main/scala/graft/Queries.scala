@@ -3722,6 +3722,86 @@ object Queries {
              |FROM tri t JOIN res ON t.s = res.r OR t.o = res.r
              |ORDER BY s, p, o""".stripMargin))),
 
+    // SPARQL 1.1 §11.1 GROUP_CONCAT (explicit separator, SORTED value
+    // order — the engine pins what the spec leaves open) + SAMPLE
+    // (pinned to MIN) over the nations-per-region grouping.
+    "sparql_group_concat" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?r (GROUP_CONCAT(?n ; SEPARATOR=",") AS ?nations)
+            |  (SAMPLE(?n) AS ?first) WHERE {
+            |  ?n <locatedIn> ?r .
+            |} GROUP BY ?r ORDER BY ?r""".stripMargin),
+      Some("""SELECT 'region/' || r_name AS r,
+             |  string_agg('nation/' || n_name, ',' ORDER BY 'nation/' || n_name)
+             |    AS nations,
+             |  min('nation/' || n_name) AS first
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY r""".stripMargin))),
+
+    // SPARQL 1.1 §7 HAVING: aggregate-alias filter after the grouped
+    // count — a plain WHERE over the aggregated frame in Spark.
+    "sparql_having" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n (COUNT(?c) AS ?cnt) WHERE {
+            |  ?c <fromNation> ?n .
+            |} GROUP BY ?n HAVING (?cnt >= 30) ORDER BY ?n""".stripMargin),
+      Some("""SELECT 'nation/' || n_name AS n,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 HAVING count(*) >= 30 ORDER BY n""".stripMargin))),
+
+    // §17.4.3.7-8 STRBEFORE/STRAFTER and the §17.4.4 numeric builtins
+    // (ABS/FLOOR on the try_cast numeric view) as BIND projections.
+    "sparql_str_fns" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n ?name ?pre ?kr ?d WHERE {
+            |  ?n <key> ?k .
+            |  BIND(STRAFTER(?n, "/") AS ?name)
+            |  BIND(STRBEFORE(?n, "/") AS ?pre)
+            |  BIND(FLOOR(?k / 10) AS ?kr)
+            |  BIND(ABS(?k - 12) AS ?d)
+            |} ORDER BY ?n""".stripMargin),
+      Some("""SELECT 'nation/' || n_name AS n,
+             |  n_name AS name, 'nation' AS pre,
+             |  CAST(floor(n_nationkey / 10.0) AS DOUBLE) AS kr,
+             |  CAST(abs(n_nationkey - 12) AS DOUBLE) AS d
+             |FROM nation ORDER BY n""".stripMargin))),
+
+    // §9.1 negated set with an INVERSE member: !(…|^suppliesFrom) is
+    // the union of the forward NOT-isin scan and the endpoint-swapped
+    // inverse NOT-isin scan — the oracle replays both halves.
+    "sparql_negated_inverse" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?x ?y WHERE {
+            |  ?x !(<fromNation>|<segment>|<key>|<bigspender>|a|^<suppliesFrom>) ?y .
+            |} ORDER BY ?x ?y""".stripMargin),
+      Some("""SELECT * FROM (
+             |  SELECT 'nation/' || n_name AS x, 'region/' || r_name AS y
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL
+             |  SELECT 'supplier/' || s_suppkey, 'nation/' || n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT 'nation/' || n_name, 'customer/' || c_custkey
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT 'region/' || r_name, 'nation/' || n_name
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL
+             |  SELECT c_mktsegment, 'customer/' || c_custkey FROM customer
+             |  UNION ALL
+             |  SELECT CAST(n_nationkey AS VARCHAR), 'nation/' || n_name FROM nation
+             |  UNION ALL
+             |  SELECT '1', 'customer/' || c_custkey FROM customer
+             |  WHERE c_acctbal > 9000
+             |  UNION ALL
+             |  SELECT 'Customer', 'customer/' || c_custkey FROM customer)
+             |ORDER BY x, y""".stripMargin))),
+
     // Bare VARIABLE predicate (`?s ?p ?o`): an unfiltered scan binding
     // the predicate column — here the full predicate census, grouped.
     // (Variables inside MULTI-step paths stay parse-rejected, as

@@ -79,10 +79,14 @@ object Sparql {
   final case class Const(value: String) extends Term // IRI (brackets stripped) or literal
   /** Predicate-position alternation `(p1|p2|…)` — an `isin` scan filter. */
   final case class AnyOf(values: Seq[String]) extends Term
-  /** Negated property set `!p` / `!(p1|p2|…)` (SPARQL 1.1 §9.1
-    * PathNegatedPropertySet, forward members only) — a NOT-isin scan
-    * filter on the predicate column. */
-  final case class NotOf(values: Seq[String]) extends Term
+  /** Negated property set `!p` / `!(p1|^p2|…)` (SPARQL 1.1 §9.1
+    * PathNegatedPropertySet): NOT-isin scan filters on the predicate
+    * column — `values` are the forward members, `inverses` the
+    * `^`-prefixed ones. With both parts present the pattern is the
+    * UNION of the forward NOT-isin scan and the endpoint-swapped
+    * inverse NOT-isin scan (§9.1's PathOneInPropertySet split). */
+  final case class NotOf(values: Seq[String],
+                         inverses: Seq[String] = Nil) extends Term
   sealed trait Pat
   final case class Pattern(s: Term, p: Term, o: Term) extends Pat
   /** Kleene path step: `+` (zero = false), `*` (zero = true) or `?`
@@ -116,14 +120,17 @@ object Sparql {
   final case class FnCond(name: String, args: Seq[SExpr]) extends FilterExpr
   /** `expr [NOT] IN (c1, c2, …)` — constant list membership. */
   final case class InList(e: SExpr, values: Seq[String], negated: Boolean) extends FilterExpr
-  /** One aggregate projection: function (COUNT/SUM/AVG/MIN/MAX),
-    * argument variable (None = COUNT(*)), alias, and the DISTINCT
-    * modifier (COUNT only). SUM/AVG operate on the numeric view of the
-    * untyped literal (non-numeric bindings become null and are skipped
-    * — both engines' cast semantics); MIN/MAX compare lexically, the
-    * ordering the untyped string domain actually has. */
+  /** One aggregate projection: function (COUNT/SUM/AVG/MIN/MAX/
+    * GROUP_CONCAT/SAMPLE), argument variable (None = COUNT(*)), alias,
+    * the DISTINCT modifier (COUNT only), and GROUP_CONCAT's separator.
+    * SUM/AVG operate on the numeric view of the untyped literal
+    * (non-numeric bindings become null and are skipped — both engines'
+    * cast semantics); MIN/MAX compare lexically, the ordering the
+    * untyped string domain actually has. GROUP_CONCAT joins in SORTED
+    * value order and SAMPLE picks MIN — SPARQL leaves both
+    * implementation-defined; pinning them keeps results replayable. */
   final case class Agg(fn: String, arg: Option[String], alias: String,
-                       isDistinct: Boolean = false)
+                       isDistinct: Boolean = false, sep: String = " ")
   /** An inline VALUES data block: variables and their binding rows. */
   final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[String]])
   final case class Query(distinct: Boolean, projection: Seq[String],
@@ -139,7 +146,8 @@ object Sparql {
                          valuesBlocks: Seq[ValuesBlock] = Seq.empty,
                          offset: Option[Int] = None,
                          binds: Seq[(String, SExpr)] = Seq.empty,
-                         describe: Seq[Term] = Seq.empty)
+                         describe: Seq[Term] = Seq.empty,
+                         having: Option[FilterExpr] = None)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -235,23 +243,41 @@ object Sparql {
       if (t == "*") star = true
       else if (t == "(") {
         // ( FN([DISTINCT] ?v | *) AS ?alias ) -- the SPARQL 1.1
-        // aggregate form; FN ∈ COUNT/SUM/AVG/MIN/MAX, DISTINCT on COUNT
+        // aggregate form (§11.1); GROUP_CONCAT takes an optional
+        // `; SEPARATOR="…"` tail
         val fn = pop().toUpperCase
-        require(Seq("COUNT", "SUM", "AVG", "MIN", "MAX").contains(fn),
+        require(Seq("COUNT", "SUM", "AVG", "MIN", "MAX",
+          "GROUP_CONCAT", "SAMPLE").contains(fn),
           s"unsupported aggregate '$fn'")
         expect("(")
         val dist = peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
         require(!dist || fn == "COUNT", s"DISTINCT is only supported on COUNT")
-        val at = pop()
+        val at0 = pop()
+        // the tokenizer glues a trailing ';' onto the ?var token
+        val (at, gluedSemi) =
+          if (at0.length > 1 && at0.endsWith(";")) (at0.dropRight(1), true)
+          else (at0, false)
         val arg = if (at == "*") {
           require(fn == "COUNT" && !dist, s"$fn needs a ?var argument")
           None
         } else { require(isVar(at), s"$fn needs a ?var, got '$at'"); Some(at.drop(1)) }
+        var sep = " "
+        if (gluedSemi || peek == ";") {
+          require(fn == "GROUP_CONCAT", s"only GROUP_CONCAT takes a SEPARATOR")
+          if (!gluedSemi) pop()
+          require(pop().equalsIgnoreCase("SEPARATOR"),
+            "expected SEPARATOR after ';'")
+          expect("=")
+          val lt = pop()
+          require(lt.length >= 2 && lt.head == '"' && lt.last == '"',
+            s"SEPARATOR needs a quoted literal, got '$lt'")
+          sep = lt.drop(1).dropRight(1)
+        }
         expect(")"); expect("AS")
         val al = pop()
         require(isVar(al), s"AS needs a ?alias, got '$al'")
         expect(")")
-        aggs += Agg(fn, arg, al.drop(1), dist)
+        aggs += Agg(fn, arg, al.drop(1), dist, sep)
         proj += al.drop(1)
       }
       else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
@@ -278,7 +304,7 @@ object Sparql {
     def altValues(t: Term): Seq[String] = t match {
       case Const(v) => Seq(v)
       case AnyOf(vs) => vs
-      case NotOf(_) => throw new IllegalArgumentException(
+      case NotOf(_, _) => throw new IllegalArgumentException(
         "a negated property set cannot take a path modifier or join an alternation")
       case V(n) => throw new IllegalArgumentException(
         s"property paths cannot contain variables (?$n)")
@@ -324,22 +350,29 @@ object Sparql {
         var inv = false
         if (peek == "^") { pop(); inv = true }
         if (peek == "!") {
-          // negated property set: !p | !(p1|p2|…) — forward members only
-          // (SPARQL 1.1 §9.1); compiles to a NOT-isin predicate filter
+          // negated property set: !p | !(p1|^p2|…) (SPARQL 1.1 §9.1) —
+          // forward members become a NOT-isin predicate filter; inverse
+          // members an endpoint-swapped NOT-isin scan, unioned (§9.1
+          // splits the set into PathOneInPropertySet halves)
           pop()
           require(!inv, "cannot invert a negated property set (^!p)")
-          val vals = scala.collection.mutable.ListBuffer.empty[String]
+          val fwd = scala.collection.mutable.ListBuffer.empty[String]
+          val bwd = scala.collection.mutable.ListBuffer.empty[String]
           def member(): Unit = {
-            require(peek != "^" && !peek.startsWith("^"),
-              "inverse members in a negated property set are not supported")
-            vals ++= altValues(pathTerm(pop()))
+            var isInv = false
+            if (peek == "^") { pop(); isInv = true }
+            val tok = if (!isInv && peek.startsWith("^") && peek.length > 1) {
+              isInv = true; pop().drop(1)
+            } else pop()
+            (if (isInv) bwd else fwd) ++= altValues(pathTerm(tok))
           }
           if (peek == "(") {
             pop(); member()
             while (peek == "|") { pop(); member() }
             expect(")")
           } else member()
-          steps += ((NotOf(vals.toList.distinct), false, None))
+          steps += ((NotOf(fwd.toList.distinct, bwd.toList.distinct),
+            false, None))
         } else if (peek == "(") {
           pop()
           val vals = scala.collection.mutable.ListBuffer.empty[String]
@@ -403,15 +436,17 @@ object Sparql {
     // scalar-expression builtins (BIND / comparison operands) vs boolean
     // builtins (FILTER atoms)
     val exprFns = Set("CONCAT", "STR", "STRLEN", "UCASE", "LCASE",
-      "SUBSTR", "REPLACE", "COALESCE")
-    val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND")
+      "SUBSTR", "REPLACE", "COALESCE", "STRBEFORE", "STRAFTER",
+      "ABS", "ROUND", "CEIL", "FLOOR")
+    val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
+      "ISNUMERIC")
 
     /** Does the expression carry the numeric (double) view? Drives the
       * comparison coercion exactly as bare numeric literals always have. */
     def isNumericExpr(e: SExpr): Boolean = e match {
       case ETerm(t) => numericLit(t)
       case EArith(_, _, _) => true
-      case EFn("STRLEN", _) => true
+      case EFn("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) => true
       case EIf(_, a, b) => isNumericExpr(a) || isNumericExpr(b)
       case _ => false
     }
@@ -446,9 +481,11 @@ object Sparql {
           val args = fnArgs()
           val arity: PartialFunction[String, Boolean] = {
             case "CONCAT" | "COALESCE" => args.nonEmpty
-            case "STR" | "STRLEN" | "UCASE" | "LCASE" => args.size == 1
+            case "STR" | "STRLEN" | "UCASE" | "LCASE" |
+                 "ABS" | "ROUND" | "CEIL" | "FLOOR" => args.size == 1
             case "SUBSTR" => args.size == 2 || args.size == 3
             case "REPLACE" => args.size == 3
+            case "STRBEFORE" | "STRAFTER" => args.size == 2
           }
           require(arity(fn), s"wrong number of arguments for $fn")
           EFn(fn, args)
@@ -491,6 +528,8 @@ object Sparql {
                 "BOUND takes exactly one ?var")
             case "REGEX" => require(args.size == 2 || args.size == 3,
               "REGEX takes (expr, pattern[, flags])")
+            case "ISNUMERIC" =>
+              require(args.size == 1, "isNumeric takes exactly one argument")
             case _ => require(args.size == 2, s"$fn takes exactly two arguments")
           }
           FnCond(fn, args.toList)
@@ -636,8 +675,10 @@ object Sparql {
     val groupBy = scala.collection.mutable.ListBuffer.empty[String]
     var limit: Option[Int] = None
     var offset: Option[Int] = None
+    var having: Option[FilterExpr] = None
     def atModifier: Boolean = peek.equalsIgnoreCase("ORDER") ||
-      peek.equalsIgnoreCase("LIMIT") || peek.equalsIgnoreCase("OFFSET")
+      peek.equalsIgnoreCase("LIMIT") || peek.equalsIgnoreCase("OFFSET") ||
+      peek.equalsIgnoreCase("HAVING")
     while (ts.nonEmpty) {
       val t = pop()
       if (t.equalsIgnoreCase("GROUP")) {
@@ -647,6 +688,13 @@ object Sparql {
           require(isVar(v), s"GROUP BY needs ?vars, got '$v'")
           groupBy += v.drop(1)
         }
+      } else if (t.equalsIgnoreCase("HAVING")) {
+        // HAVING (cond) — §7: a filter over the aggregated solutions,
+        // referencing group keys and aggregate aliases
+        require(having.isEmpty, "only one HAVING clause is supported")
+        expect("(")
+        having = Some(parseFilter())
+        expect(")")
       } else if (t.equalsIgnoreCase("ORDER")) {
         expect("BY")
         while (ts.nonEmpty && !atModifier) {
@@ -714,13 +762,21 @@ object Sparql {
         require(groupBy.contains(v), s"?$v is projected but not in GROUP BY"))
     template.flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }
       .foreach(v => require(known.contains(v), s"unknown template variable ?$v"))
+    having.foreach { h =>
+      require(aggs.nonEmpty, "HAVING needs an aggregated query")
+      varsOfFilter(h).foreach(v =>
+        require(groupBy.contains(v) || aliases.contains(v),
+          s"HAVING references ?$v, which is neither grouped nor an " +
+            "aggregate alias"))
+    }
     Query(distinct, projection, aggs.toList, groupBy.toList,
       patterns.toSeq, unionBranches.toList, optionals.toSeq,
       filters.toSeq, order.toSeq, limit,
       ask = form == "ASK", construct = template.toList,
       minuses = minuses.toList, existsFilters = existsFilters.toList,
       valuesBlocks = valuesBlocks.toList, offset = offset,
-      binds = binds.toList, describe = describeTerms.toList)
+      binds = binds.toList, describe = describeTerms.toList,
+      having = having)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -733,8 +789,12 @@ object Sparql {
       case Const(v) => df = df.where(col(c) === v)
       case AnyOf(vs) => df = df.where(col(c).isin(vs: _*))
       // negated property set !p / !(p1|p2): the predicate column is
-      // never null, so NOT-isin is a plain scan filter
-      case NotOf(vs) => df = df.where(!col(c).isin(vs: _*))
+      // never null, so NOT-isin is a plain scan filter (inverse members
+      // are split off into an endpoint-swapped scan by patFrame before
+      // this point)
+      case NotOf(vs, Seq()) => df = df.where(!col(c).isin(vs: _*))
+      case NotOf(_, _) => throw new IllegalStateException(
+        "inverse negated-set members must be split before bindVars")
       case V(_) => ()
     } }
     val varCols = bindings.collect { case (c, V(n)) => (c, n) }
@@ -844,6 +904,19 @@ object Sparql {
   }
 
   private def patFrame(triples: DataFrame, p: Pat): DataFrame = p match {
+    // mixed negated property set !(p…|^q…) — SPARQL 1.1 §9.1 splits it
+    // into the forward half (s NOT-isin-p o) and the endpoint-swapped
+    // inverse half (o NOT-isin-q s), bag-unioned; either half may be
+    // empty. Both halves project the same variable set, so the union
+    // is by name.
+    case Pattern(s, NotOf(fwd, inv), o) if inv.nonEmpty =>
+      val parts =
+        (if (fwd.nonEmpty)
+          Seq(patternFrame(triples, Pattern(s, NotOf(fwd), o))) else Nil) ++
+        Seq(patternFrame(triples, Pattern(o, NotOf(inv), s)))
+      val u = parts.reduceLeft(_ unionByName _)
+      // a fully-constant pattern reduces to one existence row
+      if (u.columns.sameElements(Array("__const"))) u.limit(1) else u
     case tp: Pattern => patternFrame(triples, tp)
     case kp: PathPat => kleeneFrame(triples, kp)
   }
@@ -893,6 +966,26 @@ object Sparql {
         // SPARQL REPLACE is regex-based (fn:replace)
         case "REPLACE" => regexp_replace(arg(0), arg(1), arg(2))
         case "COALESCE" => coalesce(args.map(compileExpr): _*)
+        // fn:substring-before / -after (§17.4.3.7-8): empty string when
+        // the needle is absent; STRAFTER of the empty needle is the
+        // whole string, STRBEFORE of it the empty string
+        case "STRBEFORE" =>
+          val (src, sub) = (arg(0), arg(1))
+          when(length(sub) === 0, lit(""))
+            .when(instr(src, sub) > 0, src.substr(lit(1), instr(src, sub) - 1))
+            .otherwise(lit(""))
+        case "STRAFTER" =>
+          val (src, sub) = (arg(0), arg(1))
+          when(length(sub) === 0, src)
+            .when(instr(src, sub) > 0,
+              src.substr(instr(src, sub) + length(sub), lit(Int.MaxValue)))
+            .otherwise(lit(""))
+        // numeric builtins (§17.4.4) on the try_cast numeric view;
+        // ROUND is half-away-from-zero on both engines
+        case "ABS" => abs(arg(0).try_cast("double"))
+        case "ROUND" => round(arg(0).try_cast("double"), 0)
+        case "CEIL" => ceil(arg(0).try_cast("double")).cast("double")
+        case "FLOOR" => floor(arg(0).try_cast("double")).cast("double")
       }
     case EIf(c, t1, t2) =>
       when(compileFilter(c), compileExpr(t1)).otherwise(compileExpr(t2))
@@ -933,6 +1026,9 @@ object Sparql {
       case "STRSTARTS" => compileExpr(args(0)).startsWith(compileExpr(args(1)))
       case "STRENDS" => compileExpr(args(0)).endsWith(compileExpr(args(1)))
       case "CONTAINS" => compileExpr(args(0)).contains(compileExpr(args(1)))
+      // §17.4.2.4 isNumeric over the untyped string domain: does the
+      // binding carry the numeric view? (unbound → false, not error)
+      case "ISNUMERIC" => compileExpr(args.head).try_cast("double").isNotNull
     }
     // [NOT] IN over a constant list; on a null (unbound/error) operand
     // both forms yield null → the solution drops, the SPARQL
@@ -1104,11 +1200,20 @@ object Sparql {
           // untyped string literals order lexically
           case "MIN" => min(col(a.arg.get))
           case "MAX" => max(col(a.arg.get))
+          // §11.1 leaves concat order and the sampled value
+          // implementation-defined; SORTED order / MIN pin both so
+          // reruns and cross-engine replays agree
+          case "GROUP_CONCAT" =>
+            array_join(array_sort(collect_list(col(a.arg.get))), a.sep)
+          case "SAMPLE" => min(col(a.arg.get))
         }).as(a.alias)
       }
       df = if (q.groupBy.nonEmpty)
         df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
+      // HAVING (§7): a plain filter over the aggregated frame — group
+      // keys and aliases are its columns
+      q.having.foreach(h => df = df.where(compileFilter(h)))
     }
     df = df.select(q.projection.map(col): _*)
     if (q.distinct) df = df.distinct()

@@ -1551,11 +1551,10 @@ class CypherSpec extends SparkSpec {
       "SELECT ?x ?y WHERE { ?x !(<knows>|<age>|<name>) ?y . }")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(notSet === Seq(("b", "c")))
-    // inverse/modifier forms on negated sets are rejected
+    // inverting the whole set stays rejected (^!p is not SPARQL);
+    // inverse MEMBERS !(p|^q) are supported — see the dedicated test
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x ?y WHERE { ?x ^!<knows> ?y . }"))
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?x ?y WHERE { ?x !(<knows>|^<age>) ?y . }"))
     // DESCRIBE <iri>: every triple with the resource as subject or object
     val dA = Sparql.run(triples, "DESCRIBE <a>")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
@@ -1584,5 +1583,84 @@ class CypherSpec extends SparkSpec {
     assert(preds === Seq(("age", "41"), ("knows", "b"), ("name", "Ann")))
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x ?y WHERE { ?x ?p/<likes> ?y . }"))
+  }
+
+  test("sparql negated sets with inverse members: !(p|^q) splits and unions") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "knows", "b"), ("b", "likes", "c"), ("c", "sees", "a"))
+      .toDF("s", "p", "o")
+    // pure inverse: !^likes matches (x,y) when some (y,q,x) has q≠likes
+    val pureInv = Sparql.run(triples,
+      "SELECT ?x ?y WHERE { ?x !^<likes> ?y . } ORDER BY ?x ?y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pureInv === Seq(("a", "c"), ("b", "a")))
+    // mixed: forward scan (p ∉ {knows}) ∪ swapped inverse scan (q ∉ {sees})
+    val mixed = Sparql.run(triples,
+      "SELECT ?x ?y WHERE { ?x !(<knows>|^<sees>) ?y . } ORDER BY ?x ?y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // forward: (b,c) likes, (c,a) sees; inverse: (b,a) from a-knows-b,
+    // (c,b) from b-likes-c — (a,c) from c-sees-a is excluded (q=sees)
+    assert(mixed === Seq(("b", "a"), ("b", "c"), ("c", "a"), ("c", "b")))
+    // still no modifiers on negated sets
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x ?y WHERE { ?x !(<knows>|^<sees>)+ ?y . }"))
+  }
+
+  test("sparql GROUP_CONCAT / SAMPLE / HAVING and the new builtins") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "likes", "tea"), ("a", "likes", "figs"), ("b", "likes", "tea"),
+      ("a", "score", "2.6"), ("b", "score", "-1.2"), ("c", "score", "x"))
+      .toDF("s", "p", "o")
+    // GROUP_CONCAT with separator: sorted value order (pinned)
+    val gc = Sparql.run(triples,
+      """SELECT ?x (GROUP_CONCAT(?v ; SEPARATOR="|") AS ?all) WHERE {
+        |  ?x <likes> ?v . } GROUP BY ?x ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(gc === Seq(("a", "figs|tea"), ("b", "tea")))
+    // default separator is a single space; SAMPLE picks MIN (pinned)
+    val gc2 = Sparql.run(triples,
+      """SELECT (GROUP_CONCAT(?v) AS ?all) (SAMPLE(?v) AS ?one) WHERE {
+        |  ?x <likes> ?v . }""".stripMargin).collect().head
+    assert(gc2.getString(0) === "figs tea tea" && gc2.getString(1) === "figs")
+    // HAVING filters aggregated groups by alias
+    val hv = Sparql.run(triples,
+      """SELECT ?x (COUNT(?v) AS ?n) WHERE { ?x <likes> ?v . }
+        |GROUP BY ?x HAVING (?n > 1)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hv === Seq(("a", 2L)))
+    // HAVING scope: only group keys and aliases
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x (COUNT(?v) AS ?n) WHERE { ?x <likes> ?v . }
+        |GROUP BY ?x HAVING (?v > 1)""".stripMargin))
+    assert(e.getMessage.contains("HAVING"))
+    // STRBEFORE / STRAFTER per fn:substring-before/-after
+    val sb = Sparql.run(triples,
+      """SELECT ?b ?af ?miss ?emp WHERE { <a> <likes> "tea" .
+        |  BIND(STRBEFORE("figs|tea", "|") AS ?b)
+        |  BIND(STRAFTER("figs|tea", "|") AS ?af)
+        |  BIND(STRAFTER("figs", "z") AS ?miss)
+        |  BIND(STRAFTER("figs", "") AS ?emp) }""".stripMargin).collect().head
+    assert(sb.getString(0) === "figs" && sb.getString(1) === "tea" &&
+      sb.getString(2) === "" && sb.getString(3) === "figs")
+    // numeric builtins on the try_cast view; non-numeric → unbound
+    val nb = Sparql.run(triples,
+      """SELECT ?x ?a ?r ?c ?f WHERE { ?x <score> ?v .
+        |  BIND(ABS(?v) AS ?a) . BIND(ROUND(?v) AS ?r)
+        |  BIND(CEIL(?v) AS ?c) . BIND(FLOOR(?v) AS ?f) } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(nb === Seq(
+      ("a", Some(2.6), Some(3.0), Some(3.0), Some(2.0)),
+      ("b", Some(1.2), Some(-1.0), Some(-1.0), Some(-2.0)),
+      ("c", None, None, None, None)))
+    // isNumeric: true only for bindings carrying the numeric view
+    val isn = Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <score> ?v . FILTER(ISNUMERIC(?v)) } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(isn === Seq("a", "b"))
   }
 }
