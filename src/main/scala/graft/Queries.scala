@@ -3802,6 +3802,28 @@ object Queries {
              |  SELECT 'Customer', 'customer/' || c_custkey FROM customer)
              |ORDER BY x, y""".stripMargin))),
 
+    // SPARQL 1.1 §12 sub-SELECT: the classic per-group-max shape — the
+    // inner query aggregates lexical MAX(key) per region (bottom-up,
+    // independent), the outer group joins it back on the PROJECTED ?r
+    // and filters key = max. String domain on both sides, so the max
+    // is lexical in the oracle too.
+    "sparql_subquery" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?r ?n WHERE {
+            |  ?n <locatedIn> ?r .
+            |  ?n <key> ?k .
+            |  { SELECT ?r (MAX(?k2) AS ?mx) WHERE {
+            |      ?m <locatedIn> ?r . ?m <key> ?k2 . } GROUP BY ?r }
+            |  FILTER(?k = ?mx)
+            |} ORDER BY ?r""".stripMargin),
+      Some("""WITH li AS (SELECT 'nation/' || n_name AS n,
+             |    'region/' || r_name AS r, CAST(n_nationkey AS VARCHAR) AS k
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |mx AS (SELECT r, max(k) AS mx FROM li GROUP BY r)
+             |SELECT li.r, li.n FROM li JOIN mx ON li.r = mx.r AND li.k = mx.mx
+             |ORDER BY li.r""".stripMargin))),
+
     // Bare VARIABLE predicate (`?s ?p ?o`): an unfiltered scan binding
     // the predicate column — here the full predicate census, grouped.
     // (Variables inside MULTI-step paths stay parse-rejected, as

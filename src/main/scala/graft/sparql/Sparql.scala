@@ -147,7 +147,8 @@ object Sparql {
                          offset: Option[Int] = None,
                          binds: Seq[(String, SExpr)] = Seq.empty,
                          describe: Seq[Term] = Seq.empty,
-                         having: Option[FilterExpr] = None)
+                         having: Option[FilterExpr] = None,
+                         subqueries: Seq[String] = Seq.empty)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -581,10 +582,36 @@ object Sparql {
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
+    val subqueries = scala.collection.mutable.ListBuffer.empty[String]
+    val subProjections = scala.collection.mutable.ListBuffer.empty[String]
     if (hasWhere) {
     expect("WHERE"); expect("{")
     while (peek != "}") {
-      if (peek.equalsIgnoreCase("BIND")) {
+      if (peek == "{" &&
+          ts.drop(1).headOption.exists(_.equalsIgnoreCase("SELECT"))) {
+        // sub-SELECT (SPARQL 1.1 §12): `{ SELECT … WHERE { … } … }` —
+        // the balanced token span is re-parsed as a full query
+        // (recursion), evaluated bottom-up at run time and joined with
+        // the rest of the group on its PROJECTED variables (only those
+        // are visible outside, §12.4)
+        require(subqueries.isEmpty, "only one subquery per group is supported")
+        pop()
+        var depth = 1
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        while (depth > 0) {
+          val t2 = pop()
+          if (t2 == "{") depth += 1
+          if (t2 == "}") depth -= 1
+          if (depth > 0) buf += t2
+        }
+        val subText = buf.mkString(" ")
+        val subQ = parse(subText) // validates eagerly, at parse time
+        require(!subQ.ask && subQ.construct.isEmpty && subQ.describe.isEmpty,
+          "a subquery must be a SELECT")
+        subqueries += subText
+        subProjections ++= subQ.projection
+        if (peek == ".") pop()
+      } else if (peek.equalsIgnoreCase("BIND")) {
         // BIND(expr AS ?v) — evaluated once the required patterns,
         // inline data and OPTIONAL blocks are joined (null input =
         // unbound = SPARQL error propagation)
@@ -712,14 +739,15 @@ object Sparql {
       else if (t.equalsIgnoreCase("OFFSET")) offset = Some(pop().toInt)
       else throw new IllegalArgumentException(s"unexpected trailing token '$t'")
     }
-    require(!hasWhere || patterns.nonEmpty || unionBranches.nonEmpty,
+    require(!hasWhere || patterns.nonEmpty || unionBranches.nonEmpty ||
+      subqueries.nonEmpty,
       "WHERE block needs at least one triple pattern")
     // `__path*` intermediates exist only to chain path steps: invisible
     // to `*` projections and not addressable by name
     val patternVars = ((patterns ++ unionBranches.flatten ++ optionals.flatten)
       .flatMap(termsOf)
       .collect { case V(n) if !n.startsWith("__path") => n } ++
-      valuesBlocks.flatMap(_.vars)).distinct
+      valuesBlocks.flatMap(_.vars) ++ subProjections).distinct
     // BIND aliases: no rebinding (SPARQL 1.1 §10.1), expressions may only
     // reference pattern variables and EARLIER aliases
     def varsOfExpr(e: SExpr): Seq[String] = e match {
@@ -776,7 +804,7 @@ object Sparql {
       minuses = minuses.toList, existsFilters = existsFilters.toList,
       valuesBlocks = valuesBlocks.toList, offset = offset,
       binds = binds.toList, describe = describeTerms.toList,
-      having = having)
+      having = having, subqueries = subqueries.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -1056,8 +1084,8 @@ object Sparql {
     }
     var df = (unioned, q.patterns) match {
       case (Some(u), Seq()) => u
-      // DESCRIBE <iri> with no WHERE block: no solution frame at all —
-      // the describe step below resolves constants against the graph
+      // DESCRIBE <iri> with no WHERE block, or a subquery-only group:
+      // no base solution frame (the subquery join below seeds `df`)
       case (None, Seq()) => null
       case (None, ps) => joinAll(t, ps)
       case (Some(u), ps) =>
@@ -1075,6 +1103,31 @@ object Sparql {
               "with the top-level patterns (every branch must bind it)")
         }
         if (shared.isEmpty) u.crossJoin(base) else u.join(base, shared)
+    }
+    // Sub-SELECTs (§12): evaluated bottom-up as independent queries,
+    // then equi-joined with the base group on the variables the
+    // subquery PROJECTS (its only visible surface, §12.4). A shared
+    // variable must be bound in the subquery's REQUIRED patterns —
+    // aggregate/BIND aliases or optional-only bindings could arrive
+    // null and would silently diverge from SPARQL compatibility
+    // semantics on an equi-join, so they are rejected as join keys
+    // (the established UNION discipline).
+    q.subqueries.foreach { subText =>
+      val sub = run(t, subText)
+      if (df == null) df = sub
+      else {
+        val shared = df.columns.toSeq.intersect(sub.columns.toSeq)
+        val subQ = parse(subText)
+        shared.foreach { v =>
+          val inBase = subQ.patterns.exists(p => termsOf(p).contains(V(v))) ||
+            (subQ.unionBranches.nonEmpty &&
+              subQ.unionBranches.forall(_.exists(p => termsOf(p).contains(V(v)))))
+          require(inBase,
+            s"unsupported: ?$v joins the subquery but may be unbound in it " +
+              "(bind it in the subquery's required patterns)")
+        }
+        df = if (shared.isEmpty) df.crossJoin(sub) else df.join(sub, shared)
+      }
     }
     // VALUES blocks join the required group BEFORE optionals (required
     // data commutes; an inline binding must constrain the whole group,

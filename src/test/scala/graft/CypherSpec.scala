@@ -1663,4 +1663,49 @@ class CypherSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(isn === Seq("a", "b"))
   }
+
+  test("sparql sub-SELECT: bottom-up evaluation, projection-only visibility, joins") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "in", "g1"), ("b", "in", "g1"), ("c", "in", "g2"),
+      ("a", "score", "3"), ("b", "score", "5"), ("c", "score", "4"),
+      ("a", "name", "Ann"), ("b", "name", "Bob"), ("c", "name", "Cat"))
+      .toDF("s", "p", "o")
+    // classic §12 shape: aggregate per group inside, join details outside
+    val top = Sparql.run(triples,
+      """SELECT ?g ?x ?v WHERE {
+        |  ?x <in> ?g . ?x <score> ?v .
+        |  { SELECT ?g (MAX(?s2) AS ?mx) WHERE {
+        |      ?y <in> ?g . ?y <score> ?s2 . } GROUP BY ?g }
+        |  FILTER(?v = ?mx)
+        |} ORDER BY ?g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(top === Seq(("g1", "b", "5"), ("g2", "c", "4")))
+    // only projected variables are visible: ?y stays inside
+    intercept[org.apache.spark.sql.AnalysisException](Sparql.run(triples,
+      """SELECT ?x WHERE {
+        |  ?x <in> ?g .
+        |  { SELECT ?g (MAX(?s2) AS ?mx) WHERE {
+        |      ?y <in> ?g . ?y <score> ?s2 . } GROUP BY ?g }
+        |  FILTER(?y = ?x)
+        |} """.stripMargin).collect())
+    // subquery-only group, with its own modifiers
+    val solo = Sparql.run(triples,
+      """SELECT ?x WHERE {
+        |  { SELECT ?x ?v WHERE { ?x <score> ?v . } ORDER BY DESC(?v) LIMIT 2 }
+        |} ORDER BY ?x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(solo === Seq("b", "c"))
+    // joining on an aggregate ALIAS is rejected (could be null/unbound)
+    val e = intercept[IllegalArgumentException](Sparql.run(triples,
+      """SELECT ?x WHERE {
+        |  ?x <score> ?mx .
+        |  { SELECT (MAX(?s2) AS ?mx) WHERE { ?y <score> ?s2 . } }
+        |}""".stripMargin).collect())
+    assert(e.getMessage.contains("unbound"))
+    // a subquery must be a SELECT
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { { ASK WHERE { ?x <in> ?g . } } }"))
+  }
 }
