@@ -22,19 +22,37 @@ import org.apache.spark.sql.functions._
  * multi-join star query.
  *
  * Supported subset (documented, parse-and-reject beyond it):
- *  - `SELECT [DISTINCT] ?a ?b … | *  WHERE { … }`
+ *  - query forms `SELECT [DISTINCT] ?a ?b … | *`, `ASK`,
+ *    `CONSTRUCT { template }`, `DESCRIBE <iri>…|?var [WHERE]`
+ *    (symmetric-CBD-lite: every triple touching a resolved resource,
+ *    swept once via a broadcast semi-join)
  *  - triple patterns `term term term .` with terms `?var`, `<iri>`,
  *    `"literal"`, or a plain token; a variable repeated inside one
- *    pattern constrains equality (e.g. `?x <p> ?x`)
+ *    pattern constrains equality (e.g. `?x <p> ?x`); a bare VARIABLE
+ *    predicate (`?s ?p ?o`) is an unfiltered scan binding `p`
  *  - `OPTIONAL { patterns }` (left join on the shared variables)
+ *  - `BIND(expr AS ?v)` with scalar expressions (§17): arithmetic
+ *    (try_cast numeric view — type error = unbound, never a query
+ *    failure), CONCAT / STR / STRLEN / UCASE / LCASE / SUBSTR /
+ *    REPLACE (regex) / COALESCE / STRBEFORE / STRAFTER / ABS / ROUND /
+ *    CEIL / FLOOR / IF(cond, e, e); no rebinding, no forward refs
  *  - `FILTER (expr)` with `=`, `!=`, `<`, `<=`, `>`, `>=`, `&&`, `||`,
- *    `!`, parentheses; a numeric literal side compares numerically
- *    (both sides cast to double), otherwise lexically
+ *    `!`, parentheses over full scalar expressions; boolean builtins
+ *    REGEX (with the `"i"` flag), STRSTARTS, STRENDS, CONTAINS,
+ *    BOUND, isNumeric; `expr [NOT] IN (constants)`; a numeric side
+ *    makes the comparison numeric (both sides try_cast to double),
+ *    otherwise lexical
  *  - aggregate projections `(FN(?v) AS ?alias)` with FN ∈ COUNT (also
- *    `COUNT(*)` / `COUNT(DISTINCT ?v)`), SUM, AVG, MIN, MAX, and
- *    `GROUP BY ?v …` (plain projected vars must be grouped — the
- *    SPARQL 1.1 rule); SUM/AVG take the numeric view of the untyped
- *    literal (non-numeric → null, skipped), MIN/MAX compare lexically
+ *    `COUNT(*)` / `COUNT(DISTINCT ?v)`), SUM, AVG, MIN, MAX,
+ *    GROUP_CONCAT (`; SEPARATOR="…"`, pinned to sorted value order),
+ *    SAMPLE (pinned to MIN), and `GROUP BY ?v …` (plain projected vars
+ *    must be grouped — the SPARQL 1.1 rule) with `HAVING (cond)` over
+ *    group keys and aliases; SUM/AVG take the numeric view of the
+ *    untyped literal (non-numeric → null, skipped), MIN/MAX compare
+ *    lexically
+ *  - `{ SELECT … }` sub-queries (§12): evaluated bottom-up, joined on
+ *    the projected variables (the only visible surface); join keys
+ *    must be bound in the subquery's required patterns
  *  - `VALUES ?x { … }` / `VALUES (?x ?y) { (…) … }` inline data —
  *    a broadcast join against the group (UNDEF rejected)
  *  - `ORDER BY [ASC|DESC](?v) …`, `OFFSET n`, `LIMIT n`
@@ -53,7 +71,10 @@ import org.apache.spark.sql.functions._
  *    same as any engine). Zero-length solutions (`*`/`?`) bind a
  *    constant endpoint to itself and a variable pair to every term of
  *    the graph (subject∪object positions, the Jena reading of
- *    "terms in G"). Variables inside paths remain parse-rejected
+ *    "terms in G"). Negated property sets `!p` / `!(p1|^p2|…)` (§9.1)
+ *    compile to NOT-isin scan filters — inverse members become an
+ *    endpoint-swapped scan unioned with the forward half. Variables
+ *    inside MULTI-step paths remain parse-rejected
  *  - UNION restriction: a variable shared between the union block and
  *    the surrounding BGP must be bound in EVERY branch (unbound-is-
  *    compatible solutions would otherwise be silently dropped by the
