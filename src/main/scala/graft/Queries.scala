@@ -3824,6 +3824,24 @@ object Queries {
              |SELECT li.r, li.n FROM li JOIN mx ON li.r = mx.r AND li.k = mx.mx
              |ORDER BY li.r""".stripMargin))),
 
+    // FILTER inside an OPTIONAL block — the LeftJoin reading: the
+    // filter decides whether the optional part BINDS, never whether
+    // the outer row survives (a top-level filter would drop it).
+    "sparql_optional_filter" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <segment> "MACHINERY" .
+            |  OPTIONAL { ?c <fromNation> ?n . FILTER(STRENDS(?n, "_3")) }
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH seg AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_mktsegment = 'MACHINERY'),
+             |fn AS (SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE regexp_matches(n_name, '_3$'))
+             |SELECT seg.c, fn.n FROM seg LEFT JOIN fn ON seg.c = fn.c
+             |ORDER BY seg.c""".stripMargin))),
+
     // Bare VARIABLE predicate (`?s ?p ?o`): an unfiltered scan binding
     // the predicate column — here the full predicate census, grouped.
     // (Variables inside MULTI-step paths stay parse-rejected, as

@@ -154,16 +154,24 @@ object Sparql {
                        isDistinct: Boolean = false, sep: String = " ")
   /** An inline VALUES data block: variables and their binding rows. */
   final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[String]])
+  /** A brace-delimited group (UNION branch / OPTIONAL / MINUS / EXISTS
+    * body): its triple patterns plus any FILTERs written INSIDE the
+    * braces — those filters apply to the block's own solutions before
+    * it joins the outer group, and may only reference variables the
+    * block itself binds (an outer-variable LeftJoin condition would
+    * need SPARQL's three-way LeftJoin semantics — rejected, not
+    * mis-answered). */
+  final case class Block(pats: Seq[Pat], filters: Seq[FilterExpr] = Seq.empty)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
-                         patterns: Seq[Pat], unionBranches: Seq[Seq[Pat]],
-                         optionals: Seq[Seq[Pat]],
+                         patterns: Seq[Pat], unionBranches: Seq[Block],
+                         optionals: Seq[Block],
                          filters: Seq[FilterExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
                          ask: Boolean = false,
                          construct: Seq[Pattern] = Seq.empty,
-                         minuses: Seq[Seq[Pat]] = Seq.empty,
-                         existsFilters: Seq[(Boolean, Seq[Pat])] = Seq.empty,
+                         minuses: Seq[Block] = Seq.empty,
+                         existsFilters: Seq[(Boolean, Block)] = Seq.empty,
                          valuesBlocks: Seq[ValuesBlock] = Seq.empty,
                          offset: Option[Int] = None,
                          binds: Seq[(String, SExpr)] = Seq.empty,
@@ -305,10 +313,10 @@ object Sparql {
       else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
     }
     val patterns = scala.collection.mutable.ListBuffer.empty[Pat]
-    val optionals = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
+    val optionals = scala.collection.mutable.ListBuffer.empty[Block]
     val filters = scala.collection.mutable.ListBuffer.empty[FilterExpr]
-    val minuses = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
-    val existsFilters = scala.collection.mutable.ListBuffer.empty[(Boolean, Seq[Pat])]
+    val minuses = scala.collection.mutable.ListBuffer.empty[Block]
+    val existsFilters = scala.collection.mutable.ListBuffer.empty[(Boolean, Block)]
     val valuesBlocks = scala.collection.mutable.ListBuffer.empty[ValuesBlock]
     val binds = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
 
@@ -593,16 +601,25 @@ object Sparql {
     }
 
     // a brace-delimited BGP group, as used by UNION branches, OPTIONAL,
-    // MINUS, and FILTER [NOT] EXISTS blocks
-    def braceBlock(): Seq[Pat] = {
+    // MINUS, and FILTER [NOT] EXISTS blocks; FILTERs inside the braces
+    // belong to the block (scope-checked against its own bindings below)
+    def braceBlock(): Block = {
       expect("{")
       val b = scala.collection.mutable.ListBuffer.empty[Pat]
-      while (peek != "}") b ++= parsePatterns()
+      val fs = scala.collection.mutable.ListBuffer.empty[FilterExpr]
+      while (peek != "}") {
+        if (peek.equalsIgnoreCase("FILTER")) {
+          pop(); expect("(")
+          fs += parseFilter()
+          expect(")")
+          if (peek == ".") pop()
+        } else b ++= parsePatterns()
+      }
       expect("}")
-      b.toSeq
+      Block(b.toSeq, fs.toSeq)
     }
 
-    val unionBranches = scala.collection.mutable.ListBuffer.empty[Seq[Pat]]
+    val unionBranches = scala.collection.mutable.ListBuffer.empty[Block]
     val subqueries = scala.collection.mutable.ListBuffer.empty[String]
     val subProjections = scala.collection.mutable.ListBuffer.empty[String]
     if (hasWhere) {
@@ -765,7 +782,8 @@ object Sparql {
       "WHERE block needs at least one triple pattern")
     // `__path*` intermediates exist only to chain path steps: invisible
     // to `*` projections and not addressable by name
-    val patternVars = ((patterns ++ unionBranches.flatten ++ optionals.flatten)
+    val patternVars = ((patterns ++ unionBranches.flatMap(_.pats) ++
+      optionals.flatMap(_.pats))
       .flatMap(termsOf)
       .collect { case V(n) if !n.startsWith("__path") => n } ++
       valuesBlocks.flatMap(_.vars) ++ subProjections).distinct
@@ -818,6 +836,20 @@ object Sparql {
           s"HAVING references ?$v, which is neither grouped nor an " +
             "aggregate alias"))
     }
+    // in-block FILTERs may only reference the block's OWN bindings — an
+    // outer variable in a LeftJoin/UNION-branch condition needs SPARQL's
+    // three-way LeftJoin semantics; reject rather than mis-answer
+    def checkBlock(b: Block, ctx: String): Unit = {
+      val bound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
+      b.filters.foreach(f => varsOfFilter(f).foreach(v =>
+        require(bound.contains(v),
+          s"a FILTER inside a $ctx block references ?$v, which the block " +
+            "does not bind")))
+    }
+    unionBranches.foreach(checkBlock(_, "UNION"))
+    optionals.foreach(checkBlock(_, "OPTIONAL"))
+    minuses.foreach(checkBlock(_, "MINUS"))
+    existsFilters.foreach { case (_, b) => checkBlock(b, "EXISTS") }
     Query(distinct, projection, aggs.toList, groupBy.toList,
       patterns.toSeq, unionBranches.toList, optionals.toSeq,
       filters.toSeq, order.toSeq, limit,
@@ -977,6 +1009,15 @@ object Sparql {
       else acc.join(next, shared)
     }
 
+  /** A brace group's solutions: its BGP join, filtered by the FILTERs
+    * written inside the braces (scope-checked at parse time to the
+    * block's own bindings). */
+  private def blockFrame(triples: DataFrame, b: Block): DataFrame = {
+    var f = joinAll(triples, b.pats)
+    b.filters.foreach(fl => f = f.where(compileFilter(fl)))
+    f
+  }
+
   /** Scalar expression → Column over the variable-named solution frame.
     * The value domain is the untyped string literal; arithmetic and
     * STRLEN carry the numeric (double/int) view. `try_cast` encodes
@@ -1095,7 +1136,7 @@ object Sparql {
     // null-padded (SPARQL UNION semantics), joined with the remaining
     // top-level BGP on the shared variables when one exists
     val unioned: Option[DataFrame] = if (q.unionBranches.isEmpty) None else {
-      val frames = q.unionBranches.map(joinAll(t, _))
+      val frames = q.unionBranches.map(blockFrame(t, _))
       val allVars = frames.flatMap(_.columns).distinct
       Some(frames.map { f =>
         val padded = allVars.map(v =>
@@ -1119,7 +1160,7 @@ object Sparql {
         // variables — reject rather than mis-answer.
         shared.foreach { v =>
           require(q.unionBranches.forall(b =>
-            b.exists(p => termsOf(p).contains(V(v)))),
+            b.pats.exists(p => termsOf(p).contains(V(v)))),
             s"unsupported: a UNION branch leaves ?$v unbound but it joins " +
               "with the top-level patterns (every branch must bind it)")
         }
@@ -1142,7 +1183,7 @@ object Sparql {
         shared.foreach { v =>
           val inBase = subQ.patterns.exists(p => termsOf(p).contains(V(v))) ||
             (subQ.unionBranches.nonEmpty &&
-              subQ.unionBranches.forall(_.exists(p => termsOf(p).contains(V(v)))))
+              subQ.unionBranches.forall(_.pats.exists(p => termsOf(p).contains(V(v)))))
           require(inBase,
             s"unsupported: ?$v joins the subquery but may be unbound in it " +
               "(bind it in the subquery's required patterns)")
@@ -1155,10 +1196,10 @@ object Sparql {
     // not survive as an unmatched left-join null)
     q.valuesBlocks.foreach { vb =>
       vb.vars.foreach { v =>
-        val inOpt = q.optionals.exists(_.exists(p => termsOf(p).contains(V(v))))
+        val inOpt = q.optionals.exists(_.pats.exists(p => termsOf(p).contains(V(v))))
         val inBase = q.patterns.exists(p => termsOf(p).contains(V(v))) ||
           (q.unionBranches.nonEmpty &&
-            q.unionBranches.forall(_.exists(p => termsOf(p).contains(V(v)))))
+            q.unionBranches.forall(_.pats.exists(p => termsOf(p).contains(V(v)))))
         require(!inOpt || inBase,
           s"unsupported: ?$v appears in VALUES but is bound only optionally")
       }
@@ -1174,7 +1215,7 @@ object Sparql {
            else df.join(broadcast(inline), shared)
     }
     q.optionals.foreach { block =>
-      val opt = joinAll(t, block)
+      val opt = blockFrame(t, block)
       val shared = df.columns.toSeq.intersect(opt.columns.toSeq)
       require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
       df = df.join(opt, shared, "left")
@@ -1191,13 +1232,13 @@ object Sparql {
       shared.foreach { v =>
         val inBase = q.patterns.exists(p => termsOf(p).contains(V(v)))
         val inAllBranches = q.unionBranches.nonEmpty &&
-          q.unionBranches.forall(_.exists(p => termsOf(p).contains(V(v))))
+          q.unionBranches.forall(_.pats.exists(p => termsOf(p).contains(V(v))))
         require(inBase || inAllBranches,
           s"unsupported: ?$v joins a $ctx block but may be unbound " +
             "(bind it in the required patterns)")
       }
     q.minuses.foreach { block =>
-      val m = joinAll(t, block)
+      val m = blockFrame(t, block)
       val shared = df.columns.toSeq.intersect(m.columns.toSeq)
       // SPARQL 1.1 §8.3: solutions with DISJOINT domains are kept —
       // a MINUS block sharing no variable removes nothing
@@ -1207,7 +1248,7 @@ object Sparql {
       }
     }
     q.existsFilters.foreach { case (positive, block) =>
-      val e = joinAll(t, block)
+      val e = blockFrame(t, block)
       val shared = df.columns.toSeq.intersect(e.columns.toSeq)
       df = if (shared.isEmpty) {
         // no shared variable: pure existence probe — one broadcast row

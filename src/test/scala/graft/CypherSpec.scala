@@ -1708,4 +1708,45 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { { ASK WHERE { ?x <in> ?g . } } }"))
   }
+
+  test("sparql FILTER inside blocks: OPTIONAL keeps rows, UNION/MINUS prune theirs") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "age", "41"), ("b", "age", "7"), ("c", "age", "19"),
+      ("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "a"))
+      .toDF("s", "p", "o")
+    // the LeftJoin distinction: the filter inside OPTIONAL decides
+    // whether the optional part binds — the row itself survives either
+    // way (a top-level filter would DROP b entirely)
+    val opt = Sparql.run(triples,
+      """SELECT ?x ?a WHERE { ?x <knows> ?y .
+        |  OPTIONAL { ?x <age> ?a . FILTER(?a > 10) } } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(opt === Seq(("a", Some("41")), ("b", None), ("c", Some("19"))))
+    // filter inside a UNION branch prunes only that branch
+    val uni = Sparql.run(triples,
+      """SELECT ?x WHERE {
+        |  { ?x <age> ?a . FILTER(?a > 20) } UNION { ?x <knows> "c" . }
+        |} ORDER BY ?x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(uni === Seq("a", "b"))
+    // filter inside MINUS narrows what is subtracted
+    val min = Sparql.run(triples,
+      """SELECT ?x WHERE { ?x <knows> ?y .
+        |  MINUS { ?x <age> ?a . FILTER(?a > 10) } } ORDER BY ?x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(min === Seq("b"))
+    // and inside FILTER EXISTS
+    val ex = Sparql.run(triples,
+      """SELECT ?x WHERE { ?x <knows> ?y .
+        |  FILTER EXISTS { ?x <age> ?a . FILTER(?a < 10) } }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(ex === Seq("b"))
+    // an in-block filter referencing an OUTER variable is rejected
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x WHERE { ?x <age> ?outer .
+        |  OPTIONAL { ?x <knows> ?y . FILTER(?y = ?outer) } }""".stripMargin))
+    assert(e.getMessage.contains("does not bind"))
+  }
 }
