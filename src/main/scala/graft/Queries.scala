@@ -3824,6 +3824,23 @@ object Queries {
              |SELECT li.r, li.n FROM li JOIN mx ON li.r = mx.r AND li.k = mx.mx
              |ORDER BY li.r""".stripMargin))),
 
+    // CONSTRUCT WHERE shorthand (§10.2.3): the WHERE triples are the
+    // template — here the two-predicate star subgraph around nations.
+    "sparql_construct_where" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """CONSTRUCT WHERE { ?n <locatedIn> ?r . ?n <key> ?k . }""")
+          .orderBy(col("s"), col("p"), col("o")),
+      Some("""SELECT s, p, o FROM (
+             |  SELECT DISTINCT 'nation/' || n_name AS s, 'locatedIn' AS p,
+             |    'region/' || r_name AS o
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION
+             |  SELECT DISTINCT 'nation/' || n_name, 'key',
+             |    CAST(n_nationkey AS VARCHAR)
+             |  FROM nation)
+             |ORDER BY s, p, o""".stripMargin))),
+
     // FILTER inside an OPTIONAL block — the LeftJoin reading: the
     // filter decides whether the optional part BINDS, never whether
     // the outer row survives (a top-level filter would drop it).

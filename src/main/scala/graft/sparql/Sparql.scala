@@ -249,14 +249,20 @@ object Sparql {
     val aggs = scala.collection.mutable.ListBuffer.empty[Agg]
     val template = scala.collection.mutable.ListBuffer.empty[Pattern]
     var star = false
+    // CONSTRUCT WHERE { … } (§10.2.3): the WHERE triples ARE the
+    // template — resolved after the WHERE block parses
+    var constructWhere = false
     if (form == "CONSTRUCT") {
-      expect("{")
-      while (peek != "}") {
-        val a = pop(); val b = pop(); val c = pop()
-        template += Pattern(term(a), term(b), term(c))
-        if (peek == ".") pop()
+      if (peek.equalsIgnoreCase("WHERE")) constructWhere = true
+      else {
+        expect("{")
+        while (peek != "}") {
+          val a = pop(); val b = pop(); val c = pop()
+          template += Pattern(term(a), term(b), term(c))
+          if (peek == ".") pop()
+        }
+        expect("}")
       }
-      expect("}")
     }
     // DESCRIBE resources: constants (no WHERE needed) and/or ?vars bound
     // by the WHERE block
@@ -850,6 +856,19 @@ object Sparql {
     optionals.foreach(checkBlock(_, "OPTIONAL"))
     minuses.foreach(checkBlock(_, "MINUS"))
     existsFilters.foreach { case (_, b) => checkBlock(b, "EXISTS") }
+    if (constructWhere) {
+      // §10.2.3 allows only a basic graph pattern in the shorthand form
+      require(unionBranches.isEmpty && optionals.isEmpty && minuses.isEmpty &&
+        existsFilters.isEmpty && filters.isEmpty && binds.isEmpty &&
+        valuesBlocks.isEmpty && subqueries.isEmpty,
+        "CONSTRUCT WHERE allows only triple patterns (SPARQL 1.1 §10.2.3)")
+      patterns.foreach {
+        case p @ Pattern(_, Const(_) | V(_), _) => template += p
+        case _ => throw new IllegalArgumentException(
+          "CONSTRUCT WHERE allows only plain triple patterns " +
+            "(no property paths or predicate sets)")
+      }
+    }
     Query(distinct, projection, aggs.toList, groupBy.toList,
       patterns.toSeq, unionBranches.toList, optionals.toSeq,
       filters.toSeq, order.toSeq, limit,

@@ -1748,5 +1748,19 @@ class CypherSpec extends SparkSpec {
       """SELECT ?x WHERE { ?x <age> ?outer .
         |  OPTIONAL { ?x <knows> ?y . FILTER(?y = ?outer) } }""".stripMargin))
     assert(e.getMessage.contains("does not bind"))
+    // CONSTRUCT WHERE shorthand (§10.2.3): the WHERE triples are the
+    // template; the result graph is a SET
+    val cw = Sparql.run(triples,
+      """CONSTRUCT WHERE { ?x <knows> ?y . ?y <age> ?a . }""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(cw === Set(
+      ("a", "knows", "b"), ("b", "age", "7"),
+      ("b", "knows", "c"), ("c", "age", "19"),
+      ("c", "knows", "a"), ("a", "age", "41")))
+    // shorthand rejects anything beyond plain triples
+    intercept[IllegalArgumentException](Sparql.parse(
+      "CONSTRUCT WHERE { ?x <knows> ?y . FILTER(?x = \"a\") }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "CONSTRUCT WHERE { ?x <knows>+ ?y . }"))
   }
 }
