@@ -122,6 +122,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixSum agrees with the sequential scan on random multi-partition data") {
+    import spark.implicits._
+    val genRows = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(-1000.0, 1000.0), Gen.chooseNum(0L, 99L)))
+    forAll(genRows) { rows =>
+      // duplicate order keys on purpose: ties must still produce ONE
+      // deterministic total (the per-key sums are what callers consume)
+      val df = rows.toDF("ord", "cnt").repartition(7)
+      val got = Relational.prefixSum(df, "ord", "cnt", "cum")
+        .groupBy(col("ord")).agg(
+          sum(col("cnt")).as("c"), min(col("cum")).as("firstCum"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+      // sequential reference: exclusive running sum in ascending order,
+      // aggregated the same way per key
+      val sorted = rows.sortBy(_._1)
+      var run = 0L
+      val perRow = sorted.map { case (o, c) => val v = (o, c, run); run += c; v }
+      val naive = perRow.groupBy(_._1).map { case (o, g) =>
+        (o, g.map(_._2).sum, g.map(_._3).min)
+      }.toSeq
+      assert(got.sortBy(_._1) === naive.toSeq.sortBy(_._1))
+      // grand total of the last key's cum + cnt == total row weight
+      assert(run === rows.map(_._2).sum)
+    }
+    // empty frame: no rows, schema gains the column
+    val empty = Seq.empty[(Double, Long)].toDF("ord", "cnt")
+    val out = Relational.prefixSum(empty, "ord", "cnt", "cum")
+    assert(out.columns.toSeq === Seq("ord", "cnt", "cum") && out.count() === 0L)
+    // non-long sum column rejects
+    intercept[IllegalArgumentException](Relational.prefixSum(
+      Seq((1.0, 1.0)).toDF("ord", "cnt"), "ord", "cnt", "cum"))
+  }
+
   test("BPE train: Spark distributed rounds == driver rounds on random corpora") {
     import spark.implicits._
     import graft.pipeline.BpeVocab
