@@ -3824,6 +3824,27 @@ object Queries {
              |SELECT li.r, li.n FROM li JOIN mx ON li.r = mx.r AND li.k = mx.mx
              |ORDER BY li.r""".stripMargin))),
 
+    // PREFIX declarations (§4.1.1): pfx:local names expand to full IRIs
+    // in every term position before planning — the header most real
+    // SPARQL starts with.
+    "sparql_prefix" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """PREFIX n: <nation/>
+            |SELECT ?c ?r WHERE {
+            |  ?c <fromNation> n:NATION_7 .
+            |  ?c <bigspender> "1" .
+            |  n:NATION_7 <locatedIn> ?r .
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH r7 AS (SELECT 'region/' || r_name AS r
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  WHERE n_name = 'NATION_7')
+             |SELECT 'customer/' || c_custkey AS c, r7.r
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |CROSS JOIN r7
+             |WHERE n_name = 'NATION_7' AND c_acctbal > 9000
+             |ORDER BY c""".stripMargin))),
+
     // CONSTRUCT WHERE shorthand (§10.2.3): the WHERE triples are the
     // template — here the two-predicate star subgraph around nations.
     "sparql_construct_where" -> ((

@@ -232,11 +232,32 @@ object Sparql {
       require(got.equalsIgnoreCase(t), s"expected '$t', got '$got'")
     }
     def isVar(t: String) = t.startsWith("?") && t.length > 1
+    // PREFIX declarations (SPARQL 1.1 §4.1.1): `pfx:local` names expand
+    // to `<ns+local>`; a colon-carrying plain token with an UNDECLARED
+    // prefix is an error, not a literal — the spec's reading
+    val prefixes = scala.collection.mutable.Map.empty[String, String]
     def term(t: String): Term =
       if (isVar(t)) V(t.drop(1))
       else if (t.startsWith("<")) Const(t.substring(1, t.length - 1))
       else if (t.startsWith("\"")) Const(t.substring(1, t.length - 1))
+      else if (t.contains(":")) {
+        val i = t.indexOf(':')
+        val pfx = t.substring(0, i)
+        require(prefixes.contains(pfx),
+          s"undeclared prefix '$pfx:' in '$t' (add a PREFIX $pfx: <…> header)")
+        Const(prefixes(pfx) + t.substring(i + 1))
+      }
       else Const(t)
+    while (peek.equalsIgnoreCase("PREFIX")) {
+      pop()
+      val name = pop()
+      require(name.endsWith(":") && name.length >= 1,
+        s"PREFIX needs a 'name:' label, got '$name'")
+      val iri = pop()
+      require(iri.length >= 2 && iri.head == '<' && iri.last == '>',
+        s"PREFIX needs an <iri>, got '$iri'")
+      prefixes(name.dropRight(1)) = iri.substring(1, iri.length - 1)
+    }
 
     // query form: SELECT … WHERE | ASK WHERE | CONSTRUCT { template } WHERE
     // | DESCRIBE term… [WHERE] — the four SPARQL 1.1 query forms

@@ -1763,4 +1763,35 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sparql.parse(
       "CONSTRUCT WHERE { ?x <knows>+ ?y . }"))
   }
+
+  test("sparql PREFIX declarations expand pfx:local names everywhere") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("ex/a", "voc/knows", "ex/b"), ("ex/b", "voc/knows", "ex/c"),
+      ("ex/a", "voc/age", "41"))
+      .toDF("s", "p", "o")
+    // prefixed names in subject/predicate/object positions, paths, and
+    // the default ':' prefix
+    val out = Sparql.run(triples,
+      """PREFIX v: <voc/>
+        |PREFIX : <ex/>
+        |SELECT ?z WHERE { :a v:knows/v:knows ?z . }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("ex/c"))
+    val flt = Sparql.run(triples,
+      """PREFIX v: <voc/>
+        |SELECT ?x WHERE { ?x v:age ?a . FILTER(?a > 10) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(flt === Seq("ex/a"))
+    // negated sets and alternations expand too
+    val neg = Sparql.run(triples,
+      "PREFIX v: <voc/> SELECT ?x ?y WHERE { ?x !v:knows ?y . }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(neg === Seq(("ex/a", "41")))
+    // undeclared prefix is an error, not a silent literal
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x nope:age ?a . }"))
+    assert(e.getMessage.contains("undeclared prefix"))
+  }
 }
