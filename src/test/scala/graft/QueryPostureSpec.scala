@@ -400,6 +400,23 @@ class QueryPostureSpec extends SparkSpec {
       s"linkpred pipeline has a cartesian:\n$p")
   }
 
+  test("new sparql paths: describe sweeps once by broadcast, subquery and " +
+      "negated-inverse plan no cartesian") {
+    // DESCRIBE: the resolved-resource set must be the broadcast side of
+    // ONE OR-condition semi-join sweep — never a per-resource scan loop
+    val d = plan("sparql_describe")
+    assert(d.contains("BroadcastNestedLoopJoin") && d.contains("LeftSemi"),
+      s"describe lost its single broadcast semi-join sweep:\n$d")
+    // sub-SELECT joins back on the projected group key as an equi-join;
+    // the negated-inverse union is two filtered scans — neither may
+    // degrade to a cartesian product
+    for (name <- Seq("sparql_subquery", "sparql_negated_inverse")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("link-prediction + quality percentile: no window operator anywhere " +
       "(ranks/indices are distributed prefix scans)") {
     // rotationNegatives' destination index is sort+zipWithIndex, the AUC
