@@ -3824,6 +3824,24 @@ object Queries {
              |SELECT li.r, li.n FROM li JOIN mx ON li.r = mx.r AND li.k = mx.mx
              |ORDER BY li.r""".stripMargin))),
 
+    // §11 aggregates over full scalar EXPRESSIONS: SUM of a product and
+    // AVG of arithmetic on the numeric view (integer-valued doubles —
+    // exact replay, no rounding discipline needed).
+    "sparql_agg_expr" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?r (SUM(?k * ?k) AS ?sumsq) (AVG(?k * 2) AS ?avg2)
+            |  (MAX(STRLEN(?n)) AS ?maxlen) WHERE {
+            |  ?n <locatedIn> ?r .
+            |  ?n <key> ?k .
+            |} GROUP BY ?r ORDER BY ?r""".stripMargin),
+      Some("""SELECT 'region/' || r_name AS r,
+             |  SUM(CAST(n_nationkey AS DOUBLE) * n_nationkey) AS sumsq,
+             |  AVG(CAST(n_nationkey AS DOUBLE) * 2) AS avg2,
+             |  CAST(MAX(length('nation/' || n_name)) AS INT) AS maxlen
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY r""".stripMargin))),
+
     // PREFIX declarations (§4.1.1): pfx:local names expand to full IRIs
     // in every term position before planning — the header most real
     // SPARQL starts with.

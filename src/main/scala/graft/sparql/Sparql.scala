@@ -150,7 +150,7 @@ object Sparql {
     * untyped string domain actually has. GROUP_CONCAT joins in SORTED
     * value order and SAMPLE picks MIN — SPARQL leaves both
     * implementation-defined; pinning them keeps results replayable. */
-  final case class Agg(fn: String, arg: Option[String], alias: String,
+  final case class Agg(fn: String, arg: Option[SExpr], alias: String,
                        isDistinct: Boolean = false, sep: String = " ")
   /** An inline VALUES data block: variables and their binding rows. */
   final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[String]])
@@ -259,6 +259,147 @@ object Sparql {
       prefixes(name.dropRight(1)) = iri.substring(1, iri.length - 1)
     }
 
+    def numericLit(t: Term): Boolean = t match {
+      case Const(v) => scala.util.Try(v.toDouble).isSuccess
+      case _ => false
+    }
+    // scalar-expression builtins (BIND / comparison operands) vs boolean
+    // builtins (FILTER atoms)
+    val exprFns = Set("CONCAT", "STR", "STRLEN", "UCASE", "LCASE",
+      "SUBSTR", "REPLACE", "COALESCE", "STRBEFORE", "STRAFTER",
+      "ABS", "ROUND", "CEIL", "FLOOR")
+    val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
+      "ISNUMERIC")
+
+    /** Does the expression carry the numeric (double) view? Drives the
+      * comparison coercion exactly as bare numeric literals always have. */
+    def isNumericExpr(e: SExpr): Boolean = e match {
+      case ETerm(t) => numericLit(t)
+      case EArith(_, _, _) => true
+      case EFn("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) => true
+      case EIf(_, a, b) => isNumericExpr(a) || isNumericExpr(b)
+      case _ => false
+    }
+
+    /** Scalar expression: `add := mul (('+'|'-') mul)*`,
+      * `mul := primary (('*'|'/') primary)*`, primaries are parens,
+      * IF(cond, e, e), the builtin functions, or a term. Operators must
+      * be whitespace-separated (the tokenizer glues `?x+1` into one
+      * token — the Kleene-path gluing discipline). */
+    def parseExpr(): SExpr = {
+      def fnArgs(): List[SExpr] = {
+        expect("(")
+        val args = scala.collection.mutable.ListBuffer.empty[SExpr]
+        if (peek != ")") {
+          args += parseExpr()
+          while (peek == ",") { pop(); args += parseExpr() }
+        }
+        expect(")")
+        args.toList
+      }
+      def primary(): SExpr = {
+        val pk = peek
+        if (pk == "(") { pop(); val e = parseExpr(); expect(")"); e }
+        else if (pk.equalsIgnoreCase("IF")) {
+          pop(); expect("(")
+          val c = parseFilter(); expect(",")
+          val t1 = parseExpr(); expect(",")
+          val t2 = parseExpr(); expect(")")
+          EIf(c, t1, t2)
+        } else if (exprFns.contains(pk.toUpperCase)) {
+          val fn = pop().toUpperCase
+          val args = fnArgs()
+          val arity: PartialFunction[String, Boolean] = {
+            case "CONCAT" | "COALESCE" => args.nonEmpty
+            case "STR" | "STRLEN" | "UCASE" | "LCASE" |
+                 "ABS" | "ROUND" | "CEIL" | "FLOOR" => args.size == 1
+            case "SUBSTR" => args.size == 2 || args.size == 3
+            case "REPLACE" => args.size == 3
+            case "STRBEFORE" | "STRAFTER" => args.size == 2
+          }
+          require(arity(fn), s"wrong number of arguments for $fn")
+          EFn(fn, args)
+        } else ETerm(term(pop()))
+      }
+      def mul(): SExpr = {
+        var e = primary()
+        while (peek == "*" || peek == "/") {
+          val op = pop().head; e = EArith(op, e, primary())
+        }
+        e
+      }
+      var e = mul()
+      while (peek == "+" || peek == "-") {
+        val op = pop().head; e = EArith(op, e, mul())
+      }
+      e
+    }
+
+    def parseFilter(): FilterExpr = {
+      def atom(): FilterExpr = {
+        if (peek == "!") { pop(); Not(atom()) }
+        // "(" opens a parenthesized BOOLEAN group here; parenthesized
+        // arithmetic is available inside parseExpr primaries (i.e. not
+        // as the leftmost token of a comparison)
+        else if (peek == "(") { pop(); val e = orExpr(); expect(")"); e }
+        else if (boolFns.contains(peek.toUpperCase)) {
+          val fn = pop().toUpperCase
+          expect("(")
+          val args = scala.collection.mutable.ListBuffer.empty[SExpr]
+          if (peek != ")") {
+            args += parseExpr()
+            while (peek == ",") { pop(); args += parseExpr() }
+          }
+          expect(")")
+          fn match {
+            case "BOUND" =>
+              require(args.size == 1 && args.head.isInstanceOf[ETerm] &&
+                args.head.asInstanceOf[ETerm].t.isInstanceOf[V],
+                "BOUND takes exactly one ?var")
+            case "REGEX" => require(args.size == 2 || args.size == 3,
+              "REGEX takes (expr, pattern[, flags])")
+            case "ISNUMERIC" =>
+              require(args.size == 1, "isNumeric takes exactly one argument")
+            case _ => require(args.size == 2, s"$fn takes exactly two arguments")
+          }
+          FnCond(fn, args.toList)
+        } else {
+          val l = parseExpr()
+          if (peek.equalsIgnoreCase("IN") || peek.equalsIgnoreCase("NOT")) {
+            val negated = pop().equalsIgnoreCase("NOT")
+            if (negated) expect("IN")
+            expect("(")
+            val vs = scala.collection.mutable.ListBuffer.empty[String]
+            def constTok(): Unit = term(pop()) match {
+              case Const(v) => vs += v
+              case other => throw new IllegalArgumentException(
+                s"IN list must be constants, got $other")
+            }
+            constTok()
+            while (peek == ",") { pop(); constTok() }
+            expect(")")
+            InList(l, vs.toList, negated)
+          } else {
+            val op = pop()
+            require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator '$op'")
+            val r = parseExpr()
+            Cmp(op, l, r, isNumericExpr(l) || isNumericExpr(r))
+          }
+        }
+      }
+      def andExpr(): FilterExpr = {
+        var e = atom()
+        while (peek == "&&") { pop(); e = And(e, atom()) }
+        e
+      }
+      def orExpr(): FilterExpr = {
+        var e = andExpr()
+        while (peek == "||") { pop(); e = Or(e, andExpr()) }
+        e
+      }
+      orExpr()
+    }
+
     // query form: SELECT … WHERE | ASK WHERE | CONSTRUCT { template } WHERE
     // | DESCRIBE term… [WHERE] — the four SPARQL 1.1 query forms
     val form = pop().toUpperCase
@@ -309,19 +450,20 @@ object Sparql {
         expect("(")
         val dist = peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
         require(!dist || fn == "COUNT", s"DISTINCT is only supported on COUNT")
-        val at0 = pop()
-        // the tokenizer glues a trailing ';' onto the ?var token
-        val (at, gluedSemi) =
-          if (at0.length > 1 && at0.endsWith(";")) (at0.dropRight(1), true)
-          else (at0, false)
-        val arg = if (at == "*") {
-          require(fn == "COUNT" && !dist, s"$fn needs a ?var argument")
+        // the tokenizer glues a trailing ';' onto a bare ?var token —
+        // split it back so the expression parser sees clean tokens
+        if (peek.length > 1 && peek != ";" && peek.endsWith(";"))
+          ts = peek.dropRight(1) :: ";" :: ts.tail
+        // §11: the aggregate argument is a full scalar expression
+        val arg = if (peek == "*") {
+          pop()
+          require(fn == "COUNT" && !dist, s"$fn needs an expression argument")
           None
-        } else { require(isVar(at), s"$fn needs a ?var, got '$at'"); Some(at.drop(1)) }
+        } else Some(parseExpr())
         var sep = " "
-        if (gluedSemi || peek == ";") {
+        if (peek == ";") {
           require(fn == "GROUP_CONCAT", s"only GROUP_CONCAT takes a SEPARATOR")
-          if (!gluedSemi) pop()
+          pop()
           require(pop().equalsIgnoreCase("SEPARATOR"),
             "expected SEPARATOR after ';'")
           expect("=")
@@ -485,146 +627,6 @@ object Sparql {
         cur = nxt
       }
       out.toSeq
-    }
-    def numericLit(t: Term): Boolean = t match {
-      case Const(v) => scala.util.Try(v.toDouble).isSuccess
-      case _ => false
-    }
-    // scalar-expression builtins (BIND / comparison operands) vs boolean
-    // builtins (FILTER atoms)
-    val exprFns = Set("CONCAT", "STR", "STRLEN", "UCASE", "LCASE",
-      "SUBSTR", "REPLACE", "COALESCE", "STRBEFORE", "STRAFTER",
-      "ABS", "ROUND", "CEIL", "FLOOR")
-    val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
-      "ISNUMERIC")
-
-    /** Does the expression carry the numeric (double) view? Drives the
-      * comparison coercion exactly as bare numeric literals always have. */
-    def isNumericExpr(e: SExpr): Boolean = e match {
-      case ETerm(t) => numericLit(t)
-      case EArith(_, _, _) => true
-      case EFn("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) => true
-      case EIf(_, a, b) => isNumericExpr(a) || isNumericExpr(b)
-      case _ => false
-    }
-
-    /** Scalar expression: `add := mul (('+'|'-') mul)*`,
-      * `mul := primary (('*'|'/') primary)*`, primaries are parens,
-      * IF(cond, e, e), the builtin functions, or a term. Operators must
-      * be whitespace-separated (the tokenizer glues `?x+1` into one
-      * token — the Kleene-path gluing discipline). */
-    def parseExpr(): SExpr = {
-      def fnArgs(): List[SExpr] = {
-        expect("(")
-        val args = scala.collection.mutable.ListBuffer.empty[SExpr]
-        if (peek != ")") {
-          args += parseExpr()
-          while (peek == ",") { pop(); args += parseExpr() }
-        }
-        expect(")")
-        args.toList
-      }
-      def primary(): SExpr = {
-        val pk = peek
-        if (pk == "(") { pop(); val e = parseExpr(); expect(")"); e }
-        else if (pk.equalsIgnoreCase("IF")) {
-          pop(); expect("(")
-          val c = parseFilter(); expect(",")
-          val t1 = parseExpr(); expect(",")
-          val t2 = parseExpr(); expect(")")
-          EIf(c, t1, t2)
-        } else if (exprFns.contains(pk.toUpperCase)) {
-          val fn = pop().toUpperCase
-          val args = fnArgs()
-          val arity: PartialFunction[String, Boolean] = {
-            case "CONCAT" | "COALESCE" => args.nonEmpty
-            case "STR" | "STRLEN" | "UCASE" | "LCASE" |
-                 "ABS" | "ROUND" | "CEIL" | "FLOOR" => args.size == 1
-            case "SUBSTR" => args.size == 2 || args.size == 3
-            case "REPLACE" => args.size == 3
-            case "STRBEFORE" | "STRAFTER" => args.size == 2
-          }
-          require(arity(fn), s"wrong number of arguments for $fn")
-          EFn(fn, args)
-        } else ETerm(term(pop()))
-      }
-      def mul(): SExpr = {
-        var e = primary()
-        while (peek == "*" || peek == "/") {
-          val op = pop().head; e = EArith(op, e, primary())
-        }
-        e
-      }
-      var e = mul()
-      while (peek == "+" || peek == "-") {
-        val op = pop().head; e = EArith(op, e, mul())
-      }
-      e
-    }
-
-    def parseFilter(): FilterExpr = {
-      def atom(): FilterExpr = {
-        if (peek == "!") { pop(); Not(atom()) }
-        // "(" opens a parenthesized BOOLEAN group here; parenthesized
-        // arithmetic is available inside parseExpr primaries (i.e. not
-        // as the leftmost token of a comparison)
-        else if (peek == "(") { pop(); val e = orExpr(); expect(")"); e }
-        else if (boolFns.contains(peek.toUpperCase)) {
-          val fn = pop().toUpperCase
-          expect("(")
-          val args = scala.collection.mutable.ListBuffer.empty[SExpr]
-          if (peek != ")") {
-            args += parseExpr()
-            while (peek == ",") { pop(); args += parseExpr() }
-          }
-          expect(")")
-          fn match {
-            case "BOUND" =>
-              require(args.size == 1 && args.head.isInstanceOf[ETerm] &&
-                args.head.asInstanceOf[ETerm].t.isInstanceOf[V],
-                "BOUND takes exactly one ?var")
-            case "REGEX" => require(args.size == 2 || args.size == 3,
-              "REGEX takes (expr, pattern[, flags])")
-            case "ISNUMERIC" =>
-              require(args.size == 1, "isNumeric takes exactly one argument")
-            case _ => require(args.size == 2, s"$fn takes exactly two arguments")
-          }
-          FnCond(fn, args.toList)
-        } else {
-          val l = parseExpr()
-          if (peek.equalsIgnoreCase("IN") || peek.equalsIgnoreCase("NOT")) {
-            val negated = pop().equalsIgnoreCase("NOT")
-            if (negated) expect("IN")
-            expect("(")
-            val vs = scala.collection.mutable.ListBuffer.empty[String]
-            def constTok(): Unit = term(pop()) match {
-              case Const(v) => vs += v
-              case other => throw new IllegalArgumentException(
-                s"IN list must be constants, got $other")
-            }
-            constTok()
-            while (peek == ",") { pop(); constTok() }
-            expect(")")
-            InList(l, vs.toList, negated)
-          } else {
-            val op = pop()
-            require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator '$op'")
-            val r = parseExpr()
-            Cmp(op, l, r, isNumericExpr(l) || isNumericExpr(r))
-          }
-        }
-      }
-      def andExpr(): FilterExpr = {
-        var e = atom()
-        while (peek == "&&") { pop(); e = And(e, atom()) }
-        e
-      }
-      def orExpr(): FilterExpr = {
-        var e = andExpr()
-        while (peek == "||") { pop(); e = Or(e, andExpr()) }
-        e
-      }
-      orExpr()
     }
 
     // a brace-delimited BGP group, as used by UNION branches, OPTIONAL,
@@ -848,7 +850,7 @@ object Sparql {
       if (star || proj.isEmpty) known.toList else proj.toList
     projection.filterNot(aliases.contains)
       .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
-    aggs.flatMap(_.arg)
+    aggs.flatMap(_.arg).flatMap(varsOfExpr)
       .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
     groupBy.foreach(v => require(known.contains(v), s"unknown variable ?$v"))
     if (aggs.nonEmpty)
@@ -1343,24 +1345,26 @@ object Sparql {
     }
     if (q.aggregates.nonEmpty) {
       val aggCols = q.aggregates.map { a =>
+        // §11: the argument is a full scalar expression over the
+        // pre-aggregation solution frame
+        def x: Column = compileExpr(a.arg.get)
         (a.fn match {
           case "COUNT" => a.arg
-            .map(v => if (a.isDistinct) countDistinct(col(v)) else count(col(v)))
+            .map(_ => if (a.isDistinct) countDistinct(x) else count(x))
             .getOrElse(count(lit(1)))
           // numeric aggregates view the untyped literal as a double;
           // non-numeric bindings try_cast to null and are skipped — the
           // SQL semantics both engines share (ANSI cast would throw)
-          case "SUM" => sum(col(a.arg.get).try_cast("double"))
-          case "AVG" => avg(col(a.arg.get).try_cast("double"))
+          case "SUM" => sum(x.try_cast("double"))
+          case "AVG" => avg(x.try_cast("double"))
           // untyped string literals order lexically
-          case "MIN" => min(col(a.arg.get))
-          case "MAX" => max(col(a.arg.get))
+          case "MIN" => min(x)
+          case "MAX" => max(x)
           // §11.1 leaves concat order and the sampled value
           // implementation-defined; SORTED order / MIN pin both so
           // reruns and cross-engine replays agree
-          case "GROUP_CONCAT" =>
-            array_join(array_sort(collect_list(col(a.arg.get))), a.sep)
-          case "SAMPLE" => min(col(a.arg.get))
+          case "GROUP_CONCAT" => array_join(array_sort(collect_list(x)), a.sep)
+          case "SAMPLE" => min(x)
         }).as(a.alias)
       }
       df = if (q.groupBy.nonEmpty)

@@ -1794,4 +1794,36 @@ class CypherSpec extends SparkSpec {
       "SELECT ?x WHERE { ?x nope:age ?a . }"))
     assert(e.getMessage.contains("undeclared prefix"))
   }
+
+  test("sparql aggregates over expressions: SUM(?a * ?b), COUNT(IF), STRLEN args") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "qty", "2"), ("a", "price", "10"),
+      ("b", "qty", "3"), ("b", "price", "7"),
+      ("a", "name", "Ann"), ("b", "name", "Bo"))
+      .toDF("s", "p", "o")
+    // SUM over a product of two bindings; AVG over arithmetic
+    val rev = Sparql.run(triples,
+      """SELECT (SUM(?q * ?pr) AS ?rev) (AVG(?q + 1) AS ?aq) WHERE {
+        |  ?x <qty> ?q . ?x <price> ?pr . }""".stripMargin).collect().head
+    assert(rev.getDouble(0) === 41.0 && rev.getDouble(1) === 3.5)
+    // MAX over a string function; COUNT over a conditional expression
+    // (IF yields null on the else-with-no-value path? no — COUNT counts
+    // non-null, so route the "skip" branch through an unbound COALESCE)
+    val mx = Sparql.run(triples,
+      """SELECT (MAX(STRLEN(?n)) AS ?ml)
+        |  (SUM(IF(?n = "Ann", 1, 0)) AS ?anns) WHERE {
+        |  ?x <name> ?n . }""".stripMargin).collect().head
+    assert(mx.getInt(0) === 3 && mx.getDouble(1) === 1.0)
+    // grouped expression aggregate
+    val g = Sparql.run(triples,
+      """SELECT ?x (SUM(?q * ?pr) AS ?rev) WHERE {
+        |  ?x <qty> ?q . ?x <price> ?pr . } GROUP BY ?x ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(g === Seq(("a", 20.0), ("b", 21.0)))
+    // unknown variable inside the aggregate expression still rejects
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
+  }
 }
