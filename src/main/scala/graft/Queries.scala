@@ -3842,6 +3842,51 @@ object Queries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1 ORDER BY r""".stripMargin))),
 
+    // § SelectExpr projection expressions `(expr AS ?x)` over an
+    // aggregated query: the expression runs AFTER grouping, sees group
+    // keys + aggregate aliases + earlier expression aliases. The mean
+    // is a single IEEE division of two exact integers on both engines;
+    // rounded to 6 anyway per the float-oracle discipline.
+    "sparql_select_expr" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?r (SUM(?k) AS ?sk) (COUNT(?n) AS ?cnt)
+            |  (?sk / ?cnt AS ?mean) (CONCAT(?r, "!") AS ?tag) WHERE {
+            |  ?n <locatedIn> ?r .
+            |  ?n <key> ?k .
+            |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+          .withColumn("mean", round(col("mean"), 6)),
+      Some("""SELECT r, sk, cnt, round(sk / cnt, 6) AS mean, r || '!' AS tag
+             |FROM (
+             |  SELECT 'region/' || r_name AS r,
+             |    SUM(CAST(n_nationkey AS DOUBLE)) AS sk,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1)
+             |ORDER BY r""".stripMargin))),
+
+    // DISTINCT inside aggregates (§11.2 Distinct(ToMultiset)): the
+    // customer-grain bag repeats each segment/nation-key thousands of
+    // times; COUNT/SUM/GROUP_CONCAT DISTINCT collapse it to the
+    // 5-segment / 25-key domain.
+    "sparql_distinct_agg" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT (COUNT(DISTINCT ?g) AS ?nseg)
+            |  (GROUP_CONCAT(DISTINCT ?g) AS ?segs)
+            |  (SUM(DISTINCT ?k) AS ?sk) WHERE {
+            |  ?c <segment> ?g .
+            |  ?c <fromNation> ?n .
+            |  ?n <key> ?k .
+            |}""".stripMargin),
+      Some("""SELECT
+             |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nseg,
+             |  (SELECT string_agg(g, ' ' ORDER BY g)
+             |     FROM (SELECT DISTINCT c_mktsegment AS g FROM customer)) AS segs,
+             |  (SELECT SUM(DISTINCT CAST(n_nationkey AS DOUBLE))
+             |     FROM customer JOIN nation ON c_nationkey = n_nationkey) AS sk
+             |FROM customer""".stripMargin))),
+
     // PREFIX declarations (§4.1.1): pfx:local names expand to full IRIs
     // in every term position before planning — the header most real
     // SPARQL starts with.
@@ -3917,6 +3962,27 @@ object Queries {
              |  UNION ALL
              |  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM customer)
              |GROUP BY p ORDER BY p""".stripMargin))),
+
+    // ORDER BY full scalar expressions (§15.1 OrderCondition): the
+    // predicate census sorted by DESC(count * 2 - 1) — an arithmetic
+    // sort key over the aggregate alias — tie-broken by ?p, then cut to
+    // the top 4 so the ordering is content-visible to the row-sorted
+    // compare (ties at the cut are covered by the tiebreak).
+    "sparql_order_expr" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . }
+            |GROUP BY ?p ORDER BY DESC(?n * 2 - 1) ?p LIMIT 4""".stripMargin),
+      Some("""SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT 'fromNation' AS p FROM customer
+             |  UNION ALL SELECT 'locatedIn' FROM nation
+             |  UNION ALL SELECT 'segment' FROM customer
+             |  UNION ALL SELECT 'key' FROM nation
+             |  UNION ALL SELECT 'bigspender' FROM customer WHERE c_acctbal > 9000
+             |  UNION ALL SELECT 'suppliesFrom' FROM supplier
+             |  UNION ALL
+             |  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM customer)
+             |GROUP BY p ORDER BY count(*) * 2 - 1 DESC, p LIMIT 4""".stripMargin))),
 
     "rdf_ingest" -> ((
       (s: SparkSession, d: String) => {

@@ -42,20 +42,33 @@ import org.apache.spark.sql.functions._
  *    BOUND, isNumeric; `expr [NOT] IN (constants)`; a numeric side
  *    makes the comparison numeric (both sides try_cast to double),
  *    otherwise lexical
- *  - aggregate projections `(FN(?v) AS ?alias)` with FN ∈ COUNT (also
- *    `COUNT(*)` / `COUNT(DISTINCT ?v)`), SUM, AVG, MIN, MAX,
+ *  - aggregate projections `(FN(expr) AS ?alias)` with FN ∈ COUNT (also
+ *    `COUNT(*)`), SUM, AVG, MIN, MAX,
  *    GROUP_CONCAT (`; SEPARATOR="…"`, pinned to sorted value order),
  *    SAMPLE (pinned to MIN), and `GROUP BY ?v …` (plain projected vars
  *    must be grouped — the SPARQL 1.1 rule) with `HAVING (cond)` over
- *    group keys and aliases; SUM/AVG take the numeric view of the
- *    untyped literal (non-numeric → null, skipped), MIN/MAX compare
- *    lexically
+ *    group keys and aliases; the argument is a full scalar expression
+ *    over the pre-aggregation frame; `DISTINCT` inside any aggregate
+ *    (COUNT/SUM/AVG dedup the argument multiset, GROUP_CONCAT concats
+ *    the distinct sorted values, MIN/MAX/SAMPLE are unchanged — the
+ *    §11.2 Distinct(ToMultiset) reading); SUM/AVG take the numeric
+ *    view of the untyped literal (non-numeric → null, skipped),
+ *    MIN/MAX compare lexically
+ *  - projection expressions `SELECT (expr AS ?x)` (§ SelectExpr),
+ *    freely mixed with plain vars and aggregates; over an aggregated
+ *    query an expression sees group keys, aggregate aliases, and
+ *    earlier expression aliases (computed AFTER grouping), otherwise
+ *    the full solution frame — the same left-to-right no-rebind scope
+ *    discipline as BIND
  *  - `{ SELECT … }` sub-queries (§12): evaluated bottom-up, joined on
  *    the projected variables (the only visible surface); join keys
  *    must be bound in the subquery's required patterns
  *  - `VALUES ?x { … }` / `VALUES (?x ?y) { (…) … }` inline data —
  *    a broadcast join against the group (UNDEF rejected)
- *  - `ORDER BY [ASC|DESC](?v) …`, `OFFSET n`, `LIMIT n`
+ *  - `ORDER BY [ASC|DESC](expr) …` with full scalar-expression sort
+ *    keys over the projected frame (a non-projected sort variable is
+ *    rejected — our project → distinct → order sequence can't see it),
+ *    `OFFSET n`, `LIMIT n`
  *  - property paths in the predicate position: `^p` inverse, `p1/p2`
  *    sequence (composable, e.g. `^p1/p2`), and the `a` rdf:type
  *    keyword — rewritten at parse time into ordinary triple patterns
@@ -142,8 +155,10 @@ object Sparql {
   /** `expr [NOT] IN (c1, c2, …)` — constant list membership. */
   final case class InList(e: SExpr, values: Seq[String], negated: Boolean) extends FilterExpr
   /** One aggregate projection: function (COUNT/SUM/AVG/MIN/MAX/
-    * GROUP_CONCAT/SAMPLE), argument variable (None = COUNT(*)), alias,
-    * the DISTINCT modifier (COUNT only), and GROUP_CONCAT's separator.
+    * GROUP_CONCAT/SAMPLE), argument expression (None = COUNT(*)), alias,
+    * the DISTINCT modifier (§11.2 — dedups the argument multiset;
+    * a no-op on the extrema MIN/MAX/SAMPLE), and GROUP_CONCAT's
+    * separator.
     * SUM/AVG operate on the numeric view of the untyped literal
     * (non-numeric bindings become null and are skipped — both engines'
     * cast semantics); MIN/MAX compare lexically, the ordering the
@@ -167,7 +182,7 @@ object Sparql {
                          patterns: Seq[Pat], unionBranches: Seq[Block],
                          optionals: Seq[Block],
                          filters: Seq[FilterExpr],
-                         orderBy: Seq[(String, Boolean)], limit: Option[Int],
+                         orderBy: Seq[(SExpr, Boolean)], limit: Option[Int],
                          ask: Boolean = false,
                          construct: Seq[Pattern] = Seq.empty,
                          minuses: Seq[Block] = Seq.empty,
@@ -177,7 +192,8 @@ object Sparql {
                          binds: Seq[(String, SExpr)] = Seq.empty,
                          describe: Seq[Term] = Seq.empty,
                          having: Option[FilterExpr] = None,
-                         subqueries: Seq[String] = Seq.empty)
+                         subqueries: Seq[String] = Seq.empty,
+                         selectExprs: Seq[(String, SExpr)] = Seq.empty)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -409,6 +425,7 @@ object Sparql {
       peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
     val proj = scala.collection.mutable.ListBuffer.empty[String]
     val aggs = scala.collection.mutable.ListBuffer.empty[Agg]
+    val selExprs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
     val template = scala.collection.mutable.ListBuffer.empty[Pattern]
     var star = false
     // CONSTRUCT WHERE { … } (§10.2.3): the WHERE triples ARE the
@@ -440,16 +457,26 @@ object Sparql {
       val t = pop()
       if (t == "*") star = true
       else if (t == "(") {
-        // ( FN([DISTINCT] ?v | *) AS ?alias ) -- the SPARQL 1.1
-        // aggregate form (§11.1); GROUP_CONCAT takes an optional
-        // `; SEPARATOR="…"` tail
+        // ( FN([DISTINCT] expr | *) AS ?alias ) — the SPARQL 1.1
+        // aggregate form (§11.1, GROUP_CONCAT takes an optional
+        // `; SEPARATOR="…"` tail) — distinguished from a plain
+        // projection expression `( expr AS ?alias )` (§ SelectExpr) by
+        // an aggregate keyword followed by its own '('
+        val isAgg = Seq("COUNT", "SUM", "AVG", "MIN", "MAX",
+          "GROUP_CONCAT", "SAMPLE").contains(peek.toUpperCase) &&
+          ts.drop(1).headOption.contains("(")
+        if (!isAgg) {
+          val e = parseExpr()
+          expect("AS")
+          val al = pop()
+          require(isVar(al), s"AS needs a ?alias, got '$al'")
+          expect(")")
+          selExprs += (al.drop(1) -> e)
+          proj += al.drop(1)
+        } else {
         val fn = pop().toUpperCase
-        require(Seq("COUNT", "SUM", "AVG", "MIN", "MAX",
-          "GROUP_CONCAT", "SAMPLE").contains(fn),
-          s"unsupported aggregate '$fn'")
         expect("(")
         val dist = peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
-        require(!dist || fn == "COUNT", s"DISTINCT is only supported on COUNT")
         // the tokenizer glues a trailing ';' onto a bare ?var token —
         // split it back so the expression parser sees clean tokens
         if (peek.length > 1 && peek != ";" && peek.endsWith(";"))
@@ -478,6 +505,7 @@ object Sparql {
         expect(")")
         aggs += Agg(fn, arg, al.drop(1), dist, sep)
         proj += al.drop(1)
+        }
       }
       else { require(isVar(t), s"projection must be ?vars or *, got '$t'"); proj += t.drop(1) }
     }
@@ -765,7 +793,7 @@ object Sparql {
     }
     expect("}")
     } // hasWhere
-    val order = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val order = scala.collection.mutable.ListBuffer.empty[(SExpr, Boolean)]
     val groupBy = scala.collection.mutable.ListBuffer.empty[String]
     var limit: Option[Int] = None
     var offset: Option[Int] = None
@@ -791,16 +819,15 @@ object Sparql {
         expect(")")
       } else if (t.equalsIgnoreCase("ORDER")) {
         expect("BY")
+        // §15.1 OrderCondition: (ASC|DESC) BrackettedExpression, a bare
+        // ?var, or a constraint expression (bracketed arithmetic / a
+        // builtin call) — any scalar expression over the PROJECTED frame
         while (ts.nonEmpty && !atModifier) {
-          val n = pop()
+          val n = peek
           if (n.equalsIgnoreCase("ASC") || n.equalsIgnoreCase("DESC")) {
-            expect("("); val v = pop(); expect(")")
-            require(isVar(v), s"ORDER BY needs a ?var, got '$v'")
-            order += ((v.drop(1), n.equalsIgnoreCase("ASC")))
-          } else {
-            require(isVar(n), s"ORDER BY needs a ?var, got '$n'")
-            order += ((n.drop(1), true))
-          }
+            pop(); expect("("); val e = parseExpr(); expect(")")
+            order += ((e, n.equalsIgnoreCase("ASC")))
+          } else order += ((parseExpr(), true))
         }
       } else if (t.equalsIgnoreCase("LIMIT")) limit = Some(pop().toInt)
       else if (t.equalsIgnoreCase("OFFSET")) offset = Some(pop().toInt)
@@ -845,11 +872,37 @@ object Sparql {
       case V(n) => require(known.contains(n), s"unknown variable ?$n")
       case _ => ()
     }
-    val aliases = aggs.map(_.alias)
+    val aliases = aggs.map(_.alias) ++ selExprs.map(_._1)
+    require(!star || selExprs.isEmpty,
+      "SELECT * cannot be combined with projection expressions")
     val projection: scala.collection.immutable.Seq[String] =
       if (star || proj.isEmpty) known.toList else proj.toList
     projection.filterNot(aliases.contains)
       .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
+    // § SelectExpr scope: left-to-right, no rebinds; over an aggregated
+    // query the expressions run AFTER grouping, so only group keys,
+    // aggregate aliases, and earlier expression aliases are visible
+    locally {
+      var scope: Seq[String] =
+        if (aggs.nonEmpty) groupBy.toSeq ++ aggs.map(_.alias) else known.toSeq
+      selExprs.foreach { case (v, e) =>
+        require(!known.contains(v) && !scope.contains(v),
+          s"SELECT expression would rebind ?$v")
+        varsOfExpr(e).foreach(u => require(scope.contains(u),
+          if (aggs.nonEmpty)
+            s"a SELECT expression references ?$u, which is neither " +
+              "grouped, an aggregate alias, nor an earlier expression alias"
+          else s"unknown variable ?$u"))
+        scope = scope :+ v
+      }
+    }
+    // ORDER BY expressions run over the projected frame (our sequence
+    // is project → distinct → order, so a sort key must be projected;
+    // SPARQL's order-before-project reading of a non-projected sort var
+    // is a documented divergence — reject rather than mis-answer)
+    order.foreach { case (e, _) => varsOfExpr(e).foreach(v =>
+      require(projection.contains(v),
+        s"ORDER BY references ?$v, which is not projected")) }
     aggs.flatMap(_.arg).flatMap(varsOfExpr)
       .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
     groupBy.foreach(v => require(known.contains(v), s"unknown variable ?$v"))
@@ -899,7 +952,8 @@ object Sparql {
       minuses = minuses.toList, existsFilters = existsFilters.toList,
       valuesBlocks = valuesBlocks.toList, offset = offset,
       binds = binds.toList, describe = describeTerms.toList,
-      having = having, subqueries = subqueries.toList)
+      having = having, subqueries = subqueries.toList,
+      selectExprs = selExprs.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -1354,17 +1408,26 @@ object Sparql {
             .getOrElse(count(lit(1)))
           // numeric aggregates view the untyped literal as a double;
           // non-numeric bindings try_cast to null and are skipped — the
-          // SQL semantics both engines share (ANSI cast would throw)
-          case "SUM" => sum(x.try_cast("double"))
-          case "AVG" => avg(x.try_cast("double"))
-          // untyped string literals order lexically
-          case "MIN" => min(x)
+          // SQL semantics both engines share (ANSI cast would throw).
+          // DISTINCT dedups the argument multiset (§11.2); AVG DISTINCT
+          // decomposes to sum_distinct/countDistinct (both null-skipping,
+          // empty group → null/0 → null, matching AVG's empty-group null)
+          case "SUM" =>
+            val xd = x.try_cast("double")
+            if (a.isDistinct) sum_distinct(xd) else sum(xd)
+          case "AVG" =>
+            val xd = x.try_cast("double")
+            if (a.isDistinct) sum_distinct(xd) / countDistinct(xd) else avg(xd)
+          // untyped string literals order lexically; DISTINCT is a no-op
+          // on the extrema (and on the MIN-pinned SAMPLE)
+          case "MIN" | "SAMPLE" => min(x)
           case "MAX" => max(x)
           // §11.1 leaves concat order and the sampled value
           // implementation-defined; SORTED order / MIN pin both so
           // reruns and cross-engine replays agree
-          case "GROUP_CONCAT" => array_join(array_sort(collect_list(x)), a.sep)
-          case "SAMPLE" => min(x)
+          case "GROUP_CONCAT" =>
+            val vs = if (a.isDistinct) collect_set(x) else collect_list(x)
+            array_join(array_sort(vs), a.sep)
         }).as(a.alias)
       }
       df = if (q.groupBy.nonEmpty)
@@ -1374,11 +1437,15 @@ object Sparql {
       // keys and aliases are its columns
       q.having.foreach(h => df = df.where(compileFilter(h)))
     }
+    // § SelectExpr: projection expressions fold over the (possibly
+    // aggregated) frame in declaration order — each sees the earlier
+    // aliases; a null input propagates to an unbound alias, as in BIND
+    q.selectExprs.foreach { case (v, e) => df = df.withColumn(v, compileExpr(e)) }
     df = df.select(q.projection.map(col): _*)
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty)
-      df = df.orderBy(q.orderBy.map { case (v, asc) =>
-        if (asc) col(v).asc else col(v).desc }: _*)
+      df = df.orderBy(q.orderBy.map { case (e, asc) =>
+        val c = compileExpr(e); if (asc) c.asc else c.desc }: _*)
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     df

@@ -1240,12 +1240,19 @@ class CypherSpec extends SparkSpec {
       "SELECT DISTINCT ?x WHERE { ?x <tag> ?t . } ORDER BY ?x OFFSET 1 LIMIT 1")
       .collect().map(_.getString(0)).toSeq
     assert(page === Seq("b"))
-    // rejects: UNDEF, DISTINCT on a non-COUNT aggregate, SUM(*),
-    // VALUES var bound only optionally, arity mismatch
+    // DISTINCT inside aggregates (§11.2): dedups the argument multiset
+    // before the fold — b's duplicate "5" collapses
+    val dsum = Sparql.run(triples,
+      """SELECT (SUM(DISTINCT ?v) AS ?t) (AVG(DISTINCT ?v) AS ?m)
+        |  (GROUP_CONCAT(DISTINCT ?v) AS ?cs)
+        |WHERE { ?x <score> ?v . }""".stripMargin).collect()
+    assert(dsum(0).getDouble(0) === 45.0)
+    assert(dsum(0).getDouble(1) === 15.0)
+    assert(dsum(0).getString(2) === "10 30 5")
+    // rejects: UNDEF, SUM(*), VALUES var bound only optionally,
+    // arity mismatch
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { ?x <tag> ?t . VALUES ?t { UNDEF } }"))
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT (SUM(DISTINCT ?v) AS ?t) WHERE { ?x <score> ?v . }"))
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT (SUM(*) AS ?t) WHERE { ?x <score> ?v . }"))
     intercept[IllegalArgumentException](Sparql.run(triples,
@@ -1825,5 +1832,61 @@ class CypherSpec extends SparkSpec {
     // unknown variable inside the aggregate expression still rejects
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
+  }
+
+  test("sparql SELECT expressions, ORDER BY expressions, rejects") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "qty", "2"), ("a", "price", "10"),
+      ("b", "qty", "3"), ("b", "price", "7"),
+      ("a", "name", "Ann"), ("b", "name", "Bo"))
+      .toDF("s", "p", "o")
+    // plain projection expression mixed with vars; left-to-right
+    // chaining: ?t sees the earlier alias ?rev
+    val rows = Sparql.run(triples,
+      """SELECT ?x (?q * ?pr AS ?rev) (?rev + 1 AS ?t) WHERE {
+        |  ?x <qty> ?q . ?x <price> ?pr . } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows === Seq(("a", 20.0, 21.0), ("b", 21.0, 22.0)))
+    // string expression + builtin
+    val up = Sparql.run(triples,
+      "SELECT (UCASE(?n) AS ?u) WHERE { ?x <name> ?n . } ORDER BY ?u")
+      .collect().map(_.getString(0)).toSeq
+    assert(up === Seq("ANN", "BO"))
+    // over an aggregated query the expression runs AFTER grouping — it
+    // sees group keys and aggregate aliases only
+    val agg = Sparql.run(triples,
+      """SELECT ?x (SUM(?q) AS ?sq) (?sq * 100 AS ?pct) WHERE {
+        |  ?x <qty> ?q . } GROUP BY ?x ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(agg === Seq(("a", 200.0), ("b", 300.0)))
+    // ORDER BY expressions (§15.1): DESC(expr) and a bare builtin-call
+    // sort key, both over the projected frame
+    val byRev = Sparql.run(triples,
+      """SELECT ?x ?q ?pr WHERE { ?x <qty> ?q . ?x <price> ?pr . }
+        |ORDER BY DESC(?q * ?pr)""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(byRev === Seq("b", "a"))
+    val byLen = Sparql.run(triples,
+      "SELECT ?n WHERE { ?x <name> ?n . } ORDER BY DESC(STRLEN(?n)) ?n")
+      .collect().map(_.getString(0)).toSeq
+    assert(byLen === Seq("Ann", "Bo"))
+    // a non-projected sort variable is rejected (documented divergence:
+    // our sequence is project -> distinct -> order)
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <qty> ?q . } ORDER BY DESC(?q)"))
+    // rejects: rebinding an existing variable, referencing a
+    // non-grouped var post-aggregation, SELECT * with an expression,
+    // unknown variable
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT (?q + 1 AS ?q) WHERE { ?x <qty> ?q . }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x (SUM(?q) AS ?s) (?pr AS ?p) WHERE {
+        |  ?x <qty> ?q . ?x <price> ?pr . } GROUP BY ?x""".stripMargin))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT * (?q + 1 AS ?r) WHERE { ?x <qty> ?q . }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT (?nope + 1 AS ?r) WHERE { ?x <qty> ?q . }"))
   }
 }
