@@ -3459,6 +3459,52 @@ object Queries {
       },
       Some(linkpredTrainOracleSql(iters = 4)))),
 
+    // FEDERATED link-prediction training (the reference's fl_server /
+    // fl_client FedAvg orchestration, fl_server.py:85-105): 3 "workers"
+    // = hk % 3 partitions, 2 rounds × 2 local epochs, FedAvg weighted
+    // by per-worker example count. The oracle unrolls the full
+    // federation schedule — per-worker GD epochs as part-keyed CTE
+    // joins, the weighted average at each round boundary — and scores
+    // every example with the final global model (round-6 replay).
+    "ml_fed_train_linkpred" -> ((
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        val pos = c.select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"),
+          col("c_custkey").cast("long").as("hk"))
+        val e0 = pos.select(col("src"), col("dst"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val feats = c.select(concat(lit("c"), col("c_custkey")).as("id"),
+            (col("c_custkey") % 8).cast("double").as("f0"),
+            col("c_nationkey").cast("double").as("f1"))
+          .unionByName(n.select(concat(lit("n"), col("n_nationkey")).as("id"),
+            col("n_nationkey").cast("double").as("f0"),
+            col("n_regionkey").cast("double").as("f1")))
+        val emb = graft.ml.Gcn.layer(edges, feats, "id", Seq("f0", "f1"),
+          Array(Array(0.5, -0.25), Array(0.125, 1.0)))
+        val neg = graft.ml.LinkPrediction
+          .rotationNegatives(pos, "src", "dst", "hk")
+          .join(pos.select(col("src"), col("hk")), Seq("src"))
+        val pairs = pos
+          .select(col("src"), col("dst"), lit(1).as("label"), col("hk"))
+          .unionByName(
+            neg.select(col("src"), col("dst"), lit(0).as("label"), col("hk")))
+        val ex = graft.ml.LinkPrediction
+          .edgeFeatures(pairs, emb, "id", Seq("h0", "h1"))
+          .withColumn("x0", col("x0") / 64)
+          .withColumn("x1", col("x1") / 64)
+          .withColumn("part", col("hk") % 3)
+        val w = graft.ml.LinkPrediction.trainFederated(
+          ex, Seq("x0", "x1"), "label", "part",
+          rounds = 2, localEpochs = 2, lr = 0.5)
+        ex.select(col("src"), col("dst"), col("label"),
+            round(graft.ml.LinkPrediction.scoreColumn(Seq("x0", "x1"), w), 6)
+              .as("score"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(linkpredFedOracleSql(rounds = 2, epochs = 2)))),
+
     // Link-prediction EVALUATION (the reference's `evaluate()` metric
     // log: accuracy/recall/AUC/F1/precision, supervised.py:195-207):
     // deterministic 90/10 split on the customer key, train on the 90%,
@@ -4997,6 +5043,56 @@ object Queries {
        |SELECT ex.src, ex.dst, ex.label,
        |  ROUND(${p(s"w$iters")}, 6) AS score
        |FROM ex CROSS JOIN w$iters
+       |ORDER BY ex.src, ex.dst""".stripMargin
+  }
+
+  /** ml_fed_train_linkpred oracle: the federation schedule unrolled —
+    * workers = hk % 3, each round every worker runs `epochs` GD epochs
+    * from the shared global weights (part-keyed CTE joins), then the
+    * round boundary FedAvg-weights by worker example count
+    * (fl_server.py:85-105). Final scores come from the last global. */
+  private def linkpredFedOracleSql(rounds: Int, epochs: Int): String = {
+    def p(w: String) =
+      s"1.0 / (1.0 + exp(-($w.b + ex.x0 * $w.a0 + ex.x1 * $w.a1)))"
+    // one local epoch: per-worker gradient sums joined on part
+    def epochStep(tag: String, prev: String): String =
+      s"""g$tag AS (SELECT ex.part,
+         |    SUM((${p("w")} - ex.label) * ex.x0) AS s0,
+         |    SUM((${p("w")} - ex.label) * ex.x1) AS s1,
+         |    SUM(${p("w")} - ex.label) AS sb,
+         |    COUNT(*) AS n
+         |  FROM exp ex JOIN $prev w ON ex.part = w.part GROUP BY ex.part),
+         |w$tag AS (SELECT w.part, w.a0 - 0.5 * g.s0 / g.n AS a0,
+         |    w.a1 - 0.5 * g.s1 / g.n AS a1, w.b - 0.5 * g.sb / g.n AS b
+         |  FROM $prev w JOIN g$tag g ON w.part = g.part)""".stripMargin
+    // FedAvg at the round boundary, re-broadcast to every worker
+    def fedAvg(r: Int, prev: String): String =
+      s"""a$r AS (SELECT SUM(s.n * w.a0) / SUM(s.n) AS a0,
+         |    SUM(s.n * w.a1) / SUM(s.n) AS a1,
+         |    SUM(s.n * w.b) / SUM(s.n) AS b
+         |  FROM $prev w JOIN sizes s ON w.part = s.part),
+         |wr$r AS (SELECT s.part, a.a0, a.a1, a.b
+         |  FROM sizes s CROSS JOIN a$r a)""".stripMargin
+    val steps = scala.collection.mutable.ListBuffer.empty[String]
+    var prev = "wr0"
+    for (r <- 1 to rounds) {
+      for (e <- 1 to epochs) {
+        val tag = s"r${r}e$e"
+        steps += epochStep(tag, prev)
+        prev = s"w$tag"
+      }
+      steps += fedAvg(r, prev)
+      prev = s"wr$r"
+    }
+    s"""WITH ${linkpredPipelineCtes()},
+       |exp AS (SELECT ex.*, hk % 3 AS part FROM ex),
+       |sizes AS (SELECT part, COUNT(*) AS n FROM exp GROUP BY part),
+       |wr0 AS (SELECT part, 0.0 AS a0, 0.0 AS a1, 0.0 AS b FROM sizes),
+       |${steps.mkString(",\n")}
+       |SELECT ex.src, ex.dst, ex.label,
+       |  ROUND(1.0 / (1.0 + exp(-(g.b + ex.x0 * g.a0 + ex.x1 * g.a1))), 6)
+       |    AS score
+       |FROM exp ex CROSS JOIN a$rounds g
        |ORDER BY ex.src, ex.dst""".stripMargin
   }
 

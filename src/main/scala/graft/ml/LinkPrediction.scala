@@ -157,6 +157,100 @@ object LinkPrediction {
     w
   }
 
+  /**
+   * FEDERATED logistic training — the engine counterpart of the
+   * reference's worker-federation loop (`src_python/fl_server.py:85-105`
+   * `update_model`: global = Σ nₖ·wₖ / Σ nₖ, FedAvg weighted by each
+   * client's example count, for `rounds` training cycles;
+   * `src_python/fl_client.py:133-136`: each cycle a client sets the
+   * received global weights and fits `epochs` local epochs on its own
+   * partition before reporting back).
+   *
+   * Here the "workers" are the groups of `partCol` (the engine's graph
+   * partitions — e.g. a hash of the partitioning key, exactly what the
+   * reference's partitioner assigns to workers), and one GLOBAL
+   * aggregation per local epoch trains every worker simultaneously:
+   * the K current weight vectors live in a K-row broadcast frame joined
+   * onto the examples, and `groupBy(partCol)` produces all K gradient
+   * sums map-side-combined in a single pass. The driver holds K×(d+1)
+   * doubles; rounds × localEpochs passes total — the same per-iteration
+   * cost shape as [[trainLogistic]] however large the example set is.
+   * No worker sockets, no model shipping: the federation schedule is
+   * replayed exactly, as Spark aggregations.
+   *
+   * With `localEpochs = 1` FedAvg degenerates to the centralized step —
+   * Σ nₖ(w − lr·gₖ)/Σ nₖ = w − lr·g — so the trajectory equals
+   * [[trainLogistic]] up to float associativity (spec-pinned).
+   *
+   * @param partCol integral worker/partition id column (K distinct
+   *                values = the worker fleet; gated to ≤ 65536 — the
+   *                reference's `max_conn` is single digits).
+   * @return FedAvg'd global weights (aligned with featCols) :+ bias.
+   */
+  def trainFederated(examples: DataFrame, featCols: Seq[String],
+                     labelCol: String, partCol: String, rounds: Int,
+                     localEpochs: Int, lr: Double): Array[Double] = {
+    require(rounds >= 0 && localEpochs >= 1 && lr > 0,
+      "rounds >= 0, localEpochs >= 1, lr > 0")
+    val spark = examples.sparkSession
+    val d = featCols.size
+    val ex = examples.select(col(partCol).cast(LongType).as(partCol) +:
+        (featCols.map(c => col(c).cast(DoubleType)) :+
+          col(labelCol).cast(DoubleType).as(labelCol)): _*)
+      .localCheckpoint(true)
+    // the worker fleet: K partition ids + FedAvg sizes. K is the
+    // reference's client count — a fleet, not data; gate before collect
+    val sizeRows = ex.groupBy(col(partCol)).agg(count(lit(1)).as("__n"))
+    val kCount = sizeRows.count()
+    require(kCount >= 1 && kCount <= 65536,
+      s"partCol must carry a worker fleet (1..65536 partitions), got $kCount")
+    val sized = sizeRows.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val parts = sized.map(_._1)
+    val totalN = sized.map(_._2).sum.toDouble
+    var global = Array.fill(d + 1)(0.0)
+    val wSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(partCol, LongType,
+        nullable = false) +:
+        ((0 until d).map(k => org.apache.spark.sql.types
+          .StructField(s"__w$k", DoubleType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField("__wb", DoubleType,
+            nullable = false)))
+    var round = 0
+    while (round < rounds) {
+      // every client starts the cycle from the received global model
+      val local = scala.collection.mutable.LinkedHashMap(
+        parts.map(p => p -> global.clone()): _*)
+      var epoch = 0
+      while (epoch < localEpochs) {
+        val wdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            parts.map(p => Row.fromSeq(p +: local(p).toSeq)).toSeq, 1),
+          wSchema)
+        val j = ex.join(broadcast(wdf), Seq(partCol))
+        val marginC = featCols.zipWithIndex
+          .map { case (c, k) => col(c) * col(s"__w$k") }
+          .foldLeft(col("__wb"))(_ + _)
+        val r = sigmoid(marginC) - col(labelCol)
+        val aggs = featCols.map(c => sum(r * col(c))) :+
+          sum(r) :+ count(lit(1))
+        j.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+          .collect().foreach { row =>
+            val w = local(row.getLong(0))
+            val n = row.getLong(d + 2).toDouble
+            var k = 0
+            while (k <= d) { w(k) -= lr * row.getDouble(k + 1) / n; k += 1 }
+          }
+        epoch += 1
+      }
+      // fl_server.update_model: global = Σ nₖ·wₖ / Σ nₖ
+      global = Array.tabulate(d + 1)(k =>
+        sized.map { case (p, n) => n * local(p)(k) }.sum / totalN)
+      round += 1
+    }
+    global
+  }
+
   /** sigmoid(w · x + b) as a column over the feature columns. */
   def scoreColumn(featCols: Seq[String], weights: Array[Double]): Column = {
     require(weights.length == featCols.size + 1,

@@ -108,6 +108,57 @@ class LinkPredictionSpec extends SparkSpec {
     assert(oneClass.isNullAt(4))
   }
 
+  test("trainFederated: FedSGD (E=1) equals centralized GD; K=1 equals trainLogistic") {
+    // y = 1 iff x0 > 0, spread over 3 uneven "workers"
+    val ex = Seq(
+      (0L, 1.0, 0.3, 1), (0L, 2.0, -0.5, 1), (0L, -1.0, 0.4, 0),
+      (1L, 1.5, 0.9, 1), (1L, -2.0, -0.7, 0),
+      (2L, 3.0, 0.1, 1), (2L, -1.5, 0.2, 0), (2L, -3.0, -0.1, 0))
+      .toDF("part", "x0", "x1", "label")
+    // localEpochs = 1: FedAvg of single local steps IS the centralized
+    // step (Σ nk(w − lr·gk)/Σ nk = w − lr·g) — trajectories must agree
+    // up to float associativity
+    val fed1 = LinkPrediction.trainFederated(
+      ex, Seq("x0", "x1"), "label", "part", rounds = 6, localEpochs = 1,
+      lr = 0.5)
+    val cen = LinkPrediction.trainLogistic(
+      ex, Seq("x0", "x1"), "label", iters = 6, lr = 0.5)
+    fed1.zip(cen).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"FedSGD diverged: $a vs $b") }
+    // a single worker federates with itself: R rounds × E epochs is the
+    // same trajectory as R·E centralized iterations
+    val one = ex.withColumn("part", lit(0L))
+    val fedK1 = LinkPrediction.trainFederated(
+      one, Seq("x0", "x1"), "label", "part", rounds = 3, localEpochs = 2,
+      lr = 0.5)
+    val cen6 = LinkPrediction.trainLogistic(
+      one, Seq("x0", "x1"), "label", iters = 6, lr = 0.5)
+    fedK1.zip(cen6).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"K=1 diverged: $a vs $b") }
+    // genuinely federated (E=2, K=3) still separates the toy set and is
+    // rerun-deterministic
+    val fed = LinkPrediction.trainFederated(
+      ex, Seq("x0", "x1"), "label", "part", rounds = 4, localEpochs = 2,
+      lr = 0.5)
+    val fed2 = LinkPrediction.trainFederated(
+      ex, Seq("x0", "x1"), "label", "part", rounds = 4, localEpochs = 2,
+      lr = 0.5)
+    assert(fed.toSeq === fed2.toSeq, "must be rerun-identical")
+    assert(fed(0) > 0, s"x0 weight should be positive: ${fed.toSeq}")
+    val scored = ex.select(col("label"), LinkPrediction
+      .scoreColumn(Seq("x0", "x1"), fed).as("s")).collect()
+    val posMin = scored.filter(_.getInt(0) == 1).map(_.getDouble(1)).min
+    val negMax = scored.filter(_.getInt(0) == 0).map(_.getDouble(1)).max
+    assert(posMin > negMax, s"not separated: posMin=$posMin negMax=$negMax")
+    // rejects
+    intercept[IllegalArgumentException](LinkPrediction.trainFederated(
+      ex, Seq("x0", "x1"), "label", "part", rounds = 1, localEpochs = 0,
+      lr = 0.5))
+    intercept[IllegalArgumentException](LinkPrediction.trainFederated(
+      ex, Seq("x0", "x1"), "label", "part", rounds = -1, localEpochs = 1,
+      lr = 0.5))
+  }
+
   test("scoreColumn: sigmoid of the affine margin, bias last") {
     val ex = Seq((0.0, 0.0)).toDF("x0", "x1")
     val s0 = ex.select(LinkPrediction.scoreColumn(Seq("x0", "x1"),
