@@ -3933,6 +3933,19 @@ object Queries {
              |     FROM customer JOIN nation ON c_nationkey = n_nationkey) AS sk
              |FROM customer""".stripMargin))),
 
+    // GROUP BY expression keys (§ GroupCondition): customers grouped by
+    // the LENGTH of their market segment — len 9 merges FURNITURE /
+    // MACHINERY / HOUSEHOLD, a genuinely expression-valued key. The
+    // aliased key is projectable like a plain group var.
+    "sparql_group_expr" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?len (COUNT(?c) AS ?n) WHERE { ?c <segment> ?g . }
+            |GROUP BY (STRLEN(?g) AS ?len) ORDER BY ?len""".stripMargin),
+      Some("""SELECT CAST(length(c_mktsegment) AS INT) AS len,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM customer GROUP BY 1 ORDER BY len""".stripMargin))),
+
     // PREFIX declarations (§4.1.1): pfx:local names expand to full IRIs
     // in every term position before planning — the header most real
     // SPARQL starts with.

@@ -182,6 +182,14 @@ object LinkPrediction {
    * Σ nₖ(w − lr·gₖ)/Σ nₖ = w − lr·g — so the trajectory equals
    * [[trainLogistic]] up to float associativity (spec-pinned).
    *
+   * The reference's ORGANIZATION-level hierarchy
+   * (`src_python/org_agg.py:74-90` — org servers FedAvg their own
+   * workers, a top aggregator FedAvgs the orgs) needs no separate code
+   * path: both levels weight by example count, and a weighted average
+   * of weighted averages IS the flat weighted average over all workers
+   * — `trainFederated` with the flat worker partition computes the
+   * identical global model.
+   *
    * @param partCol integral worker/partition id column (K distinct
    *                values = the worker fleet; gated to ≤ 65536 — the
    *                reference's `max_conn` is single digits).

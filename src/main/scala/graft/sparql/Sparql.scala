@@ -45,8 +45,11 @@ import org.apache.spark.sql.functions._
  *  - aggregate projections `(FN(expr) AS ?alias)` with FN ∈ COUNT (also
  *    `COUNT(*)`), SUM, AVG, MIN, MAX,
  *    GROUP_CONCAT (`; SEPARATOR="…"`, pinned to sorted value order),
- *    SAMPLE (pinned to MIN), and `GROUP BY ?v …` (plain projected vars
- *    must be grouped — the SPARQL 1.1 rule) with `HAVING (cond)` over
+ *    SAMPLE (pinned to MIN), and `GROUP BY` over vars AND expressions
+ *    (§ GroupCondition: `?v`, a builtin call, `(expr)`, or
+ *    `(expr AS ?alias)` — an aliased key is projectable, a bare
+ *    expression groups on a synthesized hidden key; plain projected
+ *    vars must be grouped — the SPARQL 1.1 rule) with `HAVING (cond)` over
  *    group keys and aliases; the argument is a full scalar expression
  *    over the pre-aggregation frame; `DISTINCT` inside any aggregate
  *    (COUNT/SUM/AVG dedup the argument multiset, GROUP_CONCAT concats
@@ -193,7 +196,8 @@ object Sparql {
                          describe: Seq[Term] = Seq.empty,
                          having: Option[FilterExpr] = None,
                          subqueries: Seq[String] = Seq.empty,
-                         selectExprs: Seq[(String, SExpr)] = Seq.empty)
+                         selectExprs: Seq[(String, SExpr)] = Seq.empty,
+                         groupExprs: Seq[(String, SExpr)] = Seq.empty)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -795,6 +799,8 @@ object Sparql {
     } // hasWhere
     val order = scala.collection.mutable.ListBuffer.empty[(SExpr, Boolean)]
     val groupBy = scala.collection.mutable.ListBuffer.empty[String]
+    val groupExprs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
+    var grpId = 0
     var limit: Option[Int] = None
     var offset: Option[Int] = None
     var having: Option[FilterExpr] = None
@@ -805,10 +811,28 @@ object Sparql {
       val t = pop()
       if (t.equalsIgnoreCase("GROUP")) {
         expect("BY")
+        // § GroupCondition: ?var | BuiltInCall | '(' expr (AS ?alias)? ')'
+        // — an aliased expression binds a projectable group key; a bare
+        // expression groups on a synthesized non-projectable key
         while (ts.nonEmpty && !atModifier) {
-          val v = pop()
-          require(isVar(v), s"GROUP BY needs ?vars, got '$v'")
-          groupBy += v.drop(1)
+          if (peek == "(") {
+            pop(); val e = parseExpr()
+            val alias =
+              if (peek.equalsIgnoreCase("AS")) {
+                pop(); val a = pop()
+                require(isVar(a), s"GROUP BY … AS needs a ?alias, got '$a'")
+                a.drop(1)
+              } else { grpId += 1; s"__grp$grpId" }
+            expect(")")
+            groupExprs += (alias -> e); groupBy += alias
+          } else if (exprFns.contains(peek.toUpperCase)) {
+            grpId += 1; val alias = s"__grp$grpId"
+            groupExprs += (alias -> parseExpr()); groupBy += alias
+          } else {
+            val v = pop()
+            require(isVar(v), s"GROUP BY needs ?vars or (expr), got '$v'")
+            groupBy += v.drop(1)
+          }
         }
       } else if (t.equalsIgnoreCase("HAVING")) {
         // HAVING (cond) — §7: a filter over the aggregated solutions,
@@ -872,7 +896,9 @@ object Sparql {
       case V(n) => require(known.contains(n), s"unknown variable ?$n")
       case _ => ()
     }
-    val aliases = aggs.map(_.alias) ++ selExprs.map(_._1)
+    // aliased GROUP BY expression keys are projectable like plain keys
+    val aliases = aggs.map(_.alias) ++ selExprs.map(_._1) ++
+      groupExprs.map(_._1)
     require(!star || selExprs.isEmpty,
       "SELECT * cannot be combined with projection expressions")
     val projection: scala.collection.immutable.Seq[String] =
@@ -905,7 +931,20 @@ object Sparql {
         s"ORDER BY references ?$v, which is not projected")) }
     aggs.flatMap(_.arg).flatMap(varsOfExpr)
       .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
-    groupBy.foreach(v => require(known.contains(v), s"unknown variable ?$v"))
+    // GROUP BY expression keys: the expression reads the pre-agg frame;
+    // an explicit alias must be fresh (no rebinding, §11.4 discipline)
+    val grpAliases = groupExprs.map(_._1).toSet
+    require(grpAliases.size == groupExprs.size,
+      "duplicate GROUP BY expression alias")
+    groupExprs.foreach { case (a, e) =>
+      require(!known.contains(a) && !aggs.map(_.alias).contains(a) &&
+        !selExprs.map(_._1).contains(a),
+        s"GROUP BY expression would rebind ?$a")
+      varsOfExpr(e).foreach(v =>
+        require(known.contains(v), s"unknown variable ?$v"))
+    }
+    groupBy.filterNot(grpAliases.contains)
+      .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
     if (aggs.nonEmpty)
       projection.filterNot(aliases.contains).foreach(v =>
         require(groupBy.contains(v), s"?$v is projected but not in GROUP BY"))
@@ -953,7 +992,7 @@ object Sparql {
       valuesBlocks = valuesBlocks.toList, offset = offset,
       binds = binds.toList, describe = describeTerms.toList,
       having = having, subqueries = subqueries.toList,
-      selectExprs = selExprs.toList)
+      selectExprs = selExprs.toList, groupExprs = groupExprs.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -1430,6 +1469,10 @@ object Sparql {
             array_join(array_sort(vs), a.sep)
         }).as(a.alias)
       }
+      // § GroupCondition expression keys materialize on the pre-agg
+      // frame so the shuffle hashes the computed value directly
+      q.groupExprs.foreach { case (v, e) =>
+        df = df.withColumn(v, compileExpr(e)) }
       df = if (q.groupBy.nonEmpty)
         df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)

@@ -1834,6 +1834,43 @@ class CypherSpec extends SparkSpec {
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
   }
 
+  test("sparql GROUP BY expressions: aliased keys, bare builtin keys, rejects") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "name", "Ann"), ("b", "name", "Bo"), ("c", "name", "Amy"),
+      ("a", "qty", "2"), ("b", "qty", "3"), ("c", "qty", "5"))
+      .toDF("s", "p", "o")
+    // aliased expression key is projectable and orderable
+    val byLen = Sparql.run(triples,
+      """SELECT ?len (COUNT(?n) AS ?c) WHERE { ?x <name> ?n . }
+        |GROUP BY (STRLEN(?n) AS ?len) ORDER BY ?len""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(byLen === Seq((2, 1L), (3, 2L)))
+    // bare builtin key: groups without projecting the key
+    val sums = Sparql.run(triples,
+      """SELECT (SUM(?q) AS ?s) WHERE { ?x <qty> ?q . ?x <name> ?n . }
+        |GROUP BY STRLEN(?n) ORDER BY ?s""".stripMargin)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(sums === Seq(3.0, 7.0))
+    // HAVING and SELECT expressions see the aliased key
+    val hv = Sparql.run(triples,
+      """SELECT ?len (?len * 10 AS ?t) (COUNT(?n) AS ?c) WHERE {
+        |  ?x <name> ?n . }
+        |GROUP BY (STRLEN(?n) AS ?len) HAVING (?c > 1)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(hv === Seq((3, 30.0, 2L)))
+    // rejects: alias rebinds a pattern var, unknown var inside the key
+    // expression, and the §11.4 rule still holds for plain vars
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?n WHERE { ?x <name> ?n . } GROUP BY (STRLEN(?n) AS ?n)"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT (COUNT(?n) AS ?c) WHERE { ?x <name> ?n . } GROUP BY (STRLEN(?nope) AS ?d)"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?n (COUNT(?x) AS ?c) WHERE { ?x <name> ?n . }
+        |GROUP BY (STRLEN(?n) AS ?len)""".stripMargin))
+  }
+
   test("sparql SELECT expressions, ORDER BY expressions, rejects") {
     import spark.implicits._
     import graft.sparql.Sparql

@@ -424,10 +424,21 @@ class QueryPostureSpec extends SparkSpec {
     // WindowExec reappearing in any of these plans means a global
     // un-partitioned rank funnel came back
     for (name <- Seq("ml_train_linkpred", "ml_eval_linkpred",
-        "doc_quality_filter")) {
+        "ml_fed_train_linkpred", "doc_quality_filter")) {
       val p = plan(name)
       assert(!p.contains("Window"),
         s"$name re-grew a window operator (single-partition rank funnel):\n$p")
     }
+  }
+
+  test("federated training: scored plan keeps broadcast joins, no product") {
+    // the federation loop itself is per-epoch broadcast-join + hash agg
+    // (collect of K rows); the final scored frame must keep the same
+    // posture as centralized training — broadcast embedding joins only
+    val p = plan("ml_fed_train_linkpred")
+    assert(p.contains("BroadcastHashJoin"),
+      s"federated linkpred lost its broadcast embedding joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"federated linkpred pipeline has a cartesian:\n$p")
   }
 }
