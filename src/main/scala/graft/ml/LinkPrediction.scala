@@ -188,7 +188,13 @@ object LinkPrediction {
    * path: both levels weight by example count, and a weighted average
    * of weighted averages IS the flat weighted average over all workers
    * — `trainFederated` with the flat worker partition computes the
-   * identical global model.
+   * identical global model. Likewise the SCHEDULED variant
+   * (`fl_server_shed.py:78-102` / `fl_client_shed.py`: one client
+   * machine trains several partitions sequentially under the C++
+   * memory scheduler, the server still averages per-PARTITION models
+   * by partition size) — the global update is the same flat
+   * partition-weighted FedAvg; which physical machine computes which
+   * partition is exactly what Spark's own scheduler decides here.
    *
    * @param partCol integral worker/partition id column (K distinct
    *                values = the worker fleet; gated to ≤ 65536 — the
