@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions._
  *    (§ GroupCondition: `?v`, a builtin call, `(expr)`, or
  *    `(expr AS ?alias)` — an aliased key is projectable, a bare
  *    expression groups on a synthesized hidden key; plain projected
- *    vars must be grouped — the SPARQL 1.1 rule) with `HAVING (cond)` over
+ *    vars must be grouped — the SPARQL 1.1 rule) with
+ *    `HAVING (cond) [(cond) …]` (multiple constraints conjoin) over
  *    group keys and aliases; the argument is a full scalar expression
  *    over the pre-aggregation frame; `DISTINCT` inside any aggregate
  *    (COUNT/SUM/AVG dedup the argument multiset, GROUP_CONCAT concats
@@ -835,12 +836,17 @@ object Sparql {
           }
         }
       } else if (t.equalsIgnoreCase("HAVING")) {
-        // HAVING (cond) — §7: a filter over the aggregated solutions,
-        // referencing group keys and aggregate aliases
+        // HAVING (cond) [(cond) …] — §7: filters over the aggregated
+        // solutions, referencing group keys and aliases; multiple
+        // constraints conjoin (HavingClause ::= 'HAVING' HavingCondition+)
         require(having.isEmpty, "only one HAVING clause is supported")
         expect("(")
-        having = Some(parseFilter())
+        var h = parseFilter()
         expect(")")
+        while (ts.nonEmpty && peek == "(") {
+          pop(); h = And(h, parseFilter()); expect(")")
+        }
+        having = Some(h)
       } else if (t.equalsIgnoreCase("ORDER")) {
         expect("BY")
         // §15.1 OrderCondition: (ASC|DESC) BrackettedExpression, a bare

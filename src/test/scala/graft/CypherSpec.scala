@@ -1860,6 +1860,12 @@ class CypherSpec extends SparkSpec {
         |GROUP BY (STRLEN(?n) AS ?len) HAVING (?c > 1)""".stripMargin)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(hv === Seq((3, 30.0, 2L)))
+    // multiple HAVING constraints conjoin (HavingCondition+)
+    val hv2 = Sparql.run(triples,
+      """SELECT ?len (COUNT(?n) AS ?c) WHERE { ?x <name> ?n . }
+        |GROUP BY (STRLEN(?n) AS ?len) HAVING (?c > 0) (?len = 2)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(hv2 === Seq((2, 1L)))
     // rejects: alias rebinds a pattern var, unknown var inside the key
     // expression, and the §11.4 rule still holds for plain vars
     intercept[IllegalArgumentException](Sparql.parse(
