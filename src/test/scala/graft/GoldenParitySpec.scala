@@ -93,6 +93,22 @@ class GoldenParitySpec extends SparkSpec {
           |"r":{"description":"Fiona and Central Park have been friends since college.","id":"11","type":"FRIENDS"}}""".stripMargin))
   }
 
+  test("golden: ORDER BY n.name ASC replays the reference's row order") {
+    // integration_workflow_cypher.py:240-290 — `where n.partitionID='1'
+    // … order by n.name ASC` streams ten rows in exactly this name
+    // order. partitionID is the reference hash partitioner's residency
+    // tag (id % 2 here, not a fixture property), so the parity query
+    // selects the same ten odd-id nodes explicitly and pins the ORDER.
+    val rows = Cypher.toJsonRows(Cypher.run(g,
+      "MATCH (n) WHERE n.id IN ['1','3','5','7','9','11','13','15','17','19'] " +
+        "RETURN n ORDER BY n.name ASC"))
+      .collect().map(r => mapper.readTree(r.getString(0))
+        .get("n").get("name").asText()).toSeq
+    assert(rows === Seq("Art Studio", "Bob", "David", "George",
+      "Gourmet Bistro", "Greenfield School", "Ian", "Innovation Hub",
+      "Town Bank", "Town General Hospital"))
+  }
+
   test("golden: label scan with filter") {
     assert(runJson("match(n:Person) where n.id=2 return n") ===
       expect("""{"n":{"id":"2","label":"Person","name":"Charlie","occupation":"IT Engineer"}}"""))
