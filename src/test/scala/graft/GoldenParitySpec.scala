@@ -93,6 +93,27 @@ class GoldenParitySpec extends SparkSpec {
           |"r":{"description":"Fiona and Central Park have been friends since college.","id":"11","type":"FRIENDS"}}""".stripMargin))
   }
 
+  test("golden: label-scan point lookup with sparse properties (intrapartition)") {
+    // integration_workflow_intrapartition.py:69-78 — Location node 6 has
+    // no occupation/age; absent properties simply don't render
+    assert(runJson("MATCH (n:Location) WHERE n.id = 6 RETURN n") ===
+      expect("""{"n":{"category":"Park","id":"6","label":"Location","name":"Central Park"}}"""))
+  }
+
+  test("golden: ordered multi-row projection (intrapartition lifetime check)") {
+    // integration_workflow_intrapartition.py:85-97 — four rows, exact
+    // order and projected-key row shape
+    val rows = Cypher.toJsonRows(Cypher.run(g,
+      "MATCH (n:Person) WHERE n.id < 4 RETURN n.id, n.name ORDER BY n.id ASC"))
+      .collect().map(r => mapper.readTree(r.getString(0))).toSeq
+    val want = Seq(
+      """{"n.id":"0","n.name":"Alice"}""",
+      """{"n.id":"1","n.name":"Bob"}""",
+      """{"n.id":"2","n.name":"Charlie"}""",
+      """{"n.id":"3","n.name":"David"}""").map(mapper.readTree)
+    assert(rows === want)
+  }
+
   test("golden: ORDER BY n.name ASC replays the reference's row order") {
     // integration_workflow_cypher.py:240-290 — `where n.partitionID='1'
     // … order by n.name ASC` streams ten rows in exactly this name
