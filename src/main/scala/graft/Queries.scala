@@ -3933,6 +3933,30 @@ object Queries {
              |     FROM customer JOIN nation ON c_nationkey = n_nationkey) AS sk
              |FROM customer""".stripMargin))),
 
+    // Trailing VALUES clause (§18.2.4.4): joins the FINAL solution
+    // sequence, after ORDER BY + LIMIT — the page is cut to the first 4
+    // predicates first, THEN the inline data narrows it, so 'segment'
+    // (in the data but past the page) is excluded. The oracle nests the
+    // modifier pipeline and filters outside it.
+    "sparql_trailing_values" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . }
+            |GROUP BY ?p ORDER BY ?p LIMIT 4
+            |VALUES ?p { "fromNation" "key" "segment" }""".stripMargin),
+      Some("""SELECT p, n FROM (
+             |  SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
+             |    SELECT 'fromNation' AS p FROM customer
+             |    UNION ALL SELECT 'locatedIn' FROM nation
+             |    UNION ALL SELECT 'segment' FROM customer
+             |    UNION ALL SELECT 'key' FROM nation
+             |    UNION ALL SELECT 'bigspender' FROM customer WHERE c_acctbal > 9000
+             |    UNION ALL SELECT 'suppliesFrom' FROM supplier
+             |    UNION ALL
+             |    SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM customer)
+             |  GROUP BY p ORDER BY p LIMIT 4)
+             |WHERE p IN ('fromNation', 'key', 'segment') ORDER BY p""".stripMargin))),
+
     // GROUP BY expression keys (§ GroupCondition): customers grouped by
     // the LENGTH of their market segment — len 9 merges FURNITURE /
     // MACHINERY / HOUSEHOLD, a genuinely expression-valued key. The

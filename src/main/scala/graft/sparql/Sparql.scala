@@ -68,7 +68,10 @@ import org.apache.spark.sql.functions._
  *    the projected variables (the only visible surface); join keys
  *    must be bound in the subquery's required patterns
  *  - `VALUES ?x { … }` / `VALUES (?x ?y) { (…) … }` inline data —
- *    a broadcast join against the group (UNDEF rejected)
+ *    a broadcast join against the group (UNDEF rejected); also as the
+ *    trailing ValuesClause of a SELECT query (§18.2.4.4 — joins the
+ *    FINAL solution sequence, after every modifier incl. LIMIT; every
+ *    clause variable must be projected)
  *  - `ORDER BY [ASC|DESC](expr) …` with full scalar-expression sort
  *    keys over the projected frame (a non-projected sort variable is
  *    rejected — our project → distinct → order sequence can't see it),
@@ -198,7 +201,8 @@ object Sparql {
                          having: Option[FilterExpr] = None,
                          subqueries: Seq[String] = Seq.empty,
                          selectExprs: Seq[(String, SExpr)] = Seq.empty,
-                         groupExprs: Seq[(String, SExpr)] = Seq.empty)
+                         groupExprs: Seq[(String, SExpr)] = Seq.empty,
+                         trailingValues: Option[ValuesBlock] = None)
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -419,6 +423,54 @@ object Sparql {
         e
       }
       orExpr()
+    }
+
+    /** `?x { v … }` or `(?x ?y) { (v v) … }` after a consumed VALUES
+      * keyword — shared by the in-group form and the trailing
+      * ValuesClause. UNDEF is rejected: an unbound inline binding
+      * breaks equi-join keys. */
+    def parseValuesBlock(): ValuesBlock = {
+      def constVal(): String = {
+        val tok = pop()
+        require(!tok.equalsIgnoreCase("UNDEF"), "UNDEF is not supported in VALUES")
+        term(tok) match {
+          case Const(v) => v
+          case _ => throw new IllegalArgumentException(
+            s"VALUES data must be constants, got '$tok'")
+        }
+      }
+      val vars = scala.collection.mutable.ListBuffer.empty[String]
+      val multi = peek == "("
+      if (multi) {
+        pop()
+        while (peek != ")") {
+          val v = pop()
+          require(isVar(v), s"VALUES needs ?vars, got '$v'")
+          vars += v.drop(1)
+        }
+        expect(")")
+      } else {
+        val v = pop()
+        require(isVar(v), s"VALUES needs a ?var, got '$v'")
+        vars += v.drop(1)
+      }
+      require(vars.nonEmpty, "VALUES needs at least one variable")
+      expect("{")
+      val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+      while (peek != "}") {
+        if (multi) {
+          expect("(")
+          val r = scala.collection.mutable.ListBuffer.empty[String]
+          while (peek != ")") r += constVal()
+          expect(")")
+          require(r.size == vars.size,
+            s"VALUES row has ${r.size} terms for ${vars.size} variables")
+          rows += r.toSeq
+        } else rows += Seq(constVal())
+      }
+      expect("}")
+      require(rows.nonEmpty, "VALUES needs at least one row")
+      ValuesBlock(vars.toSeq, rows.toSeq)
     }
 
     // query form: SELECT … WHERE | ASK WHERE | CONSTRUCT { template } WHERE
@@ -750,50 +802,9 @@ object Sparql {
         minuses += braceBlock()
       } else if (peek.equalsIgnoreCase("VALUES")) {
         // VALUES ?x { v v … } | VALUES (?x ?y) { (v v) (v v) … } —
-        // inline data, joined with the group on its variables. UNDEF is
-        // rejected: an unbound inline binding breaks equi-join keys.
+        // inline data, joined with the group on its variables.
         pop()
-        def constVal(): String = {
-          val tok = pop()
-          require(!tok.equalsIgnoreCase("UNDEF"), "UNDEF is not supported in VALUES")
-          term(tok) match {
-            case Const(v) => v
-            case _ => throw new IllegalArgumentException(
-              s"VALUES data must be constants, got '$tok'")
-          }
-        }
-        val vars = scala.collection.mutable.ListBuffer.empty[String]
-        val multi = peek == "("
-        if (multi) {
-          pop()
-          while (peek != ")") {
-            val v = pop()
-            require(isVar(v), s"VALUES needs ?vars, got '$v'")
-            vars += v.drop(1)
-          }
-          expect(")")
-        } else {
-          val v = pop()
-          require(isVar(v), s"VALUES needs a ?var, got '$v'")
-          vars += v.drop(1)
-        }
-        require(vars.nonEmpty, "VALUES needs at least one variable")
-        expect("{")
-        val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
-        while (peek != "}") {
-          if (multi) {
-            expect("(")
-            val r = scala.collection.mutable.ListBuffer.empty[String]
-            while (peek != ")") r += constVal()
-            expect(")")
-            require(r.size == vars.size,
-              s"VALUES row has ${r.size} terms for ${vars.size} variables")
-            rows += r.toSeq
-          } else rows += Seq(constVal())
-        }
-        expect("}")
-        require(rows.nonEmpty, "VALUES needs at least one row")
-        valuesBlocks += ValuesBlock(vars.toSeq, rows.toSeq)
+        valuesBlocks += parseValuesBlock()
       } else patterns ++= parsePatterns()
     }
     expect("}")
@@ -802,12 +813,13 @@ object Sparql {
     val groupBy = scala.collection.mutable.ListBuffer.empty[String]
     val groupExprs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
     var grpId = 0
+    var trailingValues: Option[ValuesBlock] = None
     var limit: Option[Int] = None
     var offset: Option[Int] = None
     var having: Option[FilterExpr] = None
     def atModifier: Boolean = peek.equalsIgnoreCase("ORDER") ||
       peek.equalsIgnoreCase("LIMIT") || peek.equalsIgnoreCase("OFFSET") ||
-      peek.equalsIgnoreCase("HAVING")
+      peek.equalsIgnoreCase("HAVING") || peek.equalsIgnoreCase("VALUES")
     while (ts.nonEmpty) {
       val t = pop()
       if (t.equalsIgnoreCase("GROUP")) {
@@ -861,6 +873,12 @@ object Sparql {
         }
       } else if (t.equalsIgnoreCase("LIMIT")) limit = Some(pop().toInt)
       else if (t.equalsIgnoreCase("OFFSET")) offset = Some(pop().toInt)
+      else if (t.equalsIgnoreCase("VALUES")) {
+        // trailing ValuesClause (§18.2.4.4): joined with the FINAL
+        // solution sequence, after every solution modifier
+        require(trailingValues.isEmpty, "only one trailing VALUES clause")
+        trailingValues = Some(parseValuesBlock())
+      }
       else throw new IllegalArgumentException(s"unexpected trailing token '$t'")
     }
     require(!hasWhere || patterns.nonEmpty || unionBranches.nonEmpty ||
@@ -927,6 +945,15 @@ object Sparql {
           else s"unknown variable ?$u"))
         scope = scope :+ v
       }
+    }
+    // trailing VALUES joins the final solution sequence — every clause
+    // variable must be a result variable (a fresh variable would widen
+    // the result schema beyond the projection; rejected, not mis-shaped)
+    trailingValues.foreach { vb =>
+      require(form == "SELECT",
+        "a trailing VALUES clause is only supported on SELECT queries")
+      vb.vars.foreach(v => require(projection.contains(v),
+        s"trailing VALUES references ?$v, which is not projected"))
     }
     // ORDER BY expressions run over the projected frame (our sequence
     // is project → distinct → order, so a sort key must be projected;
@@ -998,7 +1025,8 @@ object Sparql {
       valuesBlocks = valuesBlocks.toList, offset = offset,
       binds = binds.toList, describe = describeTerms.toList,
       having = having, subqueries = subqueries.toList,
-      selectExprs = selExprs.toList, groupExprs = groupExprs.toList)
+      selectExprs = selExprs.toList, groupExprs = groupExprs.toList,
+      trailingValues = trailingValues)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -1497,6 +1525,21 @@ object Sparql {
         val c = compileExpr(e); if (asc) c.asc else c.desc }: _*)
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
+    // trailing ValuesClause (§18.2.4.4): the inline data joins the FINAL
+    // solution sequence — after projection, DISTINCT, ORDER and LIMIT —
+    // so a post-LIMIT join can only narrow the already-cut page. The
+    // inline rows are a LocalRelation, always the broadcast side.
+    q.trailingValues.foreach { vb =>
+      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+        org.apache.spark.sql.types.StructField(v,
+          org.apache.spark.sql.types.StringType)))
+      import scala.jdk.CollectionConverters._
+      val inline = df.sparkSession.createDataFrame(
+        vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+      // the equi-join moves key columns first — restore projection order
+      df = df.join(broadcast(inline), vb.vars)
+        .select(q.projection.map(col): _*)
+    }
     df
   }
 }

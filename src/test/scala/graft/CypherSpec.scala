@@ -1834,6 +1834,42 @@ class CypherSpec extends SparkSpec {
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
   }
 
+  test("sparql trailing VALUES clause: joins the final solutions, post-LIMIT") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "tag", "x"), ("b", "tag", "y"), ("c", "tag", "y"),
+      ("d", "tag", "z"))
+      .toDF("s", "p", "o")
+    // plain narrowing join on a projected var
+    val basic = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <tag> ?t . } ORDER BY ?s
+        |VALUES ?t { "y" "z" }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(basic === Seq(("b", "y"), ("c", "y"), ("d", "z")))
+    // §18.2.4.4: the join applies AFTER LIMIT — the page is cut first
+    // (a..d ordered, LIMIT 2 keeps a and b), THEN the data joins, so
+    // only b survives; a WHERE-side VALUES would have returned b and c
+    val postLimit = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <tag> ?t . } ORDER BY ?s LIMIT 2
+        |VALUES ?t { "y" "z" }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(postLimit === Seq("b"))
+    // multi-var tuple form over an aggregated query's result vars
+    val agg = Sparql.run(triples,
+      """SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s <tag> ?t . } GROUP BY ?t
+        |VALUES (?t) { ("y") ("x") }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(agg === Seq(("x", 1L), ("y", 2L)))
+    // rejects: non-projected variable, double trailing clause, non-SELECT
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?s WHERE { ?s <tag> ?t . } VALUES ?t { \"y\" }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?s WHERE { ?s <tag> ?t . } VALUES ?s { \"a\" } VALUES ?s { \"b\" }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "ASK WHERE { ?s <tag> ?t . } VALUES ?t { \"y\" }"))
+  }
+
   test("sparql GROUP BY expressions: aliased keys, bare builtin keys, rejects") {
     import spark.implicits._
     import graft.sparql.Sparql
