@@ -3933,6 +3933,28 @@ object Queries {
              |     FROM customer JOIN nation ON c_nationkey = n_nationkey) AS sk
              |FROM customer""".stripMargin))),
 
+    // BIND inside an OPTIONAL block: the alias is computed from the
+    // block's own bindings (nationkey*5, an integral double rendered in
+    // the untyped-string domain), the block FILTER reads it, and the
+    // LeftJoin keeps every outer row — unmatched customers carry an
+    // unbound (null) alias.
+    "sparql_block_bind" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?v WHERE {
+            |  ?c <segment> "MACHINERY" .
+            |  OPTIONAL { ?c <fromNation> ?n . ?n <key> ?k .
+            |             BIND(?k * 5 AS ?v) . FILTER(?v >= 50) }
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH seg AS (SELECT 'customer/' || c_custkey AS c FROM customer
+             |  WHERE c_mktsegment = 'MACHINERY'),
+             |opt AS (SELECT 'customer/' || c_custkey AS c,
+             |    CAST(CAST(n_nationkey * 5 AS DOUBLE) AS VARCHAR) AS v
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE n_nationkey * 5 >= 50)
+             |SELECT seg.c, opt.v FROM seg LEFT JOIN opt ON seg.c = opt.c
+             |ORDER BY seg.c""".stripMargin))),
+
     // Trailing VALUES clause (§18.2.4.4): joins the FINAL solution
     // sequence, after ORDER BY + LIMIT — the page is cut to the first 4
     // predicates first, THEN the inline data narrows it, so 'segment'

@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
  *    pattern constrains equality (e.g. `?x <p> ?x`); a bare VARIABLE
  *    predicate (`?s ?p ?o`) is an unfiltered scan binding `p`
  *  - `OPTIONAL { patterns }` (left join on the shared variables)
- *  - `BIND(expr AS ?v)` with scalar expressions (§17): arithmetic
+ *  - `BIND(expr AS ?v)` — top-level AND inside brace blocks (UNION /
+ *    OPTIONAL / MINUS / EXISTS bodies; a block BIND reads the block's
+ *    own bindings, lands in the untyped-string domain, and OPTIONAL /
+ *    UNION aliases surface as possibly-null solution variables) —
+ *    with scalar expressions (§17): arithmetic
  *    (try_cast numeric view — type error = unbound, never a query
  *    failure), CONCAT / STR / STRLEN / UCASE / LCASE / SUBSTR /
  *    REPLACE (regex) / COALESCE / STRBEFORE / STRAFTER / ABS / ROUND /
@@ -183,7 +187,13 @@ object Sparql {
     * block itself binds (an outer-variable LeftJoin condition would
     * need SPARQL's three-way LeftJoin semantics — rejected, not
     * mis-answered). */
-  final case class Block(pats: Seq[Pat], filters: Seq[FilterExpr] = Seq.empty)
+  /** A brace group (UNION branch / OPTIONAL / MINUS / EXISTS body):
+    * patterns, its own FILTERs, and its own BINDs. Block-BIND values
+    * land in the untyped-string domain (cast to string) so branch
+    * frames union/pad uniformly; numeric use downstream re-views them
+    * via try_cast like any stored literal. */
+  final case class Block(pats: Seq[Pat], filters: Seq[FilterExpr] = Seq.empty,
+                         binds: Seq[(String, SExpr)] = Seq.empty)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
                          patterns: Seq[Pat], unionBranches: Seq[Block],
@@ -478,8 +488,12 @@ object Sparql {
     val form = pop().toUpperCase
     require(Seq("SELECT", "ASK", "CONSTRUCT", "DESCRIBE").contains(form),
       s"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got '$form'")
+    // REDUCED (§18.5.5) permits-but-does-not-require eliminating
+    // duplicates; deduplicating is a conforming implementation and the
+    // deterministic one, so REDUCED executes as DISTINCT
     val distinct = form == "SELECT" &&
-      peek.equalsIgnoreCase("DISTINCT") && { pop(); true }
+      (peek.equalsIgnoreCase("DISTINCT") ||
+        peek.equalsIgnoreCase("REDUCED")) && { pop(); true }
     val proj = scala.collection.mutable.ListBuffer.empty[String]
     val aggs = scala.collection.mutable.ListBuffer.empty[Agg]
     val selExprs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
@@ -721,16 +735,27 @@ object Sparql {
       expect("{")
       val b = scala.collection.mutable.ListBuffer.empty[Pat]
       val fs = scala.collection.mutable.ListBuffer.empty[FilterExpr]
+      val bs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
       while (peek != "}") {
         if (peek.equalsIgnoreCase("FILTER")) {
           pop(); expect("(")
           fs += parseFilter()
           expect(")")
           if (peek == ".") pop()
+        } else if (peek.equalsIgnoreCase("BIND")) {
+          // BIND inside the block: scoped to the block's own bindings
+          pop(); expect("(")
+          val e = parseExpr()
+          expect("AS")
+          val v = pop()
+          require(isVar(v), s"BIND needs an ?alias, got '$v'")
+          expect(")")
+          bs += ((v.drop(1), e))
+          if (peek == ".") pop()
         } else b ++= parsePatterns()
       }
       expect("}")
-      Block(b.toSeq, fs.toSeq)
+      Block(b.toSeq, fs.toSeq, bs.toSeq)
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Block]
@@ -915,7 +940,22 @@ object Sparql {
         s"BIND expression references unbound ?$u"))
       bindScope = bindScope :+ v
     }
-    val known = bindScope
+    // block-BIND aliases: globally fresh (a collision with any other
+    // variable would silently become an equi-join key); OPTIONAL and
+    // UNION aliases surface as (possibly null) solution variables,
+    // MINUS/EXISTS aliases stay internal to their block
+    // UNION branches are alternatives — the SAME alias across branches
+    // is the normal per-branch computation (null-padded on union)
+    val unionAliases = unionBranches.flatMap(_.binds.map(_._1)).distinct
+    val otherAliases = (optionals ++ minuses ++
+      existsFilters.map(_._2)).flatMap(_.binds.map(_._1))
+    val combined = otherAliases ++ unionAliases
+    require(combined.distinct.size == combined.size,
+      "duplicate block BIND alias")
+    combined.foreach(a => require(!bindScope.contains(a),
+      s"a block BIND would rebind ?$a"))
+    val known = bindScope ++
+      optionals.flatMap(_.binds.map(_._1)) ++ unionAliases
     describeTerms.foreach {
       case V(n) => require(known.contains(n), s"unknown variable ?$n")
       case _ => ()
@@ -994,7 +1034,15 @@ object Sparql {
     // outer variable in a LeftJoin/UNION-branch condition needs SPARQL's
     // three-way LeftJoin semantics; reject rather than mis-answer
     def checkBlock(b: Block, ctx: String): Unit = {
-      val bound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
+      var bound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
+      // block BINDs read the block's own bindings and earlier aliases
+      b.binds.foreach { case (v, e) =>
+        require(!bound.contains(v), s"a BIND inside a $ctx block would rebind ?$v")
+        varsOfExpr(e).foreach(u => require(bound.contains(u),
+          s"a BIND inside a $ctx block references ?$u, which the block " +
+            "does not bind"))
+        bound = bound + v
+      }
       b.filters.foreach(f => varsOfFilter(f).foreach(v =>
         require(bound.contains(v),
           s"a FILTER inside a $ctx block references ?$v, which the block " +
@@ -1183,6 +1231,10 @@ object Sparql {
     * block's own bindings). */
   private def blockFrame(triples: DataFrame, b: Block): DataFrame = {
     var f = joinAll(triples, b.pats)
+    // block BINDs precede the block FILTERs (a filter may reference an
+    // alias); string domain — see [[Block]]
+    b.binds.foreach { case (v, e) =>
+      f = f.withColumn(v, compileExpr(e).cast("string")) }
     b.filters.foreach(fl => f = f.where(compileFilter(fl)))
     f
   }

@@ -1240,6 +1240,12 @@ class CypherSpec extends SparkSpec {
       "SELECT DISTINCT ?x WHERE { ?x <tag> ?t . } ORDER BY ?x OFFSET 1 LIMIT 1")
       .collect().map(_.getString(0)).toSeq
     assert(page === Seq("b"))
+    // SELECT REDUCED permits dedup (§18.5.5) — we execute it as DISTINCT,
+    // a conforming and deterministic choice
+    val reduced = Sparql.run(triples,
+      "SELECT REDUCED ?x WHERE { ?x <score> ?v . } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSeq
+    assert(reduced === Seq("a", "b"))
     // DISTINCT inside aggregates (§11.2): dedups the argument multiset
     // before the fold — b's duplicate "5" collapses
     val dsum = Sparql.run(triples,
@@ -1832,6 +1838,48 @@ class CypherSpec extends SparkSpec {
     // unknown variable inside the aggregate expression still rejects
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
+  }
+
+  test("sparql BIND inside blocks: OPTIONAL/UNION aliases surface, scoping rejects") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "qty", "2"), ("b", "qty", "3"), ("c", "qty", "4"),
+      ("a", "bonus", "10"), ("c", "bonus", "5"))
+      .toDF("s", "p", "o")
+    // OPTIONAL block BIND: alias computed from the block's own binding,
+    // null (unbound) where the optional part doesn't match
+    val opt = Sparql.run(triples,
+      """SELECT ?x ?dbl WHERE { ?x <qty> ?q .
+        |OPTIONAL { ?x <bonus> ?b . BIND(?b * 2 AS ?dbl) } } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(opt === Seq(("a", Some("20.0")), ("b", None), ("c", Some("10.0"))))
+    // UNION branches: each side computes its own alias; the shared
+    // alias name null-pads per branch like any branch-local variable
+    val uni = Sparql.run(triples,
+      """SELECT ?x ?v WHERE {
+        |{ ?x <qty> ?q . BIND(?q * 10 AS ?v) } UNION
+        |{ ?x <bonus> ?b . BIND(?b * 100 AS ?v) } } ORDER BY ?x ?v""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(uni === Seq(("a", "1000.0"), ("a", "20.0"), ("b", "30.0"),
+      ("c", "40.0"), ("c", "500.0")))
+    // a block FILTER may reference the block's BIND alias
+    val flt = Sparql.run(triples,
+      """SELECT ?x WHERE { ?x <qty> ?q .
+        |OPTIONAL { ?x <bonus> ?b . BIND(?b * 2 AS ?d) . FILTER(?d > 15) } }
+        |ORDER BY ?x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(flt === Seq("a", "b", "c")) // LeftJoin: filter binds, never drops
+    // rejects: alias escaping scope (references an outer-only var),
+    // rebinding an outer var, colliding aliases across blocks
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <qty> ?q . OPTIONAL { ?x <bonus> ?b . BIND(?q * 2 AS ?d) } }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <qty> ?q . OPTIONAL { ?x <bonus> ?b . BIND(?b * 2 AS ?q) } }"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x WHERE { ?x <qty> ?q .
+        |OPTIONAL { ?x <bonus> ?b . BIND(?b AS ?d) }
+        |OPTIONAL { ?x <bonus> ?c . BIND(?c AS ?d) } }""".stripMargin))
   }
 
   test("sparql trailing VALUES clause: joins the final solutions, post-LIMIT") {
