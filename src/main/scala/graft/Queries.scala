@@ -3888,6 +3888,24 @@ object Queries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1 ORDER BY r""".stripMargin))),
 
+    // Several sub-SELECTs per group (§12): fold left-to-right, each
+    // joining on its projected variables — per-region lexical MAX key
+    // and per-region nation count from two independent subqueries.
+    "sparql_two_subqueries" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?r ?mx ?n WHERE {
+            |  { SELECT ?r (MAX(?k) AS ?mx) WHERE {
+            |      ?m <locatedIn> ?r . ?m <key> ?k . } GROUP BY ?r }
+            |  { SELECT ?r (COUNT(?m2) AS ?n) WHERE {
+            |      ?m2 <locatedIn> ?r . } GROUP BY ?r }
+            |} ORDER BY ?r""".stripMargin),
+      Some("""SELECT 'region/' || r_name AS r,
+             |  max(CAST(n_nationkey AS VARCHAR)) AS mx,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY r""".stripMargin))),
+
     // § SelectExpr projection expressions `(expr AS ?x)` over an
     // aggregated query: the expression runs AFTER grouping, sees group
     // keys + aggregate aliases + earlier expression aliases. The mean

@@ -770,8 +770,8 @@ object Sparql {
         // the balanced token span is re-parsed as a full query
         // (recursion), evaluated bottom-up at run time and joined with
         // the rest of the group on its PROJECTED variables (only those
-        // are visible outside, §12.4)
-        require(subqueries.isEmpty, "only one subquery per group is supported")
+        // are visible outside, §12.4). Several subqueries per group
+        // fold left-to-right, each joining on its projected vars.
         pop()
         var depth = 1
         val buf = scala.collection.mutable.ListBuffer.empty[String]

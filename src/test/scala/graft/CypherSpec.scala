@@ -1720,6 +1720,17 @@ class CypherSpec extends SparkSpec {
     // a subquery must be a SELECT
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { { ASK WHERE { ?x <in> ?g . } } }"))
+    // several subqueries per group fold left-to-right, each joining on
+    // its projected variables — here per-group MAX and per-group COUNT
+    val two = Sparql.run(triples,
+      """SELECT ?g ?mx ?n WHERE {
+        |  { SELECT ?g (MAX(?s1) AS ?mx) WHERE {
+        |      ?y <in> ?g . ?y <score> ?s1 . } GROUP BY ?g }
+        |  { SELECT ?g (COUNT(?z) AS ?n) WHERE {
+        |      ?z <in> ?g . } GROUP BY ?g }
+        |} ORDER BY ?g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(two === Seq(("g1", "5", 2L), ("g2", "4", 1L)))
   }
 
   test("sparql FILTER inside blocks: OPTIONAL keeps rows, UNION/MINUS prune theirs") {

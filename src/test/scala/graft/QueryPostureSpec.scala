@@ -431,6 +431,19 @@ class QueryPostureSpec extends SparkSpec {
     }
   }
 
+  test("trailing VALUES and block BIND: inline data broadcasts, no product") {
+    // the trailing ValuesClause joins a LocalRelation — it must be the
+    // broadcast side; the block-BIND optional stays an equi-left-join
+    val tv = plan("sparql_trailing_values")
+    assert(tv.contains("BroadcastHashJoin"),
+      s"trailing VALUES lost its broadcast inline join:\n$tv")
+    for (name <- Seq("sparql_trailing_values", "sparql_block_bind")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("federated training: scored plan keeps broadcast joins, no product") {
     // the federation loop itself is per-epoch broadcast-join + hash agg
     // (collect of K rows); the final scored frame must keep the same
