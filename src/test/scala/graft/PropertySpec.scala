@@ -191,4 +191,41 @@ class PropertySpec extends SparkSpec {
       assert(got.toSet === want)
     }
   }
+
+  test("sparql core agrees with hand-rolled DataFrame semantics on random graphs") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    // random DISTINCT triples over a small vocabulary: subjects s0..s5,
+    // predicates p/q, numeric-string objects "0".."9"
+    val genTriple = for {
+      s <- Gen.chooseNum(0, 5).map("s" + _)
+      p <- Gen.oneOf("p", "q")
+      o <- Gen.chooseNum(0, 9).map(_.toString)
+    } yield (s, p, o)
+    forAll(Gen.listOfN(25, genTriple).map(_.distinct.toList)) { ts =>
+      val df = ts.toDF("s", "p", "o")
+      val pSide = df.where(col("p") === "p").select(col("s").as("x"), col("o").as("a"))
+      val qSide = df.where(col("p") === "q").select(col("s").as("x"), col("o").as("b"))
+      def rows3(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (0 until r.length).map(i =>
+          Option(r.get(i)).map(_.toString).orNull).mkString("|")).sorted.toSeq
+      // BGP star join
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x ?a ?b WHERE { ?x <p> ?a . ?x <q> ?b . }")) ===
+        rows3(pSide.join(qSide, "x")))
+      // OPTIONAL = left join
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x ?a ?b WHERE { ?x <p> ?a . OPTIONAL { ?x <q> ?b . } }")) ===
+        rows3(pSide.join(qSide, Seq("x"), "left")))
+      // numeric FILTER = try_cast comparison
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x ?a WHERE { ?x <p> ?a . FILTER(?a > 4) }")) ===
+        rows3(pSide.where(col("a").try_cast("double") > 4.0)))
+      // MINUS on the shared (x, a) pair = left-anti join
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x ?a WHERE { ?x <p> ?a . MINUS { ?x <q> ?a . } }")) ===
+        rows3(pSide.join(qSide.select(col("x"), col("b").as("a")),
+          Seq("x", "a"), "left_anti")))
+    }
+  }
 }
