@@ -1594,4 +1594,33 @@ object Sparql {
     }
     df
   }
+
+  /**
+   * W3C "SPARQL 1.1 Query Results JSON Format" serialization — the
+   * surface a reference user reads query answers through (the reference
+   * frontend streams one JSON object per row).
+   *
+   * [[bindingsJson]] renders ONE binding object per solution row —
+   * `{"x":{"type":"literal","value":"…"}, …}` — with unbound (null)
+   * variables OMITTED, as the format requires. Every row is an
+   * independent codegen'd `to_json`; the result stays a distributed
+   * frame rather than funnelling a single results document to the
+   * driver — at scale the caller streams/writes the binding rows and
+   * prepends [[headJson]], which needs only the schema.
+   */
+  def bindingsJson(df: DataFrame): DataFrame = {
+    val fields = df.columns.toSeq.map { v =>
+      when(col(v).isNotNull,
+        struct(lit("literal").as("type"), col(v).cast("string").as("value")))
+        .as(v)
+    }
+    df.select(to_json(struct(fields: _*),
+      java.util.Map.of("ignoreNullFields", "true")).as("binding"))
+  }
+
+  /** The results-document header for [[bindingsJson]] rows:
+    * `{"head":{"vars":[…]}}` — derived from the schema alone. */
+  def headJson(df: DataFrame): String =
+    df.columns.map(c => "\"" + c + "\"")
+      .mkString("""{"head":{"vars":[""", ",", "]}}")
 }

@@ -1851,6 +1851,22 @@ class CypherSpec extends SparkSpec {
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
   }
 
+  test("sparql results JSON: W3C bindings rows, unbound variables omitted") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "tag", "x"), ("b", "tag", "y"), ("a", "score", "7"))
+      .toDF("s", "p", "o")
+    val df = Sparql.run(triples,
+      """SELECT ?s ?v WHERE { ?s <tag> ?t .
+        |OPTIONAL { ?s <score> ?v . } } ORDER BY ?s""".stripMargin)
+    assert(Sparql.headJson(df) === """{"head":{"vars":["s","v"]}}""")
+    val rows = Sparql.bindingsJson(df).collect().map(_.getString(0)).toSeq
+    assert(rows === Seq(
+      """{"s":{"type":"literal","value":"a"},"v":{"type":"literal","value":"7"}}""",
+      """{"s":{"type":"literal","value":"b"}}"""))
+  }
+
   test("sparql BIND inside blocks: OPTIONAL/UNION aliases surface, scoping rejects") {
     import spark.implicits._
     import graft.sparql.Sparql
