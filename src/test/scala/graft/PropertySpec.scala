@@ -226,6 +226,17 @@ class PropertySpec extends SparkSpec {
         "SELECT ?x ?a WHERE { ?x <p> ?a . MINUS { ?x <q> ?a . } }")) ===
         rows3(pSide.join(qSide.select(col("x"), col("b").as("a")),
           Seq("x", "a"), "left_anti")))
+      // grouped aggregate = groupBy over the numeric view
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x (SUM(?a) AS ?t) (COUNT(?a) AS ?n) WHERE { ?x <p> ?a . } GROUP BY ?x")) ===
+        rows3(pSide.groupBy(col("x")).agg(
+          sum(col("a").try_cast("double")).as("t"), count(col("a")).as("n"))))
+      // UNION = null-padded bag union
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x ?a ?b WHERE { { ?x <p> ?a . } UNION { ?x <q> ?b . } }")) ===
+        rows3(pSide.withColumn("b", lit(null).cast("string"))
+          .unionByName(qSide.withColumn("a", lit(null).cast("string"))
+            .select(col("x"), col("a"), col("b")))))
     }
   }
 }
