@@ -3973,6 +3973,28 @@ object Queries {
              |SELECT seg.c, opt.v FROM seg LEFT JOIN opt ON seg.c = opt.c
              |ORDER BY seg.c""".stripMargin))),
 
+    // Nested OPTIONAL (LeftJoin nesting): the outer optional always
+    // matches (every customer has a nation), the inner one only for
+    // nation keys >= 10 — its FILTER decides the inner BINDING, giving
+    // the three-depth nullability spread the operator exists for.
+    "sparql_nested_optional" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n ?k WHERE {
+            |  ?c <segment> "AUTOMOBILE" .
+            |  OPTIONAL { ?c <fromNation> ?n .
+            |             OPTIONAL { ?n <key> ?k . FILTER(?k >= 10) } }
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH seg AS (SELECT 'customer/' || c_custkey AS c, c_nationkey
+             |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+             |nn AS (SELECT n_nationkey, 'nation/' || n_name AS n,
+             |    CASE WHEN n_nationkey >= 10
+             |         THEN CAST(n_nationkey AS VARCHAR) END AS k
+             |  FROM nation)
+             |SELECT seg.c, nn.n, nn.k
+             |FROM seg JOIN nn ON seg.c_nationkey = nn.n_nationkey
+             |ORDER BY seg.c""".stripMargin))),
+
     // Trailing VALUES clause (§18.2.4.4): joins the FINAL solution
     // sequence, after ORDER BY + LIMIT — the page is cut to the first 4
     // predicates first, THEN the inline data narrows it, so 'segment'

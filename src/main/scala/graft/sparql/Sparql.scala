@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
  *    pattern constrains equality (e.g. `?x <p> ?x`); a bare VARIABLE
  *    predicate (`?s ?p ?o`) is an unfiltered scan binding `p`
  *  - `OPTIONAL { patterns }` (left join on the shared variables)
+ *  - nested `OPTIONAL` inside brace blocks (`OPTIONAL { … OPTIONAL
+ *    { … } }`): the LeftJoin nests bottom-up inside the block frame;
+ *    vars the enclosing block doesn't bind must be globally fresh
+ *    (a collision with an outer var would equi-join on a nullable
+ *    column — rejected, never mis-answered)
  *  - `BIND(expr AS ?v)` — top-level AND inside brace blocks (UNION /
  *    OPTIONAL / MINUS / EXISTS bodies; a block BIND reads the block's
  *    own bindings, lands in the untyped-string domain, and OPTIONAL /
@@ -188,12 +193,15 @@ object Sparql {
     * need SPARQL's three-way LeftJoin semantics — rejected, not
     * mis-answered). */
   /** A brace group (UNION branch / OPTIONAL / MINUS / EXISTS body):
-    * patterns, its own FILTERs, and its own BINDs. Block-BIND values
-    * land in the untyped-string domain (cast to string) so branch
-    * frames union/pad uniformly; numeric use downstream re-views them
-    * via try_cast like any stored literal. */
+    * patterns, its own FILTERs, its own BINDs, and NESTED OPTIONAL
+    * sub-blocks (`OPTIONAL { … OPTIONAL { … } }` — the LeftJoin nests
+    * bottom-up inside the block frame). Block-BIND values land in the
+    * untyped-string domain (cast to string) so branch frames union/pad
+    * uniformly; numeric use downstream re-views them via try_cast like
+    * any stored literal. */
   final case class Block(pats: Seq[Pat], filters: Seq[FilterExpr] = Seq.empty,
-                         binds: Seq[(String, SExpr)] = Seq.empty)
+                         binds: Seq[(String, SExpr)] = Seq.empty,
+                         optionals: Seq[Block] = Seq.empty)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
                          patterns: Seq[Pat], unionBranches: Seq[Block],
@@ -736,6 +744,7 @@ object Sparql {
       val b = scala.collection.mutable.ListBuffer.empty[Pat]
       val fs = scala.collection.mutable.ListBuffer.empty[FilterExpr]
       val bs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
+      val os = scala.collection.mutable.ListBuffer.empty[Block]
       while (peek != "}") {
         if (peek.equalsIgnoreCase("FILTER")) {
           pop(); expect("(")
@@ -752,10 +761,14 @@ object Sparql {
           expect(")")
           bs += ((v.drop(1), e))
           if (peek == ".") pop()
+        } else if (peek.equalsIgnoreCase("OPTIONAL")) {
+          // nested OPTIONAL: LeftJoin evaluated inside the block frame
+          pop()
+          os += braceBlock()
         } else b ++= parsePatterns()
       }
       expect("}")
-      Block(b.toSeq, fs.toSeq, bs.toSeq)
+      Block(b.toSeq, fs.toSeq, bs.toSeq, os.toSeq)
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Block]
@@ -954,8 +967,33 @@ object Sparql {
       "duplicate block BIND alias")
     combined.foreach(a => require(!bindScope.contains(a),
       s"a block BIND would rebind ?$a"))
+    // nested-OPTIONAL vars that the enclosing block does NOT bind must
+    // be globally fresh — a collision with any outer variable would
+    // silently equi-join on a nullable column (compatibility-semantics
+    // divergence); vars shared with the PARENT block are the join keys
+    // and are exempt
+    def nestedOnly(b: Block): Seq[String] = {
+      val own = (b.pats.flatMap(termsOf).collect { case V(n) => n } ++
+        b.binds.map(_._1)).toSet
+      b.optionals.flatMap { nb =>
+        val nbVars = nb.pats.flatMap(termsOf)
+          .collect { case V(n) if !n.startsWith("__path") => n } ++
+          nb.binds.map(_._1)
+        (nbVars ++ nestedOnly(nb)).filterNot(own.contains)
+      }.distinct
+    }
+    val nestedPerBlock = (optionals ++ unionBranches ++ minuses ++
+      existsFilters.map(_._2)).map(nestedOnly)
+    val nestedFresh = nestedPerBlock.flatten
+    require(nestedFresh.distinct.size == nestedFresh.size,
+      "the same nested-OPTIONAL variable appears in two blocks")
+    nestedFresh.foreach(v => require(
+      !bindScope.contains(v) && !combined.contains(v),
+      s"a nested OPTIONAL re-uses outer variable ?$v (unsupported: " +
+        "rename it or bind it in the enclosing block)"))
     val known = bindScope ++
-      optionals.flatMap(_.binds.map(_._1)) ++ unionAliases
+      optionals.flatMap(_.binds.map(_._1)) ++ unionAliases ++
+      (optionals ++ unionBranches).flatMap(nestedOnly).distinct
     describeTerms.foreach {
       case V(n) => require(known.contains(n), s"unknown variable ?$n")
       case _ => ()
@@ -1047,6 +1085,7 @@ object Sparql {
         require(bound.contains(v),
           s"a FILTER inside a $ctx block references ?$v, which the block " +
             "does not bind")))
+      b.optionals.foreach(checkBlock(_, s"nested OPTIONAL (in $ctx)"))
     }
     unionBranches.foreach(checkBlock(_, "UNION"))
     optionals.foreach(checkBlock(_, "OPTIONAL"))
@@ -1235,6 +1274,16 @@ object Sparql {
     // alias); string domain — see [[Block]]
     b.binds.foreach { case (v, e) =>
       f = f.withColumn(v, compileExpr(e).cast("string")) }
+    // nested OPTIONALs LeftJoin the block frame bottom-up (§ LeftJoin
+    // nesting); parse-time validation pinned their fresh vars globally
+    // unique, so the shared columns are exactly the intended join keys
+    b.optionals.foreach { nb =>
+      val inner = blockFrame(triples, nb)
+      val shared = f.columns.toSeq.intersect(inner.columns.toSeq)
+      require(shared.nonEmpty,
+        "a nested OPTIONAL shares no variable with its enclosing block")
+      f = f.join(inner, shared, "left")
+    }
     b.filters.foreach(fl => f = f.where(compileFilter(fl)))
     f
   }

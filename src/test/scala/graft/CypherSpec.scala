@@ -1851,6 +1851,38 @@ class CypherSpec extends SparkSpec {
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
   }
 
+  test("sparql nested OPTIONAL: LeftJoin nests bottom-up, freshness rejects") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "p", "m"), ("b", "p", "n"), ("c", "p", "o"),
+      ("m", "q", "1"), ("n", "q", "2"),
+      ("1", "r", "deep"))
+      .toDF("s", "p", "o")
+    // the classic chain: x always binds, y optionally, z only where the
+    // inner optional ALSO matches — three depths of nullability
+    val rows = Sparql.run(triples,
+      """SELECT ?x ?y ?z WHERE { ?x <p> ?m .
+        |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } } } ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0),
+        Option(r.getString(1)), Option(r.getString(2)))).toSeq
+    assert(rows === Seq(
+      ("a", Some("1"), Some("deep")),
+      ("b", Some("2"), None),
+      ("c", None, None)))
+    // inner-optional rows never create outer rows (left, not full)
+    assert(rows.size === 3)
+    // rejects: a nested var colliding with an outer variable, the same
+    // nested var in two blocks
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x WHERE { ?x <p> ?m . ?w <q> ?z .
+        |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } } }""".stripMargin))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x WHERE { ?x <p> ?m .
+        |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } }
+        |OPTIONAL { ?m <s> ?u . OPTIONAL { ?u <r> ?z . } } }""".stripMargin))
+  }
+
   test("sparql results JSON: W3C bindings rows, unbound variables omitted") {
     import spark.implicits._
     import graft.sparql.Sparql
