@@ -437,7 +437,8 @@ class QueryPostureSpec extends SparkSpec {
     val tv = plan("sparql_trailing_values")
     assert(tv.contains("BroadcastHashJoin"),
       s"trailing VALUES lost its broadcast inline join:\n$tv")
-    for (name <- Seq("sparql_trailing_values", "sparql_block_bind")) {
+    for (name <- Seq("sparql_trailing_values", "sparql_block_bind",
+        "sparql_nested_optional")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
