@@ -3973,6 +3973,26 @@ object Queries {
              |SELECT seg.c, opt.v FROM seg LEFT JOIN opt ON seg.c = opt.c
              |ORDER BY seg.c""".stripMargin))),
 
+    // VALUES inside an OPTIONAL block: the inline data decides the
+    // optional BINDING (nation 3 or 7 → bound, otherwise null), never
+    // outer-row survival — the LeftJoin reading shared with in-block
+    // FILTERs.
+    "sparql_values_in_block" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <segment> "BUILDING" .
+            |  OPTIONAL { ?c <fromNation> ?n .
+            |             VALUES ?n { "nation/NATION_3" "nation/NATION_7" } }
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH seg AS (SELECT 'customer/' || c_custkey AS c, c_nationkey
+             |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |fn AS (SELECT n_nationkey, 'nation/' || n_name AS n FROM nation
+             |  WHERE 'nation/' || n_name IN ('nation/NATION_3', 'nation/NATION_7'))
+             |SELECT seg.c, fn.n
+             |FROM seg LEFT JOIN fn ON seg.c_nationkey = fn.n_nationkey
+             |ORDER BY seg.c""".stripMargin))),
+
     // Nested OPTIONAL (LeftJoin nesting): the outer optional always
     // matches (every customer has a nation), the inner one only for
     // nation keys >= 10 — its FILTER decides the inner BINDING, giving

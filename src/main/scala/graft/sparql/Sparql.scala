@@ -77,7 +77,8 @@ import org.apache.spark.sql.functions._
  *    the projected variables (the only visible surface); join keys
  *    must be bound in the subquery's required patterns
  *  - `VALUES ?x { … }` / `VALUES (?x ?y) { (…) … }` inline data —
- *    a broadcast join against the group (UNDEF rejected); also as the
+ *    a broadcast join against the group (UNDEF rejected); also INSIDE
+ *    brace blocks (constraining the block's own bindings) and as the
  *    trailing ValuesClause of a SELECT query (§18.2.4.4 — joins the
  *    FINAL solution sequence, after every modifier incl. LIMIT; every
  *    clause variable must be projected)
@@ -201,7 +202,8 @@ object Sparql {
     * any stored literal. */
   final case class Block(pats: Seq[Pat], filters: Seq[FilterExpr] = Seq.empty,
                          binds: Seq[(String, SExpr)] = Seq.empty,
-                         optionals: Seq[Block] = Seq.empty)
+                         optionals: Seq[Block] = Seq.empty,
+                         values: Seq[ValuesBlock] = Seq.empty)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
                          patterns: Seq[Pat], unionBranches: Seq[Block],
@@ -745,6 +747,7 @@ object Sparql {
       val fs = scala.collection.mutable.ListBuffer.empty[FilterExpr]
       val bs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
       val os = scala.collection.mutable.ListBuffer.empty[Block]
+      val vs = scala.collection.mutable.ListBuffer.empty[ValuesBlock]
       while (peek != "}") {
         if (peek.equalsIgnoreCase("FILTER")) {
           pop(); expect("(")
@@ -765,10 +768,15 @@ object Sparql {
           // nested OPTIONAL: LeftJoin evaluated inside the block frame
           pop()
           os += braceBlock()
+        } else if (peek.equalsIgnoreCase("VALUES")) {
+          // in-block VALUES: inline data constraining THIS block (every
+          // var must be bound by the block's own patterns)
+          pop()
+          vs += parseValuesBlock()
         } else b ++= parsePatterns()
       }
       expect("}")
-      Block(b.toSeq, fs.toSeq, bs.toSeq, os.toSeq)
+      Block(b.toSeq, fs.toSeq, bs.toSeq, os.toSeq, vs.toSeq)
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Block]
@@ -1073,6 +1081,11 @@ object Sparql {
     // three-way LeftJoin semantics; reject rather than mis-answer
     def checkBlock(b: Block, ctx: String): Unit = {
       var bound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
+      // in-block VALUES may only CONSTRAIN the block's own bindings —
+      // a fresh inline var inside a block would widen the block schema
+      b.values.foreach(_.vars.foreach(v => require(bound.contains(v),
+        s"a VALUES inside a $ctx block references ?$v, which the block " +
+          "does not bind")))
       // block BINDs read the block's own bindings and earlier aliases
       b.binds.foreach { case (v, e) =>
         require(!bound.contains(v), s"a BIND inside a $ctx block would rebind ?$v")
@@ -1270,6 +1283,17 @@ object Sparql {
     * block's own bindings). */
   private def blockFrame(triples: DataFrame, b: Block): DataFrame = {
     var f = joinAll(triples, b.pats)
+    // in-block VALUES constrain the block's own solutions (vars pinned
+    // pattern-bound at parse time) — a broadcast inner join
+    b.values.foreach { vb =>
+      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+        org.apache.spark.sql.types.StructField(v,
+          org.apache.spark.sql.types.StringType)))
+      import scala.jdk.CollectionConverters._
+      val inline = f.sparkSession.createDataFrame(
+        vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+      f = f.join(broadcast(inline), vb.vars)
+    }
     // block BINDs precede the block FILTERs (a filter may reference an
     // alias); string domain — see [[Block]]
     b.binds.foreach { case (v, e) =>

@@ -1851,6 +1851,32 @@ class CypherSpec extends SparkSpec {
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
   }
 
+  test("sparql VALUES inside blocks: constrains the block, LeftJoin intact") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "tag", "x"), ("b", "tag", "y"), ("c", "tag", "z"),
+      ("a", "score", "1"), ("b", "score", "2"), ("c", "score", "3"))
+      .toDF("s", "p", "o")
+    // VALUES inside an OPTIONAL: decides the optional BINDING — rows
+    // whose tag is outside the data keep a null, never disappear
+    val opt = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . VALUES ?t { "x" "z" } } } ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(opt === Seq(("a", Some("x")), ("b", None), ("c", Some("z"))))
+    // VALUES inside a UNION branch constrains only that branch
+    val uni = Sparql.run(triples,
+      """SELECT ?s ?t WHERE {
+        |{ ?s <tag> ?t . VALUES ?t { "x" } } UNION
+        |{ ?s <tag> ?t . VALUES ?t { "y" "z" } } } ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(uni === Seq(("a", "x"), ("b", "y"), ("c", "z")))
+    // reject: an inline var the block does not bind
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?s WHERE { ?s <score> ?v . OPTIONAL { ?s <tag> ?t . VALUES ?w { \"x\" } } }"))
+  }
+
   test("sparql nested OPTIONAL: LeftJoin nests bottom-up, freshness rejects") {
     import spark.implicits._
     import graft.sparql.Sparql
