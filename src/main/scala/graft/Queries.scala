@@ -3973,6 +3973,26 @@ object Queries {
              |SELECT seg.c, opt.v FROM seg LEFT JOIN opt ON seg.c = opt.c
              |ORDER BY seg.c""".stripMargin))),
 
+    // FILTER EXISTS inside an OPTIONAL block: the existence semi-join
+    // decides the optional BINDING (nation kept only when some supplier
+    // supplies from it), never outer-row survival.
+    "sparql_exists_in_block" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <segment> "FURNITURE" .
+            |  OPTIONAL { ?c <fromNation> ?n .
+            |             FILTER EXISTS { ?sp <suppliesFrom> ?n . } }
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH seg AS (SELECT 'customer/' || c_custkey AS c, c_nationkey
+             |  FROM customer WHERE c_mktsegment = 'FURNITURE'),
+             |nn AS (SELECT n_nationkey, 'nation/' || n_name AS n FROM nation
+             |  WHERE EXISTS (SELECT 1 FROM supplier
+             |                WHERE s_nationkey = n_nationkey))
+             |SELECT seg.c, nn.n
+             |FROM seg LEFT JOIN nn ON seg.c_nationkey = nn.n_nationkey
+             |ORDER BY seg.c""".stripMargin))),
+
     // VALUES inside an OPTIONAL block: the inline data decides the
     // optional BINDING (nation 3 or 7 → bound, otherwise null), never
     // outer-row survival — the LeftJoin reading shared with in-block

@@ -203,7 +203,8 @@ object Sparql {
   final case class Block(pats: Seq[Pat], filters: Seq[FilterExpr] = Seq.empty,
                          binds: Seq[(String, SExpr)] = Seq.empty,
                          optionals: Seq[Block] = Seq.empty,
-                         values: Seq[ValuesBlock] = Seq.empty)
+                         values: Seq[ValuesBlock] = Seq.empty,
+                         existsBlocks: Seq[(Boolean, Block)] = Seq.empty)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
                          patterns: Seq[Pat], unionBranches: Seq[Block],
@@ -748,11 +749,22 @@ object Sparql {
       val bs = scala.collection.mutable.ListBuffer.empty[(String, SExpr)]
       val os = scala.collection.mutable.ListBuffer.empty[Block]
       val vs = scala.collection.mutable.ListBuffer.empty[ValuesBlock]
+      val es = scala.collection.mutable.ListBuffer.empty[(Boolean, Block)]
       while (peek != "}") {
         if (peek.equalsIgnoreCase("FILTER")) {
-          pop(); expect("(")
-          fs += parseFilter()
-          expect(")")
+          pop()
+          // in-block FILTER [NOT] EXISTS: a pattern-existence semi-/
+          // anti-join on the block frame (§8.1.1, same as top level)
+          val negated = peek.equalsIgnoreCase("NOT") && { pop(); true }
+          if (negated || peek.equalsIgnoreCase("EXISTS")) {
+            expect("EXISTS")
+            es += ((!negated, braceBlock()))
+          } else {
+            require(!negated, "expected EXISTS after FILTER NOT")
+            expect("(")
+            fs += parseFilter()
+            expect(")")
+          }
           if (peek == ".") pop()
         } else if (peek.equalsIgnoreCase("BIND")) {
           // BIND inside the block: scoped to the block's own bindings
@@ -776,7 +788,7 @@ object Sparql {
         } else b ++= parsePatterns()
       }
       expect("}")
-      Block(b.toSeq, fs.toSeq, bs.toSeq, os.toSeq, vs.toSeq)
+      Block(b.toSeq, fs.toSeq, bs.toSeq, os.toSeq, vs.toSeq, es.toSeq)
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Block]
@@ -1099,6 +1111,23 @@ object Sparql {
           s"a FILTER inside a $ctx block references ?$v, which the block " +
             "does not bind")))
       b.optionals.foreach(checkBlock(_, s"nested OPTIONAL (in $ctx)"))
+      // in-block EXISTS join keys must be PATTERN-bound in the enclosing
+      // block — a bind alias or nested-optional var can be null, and an
+      // equi-semi-join on a nullable key diverges from compatibility
+      // semantics (the established requireBound discipline)
+      def surfaceVars(x: Block): Set[String] =
+        (x.pats.flatMap(termsOf).collect { case V(n) => n } ++
+          x.binds.map(_._1) ++ x.optionals.flatMap(surfaceVars)).toSet
+      b.existsBlocks.foreach { case (positive, eb) =>
+        checkBlock(eb, s"EXISTS (in $ctx)")
+        val patBound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
+        val nullable = (b.binds.map(_._1).toSet ++
+          b.optionals.flatMap(surfaceVars)) -- patBound
+        surfaceVars(eb).intersect(nullable).foreach(v =>
+          throw new IllegalArgumentException(
+            s"unsupported: ?$v joins a FILTER ${if (positive) "" else "NOT "}" +
+              s"EXISTS inside a $ctx block but may be unbound"))
+      }
     }
     unionBranches.foreach(checkBlock(_, "UNION"))
     optionals.foreach(checkBlock(_, "OPTIONAL"))
@@ -1307,6 +1336,18 @@ object Sparql {
       require(shared.nonEmpty,
         "a nested OPTIONAL shares no variable with its enclosing block")
       f = f.join(inner, shared, "left")
+    }
+    // in-block FILTER [NOT] EXISTS: semi-/anti-join the block frame
+    // (parse-time validation pinned shared vars to pattern-bound ones,
+    // so the equi-join keys are never null)
+    b.existsBlocks.foreach { case (positive, eb) =>
+      val e = blockFrame(triples, eb)
+      val shared = f.columns.toSeq.intersect(e.columns.toSeq)
+      f = if (shared.isEmpty) {
+        val any = broadcast(e.limit(1).select(lit(1).as("__e")))
+        if (positive) f.join(any, lit(true), "left_semi")
+        else f.join(any, lit(true), "left_anti")
+      } else f.join(e, shared, if (positive) "left_semi" else "left_anti")
     }
     b.filters.foreach(fl => f = f.where(compileFilter(fl)))
     f

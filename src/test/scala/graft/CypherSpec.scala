@@ -1851,6 +1851,43 @@ class CypherSpec extends SparkSpec {
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
   }
 
+  test("sparql FILTER EXISTS inside blocks: semi-joins the block frame") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "tag", "x"), ("b", "tag", "y"), ("c", "tag", "z"),
+      ("a", "score", "1"), ("b", "score", "2"), ("c", "score", "3"),
+      ("x", "flag", "1"), ("z", "flag", "1"))
+      .toDF("s", "p", "o")
+    // EXISTS inside an OPTIONAL: decides the optional binding (tag kept
+    // only when a flag triple exists for it); outer rows all survive
+    val opt = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . FILTER EXISTS { ?t <flag> ?f . } } }
+        |ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(opt === Seq(("a", Some("x")), ("b", None), ("c", Some("z"))))
+    // NOT EXISTS inside a UNION branch prunes only that branch
+    val uni = Sparql.run(triples,
+      """SELECT ?s ?t WHERE {
+        |{ ?s <tag> ?t . FILTER NOT EXISTS { ?t <flag> ?f . } } UNION
+        |{ ?s <tag> ?t . FILTER EXISTS { ?t <flag> ?f . } } } ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(uni === Seq(("a", "x"), ("b", "y"), ("c", "z")))
+    // no shared variable: a pure existence probe over the block
+    val probe = Sparql.run(triples,
+      """SELECT ?s WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . FILTER EXISTS { ?q <flag> "1" . } } }
+        |ORDER BY ?s""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(probe === Seq("a", "b", "c"))
+    // reject: EXISTS join key that may be unbound (a bind alias)
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?s WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . BIND(?t AS ?u) .
+        |           FILTER EXISTS { ?u <flag> ?f . } } }""".stripMargin))
+  }
+
   test("sparql VALUES inside blocks: constrains the block, LeftJoin intact") {
     import spark.implicits._
     import graft.sparql.Sparql
