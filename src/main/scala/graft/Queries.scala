@@ -3973,6 +3973,26 @@ object Queries {
              |SELECT seg.c, opt.v FROM seg LEFT JOIN opt ON seg.c = opt.c
              |ORDER BY seg.c""".stripMargin))),
 
+    // MINUS inside an OPTIONAL block: the anti-join decides the
+    // optional BINDING — nation bound only when NO supplier supplies
+    // from it (the complement of sparql_exists_in_block).
+    "sparql_minus_in_block" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <segment> "HOUSEHOLD" .
+            |  OPTIONAL { ?c <fromNation> ?n .
+            |             MINUS { ?sp <suppliesFrom> ?n . } }
+            |} ORDER BY ?c""".stripMargin),
+      Some("""WITH seg AS (SELECT 'customer/' || c_custkey AS c, c_nationkey
+             |  FROM customer WHERE c_mktsegment = 'HOUSEHOLD'),
+             |nn AS (SELECT n_nationkey, 'nation/' || n_name AS n FROM nation
+             |  WHERE NOT EXISTS (SELECT 1 FROM supplier
+             |                    WHERE s_nationkey = n_nationkey))
+             |SELECT seg.c, nn.n
+             |FROM seg LEFT JOIN nn ON seg.c_nationkey = nn.n_nationkey
+             |ORDER BY seg.c""".stripMargin))),
+
     // FILTER EXISTS inside an OPTIONAL block: the existence semi-join
     // decides the optional BINDING (nation kept only when some supplier
     // supplies from it), never outer-row survival.

@@ -31,11 +31,14 @@ import org.apache.spark.sql.functions._
  *    pattern constrains equality (e.g. `?x <p> ?x`); a bare VARIABLE
  *    predicate (`?s ?p ?o`) is an unfiltered scan binding `p`
  *  - `OPTIONAL { patterns }` (left join on the shared variables)
- *  - nested `OPTIONAL` inside brace blocks (`OPTIONAL { … OPTIONAL
- *    { … } }`): the LeftJoin nests bottom-up inside the block frame;
- *    vars the enclosing block doesn't bind must be globally fresh
- *    (a collision with an outer var would equi-join on a nullable
- *    column — rejected, never mis-answered)
+ *  - the full in-block algebra: brace blocks (UNION branches,
+ *    OPTIONAL / MINUS / EXISTS bodies) carry their own FILTERs, BINDs,
+ *    VALUES, nested `OPTIONAL`s (LeftJoin nests bottom-up; vars the
+ *    enclosing block doesn't bind must be globally fresh — a collision
+ *    with an outer var would equi-join on a nullable column, rejected
+ *    never mis-answered), `FILTER [NOT] EXISTS` (semi-/anti-join on
+ *    the block frame; pattern-bound keys only) and `MINUS` (anti-join;
+ *    disjoint domains remove nothing, §8.3)
  *  - `BIND(expr AS ?v)` — top-level AND inside brace blocks (UNION /
  *    OPTIONAL / MINUS / EXISTS bodies; a block BIND reads the block's
  *    own bindings, lands in the untyped-string domain, and OPTIONAL /
@@ -204,7 +207,8 @@ object Sparql {
                          binds: Seq[(String, SExpr)] = Seq.empty,
                          optionals: Seq[Block] = Seq.empty,
                          values: Seq[ValuesBlock] = Seq.empty,
-                         existsBlocks: Seq[(Boolean, Block)] = Seq.empty)
+                         existsBlocks: Seq[(Boolean, Block)] = Seq.empty,
+                         minusBlocks: Seq[Block] = Seq.empty)
   final case class Query(distinct: Boolean, projection: Seq[String],
                          aggregates: Seq[Agg], groupBy: Seq[String],
                          patterns: Seq[Pat], unionBranches: Seq[Block],
@@ -750,6 +754,7 @@ object Sparql {
       val os = scala.collection.mutable.ListBuffer.empty[Block]
       val vs = scala.collection.mutable.ListBuffer.empty[ValuesBlock]
       val es = scala.collection.mutable.ListBuffer.empty[(Boolean, Block)]
+      val ms = scala.collection.mutable.ListBuffer.empty[Block]
       while (peek != "}") {
         if (peek.equalsIgnoreCase("FILTER")) {
           pop()
@@ -780,6 +785,10 @@ object Sparql {
           // nested OPTIONAL: LeftJoin evaluated inside the block frame
           pop()
           os += braceBlock()
+        } else if (peek.equalsIgnoreCase("MINUS")) {
+          // in-block MINUS: §8.3 anti-join on the block frame
+          pop()
+          ms += braceBlock()
         } else if (peek.equalsIgnoreCase("VALUES")) {
           // in-block VALUES: inline data constraining THIS block (every
           // var must be bound by the block's own patterns)
@@ -788,7 +797,8 @@ object Sparql {
         } else b ++= parsePatterns()
       }
       expect("}")
-      Block(b.toSeq, fs.toSeq, bs.toSeq, os.toSeq, vs.toSeq, es.toSeq)
+      Block(b.toSeq, fs.toSeq, bs.toSeq, os.toSeq, vs.toSeq, es.toSeq,
+        ms.toSeq)
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Block]
@@ -1118,15 +1128,22 @@ object Sparql {
       def surfaceVars(x: Block): Set[String] =
         (x.pats.flatMap(termsOf).collect { case V(n) => n } ++
           x.binds.map(_._1) ++ x.optionals.flatMap(surfaceVars)).toSet
+      val patBound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
+      val nullable = (b.binds.map(_._1).toSet ++
+        b.optionals.flatMap(surfaceVars)) -- patBound
       b.existsBlocks.foreach { case (positive, eb) =>
         checkBlock(eb, s"EXISTS (in $ctx)")
-        val patBound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
-        val nullable = (b.binds.map(_._1).toSet ++
-          b.optionals.flatMap(surfaceVars)) -- patBound
         surfaceVars(eb).intersect(nullable).foreach(v =>
           throw new IllegalArgumentException(
             s"unsupported: ?$v joins a FILTER ${if (positive) "" else "NOT "}" +
               s"EXISTS inside a $ctx block but may be unbound"))
+      }
+      b.minusBlocks.foreach { mb =>
+        checkBlock(mb, s"MINUS (in $ctx)")
+        surfaceVars(mb).intersect(nullable).foreach(v =>
+          throw new IllegalArgumentException(
+            s"unsupported: ?$v joins a MINUS inside a $ctx block but " +
+              "may be unbound"))
       }
     }
     unionBranches.foreach(checkBlock(_, "UNION"))
@@ -1348,6 +1365,13 @@ object Sparql {
         if (positive) f.join(any, lit(true), "left_semi")
         else f.join(any, lit(true), "left_anti")
       } else f.join(e, shared, if (positive) "left_semi" else "left_anti")
+    }
+    // in-block MINUS (§8.3): anti-join on the shared variables; with
+    // DISJOINT domains MINUS removes nothing — the spec's no-op case
+    b.minusBlocks.foreach { mb =>
+      val m = blockFrame(triples, mb)
+      val shared = f.columns.toSeq.intersect(m.columns.toSeq)
+      if (shared.nonEmpty) f = f.join(m, shared, "left_anti")
     }
     b.filters.foreach(fl => f = f.where(compileFilter(fl)))
     f

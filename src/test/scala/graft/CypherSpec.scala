@@ -1851,6 +1851,33 @@ class CypherSpec extends SparkSpec {
       "SELECT (SUM(?nope * 2) AS ?s) WHERE { ?x <qty> ?q . }"))
   }
 
+  test("sparql MINUS inside blocks: anti-joins the block frame, disjoint no-op") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val triples = Seq(
+      ("a", "tag", "x"), ("b", "tag", "y"), ("c", "tag", "z"),
+      ("a", "score", "1"), ("b", "score", "2"), ("c", "score", "3"),
+      ("x", "bad", "1"))
+      .toDF("s", "p", "o")
+    // MINUS inside an OPTIONAL removes matching block solutions — tag
+    // "x" is bad, so a's optional part doesn't bind; outer rows survive
+    val opt = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . MINUS { ?t <bad> ?z . } } } ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(opt === Seq(("a", None), ("b", Some("y")), ("c", Some("z"))))
+    // disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3)
+    val noop = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . MINUS { ?q <bad> ?z . } } } ORDER BY ?s""".stripMargin)
+      .collect().map(r => Option(r.getString(1))).toSeq
+    assert(noop === Seq(Some("x"), Some("y"), Some("z")))
+    // reject: a MINUS join key that may be unbound in the block
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?s WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . BIND(?t AS ?u) . MINUS { ?u <bad> ?z . } } }""".stripMargin))
+  }
+
   test("sparql FILTER EXISTS inside blocks: semi-joins the block frame") {
     import spark.implicits._
     import graft.sparql.Sparql
