@@ -237,6 +237,18 @@ class PropertySpec extends SparkSpec {
         rows3(pSide.withColumn("b", lit(null).cast("string"))
           .unionByName(qSide.withColumn("a", lit(null).cast("string"))
             .select(col("x"), col("a"), col("b")))))
+      // in-block FILTER = LeftJoin against the PRE-FILTERED right side
+      // (the filter decides the binding, never outer-row survival)
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x ?a ?b WHERE { ?x <p> ?a . OPTIONAL { ?x <q> ?b . FILTER(?b < 5) } }")) ===
+        rows3(pSide.join(qSide.where(col("b").try_cast("double") < 5.0),
+          Seq("x"), "left")))
+      // in-block EXISTS = LeftJoin against the semi-joined right side
+      assert(rows3(Sparql.run(df,
+        "SELECT ?x ?a ?b WHERE { ?x <p> ?a . OPTIONAL { ?x <q> ?b . FILTER EXISTS { ?b <p> ?w . } } }")) ===
+        rows3(pSide.join(
+          qSide.join(pSide.select(col("x").as("b")).distinct(), Seq("b"), "left_semi"),
+          Seq("x"), "left")))
     }
   }
 }
