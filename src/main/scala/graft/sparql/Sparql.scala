@@ -33,12 +33,11 @@ import org.apache.spark.sql.functions._
  *  - `OPTIONAL { patterns }` (left join on the shared variables)
  *  - the full in-block algebra: brace blocks (UNION branches,
  *    OPTIONAL / MINUS / EXISTS bodies) carry their own FILTERs, BINDs,
- *    VALUES, nested `OPTIONAL`s (LeftJoin nests bottom-up; vars the
- *    enclosing block doesn't bind must be globally fresh — a collision
- *    with an outer var would equi-join on a nullable column, rejected
- *    never mis-answered), `FILTER [NOT] EXISTS` (semi-/anti-join on
- *    the block frame; pattern-bound keys only) and `MINUS` (anti-join;
- *    disjoint domains remove nothing, §8.3)
+ *    VALUES, nested `OPTIONAL`s (LeftJoin nests bottom-up),
+ *    `FILTER [NOT] EXISTS` and `MINUS` (§8.3 — disjoint domains remove
+ *    nothing); maybe-unbound keys (BIND aliases, nested-OPTIONAL vars,
+ *    UNDEF rows) run through the §18.3 compatibility joins exactly as
+ *    at top level
  *  - `BIND(expr AS ?v)` — top-level AND inside brace blocks (UNION /
  *    OPTIONAL / MINUS / EXISTS bodies; a block BIND reads the block's
  *    own bindings, lands in the untyped-string domain, and OPTIONAL /
@@ -80,11 +79,13 @@ import org.apache.spark.sql.functions._
  *    the projected variables (the only visible surface); join keys
  *    must be bound in the subquery's required patterns
  *  - `VALUES ?x { … }` / `VALUES (?x ?y) { (…) … }` inline data —
- *    a broadcast join against the group (UNDEF rejected); also INSIDE
+ *    a broadcast compatibility join against the group at its syntactic
+ *    position (UNDEF rows are unbound wildcards, §18.3); also INSIDE
  *    brace blocks (constraining the block's own bindings) and as the
- *    trailing ValuesClause of a SELECT query (§18.2.4.4 — joins the
- *    FINAL solution sequence, after every modifier incl. LIMIT; every
- *    clause variable must be projected)
+ *    trailing ValuesClause of a SELECT query (§18.2.4.3 — joins the
+ *    solution sequence after grouping/HAVING and BEFORE the §18.2.5
+ *    OrderBy/Projection/Distinct/Slice modifiers; any variable is
+ *    legal, non-result vars are dropped by the projection)
  *  - `ORDER BY [ASC|DESC](expr) …` with full scalar-expression sort
  *    keys over the projected frame (a non-projected sort variable is
  *    rejected — our project → distinct → order sequence can't see it),
@@ -106,21 +107,31 @@ import org.apache.spark.sql.functions._
  *    the graph (subject∪object positions, the Jena reading of
  *    "terms in G"). Negated property sets `!p` / `!(p1|^p2|…)` (§9.1)
  *    compile to NOT-isin scan filters — inverse members become an
- *    endpoint-swapped scan unioned with the forward half. Variables
- *    inside MULTI-step paths remain parse-rejected
- *  - UNION restriction: a variable shared between the union block and
- *    the surrounding BGP must be bound in EVERY branch (unbound-is-
- *    compatible solutions would otherwise be silently dropped by the
- *    equi-join — rejected rather than mis-answered)
- *  - `MINUS { patterns }` (SPARQL 1.1 §8.3): an anti-join on the shared
- *    variables; disjoint domains remove nothing (the spec's no-op
- *    case). `FILTER EXISTS { patterns }` / `FILTER NOT EXISTS { … }`
- *    (§8.1.1): a semi-/anti-join on the shared variables, or a
- *    broadcast existence probe when no variable is shared. Both reuse
- *    the UNION discipline: a shared variable that could arrive UNBOUND
- *    (introduced only by OPTIONAL, or missing from a union branch)
- *    is rejected rather than mis-answered — null-padded equi-join keys
- *    and SPARQL compatibility diverge exactly there
+ *    endpoint-swapped scan unioned with the forward half. Kleene and
+ *    alternation modifiers compose INSIDE multi-step sequences
+ *    (`p/q*` and the starred-head form — the PathPat chains through
+ *    the `__path` intermediates); variable PREDICATES inside
+ *    multi-step paths remain parse-rejected
+ *  - §18.3 solution-compatibility joins throughout: a shared variable
+ *    that can arrive UNBOUND (padded out of a UNION branch, introduced
+ *    by OPTIONAL or BIND, UNDEF inline rows, a subquery aggregate
+ *    alias) joins by compatibility — unbound matches anything and the
+ *    merge adopts the bound side's value. Implemented as a null-mask
+ *    stratification into plain Catalyst equi-joins (never a theta
+ *    join); see [[compatJoin]]/[[compatJoinBoth]]
+ *  - `MINUS { patterns }` (SPARQL 1.1 §8.3): a compat anti-join on the
+ *    shared variables; disjoint domains remove nothing (the spec's
+ *    no-op case — per solution, the all-shared-null stratum survives).
+ *    `FILTER EXISTS { patterns }` / `FILTER NOT EXISTS { … }` (§8.1.1):
+ *    a compat semi-/anti-join, or a broadcast existence probe when no
+ *    variable is shared — the documented MINUS vs NOT-EXISTS divergence
+ *    extends to unbound keys (MINUS keeps, NOT EXISTS drops)
+ *  - group elements fold in SYNTACTIC ORDER (§18.2.2.6): a sub-SELECT
+ *    / VALUES / BIND / OPTIONAL / MINUS / FILTER-EXISTS written after
+ *    an OPTIONAL sees the extended solutions (BGP runs commute; the
+ *    one union chain per group is hoisted to the front; FILTERs apply
+ *    at group end per §18.2.2.2); a BIND referencing a variable no
+ *    PRIOR element binds yields an unbound alias (§18.2.2.5 scope)
  */
 object Sparql {
 
@@ -150,6 +161,23 @@ object Sparql {
   private def termsOf(p: Pat): Seq[Term] = p match {
     case Pattern(s, pr, o) => Seq(s, pr, o)
     case PathPat(s, _, _, _, _, o) => Seq(s, o)
+  }
+  /** Variables an expression / filter references (scope checks and the
+    * BIND missing-var rule share these). */
+  private def varsOfExpr(e: SExpr): Seq[String] = e match {
+    case ETerm(V(n)) => Seq(n)
+    case ETerm(_) => Seq.empty
+    case EFn(_, as) => as.flatMap(varsOfExpr)
+    case EArith(_, a, b) => varsOfExpr(a) ++ varsOfExpr(b)
+    case EIf(c, a, b) => varsOfFilter(c) ++ varsOfExpr(a) ++ varsOfExpr(b)
+  }
+  private def varsOfFilter(f: FilterExpr): Seq[String] = f match {
+    case Cmp(_, a, b, _) => varsOfExpr(a) ++ varsOfExpr(b)
+    case And(a, b) => varsOfFilter(a) ++ varsOfFilter(b)
+    case Or(a, b) => varsOfFilter(a) ++ varsOfFilter(b)
+    case Not(x) => varsOfFilter(x)
+    case FnCond(_, as) => as.flatMap(varsOfExpr)
+    case InList(e, _, _) => varsOfExpr(e)
   }
   // ----- Expressions (BIND / FILTER operands, SPARQL 1.1 §17) -------------
   /** Scalar expression: a term, a builtin function call, binary
@@ -227,7 +255,27 @@ object Sparql {
                          subqueries: Seq[String] = Seq.empty,
                          selectExprs: Seq[(String, SExpr)] = Seq.empty,
                          groupExprs: Seq[(String, SExpr)] = Seq.empty,
-                         trailingValues: Option[ValuesBlock] = None)
+                         trailingValues: Option[ValuesBlock] = None,
+                         groupElems: Seq[GElem] = Seq.empty)
+
+  /** One order-sensitive group element. SPARQL 1.1 §18.2.2.6 folds a
+    * group graph pattern LEFT-TO-RIGHT: Join elements (BGP runs,
+    * inline data, sub-SELECTs) commute with each other, but OPTIONAL
+    * (LeftJoin), MINUS, FILTER [NOT] EXISTS and BIND do not — their
+    * syntactic position IS their semantics (a sub-SELECT written after
+    * an OPTIONAL joins the EXTENDED solutions). The parser records the
+    * group body as this ordered sequence; the by-kind lists on [[Query]]
+    * remain the surface the parse-time scope checks read. The UNION
+    * chain and FILTERs stay hoisted (filters apply at group end per
+    * §18.2.2.2; one union chain per group, joined first). */
+  sealed trait GElem
+  final case class GPats(pats: Seq[Pat]) extends GElem
+  final case class GOpt(b: Block) extends GElem
+  final case class GMinus(b: Block) extends GElem
+  final case class GExists(positive: Boolean, b: Block) extends GElem
+  final case class GValues(vb: ValuesBlock) extends GElem
+  final case class GSub(text: String) extends GElem
+  final case class GBind(v: String, e: SExpr) extends GElem
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -452,12 +500,12 @@ object Sparql {
 
     /** `?x { v … }` or `(?x ?y) { (v v) … }` after a consumed VALUES
       * keyword — shared by the in-group form and the trailing
-      * ValuesClause. UNDEF is rejected: an unbound inline binding
-      * breaks equi-join keys. */
+      * ValuesClause. UNDEF rows carry null = unbound; the §18.3
+      * compatibility join treats them as wildcards. */
     def parseValuesBlock(): ValuesBlock = {
       def constVal(): String = {
         val tok = pop()
-        require(!tok.equalsIgnoreCase("UNDEF"), "UNDEF is not supported in VALUES")
+        if (tok.equalsIgnoreCase("UNDEF")) return null
         term(tok) match {
           case Const(v) => v
           case _ => throw new IllegalArgumentException(
@@ -802,6 +850,7 @@ object Sparql {
     }
 
     val unionBranches = scala.collection.mutable.ListBuffer.empty[Block]
+    val groupElems = scala.collection.mutable.ListBuffer.empty[GElem]
     val subqueries = scala.collection.mutable.ListBuffer.empty[String]
     val subProjections = scala.collection.mutable.ListBuffer.empty[String]
     if (hasWhere) {
@@ -824,11 +873,16 @@ object Sparql {
           if (t2 == "}") depth -= 1
           if (depth > 0) buf += t2
         }
-        val subText = buf.mkString(" ")
+        // outer PREFIX declarations stay visible inside the subquery
+        // (§4.1.1 — one prologue per query string): re-prepend them as
+        // headers so the recursive parse sees the same namespace map
+        val subText = (prefixes.map { case (n, iri) => s"PREFIX $n: <$iri>" }
+          .toSeq.sorted :+ buf.mkString(" ")).mkString(" ")
         val subQ = parse(subText) // validates eagerly, at parse time
         require(!subQ.ask && subQ.construct.isEmpty && subQ.describe.isEmpty,
           "a subquery must be a SELECT")
         subqueries += subText
+        groupElems += GSub(subText)
         subProjections ++= subQ.projection
         if (peek == ".") pop()
       } else if (peek.equalsIgnoreCase("BIND")) {
@@ -842,6 +896,7 @@ object Sparql {
         require(isVar(v), s"BIND needs an ?alias, got '$v'")
         expect(")")
         binds += ((v.drop(1), e))
+        groupElems += GBind(v.drop(1), e)
         if (peek == ".") pop()
       } else if (peek == "{") {
         // { bgp } UNION { bgp } [UNION { bgp } ...] -- one chain per query
@@ -856,7 +911,9 @@ object Sparql {
         val negated = peek.equalsIgnoreCase("NOT") && { pop(); true }
         if (negated || peek.equalsIgnoreCase("EXISTS")) {
           expect("EXISTS")
-          existsFilters += ((!negated, braceBlock()))
+          val eb = braceBlock()
+          existsFilters += ((!negated, eb))
+          groupElems += GExists(!negated, eb)
         } else {
           require(!negated, "expected EXISTS after FILTER NOT")
           expect("("); filters += parseFilter(); expect(")")
@@ -864,16 +921,32 @@ object Sparql {
         if (peek == ".") pop()
       } else if (peek.equalsIgnoreCase("OPTIONAL")) {
         pop()
-        optionals += braceBlock()
+        val ob = braceBlock()
+        optionals += ob
+        groupElems += GOpt(ob)
       } else if (peek.equalsIgnoreCase("MINUS")) {
         pop()
-        minuses += braceBlock()
+        val mb = braceBlock()
+        minuses += mb
+        groupElems += GMinus(mb)
       } else if (peek.equalsIgnoreCase("VALUES")) {
         // VALUES ?x { v v … } | VALUES (?x ?y) { (v v) (v v) … } —
         // inline data, joined with the group on its variables.
         pop()
-        valuesBlocks += parseValuesBlock()
-      } else patterns ++= parsePatterns()
+        val vb = parseValuesBlock()
+        valuesBlocks += vb
+        groupElems += GValues(vb)
+      } else {
+        // a contiguous BGP run is ONE Join element; runs merge so the
+        // intra-run patterns stay a single plain equi-join chain
+        val ps = parsePatterns()
+        patterns ++= ps
+        groupElems.lastOption match {
+          case Some(GPats(prev)) =>
+            groupElems.update(groupElems.size - 1, GPats(prev ++ ps))
+          case _ => groupElems += GPats(ps)
+        }
+      }
     }
     expect("}")
     } // hasWhere
@@ -961,21 +1034,6 @@ object Sparql {
       valuesBlocks.flatMap(_.vars) ++ subProjections).distinct
     // BIND aliases: no rebinding (SPARQL 1.1 §10.1), expressions may only
     // reference pattern variables and EARLIER aliases
-    def varsOfExpr(e: SExpr): Seq[String] = e match {
-      case ETerm(V(n)) => Seq(n)
-      case ETerm(_) => Seq.empty
-      case EFn(_, as) => as.flatMap(varsOfExpr)
-      case EArith(_, a, b) => varsOfExpr(a) ++ varsOfExpr(b)
-      case EIf(c, a, b) => varsOfFilter(c) ++ varsOfExpr(a) ++ varsOfExpr(b)
-    }
-    def varsOfFilter(f: FilterExpr): Seq[String] = f match {
-      case Cmp(_, a, b, _) => varsOfExpr(a) ++ varsOfExpr(b)
-      case And(a, b) => varsOfFilter(a) ++ varsOfFilter(b)
-      case Or(a, b) => varsOfFilter(a) ++ varsOfFilter(b)
-      case Not(x) => varsOfFilter(x)
-      case FnCond(_, as) => as.flatMap(varsOfExpr)
-      case InList(e, _, _) => varsOfExpr(e)
-    }
     var bindScope = patternVars
     binds.foreach { case (v, e) =>
       require(!bindScope.contains(v), s"BIND would rebind ?$v")
@@ -1012,13 +1070,22 @@ object Sparql {
         (nbVars ++ nestedOnly(nb)).filterNot(own.contains)
       }.distinct
     }
-    val nestedPerBlock = (optionals ++ unionBranches ++ minuses ++
+    // a UNION branch's nested-OPTIONAL var MAY re-use an outer pattern
+    // var (or appear in several branches): the union pads it and the
+    // §18.3 compatibility join reconciles the maybe-unbound column —
+    // but an ALIAS collision would silently rebind, so those stay out
+    val unionNested = unionBranches.flatMap(nestedOnly).distinct
+    unionNested.foreach(v => require(
+      !binds.map(_._1).contains(v) && !combined.contains(v),
+      s"a nested OPTIONAL inside a UNION branch re-uses alias ?$v"))
+    val nestedPerBlock = (optionals ++ minuses ++
       existsFilters.map(_._2)).map(nestedOnly)
     val nestedFresh = nestedPerBlock.flatten
     require(nestedFresh.distinct.size == nestedFresh.size,
       "the same nested-OPTIONAL variable appears in two blocks")
     nestedFresh.foreach(v => require(
-      !bindScope.contains(v) && !combined.contains(v),
+      !bindScope.contains(v) && !combined.contains(v) &&
+        !unionNested.contains(v),
       s"a nested OPTIONAL re-uses outer variable ?$v (unsupported: " +
         "rename it or bind it in the enclosing block)"))
     val known = bindScope ++
@@ -1042,7 +1109,9 @@ object Sparql {
     // aggregate aliases, and earlier expression aliases are visible
     locally {
       var scope: Seq[String] =
-        if (aggs.nonEmpty) groupBy.toSeq ++ aggs.map(_.alias) else known.toSeq
+        if (aggs.nonEmpty || groupBy.nonEmpty)
+          groupBy.toSeq ++ aggs.map(_.alias)
+        else known.toSeq
       selExprs.foreach { case (v, e) =>
         require(!known.contains(v) && !scope.contains(v),
           s"SELECT expression would rebind ?$v")
@@ -1054,14 +1123,12 @@ object Sparql {
         scope = scope :+ v
       }
     }
-    // trailing VALUES joins the final solution sequence — every clause
-    // variable must be a result variable (a fresh variable would widen
-    // the result schema beyond the projection; rejected, not mis-shaped)
-    trailingValues.foreach { vb =>
+    // trailing VALUES (§18.2.4.3) joins the solution sequence BEFORE
+    // the §18.2.5 modifiers — any variable is legal (a var the frame
+    // lacks joins as a wildcard column the projection then drops)
+    trailingValues.foreach { _ =>
       require(form == "SELECT",
         "a trailing VALUES clause is only supported on SELECT queries")
-      vb.vars.foreach(v => require(projection.contains(v),
-        s"trailing VALUES references ?$v, which is not projected"))
     }
     // ORDER BY expressions run over the projected frame (our sequence
     // is project → distinct → order, so a sort key must be projected;
@@ -1086,13 +1153,14 @@ object Sparql {
     }
     groupBy.filterNot(grpAliases.contains)
       .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
-    if (aggs.nonEmpty)
+    if (aggs.nonEmpty || groupBy.nonEmpty)
       projection.filterNot(aliases.contains).foreach(v =>
         require(groupBy.contains(v), s"?$v is projected but not in GROUP BY"))
     template.flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }
       .foreach(v => require(known.contains(v), s"unknown template variable ?$v"))
     having.foreach { h =>
-      require(aggs.nonEmpty, "HAVING needs an aggregated query")
+      require(aggs.nonEmpty || groupBy.nonEmpty,
+        "HAVING needs a grouped query")
       varsOfFilter(h).foreach(v =>
         require(groupBy.contains(v) || aliases.contains(v),
           s"HAVING references ?$v, which is neither grouped nor an " +
@@ -1121,30 +1189,12 @@ object Sparql {
           s"a FILTER inside a $ctx block references ?$v, which the block " +
             "does not bind")))
       b.optionals.foreach(checkBlock(_, s"nested OPTIONAL (in $ctx)"))
-      // in-block EXISTS join keys must be PATTERN-bound in the enclosing
-      // block — a bind alias or nested-optional var can be null, and an
-      // equi-semi-join on a nullable key diverges from compatibility
-      // semantics (the established requireBound discipline)
-      def surfaceVars(x: Block): Set[String] =
-        (x.pats.flatMap(termsOf).collect { case V(n) => n } ++
-          x.binds.map(_._1) ++ x.optionals.flatMap(surfaceVars)).toSet
-      val patBound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
-      val nullable = (b.binds.map(_._1).toSet ++
-        b.optionals.flatMap(surfaceVars)) -- patBound
-      b.existsBlocks.foreach { case (positive, eb) =>
-        checkBlock(eb, s"EXISTS (in $ctx)")
-        surfaceVars(eb).intersect(nullable).foreach(v =>
-          throw new IllegalArgumentException(
-            s"unsupported: ?$v joins a FILTER ${if (positive) "" else "NOT "}" +
-              s"EXISTS inside a $ctx block but may be unbound"))
-      }
-      b.minusBlocks.foreach { mb =>
-        checkBlock(mb, s"MINUS (in $ctx)")
-        surfaceVars(mb).intersect(nullable).foreach(v =>
-          throw new IllegalArgumentException(
-            s"unsupported: ?$v joins a MINUS inside a $ctx block but " +
-              "may be unbound"))
-      }
+      // in-block EXISTS / MINUS keys that may be unbound in the
+      // enclosing block (BIND aliases, nested-OPTIONAL bindings) run
+      // through the §18.3 compatibility join at execution time
+      b.existsBlocks.foreach { case (eb0, eb) =>
+        val _ = eb0; checkBlock(eb, s"EXISTS (in $ctx)") }
+      b.minusBlocks.foreach(checkBlock(_, s"MINUS (in $ctx)"))
     }
     unionBranches.foreach(checkBlock(_, "UNION"))
     optionals.foreach(checkBlock(_, "OPTIONAL"))
@@ -1172,7 +1222,7 @@ object Sparql {
       binds = binds.toList, describe = describeTerms.toList,
       having = having, subqueries = subqueries.toList,
       selectExprs = selExprs.toList, groupExprs = groupExprs.toList,
-      trailingValues = trailingValues)
+      trailingValues = trailingValues, groupElems = groupElems.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -1329,34 +1379,35 @@ object Sparql {
     * block's own bindings). */
   private def blockFrame(triples: DataFrame, b: Block): DataFrame = {
     var f = joinAll(triples, b.pats)
+    // the block frame's maybe-unbound vars (BIND aliases, nested
+    // OPTIONAL bindings, UNDEF inline data) — drives the in-block
+    // §18.3 compatibility joins, mirroring `run`
+    var maybeNull: Set[String] = Set.empty
     // in-block VALUES constrain the block's own solutions (vars pinned
-    // pattern-bound at parse time) — a broadcast inner join
+    // pattern-bound at parse time) — a broadcast compat join (UNDEF
+    // rows are unbound on the inline side)
     b.values.foreach { vb =>
-      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
-        org.apache.spark.sql.types.StructField(v,
-          org.apache.spark.sql.types.StringType)))
-      import scala.jdk.CollectionConverters._
-      val inline = f.sparkSession.createDataFrame(
-        vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
-      f = f.join(broadcast(inline), vb.vars)
+      f = joinValues(f, vb, maybeNull)
+      maybeNull = mergeNullable(maybeNull, undefVars(vb), vb.vars)
     }
     // block BINDs precede the block FILTERs (a filter may reference an
     // alias); string domain — see [[Block]]
     b.binds.foreach { case (v, e) =>
-      f = f.withColumn(v, compileExpr(e).cast("string")) }
+      f = f.withColumn(v, compileExpr(e).cast("string")); maybeNull += v }
     // nested OPTIONALs LeftJoin the block frame bottom-up (§ LeftJoin
-    // nesting); parse-time validation pinned their fresh vars globally
-    // unique, so the shared columns are exactly the intended join keys
+    // nesting); a shared var an earlier sibling left unbound extends by
+    // compatibility (stratified compat left join)
     b.optionals.foreach { nb =>
       val inner = blockFrame(triples, nb)
       val shared = f.columns.toSeq.intersect(inner.columns.toSeq)
       require(shared.nonEmpty,
         "a nested OPTIONAL shares no variable with its enclosing block")
-      f = f.join(inner, shared, "left")
+      f = compatJoin(f, inner, shared, maybeNull, "left")
+      maybeNull = maybeNull ++ (inner.columns.toSeq diff shared)
     }
-    // in-block FILTER [NOT] EXISTS: semi-/anti-join the block frame
-    // (parse-time validation pinned shared vars to pattern-bound ones,
-    // so the equi-join keys are never null)
+    // in-block FILTER [NOT] EXISTS: semi-/anti-join the block frame —
+    // §18.3 compat on maybe-unbound keys (BIND aliases, nested-OPTIONAL
+    // bindings), exactly as at top level
     b.existsBlocks.foreach { case (positive, eb) =>
       val e = blockFrame(triples, eb)
       val shared = f.columns.toSeq.intersect(e.columns.toSeq)
@@ -1364,14 +1415,16 @@ object Sparql {
         val any = broadcast(e.limit(1).select(lit(1).as("__e")))
         if (positive) f.join(any, lit(true), "left_semi")
         else f.join(any, lit(true), "left_anti")
-      } else f.join(e, shared, if (positive) "left_semi" else "left_anti")
+      } else compatJoin(f, e, shared, maybeNull,
+        if (positive) "left_semi" else "left_anti")
     }
     // in-block MINUS (§8.3): anti-join on the shared variables; with
     // DISJOINT domains MINUS removes nothing — the spec's no-op case
+    // (per-solution: the all-shared-null compat stratum survives whole)
     b.minusBlocks.foreach { mb =>
       val m = blockFrame(triples, mb)
       val shared = f.columns.toSeq.intersect(m.columns.toSeq)
-      if (shared.nonEmpty) f = f.join(m, shared, "left_anti")
+      if (shared.nonEmpty) f = compatJoin(f, m, shared, maybeNull, "minus")
     }
     b.filters.foreach(fl => f = f.where(compileFilter(fl)))
     f
@@ -1437,7 +1490,11 @@ object Sparql {
         case "FLOOR" => floor(arg(0).try_cast("double")).cast("double")
       }
     case EIf(c, t1, t2) =>
-      when(compileFilter(c), compileExpr(t1)).otherwise(compileExpr(t2))
+      // §17.4.1.2: a type-error (null) condition propagates — the alias
+      // stays UNBOUND rather than falling into the ELSE branch, so both
+      // arms guard explicitly and a null condition matches neither
+      val cond = compileFilter(c)
+      when(cond, compileExpr(t1)).when(!cond, compileExpr(t2))
   }
 
   private def compileFilter(e: FilterExpr): Column = e match {
@@ -1466,8 +1523,12 @@ object Sparql {
         // java.util.regex spelling both engines understand
         val pat0 = compileExpr(args(1))
         val pat = if (args.size == 3) args(2) match {
-          case ETerm(Const(f)) if f.contains("i") => concat(lit("(?i)"), pat0)
-          case ETerm(Const(_)) => pat0
+          case ETerm(Const(f)) =>
+            // only the "i" flag is implemented; silently ignoring
+            // s/m/x/q would change match semantics — reject instead
+            require(f.forall(_ == 'i'),
+              s"""unsupported REGEX flags "$f" (only "i" is supported)""")
+            if (f.contains("i")) concat(lit("(?i)"), pat0) else pat0
           case other => throw new IllegalArgumentException(
             s"REGEX flags must be a constant literal, got $other")
         } else pat0
@@ -1487,6 +1548,168 @@ object Sparql {
       if (negated) !in else in
   }
 
+  // ----- SPARQL §18.3 solution-compatibility joins --------------------------
+
+  /** Strata cap for compatibility joins: a join over k maybe-unbound
+    * shared variables enumerates 2^k null-masks. k is a STATIC property
+    * of the query text (vars introduced by OPTIONAL / BIND / UNION
+    * padding / UNDEF), never of the data — real queries have k ≤ 2. */
+  private val MaxNullableJoinVars = 4
+
+  /**
+   * SPARQL 1.1 §18.3 compatibility join. Solutions μ (rows of `left`)
+   * and μ' (rows of `right`) combine when they agree on every variable
+   * bound in BOTH — an unbound (null) variable is compatible with any
+   * binding, and the merge μ ∪ μ' adopts the bound side's value. A
+   * plain equi-join on null-padded columns diverges exactly there (SQL
+   * nulls never compare equal), so this stratifies `left` by the
+   * null-mask of its maybe-unbound shared variables (`leftNullable` —
+   * a static property of the query: OPTIONAL-introduced vars, BIND
+   * aliases, UNION-padded vars): each stratum drops its null columns,
+   * equi-joins `right` on the remaining bound keys, and re-selects the
+   * canonical output schema (null vars adopt `right`'s binding — the
+   * μ ∪ μ' merge). Every stratum is a Catalyst equi-join whose
+   * isNull/isNotNull mask filters push into the scan — never a theta
+   * or cartesian plan — and the strata union is 2^k branches with k
+   * capped at [[MaxNullableJoinVars]].
+   *
+   * `kind` selects the SPARQL operator:
+   *  - `inner`      Join(left, right) — merged solutions
+   *  - `left`       LeftJoin — OPTIONAL extension (a stratum with ALL
+   *                 shared vars null extends by EVERY μ' when the block
+   *                 is non-empty, else survives bare)
+   *  - `left_semi`  FILTER EXISTS (all-null stratum → broadcast
+   *                 one-row existence probe)
+   *  - `left_anti`  FILTER NOT EXISTS
+   *  - `minus`      MINUS (§8.3: μ survives when dom(μ)∩dom(μ') = ∅ —
+   *                 the all-shared-null stratum is kept whole, the
+   *                 documented MINUS / NOT-EXISTS divergence)
+   *
+   * `right` must bind every shared variable statically; a nullable
+   * right side is stratified first by [[compatJoinBoth]].
+   */
+  private def compatJoin(left: DataFrame, right: DataFrame,
+                         shared: Seq[String], leftNullable: Set[String],
+                         kind: String): DataFrame = {
+    val nullable = shared.filter(leftNullable)
+    if (nullable.isEmpty) {
+      return kind match {
+        case "inner" => left.join(right, shared)
+        case "minus" =>
+          if (shared.isEmpty) left else left.join(right, shared, "left_anti")
+        case k => left.join(right, shared, k) // left / left_semi / left_anti
+      }
+    }
+    require(nullable.size <= MaxNullableJoinVars,
+      s"compatibility join over ${nullable.size} maybe-unbound variables " +
+        s"(${nullable.mkString(", ")}) exceeds the 2^$MaxNullableJoinVars " +
+        "strata cap")
+    val merging = kind == "inner" || kind == "left"
+    val outCols: Seq[String] =
+      if (merging)
+        left.columns.toSeq ++ right.columns.toSeq.filterNot(left.columns.contains)
+      else left.columns.toSeq
+    val strata = (0 until (1 << nullable.size)).map { m =>
+      val nullSet = nullable.zipWithIndex.collect {
+        case (v, i) if (m & (1 << i)) != 0 => v }
+      val boundSet = nullable.filterNot(nullSet.contains)
+      val stratum = left.where(
+        (nullSet.map(col(_).isNull) ++ boundSet.map(col(_).isNotNull))
+          .reduce(_ && _))
+      val keys = shared.filterNot(nullSet.contains)
+      val joined =
+        if (merging) {
+          val s2 = stratum.drop(nullSet: _*)
+          if (keys.nonEmpty)
+            s2.join(right, keys, if (kind == "left") "left" else "inner")
+          else if (kind == "left") s2.join(right, lit(true), "left")
+          else s2.crossJoin(right)
+        } else if (keys.nonEmpty)
+          stratum.join(right, keys, if (kind == "minus") "left_anti" else kind)
+        else kind match {
+          // dom(μ)∩dom(μ') = ∅ in this stratum: MINUS keeps, EXISTS
+          // reduces to a broadcast one-row probe of the block
+          case "minus" => stratum
+          case k =>
+            val any = broadcast(right.limit(1).select(lit(1).as("__e")))
+            stratum.join(any, lit(true), k)
+        }
+      joined.select(outCols.map(col): _*)
+    }
+    strata.reduceLeft(_ unionByName _)
+  }
+
+  /** [[compatJoin]] `inner` with a possibly-nullable RIGHT side
+    * (`rightNullable`): the right frame is stratified by its own
+    * null-mask first (each right stratum drops its null columns and
+    * joins on the remaining shared vars — a right-null var keeps the
+    * left binding, or stays unbound when both sides are null), then
+    * each right stratum runs the left-nullable [[compatJoin]].
+    * `broadcastRight` marks inline/local right sides (VALUES data). */
+  private def compatJoinBoth(left: DataFrame, right: DataFrame,
+                             shared: Seq[String],
+                             leftNullable: Set[String],
+                             rightNullable: Set[String],
+                             broadcastRight: Boolean = false): DataFrame = {
+    val outCols = left.columns.toSeq ++
+      right.columns.toSeq.filterNot(left.columns.contains)
+    def hint(df: DataFrame): DataFrame = if (broadcastRight) broadcast(df) else df
+    val rn = shared.filter(rightNullable)
+    if (rn.isEmpty) {
+      val j = if (shared.isEmpty) left.crossJoin(hint(right))
+              else compatJoin(left, hint(right), shared, leftNullable, "inner")
+      return j.select(outCols.map(col): _*)
+    }
+    require(rn.size + shared.count(leftNullable) <= MaxNullableJoinVars,
+      s"compatibility join over ${rn.size + shared.count(leftNullable)} " +
+        "maybe-unbound variables exceeds the strata cap")
+    val strata = (0 until (1 << rn.size)).map { m =>
+      val nullSet = rn.zipWithIndex.collect {
+        case (v, i) if (m & (1 << i)) != 0 => v }
+      val boundSet = rn.filterNot(nullSet.contains)
+      val rs = hint(right.where(
+        (nullSet.map(col(_).isNull) ++ boundSet.map(col(_).isNotNull))
+          .reduce(_ && _)).drop(nullSet: _*))
+      val keys = shared.filterNot(nullSet.contains)
+      val j = if (keys.isEmpty) left.crossJoin(rs)
+              else compatJoin(left, rs, keys, leftNullable, "inner")
+      j.select(outCols.map(col): _*)
+    }
+    strata.reduceLeft(_ unionByName _)
+  }
+
+  /** Post-join nullability of the shared variables: a shared var stays
+    * maybe-unbound only when BOTH sides can leave it unbound; each
+    * side's exclusive vars keep their own nullability. */
+  private def mergeNullable(l: Set[String], r: Set[String],
+                            shared: Seq[String]): Set[String] =
+    (l ++ r) -- shared.filterNot(v => l(v) && r(v))
+
+  /** VALUES vars with at least one UNDEF (null) row — the right-side
+    * maybe-unbound set for the inline-data compatibility join. */
+  private def undefVars(vb: ValuesBlock): Set[String] =
+    vb.vars.zipWithIndex.collect {
+      case (v, i) if vb.rows.exists(_(i) == null) => v }.toSet
+
+  /** Join a VALUES block's inline data with the solution frame —
+    * a broadcast compatibility join ([[compatJoinBoth]]): UNDEF rows
+    * are unbound on the inline side, `leftNullable` carries the
+    * frame's maybe-unbound vars. Inline data is a LocalRelation and
+    * always the broadcast side. */
+  private def joinValues(df: DataFrame, vb: ValuesBlock,
+                         leftNullable: Set[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+      org.apache.spark.sql.types.StructField(v,
+        org.apache.spark.sql.types.StringType)))
+    import scala.jdk.CollectionConverters._
+    val inline = df.sparkSession.createDataFrame(
+      vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+    val shared = df.columns.toSeq.intersect(vb.vars)
+    if (shared.isEmpty) df.crossJoin(broadcast(inline))
+    else compatJoinBoth(df, inline, shared, leftNullable, undefVars(vb),
+      broadcastRight = true)
+  }
+
   /** Run a query over a (s, p, o) triple frame. */
   def run(triples: DataFrame, query: String): DataFrame = {
     val q = parse(query)
@@ -1503,122 +1726,116 @@ object Sparql {
         f.select(padded: _*)
       }.reduceLeft(_ unionByName _))
     }
-    var df = (unioned, q.patterns) match {
-      case (Some(u), Seq()) => u
-      // DESCRIBE <iri> with no WHERE block, or a subquery-only group:
-      // no base solution frame (the subquery join below seeds `df`)
-      case (None, Seq()) => null
-      case (None, ps) => joinAll(t, ps)
-      case (Some(u), ps) =>
-        val base = joinAll(t, ps)
-        val shared = u.columns.toSeq.intersect(base.columns.toSeq)
-        // SPARQL compatibility semantics treat an UNBOUND shared variable
-        // as compatible with any binding; an inner equi-join on a
-        // null-padded column would silently drop those solutions, so the
-        // supported subset requires every branch to bind the join
-        // variables — reject rather than mis-answer.
-        shared.foreach { v =>
-          require(q.unionBranches.forall(b =>
-            b.pats.exists(p => termsOf(p).contains(V(v)))),
-            s"unsupported: a UNION branch leaves ?$v unbound but it joins " +
-              "with the top-level patterns (every branch must bind it)")
+    // union-frame vars that can arrive unbound: padded out of a branch,
+    // or bound only via in-block BIND / nested OPTIONAL — anything not
+    // pattern-bound in EVERY branch (static over the query text)
+    val uNullable: Set[String] =
+      unioned.map(_.columns.toSeq.filterNot(v => q.unionBranches.forall(
+        _.pats.exists(p => termsOf(p).contains(V(v))))).toSet)
+        .getOrElse(Set.empty)
+    // vars of the CURRENT solution frame that may be unbound (null) —
+    // drives every §18.3 compatibility join below
+    var maybeNull: Set[String] = Set.empty
+    // The union chain (one per group) seeds the solution frame; the
+    // ordered group elements then fold LEFT-TO-RIGHT (§18.2.2.6) —
+    // Join elements (BGP runs, sub-SELECTs, inline data) via §18.3
+    // compatibility inner joins, OPTIONAL via compat LeftJoin, MINUS /
+    // FILTER [NOT] EXISTS via compat anti/semi, BIND in place. A
+    // DESCRIBE <iri> with no WHERE has no frame at all (df = null
+    // until an element seeds it).
+    var df: DataFrame = unioned.orNull
+    if (unioned.nonEmpty) maybeNull = uNullable
+    q.groupElems.foreach {
+      case GPats(ps) =>
+        val f = joinAll(t, ps)
+        if (df == null) df = f
+        else {
+          val shared = df.columns.toSeq.intersect(f.columns.toSeq)
+          df = if (shared.isEmpty) df.crossJoin(f)
+               else compatJoin(df, f, shared, maybeNull, "inner")
+          // pattern-bound vars are never null — a maybe-unbound shared
+          // var adopts the pattern binding in its null stratum
+          maybeNull = maybeNull -- shared
         }
-        if (shared.isEmpty) u.crossJoin(base) else u.join(base, shared)
-    }
-    // Sub-SELECTs (§12): evaluated bottom-up as independent queries,
-    // then equi-joined with the base group on the variables the
-    // subquery PROJECTS (its only visible surface, §12.4). A shared
-    // variable must be bound in the subquery's REQUIRED patterns —
-    // aggregate/BIND aliases or optional-only bindings could arrive
-    // null and would silently diverge from SPARQL compatibility
-    // semantics on an equi-join, so they are rejected as join keys
-    // (the established UNION discipline).
-    q.subqueries.foreach { subText =>
-      val sub = run(t, subText)
-      if (df == null) df = sub
-      else {
-        val shared = df.columns.toSeq.intersect(sub.columns.toSeq)
+      // Sub-SELECTs (§12): evaluated bottom-up as independent queries,
+      // joined on the variables the subquery PROJECTS (its only visible
+      // surface, §12.4). A projected var not pattern-bound in the
+      // subquery's required patterns (an aggregate / BIND / SELECT-
+      // expression alias, an OPTIONAL or UNION-padded binding) can
+      // arrive unbound — the compat join stratifies BOTH sides.
+      case GSub(subText) =>
+        val sub = run(t, subText)
         val subQ = parse(subText)
-        shared.foreach { v =>
-          val inBase = subQ.patterns.exists(p => termsOf(p).contains(V(v))) ||
+        val subNullable: Set[String] = sub.columns.toSeq.filterNot { v =>
+          subQ.patterns.exists(p => termsOf(p).contains(V(v))) ||
             (subQ.unionBranches.nonEmpty &&
               subQ.unionBranches.forall(_.pats.exists(p => termsOf(p).contains(V(v)))))
-          require(inBase,
-            s"unsupported: ?$v joins the subquery but may be unbound in it " +
-              "(bind it in the subquery's required patterns)")
+        }.toSet
+        if (df == null) { df = sub; maybeNull = subNullable }
+        else {
+          val shared = df.columns.toSeq.intersect(sub.columns.toSeq)
+          df = if (shared.isEmpty) df.crossJoin(sub)
+               else compatJoinBoth(df, sub, shared, maybeNull, subNullable)
+          maybeNull = mergeNullable(maybeNull, subNullable, shared)
         }
-        df = if (shared.isEmpty) df.crossJoin(sub) else df.join(sub, shared)
-      }
-    }
-    // VALUES blocks join the required group BEFORE optionals (required
-    // data commutes; an inline binding must constrain the whole group,
-    // not survive as an unmatched left-join null)
-    q.valuesBlocks.foreach { vb =>
-      vb.vars.foreach { v =>
-        val inOpt = q.optionals.exists(_.pats.exists(p => termsOf(p).contains(V(v))))
-        val inBase = q.patterns.exists(p => termsOf(p).contains(V(v))) ||
-          (q.unionBranches.nonEmpty &&
-            q.unionBranches.forall(_.pats.exists(p => termsOf(p).contains(V(v)))))
-        require(!inOpt || inBase,
-          s"unsupported: ?$v appears in VALUES but is bound only optionally")
-      }
-      val sess = df.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
-        org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
-      import scala.jdk.CollectionConverters._
-      val inline = sess.createDataFrame(
-        vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
-      val shared = df.columns.toSeq.intersect(vb.vars)
-      // inline data is a LocalRelation — always the broadcast side
-      df = if (shared.isEmpty) df.crossJoin(broadcast(inline))
-           else df.join(broadcast(inline), shared)
-    }
-    q.optionals.foreach { block =>
-      val opt = blockFrame(t, block)
-      val shared = df.columns.toSeq.intersect(opt.columns.toSeq)
-      require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
-      df = df.join(opt, shared, "left")
-    }
-    // BIND aliases, in declaration order (each may reference pattern,
-    // VALUES, OPTIONAL and earlier-alias variables — the parse-time
-    // scope check guarantees it); a null input propagates to an unbound
-    // alias, the SPARQL error semantics
-    q.binds.foreach { case (v, e) => df = df.withColumn(v, compileExpr(e)) }
-    // a shared variable that can arrive UNBOUND (null) makes equi-join
-    // keys diverge from SPARQL compatibility semantics — the same
-    // discipline as the UNION restriction: reject, never mis-answer
-    def requireBound(shared: Seq[String], ctx: String): Unit =
-      shared.foreach { v =>
-        val inBase = q.patterns.exists(p => termsOf(p).contains(V(v)))
-        val inAllBranches = q.unionBranches.nonEmpty &&
-          q.unionBranches.forall(_.pats.exists(p => termsOf(p).contains(V(v))))
-        require(inBase || inAllBranches,
-          s"unsupported: ?$v joins a $ctx block but may be unbound " +
-            "(bind it in the required patterns)")
-      }
-    q.minuses.foreach { block =>
-      val m = blockFrame(t, block)
-      val shared = df.columns.toSeq.intersect(m.columns.toSeq)
-      // SPARQL 1.1 §8.3: solutions with DISJOINT domains are kept —
-      // a MINUS block sharing no variable removes nothing
-      if (shared.nonEmpty) {
-        requireBound(shared, "MINUS")
-        df = df.join(m, shared, "left_anti")
-      }
-    }
-    q.existsFilters.foreach { case (positive, block) =>
-      val e = blockFrame(t, block)
-      val shared = df.columns.toSeq.intersect(e.columns.toSeq)
-      df = if (shared.isEmpty) {
-        // no shared variable: pure existence probe — one broadcast row
-        // decides the whole frame (never a row-count job on `e`)
-        val any = broadcast(e.limit(1).select(lit(1).as("__e")))
-        if (positive) df.join(any, lit(true), "left_semi")
-        else df.join(any, lit(true), "left_anti")
-      } else {
-        requireBound(shared, if (positive) "FILTER EXISTS" else "FILTER NOT EXISTS")
-        df.join(e, shared, if (positive) "left_semi" else "left_anti")
-      }
+      case GValues(vb) =>
+        if (df == null) {
+          val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+            org.apache.spark.sql.types.StructField(v,
+              org.apache.spark.sql.types.StringType)))
+          import scala.jdk.CollectionConverters._
+          df = t.sparkSession.createDataFrame(
+            vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+          maybeNull = undefVars(vb)
+        } else {
+          val shared = df.columns.toSeq.intersect(vb.vars)
+          df = joinValues(df, vb, maybeNull)
+          maybeNull = mergeNullable(maybeNull, undefVars(vb), shared)
+        }
+      case GOpt(block) =>
+        require(df != null, "OPTIONAL cannot start a group")
+        val opt = blockFrame(t, block)
+        val shared = df.columns.toSeq.intersect(opt.columns.toSeq)
+        require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
+        // §18.3 LeftJoin: a solution whose shared var is unbound (an
+        // earlier OPTIONAL missed, a UNION branch padded it) is extended
+        // by every compatible block row — the stratified compat left join
+        df = compatJoin(df, opt, shared, maybeNull, "left")
+        maybeNull = maybeNull ++ (opt.columns.toSeq diff shared)
+      // BIND sees only the group-so-far (§18.2.2.5 scope): an alias
+      // referencing a variable no prior element binds is UNBOUND (the
+      // spec reading), not an analysis error; a null input likewise
+      // propagates to an unbound alias
+      case GBind(v, e) =>
+        require(df != null, "BIND cannot start a group")
+        val have = df.columns.toSet
+        df =
+          if (varsOfExpr(e).forall(have.contains))
+            df.withColumn(v, compileExpr(e))
+          else df.withColumn(v, lit(null).cast("string"))
+        maybeNull += v
+      case GMinus(block) =>
+        require(df != null, "MINUS cannot start a group")
+        val m = blockFrame(t, block)
+        val shared = df.columns.toSeq.intersect(m.columns.toSeq)
+        // SPARQL 1.1 §8.3: solutions with DISJOINT domains are kept —
+        // a MINUS block sharing no variable removes nothing; a solution
+        // with ALL shared vars unbound is likewise kept (the all-null
+        // stratum of the compat join)
+        if (shared.nonEmpty)
+          df = compatJoin(df, m, shared, maybeNull, "minus")
+      case GExists(positive, block) =>
+        require(df != null, "FILTER EXISTS cannot start a group")
+        val e = blockFrame(t, block)
+        val shared = df.columns.toSeq.intersect(e.columns.toSeq)
+        df = if (shared.isEmpty) {
+          // no shared variable: pure existence probe — one broadcast row
+          // decides the whole frame (never a row-count job on `e`)
+          val any = broadcast(e.limit(1).select(lit(1).as("__e")))
+          if (positive) df.join(any, lit(true), "left_semi")
+          else df.join(any, lit(true), "left_anti")
+        } else compatJoin(df, e, shared, maybeNull,
+          if (positive) "left_semi" else "left_anti")
     }
     q.filters.foreach(f => df = df.where(compileFilter(f)))
     if (q.describe.nonEmpty) {
@@ -1660,7 +1877,7 @@ object Sparql {
         df.select(side(tp.s).as("s"), side(tp.p).as("p"), side(tp.o).as("o"))
       }.reduceLeft(_ unionByName _).distinct()
     }
-    if (q.aggregates.nonEmpty) {
+    if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
       val aggCols = q.aggregates.map { a =>
         // §11: the argument is a full scalar expression over the
         // pre-aggregation solution frame
@@ -1697,12 +1914,34 @@ object Sparql {
       // frame so the shuffle hashes the computed value directly
       q.groupExprs.foreach { case (v, e) =>
         df = df.withColumn(v, compileExpr(e)) }
-      df = if (q.groupBy.nonEmpty)
+      df = if (q.aggregates.isEmpty)
+        // §18.2.4.1 Group with no aggregate projections: one solution
+        // per group — the group keys, dedup'd (projection is restricted
+        // to grouped vars at parse time, so the keys ARE the frame)
+        df.select(q.groupBy.map(col): _*).distinct()
+      else if (q.groupBy.nonEmpty)
         df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
       // HAVING (§7): a plain filter over the aggregated frame — group
       // keys and aliases are its columns
       q.having.foreach(h => df = df.where(compileFilter(h)))
+      // post-aggregation nullability: group keys keep theirs, expression
+      // keys and aggregate aliases may be null (empty / all-non-numeric
+      // groups) — COUNT never is
+      maybeNull = maybeNull.intersect(q.groupBy.toSet) ++
+        q.groupExprs.map(_._1) ++
+        q.aggregates.filterNot(_.fn == "COUNT").map(_.alias)
+    }
+    // trailing ValuesClause (§18.2.4.3): the inline data joins AFTER
+    // grouping / HAVING and BEFORE the solution modifiers — §18.2.5
+    // then applies OrderBy / Projection / Distinct / Slice on the
+    // joined sequence. A compatibility broadcast join on whatever
+    // result vars it shares (UNDEF rows unbound; a var the frame lacks
+    // cross-joins in and is dropped by the projection).
+    q.trailingValues.foreach { vb =>
+      val shared = df.columns.toSeq.intersect(vb.vars)
+      df = joinValues(df, vb, maybeNull)
+      maybeNull = mergeNullable(maybeNull, undefVars(vb), shared)
     }
     // § SelectExpr: projection expressions fold over the (possibly
     // aggregated) frame in declaration order — each sees the earlier
@@ -1715,21 +1954,6 @@ object Sparql {
         val c = compileExpr(e); if (asc) c.asc else c.desc }: _*)
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
-    // trailing ValuesClause (§18.2.4.4): the inline data joins the FINAL
-    // solution sequence — after projection, DISTINCT, ORDER and LIMIT —
-    // so a post-LIMIT join can only narrow the already-cut page. The
-    // inline rows are a LocalRelation, always the broadcast side.
-    q.trailingValues.foreach { vb =>
-      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
-        org.apache.spark.sql.types.StructField(v,
-          org.apache.spark.sql.types.StringType)))
-      import scala.jdk.CollectionConverters._
-      val inline = df.sparkSession.createDataFrame(
-        vb.rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
-      // the equi-join moves key columns first — restore projection order
-      df = df.join(broadcast(inline), vb.vars)
-        .select(q.projection.map(col): _*)
-    }
     df
   }
 

@@ -1179,12 +1179,17 @@ class CypherSpec extends SparkSpec {
       === all)
     assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER EXISTS { ?q <flag> \"9\" . } }")
       === Set.empty[(String, String)])
-    // a shared variable bound only by OPTIONAL may be null — rejected
-    // rather than mis-answered (same discipline as the UNION check)
-    intercept[IllegalArgumentException](Sparql.run(triples,
-      "SELECT ?x WHERE { ?x <knows> ?y . OPTIONAL { ?x <age> ?a . } FILTER NOT EXISTS { ?z <age> ?a . } }"))
-    intercept[IllegalArgumentException](Sparql.run(triples,
-      "SELECT ?x WHERE { ?x <knows> ?y . OPTIONAL { ?x <age> ?a . } MINUS { ?z <age> ?a . } }"))
+    // a shared variable bound only by OPTIONAL runs through the §18.3
+    // compatibility join: an unbound ?a is compatible with every block
+    // row, so NOT EXISTS drops such rows (the block is non-empty) while
+    // MINUS KEEPS them (dom(μ)∩dom(μ') = ∅, §8.3) — the spec divergence,
+    // now exercised on nullable keys. Solutions: (a,b,a=7) — removed by
+    // both (7 is an age); (b,c) and (a,c) with ?a unbound — removed by
+    // NOT EXISTS, kept by MINUS.
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . OPTIONAL { ?y <age> ?a . } FILTER NOT EXISTS { ?z <age> ?a . } }")
+      === Set.empty[(String, String)])
+    assert(pairs("SELECT ?x ?y WHERE { ?x <knows> ?y . OPTIONAL { ?y <age> ?a . } MINUS { ?z <age> ?a . } }")
+      === Set(("b", "c"), ("a", "c")))
     // grammar: FILTER NOT must be followed by EXISTS
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { ?x <knows> ?y . FILTER NOT (?x = \"a\") }"))
@@ -1255,14 +1260,22 @@ class CypherSpec extends SparkSpec {
     assert(dsum(0).getDouble(0) === 45.0)
     assert(dsum(0).getDouble(1) === 15.0)
     assert(dsum(0).getString(2) === "10 30 5")
-    // rejects: UNDEF, SUM(*), VALUES var bound only optionally,
-    // arity mismatch
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?x WHERE { ?x <tag> ?t . VALUES ?t { UNDEF } }"))
+    // UNDEF inline rows are wildcards (§18.3 compatibility): a lone
+    // UNDEF constrains nothing
+    val undefAll = Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <tag> ?t . VALUES ?t { UNDEF } }")
+      .collect().map(_.getString(0)).toSet
+    assert(undefAll === Set("a", "b", "c"))
+    // a VALUES written AFTER an OPTIONAL joins the extended solutions
+    // (§18.2.2.6 order): a's score 10 matches, b's 5s drop, c (no score,
+    // ?v unbound) is compatible and adopts the inline binding
+    val optVals = Sparql.run(triples,
+      "SELECT ?x ?v WHERE { ?x <tag> ?t . OPTIONAL { ?x <score> ?v . } VALUES ?v { \"10\" } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(optVals === Set(("a", "10"), ("c", "10")))
+    // rejects: SUM(*), arity mismatch
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT (SUM(*) AS ?t) WHERE { ?x <score> ?v . }"))
-    intercept[IllegalArgumentException](Sparql.run(triples,
-      "SELECT ?x WHERE { ?x <tag> ?t . OPTIONAL { ?x <score> ?v . } VALUES ?v { \"10\" } }"))
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { ?x <tag> ?t . VALUES (?x ?t) { (\"a\") } }"))
   }
@@ -1444,14 +1457,17 @@ class CypherSpec extends SparkSpec {
     val triples = Seq(("a", "knows", "b"), ("a", "age", "41"))
       .toDF("s", "p", "o")
     // ?y joins the union block with the top-level pattern but the second
-    // branch never binds it — unbound-is-compatible solutions would be
-    // silently dropped by the equi-join, so this is rejected
-    val e = intercept[IllegalArgumentException](Sparql.run(triples,
-      """SELECT ?x WHERE {
+    // branch never binds it — §18.3 compatibility: the unbound ?y is
+    // compatible with (and adopts) the pattern binding, so the second
+    // branch survives with ?y = a; the first branch's ?y = b finds no
+    // age and drops
+    val compat = Sparql.run(triples,
+      """SELECT ?x ?y WHERE {
         |  { ?x <knows> ?y . } UNION { ?x <age> ?z . }
         |  ?y <age> ?w .
-        |}""".stripMargin).collect())
-    assert(e.getMessage.contains("unbound"))
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(compat === Seq(("a", "a")))
     // both branches binding the join variable still executes
     val ok = Sparql.run(triples,
       """SELECT ?x ?y WHERE {
@@ -1489,12 +1505,14 @@ class CypherSpec extends SparkSpec {
         |} ORDER BY ?x""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(tagged === Seq(("a", "ANN/3"), ("b", "BOB/3")))
-    // IF + comparison inside an expression position
+    // IF + comparison inside an expression position; a type-error
+    // condition (non-numeric "old" in a numeric comparison) propagates
+    // per §17.4.1.2 — the alias stays UNBOUND, never the else-branch
     val band = Sparql.run(triples,
       """SELECT ?x ?b WHERE { ?x <age> ?a .
         |  BIND(IF(?a >= 18, "adult", "minor") AS ?b) } ORDER BY ?x""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(band === Seq(("a", "adult"), ("b", "minor"), ("c", "minor")))
+    assert(band === Seq(("a", "adult"), ("b", "minor"), ("c", null)))
     // SUBSTR (1-based), REPLACE (regex), LCASE, COALESCE over OPTIONAL null
     val s1 = Sparql.run(triples,
       """SELECT ?x ?v WHERE { ?x <age> ?a . OPTIONAL { ?x <name> ?n . }
@@ -1710,13 +1728,15 @@ class CypherSpec extends SparkSpec {
         |} ORDER BY ?x""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(solo === Seq("b", "c"))
-    // joining on an aggregate ALIAS is rejected (could be null/unbound)
-    val e = intercept[IllegalArgumentException](Sparql.run(triples,
+    // joining on an aggregate ALIAS: §18.3 compat stratifies the
+    // maybe-unbound subquery side — the bound stratum equi-joins the
+    // outer scores (only b holds the MAX of 5)
+    val aggKey = Sparql.run(triples,
       """SELECT ?x WHERE {
         |  ?x <score> ?mx .
         |  { SELECT (MAX(?s2) AS ?mx) WHERE { ?y <score> ?s2 . } }
-        |}""".stripMargin).collect())
-    assert(e.getMessage.contains("unbound"))
+        |}""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(aggKey === Seq("b"))
     // a subquery must be a SELECT
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { { ASK WHERE { ?x <in> ?g . } } }"))
@@ -1872,10 +1892,15 @@ class CypherSpec extends SparkSpec {
         |OPTIONAL { ?s <tag> ?t . MINUS { ?q <bad> ?z . } } } ORDER BY ?s""".stripMargin)
       .collect().map(r => Option(r.getString(1))).toSeq
     assert(noop === Seq(Some("x"), Some("y"), Some("z")))
-    // reject: a MINUS join key that may be unbound in the block
-    intercept[IllegalArgumentException](Sparql.parse(
-      """SELECT ?s WHERE { ?s <score> ?v .
-        |OPTIONAL { ?s <tag> ?t . BIND(?t AS ?u) . MINUS { ?u <bad> ?z . } } }""".stripMargin))
+    // a MINUS keyed on a block BIND alias (maybe-unbound) runs through
+    // the in-block §18.3 compat join — ?u = x matches the bad list, so
+    // a's optional part doesn't bind
+    val bindKey = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <score> ?v .
+        |OPTIONAL { ?s <tag> ?t . BIND(?t AS ?u) . MINUS { ?u <bad> ?z . } } }
+        |ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(bindKey === Seq(("a", None), ("b", Some("y")), ("c", Some("z"))))
   }
 
   test("sparql FILTER EXISTS inside blocks: semi-joins the block frame") {
@@ -1908,11 +1933,14 @@ class CypherSpec extends SparkSpec {
         |ORDER BY ?s""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(probe === Seq("a", "b", "c"))
-    // reject: EXISTS join key that may be unbound (a bind alias)
-    intercept[IllegalArgumentException](Sparql.parse(
-      """SELECT ?s WHERE { ?s <score> ?v .
+    // an EXISTS keyed on a block BIND alias (maybe-unbound) runs
+    // through the in-block §18.3 compat semi-join
+    val bindKey = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <score> ?v .
         |OPTIONAL { ?s <tag> ?t . BIND(?t AS ?u) .
-        |           FILTER EXISTS { ?u <flag> ?f . } } }""".stripMargin))
+        |           FILTER EXISTS { ?u <flag> ?f . } } } ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(bindKey === Seq(("a", Some("x")), ("b", None), ("c", Some("z"))))
   }
 
   test("sparql VALUES inside blocks: constrains the block, LeftJoin intact") {
@@ -2031,7 +2059,7 @@ class CypherSpec extends SparkSpec {
         |OPTIONAL { ?x <bonus> ?c . BIND(?c AS ?d) } }""".stripMargin))
   }
 
-  test("sparql trailing VALUES clause: joins the final solutions, post-LIMIT") {
+  test("sparql trailing VALUES clause: joins BEFORE the solution modifiers") {
     import spark.implicits._
     import graft.sparql.Sparql
     val triples = Seq(
@@ -2044,23 +2072,33 @@ class CypherSpec extends SparkSpec {
         |VALUES ?t { "y" "z" }""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     assert(basic === Seq(("b", "y"), ("c", "y"), ("d", "z")))
-    // §18.2.4.4: the join applies AFTER LIMIT — the page is cut first
-    // (a..d ordered, LIMIT 2 keeps a and b), THEN the data joins, so
-    // only b survives; a WHERE-side VALUES would have returned b and c
-    val postLimit = Sparql.run(triples,
+    // §18.2.4.3: the data joins the solution sequence BEFORE §18.2.5's
+    // OrderBy/Projection/Slice — the narrowed b,c,d is ordered and cut,
+    // keeping b and c (a post-LIMIT reading would return only b)
+    val preModifier = Sparql.run(triples,
       """SELECT ?s ?t WHERE { ?s <tag> ?t . } ORDER BY ?s LIMIT 2
         |VALUES ?t { "y" "z" }""".stripMargin)
       .collect().map(_.getString(0)).toSeq
-    assert(postLimit === Seq("b"))
+    assert(preModifier === Seq("b", "c"))
     // multi-var tuple form over an aggregated query's result vars
     val agg = Sparql.run(triples,
       """SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s <tag> ?t . } GROUP BY ?t
         |VALUES (?t) { ("y") ("x") }""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
     assert(agg === Seq(("x", 1L), ("y", 2L)))
-    // rejects: non-projected variable, double trailing clause, non-SELECT
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?s WHERE { ?s <tag> ?t . } VALUES ?t { \"y\" }"))
+    // a NON-projected clause variable narrows pre-projection (legal —
+    // the wildcard column is dropped by the projection afterwards)
+    val nonProj = Sparql.run(triples,
+      "SELECT ?s WHERE { ?s <tag> ?t . } VALUES ?t { \"y\" }")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(nonProj === Seq("b", "c"))
+    // UNDEF rows are wildcards in the trailing clause too
+    val undef = Sparql.run(triples,
+      """SELECT ?s ?t WHERE { ?s <tag> ?t . }
+        |VALUES (?s ?t) { ("a" UNDEF) (UNDEF "z") }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(undef === Seq(("a", "x"), ("d", "z")))
+    // rejects: double trailing clause, non-SELECT
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?s WHERE { ?s <tag> ?t . } VALUES ?s { \"a\" } VALUES ?s { \"b\" }"))
     intercept[IllegalArgumentException](Sparql.parse(

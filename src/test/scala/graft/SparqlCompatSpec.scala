@@ -1,0 +1,195 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.sparql.Sparql
+
+/**
+ * SPARQL 1.1 §18.3 solution-compatibility semantics — the shapes where
+ * a join key can arrive UNBOUND (OPTIONAL-introduced vars, UNION
+ * padding, BIND aliases, UNDEF inline rows, subquery aggregate
+ * aliases). The engine stratifies by null-mask into plain equi-joins
+ * ([[Sparql.compatJoin]]); these specs pin the values against
+ * hand-computed answers, and the property tests replay randomized
+ * graphs through a driver-side reference implementation of the spec's
+ * compatibility definitions (`merge` / `compatible` over binding maps).
+ */
+class SparqlCompatSpec extends SparkSpec {
+
+  private def triples(rows: (String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("s", "p", "o")
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(r => (0 until r.length)
+      .map(i => Option(r.get(i)).map(_.toString).getOrElse("∅")).mkString(","))
+
+  test("UNION branch leaving a shared var unbound joins the base by compatibility") {
+    val t = triples(("a","p","o1"),("b","p","o2"),("a","age","30"),("z","mark","99"))
+    // branch 2 never binds ?x: its solutions are compatible with every
+    // base row and adopt the base's ?x
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?x ?n WHERE { ?x <p> ?o . { ?x <age> ?n } UNION { ?q <mark> ?n } }"))
+      .sorted === Seq("a,30", "a,99", "b,99"))
+  }
+
+  test("UNDEF rows in VALUES are wildcards (in-group, single and multi-var)") {
+    val t = triples(("a","tag","x"),("b","tag","y"))
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s ?t ?r WHERE { ?s <tag> ?t . VALUES (?t ?r) { ("x" "1") (UNDEF "2") } }"""))
+      .sorted === Seq("a,x,1", "a,x,2", "b,y,2"))
+    // bag semantics: "x" matches a twice (the constant and the UNDEF row)
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s ?t WHERE { ?s <tag> ?t . VALUES ?t { "x" UNDEF } }"""))
+      .sorted === Seq("a,x", "a,x", "b,y"))
+  }
+
+  test("OPTIONAL-bound var as MINUS / EXISTS / NOT EXISTS key") {
+    val t = triples(("a","p","1"),("b","p","1"),("c","p","1"),
+      ("a","tag","x"),("b","tag","y"),("q","bad","x"))
+    // μ_a (t=x) matches the bad list — removed by MINUS and NOT EXISTS;
+    // μ_c (t unbound): MINUS keeps (disjoint domains, §8.3), NOT EXISTS
+    // drops (unbound is compatible with the non-empty block) — the
+    // spec's MINUS / NOT-EXISTS divergence on nullable keys
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <tag> ?t } MINUS { ?q <bad> ?t } }"))
+      .sorted === Seq("b", "c"))
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <tag> ?t } FILTER NOT EXISTS { ?q <bad> ?t } }"))
+      .sorted === Seq("b"))
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <tag> ?t } FILTER EXISTS { ?q <bad> ?t } }"))
+      .sorted === Seq("a", "c"))
+  }
+
+  test("two sibling OPTIONALs sharing a var: the second extends unbound rows") {
+    val t = triples(("a","p","1"),("b","p","1"),("c","p","1"),
+      ("a","t1","V1"),("b","t2","V2"))
+    // b missed the first OPTIONAL (?v unbound) and is extended by the
+    // second — a plain equi-left-join would leave b's ?v null
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?x ?v WHERE { ?x <p> ?o . OPTIONAL { ?x <t1> ?v } OPTIONAL { ?x <t2> ?v } }"))
+      .sorted === Seq("a,V1", "b,V2", "c,∅"))
+  }
+
+  test("sub-SELECT after an OPTIONAL joins the extended solutions in group order") {
+    val t = triples(("a","p","1"),("b","p","1"),("a","m","g1"),
+      ("z1","m2","g1"),("z2","m2","g1"),("z3","m2","g2"))
+    // §18.2.2.6: the sub-SELECT is folded AFTER the OPTIONAL — b's
+    // unbound ?m is compatible with every subquery group
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s ?m ?c WHERE { ?s <p> ?o . OPTIONAL { ?s <m> ?m }
+        |{ SELECT ?m (COUNT(?z) AS ?c) WHERE { ?z <m2> ?m } GROUP BY ?m } }""".stripMargin))
+      .sorted === Seq("a,g1,2", "b,g1,2", "b,g2,1"))
+  }
+
+  test("subquery aggregate alias as join key: bound stratum joins, empty-scan alias is a wildcard") {
+    val t = triples(("a","p","3"),("b","p","7"),("z","q","3"),("z","q","5"))
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?m WHERE { ?s <p> ?m . { SELECT (MIN(?o) AS ?m) WHERE { ?z <q> ?o } } }"))
+      === Seq("a,3"))
+    // MIN over an empty scan → one all-null solution → compatible with
+    // every outer row, which keeps its own binding
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?m WHERE { ?s <p> ?m . { SELECT (MIN(?o) AS ?m) WHERE { ?z <nope> ?o } } }"))
+      .sorted === Seq("a,3", "b,7"))
+  }
+
+  test("BIND referencing a var no prior element binds yields an unbound alias (§18.2.2.5)") {
+    val t = triples(("a","p","1"),("a","q","5"))
+    // ?later is bound by a LATER pattern run — the BIND sees only the
+    // group-so-far, so ?x is unbound everywhere (never an analysis error)
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?x WHERE { ?s <p> ?o . BIND(?later AS ?x) ?s <q> ?later }"))
+      === Seq("a,∅"))
+  }
+
+  test("group-order property: VALUES before vs after an OPTIONAL differ exactly per spec") {
+    val t = triples(("a","tag","x"),("b","tag","y"),
+      ("a","score","10"),("b","score","99"))
+    // after the OPTIONAL: b's score 99 is outside the inline set → b is
+    // DROPPED (its bound ?v is incompatible)
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s WHERE { ?s <tag> ?t . OPTIONAL { ?s <score> ?v } VALUES ?v { "10" } }"""))
+      === Seq("a"))
+    // before the OPTIONAL: ?v = 10 constrains first, the OPTIONAL then
+    // fails to extend b (score 99 ≠ 10) but b SURVIVES with ?v = 10
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s WHERE { ?s <tag> ?t . VALUES ?v { "10" } OPTIONAL { ?s <score> ?v } }"""))
+      .sorted === Seq("a", "b"))
+  }
+
+  // ----- randomized reference replay --------------------------------------
+
+  /** Driver-side reference: solutions as var→value maps (unbound vars
+    * ABSENT), the spec's compatible/merge definitions verbatim. */
+  private def compatible(a: Map[String, String], b: Map[String, String]): Boolean =
+    a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
+
+  private def forAll[A](gen: Gen[A], cases: Int = 8)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(1414L)
+    (0 until cases).foreach { _ =>
+      f(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  private val genGraph: Gen[Seq[(String, String, String)]] = {
+    val subj = Gen.oneOf("s0", "s1", "s2", "s3", "s4")
+    val value = Gen.oneOf("v0", "v1", "v2", "v3")
+    val edge = for {
+      s <- subj; p <- Gen.oneOf("p", "q", "r"); o <- value
+    } yield (s, p, o)
+    Gen.chooseNum(4, 16).flatMap(n => Gen.listOfN(n, edge)).map(_.distinct)
+  }
+
+  test("property: OPTIONAL-keyed MINUS / NOT EXISTS / EXISTS match the §18.3 reference") {
+    forAll(genGraph) { g =>
+      val t = triples(g: _*)
+      // engine solutions of the base group { ?s <p> ?o OPTIONAL { ?s <q> ?v } }
+      val base: Seq[Map[String, String]] = g.collect { case (s, "p", o) => (s, o) }
+        .flatMap { case (s, o) =>
+          val vs = g.collect { case (`s`, "q", v) => v }
+          if (vs.isEmpty) Seq(Map("s" -> s, "o" -> o))
+          else vs.map(v => Map("s" -> s, "o" -> o, "v" -> v))
+        }
+      val block: Seq[Map[String, String]] =
+        g.collect { case (z, "r", v) => Map("z" -> z, "v" -> v) }
+      def runQ(op: String): Seq[String] = rowsOf(Sparql.run(t,
+        s"SELECT ?s ?v WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?v } $op { ?z <r> ?v } }")).sorted
+      def show(m: Map[String, String]): String =
+        m.getOrElse("s", "∅") + "," + m.getOrElse("v", "∅")
+      val minusRef = base.filterNot(mu => block.exists(mp =>
+        compatible(mu, mp) && mu.keySet.intersect(mp.keySet).nonEmpty))
+      assert(runQ("MINUS") === minusRef.map(show).sorted, s"MINUS over $g")
+      val notExistsRef = base.filterNot(mu => block.exists(compatible(mu, _)))
+      assert(runQ("FILTER NOT EXISTS") === notExistsRef.map(show).sorted,
+        s"NOT EXISTS over $g")
+      val existsRef = base.filter(mu => block.exists(compatible(mu, _)))
+      assert(runQ("FILTER EXISTS") === existsRef.map(show).sorted,
+        s"EXISTS over $g")
+    }
+  }
+
+  test("property: union-with-unbound inner join matches the §18.3 merge reference") {
+    forAll(genGraph) { g =>
+      val t = triples(g: _*)
+      // { { ?x <p> ?y } UNION { ?x2 <q> ?y } } ?y <r> ?w  — branch 2
+      // leaves ?x unbound (renamed ?x2 keeps it off the union surface)
+      val got = rowsOf(Sparql.run(t,
+        "SELECT ?x ?y ?w WHERE { { ?x <p> ?y } UNION { ?x2 <q> ?y } ?y <r> ?w }")).sorted
+      val branches: Seq[Map[String, String]] =
+        g.collect { case (x, "p", y) => Map("x" -> x, "y" -> y) } ++
+          g.collect { case (x2, "q", y) => Map("x2" -> x2, "y" -> y) }
+      val pats: Seq[Map[String, String]] =
+        g.collect { case (y, "r", w) => Map("y" -> y, "w" -> w) }
+      val ref = for {
+        mu <- branches; mp <- pats if compatible(mu, mp)
+      } yield (mu ++ mp)
+      def show(m: Map[String, String]): String =
+        Seq("x", "y", "w").map(m.getOrElse(_, "∅")).mkString(",")
+      assert(got === ref.map(show).sorted, s"union compat join over $g")
+    }
+  }
+}
