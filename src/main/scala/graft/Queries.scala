@@ -1155,6 +1155,24 @@ object Queries {
               |)
               |SELECT xid, len FROM walks ORDER BY xid, len""".stripMargin))),
 
+    // Binding the variable-length relationship (`-[r*1..2]->`): r is
+    // the LIST of traversed edge structs — size(r) is the walk length
+    // and a list comprehension reads per-hop types in traversal order.
+    "cy_var_rel_binding" -> ((
+      cy("MATCH (c:Customer)-[r*1..2]->(x) WHERE id(c) = 'c1' " +
+        "RETURN id(x) AS xid, size(r) AS n, [e IN r | type(e)] AS ts " +
+        "ORDER BY xid, n"),
+      Some(s"""WITH ${TpchBridge.sql.edges},
+              |walks AS (
+              |  SELECT dst AS xid, 1 AS n, [type] AS ts
+              |  FROM edges WHERE src = 'c1'
+              |  UNION ALL
+              |  SELECT e2.dst, 2, [e1.type, e2.type]
+              |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+              |  WHERE e1.src = 'c1'
+              |)
+              |SELECT xid, n, ts FROM walks ORDER BY xid, n""".stripMargin))),
+
     // EXISTS { pattern WHERE pred } existential subquery (reference
     // grammar `ASTBuilder.cpp:1086`, planner TODO): decorrelated into one
     // LEFT SEMI join on the shared customer binding — the inner WHERE
@@ -4055,11 +4073,10 @@ object Queries {
              |FROM seg JOIN nn ON seg.c_nationkey = nn.n_nationkey
              |ORDER BY seg.c""".stripMargin))),
 
-    // Trailing VALUES clause (§18.2.4.4): joins the FINAL solution
-    // sequence, after ORDER BY + LIMIT — the page is cut to the first 4
-    // predicates first, THEN the inline data narrows it, so 'segment'
-    // (in the data but past the page) is excluded. The oracle nests the
-    // modifier pipeline and filters outside it.
+    // Trailing VALUES clause (§18.2.4.3): joins the solution sequence
+    // AFTER grouping but BEFORE the §18.2.5 modifiers — the inline data
+    // narrows the groups FIRST, then ORDER BY + LIMIT page the joined
+    // sequence (all 3 named predicates survive a LIMIT 4).
     "sparql_trailing_values" -> ((
       (s: SparkSession, d: String) =>
         graft.sparql.Sparql.run(sparqlTriples(s, d),
@@ -4076,8 +4093,178 @@ object Queries {
              |    UNION ALL SELECT 'suppliesFrom' FROM supplier
              |    UNION ALL
              |    SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM customer)
-             |  GROUP BY p ORDER BY p LIMIT 4)
-             |WHERE p IN ('fromNation', 'key', 'segment') ORDER BY p""".stripMargin))),
+             |  GROUP BY p)
+             |WHERE p IN ('fromNation', 'key', 'segment')
+             |ORDER BY p LIMIT 4""".stripMargin))),
+
+    // §18.3 compatibility join, UNION shape: branch 1 binds (?nat ?k)
+    // leaving ?c unbound, branch 2 binds (?c ?k) leaving ?nat unbound —
+    // each branch's solutions adopt the base pattern's bindings for
+    // their unbound shared var (two maybe-null vars → 4 strata, all
+    // plain equi-joins).
+    "sparql_union_unbound" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?nat ?k WHERE {
+            |  ?c <fromNation> ?nat .
+            |  { ?nat <key> ?k } UNION { ?c <bigspender> ?k }
+            |} ORDER BY ?c ?nat ?k LIMIT 200""".stripMargin),
+      Some("""WITH fn AS (SELECT 'customer/' || c_custkey AS c,
+             |    'nation/' || n_name AS nat, CAST(n_nationkey AS VARCHAR) AS k,
+             |    c_acctbal
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT c, nat, k FROM (
+             |  SELECT c, nat, k FROM fn
+             |  UNION ALL
+             |  SELECT c, nat, '1' FROM fn WHERE c_acctbal > 9000)
+             |ORDER BY c, nat, k LIMIT 200""".stripMargin))),
+
+    // UNDEF inline rows are §18.3 wildcards: the UNDEF ?seg row matches
+    // every customer (tier 'all'), the constant row only BUILDING.
+    "sparql_values_undef" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?seg ?tier WHERE {
+            |  ?c <segment> ?seg .
+            |  VALUES (?seg ?tier) { ("BUILDING" "b") (UNDEF "all") }
+            |} ORDER BY ?c ?tier LIMIT 200""".stripMargin),
+      Some("""SELECT c, seg, tier FROM (
+             |  SELECT 'customer/' || c_custkey AS c, c_mktsegment AS seg,
+             |         'b' AS tier
+             |  FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  UNION ALL
+             |  SELECT 'customer/' || c_custkey, c_mktsegment, 'all'
+             |  FROM customer)
+             |ORDER BY c, tier LIMIT 200""".stripMargin))),
+
+    // MINUS keyed on an OPTIONAL-bound var (§8.3 + §18.3): bigspenders
+    // carry ?b = "1" and match the block (removed); everyone else has
+    // ?b unbound → disjoint domains → KEPT.
+    "sparql_minus_optional_key" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c WHERE {
+            |  ?c <segment> ?seg .
+            |  OPTIONAL { ?c <bigspender> ?b }
+            |  MINUS { ?x <bigspender> ?b }
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c FROM customer
+             |WHERE c_acctbal <= 9000 ORDER BY c LIMIT 150""".stripMargin))),
+
+    // NOT EXISTS on a mixed (bound ?c, maybe-unbound ?b) key pair: a
+    // bigspender matches its own block row (dropped); a non-bigspender
+    // has no block row for its ?c (kept) — the unbound ?b is a wildcard
+    // but ?c still constrains.
+    "sparql_notexists_optional_key" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c WHERE {
+            |  ?c <segment> ?seg .
+            |  OPTIONAL { ?c <bigspender> ?b }
+            |  FILTER NOT EXISTS { ?c <bigspender> ?b }
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c FROM customer
+             |WHERE c_acctbal <= 9000 ORDER BY c LIMIT 150""".stripMargin))),
+
+    // Two sibling OPTIONALs sharing ?v: bigspenders bind ?v = "1" first
+    // (the second OPTIONAL can't override a bound incompatible value);
+    // everyone else is extended by the second (?v = their nation).
+    "sparql_optional_chain" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?v WHERE {
+            |  ?c <segment> ?seg .
+            |  OPTIONAL { ?c <bigspender> ?v }
+            |  OPTIONAL { ?c <fromNation> ?v }
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c,
+             |  CASE WHEN c_acctbal > 9000 THEN '1'
+             |       ELSE 'nation/' || n_name END AS v
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c LIMIT 150""".stripMargin))),
+
+    // Subquery AGGREGATE ALIAS as a join key (§12 + §18.3): the outer
+    // nations join the one-row MAX — lexical max over the untyped
+    // string domain, replayed as VARCHAR max in DuckDB.
+    "sparql_subquery_agg_key" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n ?k WHERE {
+            |  ?n <key> ?k .
+            |  { SELECT (MAX(?k2) AS ?k) WHERE { ?n2 <key> ?k2 } }
+            |}""".stripMargin),
+      Some("""SELECT 'nation/' || n_name AS n, CAST(n_nationkey AS VARCHAR) AS k
+             |FROM nation
+             |WHERE CAST(n_nationkey AS VARCHAR) =
+             |  (SELECT max(CAST(n_nationkey AS VARCHAR)) FROM nation)""".stripMargin))),
+
+    // GROUP BY with no aggregate projections (§18.2.4.1): one solution
+    // per group — the distinct market segments.
+    "sparql_group_noagg" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          "SELECT ?seg WHERE { ?c <segment> ?seg } GROUP BY ?seg ORDER BY ?seg"),
+      Some("SELECT c_mktsegment AS seg FROM customer GROUP BY 1 ORDER BY seg"))),
+
+    // IF error propagation (§17.4.1.2): ?size exercises both arms on
+    // the numeric nation key; ?f's condition is NULL for non-bigspenders
+    // (?b unbound) — the alias stays UNBOUND, never the else-branch.
+    "sparql_if_unbound" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?size ?f WHERE {
+            |  ?c <fromNation> ?n . ?n <key> ?k .
+            |  BIND(IF(?k >= 10, "high", "low") AS ?size)
+            |  OPTIONAL { ?c <bigspender> ?b }
+            |  BIND(IF(?b = "1", "big", "?") AS ?f)
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c,
+             |  CASE WHEN n_nationkey >= 10 THEN 'high' ELSE 'low' END AS size,
+             |  CASE WHEN c_acctbal > 9000 THEN 'big' ELSE NULL END AS f
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c LIMIT 150""".stripMargin))),
+
+    // Kleene modifier INSIDE a multi-step path: fromNation/locatedIn* —
+    // the zero-length arm binds the nation itself, one hop the region
+    // (regions have no outgoing locatedIn, so the fixpoint stops).
+    "sparql_path_seq_star" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?x WHERE { ?c <fromNation>/<locatedIn>* ?x . }
+            |ORDER BY ?c ?x LIMIT 200""".stripMargin),
+      Some("""SELECT c, x FROM (
+             |  SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS x
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT 'customer/' || c_custkey, 'region/' || r_name
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey)
+             |ORDER BY c, x LIMIT 200""".stripMargin))),
+
+    // Group-element ORDER (§18.2.2.6): the VALUES is written AFTER the
+    // OPTIONAL, so it joins the EXTENDED solutions — ASIA customers
+    // keep their bound nation only if it's CHINA/JAPAN, non-ASIA
+    // customers (?n unbound) take both inline rows.
+    "sparql_values_after_optional" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?n WHERE {
+            |  ?c <segment> ?seg .
+            |  OPTIONAL { ?c <fromNation> ?n . ?n <locatedIn> <region/ASIA> }
+            |  VALUES ?n { "nation/CHINA" "nation/JAPAN" }
+            |} ORDER BY ?c ?n LIMIT 200""".stripMargin),
+      Some("""WITH cn AS (SELECT 'customer/' || c_custkey AS c,
+             |    'nation/' || n_name AS n, r_name
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey)
+             |SELECT c, n FROM (
+             |  SELECT c, n FROM cn
+             |  WHERE r_name = 'ASIA' AND n IN ('nation/CHINA', 'nation/JAPAN')
+             |  UNION ALL
+             |  SELECT cn.c, v.n FROM cn
+             |  CROSS JOIN (VALUES ('nation/CHINA'), ('nation/JAPAN')) AS v(n)
+             |  WHERE cn.r_name <> 'ASIA')
+             |ORDER BY c, n LIMIT 200""".stripMargin))),
 
     // GROUP BY expression keys (§ GroupCondition): customers grouped by
     // the LENGTH of their market segment — len 9 merges FURNITURE /

@@ -37,6 +37,8 @@ object ExprCompiler {
   case object KNode extends Kind
   case object KRel extends Kind
   case object KPath extends Kind // named path: struct(nodes: array<node>, rels: array<rel>)
+  case object KRelList extends Kind // ARRAY<rel struct>: -[r*a..b]-> binding, relationships(p)
+  case object KNodeList extends Kind // ARRAY<node struct>: nodes(p)
   case object KValue extends Kind // scalar bound by a WITH projection
   case object KOther extends Kind
 
@@ -68,6 +70,22 @@ object ExprCompiler {
         case KValue => Typed(col(s"`$v`"), KPropStr)
         case k => Typed(col(v), k)
       }
+    case Property(v, k) if scope.lambdas.contains(v) =>
+      // comprehension element over a rel/node list: struct-field reads
+      // on the lambda Column (same pseudo-property precedence as below)
+      val t = scope.lambdas(v)
+      t.kind match {
+        case KNode if k == "id" || k == "label" =>
+          Typed(coalesce(element_at(t.col.getField("properties"), k),
+            t.col.getField(k)), KPropStr)
+        case KRel if k == "type" =>
+          Typed(coalesce(element_at(t.col.getField("properties"), k),
+            t.col.getField("type")), KPropStr)
+        case KNode | KRel =>
+          Typed(element_at(t.col.getField("properties"), k), KPropStr)
+        case _ => throw CypherParseException(
+          s"'$v' is not an entity element; cannot read property '$k'")
+      }
     case Property(v, k) =>
       scope.kindOf(v) match {
         case KNode if k == "id" || k == "label" =>
@@ -93,24 +111,28 @@ object ExprCompiler {
     // outer columns are plain attribute reads (cheap per element); the
     // per-element work is exactly the predicate/projection itself.
     case ListComp(v, lst, where, proj) =>
-      val listCol = listColOf(lst, scope)
+      val listT = listTypedOf(lst, scope)
+      val listCol = listT.col
+      val ek = elemKindOf(listT.kind)
       val filtered = where match {
         case Some(w) =>
-          filter(listCol, x => compile(w, scope.withLambda(v, x)).col.try_cast(BooleanType))
+          filter(listCol, x => compile(w, scope.withLambda(v, x, ek)).col.try_cast(BooleanType))
         case None => listCol
       }
       val projected = proj match {
-        case Some(pe) => transform(filtered, x => compile(pe, scope.withLambda(v, x)).col)
+        case Some(pe) => transform(filtered, x => compile(pe, scope.withLambda(v, x, ek)).col)
         case None => filtered
       }
-      Typed(projected, KOther)
+      Typed(projected, if (proj.isEmpty) listT.kind else KOther)
 
     // all/any/none/single(v IN list WHERE pred): forall/exists carry
     // openCypher's three-valued null logic natively; single needs the
     // exact true/null element counts to distinguish false from unknown
     case Quantifier(kind, v, lst, pred) =>
-      val listCol = listColOf(lst, scope)
-      def p(x: Column): Column = compile(pred, scope.withLambda(v, x)).col.try_cast(BooleanType)
+      val listT = listTypedOf(lst, scope)
+      val listCol = listT.col
+      def p(x: Column): Column =
+        compile(pred, scope.withLambda(v, x, elemKindOf(listT.kind))).col.try_cast(BooleanType)
       val c = kind match {
         case "all" => forall(listCol, p)
         case "any" => exists(listCol, p)
@@ -154,8 +176,8 @@ object ExprCompiler {
         case _ => (initT.col, (c: Column) => c)
       }
       Typed(aggregate(listCol, zero, (a, x) =>
-        coerce(compile(body,
-          scope.withLambda(acc, a, initT.kind).withLambda(v, x)).col)), KOther)
+        coerce(compile(body, scope.withLambda(acc, a, initT.kind)
+          .withLambda(v, x, elemKindOf(listTypedOf(lst, scope).kind))).col)), KOther)
 
     case Func(name, args) => compileFunc(name, args, scope)
 
@@ -244,12 +266,26 @@ object ExprCompiler {
   }
 
   private def compileFunc(name: String, args: List[Expr], scope: Scope): Typed = (name, args) match {
-    case ("id", List(Variable(v))) =>
+    case ("id", List(Variable(v))) if !scope.lambdas.contains(v) =>
       scope.kindOf(v) match {
         case KNode => Typed(col(s"$v.id"), KPropStr)
         case KRel => Typed(col(s"$v.eid").cast(StringType), KPropStr)
         case _ => throw CypherParseException(s"id() needs an entity variable, got '$v'")
       }
+    // lambda-bound entity elements (list comprehension over a rel/node
+    // list): structural reads off the lambda Column
+    case ("type", List(Variable(v)))
+        if scope.lambdas.get(v).exists(_.kind == KRel) =>
+      Typed(scope.lambdas(v).col.getField("type"), KStr)
+    case ("id", List(Variable(v)))
+        if scope.lambdas.get(v).exists(t => t.kind == KRel || t.kind == KNode) =>
+      scope.lambdas(v) match {
+        case Typed(c, KNode) => Typed(c.getField("id"), KPropStr)
+        case Typed(c, _) => Typed(c.getField("eid").cast(StringType), KPropStr)
+      }
+    case ("labels", List(Variable(v)))
+        if scope.lambdas.get(v).exists(_.kind == KNode) =>
+      Typed(array(scope.lambdas(v).col.getField("label")), KOther)
     case ("type", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.type"), KStr)
     case ("labels", List(Variable(v))) if scope.kindOf(v) == KNode => Typed(array(col(s"$v.label")), KOther)
     case ("label", List(Variable(v))) if scope.kindOf(v) == KNode => Typed(col(s"$v.label"), KStr)
@@ -260,7 +296,7 @@ object ExprCompiler {
     case ("size", List(a)) =>
       val t = compile(a, scope)
       t.kind match {
-        case KOther => Typed(size(t.col), KNum)
+        case KOther | KRelList | KNodeList => Typed(size(t.col), KNum)
         case _ => Typed(length(t.col.cast(StringType)), KNum)
       }
     case ("startnode", List(Variable(v))) if scope.kindOf(v) == KRel => Typed(col(s"$v.src"), KPropStr)
@@ -270,16 +306,17 @@ object ExprCompiler {
     case ("nodes", List(a)) =>
       val t = compile(a, scope)
       if (t.kind != KPath) throw CypherParseException("nodes() takes a named path")
-      Typed(t.col.getField("nodes"), KOther)
+      Typed(t.col.getField("nodes"), KNodeList)
     case ("relationships" | "rels", List(a)) =>
       val t = compile(a, scope)
       if (t.kind != KPath)
         throw CypherParseException("relationships() takes a named path")
-      Typed(t.col.getField("rels"), KOther)
+      Typed(t.col.getField("rels"), KRelList)
     case ("length", List(a)) =>
       compile(a, scope) match {
         case Typed(c, KPath) => Typed(size(c.getField("rels")), KNum)
-        case Typed(c, KOther) => Typed(size(c), KNum) // legacy list length
+        case Typed(c, KOther | KRelList | KNodeList) =>
+          Typed(size(c), KNum) // legacy list length
         case _ => throw CypherParseException(
           "length() takes a path or list (use size() for strings)")
       }
@@ -360,7 +397,7 @@ object ExprCompiler {
     case ("isempty", List(a)) =>
       val t = compile(a, scope)
       t.kind match {
-        case KOther => Typed(size(t.col) === 0, KBool)
+        case KOther | KRelList | KNodeList => Typed(size(t.col) === 0, KBool)
         case _ => Typed(length(t.col.cast(StringType)) === 0, KBool)
       }
     case ("ceil", List(a)) => Typed(ceil(numOf(compile(a, scope))).cast(DoubleType), KNum)
@@ -392,9 +429,21 @@ object ExprCompiler {
     * property model, which the array higher-order functions reject —
     * retype it as a null array so filter/forall/exists follow their
     * null-in → null-out path (openCypher's null-list semantics). */
-  private def listColOf(lst: Expr, scope: Scope): Column = lst match {
-    case NullLit => lit(null).cast(ArrayType(StringType))
-    case _ => compile(lst, scope).col
+  private def listColOf(lst: Expr, scope: Scope): Column =
+    listTypedOf(lst, scope).col
+
+  private def listTypedOf(lst: Expr, scope: Scope): Typed = lst match {
+    case NullLit => Typed(lit(null).cast(ArrayType(StringType)), KOther)
+    case _ => compile(lst, scope)
+  }
+
+  /** Element kind of an entity-list column — lambda vars ranging over a
+    * relationship/node list read struct fields, not name-prefixed
+    * columns. */
+  private def elemKindOf(k: Kind): Kind = k match {
+    case KRelList => KRel
+    case KNodeList => KNode
+    case _ => KPropStr
   }
 
   /**

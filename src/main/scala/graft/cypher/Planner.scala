@@ -647,13 +647,18 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           // Variable-length expansion `*mn..mx` — the reference grammar
           // accepts this but its planner never executes it (parity-plus).
           // Bounded unrolling: one branch per length, intermediates are
-          // anonymous and projected away, branches unioned. The relation
-          // list itself is not bindable (would need ARRAY<STRUCT> rows).
-          if (rel.variable.isDefined)
-            throw CypherParseException(
-              "binding a variable-length relationship to a variable is not supported")
+          // anonymous and projected away, branches unioned. Binding the
+          // relationship (`-[r*1..3]->`) yields the LIST of traversed
+          // edge structs (openCypher): branch k arrays its k hop
+          // structs, the zero branch the typed empty array.
           if (mn < 0 || mx < mn)
             throw CypherParseException(s"invalid variable-length bounds *$mn..$mx")
+          val listVar: Option[String] = rel.variable
+          listVar.foreach { lv =>
+            if (ctx.scope.contains(lv))
+              throw CypherParseException(s"relationship variable '$lv' bound twice")
+            ctx = ctx.withVar(lv, ExprCompiler.KRelList)
+          }
           val base = ctx.df.get
           val keepCols = base.columns.toSeq
           // Shared prefix walks: walk s extends walk s−1 (one step), so
@@ -667,6 +672,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           // (bound) — same rows either way, since a bound nodeVar comes
           // from the nodes table the anonymous join also reads.
           val prefixes = Vector.newBuilder[(DataFrame, String)]
+          val hopRels = Vector.newBuilder[String]
           if (mx >= 1) {
             var df = base
             var prev = prevNode
@@ -681,30 +687,37 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
                   .withColumn(prCol.get, concat(col(prCol.get), array(col(rv))))
               }
               prefixes += ((df, target))
+              hopRels += rv
               prev = target
               prevR = Some(rv)
             }
           }
           val walks = prefixes.result()
-          val branches = (mn to mx).map {
+          val hops = hopRels.result()
+          // branch k's bound list: its k hop structs (same fresh names
+          // across branches — the shared-prefix subplans stay identical)
+          def withRelList(df: DataFrame, k: Int): DataFrame =
+            listVar.fold(df)(lv => df.withColumn(lv,
+              if (k == 0) emptyEdgeArray
+              else array(hops.take(k).map(rv => col(s"`$rv`")): _*)))
+          val branches = (mn to mx).map { k =>
             // Zero-length hop (openCypher `*0..n`): the identity branch —
             // the target IS the start node, no relationship traversed, so
             // type/property constraints on the (absent) rel don't apply.
             // A named path gains no nodes/rels here: length(p) = 0.
-            case 0 =>
-              if (targetBound)
-                base.filter(col(s"$prevNode.id") === col(s"$nodeVar.id"))
-                  .select(keepCols.map(c => col(s"`$c`")): _*)
-              else
-                base.withColumn(nodeVar, col(prevNode))
-                  .select((keepCols :+ nodeVar).map(c => col(s"`$c`")): _*)
-            case k =>
-              val (df, target) = walks(k - 1)
-              val bound =
+            val bound = k match {
+              case 0 =>
+                if (targetBound)
+                  base.filter(col(s"$prevNode.id") === col(s"$nodeVar.id"))
+                else base.withColumn(nodeVar, col(prevNode))
+              case _ =>
+                val (df, target) = walks(k - 1)
                 if (targetBound) df.filter(col(s"$target.id") === col(s"$nodeVar.id"))
                 else df.withColumn(nodeVar, col(s"`$target`"))
-              val outCols = if (targetBound) keepCols else keepCols :+ nodeVar
-              bound.select(outCols.map(c => col(s"`$c`")): _*)
+            }
+            val outCols = (if (targetBound) keepCols else keepCols :+ nodeVar) ++
+              listVar.toSeq
+            withRelList(bound, k).select(outCols.map(c => col(s"`$c`")): _*)
           }
           if (!targetBound) ctx = ctx.withVar(nodeVar, KNode)
           ctx = ctx.copy(df = Some(branches.reduce(_ unionByName _)))

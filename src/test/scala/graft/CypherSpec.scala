@@ -608,9 +608,25 @@ class CypherSpec extends SparkSpec {
     assert(star12 === oneHop + twoHop)
     // plain single hop ≡ *1..1
     assert(star1 === Cypher.run(g, "MATCH (a)-[:NEIGHBORS]-(b) WHERE a.id = '4' RETURN b.id").count())
-    // binding the var-length relationship is rejected clearly
+    // binding the var-length relationship yields the traversed edge-
+    // struct LIST: size(r) is the branch length, per-hop properties
+    // read through a list comprehension, and the zero branch binds []
+    val bound = Cypher.run(g,
+      "MATCH (a)-[r:NEIGHBORS*1..2]-(b) WHERE a.id = '4' " +
+        "RETURN size(r) AS n, [x IN r | type(x)] AS ts")
+    assert(bound.count() === oneHop + twoHop)
+    assert(bound.where(col("n") === 1).count() === oneHop)
+    assert(bound.where(col("n") === 2).count() === twoHop)
+    // every traversed hop carries the matched relationship type
+    assert(bound.where(!forall(col("ts"), _ === "NEIGHBORS")).count() === 0)
+    val zero = Cypher.run(g,
+      "MATCH (a)-[r:NEIGHBORS*0..1]-(b) WHERE a.id = '4' " +
+        "RETURN b.id AS bid, size(r) AS n")
+    assert(zero.where(col("n") === 0).count() === 1) // the identity branch
+    assert(zero.where(col("n") === 0).select("bid").head().getString(0) === "4")
+    // rebinding an existing variable is still rejected
     intercept[CypherParseException] {
-      Cypher.run(g, "MATCH (a)-[r:NEIGHBORS*1..2]-(b) RETURN a.id")
+      Cypher.run(g, "MATCH (r)-[r:NEIGHBORS*1..2]-(b) RETURN b.id")
     }
   }
 
