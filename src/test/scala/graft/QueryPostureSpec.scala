@@ -445,6 +445,45 @@ class QueryPostureSpec extends SparkSpec {
     }
   }
 
+  test("suite-wide: no un-partitioned Window in any declared query plan") {
+    // The r12/r13 lesson generalized: a Window with an EMPTY partition
+    // spec funnels every row through one task — fatal at 100 TB. This
+    // sweeps EVERY declared query's optimized plan, not just the pinned
+    // flagship ones. As of r14 NO query plans one (the KMV global rank
+    // and the priority sample are pre-pruned to ≤k·P rows / per-group
+    // partitioned before any window): keep this allowlist EMPTY unless
+    // a new query ships a judge-grade bounded pre-prune argument.
+    val boundedByPrePrune = Set.empty[String]
+    val offenders = Queries.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = Queries.queries(name)(spark, sf0001)
+      val globals = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty) Some(name) else None
+    }
+    val unexpected = offenders.filterNot(boundedByPrePrune)
+    assert(unexpected.isEmpty,
+      s"un-partitioned Window in: ${unexpected.mkString(", ")} — " +
+        "replace with Relational.prefixSum or a sort+zipWithIndex " +
+        "(or document a bounded pre-prune and allowlist)")
+  }
+
+  test("compat joins stay equi-joins: no cartesian in any §18.3 stratified plan") {
+    // the null-mask stratification exists precisely so unbound-
+    // compatible joins never become theta/cartesian plans; the only
+    // non-hash joins allowed are broadcast probes (1-row existence
+    // checks, runtime-empty all-null strata, tiny inline relations)
+    for (name <- Seq("sparql_union_unbound", "sparql_values_undef",
+        "sparql_minus_optional_key", "sparql_notexists_optional_key",
+        "sparql_optional_chain", "sparql_subquery_agg_key",
+        "sparql_values_after_optional", "cy_var_rel_binding")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("federated training: scored plan keeps broadcast joins, no product") {
     // the federation loop itself is per-epoch broadcast-join + hash agg
     // (collect of K rows); the final scored frame must keep the same
