@@ -42,6 +42,35 @@ class StreamingSpec extends SparkSpec {
     assert(st.currentCount === 651L)
   }
 
+  test("strian at 10x powergrid: replay leaves state bounded, total exact") {
+    // The scale probe for the one stateful operator: 10 disjoint
+    // powergrid replicas (65,940 canonical edges, 6,510 triangles)
+    // streamed in 5 chunks. Asserts (a) the incremental total is exact,
+    // (b) the accumulated state is EXACTLY the canonical edge set —
+    // bounded by the graph, with no growth mechanism beyond it — and
+    // (c) REPLAYED batches (duplicate delivery, the at-least-once case)
+    // change neither the state nor the total: the anti-join horizon
+    // absorbs them.
+    val base = graft.sources.GraphSources
+      .readEdgeList(spark, "/root/reference/tests/integration/env_init/data/powergrid.dl")
+      .edges.select(col("src"), col("dst"))
+    val edges = (0 until 10).map(i => base.select(
+        concat(lit(s"r${i}_"), col("src")).as("src"),
+        concat(lit(s"r${i}_"), col("dst")).as("dst")))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    val st = new StreamingTriangles(spark)
+    val chunks = edges.randomSplit(Array.fill(5)(0.2), seed = 14)
+    chunks.foreach(c => st.addBatch(c))
+    assert(st.currentCount === 6510L)
+    val stateAfter = st.edgeCount
+    assert(stateAfter === 65940L)
+    // duplicate delivery: replay two already-consumed chunks
+    st.addBatch(chunks(0))
+    st.addBatch(chunks(2))
+    assert(st.currentCount === 6510L)
+    assert(st.edgeCount === stateAfter)
+  }
+
   test("file-source JSON edge stream upserts into the catalog graph") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
