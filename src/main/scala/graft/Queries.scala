@@ -751,12 +751,16 @@ object Queries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |ORDER BY cid, pid""".stripMargin))),
 
+    // customers×suppliers per nation is OUTPUT-QUADRATIC (100× rows for
+    // 10× data) — the top-k bound keeps the benched work join-linear
+    // (TakeOrderedAndProject: per-partition heaps, no global sort) while
+    // still exercising the shared-middle expand + rel-uniqueness
     "cy_var_cycle" -> ((
       cy("MATCH (c:Customer)-[:FROM]->(n:Nation)<-[:FROM]-(s:Supplier) " +
-        "RETURN c.id AS cid, n.id AS nid, s.id AS sid ORDER BY cid, nid, sid"),
+        "RETURN c.id AS cid, n.id AS nid, s.id AS sid ORDER BY cid, nid, sid LIMIT 500"),
       Some("""SELECT 'c' || c_custkey AS cid, 'n' || c_nationkey AS nid, 's' || s_suppkey AS sid
              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
-             |ORDER BY cid, nid, sid""".stripMargin))),
+             |ORDER BY cid, nid, sid LIMIT 500""".stripMargin))),
 
     "cy_rel_type_scan" -> ((
       cy("MATCH (s:Supplier)-[r:SUPPLIES]->(p:Part) RETURN s.id AS sid, p.id AS pid ORDER BY sid, pid"),
@@ -4197,6 +4201,72 @@ object Queries {
              |FROM nation
              |WHERE CAST(n_nationkey AS VARCHAR) =
              |  (SELECT max(CAST(n_nationkey AS VARCHAR)) FROM nation)""".stripMargin))),
+
+    // Three-argument LeftJoin (§18.2.2.3): the OPTIONAL's FILTER
+    // references the OUTER ?k — each nation optionally pairs with
+    // same-region nations of LEXICALLY smaller key (var-var comparisons
+    // are lexical over untyped literals; the oracle compares VARCHAR).
+    "sparql_optional_cond" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n ?k ?k2 WHERE {
+            |  ?n <key> ?k .
+            |  OPTIONAL { ?n <locatedIn> ?r . ?n2 <locatedIn> ?r .
+            |             ?n2 <key> ?k2 . FILTER(?k2 < ?k) }
+            |} ORDER BY ?n ?k2""".stripMargin),
+      Some("""WITH nk AS (SELECT 'nation/' || n_name AS n,
+             |    CAST(n_nationkey AS VARCHAR) AS k, n_regionkey FROM nation)
+             |SELECT a.n, a.k, b.k AS k2
+             |FROM nk a LEFT JOIN nk b
+             |  ON a.n_regionkey = b.n_regionkey AND b.k < a.k
+             |ORDER BY a.n, k2""".stripMargin))),
+
+    // Correlated FILTER EXISTS (outer var in the block filter): nations
+    // with a same-region nation of lexically GREATER key — the §18.2.2.3
+    // condition compiled into the semi-join.
+    "sparql_exists_cond" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n ?k WHERE {
+            |  ?n <key> ?k .
+            |  FILTER EXISTS { ?n <locatedIn> ?r . ?n2 <locatedIn> ?r .
+            |                  ?n2 <key> ?k2 . FILTER(?k2 > ?k) }
+            |} ORDER BY ?n""".stripMargin),
+      Some("""WITH nk AS (SELECT 'nation/' || n_name AS n,
+             |    CAST(n_nationkey AS VARCHAR) AS k, n_regionkey FROM nation)
+             |SELECT a.n, a.k FROM nk a
+             |WHERE EXISTS (SELECT 1 FROM nk b
+             |  WHERE b.n_regionkey = a.n_regionkey AND b.k > a.k)
+             |ORDER BY n""".stripMargin))),
+
+    // Right-nullable LeftJoin: the OPTIONAL block's ?x is bound only in
+    // its NESTED optional (bigspender flag "1") and re-uses the OUTER
+    // pattern var (the nation key). Three outcomes per nation: key "1"
+    // with bigspenders → extended per customer; no bigspenders → the
+    // x-unbound block row keeps the outer key; bigspenders under any
+    // other key → ?x = "1" incompatible → BARE (?r unbound too). The
+    // oracle replays compatibility as `x' IS NULL OR x' = x`.
+    "sparql_optional_nested_outer" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n ?x ?r ?c WHERE {
+            |  ?n <key> ?x .
+            |  OPTIONAL { ?n <locatedIn> ?r .
+            |             OPTIONAL { ?c <fromNation> ?n . ?c <bigspender> ?x } }
+            |} ORDER BY ?n ?c""".stripMargin),
+      Some("""WITH nk AS (SELECT 'nation/' || n_name AS n,
+             |    CAST(n_nationkey AS VARCHAR) AS x, n_regionkey FROM nation),
+             |big AS (SELECT 'customer/' || c_custkey AS c,
+             |    'nation/' || n_name AS n, '1' AS x
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE c_acctbal > 9000),
+             |blk AS (SELECT nk.n, 'region/' || r_name AS r, big.c, big.x
+             |  FROM nk JOIN region ON nk.n_regionkey = region.r_regionkey
+             |  LEFT JOIN big ON big.n = nk.n)
+             |SELECT nk.n, nk.x, blk.r, blk.c
+             |FROM nk LEFT JOIN blk
+             |  ON blk.n = nk.n AND (blk.x IS NULL OR blk.x = nk.x)
+             |ORDER BY nk.n, blk.c""".stripMargin))),
 
     // GROUP BY with no aggregate projections (§18.2.4.1): one solution
     // per group — the distinct market segments.

@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
  *    `FILTER [NOT] EXISTS` and `MINUS` (§8.3 — disjoint domains remove
  *    nothing); maybe-unbound keys (BIND aliases, nested-OPTIONAL vars,
  *    UNDEF rows) run through the §18.3 compatibility joins exactly as
- *    at top level
+ *    at top level — on BOTH sides of every operator. An OPTIONAL or
+ *    EXISTS block FILTER may reference ENCLOSING-scope variables: it
+ *    compiles into the join itself as the three-argument
+ *    LeftJoin(Ω1, Ω2, expr) condition / correlated-EXISTS predicate
+ *    (§18.2.2.3, [[condJoin]]); UNION-branch and MINUS filters stay
+ *    uncorrelated per the spec's bottom-up scoping
  *  - `BIND(expr AS ?v)` — top-level AND inside brace blocks (UNION /
  *    OPTIONAL / MINUS / EXISTS bodies; a block BIND reads the block's
  *    own bindings, lands in the untyped-string domain, and OPTIONAL /
@@ -1070,24 +1075,16 @@ object Sparql {
         (nbVars ++ nestedOnly(nb)).filterNot(own.contains)
       }.distinct
     }
-    // a UNION branch's nested-OPTIONAL var MAY re-use an outer pattern
-    // var (or appear in several branches): the union pads it and the
-    // §18.3 compatibility join reconciles the maybe-unbound column —
-    // but an ALIAS collision would silently rebind, so those stay out
-    val unionNested = unionBranches.flatMap(nestedOnly).distinct
-    unionNested.foreach(v => require(
+    // nested-OPTIONAL vars MAY re-use outer pattern vars and appear in
+    // several blocks/branches: the §18.3 compatibility joins stratify
+    // the resulting maybe-unbound columns on BOTH sides. Only an ALIAS
+    // collision stays rejected — the alias's withColumn would silently
+    // rebind the nested column.
+    val nestedAll = (optionals ++ unionBranches ++ minuses ++
+      existsFilters.map(_._2)).flatMap(nestedOnly).distinct
+    nestedAll.foreach(v => require(
       !binds.map(_._1).contains(v) && !combined.contains(v),
-      s"a nested OPTIONAL inside a UNION branch re-uses alias ?$v"))
-    val nestedPerBlock = (optionals ++ minuses ++
-      existsFilters.map(_._2)).map(nestedOnly)
-    val nestedFresh = nestedPerBlock.flatten
-    require(nestedFresh.distinct.size == nestedFresh.size,
-      "the same nested-OPTIONAL variable appears in two blocks")
-    nestedFresh.foreach(v => require(
-      !bindScope.contains(v) && !combined.contains(v) &&
-        !unionNested.contains(v),
-      s"a nested OPTIONAL re-uses outer variable ?$v (unsupported: " +
-        "rename it or bind it in the enclosing block)"))
+      s"a nested OPTIONAL re-uses alias ?$v (rename one of them)"))
     val known = bindScope ++
       optionals.flatMap(_.binds.map(_._1)) ++ unionAliases ++
       (optionals ++ unionBranches).flatMap(nestedOnly).distinct
@@ -1166,10 +1163,15 @@ object Sparql {
           s"HAVING references ?$v, which is neither grouped nor an " +
             "aggregate alias"))
     }
-    // in-block FILTERs may only reference the block's OWN bindings — an
-    // outer variable in a LeftJoin/UNION-branch condition needs SPARQL's
-    // three-way LeftJoin semantics; reject rather than mis-answer
-    def checkBlock(b: Block, ctx: String): Unit = {
+    // in-block FILTER scope: a filter over the block's OWN bindings
+    // (incl. nested-OPTIONAL vars) applies at block end; one referencing
+    // an ENCLOSING-scope var is the three-argument LeftJoin condition
+    // (§18.2.2.3) / correlated EXISTS — legal for OPTIONAL and EXISTS
+    // blocks (compiled into the join by condJoin), rejected for UNION
+    // branches and MINUS (whose §8.3 evaluation is uncorrelated)
+    def checkBlock(b: Block, ctx: String, outer: Set[String]): Unit = {
+      val allowCross = ctx.startsWith("OPTIONAL") ||
+        ctx.startsWith("nested OPTIONAL") || ctx.startsWith("EXISTS")
       var bound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
       // in-block VALUES may only CONSTRAIN the block's own bindings —
       // a fresh inline var inside a block would widen the block schema
@@ -1184,22 +1186,28 @@ object Sparql {
             "does not bind"))
         bound = bound + v
       }
+      // full recursive surface — the same locality set splitFilters
+      // uses at execution time
+      val surface = bound ++ blockSurface(b)
       b.filters.foreach(f => varsOfFilter(f).foreach(v =>
-        require(bound.contains(v),
-          s"a FILTER inside a $ctx block references ?$v, which the block " +
-            "does not bind")))
-      b.optionals.foreach(checkBlock(_, s"nested OPTIONAL (in $ctx)"))
+        require(surface.contains(v) || (allowCross && outer.contains(v)),
+          s"a FILTER inside a $ctx block references ?$v, which " +
+            (if (allowCross) "neither the block nor the enclosing scope binds"
+             else "the block does not bind"))))
+      b.optionals.foreach(checkBlock(_, s"nested OPTIONAL (in $ctx)",
+        outer ++ surface))
       // in-block EXISTS / MINUS keys that may be unbound in the
       // enclosing block (BIND aliases, nested-OPTIONAL bindings) run
       // through the §18.3 compatibility join at execution time
       b.existsBlocks.foreach { case (eb0, eb) =>
-        val _ = eb0; checkBlock(eb, s"EXISTS (in $ctx)") }
-      b.minusBlocks.foreach(checkBlock(_, s"MINUS (in $ctx)"))
+        val _ = eb0; checkBlock(eb, s"EXISTS (in $ctx)", outer ++ surface) }
+      b.minusBlocks.foreach(checkBlock(_, s"MINUS (in $ctx)", outer ++ surface))
     }
-    unionBranches.foreach(checkBlock(_, "UNION"))
-    optionals.foreach(checkBlock(_, "OPTIONAL"))
-    minuses.foreach(checkBlock(_, "MINUS"))
-    existsFilters.foreach { case (_, b) => checkBlock(b, "EXISTS") }
+    val topScope = known.toSet
+    unionBranches.foreach(checkBlock(_, "UNION", topScope))
+    optionals.foreach(checkBlock(_, "OPTIONAL", topScope))
+    minuses.foreach(checkBlock(_, "MINUS", topScope))
+    existsFilters.foreach { case (_, b) => checkBlock(b, "EXISTS", topScope) }
     if (constructWhere) {
       // §10.2.3 allows only a basic graph pattern in the shorthand form
       require(unionBranches.isEmpty && optionals.isEmpty && minuses.isEmpty &&
@@ -1396,14 +1404,18 @@ object Sparql {
       f = f.withColumn(v, compileExpr(e).cast("string")); maybeNull += v }
     // nested OPTIONALs LeftJoin the block frame bottom-up (§ LeftJoin
     // nesting); a shared var an earlier sibling left unbound extends by
-    // compatibility (stratified compat left join)
+    // compatibility, and a DEEPER-nested binding arriving unbound on
+    // the right side does too (stratified compat left join, both sides)
     b.optionals.foreach { nb =>
       val inner = blockFrame(triples, nb)
       val shared = f.columns.toSeq.intersect(inner.columns.toSeq)
       require(shared.nonEmpty,
         "a nested OPTIONAL shares no variable with its enclosing block")
-      f = compatJoin(f, inner, shared, maybeNull, "left")
-      maybeNull = maybeNull ++ (inner.columns.toSeq diff shared)
+      val innerN = blockNullable(nb)
+      f = compatJoinBoth(f, inner, shared, maybeNull, innerN, "left",
+        cond = splitFilters(nb)._2)
+      maybeNull = maybeNull ++ (inner.columns.toSeq diff shared) ++
+        shared.filter(innerN)
     }
     // in-block FILTER [NOT] EXISTS: semi-/anti-join the block frame —
     // §18.3 compat on maybe-unbound keys (BIND aliases, nested-OPTIONAL
@@ -1411,12 +1423,13 @@ object Sparql {
     b.existsBlocks.foreach { case (positive, eb) =>
       val e = blockFrame(triples, eb)
       val shared = f.columns.toSeq.intersect(e.columns.toSeq)
-      f = if (shared.isEmpty) {
+      val cross = splitFilters(eb)._2
+      f = if (shared.isEmpty && cross.isEmpty) {
         val any = broadcast(e.limit(1).select(lit(1).as("__e")))
         if (positive) f.join(any, lit(true), "left_semi")
         else f.join(any, lit(true), "left_anti")
-      } else compatJoin(f, e, shared, maybeNull,
-        if (positive) "left_semi" else "left_anti")
+      } else compatJoinBoth(f, e, shared, maybeNull, blockNullable(eb),
+        if (positive) "left_semi" else "left_anti", cond = cross)
     }
     // in-block MINUS (§8.3): anti-join on the shared variables; with
     // DISJOINT domains MINUS removes nothing — the spec's no-op case
@@ -1424,9 +1437,12 @@ object Sparql {
     b.minusBlocks.foreach { mb =>
       val m = blockFrame(triples, mb)
       val shared = f.columns.toSeq.intersect(m.columns.toSeq)
-      if (shared.nonEmpty) f = compatJoin(f, m, shared, maybeNull, "minus")
+      if (shared.nonEmpty)
+        f = compatJoinBoth(f, m, shared, maybeNull, blockNullable(mb), "minus")
     }
-    b.filters.foreach(fl => f = f.where(compileFilter(fl)))
+    // LOCAL filters only — cross-scope ones become the enclosing
+    // join's condition (splitFilters)
+    splitFilters(b)._1.foreach(fl => f = f.where(compileFilter(fl)))
     f
   }
 
@@ -1437,14 +1453,20 @@ object Sparql {
     * position evaluates to null = the solution drops out of FILTERs and
     * the BIND alias stays unbound — where ANSI cast would fail the
     * whole query (SPARQL 1.1 §17.2). */
-  private def compileExpr(e: SExpr): Column = e match {
-    case ETerm(V(n)) => col(n)
+  private def compileExpr(e: SExpr): Column = compileExpr(e, col(_))
+
+  /** As [[compileExpr]] with a variable RESOLVER — cross-scope filters
+    * (LeftJoin / EXISTS conditions) compile over the MERGED binding of
+    * an aliased two-sided join, so a bare `col(name)` would be
+    * ambiguous; the resolver picks the side that carries each var. */
+  private def compileExpr(e: SExpr, resolve: String => Column): Column = e match {
+    case ETerm(V(n)) => resolve(n)
     case ETerm(Const(v)) => lit(v)
     case ETerm(other) => throw new IllegalArgumentException(
       s"property-set term $other is only valid in the predicate position")
     case EArith(op, l, r) =>
-      val a = compileExpr(l).try_cast("double")
-      val b = compileExpr(r).try_cast("double")
+      val a = compileExpr(l, resolve).try_cast("double")
+      val b = compileExpr(r, resolve).try_cast("double")
       op match {
         case '+' => a + b
         case '-' => a - b
@@ -1452,9 +1474,10 @@ object Sparql {
         case '/' => a / b
       }
     case EFn(name, args) =>
-      def arg(i: Int): Column = compileExpr(args(i))
+      def arg(i: Int): Column = compileExpr(args(i), resolve)
       name match {
-        case "CONCAT" => concat(args.map(a => compileExpr(a).cast("string")): _*)
+        case "CONCAT" =>
+          concat(args.map(a => compileExpr(a, resolve).cast("string")): _*)
         case "STR" => arg(0).cast("string")
         case "STRLEN" => length(arg(0))
         case "UCASE" => upper(arg(0))
@@ -1467,7 +1490,7 @@ object Sparql {
           else arg(0).substr(start, lit(Int.MaxValue))
         // SPARQL REPLACE is regex-based (fn:replace)
         case "REPLACE" => regexp_replace(arg(0), arg(1), arg(2))
-        case "COALESCE" => coalesce(args.map(compileExpr): _*)
+        case "COALESCE" => coalesce(args.map(compileExpr(_, resolve)): _*)
         // fn:substring-before / -after (§17.4.3.7-8): empty string when
         // the needle is absent; STRAFTER of the empty needle is the
         // whole string, STRBEFORE of it the empty string
@@ -1493,17 +1516,20 @@ object Sparql {
       // §17.4.1.2: a type-error (null) condition propagates — the alias
       // stays UNBOUND rather than falling into the ELSE branch, so both
       // arms guard explicitly and a null condition matches neither
-      val cond = compileFilter(c)
-      when(cond, compileExpr(t1)).when(!cond, compileExpr(t2))
+      val cond = compileFilter(c, resolve)
+      when(cond, compileExpr(t1, resolve)).when(!cond, compileExpr(t2, resolve))
   }
 
-  private def compileFilter(e: FilterExpr): Column = e match {
-    case And(l, r) => compileFilter(l) && compileFilter(r)
-    case Or(l, r) => compileFilter(l) || compileFilter(r)
-    case Not(x) => !compileFilter(x)
+  private def compileFilter(e: FilterExpr): Column = compileFilter(e, col(_))
+
+  private def compileFilter(e: FilterExpr, resolve: String => Column): Column = e match {
+    case And(l, r) => compileFilter(l, resolve) && compileFilter(r, resolve)
+    case Or(l, r) => compileFilter(l, resolve) || compileFilter(r, resolve)
+    case Not(x) => !compileFilter(x, resolve)
     case Cmp(op, l, r, numeric) =>
       def side(e: SExpr): Column =
-        if (numeric) compileExpr(e).try_cast("double") else compileExpr(e)
+        if (numeric) compileExpr(e, resolve).try_cast("double")
+        else compileExpr(e, resolve)
       val (a, b) = (side(l), side(r))
       op match {
         case "=" => a === b
@@ -1515,13 +1541,13 @@ object Sparql {
       }
     case FnCond(fn, args) => fn match {
       case "BOUND" => args.head match {
-        case ETerm(V(n)) => col(n).isNotNull
+        case ETerm(V(n)) => resolve(n).isNotNull
         case other => throw new IllegalArgumentException(s"BOUND($other)")
       }
       case "REGEX" =>
         // optional "i" flag → embedded case-insensitivity group, the
         // java.util.regex spelling both engines understand
-        val pat0 = compileExpr(args(1))
+        val pat0 = compileExpr(args(1), resolve)
         val pat = if (args.size == 3) args(2) match {
           case ETerm(Const(f)) =>
             // only the "i" flag is implemented; silently ignoring
@@ -1532,19 +1558,23 @@ object Sparql {
           case other => throw new IllegalArgumentException(
             s"REGEX flags must be a constant literal, got $other")
         } else pat0
-        regexp_like(compileExpr(args(0)), pat)
-      case "STRSTARTS" => compileExpr(args(0)).startsWith(compileExpr(args(1)))
-      case "STRENDS" => compileExpr(args(0)).endsWith(compileExpr(args(1)))
-      case "CONTAINS" => compileExpr(args(0)).contains(compileExpr(args(1)))
+        regexp_like(compileExpr(args(0), resolve), pat)
+      case "STRSTARTS" =>
+        compileExpr(args(0), resolve).startsWith(compileExpr(args(1), resolve))
+      case "STRENDS" =>
+        compileExpr(args(0), resolve).endsWith(compileExpr(args(1), resolve))
+      case "CONTAINS" =>
+        compileExpr(args(0), resolve).contains(compileExpr(args(1), resolve))
       // §17.4.2.4 isNumeric over the untyped string domain: does the
       // binding carry the numeric view? (unbound → false, not error)
-      case "ISNUMERIC" => compileExpr(args.head).try_cast("double").isNotNull
+      case "ISNUMERIC" =>
+        compileExpr(args.head, resolve).try_cast("double").isNotNull
     }
     // [NOT] IN over a constant list; on a null (unbound/error) operand
     // both forms yield null → the solution drops, the SPARQL
     // error-propagation reading
     case InList(e, values, negated) =>
-      val in = compileExpr(e).isin(values: _*)
+      val in = compileExpr(e, resolve).isin(values: _*)
       if (negated) !in else in
   }
 
@@ -1588,12 +1618,45 @@ object Sparql {
    * `right` must bind every shared variable statically; a nullable
    * right side is stratified first by [[compatJoinBoth]].
    */
+  /** Aliased two-sided join for a CROSS-SCOPE condition (the third
+    * argument of LeftJoin / a correlated EXISTS filter, §18.2.2.3):
+    * key equalities AND the condition compiled over the MERGED binding.
+    * `preferRight` names vars whose merged value comes from the right
+    * side even though the left frame still carries the (all-null)
+    * column — the non-dropped null strata of semi/anti joins. */
+  private def condJoin(l0: DataFrame, r0: DataFrame, keys: Seq[String],
+                       cond: Seq[FilterExpr], joinType: String,
+                       outCols: Seq[String],
+                       preferRight: Set[String] = Set.empty): DataFrame = {
+    val l = l0.as("__cl"); val r = r0.as("__cr")
+    val lCols = l0.columns.toSet; val rCols = r0.columns.toSet
+    def resolve(v: String): Column =
+      if (preferRight(v) && rCols(v)) col(s"__cr.$v")
+      else if (lCols(v)) col(s"__cl.$v")
+      else if (rCols(v)) col(s"__cr.$v")
+      // unbound on both sides (a dropped right-null stratum): the
+      // merged binding leaves it unbound — SPARQL error → null
+      else lit(null).cast("string")
+    val full = (keys.map(k => col(s"__cl.$k") === col(s"__cr.$k")) ++
+      cond.map(compileFilter(_, resolve))).foldLeft(lit(true))(_ && _)
+    val j = l.join(r, full, joinType)
+    if (joinType == "left" || joinType == "inner")
+      j.select(outCols.map(c =>
+        (if (lCols(c)) col(s"__cl.$c") else col(s"__cr.$c")).as(c)): _*)
+    else j // semi/anti: the left schema, unchanged
+  }
+
   private def compatJoin(left: DataFrame, right: DataFrame,
                          shared: Seq[String], leftNullable: Set[String],
-                         kind: String): DataFrame = {
+                         kind: String, cond: Seq[FilterExpr] = Nil): DataFrame = {
     val nullable = shared.filter(leftNullable)
+    val mergedCols = left.columns.toSeq ++
+      right.columns.toSeq.filterNot(left.columns.contains)
     if (nullable.isEmpty) {
       return kind match {
+        case _ if cond.nonEmpty =>
+          condJoin(left, right, shared, cond,
+            if (kind == "minus") "left_anti" else kind, mergedCols)
         case "inner" => left.join(right, shared)
         case "minus" =>
           if (shared.isEmpty) left else left.join(right, shared, "left_anti")
@@ -1620,11 +1683,20 @@ object Sparql {
       val joined =
         if (merging) {
           val s2 = stratum.drop(nullSet: _*)
-          if (keys.nonEmpty)
+          if (cond.nonEmpty)
+            condJoin(s2, right, keys, cond,
+              if (kind == "left") "left" else "inner", outCols)
+          else if (keys.nonEmpty)
             s2.join(right, keys, if (kind == "left") "left" else "inner")
           else if (kind == "left") s2.join(right, lit(true), "left")
           else s2.crossJoin(right)
-        } else if (keys.nonEmpty)
+        } else if (cond.nonEmpty)
+          // the stratum's null vars merge from the RIGHT side — the
+          // condition must read them there, not the left's null column
+          condJoin(stratum, right, keys, cond,
+            if (kind == "minus") "left_anti" else kind, outCols,
+            preferRight = nullSet.toSet)
+        else if (keys.nonEmpty)
           stratum.join(right, keys, if (kind == "minus") "left_anti" else kind)
         else kind match {
           // dom(μ)∩dom(μ') = ∅ in this stratum: MINUS keeps, EXISTS
@@ -1639,43 +1711,103 @@ object Sparql {
     strata.reduceLeft(_ unionByName _)
   }
 
-  /** [[compatJoin]] `inner` with a possibly-nullable RIGHT side
+  /** [[compatJoin]] with a possibly-nullable RIGHT side
     * (`rightNullable`): the right frame is stratified by its own
     * null-mask first (each right stratum drops its null columns and
     * joins on the remaining shared vars — a right-null var keeps the
-    * left binding, or stays unbound when both sides are null), then
-    * each right stratum runs the left-nullable [[compatJoin]].
+    * left binding, or stays unbound when both sides are null), each
+    * right stratum then running the left-nullable [[compatJoin]].
+    * Per-kind combination of the right strata:
+    *  - `inner`      bag union of the per-stratum merges (each
+    *                 compatible μ' contributes one merged row)
+    *  - `left`       union of the per-stratum merges, PLUS the rows no
+    *                 stratum matched (sequential compat anti-chain) —
+    *                 the exact LeftJoin decomposition
+    *  - `left_semi`  peel: each stratum keeps its matches and passes
+    *                 the residue on (a row matched by two strata must
+    *                 not duplicate)
+    *  - `left_anti`  sequential anti-chain (kept ⇔ no stratum matches)
+    *  - `minus`      same chain with §8.3 dom-disjoint survival per
+    *                 stratum (MINUS over a union block ≡ chained MINUS)
     * `broadcastRight` marks inline/local right sides (VALUES data). */
   private def compatJoinBoth(left: DataFrame, right: DataFrame,
                              shared: Seq[String],
                              leftNullable: Set[String],
                              rightNullable: Set[String],
-                             broadcastRight: Boolean = false): DataFrame = {
-    val outCols = left.columns.toSeq ++
-      right.columns.toSeq.filterNot(left.columns.contains)
+                             kind: String = "inner",
+                             broadcastRight: Boolean = false,
+                             cond: Seq[FilterExpr] = Nil): DataFrame = {
+    val merging = kind == "inner" || kind == "left"
+    val outCols: Seq[String] =
+      if (merging)
+        left.columns.toSeq ++ right.columns.toSeq.filterNot(left.columns.contains)
+      else left.columns.toSeq
     def hint(df: DataFrame): DataFrame = if (broadcastRight) broadcast(df) else df
     val rn = shared.filter(rightNullable)
     if (rn.isEmpty) {
-      val j = if (shared.isEmpty) left.crossJoin(hint(right))
-              else compatJoin(left, hint(right), shared, leftNullable, "inner")
-      return j.select(outCols.map(col): _*)
+      val j = if (shared.isEmpty && kind == "inner" && cond.isEmpty)
+                left.crossJoin(hint(right))
+              else compatJoin(left, hint(right), shared, leftNullable, kind, cond)
+      return if (merging) j.select(outCols.map(col): _*) else j
     }
     require(rn.size + shared.count(leftNullable) <= MaxNullableJoinVars,
       s"compatibility join over ${rn.size + shared.count(leftNullable)} " +
         "maybe-unbound variables exceeds the strata cap")
-    val strata = (0 until (1 << rn.size)).map { m =>
-      val nullSet = rn.zipWithIndex.collect {
-        case (v, i) if (m & (1 << i)) != 0 => v }
-      val boundSet = rn.filterNot(nullSet.contains)
-      val rs = hint(right.where(
-        (nullSet.map(col(_).isNull) ++ boundSet.map(col(_).isNotNull))
-          .reduce(_ && _)).drop(nullSet: _*))
-      val keys = shared.filterNot(nullSet.contains)
-      val j = if (keys.isEmpty) left.crossJoin(rs)
-              else compatJoin(left, rs, keys, leftNullable, "inner")
-      j.select(outCols.map(col): _*)
+    // (right stratum with its null columns dropped, its join keys)
+    val strata: Seq[(DataFrame, Seq[String])] =
+      (0 until (1 << rn.size)).map { m =>
+        val nullSet = rn.zipWithIndex.collect {
+          case (v, i) if (m & (1 << i)) != 0 => v }
+        val boundSet = rn.filterNot(nullSet.contains)
+        val rs = hint(right.where(
+          (nullSet.map(col(_).isNull) ++ boundSet.map(col(_).isNotNull))
+            .reduce(_ && _)).drop(nullSet: _*))
+        (rs, shared.filterNot(nullSet.contains))
+      }
+    def innerOf(l: DataFrame, rs: DataFrame, keys: Seq[String]): DataFrame =
+      (if (keys.isEmpty && cond.isEmpty) l.crossJoin(rs)
+       else compatJoin(l, rs, keys, leftNullable, "inner", cond))
+        .select(outCols.map(col): _*)
+    // "no compatible μ' in this stratum": compat anti; a key-less
+    // CONDITION-free stratum matches everything when non-empty
+    // (broadcast probe) — with a condition the join must see the rows
+    def antiOf(l: DataFrame, rs: DataFrame, keys: Seq[String]): DataFrame =
+      if (keys.isEmpty && cond.isEmpty)
+        l.join(broadcast(rs.limit(1).select(lit(1).as("__e"))), lit(true), "left_anti")
+      else compatJoin(l, rs, keys, leftNullable, "left_anti", cond)
+    kind match {
+      case "inner" =>
+        strata.map { case (rs, keys) => innerOf(left, rs, keys) }
+          .reduceLeft(_ unionByName _)
+      case "left" =>
+        val matched = strata.map { case (rs, keys) => innerOf(left, rs, keys) }
+        val rightTypes = right.schema.map(f => f.name -> f.dataType).toMap
+        val bare = strata.foldLeft(left) { case (acc, (rs, keys)) =>
+          antiOf(acc, rs, keys) }
+          .select(outCols.map(c =>
+            if (left.columns.contains(c)) col(c)
+            else lit(null).cast(rightTypes(c)).as(c)): _*)
+        (matched :+ bare).reduceLeft(_ unionByName _)
+      case "left_semi" =>
+        var residual = left
+        val kept = strata.map { case (rs, keys) =>
+          val k =
+            if (keys.isEmpty && cond.isEmpty)
+              residual.join(broadcast(rs.limit(1).select(lit(1).as("__e"))),
+                lit(true), "left_semi")
+            else compatJoin(residual, rs, keys, leftNullable, "left_semi", cond)
+          residual = antiOf(residual, rs, keys)
+          k
+        }
+        kept.reduceLeft(_ unionByName _)
+      case "left_anti" =>
+        strata.foldLeft(left) { case (acc, (rs, keys)) => antiOf(acc, rs, keys) }
+      case "minus" =>
+        strata.foldLeft(left) { case (acc, (rs, keys)) =>
+          if (keys.isEmpty) acc // dom(μ)∩dom(μ') = ∅ for the whole stratum
+          else compatJoin(acc, rs, keys, leftNullable, "minus")
+        }
     }
-    strata.reduceLeft(_ unionByName _)
   }
 
   /** Post-join nullability of the shared variables: a shared var stays
@@ -1690,6 +1822,39 @@ object Sparql {
   private def undefVars(vb: ValuesBlock): Set[String] =
     vb.vars.zipWithIndex.collect {
       case (v, i) if vb.rows.exists(_(i) == null) => v }.toSet
+
+  /** ALL vars a block can bind (patterns, BINDs, inline data, nested
+    * OPTIONALs, recursively) — the filter-locality surface. */
+  private def blockSurface(b: Block): Set[String] =
+    (b.pats.flatMap(termsOf).collect { case V(n) => n } ++
+      b.binds.map(_._1) ++ b.values.flatMap(_.vars)).toSet ++
+      b.optionals.flatMap(blockSurface)
+
+  /** Split a block's FILTERs into LOCAL ones (every var block-bound —
+    * applied inside [[blockFrame]]) and CROSS-SCOPE ones (referencing
+    * an enclosing-scope var — the §18.2.2.3 LeftJoin / correlated
+    * EXISTS condition, compiled into the join itself by [[condJoin]]).
+    * Parse-time scope checks admit cross-scope filters only for
+    * OPTIONAL and EXISTS blocks. */
+  private def splitFilters(b: Block): (Seq[FilterExpr], Seq[FilterExpr]) = {
+    val surface = blockSurface(b)
+    b.filters.partition(f => varsOfFilter(f).forall(surface.contains))
+  }
+
+  /** A brace block's maybe-unbound SURFACE vars — BIND aliases, vars
+    * introduced only by nested OPTIONALs, UNDEF inline rows — the
+    * static right-side nullable set when the block joins an outer
+    * frame (mirrors [[blockFrame]]'s internal accumulation). */
+  private def blockNullable(b: Block): Set[String] = {
+    def surface(x: Block): Set[String] =
+      (x.pats.flatMap(termsOf).collect { case V(n) => n } ++
+        x.binds.map(_._1) ++ x.values.flatMap(_.vars)).toSet ++
+        x.optionals.flatMap(surface)
+    val patBound = b.pats.flatMap(termsOf).collect { case V(n) => n }.toSet
+    (b.binds.map(_._1).toSet ++
+      b.optionals.flatMap(surface) ++
+      b.values.flatMap(undefVars)) -- patBound
+  }
 
   /** Join a VALUES block's inline data with the solution frame —
     * a broadcast compatibility join ([[compatJoinBoth]]): UNDEF rows
@@ -1797,11 +1962,16 @@ object Sparql {
         val opt = blockFrame(t, block)
         val shared = df.columns.toSeq.intersect(opt.columns.toSeq)
         require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
-        // §18.3 LeftJoin: a solution whose shared var is unbound (an
-        // earlier OPTIONAL missed, a UNION branch padded it) is extended
-        // by every compatible block row — the stratified compat left join
-        df = compatJoin(df, opt, shared, maybeNull, "left")
-        maybeNull = maybeNull ++ (opt.columns.toSeq diff shared)
+        // §18.3 LeftJoin, both sides maybe-unbound: a solution whose
+        // shared var is unbound (an earlier OPTIONAL missed, a UNION
+        // branch padded it) is extended by every compatible block row;
+        // a block row whose shared var is unbound (bound only inside a
+        // NESTED optional / BIND) extends by compatibility too
+        val optN = blockNullable(block)
+        df = compatJoinBoth(df, opt, shared, maybeNull, optN, "left",
+          cond = splitFilters(block)._2)
+        maybeNull = maybeNull ++ (opt.columns.toSeq diff shared) ++
+          shared.filter(optN)
       // BIND sees only the group-so-far (§18.2.2.5 scope): an alias
       // referencing a variable no prior element binds is UNBOUND (the
       // spec reading), not an analysis error; a null input likewise
@@ -1823,19 +1993,21 @@ object Sparql {
         // with ALL shared vars unbound is likewise kept (the all-null
         // stratum of the compat join)
         if (shared.nonEmpty)
-          df = compatJoin(df, m, shared, maybeNull, "minus")
+          df = compatJoinBoth(df, m, shared, maybeNull, blockNullable(block),
+            "minus")
       case GExists(positive, block) =>
         require(df != null, "FILTER EXISTS cannot start a group")
         val e = blockFrame(t, block)
         val shared = df.columns.toSeq.intersect(e.columns.toSeq)
-        df = if (shared.isEmpty) {
+        val cross = splitFilters(block)._2
+        df = if (shared.isEmpty && cross.isEmpty) {
           // no shared variable: pure existence probe — one broadcast row
           // decides the whole frame (never a row-count job on `e`)
           val any = broadcast(e.limit(1).select(lit(1).as("__e")))
           if (positive) df.join(any, lit(true), "left_semi")
           else df.join(any, lit(true), "left_anti")
-        } else compatJoin(df, e, shared, maybeNull,
-          if (positive) "left_semi" else "left_anti")
+        } else compatJoinBoth(df, e, shared, maybeNull, blockNullable(block),
+          if (positive) "left_semi" else "left_anti", cond = cross)
     }
     q.filters.foreach(f => df = df.where(compileFilter(f)))
     if (q.describe.nonEmpty) {

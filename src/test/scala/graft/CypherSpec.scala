@@ -1803,11 +1803,33 @@ class CypherSpec extends SparkSpec {
         |  FILTER EXISTS { ?x <age> ?a . FILTER(?a < 10) } }""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(ex === Seq("b"))
-    // an in-block filter referencing an OUTER variable is rejected
+    // an OPTIONAL filter referencing an OUTER variable is the
+    // three-argument LeftJoin condition (§18.2.2.3): only a (41) knows
+    // someone younger than itself — b and c survive BARE, never drop
+    // (?ya * 1 forces the NUMERIC view — a bare var-var comparison is
+    // lexical over untyped literals)
+    val cross = Sparql.run(triples,
+      """SELECT ?x ?ya WHERE { ?x <age> ?outer .
+        |  OPTIONAL { ?x <knows> ?y . ?y <age> ?ya . FILTER(?ya * 1 < ?outer) } }
+        |ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(cross === Seq(("a", Some("7")), ("b", None), ("c", None)))
+    // correlated EXISTS (outer var in the block filter): who knows
+    // someone younger? — semi-join with the condition inside the join
+    val crossEx = Sparql.run(triples,
+      """SELECT ?x WHERE { ?x <age> ?outer .
+        |  FILTER EXISTS { ?x <knows> ?y . ?y <age> ?ya . FILTER(?ya * 1 < ?outer) } }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(crossEx === Seq("a"))
+    // MINUS and UNION-branch filters stay uncorrelated (§8.3 MINUS has
+    // no substitution; a branch is an independent group): still rejected
     val e = intercept[IllegalArgumentException](Sparql.parse(
       """SELECT ?x WHERE { ?x <age> ?outer .
-        |  OPTIONAL { ?x <knows> ?y . FILTER(?y = ?outer) } }""".stripMargin))
+        |  MINUS { ?x <knows> ?y . FILTER(?y = ?outer) } }""".stripMargin))
     assert(e.getMessage.contains("does not bind"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x WHERE { ?x <age> ?outer .
+        |  { ?x <knows> ?y . FILTER(?y = ?outer) } UNION { ?x <knows> ?y } }""".stripMargin))
     // CONSTRUCT WHERE shorthand (§10.2.3): the WHERE triples are the
     // template; the result graph is a SET
     val cw = Sparql.run(triples,
@@ -2006,15 +2028,36 @@ class CypherSpec extends SparkSpec {
       ("c", None, None)))
     // inner-optional rows never create outer rows (left, not full)
     assert(rows.size === 3)
-    // rejects: a nested var colliding with an outer variable, the same
-    // nested var in two blocks
-    intercept[IllegalArgumentException](Sparql.parse(
-      """SELECT ?x WHERE { ?x <p> ?m . ?w <q> ?z .
-        |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } } }""".stripMargin))
-    intercept[IllegalArgumentException](Sparql.parse(
-      """SELECT ?x WHERE { ?x <p> ?m .
+    // a nested var COLLIDING with an outer pattern var: the block's ?z
+    // is right-nullable — b's block row leaves it unbound (compatible,
+    // keeps the outer z), a's binds z = deep ≠ outer z (incompatible →
+    // bare); §18.3 both-sides stratification
+    val collide = Sparql.run(triples,
+      """SELECT ?x ?z ?y WHERE { ?x <p> ?m . ?w <q> ?z .
+        |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSeq.sorted
+    assert(collide === Seq(
+      ("a", "1", None), ("a", "2", None),
+      ("b", "1", Some("2")), ("b", "2", Some("2")),
+      ("c", "1", None), ("c", "2", None)))
+    // the same nested var in TWO optionals: the second block's z-bound
+    // stratum must agree with the first's binding (deep = deep for a)
+    val twice = Sparql.run(
+      triples.unionByName(Seq(("m", "s", "1")).toDF("s", "p", "o")),
+      """SELECT ?x ?y ?z ?u WHERE { ?x <p> ?m .
         |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } }
-        |OPTIONAL { ?m <s> ?u . OPTIONAL { ?u <r> ?z . } } }""".stripMargin))
+        |OPTIONAL { ?m <s> ?u . OPTIONAL { ?u <r> ?z . } } }""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq.sorted
+    assert(twice === Seq(
+      ("a", Some("1"), Some("deep"), Some("1")),
+      ("b", Some("2"), None, None),
+      ("c", None, None, None)))
+    // an ALIAS collision stays rejected (withColumn would rebind)
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?x WHERE { ?x <p> ?m . BIND(1 + 1 AS ?z)
+        |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } } }""".stripMargin))
   }
 
   test("sparql results JSON: W3C bindings rows, unbound variables omitted") {

@@ -120,6 +120,91 @@ class SparqlCompatSpec extends SparkSpec {
       .sorted === Seq("a", "b"))
   }
 
+  test("right-nullable OPTIONAL: a nested-OPTIONAL binding may re-use an outer var") {
+    // the OPTIONAL block's surface carries ?v bound only in its NESTED
+    // optional — the block row for b leaves ?v unbound and is still
+    // compatible with (and keeps) b's outer binding; a's block row
+    // binds ?v = 9 ≠ 1 and is incompatible, so a survives BARE
+    val t = triples(
+      ("a","p","1"),("a","q","k1"),("k1","r","9"),
+      ("b","p","2"),("b","q","k2"),
+      ("c","p","3"),
+      ("d","p","4"),("d","q","k4"),("k4","r","4"))
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?v ?k WHERE { ?s <p> ?v . OPTIONAL { ?s <q> ?k . OPTIONAL { ?k <r> ?v } } }"))
+      .sorted === Seq("a,1,∅", "b,2,k2", "c,3,∅", "d,4,k4"))
+  }
+
+  test("right-nullable MINUS / EXISTS keys: block rows with unbound shared vars") {
+    val t = triples(
+      ("a","p","1"),("a","q","k1"),("k1","r","9"),
+      ("b","p","2"),("b","q","k2"),
+      ("c","p","3"),
+      ("d","p","4"),("d","q","k4"),("k4","r","4"))
+    // block rows: (a,k1,9) (b,k2,∅) (d,k4,4). a: v 9≠1 incompatible →
+    // kept; b: the v-unbound row matches on ?s → removed; c: no row →
+    // kept; d: exact match → removed
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <p> ?v . MINUS { ?s <q> ?k . OPTIONAL { ?k <r> ?v } } }"))
+      .sorted === Seq("a", "c"))
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <p> ?v . FILTER EXISTS { ?s <q> ?k . OPTIONAL { ?k <r> ?v } } }"))
+      .sorted === Seq("b", "d"))
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <p> ?v . FILTER NOT EXISTS { ?s <q> ?k . OPTIONAL { ?k <r> ?v } } }"))
+      .sorted === Seq("a", "c"))
+  }
+
+  test("cross-scope LeftJoin condition over a maybe-unbound outer var") {
+    val t = triples(
+      ("a","p","1"),("a","m","5"),("a","bonus","9"),
+      ("b","p","1"),("b","m","5"),("b","bonus","3"),
+      ("c","p","1"),("c","bonus","9"),
+      ("d","p","1"),("d","m","2"))
+    // FILTER(?b > ?q) with ?q from an earlier OPTIONAL — both-var
+    // comparisons are LEXICAL over untyped literals (single-digit data
+    // keeps lexical = numeric): a binds (9>5);
+    // b fails (3>5) and survives bare; c's unbound ?q makes the
+    // condition a type error (null) — bare, per §17.2; d has no block
+    // row at all — bare
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s ?q ?b WHERE { ?s <p> ?o . OPTIONAL { ?s <m> ?q }
+        |OPTIONAL { ?s <bonus> ?b . FILTER(?b > ?q) } }""".stripMargin))
+      .sorted === Seq("a,5,9", "b,5,∅", "c,∅,∅", "d,2,∅"))
+    // the same condition under correlated NOT EXISTS: only a has a
+    // qualifying row → dropped; everyone else kept
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <m> ?q }
+        |FILTER NOT EXISTS { ?s <bonus> ?b . FILTER(?b > ?q) } }""".stripMargin))
+      .sorted === Seq("b", "c", "d"))
+  }
+
+  test("property: cross-scope OPTIONAL condition matches the three-arg LeftJoin reference") {
+    val numGraph: Gen[Seq[(String, String, String)]] = {
+      val subj = Gen.oneOf("s0", "s1", "s2", "s3")
+      val num = Gen.chooseNum(0, 5).map(_.toString)
+      val edge = for { s <- subj; p <- Gen.oneOf("p", "q"); o <- num } yield (s, p, o)
+      Gen.chooseNum(4, 14).flatMap(n => Gen.listOfN(n, edge)).map(_.distinct)
+    }
+    forAll(numGraph) { g =>
+      val t = triples(g: _*)
+      val got = rowsOf(Sparql.run(t,
+        "SELECT ?s ?v ?w WHERE { ?s <p> ?v . OPTIONAL { ?s <q> ?w . FILTER(?w > ?v) } }")).sorted
+      val base = g.collect { case (s, "p", v) => Map("s" -> s, "v" -> v) }
+      val block = g.collect { case (s, "q", w) => Map("s" -> s, "w" -> w) }
+      // LeftJoin(Ω1, Ω2, expr): extensions where compatible AND expr
+      // holds on the MERGED binding; bare when none qualifies
+      val ref = base.flatMap { mu =>
+        val ext = block.filter(mp => compatible(mu, mp) &&
+          mp("w").toDouble > mu("v").toDouble).map(mu ++ _)
+        if (ext.isEmpty) Seq(mu) else ext
+      }
+      def show(m: Map[String, String]): String =
+        Seq("s", "v", "w").map(m.getOrElse(_, "∅")).mkString(",")
+      assert(got === ref.map(show).sorted, s"three-arg LeftJoin over $g")
+    }
+  }
+
   // ----- randomized reference replay --------------------------------------
 
   /** Driver-side reference: solutions as var→value maps (unbound vars
@@ -169,6 +254,37 @@ class SparqlCompatSpec extends SparkSpec {
       val existsRef = base.filter(mu => block.exists(compatible(mu, _)))
       assert(runQ("FILTER EXISTS") === existsRef.map(show).sorted,
         s"EXISTS over $g")
+    }
+  }
+
+  test("property: right-nullable OPTIONAL / MINUS match the §18.3 reference") {
+    forAll(genGraph) { g =>
+      val t = triples(g: _*)
+      val base: Seq[Map[String, String]] =
+        g.collect { case (s, "p", v) => Map("s" -> s, "v" -> v) }
+      // block { ?s <q> ?k OPTIONAL { ?k <r> ?v } }: ?v maybe-unbound
+      val block: Seq[Map[String, String]] =
+        g.collect { case (s, "q", k) => (s, k) }.flatMap { case (s, k) =>
+          val vs = g.collect { case (`k`, "r", v) => v }
+          if (vs.isEmpty) Seq(Map("s" -> s, "k" -> k))
+          else vs.map(v => Map("s" -> s, "k" -> k, "v" -> v))
+        }
+      val gotOpt = rowsOf(Sparql.run(t,
+        "SELECT ?s ?v ?k WHERE { ?s <p> ?v . OPTIONAL { ?s <q> ?k . OPTIONAL { ?k <r> ?v } } }")).sorted
+      def show(m: Map[String, String]): String =
+        Seq("s", "v", "k").map(m.getOrElse(_, "∅")).mkString(",")
+      val refOpt = base.flatMap { mu =>
+        val ext = block.filter(compatible(mu, _)).map(mu ++ _)
+        if (ext.isEmpty) Seq(mu) else ext
+      }
+      assert(gotOpt === refOpt.map(show).sorted, s"right-nullable OPTIONAL over $g")
+      val gotMinus = rowsOf(Sparql.run(t,
+        "SELECT ?s ?v WHERE { ?s <p> ?v . MINUS { ?s <q> ?k . OPTIONAL { ?k <r> ?v } } }")).sorted
+      val refMinus = base.filterNot(mu => block.exists(mp =>
+        compatible(mu, mp) && mu.keySet.intersect(mp.keySet).nonEmpty))
+      assert(gotMinus === refMinus.map(m =>
+        Seq("s", "v").map(m.getOrElse(_, "∅")).mkString(",")).sorted,
+        s"right-nullable MINUS over $g")
     }
   }
 
