@@ -4268,6 +4268,44 @@ object Queries {
              |  ON blk.n = nk.n AND (blk.x IS NULL OR blk.x = nk.x)
              |ORDER BY nk.n, blk.c""".stripMargin))),
 
+    // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
+    // on both engines, replayed verbatim.
+    "sparql_hash" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?n (MD5(?n) AS ?h5) (SHA256(?n) AS ?sh) WHERE {
+            |  ?n <key> ?k } ORDER BY ?n""".stripMargin),
+      Some("""SELECT n, md5(n) AS h5, sha256(n) AS sh
+             |FROM (SELECT 'nation/' || n_name AS n FROM nation)
+             |ORDER BY n""".stripMargin))),
+
+    // §9.1 negated property set COMPOSED with §18.4 Kleene: (!(…))*
+    // walks the COMPLEMENT edge set from a constant seed (BFS regime).
+    // Excluding segment/bigspender/suppliesFrom/rdf:type leaves
+    // fromNation ∪ locatedIn ∪ key — reach = the customer itself
+    // (zero-length), its nation, the nation's region and key literal.
+    "sparql_path_negated_star" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?x WHERE {
+            |  <customer/1> !(<segment>|<bigspender>|<suppliesFrom>|a)* ?x .
+            |} ORDER BY ?x""".stripMargin),
+      Some("""WITH RECURSIVE comp AS (
+             |  SELECT DISTINCT a, b FROM (
+             |    SELECT 'customer/' || c_custkey AS a, 'nation/' || n_name AS b
+             |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |    UNION ALL
+             |    SELECT 'nation/' || n_name, 'region/' || r_name
+             |    FROM nation JOIN region ON n_regionkey = r_regionkey
+             |    UNION ALL
+             |    SELECT 'nation/' || n_name, CAST(n_nationkey AS VARCHAR)
+             |    FROM nation)),
+             |reach(x) AS (
+             |  SELECT 'customer/1'
+             |  UNION
+             |  SELECT comp.b FROM reach JOIN comp ON comp.a = reach.x)
+             |SELECT x FROM reach ORDER BY x""".stripMargin))),
+
     // GROUP BY with no aggregate projections (§18.2.4.1): one solution
     // per group — the distinct market segments.
     "sparql_group_noagg" -> ((

@@ -51,7 +51,10 @@ import org.apache.spark.sql.functions._
  *    (try_cast numeric view — type error = unbound, never a query
  *    failure), CONCAT / STR / STRLEN / UCASE / LCASE / SUBSTR /
  *    REPLACE (regex) / COALESCE / STRBEFORE / STRAFTER / ABS / ROUND /
- *    CEIL / FLOOR / IF(cond, e, e); no rebinding, no forward refs
+ *    CEIL / FLOOR / IF(cond, e, e) / MD5 / SHA1 / SHA256 / SHA384 /
+ *    SHA512 (§17.4.4 hashes, lowercase hex over the UTF-8 string
+ *    form) / ENCODE_FOR_URI (§17.4.2.8, RFC 3986 percent-encoding);
+ *    no rebinding, no forward refs
  *  - `FILTER (expr)` with `=`, `!=`, `<`, `<=`, `>`, `>=`, `&&`, `||`,
  *    `!`, parentheses over full scalar expressions; boolean builtins
  *    REGEX (with the `"i"` flag), STRSTARTS, STRENDS, CONTAINS,
@@ -112,7 +115,9 @@ import org.apache.spark.sql.functions._
  *    the graph (subject∪object positions, the Jena reading of
  *    "terms in G"). Negated property sets `!p` / `!(p1|^p2|…)` (§9.1)
  *    compile to NOT-isin scan filters — inverse members become an
- *    endpoint-swapped scan unioned with the forward half. Kleene and
+ *    endpoint-swapped scan unioned with the forward half, and Kleene
+ *    modifiers COMPOSE over negated sets (`(!p)*` walks the complement
+ *    edge set through the same §18.4 fixpoint). Kleene and
  *    alternation modifiers compose INSIDE multi-step sequences
  *    (`p/q*` and the starred-head form — the PathPat chains through
  *    the `__path` intermediates); variable PREDICATES inside
@@ -160,8 +165,10 @@ object Sparql {
   sealed trait Pat
   final case class Pattern(s: Term, p: Term, o: Term) extends Pat
   /** Kleene path step: `+` (zero = false), `*` (zero = true) or `?`
-    * (zero = true, single = true) over a constant predicate set. */
-  final case class PathPat(s: Term, preds: Seq[String], inverse: Boolean,
+    * (zero = true, single = true) over a predicate step term — a
+    * constant, an alternation set, or a NEGATED property set (§9.1
+    * composed with §18.4: `(!p)*` walks the complement edge set). */
+  final case class PathPat(s: Term, step: Term, inverse: Boolean,
                            zero: Boolean, single: Boolean, o: Term) extends Pat
   private def termsOf(p: Pat): Seq[Term] = p match {
     case Pattern(s, pr, o) => Seq(s, pr, o)
@@ -370,7 +377,8 @@ object Sparql {
     // builtins (FILTER atoms)
     val exprFns = Set("CONCAT", "STR", "STRLEN", "UCASE", "LCASE",
       "SUBSTR", "REPLACE", "COALESCE", "STRBEFORE", "STRAFTER",
-      "ABS", "ROUND", "CEIL", "FLOOR")
+      "ABS", "ROUND", "CEIL", "FLOOR",
+      "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI")
     val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
       "ISNUMERIC")
 
@@ -415,7 +423,9 @@ object Sparql {
           val arity: PartialFunction[String, Boolean] = {
             case "CONCAT" | "COALESCE" => args.nonEmpty
             case "STR" | "STRLEN" | "UCASE" | "LCASE" |
-                 "ABS" | "ROUND" | "CEIL" | "FLOOR" => args.size == 1
+                 "ABS" | "ROUND" | "CEIL" | "FLOOR" |
+                 "MD5" | "SHA1" | "SHA256" | "SHA384" | "SHA512" |
+                 "ENCODE_FOR_URI" => args.size == 1
             case "SUBSTR" => args.size == 2 || args.size == 3
             case "REPLACE" => args.size == 3
             case "STRBEFORE" | "STRAFTER" => args.size == 2
@@ -788,7 +798,7 @@ object Sparql {
           case None =>
             out += (if (inv) Pattern(nxt, pt, cur) else Pattern(cur, pt, nxt))
           case Some(m) =>
-            out += PathPat(cur, altValues(pt), inv,
+            out += PathPat(cur, pt, inv,
               zero = m != '+', single = m == '?', nxt)
         }
         cur = nxt
@@ -1290,11 +1300,29 @@ object Sparql {
    * variable pair binds every term of the graph (subject∪object).
    */
   private def kleeneFrame(triples: DataFrame, pp: PathPat): DataFrame = {
-    val raw = triples.where(
-      if (pp.preds.size == 1) col("p") === pp.preds.head
-      else col("p").isin(pp.preds: _*))
-    val step = (if (pp.inverse) raw.select(col("o").as("a"), col("s").as("b"))
-                else raw.select(col("s").as("a"), col("o").as("b")))
+    // the one-hop edge set of the step term: constant/alternation →
+    // isin scan; negated set → NOT-isin scan (inverse members add the
+    // endpoint-swapped complement half, §9.1's PathOneInPropertySet
+    // split — same shape as patFrame's non-Kleene handling)
+    val fwd0 = pp.step match {
+      case Const(v) => triples.where(col("p") === v)
+        .select(col("s").as("a"), col("o").as("b"))
+      case AnyOf(vs) => triples.where(col("p").isin(vs: _*))
+        .select(col("s").as("a"), col("o").as("b"))
+      case NotOf(vs, Seq()) => triples.where(!col("p").isin(vs: _*))
+        .select(col("s").as("a"), col("o").as("b"))
+      case NotOf(vs, inv) =>
+        val f = if (vs.nonEmpty)
+          Seq(triples.where(!col("p").isin(vs: _*))
+            .select(col("s").as("a"), col("o").as("b"))) else Nil
+        (f :+ triples.where(!col("p").isin(inv: _*))
+          .select(col("o").as("a"), col("s").as("b")))
+          .reduceLeft(_ unionByName _)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Kleene step term $other")
+    }
+    val step = (if (pp.inverse) fwd0.select(col("b").as("a"), col("a").as("b"))
+                else fwd0)
       .distinct().localCheckpoint(true)
 
     // expand `frontier` one hop along `edges`, dropping rows already in
@@ -1507,6 +1535,21 @@ object Sparql {
             .otherwise(lit(""))
         // numeric builtins (§17.4.4) on the try_cast numeric view;
         // ROUND is half-away-from-zero on both engines
+        // §17.4.4.x hash functions over the UTF-8 bytes of the string
+        // form — lowercase hex on both engines
+        case "MD5" => md5(arg(0).cast("binary"))
+        case "SHA1" => sha1(arg(0).cast("binary"))
+        case "SHA256" => sha2(arg(0).cast("binary"), 256)
+        case "SHA384" => sha2(arg(0).cast("binary"), 384)
+        case "SHA512" => sha2(arg(0).cast("binary"), 512)
+        // §17.4.2.8: RFC 3986 percent-encoding with unreserved
+        // A-Za-z0-9-_.~ — java form-encoding differs on exactly
+        // space/'~'/'*', fixed up post-hoc
+        case "ENCODE_FOR_URI" =>
+          regexp_replace(regexp_replace(regexp_replace(
+            url_encode(arg(0).cast("string")),
+            lit("\\+"), lit("%20")), lit("%7E"), lit("~")),
+            lit("\\*"), lit("%2A"))
         case "ABS" => abs(arg(0).try_cast("double"))
         case "ROUND" => round(arg(0).try_cast("double"), 0)
         case "CEIL" => ceil(arg(0).try_cast("double")).cast("double")

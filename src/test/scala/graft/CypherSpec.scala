@@ -1540,6 +1540,18 @@ class CypherSpec extends SparkSpec {
         |  BIND(REPLACE(LCASE(SUBSTR(?n, 1, 2)), "n+", "N") AS ?v) }""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(s2 === Seq("aN"))
+    // §17.4.4 hashes (known vectors) + §17.4.2.8 percent-encoding
+    val hashed = Sparql.run(triples,
+      """SELECT ?h5 ?h1 ?h256 ?enc WHERE { <a> <name> ?n .
+        |  BIND(MD5("abc") AS ?h5) BIND(SHA1("abc") AS ?h1)
+        |  BIND(SHA256("abc") AS ?h256)
+        |  BIND(ENCODE_FOR_URI("Los Angeles/~*") AS ?enc) }""".stripMargin)
+      .collect()(0)
+    assert(hashed.getString(0) === "900150983cd24fb0d6963f7d28e17f72")
+    assert(hashed.getString(1) === "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(hashed.getString(2) ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(hashed.getString(3) === "Los%20Angeles%2F~%2A")
     // rebinding and forward references are parse-time errors
     val e1 = intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { ?x <age> ?a . BIND(1 + 1 AS ?a) }"))
@@ -1650,9 +1662,14 @@ class CypherSpec extends SparkSpec {
     // forward: (b,c) likes, (c,a) sees; inverse: (b,a) from a-knows-b,
     // (c,b) from b-likes-c — (a,c) from c-sees-a is excluded (q=sees)
     assert(mixed === Seq(("b", "a"), ("b", "c"), ("c", "a"), ("c", "b")))
-    // still no modifiers on negated sets
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?x ?y WHERE { ?x !(<knows>|^<sees>)+ ?y . }"))
+    // Kleene COMPOSES with negated sets (§9.1 + §18.4): the closure of
+    // the mixed complement step set above adds the two-hop returns
+    // (b,b) and (c,c); a has no outgoing complement edge
+    val negPlus = Sparql.run(triples,
+      "SELECT ?x ?y WHERE { ?x !(<knows>|^<sees>)+ ?y . } ORDER BY ?x ?y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(negPlus === Seq(("b", "a"), ("b", "b"), ("b", "c"),
+      ("c", "a"), ("c", "b"), ("c", "c")))
   }
 
   test("sparql GROUP_CONCAT / SAMPLE / HAVING and the new builtins") {
