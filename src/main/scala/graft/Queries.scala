@@ -4268,6 +4268,19 @@ object Queries {
              |  ON blk.n = nk.n AND (blk.x IS NULL OR blk.x = nk.x)
              |ORDER BY nk.n, blk.c""".stripMargin))),
 
+    // §18.2.5 OrderBy runs BEFORE projection: the sort keys ?g ?n are
+    // NOT projected — the page is cut on the full-frame order, then
+    // projected down to ?c.
+    "sparql_order_nonprojected" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c WHERE { ?c <segment> ?g . ?c <fromNation> ?n . }
+            |ORDER BY ?g ?n ?c LIMIT 150""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c_mktsegment, 'nation/' || n_name,
+             |  'customer/' || c_custkey LIMIT 150""".stripMargin))),
+
     // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
     // on both engines, replayed verbatim.
     "sparql_hash" -> ((

@@ -681,6 +681,11 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
               val rv = fresh("r")
               val target = fresh("n")
               df = step(df, prev, rv, prevR, target, targetIsBound = false)
+              // inline property predicates apply to EVERY traversed hop
+              // (openCypher: `-[r:T*1..2 {k: v}]->` constrains each
+              // relationship of the walk, not just one)
+              propFilter(rv, rel.properties, Scope(ctx.scope))
+                .foreach(c => df = df.filter(c))
               pnCol.foreach { _ =>
                 df = df
                   .withColumn(pnCol.get, concat(col(pnCol.get), array(col(target))))

@@ -95,8 +95,9 @@ import org.apache.spark.sql.functions._
  *    OrderBy/Projection/Distinct/Slice modifiers; any variable is
  *    legal, non-result vars are dropped by the projection)
  *  - `ORDER BY [ASC|DESC](expr) …` with full scalar-expression sort
- *    keys over the projected frame (a non-projected sort variable is
- *    rejected — our project → distinct → order sequence can't see it),
+ *    keys; §18.2.5 orders BEFORE projection, so NON-projected sort
+ *    variables are legal — except under SELECT DISTINCT, which may
+ *    only order by projected variables (§15.1, rejected);
  *    `OFFSET n`, `LIMIT n`
  *  - property paths in the predicate position: `^p` inverse, `p1/p2`
  *    sequence (composable, e.g. `^p1/p2`), and the `a` rdf:type
@@ -1137,13 +1138,21 @@ object Sparql {
       require(form == "SELECT",
         "a trailing VALUES clause is only supported on SELECT queries")
     }
-    // ORDER BY expressions run over the projected frame (our sequence
-    // is project → distinct → order, so a sort key must be projected;
-    // SPARQL's order-before-project reading of a non-projected sort var
-    // is a documented divergence — reject rather than mis-answer)
+    // ORDER BY scope (§18.2.5 orders BEFORE projection): any result
+    // frame variable for a plain SELECT; a SELECT DISTINCT may only
+    // order by PROJECTED variables (the §15.1 restriction — distinct
+    // runs after projection and would destroy a richer order)
+    val sortScope: Set[String] =
+      if (distinct) projection.toSet
+      else if (aggs.nonEmpty || groupBy.nonEmpty)
+        (groupBy ++ aggs.map(_.alias) ++ selExprs.map(_._1)).toSet
+      else known.toSet ++ selExprs.map(_._1)
     order.foreach { case (e, _) => varsOfExpr(e).foreach(v =>
-      require(projection.contains(v),
-        s"ORDER BY references ?$v, which is not projected")) }
+      require(sortScope.contains(v),
+        if (distinct)
+          s"ORDER BY references ?$v: SELECT DISTINCT may only order by " +
+            "projected variables (SPARQL 1.1 §15.1)"
+        else s"ORDER BY references ?$v, which the result frame does not bind")) }
     aggs.flatMap(_.arg).flatMap(varsOfExpr)
       .foreach(v => require(known.contains(v), s"unknown variable ?$v"))
     // GROUP BY expression keys: the expression reads the pre-agg frame;
@@ -2162,11 +2171,20 @@ object Sparql {
     // aggregated) frame in declaration order — each sees the earlier
     // aliases; a null input propagates to an unbound alias, as in BIND
     q.selectExprs.foreach { case (v, e) => df = df.withColumn(v, compileExpr(e)) }
-    df = df.select(q.projection.map(col): _*)
-    if (q.distinct) df = df.distinct()
-    if (q.orderBy.nonEmpty)
-      df = df.orderBy(q.orderBy.map { case (e, asc) =>
+    // §18.2.5 sequence: OrderBy → Projection → Distinct — a non-DISTINCT
+    // query may order by non-projected vars (the sort runs on the full
+    // frame, the projection is order-preserving); DISTINCT projects and
+    // dedups first (its sort keys are parse-pinned to the projection)
+    def applyOrder(frame: DataFrame): DataFrame =
+      frame.orderBy(q.orderBy.map { case (e, asc) =>
         val c = compileExpr(e); if (asc) c.asc else c.desc }: _*)
+    if (q.distinct) {
+      df = df.select(q.projection.map(col): _*).distinct()
+      if (q.orderBy.nonEmpty) df = applyOrder(df)
+    } else {
+      if (q.orderBy.nonEmpty) df = applyOrder(df)
+      df = df.select(q.projection.map(col): _*)
+    }
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     df

@@ -624,6 +624,14 @@ class CypherSpec extends SparkSpec {
         "RETURN b.id AS bid, size(r) AS n")
     assert(zero.where(col("n") === 0).count() === 1) // the identity branch
     assert(zero.where(col("n") === 0).select("bid").head().getString(0) === "4")
+    // inline property predicates constrain EVERY hop of the walk:
+    // edge id '0' is the single 10—13 NEIGHBORS edge, so only the two
+    // 1-hop orientations qualify (a 2-hop walk would need the same
+    // edge twice — hop-uniqueness forbids it)
+    val propWalk = Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS*1..2 {id: '0'}]-(b) RETURN a.id AS aid, b.id AS bid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(propWalk === Set(("10", "13"), ("13", "10")))
     // rebinding an existing variable is still rejected
     intercept[CypherParseException] {
       Cypher.run(g, "MATCH (r)-[r:NEIGHBORS*1..2]-(b) RETURN b.id")
@@ -2262,10 +2270,16 @@ class CypherSpec extends SparkSpec {
       "SELECT ?n WHERE { ?x <name> ?n . } ORDER BY DESC(STRLEN(?n)) ?n")
       .collect().map(_.getString(0)).toSeq
     assert(byLen === Seq("Ann", "Bo"))
-    // a non-projected sort variable is rejected (documented divergence:
-    // our sequence is project -> distinct -> order)
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?x WHERE { ?x <qty> ?q . } ORDER BY DESC(?q)"))
+    // §18.2.5 orders BEFORE projection: a NON-projected sort variable
+    // is legal on a plain SELECT (b's qty 3 sorts first under DESC)
+    val nonProj = Sparql.run(triples,
+      "SELECT ?x WHERE { ?x <qty> ?q . } ORDER BY DESC(?q)")
+      .collect().map(_.getString(0)).toSeq
+    assert(nonProj === Seq("b", "a"))
+    // …but SELECT DISTINCT may only order by projected vars (§15.1)
+    val eD = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT DISTINCT ?x WHERE { ?x <qty> ?q . } ORDER BY DESC(?q)"))
+    assert(eD.getMessage.contains("DISTINCT"))
     // rejects: rebinding an existing variable, referencing a
     // non-grouped var post-aggregation, SELECT * with an expression,
     // unknown variable
