@@ -4281,6 +4281,48 @@ object Queries {
              |ORDER BY c_mktsegment, 'nation/' || n_name,
              |  'customer/' || c_custkey LIMIT 150""".stripMargin))),
 
+    // GRAPH ?g (§13.3) over the per-region quad fixture: ranges the
+    // named-graph set, binds ?g per solution, groups per (graph,
+    // segment) — the per-graph scoped aggregation shape.
+    "sparql_graph_var" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlQuads(s, d),
+          """SELECT ?g ?seg (COUNT(?c) AS ?n) WHERE {
+            |  GRAPH ?g { ?c <segment> ?seg } }
+            |GROUP BY ?g ?seg ORDER BY ?g ?seg""".stripMargin),
+      Some("""SELECT 'graph/' || r_name AS g, c_mktsegment AS seg,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2 ORDER BY g, seg""".stripMargin))),
+
+    // GRAPH <iri> pins one named graph; the surrounding pattern reads
+    // the DEFAULT graph — ASIA customers joined to their nation keys.
+    "sparql_graph_const" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlQuads(s, d),
+          """SELECT ?c ?n ?k WHERE {
+            |  GRAPH <graph/ASIA> { ?c <fromNation> ?n }
+            |  ?n <key> ?k
+            |} ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c, 'nation/' || n_name AS n,
+             |  CAST(n_nationkey AS VARCHAR) AS k
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' ORDER BY c LIMIT 150""".stripMargin))),
+
+    // FROM (§13.2): the named graph MERGES into the default graph —
+    // the plain pattern reads graph/EUROPE's statements.
+    "sparql_from" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlQuads(s, d),
+          """SELECT ?c ?seg FROM <graph/EUROPE> WHERE {
+            |  ?c <segment> ?seg } ORDER BY ?c LIMIT 150""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c, c_mktsegment AS seg
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE' ORDER BY c LIMIT 150""".stripMargin))),
+
     // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
     // on both engines, replayed verbatim.
     "sparql_hash" -> ((
@@ -4575,6 +4617,32 @@ object Queries {
     * nationality, nation location, customer segment, nation key (an
     * integer literal for numeric FILTERs) and the PARTIAL bigspender
     * predicate (only acctbal > 9000 — exercises OPTIONAL). */
+  /** Quad fixture for the SPARQL dataset surface (§13): per-REGION
+    * named graphs `graph/<R>` carry the customer segment/fromNation
+    * statements of that region's customers; nation locatedIn/key
+    * statements live in the DEFAULT graph (g null). */
+  private def sparqlQuads(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+    def q(gC: Column, sC: Column, p: String, oC: Column) =
+      Seq(gC.as("g"), sC.as("s"), lit(p).as("p"), oC.as("o"))
+    val cr = c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+    val seg = cr.select(q(concat(lit("graph/"), col("r_name")),
+      concat(lit("customer/"), col("c_custkey")), "segment",
+      col("c_mktsegment")): _*)
+    val fn = cr.select(q(concat(lit("graph/"), col("r_name")),
+      concat(lit("customer/"), col("c_custkey")), "fromNation",
+      concat(lit("nation/"), col("n_name"))): _*)
+    val li = n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(q(lit(null).cast(StringType),
+        concat(lit("nation/"), col("n_name")), "locatedIn",
+        concat(lit("region/"), col("r_name"))): _*)
+    val key = n.select(q(lit(null).cast(StringType),
+      concat(lit("nation/"), col("n_name")), "key",
+      col("n_nationkey").cast(StringType)): _*)
+    seg.unionByName(fn).unionByName(li).unionByName(key)
+  }
+
   private def sparqlTriples(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
     def tr(sC: Column, p: String, oC: Column) =

@@ -154,6 +154,43 @@ object GraphSources {
     parseRdfTriples(spark.read.text(path), isDirected)
 
   /**
+   * N-Quads lines → a (g, s, p, o) QUAD frame for the SPARQL dataset
+   * surface ([[graft.sparql.Sparql.run]] §13): `s p o [g] .` — the
+   * optional fourth term names the graph, its absence (a plain
+   * N-Triples line) lands the statement in the DEFAULT graph (g null).
+   * Same `<iri>` / `"literal"` / bare-token cleaning as
+   * [[parseRdfTriples]]; comment and blank lines skipped. One
+   * regex-projected scan — no UDFs, pushdown-friendly.
+   */
+  def parseRdfQuads(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val l = trim(col(lineCol))
+    // the graph term must not BE the terminating dot (a bare '.' ends
+    // the statement; graph labels never start with one)
+    val pat = "^(<[^>]*>|\\S+)\\s+(<[^>]*>|\\S+)\\s+" +
+      "(<[^>]*>|\"[^\"]*\"|\\S+)(?:\\s+(<[^>]*>|[^.\\s]\\S*))?\\s*\\.?\\s*$"
+    def clean(c: org.apache.spark.sql.Column) =
+      when(c.startsWith("<"), regexp_replace(c, "^<|>$", ""))
+        .when(c.startsWith("\""), regexp_extract(c, "^\"(.*)\"", 1))
+        .otherwise(c)
+    lines
+      .where(length(l) > 0 && !l.startsWith("#"))
+      .select(
+        regexp_extract(l, pat, 4).as("g"),
+        regexp_extract(l, pat, 1).as("s"),
+        regexp_extract(l, pat, 2).as("p"),
+        regexp_extract(l, pat, 3).as("o"))
+      .where(col("s") =!= "" && col("p") =!= "" && col("o") =!= "")
+      .select(
+        when(col("g") === "", lit(null)).otherwise(clean(col("g"))).as("g"),
+        clean(col("s")).as("s"), clean(col("p")).as("p"),
+        clean(col("o")).as("o"))
+  }
+
+  /** File-based N-Quads ingest — see [[parseRdfQuads]]. */
+  def readRdfQuads(spark: SparkSession, path: String): DataFrame =
+    parseRdfQuads(spark.read.text(path))
+
+  /**
    * `sdhdfs` graph export (reference frontend
    * `JasmineGraphFrontEndProtocol.cpp:29`, `send_graph_hdfs_command`):
    * the reference exports each worker's shard and merges them into one

@@ -123,6 +123,19 @@ import org.apache.spark.sql.functions._
  *    (`p/q*` and the starred-head form — the PathPat chains through
  *    the `__path` intermediates); variable PREDICATES inside
  *    multi-step paths remain parse-rejected
+ *  - RDF DATASETS (§13) over a (g, s, p, o) QUAD frame (the g-null
+ *    rows form the default graph, distinct non-null g values the named
+ *    graphs; [[graft.sources.GraphSources.parseRdfQuads]] ingests
+ *    N-Quads): `GRAPH <iri> { … }` evaluates the full block algebra
+ *    over one pre-restricted graph view; `GRAPH ?g { … }` ranges over
+ *    the named-graph set with §13.3 same-graph scoping (every pattern
+ *    binds the g column — the block's equi-joins pin one graph per
+ *    solution, ?g surfaces as a solution variable; property paths
+ *    there are rejected — pin the graph instead); dataset clauses
+ *    `FROM <iri>` (merges into the default graph) and
+ *    `FROM NAMED <iri>` (restricts the named set; only-FROM leaves it
+ *    empty, §13.2). A plain (s, p, o) triple frame keeps the exact
+ *    pre-dataset behavior, with GRAPH / FROM cleanly rejected
  *  - §18.3 solution-compatibility joins throughout: a shared variable
  *    that can arrive UNBOUND (padded out of a UNION branch, introduced
  *    by OPTIONAL or BIND, UNDEF inline rows, a subquery aggregate
@@ -269,7 +282,9 @@ object Sparql {
                          selectExprs: Seq[(String, SExpr)] = Seq.empty,
                          groupExprs: Seq[(String, SExpr)] = Seq.empty,
                          trailingValues: Option[ValuesBlock] = None,
-                         groupElems: Seq[GElem] = Seq.empty)
+                         groupElems: Seq[GElem] = Seq.empty,
+                         fromGraphs: Seq[String] = Seq.empty,
+                         fromNamed: Seq[String] = Seq.empty)
 
   /** One order-sensitive group element. SPARQL 1.1 §18.2.2.6 folds a
     * group graph pattern LEFT-TO-RIGHT: Join elements (BGP runs,
@@ -289,6 +304,11 @@ object Sparql {
   final case class GValues(vb: ValuesBlock) extends GElem
   final case class GSub(text: String) extends GElem
   final case class GBind(v: String, e: SExpr) extends GElem
+  /** `GRAPH <iri> { … }` / `GRAPH ?g { … }` (§13.3): the block's
+    * patterns match ONE named graph — a constant pins it, a variable
+    * ranges over the named-graph set (every pattern in the block binds
+    * the same ?g, which surfaces as a solution variable). */
+  final case class GGraph(g: Term, b: Block) extends GElem
 
   // ----- Parser (recursive descent over a simple token stream) -------------
   private def tokenize(q: String): List[String] = {
@@ -603,9 +623,22 @@ object Sparql {
     }
     val hasWhere = form != "DESCRIBE" ||
       (ts.nonEmpty && peek.equalsIgnoreCase("WHERE"))
+    // dataset clauses (§13.2): FROM <iri> merges that graph into the
+    // DEFAULT graph; FROM NAMED <iri> admits it to the named-graph set
+    val fromGraphs = scala.collection.mutable.ListBuffer.empty[String]
+    val fromNamed = scala.collection.mutable.ListBuffer.empty[String]
     while (form == "SELECT" && !peek.equalsIgnoreCase("WHERE")) {
       val t = pop()
-      if (t == "*") star = true
+      if (t.equalsIgnoreCase("FROM")) {
+        val named = peek.equalsIgnoreCase("NAMED") && { pop(); true }
+        val iri = term(pop()) match {
+          case Const(v) => v
+          case other => throw new IllegalArgumentException(
+            s"FROM needs an <iri>, got $other")
+        }
+        if (named) fromNamed += iri else fromGraphs += iri
+      }
+      else if (t == "*") star = true
       else if (t == "(") {
         // ( FN([DISTINCT] expr | *) AS ?alias ) — the SPARQL 1.1
         // aggregate form (§11.1, GROUP_CONCAT takes an optional
@@ -935,6 +968,16 @@ object Sparql {
           expect("("); filters += parseFilter(); expect(")")
         }
         if (peek == ".") pop()
+      } else if (peek.equalsIgnoreCase("GRAPH")) {
+        // GRAPH term { patterns … } (§13.3) — a Join element over one
+        // named graph (constant) or the named-graph set (variable)
+        pop()
+        val gTerm = term(pop())
+        require(gTerm.isInstanceOf[V] || gTerm.isInstanceOf[Const],
+          s"GRAPH needs an <iri> or ?var, got $gTerm")
+        val gb = braceBlock()
+        groupElems += GGraph(gTerm, gb)
+        if (peek == ".") pop()
       } else if (peek.equalsIgnoreCase("OPTIONAL")) {
         pop()
         val ob = braceBlock()
@@ -1038,16 +1081,18 @@ object Sparql {
       }
       else throw new IllegalArgumentException(s"unexpected trailing token '$t'")
     }
+    val graphElems = groupElems.collect { case g: GGraph => g }
     require(!hasWhere || patterns.nonEmpty || unionBranches.nonEmpty ||
-      subqueries.nonEmpty,
+      subqueries.nonEmpty || graphElems.nonEmpty,
       "WHERE block needs at least one triple pattern")
     // `__path*` intermediates exist only to chain path steps: invisible
     // to `*` projections and not addressable by name
     val patternVars = ((patterns ++ unionBranches.flatMap(_.pats) ++
-      optionals.flatMap(_.pats))
+      optionals.flatMap(_.pats) ++ graphElems.flatMap(_.b.pats))
       .flatMap(termsOf)
       .collect { case V(n) if !n.startsWith("__path") => n } ++
-      valuesBlocks.flatMap(_.vars) ++ subProjections).distinct
+      valuesBlocks.flatMap(_.vars) ++ subProjections ++
+      graphElems.collect { case GGraph(V(n), _) => n }).distinct
     // BIND aliases: no rebinding (SPARQL 1.1 §10.1), expressions may only
     // reference pattern variables and EARLIER aliases
     var bindScope = patternVars
@@ -1065,7 +1110,7 @@ object Sparql {
     // is the normal per-branch computation (null-padded on union)
     val unionAliases = unionBranches.flatMap(_.binds.map(_._1)).distinct
     val otherAliases = (optionals ++ minuses ++
-      existsFilters.map(_._2)).flatMap(_.binds.map(_._1))
+      existsFilters.map(_._2) ++ graphElems.map(_.b)).flatMap(_.binds.map(_._1))
     val combined = otherAliases ++ unionAliases
     require(combined.distinct.size == combined.size,
       "duplicate block BIND alias")
@@ -1092,13 +1137,15 @@ object Sparql {
     // collision stays rejected — the alias's withColumn would silently
     // rebind the nested column.
     val nestedAll = (optionals ++ unionBranches ++ minuses ++
-      existsFilters.map(_._2)).flatMap(nestedOnly).distinct
+      existsFilters.map(_._2) ++ graphElems.map(_.b)).flatMap(nestedOnly).distinct
     nestedAll.foreach(v => require(
       !binds.map(_._1).contains(v) && !combined.contains(v),
       s"a nested OPTIONAL re-uses alias ?$v (rename one of them)"))
     val known = bindScope ++
       optionals.flatMap(_.binds.map(_._1)) ++ unionAliases ++
-      (optionals ++ unionBranches).flatMap(nestedOnly).distinct
+      graphElems.flatMap(_.b.binds.map(_._1)) ++
+      (optionals ++ unionBranches ++ graphElems.map(_.b))
+        .flatMap(nestedOnly).distinct
     describeTerms.foreach {
       case V(n) => require(known.contains(n), s"unknown variable ?$n")
       case _ => ()
@@ -1223,6 +1270,22 @@ object Sparql {
       b.minusBlocks.foreach(checkBlock(_, s"MINUS (in $ctx)", outer ++ surface))
     }
     val topScope = known.toSet
+    graphElems.foreach { ge =>
+      checkBlock(ge.b, "GRAPH", topScope)
+      if (ge.g.isInstanceOf[V]) {
+        // a Kleene fixpoint is evaluated over ONE pre-restricted graph
+        // view; with a graph VARIABLE the per-graph scoping would need
+        // the fixpoint per named graph — reject rather than mis-answer
+        def noPaths(b: Block): Unit = {
+          require(!b.pats.exists(_.isInstanceOf[PathPat]),
+            "property paths inside GRAPH ?var are unsupported (pin the " +
+              "graph: GRAPH <iri>)")
+          b.optionals.foreach(noPaths); b.minusBlocks.foreach(noPaths)
+          b.existsBlocks.foreach(e => noPaths(e._2))
+        }
+        noPaths(ge.b)
+      }
+    }
     unionBranches.foreach(checkBlock(_, "UNION", topScope))
     optionals.foreach(checkBlock(_, "OPTIONAL", topScope))
     minuses.foreach(checkBlock(_, "MINUS", topScope))
@@ -1249,7 +1312,8 @@ object Sparql {
       binds = binds.toList, describe = describeTerms.toList,
       having = having, subqueries = subqueries.toList,
       selectExprs = selExprs.toList, groupExprs = groupExprs.toList,
-      trailingValues = trailingValues, groupElems = groupElems.toList)
+      trailingValues = trailingValues, groupElems = groupElems.toList,
+      fromGraphs = fromGraphs.toList, fromNamed = fromNamed.toList)
   }
 
   // ----- Execution ---------------------------------------------------------
@@ -1281,9 +1345,14 @@ object Sparql {
   }
 
   /** One triple pattern → constant-filtered scan projected to its
-    * variables (repeated variables constrain equality in-pattern). */
-  private def patternFrame(triples: DataFrame, pat: Pattern): DataFrame =
-    bindVars(triples, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
+    * variables (repeated variables constrain equality in-pattern).
+    * Inside `GRAPH ?g` the quad frame's g column binds the graph var —
+    * every pattern of the block carries it, so the block's natural
+    * equi-joins pin all patterns to ONE named graph (§13.3). */
+  private def patternFrame(triples: DataFrame, pat: Pattern,
+                           gVar: Option[String] = None): DataFrame =
+    bindVars(triples, gVar.map(n => "g" -> (V(n): Term)).toSeq ++
+      Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
 
   /** Fixpoint safety cap: semi-naive expansion adds ≥1 hop per round,
     * so this bounds the path length explored. Real RDF hierarchies are
@@ -1394,7 +1463,8 @@ object Sparql {
     bindVars(pairs, Seq("a" -> pp.s, "b" -> pp.o))
   }
 
-  private def patFrame(triples: DataFrame, p: Pat): DataFrame = p match {
+  private def patFrame(triples: DataFrame, p: Pat,
+                       gVar: Option[String] = None): DataFrame = p match {
     // mixed negated property set !(p…|^q…) — SPARQL 1.1 §9.1 splits it
     // into the forward half (s NOT-isin-p o) and the endpoint-swapped
     // inverse half (o NOT-isin-q s), bag-unioned; either half may be
@@ -1403,17 +1473,21 @@ object Sparql {
     case Pattern(s, NotOf(fwd, inv), o) if inv.nonEmpty =>
       val parts =
         (if (fwd.nonEmpty)
-          Seq(patternFrame(triples, Pattern(s, NotOf(fwd), o))) else Nil) ++
-        Seq(patternFrame(triples, Pattern(o, NotOf(inv), s)))
+          Seq(patternFrame(triples, Pattern(s, NotOf(fwd), o), gVar)) else Nil) ++
+        Seq(patternFrame(triples, Pattern(o, NotOf(inv), s), gVar))
       val u = parts.reduceLeft(_ unionByName _)
       // a fully-constant pattern reduces to one existence row
       if (u.columns.sameElements(Array("__const"))) u.limit(1) else u
-    case tp: Pattern => patternFrame(triples, tp)
-    case kp: PathPat => kleeneFrame(triples, kp)
+    case tp: Pattern => patternFrame(triples, tp, gVar)
+    case kp: PathPat =>
+      require(gVar.isEmpty,
+        "property paths inside GRAPH ?var are unsupported")
+      kleeneFrame(triples, kp)
   }
 
-  private def joinAll(triples: DataFrame, pats: Seq[Pat]): DataFrame =
-    pats.map(patFrame(triples, _)).reduceLeft { (acc, next) =>
+  private def joinAll(triples: DataFrame, pats: Seq[Pat],
+                      gVar: Option[String] = None): DataFrame =
+    pats.map(patFrame(triples, _, gVar)).reduceLeft { (acc, next) =>
       val shared = acc.columns.toSeq.intersect(next.columns.toSeq)
       if (shared.isEmpty) acc.crossJoin(next) // disjoint BGP components
       else acc.join(next, shared)
@@ -1422,8 +1496,9 @@ object Sparql {
   /** A brace group's solutions: its BGP join, filtered by the FILTERs
     * written inside the braces (scope-checked at parse time to the
     * block's own bindings). */
-  private def blockFrame(triples: DataFrame, b: Block): DataFrame = {
-    var f = joinAll(triples, b.pats)
+  private def blockFrame(triples: DataFrame, b: Block,
+                         gVar: Option[String] = None): DataFrame = {
+    var f = joinAll(triples, b.pats, gVar)
     // the block frame's maybe-unbound vars (BIND aliases, nested
     // OPTIONAL bindings, UNDEF inline data) — drives the in-block
     // §18.3 compatibility joins, mirroring `run`
@@ -1444,7 +1519,7 @@ object Sparql {
     // compatibility, and a DEEPER-nested binding arriving unbound on
     // the right side does too (stratified compat left join, both sides)
     b.optionals.foreach { nb =>
-      val inner = blockFrame(triples, nb)
+      val inner = blockFrame(triples, nb, gVar)
       val shared = f.columns.toSeq.intersect(inner.columns.toSeq)
       require(shared.nonEmpty,
         "a nested OPTIONAL shares no variable with its enclosing block")
@@ -1458,7 +1533,7 @@ object Sparql {
     // §18.3 compat on maybe-unbound keys (BIND aliases, nested-OPTIONAL
     // bindings), exactly as at top level
     b.existsBlocks.foreach { case (positive, eb) =>
-      val e = blockFrame(triples, eb)
+      val e = blockFrame(triples, eb, gVar)
       val shared = f.columns.toSeq.intersect(e.columns.toSeq)
       val cross = splitFilters(eb)._2
       f = if (shared.isEmpty && cross.isEmpty) {
@@ -1472,7 +1547,7 @@ object Sparql {
     // DISJOINT domains MINUS removes nothing — the spec's no-op case
     // (per-solution: the all-shared-null compat stratum survives whole)
     b.minusBlocks.foreach { mb =>
-      val m = blockFrame(triples, mb)
+      val m = blockFrame(triples, mb, gVar)
       val shared = f.columns.toSeq.intersect(m.columns.toSeq)
       if (shared.nonEmpty)
         f = compatJoinBoth(f, m, shared, maybeNull, blockNullable(mb), "minus")
@@ -1927,10 +2002,34 @@ object Sparql {
       broadcastRight = true)
   }
 
-  /** Run a query over a (s, p, o) triple frame. */
+  /** Run a query over a (s, p, o) triple frame — or a (g, s, p, o)
+    * QUAD frame (§13 RDF datasets): the g-null rows form the default
+    * graph, distinct non-null g values the named graphs; `GRAPH` and
+    * the FROM / FROM NAMED dataset clauses then apply. */
   def run(triples: DataFrame, query: String): DataFrame = {
     val q = parse(query)
-    val t = triples.select(col("s"), col("p"), col("o"))
+    val hasG = triples.columns.contains("g")
+    val usesGraph = q.groupElems.exists(_.isInstanceOf[GGraph])
+    require(hasG || (q.fromGraphs.isEmpty && q.fromNamed.isEmpty && !usesGraph),
+      "GRAPH / FROM need a quad frame (columns g, s, p, o)")
+    // default-graph view (§13.2): the g-null rows, or the MERGE of the
+    // FROM-listed named graphs when a dataset clause is present
+    val t =
+      if (!hasG) triples.select(col("s"), col("p"), col("o"))
+      else if (q.fromGraphs.nonEmpty)
+        triples.where(col("g").isin(q.fromGraphs: _*))
+          .select(col("s"), col("p"), col("o"))
+      else triples.where(col("g").isNull)
+        .select(col("s"), col("p"), col("o"))
+    // the named-graph quad view: FROM NAMED restricts the set; a
+    // dataset clause with ONLY FROM leaves the named set EMPTY (§13.2)
+    def namedQuads: DataFrame = {
+      val base = triples.where(col("g").isNotNull)
+        .select(col("g"), col("s"), col("p"), col("o"))
+      if (q.fromNamed.nonEmpty) base.where(col("g").isin(q.fromNamed: _*))
+      else if (q.fromGraphs.nonEmpty) base.where(lit(false))
+      else base
+    }
     // UNION chain: bag union of the branch solutions, absent variables
     // null-padded (SPARQL UNION semantics), joined with the remaining
     // top-level BGP on the shared variables when one exists
@@ -1981,7 +2080,7 @@ object Sparql {
       // expression alias, an OPTIONAL or UNION-padded binding) can
       // arrive unbound — the compat join stratifies BOTH sides.
       case GSub(subText) =>
-        val sub = run(t, subText)
+        val sub = run(triples, subText)
         val subQ = parse(subText)
         val subNullable: Set[String] = sub.columns.toSeq.filterNot { v =>
           subQ.patterns.exists(p => termsOf(p).contains(V(v))) ||
@@ -2008,6 +2107,27 @@ object Sparql {
           val shared = df.columns.toSeq.intersect(vb.vars)
           df = joinValues(df, vb, maybeNull)
           maybeNull = mergeNullable(maybeNull, undefVars(vb), shared)
+        }
+      // GRAPH (§13.3): a Join element over one named graph (constant —
+      // a pre-restricted triple view, full block algebra incl. paths)
+      // or the named-graph set (variable — every pattern binds the g
+      // column, so the block's equi-joins pin one graph per solution
+      // and ?g surfaces as a solution variable)
+      case GGraph(gTerm, block) =>
+        val frame = gTerm match {
+          case Const(iri) =>
+            blockFrame(namedQuads.where(col("g") === iri)
+              .select(col("s"), col("p"), col("o")), block)
+          case V(gv) => blockFrame(namedQuads, block, gVar = Some(gv))
+          case other => throw new IllegalArgumentException(s"GRAPH $other")
+        }
+        val gN = blockNullable(block)
+        if (df == null) { df = frame; maybeNull = gN }
+        else {
+          val shared = df.columns.toSeq.intersect(frame.columns.toSeq)
+          df = if (shared.isEmpty) df.crossJoin(frame)
+               else compatJoinBoth(df, frame, shared, maybeNull, gN)
+          maybeNull = mergeNullable(maybeNull, gN, shared)
         }
       case GOpt(block) =>
         require(df != null, "OPTIONAL cannot start a group")

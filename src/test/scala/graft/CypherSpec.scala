@@ -2085,6 +2085,59 @@ class CypherSpec extends SparkSpec {
         |OPTIONAL { ?m <q> ?y . OPTIONAL { ?y <r> ?z . } } }""".stripMargin))
   }
 
+  test("sparql named graphs: GRAPH, FROM, FROM NAMED over a quad frame (§13)") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val quads = Seq(
+      (null, "a", "type", "Doc"), (null, "b", "type", "Doc"),
+      ("g1", "a", "score", "5"), ("g1", "b", "score", "7"),
+      ("g2", "a", "score", "9"), ("g2", "x", "tag", "t1"))
+      .toDF("g", "s", "p", "o")
+    def rows(q: String): Seq[String] = Sparql.run(quads, q).collect().toSeq
+      .map(r => (0 until r.length)
+        .map(i => Option(r.get(i)).map(_.toString).getOrElse("∅")).mkString(","))
+      .sorted
+    // GRAPH <iri> pins one named graph; the default graph still serves
+    // the surrounding patterns
+    assert(rows("SELECT ?s ?v WHERE { ?s <type> ?t . GRAPH <g1> { ?s <score> ?v } }")
+      === Seq("a,5", "b,7"))
+    // GRAPH ?g ranges over the named graphs and binds per solution
+    assert(rows("SELECT ?g ?s ?v WHERE { GRAPH ?g { ?s <score> ?v } }")
+      === Seq("g1,a,5", "g1,b,7", "g2,a,9"))
+    // §13.3 same-graph scoping: both patterns must match in ONE graph
+    assert(rows("SELECT ?g WHERE { GRAPH ?g { ?a <score> ?v . ?x <tag> ?t2 } }")
+      === Seq("g2"))
+    // FROM merges the named graph into the DEFAULT graph…
+    assert(rows("SELECT ?s ?v FROM <g1> WHERE { ?s <score> ?v }")
+      === Seq("a,5", "b,7"))
+    // …and a dataset clause with only FROM leaves the named set EMPTY
+    assert(rows("SELECT ?s FROM <g1> WHERE { GRAPH ?g { ?s <score> ?v } }")
+      === Seq.empty[String])
+    // FROM NAMED restricts what GRAPH ?g ranges over
+    assert(rows("SELECT ?g ?s FROM NAMED <g2> WHERE { GRAPH ?g { ?s <score> ?v } }")
+      === Seq("g2,a"))
+    // no dataset clause: the default graph is exactly the g-null rows
+    assert(rows("SELECT ?s WHERE { ?s <type> \"Doc\" }") === Seq("a", "b"))
+    // plain triple frames reject GRAPH / FROM with a clear message
+    val t3 = Seq(("a", "p", "1")).toDF("s", "p", "o")
+    val e = intercept[IllegalArgumentException](Sparql.run(t3,
+      "SELECT ?s WHERE { GRAPH ?g { ?s <p> ?o } }"))
+    assert(e.getMessage.contains("quad frame"))
+    // N-Quads ingest: the optional 4th term names the graph, plain
+    // N-Triples lines land in the default graph
+    val lines = Seq(
+      "<a> <type> \"Doc\" .",
+      "<a> <score> \"5\" <g1> .",
+      "# comment", "",
+      "b score 7 g1 .").toDF("value")
+    val parsed = graft.sources.GraphSources.parseRdfQuads(lines)
+      .collect().map(r => Seq(Option(r.getString(0)).getOrElse("∅"),
+        r.getString(1), r.getString(2), r.getString(3)).mkString(",")).sorted
+    assert(parsed === Seq("g1,a,score,5", "g1,b,score,7", "∅,a,type,Doc"))
+    assert(rows("SELECT ?g ?v WHERE { GRAPH ?g { ?a <score> ?v } FILTER(?v > 6) }")
+      === Seq("g1,7", "g2,9"))
+  }
+
   test("sparql results JSON: W3C bindings rows, unbound variables omitted") {
     import spark.implicits._
     import graft.sparql.Sparql
