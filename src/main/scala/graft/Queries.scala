@@ -4323,6 +4323,43 @@ object Queries {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'EUROPE' ORDER BY c LIMIT 150""".stripMargin))),
 
+    // SPARQL 1.1 Update, DELETE/INSERT WHERE: bigspender BUILDING
+    // customers flip to PREMIUM — deletes against the original graph,
+    // inserts after, SET semantics; the updated graph's segment
+    // statements replay in DuckDB via a CASE.
+    "sparql_update_delins" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.update(sparqlTriples(s, d),
+          """DELETE { ?c <segment> "BUILDING" }
+            |INSERT { ?c <segment> "PREMIUM" }
+            |WHERE { ?c <segment> "BUILDING" . ?c <bigspender> "1" }""".stripMargin)
+          .where(col("p") === "segment")
+          .select(col("s").as("c"), col("o").as("seg"))
+          .orderBy("c", "seg"),
+      Some("""SELECT 'customer/' || c_custkey AS c,
+             |  CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+             |       THEN 'PREMIUM' ELSE c_mktsegment END AS seg
+             |FROM customer ORDER BY c, seg""".stripMargin))),
+
+    // SPARQL 1.1 Update, DELETE WHERE shortcut: every bigspender
+    // statement goes; the per-predicate census of the updated graph
+    // pins both the removal and everything else's survival.
+    "sparql_update_delete_where" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.update(sparqlTriples(s, d),
+          "DELETE WHERE { ?c <bigspender> ?f . }")
+          .groupBy(col("p")).agg(count(lit(1)).as("n")).orderBy("p"),
+      Some("""SELECT p, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT 'fromNation' AS p FROM customer
+             |  UNION ALL SELECT 'locatedIn' FROM nation
+             |  UNION ALL SELECT 'segment' FROM customer
+             |  UNION ALL SELECT 'key' FROM nation
+             |  UNION ALL SELECT 'suppliesFrom' FROM supplier
+             |  UNION ALL
+             |  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+             |  FROM customer)
+             |GROUP BY p ORDER BY p""".stripMargin))),
+
     // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
     // on both engines, replayed verbatim.
     "sparql_hash" -> ((

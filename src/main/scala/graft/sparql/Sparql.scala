@@ -2338,4 +2338,145 @@ object Sparql {
   def headJson(df: DataFrame): String =
     df.columns.map(c => "\"" + c + "\"")
       .mkString("""{"head":{"vars":[""", ",", "]}}")
+
+  // ----- SPARQL 1.1 Update (W3C sparql11-update) ----------------------------
+
+  /**
+   * SPARQL 1.1 Update over a triple frame — FUNCTIONAL: Spark frames
+   * are immutable, so the operation returns the UPDATED graph (the
+   * caller re-registers / persists it; at cluster scale this is the
+   * copy-on-write table pattern — Delta/Iceberg commit the same shape).
+   *
+   * Supported forms (PREFIX headers apply):
+   *  - `INSERT DATA { triples }` / `DELETE DATA { triples }` —
+   *    constant statements union in / anti-join out
+   *  - `DELETE WHERE { patterns }` — the matched instantiations of the
+   *    pattern itself are removed (§3.1.3's shortcut form)
+   *  - `DELETE { template } INSERT { template } WHERE { group }` —
+   *    both templates instantiate over the WHERE solutions (either
+   *    part may be absent); the full query-side group algebra is
+   *    available in WHERE (it is evaluated by [[run]])
+   *  - `CLEAR DEFAULT` / `CLEAR ALL` — the empty graph
+   *
+   * Inserting forms return the SET graph (RDF semantics — duplicates
+   * collapse on the union); delete-only forms anti-join and preserve
+   * the input's multiplicities (a set stays a set). Everything is
+   * distributed except/union/distinct — never a driver-side
+   * materialization.
+   */
+  def update(graph: DataFrame, text: String): DataFrame = {
+    val g = graph.select(col("s"), col("p"), col("o"))
+    var ts = tokenizeU(text)
+    def peek: String = ts.headOption.getOrElse("")
+    def pop(): String = { val h = peek; require(ts.nonEmpty, "unexpected end of update"); ts = ts.tail; h }
+    // PREFIX headers — collected, then re-emitted in front of the
+    // synthesized SELECT the WHERE group is evaluated through
+    val prefixes = scala.collection.mutable.ListBuffer.empty[String]
+    while (peek.equalsIgnoreCase("PREFIX")) {
+      pop(); val name = pop(); val iri = pop()
+      prefixes += s"PREFIX $name $iri"
+    }
+    val prefixHeader = if (prefixes.isEmpty) "" else prefixes.mkString("", " ", " ")
+    /** Balanced `{ … }` span → its raw token text. */
+    def braceSpan(): String = {
+      require(pop() == "{", "expected '{'")
+      var depth = 1
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      while (depth > 0) {
+        val t2 = pop()
+        if (t2 == "{") depth += 1
+        if (t2 == "}") depth -= 1
+        if (depth > 0) buf += t2
+      }
+      buf.mkString(" ")
+    }
+    /** Template text → triple patterns via the query parser (a
+      * synthesized WHERE group; paths/blocks are rejected there). */
+    def templatePatterns(span: String): Seq[Pattern] = {
+      val q = parse(s"${prefixHeader}SELECT * WHERE { $span }")
+      require(q.groupElems.forall(_.isInstanceOf[GPats]) &&
+        q.filters.isEmpty && q.binds.isEmpty,
+        "a template may contain only triple patterns")
+      q.patterns.map {
+        case p: Pattern =>
+          // a path SEQUENCE rewrites into __path-chained patterns —
+          // reject those too, not just explicit PathPats
+          require(!termsOf(p).exists {
+            case V(n) => n.startsWith("__path"); case _ => false },
+            "a template may not contain property paths")
+          p
+        case other => throw new IllegalArgumentException(
+          s"a template may not contain property paths: $other")
+      }
+    }
+    /** Instantiate template triples over the WHERE solutions. */
+    def instantiate(sols: DataFrame, tpl: Seq[Pattern]): DataFrame = {
+      def side(t: Term): Column = t match {
+        case V(n) => col(n).cast("string")
+        case Const(v) => lit(v)
+        case other => throw new IllegalArgumentException(
+          s"template term $other is not instantiable")
+      }
+      tpl.map(p => sols.select(side(p.s).as("s"), side(p.p).as("p"),
+          side(p.o).as("o")))
+        .reduceLeft(_ unionByName _)
+        .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+    }
+    def constData(span: String): DataFrame = {
+      val tpl = templatePatterns(span)
+      require(tpl.forall(p => termsOf(p).forall(_.isInstanceOf[Const])),
+        "INSERT/DELETE DATA allows only constant triples (no variables)")
+      val sess = graph.sparkSession
+      import sess.implicits._
+      tpl.map { case Pattern(Const(a), Const(b), Const(c)) => (a, b, c) }
+        .toDF("s", "p", "o")
+    }
+    def solutionsOf(whereSpan: String): DataFrame =
+      run(g, s"${prefixHeader}SELECT * WHERE { $whereSpan }")
+
+    val head = pop().toUpperCase
+    head match {
+      case "CLEAR" =>
+        val what = pop().toUpperCase
+        require(what == "ALL" || what == "DEFAULT", s"CLEAR $what is unsupported")
+        g.limit(0)
+      case "INSERT" if peek.equalsIgnoreCase("DATA") =>
+        pop()
+        g.unionByName(constData(braceSpan())).distinct()
+      case "DELETE" if peek.equalsIgnoreCase("DATA") =>
+        pop()
+        g.join(broadcast(constData(braceSpan())), Seq("s", "p", "o"),
+          "left_anti")
+      case "DELETE" if peek.equalsIgnoreCase("WHERE") =>
+        // §3.1.3 shortcut: the pattern is both the query and the
+        // delete template
+        pop()
+        val span = braceSpan()
+        val tpl = templatePatterns(span)
+        g.join(instantiate(solutionsOf(span), tpl).distinct(),
+          Seq("s", "p", "o"), "left_anti")
+      case "DELETE" | "INSERT" =>
+        val delTpl = if (head == "DELETE") Some(braceSpan()) else None
+        val insTpl =
+          if (head == "INSERT") Some(braceSpan())
+          else if (peek.equalsIgnoreCase("INSERT")) { pop(); Some(braceSpan()) }
+          else None
+        require(pop().equalsIgnoreCase("WHERE"), "expected WHERE")
+        val sols = solutionsOf(braceSpan()).localCheckpoint(true)
+        // §3.1.3 order: deletes compute against the ORIGINAL graph,
+        // inserts apply after — one pass over the materialized
+        // solutions serves both templates
+        val afterDelete = delTpl.fold(g)(spanD =>
+          g.join(instantiate(sols, templatePatterns(spanD)).distinct(),
+            Seq("s", "p", "o"), "left_anti"))
+        insTpl.fold(afterDelete)(spanI =>
+          afterDelete.unionByName(
+            instantiate(sols, templatePatterns(spanI))).distinct())
+      case other => throw new IllegalArgumentException(
+        s"unsupported update form '$other'")
+    }
+  }
+
+  /** The query tokenizer, shared by [[update]]. */
+  private def tokenizeU(text: String): List[String] = tokenize(text)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.sparql.Sparql
+
+/**
+ * SPARQL 1.1 Update (W3C sparql11-update) — the functional
+ * copy-on-write surface: each form returns the updated SET graph.
+ */
+class SparqlUpdateSpec extends SparkSpec {
+
+  private def triples(rows: (String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("s", "p", "o")
+  }
+
+  private def setOf(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+
+  test("INSERT DATA / DELETE DATA: constant statements, set semantics") {
+    val g = triples(("a", "p", "1"), ("b", "p", "2"))
+    val ins = Sparql.update(g,
+      """PREFIX ex: <http://e/> INSERT DATA { <c> ex:p "3" . <a> <p> "1" . }""")
+    assert(setOf(ins) === Set(("a", "p", "1"), ("b", "p", "2"),
+      ("c", "http://e/p", "3")))
+    val del = Sparql.update(g, """DELETE DATA { <a> <p> "1" . <zz> <p> "9" . }""")
+    assert(setOf(del) === Set(("b", "p", "2")))
+    // variables are illegal in DATA blocks
+    intercept[IllegalArgumentException](Sparql.update(g,
+      "INSERT DATA { ?x <p> \"1\" . }"))
+  }
+
+  test("DELETE WHERE: the matched pattern instantiations are removed") {
+    val g = triples(("a", "tag", "x"), ("b", "tag", "y"), ("a", "p", "1"))
+    val out = Sparql.update(g, "DELETE WHERE { ?s <tag> ?t . }")
+    assert(setOf(out) === Set(("a", "p", "1")))
+    // multi-pattern shortcut: both instantiated triples of each
+    // solution are removed
+    val g2 = triples(("a", "tag", "x"), ("a", "p", "1"), ("b", "tag", "y"))
+    val out2 = Sparql.update(g2, "DELETE WHERE { ?s <tag> ?t . ?s <p> ?v . }")
+    assert(setOf(out2) === Set(("b", "tag", "y")))
+  }
+
+  test("DELETE/INSERT WHERE: templates instantiate over the solutions, delete-then-insert") {
+    val g = triples(("a", "status", "old"), ("b", "status", "old"),
+      ("c", "status", "done"))
+    // the classic rename: deletes compute on the ORIGINAL graph,
+    // inserts apply after
+    val out = Sparql.update(g,
+      """DELETE { ?s <status> "old" } INSERT { ?s <status> "new" }
+        |WHERE { ?s <status> "old" }""".stripMargin)
+    assert(setOf(out) === Set(("a", "status", "new"), ("b", "status", "new"),
+      ("c", "status", "done")))
+    // INSERT-only with a richer WHERE (OPTIONAL in the group)
+    val g3 = triples(("a", "p", "1"), ("a", "tag", "x"), ("b", "p", "2"))
+    val out3 = Sparql.update(g3,
+      """INSERT { ?s <seen> "1" } WHERE { ?s <p> ?v . OPTIONAL { ?s <tag> ?t } FILTER(BOUND(?t)) }""")
+    assert(setOf(out3) === setOf(g3) + (("a", "seen", "1")))
+    // DELETE-only form; unbound template vars skip the instantiation
+    val out4 = Sparql.update(g3,
+      """DELETE { ?s <tag> ?t } WHERE { ?s <p> ?v . OPTIONAL { ?s <tag> ?t } }""")
+    assert(setOf(out4) === Set(("a", "p", "1"), ("b", "p", "2")))
+  }
+
+  test("CLEAR and rejects") {
+    val g = triples(("a", "p", "1"))
+    assert(Sparql.update(g, "CLEAR ALL").count() === 0)
+    assert(Sparql.update(g, "CLEAR DEFAULT").count() === 0)
+    intercept[IllegalArgumentException](Sparql.update(g, "CLEAR NAMED"))
+    intercept[IllegalArgumentException](Sparql.update(g, "LOAD <http://x>"))
+    // templates may not carry paths or filters
+    intercept[IllegalArgumentException](Sparql.update(g,
+      "DELETE { ?s <p>/<q> ?o } WHERE { ?s <p> ?o }"))
+    intercept[IllegalArgumentException](Sparql.update(g,
+      "INSERT { ?s <p> ?o . FILTER(?o > 1) } WHERE { ?s <p> ?o }"))
+  }
+}
