@@ -2688,6 +2688,28 @@ object Queries {
              |CAST(length(text) AS INTEGER) AS chars
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // Sequence packing (stream-split at document starts): documents
+    // laid into 4096-token training bins in doc_id order — seq_id is
+    // an exact integer prefix-sum division, replayed in DuckDB as a
+    // window sum (the engine side is Relational.prefixSum: no global
+    // Window operator, bounded driver traffic).
+    "doc_pack_sequences" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.packSequences(t(s, d, "documents"), "doc_id",
+            TextAnalysis.tokenCount("text"), budget = 4096L)
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id,
+             |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |  END AS BIGINT) AS n_tokens FROM documents),
+             |cum AS (SELECT doc_id, n_tokens,
+             |  SUM(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+             |  FROM tok)
+             |SELECT doc_id, n_tokens, before // 4096 AS seq_id,
+             |  before % 4096 AS seq_offset
+             |FROM cum ORDER BY doc_id""".stripMargin))),
+
     // Corpus-trained bigram LM predictability (CCNet-style quality
     // signal as an exact integer ppm contract — see TextAnalysis.lmScore).
     "doc_lm_score" -> ((

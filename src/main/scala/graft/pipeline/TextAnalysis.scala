@@ -416,6 +416,43 @@ object TextAnalysis {
         size(col("col")).as("n_tokens"))
   }
 
+  /**
+   * Training-corpus SEQUENCE PACKING: assign documents to fixed
+   * token-budget bins ("packed training sequences") in a deterministic
+   * global order — the corpus layout step between filtering and
+   * tokenized-batch writing in a pre-training pipeline.
+   *
+   * Discipline: STREAM-SPLIT at document starts. Conceptually the
+   * corpus is one concatenated token stream cut into budget-sized
+   * windows; a document belongs to the window its FIRST token lands in
+   * (`seq_id = floor(tokens_before / budget)`), so bins are contiguous
+   * in `orderCol`, curriculum order is preserved, no document is ever
+   * split, and a bin overflows its budget by less than its last
+   * document's length (cap outliers upstream with [[chunkTokens]]).
+   * Greedy first-fit packing needs a sequential mutable bin table;
+   * this layout is a pure PREFIX SUM — exact integers, bit-identical
+   * replays, and the distributed shape is
+   * [[graft.operators.Relational.prefixSum]] (range sort + bounded
+   * per-partition offsets; no global Window, nothing row-shaped on the
+   * driver).
+   *
+   * Emits one row per document: `(doc_id, n_tokens, seq_id,
+   * seq_offset)` — offset = the document's start within its bin.
+   */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val base = df.select(col(idCol).as("doc_id"),
+      tokenCol.cast(LongType).as("n_tokens"))
+    graft.operators.Relational
+      .prefixSum(base, "doc_id", "n_tokens", "__before")
+      .select(col("doc_id"), col("n_tokens"),
+        // SQL DIV: exact 64-bit integer division (a double `/` would
+        // round above 2^53 — the whole point is bit-exact replay)
+        expr(s"__before DIV ${budget}L").as("seq_id"),
+        (col("__before") % budget).as("seq_offset"))
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * lowercase token set. Identical in DuckDB:
     * md5(array_to_string(list_sort(list_distinct(...)), ' ')). */

@@ -1330,4 +1330,35 @@ class PipelineSpec extends SparkSpec {
     // at least (1-p) of the corpus survives
     assert(kept.size >= n - math.ceil(0.25 * n).toInt)
   }
+  test("packSequences: stream-split document packing, prefix-sum exact") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(("d1", "a b c"), ("d2", "a b"), ("d3", "x y z w"),
+      ("d4", "q")).toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount("text"), budget = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // concatenated stream: d1 starts at 0 (bin 0), d2 at 3 (bin 0,
+    // offset 3), d3 at 5 (bin 1, offset 1), d4 at 9 (bin 2, offset 1)
+    assert(packed === Array(("d1", 3L, 0L, 0L), ("d2", 2L, 0L, 3L),
+      ("d3", 4L, 1L, 1L), ("d4", 1L, 2L, 1L)))
+    // invariants on a larger synthetic corpus: bins monotone in doc
+    // order, offsets within budget, bin boundaries = exact division of
+    // the running total
+    val big = (1 to 500).map(i => (f"doc$i%04d", Seq.fill(i % 7 + 1)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.packSequences(big, "doc_id",
+        TextAnalysis.tokenCount("text"), budget = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    var cum = 0L
+    rows.foreach { case (n, seq, off) =>
+      assert(seq === cum / 16, s"bin at cum=$cum")
+      assert(off === cum % 16)
+      assert(off >= 0 && off < 16)
+      cum += n
+    }
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted) // monotone
+  }
 }
