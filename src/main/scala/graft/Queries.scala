@@ -4382,6 +4382,31 @@ object Queries {
              |  FROM customer)
              |GROUP BY p ORDER BY p""".stripMargin))),
 
+    // Quad-level Update graph management: MOVE folds graph/ASIA into
+    // the default graph, OVERWRITING it (§3.2.7 drops the destination's
+    // prior content — the nation statements go); the per-(graph,
+    // predicate) census pins the null-safe relabeling and every other
+    // graph's survival.
+    "sparql_update_quads" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.update(sparqlQuads(s, d),
+          "MOVE GRAPH <graph/ASIA> TO DEFAULT")
+          .groupBy(coalesce(col("g"), lit("default")).as("grf"), col("p"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("grf", "p"),
+      Some("""SELECT grf, p, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT CASE WHEN r_name = 'ASIA' THEN 'default'
+             |              ELSE 'graph/' || r_name END AS grf,
+             |         'segment' AS p
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL
+             |  SELECT CASE WHEN r_name = 'ASIA' THEN 'default'
+             |              ELSE 'graph/' || r_name END, 'fromNation'
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey)
+             |GROUP BY grf, p ORDER BY grf, p""".stripMargin))),
+
     // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
     // on both engines, replayed verbatim.
     "sparql_hash" -> ((

@@ -2365,6 +2365,7 @@ object Sparql {
    * materialization.
    */
   def update(graph: DataFrame, text: String): DataFrame = {
+    if (graph.columns.contains("g")) return updateQuads(graph, text)
     val g = graph.select(col("s"), col("p"), col("o"))
     var ts = tokenizeU(text)
     def peek: String = ts.headOption.getOrElse("")
@@ -2476,6 +2477,198 @@ object Sparql {
         s"unsupported update form '$other'")
     }
   }
+
+  /**
+   * [[update]] over a (g, s, p, o) QUAD frame — the dataset-aware
+   * surface (sparql11-update §3.1–3.2):
+   *  - data/template spans may scope statements with
+   *    `GRAPH <iri> { … }` (a bare triple targets the DEFAULT graph);
+   *    WHERE-form insert templates may also use `GRAPH ?g { … }` with
+   *    ?g bound by the WHERE group (an unbound ?g skips the
+   *    instantiation, per spec)
+   *  - graph management: `CLEAR DEFAULT|NAMED|ALL|GRAPH <iri>` (DROP
+   *    is the same — frames have no empty-graph existence),
+   *    `ADD|COPY|MOVE (DEFAULT|[GRAPH] <iri>) TO (DEFAULT|[GRAPH] <iri>)`
+   * Deletions anti-join NULL-SAFELY on g (the default graph's null
+   * must match itself); inserting forms return the SET dataset.
+   */
+  private def updateQuads(graph: DataFrame, text: String): DataFrame = {
+    val g = graph.select(col("g"), col("s"), col("p"), col("o"))
+    var ts = tokenizeU(text)
+    def peek: String = ts.headOption.getOrElse("")
+    def pop(): String = { val h = peek; require(ts.nonEmpty, "unexpected end of update"); ts = ts.tail; h }
+    val prefixes = scala.collection.mutable.ListBuffer.empty[String]
+    while (peek.equalsIgnoreCase("PREFIX")) {
+      pop(); val name = pop(); val iri = pop()
+      prefixes += s"PREFIX $name $iri"
+    }
+    val prefixHeader = if (prefixes.isEmpty) "" else prefixes.mkString("", " ", " ")
+    def braceSpan(): String = {
+      require(pop() == "{", "expected '{'")
+      var depth = 1
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      while (depth > 0) {
+        val t2 = pop()
+        if (t2 == "{") depth += 1
+        if (t2 == "}") depth -= 1
+        if (depth > 0) buf += t2
+      }
+      buf.mkString(" ")
+    }
+    /** Template span → (graph term, triple pattern) pairs: bare
+      * triples target the default graph (None), GRAPH blocks their
+      * named graph (constant or WHERE-bound variable). */
+    def templateQuads(span: String): Seq[(Option[Term], Pattern)] = {
+      val q = parse(s"${prefixHeader}SELECT * WHERE { $span }")
+      require(q.filters.isEmpty && q.binds.isEmpty,
+        "a template may contain only (GRAPH-scoped) triple patterns")
+      def plain(p: Pat): Pattern = p match {
+        case tp: Pattern =>
+          require(!termsOf(tp).exists {
+            case V(n) => n.startsWith("__path"); case _ => false },
+            "a template may not contain property paths")
+          tp
+        case other => throw new IllegalArgumentException(
+          s"a template may not contain property paths: $other")
+      }
+      q.groupElems.flatMap {
+        case GPats(ps) => ps.map(p => (None: Option[Term], plain(p)))
+        case GGraph(gt, b) =>
+          require(b.filters.isEmpty && b.binds.isEmpty && b.optionals.isEmpty &&
+            b.values.isEmpty && b.existsBlocks.isEmpty && b.minusBlocks.isEmpty,
+            "a GRAPH template block may contain only triple patterns")
+          b.pats.map(p => (Some(gt), plain(p)))
+        case other => throw new IllegalArgumentException(
+          s"unsupported template element $other")
+      }
+    }
+    /** Instantiate quad templates over solutions (unbound terms —
+      * incl. an unbound GRAPH ?g — skip the instantiation). */
+    def instantiateQ(sols: DataFrame,
+                     tpl: Seq[(Option[Term], Pattern)]): DataFrame = {
+      def side(t: Term): Column = t match {
+        case V(n) => col(n).cast("string")
+        case Const(v) => lit(v)
+        case other => throw new IllegalArgumentException(
+          s"template term $other is not instantiable")
+      }
+      tpl.map { case (gt, p) =>
+        val gCol = gt match {
+          case None => lit(null).cast("string")
+          case Some(t0) => side(t0)
+        }
+        val base = sols.select(gCol.as("g"), side(p.s).as("s"),
+          side(p.p).as("p"), side(p.o).as("o"))
+          .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+        // GRAPH ?g with an unbound binding: skip (a constant / default
+        // graph keeps its rows — g null is the default graph there)
+        if (gt.exists(_.isInstanceOf[V])) base.where(col("g").isNotNull)
+        else base
+      }.reduceLeft(_ unionByName _)
+    }
+    /** Null-safe (g,s,p,o) anti-join — the default graph's null g must
+      * match itself. */
+    def minusQuads(from: DataFrame, del: DataFrame): DataFrame = {
+      val l = from.as("__l"); val r = del.distinct().as("__r")
+      l.join(r,
+        col("__l.g") <=> col("__r.g") && col("__l.s") === col("__r.s") &&
+          col("__l.p") === col("__r.p") && col("__l.o") === col("__r.o"),
+        "left_anti")
+    }
+    def constQuads(span: String): DataFrame = {
+      val tpl = templateQuads(span)
+      require(tpl.forall { case (gt, p) =>
+        termsOf(p).forall(_.isInstanceOf[Const]) &&
+          gt.forall(_.isInstanceOf[Const]) },
+        "INSERT/DELETE DATA allows only constant statements")
+      val sess = graph.sparkSession
+      import sess.implicits._
+      tpl.map { case (gt, Pattern(Const(a), Const(b), Const(c))) =>
+        (gt.collect { case Const(v) => v }.orNull, a, b, c) }
+        .toDF("g", "s", "p", "o")
+    }
+    def solutionsOf(whereSpan: String): DataFrame =
+      run(graph, s"${prefixHeader}SELECT * WHERE { $whereSpan }")
+    /** DEFAULT | [GRAPH] <iri> selector → Option[graph name]. */
+    def graphRef(): Option[String] = {
+      if (peek.equalsIgnoreCase("DEFAULT")) { pop(); None }
+      else {
+        if (peek.equalsIgnoreCase("GRAPH")) pop()
+        Some(pop()).map(tok => tokTerm(tok) match {
+          case Const(v) => v
+          case other => throw new IllegalArgumentException(
+            s"expected a graph <iri>, got $other")
+        })
+      }
+    }
+    // NULL-SAFE graph match: negations must keep the default graph's
+    // null-g rows (a plain === would three-value them away)
+    def gEq(ref: Option[String]): Column =
+      ref.fold(col("g").isNull)(v => col("g") <=> lit(v))
+
+    val head = pop().toUpperCase
+    head match {
+      case "CLEAR" | "DROP" =>
+        peek.toUpperCase match {
+          case "ALL" => pop(); g.limit(0)
+          case "DEFAULT" => pop(); g.where(col("g").isNotNull)
+          case "NAMED" => pop(); g.where(col("g").isNull)
+          case _ =>
+            val ref = graphRef()
+            g.where(!gEq(ref))
+        }
+      case "ADD" | "COPY" | "MOVE" =>
+        val src = graphRef()
+        require(pop().equalsIgnoreCase("TO"), "expected TO")
+        val dst = graphRef()
+        if (src == dst) g
+        else {
+          val moved = g.where(gEq(src))
+            .select(dst.fold(lit(null).cast("string"))(lit(_)).as("g"),
+              col("s"), col("p"), col("o"))
+          val base = head match {
+            case "ADD" => g
+            case "COPY" => g.where(!gEq(dst))
+            case "MOVE" => g.where(!gEq(dst) && !gEq(src))
+          }
+          base.unionByName(moved).distinct()
+        }
+      case "INSERT" if peek.equalsIgnoreCase("DATA") =>
+        pop()
+        g.unionByName(constQuads(braceSpan())).distinct()
+      case "DELETE" if peek.equalsIgnoreCase("DATA") =>
+        pop()
+        minusQuads(g, broadcast(constQuads(braceSpan())))
+      case "DELETE" if peek.equalsIgnoreCase("WHERE") =>
+        pop()
+        val span = braceSpan()
+        val tpl = templateQuads(span)
+        minusQuads(g, instantiateQ(solutionsOf(span), tpl))
+      case "DELETE" | "INSERT" =>
+        val delTpl = if (head == "DELETE") Some(braceSpan()) else None
+        val insTpl =
+          if (head == "INSERT") Some(braceSpan())
+          else if (peek.equalsIgnoreCase("INSERT")) { pop(); Some(braceSpan()) }
+          else None
+        require(pop().equalsIgnoreCase("WHERE"), "expected WHERE")
+        val sols = solutionsOf(braceSpan()).localCheckpoint(true)
+        val afterDelete = delTpl.fold(g)(spanD =>
+          minusQuads(g, instantiateQ(sols, templateQuads(spanD))))
+        insTpl.fold(afterDelete)(spanI =>
+          afterDelete.unionByName(
+            instantiateQ(sols, templateQuads(spanI))).distinct())
+      case other => throw new IllegalArgumentException(
+        s"unsupported update form '$other'")
+    }
+  }
+
+  /** Bare token → Term with <iri> / "literal" stripping (the update
+    * parser's graph selectors, outside the main query parser). */
+  private def tokTerm(t: String): Term =
+    if (t.startsWith("?") && t.length > 1) V(t.drop(1))
+    else if (t.startsWith("<")) Const(t.substring(1, t.length - 1))
+    else if (t.startsWith("\"")) Const(t.substring(1, t.length - 1))
+    else Const(t)
 
   /** The query tokenizer, shared by [[update]]. */
   private def tokenizeU(text: String): List[String] = tokenize(text)

@@ -74,4 +74,64 @@ class SparqlUpdateSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sparql.update(g,
       "INSERT { ?s <p> ?o . FILTER(?o > 1) } WHERE { ?s <p> ?o }"))
   }
+  private def quads(rows: (String, String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("g", "s", "p", "o")
+  }
+
+  private def qset(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+    df.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (Option(r.getString(0)).getOrElse("∅"), r.getString(1),
+        r.getString(2), r.getString(3)))
+
+  test("quad update: GRAPH-scoped DATA blocks, null-safe default graph") {
+    val g = quads((null, "a", "type", "Doc"), ("g1", "a", "score", "5"),
+      ("g2", "x", "tag", "t1"))
+    // bare triples land in the DEFAULT graph, GRAPH blocks in theirs
+    val ins = Sparql.update(g,
+      """INSERT DATA { <b> <type> "Doc" . GRAPH <g1> { <b> <score> "7" } }""")
+    assert(qset(ins) === qset(g) ++ Set(("∅", "b", "type", "Doc"),
+      ("g1", "b", "score", "7")))
+    // deleting a default-graph statement must not touch the named
+    // graphs (null-safe g matching), and vice versa
+    val del = Sparql.update(g, """DELETE DATA { <a> <type> "Doc" . }""")
+    assert(qset(del) === Set(("g1", "a", "score", "5"), ("g2", "x", "tag", "t1")))
+    val delG = Sparql.update(g, """DELETE DATA { GRAPH <g1> { <a> <score> "5" } }""")
+    assert(qset(delG) === Set(("∅", "a", "type", "Doc"), ("g2", "x", "tag", "t1")))
+  }
+
+  test("quad update: DELETE WHERE and INSERT with GRAPH ?g templates") {
+    val g = quads((null, "a", "type", "Doc"), ("g1", "a", "score", "5"),
+      ("g1", "b", "score", "7"), ("g2", "a", "score", "9"))
+    // the shortcut form removes the matched quads across named graphs
+    val dw = Sparql.update(g, "DELETE WHERE { GRAPH ?g { ?s <score> ?v } }")
+    assert(qset(dw) === Set(("∅", "a", "type", "Doc")))
+    // a WHERE-bound ?g in the insert template: per-graph derived rows
+    val ins = Sparql.update(g,
+      """INSERT { GRAPH ?g { ?s <seen> "1" } }
+        |WHERE { GRAPH ?g { ?s <score> ?v } FILTER(?v > 6) }""".stripMargin)
+    assert(qset(ins) === qset(g) ++ Set(("g1", "b", "seen", "1"),
+      ("g2", "a", "seen", "1")))
+  }
+
+  test("quad update: CLEAR forms and ADD/COPY/MOVE graph management") {
+    val g = quads((null, "a", "p", "1"), ("g1", "b", "p", "2"),
+      ("g2", "c", "p", "3"))
+    assert(qset(Sparql.update(g, "CLEAR DEFAULT")) ===
+      Set(("g1", "b", "p", "2"), ("g2", "c", "p", "3")))
+    assert(qset(Sparql.update(g, "CLEAR NAMED")) === Set(("∅", "a", "p", "1")))
+    assert(qset(Sparql.update(g, "CLEAR GRAPH <g1>")) ===
+      Set(("∅", "a", "p", "1"), ("g2", "c", "p", "3")))
+    assert(Sparql.update(g, "CLEAR ALL").count() === 0)
+    // ADD keeps the source, COPY replaces the target, MOVE drops the source
+    assert(qset(Sparql.update(g, "ADD DEFAULT TO GRAPH <g1>")) ===
+      Set(("∅", "a", "p", "1"), ("g1", "b", "p", "2"), ("g1", "a", "p", "1"),
+        ("g2", "c", "p", "3")))
+    assert(qset(Sparql.update(g, "COPY GRAPH <g2> TO GRAPH <g1>")) ===
+      Set(("∅", "a", "p", "1"), ("g1", "c", "p", "3"), ("g2", "c", "p", "3")))
+    assert(qset(Sparql.update(g, "MOVE GRAPH <g2> TO DEFAULT")) ===
+      Set(("∅", "c", "p", "3"), ("g1", "b", "p", "2")))
+    // no-op when source = target
+    assert(qset(Sparql.update(g, "COPY DEFAULT TO DEFAULT")) === qset(g))
+  }
 }
