@@ -136,6 +136,10 @@ import org.apache.spark.sql.functions._
  *    `FROM NAMED <iri>` (restricts the named set; only-FROM leaves it
  *    empty, §13.2). A plain (s, p, o) triple frame keeps the exact
  *    pre-dataset behavior, with GRAPH / FROM cleanly rejected
+ *  - SPARQL 1.1 UPDATE (the sibling W3C spec, [[update]]): INSERT /
+ *    DELETE DATA, DELETE WHERE, DELETE {} INSERT {} WHERE, CLEAR, and
+ *    on quad frames GRAPH-scoped data/templates plus ADD / COPY / MOVE
+ *    — functional copy-on-write (returns the updated set graph)
  *  - §18.3 solution-compatibility joins throughout: a shared variable
  *    that can arrive UNBOUND (padded out of a UNION branch, introduced
  *    by OPTIONAL or BIND, UNDEF inline rows, a subquery aggregate
