@@ -1159,6 +1159,26 @@ object Queries {
               |)
               |SELECT xid, len FROM walks ORDER BY xid, len""".stripMargin))),
 
+    // relationships(p) over a named var-length path is the same
+    // edge-struct list surface as a bound rel variable — the lambda
+    // property/type reads drive the comprehension per hop, and
+    // nodes(p) sizes the node chain.
+    "cy_path_rel_types" -> ((
+      cy("MATCH p = (c:Customer)-[*1..2]->(x) WHERE id(c) = 'c1' " +
+        "RETURN id(x) AS xid, [e IN relationships(p) | type(e)] AS ts, " +
+        "size(nodes(p)) AS nn ORDER BY xid, ts"),
+      Some(s"""WITH ${TpchBridge.sql.edges},
+              |walks AS (
+              |  SELECT dst AS xid, 1 AS n, [type] AS ts
+              |  FROM edges WHERE src = 'c1'
+              |  UNION ALL
+              |  SELECT e2.dst, 2, [e1.type, e2.type]
+              |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+              |  WHERE e1.src = 'c1'
+              |)
+              |SELECT xid, ts, CAST(n + 1 AS INTEGER) AS nn
+              |FROM walks ORDER BY xid, ts""".stripMargin))),
+
     // Binding the variable-length relationship (`-[r*1..2]->`): r is
     // the LIST of traversed edge structs — size(r) is the walk length
     // and a list comprehension reads per-hop types in traversal order.
