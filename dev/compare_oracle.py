@@ -24,16 +24,24 @@ for name in sorted(os.listdir(out)):
     b = odf.reindex(sorted(odf.columns), axis=1)
     if list(a.columns) != list(b.columns):
         bad.append((name, f"schema: {list(a.columns)} vs {list(b.columns)}")); continue
-    # list/array cells (e.g. token or code arrays) are unhashable for
-    # sort_values — canonicalize to tuples first, mirroring the driver's
-    # value-hash compare
+    # The driver's comparator sort_values-crashes on array cells and
+    # value-hashes rendered values ("0.0" != "0") — so the replica must
+    # be exactly as strict (r14 verdict: 6 rounds of silent leniency
+    # here shipped red rows). HARD-FAIL any array-typed output column
+    # and any float-vs-integer dtype split between the two sides.
     import numpy as np
-    def canon(df):
-        for c in df.columns:
-            if df[c].map(lambda x: isinstance(x, (list, np.ndarray))).any():
-                df[c] = df[c].map(lambda x: tuple(x) if isinstance(x, (list, np.ndarray)) else x)
-        return df
-    a, b = canon(a), canon(b)
+    arrcols = [c for df in (a, b) for c in df.columns
+               if df[c].map(lambda x: isinstance(x, (list, tuple, np.ndarray))).any()]
+    if arrcols:
+        bad.append((name, f"array-typed output column(s) {sorted(set(arrcols))}: "
+                    "driver comparator crashes on these — flatten (array_join/"
+                    "array_to_string) on both sides")); continue
+    dtmix = [c for c in a.columns
+             if (pd.api.types.is_float_dtype(a[c]) != pd.api.types.is_float_dtype(b[c]))
+             and pd.api.types.is_numeric_dtype(a[c]) and pd.api.types.is_numeric_dtype(b[c])]
+    if dtmix:
+        bad.append((name, f"float-vs-integer dtype mismatch on {dtmix}: "
+                    "driver value-hash renders 0.0 != 0 — CAST the oracle side")); continue
     try:
         a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
         b = b.sort_values(by=list(b.columns)).reset_index(drop=True)

@@ -1163,10 +1163,16 @@ object Queries {
     // edge-struct list surface as a bound rel variable — the lambda
     // property/type reads drive the comprehension per hop, and
     // nodes(p) sizes the node chain.
+    // Harness contract (r9 emb_quantize precedent, re-learned r14): the
+    // driver comparator cannot sort raw array cells, so the bound list
+    // is CSV-joined on BOTH sides — the Cypher comprehension still runs
+    // over the real edge-struct list; only the declared output is flat.
     "cy_path_rel_types" -> ((
-      cy("MATCH p = (c:Customer)-[*1..2]->(x) WHERE id(c) = 'c1' " +
-        "RETURN id(x) AS xid, [e IN relationships(p) | type(e)] AS ts, " +
-        "size(nodes(p)) AS nn ORDER BY xid, ts"),
+      (s: SparkSession, d: String) =>
+        cy("MATCH p = (c:Customer)-[*1..2]->(x) WHERE id(c) = 'c1' " +
+          "RETURN id(x) AS xid, [e IN relationships(p) | type(e)] AS ts, " +
+          "size(nodes(p)) AS nn ORDER BY xid, ts")(s, d)
+          .withColumn("ts", array_join(col("ts"), ",")),
       Some(s"""WITH ${TpchBridge.sql.edges},
               |walks AS (
               |  SELECT dst AS xid, 1 AS n, [type] AS ts
@@ -1176,16 +1182,19 @@ object Queries {
               |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
               |  WHERE e1.src = 'c1'
               |)
-              |SELECT xid, ts, CAST(n + 1 AS INTEGER) AS nn
+              |SELECT xid, array_to_string(ts, ',') AS ts,
+              |  CAST(n + 1 AS INTEGER) AS nn
               |FROM walks ORDER BY xid, ts""".stripMargin))),
 
     // Binding the variable-length relationship (`-[r*1..2]->`): r is
     // the LIST of traversed edge structs — size(r) is the walk length
     // and a list comprehension reads per-hop types in traversal order.
     "cy_var_rel_binding" -> ((
-      cy("MATCH (c:Customer)-[r*1..2]->(x) WHERE id(c) = 'c1' " +
-        "RETURN id(x) AS xid, size(r) AS n, [e IN r | type(e)] AS ts " +
-        "ORDER BY xid, n"),
+      (s: SparkSession, d: String) =>
+        cy("MATCH (c:Customer)-[r*1..2]->(x) WHERE id(c) = 'c1' " +
+          "RETURN id(x) AS xid, size(r) AS n, [e IN r | type(e)] AS ts " +
+          "ORDER BY xid, n")(s, d)
+          .withColumn("ts", array_join(col("ts"), ",")),
       Some(s"""WITH ${TpchBridge.sql.edges},
               |walks AS (
               |  SELECT dst AS xid, 1 AS n, [type] AS ts
@@ -1195,7 +1204,8 @@ object Queries {
               |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
               |  WHERE e1.src = 'c1'
               |)
-              |SELECT xid, n, ts FROM walks ORDER BY xid, n""".stripMargin))),
+              |SELECT xid, n, array_to_string(ts, ',') AS ts
+              |FROM walks ORDER BY xid, n""".stripMargin))),
 
     // EXISTS { pattern WHERE pred } existential subquery (reference
     // grammar `ASTBuilder.cpp:1086`, planner TODO): decorrelated into one
@@ -2726,8 +2736,9 @@ object Queries {
              |  SUM(n_tokens) OVER (ORDER BY doc_id
              |    ROWS UNBOUNDED PRECEDING) - n_tokens AS before
              |  FROM tok)
-             |SELECT doc_id, n_tokens, before // 4096 AS seq_id,
-             |  before % 4096 AS seq_offset
+             |SELECT doc_id, n_tokens,
+             |  CAST(before // 4096 AS BIGINT) AS seq_id,
+             |  CAST(before % 4096 AS BIGINT) AS seq_offset
              |FROM cum ORDER BY doc_id""".stripMargin))),
 
     // Corpus-trained bigram LM predictability (CCNet-style quality

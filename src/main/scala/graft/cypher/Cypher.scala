@@ -58,6 +58,7 @@ object Cypher {
       throw CypherParseException(
         "mutation queries (CREATE/MERGE/SET/REMOVE/DELETE) go through Cypher.execute — they produce a new graph")
     val planner = new Planner(graph)
+    planner.installTopKPruning(q) // anchored top-k pushdown, safe no-op otherwise
     var ctx = Planner.BindCtx(None, Map.empty)
     var result: Option[DataFrame] = None
     q.clauses.foreach {

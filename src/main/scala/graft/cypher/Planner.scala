@@ -49,6 +49,125 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 
   import Planner.BindCtx
 
+  // ------------------------------------------------------------------
+  // Anchored top-k pushdown (r15). `MATCH <linear path> RETURN ... ORDER
+  // BY f(anchor) [, ...] LIMIT k` joins the FULL pattern product before
+  // the TakeOrderedAndProject sees a row — output-quadratic patterns
+  // (customers×suppliers per nation) materialize ~n² rows for a 500-row
+  // answer, the one standing 100 TB scale-killer of the r14 audit. The
+  // top-k rows can only come from anchors whose leading key is among the
+  // k best *matched* anchors, so:
+  //   phase A: walk the path as an anchor-id frontier (dedup per hop,
+  //     final hop a LEFT SEMI — never materializes the product) to find
+  //     which anchors have ≥1 match, and take the k-th best leading-key
+  //     value among them (1-row frame, broadcast);
+  //   phase B: plan the query unchanged but filter the anchor SCAN to
+  //     `f <= kth` (ties kept via <=, null keys kept — a strict superset
+  //     of the anchors that can reach the top k, so values are identical).
+  // Installed only for shapes where the threshold argument is exact:
+  // single linear fixed-length path, distinct node variables, anchor-only
+  // scalar WHERE, no DISTINCT/aggregation, leading sort key a function of
+  // the path's start variable alone.
+  // ------------------------------------------------------------------
+  private var anchorPrune: Map[String, DataFrame => DataFrame] = Map.empty
+
+  /** Inspect a read query and, when the shape qualifies, register a
+    * scan-time prune for the anchor variable. Safe no-op otherwise
+    * (any compile failure during speculative construction bails). */
+  def installTopKPruning(q: Query): Unit = q.clauses match {
+    case List(MatchPart(m), ReturnPart(ret))
+        if !m.optional && m.paths.size == 1 && !ret.distinct &&
+          ret.limit.isDefined && ret.orderBy.nonEmpty &&
+          !ret.items.exists(i => containsAggregate(i.expr)) =>
+      val path = m.paths.head
+      val k = ret.limit.get + ret.skip.getOrElse(0L)
+      val allNodeVars = path.start.variable.toList ++ path.hops.flatMap(_._2.variable)
+      val shapeOk = path.start.variable.isDefined && path.shortest.isEmpty &&
+        path.hops.nonEmpty && path.hops.forall(_._1.varLength.isEmpty) &&
+        allNodeVars.distinct == allNodeVars && k > 0 && k <= 100000
+      if (shapeOk) {
+        val startVar = path.start.variable.get
+        // resolve the leading sort key through the RETURN items (aliases)
+        val lead = ret.orderBy.head
+        val leadExpr = ret.items.find(i => i.expr == lead.expr ||
+            i.alias.contains(text(lead.expr)) || i.name == text(lead.expr))
+          .map(_.expr).getOrElse(lead.expr)
+        val whereOk = m.where.forall(w => freeVars(w).subsetOf(Set(startVar)))
+        if (whereOk && freeVars(leadExpr) == Set(startVar)) {
+          scala.util.Try {
+            val fCol = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
+            val kth = matchedAnchorThreshold(path, startVar, fCol, lead.ascending,
+              m.where, k.toInt)
+            val prune: DataFrame => DataFrame = { scan =>
+              val f = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
+              scan.crossJoin(broadcast(kth)).where(
+                col("__kth").isNull || f.isNull ||
+                  (if (lead.ascending) f <= col("__kth") else f >= col("__kth")))
+                .drop("__kth")
+            }
+            anchorPrune += (startVar -> prune)
+          }
+          ()
+        }
+      }
+    case _ => ()
+  }
+
+  /** Phase A of the top-k pushdown: the k-th best leading-key value among
+    * anchors with ≥1 full-path match, as a 1-row (`__kth`) frame. The walk
+    * carries (anchor id, leading key, previous eid, current node id) —
+    * dedup'd per hop, so state is bounded by BFS frontier size, and the
+    * final hop is a LEFT SEMI: the pattern's output product is never
+    * materialized. Hop orientation/type/property semantics mirror
+    * compilePath exactly (incl. the typed-anchor rule and consecutive
+    * rel-uniqueness), so "matched" here is exactly "produces ≥1 row". */
+  private def matchedAnchorThreshold(path: PathPattern, startVar: String,
+      fCol: Column, asc: Boolean, where: Option[Expr], k: Int): DataFrame = {
+    var base = nodeStruct(startVar)
+    val anchorScope = Scope(Map(startVar -> KNode))
+    labelFilter(startVar, path.start.labels).foreach(c => base = base.filter(c))
+    propFilter(startVar, path.start.properties, anchorScope).foreach(c => base = base.filter(c))
+    where.foreach(w => base = base.filter(
+      ExprCompiler.compile(w, anchorScope).col.try_cast(BooleanType)))
+    val eidType = graph.edges.schema("eid").dataType
+    var fr = base.select(col(s"$startVar.id").as("__aid"), fCol.as("__f"),
+      lit(null).cast(eidType).as("__peid"), col(s"$startVar.id").as("__cur"))
+    val anchorIdx = if (graph.isDirected) path.hops.indexWhere(_._1.types.nonEmpty) else -1
+    val lastIdx = path.hops.size - 1
+    path.hops.zipWithIndex.foreach { case ((rel, node), hopIdx) =>
+      val bothDirs =
+        if (graph.isDirected) rel.direction == DirBoth && hopIdx != anchorIdx
+        else true
+      val (fromField, toField) = rel.direction match {
+        case DirLeft => ("dst", "src")
+        case _ => ("src", "dst")
+      }
+      val rv = fresh("tkr")
+      val tv = fresh("tkn")
+      var right = edgeStruct(rv, bothDirs)
+        .join(nodeStruct(tv), col(s"$rv.$toField") === col(s"$tv.id"))
+      labelFilter(tv, node.labels).foreach(c => right = right.filter(c))
+      propFilter(tv, node.properties, Scope(Map(tv -> KNode))).foreach(c => right = right.filter(c))
+      propFilter(rv, rel.properties, Scope(Map(rv -> KRel))).foreach(c => right = right.filter(c))
+      var cond = col("__cur") === col(s"$rv.$fromField") &&
+        (col("__peid").isNull || col("__peid") =!= col(s"$rv.eid"))
+      if (rel.types.nonEmpty) cond = cond &&
+        (if (rel.types.size == 1) col(s"$rv.type") === rel.types.head
+         else col(s"$rv.type").isin(rel.types: _*))
+      fr =
+        if (hopIdx == lastIdx) fr.join(right, cond, "left_semi")
+        else fr.join(right, cond)
+          .select(col("__aid"), col("__f"),
+            col(s"$rv.eid").as("__peid"), col(s"$tv.id").as("__cur"))
+          .dropDuplicates("__aid", "__peid", "__cur")
+    }
+    fr.select(col("__aid"), col("__f")).dropDuplicates("__aid")
+      .where(col("__f").isNotNull)
+      .orderBy(if (asc) col("__f").asc else col("__f").desc)
+      .limit(k)
+      .agg((if (asc) max(col("__f")) else min(col("__f"))).as("__kth"))
+  }
+
   /** Label predicate on a bound node struct. */
   private def labelFilter(v: String, labels: List[String]): Option[Column] =
     if (labels.isEmpty) None
@@ -566,6 +685,9 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           ExprCompiler.compile(pred, Scope(ctx.scope)).col.try_cast(BooleanType))
         seededFrontier = true
       }
+      // anchored top-k pushdown (installTopKPruning): restrict the scan
+      // to anchors that can reach the query's top k before any expand
+      if (ctx.df.isEmpty) anchorPrune.get(startVar).foreach(p => scan = p(scan))
       ctx = ctx.copy(df = Some(ctx.df.map(_.crossJoin(scan)).getOrElse(scan)))
     }
     pnCol.foreach { _ =>

@@ -2346,4 +2346,74 @@ class CypherSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT (?nope + 1 AS ?r) WHERE { ?x <qty> ?q . }"))
   }
+
+  // ---- anchored top-k pushdown (Planner.installTopKPruning) ----------
+
+  private def firstK(q: String, k: Int): Seq[String] =
+    Cypher.run(g, q).collect().take(k).map(_.mkString("|")).toSeq
+
+  test("top-k pushdown: pruned plan matches full-sort prefix (asc, desc, skip, null keys)") {
+    // leading key = anchor property; full tiebreak → deterministic prefix
+    val body = "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"
+    val full = firstK(body, 7)
+    val limited = Cypher.run(g, body + " LIMIT 7")
+    // the rule installed: the threshold frame rides in the plan
+    assert(limited.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(limited.collect().map(_.mkString("|")).toSeq === full)
+
+    val bodyDesc = "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS aid, b.id AS bid ORDER BY aid DESC, bid"
+    assert(Cypher.run(g, bodyDesc + " LIMIT 6").collect().map(_.mkString("|")).toSeq
+      === firstK(bodyDesc, 6))
+
+    // SKIP folds into the threshold (k = skip + limit)
+    assert(Cypher.run(g, body + " SKIP 3 LIMIT 4").collect().map(_.mkString("|")).toSeq
+      === firstK(body, 7).drop(3))
+
+    // leading key with heavy ties + nulls (occupation is mostly absent):
+    // nulls-last anchors survive the prune, tie rows kept via <=
+    val bodyNull = "MATCH (a)-[:NEIGHBORS]->(b) " +
+      "RETURN a.occupation AS occ, a.id AS aid, b.id AS bid ORDER BY occ, aid, bid"
+    assert(Cypher.run(g, bodyNull + " LIMIT 5").collect().map(_.mkString("|")).toSeq
+      === firstK(bodyNull, 5))
+  }
+
+  test("top-k pushdown installs only for qualifying shapes") {
+    // qualifying: linear path, leading key on the anchor, LIMIT
+    assert(Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x ORDER BY x LIMIT 3")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    // not: leading sort key on a NON-anchor variable
+    assert(!Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) RETURN b.id AS x ORDER BY x LIMIT 3")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    // not: DISTINCT (dedup changes which rows reach the top k)
+    assert(!Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS]->(b) RETURN DISTINCT a.id AS x ORDER BY x LIMIT 3")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    // not: aggregation, var-length, no LIMIT
+    assert(!Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x, count(b) AS c ORDER BY x LIMIT 3")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(!Cypher.run(g, "MATCH (a)-[*1..2]->(b) RETURN a.id AS x ORDER BY x LIMIT 3")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(!Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x ORDER BY x")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+  }
+
+  test("top-k pushdown: anchor-only WHERE and anchors without matches stay correct") {
+    val body = "MATCH (a)-[:NEIGHBORS]->(b) WHERE a.id > '1' " +
+      "RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"
+    val limited = Cypher.run(g, body + " LIMIT 4")
+    assert(limited.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(limited.collect().map(_.mkString("|")).toSeq === firstK(body, 4))
+    // WHERE touching a non-anchor var → rule bails, values still right
+    val cross = "MATCH (a)-[:NEIGHBORS]->(b) WHERE b.id > '1' " +
+      "RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"
+    val lim2 = Cypher.run(g, cross + " LIMIT 4")
+    assert(!lim2.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(lim2.collect().map(_.mkString("|")).toSeq === firstK(cross, 4))
+    // target label that matches nothing: threshold frame is a null row →
+    // prune keeps everything, result is empty either way
+    assert(Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS]->(b:Nowhere) RETURN a.id AS aid ORDER BY aid LIMIT 3")
+      .count() === 0L)
+  }
 }
