@@ -4438,6 +4438,55 @@ object Queries {
              |  JOIN region ON n_regionkey = r_regionkey)
              |GROUP BY grf, p ORDER BY grf, p""".stripMargin))),
 
+    // SPARQL 1.1 Update §3.1.3 WITH: both the un-scoped templates and
+    // the WHERE clause scope to graph/EUROPE — every EUROPE segment
+    // flips to "EU", every other graph (and the default) is untouched.
+    // The per-(graph, segment) census pins both effects.
+    "sparql_update_with" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.update(sparqlQuads(s, d),
+          """WITH <graph/EUROPE>
+            |DELETE { ?c <segment> ?s } INSERT { ?c <segment> "EU" }
+            |WHERE { ?c <segment> ?s }""".stripMargin)
+          .where(col("p") === "segment")
+          .groupBy(col("g").as("grf"), col("o").as("seg"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("grf", "seg"),
+      Some("""SELECT grf, seg, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT 'graph/' || r_name AS grf,
+             |    CASE WHEN r_name = 'EUROPE' THEN 'EU'
+             |         ELSE c_mktsegment END AS seg
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey)
+             |GROUP BY grf, seg ORDER BY grf, seg""".stripMargin))),
+
+    // §3.1.3 USING: the WHERE clause's dataset clause — ASIA and
+    // AFRICA merge into the WHERE's default graph, while the un-scoped
+    // INSERT template targets the store's DEFAULT graph (no WITH):
+    // their customers gain a default-graph MIXED statement, the named
+    // graphs replay unchanged.
+    "sparql_update_using" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.update(sparqlQuads(s, d),
+          """INSERT { ?c <segment> "MIXED" }
+            |USING <graph/ASIA> USING <graph/AFRICA>
+            |WHERE { ?c <segment> ?s }""".stripMargin)
+          .where(col("p") === "segment")
+          .groupBy(coalesce(col("g"), lit("default")).as("grf"),
+            col("o").as("seg"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("grf", "seg"),
+      Some("""SELECT grf, seg, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT 'graph/' || r_name AS grf, c_mktsegment AS seg
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL
+             |  SELECT 'default', 'MIXED'
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name IN ('ASIA', 'AFRICA'))
+             |GROUP BY grf, seg ORDER BY grf, seg""".stripMargin))),
+
     // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
     // on both engines, replayed verbatim.
     "sparql_hash" -> ((

@@ -1794,10 +1794,8 @@ object Sparql {
         case k => left.join(right, shared, k) // left / left_semi / left_anti
       }
     }
-    require(nullable.size <= MaxNullableJoinVars,
-      s"compatibility join over ${nullable.size} maybe-unbound variables " +
-        s"(${nullable.mkString(", ")}) exceeds the 2^$MaxNullableJoinVars " +
-        "strata cap")
+    if (nullable.size > MaxNullableJoinVars)
+      return residualCompatJoin(left, right, shared, nullable, kind, cond)
     val merging = kind == "inner" || kind == "left"
     val outCols: Seq[String] =
       if (merging)
@@ -1842,6 +1840,85 @@ object Sparql {
     strata.reduceLeft(_ unionByName _)
   }
 
+  /**
+   * [[compatJoin]] beyond the 2^[[MaxNullableJoinVars]] strata budget:
+   * the first [[MaxNullableJoinVars]] maybe-unbound vars stratify as
+   * usual (equi-join keys, pushdown-friendly), the REST ride the join
+   * as residual compatibility conditions `l.v IS NULL OR l.v = r.v` on
+   * each stratum's equi-join (right binds every shared var statically,
+   * so the per-var compat test needs no right-null case). Merged values
+   * for residual vars are `coalesce(l.v, r.v)` — the μ ∪ μ' adoption.
+   * Strata stay equi-join-led whenever ANY key survives; only the
+   * stratum with no bound keys at all degrades to a (stratum-bounded)
+   * nested-loop, which is the §18.3-required compatibility product.
+   * MINUS keeps §8.3's dom-disjoint survival: a row with EVERY shared
+   * var unbound is kept whole, all other rows anti-join.
+   */
+  private def residualCompatJoin(left: DataFrame, right: DataFrame,
+                                 shared: Seq[String], nullable: Seq[String],
+                                 kind: String,
+                                 cond: Seq[FilterExpr]): DataFrame = {
+    require(cond.isEmpty,
+      s"compatibility join over ${nullable.size} maybe-unbound variables " +
+        "combined with a cross-scope join condition is unsupported " +
+        s"(the 2^$MaxNullableJoinVars strata cap applies when a " +
+        "condition is present)")
+    val stratVars = nullable.take(MaxNullableJoinVars)
+    val residVars = nullable.drop(MaxNullableJoinVars)
+    val merging = kind == "inner" || kind == "left"
+    val outCols: Seq[String] =
+      if (merging)
+        left.columns.toSeq ++ right.columns.toSeq.filterNot(left.columns.contains)
+      else left.columns.toSeq
+    val lCols = left.columns.toSet
+    val domNeverDisjoint = (shared.toSet -- nullable).nonEmpty
+    val strata = (0 until (1 << stratVars.size)).flatMap { m =>
+      val nullSet = stratVars.zipWithIndex.collect {
+        case (v, i) if (m & (1 << i)) != 0 => v }
+      val boundSet = stratVars.filterNot(nullSet.contains)
+      val stratum0 = left.where(
+        (nullSet.map(col(_).isNull) ++ boundSet.map(col(_).isNotNull))
+          .reduce(_ && _))
+      val keys = shared.filterNot(v => nullSet.contains(v) || residVars.contains(v))
+      def joinCond: Column =
+        (keys.map(k => col(s"__sl.$k") === col(s"__sr.$k")) ++
+          residVars.map(v => col(s"__sl.$v").isNull ||
+            col(s"__sl.$v") === col(s"__sr.$v")))
+          .foldLeft(lit(true))(_ && _)
+      def mergedSelect(j: DataFrame): DataFrame =
+        j.select(outCols.map { c =>
+          (if (residVars.contains(c)) coalesce(col(s"__sl.$c"), col(s"__sr.$c"))
+           else if (nullSet.contains(c)) col(s"__sr.$c")
+           else if (lCols(c)) col(s"__sl.$c")
+           else col(s"__sr.$c")).as(c)
+        }: _*)
+      def aliased(joinType: String): DataFrame =
+        stratum0.as("__sl").join(right.as("__sr"), joinCond, joinType)
+      kind match {
+        case "inner" => Seq(mergedSelect(aliased("inner")))
+        case "left" => Seq(mergedSelect(aliased("left")))
+        case "left_semi" | "left_anti" =>
+          Seq(aliased(kind).select(outCols.map(col): _*))
+        case "minus" =>
+          // §8.3: μ survives when dom(μ)∩dom(μ') = ∅ — only possible
+          // when every shared var is maybe-unbound AND this row binds
+          // none of them (all strat vars null + all residual vars null)
+          if (domNeverDisjoint || nullSet.size != stratVars.size)
+            Seq(aliased("left_anti").select(outCols.map(col): _*))
+          else {
+            val allResidNull = residVars.map(col(_).isNull)
+              .foldLeft(lit(true))(_ && _)
+            val kept = stratum0.where(allResidNull)
+            val contested = stratum0.where(!allResidNull)
+            Seq(kept.select(outCols.map(col): _*),
+              contested.as("__sl").join(right.as("__sr"), joinCond, "left_anti")
+                .select(outCols.map(col): _*))
+          }
+      }
+    }
+    strata.reduceLeft(_ unionByName _)
+  }
+
   /** [[compatJoin]] with a possibly-nullable RIGHT side
     * (`rightNullable`): the right frame is stratified by its own
     * null-mask first (each right stratum drops its null columns and
@@ -1881,9 +1958,11 @@ object Sparql {
               else compatJoin(left, hint(right), shared, leftNullable, kind, cond)
       return if (merging) j.select(outCols.map(col): _*) else j
     }
-    require(rn.size + shared.count(leftNullable) <= MaxNullableJoinVars,
-      s"compatibility join over ${rn.size + shared.count(leftNullable)} " +
-        "maybe-unbound variables exceeds the strata cap")
+    // only the RIGHT-side mask is enumerated here (2^rn frames); any
+    // left-nullable count is handled by compatJoin's residual fallback
+    require(rn.size <= MaxNullableJoinVars,
+      s"compatibility join over ${rn.size} maybe-unbound right-side " +
+        s"variables exceeds the 2^$MaxNullableJoinVars strata cap")
     // (right stratum with its null columns dropped, its join keys)
     val strata: Seq[(DataFrame, Seq[String])] =
       (0 until (1 << rn.size)).map { m =>
@@ -2010,8 +2089,10 @@ object Sparql {
     * QUAD frame (§13 RDF datasets): the g-null rows form the default
     * graph, distinct non-null g values the named graphs; `GRAPH` and
     * the FROM / FROM NAMED dataset clauses then apply. */
-  def run(triples: DataFrame, query: String): DataFrame = {
-    val q = parse(query)
+  def run(triples: DataFrame, query: String): DataFrame =
+    runParsed(triples, parse(query))
+
+  private def runParsed(triples: DataFrame, q: Query): DataFrame = {
     val hasG = triples.columns.contains("g")
     val usesGraph = q.groupElems.exists(_.isInstanceOf[GGraph])
     require(hasG || (q.fromGraphs.isEmpty && q.fromNamed.isEmpty && !usesGraph),
@@ -2084,8 +2165,16 @@ object Sparql {
       // expression alias, an OPTIONAL or UNION-padded binding) can
       // arrive unbound — the compat join stratifies BOTH sides.
       case GSub(subText) =>
-        val sub = run(triples, subText)
         val subQ = parse(subText)
+        // the grammar's SubSelect carries no dataset clause of its own;
+        // the OUTER query's FROM / FROM NAMED scope the WHOLE query
+        // (§13.2) — thread them into the recursive evaluation so a
+        // subquery under a dataset clause reads the restricted dataset,
+        // not the raw default graph
+        require(subQ.fromGraphs.isEmpty && subQ.fromNamed.isEmpty,
+          "a subquery may not carry its own dataset clause")
+        val sub = runParsed(triples,
+          subQ.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed))
         val subNullable: Set[String] = sub.columns.toSeq.filterNot { v =>
           subQ.patterns.exists(p => termsOf(p).contains(V(v))) ||
             (subQ.unionBranches.nonEmpty &&
@@ -2447,7 +2536,13 @@ object Sparql {
         g.limit(0)
       case "INSERT" if peek.equalsIgnoreCase("DATA") =>
         pop()
-        g.unionByName(constData(braceSpan())).distinct()
+        // set-insert without re-shuffling the store (r14 audit): the
+        // tiny constant payload broadcasts, existing copies anti-join
+        // away as the graph STREAMS past, then the payload unions in —
+        // (g \ new) ∪ new = g ∪ new, and no full-graph Exchange
+        val add = constData(braceSpan()).distinct()
+        g.join(broadcast(add), Seq("s", "p", "o"), "left_anti")
+          .unionByName(add)
       case "DELETE" if peek.equalsIgnoreCase("DATA") =>
         pop()
         g.join(broadcast(constData(braceSpan())), Seq("s", "p", "o"),
@@ -2474,9 +2569,14 @@ object Sparql {
         val afterDelete = delTpl.fold(g)(spanD =>
           g.join(instantiate(sols, templatePatterns(spanD)).distinct(),
             Seq("s", "p", "o"), "left_anti"))
-        insTpl.fold(afterDelete)(spanI =>
-          afterDelete.unionByName(
-            instantiate(sols, templatePatterns(spanI))).distinct())
+        // dedup scoped to new-vs-new (distinct over the instantiated
+        // rows only) and new-vs-existing (anti-join; AQE broadcasts the
+        // small side) — never a full-graph distinct
+        insTpl.fold(afterDelete) { spanI =>
+          val ins = instantiate(sols, templatePatterns(spanI)).distinct()
+          afterDelete.join(ins, Seq("s", "p", "o"), "left_anti")
+            .unionByName(ins)
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported update form '$other'")
     }
@@ -2507,6 +2607,18 @@ object Sparql {
       prefixes += s"PREFIX $name $iri"
     }
     val prefixHeader = if (prefixes.isEmpty) "" else prefixes.mkString("", " ", " ")
+    // `WITH <g>` (sparql11-update §3.1.3, Modify form only): the graph
+    // un-GRAPH-scoped template statements target, and the WHERE
+    // clause's default matching graph unless USING overrides it
+    val withGraph: Option[String] =
+      if (peek.equalsIgnoreCase("WITH")) {
+        pop()
+        tokTerm(pop()) match {
+          case Const(v) => Some(v)
+          case other => throw new IllegalArgumentException(
+            s"WITH expects a graph <iri>, got $other")
+        }
+      } else None
     def braceSpan(): String = {
       require(pop() == "{", "expected '{'")
       var depth = 1
@@ -2558,7 +2670,9 @@ object Sparql {
       }
       tpl.map { case (gt, p) =>
         val gCol = gt match {
-          case None => lit(null).cast("string")
+          // bare template triples target the WITH graph when present,
+          // else the default graph (§3.1.3)
+          case None => withGraph.fold(lit(null).cast("string"))(w => lit(w))
           case Some(t0) => side(t0)
         }
         val base = sols.select(gCol.as("g"), side(p.s).as("s"),
@@ -2571,9 +2685,11 @@ object Sparql {
       }.reduceLeft(_ unionByName _)
     }
     /** Null-safe (g,s,p,o) anti-join — the default graph's null g must
-      * match itself. */
+      * match itself. Duplicates in `del` are harmless for an anti-join;
+      * callers dedup/broadcast-hint the del side themselves (a distinct
+      * HERE would sit above any caller's broadcast hint and strip it). */
     def minusQuads(from: DataFrame, del: DataFrame): DataFrame = {
-      val l = from.as("__l"); val r = del.distinct().as("__r")
+      val l = from.as("__l"); val r = del.as("__r")
       l.join(r,
         col("__l.g") <=> col("__r.g") && col("__l.s") === col("__r.s") &&
           col("__l.p") === col("__r.p") && col("__l.o") === col("__r.o"),
@@ -2611,6 +2727,9 @@ object Sparql {
       ref.fold(col("g").isNull)(v => col("g") <=> lit(v))
 
     val head = pop().toUpperCase
+    // grammar: only the Modify production takes WITH
+    require(withGraph.isEmpty || head == "DELETE" || head == "INSERT",
+      s"WITH applies only to DELETE/INSERT ... WHERE, not $head")
     head match {
       case "CLEAR" | "DROP" =>
         peek.toUpperCase match {
@@ -2630,37 +2749,78 @@ object Sparql {
           val moved = g.where(gEq(src))
             .select(dst.fold(lit(null).cast("string"))(lit(_)).as("g"),
               col("s"), col("p"), col("o"))
-          val base = head match {
-            case "ADD" => g
-            case "COPY" => g.where(!gEq(dst))
-            case "MOVE" => g.where(!gEq(dst) && !gEq(src))
+          // COPY/MOVE clear the destination graph first, so `moved`
+          // cannot collide with `base` — plain union, no dedup. ADD may
+          // collide with existing destination rows: anti-join them away
+          // (moved is itself a set — a relabeled subset of the set g),
+          // never a full-store distinct.
+          head match {
+            case "ADD" => minusQuads(g, moved).unionByName(moved)
+            case "COPY" => g.where(!gEq(dst)).unionByName(moved)
+            case "MOVE" => g.where(!gEq(dst) && !gEq(src)).unionByName(moved)
           }
-          base.unionByName(moved).distinct()
         }
       case "INSERT" if peek.equalsIgnoreCase("DATA") =>
+        require(withGraph.isEmpty, "WITH applies only to DELETE/INSERT ... WHERE")
         pop()
-        g.unionByName(constQuads(braceSpan())).distinct()
+        // set-insert without re-shuffling the store: broadcast the tiny
+        // constant payload, anti-join existing copies away as the store
+        // streams past, union the payload in — no full-store Exchange
+        val add = constQuads(braceSpan()).distinct()
+        minusQuads(g, broadcast(add)).unionByName(add)
       case "DELETE" if peek.equalsIgnoreCase("DATA") =>
+        require(withGraph.isEmpty, "WITH applies only to DELETE/INSERT ... WHERE")
         pop()
         minusQuads(g, broadcast(constQuads(braceSpan())))
       case "DELETE" if peek.equalsIgnoreCase("WHERE") =>
+        require(withGraph.isEmpty,
+          "WITH applies only to the DELETE/INSERT ... WHERE form")
         pop()
         val span = braceSpan()
         val tpl = templateQuads(span)
-        minusQuads(g, instantiateQ(solutionsOf(span), tpl))
+        minusQuads(g, instantiateQ(solutionsOf(span), tpl).distinct())
       case "DELETE" | "INSERT" =>
         val delTpl = if (head == "DELETE") Some(braceSpan()) else None
         val insTpl =
           if (head == "INSERT") Some(braceSpan())
           else if (peek.equalsIgnoreCase("INSERT")) { pop(); Some(braceSpan()) }
           else None
+        // `USING <g>` / `USING NAMED <g>` (§3.1.3): the WHERE clause's
+        // dataset, exactly like FROM / FROM NAMED on a query. Any USING
+        // overrides WITH for matching (WITH still scopes the templates).
+        val usings = scala.collection.mutable.ListBuffer.empty[(Boolean, String)]
+        while (peek.equalsIgnoreCase("USING")) {
+          pop()
+          val named = peek.equalsIgnoreCase("NAMED")
+          if (named) pop()
+          tokTerm(pop()) match {
+            case Const(v) => usings += ((named, v))
+            case other => throw new IllegalArgumentException(
+              s"USING expects a graph <iri>, got $other")
+          }
+        }
         require(pop().equalsIgnoreCase("WHERE"), "expected WHERE")
-        val sols = solutionsOf(braceSpan()).localCheckpoint(true)
+        val whereSpan = braceSpan()
+        val whereQuery =
+          if (usings.nonEmpty) {
+            val ds = usings.map { case (named, iri) =>
+              (if (named) "FROM NAMED <" else "FROM <") + iri + ">"
+            }.mkString(" ")
+            s"${prefixHeader}SELECT * $ds WHERE { $whereSpan }"
+          } else withGraph.fold(
+            s"${prefixHeader}SELECT * WHERE { $whereSpan }")(w =>
+            // WITH and no USING: match against the WITH graph, the
+            // spec's "as if GRAPH <g> wrapped the pattern" reading
+            s"${prefixHeader}SELECT * WHERE { GRAPH <$w> { $whereSpan } }")
+        val sols = run(graph, whereQuery).localCheckpoint(true)
         val afterDelete = delTpl.fold(g)(spanD =>
-          minusQuads(g, instantiateQ(sols, templateQuads(spanD))))
-        insTpl.fold(afterDelete)(spanI =>
-          afterDelete.unionByName(
-            instantiateQ(sols, templateQuads(spanI))).distinct())
+          minusQuads(g, instantiateQ(sols, templateQuads(spanD)).distinct()))
+        // scoped dedup as in the triple form: new-vs-new distinct,
+        // new-vs-existing null-safe anti-join — no full-store distinct
+        insTpl.fold(afterDelete) { spanI =>
+          val ins = instantiateQ(sols, templateQuads(spanI)).distinct()
+          minusQuads(afterDelete, ins).unionByName(ins)
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported update form '$other'")
     }

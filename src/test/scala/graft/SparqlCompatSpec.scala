@@ -288,6 +288,84 @@ class SparqlCompatSpec extends SparkSpec {
     }
   }
 
+  test("property: k=5 maybe-unbound join vars route through the residual fallback, all kinds") {
+    // five OPTIONAL-introduced vars shared with the operator block —
+    // beyond the 2^4 strata budget, so compatJoin's residual path runs
+    val vals = Seq("v0", "v1")
+    val genK5: Gen[Seq[(String, String, String)]] = {
+      val edge = for {
+        s <- Gen.oneOf("s0", "s1", "s2", "z0", "z1")
+        p <- Gen.oneOf("p", "q1", "q2", "q3", "q4", "q5",
+          "m1", "m2", "m3", "m4", "m5")
+        o <- Gen.oneOf(vals)
+      } yield (s, p, o)
+      Gen.chooseNum(18, 36).flatMap(n => Gen.listOfN(n, edge)).map(es =>
+        // guarantee ≥1 full block row and ≥1 base row
+        (es ++ Seq(("z0", "m1", "v0"), ("z0", "m2", "v0"), ("z0", "m3", "v0"),
+          ("z0", "m4", "v1"), ("z0", "m5", "v1"), ("s0", "p", "v0"))).distinct)
+    }
+    val vNames = (1 to 5).map(i => s"v$i")
+    forAll(genK5, cases = 6) { g =>
+      val t = triples(g: _*)
+      val base: Seq[Map[String, String]] =
+        g.collect { case (s, "p", o) => (s, o) }.flatMap { case (s, o) =>
+          vNames.zipWithIndex.foldLeft(Seq(Map("s" -> s, "o" -> o))) {
+            case (sols, (vn, i)) =>
+              val qi = s"q${i + 1}"
+              sols.flatMap { mu =>
+                val vs = g.collect { case (`s`, `qi`, v) => v }
+                if (vs.isEmpty) Seq(mu) else vs.map(v => mu + (vn -> v))
+              }
+          }
+        }
+      val block: Seq[Map[String, String]] = {
+        val zs = g.map(_._1).distinct
+        zs.flatMap { z =>
+          vNames.zipWithIndex.foldLeft(Seq(Map("z" -> z))) {
+            case (sols, (vn, i)) =>
+              val mi = s"m${i + 1}"
+              sols.flatMap { mu =>
+                g.collect { case (`z`, `mi`, v) => v }.map(v => mu + (vn -> v))
+              }
+          }
+        }
+      }
+      val opts = (1 to 5).map(i => s"OPTIONAL { ?s <q$i> ?v$i }").mkString(" ")
+      val blockPats = (1 to 5).map(i => s"?z <m$i> ?v$i .").mkString(" ")
+      def show(m: Map[String, String], cols: Seq[String]): String =
+        cols.map(m.getOrElse(_, "∅")).mkString(",")
+      val outCols = "s" +: vNames
+      val sel = "?s " + vNames.map("?" + _).mkString(" ")
+      // inner join
+      val gotInner = rowsOf(Sparql.run(t,
+        s"SELECT $sel WHERE { ?s <p> ?o . $opts $blockPats }")).sorted
+      val refInner = for { mu <- base; mp <- block if compatible(mu, mp) }
+        yield mu ++ mp
+      assert(gotInner === refInner.map(show(_, outCols)).sorted, s"k5 inner over $g")
+      // OPTIONAL (LeftJoin)
+      val gotOpt = rowsOf(Sparql.run(t,
+        s"SELECT $sel WHERE { ?s <p> ?o . $opts OPTIONAL { $blockPats } }")).sorted
+      val refOpt = base.flatMap { mu =>
+        val ext = block.filter(compatible(mu, _)).map(mu ++ _)
+        if (ext.isEmpty) Seq(mu) else ext
+      }
+      assert(gotOpt === refOpt.map(show(_, outCols)).sorted, s"k5 OPTIONAL over $g")
+      // MINUS / NOT EXISTS / EXISTS
+      def runOp(op: String): Seq[String] = rowsOf(Sparql.run(t,
+        s"SELECT $sel WHERE { ?s <p> ?o . $opts $op { $blockPats } }")).sorted
+      val refMinus = base.filterNot(mu => block.exists(mp =>
+        compatible(mu, mp) && mu.keySet.intersect(mp.keySet).nonEmpty))
+      assert(runOp("MINUS") === refMinus.map(show(_, outCols)).sorted,
+        s"k5 MINUS over $g")
+      val refNE = base.filterNot(mu => block.exists(compatible(mu, _)))
+      assert(runOp("FILTER NOT EXISTS") === refNE.map(show(_, outCols)).sorted,
+        s"k5 NOT EXISTS over $g")
+      val refE = base.filter(mu => block.exists(compatible(mu, _)))
+      assert(runOp("FILTER EXISTS") === refE.map(show(_, outCols)).sorted,
+        s"k5 EXISTS over $g")
+    }
+  }
+
   test("property: union-with-unbound inner join matches the §18.3 merge reference") {
     forAll(genGraph) { g =>
       val t = triples(g: _*)

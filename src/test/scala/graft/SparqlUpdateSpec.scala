@@ -134,4 +134,83 @@ class SparqlUpdateSpec extends SparkSpec {
     // no-op when source = target
     assert(qset(Sparql.update(g, "COPY DEFAULT TO DEFAULT")) === qset(g))
   }
+
+  test("WITH <g>: templates and WHERE both scope to the named graph") {
+    val g = quads((null, "a", "st", "old"), ("g1", "a", "st", "old"),
+      ("g1", "b", "st", "done"), ("g2", "c", "st", "old"))
+    // only g1's "old" flips: the default graph's and g2's are untouched
+    // (WHERE matched against g1, templates instantiate into g1)
+    val out = Sparql.update(g,
+      """WITH <g1> DELETE { ?s <st> "old" } INSERT { ?s <st> "new" }
+        |WHERE { ?s <st> "old" }""".stripMargin)
+    assert(qset(out) === Set(("∅", "a", "st", "old"), ("g1", "a", "st", "new"),
+      ("g1", "b", "st", "done"), ("g2", "c", "st", "old")))
+    // an explicit GRAPH block in the template overrides WITH
+    val out2 = Sparql.update(g,
+      """WITH <g1> DELETE { ?s <st> "old" }
+        |INSERT { GRAPH <g2> { ?s <st> "moved" } }
+        |WHERE { ?s <st> "old" }""".stripMargin)
+    assert(qset(out2) === Set(("∅", "a", "st", "old"),
+      ("g1", "b", "st", "done"), ("g2", "a", "st", "moved"),
+      ("g2", "c", "st", "old")))
+    // grammar: WITH is Modify-only
+    intercept[IllegalArgumentException](Sparql.update(g,
+      """WITH <g1> INSERT DATA { <x> <p> "1" . }"""))
+    intercept[IllegalArgumentException](Sparql.update(g,
+      "WITH <g1> CLEAR DEFAULT"))
+    intercept[IllegalArgumentException](Sparql.update(g,
+      """WITH <g1> DELETE WHERE { ?s <st> ?v . }"""))
+  }
+
+  test("USING / USING NAMED: the WHERE dataset, overriding WITH for matching") {
+    val g = quads((null, "d", "st", "x"), ("g1", "a", "st", "x"),
+      ("g2", "b", "st", "x"), ("g3", "c", "st", "x"))
+    // USING <g1> USING <g2>: WHERE's default graph = g1 ∪ g2; the
+    // un-scoped INSERT template targets the DEFAULT graph (no WITH)
+    val out = Sparql.update(g,
+      """INSERT { ?s <seen> "1" } USING <g1> USING <g2>
+        |WHERE { ?s <st> "x" }""".stripMargin)
+    assert(qset(out) === qset(g) ++ Set(("∅", "a", "seen", "1"),
+      ("∅", "b", "seen", "1")))
+    // WITH + USING: USING wins for matching, WITH still scopes templates
+    val out2 = Sparql.update(g,
+      """WITH <g3> INSERT { ?s <seen> "1" } USING <g1>
+        |WHERE { ?s <st> "x" }""".stripMargin)
+    assert(qset(out2) === qset(g) ++ Set(("g3", "a", "seen", "1")))
+    // USING NAMED restricts the GRAPH-visible named set to the listed
+    // graphs (and empties the default graph, §13.2 dataset rules)
+    val out3 = Sparql.update(g,
+      """INSERT { ?s <from> ?g } USING NAMED <g2>
+        |WHERE { GRAPH ?g { ?s <st> "x" } }""".stripMargin)
+    assert(qset(out3) === qset(g) ++ Set(("∅", "b", "from", "g2")))
+  }
+
+  test("outer FROM / FROM NAMED reach sub-SELECTs (§13.2 whole-query scope)") {
+    val g = quads((null, "a", "v", "1"), ("g1", "a", "v", "2"),
+      ("g1", "b", "v", "3"), ("g2", "b", "v", "9"))
+    // without the dataset clause the subquery reads the default graph
+    assert(Sparql.run(g,
+      "SELECT ?m WHERE { { SELECT (MAX(?o) AS ?m) WHERE { ?s <v> ?o } } }")
+      .collect().map(_.getString(0)).toSeq === Seq("1"))
+    // FROM <g1>: the subquery must see g1 as the default graph too
+    assert(Sparql.run(g,
+      "SELECT ?m FROM <g1> WHERE { { SELECT (MAX(?o) AS ?m) WHERE { ?s <v> ?o } } }")
+      .collect().map(_.getString(0)).toSeq === Seq("3"))
+    // a subquery carrying its own dataset clause is rejected (grammar)
+    intercept[IllegalArgumentException](Sparql.run(g,
+      "SELECT ?m WHERE { { SELECT (MAX(?o) AS ?m) FROM <g1> WHERE { ?s <v> ?o } } }"))
+  }
+
+  test("posture: INSERT forms never re-shuffle the full store") {
+    val g = triples(("a", "p", "1"), ("b", "p", "2"))
+    val plan = Sparql.update(g, """INSERT DATA { <c> <p> "3" . }""")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"INSERT DATA hash-shuffles the store:\n$plan")
+    val gq = quads((null, "a", "p", "1"), ("g1", "b", "p", "2"))
+    val planQ = Sparql.update(gq, """INSERT DATA { GRAPH <g1> { <c> <p> "3" . } }""")
+      .queryExecution.executedPlan.toString
+    assert(!planQ.contains("Exchange hashpartitioning"),
+      s"quad INSERT DATA hash-shuffles the store:\n$planQ")
+  }
 }
