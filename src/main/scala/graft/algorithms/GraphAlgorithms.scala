@@ -2605,6 +2605,12 @@ object GraphAlgorithms {
    * index arrays — each distributed iteration costs several fixed-latency
    * jobs, the dominant term on small graphs. Parity spec-asserted via
    * `localThreshold = 0`.
+   *
+   * LAZY contract (like [[pageRank]]): the distributed regime returns an
+   * unmaterialized plan — consume it once, or `localCheckpoint`/`persist`
+   * first when reading it multiple times, else each action recomputes
+   * the full 2k-join recurrence. The internal edge persist's lifetime is
+   * GC/ContextCleaner-managed.
    */
   def hits(edges: DataFrame, iterations: Int = 3,
            localThreshold: Long = 10000000L): DataFrame = {

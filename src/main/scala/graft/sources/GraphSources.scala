@@ -127,7 +127,10 @@ object GraphSources {
     val pat = "^(<[^>]*>|\\S+)\\s+(<[^>]*>|\\S+)\\s+(.*?)\\s*\\.?\\s*$"
     def clean(c: org.apache.spark.sql.Column) =
       when(c.startsWith("<"), regexp_replace(c, "^<|>$", ""))
-        .when(c.startsWith("\""), regexp_extract(c, "^\"(.*)\"", 1))
+        // literal body up to the LAST quote (drops @lang / ^^<iri>
+        // qualifiers), backslash escapes resolved
+        .when(c.startsWith("\""), regexp_replace(
+          regexp_extract(c, "^\"(.*)\"", 1), "\\\\(.)", "$1"))
         .otherwise(c)
     val triples = lines
       .where(length(l) > 0 && !l.startsWith("#"))
@@ -162,23 +165,35 @@ object GraphSources {
    * [[parseRdfTriples]]; comment and blank lines skipped. One
    * regex-projected scan — no UDFs, pushdown-friendly.
    */
+  // object term: an <iri>, a quoted literal (backslash escapes honored,
+  // optional @lang or ^^<datatype> suffix), or a bare token; the graph
+  // term must not BE the terminating dot (a bare '.' ends the
+  // statement; graph labels never start with one)
+  private val quadLiteral =
+    "\"(?:[^\"\\\\]|\\\\.)*\"(?:@[A-Za-z][A-Za-z0-9-]*|\\^\\^<[^>]*>)?"
+  // bare-token alternatives exclude a leading quote: a quote-prefixed
+  // term must parse as a PROPER literal or the line is a reject —
+  // otherwise an unterminated literal silently truncates at whitespace
+  private val quadPat = "^(<[^>]*>|[^\"\\s]\\S*)\\s+(<[^>]*>|[^\"\\s]\\S*)\\s+" +
+    s"(<[^>]*>|$quadLiteral|[^\"\\s]\\S*)(?:\\s+(<[^>]*>|[^.\"\\s]\\S*))?\\s*\\.?\\s*$$"
+
   def parseRdfQuads(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val l = trim(col(lineCol))
-    // the graph term must not BE the terminating dot (a bare '.' ends
-    // the statement; graph labels never start with one)
-    val pat = "^(<[^>]*>|\\S+)\\s+(<[^>]*>|\\S+)\\s+" +
-      "(<[^>]*>|\"[^\"]*\"|\\S+)(?:\\s+(<[^>]*>|[^.\\s]\\S*))?\\s*\\.?\\s*$"
     def clean(c: org.apache.spark.sql.Column) =
       when(c.startsWith("<"), regexp_replace(c, "^<|>$", ""))
-        .when(c.startsWith("\""), regexp_extract(c, "^\"(.*)\"", 1))
+        // literal body (escapes resolved); a trailing @lang / ^^<iri>
+        // qualifier is dropped, as in [[parseRdfTriples]]
+        .when(c.startsWith("\""), regexp_replace(
+          regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1),
+          "\\\\(.)", "$1"))
         .otherwise(c)
     lines
       .where(length(l) > 0 && !l.startsWith("#"))
       .select(
-        regexp_extract(l, pat, 4).as("g"),
-        regexp_extract(l, pat, 1).as("s"),
-        regexp_extract(l, pat, 2).as("p"),
-        regexp_extract(l, pat, 3).as("o"))
+        regexp_extract(l, quadPat, 4).as("g"),
+        regexp_extract(l, quadPat, 1).as("s"),
+        regexp_extract(l, quadPat, 2).as("p"),
+        regexp_extract(l, quadPat, 3).as("o"))
       .where(col("s") =!= "" && col("p") =!= "" && col("o") =!= "")
       .select(
         when(col("g") === "", lit(null)).otherwise(clean(col("g"))).as("g"),
@@ -186,9 +201,30 @@ object GraphSources {
         clean(col("o")).as("o"))
   }
 
-  /** File-based N-Quads ingest — see [[parseRdfQuads]]. */
-  def readRdfQuads(spark: SparkSession, path: String): DataFrame =
-    parseRdfQuads(spark.read.text(path))
+  /** Ingest diagnostics for [[parseRdfQuads]]: the non-comment,
+    * non-blank lines the quad pattern CANNOT parse (malformed IRIs,
+    * unterminated literals, stray tokens). Silent loss is the failure
+    * mode this surfaces — count it, sample it, or gate on it via
+    * [[readRdfQuads]]'s strict mode. */
+  def rdfQuadRejects(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val l = trim(col(lineCol))
+    lines.where(length(l) > 0 && !l.startsWith("#") && !l.rlike(quadPat))
+  }
+
+  /** File-based N-Quads ingest — see [[parseRdfQuads]]. `strict = true`
+    * fails fast (with sample lines) when any non-comment line is
+    * unparseable instead of silently dropping it. */
+  def readRdfQuads(spark: SparkSession, path: String,
+                   strict: Boolean = false): DataFrame = {
+    val lines = spark.read.text(path)
+    if (strict) {
+      val bad = rdfQuadRejects(lines).limit(5).collect().map(_.getString(0))
+      require(bad.isEmpty,
+        s"unparseable N-Quads lines in $path (first ${bad.length}): " +
+          bad.mkString(" | "))
+    }
+    parseRdfQuads(lines)
+  }
 
   /**
    * `sdhdfs` graph export (reference frontend

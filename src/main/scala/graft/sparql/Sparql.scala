@@ -2244,10 +2244,12 @@ object Sparql {
       case GBind(v, e) =>
         require(df != null, "BIND cannot start a group")
         val have = df.columns.toSet
-        df =
-          if (varsOfExpr(e).forall(have.contains))
-            df.withColumn(v, compileExpr(e))
-          else df.withColumn(v, lit(null).cast("string"))
+        // §18.2.2.5 evaluates with frame-missing variables UNBOUND
+        // (null), erroring only where the expression propagates the
+        // error — so BIND(COALESCE(?missing, "d") AS ?y) yields "d",
+        // and BOUND(?missing) is false, not a dropped alias
+        df = df.withColumn(v, compileExpr(e,
+          n => if (have(n)) col(n) else lit(null).cast("string")))
         maybeNull += v
       case GMinus(block) =>
         require(df != null, "MINUS cannot start a group")

@@ -2138,6 +2138,51 @@ class CypherSpec extends SparkSpec {
       === Seq("g1,7", "g2,9"))
   }
 
+  test("N-Quads: lang tags, datatype suffixes, escaped quotes; rejects surfaced") {
+    import spark.implicits._
+    val lines = Seq(
+      "<a> <label> \"hello world\"@en <g1> .",          // spaced lang literal
+      "<a> <count> \"5\"^^<http://ns/int> .",            // datatype suffix
+      "<a> <quote> \"say \\\"hi\\\"\" <g1> .",           // escaped quotes
+      "<a> <label> \"x\"@en-GB .",                       // region subtag
+      "<a> <p> \"unterminated literal .",                // unparseable
+      "# comment").toDF("value")
+    val parsed = graft.sources.GraphSources.parseRdfQuads(lines)
+      .collect().map(r => Seq(Option(r.getString(0)).getOrElse("∅"),
+        r.getString(1), r.getString(2), r.getString(3)).mkString(",")).sorted
+    assert(parsed === Seq(
+      "g1,a,label,hello world",
+      "g1,a,quote,say \"hi\"",
+      "∅,a,count,5",
+      "∅,a,label,x"))
+    // the malformed non-comment line is surfaced, not silently lost
+    val rejects = graft.sources.GraphSources.rdfQuadRejects(lines)
+      .collect().map(_.getString(0))
+    assert(rejects.toSeq === Seq("<a> <p> \"unterminated literal ."))
+  }
+
+  test("BIND over a frame-missing variable evaluates with it unbound (§18.2.2.5)") {
+    import spark.implicits._
+    import graft.sparql.Sparql
+    val t = Seq(("a", "p", "1"), ("b", "p", "2"), ("b", "later", "L"))
+      .toDF("s", "p", "o")
+    // ?q is bound only by a LATER group element: at BIND time COALESCE
+    // sees the var unbound (null), not a short-circuited whole-alias null
+    assert(Sparql.run(t,
+      """SELECT ?s ?v ?q WHERE { ?s <p> ?o .
+        |BIND(COALESCE(?q, "d") AS ?v) OPTIONAL { ?s <later> ?q } }""".stripMargin)
+      .collect().map(r => r.getString(0) + "," + r.getString(1) + "," +
+        Option(r.getString(2)).getOrElse("∅")).sorted.toSeq
+      === Seq("a,d,∅", "b,d,L"))
+    // where the error DOES propagate, the alias is unbound (null):
+    // CONCAT over the missing var nulls out, per-row
+    assert(Sparql.run(t,
+      """SELECT ?s ?v WHERE { ?s <p> ?o . BIND(CONCAT(?q, "!") AS ?v)
+        |OPTIONAL { ?s <later> ?q } }""".stripMargin)
+      .collect().map(r => Option(r.getString(1)).getOrElse("∅")).distinct
+      .toSeq === Seq("∅"))
+  }
+
   test("sparql results JSON: W3C bindings rows, unbound variables omitted") {
     import spark.implicits._
     import graft.sparql.Sparql
