@@ -23,9 +23,22 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // harness contract (r14 verdict): the driver's comparator
+        // cannot sort array/map cells — a declared query must emit a
+        // FLAT schema (array_join/to_json on both sides). Failing HERE
+        // keeps the local gate exactly as strict as the driver's.
+        df.schema.fields.foreach { f =>
+          require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+            s"declared query '$name' outputs non-flat column '${f.name}' " +
+              s"(${f.dataType.simpleString}) — the driver comparator " +
+              "crashes on these; flatten it (array_join / to_json)")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -494,4 +494,27 @@ class QueryPostureSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"federated linkpred pipeline has a cartesian:\n$p")
   }
+
+  test("harness contract: every declared query's output schema is FLAT") {
+    // the driver's comparator crashes sorting array/map cells (r9
+    // emb_quantize, r14 cy_var_rel_binding — six rounds apart, same
+    // defect): pin the whole surface so a non-flat declaration can
+    // never ship again. Schema only — no query executes here.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = Queries.queries.toSeq.flatMap { case (name, fn) =>
+      val schema =
+        try fn(spark, sf0001).schema
+        catch { case e: Throwable =>
+          fail(s"declared query '$name' failed to plan: ${e.getMessage}") }
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "non-flat declared outputs (driver comparator crashes on these):\n" +
+        offenders.mkString("\n"))
+  }
 }
