@@ -2452,6 +2452,12 @@ object Sparql {
    *    part may be absent); the full query-side group algebra is
    *    available in WHERE (it is evaluated by [[run]])
    *  - `CLEAR DEFAULT` / `CLEAR ALL` — the empty graph
+   *  - `LOAD <doc>` — N-Quads/N-Triples lines from a Hadoop-visible
+   *    path merge in (set semantics); `INTO GRAPH` needs a quad frame
+   *
+   * The quad form ([[updateQuads]]) adds `WITH <g>`, `USING` /
+   * `USING NAMED`, GRAPH-scoped templates, graph management
+   * (CLEAR/DROP/ADD/COPY/MOVE) and `LOAD ... INTO GRAPH <g>`.
    *
    * Inserting forms return the SET graph (RDF semantics — duplicates
    * collapse on the union); delete-only forms anti-join and preserve
@@ -2532,6 +2538,20 @@ object Sparql {
 
     val head = pop().toUpperCase
     head match {
+      case "LOAD" =>
+        // triple-frame LOAD (§3.1.4): the document's statements merge
+        // into the (only) graph; INTO GRAPH needs a quad frame
+        val doc = tokTerm(pop()) match {
+          case Const(v) => v
+          case other => throw new IllegalArgumentException(
+            s"LOAD expects a document <iri>, got $other")
+        }
+        require(ts.isEmpty || !peek.equalsIgnoreCase("INTO"),
+          "LOAD ... INTO GRAPH needs a quad frame (columns g, s, p, o)")
+        val loaded = graft.sources.GraphSources
+          .readRdfQuads(graph.sparkSession, doc)
+          .select(col("s"), col("p"), col("o")).distinct()
+        g.join(loaded, Seq("s", "p", "o"), "left_anti").unionByName(loaded)
       case "CLEAR" =>
         val what = pop().toUpperCase
         require(what == "ALL" || what == "DEFAULT", s"CLEAR $what is unsupported")
@@ -2733,6 +2753,36 @@ object Sparql {
     require(withGraph.isEmpty || head == "DELETE" || head == "INSERT",
       s"WITH applies only to DELETE/INSERT ... WHERE, not $head")
     head match {
+      case "LOAD" =>
+        // LOAD <document> [INTO GRAPH <g>] (§3.1.4): the document IRI is
+        // a Hadoop-visible path (file:/…, hdfs:/…) of N-Quads/N-Triples
+        // lines; loaded statements land in the named graph (overriding
+        // any in-file graph terms, per spec: the document is loaded
+        // "into" that graph) or keep their own graph / the default.
+        // SILENT (no-op on unparseable lines) per the spec's best-effort
+        // reading; use GraphSources.readRdfQuads(strict=true) to gate.
+        val doc = tokTerm(pop()) match {
+          case Const(v) => v
+          case other => throw new IllegalArgumentException(
+            s"LOAD expects a document <iri>, got $other")
+        }
+        val target: Option[String] =
+          if (peek.equalsIgnoreCase("INTO")) {
+            pop()
+            require(pop().equalsIgnoreCase("GRAPH"), "expected GRAPH after INTO")
+            tokTerm(pop()) match {
+              case Const(v) => Some(v)
+              case other => throw new IllegalArgumentException(
+                s"INTO GRAPH expects a graph <iri>, got $other")
+            }
+          } else None
+        val raw = graft.sources.GraphSources.readRdfQuads(graph.sparkSession, doc)
+        val loaded = target.fold(raw)(t0 =>
+          raw.select(lit(t0).as("g"), col("s"), col("p"), col("o"))).distinct()
+        // set-insert, scale-safe: anti-join existing copies, union in
+        // (no broadcast hint — the document's size is unknown; AQE
+        // flips to broadcast when it turns out small)
+        minusQuads(g, loaded).unionByName(loaded)
       case "CLEAR" | "DROP" =>
         peek.toUpperCase match {
           case "ALL" => pop(); g.limit(0)

@@ -67,7 +67,9 @@ class SparqlUpdateSpec extends SparkSpec {
     assert(Sparql.update(g, "CLEAR ALL").count() === 0)
     assert(Sparql.update(g, "CLEAR DEFAULT").count() === 0)
     intercept[IllegalArgumentException](Sparql.update(g, "CLEAR NAMED"))
-    intercept[IllegalArgumentException](Sparql.update(g, "LOAD <http://x>"))
+    // LOAD is implemented (see its own test); a non-Hadoop scheme
+    // surfaces Spark's own unsupported-filesystem error
+    intercept[Exception](Sparql.update(g, "LOAD <http://x>").count())
     // templates may not carry paths or filters
     intercept[IllegalArgumentException](Sparql.update(g,
       "DELETE { ?s <p>/<q> ?o } WHERE { ?s <p> ?o }"))
@@ -199,6 +201,37 @@ class SparqlUpdateSpec extends SparkSpec {
     // a subquery carrying its own dataset clause is rejected (grammar)
     intercept[IllegalArgumentException](Sparql.run(g,
       "SELECT ?m WHERE { { SELECT (MAX(?o) AS ?m) FROM <g1> WHERE { ?s <v> ?o } } }"))
+  }
+
+  test("LOAD: document statements merge in, INTO GRAPH retargets (§3.1.4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load")
+    val f = dir.resolve("doc.nq")
+    java.nio.file.Files.writeString(f,
+      """<x> <p> "1" .
+        |<y> <p> "2" <gdoc> .
+        |# comment
+        |<a> <p> "1" .""".stripMargin)
+    try {
+      val g = triples(("a", "p", "1"), ("b", "p", "2"))
+      // triple frame: every statement (graph terms dropped) merges into
+      // the one graph, set semantics
+      assert(setOf(Sparql.update(g, s"LOAD <${f.toUri}>")) ===
+        Set(("a", "p", "1"), ("b", "p", "2"), ("x", "p", "1"), ("y", "p", "2")))
+      // quad frame: in-file graph terms kept; INTO GRAPH overrides them
+      val gq = quads((null, "a", "p", "1"))
+      assert(qset(Sparql.update(gq, s"LOAD <${f.toUri}>")) ===
+        Set(("∅", "a", "p", "1"), ("∅", "x", "p", "1"), ("gdoc", "y", "p", "2")))
+      assert(qset(Sparql.update(gq, s"LOAD <${f.toUri}> INTO GRAPH <g9>")) ===
+        Set(("∅", "a", "p", "1"), ("g9", "x", "p", "1"), ("g9", "y", "p", "2"),
+          ("g9", "a", "p", "1")))
+      // INTO GRAPH on a triple frame is rejected with a clear message
+      val e = intercept[IllegalArgumentException](
+        Sparql.update(g, s"LOAD <${f.toUri}> INTO GRAPH <g9>"))
+      assert(e.getMessage.contains("quad frame"))
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 
   test("posture: INSERT forms never re-shuffle the full store") {
