@@ -752,9 +752,11 @@ object Queries {
              |ORDER BY cid, pid""".stripMargin))),
 
     // customers×suppliers per nation is OUTPUT-QUADRATIC (100× rows for
-    // 10× data) — the top-k bound keeps the benched work join-linear
-    // (TakeOrderedAndProject: per-partition heaps, no global sort) while
-    // still exercising the shared-middle expand + rel-uniqueness
+    // 10× data). The planner's anchored top-k pushdown
+    // (Planner.installTopKPruning) prunes the customer SCAN to the 500
+    // best matched anchors before the expand, so the join intermediate —
+    // not just the returned rows — is bounded: sf1 164 s → 5.4 s, sf10
+    // 65.6 s (r15; was the one standing scale-killer of the r14 audit).
     "cy_var_cycle" -> ((
       cy("MATCH (c:Customer)-[:FROM]->(n:Nation)<-[:FROM]-(s:Supplier) " +
         "RETURN c.id AS cid, n.id AS nid, s.id AS sid ORDER BY cid, nid, sid LIMIT 500"),

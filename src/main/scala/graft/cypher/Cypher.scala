@@ -58,10 +58,12 @@ object Cypher {
       throw CypherParseException(
         "mutation queries (CREATE/MERGE/SET/REMOVE/DELETE) go through Cypher.execute — they produce a new graph")
     val planner = new Planner(graph)
-    planner.installTopKPruning(q) // anchored top-k pushdown, safe no-op otherwise
+    // anchored top-k pushdown — may reverse the path so the sorted
+    // variable is the anchor scan; identity otherwise
+    val q2 = planner.installTopKPruning(q)
     var ctx = Planner.BindCtx(None, Map.empty)
     var result: Option[DataFrame] = None
-    q.clauses.foreach {
+    q2.clauses.foreach {
       case _ if result.nonEmpty =>
         throw CypherParseException("RETURN must be the final clause")
       case MatchPart(m) => ctx = planner.applyMatch(ctx, m)

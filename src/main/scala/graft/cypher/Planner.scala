@@ -72,45 +72,62 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
   private var anchorPrune: Map[String, DataFrame => DataFrame] = Map.empty
 
   /** Inspect a read query and, when the shape qualifies, register a
-    * scan-time prune for the anchor variable. Safe no-op otherwise
-    * (any compile failure during speculative construction bails). */
-  def installTopKPruning(q: Query): Unit = q.clauses match {
+    * scan-time prune for the anchor variable. Returns the query to plan:
+    * usually `q` unchanged — but when the leading sort key sits on the
+    * path's LAST node, the path is REVERSED (each hop's arrow flipped;
+    * exactly the same rows) so the sorted variable becomes the anchor
+    * scan the prune can act on. Safe no-op otherwise (any compile
+    * failure during speculative construction bails). */
+  def installTopKPruning(q: Query): Query = q.clauses match {
     case List(MatchPart(m), ReturnPart(ret))
         if !m.optional && m.paths.size == 1 && !ret.distinct &&
           ret.limit.isDefined && ret.orderBy.nonEmpty &&
           !ret.items.exists(i => containsAggregate(i.expr)) =>
-      val path = m.paths.head
+      val path0 = m.paths.head
       val k = ret.limit.get + ret.skip.getOrElse(0L)
-      val allNodeVars = path.start.variable.toList ++ path.hops.flatMap(_._2.variable)
-      val shapeOk = path.start.variable.isDefined && path.shortest.isEmpty &&
-        path.hops.nonEmpty && path.hops.forall(_._1.varLength.isEmpty) &&
+      val allNodeVars = path0.start.variable.toList ++ path0.hops.flatMap(_._2.variable)
+      val shapeOk = path0.shortest.isEmpty &&
+        path0.hops.nonEmpty && path0.hops.forall(_._1.varLength.isEmpty) &&
         allNodeVars.distinct == allNodeVars && k > 0 && k <= 100000
-      if (shapeOk) {
-        val startVar = path.start.variable.get
-        // resolve the leading sort key through the RETURN items (aliases)
-        val lead = ret.orderBy.head
-        val leadExpr = ret.items.find(i => i.expr == lead.expr ||
-            i.alias.contains(text(lead.expr)) || i.name == text(lead.expr))
-          .map(_.expr).getOrElse(lead.expr)
-        val whereOk = m.where.forall(w => freeVars(w).subsetOf(Set(startVar)))
-        if (whereOk && freeVars(leadExpr) == Set(startVar)) {
-          scala.util.Try {
-            val fCol = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
-            val kth = matchedAnchorThreshold(path, startVar, fCol, lead.ascending,
-              m.where, k.toInt)
-            val prune: DataFrame => DataFrame = { scan =>
-              val f = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
-              scan.crossJoin(broadcast(kth)).where(
-                col("__kth").isNull || f.isNull ||
-                  (if (lead.ascending) f <= col("__kth") else f >= col("__kth")))
-                .drop("__kth")
-            }
-            anchorPrune += (startVar -> prune)
+      if (!shapeOk) return q
+      // resolve the leading sort key through the RETURN items (aliases)
+      val lead = ret.orderBy.head
+      val leadExpr = ret.items.find(i => i.expr == lead.expr ||
+          i.alias.contains(text(lead.expr)) || i.name == text(lead.expr))
+        .map(_.expr).getOrElse(lead.expr)
+      val sortVars = freeVars(leadExpr)
+      // pick the path orientation that puts the sorted variable at the
+      // anchor scan: as written, or reversed (legal when no hop depends
+      // on the typed-anchor orientation rule and no named-path arrays
+      // would flip — explicit arrows flip losslessly)
+      val (path, reversed) =
+        if (path0.start.variable.exists(sortVars == Set(_))) (path0, false)
+        else if (path0.hops.last._2.variable.exists(sortVars == Set(_)) &&
+            path0.name.isEmpty &&
+            (!graph.isDirected || path0.hops.forall(_._1.direction != DirBoth)))
+          (Planner.reversePath(path0), true)
+        else return q
+      val startVar = path.start.variable.get
+      val whereOk = m.where.forall(w => freeVars(w).subsetOf(Set(startVar)))
+      if (whereOk) {
+        scala.util.Try {
+          val fCol = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
+          val kth = matchedAnchorThreshold(path, startVar, fCol, lead.ascending,
+            m.where, k.toInt)
+          val prune: DataFrame => DataFrame = { scan =>
+            val f = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
+            scan.crossJoin(broadcast(kth)).where(
+              col("__kth").isNull || f.isNull ||
+                (if (lead.ascending) f <= col("__kth") else f >= col("__kth")))
+              .drop("__kth")
           }
-          ()
+          anchorPrune += (startVar -> prune)
         }
       }
-    case _ => ()
+      if (reversed && anchorPrune.contains(startVar))
+        Query(List(MatchPart(m.copy(paths = List(path))), ReturnPart(ret)))
+      else q
+    case _ => q
   }
 
   /** Phase A of the top-k pushdown: the k-th best leading-key value among
@@ -1094,6 +1111,22 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 }
 
 object Planner {
+
+  /** The same linear path walked from the other end: node sequence
+    * reversed, each hop's arrow flipped (edges themselves unchanged, so
+    * exactly the same rows bind). Callers gate on the typed-anchor /
+    * named-path caveats — see installTopKPruning. */
+  private[cypher] def reversePath(p: PathPattern): PathPattern = {
+    val nodes = p.start +: p.hops.map(_._2)
+    val rels = p.hops.map(_._1)
+    def flip(r: RelPattern) = r.copy(direction = r.direction match {
+      case DirRight => DirLeft
+      case DirLeft => DirRight
+      case DirBoth => DirBoth
+    })
+    PathPattern(nodes.last,
+      rels.reverse.zip(nodes.init.reverse).map { case (r, n) => (flip(r), n) })
+  }
   /** Running binding state: the bound DataFrame (absent before any scan)
     * plus variable kinds. */
   /** `pending`: deferred whole-frame transforms (the shortest-path window

@@ -2426,8 +2426,9 @@ class CypherSpec extends SparkSpec {
     // qualifying: linear path, leading key on the anchor, LIMIT
     assert(Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x ORDER BY x LIMIT 3")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
-    // not: leading sort key on a NON-anchor variable
-    assert(!Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) RETURN b.id AS x ORDER BY x LIMIT 3")
+    // not: leading sort key on a MIDDLE node (no endpoint to anchor)
+    assert(!Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS]->(b)-[:NEIGHBORS]->(c) RETURN b.id AS x ORDER BY x LIMIT 3")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
     // not: DISTINCT (dedup changes which rows reach the top k)
     assert(!Cypher.run(g,
@@ -2441,6 +2442,28 @@ class CypherSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(!Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x ORDER BY x")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
+  }
+
+  test("top-k pushdown: sort on the LAST node reverses the path to prune") {
+    val body = "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS aid, b.id AS bid ORDER BY bid, aid"
+    val limited = Cypher.run(g, body + " LIMIT 6")
+    assert(limited.queryExecution.optimizedPlan.toString.contains("__kth"),
+      "reversal did not install the prune")
+    assert(limited.collect().map(_.mkString("|")).toSeq === firstK(body, 6))
+    // directed graph + an undirected hop: the typed-anchor orientation
+    // rule makes reversal semantics-changing — rule must NOT install...
+    lazy val gDir = GraphSources.readJsonEdges(spark, fixtureJson, isDirected = true).cache()
+    val dirBody = "MATCH (a)-[:NEIGHBORS]-(b) RETURN a.id AS aid, b.id AS bid ORDER BY bid, aid"
+    val dirLim = Cypher.run(gDir, dirBody + " LIMIT 5")
+    assert(!dirLim.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(dirLim.collect().map(_.mkString("|")).toSeq ===
+      Cypher.run(gDir, dirBody).collect().take(5).map(_.mkString("|")).toSeq)
+    // ...while explicit arrows reverse losslessly even on directed graphs
+    val dirArrow = "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS aid, b.id AS bid ORDER BY bid, aid"
+    val dirArrowLim = Cypher.run(gDir, dirArrow + " LIMIT 5")
+    assert(dirArrowLim.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(dirArrowLim.collect().map(_.mkString("|")).toSeq ===
+      Cypher.run(gDir, dirArrow).collect().take(5).map(_.mkString("|")).toSeq)
   }
 
   test("top-k pushdown: anchor-only WHERE and anchors without matches stay correct") {
