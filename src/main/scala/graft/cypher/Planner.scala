@@ -108,12 +108,29 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           (Planner.reversePath(path0), true)
         else return q
       val startVar = path.start.variable.get
-      val whereOk = m.where.forall(w => freeVars(w).subsetOf(Set(startVar)))
+      // WHERE folds into phase A only as per-variable conjuncts: the
+      // matched-anchor set must apply AT LEAST every constraint the
+      // real query applies (a missed filter overestimates the matched
+      // set → threshold too small → wrong answers; extra strictness
+      // only keeps more anchors). A conjunct spanning two variables
+      // can't anchor to one hop → bail.
+      def conjunctsOf(e: Expr): List[Expr] = e match {
+        case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+        case other => List(other)
+      }
+      val pathVars: Set[String] = allNodeVars.toSet ++
+        path.hops.flatMap(_._1.variable)
+      val conjPairs = m.where.toList.flatMap(conjunctsOf)
+        .map(c => (freeVars(c), c))
+      val whereOk = conjPairs.forall { case (vs, _) =>
+        vs.size == 1 && pathVars(vs.head) }
       if (whereOk) {
+        val whereByVar: Map[String, List[Expr]] =
+          conjPairs.groupBy(_._1.head).view.mapValues(_.map(_._2)).toMap
         scala.util.Try {
           val fCol = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
           val kth = matchedAnchorThreshold(path, startVar, fCol, lead.ascending,
-            m.where, k.toInt)
+            whereByVar, k.toInt)
           val prune: DataFrame => DataFrame = { scan =>
             val f = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
             scan.crossJoin(broadcast(kth)).where(
@@ -139,13 +156,16 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     * compilePath exactly (incl. the typed-anchor rule and consecutive
     * rel-uniqueness), so "matched" here is exactly "produces ≥1 row". */
   private def matchedAnchorThreshold(path: PathPattern, startVar: String,
-      fCol: Column, asc: Boolean, where: Option[Expr], k: Int): DataFrame = {
+      fCol: Column, asc: Boolean, whereByVar: Map[String, List[Expr]],
+      k: Int): DataFrame = {
+    def whereFilters(v: String, kind: Kind): Seq[Column] =
+      whereByVar.getOrElse(v, Nil).map(e =>
+        ExprCompiler.compile(e, Scope(Map(v -> kind))).col.try_cast(BooleanType))
     var base = nodeStruct(startVar)
     val anchorScope = Scope(Map(startVar -> KNode))
     labelFilter(startVar, path.start.labels).foreach(c => base = base.filter(c))
     propFilter(startVar, path.start.properties, anchorScope).foreach(c => base = base.filter(c))
-    where.foreach(w => base = base.filter(
-      ExprCompiler.compile(w, anchorScope).col.try_cast(BooleanType)))
+    whereFilters(startVar, KNode).foreach(c => base = base.filter(c))
     val eidType = graph.edges.schema("eid").dataType
     var fr = base.select(col(s"$startVar.id").as("__aid"), fCol.as("__f"),
       lit(null).cast(eidType).as("__peid"), col(s"$startVar.id").as("__cur"))
@@ -159,13 +179,17 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
         case DirLeft => ("dst", "src")
         case _ => ("src", "dst")
       }
-      val rv = fresh("tkr")
-      val tv = fresh("tkn")
+      // use the REAL variable names so per-variable WHERE conjuncts
+      // compile against the hop they constrain
+      val rv = rel.variable.getOrElse(fresh("tkr"))
+      val tv = node.variable.getOrElse(fresh("tkn"))
       var right = edgeStruct(rv, bothDirs)
         .join(nodeStruct(tv), col(s"$rv.$toField") === col(s"$tv.id"))
       labelFilter(tv, node.labels).foreach(c => right = right.filter(c))
       propFilter(tv, node.properties, Scope(Map(tv -> KNode))).foreach(c => right = right.filter(c))
       propFilter(rv, rel.properties, Scope(Map(rv -> KRel))).foreach(c => right = right.filter(c))
+      whereFilters(tv, KNode).foreach(c => right = right.filter(c))
+      whereFilters(rv, KRel).foreach(c => right = right.filter(c))
       var cond = col("__cur") === col(s"$rv.$fromField") &&
         (col("__peid").isNull || col("__peid") =!= col(s"$rv.eid"))
       if (rel.types.nonEmpty) cond = cond &&

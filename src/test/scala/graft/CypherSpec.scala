@@ -2472,12 +2472,26 @@ class CypherSpec extends SparkSpec {
     val limited = Cypher.run(g, body + " LIMIT 4")
     assert(limited.queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(limited.collect().map(_.mkString("|")).toSeq === firstK(body, 4))
-    // WHERE touching a non-anchor var → rule bails, values still right
+    // WHERE on a NON-anchor var folds into the matched-anchor walk
+    // (an anchor whose only neighbors fail the filter must not occupy
+    // a threshold slot)
     val cross = "MATCH (a)-[:NEIGHBORS]->(b) WHERE b.id > '1' " +
       "RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"
     val lim2 = Cypher.run(g, cross + " LIMIT 4")
-    assert(!lim2.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(lim2.queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(lim2.collect().map(_.mkString("|")).toSeq === firstK(cross, 4))
+    // mixed per-var conjuncts on both endpoints
+    val mixed = "MATCH (a)-[:NEIGHBORS]->(b) WHERE a.id < '8' AND b.id > '1' " +
+      "RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"
+    val lim3 = Cypher.run(g, mixed + " LIMIT 4")
+    assert(lim3.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(lim3.collect().map(_.mkString("|")).toSeq === firstK(mixed, 4))
+    // a conjunct SPANNING two variables cannot anchor to one hop → bails
+    val span = "MATCH (a)-[:NEIGHBORS]->(b) WHERE a.id < b.id " +
+      "RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"
+    val lim4 = Cypher.run(g, span + " LIMIT 4")
+    assert(!lim4.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(lim4.collect().map(_.mkString("|")).toSeq === firstK(span, 4))
     // target label that matches nothing: threshold frame is a null row →
     // prune keeps everything, result is empty either way
     assert(Cypher.run(g,
