@@ -4489,6 +4489,21 @@ object Queries {
              |  WHERE r_name IN ('ASIA', 'AFRICA'))
              |GROUP BY grf, seg ORDER BY grf, seg""".stripMargin))),
 
+    // BGP top-k pushdown (Sparql.bgpTopKPrune): the customers×suppliers-
+    // per-nation star is OUTPUT-QUADRATIC; the Yannakakis-reduced
+    // threshold prunes every ?c-binding pattern frame to the 100 best
+    // matched customers before the join product forms — same rule as
+    // the Cypher planner's cy_var_cycle fix, on the SPARQL side.
+    "sparql_topk_pushdown" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?s WHERE { ?c <fromNation> ?n . ?s <suppliesFrom> ?n }
+            |ORDER BY ?c ?s LIMIT 100""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c, 'supplier/' || s_suppkey AS s
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN supplier ON s_nationkey = n_nationkey
+             |ORDER BY c, s LIMIT 100""".stripMargin))),
+
     // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
     // on both engines, replayed verbatim.
     "sparql_hash" -> ((

@@ -1490,12 +1490,145 @@ object Sparql {
   }
 
   private def joinAll(triples: DataFrame, pats: Seq[Pat],
-                      gVar: Option[String] = None): DataFrame =
-    pats.map(patFrame(triples, _, gVar)).reduceLeft { (acc, next) =>
+                      gVar: Option[String] = None,
+                      prune: Option[(String, DataFrame => DataFrame)] = None)
+      : DataFrame =
+    pats.map { p =>
+      val f = patFrame(triples, p, gVar)
+      prune match {
+        case Some((v, fn)) if f.columns.contains(v) => fn(f)
+        case _ => f
+      }
+    }.reduceLeft { (acc, next) =>
       val shared = acc.columns.toSeq.intersect(next.columns.toSeq)
       if (shared.isEmpty) acc.crossJoin(next) // disjoint BGP components
       else acc.join(next, shared)
     }
+
+  // ----- BGP top-k pushdown (ORDER BY + LIMIT over a conjunctive BGP) -------
+
+  /**
+   * SPARQL twin of the Cypher planner's anchored top-k pushdown: for
+   * `SELECT ... WHERE { <acyclic conjunctive BGP> } ORDER BY f(?v)
+   * [, ...] LIMIT k`, the full BGP join materializes every solution
+   * before the TakeOrderedAndProject keeps k — output-quadratic shapes
+   * pay n² for a k-row answer. The top-k solutions can only come from
+   * ?v bindings among the k best that appear in ≥1 FULL solution, so:
+   *
+   *  - phase A computes exactly π_v(BGP join) WITHOUT the join product:
+   *    a Yannakakis upward semi-join pass over a GYO-built join tree
+   *    (acyclic patterns only — a cyclic hypergraph bails, since a
+   *    semireduction there overestimates the matched set and an
+   *    overestimate makes the threshold too SMALL, i.e. wrong answers).
+   *    The k-th best f value among the matched ?v, as a broadcast
+   *    1-row `__kth` frame;
+   *  - phase B filters every pattern frame binding ?v by `f <= __kth`
+   *    (ties kept via <=; pattern-bound vars are never null) inside
+   *    [[joinAll]] — the join intermediates shrink before they grow.
+   *
+   * Single-variable FILTERs fold into phase A (the matched set must see
+   * every constraint the query applies — a missed filter would
+   * overestimate it); multi-variable FILTERs bail. Patterns in OTHER
+   * connected components only matter through emptiness, which the
+   * threshold's null guard already covers — they are ignored in
+   * phase A. Returns the (?v, frame-transform) pair for [[joinAll]],
+   * or None when the shape doesn't qualify.
+   */
+  private def bgpTopKPrune(q: Query, t: DataFrame)
+      : Option[(String, DataFrame => DataFrame)] = {
+    val shapeOk = q.groupElems.size == 1 &&
+      q.groupElems.head.isInstanceOf[GPats] &&
+      q.unionBranches.isEmpty && !q.distinct && !q.ask &&
+      q.aggregates.isEmpty && q.groupBy.isEmpty && q.groupExprs.isEmpty &&
+      q.having.isEmpty && q.construct.isEmpty && q.describe.isEmpty &&
+      q.trailingValues.isEmpty && q.limit.isDefined && q.orderBy.nonEmpty
+    if (!shapeOk) return None
+    val k = q.limit.get.toLong + q.offset.getOrElse(0).toLong
+    if (k <= 0 || k > 100000) return None
+    val pats = q.groupElems.head.asInstanceOf[GPats].pats
+    // plain triple patterns only: a PathPat frame is a closure — valid
+    // as a relation, but phase A would compute it twice
+    if (!pats.forall(_.isInstanceOf[Pattern])) return None
+    val (leadE, asc) = q.orderBy.head
+    val sortVars = varsOfExpr(leadE).distinct
+    if (sortVars.size != 1) return None
+    val v = sortVars.head
+    val varsOfPat: Seq[Set[String]] =
+      pats.map(p => termsOf(p).collect { case V(n) => n }.toSet)
+    if (!varsOfPat.exists(_.contains(v))) return None
+    // FILTER folding: every filter must anchor to one variable
+    val filterByVar: Map[String, Seq[FilterExpr]] = {
+      val pairs = q.filters.map(f => (varsOfFilter(f).distinct, f))
+      if (!pairs.forall { case (vs, _) => vs.size == 1 }) return None
+      pairs.groupBy(_._1.head).view.mapValues(_.map(_._2)).toMap
+    }
+    scala.util.Try {
+      // restrict to ?v's connected component (shared-var connectivity)
+      var comp = varsOfPat.zipWithIndex.collect {
+        case (vs, i) if vs(v) => i }.toSet
+      var grew = true
+      while (grew) {
+        val compVars = comp.flatMap(varsOfPat)
+        val next = varsOfPat.zipWithIndex.collect {
+          case (vs, i) if vs.intersect(compVars).nonEmpty => i }.toSet
+        grew = next.size != comp.size
+        comp = next
+      }
+      val idx = comp.toSeq.sorted
+      def frame(i: Int): DataFrame = {
+        var f = patFrame(t, pats(i))
+        varsOfPat(i).foreach(u => filterByVar.getOrElse(u, Nil)
+          .foreach(fl => f = f.where(compileFilter(fl))))
+        f
+      }
+      // GYO ear removal → join tree (bails on a cycle)
+      var alive = idx.toSet
+      val treeEdges = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      var changed = true
+      while (alive.size > 1 && changed) {
+        changed = false
+        val it = alive.toSeq.sorted.iterator
+        while (it.hasNext && !changed) {
+          val i = it.next()
+          val others = alive - i
+          val rest = varsOfPat(i).filter(u =>
+            others.exists(j => varsOfPat(j)(u)))
+          others.find(j => rest.subsetOf(varsOfPat(j))).foreach { w =>
+            treeEdges += ((i, w)); alive -= i; changed = true
+          }
+        }
+      }
+      require(alive.size == 1, "cyclic BGP — semireduction would be inexact")
+      val adj = (treeEdges.toList ++ treeEdges.toList.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val root = idx.find(i => varsOfPat(i)(v)).get
+      def reduceFrom(node: Int, from: Int): DataFrame = {
+        var f = frame(node)
+        adj.getOrElse(node, Nil).filterNot(_ == from).foreach { c =>
+          val rc = reduceFrom(c, node)
+          val shared = (varsOfPat(node) intersect varsOfPat(c)).toSeq.sorted
+          f = if (shared.nonEmpty) f.join(rc, shared, "left_semi")
+              else f.join(broadcast(rc.limit(1).select(lit(1).as("__e"))),
+                lit(true), "left_semi")
+        }
+        f
+      }
+      val fCol = compileExpr(leadE)
+      val kth = reduceFrom(root, -1)
+        .select(fCol.as("__f")).where(col("__f").isNotNull).distinct()
+        .orderBy(if (asc) col("__f").asc else col("__f").desc)
+        .limit(k.toInt)
+        .agg((if (asc) max(col("__f")) else min(col("__f"))).as("__kth"))
+      val prune: DataFrame => DataFrame = { f =>
+        val fc = compileExpr(leadE)
+        f.crossJoin(broadcast(kth)).where(
+          col("__kth").isNull || fc.isNull ||
+            (if (asc) fc <= col("__kth") else fc >= col("__kth")))
+          .drop("__kth")
+      }
+      (v, prune)
+    }.toOption
+  }
 
   /** A brace group's solutions: its BGP join, filtered by the FILTERs
     * written inside the braces (scope-checked at parse time to the
@@ -2146,9 +2279,12 @@ object Sparql {
     // until an element seeds it).
     var df: DataFrame = unioned.orNull
     if (unioned.nonEmpty) maybeNull = uNullable
+    // BGP top-k pushdown (ORDER BY + LIMIT over one acyclic BGP) —
+    // None unless the shape qualifies; see bgpTopKPrune
+    val bgpPrune = bgpTopKPrune(q, t)
     q.groupElems.foreach {
       case GPats(ps) =>
-        val f = joinAll(t, ps)
+        val f = joinAll(t, ps, prune = bgpPrune)
         if (df == null) df = f
         else {
           val shared = df.columns.toSeq.intersect(f.columns.toSeq)

@@ -366,6 +366,51 @@ class SparqlCompatSpec extends SparkSpec {
     }
   }
 
+  test("BGP top-k pushdown: pruned plans match the full-sort prefix; cyclic/filtered shapes gate") {
+    // star around ?n — the customers×suppliers-per-nation shape
+    val t = triples(
+      ("c1","fromNation","n1"),("c2","fromNation","n1"),("c3","fromNation","n2"),
+      ("c4","fromNation","n3"),
+      ("s1","suppliesFrom","n1"),("s2","suppliesFrom","n1"),("s3","suppliesFrom","n2"))
+    val body = "SELECT ?c ?s WHERE { ?c <fromNation> ?n . ?s <suppliesFrom> ?n } ORDER BY ?c ?s"
+    def firstK(q: String, k: Int): Seq[String] =
+      rowsOf(Sparql.run(t, q)).take(k)  // rowsOf preserves ORDER BY order
+    val lim = Sparql.run(t, body + " LIMIT 3")
+    assert(lim.queryExecution.optimizedPlan.toString.contains("__kth"),
+      "BGP pushdown did not install")
+    assert(rowsOf(lim) === firstK(body, 3))
+    // c4's nation has no supplier: it must not occupy a threshold slot
+    val lim2 = Sparql.run(t, body + " LIMIT 4")
+    assert(rowsOf(lim2) === firstK(body, 4))
+    // DESC + OFFSET
+    val bodyD = "SELECT ?c ?s WHERE { ?c <fromNation> ?n . ?s <suppliesFrom> ?n } ORDER BY DESC(?c) ?s"
+    assert(rowsOf(Sparql.run(t, bodyD + " OFFSET 1 LIMIT 2")) === firstK(bodyD, 3).drop(1))
+    // single-var FILTER folds into the matched walk
+    val bodyF = "SELECT ?c ?s WHERE { ?c <fromNation> ?n . ?s <suppliesFrom> ?n . " +
+      "FILTER(?s != \"s1\") } ORDER BY ?c ?s"
+    val limF = Sparql.run(t, bodyF + " LIMIT 2")
+    assert(limF.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(rowsOf(limF) === firstK(bodyF, 2))
+    // multi-var FILTER → bail, values still right
+    val bodyX = "SELECT ?c ?s WHERE { ?c <fromNation> ?n . ?s <suppliesFrom> ?n . " +
+      "FILTER(?c < ?s) } ORDER BY ?c ?s"
+    val limX = Sparql.run(t, bodyX + " LIMIT 2")
+    assert(!limX.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(rowsOf(limX) === firstK(bodyX, 2))
+    // cyclic BGP (triangle) → bail, values still right
+    val tc = triples(("a","p","b"),("b","q","c"),("a","r","c"),("a","p","x"))
+    val cyc = "SELECT ?x ?y ?z WHERE { ?x <p> ?y . ?y <q> ?z . ?x <r> ?z } ORDER BY ?x ?y ?z"
+    val limC = Sparql.run(tc, cyc + " LIMIT 1")
+    assert(!limC.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(rowsOf(limC) === Seq("a,b,c"))
+    // DISTINCT / aggregation / OPTIONAL shapes never install
+    assert(!Sparql.run(t, "SELECT DISTINCT ?c WHERE { ?c <fromNation> ?n } ORDER BY ?c LIMIT 2")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(!Sparql.run(t,
+      "SELECT ?c ?s WHERE { ?c <fromNation> ?n . OPTIONAL { ?s <suppliesFrom> ?n } } ORDER BY ?c LIMIT 2")
+      .queryExecution.optimizedPlan.toString.contains("__kth"))
+  }
+
   test("property: union-with-unbound inner join matches the §18.3 merge reference") {
     forAll(genGraph) { g =>
       val t = triples(g: _*)
