@@ -78,11 +78,30 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     * exactly the same rows) so the sorted variable becomes the anchor
     * scan the prune can act on. Safe no-op otherwise (any compile
     * failure during speculative construction bails). */
-  def installTopKPruning(q: Query): Query = q.clauses match {
-    case List(MatchPart(m), ReturnPart(ret))
-        if !m.optional && m.paths.size == 1 && !ret.distinct &&
-          ret.limit.isDefined && ret.orderBy.nonEmpty &&
-          !ret.items.exists(i => containsAggregate(i.expr)) =>
+  def installTopKPruning(q: Query): Query = {
+    // the modifier source: RETURN directly after the MATCH, or the
+    // first WITH (whose ORDER BY / LIMIT bound the rows every later
+    // clause sees; a WITH ... WHERE filters AFTER the limit, so it
+    // cannot change which rows reach it)
+    val parts: Option[(MatchClause, ReturnClause, List[Clause])] =
+      q.clauses match {
+        case List(MatchPart(m), ReturnPart(ret)) => Some((m, ret, Nil))
+        case MatchPart(m) :: (wp @ WithPart(w)) :: rest =>
+          Some((m, w.projection, wp :: rest))
+        case _ => None
+      }
+    parts match {
+      case Some((m, ret, rest))
+          if !m.optional && m.paths.size == 1 &&
+            ret.limit.isDefined && ret.orderBy.nonEmpty &&
+            !ret.items.exists(i => containsAggregate(i.expr)) =>
+        installTopK(q, m, ret, rest)
+      case _ => q
+    }
+  }
+
+  private def installTopK(q: Query, m: MatchClause, ret: ReturnClause,
+                          rest: List[Clause]): Query = {
       val path0 = m.paths.head
       val k = ret.limit.get + ret.skip.getOrElse(0L)
       val allNodeVars = path0.start.variable.toList ++ path0.hops.flatMap(_._2.variable)
@@ -129,8 +148,14 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           conjPairs.groupBy(_._1.head).view.mapValues(_.map(_._2)).toMap
         scala.util.Try {
           val fCol = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
+          // DISTINCT dedups rows before the limit; k anchors may share
+          // the sort value and collapse, so the threshold must count
+          // DISTINCT f values — k distinct values guarantee ≥ k distinct
+          // rows (the sort key is an output item under DISTINCT, pinned
+          // by compileReturn). Without DISTINCT, per-anchor counting
+          // prunes harder and each anchor's ≥1 row stands on its own.
           val kth = matchedAnchorThreshold(path, startVar, fCol, lead.ascending,
-            whereByVar, k.toInt)
+            whereByVar, k.toInt, distinctF = ret.distinct)
           val prune: DataFrame => DataFrame = { scan =>
             val f = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
             scan.crossJoin(broadcast(kth)).where(
@@ -142,9 +167,9 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
         }
       }
       if (reversed && anchorPrune.contains(startVar))
-        Query(List(MatchPart(m.copy(paths = List(path))), ReturnPart(ret)))
+        q.copy(clauses = MatchPart(m.copy(paths = List(path))) ::
+          (if (rest.isEmpty) List(ReturnPart(ret)) else rest))
       else q
-    case _ => q
   }
 
   /** Phase A of the top-k pushdown: the k-th best leading-key value among
@@ -157,7 +182,7 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     * rel-uniqueness), so "matched" here is exactly "produces ≥1 row". */
   private def matchedAnchorThreshold(path: PathPattern, startVar: String,
       fCol: Column, asc: Boolean, whereByVar: Map[String, List[Expr]],
-      k: Int): DataFrame = {
+      k: Int, distinctF: Boolean = false): DataFrame = {
     def whereFilters(v: String, kind: Kind): Seq[Column] =
       whereByVar.getOrElse(v, Nil).map(e =>
         ExprCompiler.compile(e, Scope(Map(v -> kind))).col.try_cast(BooleanType))
@@ -202,8 +227,10 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
             col(s"$rv.eid").as("__peid"), col(s"$tv.id").as("__cur"))
           .dropDuplicates("__aid", "__peid", "__cur")
     }
-    fr.select(col("__aid"), col("__f")).dropDuplicates("__aid")
-      .where(col("__f").isNotNull)
+    val matched =
+      if (distinctF) fr.select(col("__f")).distinct()
+      else fr.select(col("__aid"), col("__f")).dropDuplicates("__aid")
+    matched.where(col("__f").isNotNull)
       .orderBy(if (asc) col("__f").asc else col("__f").desc)
       .limit(k)
       .agg((if (asc) max(col("__f")) else min(col("__f"))).as("__kth"))

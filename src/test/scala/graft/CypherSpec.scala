@@ -2430,10 +2430,12 @@ class CypherSpec extends SparkSpec {
     assert(!Cypher.run(g,
       "MATCH (a)-[:NEIGHBORS]->(b)-[:NEIGHBORS]->(c) RETURN b.id AS x ORDER BY x LIMIT 3")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
-    // not: DISTINCT (dedup changes which rows reach the top k)
-    assert(!Cypher.run(g,
-      "MATCH (a)-[:NEIGHBORS]->(b) RETURN DISTINCT a.id AS x ORDER BY x LIMIT 3")
-      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    // DISTINCT installs with the distinct-f threshold (k distinct sort
+    // values guarantee ≥ k distinct rows) — and matches the full prefix
+    val dBody = "MATCH (a)-[:NEIGHBORS]->(b) RETURN DISTINCT a.id AS x ORDER BY x"
+    val dLim = Cypher.run(g, dBody + " LIMIT 3")
+    assert(dLim.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(dLim.collect().map(_.mkString("|")).toSeq === firstK(dBody, 3))
     // not: aggregation, var-length, no LIMIT
     assert(!Cypher.run(g,
       "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x, count(b) AS c ORDER BY x LIMIT 3")
@@ -2442,6 +2444,25 @@ class CypherSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(!Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x ORDER BY x")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
+  }
+
+  test("top-k pushdown: WITH-chained ORDER BY/LIMIT prunes the match it bounds") {
+    // the first WITH's modifiers bound the rows every later clause sees
+    val body = "MATCH (a)-[:NEIGHBORS]->(b) WITH a.id AS aid, b.id AS bid " +
+      "ORDER BY aid, bid LIMIT 5 RETURN aid, bid"
+    val df = Cypher.run(g, body)
+    assert(df.queryExecution.optimizedPlan.toString.contains("__kth"),
+      "WITH-chained pushdown did not install")
+    val full = Cypher.run(g,
+      "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid")
+      .collect().take(5).map(_.mkString("|")).toSeq
+    assert(df.collect().map(_.mkString("|")).toSeq === full)
+    // a WITH ... WHERE filters AFTER the limit — pushdown stays sound
+    val filtered = Cypher.run(g, "MATCH (a)-[:NEIGHBORS]->(b) " +
+      "WITH a.id AS aid, b.id AS bid ORDER BY aid, bid LIMIT 5 " +
+      "WHERE bid > '1' RETURN aid, bid")
+    assert(filtered.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(filtered.collect().map(_.mkString("|")).toSeq === full.filter(_.split("\\|")(1) > "1"))
   }
 
   test("top-k pushdown: sort on the LAST node reverses the path to prune") {
