@@ -1538,7 +1538,7 @@ object Sparql {
       : Option[(String, DataFrame => DataFrame)] = {
     val shapeOk = q.groupElems.size == 1 &&
       q.groupElems.head.isInstanceOf[GPats] &&
-      q.unionBranches.isEmpty && !q.distinct && !q.ask &&
+      q.unionBranches.isEmpty && !q.ask &&
       q.aggregates.isEmpty && q.groupBy.isEmpty && q.groupExprs.isEmpty &&
       q.having.isEmpty && q.construct.isEmpty && q.describe.isEmpty &&
       q.trailingValues.isEmpty && q.limit.isDefined && q.orderBy.nonEmpty
@@ -1553,6 +1553,11 @@ object Sparql {
     val sortVars = varsOfExpr(leadE).distinct
     if (sortVars.size != 1) return None
     val v = sortVars.head
+    // DISTINCT dedups before the limit: sound because the threshold
+    // already counts DISTINCT f values (k of them guarantee ≥ k
+    // distinct rows) — provided ?v is projected, so rows with
+    // different sort keys cannot collapse
+    if (q.distinct && !q.projection.contains(v)) return None
     val varsOfPat: Seq[Set[String]] =
       pats.map(p => termsOf(p).collect { case V(n) => n }.toSet)
     if (!varsOfPat.exists(_.contains(v))) return None

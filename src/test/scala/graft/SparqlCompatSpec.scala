@@ -403,9 +403,12 @@ class SparqlCompatSpec extends SparkSpec {
     val limC = Sparql.run(tc, cyc + " LIMIT 1")
     assert(!limC.queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(rowsOf(limC) === Seq("a,b,c"))
-    // DISTINCT / aggregation / OPTIONAL shapes never install
-    assert(!Sparql.run(t, "SELECT DISTINCT ?c WHERE { ?c <fromNation> ?n } ORDER BY ?c LIMIT 2")
-      .queryExecution.optimizedPlan.toString.contains("__kth"))
+    // DISTINCT installs (distinct-f threshold; sort var projected) and
+    // matches the full prefix; aggregation / OPTIONAL shapes never do
+    val dBody = "SELECT DISTINCT ?c WHERE { ?c <fromNation> ?n . ?s <suppliesFrom> ?n } ORDER BY ?c"
+    val dLim = Sparql.run(t, dBody + " LIMIT 2")
+    assert(dLim.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(rowsOf(dLim) === firstK(dBody, 2))
     assert(!Sparql.run(t,
       "SELECT ?c ?s WHERE { ?c <fromNation> ?n . OPTIONAL { ?s <suppliesFrom> ?n } } ORDER BY ?c LIMIT 2")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
