@@ -2487,6 +2487,46 @@ class CypherSpec extends SparkSpec {
       Cypher.run(gDir, dirArrow).collect().take(5).map(_.mkString("|")).toSeq)
   }
 
+  test("property: top-k pushdown matches the unlimited sort prefix on random graphs") {
+    // random directed multigraphs exercised through both path
+    // orientations, WHERE folding, and DISTINCT — pruned LIMIT plans
+    // must equal the full ordered result's prefix
+    import org.scalacheck.Gen
+    import graft.model.PropertyGraph
+    val ids = (0 until 8).map(i => s"n$i")
+    val genEdges: Gen[Seq[(String, String, String)]] = {
+      val e = for {
+        s <- Gen.oneOf(ids); d <- Gen.oneOf(ids)
+        t <- Gen.oneOf("A", "B")
+      } yield (s, d, t)
+      Gen.chooseNum(6, 20).flatMap(n => Gen.listOfN(n, e)).map(_.distinct)
+    }
+    var seed = org.scalacheck.rng.Seed(99L)
+    (0 until 5).foreach { _ =>
+      val es = genEdges.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      import spark.implicits._
+      val emptyP = map().cast(org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      val nodes = ids.toDF("id")
+        .select(col("id"), lit("N").as("label"), emptyP.as("properties"))
+      val edges = es.toDF("src", "dst", "type")
+        .select(col("src"), col("dst"), col("type"), emptyP.as("properties"))
+      val pg = PropertyGraph(nodes, PropertyGraph.withEid(edges), isDirected = true)
+      val bodies = Seq(
+        "MATCH (a)-[:A]->(b) RETURN id(a) AS x, id(b) AS y ORDER BY x, y",
+        "MATCH (a)-[:A]->(b) RETURN id(a) AS x, id(b) AS y ORDER BY x DESC, y",
+        "MATCH (a)-[:A]->(b)-[:B]->(c) RETURN id(a) AS x, id(c) AS y ORDER BY y, x", // reversal
+        "MATCH (a)-[:A]->(b) WHERE id(b) > 'n2' RETURN id(a) AS x, id(b) AS y ORDER BY x, y",
+        "MATCH (a)-[:A]->(b) RETURN DISTINCT id(a) AS x ORDER BY x")
+      for (body <- bodies; k <- Seq(1, 3, 6)) {
+        val full = Cypher.run(pg, body).collect().map(_.mkString("|")).toSeq
+        val got = Cypher.run(pg, s"$body LIMIT $k").collect().map(_.mkString("|")).toSeq
+        assert(got === full.take(k), s"top-k mismatch: $body LIMIT $k over $es")
+      }
+    }
+  }
+
   test("top-k pushdown: anchor-only WHERE and anchors without matches stay correct") {
     val body = "MATCH (a)-[:NEIGHBORS]->(b) WHERE a.id > '1' " +
       "RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"

@@ -414,6 +414,37 @@ class SparqlCompatSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("__kth"))
   }
 
+  test("property: BGP top-k pushdown matches the unlimited sort prefix on random graphs") {
+    // random stars and chains; every (shape, k, direction) compares the
+    // pruned LIMIT plan against the full ordered result's prefix
+    val gen: Gen[Seq[(String, String, String)]] = {
+      val subj = Gen.oneOf("a0", "a1", "a2", "a3", "a4", "b0", "b1", "b2")
+      val edge = for {
+        s <- subj; p <- Gen.oneOf("p", "q", "r"); o <- Gen.oneOf(subj, Gen.oneOf("v0", "v1"))
+      } yield (s, p, o)
+      Gen.chooseNum(8, 24).flatMap(n => Gen.listOfN(n, edge)).map(_.distinct)
+    }
+    val shapes = Seq(
+      // star: two patterns share the middle var
+      "SELECT ?x ?y WHERE { ?x <p> ?m . ?y <q> ?m } ORDER BY %s ?y",
+      // chain of three
+      "SELECT ?x ?z WHERE { ?x <p> ?m . ?m <q> ?n . ?n <r> ?z } ORDER BY %s ?z",
+      // sort var in the middle pattern
+      "SELECT ?x ?m WHERE { ?x <p> ?m . ?m <q> ?n } ORDER BY %s ?x")
+    val sortVarOf = Seq("?x", "?x", "?m")
+    forAll(gen, cases = 5) { g =>
+      val t = triples(g: _*)
+      for ((tpl, i) <- shapes.zipWithIndex; desc <- Seq(false, true); k <- Seq(1, 3, 7)) {
+        val sv = sortVarOf(i)
+        val body = tpl.format(if (desc) s"DESC($sv)" else sv)
+        val full = rowsOf(Sparql.run(t, body))
+        val got = rowsOf(Sparql.run(t, s"$body LIMIT $k"))
+        assert(got === full.take(k),
+          s"BGP top-k mismatch: $body LIMIT $k over $g")
+      }
+    }
+  }
+
   test("property: union-with-unbound inner join matches the §18.3 merge reference") {
     forAll(genGraph) { g =>
       val t = triples(g: _*)
