@@ -764,6 +764,19 @@ object Queries {
              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
              |ORDER BY cid, nid, sid LIMIT 500""".stripMargin))),
 
+    // WITH-chained modifiers + anchor-at-END: the sort leads with the
+    // SUPPLIER (the path's last node), so the planner reverses the path
+    // (arrows flipped losslessly — no DirBoth hop) and prunes the
+    // supplier scan to the 200 best matched anchors before the expand.
+    "cy_with_topk" -> ((
+      cy("MATCH (c:Customer)-[:FROM]->(n:Nation)<-[:FROM]-(s:Supplier) " +
+        "WITH s.id AS sid, c.id AS cid, n.id AS nid ORDER BY sid, cid LIMIT 200 " +
+        "RETURN sid, cid, nid ORDER BY sid, cid"),
+      Some("""SELECT 's' || s_suppkey AS sid, 'c' || c_custkey AS cid,
+             |  'n' || c_nationkey AS nid
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |ORDER BY sid, cid LIMIT 200""".stripMargin))),
+
     "cy_rel_type_scan" -> ((
       cy("MATCH (s:Supplier)-[r:SUPPLIES]->(p:Part) RETURN s.id AS sid, p.id AS pid ORDER BY sid, pid"),
       Some("""SELECT DISTINCT 's' || l_suppkey AS sid, 'p' || l_partkey AS pid
