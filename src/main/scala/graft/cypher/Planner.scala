@@ -755,7 +755,12 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       }
       // anchored top-k pushdown (installTopKPruning): restrict the scan
       // to anchors that can reach the query's top k before any expand
-      if (ctx.df.isEmpty) anchorPrune.get(startVar).foreach(p => scan = p(scan))
+      // CONSUMED on first use — the main clause chain plans first, and a
+      // later OPTIONAL MATCH / pattern subquery may rebind the same
+      // variable NAME in a fresh context, which must scan unpruned.
+      if (ctx.df.isEmpty) anchorPrune.get(startVar).foreach { p =>
+        scan = p(scan); anchorPrune -= startVar
+      }
       ctx = ctx.copy(df = Some(ctx.df.map(_.crossJoin(scan)).getOrElse(scan)))
     }
     pnCol.foreach { _ =>

@@ -2465,6 +2465,19 @@ class CypherSpec extends SparkSpec {
     assert(filtered.collect().map(_.mkString("|")).toSeq === full.filter(_.split("\\|")(1) > "1"))
   }
 
+  test("top-k pushdown: a later OPTIONAL MATCH reusing the anchor NAME scans unpruned") {
+    // after WITH, `a` leaves scope; the OPTIONAL MATCH binds a FRESH
+    // `a` planned in an empty context — the prune keyed on the name
+    // must have been consumed by the first MATCH's anchor scan, or the
+    // optional side loses nodes
+    val q = "MATCH (a)-[:NEIGHBORS]->(b) WITH a.id AS aid, b.id AS bid " +
+      "ORDER BY aid, bid LIMIT 3 OPTIONAL MATCH (a) " +
+      "RETURN aid, bid, a.id AS zid ORDER BY aid, bid, zid"
+    val rows = Cypher.run(g, q).collect()
+    // 3 surviving (aid, bid) pairs × all 20 nodes each
+    assert(rows.length === 60, s"optional side was pruned: ${rows.length} rows")
+  }
+
   test("top-k pushdown: sort on the LAST node reverses the path to prune") {
     val body = "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS aid, b.id AS bid ORDER BY bid, aid"
     val limited = Cypher.run(g, body + " LIMIT 6")
