@@ -2498,6 +2498,14 @@ class CypherSpec extends SparkSpec {
     assert(dirArrowLim.queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(dirArrowLim.collect().map(_.mkString("|")).toSeq ===
       Cypher.run(gDir, dirArrow).collect().take(5).map(_.mkString("|")).toSeq)
+    // FORWARD DirBoth on a directed graph needs no reversal and DOES
+    // install — phase A must replicate the typed-anchor orientation
+    // rule exactly (the anchor hop emits stored orientation only)
+    val dirFwd = Cypher.run(gDir, dirBody.replace("ORDER BY bid, aid", "ORDER BY aid, bid") + " LIMIT 5")
+    assert(dirFwd.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(dirFwd.collect().map(_.mkString("|")).toSeq ===
+      Cypher.run(gDir, dirBody.replace("ORDER BY bid, aid", "ORDER BY aid, bid"))
+        .collect().take(5).map(_.mkString("|")).toSeq)
   }
 
   test("property: top-k pushdown matches the unlimited sort prefix on random graphs") {
