@@ -54,6 +54,13 @@ for name in sorted(os.listdir(out)):
         ok.append((name, f"match ({len(a)} rows)"))
     except Exception as e:
         bad.append((name, "values differ: " + str(e).splitlines()[-1][:200]))
+# A query that throws inside Verify (e.g. the flat-schema require) writes no
+# output dir at all and would otherwise vanish from the gate — surface it.
+seen = {name for name in os.listdir(out) if os.path.isdir(os.path.join(out, name))}
+only = os.environ.get("SPARK_GRAFT_VERIFY_ONLY")
+expected = set(only.split(",")) if only else set(oracle)
+for name in sorted(expected - seen):
+    bad.append((name, "no spark output dir (query failed inside Verify?)"))
 for n, m in ok: print("OK  ", n, m)
 for n, m in bad: print("BAD ", n, m)
 print(f"== {len(ok)} ok, {len(bad)} bad")

@@ -127,10 +127,13 @@ object GraphSources {
     val pat = "^(<[^>]*>|\\S+)\\s+(<[^>]*>|\\S+)\\s+(.*?)\\s*\\.?\\s*$"
     def clean(c: org.apache.spark.sql.Column) =
       when(c.startsWith("<"), regexp_replace(c, "^<|>$", ""))
-        // literal body up to the LAST quote (drops @lang / ^^<iri>
-        // qualifiers), backslash escapes resolved
+        // escape-aware literal body (same regex as [[parseRdfQuads]] —
+        // a greedy `.*` would mis-span when the literal is followed by
+        // another quoted token or ends in an escaped backslash); drops
+        // @lang / ^^<iri> qualifiers, resolves backslash escapes
         .when(c.startsWith("\""), regexp_replace(
-          regexp_extract(c, "^\"(.*)\"", 1), "\\\\(.)", "$1"))
+          regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1),
+          "\\\\(.)", "$1"))
         .otherwise(c)
     val triples = lines
       .where(length(l) > 0 && !l.startsWith("#"))

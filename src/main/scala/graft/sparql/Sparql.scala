@@ -288,7 +288,14 @@ object Sparql {
                          trailingValues: Option[ValuesBlock] = None,
                          groupElems: Seq[GElem] = Seq.empty,
                          fromGraphs: Seq[String] = Seq.empty,
-                         fromNamed: Seq[String] = Seq.empty)
+                         fromNamed: Seq[String] = Seq.empty,
+                         // update-only (sparql11-update §3.1.3): `WITH <g>`
+                         // replaces the DEFAULT graph for WHERE matching
+                         // while leaving the named-graph set untouched, so
+                         // explicit GRAPH blocks inside the WHERE still see
+                         // every named graph (unlike FROM, which empties
+                         // the named set when no FROM NAMED is given)
+                         withDefaultGraph: Option[String] = None)
 
   /** One order-sensitive group element. SPARQL 1.1 §18.2.2.6 folds a
     * group graph pattern LEFT-TO-RIGHT: Join elements (BGP runs,
@@ -2242,8 +2249,14 @@ object Sparql {
       else if (q.fromGraphs.nonEmpty)
         triples.where(col("g").isin(q.fromGraphs: _*))
           .select(col("s"), col("p"), col("o"))
-      else triples.where(col("g").isNull)
-        .select(col("s"), col("p"), col("o"))
+      else q.withDefaultGraph match {
+        // WITH <g>: that named graph plays the default-graph role for
+        // matching; the named set below stays the full store (§3.1.3)
+        case Some(w) => triples.where(col("g") <=> lit(w))
+          .select(col("s"), col("p"), col("o"))
+        case None => triples.where(col("g").isNull)
+          .select(col("s"), col("p"), col("o"))
+      }
     // the named-graph quad view: FROM NAMED restricts the set; a
     // dataset clause with ONLY FROM leaves the named set EMPTY (§13.2)
     def namedQuads: DataFrame = {
@@ -2315,7 +2328,8 @@ object Sparql {
         require(subQ.fromGraphs.isEmpty && subQ.fromNamed.isEmpty,
           "a subquery may not carry its own dataset clause")
         val sub = runParsed(triples,
-          subQ.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed))
+          subQ.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed,
+            withDefaultGraph = q.withDefaultGraph))
         val subNullable: Set[String] = sub.columns.toSeq.filterNot { v =>
           subQ.patterns.exists(p => termsOf(p).contains(V(v))) ||
             (subQ.unionBranches.nonEmpty &&
@@ -2681,7 +2695,9 @@ object Sparql {
     head match {
       case "LOAD" =>
         // triple-frame LOAD (§3.1.4): the document's statements merge
-        // into the (only) graph; INTO GRAPH needs a quad frame
+        // into the (only) graph; INTO GRAPH needs a quad frame.
+        // LOAD SILENT: a failed load leaves the store unchanged.
+        val silent = peek.equalsIgnoreCase("SILENT") && { pop(); true }
         val doc = tokTerm(pop()) match {
           case Const(v) => v
           case other => throw new IllegalArgumentException(
@@ -2689,10 +2705,15 @@ object Sparql {
         }
         require(ts.isEmpty || !peek.equalsIgnoreCase("INTO"),
           "LOAD ... INTO GRAPH needs a quad frame (columns g, s, p, o)")
-        val loaded = graft.sources.GraphSources
-          .readRdfQuads(graph.sparkSession, doc)
-          .select(col("s"), col("p"), col("o")).distinct()
-        g.join(loaded, Seq("s", "p", "o"), "left_anti").unionByName(loaded)
+        try {
+          val raw = graft.sources.GraphSources
+            .readRdfQuads(graph.sparkSession, doc)
+          raw.queryExecution.analyzed  // eager path resolution for SILENT
+          val loaded = raw.select(col("s"), col("p"), col("o")).distinct()
+          g.join(loaded, Seq("s", "p", "o"), "left_anti").unionByName(loaded)
+        } catch {
+          case e if silent && scala.util.control.NonFatal(e) => g
+        }
       case "CLEAR" =>
         val what = pop().toUpperCase
         require(what == "ALL" || what == "DEFAULT", s"CLEAR $what is unsupported")
@@ -2900,8 +2921,12 @@ object Sparql {
         // lines; loaded statements land in the named graph (overriding
         // any in-file graph terms, per spec: the document is loaded
         // "into" that graph) or keep their own graph / the default.
-        // SILENT (no-op on unparseable lines) per the spec's best-effort
-        // reading; use GraphSources.readRdfQuads(strict=true) to gate.
+        // LOAD SILENT (§3.1.4): failure to load (missing/unreadable
+        // document) leaves the store unchanged instead of erroring.
+        // Only the eager path-resolution failure is catchable here —
+        // Spark reads lazily, so a document that disappears mid-action
+        // still errors; that matches the spec's best-effort reading.
+        val silent = peek.equalsIgnoreCase("SILENT") && { pop(); true }
         val doc = tokTerm(pop()) match {
           case Const(v) => v
           case other => throw new IllegalArgumentException(
@@ -2917,13 +2942,21 @@ object Sparql {
                 s"INTO GRAPH expects a graph <iri>, got $other")
             }
           } else None
-        val raw = graft.sources.GraphSources.readRdfQuads(graph.sparkSession, doc)
-        val loaded = target.fold(raw)(t0 =>
-          raw.select(lit(t0).as("g"), col("s"), col("p"), col("o"))).distinct()
-        // set-insert, scale-safe: anti-join existing copies, union in
-        // (no broadcast hint — the document's size is unknown; AQE
-        // flips to broadcast when it turns out small)
-        minusQuads(g, loaded).unionByName(loaded)
+        try {
+          val raw = graft.sources.GraphSources.readRdfQuads(graph.sparkSession, doc)
+          // force eager path resolution so a missing document fails HERE
+          // (where SILENT can catch it), not at the caller's first action
+          raw.queryExecution.analyzed
+          val loaded = target.fold(raw)(t0 =>
+            raw.select(lit(t0).as("g"), col("s"), col("p"), col("o"))).distinct()
+          // set-insert, scale-safe: anti-join existing copies, union in
+          // (no broadcast hint — the document's size is unknown; AQE
+          // flips to broadcast when it turns out small)
+          minusQuads(g, loaded).unionByName(loaded)
+        } catch {
+          // LOAD SILENT: swallow the load failure, keep the store as-is
+          case e if silent && scala.util.control.NonFatal(e) => g
+        }
       case "CLEAR" | "DROP" =>
         peek.toUpperCase match {
           case "ALL" => pop(); g.limit(0)
@@ -3000,12 +3033,16 @@ object Sparql {
               (if (named) "FROM NAMED <" else "FROM <") + iri + ">"
             }.mkString(" ")
             s"${prefixHeader}SELECT * $ds WHERE { $whereSpan }"
-          } else withGraph.fold(
-            s"${prefixHeader}SELECT * WHERE { $whereSpan }")(w =>
-            // WITH and no USING: match against the WITH graph, the
-            // spec's "as if GRAPH <g> wrapped the pattern" reading
-            s"${prefixHeader}SELECT * WHERE { GRAPH <$w> { $whereSpan } }")
-        val sols = run(graph, whereQuery).localCheckpoint(true)
+          } else s"${prefixHeader}SELECT * WHERE { $whereSpan }"
+        // WITH and no USING: the WITH graph plays the default graph for
+        // matching, threaded as a dataset override rather than a textual
+        // `GRAPH <w> { … }` wrap — the wrap would fail on a WHERE that
+        // itself contains an explicit GRAPH block, which is legal
+        // (§3.1.3: WITH applies only to patterns outside explicit GRAPH)
+        val parsedWhere =
+          if (usings.isEmpty) parse(whereQuery).copy(withDefaultGraph = withGraph)
+          else parse(whereQuery)
+        val sols = runParsed(graph, parsedWhere).localCheckpoint(true)
         val afterDelete = delTpl.fold(g)(spanD =>
           minusQuads(g, instantiateQ(sols, templateQuads(spanD)).distinct()))
         // scoped dedup as in the triple form: new-vs-new distinct,

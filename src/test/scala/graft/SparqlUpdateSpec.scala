@@ -155,6 +155,20 @@ class SparqlUpdateSpec extends SparkSpec {
     assert(qset(out2) === Set(("∅", "a", "st", "old"),
       ("g1", "b", "st", "done"), ("g2", "a", "st", "moved"),
       ("g2", "c", "st", "old")))
+    // WITH + explicit GRAPH inside the WHERE (§3.1.3: WITH scopes only
+    // the patterns OUTSIDE explicit GRAPH blocks — the GRAPH block
+    // still ranges over the store's named graphs, g2 included)
+    val out3 = Sparql.update(g,
+      """WITH <g1> INSERT { ?s <also_in> ?og }
+        |WHERE { ?s <st> ?v . GRAPH ?og { ?s <st> ?v2 } FILTER(?og != "g1") }"""
+        .stripMargin)
+    assert(qset(out3) === qset(g))  // a,b live only in g1 → no extra row
+    val g4 = quads(("g1", "a", "st", "old"), ("g2", "a", "st", "old"))
+    val out4 = Sparql.update(g4,
+      """WITH <g1> INSERT { ?s <also_in> ?og }
+        |WHERE { ?s <st> ?v . GRAPH ?og { ?s <st> ?v2 } FILTER(?og != "g1") }"""
+        .stripMargin)
+    assert(qset(out4) === qset(g4) + (("g1", "a", "also_in", "g2")))
     // grammar: WITH is Modify-only
     intercept[IllegalArgumentException](Sparql.update(g,
       """WITH <g1> INSERT DATA { <x> <p> "1" . }"""))
@@ -228,6 +242,15 @@ class SparqlUpdateSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         Sparql.update(g, s"LOAD <${f.toUri}> INTO GRAPH <g9>"))
       assert(e.getMessage.contains("quad frame"))
+      // LOAD SILENT (§3.1.4): a missing document leaves the store
+      // unchanged on BOTH frame shapes; without SILENT it still errors
+      assert(setOf(Sparql.update(g,
+        s"LOAD SILENT <${dir.resolve("absent.nq").toUri}>")) === setOf(g))
+      assert(qset(Sparql.update(gq,
+        s"LOAD SILENT <${dir.resolve("absent.nq").toUri}> INTO GRAPH <g9>"))
+        === qset(gq))
+      intercept[Exception](Sparql.update(g,
+        s"LOAD <${dir.resolve("absent.nq").toUri}>").count())
     } finally {
       java.nio.file.Files.deleteIfExists(f)
       java.nio.file.Files.deleteIfExists(dir)
