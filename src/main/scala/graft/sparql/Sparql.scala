@@ -1670,10 +1670,14 @@ object Sparql {
     b.optionals.foreach { nb =>
       val inner = blockFrame(triples, nb, gVar)
       val shared = f.columns.toSeq.intersect(inner.columns.toSeq)
-      require(shared.nonEmpty,
-        "a nested OPTIONAL shares no variable with its enclosing block")
       val innerN = blockNullable(nb)
+      // disjoint domains (§18.3: every pairing is compatible) — the
+      // LeftJoin degrades to the compatibility product, a broadcast
+      // nested-loop bounded by the block frame; with a condition the
+      // unmatched lefts null-pad as usual. compatJoin's empty-key
+      // paths implement exactly this — just hint the inner broadcast.
       f = compatJoinBoth(f, inner, shared, maybeNull, innerN, "left",
+        broadcastRight = shared.isEmpty,
         cond = splitFilters(nb)._2)
       maybeNull = maybeNull ++ (inner.columns.toSeq diff shared) ++
         shared.filter(innerN)
@@ -2003,11 +2007,6 @@ object Sparql {
                                  shared: Seq[String], nullable: Seq[String],
                                  kind: String,
                                  cond: Seq[FilterExpr]): DataFrame = {
-    require(cond.isEmpty,
-      s"compatibility join over ${nullable.size} maybe-unbound variables " +
-        "combined with a cross-scope join condition is unsupported " +
-        s"(the 2^$MaxNullableJoinVars strata cap applies when a " +
-        "condition is present)")
     val stratVars = nullable.take(MaxNullableJoinVars)
     val residVars = nullable.drop(MaxNullableJoinVars)
     val merging = kind == "inner" || kind == "left"
@@ -2025,10 +2024,23 @@ object Sparql {
         (nullSet.map(col(_).isNull) ++ boundSet.map(col(_).isNotNull))
           .reduce(_ && _))
       val keys = shared.filterNot(v => nullSet.contains(v) || residVars.contains(v))
+      // cross-scope conditions ride the join exactly like the residual
+      // compat tests: compiled over the MERGED binding (§18.3 —
+      // residual vars read coalesce(l,r), this stratum's null vars read
+      // the right side, everything else its binding side)
+      val rCols = right.columns.toSet
+      def resolve(v: String): Column =
+        if (residVars.contains(v) && rCols(v))
+          coalesce(col(s"__sl.$v"), col(s"__sr.$v"))
+        else if (nullSet.contains(v) && rCols(v)) col(s"__sr.$v")
+        else if (lCols(v)) col(s"__sl.$v")
+        else if (rCols(v)) col(s"__sr.$v")
+        else lit(null).cast("string")
       def joinCond: Column =
         (keys.map(k => col(s"__sl.$k") === col(s"__sr.$k")) ++
           residVars.map(v => col(s"__sl.$v").isNull ||
-            col(s"__sl.$v") === col(s"__sr.$v")))
+            col(s"__sl.$v") === col(s"__sr.$v")) ++
+          cond.map(compileFilter(_, resolve)))
           .foldLeft(lit(true))(_ && _)
       def mergedSelect(j: DataFrame): DataFrame =
         j.select(outCols.map { c =>
@@ -2381,7 +2393,10 @@ object Sparql {
         require(df != null, "OPTIONAL cannot start a group")
         val opt = blockFrame(t, block)
         val shared = df.columns.toSeq.intersect(opt.columns.toSeq)
-        require(shared.nonEmpty, "OPTIONAL block shares no variable with the BGP")
+        // shared.isEmpty (disjoint domains): §18.3 makes every pairing
+        // compatible — compatJoin's empty-key path yields the
+        // compatibility product (broadcast nested-loop, null-pad when
+        // the block is empty or the condition finds no partner)
         // §18.3 LeftJoin, both sides maybe-unbound: a solution whose
         // shared var is unbound (an earlier OPTIONAL missed, a UNION
         // branch padded it) is extended by every compatible block row;
@@ -2389,6 +2404,7 @@ object Sparql {
         // NESTED optional / BIND) extends by compatibility too
         val optN = blockNullable(block)
         df = compatJoinBoth(df, opt, shared, maybeNull, optN, "left",
+          broadcastRight = shared.isEmpty,
           cond = splitFilters(block)._2)
         maybeNull = maybeNull ++ (opt.columns.toSeq diff shared) ++
           shared.filter(optN)

@@ -135,6 +135,30 @@ class SparqlCompatSpec extends SparkSpec {
       .sorted === Seq("a,1,∅", "b,2,k2", "c,3,∅", "d,4,k4"))
   }
 
+  test("disjoint-domain OPTIONAL: the §18.3 compatibility product, top-level and nested") {
+    val t = triples(("a","p","1"),("b","p","2"),("x","q","7"),("y","q","8"))
+    // no shared var: every pairing is compatible — LeftJoin = product
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?v ?w WHERE { ?s <p> ?v . OPTIONAL { ?z <q> ?w } }"))
+      .sorted === Seq("a,1,7", "a,1,8", "b,2,7", "b,2,8"))
+    // empty block: lefts survive null-padded
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?w WHERE { ?s <p> ?v . OPTIONAL { ?z <zz> ?w } }"))
+      .sorted === Seq("a,∅", "b,∅"))
+    // a cross-scope condition picks partners per-left; a left with no
+    // qualifying partner null-pads (three-arg LeftJoin semantics)
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?w WHERE { ?s <p> ?v . OPTIONAL { ?z <q> ?w FILTER(?w < ?v * 4) } }"))
+      .sorted === Seq("a,∅", "b,7"))
+    // nested inside an OPTIONAL block: same product semantics, and the
+    // outer LeftJoin null-pads lefts whose block found nothing
+    val t2 = triples(("a","p","1"),("b","p","2"),("a","q2","m"),
+      ("x","q","7"),("y","q","8"))
+    assert(rowsOf(Sparql.run(t2,
+      "SELECT ?s ?k ?w WHERE { ?s <p> ?v . OPTIONAL { ?s <q2> ?k . OPTIONAL { ?z <q> ?w } } }"))
+      .sorted === Seq("a,m,7", "a,m,8", "b,∅,∅"))
+  }
+
   test("right-nullable MINUS / EXISTS keys: block rows with unbound shared vars") {
     val t = triples(
       ("a","p","1"),("a","q","k1"),("k1","r","9"),
@@ -363,6 +387,26 @@ class SparqlCompatSpec extends SparkSpec {
       val refE = base.filter(mu => block.exists(compatible(mu, _)))
       assert(runOp("FILTER EXISTS") === refE.map(show(_, outCols)).sorted,
         s"k5 EXISTS over $g")
+      // cross-scope condition at k=5: the residual fallback must carry
+      // it on the join (it was a hard reject through r15). Three-arg
+      // LeftJoin reference: expr evaluates over merge(μ, μ')
+      def condHolds(mu: Map[String, String], mp: Map[String, String]) =
+        mu("o") != (mu ++ mp)("v1")
+      val gotCondOpt = rowsOf(Sparql.run(t,
+        s"SELECT $sel WHERE { ?s <p> ?o . $opts OPTIONAL { $blockPats FILTER(?o != ?v1) } }")).sorted
+      val refCondOpt = base.flatMap { mu =>
+        val ext = block.filter(mp => compatible(mu, mp) && condHolds(mu, mp))
+          .map(mu ++ _)
+        if (ext.isEmpty) Seq(mu) else ext
+      }
+      assert(gotCondOpt === refCondOpt.map(show(_, outCols)).sorted,
+        s"k5 OPTIONAL+cond over $g")
+      val gotCondE = rowsOf(Sparql.run(t,
+        s"SELECT $sel WHERE { ?s <p> ?o . $opts FILTER EXISTS { $blockPats FILTER(?o != ?v1) } }")).sorted
+      val refCondE = base.filter(mu =>
+        block.exists(mp => compatible(mu, mp) && condHolds(mu, mp)))
+      assert(gotCondE === refCondE.map(show(_, outCols)).sorted,
+        s"k5 EXISTS+cond over $g")
     }
   }
 
