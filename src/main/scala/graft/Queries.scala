@@ -4517,6 +4517,23 @@ object Queries {
              |JOIN supplier ON s_nationkey = n_nationkey
              |ORDER BY c, s LIMIT 100""".stripMargin))),
 
+    // BGP top-k pushdown over a PROPERTY-PATH frame (r16): the Kleene
+    // closure ?c (fromNation|locatedIn)+ ?x is an exact relation over
+    // its endpoints, so GYO semireduction stays sound — the closure is
+    // materialized ONCE (checkpointed in phase A, reused by the join)
+    // and the supplier pattern's ?s threshold prunes it before the
+    // customers×suppliers-per-nation product forms. Only ?x = nation
+    // rows join (locatedIn targets regions, which supply nothing).
+    "sparql_topk_path" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """SELECT ?c ?s WHERE { ?c (<fromNation>|<locatedIn>)+ ?x .
+            |?s <suppliesFrom> ?x } ORDER BY ?s ?c LIMIT 80""".stripMargin),
+      Some("""SELECT 'customer/' || c_custkey AS c, 'supplier/' || s_suppkey AS s
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN supplier ON s_nationkey = n_nationkey
+             |ORDER BY s, c LIMIT 80""".stripMargin))),
+
     // §17.4.4 hash builtins over the UTF-8 string form — lowercase hex
     // on both engines, replayed verbatim.
     "sparql_hash" -> ((

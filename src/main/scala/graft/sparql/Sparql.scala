@@ -1498,10 +1498,13 @@ object Sparql {
 
   private def joinAll(triples: DataFrame, pats: Seq[Pat],
                       gVar: Option[String] = None,
-                      prune: Option[(String, DataFrame => DataFrame)] = None)
+                      prune: Option[(String, DataFrame => DataFrame)] = None,
+                      cache: Map[Pat, DataFrame] = Map.empty)
       : DataFrame =
     pats.map { p =>
-      val f = patFrame(triples, p, gVar)
+      // `cache` holds property-path closures the top-k pushdown already
+      // materialized (checkpointed) in phase A — never compute one twice
+      val f = cache.getOrElse(p, patFrame(triples, p, gVar))
       prune match {
         case Some((v, fn)) if f.columns.contains(v) => fn(f)
         case _ => f
@@ -1542,7 +1545,7 @@ object Sparql {
    * or None when the shape doesn't qualify.
    */
   private def bgpTopKPrune(q: Query, t: DataFrame)
-      : Option[(String, DataFrame => DataFrame)] = {
+      : Option[(String, DataFrame => DataFrame, Map[Pat, DataFrame])] = {
     val shapeOk = q.groupElems.size == 1 &&
       q.groupElems.head.isInstanceOf[GPats] &&
       q.unionBranches.isEmpty && !q.ask &&
@@ -1553,9 +1556,11 @@ object Sparql {
     val k = q.limit.get.toLong + q.offset.getOrElse(0).toLong
     if (k <= 0 || k > 100000) return None
     val pats = q.groupElems.head.asInstanceOf[GPats].pats
-    // plain triple patterns only: a PathPat frame is a closure — valid
-    // as a relation, but phase A would compute it twice
-    if (!pats.forall(_.isInstanceOf[Pattern])) return None
+    // PathPats are admissible: a path closure is an exact relation over
+    // its endpoint vars, so GYO semireduction over it stays sound. Its
+    // frame is EXPENSIVE (an eager iterative fixpoint) — it is built at
+    // most once, after acyclicity is proven, and shared with phase B
+    // through the returned cache.
     val (leadE, asc) = q.orderBy.head
     val sortVars = varsOfExpr(leadE).distinct
     if (sortVars.size != 1) return None
@@ -1587,8 +1592,14 @@ object Sparql {
         comp = next
       }
       val idx = comp.toSeq.sorted
+      // raw pattern frames, built once: PathPat closures are eager
+      // (kleeneFrame checkpoints its fixpoint) and are handed back to
+      // joinAll via the cache so phase B reuses the materialization
+      val rawFrames = scala.collection.mutable.Map.empty[Int, DataFrame]
+      def rawFrame(i: Int): DataFrame =
+        rawFrames.getOrElseUpdate(i, patFrame(t, pats(i)))
       def frame(i: Int): DataFrame = {
-        var f = patFrame(t, pats(i))
+        var f = rawFrame(i)
         varsOfPat(i).foreach(u => filterByVar.getOrElse(u, Nil)
           .foreach(fl => f = f.where(compileFilter(fl))))
         f
@@ -1638,7 +1649,10 @@ object Sparql {
             (if (asc) fc <= col("__kth") else fc >= col("__kth")))
           .drop("__kth")
       }
-      (v, prune)
+      val pathCache: Map[Pat, DataFrame] = rawFrames.toMap.collect {
+        case (i, f) if pats(i).isInstanceOf[PathPat] => (pats(i): Pat) -> f
+      }
+      (v, prune, pathCache)
     }.toOption
   }
 
@@ -2314,7 +2328,9 @@ object Sparql {
     val bgpPrune = bgpTopKPrune(q, t)
     q.groupElems.foreach {
       case GPats(ps) =>
-        val f = joinAll(t, ps, prune = bgpPrune)
+        val f = joinAll(t, ps,
+          prune = bgpPrune.map { case (v, fn, _) => (v, fn) },
+          cache = bgpPrune.map(_._3).getOrElse(Map.empty))
         if (df == null) df = f
         else {
           val shared = df.columns.toSeq.intersect(f.columns.toSeq)

@@ -458,6 +458,53 @@ class SparqlCompatSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("__kth"))
   }
 
+  test("BGP top-k pushdown over property-path frames: closure built once, pruned = full prefix") {
+    // chain a <knows>+ closure into a pattern: relations {a,b}, {b,c}
+    // — acyclic, the path frame is an exact relation for GYO
+    val t = triples(
+      ("u1","knows","u2"),("u2","knows","u3"),("u4","knows","u1"),
+      ("u1","worksAt","acme"),("u2","worksAt","bbb"),("u3","worksAt","ccc"),
+      ("u5","worksAt","ddd"))
+    val body = "SELECT ?a ?c WHERE { ?a <knows>+ ?b . ?b <worksAt> ?c } ORDER BY ?c ?a"
+    def firstK(q: String, k: Int): Seq[String] = rowsOf(Sparql.run(t, q)).take(k)
+    val lim = Sparql.run(t, body + " LIMIT 2")
+    assert(lim.queryExecution.optimizedPlan.toString.contains("__kth"),
+      "path BGP pushdown did not install")
+    assert(rowsOf(lim) === firstK(body, 2))
+    // sort var bound by the PATH frame itself — the closure is pruned
+    val body2 = "SELECT ?a ?c WHERE { ?a <knows>+ ?b . ?b <worksAt> ?c } ORDER BY DESC(?a) ?c"
+    val lim2 = Sparql.run(t, body2 + " LIMIT 3")
+    assert(lim2.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(rowsOf(lim2) === firstK(body2, 3))
+    // zero-or-more with both endpoints variable (domain = every term)
+    val body3 = "SELECT ?a ?b WHERE { ?a <knows>* ?b . ?b <worksAt> ?c } ORDER BY ?b ?a"
+    assert(rowsOf(Sparql.run(t, body3 + " LIMIT 4")) === firstK(body3, 4))
+  }
+
+  test("property: path-frame top-k pushdown matches the unlimited sort prefix on random graphs") {
+    val gen: Gen[Seq[(String, String, String)]] = {
+      val nodes = (0 until 8).map(i => s"n$i")
+      val edge = for {
+        s <- Gen.oneOf(nodes); o <- Gen.oneOf(nodes)
+        p <- Gen.frequency(3 -> Gen.const("k"), 2 -> Gen.const("w"))
+      } yield (s, p, o)
+      Gen.chooseNum(6, 20).flatMap(n => Gen.listOfN(n, edge)).map(_.distinct)
+    }
+    forAll(gen, cases = 8) { g =>
+      if (g.nonEmpty) {
+        val t = triples(g: _*)
+        for (body <- Seq(
+          "SELECT ?a ?c WHERE { ?a <k>+ ?b . ?b <w> ?c } ORDER BY ?c ?a ?b",
+          "SELECT ?a ?c WHERE { ?a <k>* ?b . ?b <w> ?c } ORDER BY DESC(?a) ?c ?b")) {
+          val full = rowsOf(Sparql.run(t, body))
+          val k = math.min(3, full.size).max(1)
+          assert(rowsOf(Sparql.run(t, s"$body LIMIT $k")) === full.take(k),
+            s"path top-k mismatch for '$body' over $g")
+        }
+      }
+    }
+  }
+
   test("property: BGP top-k pushdown matches the unlimited sort prefix on random graphs") {
     // random stars and chains; every (shape, k, direction) compares the
     // pruned LIMIT plan against the full ordered result's prefix
