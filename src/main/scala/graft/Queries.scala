@@ -777,6 +777,18 @@ object Queries {
              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
              |ORDER BY sid, cid LIMIT 200""".stripMargin))),
 
+    // r16: anchored top-k pushdown THROUGH aggregation — the sort key is
+    // a GROUPING key (c.id), so the LIMIT counts groups and the k-th
+    // distinct matched anchor key bounds the scan; every row of a
+    // surviving group passes the prune, so count(s) stays exact. The
+    // unpruned plan materializes customers×suppliers-per-nation first.
+    "cy_topk_group_agg" -> ((
+      cy("MATCH (c:Customer)-[:FROM]->(n:Nation)<-[:FROM]-(s:Supplier) " +
+        "RETURN c.id AS cid, count(s) AS ns ORDER BY cid LIMIT 150"),
+      Some("""SELECT 'c' || c_custkey AS cid, count(*) AS ns
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY cid ORDER BY cid LIMIT 150""".stripMargin))),
+
     "cy_rel_type_scan" -> ((
       cy("MATCH (s:Supplier)-[r:SUPPLIES]->(p:Part) RETURN s.id AS sid, p.id AS pid ORDER BY sid, pid"),
       Some("""SELECT DISTINCT 's' || l_suppkey AS sid, 'p' || l_partkey AS pid

@@ -93,8 +93,13 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     parts match {
       case Some((m, ret, rest))
           if !m.optional && m.paths.size == 1 &&
-            ret.limit.isDefined && ret.orderBy.nonEmpty &&
-            !ret.items.exists(i => containsAggregate(i.expr)) =>
+            ret.limit.isDefined && ret.orderBy.nonEmpty =>
+        // aggregating projections are admissible when the sort key is a
+        // GROUPING key (installTopK checks): the LIMIT then counts
+        // groups, a group exists iff ≥1 full row matches, and the k-th
+        // DISTINCT matched f value bounds every group that can reach
+        // the top k. ORDER BY an aggregate stays excluded — that
+        // threshold isn't computable before aggregation.
         installTopK(q, m, ret, rest)
       case _ => q
     }
@@ -111,9 +116,14 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       if (!shapeOk) return q
       // resolve the leading sort key through the RETURN items (aliases)
       val lead = ret.orderBy.head
-      val leadExpr = ret.items.find(i => i.expr == lead.expr ||
+      val leadItem = ret.items.find(i => i.expr == lead.expr ||
           i.alias.contains(text(lead.expr)) || i.name == text(lead.expr))
-        .map(_.expr).getOrElse(lead.expr)
+      val leadExpr = leadItem.map(_.expr).getOrElse(lead.expr)
+      // aggregation: the sort key must be a grouping key — a RETURN
+      // item that is itself aggregate-free (post-aggregation scope can
+      // only sort on grouping keys or aggregates; the latter bails)
+      val hasAgg = ret.items.exists(i => containsAggregate(i.expr))
+      if (containsAggregate(leadExpr) || (hasAgg && leadItem.isEmpty)) return q
       val sortVars = freeVars(leadExpr)
       // pick the path orientation that puts the sorted variable at the
       // anchor scan: as written, or reversed (legal when no hop depends
@@ -152,10 +162,14 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           // the sort value and collapse, so the threshold must count
           // DISTINCT f values — k distinct values guarantee ≥ k distinct
           // rows (the sort key is an output item under DISTINCT, pinned
-          // by compileReturn). Without DISTINCT, per-anchor counting
-          // prunes harder and each anchor's ≥1 row stands on its own.
+          // by compileReturn). Aggregation limits GROUPS the same way:
+          // groups are keyed by the (finer) full grouping-key tuple, so
+          // k distinct f values guarantee ≥ k groups, and every row of a
+          // surviving group has f <= kth — aggregate values stay exact.
+          // Without either, per-anchor counting prunes harder and each
+          // anchor's ≥1 row stands on its own.
           val kth = matchedAnchorThreshold(path, startVar, fCol, lead.ascending,
-            whereByVar, k.toInt, distinctF = ret.distinct)
+            whereByVar, k.toInt, distinctF = ret.distinct || hasAgg)
           val prune: DataFrame => DataFrame = { scan =>
             val f = ExprCompiler.compile(leadExpr, Scope(Map(startVar -> KNode))).col
             scan.crossJoin(broadcast(kth)).where(

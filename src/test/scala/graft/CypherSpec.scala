@@ -2436,9 +2436,17 @@ class CypherSpec extends SparkSpec {
     val dLim = Cypher.run(g, dBody + " LIMIT 3")
     assert(dLim.queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(dLim.collect().map(_.mkString("|")).toSeq === firstK(dBody, 3))
-    // not: aggregation, var-length, no LIMIT
+    // aggregation sorted on a GROUPING key installs (r16): the LIMIT
+    // counts groups, the k-th distinct matched key bounds them — and
+    // the aggregate values must equal the unpruned plan's
+    val aBody = "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x, count(b) AS c ORDER BY x"
+    val aLim = Cypher.run(g, aBody + " LIMIT 3")
+    assert(aLim.queryExecution.optimizedPlan.toString.contains("__kth"))
+    assert(aLim.collect().map(_.mkString("|")).toSeq === firstK(aBody, 3))
+    // not: ORDER BY an aggregate (threshold not computable pre-agg),
+    // var-length, no LIMIT
     assert(!Cypher.run(g,
-      "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x, count(b) AS c ORDER BY x LIMIT 3")
+      "MATCH (a)-[:NEIGHBORS]->(b) RETURN a.id AS x, count(b) AS c ORDER BY c LIMIT 3")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
     assert(!Cypher.run(g, "MATCH (a)-[*1..2]->(b) RETURN a.id AS x ORDER BY x LIMIT 3")
       .queryExecution.optimizedPlan.toString.contains("__kth"))
@@ -2539,7 +2547,9 @@ class CypherSpec extends SparkSpec {
         "MATCH (a)-[:A]->(b) RETURN id(a) AS x, id(b) AS y ORDER BY x DESC, y",
         "MATCH (a)-[:A]->(b)-[:B]->(c) RETURN id(a) AS x, id(c) AS y ORDER BY y, x", // reversal
         "MATCH (a)-[:A]->(b) WHERE id(b) > 'n2' RETURN id(a) AS x, id(b) AS y ORDER BY x, y",
-        "MATCH (a)-[:A]->(b) RETURN DISTINCT id(a) AS x ORDER BY x")
+        "MATCH (a)-[:A]->(b) RETURN DISTINCT id(a) AS x ORDER BY x",
+        "MATCH (a)-[:A]->(b) RETURN id(a) AS x, count(b) AS c ORDER BY x",  // agg on group key
+        "MATCH (a)-[:A]->(b)-[:B]->(c) RETURN id(c) AS y, count(a) AS n ORDER BY y DESC")  // reversal+agg
       for (body <- bodies; k <- Seq(1, 3, 6)) {
         val full = Cypher.run(pg, body).collect().map(_.mkString("|")).toSeq
         val got = Cypher.run(pg, s"$body LIMIT $k").collect().map(_.mkString("|")).toSeq
