@@ -34,6 +34,16 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 
   private var counter = counterStart
   private def fresh(prefix: String): String = { counter += 1; s"__${prefix}$counter" }
+
+  // r16: named-path surface pruning (Planner.pathFieldUsage) — set by the
+  // runner before planning; compilePath slims the tracked node/rel struct
+  // arrays to the fields the query can actually read. Empty map = no
+  // analysis ran = keep full structs everywhere.
+  private var pathFieldUse
+      : Map[String, (Option[Set[String]], Option[Set[String]])] = Map.empty
+  def setPathFieldUse(
+      u: Map[String, (Option[Set[String]], Option[Set[String]])]): Unit =
+    pathFieldUse = u
   /** Current anonymous-variable counter — used to seed a replacement
     * planner after a mutation so regenerated fresh names can't collide
     * with columns already bound by this planner. */
@@ -717,9 +727,12 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
   /** Correctly-typed empty ARRAY<edge struct> — the seed for a named
     * path's relationship list (slice to length 0 keeps the element type,
     * unlike a bare `array()` whose elements would be NullType). */
-  private def emptyEdgeArray: Column = {
+  private def emptyEdgeArray: Column =
+    emptyEdgeArrayOf(Seq("eid", "src", "dst", "type", "properties"))
+
+  private def emptyEdgeArrayOf(fields: Seq[String]): Column = {
     val sch = graph.edges.schema
-    val nullEdge = struct(Seq("eid", "src", "dst", "type", "properties")
+    val nullEdge = struct(fields
       .map(f => lit(null).cast(sch(f).dataType).as(f)): _*)
     slice(array(nullEdge), 1, 0)
   }
@@ -745,6 +758,40 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
       else None
     val pnCol = trackTag.map(n => s"__pn_$n")
     val prCol = trackTag.map(n => s"__pr_$n")
+
+    // r16 surface pruning (Planner.pathFieldUsage): carry only the struct
+    // fields the query can read through the tracking arrays — per hop the
+    // property maps dominate the walk's width, and a `[e IN
+    // relationships(p) | type(e)]` needs one narrow string. Unnamed
+    // (shortest-only) tracking needs just the endpoint ids + the eid
+    // tiebreak signature. An empty computed set keeps one narrow field so
+    // size()/length() still count elements.
+    val (nodeUse, relUse): (Option[Set[String]], Option[Set[String]]) =
+      path.name match {
+        case Some(pn) => pathFieldUse.getOrElse(pn, (None, None))
+        case None => (Some(Set.empty[String]), Some(Set.empty[String]))
+      }
+    def keepOf(use: Option[Set[String]], spNeed: String,
+               order: Seq[String]): Option[Seq[String]] = use.map { fs =>
+      val want = fs ++ (if (path.shortest.isDefined) Set(spNeed) else Set.empty)
+      val w2 = if (want.isEmpty) Set(spNeed) else want
+      order.filter(w2)
+    }
+    val nodeKeep = keepOf(nodeUse, "id", Seq("id", "label", "properties"))
+    val relKeep = keepOf(relUse, "eid",
+      Seq("eid", "src", "dst", "type", "properties"))
+    def slimN(c: Column): Column = nodeKeep match {
+      case Some(fs) if fs.size < 3 => struct(fs.map(f => c.getField(f).as(f)): _*)
+      case _ => c
+    }
+    def slimR(c: Column): Column = relKeep match {
+      case Some(fs) if fs.size < 5 => struct(fs.map(f => c.getField(f).as(f)): _*)
+      case _ => c
+    }
+    def emptyTrackedRels: Column = emptyEdgeArrayOf(relKeep match {
+      case Some(fs) if fs.size < 5 => fs
+      case _ => Seq("eid", "src", "dst", "type", "properties")
+    })
 
     // Anchor: reuse an existing binding, else scan (AllNodeScan /
     // NodeScanByLabel collapse into a filtered scan; Catalyst pushes the
@@ -779,8 +826,8 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
     }
     pnCol.foreach { _ =>
       ctx = ctx.copy(df = Some(ctx.df.get
-        .withColumn(pnCol.get, array(col(startVar)))
-        .withColumn(prCol.get, emptyEdgeArray)))
+        .withColumn(pnCol.get, array(slimN(col(startVar))))
+        .withColumn(prCol.get, emptyTrackedRels)))
     }
 
     var prevNode = startVar
@@ -847,8 +894,8 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
             .foreach(c => ctx = ctx.copy(df = Some(ctx.df.get.filter(c))))
           pnCol.foreach { _ =>
             ctx = ctx.copy(df = Some(ctx.df.get
-              .withColumn(pnCol.get, concat(col(pnCol.get), array(col(nodeVar))))
-              .withColumn(prCol.get, concat(col(prCol.get), array(col(relVar))))))
+              .withColumn(pnCol.get, concat(col(pnCol.get), array(slimN(col(nodeVar)))))
+              .withColumn(prCol.get, concat(col(prCol.get), array(slimR(col(relVar)))))))
           }
           prevRel = Some(relVar)
 
@@ -897,8 +944,8 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
                 .foreach(c => df = df.filter(c))
               pnCol.foreach { _ =>
                 df = df
-                  .withColumn(pnCol.get, concat(col(pnCol.get), array(col(target))))
-                  .withColumn(prCol.get, concat(col(prCol.get), array(col(rv))))
+                  .withColumn(pnCol.get, concat(col(pnCol.get), array(slimN(col(target)))))
+                  .withColumn(prCol.get, concat(col(prCol.get), array(slimR(col(rv)))))
               }
               prefixes += ((df, target))
               hopRels += rv
@@ -1181,6 +1228,134 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
 }
 
 object Planner {
+
+  /**
+   * r16 named-path surface analysis: for each named path, which struct
+   * FIELDS its tracked nodes()/relationships() arrays can ever be read
+   * through. The tracking arrays carry full entity structs (id, label,
+   * properties / eid, src, dst, type, properties) per hop — at scale the
+   * property maps dominate the walk's width, and most queries only read
+   * `type(e)` or count the arrays. `None` = opaque use (the whole entity
+   * escapes — keep every field); `Some(fs)` = only `fs` are read.
+   *
+   * Conservative by construction: only specifically recognized read
+   * shapes contribute field sets — `size(nodes(p))` / `length(p)`
+   * (count-only), list comprehensions / quantifiers / reduce over
+   * `nodes(p)`/`relationships(p)` whose lambda bodies read `id()` /
+   * `type()` / `labels()` / properties off the element — and ANY other
+   * reference to the path variable or its arrays (returned whole,
+   * UNWINDed, element membership, EXISTS correlation, head/last…)
+   * degrades that surface to opaque.
+   */
+  private[graft] def pathFieldUsage(q: Query)
+      : Map[String, (Option[Set[String]], Option[Set[String]])] = {
+    val names: Set[String] = q.clauses.flatMap {
+      case MatchPart(m) => m.paths.flatMap(_.name)
+      case MergePart(m) => m.paths.flatMap(_.name)
+      case CreatePart(c) => c.paths.flatMap(_.name)
+      case _ => Nil
+    }.toSet
+    if (names.isEmpty) return Map.empty
+    import scala.collection.mutable
+    val nodeF = mutable.Map.empty[String, mutable.Set[String]]
+    val relF = mutable.Map.empty[String, mutable.Set[String]]
+    val opaqueN = mutable.Set.empty[String]
+    val opaqueR = mutable.Set.empty[String]
+    def addN(p: String, fs: String*): Unit =
+      nodeF.getOrElseUpdate(p, mutable.Set.empty) ++= fs
+    def addR(p: String, fs: String*): Unit =
+      relF.getOrElseUpdate(p, mutable.Set.empty) ++= fs
+    def markAll(p: String): Unit = { opaqueN += p; opaqueR += p }
+    def isNodesFn(f: String) = f == "nodes"
+    def isRelsFn(f: String) = f == "relationships" || f == "rels"
+
+    // fields a lambda body reads off its element variable `v`
+    def lambdaScan(p: String, isNode: Boolean, v: String, body: Expr): Unit = {
+      def opaqueElem(): Unit = if (isNode) opaqueN += p else opaqueR += p
+      def go(e: Expr): Unit = e match {
+        case Property(`v`, k) =>
+          // pseudo-property precedence (ExprCompiler): id/label on nodes
+          // and type on rels read coalesce(properties[k], struct.k)
+          if (isNode && (k == "id" || k == "label")) addN(p, "properties", k)
+          else if (!isNode && k == "type") addR(p, "properties", "type")
+          else if (isNode) addN(p, "properties") else addR(p, "properties")
+        case Func("id", List(Variable(`v`))) =>
+          if (isNode) addN(p, "id") else addR(p, "eid")
+        case Func("type", List(Variable(`v`))) if !isNode => addR(p, "type")
+        case Func("labels" | "label", List(Variable(`v`))) if isNode =>
+          addN(p, "label")
+        case Variable(`v`) => opaqueElem()
+        case ListComp(v2, _, _, _) if v2 == v =>
+          // the lambda var is shadowed inside — give up on slimming but
+          // keep scanning for other path references
+          opaqueElem(); mapChildren(e, c => { scan(c); c }); ()
+        case ReduceExpr(_, _, v2, _, _) if v2 == v =>
+          opaqueElem(); mapChildren(e, c => { scan(c); c }); ()
+        case Quantifier(_, v2, _, _) if v2 == v =>
+          opaqueElem(); mapChildren(e, c => { scan(c); c }); ()
+        case other if !freeVars(other).contains(v) => scan(other)
+        case other => mapChildren(other, c => { go(c); c }); ()
+      }
+      go(body)
+    }
+
+    def scan(e: Expr): Unit = e match {
+      // count-only shapes: no element fields needed
+      case Func("size", List(Func(f, List(Variable(p)))))
+          if names(p) && (isNodesFn(f) || isRelsFn(f)) => ()
+      case Func("length", List(Variable(p))) if names(p) => ()
+      // recognized lambda wrappers: fields from the body
+      case ListComp(v, Func(f, List(Variable(p))), w, pr)
+          if names(p) && (isNodesFn(f) || isRelsFn(f)) =>
+        (w.toList ++ pr.toList).foreach(b => lambdaScan(p, isNodesFn(f), v, b))
+      case Quantifier(_, v, Func(f, List(Variable(p))), pred)
+          if names(p) && (isNodesFn(f) || isRelsFn(f)) =>
+        lambdaScan(p, isNodesFn(f), v, pred)
+      case ReduceExpr(_, init, v, Func(f, List(Variable(p))), body)
+          if names(p) && (isNodesFn(f) || isRelsFn(f)) =>
+        scan(init); lambdaScan(p, isNodesFn(f), v, body)
+      // opaque surfaces: the arrays or their whole elements escape
+      case Func(f, List(Variable(p))) if names(p) && isNodesFn(f) =>
+        opaqueN += p
+      case Func(f, List(Variable(p))) if names(p) && isRelsFn(f) =>
+        opaqueR += p
+      case Variable(p) if names(p) => markAll(p)
+      case _: ExistsSub | _: PatternComp | _: PatternPred =>
+        // subplans with their own scopes — mapChildren won't descend;
+        // any path reference inside is opaque
+        freeVars(e).intersect(names).foreach(markAll)
+      case other => mapChildren(other, c => { scan(c); c }); ()
+    }
+
+    def patternPropExprs(pp: PathPattern): Seq[Expr] =
+      (pp.start :: pp.hops.map(_._2)).flatMap(_.properties.values) ++
+        pp.hops.flatMap(_._1.properties.values)
+    def scanReturn(r: ReturnClause): Unit = {
+      r.items.foreach(i => scan(i.expr)); r.orderBy.foreach(s => scan(s.expr))
+    }
+    q.clauses.foreach {
+      case MatchPart(m) =>
+        m.where.foreach(scan); m.paths.flatMap(patternPropExprs).foreach(scan)
+      case ReturnPart(r) => scanReturn(r)
+      case WithPart(w) => scanReturn(w.projection); w.where.foreach(scan)
+      case UnwindPart(u) => scan(u.list)
+      case CallPart(c) => c.args.foreach(scan)
+      case SetPart(s) => s.items.foreach { case (_, _, e) => scan(e) }
+      case MergePart(m) =>
+        m.paths.flatMap(patternPropExprs).foreach(scan)
+        (m.onCreate ++ m.onMatch).foreach { case (_, _, e) => scan(e) }
+      case CreatePart(c) => c.paths.flatMap(patternPropExprs).foreach(scan)
+      case DeletePart(d) => d.variables.filter(names).foreach(markAll)
+      case _: RemovePart => ()
+    }
+    names.map { p =>
+      val nf = if (opaqueN(p)) None
+               else Some(nodeF.get(p).map(_.toSet).getOrElse(Set.empty[String]))
+      val rf = if (opaqueR(p)) None
+               else Some(relF.get(p).map(_.toSet).getOrElse(Set.empty[String]))
+      p -> ((nf, rf))
+    }.toMap
+  }
 
   /** The same linear path walked from the other end: node sequence
     * reversed, each hop's arrow flipped (edges themselves unchanged, so

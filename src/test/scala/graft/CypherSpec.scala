@@ -933,6 +933,41 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("named-path surface analysis: field sets are minimal and opaque uses degrade safely") {
+    import graft.cypher.{Parser, Planner}
+    def usage(q: String) = Planner.pathFieldUsage(Parser.parse(q))
+    // type-only rel read + count-only node read → narrow both
+    assert(usage("MATCH p = (a)-[*1..2]->(b) RETURN " +
+      "[e IN relationships(p) | type(e)] AS ts, size(nodes(p)) AS nn") ===
+      Map("p" -> ((Some(Set.empty[String]), Some(Set("type"))))))
+    // property read off a node element needs the map; id() needs id/eid
+    assert(usage("MATCH p = (a)-[]->(b) RETURN " +
+      "[n IN nodes(p) | n.name] AS names, [e IN relationships(p) | id(e)] AS es") ===
+      Map("p" -> ((Some(Set("properties")), Some(Set("eid"))))))
+    // pseudo-property precedence: n.id reads properties AND the struct id
+    assert(usage("MATCH p = (a)-[]->(b) RETURN [n IN nodes(p) | n.id] AS ids")
+      ("p")._1 === Some(Set("properties", "id")))
+    // whole path projected → both surfaces opaque
+    assert(usage("MATCH p = (a)-[]->(b) RETURN p") ===
+      Map("p" -> ((None, None))))
+    // nodes(p) escaping whole (head) → nodes opaque, rels still narrow
+    assert(usage("MATCH p = (a)-[]->(b) RETURN " +
+      "head(nodes(p)) AS h, size(relationships(p)) AS nr") ===
+      Map("p" -> ((None, Some(Set.empty[String])))))
+    // quantifier + WHERE-side lambda both fold in
+    assert(usage("MATCH p = (a)-[*1..2]->(b) " +
+      "WHERE all(e IN relationships(p) WHERE type(e) = 'NEIGHBORS') " +
+      "RETURN length(p) AS len")("p")._2 === Some(Set("type")))
+    // runtime parity under slimming: type-only projection over the fixture
+    val slim = Cypher.run(g, "MATCH p = (a)-[*1..2]->(b) WHERE a.id = '1' " +
+      "RETURN [e IN relationships(p) | type(e)] AS ts, size(nodes(p)) AS nn")
+      .collect().map(r => (r.getSeq[String](0).mkString(","), r.getInt(1))).sorted
+    val full = Cypher.run(g, "MATCH p = (a)-[*1..2]->(b) WHERE a.id = '1' " +
+      "RETURN [e IN relationships(p) | type(e)] AS ts, size(nodes(p)) AS nn, p")
+      .collect().map(r => (r.getSeq[String](0).mkString(","), r.getInt(1))).sorted
+    assert(slim === full)
+  }
+
   test("EXISTS { } subquery: correlated semi/anti joins, inner WHERE sees outer vars") {
     // ground truth from the expand form
     val neighborIds = Cypher.run(g,
