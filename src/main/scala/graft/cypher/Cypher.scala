@@ -58,9 +58,9 @@ object Cypher {
       throw CypherParseException(
         "mutation queries (CREATE/MERGE/SET/REMOVE/DELETE) go through Cypher.execute — they produce a new graph")
     val planner = new Planner(graph)
-    // named-path surface pruning: slim the tracked node/rel struct
+    // named-path / rel-list surface pruning: slim the tracked struct
     // arrays to the fields the query reads (full structs when opaque)
-    planner.setPathFieldUse(Planner.pathFieldUsage(q))
+    planner.setSurfaceUse(Planner.surfaceUsage(q))
     // anchored top-k pushdown — may reverse the path so the sorted
     // variable is the anchor scan; identity otherwise
     val q2 = planner.installTopKPruning(q)
@@ -91,9 +91,9 @@ object Cypher {
     val q = Parser.parse(query)
     if (!q.isMutation) return (graph, Some(run(graph, query)))
     val spark = graph.nodes.sparkSession
-    val pathUse = Planner.pathFieldUsage(q)
+    val pathUse = Planner.surfaceUsage(q)
     var planner = new Planner(graph)
-    planner.setPathFieldUse(pathUse)
+    planner.setSurfaceUse(pathUse)
     var ctx = Planner.BindCtx(None, Map.empty)
     var g = graph
     var dirty = false // graph mutated since ctx/planner were bound?
@@ -106,7 +106,7 @@ object Cypher {
     def sync(): Unit = if (dirty) {
       ctx = rebind(g, ctx)
       planner = new Planner(g, planner.counterValue)
-      planner.setPathFieldUse(pathUse)
+      planner.setSurfaceUse(pathUse)
       dirty = false
     }
     q.clauses.foreach {

@@ -41,9 +41,10 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
   // analysis ran = keep full structs everywhere.
   private var pathFieldUse
       : Map[String, (Option[Set[String]], Option[Set[String]])] = Map.empty
-  def setPathFieldUse(
-      u: Map[String, (Option[Set[String]], Option[Set[String]])]): Unit =
-    pathFieldUse = u
+  private var relListUse: Map[String, Option[Set[String]]] = Map.empty
+  def setSurfaceUse(u: Planner.SurfaceUsage): Unit = {
+    pathFieldUse = u.paths; relListUse = u.relLists
+  }
   /** Current anonymous-variable counter — used to seed a replacement
     * planner after a mutation so regenerated fresh names can't collide
     * with columns already bound by this planner. */
@@ -955,12 +956,23 @@ final class Planner(graph: PropertyGraph, counterStart: Int = 0) {
           }
           val walks = prefixes.result()
           val hops = hopRels.result()
+          // r16 surface pruning for the BOUND LIST (same analysis as the
+          // named-path arrays): carry only the struct fields the query's
+          // lambdas read off `r`'s elements — full structs when opaque
+          val listKeep: Option[Seq[String]] =
+            listVar.flatMap(lv => relListUse.getOrElse(lv, None)).map { fs =>
+              val w2 = if (fs.isEmpty) Set("eid") else fs
+              Seq("eid", "src", "dst", "type", "properties").filter(w2)
+            }.filter(_.size < 5)
+          def slimL(c: Column): Column =
+            listKeep.fold(c)(fs => struct(fs.map(f => c.getField(f).as(f)): _*))
           // branch k's bound list: its k hop structs (same fresh names
           // across branches — the shared-prefix subplans stay identical)
           def withRelList(df: DataFrame, k: Int): DataFrame =
             listVar.fold(df)(lv => df.withColumn(lv,
-              if (k == 0) emptyEdgeArray
-              else array(hops.take(k).map(rv => col(s"`$rv`")): _*)))
+              if (k == 0) emptyEdgeArrayOf(listKeep.getOrElse(
+                Seq("eid", "src", "dst", "type", "properties")))
+              else array(hops.take(k).map(rv => slimL(col(s"`$rv`"))): _*)))
           val branches = (mn to mx).map { k =>
             // Zero-length hop (openCypher `*0..n`): the identity branch —
             // the target IS the start node, no relationship traversed, so
@@ -1247,47 +1259,71 @@ object Planner {
    * UNWINDed, element membership, EXISTS correlation, head/last…)
    * degrades that surface to opaque.
    */
+  /** [[surfaceUsage]] result: per-named-path (node fields, rel fields)
+    * plus per var-length REL-LIST binding (`-[r*a..b]->`) rel fields.
+    * `None` = opaque (keep every struct field). */
+  final case class SurfaceUsage(
+      paths: Map[String, (Option[Set[String]], Option[Set[String]])],
+      relLists: Map[String, Option[Set[String]]])
+
   private[graft] def pathFieldUsage(q: Query)
-      : Map[String, (Option[Set[String]], Option[Set[String]])] = {
-    val names: Set[String] = q.clauses.flatMap {
-      case MatchPart(m) => m.paths.flatMap(_.name)
-      case MergePart(m) => m.paths.flatMap(_.name)
-      case CreatePart(c) => c.paths.flatMap(_.name)
-      case _ => Nil
-    }.toSet
-    if (names.isEmpty) return Map.empty
+      : Map[String, (Option[Set[String]], Option[Set[String]])] =
+    surfaceUsage(q).paths
+
+  private[graft] def relListFieldUsage(q: Query)
+      : Map[String, Option[Set[String]]] = surfaceUsage(q).relLists
+
+  private[graft] def surfaceUsage(q: Query): SurfaceUsage = {
+    def varLenRelVars(pp: PathPattern): Seq[String] =
+      pp.hops.flatMap(h => h._1.variable.filter(_ => h._1.varLength.isDefined))
+    val (names, listNames): (Set[String], Set[String]) = {
+      val pats = q.clauses.flatMap {
+        case MatchPart(m) => m.paths
+        case MergePart(m) => m.paths
+        case CreatePart(c) => c.paths
+        case _ => Nil
+      }
+      (pats.flatMap(_.name).toSet, pats.flatMap(varLenRelVars).toSet)
+    }
+    if (names.isEmpty && listNames.isEmpty)
+      return SurfaceUsage(Map.empty, Map.empty)
     import scala.collection.mutable
     val nodeF = mutable.Map.empty[String, mutable.Set[String]]
     val relF = mutable.Map.empty[String, mutable.Set[String]]
+    val listF = mutable.Map.empty[String, mutable.Set[String]]
     val opaqueN = mutable.Set.empty[String]
     val opaqueR = mutable.Set.empty[String]
+    val opaqueL = mutable.Set.empty[String]
     def addN(p: String, fs: String*): Unit =
       nodeF.getOrElseUpdate(p, mutable.Set.empty) ++= fs
     def addR(p: String, fs: String*): Unit =
       relF.getOrElseUpdate(p, mutable.Set.empty) ++= fs
+    def addL(r: String, fs: String*): Unit =
+      listF.getOrElseUpdate(r, mutable.Set.empty) ++= fs
     def markAll(p: String): Unit = { opaqueN += p; opaqueR += p }
     def isNodesFn(f: String) = f == "nodes"
     def isRelsFn(f: String) = f == "relationships" || f == "rels"
 
-    // fields a lambda body reads off its element variable `v`
-    def lambdaScan(p: String, isNode: Boolean, v: String, body: Expr): Unit = {
-      def opaqueElem(): Unit = if (isNode) opaqueN += p else opaqueR += p
+    // fields a lambda body reads off its element variable `v`; `add` /
+    // `opaqueElem` route to whichever surface the list came from
+    def lambdaScan(isNode: Boolean, v: String, body: Expr,
+                   add: Seq[String] => Unit, opaqueElem: () => Unit): Unit = {
       def go(e: Expr): Unit = e match {
         case Property(`v`, k) =>
           // pseudo-property precedence (ExprCompiler): id/label on nodes
           // and type on rels read coalesce(properties[k], struct.k)
-          if (isNode && (k == "id" || k == "label")) addN(p, "properties", k)
-          else if (!isNode && k == "type") addR(p, "properties", "type")
-          else if (isNode) addN(p, "properties") else addR(p, "properties")
+          if (isNode && (k == "id" || k == "label")) add(Seq("properties", k))
+          else if (!isNode && k == "type") add(Seq("properties", "type"))
+          else add(Seq("properties"))
         case Func("id", List(Variable(`v`))) =>
-          if (isNode) addN(p, "id") else addR(p, "eid")
-        case Func("type", List(Variable(`v`))) if !isNode => addR(p, "type")
+          add(Seq(if (isNode) "id" else "eid"))
+        case Func("type", List(Variable(`v`))) if !isNode => add(Seq("type"))
         case Func("labels" | "label", List(Variable(`v`))) if isNode =>
-          addN(p, "label")
+          add(Seq("label"))
         case Variable(`v`) => opaqueElem()
         case ListComp(v2, _, _, _) if v2 == v =>
           // the lambda var is shadowed inside — give up on slimming but
-          // keep scanning for other path references
+          // keep scanning for other surface references
           opaqueElem(); mapChildren(e, c => { scan(c); c }); ()
         case ReduceExpr(_, _, v2, _, _) if v2 == v =>
           opaqueElem(); mapChildren(e, c => { scan(c); c }); ()
@@ -1303,27 +1339,51 @@ object Planner {
       // count-only shapes: no element fields needed
       case Func("size", List(Func(f, List(Variable(p)))))
           if names(p) && (isNodesFn(f) || isRelsFn(f)) => ()
+      case Func("size", List(Variable(r))) if listNames(r) => ()
       case Func("length", List(Variable(p))) if names(p) => ()
       // recognized lambda wrappers: fields from the body
       case ListComp(v, Func(f, List(Variable(p))), w, pr)
           if names(p) && (isNodesFn(f) || isRelsFn(f)) =>
-        (w.toList ++ pr.toList).foreach(b => lambdaScan(p, isNodesFn(f), v, b))
+        val n = isNodesFn(f)
+        (w.toList ++ pr.toList).foreach(b => lambdaScan(n, v, b,
+          fs => if (n) addN(p, fs: _*) else addR(p, fs: _*),
+          () => if (n) opaqueN += p else opaqueR += p))
+      case ListComp(v, Variable(r), w, pr) if listNames(r) =>
+        (w.toList ++ pr.toList).foreach(b => lambdaScan(isNode = false, v, b,
+          fs => addL(r, fs: _*), () => opaqueL += r))
       case Quantifier(_, v, Func(f, List(Variable(p))), pred)
           if names(p) && (isNodesFn(f) || isRelsFn(f)) =>
-        lambdaScan(p, isNodesFn(f), v, pred)
+        val n = isNodesFn(f)
+        lambdaScan(n, v, pred,
+          fs => if (n) addN(p, fs: _*) else addR(p, fs: _*),
+          () => if (n) opaqueN += p else opaqueR += p)
+      case Quantifier(_, v, Variable(r), pred) if listNames(r) =>
+        lambdaScan(isNode = false, v, pred,
+          fs => addL(r, fs: _*), () => opaqueL += r)
       case ReduceExpr(_, init, v, Func(f, List(Variable(p))), body)
           if names(p) && (isNodesFn(f) || isRelsFn(f)) =>
-        scan(init); lambdaScan(p, isNodesFn(f), v, body)
+        scan(init)
+        val n = isNodesFn(f)
+        lambdaScan(n, v, body,
+          fs => if (n) addN(p, fs: _*) else addR(p, fs: _*),
+          () => if (n) opaqueN += p else opaqueR += p)
+      case ReduceExpr(_, init, v, Variable(r), body) if listNames(r) =>
+        scan(init)
+        lambdaScan(isNode = false, v, body,
+          fs => addL(r, fs: _*), () => opaqueL += r)
       // opaque surfaces: the arrays or their whole elements escape
       case Func(f, List(Variable(p))) if names(p) && isNodesFn(f) =>
         opaqueN += p
       case Func(f, List(Variable(p))) if names(p) && isRelsFn(f) =>
         opaqueR += p
       case Variable(p) if names(p) => markAll(p)
+      case Variable(r) if listNames(r) => opaqueL += r
       case _: ExistsSub | _: PatternComp | _: PatternPred =>
         // subplans with their own scopes — mapChildren won't descend;
-        // any path reference inside is opaque
-        freeVars(e).intersect(names).foreach(markAll)
+        // any surface reference inside is opaque
+        val fv = freeVars(e)
+        fv.intersect(names).foreach(markAll)
+        fv.intersect(listNames).foreach(opaqueL += _)
       case other => mapChildren(other, c => { scan(c); c }); ()
     }
 
@@ -1345,16 +1405,24 @@ object Planner {
         m.paths.flatMap(patternPropExprs).foreach(scan)
         (m.onCreate ++ m.onMatch).foreach { case (_, _, e) => scan(e) }
       case CreatePart(c) => c.paths.flatMap(patternPropExprs).foreach(scan)
-      case DeletePart(d) => d.variables.filter(names).foreach(markAll)
+      case DeletePart(d) =>
+        d.variables.filter(names).foreach(markAll)
+        d.variables.filter(listNames).foreach(opaqueL += _)
       case _: RemovePart => ()
     }
-    names.map { p =>
-      val nf = if (opaqueN(p)) None
-               else Some(nodeF.get(p).map(_.toSet).getOrElse(Set.empty[String]))
-      val rf = if (opaqueR(p)) None
-               else Some(relF.get(p).map(_.toSet).getOrElse(Set.empty[String]))
-      p -> ((nf, rf))
-    }.toMap
+    SurfaceUsage(
+      names.map { p =>
+        val nf = if (opaqueN(p)) None
+                 else Some(nodeF.get(p).map(_.toSet).getOrElse(Set.empty[String]))
+        val rf = if (opaqueR(p)) None
+                 else Some(relF.get(p).map(_.toSet).getOrElse(Set.empty[String]))
+        p -> ((nf, rf))
+      }.toMap,
+      listNames.map { r =>
+        val lf = if (opaqueL(r)) None
+                 else Some(listF.get(r).map(_.toSet).getOrElse(Set.empty[String]))
+        r -> lf
+      }.toMap)
   }
 
   /** The same linear path walked from the other end: node sequence

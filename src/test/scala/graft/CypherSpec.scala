@@ -958,6 +958,23 @@ class CypherSpec extends SparkSpec {
     assert(usage("MATCH p = (a)-[*1..2]->(b) " +
       "WHERE all(e IN relationships(p) WHERE type(e) = 'NEIGHBORS') " +
       "RETURN length(p) AS len")("p")._2 === Some(Set("type")))
+    // var-length REL-LIST bindings get the same treatment
+    def listUsage(q: String) =
+      Planner.relListFieldUsage(graft.cypher.Parser.parse(q))
+    assert(listUsage("MATCH (a)-[r*1..2]->(b) RETURN size(r) AS n, " +
+      "[e IN r | type(e)] AS ts") === Map("r" -> Some(Set("type"))))
+    assert(listUsage("MATCH (a)-[r*1..2]->(b) RETURN r") ===
+      Map("r" -> None))
+    assert(listUsage("MATCH (a)-[r*1..2]->(b) UNWIND r AS e RETURN id(e) AS i") ===
+      Map("r" -> None))
+    // runtime parity under rel-list slimming
+    val slimR = Cypher.run(g, "MATCH (a)-[r*1..2]->(b) WHERE a.id = '1' " +
+      "RETURN size(r) AS n, [e IN r | type(e)] AS ts")
+      .collect().map(x => (x.getInt(0), x.getSeq[String](1).mkString(","))).sorted
+    val fullR = Cypher.run(g, "MATCH (a)-[r*1..2]->(b) WHERE a.id = '1' " +
+      "RETURN size(r) AS n, [e IN r | type(e)] AS ts, r")
+      .collect().map(x => (x.getInt(0), x.getSeq[String](1).mkString(","))).sorted
+    assert(slimR === fullR)
     // runtime parity under slimming: type-only projection over the fixture
     val slim = Cypher.run(g, "MATCH p = (a)-[*1..2]->(b) WHERE a.id = '1' " +
       "RETURN [e IN relationships(p) | type(e)] AS ts, size(nodes(p)) AS nn")
