@@ -21,6 +21,13 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        // scale posture: plan shuffles WIDE and let AQE coalesce them to
+        // the advisory size — a fixed 32 means ~400 MB/partition on the
+        // 13 GB whole-graph shuffles at sf10 (sort spill on every one),
+        // while small-SF shuffles coalesce right back down, so sf0.1
+        // timings are unchanged. A 1000-executor cluster runs the same
+        // two-line posture with a bigger initial number.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         // iterative operators localCheckpoint() aggressively; the blocks

@@ -3060,10 +3060,15 @@ object GraphAlgorithms {
       coalesce(sum(col("d")), lit(0L)).as("ends"),
       coalesce(sum(col("d") * col("d")), lit(0L)).as("sum_x"),
       coalesce(sum(col("d") * col("d") * col("d")), lit(0L)).as("sum_xx"))
-    val nbrSum = nb.join(deg.select(col("id").as("dst"), col("d").as("dv")), Seq("dst"))
-      .groupBy(col("src").as("id")).agg(sum(col("dv")).as("s"))
-    val sxy = nbrSum.join(deg, Seq("id"))
-      .agg(coalesce(sum(col("d") * col("s")), lit(0L)).as("sum_xy"))
+    // Σxy over both orientations = 2·Σ_{(u,v)∈canon} deg(u)·deg(v): two
+    // edge⋈vertex equi-joins on the CANONICAL set and one final agg —
+    // same exact integer as folding neighbor sums over nb, without nb's
+    // doubled join volume or its edge-wide re-aggregation shuffle (the
+    // r16 sf10 profile's single heaviest stage)
+    val sxy = cn
+      .join(deg.select(col("id").as("src"), col("d").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("dv")), Seq("dst"))
+      .agg((coalesce(sum(col("du") * col("dv")), lit(0L)) * 2L).as("sum_xy"))
     val num = col("ends").cast("double") * col("sum_xy").cast("double") -
       col("sum_x").cast("double") * col("sum_x").cast("double")
     val den = col("ends").cast("double") * col("sum_xx").cast("double") -
