@@ -27,7 +27,8 @@ object Bench {
         // while small-SF shuffles coalesce right back down, so sf0.1
         // timings are unchanged. A 1000-executor cluster runs the same
         // two-line posture with a bigger initial number.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         // iterative operators localCheckpoint() aggressively; the blocks
