@@ -2181,6 +2181,41 @@ object Queries {
           .orderBy(col("id")),
       Some(louvainOracleSql(rounds = 4)))),
 
+    // Balanced min-cut BATCH partitioning — the reference
+    // MetisPartitioner's objective (gpmetis: minimize edge cut under a
+    // balance constraint; MetisPartitioner.cpp:204-302 round-trips the
+    // whole graph through one driver-local metis run) as deterministic
+    // synchronous balanced label propagation on the thinned mod-900
+    // graph: md5-byte init/parity, integer capacity ceil(n·110/400),
+    // k·(C−load) BIGINT scores, 3 rounds. The oracle replays every
+    // round: loads, neighbor-partition counts, scores, (score DESC,
+    // load ASC, part ASC) argmax, parity-gated adoption.
+    "alg_partition_blp" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.balancedPartition(
+          t(s, d, "lineitem")
+            .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+            .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+              pmod(col("l_partkey"), lit(900)).as("dst")),
+          numParts = 4, rounds = 3)
+          .orderBy(col("id")),
+      Some(blpOracleSql(rounds = 3, parts = 4, slackPct = 10)))),
+
+    // Partition quality of the BLP assignment: exact cut-edge counts /
+    // ratio and load balance over the canonical simple graph — the
+    // summary the reference logs after a gpmetis run and tracks
+    // incrementally in its streaming partitioner. One row.
+    "alg_partition_quality" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.partitionQuality(eb,
+          GraphAlgorithms.balancedPartition(eb, numParts = 4, rounds = 3))
+      },
+      Some(blpQualityOracleSql(rounds = 3, parts = 4, slackPct = 10)))),
+
     // Deterministic snowball sampling of the thinned mod-900 BIGINT
     // graph: seeds = ids ≡ 0 (mod 90), 3 capped hops, ≤4 LCG-ranked
     // neighbors admitted per frontier vertex; result = induced edges.
@@ -6179,6 +6214,72 @@ object Queries {
        |$chain
        |SELECT id, c AS community FROM l$rounds ORDER BY id""".stripMargin
   }
+
+  /** Shared CTE chain for the BLP partitioning oracles: synchronous
+    * balanced label propagation replayed round by round — md5-byte
+    * init/parity, integer capacity via `//` floor division, k·(C−load)
+    * BIGINT scores, (score DESC, load ASC, part ASC) argmax,
+    * parity-gated adoption (mirrors
+    * [[graft.algorithms.GraphAlgorithms.balancedPartition]] exactly). */
+  private def blpCtes(rounds: Int, parts: Int, slackPct: Int): String = {
+    val bucket = s"(${hvSql("substr(m, 1, 1)")} * 16 + ${hvSql("substr(m, 2, 1)")})"
+    val chain = (1 to rounds).map { i =>
+      s"""ld$i AS MATERIALIZED (SELECT part, CAST(COUNT(*) AS BIGINT) AS load
+         |  FROM p${i - 1} GROUP BY part),
+         |kv$i AS MATERIALIZED (SELECT nb.u AS id, a.part, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM nb JOIN p${i - 1} a ON a.id = nb.v GROUP BY nb.u, a.part),
+         |cd$i AS MATERIALIZED (SELECT id, part, CAST(MAX(k) AS BIGINT) AS k FROM (
+         |    SELECT id, part, k FROM kv$i
+         |    UNION ALL SELECT id, part, 0 FROM p${i - 1}) GROUP BY id, part),
+         |sc$i AS MATERIALIZED (SELECT c.id, c.part, c.k * (cap.c - l.load) AS score, l.load
+         |  FROM cd$i c JOIN ld$i l USING (part), cap),
+         |b$i AS MATERIALIZED (SELECT id, part FROM (
+         |    SELECT id, part,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, load ASC, part ASC) AS rn
+         |    FROM sc$i) WHERE rn = 1),
+         |p$i AS MATERIALIZED (SELECT p.id,
+         |    CASE WHEN p.par = ${i % 2} THEN b.part ELSE p.part END AS part, p.par
+         |  FROM p${i - 1} p JOIN b$i b ON b.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM eb WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+       |verts AS (SELECT DISTINCT u AS id FROM nb),
+       |cap AS (SELECT CAST((COUNT(*) * ${100 + slackPct} + ${100 * parts - 1}) // ${100 * parts} AS BIGINT) AS c
+       |  FROM verts),
+       |hb AS (SELECT id, md5(CAST(id AS VARCHAR)) AS m FROM verts),
+       |p0 AS MATERIALIZED (SELECT id,
+       |    CAST($bucket % $parts AS BIGINT) AS part,
+       |    $bucket % 2 AS par
+       |  FROM hb),
+       |$chain""".stripMargin
+  }
+
+  /** alg_partition_blp oracle: the BLP round chain, final assignment. */
+  private def blpOracleSql(rounds: Int, parts: Int, slackPct: Int): String =
+    s"""WITH ${blpCtes(rounds, parts, slackPct)}
+       |SELECT id, CAST(part AS INTEGER) AS part FROM p$rounds ORDER BY id""".stripMargin
+
+  /** alg_partition_quality oracle: cut/balance summary over the BLP
+    * final assignment — exact counts, two ROUND(…, 6) doubles. */
+  private def blpQualityOracleSql(rounds: Int, parts: Int, slackPct: Int): String =
+    s"""WITH ${blpCtes(rounds, parts, slackPct)},
+       |am AS (SELECT id AS aid, part FROM p$rounds),
+       |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS edges,
+       |    CAST(COUNT(CASE WHEN ps.part <> pd.part THEN 1 END) AS BIGINT) AS cut_edges
+       |  FROM cn JOIN am ps ON ps.aid = cn.s JOIN am pd ON pd.aid = cn.d),
+       |lds AS (SELECT part, COUNT(*) AS l FROM am GROUP BY part),
+       |lag AS (SELECT CAST(COUNT(*) AS BIGINT) AS parts, CAST(SUM(l) AS BIGINT) AS vertices,
+       |    CAST(MAX(l) AS BIGINT) AS max_load, CAST(MIN(l) AS BIGINT) AS min_load
+       |  FROM lds)
+       |SELECT parts, vertices, edges, cut_edges,
+       |  ROUND(CASE WHEN edges > 0 THEN CAST(cut_edges AS DOUBLE) / edges ELSE 0.0 END, 6) AS cut_ratio,
+       |  max_load, min_load,
+       |  ROUND(CASE WHEN vertices > 0 THEN CAST(max_load AS DOUBLE) * parts / vertices ELSE 0.0 END, 6) AS imbalance
+       |FROM ct, lag""".stripMargin
 
   /** alg_eccentricity oracle: the closeness BFS walk with a MAX(dist)
     * fold — per-landmark reach + eccentricity, exact integers only. */

@@ -3547,4 +3547,127 @@ object GraphAlgorithms {
     val rows = (0 until n).map(k => org.apache.spark.sql.Row(in.ids(k), level(k)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /**
+   * Deterministic balanced min-cut graph partitioning — the BATCH
+   * analogue of the reference's `MetisPartitioner` (which shells out to
+   * `gpmetis` on a driver-local file, `MetisPartitioner.cpp:204-302`;
+   * loadDataSet/constructMetisFormat serialize the whole graph to one
+   * node first). A 100 TB edge list cannot round-trip through a
+   * single-machine METIS run, so we re-express the objective (minimize
+   * cut edges subject to per-partition capacity) as synchronous
+   * balanced label propagation — the restreaming form of LDG/Fennel
+   * (Stanton & Kliot, KDD 2012; Tsourakakis et al., WSDM 2014;
+   * restreaming: Nishimura & Ugander, KDD 2013) — every round is one
+   * edge-sized equi-join + grouped count, the same shape Spark scales
+   * linearly.
+   *
+   * Deterministic and exact-integer end to end (the repo's replay
+   * contract): the initial assignment and the move-parity gate come
+   * from the first md5 byte of the vertex id ([[graft.pipeline.Sketches]]
+   * bucket convention), capacity C = ceil(n·(100+slackPct)/(100·P)) in
+   * integer arithmetic, and a vertex's round-r score for partition p is
+   *
+   *   score(v,p) = k(v,p) · (C − load(p))        (all BIGINT)
+   *
+   * where k(v,p) = neighbors of v in p and load(p) = |p|, both under
+   * the PREVIOUS round's assignment (synchronous — no read-your-writes
+   * races, replayable in any engine). Argmax with (score DESC,
+   * load ASC, part ASC) tie-break; only vertices whose md5-bucket
+   * parity matches r mod 2 adopt their argmax that round (the louvain
+   * alternating-parity determinism device — prevents the two-coloring
+   * oscillation synchronous LP is prone to). The current partition is
+   * always a candidate (k joined with 0), so a vertex never moves to a
+   * fuller partition its neighbors don't justify.
+   *
+   * Scale shape: per round ONE nb⋈assignment equi-join + one (id, part)
+   * grouped count + a ≤P-row load table joined broadcast — no driver
+   * funnel, no quadratics; localCheckpoint truncates the growing
+   * lineage exactly like louvain/kCore. Returns (id, part INT).
+   */
+  def balancedPartition(edges: DataFrame, numParts: Int, rounds: Int = 4,
+                        slackPct: Int = 10): DataFrame = {
+    require(numParts >= 2, s"numParts must be >= 2: $numParts")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(slackPct >= 0, s"slackPct must be >= 0: $slackPct")
+    val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    val nb = cn.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(cn.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    val verts = nb.select(col("u").as("id")).distinct()
+    val n = verts.count()
+    val cap = (n * (100L + slackPct) + 100L * numParts - 1) / (100L * numParts)
+    val bucket = graft.pipeline.Sketches.hllBucket(col("id"))
+    var asg = verts.select(col("id"),
+        pmod(bucket, lit(numParts)).cast("int").as("part"),
+        pmod(bucket, lit(2)).cast("int").as("__par"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      // previous-round loads: ≤ numParts rows — broadcast join below
+      val load = asg.groupBy("part").agg(count(lit(1)).as("__load"))
+      val kvp = nb.join(asg.select(col("id").as("v"), col("part")), Seq("v"))
+        .groupBy(col("u").as("id"), col("part")).agg(count(lit(1)).as("__k"))
+      val best = kvp
+        .unionByName(asg.select(col("id"), col("part"), lit(0L).as("__k")))
+        .groupBy("id", "part").agg(max(col("__k")).as("__k"))
+        .join(broadcast(load), Seq("part"))
+        .withColumn("__score", col("__k") * (lit(cap) - col("__load")))
+        .groupBy("id")
+        .agg(min(struct((-col("__score")).as("s"), col("__load").as("l"),
+          col("part").as("p"))).as("b"))
+        .select(col("id"), col("b.p").as("__best"))
+      asg = asg.join(best, Seq("id"))
+        .select(col("id"),
+          when(col("__par") === lit(r % 2), col("__best"))
+            .otherwise(col("part")).as("part"),
+          col("__par"))
+        .localCheckpoint(true)
+    }
+    asg.select(col("id"), col("part"))
+  }
+
+  /**
+   * Partition-quality summary over an (id, part) assignment — the
+   * numbers the reference's partitioner logs after a gpmetis run
+   * (`MetisPartitioner.cpp` edgecut output) and its streaming
+   * partitioner tracks incrementally (`partitioner/stream/Partition.cpp`
+   * edge-cut/load accounting): one row of
+   * (parts, vertices, edges, cut_edges, cut_ratio, max_load, min_load,
+   * imbalance), where edges counts the canonical undirected simple
+   * graph, cut_edges those whose endpoints land in different
+   * partitions, and imbalance = max_load·parts/vertices (1.0 = perfect).
+   * Vertices missing from the assignment drop out of BOTH sides (inner
+   * joins), keeping the terms consistent — the modularity convention.
+   *
+   * Shape: two vertex-keyed equi-joins onto the edge list + two 1-row
+   * aggregates met in a 1×1 crossJoin — edge-linear, no driver funnel.
+   */
+  def partitionQuality(edges: DataFrame, assignment: DataFrame,
+                       idCol: String = "id", partCol: String = "part"): DataFrame = {
+    val cn = PropertyGraph.canonicalUndirected(edges)
+    val am = assignment.select(col(idCol).as("__id"), col(partCol).as("__p"))
+      .distinct().localCheckpoint(true)
+    val cut = cn
+      .join(am.select(col("__id").as("src"), col("__p").as("__ps")), Seq("src"))
+      .join(am.select(col("__id").as("dst"), col("__p").as("__pd")), Seq("dst"))
+      .agg(count(lit(1)).as("edges"),
+        count(when(col("__ps") =!= col("__pd"), 1)).as("cut_edges"))
+    val loads = am.groupBy("__p").agg(count(lit(1)).as("l"))
+      .agg(count(lit(1)).as("parts"),
+        coalesce(sum(col("l")), lit(0L)).as("vertices"),
+        coalesce(max(col("l")), lit(0L)).as("max_load"),
+        coalesce(min(col("l")), lit(0L)).as("min_load"))
+    // 1-row × 1-row guard join (the Cypher.scala:290 convention)
+    cut.crossJoin(loads)
+      .select(col("parts"), col("vertices"), col("edges"), col("cut_edges"),
+        round(when(col("edges") > 0,
+          col("cut_edges").cast("double") / col("edges").cast("double"))
+          .otherwise(0.0), 6).as("cut_ratio"),
+        col("max_load"), col("min_load"),
+        round(when(col("vertices") > 0,
+          col("max_load").cast("double") * col("parts").cast("double") /
+            col("vertices").cast("double")).otherwise(0.0), 6).as("imbalance"))
+  }
 }

@@ -332,4 +332,90 @@ class GraphMetricsSpec extends SparkSpec {
       GraphAlgorithms.topologicalLevels(stranded, maxRounds = 20, localThreshold = 0L)
     }
   }
+
+  /** Pure-Scala replay of [[GraphAlgorithms.balancedPartition]]'s
+    * synchronous rounds — md5-byte init/parity, integer capacity,
+    * k·(C−load) scores, (score DESC, load ASC, part ASC) argmax,
+    * parity-gated adoption. Pins the distributed plan's semantics
+    * exactly (the louvain local-replay device, in-test). */
+  private def replayBlp(edges: Seq[(Long, Long)], p: Int, rounds: Int,
+                        slackPct: Int): Map[Long, Int] = {
+    val cn = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val nb = cn.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val verts = nb.map(_._1).distinct.sorted
+    val n = verts.size.toLong
+    val cap = (n * (100L + slackPct) + 100L * p - 1) / (100L * p)
+    def bucket(id: Long): Int = java.lang.Byte.toUnsignedInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))(0))
+    var asg = verts.map(v => v -> bucket(v) % p).toMap
+    val par = verts.map(v => v -> bucket(v) % 2).toMap
+    for (r <- 1 to rounds) {
+      val load = asg.values.groupBy(identity)
+        .map { case (k, vs) => k -> vs.size.toLong }
+      val kv = nb.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => asg(e._2)).groupBy(identity)
+          .map { case (pp, xs) => pp -> xs.size.toLong }
+      }
+      asg = verts.map { v =>
+        val around = kv.getOrElse(v, Map.empty[Int, Long])
+        val cands = around + (asg(v) -> around.getOrElse(asg(v), 0L))
+        val best = cands.toSeq.map { case (pp, k) =>
+          (-(k * (cap - load.getOrElse(pp, 0L))), load.getOrElse(pp, 0L), pp)
+        }.min._3
+        v -> (if (par(v) == r % 2) best else asg(v))
+      }.toMap
+    }
+    asg
+  }
+
+  test("balancedPartition: distributed rounds match the pure-Scala replay; deterministic") {
+    // a mid-size pseudo-random graph: 40 vertices, 3 edge families
+    val edges = (0L until 40L).flatMap { i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 11) % 40), (i, (i + 1) % 40))
+    }
+    val e = edges.toDF("src", "dst")
+    val got = GraphAlgorithms.balancedPartition(e, numParts = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === replayBlp(edges, p = 4, rounds = 3, slackPct = 10))
+    assert(got.values.forall(p => p >= 0 && p < 4))
+    // deterministic: an identical rerun yields identical labels
+    val again = GraphAlgorithms.balancedPartition(e, numParts = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === got)
+    // more rounds still match the replay (parity alternation exercised)
+    val got5 = GraphAlgorithms.balancedPartition(e, numParts = 3, rounds = 5,
+        slackPct = 25)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got5 === replayBlp(edges, p = 3, rounds = 5, slackPct = 25))
+    // guards
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.balancedPartition(e, numParts = 1)
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.balancedPartition(e, numParts = 2, rounds = 0)
+    }
+  }
+
+  test("partitionQuality: hand-checked cut/balance summary; missing vertices drop consistently") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val asg = Seq(("a", 0), ("b", 0), ("c", 1), ("d", 1)).toDF("id", "part")
+    val q = GraphAlgorithms.partitionQuality(e, asg).collect()(0)
+    assert(q.getLong(0) === 2L)        // parts
+    assert(q.getLong(1) === 4L)        // vertices
+    assert(q.getLong(2) === 3L)        // edges
+    assert(q.getLong(3) === 1L)        // cut_edges (b-c)
+    assert(q.getDouble(4) === 0.333333) // cut_ratio
+    assert(q.getLong(5) === 2L)        // max_load
+    assert(q.getLong(6) === 2L)        // min_load
+    assert(q.getDouble(7) === 1.0)     // imbalance: perfectly balanced
+    // a vertex absent from the assignment drops its incident edges from
+    // BOTH terms (inner joins — the modularity convention)
+    val partial = Seq(("a", 0), ("b", 1)).toDF("id", "part")
+    val q2 = GraphAlgorithms.partitionQuality(e, partial).collect()(0)
+    assert(q2.getLong(2) === 1L) // only a-b survives
+    assert(q2.getLong(3) === 1L)
+    assert(q2.getLong(1) === 2L)
+  }
 }
