@@ -892,6 +892,27 @@ object Queries {
         withClause = s"${TpchBridge.sql.nodes},\n${TpchBridge.sql.edges}",
         rel = "edges", orderExpr = "id")))),
 
+    // The reference's batch-partition verb through the CALL surface:
+    // balanced min-cut assignment of the 50k-vertex hash graph (string
+    // ids — md5 init/parity on the raw id text; vertex count under the
+    // broadcast gate, so every BLP round scans the edge list without
+    // exchanging it). Oracle replays the 3 rounds on the hg CTE.
+    "cy_call_partition" -> ((
+      (s: SparkSession, d: String) => {
+        val he = TpchBridge.hashGraphEdges(s, d)
+        val nodes = he.select(col("src").as("id"))
+          .unionByName(he.select(col("dst").as("id"))).distinct()
+          .select(col("id"), lit("Hash").as("label"))
+        val g = graft.model.PropertyGraph(nodes,
+          graft.model.PropertyGraph.withEid(he.select(col("src"), col("dst"),
+            lit("LINKS").as("type"), map().as("properties"))),
+          isDirected = true)
+        Cypher.run(g, "CALL graft.partition(4, 3) YIELD id, part " +
+          "RETURN id, part ORDER BY id")
+      },
+      Some(blpOracleSql(rounds = 3, parts = 4, slackPct = 10,
+        graphCtes = blpGraphHash)))),
+
     // Whole-graph summary statistics through the CALL surface:
     // reciprocity of the directed bridge edges (structurally 0 — the
     // typed layers never reverse, which the oracle computes rather than
@@ -6221,7 +6242,27 @@ object Queries {
     * BIGINT scores, (score DESC, load ASC, part ASC) argmax,
     * parity-gated adoption (mirrors
     * [[graft.algorithms.GraphAlgorithms.balancedPartition]] exactly). */
-  private def blpCtes(rounds: Int, parts: Int, slackPct: Int): String = {
+  /** Default BLP oracle graph: the thinned mod-900 lineitem projection,
+    * canonicalized — CTE `cn(s, d)`. A `def`, not a `val`: it is read
+    * during the query-map initializer, which runs before later vals
+    * assign (the object-init-order trap). */
+  private def blpGraphMod900: String =
+    s"""eb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
+       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM eb WHERE src <> dst)""".stripMargin
+
+  /** BLP oracle graph for the Cypher CALL surface: the 50k-vertex hash
+    * graph (string ids — the re-canonicalization LEAST/GREATEST runs on
+    * VARCHAR both sides, binary collation). */
+  private def blpGraphHash: String =
+    s"""${TpchBridge.sql.hashGraph},
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM hg WHERE src <> dst)""".stripMargin
+
+  private def blpCtes(rounds: Int, parts: Int, slackPct: Int,
+                      graphCtes: String): String = {
     val bucket = s"(${hvSql("substr(m, 1, 1)")} * 16 + ${hvSql("substr(m, 2, 1)")})"
     val chain = (1 to rounds).map { i =>
       s"""ld$i AS MATERIALIZED (SELECT part, CAST(COUNT(*) AS BIGINT) AS load
@@ -6241,11 +6282,7 @@ object Queries {
          |    CASE WHEN p.par = ${i % 2} THEN b.part ELSE p.part END AS part, p.par
          |  FROM p${i - 1} p JOIN b$i b ON b.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""eb AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey % 900 AS src, l_partkey % 900 AS dst
-       |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
-       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
-       |  FROM eb WHERE src <> dst),
+    s"""$graphCtes,
        |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
        |verts AS (SELECT DISTINCT u AS id FROM nb),
        |cap AS (SELECT CAST((COUNT(*) * ${100 + slackPct} + ${100 * parts - 1}) // ${100 * parts} AS BIGINT) AS c
@@ -6258,15 +6295,18 @@ object Queries {
        |$chain""".stripMargin
   }
 
-  /** alg_partition_blp oracle: the BLP round chain, final assignment. */
-  private def blpOracleSql(rounds: Int, parts: Int, slackPct: Int): String =
-    s"""WITH ${blpCtes(rounds, parts, slackPct)}
+  /** alg_partition_blp / cy_call_partition oracle: the BLP round chain,
+    * final assignment. */
+  private def blpOracleSql(rounds: Int, parts: Int, slackPct: Int,
+                           graphCtes: String = blpGraphMod900): String =
+    s"""WITH ${blpCtes(rounds, parts, slackPct, graphCtes)}
        |SELECT id, CAST(part AS INTEGER) AS part FROM p$rounds ORDER BY id""".stripMargin
 
   /** alg_partition_quality oracle: cut/balance summary over the BLP
     * final assignment — exact counts, two ROUND(…, 6) doubles. */
-  private def blpQualityOracleSql(rounds: Int, parts: Int, slackPct: Int): String =
-    s"""WITH ${blpCtes(rounds, parts, slackPct)},
+  private def blpQualityOracleSql(rounds: Int, parts: Int, slackPct: Int,
+                                  graphCtes: String = blpGraphMod900): String =
+    s"""WITH ${blpCtes(rounds, parts, slackPct, graphCtes)},
        |am AS (SELECT id AS aid, part FROM p$rounds),
        |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS edges,
        |    CAST(COUNT(CASE WHEN ps.part <> pd.part THEN 1 END) AS BIGINT) AS cut_edges

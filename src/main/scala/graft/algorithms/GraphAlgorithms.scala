@@ -2816,8 +2816,30 @@ object GraphAlgorithms {
    * membership table and two joins — per-ego invocations would rescan
    * the edge list |egos| times. No broadcast hint: the membership table
    * scales with Σ ego-degree, so AQE picks the join strategy.
+   *
+   * The tagged joins run on a PRE-PRUNED edge set: two semi-joins
+   * against the distinct member ids first drop every edge with an
+   * endpoint outside ∪ membership — a superset filter of the tagged
+   * inner joins, so the result is value-identical, but the ego-tag row
+   * multiplication and the final equi-joins touch only intra-membership
+   * edges.
+   *
+   * Join strategy is GATED, not left to the planner: the membership is
+   * already materialized (the tagged joins read it twice), so one
+   * driver-side count decides — ≤ `broadcastRowGate` membership rows
+   * (default 2M ≈ tens of MB of ids, fine for any executor) hints
+   * broadcast on all four probe sides and the edge list is only
+   * SCANNED, never exchanged; above the gate the hint is withheld and
+   * the joins shuffle on the edge keys, the only correct shape for
+   * celebrity-ego memberships. The gate exists because the
+   * checkpointed membership is a LogicalRDD — statless, so the static
+   * planner always falls back to SortMergeJoin and (measured, sf1/sf10)
+   * AQE does not rescue the plan: sf10 solo went 94 s (no prune, SMJ)
+   * → 57 s (prune, SMJ) → the gated-broadcast plan with zero edge
+   * exchanges.
    */
-  def egonets(g: PropertyGraph, egos: DataFrame): DataFrame = {
+  def egonets(g: PropertyGraph, egos: DataFrame,
+              broadcastRowGate: Long = 2000000L): DataFrame = {
     val es = g.orientedEdges.select(col("src"), col("dst"))
     val e = egos.select(col(egos.columns.head).cast("string").as("ego")).distinct()
     val members = es.join(e, col("src") === col("ego"))
@@ -2826,8 +2848,15 @@ object GraphAlgorithms {
         .select(col("ego"), col("src").as("m")))
       .unionByName(e.select(col("ego"), col("ego").as("m")))
       .distinct()
-    es.join(members.select(col("ego"), col("m").as("src")), "src")
-      .join(members.select(col("ego").as("__e2"), col("m").as("__d2")),
+      .localCheckpoint(true)
+    val small = members.count() <= broadcastRowGate
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val dm = members.select(col("m")).distinct().localCheckpoint(true)
+    val esp = es
+      .join(hinted(dm.select(col("m").as("src"))), Seq("src"), "left_semi")
+      .join(hinted(dm.select(col("m").as("dst"))), Seq("dst"), "left_semi")
+    esp.join(hinted(members.select(col("ego"), col("m").as("src"))), "src")
+      .join(hinted(members.select(col("ego").as("__e2"), col("m").as("__d2"))),
         col("ego") === col("__e2") && col("dst") === col("__d2"))
       .select(col("ego"), col("src"), col("dst"))
   }
@@ -3583,19 +3612,32 @@ object GraphAlgorithms {
    * Scale shape: per round ONE nb⋈assignment equi-join + one (id, part)
    * grouped count + a ≤P-row load table joined broadcast — no driver
    * funnel, no quadratics; localCheckpoint truncates the growing
-   * lineage exactly like louvain/kCore. Returns (id, part INT).
+   * lineage exactly like louvain/kCore. The vertex count (already on
+   * the driver for the capacity) gates the join strategy: ≤
+   * `broadcastRowGate` vertices hints broadcast on every vertex-sized
+   * probe side, so the edge list is only SCANNED per round, never
+   * exchanged (the checkpointed assignment is a statless LogicalRDD —
+   * left alone the static planner sort-merge-joins the edge list every
+   * round, the egonets lesson); above the gate the rounds shuffle on
+   * the edge keys, the only correct shape at 100 TB vertex counts.
+   * Returns (id, part INT).
    */
   def balancedPartition(edges: DataFrame, numParts: Int, rounds: Int = 4,
-                        slackPct: Int = 10): DataFrame = {
+                        slackPct: Int = 10,
+                        broadcastRowGate: Long = 2000000L): DataFrame = {
     require(numParts >= 2, s"numParts must be >= 2: $numParts")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     require(slackPct >= 0, s"slackPct must be >= 0: $slackPct")
     val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    // lazy over the checkpointed canonical set: materializing the
+    // doubled orientation would write the edge list twice for no reuse
+    // the cn blocks don't already give
     val nb = cn.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(cn.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint(true)
     val verts = nb.select(col("u").as("id")).distinct()
     val n = verts.count()
+    val small = n <= broadcastRowGate
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val cap = (n * (100L + slackPct) + 100L * numParts - 1) / (100L * numParts)
     val bucket = graft.pipeline.Sketches.hllBucket(col("id"))
     var asg = verts.select(col("id"),
@@ -3607,7 +3649,7 @@ object GraphAlgorithms {
       r += 1
       // previous-round loads: ≤ numParts rows — broadcast join below
       val load = asg.groupBy("part").agg(count(lit(1)).as("__load"))
-      val kvp = nb.join(asg.select(col("id").as("v"), col("part")), Seq("v"))
+      val kvp = nb.join(hinted(asg.select(col("id").as("v"), col("part"))), Seq("v"))
         .groupBy(col("u").as("id"), col("part")).agg(count(lit(1)).as("__k"))
       val best = kvp
         .unionByName(asg.select(col("id"), col("part"), lit(0L).as("__k")))
@@ -3618,7 +3660,7 @@ object GraphAlgorithms {
         .agg(min(struct((-col("__score")).as("s"), col("__load").as("l"),
           col("part").as("p"))).as("b"))
         .select(col("id"), col("b.p").as("__best"))
-      asg = asg.join(best, Seq("id"))
+      asg = asg.join(hinted(best), Seq("id"))
         .select(col("id"),
           when(col("__par") === lit(r % 2), col("__best"))
             .otherwise(col("part")).as("part"),
@@ -3645,13 +3687,18 @@ object GraphAlgorithms {
    * aggregates met in a 1×1 crossJoin — edge-linear, no driver funnel.
    */
   def partitionQuality(edges: DataFrame, assignment: DataFrame,
-                       idCol: String = "id", partCol: String = "part"): DataFrame = {
+                       idCol: String = "id", partCol: String = "part",
+                       broadcastRowGate: Long = 2000000L): DataFrame = {
     val cn = PropertyGraph.canonicalUndirected(edges)
     val am = assignment.select(col(idCol).as("__id"), col(partCol).as("__p"))
       .distinct().localCheckpoint(true)
+    // same gated strategy as balancedPartition: a small assignment
+    // broadcasts so the edge list is scanned, not exchanged twice
+    val hinted = if (am.count() <= broadcastRowGate) (d: DataFrame) => broadcast(d)
+      else (d: DataFrame) => d
     val cut = cn
-      .join(am.select(col("__id").as("src"), col("__p").as("__ps")), Seq("src"))
-      .join(am.select(col("__id").as("dst"), col("__p").as("__pd")), Seq("dst"))
+      .join(hinted(am.select(col("__id").as("src"), col("__p").as("__ps"))), Seq("src"))
+      .join(hinted(am.select(col("__id").as("dst"), col("__p").as("__pd"))), Seq("dst"))
       .agg(count(lit(1)).as("edges"),
         count(when(col("__ps") =!= col("__pd"), 1)).as("cut_edges"))
     val loads = am.groupBy("__p").agg(count(lit(1)).as("l"))

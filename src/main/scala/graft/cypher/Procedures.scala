@@ -214,6 +214,19 @@ object Procedures {
     // distinct edge set (see GraphAlgorithms.graphStats)
     GraphAlgorithms.graphStats(g.edges))
 
+  /** Reference MetisPartitioner through the CALL surface:
+    * CALL graft.partition([parts[, rounds[, slackPct]]]) — balanced
+    * min-cut assignment (id, part) by deterministic synchronous
+    * balanced label propagation (see
+    * [[GraphAlgorithms.balancedPartition]]; the reference's batch
+    * partition verb backed by gpmetis, `MetisPartitioner.cpp:204`). */
+  register("graft.partition", (g, args) => {
+    val parts = args.headOption.map(num(_, "parts").toInt).getOrElse(4)
+    val rounds = args.drop(1).headOption.map(num(_, "rounds").toInt).getOrElse(4)
+    val slack = args.drop(2).headOption.map(num(_, "slackPct").toInt).getOrElse(10)
+    GraphAlgorithms.balancedPartition(g.edges, parts, rounds, slack)
+  })
+
   /** Parity-plus: CALL graft.coreNumbers([maxK[, roundsPerK]]) — the
     * full k-shell decomposition (see [[GraphAlgorithms.coreNumbers]]). */
   register("graft.corenumbers", (g, args) => {
