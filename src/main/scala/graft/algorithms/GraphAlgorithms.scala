@@ -2633,14 +2633,23 @@ object GraphAlgorithms {
     // when the frame becomes unreachable). Eager per-step
     // localCheckpoints here measured 36× wall for 10× data at sf1
     // (12 materializations of a 13.5M-edge frame).
+    // shuffle_hash on the vertex-sized build sides: the edge exchanges
+    // are already shared across iterations (ReusedExchange — identical
+    // subtrees), but SortMergeJoin re-SORTS the edge list on every read
+    // (2 joins × iterations sorts of the full edge frame); hashing the
+    // vertex-sized side instead streams the edges sort-free
     for (_ <- 1 to iterations) {
-      val a = e.join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
+      val a = e.join(hub.select(col("id").as("src"), col("hub"))
+          .hint("shuffle_hash"), Seq("src"))
         .groupBy("dst").agg(sum(col("hub")).as("auth"))
-      auth = ids.join(a.select(col("dst").as("id"), col("auth")), Seq("id"), "left")
+      auth = ids.join(a.select(col("dst").as("id"), col("auth"))
+          .hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-      val h = e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+      val h = e.join(auth.select(col("id").as("dst"), col("auth"))
+          .hint("shuffle_hash"), Seq("dst"))
         .groupBy("src").agg(sum(col("auth")).as("hub"))
-      hub = ids.join(h.select(col("src").as("id"), col("hub")), Seq("id"), "left")
+      hub = ids.join(h.select(col("src").as("id"), col("hub"))
+          .hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
     }
     hub.join(auth, Seq("id"))
