@@ -2222,6 +2222,22 @@ object Queries {
           .orderBy(col("id")),
       Some(blpOracleSql(rounds = 3, parts = 4, slackPct = 10)))),
 
+    // The full METIS-style V-cycle (the reference MetisPartitioner's
+    // actual algorithm class): matching-contraction, BLP on the coarse
+    // graph, projection, seeded BLP refinement on the fine graph — all
+    // deterministic, replayed end-to-end by one CTE-pipeline oracle.
+    "alg_partition_multilevel" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.multilevelPartition(
+          t(s, d, "lineitem")
+            .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+            .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+              pmod(col("l_partkey"), lit(900)).as("dst")),
+          numParts = 4, matchRounds = 12, coarseRounds = 3, refineRounds = 2)
+          .orderBy(col("id")),
+      Some(multilevelOracleSql(matchRounds = 12, parts = 4,
+        coarseRounds = 3, refineRounds = 2, slackPct = 10)))),
+
     // Partition quality of the BLP assignment: exact cut-edge counts /
     // ratio and load balance over the canonical simple graph — the
     // summary the reference logs after a gpmetis run and tracks
@@ -6261,39 +6277,56 @@ object Queries {
        |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
        |  FROM hg WHERE src <> dst)""".stripMargin
 
-  private def blpCtes(rounds: Int, parts: Int, slackPct: Int,
-                      graphCtes: String): String = {
-    val bucket = s"(${hvSql("substr(m, 1, 1)")} * 16 + ${hvSql("substr(m, 2, 1)")})"
+  /** Md5-byte bucket of a column expression (the Sketches.hllBucket
+    * recipe in DuckDB SQL). */
+  private def blpBucketSql(mExpr: String): String =
+    s"(${hvSql(s"substr($mExpr, 1, 1)")} * 16 + ${hvSql(s"substr($mExpr, 2, 1)")})"
+
+  /** The BLP round chain alone, every CTE name prefixed with `pfx` so
+    * two chains (coarse + refine) compose in one WITH. Reads the
+    * canonical graph from CTE `$cnName(s, d)`; `p0Override` replaces
+    * the md5 initial assignment (must emit (id, part BIGINT, par)) —
+    * the multilevel projection seed. Final table: `${pfx}p$rounds`. */
+  private def blpChainCtes(rounds: Int, parts: Int, slackPct: Int,
+                           pfx: String, cnName: String,
+                           p0Override: Option[String] = None): String = {
+    val bucket = blpBucketSql("m")
     val chain = (1 to rounds).map { i =>
-      s"""ld$i AS MATERIALIZED (SELECT part, CAST(COUNT(*) AS BIGINT) AS load
-         |  FROM p${i - 1} GROUP BY part),
-         |kv$i AS MATERIALIZED (SELECT nb.u AS id, a.part, CAST(COUNT(*) AS BIGINT) AS k
-         |  FROM nb JOIN p${i - 1} a ON a.id = nb.v GROUP BY nb.u, a.part),
-         |cd$i AS MATERIALIZED (SELECT id, part, CAST(MAX(k) AS BIGINT) AS k FROM (
-         |    SELECT id, part, k FROM kv$i
-         |    UNION ALL SELECT id, part, 0 FROM p${i - 1}) GROUP BY id, part),
-         |sc$i AS MATERIALIZED (SELECT c.id, c.part, c.k * (cap.c - l.load) AS score, l.load
-         |  FROM cd$i c JOIN ld$i l USING (part), cap),
-         |b$i AS MATERIALIZED (SELECT id, part FROM (
+      s"""${pfx}ld$i AS MATERIALIZED (SELECT part, CAST(COUNT(*) AS BIGINT) AS load
+         |  FROM ${pfx}p${i - 1} GROUP BY part),
+         |${pfx}kv$i AS MATERIALIZED (SELECT nb.u AS id, a.part, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM ${pfx}nb nb JOIN ${pfx}p${i - 1} a ON a.id = nb.v GROUP BY nb.u, a.part),
+         |${pfx}cd$i AS MATERIALIZED (SELECT id, part, CAST(MAX(k) AS BIGINT) AS k FROM (
+         |    SELECT id, part, k FROM ${pfx}kv$i
+         |    UNION ALL SELECT id, part, 0 FROM ${pfx}p${i - 1}) GROUP BY id, part),
+         |${pfx}sc$i AS MATERIALIZED (SELECT c.id, c.part, c.k * (cap.c - l.load) AS score, l.load
+         |  FROM ${pfx}cd$i c JOIN ${pfx}ld$i l USING (part), ${pfx}cap cap),
+         |${pfx}b$i AS MATERIALIZED (SELECT id, part FROM (
          |    SELECT id, part,
          |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, load ASC, part ASC) AS rn
-         |    FROM sc$i) WHERE rn = 1),
-         |p$i AS MATERIALIZED (SELECT p.id,
+         |    FROM ${pfx}sc$i) WHERE rn = 1),
+         |${pfx}p$i AS MATERIALIZED (SELECT p.id,
          |    CASE WHEN p.par = ${i % 2} THEN b.part ELSE p.part END AS part, p.par
-         |  FROM p${i - 1} p JOIN b$i b ON b.id = p.id)""".stripMargin
+         |  FROM ${pfx}p${i - 1} p JOIN ${pfx}b$i b ON b.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""$graphCtes,
-       |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
-       |verts AS (SELECT DISTINCT u AS id FROM nb),
-       |cap AS (SELECT CAST((COUNT(*) * ${100 + slackPct} + ${100 * parts - 1}) // ${100 * parts} AS BIGINT) AS c
-       |  FROM verts),
-       |hb AS (SELECT id, md5(CAST(id AS VARCHAR)) AS m FROM verts),
-       |p0 AS MATERIALIZED (SELECT id,
-       |    CAST($bucket % $parts AS BIGINT) AS part,
-       |    $bucket % 2 AS par
-       |  FROM hb),
+    val p0 = p0Override.getOrElse(
+      s"""SELECT id,
+         |    CAST($bucket % $parts AS BIGINT) AS part,
+         |    $bucket % 2 AS par
+         |  FROM ${pfx}hb""".stripMargin)
+    s"""${pfx}nb AS MATERIALIZED (SELECT s AS u, d AS v FROM $cnName
+       |  UNION ALL SELECT d, s FROM $cnName),
+       |${pfx}verts AS (SELECT DISTINCT u AS id FROM ${pfx}nb),
+       |${pfx}cap AS (SELECT CAST((COUNT(*) * ${100 + slackPct} + ${100 * parts - 1}) // ${100 * parts} AS BIGINT) AS c
+       |  FROM ${pfx}verts),
+       |${pfx}hb AS (SELECT id, md5(CAST(id AS VARCHAR)) AS m FROM ${pfx}verts),
+       |${pfx}p0 AS MATERIALIZED ($p0),
        |$chain""".stripMargin
   }
+
+  private def blpCtes(rounds: Int, parts: Int, slackPct: Int,
+                      graphCtes: String): String =
+    s"$graphCtes,\n${blpChainCtes(rounds, parts, slackPct, pfx = "", cnName = "cn")}"
 
   /** alg_partition_blp / cy_call_partition oracle: the BLP round chain,
     * final assignment. */
@@ -6320,6 +6353,43 @@ object Queries {
        |  max_load, min_load,
        |  ROUND(CASE WHEN vertices > 0 THEN CAST(max_load AS DOUBLE) * parts / vertices ELSE 0.0 END, 6) AS imbalance
        |FROM ct, lag""".stripMargin
+
+  /** alg_partition_multilevel oracle: the whole METIS-style V-cycle as
+    * one CTE pipeline — the matching chain (alg_matching contract),
+    * contraction to coarse edges (alg_coarsen contract), a prefixed
+    * BLP chain on the coarse graph, projection through the matched
+    * pairs, and a seeded BLP chain on the fine graph (md5 fallback for
+    * vertices the projection misses). */
+  private def multilevelOracleSql(matchRounds: Int, parts: Int,
+                                  coarseRounds: Int, refineRounds: Int,
+                                  slackPct: Int): String = {
+    val bucket = blpBucketSql("h.m")
+    val seedP0 =
+      s"""SELECT h.id,
+         |    CAST(COALESCE(pr.part, $bucket % $parts) AS BIGINT) AS part,
+         |    $bucket % 2 AS par
+         |  FROM rhb h LEFT JOIN proj pr ON pr.id = h.id""".stripMargin
+    val mtUnion = (1 to matchRounds)
+      .map(r => s"SELECT u, v FROM w$r").mkString("\n  UNION ALL ")
+    s"""WITH ${matchingChainCtes(matchRounds)},
+       |mt AS MATERIALIZED (
+       |  $mtUnion),
+       |re AS (SELECT COALESCE(mu.u, e.u) AS a, COALESCE(mv.u, e.v) AS b
+       |  FROM e0 e
+       |  LEFT JOIN mt mu ON mu.v = e.u
+       |  LEFT JOIN mt mv ON mv.v = e.v),
+       |ccn AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS s, GREATEST(a, b) AS d
+       |  FROM re WHERE a <> b),
+       |${blpChainCtes(coarseRounds, parts, slackPct, pfx = "c", cnName = "ccn")},
+       |proj AS MATERIALIZED (
+       |  SELECT id, part FROM cp$coarseRounds
+       |  UNION ALL
+       |  SELECT mt.v AS id, cp.part FROM mt JOIN cp$coarseRounds cp ON cp.id = mt.u),
+       |rcn AS (SELECT u AS s, v AS d FROM e0),
+       |${blpChainCtes(refineRounds, parts, slackPct, pfx = "r", cnName = "rcn",
+           p0Override = Some(seedP0))}
+       |SELECT id, CAST(part AS INTEGER) AS part FROM rp$refineRounds ORDER BY id""".stripMargin
+  }
 
   /** alg_eccentricity oracle: the closeness BFS walk with a MAX(dist)
     * fold — per-landmark reach + eccentricity, exact integers only. */

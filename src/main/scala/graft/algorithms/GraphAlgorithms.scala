@@ -1683,7 +1683,17 @@ object GraphAlgorithms {
    */
   def coarsenGraph(edges: DataFrame, rounds: Int = 20,
                    localThreshold: Long = 10000000L,
-                   weightCol: Option[String] = None): DataFrame = {
+                   weightCol: Option[String] = None): DataFrame =
+    coarsenWithMap(edges, rounds, localThreshold, weightCol)._1
+
+  /** [[coarsenGraph]] plus the contraction map it used: the second
+    * frame is (id, rep) for every MATCHED non-representative vertex
+    * (representatives and unmatched vertices map to themselves and are
+    * omitted) — what a multilevel consumer needs to project a coarse
+    * solution back onto the fine graph. */
+  private[graft] def coarsenWithMap(edges: DataFrame, rounds: Int = 20,
+                   localThreshold: Long = 10000000L,
+                   weightCol: Option[String] = None): (DataFrame, DataFrame) = {
     val canon = canonicalSimpleEdges(edges, weightCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // with a weight column the matching is HEAVY-EDGE (the METIS HEM
@@ -1711,8 +1721,10 @@ object GraphAlgorithms {
       .agg((if (weightCol.isDefined) sum(col("w")) else count(lit(1)))
         .as("weight"))
     val out = mapped.localCheckpoint(true)
+    val contractionMap = m.select(col("v").as("id"), col("u").as("rep"))
+      .localCheckpoint(true)
     canon.unpersist()
-    out
+    (out, contractionMap)
   }
 
   /**
@@ -3633,7 +3645,8 @@ object GraphAlgorithms {
    */
   def balancedPartition(edges: DataFrame, numParts: Int, rounds: Int = 4,
                         slackPct: Int = 10,
-                        broadcastRowGate: Long = 2000000L): DataFrame = {
+                        broadcastRowGate: Long = 2000000L,
+                        init: Option[DataFrame] = None): DataFrame = {
     require(numParts >= 2, s"numParts must be >= 2: $numParts")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     require(slackPct >= 0, s"slackPct must be >= 0: $slackPct")
@@ -3649,8 +3662,21 @@ object GraphAlgorithms {
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val cap = (n * (100L + slackPct) + 100L * numParts - 1) / (100L * numParts)
     val bucket = graft.pipeline.Sketches.hllBucket(col("id"))
-    var asg = verts.select(col("id"),
-        pmod(bucket, lit(numParts)).cast("int").as("part"),
+    // `init`: (id, part) seed assignment (the multilevel projection);
+    // vertices it misses fall back to the md5 default, so any partial
+    // seed is legal. The move parity stays md5-derived either way.
+    val part0 = init match {
+      case None => pmod(bucket, lit(numParts)).cast("int")
+      case Some(_) => coalesce(col("__seed"), pmod(bucket, lit(numParts)).cast("int"))
+    }
+    val seeded = init match {
+      case None => verts
+      case Some(s0) => verts.join(
+        hinted(s0.select(col(s0.columns.head).as("id"),
+          col(s0.columns(1)).cast("int").as("__seed"))), Seq("id"), "left")
+    }
+    var asg = seeded.select(col("id"),
+        part0.as("part"),
         pmod(bucket, lit(2)).cast("int").as("__par"))
       .localCheckpoint(true)
     var r = 0
@@ -3677,6 +3703,51 @@ object GraphAlgorithms {
         .localCheckpoint(true)
     }
     asg.select(col("id"), col("part"))
+  }
+
+  /**
+   * Multilevel balanced partitioning — the METIS V-cycle
+   * (coarsen → partition the coarse graph → project → refine) that the
+   * reference's `MetisPartitioner` delegates to gpmetis, re-expressed
+   * from this file's own distributed pieces: one
+   * [[coarsenWithMap]] level (deterministic edge-local-minimum
+   * matching, ~halves the vertex set), [[balancedPartition]] on the
+   * coarse graph (where each BLP round touches half the data and a
+   * move drags a whole matched pair — the coarsening is what lets
+   * local moves escape the flat algorithm's single-vertex horizon),
+   * projection of the coarse assignment through the contraction map,
+   * and `refineRounds` of seeded BLP on the FINE graph (the
+   * Kernighan–Lin-style boundary refinement, re-balancing what the
+   * 2:1 coarse weights distorted). Every stage is deterministic and
+   * exact-integer, so the whole V-cycle replays in plain SQL — the
+   * declared oracle unrolls matching rounds, both BLP chains and the
+   * projection as one CTE pipeline.
+   *
+   * Scale shape: inherits its pieces' postures — matching rounds are
+   * edge-local grouped mins, both BLP phases gate broadcast on their
+   * own vertex counts, projection is two vertex-sized equi-joins.
+   * Returns (id, part INT) over the fine vertex set.
+   */
+  def multilevelPartition(edges: DataFrame, numParts: Int,
+                          matchRounds: Int = 12, coarseRounds: Int = 4,
+                          refineRounds: Int = 2, slackPct: Int = 10,
+                          broadcastRowGate: Long = 2000000L): DataFrame = {
+    require(numParts >= 2, s"numParts must be >= 2: $numParts")
+    require(matchRounds >= 1 && coarseRounds >= 1 && refineRounds >= 1,
+      s"all round counts must be >= 1: $matchRounds/$coarseRounds/$refineRounds")
+    val (coarse, cmap) = coarsenWithMap(edges, matchRounds)
+    val coarseAsg = balancedPartition(coarse.select(col("src"), col("dst")),
+        numParts, coarseRounds, slackPct, broadcastRowGate)
+      .localCheckpoint(true)
+    // project: representatives keep their coarse part; matched
+    // non-representatives inherit their representative's. Vertices with
+    // no coarse part (isolated-pair contractions) fall back to the md5
+    // default inside the seeded run.
+    val projected = coarseAsg.unionByName(
+      cmap.join(coarseAsg.withColumnRenamed("id", "rep"), Seq("rep"))
+        .select(col("id"), col("part")))
+    balancedPartition(edges, numParts, refineRounds, slackPct,
+      broadcastRowGate, init = Some(projected))
   }
 
   /**

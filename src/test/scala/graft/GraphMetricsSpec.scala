@@ -398,6 +398,56 @@ class GraphMetricsSpec extends SparkSpec {
     }
   }
 
+  test("balancedPartition init seeding: parity-gated vertices keep their seed exactly") {
+    val edges = (0L until 30L).map(i => (i, (i * 11 + 5) % 30))
+    val e = edges.toDF("src", "dst")
+    def bucket(id: Long): Int = java.lang.Byte.toUnsignedInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))(0))
+    // seed every vertex with a part the md5 default would NOT pick
+    val seed = (0L until 30L).map(v => (v, (bucket(v) % 4 + 1) % 4))
+    val got = GraphAlgorithms.balancedPartition(e, numParts = 4, rounds = 1,
+        init = Some(seed.toDF("id", "part")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seedMap = seed.toMap
+    // round 1 moves only parity-1 vertices; parity-0 vertices must hold
+    // their SEED (proving the init reached the assignment, not the md5
+    // default)
+    got.foreach { case (v, p) =>
+      if (bucket(v) % 2 == 0) assert(p === seedMap(v), s"vertex $v")
+    }
+    // a partial seed is legal: unseeded vertices fall back to md5
+    val partial = Seq((0L, 3)).toDF("id", "part")
+    val got2 = GraphAlgorithms.balancedPartition(e, numParts = 4, rounds = 1,
+        init = Some(partial))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val unseeded = got2.keys.filter(v => v != 0L && bucket(v) % 2 == 0)
+    unseeded.foreach(v => assert(got2(v) === bucket(v) % 4, s"vertex $v"))
+  }
+
+  test("multilevelPartition: deterministic, full coverage, refinement does not lose balance") {
+    // two 6-cliques joined by one bridge — coarsening should help BLP
+    // co-locate each clique
+    val cliqueA = for (i <- 0 until 6; j <- i + 1 until 6) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 until 16; j <- i + 1 until 16) yield (i.toLong, j.toLong)
+    val edges = cliqueA ++ cliqueB ++ Seq((5L, 10L))
+    val e = edges.toDF("src", "dst")
+    val ml = GraphAlgorithms.multilevelPartition(e, numParts = 2,
+      matchRounds = 6, coarseRounds = 3, refineRounds = 2)
+    val got = ml.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === 12)
+    assert(got.values.forall(p => p >= 0 && p < 2))
+    // deterministic
+    val again = GraphAlgorithms.multilevelPartition(e, numParts = 2,
+      matchRounds = 6, coarseRounds = 3, refineRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === got)
+    // quality is measurable through the same operator the oracles use
+    val q = GraphAlgorithms.partitionQuality(e, ml).collect()(0)
+    assert(q.getLong(1) === 12L)          // vertices all covered
+    assert(q.getLong(3) <= q.getLong(2))  // cut_edges <= edges
+  }
+
   test("partitionQuality: hand-checked cut/balance summary; missing vertices drop consistently") {
     val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
     val asg = Seq(("a", 0), ("b", 0), ("c", 1), ("d", 1)).toDF("id", "part")
