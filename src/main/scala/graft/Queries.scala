@@ -6284,17 +6284,41 @@ object Queries {
 
   /** The BLP round chain alone, every CTE name prefixed with `pfx` so
     * two chains (coarse + refine) compose in one WITH. Reads the
-    * canonical graph from CTE `$cnName(s, d)`; `p0Override` replaces
-    * the md5 initial assignment (must emit (id, part BIGINT, par)) —
-    * the multilevel projection seed. Final table: `${pfx}p$rounds`. */
+    * canonical graph from CTE `$cnName(s, d)` — `(s, d, w)` when
+    * `weighted` (k sums edge weights); `vwName` names an (id, vw) CTE
+    * for weighted loads/capacity (vertices it misses weigh 1);
+    * `p0Override` replaces the md5 initial assignment (must emit
+    * (id, part BIGINT, par)) — the multilevel projection seed. Final
+    * table: `${pfx}p$rounds`. */
   private def blpChainCtes(rounds: Int, parts: Int, slackPct: Int,
                            pfx: String, cnName: String,
-                           p0Override: Option[String] = None): String = {
+                           p0Override: Option[String] = None,
+                           weighted: Boolean = false,
+                           vwName: Option[String] = None): String = {
     val bucket = blpBucketSql("m")
+    val nbCols = if (weighted) ", w" else ""
+    val kExpr = if (weighted) "SUM(nb.w)" else "COUNT(*)"
+    val loadExpr = vwName match {
+      case None => "CAST(COUNT(*) AS BIGINT) AS load"
+      case Some(_) => "CAST(SUM(COALESCE(vw.vw, 1)) AS BIGINT) AS load"
+    }
+    val loadFrom = vwName match {
+      case None => (i: Int) => s"${pfx}p${i - 1} GROUP BY part"
+      case Some(vn) => (i: Int) =>
+        s"${pfx}p${i - 1} p LEFT JOIN $vn vw ON vw.id = p.id GROUP BY part"
+    }
+    val capBody = vwName match {
+      case None =>
+        s"""SELECT CAST((COUNT(*) * ${100 + slackPct} + ${100 * parts - 1}) // ${100 * parts} AS BIGINT) AS c
+           |  FROM ${pfx}verts""".stripMargin
+      case Some(vn) =>
+        s"""SELECT CAST((SUM(COALESCE(vw.vw, 1)) * ${100 + slackPct} + ${100 * parts - 1}) // ${100 * parts} AS BIGINT) AS c
+           |  FROM ${pfx}verts v LEFT JOIN $vn vw ON vw.id = v.id""".stripMargin
+    }
     val chain = (1 to rounds).map { i =>
-      s"""${pfx}ld$i AS MATERIALIZED (SELECT part, CAST(COUNT(*) AS BIGINT) AS load
-         |  FROM ${pfx}p${i - 1} GROUP BY part),
-         |${pfx}kv$i AS MATERIALIZED (SELECT nb.u AS id, a.part, CAST(COUNT(*) AS BIGINT) AS k
+      s"""${pfx}ld$i AS MATERIALIZED (SELECT part, $loadExpr
+         |  FROM ${loadFrom(i)}),
+         |${pfx}kv$i AS MATERIALIZED (SELECT nb.u AS id, a.part, CAST($kExpr AS BIGINT) AS k
          |  FROM ${pfx}nb nb JOIN ${pfx}p${i - 1} a ON a.id = nb.v GROUP BY nb.u, a.part),
          |${pfx}cd$i AS MATERIALIZED (SELECT id, part, CAST(MAX(k) AS BIGINT) AS k FROM (
          |    SELECT id, part, k FROM ${pfx}kv$i
@@ -6314,11 +6338,10 @@ object Queries {
          |    CAST($bucket % $parts AS BIGINT) AS part,
          |    $bucket % 2 AS par
          |  FROM ${pfx}hb""".stripMargin)
-    s"""${pfx}nb AS MATERIALIZED (SELECT s AS u, d AS v FROM $cnName
-       |  UNION ALL SELECT d, s FROM $cnName),
+    s"""${pfx}nb AS MATERIALIZED (SELECT s AS u, d AS v$nbCols FROM $cnName
+       |  UNION ALL SELECT d, s$nbCols FROM $cnName),
        |${pfx}verts AS (SELECT DISTINCT u AS id FROM ${pfx}nb),
-       |${pfx}cap AS (SELECT CAST((COUNT(*) * ${100 + slackPct} + ${100 * parts - 1}) // ${100 * parts} AS BIGINT) AS c
-       |  FROM ${pfx}verts),
+       |${pfx}cap AS ($capBody),
        |${pfx}hb AS (SELECT id, md5(CAST(id AS VARCHAR)) AS m FROM ${pfx}verts),
        |${pfx}p0 AS MATERIALIZED ($p0),
        |$chain""".stripMargin
@@ -6378,9 +6401,12 @@ object Queries {
        |  FROM e0 e
        |  LEFT JOIN mt mu ON mu.v = e.u
        |  LEFT JOIN mt mv ON mv.v = e.v),
-       |ccn AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS s, GREATEST(a, b) AS d
-       |  FROM re WHERE a <> b),
-       |${blpChainCtes(coarseRounds, parts, slackPct, pfx = "c", cnName = "ccn")},
+       |ccn AS MATERIALIZED (SELECT LEAST(a, b) AS s, GREATEST(a, b) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM re WHERE a <> b GROUP BY 1, 2),
+       |cvw AS MATERIALIZED (SELECT DISTINCT u AS id, CAST(2 AS BIGINT) AS vw FROM mt),
+       |${blpChainCtes(coarseRounds, parts, slackPct, pfx = "c", cnName = "ccn",
+           weighted = true, vwName = Some("cvw"))},
        |proj AS MATERIALIZED (
        |  SELECT id, part FROM cp$coarseRounds
        |  UNION ALL

@@ -3646,21 +3646,37 @@ object GraphAlgorithms {
   def balancedPartition(edges: DataFrame, numParts: Int, rounds: Int = 4,
                         slackPct: Int = 10,
                         broadcastRowGate: Long = 2000000L,
-                        init: Option[DataFrame] = None): DataFrame = {
+                        init: Option[DataFrame] = None,
+                        edgeWeightCol: Option[String] = None,
+                        vertexWeights: Option[DataFrame] = None): DataFrame = {
     require(numParts >= 2, s"numParts must be >= 2: $numParts")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     require(slackPct >= 0, s"slackPct must be >= 0: $slackPct")
-    val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    // weighted form (the multilevel coarse phase): k(v,p) sums EDGE
+    // weights (each coarse edge stands for that many fine edges) and
+    // loads/capacity sum VERTEX weights (each coarse vertex stands for
+    // that many fine vertices) — the coarse rounds then optimize the
+    // FINE cut under the FINE balance constraint exactly. Parallel
+    // weighted edges merge additively; both stay exact BIGINTs.
+    val cn = (edgeWeightCol match {
+      case None => PropertyGraph.canonicalUndirected(edges)
+        .select(col("src"), col("dst"), lit(1L).as("__w"))
+      case Some(wc) => edges
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"),
+          col(wc).cast("long").as("__w"))
+        .where(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(sum(col("__w")).as("__w"))
+    }).localCheckpoint(true)
     // lazy over the checkpointed canonical set: materializing the
     // doubled orientation would write the edge list twice for no reuse
     // the cn blocks don't already give
-    val nb = cn.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(cn.select(col("dst").as("u"), col("src").as("v")))
+    val nb = cn.select(col("src").as("u"), col("dst").as("v"), col("__w"))
+      .unionByName(cn.select(col("dst").as("u"), col("src").as("v"), col("__w")))
     val verts = nb.select(col("u").as("id")).distinct()
     val n = verts.count()
     val small = n <= broadcastRowGate
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val cap = (n * (100L + slackPct) + 100L * numParts - 1) / (100L * numParts)
     val bucket = graft.pipeline.Sketches.hllBucket(col("id"))
     // `init`: (id, part) seed assignment (the multilevel projection);
     // vertices it misses fall back to the md5 default, so any partial
@@ -3675,17 +3691,31 @@ object GraphAlgorithms {
         hinted(s0.select(col(s0.columns.head).as("id"),
           col(s0.columns(1)).cast("int").as("__seed"))), Seq("id"), "left")
     }
-    var asg = seeded.select(col("id"),
+    // per-vertex weight (default 1); vertices the table misses weigh 1
+    val withVw = vertexWeights match {
+      case None => seeded.withColumn("__vw", lit(1L))
+      case Some(vwDf) => seeded.join(
+          hinted(vwDf.select(col(vwDf.columns.head).as("id"),
+            col(vwDf.columns(1)).cast("long").as("__vwv"))), Seq("id"), "left")
+        .withColumn("__vw", coalesce(col("__vwv"), lit(1L)))
+        .drop("__vwv")
+    }
+    var asg = withVw.select(col("id"),
         part0.as("part"),
-        pmod(bucket, lit(2)).cast("int").as("__par"))
+        pmod(bucket, lit(2)).cast("int").as("__par"),
+        col("__vw"))
       .localCheckpoint(true)
+    val totalW: Long =
+      if (vertexWeights.isEmpty) n
+      else asg.agg(sum(col("__vw"))).collect()(0).getLong(0)
+    val cap = (totalW * (100L + slackPct) + 100L * numParts - 1) / (100L * numParts)
     var r = 0
     while (r < rounds) {
       r += 1
       // previous-round loads: ≤ numParts rows — broadcast join below
-      val load = asg.groupBy("part").agg(count(lit(1)).as("__load"))
+      val load = asg.groupBy("part").agg(sum(col("__vw")).as("__load"))
       val kvp = nb.join(hinted(asg.select(col("id").as("v"), col("part"))), Seq("v"))
-        .groupBy(col("u").as("id"), col("part")).agg(count(lit(1)).as("__k"))
+        .groupBy(col("u").as("id"), col("part")).agg(sum(col("__w")).as("__k"))
       val best = kvp
         .unionByName(asg.select(col("id"), col("part"), lit(0L).as("__k")))
         .groupBy("id", "part").agg(max(col("__k")).as("__k"))
@@ -3699,7 +3729,7 @@ object GraphAlgorithms {
         .select(col("id"),
           when(col("__par") === lit(r % 2), col("__best"))
             .otherwise(col("part")).as("part"),
-          col("__par"))
+          col("__par"), col("__vw"))
         .localCheckpoint(true)
     }
     asg.select(col("id"), col("part"))
@@ -3736,8 +3766,14 @@ object GraphAlgorithms {
     require(matchRounds >= 1 && coarseRounds >= 1 && refineRounds >= 1,
       s"all round counts must be >= 1: $matchRounds/$coarseRounds/$refineRounds")
     val (coarse, cmap) = coarsenWithMap(edges, matchRounds)
-    val coarseAsg = balancedPartition(coarse.select(col("src"), col("dst")),
-        numParts, coarseRounds, slackPct, broadcastRowGate)
+    // the coarse phase optimizes the FINE objective exactly: each
+    // coarse edge weighs the fine edges it absorbed, each matched
+    // representative weighs its 2 fine vertices (unmatched weigh 1)
+    val coarseAsg = balancedPartition(coarse,
+        numParts, coarseRounds, slackPct, broadcastRowGate,
+        edgeWeightCol = Some("weight"),
+        vertexWeights = Some(cmap.select(col("rep").as("id"), lit(2L).as("vw"))
+          .distinct()))
       .localCheckpoint(true)
     // project: representatives keep their coarse part; matched
     // non-representatives inherit their representative's. Vertices with
