@@ -2238,6 +2238,24 @@ object Queries {
       Some(multilevelOracleSql(matchRounds = 12, parts = 4,
         coarseRounds = 3, refineRounds = 2, slackPct = 10)))),
 
+    // Quality of the V-cycle assignment — read next to
+    // alg_partition_quality (the flat-BLP row on the same fixture) it
+    // makes the multilevel value measurable inside the gate artifacts:
+    // lower cut_ratio AND lower imbalance (drive-measured: cut −7%,
+    // imbalance 1.32 → 1.09 at sf0.01).
+    "alg_partition_ml_quality" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+            pmod(col("l_partkey"), lit(900)).as("dst"))
+        GraphAlgorithms.partitionQuality(eb,
+          GraphAlgorithms.multilevelPartition(eb, numParts = 4,
+            matchRounds = 12, coarseRounds = 3, refineRounds = 2))
+      },
+      Some(multilevelQualityOracleSql(matchRounds = 12, parts = 4,
+        coarseRounds = 3, refineRounds = 2, slackPct = 10)))),
+
     // Partition quality of the BLP assignment: exact cut-edge counts /
     // ratio and load balance over the canonical simple graph — the
     // summary the reference logs after a gpmetis run and tracks
@@ -6383,9 +6401,12 @@ object Queries {
     * BLP chain on the coarse graph, projection through the matched
     * pairs, and a seeded BLP chain on the fine graph (md5 fallback for
     * vertices the projection misses). */
-  private def multilevelOracleSql(matchRounds: Int, parts: Int,
-                                  coarseRounds: Int, refineRounds: Int,
-                                  slackPct: Int): String = {
+  /** The V-cycle CTE pipeline shared by the assignment and quality
+    * oracles; final assignment in `rp$refineRounds`, fine canonical
+    * graph in `rcn(s, d)`. */
+  private def multilevelCtes(matchRounds: Int, parts: Int,
+                             coarseRounds: Int, refineRounds: Int,
+                             slackPct: Int): String = {
     val bucket = blpBucketSql("h.m")
     val seedP0 =
       s"""SELECT h.id,
@@ -6394,7 +6415,7 @@ object Queries {
          |  FROM rhb h LEFT JOIN proj pr ON pr.id = h.id""".stripMargin
     val mtUnion = (1 to matchRounds)
       .map(r => s"SELECT u, v FROM w$r").mkString("\n  UNION ALL ")
-    s"""WITH ${matchingChainCtes(matchRounds)},
+    s"""${matchingChainCtes(matchRounds)},
        |mt AS MATERIALIZED (
        |  $mtUnion),
        |re AS (SELECT COALESCE(mu.u, e.u) AS a, COALESCE(mv.u, e.v) AS b
@@ -6413,9 +6434,34 @@ object Queries {
        |  SELECT mt.v AS id, cp.part FROM mt JOIN cp$coarseRounds cp ON cp.id = mt.u),
        |rcn AS (SELECT u AS s, v AS d FROM e0),
        |${blpChainCtes(refineRounds, parts, slackPct, pfx = "r", cnName = "rcn",
-           p0Override = Some(seedP0))}
-       |SELECT id, CAST(part AS INTEGER) AS part FROM rp$refineRounds ORDER BY id""".stripMargin
+           p0Override = Some(seedP0))}""".stripMargin
   }
+
+  private def multilevelOracleSql(matchRounds: Int, parts: Int,
+                                  coarseRounds: Int, refineRounds: Int,
+                                  slackPct: Int): String =
+    s"""WITH ${multilevelCtes(matchRounds, parts, coarseRounds, refineRounds, slackPct)}
+       |SELECT id, CAST(part AS INTEGER) AS part FROM rp$refineRounds ORDER BY id""".stripMargin
+
+  /** alg_partition_ml_quality oracle: the V-cycle chain, then the
+    * cut/balance summary over its final fine assignment. */
+  private def multilevelQualityOracleSql(matchRounds: Int, parts: Int,
+                                         coarseRounds: Int, refineRounds: Int,
+                                         slackPct: Int): String =
+    s"""WITH ${multilevelCtes(matchRounds, parts, coarseRounds, refineRounds, slackPct)},
+       |am AS (SELECT id AS aid, part FROM rp$refineRounds),
+       |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS edges,
+       |    CAST(COUNT(CASE WHEN ps.part <> pd.part THEN 1 END) AS BIGINT) AS cut_edges
+       |  FROM rcn cn JOIN am ps ON ps.aid = cn.s JOIN am pd ON pd.aid = cn.d),
+       |lds AS (SELECT part, COUNT(*) AS l FROM am GROUP BY part),
+       |lag AS (SELECT CAST(COUNT(*) AS BIGINT) AS parts, CAST(SUM(l) AS BIGINT) AS vertices,
+       |    CAST(MAX(l) AS BIGINT) AS max_load, CAST(MIN(l) AS BIGINT) AS min_load
+       |  FROM lds)
+       |SELECT parts, vertices, edges, cut_edges,
+       |  ROUND(CASE WHEN edges > 0 THEN CAST(cut_edges AS DOUBLE) / edges ELSE 0.0 END, 6) AS cut_ratio,
+       |  max_load, min_load,
+       |  ROUND(CASE WHEN vertices > 0 THEN CAST(max_load AS DOUBLE) * parts / vertices ELSE 0.0 END, 6) AS imbalance
+       |FROM ct, lag""".stripMargin
 
   /** alg_eccentricity oracle: the closeness BFS walk with a MAX(dist)
     * fold — per-landmark reach + eccentricity, exact integers only. */
