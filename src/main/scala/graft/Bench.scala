@@ -86,9 +86,26 @@ object Bench {
       } + "\""
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,alg_triangles
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // within-sweep interference guard: a 260-query sf10 sweep in ONE
+    // JVM accumulates checkpoint blocks / page-cache / GC pressure that
+    // inflates individual readings up to ~4.5× vs solo runs (r16 truth
+    // table). SPARK_GRAFT_BENCH_CHUNK=N recycles the session every N
+    // queries — the solo-probe fidelity without 260 JVM launches.
+    // Recycle cost (session build + cache re-warm) stays OUTSIDE the
+    // per-query timings, exactly like the startup warmup.
+    val chunk = sys.env.get("SPARK_GRAFT_BENCH_CHUNK").map(_.toInt).filter(_ > 0)
+    var sinceRecycle = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        if (chunk.exists(sinceRecycle >= _)) {
+          sinceRecycle = 0
+          spark.stop()
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          TpchBridge.invalidateCaches()
+          spark = newSession()
+        }
+        sinceRecycle += 1
         // steady-state isolation: release earlier queries' unreachable
         // checkpoint/persist blocks before timing this one (see the
         // periodicGC comment above) — GC cost stays outside the timings

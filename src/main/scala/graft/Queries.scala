@@ -2251,7 +2251,8 @@ object Queries {
             pmod(col("l_partkey"), lit(900)).as("dst"))
         GraphAlgorithms.partitionQuality(eb,
           GraphAlgorithms.multilevelPartition(eb, numParts = 4,
-            matchRounds = 12, coarseRounds = 3, refineRounds = 2))
+            matchRounds = 12, coarseRounds = 3, refineRounds = 2),
+          numParts = Some(4))
       },
       Some(multilevelQualityOracleSql(matchRounds = 12, parts = 4,
         coarseRounds = 3, refineRounds = 2, slackPct = 10)))),
@@ -2267,7 +2268,8 @@ object Queries {
           .select(pmod(col("l_orderkey"), lit(900)).as("src"),
             pmod(col("l_partkey"), lit(900)).as("dst"))
         GraphAlgorithms.partitionQuality(eb,
-          GraphAlgorithms.balancedPartition(eb, numParts = 4, rounds = 3))
+          GraphAlgorithms.balancedPartition(eb, numParts = 4, rounds = 3),
+          numParts = Some(4))
       },
       Some(blpQualityOracleSql(rounds = 3, parts = 4, slackPct = 10)))),
 
@@ -6270,12 +6272,6 @@ object Queries {
        |SELECT id, c AS community FROM l$rounds ORDER BY id""".stripMargin
   }
 
-  /** Shared CTE chain for the BLP partitioning oracles: synchronous
-    * balanced label propagation replayed round by round — md5-byte
-    * init/parity, integer capacity via `//` floor division, k·(C−load)
-    * BIGINT scores, (score DESC, load ASC, part ASC) argmax,
-    * parity-gated adoption (mirrors
-    * [[graft.algorithms.GraphAlgorithms.balancedPartition]] exactly). */
   /** Default BLP oracle graph: the thinned mod-900 lineitem projection,
     * canonicalized — CTE `cn(s, d)`. A `def`, not a `val`: it is read
     * during the query-map initializer, which runs before later vals
@@ -6365,6 +6361,12 @@ object Queries {
        |$chain""".stripMargin
   }
 
+  /** Shared CTE chain for the BLP partitioning oracles: synchronous
+    * balanced label propagation replayed round by round — md5-byte
+    * init/parity, integer capacity via `//` floor division, k·(C−load)
+    * BIGINT scores, (score DESC, load ASC, part ASC) argmax,
+    * parity-gated adoption (mirrors
+    * [[graft.algorithms.GraphAlgorithms.balancedPartition]] exactly). */
   private def blpCtes(rounds: Int, parts: Int, slackPct: Int,
                       graphCtes: String): String =
     s"$graphCtes,\n${blpChainCtes(rounds, parts, slackPct, pfx = "", cnName = "cn")}"
@@ -6386,8 +6388,9 @@ object Queries {
        |    CAST(COUNT(CASE WHEN ps.part <> pd.part THEN 1 END) AS BIGINT) AS cut_edges
        |  FROM cn JOIN am ps ON ps.aid = cn.s JOIN am pd ON pd.aid = cn.d),
        |lds AS (SELECT part, COUNT(*) AS l FROM am GROUP BY part),
-       |lag AS (SELECT CAST(COUNT(*) AS BIGINT) AS parts, CAST(SUM(l) AS BIGINT) AS vertices,
-       |    CAST(MAX(l) AS BIGINT) AS max_load, CAST(MIN(l) AS BIGINT) AS min_load
+       |lag AS (SELECT CAST($parts AS BIGINT) AS parts, CAST(SUM(l) AS BIGINT) AS vertices,
+       |    CAST(MAX(l) AS BIGINT) AS max_load,
+       |    CASE WHEN COUNT(*) < $parts THEN 0 ELSE CAST(MIN(l) AS BIGINT) END AS min_load
        |  FROM lds)
        |SELECT parts, vertices, edges, cut_edges,
        |  ROUND(CASE WHEN edges > 0 THEN CAST(cut_edges AS DOUBLE) / edges ELSE 0.0 END, 6) AS cut_ratio,
@@ -6395,15 +6398,13 @@ object Queries {
        |  ROUND(CASE WHEN vertices > 0 THEN CAST(max_load AS DOUBLE) * parts / vertices ELSE 0.0 END, 6) AS imbalance
        |FROM ct, lag""".stripMargin
 
-  /** alg_partition_multilevel oracle: the whole METIS-style V-cycle as
-    * one CTE pipeline — the matching chain (alg_matching contract),
-    * contraction to coarse edges (alg_coarsen contract), a prefixed
-    * BLP chain on the coarse graph, projection through the matched
-    * pairs, and a seeded BLP chain on the fine graph (md5 fallback for
-    * vertices the projection misses). */
-  /** The V-cycle CTE pipeline shared by the assignment and quality
-    * oracles; final assignment in `rp$refineRounds`, fine canonical
-    * graph in `rcn(s, d)`. */
+  /** The METIS-style V-cycle as one CTE pipeline, shared by the
+    * assignment and quality oracles — the matching chain (alg_matching
+    * contract), contraction to coarse edges (alg_coarsen contract), a
+    * prefixed BLP chain on the coarse graph, projection through the
+    * matched pairs, and a seeded BLP chain on the fine graph (md5
+    * fallback for vertices the projection misses). Final assignment in
+    * `rp$refineRounds`, fine canonical graph in `rcn(s, d)`. */
   private def multilevelCtes(matchRounds: Int, parts: Int,
                              coarseRounds: Int, refineRounds: Int,
                              slackPct: Int): String = {
@@ -6454,8 +6455,9 @@ object Queries {
        |    CAST(COUNT(CASE WHEN ps.part <> pd.part THEN 1 END) AS BIGINT) AS cut_edges
        |  FROM rcn cn JOIN am ps ON ps.aid = cn.s JOIN am pd ON pd.aid = cn.d),
        |lds AS (SELECT part, COUNT(*) AS l FROM am GROUP BY part),
-       |lag AS (SELECT CAST(COUNT(*) AS BIGINT) AS parts, CAST(SUM(l) AS BIGINT) AS vertices,
-       |    CAST(MAX(l) AS BIGINT) AS max_load, CAST(MIN(l) AS BIGINT) AS min_load
+       |lag AS (SELECT CAST($parts AS BIGINT) AS parts, CAST(SUM(l) AS BIGINT) AS vertices,
+       |    CAST(MAX(l) AS BIGINT) AS max_load,
+       |    CASE WHEN COUNT(*) < $parts THEN 0 ELSE CAST(MIN(l) AS BIGINT) END AS min_load
        |  FROM lds)
        |SELECT parts, vertices, edges, cut_edges,
        |  ROUND(CASE WHEN edges > 0 THEN CAST(cut_edges AS DOUBLE) / edges ELSE 0.0 END, 6) AS cut_ratio,

@@ -2636,6 +2636,15 @@ object GraphAlgorithms {
     e.count()
     val ids = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
+    // gate the shuffle_hash hint on the vertex count (the egonets /
+    // balancedPartition broadcastRowGate discipline): the hash build
+    // has no sort-merge fallback, so a huge or skewed vertex set could
+    // OOM a per-partition build where SMJ would spill. ≤100M (id, long)
+    // rows ≈ a few GB split across the wide-AQE partition count — safe;
+    // above that, leave the planner its spillable SortMergeJoin.
+    val nV = ids.count()
+    val hashGated: DataFrame => DataFrame =
+      if (nV <= 100000000L) d => d.hint("shuffle_hash") else identity
     var hub = ids.select(col("id"), lit(1L).as("hub"))
     var auth: DataFrame = null
     // iterations ≤ 6, so the whole recurrence COMPOSES into one lazy
@@ -2651,17 +2660,17 @@ object GraphAlgorithms {
     // (2 joins × iterations sorts of the full edge frame); hashing the
     // vertex-sized side instead streams the edges sort-free
     for (_ <- 1 to iterations) {
-      val a = e.join(hub.select(col("id").as("src"), col("hub"))
-          .hint("shuffle_hash"), Seq("src"))
+      val a = e.join(hashGated(hub.select(col("id").as("src"), col("hub"))),
+          Seq("src"))
         .groupBy("dst").agg(sum(col("hub")).as("auth"))
-      auth = ids.join(a.select(col("dst").as("id"), col("auth"))
-          .hint("shuffle_hash"), Seq("id"), "left")
+      auth = ids.join(hashGated(a.select(col("dst").as("id"), col("auth"))),
+          Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-      val h = e.join(auth.select(col("id").as("dst"), col("auth"))
-          .hint("shuffle_hash"), Seq("dst"))
+      val h = e.join(hashGated(auth.select(col("id").as("dst"), col("auth"))),
+          Seq("dst"))
         .groupBy("src").agg(sum(col("auth")).as("hub"))
-      hub = ids.join(h.select(col("src").as("id"), col("hub"))
-          .hint("shuffle_hash"), Seq("id"), "left")
+      hub = ids.join(hashGated(h.select(col("src").as("id"), col("hub"))),
+          Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
     }
     hub.join(auth, Seq("id"))
@@ -3687,9 +3696,15 @@ object GraphAlgorithms {
     }
     val seeded = init match {
       case None => verts
+      // dropDuplicates on the seed id: a duplicate id would multiply
+      // vertex rows through this left join (inflating loads and
+      // emitting duplicate (id, part) output rows) — multilevel's
+      // projection upholds uniqueness only via a subtle matching
+      // invariant, so enforce it here rather than rely on callers
       case Some(s0) => verts.join(
         hinted(s0.select(col(s0.columns.head).as("id"),
-          col(s0.columns(1)).cast("int").as("__seed"))), Seq("id"), "left")
+          col(s0.columns(1)).cast("int").as("__seed")).dropDuplicates("id")),
+        Seq("id"), "left")
     }
     // per-vertex weight (default 1); vertices the table misses weigh 1
     val withVw = vertexWeights match {
@@ -3799,12 +3814,19 @@ object GraphAlgorithms {
    * Vertices missing from the assignment drop out of BOTH sides (inner
    * joins), keeping the terms consistent — the modularity convention.
    *
+   * `numParts`: the INTENDED partition count. Without it, `parts` is
+   * the count of non-empty partitions, which scores a degenerate
+   * assignment (everything in 1 of 4 requested parts) as perfectly
+   * balanced — pass the requested k so imbalance measures against the
+   * partitioner's actual contract.
+   *
    * Shape: two vertex-keyed equi-joins onto the edge list + two 1-row
    * aggregates met in a 1×1 crossJoin — edge-linear, no driver funnel.
    */
   def partitionQuality(edges: DataFrame, assignment: DataFrame,
                        idCol: String = "id", partCol: String = "part",
-                       broadcastRowGate: Long = 2000000L): DataFrame = {
+                       broadcastRowGate: Long = 2000000L,
+                       numParts: Option[Int] = None): DataFrame = {
     val cn = PropertyGraph.canonicalUndirected(edges)
     val am = assignment.select(col(idCol).as("__id"), col(partCol).as("__p"))
       .distinct().localCheckpoint(true)
@@ -3818,10 +3840,16 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("edges"),
         count(when(col("__ps") =!= col("__pd"), 1)).as("cut_edges"))
     val loads = am.groupBy("__p").agg(count(lit(1)).as("l"))
-      .agg(count(lit(1)).as("parts"),
+      .agg(numParts.map(k => lit(k.toLong)).getOrElse(count(lit(1))).as("parts"),
         coalesce(sum(col("l")), lit(0L)).as("vertices"),
         coalesce(max(col("l")), lit(0L)).as("max_load"),
-        coalesce(min(col("l")), lit(0L)).as("min_load"))
+        // an intended k with fewer occupied partitions means some
+        // partition is EMPTY — its load, 0, is the true minimum
+        (numParts match {
+          case None => coalesce(min(col("l")), lit(0L))
+          case Some(k) => when(count(lit(1)) < k.toLong, lit(0L))
+            .otherwise(coalesce(min(col("l")), lit(0L)))
+        }).as("min_load"))
     // 1-row × 1-row guard join (the Cypher.scala:290 convention)
     cut.crossJoin(loads)
       .select(col("parts"), col("vertices"), col("edges"), col("cut_edges"),
