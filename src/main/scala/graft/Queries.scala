@@ -2238,11 +2238,14 @@ object Queries {
       Some(multilevelOracleSql(matchRounds = 12, parts = 4,
         coarseRounds = 3, refineRounds = 2, slackPct = 10)))),
 
-    // Quality of the V-cycle assignment — read next to
-    // alg_partition_quality (the flat-BLP row on the same fixture) it
-    // makes the multilevel value measurable inside the gate artifacts:
-    // lower cut_ratio AND lower imbalance (drive-measured: cut −7%,
-    // imbalance 1.32 → 1.09 at sf0.01).
+    // Quality of the RECURSIVE V-cycle assignment (levels = 2,
+    // refineRounds = 4) — read next to alg_partition_quality (the
+    // flat-BLP row on the same fixture) it makes the deeper recursion's
+    // value measurable inside the gate artifacts. Drive-measured (r17,
+    // intended-k metric): vs the 1-level/2-refine cycle, cut_ratio
+    // 0.283 → 0.179 and imbalance 1.09 → 1.09 at sf0.01, cut 0.574 →
+    // 0.458 and imbalance 2.08 → 2.07 at sf0.1 — the second level buys
+    // ~35% of the remaining cut at equal balance.
     "alg_partition_ml_quality" -> ((
       (s: SparkSession, d: String) => {
         val eb = t(s, d, "lineitem")
@@ -2251,11 +2254,32 @@ object Queries {
             pmod(col("l_partkey"), lit(900)).as("dst"))
         GraphAlgorithms.partitionQuality(eb,
           GraphAlgorithms.multilevelPartition(eb, numParts = 4,
-            matchRounds = 12, coarseRounds = 3, refineRounds = 2),
+            matchRounds = 12, coarseRounds = 3, refineRounds = 4, levels = 2),
           numParts = Some(4))
       },
-      Some(multilevelQualityOracleSql(matchRounds = 12, parts = 4,
-        coarseRounds = 3, refineRounds = 2, slackPct = 10)))),
+      Some(multilevel2QualityOracleSql(matchRounds = 12, parts = 4,
+        coarseRounds = 3, refineRounds = 4, slackPct = 10)))),
+
+    // The RECURSIVE V-cycle (levels = 2): coarsen twice — unweighted
+    // local-minimum matching at the fine level, heavy-edge matching on
+    // the weighted coarse graph — partition the coarsest under both
+    // weight chains, then project + refine back up through BOTH levels
+    // (weighted seeded BLP at level 1, plain at the fine level). The
+    // oracle replays the full recursion: two matching chains, two
+    // contractions, the vertex-weight chain, and all three BLP chains
+    // as one CTE pipeline.
+    "alg_partition_ml2" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.multilevelPartition(
+          t(s, d, "lineitem")
+            .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+            .select(pmod(col("l_orderkey"), lit(900)).as("src"),
+              pmod(col("l_partkey"), lit(900)).as("dst")),
+          numParts = 4, matchRounds = 12, coarseRounds = 3, refineRounds = 4,
+          levels = 2)
+          .orderBy(col("id")),
+      Some(multilevel2OracleSql(matchRounds = 12, parts = 4,
+        coarseRounds = 3, refineRounds = 4, slackPct = 10)))),
 
     // Partition quality of the BLP assignment: exact cut-edge counts /
     // ratio and load balance over the canonical simple graph — the
@@ -6437,6 +6461,136 @@ object Queries {
        |${blpChainCtes(refineRounds, parts, slackPct, pfx = "r", cnName = "rcn",
            p0Override = Some(seedP0))}""".stripMargin
   }
+
+  /** Prefixed WEIGHTED matching chain (the METIS heavy-edge heuristic,
+    * level ≥ 1 of the recursive V-cycle): reads `$cnName(s, d, w)`,
+    * winner = the edge that is the (w DESC, p, u, v)-first incident
+    * edge of BOTH endpoints — the LCG `p` only breaks weight ties,
+    * mirroring [[graft.algorithms.GraphAlgorithms]]'s matchingOnCanon
+    * weighted key struct(-w, p, ul, vl) exactly. ROW_NUMBER replaces
+    * the flattened-BIGINT key of the unweighted chain (a weight field
+    * no longer packs next to p/u/v in 63 bits). Matched pairs in
+    * `${pfx}w$r` (u = rep, v = partner), live edges in `${pfx}e$r`. */
+  private def weightedMatchingChainCtes(rounds: Int, pfx: String,
+                                        cnName: String): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""${pfx}k$r AS MATERIALIZED (SELECT u, v, w,
+         |  (1103515245 * ((u * 1000003 + v * 7919 + $r * 101) % 2147483647) + 12345)
+         |   % 2147483647 AS p
+         |  FROM ${pfx}e${r - 1}),
+         |${pfx}mn$r AS MATERIALIZED (SELECT idl, u, v FROM (
+         |    SELECT idl, u, v, ROW_NUMBER() OVER (PARTITION BY idl
+         |        ORDER BY w DESC, p ASC, u ASC, v ASC) AS rn
+         |    FROM (SELECT u AS idl, u, v, w, p FROM ${pfx}k$r
+         |          UNION ALL SELECT v, u, v, w, p FROM ${pfx}k$r))
+         |  WHERE rn = 1),
+         |${pfx}w$r AS MATERIALIZED (SELECT k.u, k.v FROM ${pfx}k$r k
+         |  JOIN ${pfx}mn$r a ON a.idl = k.u AND a.u = k.u AND a.v = k.v
+         |  JOIN ${pfx}mn$r b ON b.idl = k.v AND b.u = k.u AND b.v = k.v),
+         |${pfx}m$r AS (SELECT u AS id FROM ${pfx}w$r UNION SELECT v FROM ${pfx}w$r),
+         |${pfx}e$r AS MATERIALIZED (SELECT e.u, e.v, e.w FROM ${pfx}e${r - 1} e
+         |  WHERE e.u NOT IN (SELECT id FROM ${pfx}m$r)
+         |    AND e.v NOT IN (SELECT id FROM ${pfx}m$r))""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}e0 AS MATERIALIZED (SELECT s AS u, d AS v, w FROM $cnName),
+       |$chain""".stripMargin
+  }
+
+  /** The 2-level recursive V-cycle as one CTE pipeline (`levels = 2`):
+    * the level-0 unweighted matching/contraction of [[multilevelCtes]],
+    * then a WEIGHTED heavy-edge matching + contraction of the coarse
+    * graph (edge weights sum, vertex weights chain as cluster sizes),
+    * doubly-weighted BLP on the coarsest graph, and the projection +
+    * seeded-refinement walk back UP through both levels — weighted
+    * refinement at level 1, plain at the fine level. Final assignment
+    * in `rp$refineRounds`, fine canonical graph in `rcn(s, d)`. */
+  private def multilevel2Ctes(matchRounds: Int, parts: Int,
+                              coarseRounds: Int, refineRounds: Int,
+                              slackPct: Int): String = {
+    val bucket = blpBucketSql("h.m")
+    def seedP0(hb: String, proj: String) =
+      s"""SELECT h.id,
+         |    CAST(COALESCE(pr.part, $bucket % $parts) AS BIGINT) AS part,
+         |    $bucket % 2 AS par
+         |  FROM $hb h LEFT JOIN $proj pr ON pr.id = h.id""".stripMargin
+    val mtUnion = (1 to matchRounds)
+      .map(r => s"SELECT u, v FROM w$r").mkString("\n  UNION ALL ")
+    val mt2Union = (1 to matchRounds)
+      .map(r => s"SELECT u, v FROM g2w$r").mkString("\n  UNION ALL ")
+    s"""${matchingChainCtes(matchRounds)},
+       |mt AS MATERIALIZED (
+       |  $mtUnion),
+       |re AS (SELECT COALESCE(mu.u, e.u) AS a, COALESCE(mv.u, e.v) AS b
+       |  FROM e0 e
+       |  LEFT JOIN mt mu ON mu.v = e.u
+       |  LEFT JOIN mt mv ON mv.v = e.v),
+       |ccn AS MATERIALIZED (SELECT LEAST(a, b) AS s, GREATEST(a, b) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM re WHERE a <> b GROUP BY 1, 2),
+       |cvw AS MATERIALIZED (SELECT DISTINCT u AS id, CAST(2 AS BIGINT) AS vw FROM mt),
+       |${weightedMatchingChainCtes(matchRounds, pfx = "g2", cnName = "ccn")},
+       |mt2 AS MATERIALIZED (
+       |  $mt2Union),
+       |re2 AS (SELECT COALESCE(mu.u, e.s) AS a, COALESCE(mv.u, e.d) AS b, e.w
+       |  FROM ccn e
+       |  LEFT JOIN mt2 mu ON mu.v = e.s
+       |  LEFT JOIN mt2 mv ON mv.v = e.d),
+       |ccn2 AS MATERIALIZED (SELECT LEAST(a, b) AS s, GREATEST(a, b) AS d,
+       |    CAST(SUM(w) AS BIGINT) AS w
+       |  FROM re2 WHERE a <> b GROUP BY 1, 2),
+       |vw2 AS MATERIALIZED (
+       |  SELECT m.u AS id, CAST(COALESCE(a.vw, 1) + COALESCE(b.vw, 1) AS BIGINT) AS vw
+       |  FROM mt2 m LEFT JOIN cvw a ON a.id = m.u LEFT JOIN cvw b ON b.id = m.v
+       |  UNION ALL
+       |  SELECT c.id, c.vw FROM cvw c
+       |  WHERE c.id NOT IN (SELECT u FROM mt2 UNION SELECT v FROM mt2)),
+       |${blpChainCtes(coarseRounds, parts, slackPct, pfx = "c", cnName = "ccn2",
+           weighted = true, vwName = Some("vw2"))},
+       |proj1 AS MATERIALIZED (
+       |  SELECT id, part FROM cp$coarseRounds
+       |  UNION ALL
+       |  SELECT mt2.v AS id, cp.part FROM mt2 JOIN cp$coarseRounds cp ON cp.id = mt2.u),
+       |${blpChainCtes(refineRounds, parts, slackPct, pfx = "f1", cnName = "ccn",
+           p0Override = Some(seedP0("f1hb", "proj1")),
+           weighted = true, vwName = Some("cvw"))},
+       |proj AS MATERIALIZED (
+       |  SELECT id, part FROM f1p$refineRounds
+       |  UNION ALL
+       |  SELECT mt.v AS id, fp.part FROM mt JOIN f1p$refineRounds fp ON fp.id = mt.u),
+       |rcn AS (SELECT u AS s, v AS d FROM e0),
+       |${blpChainCtes(refineRounds, parts, slackPct, pfx = "r", cnName = "rcn",
+           p0Override = Some(seedP0("rhb", "proj")))}""".stripMargin
+  }
+
+  /** alg_partition_ml2 oracle: the 2-level V-cycle chain, final fine
+    * assignment. */
+  private def multilevel2OracleSql(matchRounds: Int, parts: Int,
+                                   coarseRounds: Int, refineRounds: Int,
+                                   slackPct: Int): String =
+    s"""WITH ${multilevel2Ctes(matchRounds, parts, coarseRounds, refineRounds, slackPct)}
+       |SELECT id, CAST(part AS INTEGER) AS part FROM rp$refineRounds ORDER BY id""".stripMargin
+
+  /** alg_partition_ml_quality oracle: the 2-level V-cycle chain, then
+    * the cut/balance summary (intended-k convention) over its final
+    * fine assignment. */
+  private def multilevel2QualityOracleSql(matchRounds: Int, parts: Int,
+                                          coarseRounds: Int, refineRounds: Int,
+                                          slackPct: Int): String =
+    s"""WITH ${multilevel2Ctes(matchRounds, parts, coarseRounds, refineRounds, slackPct)},
+       |am AS (SELECT id AS aid, part FROM rp$refineRounds),
+       |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS edges,
+       |    CAST(COUNT(CASE WHEN ps.part <> pd.part THEN 1 END) AS BIGINT) AS cut_edges
+       |  FROM rcn cn JOIN am ps ON ps.aid = cn.s JOIN am pd ON pd.aid = cn.d),
+       |lds AS (SELECT part, COUNT(*) AS l FROM am GROUP BY part),
+       |lag AS (SELECT CAST($parts AS BIGINT) AS parts, CAST(SUM(l) AS BIGINT) AS vertices,
+       |    CAST(MAX(l) AS BIGINT) AS max_load,
+       |    CASE WHEN COUNT(*) < $parts THEN 0 ELSE CAST(MIN(l) AS BIGINT) END AS min_load
+       |  FROM lds)
+       |SELECT parts, vertices, edges, cut_edges,
+       |  ROUND(CASE WHEN edges > 0 THEN CAST(cut_edges AS DOUBLE) / edges ELSE 0.0 END, 6) AS cut_ratio,
+       |  max_load, min_load,
+       |  ROUND(CASE WHEN vertices > 0 THEN CAST(max_load AS DOUBLE) * parts / vertices ELSE 0.0 END, 6) AS imbalance
+       |FROM ct, lag""".stripMargin
 
   private def multilevelOracleSql(matchRounds: Int, parts: Int,
                                   coarseRounds: Int, refineRounds: Int,

@@ -518,23 +518,48 @@ object GraphAlgorithms {
     e.count()
     // only each hop's FRONTIER is checkpointed; the distance table is a
     // union of those checkpointed frontiers (depth ≤ maxHops, every leaf
-    // materialized), so the settled set is never re-materialized per hop
+    // materialized), so the settled set is never re-materialized per hop.
+    // Frontier/settled counts are tracked on the driver (the per-hop
+    // count doubles as the loop's emptiness check) and gate broadcast on
+    // every checkpointed probe side — the statless-LogicalRDD discipline
+    // (see [[gatedBc]]): below the gate each hop only SCANS the edge
+    // list; above it the spillable SortMergeJoin stands.
     var dist = Seq((sourceId, 0)).toDF("id", "dist").localCheckpoint(true)
     var frontier = dist
+    var frontierCnt = 1L
+    var distCnt = 1L
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    while (h < maxHops && frontierCnt > 0) {
       h += 1
-      val next = frontier.select(col("id").as("u")).join(e, Seq("u"))
+      val next = gatedBc(frontier.select(col("id").as("u")), frontierCnt)
+        .join(e, Seq("u"))
         .select(col("v").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
+        .join(gatedBc(dist, distCnt), Seq("id"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
+      frontierCnt = next.count()
+      distCnt += frontierCnt
       dist = dist.unionByName(next)
       frontier = next
     }
     e.unpersist()
     dist
   }
+
+  /**
+   * Gated broadcast for the frontier loops (the egonets / BLP / HITS
+   * discipline applied to every checkpointed probe side): a
+   * `localCheckpoint` frame is a statless LogicalRDD, so the static
+   * planner sort-merge-joins the edge list against it EVERY round and
+   * (measured, sf1/sf10 — BENCH_SF10_NOTES.md) AQE does not rescue the
+   * plan. The caller tracks the frame's row count on the driver (the
+   * per-round count doubles as the loop's emptiness check) and this
+   * hints broadcast under the 2M-row gate; above it the spillable
+   * SortMergeJoin is the only correct shape.
+   */
+  private def gatedBc(df: DataFrame, cnt: Long,
+                      gate: Long = 2000000L): DataFrame =
+    if (cnt <= gate) broadcast(df) else df
 
   /** Driver-side hop-bounded BFS for [[shortestPaths]]'s small regime —
     * identical semantics: dist = first hop the vertex is reached within
@@ -623,14 +648,22 @@ object GraphAlgorithms {
     var dist = srcs.select(col("id").as("s"), col("id"), lit(0).as("dist"))
       .localCheckpoint(true)
     var frontier = dist
+    // driver-tracked state sizes gate broadcast on the checkpointed
+    // probe sides ([[gatedBc]]); the per-hop count doubles as the
+    // emptiness check
+    var frontierCnt = srcs.count()
+    var distCnt = frontierCnt
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    while (h < maxHops && frontierCnt > 0) {
       h += 1
-      val next = frontier.select(col("s"), col("id").as("u")).join(e, Seq("u"))
+      val next = gatedBc(frontier.select(col("s"), col("id").as("u")), frontierCnt)
+        .join(e, Seq("u"))
         .select(col("s"), col("v").as("id")).distinct()
-        .join(dist, Seq("s", "id"), "left_anti")
+        .join(gatedBc(dist, distCnt), Seq("s", "id"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
+      frontierCnt = next.count()
+      distCnt += frontierCnt
       dist = dist.unionByName(next)
       frontier = next
     }
@@ -772,55 +805,70 @@ object GraphAlgorithms {
     val srcs = sources.map(_.select(col("id"))).getOrElse(verts).localCheckpoint(true)
 
     // forward: layers of (s, v, sigma) — sigma only ever sums over edges
-    // from the previous frontier into unsettled vertices (the BFS DAG)
+    // from the previous frontier into unsettled vertices (the BFS DAG).
+    // Layer counts are tracked on the driver (the per-level count
+    // doubles as the termination check) and gate broadcast on every
+    // checkpointed probe side in BOTH sweeps ([[gatedBc]]).
     var frontier = srcs.select(col("id").as("s"), col("id").as("v"), lit(1L).as("sigma"))
       .localCheckpoint(true)
     var settled = frontier.select(col("s"), col("v")).localCheckpoint(true)
     var layers = Vector(frontier) // index == dist
+    var layerCnt = Vector(srcs.count())
+    var settledCnt = layerCnt(0)
     var h = 0
     var done = false
     while (h < maxHops && !done) {
-      val nf = frontier.select(col("s"), col("v").as("u"), col("sigma"))
+      val nf = gatedBc(frontier.select(col("s"), col("v").as("u"), col("sigma")),
+          layerCnt.last)
         .join(e, Seq("u"))
         .select(col("s"), col("v"), col("sigma"))
         .groupBy("s", "v").agg(sum(col("sigma")).as("sigma"))
-        .join(settled, Seq("s", "v"), "left_anti")
+        .join(gatedBc(settled, settledCnt), Seq("s", "v"), "left_anti")
         .localCheckpoint(true)
-      if (nf.isEmpty) done = true
+      val nfCnt = nf.count()
+      if (nfCnt == 0) done = true
       else {
         h += 1
         settled = settled.unionByName(nf.select(col("s"), col("v"))).localCheckpoint(true)
+        settledCnt += nfCnt
         layers = layers :+ nf
+        layerCnt = layerCnt :+ nfCnt
         frontier = nf
       }
     }
-    e.unpersist()
 
     // backward: δ at the deepest layer is 0; each shallower layer sums
     // σ_u/σ_w · (1 + δ_w) over its DAG successors, kept TOTAL per layer
     // (left join + coalesce — a vertex with no successors still carries
-    // δ = 0 into the next step's (1 + δ) term)
+    // δ = 0 into the next step's (1 + δ) term). The edge persist stays
+    // live through this sweep — it joins `e` once per level (the old
+    // early unpersist made every backward level RECOMPUTE the oriented
+    // distinct; invisible in the local regime, a full extra edge
+    // shuffle per level at scale).
     val maxD = layers.length - 1
     var bw = layers(maxD).select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta"))
       .localCheckpoint(true)
     var acc = List(bw)
     for (d <- (maxD - 1) to 1 by -1) {
       val ld = layers(d)
-      val contrib = ld.select(col("s"), col("v").as("u"), col("sigma"))
+      val contrib = gatedBc(ld.select(col("s"), col("v").as("u"), col("sigma")),
+          layerCnt(d))
         .join(e, Seq("u"))
         .select(col("s"), col("u"), col("v"), col("sigma"))
-        .join(bw.select(col("s"), col("v"),
-          col("sigma").as("sigmaW"), col("delta").as("deltaW")), Seq("s", "v"))
+        .join(gatedBc(bw.select(col("s"), col("v"),
+            col("sigma").as("sigmaW"), col("delta").as("deltaW")),
+          layerCnt(d + 1)), Seq("s", "v"))
         .groupBy("s", "u")
         .agg(sum(col("sigma").cast("double") / col("sigmaW").cast("double")
           * (lit(1.0) + col("deltaW"))).as("delta"))
-      bw = ld.join(contrib.select(col("s"), col("u").as("v"), col("delta")),
-          Seq("s", "v"), "left")
+      bw = ld.join(gatedBc(contrib.select(col("s"), col("u").as("v"), col("delta")),
+          layerCnt(d)), Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(true)
       acc = bw :: acc
     }
+    e.unpersist()
     val allDelta =
       if (maxD == 0) verts.limit(0).select(col("id").as("v"), lit(0.0).as("delta"))
       else acc.map(_.select(col("v"), col("delta"))).reduce(_ unionByName _)
@@ -1014,8 +1062,34 @@ object GraphAlgorithms {
    * Parallel edges SUM their weights (multigraph mass); weights must be
    * positive integers after the cast.
    */
+  /**
+   * Session-conf analogue of the gated broadcast hint, for operators
+   * whose rounds MATERIALIZE eagerly (localCheckpoint loops): the
+   * wide-AQE default (`initialPartitionNum` 256, Bench.scala) buys −30%
+   * on whole-graph shuffles at 100× data but taxes many-round loops
+   * over SMALL frames ~2× in fixed per-round reducer-split overhead
+   * (alg_weighted_walks 1.91 → 3.74 s sf0.1 solo, the r16 A/B). When
+   * `small`, pin the initial partition count to the session's
+   * shuffle.partitions for the duration of `body`, then restore. Only
+   * meaningful where the work EXECUTES inside `body` — a lazily
+   * returned plan reads the conf at action time, after restore.
+   */
+  private def withNarrowShuffle[T](spark: SparkSession, small: Boolean)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    if (!small) body
+    else {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, spark.conf.get("spark.sql.shuffle.partitions"))
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   def weightedRandomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
-                          undirected: Boolean = true): DataFrame = {
+                          undirected: Boolean = true,
+                          narrowRowGate: Long = 2000000L): DataFrame = {
     require(steps >= 1, s"steps must be >= 1: $steps")
     import org.apache.spark.sql.expressions.Window
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
@@ -1029,26 +1103,31 @@ object GraphAlgorithms {
         sum(col("w")).over(Window.partitionBy("u").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tot = adj.groupBy("u").agg(max(col("cw")).as("tw"))
-    val adjT = adj.join(tot, Seq("u"))
-    var cur = starts.select(col("wid").cast("long").as("wid"), col("id").as("v"))
-      .localCheckpoint(true)
-    var out = cur.select(col("wid"), lit(0).as("step"), col("v").as("id"))
-    for (t <- 1 to steps) {
-      val draw = pmod(
-        lit(1103515245L) * (col("wid") * lit(1000003L) + lit(t.toLong) * lit(101L))
-          + lit(12345L), lit(2147483647L))
-      val r = pmod(col("__draw"), col("tw"))
-      cur = cur.select(col("wid"), col("v").as("u"))
-        .withColumn("__draw", draw)
-        .join(adjT, Seq("u"))
-        .where(r >= col("cw") - col("w") && r < col("cw"))
-        .select(col("wid"), col("v"))
+    // the count doubles as the persist's materialization (the first
+    // step join forced it anyway) and as the narrow-shuffle gate
+    val small = adj.count() <= narrowRowGate
+    withNarrowShuffle(adj.sparkSession, small) {
+      val tot = adj.groupBy("u").agg(max(col("cw")).as("tw"))
+      val adjT = adj.join(tot, Seq("u"))
+      var cur = starts.select(col("wid").cast("long").as("wid"), col("id").as("v"))
         .localCheckpoint(true)
-      out = out.unionByName(cur.select(col("wid"), lit(t).as("step"), col("v").as("id")))
+      var out = cur.select(col("wid"), lit(0).as("step"), col("v").as("id"))
+      for (t <- 1 to steps) {
+        val draw = pmod(
+          lit(1103515245L) * (col("wid") * lit(1000003L) + lit(t.toLong) * lit(101L))
+            + lit(12345L), lit(2147483647L))
+        val r = pmod(col("__draw"), col("tw"))
+        cur = cur.select(col("wid"), col("v").as("u"))
+          .withColumn("__draw", draw)
+          .join(adjT, Seq("u"))
+          .where(r >= col("cw") - col("w") && r < col("cw"))
+          .select(col("wid"), col("v"))
+          .localCheckpoint(true)
+        out = out.unionByName(cur.select(col("wid"), lit(t).as("step"), col("v").as("id")))
+      }
+      adj.unpersist()
+      out
     }
-    adj.unpersist()
-    out
   }
 
   /**
@@ -2828,12 +2907,18 @@ object GraphAlgorithms {
   def egonet(g: PropertyGraph, egoId: String): DataFrame = {
     val es = g.orientedEdges.select(col("src"), col("dst"))
     val ego = es.sparkSession.range(1).select(lit(egoId).as("m"))
+    // no distinct: LEFT SEMI joins never multiply matches, so the raw
+    // (dup-bearing) membership works and the plan carries ZERO
+    // exchanges — two broadcast semi-probes over the cached edge scan.
+    // The old members.distinct() was the query's only shuffle, and
+    // under the wide-AQE default its 256-way reducer split cost more
+    // than the whole rest of the query at small SF (0.60 → 1.00 s
+    // sf0.1 solo, the r16 A/B).
     val members = es.where(col("src") === egoId).select(col("dst").as("m"))
       .union(es.where(col("dst") === egoId).select(col("src").as("m")))
       .union(ego)
-      .distinct()
-    es.join(broadcast(members.withColumnRenamed("m", "src")), "src")
-      .join(broadcast(members.withColumnRenamed("m", "dst")), "dst")
+    es.join(broadcast(members.withColumnRenamed("m", "src")), Seq("src"), "left_semi")
+      .join(broadcast(members.withColumnRenamed("m", "dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
   }
 
@@ -2934,14 +3019,20 @@ object GraphAlgorithms {
     var dist = srcs.select(col("id").as("s"), col("id"), lit(0).as("dist"))
       .localCheckpoint(true)
     var frontier = dist
+    // same gated-broadcast frontier walk as [[closenessCentrality]]
+    var frontierCnt = srcs.count()
+    var distCnt = frontierCnt
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    while (h < maxHops && frontierCnt > 0) {
       h += 1
-      val next = frontier.select(col("s"), col("id").as("u")).join(e, Seq("u"))
+      val next = gatedBc(frontier.select(col("s"), col("id").as("u")), frontierCnt)
+        .join(e, Seq("u"))
         .select(col("s"), col("v").as("id")).distinct()
-        .join(dist, Seq("s", "id"), "left_anti")
+        .join(gatedBc(dist, distCnt), Seq("s", "id"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
+      frontierCnt = next.count()
+      distCnt += frontierCnt
       dist = dist.unionByName(next)
       frontier = next
     }
@@ -3289,9 +3380,14 @@ object GraphAlgorithms {
           .groupBy("id").agg(count(lit(1)).as("degree"))
         val kept = deg.where(col("degree") >= k).select("id")
           .localCheckpoint(true)
+        // gated broadcast on the checkpointed vertex-sized build side
+        // ([[gatedBc]]); above the gate the semi-joins keep their
+        // spillable SMJ — the r16 shuffle_hash A/B on this loop was a
+        // measured REVERT, so only the broadcast regime is hinted
+        val keptCnt = kept.count()
         val next = cn
-          .join(kept.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(kept.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .join(gatedBc(kept.select(col("id").as("src")), keptCnt), Seq("src"), "left_semi")
+          .join(gatedBc(kept.select(col("id").as("dst")), keptCnt), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
         if (next.count() == cn.count()) converged = true
@@ -3407,21 +3503,25 @@ object GraphAlgorithms {
       .localCheckpoint(true)
     val dg = nb.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // one vertex count gates broadcast on every vertex-sized probe side
+    // of the round joins ([[gatedBc]]): below the gate each round only
+    // SCANS the checkpointed nb edge list, never exchanges it
+    val nV = dg.count()
     var comm = dg.select(col("id"), col("id").as("c"))
     var r = 0
     while (r < rounds) {
       r += 1
-      val vol = comm.join(dg, Seq("id")).groupBy("c")
+      val vol = comm.join(gatedBc(dg, nV), Seq("id")).groupBy("c")
         .agg(sum(col("deg")).as("vol"))
-      val kvc = nb.join(comm.select(col("id").as("v"), col("c")), Seq("v"))
+      val kvc = nb.join(gatedBc(comm.select(col("id").as("v"), col("c")), nV), Seq("v"))
         .groupBy(col("u").as("id"), col("c")).agg(count(lit(1)).as("kvc"))
       val cur = comm.select(col("id"), col("c").as("__cur"))
       val cand = kvc
         .unionByName(comm.select(col("id"), col("c"), lit(0L).as("kvc")))
         .groupBy("id", "c").agg(max(col("kvc")).as("kvc"))
-        .join(cur, Seq("id"))
-        .join(vol, Seq("c"))
-        .join(dg, Seq("id"))
+        .join(gatedBc(cur, nV), Seq("id"))
+        .join(gatedBc(vol, nV), Seq("c"))
+        .join(gatedBc(dg, nV), Seq("id"))
         .withColumn("gain",
           lit(2L * m) * col("kvc") -
             col("deg") * (col("vol") -
@@ -3429,7 +3529,7 @@ object GraphAlgorithms {
       val best = cand.groupBy("id")
         .agg(min(struct((-col("gain")).as("g"), col("c").as("c"))).as("b"))
         .select(col("id"), col("b.c").as("__best"))
-      comm = comm.join(best, Seq("id"))
+      comm = comm.join(gatedBc(best, nV), Seq("id"))
         .select(col("id"),
           when(pmod(col("id").cast("long"), lit(2)) === lit(r % 2),
             col("__best")).otherwise(col("c")).as("c"))
@@ -3754,9 +3854,11 @@ object GraphAlgorithms {
    * Multilevel balanced partitioning — the METIS V-cycle
    * (coarsen → partition the coarse graph → project → refine) that the
    * reference's `MetisPartitioner` delegates to gpmetis, re-expressed
-   * from this file's own distributed pieces: one
-   * [[coarsenWithMap]] level (deterministic edge-local-minimum
-   * matching, ~halves the vertex set), [[balancedPartition]] on the
+   * from this file's own distributed pieces: `levels` recursive
+   * [[coarsenWithMap]] levels (deterministic edge-local-minimum
+   * matching at the fine level, heavy-edge matching on the weighted
+   * deeper levels, each ~halving the vertex set; vertex weights chain
+   * as cluster sizes), [[balancedPartition]] on the
    * coarse graph (where each BLP round touches half the data and a
    * move drags a whole matched pair — the coarsening is what lets
    * local moves escape the flat algorithm's single-vertex horizon),
@@ -3776,29 +3878,79 @@ object GraphAlgorithms {
   def multilevelPartition(edges: DataFrame, numParts: Int,
                           matchRounds: Int = 12, coarseRounds: Int = 4,
                           refineRounds: Int = 2, slackPct: Int = 10,
-                          broadcastRowGate: Long = 2000000L): DataFrame = {
+                          broadcastRowGate: Long = 2000000L,
+                          levels: Int = 1): DataFrame = {
     require(numParts >= 2, s"numParts must be >= 2: $numParts")
     require(matchRounds >= 1 && coarseRounds >= 1 && refineRounds >= 1,
       s"all round counts must be >= 1: $matchRounds/$coarseRounds/$refineRounds")
-    val (coarse, cmap) = coarsenWithMap(edges, matchRounds)
-    // the coarse phase optimizes the FINE objective exactly: each
-    // coarse edge weighs the fine edges it absorbed, each matched
-    // representative weighs its 2 fine vertices (unmatched weigh 1)
-    val coarseAsg = balancedPartition(coarse,
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    // DOWN the V: repeated coarsening. Level 0 is the fine unweighted
+    // graph; every deeper level is weighted (coarse edges sum absorbed
+    // fine edges — coarsenWithMap's weighted mode switches the matching
+    // to METIS's heavy-edge heuristic there). Vertex weights chain as a
+    // SPARSE (id, vw) table (missing = 1): a rep matched this level
+    // absorbs its partner's weight; unmatched vertices carry theirs up
+    // unchanged. All per-level frames are vertex/edge-sized and
+    // checkpointed by coarsenWithMap — the stacks hold references, not
+    // recomputation.
+    var graphs = List.empty[(DataFrame, Option[DataFrame])] // (edges, vw) per level, fine first
+    var cmaps = List.empty[DataFrame]
+    var curEdges = edges
+    var curVw: Option[DataFrame] = None // sparse vertex weights, missing = 1
+    var l = 0
+    while (l < levels) {
+      graphs = (curEdges, curVw) :: graphs
+      val (coarse, cmap) = coarsenWithMap(curEdges, matchRounds,
+        weightCol = if (l == 0) None else Some("weight"))
+      cmaps = cmap :: cmaps
+      def w(df: DataFrame, idc: String) = curVw match {
+        case None => df.withColumn("__w", lit(1L))
+        case Some(vw) => df.join(
+            vw.select(col("id").as(idc), col("vw").as("__wv")), Seq(idc), "left")
+          .withColumn("__w", coalesce(col("__wv"), lit(1L))).drop("__wv")
+      }
+      // matched reps: own weight + Σ partners' weights
+      val partW = w(cmap.select(col("id"), col("rep")), "id")
+        .groupBy("rep").agg(sum(col("__w")).as("__pw"))
+      val repW = w(cmap.select(col("rep")).distinct().withColumnRenamed("rep", "id"), "id")
+        .select(col("id").as("rep"), col("__w"))
+      val matchedVw = repW.join(partW, Seq("rep"))
+        .select(col("rep").as("id"), (col("__w") + col("__pw")).as("vw"))
+      // unmatched vertices keep their previous (sparse) weights
+      val touched = cmap.select(col("id"))
+        .unionByName(cmap.select(col("rep").as("id"))).distinct()
+      val nextVw = curVw match {
+        case None => matchedVw
+        case Some(vw) => matchedVw.unionByName(
+          vw.join(touched, Seq("id"), "left_anti"))
+      }
+      curVw = Some(nextVw.localCheckpoint(true))
+      curEdges = coarse
+      l += 1
+    }
+    // partition the coarsest graph — edge AND vertex weights make its
+    // rounds optimize the FINE cut under the FINE balance constraint
+    var asg = balancedPartition(curEdges,
         numParts, coarseRounds, slackPct, broadcastRowGate,
-        edgeWeightCol = Some("weight"),
-        vertexWeights = Some(cmap.select(col("rep").as("id"), lit(2L).as("vw"))
-          .distinct()))
+        edgeWeightCol = Some("weight"), vertexWeights = curVw)
       .localCheckpoint(true)
-    // project: representatives keep their coarse part; matched
-    // non-representatives inherit their representative's. Vertices with
-    // no coarse part (isolated-pair contractions) fall back to the md5
-    // default inside the seeded run.
-    val projected = coarseAsg.unionByName(
-      cmap.join(coarseAsg.withColumnRenamed("id", "rep"), Seq("rep"))
-        .select(col("id"), col("part")))
-    balancedPartition(edges, numParts, refineRounds, slackPct,
-      broadcastRowGate, init = Some(projected))
+    // UP the V: project through each level's contraction map
+    // (representatives keep their part; matched partners inherit it;
+    // vertices with no coarse part — isolated-pair contractions — fall
+    // back to the md5 default inside the seeded run), then refine with
+    // a seeded BLP at THAT level's weights — the per-level boundary
+    // refinement real METIS runs on the way up.
+    graphs.zip(cmaps).foreach { case ((lvlEdges, lvlVw), cmap) =>
+      val projected = asg.unionByName(
+        cmap.join(asg.withColumnRenamed("id", "rep"), Seq("rep"))
+          .select(col("id"), col("part")))
+      asg = balancedPartition(lvlEdges, numParts, refineRounds, slackPct,
+          broadcastRowGate, init = Some(projected),
+          edgeWeightCol = if (lvlVw.isEmpty) None else Some("weight"),
+          vertexWeights = lvlVw)
+        .localCheckpoint(true)
+    }
+    asg
   }
 
   /**
