@@ -515,7 +515,7 @@ object GraphAlgorithms {
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val eCnt = e.count()
     // only each hop's FRONTIER is checkpointed; the distance table is a
     // union of those checkpointed frontiers (depth ≤ maxHops, every leaf
     // materialized), so the settled set is never re-materialized per hop.
@@ -531,10 +531,10 @@ object GraphAlgorithms {
     var h = 0
     while (h < maxHops && frontierCnt > 0) {
       h += 1
-      val next = gatedBc(frontier.select(col("id").as("u")), frontierCnt)
+      val next = gatedBc(frontier.select(col("id").as("u")), frontierCnt, eCnt)
         .join(e, Seq("u"))
         .select(col("v").as("id")).distinct()
-        .join(gatedBc(dist, distCnt), Seq("id"), "left_anti")
+        .join(gatedBc(dist, distCnt, eCnt), Seq("id"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
       frontierCnt = next.count()
@@ -554,12 +554,20 @@ object GraphAlgorithms {
    * (measured, sf1/sf10 — BENCH_SF10_NOTES.md) AQE does not rescue the
    * plan. The caller tracks the frame's row count on the driver (the
    * per-round count doubles as the loop's emptiness check) and this
-   * hints broadcast under the 2M-row gate; above it the spillable
+   * hints broadcast under the gate; above it the spillable
    * SortMergeJoin is the only correct shape.
+   *
+   * The gate is RELATIVE as well as absolute: broadcast costs a
+   * per-round driver collect + re-ship of `cnt` rows (state frames
+   * change every round — nothing is reused), and only pays when that
+   * is small next to exchanging the `big` side. Measured on a forced
+   * 1.2M-oriented-edge regime (r17 drive probe): state-sized
+   * broadcasts at cnt ≈ big/2 cost 1.5–3× over SMJ, while
+   * frontier ≪ edges is exactly the egonets shape that won 2.8× at
+   * sf10. big/8 with the 2M cap keeps both measurements.
    */
-  private def gatedBc(df: DataFrame, cnt: Long,
-                      gate: Long = 2000000L): DataFrame =
-    if (cnt <= gate) broadcast(df) else df
+  private def gatedBc(df: DataFrame, cnt: Long, big: Long): DataFrame =
+    if (cnt <= math.min(2000000L, big / 8)) broadcast(df) else df
 
   /** Driver-side hop-bounded BFS for [[shortestPaths]]'s small regime —
     * identical semantics: dist = first hop the vertex is reached within
@@ -637,7 +645,8 @@ object GraphAlgorithms {
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= localThreshold) {
+    val eCnt = e.count()
+    if (eCnt <= localThreshold) {
       val out = localCloseness(e, maxHops, sources)
       e.unpersist()
       return out
@@ -656,10 +665,10 @@ object GraphAlgorithms {
     var h = 0
     while (h < maxHops && frontierCnt > 0) {
       h += 1
-      val next = gatedBc(frontier.select(col("s"), col("id").as("u")), frontierCnt)
+      val next = gatedBc(frontier.select(col("s"), col("id").as("u")), frontierCnt, eCnt)
         .join(e, Seq("u"))
         .select(col("s"), col("v").as("id")).distinct()
-        .join(gatedBc(dist, distCnt), Seq("s", "id"), "left_anti")
+        .join(gatedBc(dist, distCnt, eCnt), Seq("s", "id"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
       frontierCnt = next.count()
@@ -795,7 +804,8 @@ object GraphAlgorithms {
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= localThreshold) {
+    val eCnt = e.count()
+    if (eCnt <= localThreshold) {
       val out = localBetweenness(e, maxHops, sources)
       e.unpersist()
       return out
@@ -819,11 +829,11 @@ object GraphAlgorithms {
     var done = false
     while (h < maxHops && !done) {
       val nf = gatedBc(frontier.select(col("s"), col("v").as("u"), col("sigma")),
-          layerCnt.last)
+          layerCnt.last, eCnt)
         .join(e, Seq("u"))
         .select(col("s"), col("v"), col("sigma"))
         .groupBy("s", "v").agg(sum(col("sigma")).as("sigma"))
-        .join(gatedBc(settled, settledCnt), Seq("s", "v"), "left_anti")
+        .join(gatedBc(settled, settledCnt, eCnt), Seq("s", "v"), "left_anti")
         .localCheckpoint(true)
       val nfCnt = nf.count()
       if (nfCnt == 0) done = true
@@ -852,17 +862,17 @@ object GraphAlgorithms {
     for (d <- (maxD - 1) to 1 by -1) {
       val ld = layers(d)
       val contrib = gatedBc(ld.select(col("s"), col("v").as("u"), col("sigma")),
-          layerCnt(d))
+          layerCnt(d), eCnt)
         .join(e, Seq("u"))
         .select(col("s"), col("u"), col("v"), col("sigma"))
         .join(gatedBc(bw.select(col("s"), col("v"),
             col("sigma").as("sigmaW"), col("delta").as("deltaW")),
-          layerCnt(d + 1)), Seq("s", "v"))
+          layerCnt(d + 1), eCnt), Seq("s", "v"))
         .groupBy("s", "u")
         .agg(sum(col("sigma").cast("double") / col("sigmaW").cast("double")
           * (lit(1.0) + col("deltaW"))).as("delta"))
       bw = ld.join(gatedBc(contrib.select(col("s"), col("u").as("v"), col("delta")),
-          layerCnt(d)), Seq("s", "v"), "left")
+          layerCnt(d), eCnt), Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(true)
@@ -3008,7 +3018,8 @@ object GraphAlgorithms {
              else e0)
       .where(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= localThreshold) {
+    val eCnt = e.count()
+    if (eCnt <= localThreshold) {
       val out = localEccentricity(e, maxHops, sources)
       e.unpersist()
       return out
@@ -3025,10 +3036,10 @@ object GraphAlgorithms {
     var h = 0
     while (h < maxHops && frontierCnt > 0) {
       h += 1
-      val next = gatedBc(frontier.select(col("s"), col("id").as("u")), frontierCnt)
+      val next = gatedBc(frontier.select(col("s"), col("id").as("u")), frontierCnt, eCnt)
         .join(e, Seq("u"))
         .select(col("s"), col("v").as("id")).distinct()
-        .join(gatedBc(dist, distCnt), Seq("s", "id"), "left_anti")
+        .join(gatedBc(dist, distCnt, eCnt), Seq("s", "id"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
       frontierCnt = next.count()
@@ -3363,6 +3374,7 @@ object GraphAlgorithms {
         raw.schema("src").dataType)
     }
     var cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    var cnCnt = cn.count()
     val verts = cn.select(col("src").as("id"))
       .unionByName(cn.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -3386,12 +3398,14 @@ object GraphAlgorithms {
         // measured REVERT, so only the broadcast regime is hinted
         val keptCnt = kept.count()
         val next = cn
-          .join(gatedBc(kept.select(col("id").as("src")), keptCnt), Seq("src"), "left_semi")
-          .join(gatedBc(kept.select(col("id").as("dst")), keptCnt), Seq("dst"), "left_semi")
+          .join(gatedBc(kept.select(col("id").as("src")), keptCnt, cnCnt), Seq("src"), "left_semi")
+          .join(gatedBc(kept.select(col("id").as("dst")), keptCnt, cnCnt), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
-        if (next.count() == cn.count()) converged = true
+        val nextCnt = next.count()
+        if (nextCnt == cnCnt) converged = true
         cn = next
+        cnCnt = nextCnt
         alive = kept
       }
       if (alive.isEmpty) empty = true
@@ -3503,25 +3517,29 @@ object GraphAlgorithms {
       .localCheckpoint(true)
     val dg = nb.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    // one vertex count gates broadcast on every vertex-sized probe side
-    // of the round joins ([[gatedBc]]): below the gate each round only
-    // SCANS the checkpointed nb edge list, never exchanges it
+    // one vertex count gates broadcast on the vertex-sized probe sides
+    // of the EDGE-sized round joins ([[gatedBc]], relative to the 2m
+    // oriented rows): below the gate each round only SCANS the
+    // checkpointed nb edge list, never exchanges it. Vertex-by-vertex
+    // joins (vol, the comm update) are left to the planner — a
+    // same-sized broadcast costs more than it saves (r17 drive probe).
     val nV = dg.count()
+    val nbCnt = 2L * m
     var comm = dg.select(col("id"), col("id").as("c"))
     var r = 0
     while (r < rounds) {
       r += 1
-      val vol = comm.join(gatedBc(dg, nV), Seq("id")).groupBy("c")
+      val vol = comm.join(dg, Seq("id")).groupBy("c")
         .agg(sum(col("deg")).as("vol"))
-      val kvc = nb.join(gatedBc(comm.select(col("id").as("v"), col("c")), nV), Seq("v"))
+      val kvc = nb.join(gatedBc(comm.select(col("id").as("v"), col("c")), nV, nbCnt), Seq("v"))
         .groupBy(col("u").as("id"), col("c")).agg(count(lit(1)).as("kvc"))
       val cur = comm.select(col("id"), col("c").as("__cur"))
       val cand = kvc
         .unionByName(comm.select(col("id"), col("c"), lit(0L).as("kvc")))
         .groupBy("id", "c").agg(max(col("kvc")).as("kvc"))
-        .join(gatedBc(cur, nV), Seq("id"))
-        .join(gatedBc(vol, nV), Seq("c"))
-        .join(gatedBc(dg, nV), Seq("id"))
+        .join(gatedBc(cur, nV, nbCnt), Seq("id"))
+        .join(gatedBc(vol, nV, nbCnt), Seq("c"))
+        .join(gatedBc(dg, nV, nbCnt), Seq("id"))
         .withColumn("gain",
           lit(2L * m) * col("kvc") -
             col("deg") * (col("vol") -
@@ -3529,7 +3547,7 @@ object GraphAlgorithms {
       val best = cand.groupBy("id")
         .agg(min(struct((-col("gain")).as("g"), col("c").as("c"))).as("b"))
         .select(col("id"), col("b.c").as("__best"))
-      comm = comm.join(gatedBc(best, nV), Seq("id"))
+      comm = comm.join(best, Seq("id"))
         .select(col("id"),
           when(pmod(col("id").cast("long"), lit(2)) === lit(r % 2),
             col("__best")).otherwise(col("c")).as("c"))
