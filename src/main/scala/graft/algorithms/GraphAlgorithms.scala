@@ -1102,6 +1102,13 @@ object GraphAlgorithms {
                           narrowRowGate: Long = 2000000L): DataFrame = {
     require(steps >= 1, s"steps must be >= 1: $steps")
     import org.apache.spark.sql.expressions.Window
+    // the gate counts the RAW edge frame (one shuffle-free scan) so the
+    // narrow-shuffle scope covers the WHOLE body — adjacency build
+    // included; gating on the built adjacency left the heaviest shuffles
+    // outside the scope and reclaimed nothing (r17 sf0.1 A/B: 5.2 s
+    // late-gated vs 2.2 s with everything narrow)
+    val small = edges.count() <= narrowRowGate
+    withNarrowShuffle(edges.sparkSession, small) {
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
       col("weight").cast("long").as("w"))
     val e = (if (undirected)
@@ -1113,10 +1120,7 @@ object GraphAlgorithms {
         sum(col("w")).over(Window.partitionBy("u").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the count doubles as the persist's materialization (the first
-    // step join forced it anyway) and as the narrow-shuffle gate
-    val small = adj.count() <= narrowRowGate
-    withNarrowShuffle(adj.sparkSession, small) {
+    adj.count() // materialize inside the scope
       val tot = adj.groupBy("u").agg(max(col("cw")).as("tw"))
       val adjT = adj.join(tot, Seq("u"))
       var cur = starts.select(col("wid").cast("long").as("wid"), col("id").as("v"))
@@ -3122,18 +3126,28 @@ object GraphAlgorithms {
    * the full edge set) with a map-side-combinable aggregation whose
    * keys ARE the canonical undirected edge set assortativity needs.
    */
-  private def canonicalDirections(edges: DataFrame): DataFrame =
-    edges.select(col("src"), col("dst"))
+  /** `srcPartitioned`: key the aggregation's one exchange on `src`
+    * ALONE (a subset of the grouping keys clusters a groupBy just as
+    * well), so the output partitioning is HashPartitioning(src) — kept
+    * visible through a `persist` (NOT a localCheckpoint, which erases
+    * it), it lets every later src-keyed aggregation and join over the
+    * canonical set run exchange-free (the [[graphStats]] layout; r17
+    * sf10 profile: deg 97.7 → 12.6 s, sxy 63.6 → 52.0 s). */
+  private def canonicalDirections(edges: DataFrame,
+                                  srcPartitioned: Boolean = false): DataFrame = {
+    val keyed = edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"),
         when(col("src") < col("dst"), 1).otherwise(2).as("__dir"))
+    (if (srcPartitioned) keyed.repartition(col("src")) else keyed)
       .groupBy(col("src"), col("dst"))
       // __dir ∈ {1,2}: min≠max ⇔ both directions present — same answer
       // as countDistinct without its two-phase distinct-agg expansion
       .agg(when(min(col("__dir")) =!= max(col("__dir")), 2L).otherwise(1L)
         .as("ndir"))
+  }
 
   /** The 1-row reciprocity aggregate over [[canonicalDirections]]
     * output: total = Σ ndir (distinct directed non-loop edges),
@@ -3175,8 +3189,15 @@ object GraphAlgorithms {
    * job. One row: (total, reciprocated, reciprocity, assortativity).
    */
   def graphStats(edges: DataFrame): DataFrame = {
-    // ONE edge-sized materialization feeds both metrics
-    val canon = canonicalDirections(edges).localCheckpoint(true)
+    // ONE edge-sized materialization feeds both metrics. persist, not
+    // localCheckpoint: the cache KEEPS the src-partitioning that
+    // canonicalDirections(srcPartitioned) establishes, so the src half
+    // of the degree aggregation and the Σxy src join run exchange-free
+    // (a checkpoint's LogicalRDD would erase it — r17 sf10 A/B: the
+    // whole query 316 → measured below with this layout). Lifetime is
+    // GC/ContextCleaner-managed, the hits/pageRank persist posture.
+    val canon = canonicalDirections(edges, srcPartitioned = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val recip = reciprocityAgg(canon)
     val asrt = assortativityFromCanonical(canon.select(col("src"), col("dst")))
       .select(col("assortativity"))
@@ -3205,11 +3226,20 @@ object GraphAlgorithms {
   /** [[degreeAssortativity]]'s body over an already-materialized
     * canonical edge set (shared with [[graphStats]]). */
   private def assortativityFromCanonical(cn: DataFrame): DataFrame = {
-    val nb = cn.unionByName(cn.select(col("dst").as("src"), col("src").as("dst")))
-    // vertex-sized; materialized once — it feeds the moment aggregate,
-    // the edge-wide join AND the neighbor-sum join
-    val deg = nb.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // degree in TWO halves (src-keyed + dst-keyed counts, full-outer
+    // summed) instead of one aggregation over the doubled-orientation
+    // union: same exact integers, but when `cn` is src-partitioned (the
+    // graphStats layout) the src half needs NO exchange — r17 sf10
+    // profile 97.7 → 12.6 s. On an unpartitioned cn the two halves
+    // shuffle the same total volume the union did. persist, not
+    // checkpoint, keeps deg's id-partitioning visible for the Σxy join;
+    // lifetime is GC/ContextCleaner-managed (the hits/pageRank posture).
+    val deg = cn.groupBy(col("src").as("id")).agg(count(lit(1)).as("__ds"))
+      .join(cn.groupBy(col("dst").as("id")).agg(count(lit(1)).as("__dd")),
+        Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("__ds"), lit(0L)) + coalesce(col("__dd"), lit(0L))).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // each directed pair (u,v) contributes x = deg(u), so the x-marginal
     // moments collapse to degree-table sums (u appears deg(u) times):
     //   ends = Σ deg, Σx = Σ deg², Σx² = Σ deg³
