@@ -3886,6 +3886,29 @@ object Queries {
              |JOIN region ON n_regionkey = r_regionkey
              |ORDER BY s, o""".stripMargin))),
 
+    // CONSTRUCT with a blank-node template (`_:st`): each solution
+    // instantiates one fresh node shared across the template's three
+    // triples — skolemized as _:label-md5(solution binding) so the
+    // "fresh per solution, shared within it" contract replays exactly
+    // (the oracle recomputes the same md5 over the same sorted
+    // null-marked -joined binding).
+    "sparql_construct_bnode" -> ((
+      (s: SparkSession, d: String) =>
+        graft.sparql.Sparql.run(sparqlTriples(s, d),
+          """CONSTRUCT { ?n <hasStats> _:st . _:st <inRegion> ?r . _:st <natKey> ?k . }
+            |WHERE { ?n <locatedIn> ?r . ?n <key> ?k . }""".stripMargin)
+          .orderBy(col("s"), col("p"), col("o")),
+      Some("""WITH li AS (SELECT 'nation/' || n_name AS n,
+             |    'region/' || r_name AS r, CAST(n_nationkey AS VARCHAR) AS k
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |sk AS (SELECT n, r, k,
+             |    '_:st-' || md5(k || chr(1) || n || chr(1) || r) AS b FROM li)
+             |SELECT DISTINCT s, p, o FROM (
+             |  SELECT n AS s, 'hasStats' AS p, b AS o FROM sk
+             |  UNION ALL SELECT b, 'inRegion', r FROM sk
+             |  UNION ALL SELECT b, 'natKey', k FROM sk)
+             |ORDER BY s, p, o""".stripMargin))),
+
     // SPARQL 1.1 §10.1 BIND + §17 expressions: an arithmetic alias
     // (numeric view via try_cast — error = unbound) and a string alias
     // built from LCASE/SUBSTR/STR/CONCAT, both created by withColumn

@@ -170,6 +170,15 @@ object Sparql {
   sealed trait Term
   final case class V(name: String) extends Term
   final case class Const(value: String) extends Term // IRI (brackets stripped) or literal
+  /** Blank-node label `_:b`. In a CONSTRUCT template it instantiates a
+    * per-solution SKOLEMIZED id (deterministic hash of the solution
+    * binding — fresh across solutions, shared across the template's
+    * triples, exactly replayable cross-engine; distinct solutions that
+    * agree on every binding share one skolem id, the standard
+    * skolemization caveat, unobservable up to graph isomorphism). In a
+    * WHERE pattern it behaves as the scoped non-projectable variable
+    * §4.1.4 prescribes. */
+  final case class BNodeT(label: String) extends Term
   /** Predicate-position alternation `(p1|p2|…)` — an `isin` scan filter. */
   final case class AnyOf(values: Seq[String]) extends Term
   /** Negated property set `!p` / `!(p1|^p2|…)` (SPARQL 1.1 §9.1
@@ -382,6 +391,7 @@ object Sparql {
       if (isVar(t)) V(t.drop(1))
       else if (t.startsWith("<")) Const(t.substring(1, t.length - 1))
       else if (t.startsWith("\"")) Const(t.substring(1, t.length - 1))
+      else if (t.startsWith("_:") && t.length > 2) BNodeT(t.drop(2))
       else if (t.contains(":")) {
         val i = t.indexOf(':')
         val pfx = t.substring(0, i)
@@ -736,7 +746,12 @@ object Sparql {
       if (tok.length > 1 && "*+?".contains(tok.last)) (tok.dropRight(1), Some(tok.last))
       else (tok, None)
     def parsePatterns(): Seq[Pat] = {
-      val sT = term(pop())
+      // §4.1.4: a blank-node label in a pattern is a scoped variable
+      def deB(t: Term): Term = t match {
+        case BNodeT(l) => V("__bn_" + l)
+        case other => other
+      }
+      val sT = deB(term(pop()))
       // (predicate term, inverse, Kleene modifier)
       val steps = scala.collection.mutable.ListBuffer.empty[(Term, Boolean, Option[Char])]
       def setMod(m: Char): Unit = {
@@ -832,7 +847,7 @@ object Sparql {
           t._1.isInstanceOf[Const] || t._1.isInstanceOf[AnyOf] ||
             t._1.isInstanceOf[NotOf]),
           "property paths cannot contain variables (SPARQL 1.1)")
-      val oT = term(pop())
+      val oT = deB(term(pop()))
       if (peek == ".") pop()
       val out = scala.collection.mutable.ListBuffer.empty[Pat]
       var cur = sT
@@ -2493,9 +2508,16 @@ object Sparql {
       // CONSTRUCT: instantiate each template triple per solution; the
       // result graph is a SET of triples (SPARQL semantics), hence the
       // distinct
+      // skolem key: the WHOLE solution binding (sorted columns,
+      // null-marked, \u0001-joined) — fresh per solution, shared across
+      // the template's triples, md5-replayable in any engine
+      lazy val skolemKey = md5(concat_ws("\u0001",
+        df.columns.sorted.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*))
       def side(t: Term): Column = t match {
         case V(n) => col(n).cast("string")
         case Const(v) => lit(v)
+        case BNodeT(l) => concat(lit("_:" + l + "-"), skolemKey)
         case other => throw new IllegalArgumentException(
           s"property-set term $other is only valid in the predicate position")
       }

@@ -556,4 +556,24 @@ class SparqlCompatSpec extends SparkSpec {
       assert(got === ref.map(show).sorted, s"union compat join over $g")
     }
   }
+
+  test("blank nodes: scoped variables in WHERE, skolemized fresh-per-solution in CONSTRUCT") {
+    val t = triples(("a","p","m1"),("b","p","m2"),("m1","q","x"),("m2","q","x"),("c","p","z"))
+    // WHERE bnode = non-projectable variable (§4.1.4): joins through the
+    // middle node without surfacing it
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s ?o WHERE { ?s <p> _:m . _:m <q> ?o }")).sorted ===
+      Seq("a,x", "b,x"))
+    // CONSTRUCT bnode: one fresh node PER SOLUTION, shared across the
+    // template's triples — (a,x) and (b,x) must get DIFFERENT ids, and
+    // each id must appear in both its hasMid and midOf triples
+    val g = Sparql.run(t,
+      "CONSTRUCT { ?s <hasMid> _:n . _:n <midOf> ?o . } WHERE { ?s <p> ?m . ?m <q> ?o }")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val mids = g.collect { case (_, "hasMid", o) => o }.toSet
+    assert(mids.size === 2, s"fresh bnode per solution: $mids")
+    assert(mids.forall(_.startsWith("_:n-")))
+    assert(g.collect { case (s, "midOf", o) => (s, o) }.toSet ===
+      mids.map(m => (m, "x")), "shared id within a solution's template")
+  }
 }
