@@ -419,7 +419,7 @@ object Sparql {
     // builtins (FILTER atoms)
     val exprFns = Set("CONCAT", "STR", "STRLEN", "UCASE", "LCASE",
       "SUBSTR", "REPLACE", "COALESCE", "STRBEFORE", "STRAFTER",
-      "ABS", "ROUND", "CEIL", "FLOOR",
+      "ABS", "ROUND", "CEIL", "FLOOR", "BNODE",
       "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI")
     val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
       "ISNUMERIC")
@@ -471,6 +471,7 @@ object Sparql {
             case "SUBSTR" => args.size == 2 || args.size == 3
             case "REPLACE" => args.size == 3
             case "STRBEFORE" | "STRAFTER" => args.size == 2
+            case "BNODE" => args.size <= 1
           }
           require(arity(fn), s"wrong number of arguments for $fn")
           EFn(fn, args)
@@ -1690,8 +1691,15 @@ object Sparql {
     }
     // block BINDs precede the block FILTERs (a filter may reference an
     // alias); string domain — see [[Block]]
+    val blockBindAliases = scala.collection.mutable.Set.empty[String]
     b.binds.foreach { case (v, e) =>
-      f = f.withColumn(v, compileExpr(e).cast("string")); maybeNull += v }
+      f = f.withColumn(v, compileExpr(e, col(_),
+        if (usesBNode(e))
+          Some((solutionKey(f.columns.filterNot(blockBindAliases)), v))
+        else None)
+        .cast("string"))
+      blockBindAliases += v
+      maybeNull += v }
     // nested OPTIONALs LeftJoin the block frame bottom-up (§ LeftJoin
     // nesting); a shared var an earlier sibling left unbound extends by
     // compatibility, and a DEEPER-nested binding arriving unbound on
@@ -1749,18 +1757,35 @@ object Sparql {
     * whole query (SPARQL 1.1 §17.2). */
   private def compileExpr(e: SExpr): Column = compileExpr(e, col(_))
 
+  /** Per-solution skolem key (sorted columns, null-marked,
+    * \u0001-joined, md5'd) — shared by CONSTRUCT bnode templates and
+    * the BNODE() builtin so both replay exactly cross-engine. */
+  private def solutionKey(columns: Seq[String]): Column =
+    md5(concat_ws("\u0001",
+      columns.sorted.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+
+  /** Does the expression call BNODE()? (drives the skolem-context plumb) */
+  private def usesBNode(e: SExpr): Boolean = e match {
+    case EFn("BNODE", as) => true
+    case EFn(_, as) => as.exists(usesBNode)
+    case EArith(_, l, r) => usesBNode(l) || usesBNode(r)
+    case _ => false
+  }
+
   /** As [[compileExpr]] with a variable RESOLVER — cross-scope filters
     * (LeftJoin / EXISTS conditions) compile over the MERGED binding of
     * an aliased two-sided join, so a bare `col(name)` would be
     * ambiguous; the resolver picks the side that carries each var. */
-  private def compileExpr(e: SExpr, resolve: String => Column): Column = e match {
+  private def compileExpr(e: SExpr, resolve: String => Column,
+                          skolem: Option[(Column, String)] = None): Column = e match {
     case ETerm(V(n)) => resolve(n)
     case ETerm(Const(v)) => lit(v)
     case ETerm(other) => throw new IllegalArgumentException(
       s"property-set term $other is only valid in the predicate position")
     case EArith(op, l, r) =>
-      val a = compileExpr(l, resolve).try_cast("double")
-      val b = compileExpr(r, resolve).try_cast("double")
+      val a = compileExpr(l, resolve, skolem).try_cast("double")
+      val b = compileExpr(r, resolve, skolem).try_cast("double")
       op match {
         case '+' => a + b
         case '-' => a - b
@@ -1768,8 +1793,22 @@ object Sparql {
         case '/' => a / b
       }
     case EFn(name, args) =>
-      def arg(i: Int): Column = compileExpr(args(i), resolve)
+      def arg(i: Int): Column = compileExpr(args(i), resolve, skolem)
       name match {
+        // §17.4.2.9 BNODE: a fresh blank node per solution (no-arg —
+        // salted by the receiving alias, so two BINDs differ) or one
+        // per distinct string WITHIN a solution (one-arg — no alias
+        // salt, so BNODE("x") in two BINDs is the SAME node, the spec's
+        // within-solution map). Skolemized over the solution binding,
+        // exactly like CONSTRUCT _: templates.
+        case "BNODE" =>
+          val (key, alias) = skolem.getOrElse(throw new IllegalArgumentException(
+            "BNODE() is only available in BIND / SELECT-expression position"))
+          if (args.isEmpty)
+            concat(lit("_:"), md5(concat(key, lit("\u0002" + alias))))
+          else
+            concat(lit("_:"), md5(concat(key, lit("\u0003"),
+              coalesce(arg(0).cast("string"), lit("\u0000")))))
         case "CONCAT" =>
           concat(args.map(a => compileExpr(a, resolve).cast("string")): _*)
         case "STR" => arg(0).cast("string")
@@ -2338,6 +2377,8 @@ object Sparql {
     // until an element seeds it).
     var df: DataFrame = unioned.orNull
     if (unioned.nonEmpty) maybeNull = uNullable
+    // BIND aliases created so far — excluded from BNODE skolem keys
+    val bindAliases = scala.collection.mutable.Set.empty[String]
     // BGP top-k pushdown (ORDER BY + LIMIT over one acyclic BGP) —
     // None unless the shape qualifies; see bgpTopKPrune
     val bgpPrune = bgpTopKPrune(q, t)
@@ -2450,8 +2491,15 @@ object Sparql {
         // (null), erroring only where the expression propagates the
         // error — so BIND(COALESCE(?missing, "d") AS ?y) yields "d",
         // and BOUND(?missing) is false, not a dropped alias
+        // BNODE skolem identity: the PATTERN-bound solution (columns
+        // minus earlier BIND aliases) — aliases are functions of it, and
+        // including them would re-key BNODE("x") between two BINDs
         df = df.withColumn(v, compileExpr(e,
-          n => if (have(n)) col(n) else lit(null).cast("string")))
+          n => if (have(n)) col(n) else lit(null).cast("string"),
+          if (usesBNode(e))
+            Some((solutionKey(df.columns.filterNot(bindAliases)), v))
+          else None))
+        bindAliases += v
         maybeNull += v
       case GMinus(block) =>
         require(df != null, "MINUS cannot start a group")
@@ -2511,9 +2559,7 @@ object Sparql {
       // skolem key: the WHOLE solution binding (sorted columns,
       // null-marked, \u0001-joined) — fresh per solution, shared across
       // the template's triples, md5-replayable in any engine
-      lazy val skolemKey = md5(concat_ws("\u0001",
-        df.columns.sorted.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+      lazy val skolemKey = solutionKey(df.columns)
       def side(t: Term): Column = t match {
         case V(n) => col(n).cast("string")
         case Const(v) => lit(v)
@@ -2594,7 +2640,13 @@ object Sparql {
     // § SelectExpr: projection expressions fold over the (possibly
     // aggregated) frame in declaration order — each sees the earlier
     // aliases; a null input propagates to an unbound alias, as in BIND
-    q.selectExprs.foreach { case (v, e) => df = df.withColumn(v, compileExpr(e)) }
+    val selAliases = scala.collection.mutable.Set.empty[String]
+    q.selectExprs.foreach { case (v, e) =>
+      df = df.withColumn(v, compileExpr(e, col(_),
+        if (usesBNode(e))
+          Some((solutionKey(df.columns.filterNot(selAliases)), v))
+        else None))
+      selAliases += v }
     // §18.2.5 sequence: OrderBy → Projection → Distinct — a non-DISTINCT
     // query may order by non-projected vars (the sort runs on the full
     // frame, the projection is order-preserving); DISTINCT projects and

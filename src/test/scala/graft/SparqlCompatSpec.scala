@@ -576,4 +576,26 @@ class SparqlCompatSpec extends SparkSpec {
     assert(g.collect { case (s, "midOf", o) => (s, o) }.toSet ===
       mids.map(m => (m, "x")), "shared id within a solution's template")
   }
+
+  test("BNODE(): fresh per solution and per alias; BNODE(str) shared within a solution") {
+    val t = triples(("a","p","1"),("b","p","2"))
+    val rows = Sparql.run(t,
+      """SELECT ?s ?b1 ?b2 ?k1 ?k2 WHERE {
+        |  ?s <p> ?o .
+        |  BIND(BNODE() AS ?b1)
+        |  BIND(BNODE() AS ?b2)
+        |  BIND(BNODE("x") AS ?k1)
+        |  BIND(BNODE("x") AS ?k2)
+        |}""".stripMargin).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val Seq(b1, b2, k1, k2) = Seq(1, 2, 3, 4).map(r.getString)
+      assert(Seq(b1, b2, k1, k2).forall(_.startsWith("_:")))
+      assert(b1 !== b2, "no-arg BNODE differs across aliases")
+      assert(k1 === k2, "BNODE(str) is the within-solution map: same str, same node")
+    }
+    // fresh across solutions
+    assert(rows.map(_.getString(1)).distinct.length === 2)
+    assert(rows.map(_.getString(3)).distinct.length === 2)
+  }
 }
