@@ -2483,32 +2483,51 @@ object GraphAlgorithms {
     collectInternedGated(raw, canonical = true, localThreshold).foreach { in =>
       return localKCore(in, edges.schema("src").dataType, edges.sparkSession, k, rounds)
     }
-    val canon = PropertyGraph.canonicalUndirected(edges)
+    // src-partitioned canonical set (the graphStats layout, r17): the
+    // dedup's one exchange keyed on src alone — a grouping-key subset
+    // clusters the distinct — and persist keeps HashPartitioning(src)
+    // visible, so the src half of the degree count and every src-keyed
+    // removed-join run exchange-free
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    canon.count()
+    val canonCnt = canon.count()
     // DELTA peeling: maintain each survivor's induced degree and subtract
     // the contribution of just-removed neighbors, instead of recomputing
     // induced degrees from the full edge list every round. Cost per round
     // is two joins of the edge list against the REMOVED set — which
-    // shrinks round over round (AQE broadcasts it once small) — plus one
-    // id-keyed degree update; the old shape paid two full semi-joins and
-    // a fresh edge-wide aggregate per round AND once more for the final
-    // answer. Synchronous-round semantics are unchanged (the bounded form
-    // stays replayable round-by-round by the SQL oracle).
-    var deg = canon
-      .select(explode(array(col("src"), col("dst"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
+    // shrinks round over round and is broadcast under the relative gate
+    // (a checkpointed removed set is a statless LogicalRDD the static
+    // planner would SMJ, re-exchanging the edge list; [[gatedBc]]) —
+    // plus one id-keyed degree update; the old shape paid two full
+    // semi-joins and a fresh edge-wide aggregate per round AND once more
+    // for the final answer. Synchronous-round semantics are unchanged
+    // (the bounded form stays replayable round-by-round by the oracle).
+    // Degrees in two halves: the src half rides canon's partitioning,
+    // exchange-free (the old explode shuffled 2|E| rows).
+    var deg = canon.groupBy(col("src").as("id")).agg(count(lit(1)).as("__ds"))
+      .join(canon.groupBy(col("dst").as("id")).agg(count(lit(1)).as("__dd")),
+        Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("__ds"), lit(0L)) + coalesce(col("__dd"), lit(0L))).as("degree"))
       .localCheckpoint(true)
     var executed = 0
     var converged = false
     while (executed < rounds && !converged) {
       val removed = deg.where(col("degree") < k).select("id").localCheckpoint(true)
       executed += 1 // a round that removes nothing still counts as executed
-      if (removed.isEmpty) converged = true
+      val removedCnt = removed.count()
+      if (removedCnt == 0) converged = true
       else {
-        val delta = canon.join(removed.select(col("id").as("src")), Seq("src"))
+        val delta = canon.join(gatedBc(removed.select(col("id").as("src")),
+            removedCnt, canonCnt), Seq("src"))
           .select(col("dst").as("id"))
-          .unionAll(canon.join(removed.select(col("id").as("dst")), Seq("dst"))
+          .unionAll(canon.join(gatedBc(removed.select(col("id").as("dst")),
+              removedCnt, canonCnt), Seq("dst"))
             .select(col("src").as("id")))
           .groupBy("id").agg(count(lit(1)).as("drop"))
         deg = deg.where(col("degree") >= k)
