@@ -3238,7 +3238,17 @@ object GraphAlgorithms {
    * Degenerate regular graphs (zero degree variance) report r = 0.
    */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val cn = PropertyGraph.canonicalUndirected(edges).localCheckpoint(true)
+    // same src-partitioned persisted canon as [[graphStats]], so the
+    // two-half degree count and the Σxy src join run exchange-free here
+    // too (an unpartitioned checkpoint would make the two halves cost
+    // an extra exchange over the old doubled-orientation union)
+    val cn = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     assortativityFromCanonical(cn)
   }
 
