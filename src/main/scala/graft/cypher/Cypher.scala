@@ -124,17 +124,30 @@ object Cypher {
     (g, result)
   }
 
-  /** Lineage truncation after each mutation. Every mutation embeds the
-    * previous graph's plan several times (match subplan + anti-joins +
-    * unions), so chained mutations grow the logical plan geometrically and
-    * Catalyst analysis time with it. A LAZY localCheckpoint resets plan
-    * depth per mutation without an eager driver job — materialization
-    * still happens only when the graph is first read. */
-  private def truncated(g: PropertyGraph): PropertyGraph =
-    PropertyGraph(
-      g.nodes.localCheckpoint(eager = false),
-      g.edges.localCheckpoint(eager = false),
-      g.isDirected)
+  /** Lineage truncation after a mutation, PLAN-SIZE GATED. Every
+    * mutation embeds the previous graph's plan several times (match
+    * subplan + anti-joins + unions), so chained mutations grow the
+    * logical plan geometrically and Catalyst analysis time with it; a
+    * LAZY localCheckpoint resets plan depth without an eager driver
+    * job. But a checkpoint is NOT free at read time — materializing it
+    * writes the FULL graph frame (map-laden rows, GBs at 100× data) to
+    * block storage, and a per-mutation checkpoint chain materializes
+    * one full copy PER MUTATION when the graph is finally read
+    * (measured sf10 solo: a 4-mutation MERGE script read 164.5 s, one
+    * ~40 s frame copy per layer). Short scripts never need the
+    * truncation — their whole chain composes into ONE pass over the
+    * cached base — so checkpoint only when the logical plan actually
+    * grows past a size that threatens analysis cost. */
+  private def planSize(df: DataFrame): Int = {
+    var n = 0
+    df.queryExecution.logical.foreach(_ => n += 1)
+    n
+  }
+  private def truncated(g: PropertyGraph): PropertyGraph = {
+    def t(df: DataFrame): DataFrame =
+      if (planSize(df) > 400) df.localCheckpoint(eager = false) else df
+    PropertyGraph(t(g.nodes), t(g.edges), g.isDirected)
+  }
 
   /** Re-resolve every bound entity struct in the frame against the
     * current graph: nodes rejoin by id, relationships by eid. An entity
