@@ -448,6 +448,56 @@ class GraphMetricsSpec extends SparkSpec {
     assert(q.getLong(3) <= q.getLong(2))  // cut_edges <= edges
   }
 
+  test("multilevelPartition levels=2: total deterministic assignment; a clique never splits across the recursion") {
+    val cliqueA = for (i <- 0 until 6; j <- i + 1 until 6) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 until 16; j <- i + 1 until 16) yield (i.toLong, j.toLong)
+    val e = (cliqueA ++ cliqueB ++ Seq((5L, 10L))).toDF("src", "dst")
+    val ml = GraphAlgorithms.multilevelPartition(e, numParts = 2,
+      matchRounds = 6, coarseRounds = 3, refineRounds = 3, levels = 2)
+    val got = ml.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === 12)
+    assert(got.values.forall(p => p >= 0 && p < 2))
+    val again = GraphAlgorithms.multilevelPartition(e, numParts = 2,
+      matchRounds = 6, coarseRounds = 3, refineRounds = 3, levels = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === got, "the 2-level recursion is deterministic")
+    // the heavy-edge coarsening contracts each clique into one cluster,
+    // so no clique is ever split across parts (12 vertices is too small
+    // for the SYNCHRONOUS move rounds to also guarantee the bridge cut —
+    // simultaneous movers can overshoot capacity on toy graphs; the
+    // fixture-scale quality wins are drive-measured in
+    // BENCH_SF10_NOTES.md instead)
+    assert((0 until 6).map(i => got(i.toLong)).distinct.size === 1,
+      "clique A stays whole through the recursion")
+    assert((10 until 16).map(i => got(i.toLong)).distinct.size === 1,
+      "clique B stays whole through the recursion")
+  }
+
+  test("balancedPartition: a duplicate-id seed neither duplicates output rows nor inflates loads") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    // the same id seeded twice with CONFLICTING parts — the join must
+    // see one row per id (dropDuplicates), not multiply vertex rows
+    val seed = Seq((1L, 0), (1L, 1), (2L, 1)).toDF("id", "part")
+    val asg = GraphAlgorithms.balancedPartition(e, numParts = 2, rounds = 2,
+      init = Some(seed)).collect()
+    assert(asg.length === 4, "one output row per vertex")
+    assert(asg.map(_.getLong(0)).distinct.length === 4)
+  }
+
+  test("partitionQuality intended-k: degenerate assignments score honestly") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val allOne = Seq(("a", 0), ("b", 0), ("c", 0), ("d", 0)).toDF("id", "part")
+    // occupied-parts view: looks perfect (1 part, imbalance 1.0)
+    val qObs = GraphAlgorithms.partitionQuality(e, allOne).collect()(0)
+    assert(qObs.getLong(0) === 1L && qObs.getDouble(7) === 1.0)
+    // intended-k view: everything in 1 of 4 parts = imbalance 4.0,
+    // min_load 0 (three parts are EMPTY)
+    val q = GraphAlgorithms.partitionQuality(e, allOne, numParts = Some(4)).collect()(0)
+    assert(q.getLong(0) === 4L)
+    assert(q.getLong(6) === 0L)
+    assert(q.getDouble(7) === 4.0)
+  }
+
   test("partitionQuality: hand-checked cut/balance summary; missing vertices drop consistently") {
     val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
     val asg = Seq(("a", 0), ("b", 0), ("c", 1), ("d", 1)).toDF("id", "part")
