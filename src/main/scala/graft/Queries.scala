@@ -2297,6 +2297,21 @@ object Queries {
       },
       Some(blpQualityOracleSql(rounds = 3, parts = 4, slackPct = 10)))),
 
+    // FastRP node embeddings (CIKM'19) in the exact-integer contract:
+    // md5-derived very-sparse ±1 projection (density 1/3), two
+    // neighbor-sum iterates over the FULL bridge graph's undirected
+    // collapse — A·R and A²·R without the per-iterate positive rescale,
+    // so every coordinate is a BIGINT the oracle replays exactly. One
+    // edge⋈vertex join + one vertex aggregate per iterate regardless of
+    // dims (dimensions are columns, not rows).
+    "alg_fastrp" -> ((
+      (s: SparkSession, d: String) =>
+        GraphAlgorithms.fastRP(
+          TpchBridge.graph(s, d).edges.select(col("src"), col("dst")),
+          dims = 4, iterations = 2)
+          .orderBy(col("id")),
+      Some(fastRpOracleSql(dims = 4, iterations = 2)))),
+
     // Deterministic snowball sampling of the thinned mod-900 BIGINT
     // graph: seeds = ids ≡ 0 (mod 90), 3 capped hops, ≤4 LCG-ranked
     // neighbors admitted per frontier vertex; result = induced edges.
@@ -6424,6 +6439,39 @@ object Queries {
                            graphCtes: String = blpGraphMod900): String =
     s"""WITH ${blpCtes(rounds, parts, slackPct, graphCtes)}
        |SELECT id, CAST(part AS INTEGER) AS part FROM p$rounds ORDER BY id""".stripMargin
+
+  /** alg_fastrp oracle: the exact-integer FastRP recurrence over the
+    * bridge graph's undirected collapse — md5-byte very-sparse ±1 init
+    * (the Sketches.hllBucket byte of `id || ':' || dim`, % 6 → +1/−1/0),
+    * then `iterations` neighbor-sum iterates, each one join + one
+    * GROUP BY. Emits every iterate's coordinates as r{t}_{j} columns,
+    * matching [[graft.algorithms.GraphAlgorithms.fastRP]]'s flat schema. */
+  private def fastRpOracleSql(dims: Int, iterations: Int): String = {
+    def initCol(j: Int): String = {
+      val m = s"md5(id || ':$j')"
+      s"""CASE ${blpBucketSql(m)} % 6
+         |    WHEN 0 THEN CAST(1 AS BIGINT) WHEN 1 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS x$j""".stripMargin
+    }
+    val sums = (0 until dims)
+      .map(j => s"CAST(SUM(x$j) AS BIGINT) AS x$j").mkString(", ")
+    val iterCtes = (1 to iterations).map { t =>
+      s"""e$t AS (SELECT nb.u AS id, $sums
+         |  FROM nb JOIN e${t - 1} ON e${t - 1}.id = nb.v GROUP BY nb.u)""".stripMargin
+    }.mkString(",\n")
+    val outCols = (1 to iterations).flatMap(t =>
+      (0 until dims).map(j => s"e$t.x$j AS r${t}_$j")).mkString(", ")
+    val joins = (2 to iterations).map(t => s"JOIN e$t ON e$t.id = e1.id").mkString(" ")
+    s"""WITH ${TpchBridge.sql.nodes},
+       |${TpchBridge.sql.edges},
+       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+       |  FROM edges WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+       |v0 AS (SELECT DISTINCT u AS id FROM nb),
+       |e0 AS (SELECT id, ${(0 until dims).map(initCol).mkString(",\n  ")} FROM v0),
+       |$iterCtes
+       |SELECT e1.id, $outCols FROM e1 $joins ORDER BY e1.id""".stripMargin
+  }
 
   /** alg_partition_quality oracle: cut/balance summary over the BLP
     * final assignment — exact counts, two ROUND(…, 6) doubles. */

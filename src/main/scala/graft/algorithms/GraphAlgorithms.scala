@@ -4090,4 +4090,75 @@ object GraphAlgorithms {
           col("max_load").cast("double") * col("parts").cast("double") /
             col("vertices").cast("double")).otherwise(0.0), 6).as("imbalance"))
   }
+
+  /**
+   * FastRP node embeddings (Chen et al., "Fast and Accurate Network
+   * Embeddings via Very Sparse Random Projections", CIKM 2019) in the
+   * repo's exact-integer form — the classical non-learned companion to
+   * the reference's GCN embedding export (`src_python/fl_server.py`),
+   * feeding the same kNN/vector-store surface.
+   *
+   * Init: R(v)[j] ∈ {+1, −1, 0} from the md5 byte of `"v:j"`
+   * (byte % 6 → 0: +1, 1: −1, else 0 — the very-sparse Achlioptas
+   * projection at density 1/3, md5-derived so it replays in any
+   * engine, the BLP/SimHash determinism convention). Iterate:
+   * N_t(v)[j] = Σ_{u ∈ Γ(v)} N_{t−1}(u)[j] over the undirected
+   * collapse — A^t·R WITHOUT the usual D⁻¹ normalization and iterate
+   * weighting: a diagonal positive rescale per iterate, so per-iterate
+   * similarity geometry is preserved up to a shared scalar, while
+   * every coordinate stays an exact 64-bit integer that replays
+   * bit-identically cross-engine (the [[hits]] contract; normalized
+   * float sums would be summation-order-dependent). Downstream
+   * consumers weight/normalize the returned iterates as FastRP's
+   * (w₁, w₂, …) — a row-local map, not part of the distributed
+   * recurrence. Coordinates grow like (max degree)^t; `iterations` ≤ 3
+   * keeps the worst case far from Long overflow.
+   *
+   * Output: one row per vertex — `id`, then `r{t}_{j}` for every
+   * iterate t = 1..iterations and dimension j = 0..dims−1 (columns,
+   * not arrays: each iteration is ONE edge⋈vertex join + ONE
+   * vertex-keyed aggregate regardless of dims, and the flat schema is
+   * the driver comparator's contract).
+   *
+   * Shape at scale: the canonical edge set materializes once; each
+   * iteration joins the doubled orientation on the NEIGHBOR key, an
+   * identical subtree across iterates, so Catalyst's ReusedExchange
+   * shuffles the edge list once for the whole recurrence (the [[hits]]
+   * posture — no per-iterate layout exists that pre-partitions BOTH
+   * orientation halves on v). The per-iteration build side is
+   * vertex-sized (dims as columns, so dims never multiplies the row
+   * count), hash-hinted under the [[hits]] gate. The whole recurrence
+   * composes lazily like [[pageRank]] — consume once or persist first.
+   */
+  def fastRP(edges: DataFrame, dims: Int = 4, iterations: Int = 2): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1, 64]: $dims")
+    require(iterations >= 1 && iterations <= 3,
+      s"iterations must be in [1, 3] (integer coords grow like deg^t): $iterations")
+    val cn = PropertyGraph.canonicalUndirected(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cn.count()
+    val nb = cn.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(cn.select(col("dst").as("u"), col("src").as("v")))
+    val verts = nb.select(col("u").as("id")).distinct().localCheckpoint(true)
+    val nV = verts.count()
+    val hashGated: DataFrame => DataFrame =
+      if (nV <= 100000000L) d => d.hint("shuffle_hash") else identity
+    def bucket(j: Int): Column = graft.pipeline.Sketches.hllBucket(
+      concat(col("id").cast("string"), lit(":" + j)))
+    val init = verts.select(col("id") +: (0 until dims).map { j =>
+      when(pmod(bucket(j), lit(6)) === 0, lit(1L))
+        .when(pmod(bucket(j), lit(6)) === 1, lit(-1L))
+        .otherwise(lit(0L)).as(s"x$j")
+    }: _*)
+    val aggs = (0 until dims).map(j => sum(col(s"x$j")).as(s"x$j"))
+    val iterates = Iterator.iterate(init) { e =>
+      nb.join(hashGated(e.withColumnRenamed("id", "v")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(aggs.head, aggs.tail: _*)
+    }.drop(1).take(iterations).toSeq
+    iterates.zipWithIndex.map { case (e, i) =>
+      val t = i + 1
+      e.select(col("id") +:
+        (0 until dims).map(j => col(s"x$j").as(s"r${t}_$j")): _*)
+    }.reduceLeft((a, b) => a.join(b, Seq("id")))
+  }
 }

@@ -518,4 +518,60 @@ class GraphMetricsSpec extends SparkSpec {
     assert(q2.getLong(3) === 1L)
     assert(q2.getLong(1) === 2L)
   }
+
+  /** Pure-Scala replay of the exact-integer FastRP recurrence: md5-byte
+    * very-sparse ±1 init of `"id:dim"`, neighbor-sum iterates over the
+    * undirected collapse — pins the distributed plan move-for-move (the
+    * replayBlp device). */
+  private def replayFastRp(edges: Seq[(String, String)], dims: Int,
+                           iterations: Int): Map[String, Seq[Long]] = {
+    val cn = edges.map { case (a, b) =>
+      if (a <= b) (a, b) else (b, a)
+    }.filter(e => e._1 != e._2).distinct
+    val nbrs = cn.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    def bucket(s: String): Int = java.lang.Byte.toUnsignedInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))(0))
+    def init(v: String, j: Int): Long = bucket(s"$v:$j") % 6 match {
+      case 0 => 1L; case 1 => -1L; case _ => 0L
+    }
+    var cur = nbrs.keys.map(v => v -> (0 until dims).map(init(v, _))).toMap
+    val out = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    nbrs.keys.foreach(v => out(v) = Seq.empty)
+    for (_ <- 1 to iterations) {
+      cur = nbrs.map { case (v, ns) =>
+        v -> (0 until dims).map(j => ns.map(u => cur(u)(j)).sum)
+      }
+      cur.foreach { case (v, xs) => out(v) = out(v) ++ xs }
+    }
+    out.toMap
+  }
+
+  test("fastRP: distributed iterates match the pure-Scala md5 replay; deterministic") {
+    val edges = (0L until 30L).flatMap { i =>
+      Seq((s"v$i", s"v${(i * 7 + 3) % 30}"), (s"v$i", s"v${(i + 1) % 30}"))
+    }
+    val e = edges.toDF("src", "dst")
+    val got = GraphAlgorithms.fastRP(e, dims = 3, iterations = 2)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getLong)).toMap
+    val want = replayFastRp(edges, dims = 3, iterations = 2)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, xs) => assert(xs === want(v), s"vertex $v") }
+    // column names carry the (iterate, dim) contract
+    assert(GraphAlgorithms.fastRP(e, dims = 2, iterations = 1).columns.toSeq ===
+      Seq("id", "r1_0", "r1_1"))
+    // deterministic: identical rerun, identical coordinates
+    val again = GraphAlgorithms.fastRP(e, dims = 3, iterations = 2)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getLong)).toMap
+    assert(again === got)
+    // duplicate / reversed / self-loop edges collapse before the recurrence
+    val messy = (edges ++ edges.map(_.swap) ++ Seq(("v0", "v0"))).toDF("src", "dst")
+    val viaMessy = GraphAlgorithms.fastRP(messy, dims = 3, iterations = 2)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getLong)).toMap
+    assert(viaMessy === got)
+    // guards
+    intercept[IllegalArgumentException] { GraphAlgorithms.fastRP(e, dims = 0) }
+    intercept[IllegalArgumentException] { GraphAlgorithms.fastRP(e, iterations = 4) }
+  }
 }
