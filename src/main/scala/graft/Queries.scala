@@ -2312,6 +2312,30 @@ object Queries {
           .orderBy(col("id")),
       Some(fastRpOracleSql(dims = 4, iterations = 2)))),
 
+    // The FastRP embeddings feeding the kNN surface (the reference's
+    // "train embeddings, then ANN-search them" loop with the classical
+    // non-learned embedder): cosine top-5 over the SECOND iterate's
+    // coordinates for three pinned query vertices. Exact-integer
+    // coordinates make the raw ranking key bit-identical cross-engine;
+    // zero-norm vectors drop on both sides. The recurrence output is
+    // checkpointed once — corpus and query sides read the same frame,
+    // not two recomputed recurrences.
+    "alg_fastrp_knn" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = GraphAlgorithms.fastRP(
+            TpchBridge.graph(s, d).edges.select(col("src"), col("dst")),
+            dims = 4, iterations = 2)
+          .select(col("id"),
+            array((0 until 4).map(j => col(s"r2_$j").cast(DoubleType)): _*).as("vec"))
+          .where(Similarity.l2norm(col("vec")) > 0)
+          .localCheckpoint(true)
+        val queries = emb.where(col("id").isin("c1", "s1", "p1"))
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        Similarity.knnCosine(emb, "id", "vec", queries, "qid", "qvec", k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(fastRpKnnOracleSql(dims = 4, k = 5, qids = Seq("c1", "s1", "p1"))))),
+
     // Deterministic snowball sampling of the thinned mod-900 BIGINT
     // graph: seeds = ids ≡ 0 (mod 90), 3 capped hops, ≤4 LCG-ranked
     // neighbors admitted per frontier vertex; result = induced edges.
@@ -6446,7 +6470,7 @@ object Queries {
     * then `iterations` neighbor-sum iterates, each one join + one
     * GROUP BY. Emits every iterate's coordinates as r{t}_{j} columns,
     * matching [[graft.algorithms.GraphAlgorithms.fastRP]]'s flat schema. */
-  private def fastRpOracleSql(dims: Int, iterations: Int): String = {
+  private def fastRpCtes(dims: Int, iterations: Int): String = {
     def initCol(j: Int): String = {
       val m = s"md5(id || ':$j')"
       s"""CASE ${blpBucketSql(m)} % 6
@@ -6459,18 +6483,47 @@ object Queries {
       s"""e$t AS (SELECT nb.u AS id, $sums
          |  FROM nb JOIN e${t - 1} ON e${t - 1}.id = nb.v GROUP BY nb.u)""".stripMargin
     }.mkString(",\n")
-    val outCols = (1 to iterations).flatMap(t =>
-      (0 until dims).map(j => s"e$t.x$j AS r${t}_$j")).mkString(", ")
-    val joins = (2 to iterations).map(t => s"JOIN e$t ON e$t.id = e1.id").mkString(" ")
-    s"""WITH ${TpchBridge.sql.nodes},
+    s"""${TpchBridge.sql.nodes},
        |${TpchBridge.sql.edges},
        |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
        |  FROM edges WHERE src <> dst),
        |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
        |v0 AS (SELECT DISTINCT u AS id FROM nb),
        |e0 AS (SELECT id, ${(0 until dims).map(initCol).mkString(",\n  ")} FROM v0),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def fastRpOracleSql(dims: Int, iterations: Int): String = {
+    val outCols = (1 to iterations).flatMap(t =>
+      (0 until dims).map(j => s"e$t.x$j AS r${t}_$j")).mkString(", ")
+    val joins = (2 to iterations).map(t => s"JOIN e$t ON e$t.id = e1.id").mkString(" ")
+    s"""WITH ${fastRpCtes(dims, iterations)}
        |SELECT e1.id, $outCols FROM e1 $joins ORDER BY e1.id""".stripMargin
+  }
+
+  /** alg_fastrp_knn oracle: cosine top-k over the second FastRP iterate.
+    * The coordinates are small exact integers, so products and 4-term
+    * sums are EXACT in doubles and sqrt/division are correctly-rounded
+    * IEEE — the raw ranking key is bit-identical cross-engine (stronger
+    * than the float-corpus kNN rows). Zero-norm vectors drop on both
+    * sides before ranking. */
+  private def fastRpKnnOracleSql(dims: Int, k: Int, qids: Seq[String]): String = {
+    val sq = (0 until dims).map(j => s"x$j*x$j").mkString(" + ")
+    val dcols = (0 until dims).map(j => s"CAST(x$j AS DOUBLE) AS x$j").mkString(", ")
+    val qcols = (0 until dims).map(j => s"x$j AS q$j").mkString(", ")
+    val dotExpr = (0 until dims).map(j => s"emb.x$j*q.q$j").mkString(" + ")
+    val inList = qids.map(q => s"'$q'").mkString(", ")
+    s"""WITH ${fastRpCtes(dims, 2)},
+       |emb AS (SELECT id, $dcols, sqrt(CAST($sq AS DOUBLE)) AS nrm
+       |  FROM e2 WHERE $sq > 0),
+       |q AS (SELECT id AS qid, $qcols, nrm AS qn FROM emb WHERE id IN ($inList)),
+       |scored AS (SELECT q.qid, emb.id,
+       |    ($dotExpr) / (emb.nrm * q.qn) AS cosine FROM emb CROSS JOIN q),
+       |rk AS (SELECT qid, id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+       |  FROM scored)
+       |SELECT qid, id, CAST(ROUND(cosine, 6) AS DOUBLE) AS cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   /** alg_partition_quality oracle: cut/balance summary over the BLP
