@@ -2299,15 +2299,15 @@ object Queries {
 
     // FastRP node embeddings (CIKM'19) in the exact-integer contract:
     // md5-derived very-sparse ±1 projection (density 1/3), two
-    // neighbor-sum iterates over the FULL bridge graph's undirected
-    // collapse — A·R and A²·R without the per-iterate positive rescale,
-    // so every coordinate is a BIGINT the oracle replays exactly. One
+    // neighbor-sum iterates over the 50k-vertex hash graph's undirected
+    // collapse (the partitioning family's mid-size fixture) — A·R and
+    // A²·R without the per-iterate positive rescale, so every
+    // coordinate is a BIGINT the oracle replays exactly. One
     // edge⋈vertex join + one vertex aggregate per iterate regardless of
     // dims (dimensions are columns, not rows).
     "alg_fastrp" -> ((
       (s: SparkSession, d: String) =>
-        GraphAlgorithms.fastRP(
-          TpchBridge.graph(s, d).edges.select(col("src"), col("dst")),
+        GraphAlgorithms.fastRP(TpchBridge.hashGraphEdges(s, d),
           dims = 4, iterations = 2)
           .orderBy(col("id")),
       Some(fastRpOracleSql(dims = 4, iterations = 2)))),
@@ -2315,26 +2315,25 @@ object Queries {
     // The FastRP embeddings feeding the kNN surface (the reference's
     // "train embeddings, then ANN-search them" loop with the classical
     // non-learned embedder): cosine top-5 over the SECOND iterate's
-    // coordinates for three pinned query vertices. Exact-integer
-    // coordinates make the raw ranking key bit-identical cross-engine;
-    // zero-norm vectors drop on both sides. The recurrence output is
-    // checkpointed once — corpus and query sides read the same frame,
-    // not two recomputed recurrences.
+    // coordinates for the three smallest non-zero-norm vertices.
+    // Exact-integer coordinates make the raw ranking key bit-identical
+    // cross-engine; zero-norm vectors drop on both sides. The
+    // recurrence output is checkpointed once — corpus and query sides
+    // read the same frame, not two recomputed recurrences.
     "alg_fastrp_knn" -> ((
       (s: SparkSession, d: String) => {
-        val emb = GraphAlgorithms.fastRP(
-            TpchBridge.graph(s, d).edges.select(col("src"), col("dst")),
+        val emb = GraphAlgorithms.fastRP(TpchBridge.hashGraphEdges(s, d),
             dims = 4, iterations = 2)
           .select(col("id"),
             array((0 until 4).map(j => col(s"r2_$j").cast(DoubleType)): _*).as("vec"))
           .where(Similarity.l2norm(col("vec")) > 0)
           .localCheckpoint(true)
-        val queries = emb.where(col("id").isin("c1", "s1", "p1"))
+        val queries = emb.orderBy(col("id")).limit(3)
           .select(col("id").as("qid"), col("vec").as("qvec"))
         Similarity.knnCosine(emb, "id", "vec", queries, "qid", "qvec", k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(fastRpKnnOracleSql(dims = 4, k = 5, qids = Seq("c1", "s1", "p1"))))),
+      Some(fastRpKnnOracleSql(dims = 4, k = 5)))),
 
     // Deterministic snowball sampling of the thinned mod-900 BIGINT
     // graph: seeds = ids ≡ 0 (mod 90), 3 capped hops, ≤4 LCG-ranked
@@ -6483,10 +6482,7 @@ object Queries {
       s"""e$t AS (SELECT nb.u AS id, $sums
          |  FROM nb JOIN e${t - 1} ON e${t - 1}.id = nb.v GROUP BY nb.u)""".stripMargin
     }.mkString(",\n")
-    s"""${TpchBridge.sql.nodes},
-       |${TpchBridge.sql.edges},
-       |cn AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
-       |  FROM edges WHERE src <> dst),
+    s"""${blpGraphHash},
        |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
        |v0 AS (SELECT DISTINCT u AS id FROM nb),
        |e0 AS (SELECT id, ${(0 until dims).map(initCol).mkString(",\n  ")} FROM v0),
@@ -6507,16 +6503,15 @@ object Queries {
     * IEEE — the raw ranking key is bit-identical cross-engine (stronger
     * than the float-corpus kNN rows). Zero-norm vectors drop on both
     * sides before ranking. */
-  private def fastRpKnnOracleSql(dims: Int, k: Int, qids: Seq[String]): String = {
+  private def fastRpKnnOracleSql(dims: Int, k: Int): String = {
     val sq = (0 until dims).map(j => s"x$j*x$j").mkString(" + ")
     val dcols = (0 until dims).map(j => s"CAST(x$j AS DOUBLE) AS x$j").mkString(", ")
     val qcols = (0 until dims).map(j => s"x$j AS q$j").mkString(", ")
     val dotExpr = (0 until dims).map(j => s"emb.x$j*q.q$j").mkString(" + ")
-    val inList = qids.map(q => s"'$q'").mkString(", ")
     s"""WITH ${fastRpCtes(dims, 2)},
        |emb AS (SELECT id, $dcols, sqrt(CAST($sq AS DOUBLE)) AS nrm
        |  FROM e2 WHERE $sq > 0),
-       |q AS (SELECT id AS qid, $qcols, nrm AS qn FROM emb WHERE id IN ($inList)),
+       |q AS (SELECT id AS qid, $qcols, nrm AS qn FROM emb ORDER BY id LIMIT 3),
        |scored AS (SELECT q.qid, emb.id,
        |    ($dotExpr) / (emb.nrm * q.qn) AS cosine FROM emb CROSS JOIN q),
        |rk AS (SELECT qid, id, cosine,

@@ -4155,6 +4155,14 @@ object GraphAlgorithms {
       nb.join(hashGated(e.withColumnRenamed("id", "v")), Seq("v"))
         .groupBy(col("u").as("id")).agg(aggs.head, aggs.tail: _*)
     }.drop(1).take(iterations).toSeq
+    // every non-final iterate has TWO consumers — the next iterate and
+    // the output join. Exchange reuse does not cover them (the two
+    // consumers hash the aggregate on different keys, so the shared
+    // subtree ends below a non-matching exchange and the whole
+    // edge-sized join+agg would re-run per consumer — measured 465 s
+    // vs ~half after this persist at a 110M-canonical-edge sf10 probe).
+    // Lazy persist, ContextCleaner reclaims when the frame is GC'd.
+    iterates.dropRight(1).foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
     iterates.zipWithIndex.map { case (e, i) =>
       val t = i + 1
       e.select(col("id") +:

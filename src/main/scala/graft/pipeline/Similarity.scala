@@ -107,8 +107,19 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("vec"), col("qvec")) / (col("cn") * col("qn")))
       .where(col("cosine").isNotNull) // zero-norm or empty vectors score nothing
+    // Two-phase top-k: a single per-qid window would sort the WHOLE
+    // scored set inside #queries partitions (measured: a 56M-row scored
+    // frame funneled into 3 partitions at an 18.6M-vertex sf10 probe).
+    // Phase 1 keeps k per (qid, salt) bucket — 32-way parallel, each
+    // bucket's local top-k provably contains every global top-k member
+    // that hashed into it — phase 2 ranks the ≤ 32·k survivors per qid.
+    val salted = Window.partitionBy("qid", "salt")
+      .orderBy(col("cosine").desc, col("id").asc)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("salt", pmod(xxhash64(col("id")), lit(32)))
+      .withColumn("lrank", row_number().over(salted))
+      .where(col("lrank") <= k)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
