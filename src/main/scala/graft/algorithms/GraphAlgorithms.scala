@@ -2785,6 +2785,13 @@ object GraphAlgorithms {
           Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
     }
+    // NOT persisted: a lazy persist of the final auth (the fastRP
+    // shared-iterate fix — the output join's sides both contain the
+    // auth recurrence) measured 92.0 → 223.6 s at the sf10 solo A/B.
+    // Unlike fastRP's chain, the recurrence's identical per-step
+    // subtrees already dedupe through reused exchanges, and the
+    // InMemoryRelation boundary broke that reuse for the whole chain —
+    // composition, not caching, is this plan's sharing mechanism.
     hub.join(auth, Seq("id"))
   }
 
