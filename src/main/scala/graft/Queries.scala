@@ -913,6 +913,25 @@ object Queries {
       Some(blpOracleSql(rounds = 3, parts = 4, slackPct = 10,
         graphCtes = blpGraphHash)))),
 
+    // FastRP through the CALL surface on the same hash-graph fixture —
+    // the embed verb next to graft.partition/graft.knn, yielding the
+    // exact-integer iterate columns.
+    "cy_call_fastrp" -> ((
+      (s: SparkSession, d: String) => {
+        val he = TpchBridge.hashGraphEdges(s, d)
+        val nodes = he.select(col("src").as("id"))
+          .unionByName(he.select(col("dst").as("id"))).distinct()
+          .select(col("id"), lit("Hash").as("label"))
+        val g = graft.model.PropertyGraph(nodes,
+          graft.model.PropertyGraph.withEid(he.select(col("src"), col("dst"),
+            lit("LINKS").as("type"), map().as("properties"))),
+          isDirected = true)
+        Cypher.run(g, "CALL graft.fastrp(4, 2) " +
+          "YIELD id, r1_0, r1_1, r1_2, r1_3, r2_0, r2_1, r2_2, r2_3 " +
+          "RETURN id, r1_0, r1_1, r1_2, r1_3, r2_0, r2_1, r2_2, r2_3 ORDER BY id")
+      },
+      Some(fastRpOracleSql(dims = 4, iterations = 2)))),
+
     // Whole-graph summary statistics through the CALL surface:
     // reciprocity of the directed bridge edges (structurally 0 — the
     // typed layers never reverse, which the oracle computes rather than

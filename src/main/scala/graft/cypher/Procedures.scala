@@ -136,6 +136,15 @@ object Procedures {
   register("graft.clusteringcoefficients", (g, _) =>
     GraphAlgorithms.clusteringCoefficients(g.edges))
 
+  /** Parity-plus node embeddings: CALL graft.fastrp([dims[, iterations]])
+    * — exact-integer FastRP iterates over the graph's undirected
+    * collapse, (id, r1_0.., r2_0..). See [[GraphAlgorithms.fastRP]]. */
+  register("graft.fastrp", (g, args) => {
+    val dims = args.headOption.map(num(_, "dims").toInt).getOrElse(4)
+    val iters = args.lift(1).map(num(_, "iterations").toInt).getOrElse(2)
+    GraphAlgorithms.fastRP(g.edges.select(col("src"), col("dst")), dims, iters)
+  })
+
   /** GraphX connected components — (id, component). */
   register("graft.connectedcomponents", (g, _) =>
     graft.algorithms.GraphXAlgorithms.connectedComponents(g))
