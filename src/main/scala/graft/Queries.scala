@@ -2331,6 +2331,23 @@ object Queries {
           .orderBy(col("id")),
       Some(fastRpOracleSql(dims = 4, iterations = 2)))),
 
+    // Weighted FastRP (the balancedPartition weighted-form convention):
+    // the neighbor sum becomes Σ w·N(u) with the deterministic
+    // (src+dst) % 7 + 1 weight — exact BIGINT coordinates throughout,
+    // the oracle threads the same weight through both orientations.
+    "alg_fastrp_weighted" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = TpchBridge.hashGraphEdges(s, d)
+          .select(col("src"), col("dst"),
+            (pmod(col("src").cast(LongType) + col("dst").cast(LongType),
+              lit(7)) + 1).as("weight"))
+        GraphAlgorithms.fastRP(eb, dims = 4, iterations = 2,
+          edgeWeightCol = Some("weight"))
+          .orderBy(col("id"))
+      },
+      Some(fastRpOracleSql(dims = 4, iterations = 2, weightExpr =
+        Some("(CAST(s AS BIGINT) + CAST(d AS BIGINT)) % 7 + 1"))))),
+
     // The FastRP embeddings feeding the kNN surface (the reference's
     // "train embeddings, then ANN-search them" loop with the classical
     // non-learned embedder): cosine top-5 over the SECOND iterate's
@@ -6488,31 +6505,37 @@ object Queries {
     * then `iterations` neighbor-sum iterates, each one join + one
     * GROUP BY. Emits every iterate's coordinates as r{t}_{j} columns,
     * matching [[graft.algorithms.GraphAlgorithms.fastRP]]'s flat schema. */
-  private def fastRpCtes(dims: Int, iterations: Int): String = {
+  private def fastRpCtes(dims: Int, iterations: Int,
+                         weightExpr: Option[String] = None): String = {
     def initCol(j: Int): String = {
       val m = s"md5(id || ':$j')"
       s"""CASE ${blpBucketSql(m)} % 6
          |    WHEN 0 THEN CAST(1 AS BIGINT) WHEN 1 THEN CAST(-1 AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS x$j""".stripMargin
     }
+    // weightExpr (in terms of the canonical s/d) turns the neighbor sum
+    // into Σ w·x — the weighted recurrence's oracle form
+    val w = weightExpr.fold("CAST(1 AS BIGINT)")(e => s"CAST($e AS BIGINT)")
     val sums = (0 until dims)
-      .map(j => s"CAST(SUM(x$j) AS BIGINT) AS x$j").mkString(", ")
+      .map(j => s"CAST(SUM(nb.w * x$j) AS BIGINT) AS x$j").mkString(", ")
     val iterCtes = (1 to iterations).map { t =>
       s"""e$t AS (SELECT nb.u AS id, $sums
          |  FROM nb JOIN e${t - 1} ON e${t - 1}.id = nb.v GROUP BY nb.u)""".stripMargin
     }.mkString(",\n")
     s"""${blpGraphHash},
-       |nb AS MATERIALIZED (SELECT s AS u, d AS v FROM cn UNION ALL SELECT d, s FROM cn),
+       |nb AS MATERIALIZED (SELECT s AS u, d AS v, $w AS w FROM cn
+       |  UNION ALL SELECT d, s, $w FROM cn),
        |v0 AS (SELECT DISTINCT u AS id FROM nb),
        |e0 AS (SELECT id, ${(0 until dims).map(initCol).mkString(",\n  ")} FROM v0),
        |$iterCtes""".stripMargin
   }
 
-  private def fastRpOracleSql(dims: Int, iterations: Int): String = {
+  private def fastRpOracleSql(dims: Int, iterations: Int,
+                              weightExpr: Option[String] = None): String = {
     val outCols = (1 to iterations).flatMap(t =>
       (0 until dims).map(j => s"e$t.x$j AS r${t}_$j")).mkString(", ")
     val joins = (2 to iterations).map(t => s"JOIN e$t ON e$t.id = e1.id").mkString(" ")
-    s"""WITH ${fastRpCtes(dims, iterations)}
+    s"""WITH ${fastRpCtes(dims, iterations, weightExpr)}
        |SELECT e1.id, $outCols FROM e1 $joins ORDER BY e1.id""".stripMargin
   }
 

@@ -4136,16 +4136,29 @@ object GraphAlgorithms {
    * vertex-sized (dims as columns, so dims never multiplies the row
    * count), hash-hinted under the [[hits]] gate. The whole recurrence
    * composes lazily like [[pageRank]] — consume once or persist first.
+   *
+   * `edgeWeightCol` (the [[balancedPartition]] weighted form): the
+   * neighbor sum becomes Σ w(u,v)·N(u) — parallel weighted edges merge
+   * additively, weights cast to BIGINT so coordinates stay exact.
    */
-  def fastRP(edges: DataFrame, dims: Int = 4, iterations: Int = 2): DataFrame = {
+  def fastRP(edges: DataFrame, dims: Int = 4, iterations: Int = 2,
+             edgeWeightCol: Option[String] = None): DataFrame = {
     require(dims >= 1 && dims <= 64, s"dims must be in [1, 64]: $dims")
     require(iterations >= 1 && iterations <= 3,
       s"iterations must be in [1, 3] (integer coords grow like deg^t): $iterations")
-    val cn = PropertyGraph.canonicalUndirected(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cn = (edgeWeightCol match {
+      case None => PropertyGraph.canonicalUndirected(edges)
+        .select(col("src"), col("dst"), lit(1L).as("__w"))
+      case Some(wc) => edges
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"),
+          col(wc).cast("long").as("__w"))
+        .where(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(sum(col("__w")).as("__w"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     cn.count()
-    val nb = cn.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(cn.select(col("dst").as("u"), col("src").as("v")))
+    val nb = cn.select(col("src").as("u"), col("dst").as("v"), col("__w"))
+      .unionByName(cn.select(col("dst").as("u"), col("src").as("v"), col("__w")))
     val verts = nb.select(col("u").as("id")).distinct().localCheckpoint(true)
     val nV = verts.count()
     val hashGated: DataFrame => DataFrame =
@@ -4157,7 +4170,7 @@ object GraphAlgorithms {
         .when(pmod(bucket(j), lit(6)) === 1, lit(-1L))
         .otherwise(lit(0L)).as(s"x$j")
     }: _*)
-    val aggs = (0 until dims).map(j => sum(col(s"x$j")).as(s"x$j"))
+    val aggs = (0 until dims).map(j => sum(col("__w") * col(s"x$j")).as(s"x$j"))
     val iterates = Iterator.iterate(init) { e =>
       nb.join(hashGated(e.withColumnRenamed("id", "v")), Seq("v"))
         .groupBy(col("u").as("id")).agg(aggs.head, aggs.tail: _*)

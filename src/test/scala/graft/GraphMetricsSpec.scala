@@ -524,7 +524,9 @@ class GraphMetricsSpec extends SparkSpec {
     * undirected collapse — pins the distributed plan move-for-move (the
     * replayBlp device). */
   private def replayFastRp(edges: Seq[(String, String)], dims: Int,
-                           iterations: Int): Map[String, Seq[Long]] = {
+                           iterations: Int,
+                           weight: (String, String) => Long = (_, _) => 1L)
+      : Map[String, Seq[Long]] = {
     val cn = edges.map { case (a, b) =>
       if (a <= b) (a, b) else (b, a)
     }.filter(e => e._1 != e._2).distinct
@@ -541,7 +543,7 @@ class GraphMetricsSpec extends SparkSpec {
     nbrs.keys.foreach(v => out(v) = Seq.empty)
     for (_ <- 1 to iterations) {
       cur = nbrs.map { case (v, ns) =>
-        v -> (0 until dims).map(j => ns.map(u => cur(u)(j)).sum)
+        v -> (0 until dims).map(j => ns.map(u => weight(v, u) * cur(u)(j)).sum)
       }
       cur.foreach { case (v, xs) => out(v) = out(v) ++ xs }
     }
@@ -573,5 +575,45 @@ class GraphMetricsSpec extends SparkSpec {
     // guards
     intercept[IllegalArgumentException] { GraphAlgorithms.fastRP(e, dims = 0) }
     intercept[IllegalArgumentException] { GraphAlgorithms.fastRP(e, iterations = 4) }
+  }
+
+  test("fastRP weighted form: Σ w·x recurrence, parallel weights merge additively") {
+    val edges = (0L until 24L).flatMap { i =>
+      Seq((s"v$i", s"v${(i * 5 + 2) % 24}"), (s"v$i", s"v${(i + 1) % 24}"))
+    }
+    // deterministic per-pair weight on the CANONICAL orientation
+    def wOf(a: String, b: String): Long = {
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      (lo.drop(1).toLong + hi.drop(1).toLong) % 7 + 1
+    }
+    val e = edges.toDF("src", "dst")
+      .selectExpr("src", "dst",
+        "(CAST(substr(src, 2) AS BIGINT) + CAST(substr(dst, 2) AS BIGINT)) % 7 + 1 AS w")
+      // dedup like hashGraphEdges does, so the weight is per-pair
+      .selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst", "w")
+      .distinct()
+    val got = GraphAlgorithms.fastRP(e, dims = 3, iterations = 2,
+        edgeWeightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getLong)).toMap
+    val want = replayFastRp(edges, dims = 3, iterations = 2, weight = wOf)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, xs) => assert(xs === want(v), s"vertex $v") }
+    // weight ≡ 1 is exactly the unweighted recurrence
+    val ones = e.withColumn("one", lit(1L))
+    assert(GraphAlgorithms.fastRP(ones, dims = 3, iterations = 2,
+        edgeWeightCol = Some("one"))
+      .orderBy("id").collect().toSeq ===
+      GraphAlgorithms.fastRP(e, dims = 3, iterations = 2).orderBy("id").collect().toSeq)
+    // a duplicated weighted edge merges additively: same pair listed
+    // twice at w=1 equals once at w=2
+    val dup = e.limit(1).withColumn("w", lit(1L))
+    val merged = GraphAlgorithms.fastRP(
+      e.limit(1).withColumn("w", lit(1L)).unionByName(dup),
+      dims = 3, iterations = 1, edgeWeightCol = Some("w"))
+    val doubled = GraphAlgorithms.fastRP(
+      e.limit(1).withColumn("w", lit(2L)),
+      dims = 3, iterations = 1, edgeWeightCol = Some("w"))
+    assert(merged.orderBy("id").collect().toSeq ===
+      doubled.orderBy("id").collect().toSeq)
   }
 }
