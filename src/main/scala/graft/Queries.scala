@@ -4770,6 +4770,46 @@ object Queries {
              |FROM (SELECT 'nation/' || n_name AS n FROM nation)
              |ORDER BY n""".stripMargin))),
 
+    // §17.4.5 datetime accessors + §17.4.1.8 sameTerm, over LEXICAL
+    // xsd:dateTime forms (this term model keeps lexical strings — the
+    // accessors parse the form, and a non-datetime operand is a type
+    // error = unbound). The fixture constructs order/N ->
+    // "YYYY-MM-DDTHH:45:07.25<tz>" with a key-derived hour and a
+    // 3-cycle timezone; the ORACLE derives every field independently
+    // from the timestamp column (EXTRACT + key arithmetic), not by
+    // replaying the regexes. sameTerm(TZ(?d), "Z") is STRICT equality
+    // (no numeric coercion), filtering to the key % 3 = 0 cycle.
+    "sparql_datetime_fns" -> ((
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val tzc = when(pmod(col("o_orderkey"), lit(3)) === 0, lit("Z"))
+          .when(pmod(col("o_orderkey"), lit(3)) === 1, lit("+05:30"))
+          .otherwise(lit(""))
+        val dt = concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T"),
+          lpad(pmod(col("o_orderkey"), lit(24)).cast(StringType), 2, "0"),
+          lit(":45:07.25"), tzc)
+        val triples = o.select(concat(lit("order/"), col("o_orderkey")).as("s"),
+          lit("orderedOn").as("p"), dt.as("o"))
+        graft.sparql.Sparql.run(triples,
+          """SELECT ?o ?y ?m ?day ?h ?min ?sec ?tz WHERE {
+            |  ?o <orderedOn> ?d .
+            |  BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) BIND(DAY(?d) AS ?day)
+            |  BIND(HOURS(?d) AS ?h) BIND(MINUTES(?d) AS ?min)
+            |  BIND(SECONDS(?d) AS ?sec) BIND(TZ(?d) AS ?tz)
+            |  FILTER(YEAR(?d) = 1996 && sameTerm(TZ(?d), "Z"))
+            |} ORDER BY ?o LIMIT 150""".stripMargin)
+      },
+      Some("""SELECT 'order/' || o_orderkey AS o,
+             |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+             |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+             |  CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS day,
+             |  CAST(o_orderkey % 24 AS INTEGER) AS h,
+             |  CAST(45 AS INTEGER) AS min, CAST(7.25 AS DOUBLE) AS sec,
+             |  'Z' AS tz
+             |FROM orders
+             |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND o_orderkey % 3 = 0
+             |ORDER BY o LIMIT 150""".stripMargin))),
+
     // §9.1 negated property set COMPOSED with §18.4 Kleene: (!(…))*
     // walks the COMPLEMENT edge set from a constant seed (BFS regime).
     // Excluding segment/bigspender/suppliesFrom/rdf:type leaves

@@ -420,16 +420,18 @@ object Sparql {
     val exprFns = Set("CONCAT", "STR", "STRLEN", "UCASE", "LCASE",
       "SUBSTR", "REPLACE", "COALESCE", "STRBEFORE", "STRAFTER",
       "ABS", "ROUND", "CEIL", "FLOOR", "BNODE",
-      "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI")
+      "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI",
+      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "IRI", "URI")
     val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
-      "ISNUMERIC")
+      "ISNUMERIC", "SAMETERM")
 
     /** Does the expression carry the numeric (double) view? Drives the
       * comparison coercion exactly as bare numeric literals always have. */
     def isNumericExpr(e: SExpr): Boolean = e match {
       case ETerm(t) => numericLit(t)
       case EArith(_, _, _) => true
-      case EFn("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) => true
+      case EFn("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR" |
+               "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS", _) => true
       case EIf(_, a, b) => isNumericExpr(a) || isNumericExpr(b)
       case _ => false
     }
@@ -472,6 +474,8 @@ object Sparql {
             case "REPLACE" => args.size == 3
             case "STRBEFORE" | "STRAFTER" => args.size == 2
             case "BNODE" => args.size <= 1
+            case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" |
+                 "SECONDS" | "TZ" | "IRI" | "URI" => args.size == 1
           }
           require(arity(fn), s"wrong number of arguments for $fn")
           EFn(fn, args)
@@ -1859,6 +1863,32 @@ object Sparql {
         case "ROUND" => round(arg(0).try_cast("double"), 0)
         case "CEIL" => ceil(arg(0).try_cast("double")).cast("double")
         case "FLOOR" => floor(arg(0).try_cast("double")).cast("double")
+        // §17.4.5 datetime accessors, LEXICAL over the xsd:date /
+        // xsd:dateTime form (this engine's term model keeps lexical
+        // strings — GraphSources.parseRdfTriples drops typed qualifiers
+        // exactly like the reference). A non-matching operand yields
+        // null = unbound, the spec's type-error propagation; the
+        // regexp_extract → try_cast pipeline replays verbatim in any
+        // SQL engine.
+        case "YEAR" => regexp_extract(arg(0), "^(-?\\d{4,})-", 1).try_cast("int")
+        case "MONTH" => regexp_extract(arg(0), "^-?\\d{4,}-(\\d{2})-", 1).try_cast("int")
+        case "DAY" =>
+          regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-(\\d{2})", 1).try_cast("int")
+        case "HOURS" => regexp_extract(arg(0), "T(\\d{2}):", 1).try_cast("int")
+        case "MINUTES" => regexp_extract(arg(0), "T\\d{2}:(\\d{2}):", 1).try_cast("int")
+        // SECONDS is xsd:decimal — fractional seconds survive
+        case "SECONDS" =>
+          regexp_extract(arg(0), "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
+            .try_cast("double")
+        // TZ (§17.4.5.8): "Z", "±HH:MM", or "" when no timezone — but a
+        // non-datetime operand is still a type error (unbound)
+        case "TZ" =>
+          when(regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-\\d{2}", 0) === "",
+            lit(null).cast("string"))
+            .otherwise(regexp_extract(arg(0), "(Z|[+-]\\d{2}:\\d{2})$", 1))
+        // IRI/URI (§17.4.2.1): in a lexical term model the IRI IS its
+        // string form — STR's inverse is the identity
+        case "IRI" | "URI" => arg(0).cast("string")
       }
     case EIf(c, t1, t2) =>
       // §17.4.1.2: a type-error (null) condition propagates — the alias
@@ -1917,6 +1947,11 @@ object Sparql {
       // binding carry the numeric view? (unbound → false, not error)
       case "ISNUMERIC" =>
         compileExpr(args.head, resolve).try_cast("double").isNotNull
+      // §17.4.1.8 sameTerm: STRICT term identity — no numeric coercion,
+      // unlike `=` which compares "01" = "1" true through the numeric
+      // view. In the lexical term model this is exact string equality.
+      case "SAMETERM" =>
+        compileExpr(args(0), resolve) === compileExpr(args(1), resolve)
     }
     // [NOT] IN over a constant list; on a null (unbound/error) operand
     // both forms yield null → the solution drops, the SPARQL

@@ -598,4 +598,42 @@ class SparqlCompatSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).distinct.length === 2)
     assert(rows.map(_.getString(3)).distinct.length === 2)
   }
+
+  test("§17.4.5 datetime accessors: lexical parse, TZ forms, type-error → unbound") {
+    val t = triples(
+      ("a", "at", "1996-03-07T09:45:07.25Z"),
+      ("b", "at", "2001-11-30T23:05:59+05:30"),
+      ("c", "at", "1999-01-02"),        // date only: time accessors unbound, TZ ""
+      ("d", "at", "not-a-date"))        // type error: everything unbound
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s ?y ?m ?day ?h ?min ?sec ?tz WHERE {
+        |  ?s <at> ?d .
+        |  BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) BIND(DAY(?d) AS ?day)
+        |  BIND(HOURS(?d) AS ?h) BIND(MINUTES(?d) AS ?min)
+        |  BIND(SECONDS(?d) AS ?sec) BIND(TZ(?d) AS ?tz)
+        |} ORDER BY ?s""".stripMargin)) ===
+      Seq("a,1996,3,7,9,45,7.25,Z",
+        "b,2001,11,30,23,5,59.0,+05:30",
+        "c,1999,1,2,∅,∅,∅,",
+        "d,∅,∅,∅,∅,∅,∅,∅"))
+    // accessors carry the numeric view: FILTER compares numerically
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <at> ?d . FILTER(YEAR(?d) < 2000) } ORDER BY ?s"))
+      === Seq("a", "c"))
+  }
+
+  test("sameTerm is strict term identity; IRI/URI are the lexical identity") {
+    val t = triples(("a", "k", "1"), ("b", "k", "01"), ("c", "k", "2"))
+    // `=` coerces through the numeric view: "1" = "01" numerically
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s WHERE { ?s <k> ?v . FILTER(?v = 01) } ORDER BY ?s"""))
+      === Seq("a", "b"))
+    // sameTerm does not coerce: only the exact lexical form matches
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s WHERE { ?s <k> ?v . FILTER(sameTerm(?v, "1")) } ORDER BY ?s"""))
+      === Seq("a"))
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?u WHERE { ?s <k> ?v . FILTER(sameTerm(?v, "2")) BIND(IRI(?s) AS ?u) }"""))
+      === Seq("c"))
+  }
 }
