@@ -1076,6 +1076,102 @@ object Queries {
              |('m2', CAST(NULL AS VARCHAR), 'created')) AS t(id, name, status)
              |ORDER BY id""".stripMargin))),
 
+    // Standalone SET exercise (constant + expression values in one comma
+    // list, `Cypher.applySet`): matched customers gain both keys, the
+    // rest read back NULL. The oracle replays the mutation as CASE
+    // projections over the base table.
+    "cy_set_props" -> ((
+      (s: SparkSession, d: String) => {
+        val (g2, _) = Cypher.execute(TpchBridge.graph(s, d),
+          "MATCH (c:Customer) WHERE c.acctbal > 9000 " +
+            "SET c.tier = 'gold', c.seg2 = toLower(c.mktsegment)")
+        Cypher.run(g2,
+          "MATCH (m:Customer) RETURN m.id AS id, m.tier AS tier, m.seg2 AS seg2 ORDER BY id")
+      },
+      Some("""SELECT 'c' || c_custkey AS id,
+             |  CASE WHEN c_acctbal > 9000 THEN 'gold' END AS tier,
+             |  CASE WHEN c_acctbal > 9000 THEN lower(c_mktsegment) END AS seg2
+             |FROM customer ORDER BY id""".stripMargin))),
+
+    // Standalone REMOVE exercise (`Cypher.applyRemove` = SET-to-NULL key
+    // drop): the matched customers' mktsegment key vanishes (reads back
+    // NULL), everyone else keeps theirs.
+    "cy_remove_prop" -> ((
+      (s: SparkSession, d: String) => {
+        val (g2, _) = Cypher.execute(TpchBridge.graph(s, d),
+          "MATCH (c:Customer) WHERE c.acctbal < 0 REMOVE c.mktsegment")
+        Cypher.run(g2,
+          "MATCH (m:Customer) RETURN m.id AS id, m.mktsegment AS seg ORDER BY id")
+      },
+      Some("""SELECT 'c' || c_custkey AS id,
+             |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+             |FROM customer ORDER BY id""".stripMargin))),
+
+    // Standalone DETACH DELETE cascade (`Cypher.applyDelete`): dropping
+    // every Supplier removes the nodes AND their incident edges
+    // (SUPPLIES + supplier FROM); the readback groups the surviving
+    // edges by source label and type, so a missed cascade (orphan edge)
+    // or an over-delete both break the row. The plain-DELETE refusal
+    // guard is spec-asserted (CypherSpec "snapshot semantics").
+    "cy_delete_detach" -> ((
+      (s: SparkSession, d: String) => {
+        val (g2, _) = Cypher.execute(TpchBridge.graph(s, d),
+          "MATCH (x:Supplier) DETACH DELETE x")
+        Cypher.run(g2,
+          "MATCH (a)-[r]->(b) RETURN a.label AS src_lbl, type(r) AS typ, " +
+            "count(r) AS m ORDER BY src_lbl, typ")
+      },
+      Some(bridgeSql(
+        """, sup AS (SELECT id FROM nodes WHERE label = 'Supplier')
+          |SELECT n.label AS src_lbl, e.type AS typ, COUNT(*) AS m
+          |FROM edges e JOIN nodes n ON n.id = e.src
+          |WHERE e.src NOT IN (SELECT id FROM sup)
+          |  AND e.dst NOT IN (SELECT id FROM sup)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))),
+
+    // Relationship DELETE by eid: every PLACED edge to a finished order
+    // goes; each order has exactly one PLACED edge, so the survivor
+    // count is the non-'F' order count.
+    "cy_delete_rel" -> ((
+      (s: SparkSession, d: String) => {
+        val (g2, _) = Cypher.execute(TpchBridge.graph(s, d),
+          "MATCH (c:Customer)-[r:PLACED]->(o:Order) WHERE o.status = 'F' DELETE r")
+        Cypher.run(g2,
+          "MATCH (:Customer)-[r:PLACED]->(:Order) RETURN count(r) AS remaining")
+      },
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS remaining FROM orders " +
+        "WHERE o_orderstatus <> 'F'"))),
+
+    // Reference frontend `lst` through the CALL surface: the catalog
+    // listing row per registered graph, counts served from the graphs'
+    // cached catalog stats (the metadb analogue). Two deterministic
+    // registrations are listed; the oracle recomputes their vertex/edge
+    // counts from the base tables.
+    "cy_call_lst" -> ((
+      (s: SparkSession, d: String) => {
+        graft.model.GraphCatalog.register("lst_bridge", TpchBridge.graph(s, d))
+        graft.model.GraphCatalog.register("lst_sn", TpchBridge.undirectedGraph(s, d))
+        Cypher.run(TpchBridge.graph(s, d),
+          "CALL graft.lst() YIELD name, vcnt, ecnt, is_directed " +
+            "RETURN name, vcnt, ecnt, is_directed ORDER BY name")
+          .where(col("name").isin("lst_bridge", "lst_sn"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lst_bridge' AS name,
+             |    CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+             |      + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM orders)
+             |      + (SELECT COUNT(*) FROM nation) AS BIGINT) AS vcnt,
+             |    CAST((SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM lineitem)
+             |      + (SELECT COUNT(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+             |      + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ecnt,
+             |    TRUE AS is_directed
+             |  UNION ALL
+             |  SELECT 'lst_sn',
+             |    CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) AS BIGINT),
+             |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+             |    FALSE
+             |) ORDER BY name""".stripMargin))),
+
     // Correlated (lateral) CALL after a binding clause — compiled as an
     // equi-join on the bound node's id, not a per-row re-invocation.
     "cy_call_lateral" -> ((
@@ -2315,6 +2411,49 @@ object Queries {
           numParts = Some(4))
       },
       Some(blpQualityOracleSql(rounds = 3, parts = 4, slackPct = 10)))),
+
+    // The reference's streaming placement stage (`Partitioner.cpp:28-43`)
+    // in its HASH dispatch — the one mode whose placements are
+    // order-independent and so exactly SQL-replayable (LDG/Fennel
+    // placements depend on every earlier placement; their deterministic
+    // replays are pure-Scala spec assertions in StreamingSpec, SURVEY
+    // §8). Feeds the thinned mod-900 graph edge-by-edge through the
+    // driver-side sequential fold (the reference's own regime) and
+    // declares the per-partition stats() surface: vertices by
+    // floorMod(id, k) and edge cuts counted on BOTH sides, exactly
+    // `addToEdgeCuts`. Self-loops place the vertex but never cut.
+    "alg_partition_stream" -> ((
+      (s: SparkSession, d: String) => {
+        val eb = t(s, d, "lineitem")
+          .where(pmod(col("l_orderkey") * 31 + col("l_partkey"), lit(97)) === 0)
+          .select(pmod(col("l_orderkey"), lit(900)).cast(StringType).as("src"),
+            pmod(col("l_partkey"), lit(900)).cast(StringType).as("dst"))
+          .orderBy(col("src"), col("dst"))
+        val p = new graft.streaming.StreamingPartitioner(k = 4, mode = "hash")
+        p.addBatch(eb)
+        p.stats(s).orderBy(col("partition"))
+      },
+      Some("""WITH eb AS (SELECT CAST(l_orderkey % 900 AS VARCHAR) AS src,
+             |    CAST(l_partkey % 900 AS VARCHAR) AS dst
+             |  FROM lineitem WHERE (l_orderkey * 31 + l_partkey) % 97 = 0),
+             |v AS (SELECT DISTINCT id FROM
+             |  (SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)),
+             |vp AS (SELECT CAST(id AS BIGINT) % 4 AS p, COUNT(*) AS vertices
+             |  FROM v GROUP BY 1),
+             |cut_sides AS (
+             |  SELECT CAST(src AS BIGINT) % 4 AS p FROM eb
+             |  WHERE CAST(src AS BIGINT) % 4 <> CAST(dst AS BIGINT) % 4
+             |  UNION ALL
+             |  SELECT CAST(dst AS BIGINT) % 4 FROM eb
+             |  WHERE CAST(src AS BIGINT) % 4 <> CAST(dst AS BIGINT) % 4),
+             |cuts AS (SELECT p, COUNT(*) AS edge_cuts FROM cut_sides GROUP BY 1),
+             |parts AS (SELECT unnest(range(4)) AS p)
+             |SELECT CAST(parts.p AS INTEGER) AS "partition",
+             |  CAST(COALESCE(vp.vertices, 0) AS BIGINT) AS vertices,
+             |  CAST(COALESCE(cuts.edge_cuts, 0) AS BIGINT) AS edge_cuts
+             |FROM parts LEFT JOIN vp ON vp.p = parts.p
+             |LEFT JOIN cuts ON cuts.p = parts.p
+             |ORDER BY 1""".stripMargin))),
 
     // FastRP node embeddings (CIKM'19) in the exact-integer contract:
     // md5-derived very-sparse ±1 projection (density 1/3), two
@@ -7371,8 +7510,10 @@ object Queries {
        |FROM pairs JOIN cn USING (center) JOIN cx USING (context) CROSS JOIN tot
        |ORDER BY center, context""".stripMargin
 
-  /** kg_construct oracle: replay chunk → first-match 3-group regex →
-    * triple dedup → edge projection. Same leftmost-first regex semantics
+  /** kg_construct oracle: replay chunk → ALL-matches 3-group regex →
+    * triple dedup → edge projection. Parallel unnest of the per-group
+    * regexp_extract_all arrays zips positionally (equal lengths by
+    * construction); leftmost-first non-overlapping matching is the same
     * in Java regex and RE2 for this alternation-of-literals pattern. */
   private def kgConstructOracleSql: String = {
     val pat = graft.pipeline.KgConstruction.lexiconPattern
@@ -7380,9 +7521,9 @@ object Queries {
        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS chunk FROM documents),
        |nz AS (SELECT doc_id, chunk FROM chunks WHERE length(trim(chunk)) > 0),
        |ext AS (
-       |  SELECT regexp_extract(chunk, '$pat', 1) AS subj,
-       |         regexp_extract(chunk, '$pat', 2) AS rel,
-       |         regexp_extract(chunk, '$pat', 3) AS obj
+       |  SELECT unnest(regexp_extract_all(chunk, '$pat', 1)) AS subj,
+       |         unnest(regexp_extract_all(chunk, '$pat', 2)) AS rel,
+       |         unnest(regexp_extract_all(chunk, '$pat', 3)) AS obj
        |  FROM nz),
        |t AS (SELECT DISTINCT subj, rel, obj FROM ext
        |      WHERE subj <> '' AND rel <> '' AND obj <> '')

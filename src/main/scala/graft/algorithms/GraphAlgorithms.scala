@@ -4152,7 +4152,17 @@ object GraphAlgorithms {
       case Some(wc) => edges
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"),
-          col(wc).cast("long").as("__w"))
+          // exact-integer contract guard: a NULL weight would propagate
+          // to NULL coordinates and a fractional one silently truncates
+          // under cast("long") — both violate the scaladoc's exactness
+          // promise, so validate in-plan; the guard fires at the eager
+          // canonicalization count below (i.e. at the fastRP call itself)
+          when(col(wc).cast("double").isNull, raise_error(lit(
+            s"fastRP: NULL or non-numeric edge weight in '$wc' — weights must be non-null integers")))
+            .when(col(wc).cast("double") =!= col(wc).cast("long").cast("double"),
+              raise_error(lit(
+                s"fastRP: non-integral edge weight in '$wc' would break the exact-integer contract")))
+            .otherwise(col(wc).cast("long")).as("__w"))
         .where(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(sum(col("__w")).as("__w"))
     }).persist(StorageLevel.MEMORY_AND_DISK)

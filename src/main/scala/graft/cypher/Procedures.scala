@@ -142,7 +142,15 @@ object Procedures {
   register("graft.fastrp", (g, args) => {
     val dims = args.headOption.map(num(_, "dims").toInt).getOrElse(4)
     val iters = args.lift(1).map(num(_, "iterations").toInt).getOrElse(2)
-    GraphAlgorithms.fastRP(g.edges.select(col("src"), col("dst")), dims, iters)
+    val emb = GraphAlgorithms.fastRP(g.edges.select(col("src"), col("dst")), dims, iters)
+    // isolated nodes of the property graph carry every iterate as the
+    // zero neighbor sum — union them in so the CALL surface covers the
+    // whole node set, like graft.degree
+    val coords = emb.columns.filter(_ != "id")
+    val isolated = g.nodes.select(col("id"))
+      .join(emb.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id") +: coords.map(c => lit(0L).as(c)): _*)
+    emb.unionByName(isolated)
   })
 
   /** GraphX connected components — (id, component). */
@@ -337,6 +345,11 @@ object Procedures {
     import spark.implicits._
     graft.model.GraphCatalog.kafkaTopics.toDF("topic")
   })
+
+  /** Reference frontend `lst`: the catalog listing —
+    * (name, vcnt, ecnt, is_directed) per registered graph. */
+  register("graft.lst", (g, _) =>
+    graft.model.GraphCatalog.lst(g.nodes.sparkSession))
 
   // everything registered above is a protected built-in; registrations
   // from here on are user procedures

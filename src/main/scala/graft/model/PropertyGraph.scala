@@ -136,6 +136,18 @@ object GraphCatalog {
   def list: Seq[String] = graphs.keys.toSeq.sorted
   def sourcePath(name: String): Option[String] = sources.get(name)
 
+  /** `lst` frontend verb: one row per registered graph —
+    * (name, vcnt, ecnt, is_directed) — served from the catalog exactly
+    * like the reference's metadb listing (`JasmineGraphFrontEnd.cpp`
+    * `lst`: `SELECT idgraph, name, upload_path, graph_status_idgraph_status
+    * FROM graph`); counts come from the graphs' cached catalog stats. */
+  def lst(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graphs.toSeq.sortBy(_._1)
+      .map { case (n, g) => (n, g.vertexCount, g.edgeCount, g.isDirected) }
+      .toDF("name", "vcnt", "ecnt", "is_directed")
+  }
+
   /** `ktop` command: distinct Kafka topic names across registered graphs
     * ingested from `kafka:<topic>` sources (reference
     * `kafka_topics_command`: `SELECT upload_path FROM graph WHERE

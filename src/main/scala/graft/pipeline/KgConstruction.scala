@@ -32,21 +32,21 @@ trait TupleExtractor extends Serializable {
 
 object TupleExtractor {
 
-  /** Deterministic default: first match of a 3-group regex per chunk —
-    * the executor-side twin of [[KgConstruction.extractTuples]]'s
-    * columnar expression (same pattern, same first-match semantics), so
-    * the seam can be verified against the codegen'd path. */
+  /** Deterministic default: ALL (non-overlapping) matches of a 3-group
+    * regex per chunk — the executor-side twin of
+    * [[KgConstruction.extractTuples]]'s columnar expression (same
+    * pattern, same leftmost-first multi-match semantics), so the seam
+    * can be verified against the codegen'd path. */
   final class RegexExtractor(pattern: String = KgConstruction.prosePattern)
       extends TupleExtractor {
     @transient private lazy val rx = pattern.r
     def extractBatch(chunks: Seq[String]): Seq[Seq[KgTuple]] =
       chunks.map { c =>
-        rx.findFirstMatchIn(c) match {
-          case Some(m) if m.groupCount >= 3 &&
+        rx.findAllMatchIn(c).collect {
+          case m if m.groupCount >= 3 &&
             m.group(1).nonEmpty && m.group(2).nonEmpty && m.group(3).nonEmpty =>
-            Seq(KgTuple(m.group(1), m.group(2), m.group(3)))
-          case _ => Seq.empty
-        }
+            KgTuple(m.group(1), m.group(2), m.group(3))
+        }.toSeq
       }
   }
 
@@ -166,19 +166,25 @@ object KgConstruction {
 
   /**
    * ===================== STUB — replace in production =====================
-   * Deterministic (subject, relation, object) extraction: the first match
-   * of a 3-group regex per chunk (default: `Capitalized words Capitalized`
-   * prose shapes). A real deployment replaces this single expression with
-   * a batched LLM call; the pattern parameter exists so the stub fires on
-   * any corpus' entity vocabulary.
+   * Deterministic (subject, relation, object) extraction: EVERY
+   * (non-overlapping, leftmost-first) match of a 3-group regex per chunk
+   * (default: `Capitalized words Capitalized` prose shapes) — the
+   * reference streams many tuples per chunk
+   * (`knowledgegraph/construction/Pipeline.h:31-60`), so a chunk with n
+   * fact shapes emits n rows. A real deployment replaces this expression
+   * with a batched LLM call; the pattern parameter exists so the stub
+   * fires on any corpus' entity vocabulary.
    * ========================================================================
    */
   def extractTuples(chunks: DataFrame, pattern: String = prosePattern): DataFrame =
     chunks.select(
       col("doc_id"),
-      regexp_extract(col("chunk"), pattern, 1).as("subj"),
-      regexp_extract(col("chunk"), pattern, 2).as("rel"),
-      regexp_extract(col("chunk"), pattern, 3).as("obj"))
+      explode(arrays_zip(
+        regexp_extract_all(col("chunk"), lit(pattern), lit(1)).as("subj"),
+        regexp_extract_all(col("chunk"), lit(pattern), lit(2)).as("rel"),
+        regexp_extract_all(col("chunk"), lit(pattern), lit(3)).as("obj"))).as("t"))
+      .select(col("doc_id"),
+        col("t.subj").as("subj"), col("t.rel").as("rel"), col("t.obj").as("obj"))
       .where(col("subj") =!= "" && col("rel") =!= "" && col("obj") =!= "")
 
   /**

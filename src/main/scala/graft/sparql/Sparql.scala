@@ -1874,11 +1874,16 @@ object Sparql {
         case "MONTH" => regexp_extract(arg(0), "^-?\\d{4,}-(\\d{2})-", 1).try_cast("int")
         case "DAY" =>
           regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-(\\d{2})", 1).try_cast("int")
-        case "HOURS" => regexp_extract(arg(0), "T(\\d{2}):", 1).try_cast("int")
-        case "MINUTES" => regexp_extract(arg(0), "T\\d{2}:(\\d{2}):", 1).try_cast("int")
+        // time accessors anchor to the FULL lexical dateTime prefix
+        // (date + 'T'), like TZ: a stray "…T12:" inside a non-dateTime
+        // literal is a type error (unbound), not HOURS=12
+        case "HOURS" =>
+          regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-\\d{2}T(\\d{2}):", 1).try_cast("int")
+        case "MINUTES" =>
+          regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:(\\d{2}):", 1).try_cast("int")
         // SECONDS is xsd:decimal — fractional seconds survive
         case "SECONDS" =>
-          regexp_extract(arg(0), "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
+          regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
             .try_cast("double")
         // TZ (§17.4.5.8): "Z", "±HH:MM", or "" when no timezone — but a
         // non-datetime operand is still a type error (unbound)

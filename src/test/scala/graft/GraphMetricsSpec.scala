@@ -615,5 +615,37 @@ class GraphMetricsSpec extends SparkSpec {
       dims = 3, iterations = 1, edgeWeightCol = Some("w"))
     assert(merged.orderBy("id").collect().toSeq ===
       doubled.orderBy("id").collect().toSeq)
+    // exact-integer contract guards: NULL and fractional weights are
+    // rejected at the call (in-plan raise_error fires at the eager
+    // canonicalization), never silently truncated/propagated
+    val withNull = e.withColumn("w",
+      when(col("src") === e.select("src").orderBy("src").first().getString(0),
+        lit(null).cast("long")).otherwise(col("w")))
+    val eNull = intercept[Exception] {
+      GraphAlgorithms.fastRP(withNull, dims = 2, iterations = 1, edgeWeightCol = Some("w"))
+    }
+    assert(eNull.getMessage.contains("non-null"), eNull.getMessage)
+    val frac = e.withColumn("w", col("w").cast("double") + lit(0.5))
+    val eFrac = intercept[Exception] {
+      GraphAlgorithms.fastRP(frac, dims = 2, iterations = 1, edgeWeightCol = Some("w"))
+    }
+    assert(eFrac.getMessage.contains("exact-integer"), eFrac.getMessage)
+  }
+
+  test("CALL graft.fastrp covers isolated nodes with zero-sum iterate rows") {
+    import graft.model.PropertyGraph
+    import graft.cypher.Cypher
+    val nodes = Seq(("a", "", Map.empty[String, String]),
+      ("b", "", Map.empty[String, String]),
+      ("lone", "", Map.empty[String, String])).toDF("id", "label", "properties")
+    val edges = PropertyGraph.withEid(Seq(("a", "b", "L", Map.empty[String, String]))
+      .toDF("src", "dst", "type", "properties"))
+    val g = PropertyGraph(nodes, edges, isDirected = false)
+    val rows = Cypher.run(g,
+      "CALL graft.fastrp(2, 1) YIELD id, r1_0, r1_1 RETURN id, r1_0, r1_1 ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq("a", "b", "lone"))
+    // the isolated vertex's iterate is the zero neighbor sum
+    assert(rows.find(_._1 == "lone").get === (("lone", 0L, 0L)))
   }
 }

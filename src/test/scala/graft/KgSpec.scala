@@ -24,6 +24,36 @@ class KgSpec extends SparkSpec {
     assert(who.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("Alice", "Bob")))
   }
 
+  test("extractTuples streams MANY tuples per chunk, dedup across chunks preserved") {
+    import spark.implicits._
+    // one chunk carrying two non-overlapping fact shapes (the reference
+    // streams every tuple of a chunk, Pipeline.h:31-60), plus a second
+    // doc repeating a fact — the cross-chunk dedup must keep one edge
+    val docs = Seq(
+      (1L, "Alice manages Bob and Carol visits Paris."),
+      (2L, "Alice manages Bob.")).toDF("doc_id", "text")
+    val tuples = KgConstruction.extractTuples(
+      KgConstruction.chunk(docs, "text", "doc_id"))
+    val got = tuples.select("doc_id", "subj", "rel", "obj").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got === Set(
+      (1L, "Alice", "manages", "Bob"),
+      (1L, "Carol", "visits", "Paris"),
+      (2L, "Alice", "manages", "Bob")))
+    // "manages Bob and Carol visits": the greedy-enough middle group must
+    // NOT swallow the second subject — 2 tuples from doc 1's single chunk
+    assert(got.count(_._1 == 1L) === 2)
+    val g = KgConstruction.toGraph(tuples)
+    assert(g.edgeCount === 2L) // Alice->Bob deduped across docs
+    // the seam twin replays the same multi-match semantics
+    val seam = KgConstruction.extractTuplesWith(
+      KgConstruction.chunk(docs, "text", "doc_id"),
+      new graft.pipeline.TupleExtractor.RegexExtractor(), batchSize = 2)
+      .select("doc_id", "subj", "rel", "obj").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(seam === got)
+  }
+
   test("TupleExtractor seam: batched fake extractor feeds the same graph assembly") {
     import spark.implicits._
     import graft.pipeline.{KgTuple, TupleExtractor}

@@ -604,7 +604,9 @@ class SparqlCompatSpec extends SparkSpec {
       ("a", "at", "1996-03-07T09:45:07.25Z"),
       ("b", "at", "2001-11-30T23:05:59+05:30"),
       ("c", "at", "1999-01-02"),        // date only: time accessors unbound, TZ ""
-      ("d", "at", "not-a-date"))        // type error: everything unbound
+      ("d", "at", "not-a-date"),        // type error: everything unbound
+      ("e", "at", "REPORT12:30:45"))    // 'T12:' inside a non-dateTime: STILL unbound
+                                        // (time accessors anchor to the full date prefix)
     assert(rowsOf(Sparql.run(t,
       """SELECT ?s ?y ?m ?day ?h ?min ?sec ?tz WHERE {
         |  ?s <at> ?d .
@@ -615,7 +617,8 @@ class SparqlCompatSpec extends SparkSpec {
       Seq("a,1996,3,7,9,45,7.25,Z",
         "b,2001,11,30,23,5,59.0,+05:30",
         "c,1999,1,2,∅,∅,∅,",
-        "d,∅,∅,∅,∅,∅,∅,∅"))
+        "d,∅,∅,∅,∅,∅,∅,∅",
+        "e,∅,∅,∅,∅,∅,∅,∅"))
     // accessors carry the numeric view: FILTER compares numerically
     assert(rowsOf(Sparql.run(t,
       "SELECT ?s WHERE { ?s <at> ?d . FILTER(YEAR(?d) < 2000) } ORDER BY ?s"))

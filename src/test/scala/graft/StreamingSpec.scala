@@ -99,6 +99,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("catalog ingest is incremental: per-batch input is the batch, state is the store, re-deliveries append nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt").toString
+    val input = MemoryStream[String]
+    val records = EdgeStream.parseCsvEdges(input.toDF().toDF("value"))
+    val q = EdgeStream.applyToCatalog(records, "inc_g", isDirected = false, ckpt)
+    try {
+      // batch 1: a 400-edge chain → 401 distinct nodes
+      input.addData((0 until 400).map(i => s"n$i,n${i + 1}"): _*)
+      q.processAllAvailable()
+      val nodeLog = () => spark.read.parquet(s"$ckpt/store/nodes")
+      assert(nodeLog().count() === 401L)
+      val p1 = q.nodeQuery.recentProgress.filter(_.numInputRows > 0).last
+      // the stateful plan is present and its state holds exactly the store
+      assert(p1.stateOperators.nonEmpty)
+      assert(p1.stateOperators.head.numRowsTotal === 401L)
+      // per-batch input = the batch's source rows, NOT the store
+      assert(p1.numInputRows === 400L)
+
+      // batch 2: re-deliver 10 known edges — NO node-log growth, state flat
+      input.addData((0 until 10).map(i => s"n$i,n${i + 1}"): _*)
+      q.processAllAvailable()
+      assert(nodeLog().count() === 401L)
+      val p2 = q.nodeQuery.recentProgress.filter(_.numInputRows > 0).last
+      assert(p2.numInputRows === 10L, "batch 2 must read only its own 10 source rows")
+      assert(p2.stateOperators.head.numRowsTotal === 401L)
+      assert(p2.stateOperators.head.numRowsUpdated === 0L,
+        "identical re-deliveries must not update state")
+
+      // batch 3: one node upgrades (richer property map via typed edge) —
+      // exactly the improved rows append, and the view serves the upgrade
+      input.addData("n0,n1,KNOWS")
+      q.processAllAvailable()
+      assert(nodeLog().count() === 401L,
+        "edge-level properties don't change node richness — still no growth")
+      assert(GraphCatalog("inc_g").edgeCount === 411L)
+      assert(GraphCatalog("inc_g").vertexCount === 401L)
+    } finally {
+      q.stop()
+      GraphCatalog.remove("inc_g")
+    }
+  }
+
   test("Kafka edge stream (adstrmk): connector resolution evidenced, plan built when present") {
     // End-to-end Kafka needs the spark-sql-kafka-0-10 connector (+ a
     // broker). Resolution was ATTEMPTED and fails in this container —
