@@ -1109,25 +1109,38 @@ object Queries {
 
     // Standalone DETACH DELETE cascade (`Cypher.applyDelete`): dropping
     // every Supplier removes the nodes AND their incident edges
-    // (SUPPLIES + supplier FROM); the readback groups the surviving
-    // edges by source label and type, so a missed cascade (orphan edge)
-    // or an over-delete both break the row. The plain-DELETE refusal
-    // guard is spec-asserted (CypherSpec "snapshot semantics").
+    // (SUPPLIES + supplier FROM). Readback = per-label node counts ∪
+    // per-type edge counts over the MUTATED frames — a missed cascade
+    // (orphan edge type surviving) or an over-delete both break exact
+    // counts, and the readback is two map-free aggregate scans instead
+    // of a label join over the 75M-edge frame (the first cut measured
+    // 103 s at sf10 joining node structs twice for a.label; this shape
+    // reads ~13 s). The plain-DELETE refusal guard is spec-asserted
+    // (CypherSpec "snapshot semantics").
     "cy_delete_detach" -> ((
       (s: SparkSession, d: String) => {
         val (g2, _) = Cypher.execute(TpchBridge.graph(s, d),
           "MATCH (x:Supplier) DETACH DELETE x")
-        Cypher.run(g2,
-          "MATCH (a)-[r]->(b) RETURN a.label AS src_lbl, type(r) AS typ, " +
-            "count(r) AS m ORDER BY src_lbl, typ")
+        g2.nodes.groupBy(col("label").as("key")).agg(count(lit(1)).as("m"))
+          .withColumn("kind", lit("node"))
+          .unionByName(
+            g2.edges.groupBy(col("type").as("key")).agg(count(lit(1)).as("m"))
+              .withColumn("kind", lit("edge")))
+          .select(col("kind"), col("key"), col("m"))
+          .orderBy(col("kind"), col("key"))
       },
       Some(bridgeSql(
         """, sup AS (SELECT id FROM nodes WHERE label = 'Supplier')
-          |SELECT n.label AS src_lbl, e.type AS typ, COUNT(*) AS m
-          |FROM edges e JOIN nodes n ON n.id = e.src
-          |WHERE e.src NOT IN (SELECT id FROM sup)
-          |  AND e.dst NOT IN (SELECT id FROM sup)
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))),
+          |SELECT * FROM (
+          |  SELECT 'node' AS kind, label AS key, COUNT(*) AS m
+          |  FROM nodes WHERE label <> 'Supplier' GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'edge', type, COUNT(*)
+          |  FROM edges e
+          |  WHERE e.src NOT IN (SELECT id FROM sup)
+          |    AND e.dst NOT IN (SELECT id FROM sup)
+          |  GROUP BY 2
+          |) ORDER BY kind, key""".stripMargin)))),
 
     // Relationship DELETE by eid: every PLACED edge to a finished order
     // goes; each order has exactly one PLACED edge, so the survivor

@@ -293,7 +293,13 @@ object Cypher {
     dc.variables.foreach { v =>
       ctx.scope.getOrElse(v, throw CypherParseException(s"undefined variable '$v' in DELETE")) match {
         case KNode =>
+          // persisted: the deleted-id set feeds THREE consumers in the
+          // detach form (node anti-join + two edge anti-joins) — without
+          // it each recomputes the full bound-match scan (r18 sf10:
+          // ~1/3 of a 52 s DETACH DELETE was exactly this). Small by
+          // construction (matched ids only); ContextCleaner reclaims.
           val ids = bound.select(col(s"$v.id").as("__did")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           var nodes = out.nodes.join(ids, col("id") === col("__did"), "left_anti")
           if (!dc.detach) {
             // "cannot delete a node with relationships" (openCypher) as a
