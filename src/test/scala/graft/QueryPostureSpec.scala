@@ -57,6 +57,28 @@ class QueryPostureSpec extends SparkSpec {
       s"pinpoint traversal sort-merges (edge shuffle per hop):\n$p")
   }
 
+  test("hits distributed regime: persisted src-partitioned canon, shared edge exchange") {
+    import org.apache.spark.sql.functions._
+    // force the distributed path (localThreshold = 0) on the bridge
+    // edges: the canonical edge frame must come back from the persist
+    // (InMemoryTableScan) and the per-iteration dst-side edge exchange
+    // must dedupe via ReusedExchange — losing either re-shuffles the
+    // full edge list per iteration at 100 TB (r18 sf10 A/B: the
+    // src-partitioned persist took the 3-run median 38.2 → 16.0 s)
+    // AQE replaces the static ReuseExchangeAndSubquery rule with stage
+    // reuse that string assertions can't see — pin the STATIC plan
+    val edges = sources.TpchBridge.graph(spark, sf0001).edges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = algorithms.GraphAlgorithms.hits(edges, iterations = 3, localThreshold = 0)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"hits lost its persisted canonical edge frame:\n${p.take(2000)}")
+      assert(p.contains("ReusedExchange"),
+        s"hits iterations no longer share the edge exchange:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("knnGraph clustered mode: within-cluster equi-join, never a nested-loop product") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -131,6 +131,11 @@ class StreamingSpec extends SparkSpec {
       assert(p2.stateOperators.head.numRowsUpdated === 0L,
         "identical re-deliveries must not update state")
 
+      def planSize(df: org.apache.spark.sql.DataFrame): Int = {
+        var n = 0; df.queryExecution.logical.foreach(_ => n += 1); n
+      }
+      val planAfter2 = planSize(GraphCatalog("inc_g").nodes)
+
       // batch 3: one node upgrades (richer property map via typed edge) —
       // exactly the improved rows append, and the view serves the upgrade
       input.addData("n0,n1,KNOWS")
@@ -139,6 +144,12 @@ class StreamingSpec extends SparkSpec {
         "edge-level properties don't change node richness — still no growth")
       assert(GraphCatalog("inc_g").edgeCount === 411L)
       assert(GraphCatalog("inc_g").vertexCount === 401L)
+      // the composed view's plan size is CONSTANT in the batch count (a
+      // parquet-directory scan, not a union-of-deltas lineage) — the
+      // property that lets a service ingest for months without Catalyst
+      // analysis cost growing per batch
+      assert(planSize(GraphCatalog("inc_g").nodes) === planAfter2,
+        "catalog view plan must not grow with batches")
     } finally {
       q.stop()
       GraphCatalog.remove("inc_g")
