@@ -96,6 +96,17 @@ object Dedup {
         col("sig").getItem(j).as(s"s$j")): _*)
   }
 
+  /** The one-pass MinHash signature as a column over RAW text (same
+    * normalization and deterministic hash params as [[sigTable]]); NULL
+    * for documents shorter than `shingleSize`. Shared with the streaming
+    * near-dup form ([[graft.streaming.StreamDedup.nearDupMinhash]]). */
+  def minhashSigCol(textCol: String, shingleSize: Int, numHashes: Int): Column = {
+    val (as, bs) = hashParams(numHashes)
+    graft.functions.minhashSig(
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+      shingleSize, as.toArray, bs.toArray, P)
+  }
+
   /** MinHash signature (array of numHashes longs) over a shingle-array
     * column. h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P; signature_i
     * = min over shingles. Computed columnar with transform/array_min. */

@@ -60,6 +60,95 @@ object StreamDedup {
     m.group(1).toLong * unit
   }
 
+  private[streaming] final case class MinhashBucketRow(band: Int, bucket: Long, id: Long,
+                                                       sig: Seq[Long], ts: java.sql.Timestamp)
+  private[streaming] final case class MinhashPair(idA: Long, idB: Long, jaccard_est: Double,
+                                                  ts: java.sql.Timestamp)
+
+  /**
+   * Streaming NEAR-duplicate detection by MinHash banded LSH — the
+   * streaming twin of [[graft.pipeline.Dedup.minhashPairs]]: the one-pass
+   * [[graft.functions.MinhashSignature]] expression computes each
+   * document's H-component signature, the signature is banded (bands of
+   * H/bands components, bucket key = hash of the band slice), and bucket
+   * members verify against new arrivals IN STATE.
+   *
+   * Divergence from the batch form, documented: the batch pipeline
+   * verifies EXACT Jaccard from posting lists; keeping posting lists in
+   * stream state would grow it with document length, so the streaming
+   * form emits the signature ESTIMATE (matching components / H — the
+   * standard unbiased MinHash estimator, ±1/√H ≈ 0.125 at H=64). Batch
+   * minhashPairs over the landed corpus remains the exactness backstop,
+   * the same contract as [[dedupExact]]'s horizon.
+   *
+   * Emits (idA, idB, jaccard_est, ts) with idA < idB, at-least-once (a
+   * pair agreeing in several bands reports from each shared bucket) —
+   * downstream dedup on (idA, idB) is the caller's contract. State per
+   * bucket: (id, signature, ts) members, horizon-pruned on every visit,
+   * idle buckets expired by event-time timeout — exactly the
+   * [[nearDupSimhash]] state contract.
+   */
+  def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+                     threshold: Double = 0.8, shingleSize: Int = 5,
+                     numHashes: Int = 64, bands: Int = 16,
+                     delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = parseDelayMs(delay)
+    val rowsPerBand = numHashes / bands
+
+    val sigs = docs.select(
+        col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        graft.pipeline.Dedup.minhashSigCol(textCol, shingleSize, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+      .withWatermark("ts", delay)
+    val bucketed = sigs.select(col("id"), col("sig"), col("ts"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string"))
+              .as("bucket")))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"), col("sig"), col("ts"))
+      .as[MinhashBucketRow]
+
+    val pairs = bucketed
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[MinhashBucketRow],
+         state: GroupState[List[(Long, Seq[Long], Long)]]) => {
+          val wm = state.getCurrentWatermarkMs()
+          var members = state.getOption.getOrElse(Nil).filter(_._3 >= wm - horizonMs)
+          if (!state.hasTimedOut) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[MinhashPair]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
+              members.foreach { case (mid, msig, _) =>
+                if (mid != r.id) {
+                  val matches = msig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
+                  val est = matches.toDouble / msig.size
+                  if (est >= threshold)
+                    out += MinhashPair(math.min(mid, r.id), math.max(mid, r.id), est, r.ts)
+                }
+              }
+              members = (r.id, r.sig, r.ts.getTime) :: members
+            }
+            state.update(members)
+            state.setTimeoutTimestamp(math.max(wm + 1, members.map(_._3).max + horizonMs))
+            out.iterator
+          } else {
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(members)
+              state.setTimeoutTimestamp(math.max(wm + 1, members.map(_._3).max + horizonMs))
+            }
+            Iterator.empty
+          }
+        })
+    pairs.toDF()
+  }
+
   /**
    * Streaming NEAR-duplicate detection by SimHash banding: each document's
    * 64-bit signature is split into four 16-bit chunks; documents sharing a

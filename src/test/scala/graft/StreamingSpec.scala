@@ -526,6 +526,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: estimate matches batch signatures, horizon expires state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard " * 3
+    val near = base.replace("yard", "garden") // small shingle-set delta → high jaccard
+    val far = "completely unrelated text about database partitioning strategies and shuffles " * 3
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamDedup.nearDupMinhash(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      threshold = 0.7, delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("mhdup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("00:00:00"), base), (2L, ts("00:01:00"), near),
+        (3L, ts("00:02:00"), far))
+      q.processAllAvailable()
+      val pairs1 = spark.table("mhdup").select("idA", "idB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs1 === Set((1L, 2L)), s"got $pairs1")
+      // the emitted estimate IS the batch signature estimate: recompute
+      // component agreement from the batch-side signature column
+      val sigs = Seq((1L, base), (2L, near)).toDF("id", "text")
+        .select(col("id"), graft.pipeline.Dedup.minhashSigCol("text", 5, 64).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = sigs(1L).iterator.zip(sigs(2L).iterator).count { case (a, b) => a == b } / 64.0
+      val got = spark.table("mhdup").select("jaccard_est").as[Double].collect().max
+      assert(got === want, s"stream estimate $got != batch signature agreement $want")
+      assert(got >= 0.7)
+      // horizon: a late re-arrival of the original pairs with nothing
+      // (the watermark-advancer is UNRELATED text — a near-dup of doc 3
+      // would legitimately pair with it, state being in-horizon then)
+      input.addData((4L, ts("02:00:00"),
+        "entirely different advancer sentence about watermark horizons and state stores " * 3))
+      q.processAllAvailable()
+      input.addData((5L, ts("02:01:00"), base))
+      q.processAllAvailable()
+      val pairs2 = spark.table("mhdup").select("idA", "idB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs2 === Set((1L, 2L)), s"got $pairs2")
+    } finally q.stop()
+  }
+
   test("streaming simhash near-dup: close texts pair within the horizon, far texts don't") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
