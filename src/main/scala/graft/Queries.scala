@@ -4943,11 +4943,12 @@ object Queries {
         val triples = o.select(concat(lit("order/"), col("o_orderkey")).as("s"),
           lit("orderedOn").as("p"), dt.as("o"))
         graft.sparql.Sparql.run(triples,
-          """SELECT ?o ?y ?m ?day ?h ?min ?sec ?tz WHERE {
+          """SELECT ?o ?y ?m ?day ?h ?min ?sec ?tz ?dur WHERE {
             |  ?o <orderedOn> ?d .
             |  BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) BIND(DAY(?d) AS ?day)
             |  BIND(HOURS(?d) AS ?h) BIND(MINUTES(?d) AS ?min)
             |  BIND(SECONDS(?d) AS ?sec) BIND(TZ(?d) AS ?tz)
+            |  BIND(TIMEZONE(?d) AS ?dur)
             |  FILTER(YEAR(?d) = 1996 && sameTerm(TZ(?d), "Z"))
             |} ORDER BY ?o LIMIT 150""".stripMargin)
       },
@@ -4957,7 +4958,7 @@ object Queries {
              |  CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS day,
              |  CAST(o_orderkey % 24 AS INTEGER) AS h,
              |  CAST(45 AS INTEGER) AS min, CAST(7.25 AS DOUBLE) AS sec,
-             |  'Z' AS tz
+             |  'Z' AS tz, 'PT0S' AS dur
              |FROM orders
              |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND o_orderkey % 3 = 0
              |ORDER BY o LIMIT 150""".stripMargin))),

@@ -421,7 +421,8 @@ object Sparql {
       "SUBSTR", "REPLACE", "COALESCE", "STRBEFORE", "STRAFTER",
       "ABS", "ROUND", "CEIL", "FLOOR", "BNODE",
       "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI",
-      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "IRI", "URI")
+      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
+      "IRI", "URI")
     val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
       "ISNUMERIC", "SAMETERM")
 
@@ -475,7 +476,7 @@ object Sparql {
             case "STRBEFORE" | "STRAFTER" => args.size == 2
             case "BNODE" => args.size <= 1
             case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" |
-                 "SECONDS" | "TZ" | "IRI" | "URI" => args.size == 1
+                 "SECONDS" | "TZ" | "TIMEZONE" | "IRI" | "URI" => args.size == 1
           }
           require(arity(fn), s"wrong number of arguments for $fn")
           EFn(fn, args)
@@ -1891,6 +1892,24 @@ object Sparql {
           when(regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-\\d{2}", 0) === "",
             lit(null).cast("string"))
             .otherwise(regexp_extract(arg(0), "(Z|[+-]\\d{2}:\\d{2})$", 1))
+        // TIMEZONE (§17.4.5.7): the tz as an xsd:dayTimeDuration lexical
+        // form — "Z"/±00:00 → PT0S, "+05:30" → PT5H30M, "-08:00" → -PT8H;
+        // an operand with NO timezone is a type error (unbound), unlike
+        // TZ's "" (the spec's documented difference between the two)
+        case "TIMEZONE" =>
+          val tz = when(
+            regexp_extract(arg(0), "^-?\\d{4,}-\\d{2}-\\d{2}", 0) === "",
+            lit(null).cast("string"))
+            .otherwise(regexp_extract(arg(0), "(Z|[+-]\\d{2}:\\d{2})$", 1))
+          val h = substring(tz, 2, 2).cast("int")
+          val m = substring(tz, 5, 2).cast("int")
+          when(tz.isNull || tz === "", lit(null).cast("string"))
+            .when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
+            .otherwise(concat(
+              when(tz.startsWith("-"), lit("-")).otherwise(lit("")),
+              lit("PT"),
+              when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+              when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit(""))))
         // IRI/URI (§17.4.2.1): in a lexical term model the IRI IS its
         // string form — STR's inverse is the identity
         case "IRI" | "URI" => arg(0).cast("string")

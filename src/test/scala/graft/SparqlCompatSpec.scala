@@ -623,6 +623,20 @@ class SparqlCompatSpec extends SparkSpec {
     assert(rowsOf(Sparql.run(t,
       "SELECT ?s WHERE { ?s <at> ?d . FILTER(YEAR(?d) < 2000) } ORDER BY ?s"))
       === Seq("a", "c"))
+    // TIMEZONE (§17.4.5.7): xsd:dayTimeDuration lexical forms; NO
+    // timezone is a type error (unlike TZ's ""), as is a non-dateTime
+    val t2 = triples(
+      ("a", "at", "1996-03-07T09:45:07.25Z"),       // → PT0S
+      ("b", "at", "2001-11-30T23:05:59+05:30"),     // → PT5H30M
+      ("c", "at", "2001-11-30T23:05:59-08:00"),     // → -PT8H
+      ("d", "at", "2001-11-30T23:05:59+00:30"),     // → PT30M
+      ("e", "at", "2001-11-30T23:05:59-00:00"),     // → PT0S
+      ("f", "at", "1999-01-02"),                    // no tz: unbound
+      ("g", "at", "not-a-date"))                    // type error: unbound
+    assert(rowsOf(Sparql.run(t2,
+      """SELECT ?s ?dur WHERE { ?s <at> ?d . BIND(TIMEZONE(?d) AS ?dur) }
+        |ORDER BY ?s""".stripMargin)) ===
+      Seq("a,PT0S", "b,PT5H30M", "c,-PT8H", "d,PT30M", "e,PT0S", "f,∅", "g,∅"))
   }
 
   test("sameTerm is strict term identity; IRI/URI are the lexical identity") {
