@@ -424,7 +424,7 @@ object Sparql {
       "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
       "IRI", "URI")
     val boolFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND",
-      "ISNUMERIC", "SAMETERM")
+      "ISNUMERIC", "ISBLANK", "SAMETERM")
 
     /** Does the expression carry the numeric (double) view? Drives the
       * comparison coercion exactly as bare numeric literals always have. */
@@ -519,8 +519,8 @@ object Sparql {
                 "BOUND takes exactly one ?var")
             case "REGEX" => require(args.size == 2 || args.size == 3,
               "REGEX takes (expr, pattern[, flags])")
-            case "ISNUMERIC" =>
-              require(args.size == 1, "isNumeric takes exactly one argument")
+            case "ISNUMERIC" | "ISBLANK" =>
+              require(args.size == 1, s"$fn takes exactly one argument")
             case _ => require(args.size == 2, s"$fn takes exactly two arguments")
           }
           FnCond(fn, args.toList)
@@ -1971,6 +1971,14 @@ object Sparql {
       // binding carry the numeric view? (unbound → false, not error)
       case "ISNUMERIC" =>
         compileExpr(args.head, resolve).try_cast("double").isNotNull
+      // §17.4.2.2 isBlank: exact in the lexical term model — every blank
+      // node this engine produces (pattern vars, skolemized CONSTRUCT
+      // templates, BNODE builtins) carries the "_:" prefix; unbound →
+      // null → the solution drops, the error-propagation reading.
+      // isIRI/isLiteral stay unimplemented: a lexical model cannot
+      // distinguish them (documented divergence).
+      case "ISBLANK" =>
+        compileExpr(args.head, resolve).startsWith("_:")
       // §17.4.1.8 sameTerm: STRICT term identity — no numeric coercion,
       // unlike `=` which compares "01" = "1" true through the numeric
       // view. In the lexical term model this is exact string equality.

@@ -639,6 +639,21 @@ class SparqlCompatSpec extends SparkSpec {
       Seq("a,PT0S", "b,PT5H30M", "c,-PT8H", "d,PT30M", "e,PT0S", "f,∅", "g,∅"))
   }
 
+  test("isBlank: true exactly for blank nodes; plain terms and unbound never match") {
+    val t = triples(("a", "k", "x"), ("b", "k", "y"))
+    // BNODE-bound variables are blank → both solutions pass the filter
+    assert(rowsOf(Sparql.run(t,
+      """SELECT ?s WHERE { ?s <k> ?v . BIND(BNODE() AS ?n) FILTER(isBlank(?n)) }
+        |ORDER BY ?s""".stripMargin)) === Seq("a", "b"))
+    // plain lexical terms are not blank
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <k> ?v . FILTER(isBlank(?v)) }")) === Seq.empty)
+    // negated form keeps them all
+    assert(rowsOf(Sparql.run(t,
+      "SELECT ?s WHERE { ?s <k> ?v . FILTER(!isBlank(?v)) } ORDER BY ?s"))
+      === Seq("a", "b"))
+  }
+
   test("sameTerm is strict term identity; IRI/URI are the lexical identity") {
     val t = triples(("a", "k", "1"), ("b", "k", "01"), ("c", "k", "2"))
     // `=` coerces through the numeric view: "1" = "01" numerically
