@@ -104,7 +104,7 @@ object EdgeStream {
     * ascending. Used identically by the driver-side state comparator
     * and the read-side resolution window, so the emitted log always
     * contains the row the read side picks. */
-  private def richerThan(a: Map[String, String], b: Map[String, String]): Boolean =
+  private[graft] def richerThan(a: Map[String, String], b: Map[String, String]): Boolean =
     if (a.size != b.size) a.size > b.size
     else canonical(a) < canonical(b)
 
@@ -114,7 +114,7 @@ object EdgeStream {
   /** The same canonical rendering as a column (map_entries sorts by key
     * struct-lexicographically; keys are unique so value order never
     * matters). */
-  private def canonicalCol(props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def canonicalCol(props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_join(transform(array_sort(map_entries(props)),
       e => concat(e.getField("key"), lit("\u0000"), e.getField("value"))), "\u0001")
 

@@ -251,4 +251,42 @@ class PropertySpec extends SparkSpec {
           Seq("x"), "left")))
     }
   }
+
+  test("ingest richer-than comparator: strict total order, agrees with the column ordering") {
+    import spark.implicits._
+    import graft.streaming.EdgeStream
+    // the load-bearing invariant of the incremental catalog upsert: the
+    // driver-side state comparator and the read-side window ordering
+    // must agree, or the state store could suppress a row the view
+    // would have preferred (a silently wrong upsert)
+    val genMap = Gen.chooseNum(0, 4).flatMap(n => Gen.mapOfN(n, Gen.zip(
+      Gen.oneOf("k1", "k2", "k3", "name", "label"),
+      Gen.oneOf("", "a", "b", "x y", "1"))))
+    forAll(Gen.listOfN(6, genMap)) { maps =>
+      // strict total order up to map equality
+      for (a <- maps; b <- maps) {
+        if (a == b) {
+          assert(!EdgeStream.richerThan(a, b) && !EdgeStream.richerThan(b, a))
+        } else {
+          assert(EdgeStream.richerThan(a, b) !== EdgeStream.richerThan(b, a),
+            s"comparator must order $a vs $b exactly one way")
+        }
+        for (c <- maps)
+          if (EdgeStream.richerThan(a, b) && EdgeStream.richerThan(b, c))
+            assert(EdgeStream.richerThan(a, c), s"transitivity: $a > $b > $c")
+      }
+      // column-side agreement: sorting by (size desc, canonicalCol asc)
+      // yields exactly the comparator's order
+      val df = maps.distinct.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+        .toDF("i", "props")
+      val colOrder = df
+        .orderBy(size(col("props")).desc, EdgeStream.canonicalCol(col("props")).asc)
+        .select("i").collect().map(_.getLong(0)).toSeq
+      val scalaOrder = maps.distinct.zipWithIndex
+        .sortWith { case ((a, _), (b, _)) => EdgeStream.richerThan(a, b) }
+        .map(_._2.toLong)
+      assert(colOrder === scalaOrder,
+        s"column ordering diverges from the state comparator over ${maps.distinct}")
+    }
+  }
 }
