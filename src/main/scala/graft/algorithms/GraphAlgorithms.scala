@@ -4149,7 +4149,8 @@ object GraphAlgorithms {
    * additively, weights cast to BIGINT so coordinates stay exact.
    */
   def fastRP(edges: DataFrame, dims: Int = 4, iterations: Int = 2,
-             edgeWeightCol: Option[String] = None): DataFrame = {
+             edgeWeightCol: Option[String] = None,
+             localThreshold: Long = 2000000L): DataFrame = {
     require(dims >= 1 && dims <= 64, s"dims must be in [1, 64]: $dims")
     require(iterations >= 1 && iterations <= 3,
       s"iterations must be in [1, 3] (integer coords grow like deg^t): $iterations")
@@ -4173,7 +4174,31 @@ object GraphAlgorithms {
         .where(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(sum(col("__w")).as("__w"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
-    cn.count()
+    val nE = cn.count()
+    // adaptive local regime (the kCore/HITS/matching/triangle pattern):
+    // below `localThreshold` canonical edges the whole recurrence is
+    // latency-floor-bound (each iterate is an eager edge⋈vertex shuffle
+    // job over a frame that fits on the driver thousands of times over),
+    // so replay the IDENTICAL synchronous semantics driver-side — the
+    // canonicalization/validation plan above still computes everything
+    // up to (src, dst, __w), and the only re-implemented pieces are the
+    // md5 init byte and the integer neighbor sums (exactness pinned by
+    // the oracle rows + FastRpSpec local-vs-distributed parity).
+    // Gated on collected row count AND on replayable id types; weights
+    // are already validated/cast to long by the collected plan.
+    val idType = cn.schema("src").dataType
+    val localOk = idType match {
+      case org.apache.spark.sql.types.StringType
+           | org.apache.spark.sql.types.LongType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (localOk && nE <= math.min(localThreshold, 100000000L)) {
+      val rows = cn.collect()
+      cn.unpersist()
+      return localFastRP(edges.sparkSession, rows, idType, dims, iterations)
+    }
     val nb = cn.select(col("src").as("u"), col("dst").as("v"), col("__w"))
       .unionByName(cn.select(col("dst").as("u"), col("src").as("v"), col("__w")))
     val verts = nb.select(col("u").as("id")).distinct().localCheckpoint(true)
@@ -4205,5 +4230,86 @@ object GraphAlgorithms {
       e.select(col("id") +:
         (0 until dims).map(j => col(s"x$j").as(s"r${t}_$j")): _*)
     }.reduceLeft((a, b) => a.join(b, Seq("id")))
+  }
+
+  /** Driver-side replay of [[fastRP]]'s small regime — identical
+    * synchronous semantics over interned arrays. `rows` are the ALREADY
+    * canonicalized/validated (src, dst, __w BIGINT) rows, so the only
+    * local re-implementations are hllBucket's first-md5-byte (init) and
+    * the Σ w·x integer neighbor sums. Id string forms mirror Spark's
+    * cast-to-string for the gated types (string/long/int/short). */
+  private def localFastRP(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      dims: Int, iterations: Int): DataFrame = {
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val m = rows.length
+    val es = new Array[Int](m); val ed = new Array[Int](m); val ew = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val r = rows(i)
+      es(i) = intern(r.get(0)); ed(i) = intern(r.get(1)); ew(i) = r.getLong(2)
+      i += 1
+    }
+    val n = ids.length
+    // init: R(v)[j] from the first md5 byte of "<id>:<j>" — exactly
+    // Sketches.hllBucket(concat(cast(id as string), ':'||j)) % 6
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var x = Array.ofDim[Long](n, dims)
+    var v = 0
+    while (v < n) {
+      val s = String.valueOf(ids(v))
+      var j = 0
+      while (j < dims) {
+        val b = md.digest((s + ":" + j).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        x(v)(j) = (b % 6) match { case 0 => 1L; case 1 => -1L; case _ => 0L }
+        j += 1
+      }
+      v += 1
+    }
+    // iterate: N_t(u)[j] = Σ_{(u,v,w)} w · N_{t−1}(v)[j], both orientations
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Long]]]
+    var t = 0
+    while (t < iterations) {
+      val y = Array.ofDim[Long](n, dims)
+      var e = 0
+      while (e < m) {
+        val a = es(e); val b = ed(e); val w = ew(e)
+        var j = 0
+        while (j < dims) {
+          y(a)(j) += w * x(b)(j)
+          y(b)(j) += w * x(a)(j)
+          j += 1
+        }
+        e += 1
+      }
+      snaps += y
+      x = y
+      t += 1
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("id", idType) +:
+        (1 to iterations).flatMap(tt =>
+          (0 until dims).map(j => StructField(s"r${tt}_$j", LongType))))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    v = 0
+    while (v < n) {
+      val vals = new Array[Any](1 + iterations * dims)
+      vals(0) = ids(v)
+      var k = 1
+      var tt = 0
+      while (tt < iterations) {
+        var j = 0
+        while (j < dims) { vals(k) = snaps(tt)(v)(j); k += 1; j += 1 }
+        tt += 1
+      }
+      out.add(org.apache.spark.sql.Row.fromSeq(vals.toSeq))
+      v += 1
+    }
+    spark.createDataFrame(out, schema)
   }
 }

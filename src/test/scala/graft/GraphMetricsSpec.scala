@@ -577,6 +577,36 @@ class GraphMetricsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { GraphAlgorithms.fastRP(e, iterations = 4) }
   }
 
+  test("fastRP: local regime matches the forced-distributed path exactly") {
+    val edges = (0L until 40L).flatMap { i =>
+      Seq((s"v$i", s"v${(i * 11 + 5) % 40}"), (s"v$i", s"v${(i + 3) % 40}"))
+    }
+    val e = edges.toDF("src", "dst")
+    // localThreshold = 0 forces the distributed recurrence; default takes
+    // the driver-side replay — identical rows, identical schema
+    val dist = GraphAlgorithms.fastRP(e, dims = 3, iterations = 2,
+      localThreshold = 0L).orderBy("id").collect().toSeq
+    val loc = GraphAlgorithms.fastRP(e, dims = 3, iterations = 2)
+      .orderBy("id").collect().toSeq
+    assert(loc === dist)
+    // weighted form parity too (validated long weights thread through)
+    val ew = e.selectExpr("src", "dst",
+      "(CAST(substr(src, 2) AS BIGINT) + CAST(substr(dst, 2) AS BIGINT)) % 5 + 1 AS w")
+    val distW = GraphAlgorithms.fastRP(ew, dims = 2, iterations = 2,
+      edgeWeightCol = Some("w"), localThreshold = 0L).orderBy("id").collect().toSeq
+    val locW = GraphAlgorithms.fastRP(ew, dims = 2, iterations = 2,
+      edgeWeightCol = Some("w")).orderBy("id").collect().toSeq
+    assert(locW === distW)
+    // LONG ids exercise the cast-to-string mirror in the local init
+    val eL = edges.map { case (a, b) => (a.drop(1).toLong, b.drop(1).toLong) }
+      .toDF("src", "dst")
+    val distL = GraphAlgorithms.fastRP(eL, dims = 2, iterations = 1,
+      localThreshold = 0L).orderBy("id").collect().toSeq
+    val locL = GraphAlgorithms.fastRP(eL, dims = 2, iterations = 1)
+      .orderBy("id").collect().toSeq
+    assert(locL === distL)
+  }
+
   test("fastRP weighted form: Σ w·x recurrence, parallel weights merge additively") {
     val edges = (0L until 24L).flatMap { i =>
       Seq((s"v$i", s"v${(i * 5 + 2) % 24}"), (s"v$i", s"v${(i + 1) % 24}"))
