@@ -1698,18 +1698,11 @@ object GraphAlgorithms {
     out
   }
 
-  /** Driver-side rounds for [[maximalMatching]]'s small regime —
-    * identical synchronous semantics over interned arrays. */
-  private def localMatching(canon: DataFrame, rounds: Int,
-                            weighted: Boolean = false): DataFrame = {
-    val spark = canon.sparkSession
-    val ut = canon.schema("u").dataType
-    val vt = canon.schema("v").dataType
-    val rows0 = canon.select("u", "v", "ul", "vl", "w").collect()
-    val eu = rows0.map(_.get(0)); val ev = rows0.map(_.get(1))
-    val ul = rows0.map(_.getLong(2)); val vl = rows0.map(_.getLong(3))
-    val ew = rows0.map(r => if (weighted) -r.getLong(4) else 0L)
-    val m = rows0.length
+  /** Array-level core of [[localMatching]] — identical synchronous
+    * semantics; returns (edge index, round) in emission order so the
+    * local multilevel coarsening can reuse the exact matching. */
+  private def localMatchCore(m: Int, ul: Array[Long], vl: Array[Long],
+      ew: Array[Long], rounds: Int): scala.collection.mutable.ArrayBuffer[(Int, Int)] = {
     // endpoint → incident edge indices
     val inc = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
     (0 until m).foreach { i =>
@@ -1718,7 +1711,7 @@ object GraphAlgorithms {
     }
     val alive = Array.fill(m)(true)
     var liveCount = m
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, Int)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var r = 0
     while (r < rounds && liveCount > 0) {
       r += 1
@@ -1741,17 +1734,33 @@ object GraphAlgorithms {
         }
       }
       winners.foreach { i =>
-        out += ((eu(i), ev(i), r))
+        out += ((i, r))
         // kill every edge touching either matched endpoint
         (inc(ul(i)).iterator ++ inc(vl(i)).iterator).foreach { j =>
           if (alive(j)) { alive(j) = false; liveCount -= 1 }
         }
       }
     }
+    out
+  }
+
+  /** Driver-side rounds for [[maximalMatching]]'s small regime —
+    * identical synchronous semantics over interned arrays. */
+  private def localMatching(canon: DataFrame, rounds: Int,
+                            weighted: Boolean = false): DataFrame = {
+    val spark = canon.sparkSession
+    val ut = canon.schema("u").dataType
+    val vt = canon.schema("v").dataType
+    val rows0 = canon.select("u", "v", "ul", "vl", "w").collect()
+    val eu = rows0.map(_.get(0)); val ev = rows0.map(_.get(1))
+    val ul = rows0.map(_.getLong(2)); val vl = rows0.map(_.getLong(3))
+    val ew = rows0.map(r => if (weighted) -r.getLong(4) else 0L)
+    val out = localMatchCore(rows0.length, ul, vl, ew, rounds)
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("u", ut), StructField("v", vt),
       StructField("round", IntegerType, nullable = false)))
-    val rows = out.map { case (u, v, rr) => org.apache.spark.sql.Row(u, v, rr) }.toSeq
+    val rows = out.map { case (i, rr) =>
+      org.apache.spark.sql.Row(eu(i), ev(i), rr) }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
@@ -3843,12 +3852,113 @@ object GraphAlgorithms {
    * the edge keys, the only correct shape at 100 TB vertex counts.
    * Returns (id, part INT).
    */
+  /** First md5 byte of a value's string form — the driver-side mirror of
+    * `Sketches.hllBucket(col.cast("string"))` for the id types whose
+    * JVM toString equals Spark's cast-to-string (gated by callers). */
+  private def md5FirstByte(s: String): Int =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+
+  /** Id types whose String.valueOf matches Spark's cast-to-string — the
+    * replayability gate for local regimes that re-derive md5 buckets. */
+  private def stringCastReplayable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType
+           | org.apache.spark.sql.types.LongType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+
+  /** Driver-side replay of [[balancedPartition]]'s rounds — identical
+    * synchronous semantics over interned arrays. Inputs are the ALREADY
+    * canonicalized unordered value pairs with merged weights (BLP treats
+    * edges symmetrically, so canonical orientation is immaterial); `seed`
+    * and `vw` mirror the init/vertexWeights lookups (missing → md5
+    * default / weight 1). Returns id → part over the pair endpoints. */
+  private def localBlpMap(eu: Array[Any], ev: Array[Any], ew: Array[Long],
+      numParts: Int, rounds: Int, slackPct: Int,
+      seed: Any => Option[Int], vw: Any => Long, vwProvided: Boolean)
+      : scala.collection.mutable.LinkedHashMap[Any, Int] = {
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val m = eu.length
+    val ia = new Array[Int](m); val ib = new Array[Int](m)
+    var e = 0
+    while (e < m) { ia(e) = intern(eu(e)); ib(e) = intern(ev(e)); e += 1 }
+    val n = ids.length
+    val part = new Array[Int](n); val par = new Array[Int](n)
+    val vwA = new Array[Long](n)
+    var i = 0
+    var totalW = 0L
+    while (i < n) {
+      val b = md5FirstByte(String.valueOf(ids(i)))
+      part(i) = seed(ids(i)).getOrElse(b % numParts)
+      par(i) = b % 2
+      vwA(i) = vw(ids(i))
+      totalW += vwA(i)
+      i += 1
+    }
+    if (!vwProvided) totalW = n.toLong
+    val cap = (totalW * (100L + slackPct) + 100L * numParts - 1) / (100L * numParts)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val load = new Array[Long](numParts)
+      val cnt = new Array[Long](numParts)
+      i = 0
+      while (i < n) { load(part(i)) += vwA(i); cnt(part(i)) += 1; i += 1 }
+      // k(v, p) = Σ edge weights into p; `cand` tracks WHICH (v, p) rows
+      // the distributed kvp aggregate would emit (a 0-weight edge still
+      // makes its part a candidate)
+      val k = Array.ofDim[Long](n, numParts)
+      val cand = Array.ofDim[Boolean](n, numParts)
+      e = 0
+      while (e < m) {
+        val a = ia(e); val b = ib(e); val w = ew(e)
+        k(a)(part(b)) += w; cand(a)(part(b)) = true
+        k(b)(part(a)) += w; cand(b)(part(a)) = true
+        e += 1
+      }
+      val next = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        val cp = part(i)
+        // candidates: kvp parts ∪ the current part at k = max(k, 0)
+        // (the union row), inner-joined to load (occupied parts only);
+        // best = lexicographic min of (−score, load, part)
+        var bestP = -1; var bestS = 0L; var bestL = 0L
+        var p = 0
+        while (p < numParts) {
+          if ((cand(i)(p) || p == cp) && cnt(p) > 0) {
+            val kk = if (p == cp) math.max(k(i)(p), 0L) else k(i)(p)
+            val s = kk * (cap - load(p))
+            if (bestP < 0 || s > bestS || (s == bestS && (load(p) < bestL ||
+                (load(p) == bestL && p < bestP)))) {
+              bestP = p; bestS = s; bestL = load(p)
+            }
+          }
+          p += 1
+        }
+        next(i) = if (par(i) == r % 2) bestP else cp
+        i += 1
+      }
+      System.arraycopy(next, 0, part, 0, n)
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    i = 0
+    while (i < n) { out(ids(i)) = part(i); i += 1 }
+    out
+  }
+
   def balancedPartition(edges: DataFrame, numParts: Int, rounds: Int = 4,
                         slackPct: Int = 10,
                         broadcastRowGate: Long = 2000000L,
                         init: Option[DataFrame] = None,
                         edgeWeightCol: Option[String] = None,
-                        vertexWeights: Option[DataFrame] = None): DataFrame = {
+                        vertexWeights: Option[DataFrame] = None,
+                        localThreshold: Long = 2000000L): DataFrame = {
     require(numParts >= 2, s"numParts must be >= 2: $numParts")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     require(slackPct >= 0, s"slackPct must be >= 0: $slackPct")
@@ -3858,7 +3968,7 @@ object GraphAlgorithms {
     // that many fine vertices) — the coarse rounds then optimize the
     // FINE cut under the FINE balance constraint exactly. Parallel
     // weighted edges merge additively; both stay exact BIGINTs.
-    val cn = (edgeWeightCol match {
+    val cnPlan = edgeWeightCol match {
       case None => PropertyGraph.canonicalUndirected(edges)
         .select(col("src"), col("dst"), lit(1L).as("__w"))
       case Some(wc) => edges
@@ -3867,7 +3977,69 @@ object GraphAlgorithms {
           col(wc).cast("long").as("__w"))
         .where(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(sum(col("__w")).as("__w"))
-    }).localCheckpoint(true)
+    }
+    // adaptive local regime (the fastRP/kCore/matching pattern): below
+    // `localThreshold` canonical edges every BLP round is a latency-floor
+    // eager checkpoint job over a frame the driver holds easily, so the
+    // IDENTICAL synchronous semantics replay driver-side. The
+    // canonicalization plan still computes (src, dst, __w); the only
+    // local re-derivation is hllBucket's first md5 byte, gated on id
+    // types whose toString mirrors Spark's cast-to-string. The gate
+    // itself reads the RAW edge count via an early-out limit (the
+    // triangleCountDF precedent — raw ≥ canonical, so a small raw proves
+    // the canonical side small without materializing it), which keeps
+    // the large regime's cost identical to before: no probe shuffle, no
+    // extra pass. Seeds and vertex weights are themselves gated collects
+    // (vertex-sized); any overflow falls through to distributed rounds.
+    val lt = math.min(localThreshold, 100000000L)
+    val rawSmall = lt > 0 &&
+      stringCastReplayable(cnPlan.schema("src").dataType) &&
+      edges.select(col("src")).limit(lt.toInt + 1).count() <= lt
+    if (rawSmall) {
+      val seedOpt: Option[Any => Option[Int]] = init match {
+        case None => Some((_: Any) => None)
+        case Some(s0) => collectRowsGated(
+            s0.select(col(s0.columns.head).as("id"),
+              col(s0.columns(1)).cast("int").as("__seed")).dropDuplicates("id"),
+            localThreshold).map { rows =>
+          val mp = scala.collection.mutable.HashMap.empty[Any, Int]
+          rows.foreach(r => if (!r.isNullAt(1)) mp(r.get(0)) = r.getInt(1))
+          (x: Any) => mp.get(x)
+        }
+      }
+      val vwOpt: Option[Any => Long] = vertexWeights match {
+        case None => Some((_: Any) => 1L)
+        case Some(vwDf) => collectRowsGated(
+            vwDf.select(col(vwDf.columns.head).as("id"),
+              col(vwDf.columns(1)).cast("long").as("__vwv")),
+            localThreshold).map { rows =>
+          val mp = scala.collection.mutable.HashMap.empty[Any, Long]
+          rows.foreach(r => if (!r.isNullAt(1)) mp(r.get(0)) = r.getLong(1))
+          (x: Any) => mp.getOrElse(x, 1L)
+        }
+      }
+      val rows = (seedOpt, vwOpt) match {
+        case (Some(_), Some(_)) => cnPlan.collect()
+        case _ => Array.empty[org.apache.spark.sql.Row]
+      }
+      (seedOpt, vwOpt) match {
+        case (Some(sd), Some(vwF))
+            if rows.length * 2L * numParts <= 64000000L =>
+          val asg = localBlpMap(rows.map(_.get(0)), rows.map(_.get(1)),
+            rows.map(_.getLong(2)), numParts, rounds, slackPct,
+            sd, vwF, vertexWeights.isDefined)
+          import org.apache.spark.sql.types._
+          val schema = StructType(Seq(
+            StructField("id", cnPlan.schema("src").dataType),
+            StructField("part", IntegerType)))
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row](asg.size)
+          asg.foreach { case (id, p) =>
+            out.add(org.apache.spark.sql.Row(id, p)) }
+          return edges.sparkSession.createDataFrame(out, schema)
+        case _ => ()
+      }
+    }
+    val cn = cnPlan.localCheckpoint(true)
     // lazy over the checkpointed canonical set: materializing the
     // doubled orientation would write the edge list twice for no reuse
     // the cn blocks don't already give
@@ -3970,11 +4142,33 @@ object GraphAlgorithms {
                           matchRounds: Int = 12, coarseRounds: Int = 4,
                           refineRounds: Int = 2, slackPct: Int = 10,
                           broadcastRowGate: Long = 2000000L,
-                          levels: Int = 1): DataFrame = {
+                          levels: Int = 1,
+                          localThreshold: Long = 2000000L): DataFrame = {
     require(numParts >= 2, s"numParts must be >= 2: $numParts")
     require(matchRounds >= 1 && coarseRounds >= 1 && refineRounds >= 1,
       s"all round counts must be >= 1: $matchRounds/$coarseRounds/$refineRounds")
     require(levels >= 1, s"levels must be >= 1: $levels")
+    // adaptive local regime: the whole V-cycle (matching, contraction,
+    // vertex-weight chain, coarse BLP, projection, per-level refine) is
+    // a long chain of eager vertex/edge-sized jobs — pure iteration
+    // floor below the gate. canonicalSimpleEdges still computes the
+    // canonical pairs AND the numeric order keys (ul/vl — including the
+    // xxhash64 branch for non-numeric ids) distributed, so the local
+    // replay needs no key re-derivation; matching reuses the exact
+    // localMatchCore; the only other local re-derivation is the BLP md5
+    // bucket, gated by stringCastReplayable like balancedPartition.
+    val lt = math.min(localThreshold, 100000000L)
+    if (lt > 0 && stringCastReplayable(edges.schema("src").dataType) &&
+        edges.select(col("src")).limit(lt.toInt + 1).count() <= lt) {
+      // raw ≥ canonical (the balancedPartition raw pre-gate), so the
+      // collect below is bounded by the limit-count that just passed
+      val rows = canonicalSimpleEdges(edges, None)
+        .select(col("u"), col("v"), col("ul"), col("vl"), col("w")).collect()
+      if (rows.length * 2L * numParts <= 64000000L)
+        return localMultilevelPartition(edges.sparkSession, rows,
+          edges.schema("src").dataType, numParts, matchRounds,
+          coarseRounds, refineRounds, slackPct, levels)
+    }
     // DOWN the V: repeated coarsening. Level 0 is the fine unweighted
     // graph; every deeper level is weighted (coarse edges sum absorbed
     // fine edges — coarsenWithMap's weighted mode switches the matching
@@ -4042,6 +4236,97 @@ object GraphAlgorithms {
         .localCheckpoint(true)
     }
     asg
+  }
+
+  /** Driver-side replay of the whole [[multilevelPartition]] V-cycle for
+    * the small regime — identical synchronous semantics. `rows` are the
+    * collected canonicalSimpleEdges(edges, None) rows (u, v, ul, vl, w):
+    * the numeric order keys arrive PRE-COMPUTED (so contraction
+    * orientation is exact for any id type), matching reuses
+    * [[localMatchCore]], the BLP phases reuse [[localBlpMap]], and the
+    * vertex-weight chain mirrors the distributed joins entry by entry. */
+  private def localMultilevelPartition(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType, numParts: Int,
+      matchRounds: Int, coarseRounds: Int, refineRounds: Int,
+      slackPct: Int, levels: Int): DataFrame = {
+    // id → numeric order key, exactly as the distributed plan computed it
+    val key = scala.collection.mutable.HashMap.empty[Any, Long]
+    rows.foreach { r => key(r.get(0)) = r.getLong(2); key(r.get(1)) = r.getLong(3) }
+    var eu = rows.map(_.get(0)); var ev = rows.map(_.get(1))
+    var ew = rows.map(_.getLong(4)) // = 1 per canonical pair at the fine level
+    // per level: (pairs, weights, weighted?, sparse vertex weights or null)
+    var graphs = List.empty[(Array[Any], Array[Any], Array[Long], Boolean,
+      scala.collection.mutable.HashMap[Any, Long])]
+    var cmaps = List.empty[Array[(Any, Any)]]
+    var curVw: scala.collection.mutable.HashMap[Any, Long] = null
+    def vwOf(vwm: scala.collection.mutable.HashMap[Any, Long], x: Any): Long =
+      if (vwm == null) 1L else vwm.getOrElse(x, 1L)
+    var l = 0
+    while (l < levels) {
+      graphs = ((eu, ev, ew, l > 0, curVw)) :: graphs
+      val m = eu.length
+      val ulA = eu.map(key); val vlA = ev.map(key)
+      val negw = if (l == 0) new Array[Long](m) else ew.map(-_)
+      val matched = localMatchCore(m, ulA, vlA, negw, matchRounds)
+      val rep = scala.collection.mutable.HashMap.empty[Any, Any]
+      val cmap = matched.map { case (i, _) => (ev(i), eu(i)) }.toArray
+      cmap.foreach { case (v, u) => rep(v) = u }
+      // contraction: re-map through rep, drop key-internal edges, merge
+      // parallel coarse edges (sum at weighted levels, count at level 0 —
+      // identical here since fine canonical w = 1)
+      val agg = scala.collection.mutable.LinkedHashMap.empty[(Any, Any), Long]
+      var j = 0
+      while (j < m) {
+        val a = rep.getOrElse(eu(j), eu(j)); val b = rep.getOrElse(ev(j), ev(j))
+        val al = key(a); val bl = key(b)
+        if (al != bl) {
+          val p = if (al < bl) (a, b) else (b, a)
+          agg(p) = agg.getOrElse(p, 0L) + (if (l == 0) 1L else ew(j))
+        }
+        j += 1
+      }
+      // vertex-weight chain: rep absorbs its partners' weights; untouched
+      // vertices carry their sparse entries up unchanged
+      val pw = scala.collection.mutable.HashMap.empty[Any, Long]
+      cmap.foreach { case (v, u) =>
+        pw(u) = pw.getOrElse(u, 0L) + vwOf(curVw, v) }
+      val nextVw = scala.collection.mutable.HashMap.empty[Any, Long]
+      pw.foreach { case (u, s) => nextVw(u) = vwOf(curVw, u) + s }
+      if (curVw != null) {
+        val touched = scala.collection.mutable.HashSet.empty[Any]
+        cmap.foreach { case (v, u) => touched += v; touched += u }
+        curVw.foreach { case (id, w) => if (!touched(id)) nextVw(id) = w }
+      }
+      curVw = nextVw
+      eu = agg.keysIterator.map(_._1).toArray
+      ev = agg.keysIterator.map(_._2).toArray
+      ew = agg.valuesIterator.toArray
+      cmaps = cmap :: cmaps
+      l += 1
+    }
+    // partition the coarsest graph under both weight chains
+    val vwAtCoarse = curVw
+    var asg: scala.collection.mutable.LinkedHashMap[Any, Int] =
+      localBlpMap(eu, ev, ew, numParts, coarseRounds, slackPct,
+        (_: Any) => None, x => vwOf(vwAtCoarse, x), vwProvided = true)
+    // UP the V: project through each contraction map, refine at that
+    // level's weights (weighted seeded BLP at deeper levels, plain at 0)
+    graphs.zip(cmaps).foreach { case ((leu, lev, lew, weighted, lvw), cmap) =>
+      val projected = scala.collection.mutable.HashMap.empty[Any, Int]
+      asg.foreach { case (id, p) => projected(id) = p }
+      cmap.foreach { case (v, u) =>
+        asg.get(u).foreach(p => projected(v) = p) }
+      asg = localBlpMap(leu, lev, lew, numParts, refineRounds, slackPct,
+        (x: Any) => projected.get(x), x => vwOf(lvw, x),
+        vwProvided = lvw != null)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", idType),
+      StructField("part", IntegerType)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](asg.size)
+    asg.foreach { case (id, p) => out.add(org.apache.spark.sql.Row(id, p)) }
+    spark.createDataFrame(out, schema)
   }
 
   /**

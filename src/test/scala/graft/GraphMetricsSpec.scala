@@ -473,6 +473,40 @@ class GraphMetricsSpec extends SparkSpec {
       "clique B stays whole through the recursion")
   }
 
+  test("partition family: local regime matches the forced-distributed path exactly") {
+    // string ids exercise the lexicographic canonicalization + md5 mirror
+    val edgesS = (0L until 60L).flatMap { i =>
+      Seq((s"${i}", s"${(i * 13 + 7) % 60}"), (s"${i}", s"${(i + 4) % 60}"))
+    }
+    val eS = edgesS.toDF("src", "dst")
+    val eL = edgesS.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+    for (e <- Seq(eS, eL)) {
+      val dist = GraphAlgorithms.balancedPartition(e, numParts = 4, rounds = 3,
+        localThreshold = 0L).orderBy("id").collect().toSeq
+      val loc = GraphAlgorithms.balancedPartition(e, numParts = 4, rounds = 3)
+        .orderBy("id").collect().toSeq
+      assert(loc === dist, s"BLP parity for ${e.schema("src").dataType}")
+      val mlDist = GraphAlgorithms.multilevelPartition(e, numParts = 3,
+        matchRounds = 5, coarseRounds = 2, refineRounds = 2, levels = 2,
+        localThreshold = 0L).orderBy("id").collect().toSeq
+      val mlLoc = GraphAlgorithms.multilevelPartition(e, numParts = 3,
+        matchRounds = 5, coarseRounds = 2, refineRounds = 2, levels = 2)
+        .orderBy("id").collect().toSeq
+      assert(mlLoc === mlDist, s"multilevel parity for ${e.schema("src").dataType}")
+    }
+    // weighted form + vertex weights + seeds thread through the local BLP
+    val ew = eL.selectExpr("src", "dst", "(src + dst) % 5 + 1 AS w")
+    val vw = (0L until 60L).map(i => (i, i % 3 + 1)).toDF("id", "vw")
+    val seed = (0L until 20L).map(i => (i, (i % 4).toInt)).toDF("id", "part")
+    val wDist = GraphAlgorithms.balancedPartition(ew, numParts = 4, rounds = 3,
+      init = Some(seed), edgeWeightCol = Some("w"), vertexWeights = Some(vw),
+      localThreshold = 0L).orderBy("id").collect().toSeq
+    val wLoc = GraphAlgorithms.balancedPartition(ew, numParts = 4, rounds = 3,
+      init = Some(seed), edgeWeightCol = Some("w"), vertexWeights = Some(vw))
+      .orderBy("id").collect().toSeq
+    assert(wLoc === wDist, "weighted/seeded/vertex-weighted BLP parity")
+  }
+
   test("balancedPartition: a duplicate-id seed neither duplicates output rows nor inflates loads") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
     // the same id seeded twice with CONFLICTING parts — the join must
