@@ -2039,10 +2039,29 @@ object GraphAlgorithms {
    * of graph density, the whole point of sketching the balls.
    */
   def neighborhoodRegisters(edges: DataFrame, hops: Int,
-                            undirected: Boolean = true): DataFrame = {
+                            undirected: Boolean = true,
+                            localThreshold: Long = 2000000L): DataFrame = {
     require(hops >= 1, s"hops must be >= 1: $hops")
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
       .where(col("u") =!= col("v"))
+    // adaptive local regime (the fastRP/BLP pattern): per hop the
+    // distributed round is an eager checkpoint job over ≤ verts×256
+    // register rows — iteration floor on small graphs. The md5 sketch
+    // replays exactly from the digest bytes (bucket = byte 0; rho = 1 +
+    // leading zero bits of the 64-bit value in bytes 1..8, 65 when
+    // zero — the hex-digit arithmetic of Sketches.hllBucket/hllRho in
+    // byte form), gated on id types whose toString mirrors
+    // cast-to-string; the raw limit-count pre-gate keeps the large
+    // regime's cost identical. Register max-merge is idempotent, so
+    // collected duplicate edges need no local distinct.
+    val lt = math.min(localThreshold, 100000000L)
+    if (lt > 0 && stringCastReplayable(e0.schema("u").dataType) &&
+        edges.select(col("src")).limit(lt.toInt + 1).count() <= lt) {
+      val rows = e0.collect()
+      val local = localNeighborhoodRegisters(edges.sparkSession, rows,
+        e0.schema("u").dataType, hops, undirected)
+      if (local.isDefined) return local.get
+    }
     val e = (if (undirected) e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       else e0).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("u").as("id"))
@@ -2064,6 +2083,99 @@ object GraphAlgorithms {
     out.select(col("hop"), col("id"), col("bucket"), col("max_rho"))
   }
 
+  /** The register max-merge of [[localNeighborhoodRegisters]] as raw
+    * arrays — (interned ids, registers per hop 0..hops) — so
+    * [[effectiveDiameter]]'s read path can aggregate without
+    * materializing a verts×256×hops local relation. None when the
+    * register table would be too large for the driver. */
+  private def localNeighborhoodArrays(
+      rows: Array[org.apache.spark.sql.Row], hops: Int, undirected: Boolean)
+      : Option[(scala.collection.mutable.ArrayBuffer[Any], Array[Array[Array[Byte]]])] = {
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val m = rows.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) { ea(i) = intern(rows(i).get(0)); eb(i) = intern(rows(i).get(1)); i += 1 }
+    val n = ids.length
+    if (n.toLong * 256L * (hops + 1) > 16000000L) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val perHop = new Array[Array[Array[Byte]]](hops + 1)
+    // init: one register per vertex — its own (bucket, rho)
+    var regs = Array.ofDim[Byte](n, 256) // 0 = absent; rho ∈ 1..65 fits
+    i = 0
+    while (i < n) {
+      val d = md.digest(String.valueOf(ids(i)).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val bucket = d(0) & 0xff
+      var w = 0L
+      var b = 1
+      while (b <= 8) { w = (w << 8) | (d(b) & 0xffL); b += 1 }
+      val rho = if (w == 0L) 65 else 1 + java.lang.Long.numberOfLeadingZeros(w)
+      regs(i)(bucket) = rho.toByte
+      i += 1
+    }
+    perHop(0) = regs
+    var t = 1
+    while (t <= hops) {
+      val next = Array.ofDim[Byte](n, 256)
+      i = 0
+      while (i < n) { System.arraycopy(regs(i), 0, next(i), 0, 256); i += 1 }
+      def merge(from: Int, to: Int): Unit = {
+        val f = regs(from); val g = next(to)
+        var k = 0
+        while (k < 256) { if (f(k) > g(k)) g(k) = f(k); k += 1 }
+      }
+      var e = 0
+      while (e < m) {
+        merge(ea(e), eb(e))
+        if (undirected) merge(eb(e), ea(e))
+        e += 1
+      }
+      regs = next
+      perHop(t) = regs
+      t += 1
+    }
+    Some((ids, perHop))
+  }
+
+  /** Driver-side replay of [[neighborhoodRegisters]]' small regime —
+    * identical synchronous max-merge over per-vertex register arrays.
+    * Returns None when the register table (verts × 256 × hops+1) would
+    * be too large for a local relation, sending the caller back to the
+    * distributed rounds. */
+  private def localNeighborhoodRegisters(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      hops: Int, undirected: Boolean): Option[DataFrame] =
+    localNeighborhoodArrays(rows, hops, undirected).map { case (ids, perHop) =>
+      val n = ids.length
+      val outRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      var t = 0
+      while (t <= hops) {
+        val regs = perHop(t)
+        var i = 0
+        while (i < n) {
+          var k = 0
+          while (k < 256) {
+            if (regs(i)(k) > 0)
+              outRows.add(org.apache.spark.sql.Row(t, ids(i), k, regs(i)(k).toInt))
+            k += 1
+          }
+          i += 1
+        }
+        t += 1
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("hop", IntegerType, nullable = false),
+        StructField("id", idType),
+        StructField("bucket", IntegerType),
+        StructField("max_rho", IntegerType)))
+      spark.createDataFrame(outRows, schema)
+    }
+
   /**
    * Effective diameter from the [[neighborhoodRegisters]] sketch: the
    * smallest hop t where the average sketched ball size reaches
@@ -2075,10 +2187,55 @@ object GraphAlgorithms {
    * the chosen t.
    */
   def effectiveDiameter(edges: DataFrame, hops: Int = 8, q: Double = 0.9,
-                        undirected: Boolean = true): DataFrame = {
+                        undirected: Boolean = true,
+                        localThreshold: Long = 2000000L): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
-    val regs = neighborhoodRegisters(edges, hops, undirected)
     val spark = edges.sparkSession
+    // small regime: read the per-hop estimates straight off the local
+    // register arrays — same estimator arithmetic as hllEstimateCol —
+    // instead of materializing a verts×256×(hops+1) local relation just
+    // to re-aggregate it (measured as the whole remaining cost of this
+    // read path at bench scale: row conversion, not computation)
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+      .where(col("u") =!= col("v"))
+    val lt = math.min(localThreshold, 100000000L)
+    val localArrays =
+      if (lt > 0 && stringCastReplayable(e0.schema("u").dataType) &&
+          edges.select(col("src")).limit(lt.toInt + 1).count() <= lt)
+        localNeighborhoodArrays(e0.collect(), hops, undirected)
+      else None
+    localArrays match {
+      case Some((ids, perHopRegs)) =>
+        val n = ids.length
+        val alpha = 0.7213 / (1.0 + 1.079 / 256)
+        val perHop = (0 to hops).map { t =>
+          val regs = perHopRegs(t)
+          var total = 0.0
+          var i = 0
+          while (i < n) {
+            var s = 0.0; var nonzero = 0
+            var k = 0
+            while (k < 256) {
+              if (regs(i)(k) > 0) { s += math.pow(2.0, -regs(i)(k).toDouble); nonzero += 1 }
+              k += 1
+            }
+            val zeros = 256.0 - nonzero
+            val sTot = s + zeros
+            val raw = alpha * 256 * 256 / sTot
+            total += (if (raw <= 2.5 * 256 && zeros > 0)
+              256.0 * math.log(256.0 / zeros) else raw)
+            i += 1
+          }
+          (t, total)
+        }
+        val target = q * perHop.last._2
+        val eff = perHop.find(_._2 >= target).map(_._1).getOrElse(hops)
+        import spark.implicits._
+        return perHop.map { case (t, nn) => (t, nn, t == eff) }
+          .toDF("hop", "n_estimate", "effective")
+      case None => ()
+    }
+    val regs = neighborhoodRegisters(edges, hops, undirected, localThreshold)
     // N(t) = Σ_v estimate(v, t): ONE two-level aggregation job over the
     // whole register frame — grouped by (hop, id) for the per-vertex
     // estimate, then by hop for the totals; only the hops+1 numbers

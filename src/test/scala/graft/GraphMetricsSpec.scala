@@ -194,6 +194,28 @@ class GraphMetricsSpec extends SparkSpec {
     assert(math.round(est) === 5L, s"ball estimate $est for true size 5")
   }
 
+  test("neighborhoodRegisters: local regime matches the forced-distributed path exactly") {
+    val edges = (0L until 50L).flatMap { i =>
+      Seq((i, (i * 17 + 3) % 50), (i, (i + 6) % 50))
+    }.toDF("src", "dst")
+    for (und <- Seq(true, false)) {
+      val dist = GraphAlgorithms.neighborhoodRegisters(edges, hops = 3,
+        undirected = und, localThreshold = 0L)
+        .orderBy("hop", "id", "bucket").collect().toSeq
+      val loc = GraphAlgorithms.neighborhoodRegisters(edges, hops = 3,
+        undirected = und).orderBy("hop", "id", "bucket").collect().toSeq
+      assert(loc === dist, s"undirected=$und")
+    }
+    // string ids exercise the md5 byte mirror
+    val eS = (0L until 30L).map(i => (s"v$i", s"v${(i * 7 + 1) % 30}"))
+      .toDF("src", "dst")
+    val distS = GraphAlgorithms.neighborhoodRegisters(eS, hops = 2,
+      localThreshold = 0L).orderBy("hop", "id", "bucket").collect().toSeq
+    val locS = GraphAlgorithms.neighborhoodRegisters(eS, hops = 2)
+      .orderBy("hop", "id", "bucket").collect().toSeq
+    assert(locS === distS)
+  }
+
   test("effectiveDiameter: monotone neighborhood function, correct cut hop on a path") {
     // path 1..5: true N(t) = 5, 13, 19, 23, 25; at q = 0.8 the target is
     // 20, first reached at hop 3 (margin ≫ the sketch's error at n=5)
