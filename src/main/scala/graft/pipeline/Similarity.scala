@@ -648,16 +648,104 @@ object Similarity {
    * At cluster scale the checkpoint target would be a parquet/Delta table;
    * the beam itself is beamWidth rows, trivially materializable.
    */
+  /** Spark's sort semantics for doubles: NaN greatest (Double.compare
+    * agrees) and -0.0 == 0.0 (Double.compare does NOT — special-cased). */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Driver-side replay of [[beamSearch]]'s small regime. The corpus
+    * scores arrive DISTRIBUTED-computed (codegen'd cosine doubles — no
+    * float re-derivation); only the frontier/merge/top-k loop replays
+    * locally under the exact (score DESC, id ASC) total order. None on
+    * gate overflow, non-ASCII string ids (UTF8 vs UTF-16 order), null
+    * ids/scores, or duplicate corpus ids — distributed handles those. */
+  private def localBeamSearch(scoredPlan: DataFrame, ePlan: DataFrame,
+      beamWidth: Int, hops: Int, localThreshold: Long): Option[DataFrame] = {
+    val lt = math.min(localThreshold, 100000000L)
+    if (lt <= 0) return None
+    val idType = scoredPlan.schema("id").dataType
+    val idOrd: Ordering[Any] = idType match {
+      case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case _ => return None
+    }
+    def asciiOk(x: Any): Boolean = x match {
+      case s: String => s.forall(_ < 128)
+      case _ => true
+    }
+    val scoredRows = graft.algorithms.GraphAlgorithms
+      .collectRowsGated(scoredPlan, lt).getOrElse(return None)
+    val eRows = graft.algorithms.GraphAlgorithms
+      .collectRowsGated(ePlan, lt).getOrElse(return None)
+    val score = scala.collection.mutable.HashMap.empty[Any, Double]
+    scoredRows.foreach { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val id = r.get(0)
+      if (!asciiOk(id) || score.contains(id)) return None
+      score(id) = r.getDouble(1)
+    }
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    eRows.foreach { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val s = r.get(0); val d = r.get(1)
+      if (!asciiOk(s) || !asciiOk(d)) return None
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+    }
+    // (score DESC, id ASC) — the distributed beam's total order
+    val beamOrd = new Ordering[(Any, Double, Int)] {
+      def compare(a: (Any, Double, Int), b: (Any, Double, Int)): Int = {
+        val c = cmpDouble(b._2, a._2)
+        if (c != 0) c else idOrd.compare(a._1, b._1)
+      }
+    }
+    var beam = score.iterator.map { case (id, s) => (id, s, 0) }
+      .toArray.sorted(beamOrd).take(beamWidth).toSeq
+    for (h <- 1 to hops) {
+      val frontier = scala.collection.mutable.LinkedHashSet.empty[Any]
+      beam.foreach { case (id, _, _) =>
+        adj.get(id).foreach(_.foreach(frontier += _)) }
+      // dedup by id keeping the LOWEST hop (the distributed window), then
+      // re-rank; a frontier id already in the beam keeps its earlier hop
+      val merged = scala.collection.mutable.HashMap.empty[Any, (Double, Int)]
+      beam.foreach { case (id, s, hp) => merged(id) = (s, hp) }
+      frontier.foreach { d =>
+        if (!merged.contains(d)) score.get(d).foreach(s => merged(d) = (s, h))
+      }
+      beam = merged.iterator.map { case (id, (s, hp)) => (id, s, hp) }
+        .toArray.sorted(beamOrd).take(beamWidth).toSeq
+    }
+    val schema = StructType(Seq(StructField("id", idType),
+      StructField("score", DoubleType), StructField("hop", IntegerType)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](beam.size)
+    beam.foreach { case (id, s, hp) =>
+      out.add(org.apache.spark.sql.Row(id, s, hp)) }
+    Some(scoredPlan.sparkSession.createDataFrame(out, schema))
+  }
+
   def beamSearch(nodeEmb: DataFrame, idCol: String, vecCol: String,
                  edges: DataFrame, queryVec: Seq[Float],
-                 beamWidth: Int, hops: Int): DataFrame = {
+                 beamWidth: Int, hops: Int,
+                 localThreshold: Long = 2000000L): DataFrame = {
     val qv = array(queryVec.map(v => lit(v)): _*)
-    val scored = nodeEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val scoredPlan = nodeEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("score", cosine(col("vec"), qv))
       .select(col("id"), col("score"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ePlan = edges.select(col("src"), col("dst"))
+    // adaptive local regime (the fastRP/BLP pattern): the hop loop is a
+    // handful of beamWidth-row joins — iteration floor once corpus and
+    // edge list fit the driver. Scoring stays DISTRIBUTED (the collected
+    // frame carries the codegen'd cosine doubles, so no float
+    // re-derivation); only the frontier/top-k loop replays locally, with
+    // the exact (score DESC, id ASC) total order. Falls back on
+    // non-replayable id orderings or duplicate corpus ids.
+    localBeamSearch(scoredPlan, ePlan, beamWidth, hops, localThreshold) match {
+      case Some(df) => return df
+      case None => ()
+    }
+    val scored = scoredPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = ePlan.persist(StorageLevel.MEMORY_AND_DISK)
     var beam = scored.orderBy(col("score").desc, col("id").asc).limit(beamWidth)
       .select(col("id"), col("score"), lit(0).as("hop"))
       .localCheckpoint(true)
@@ -706,18 +794,96 @@ object Similarity {
    *
    * Returns (path ARRAY<STRING>, id = last node, score, hop).
    */
+  /** Driver-side replay of [[pathBeamSearch]]'s small regime — the node
+    * and type scores arrive distributed-computed; the per-hop expand /
+    * dead-path / top-k loop replays under the exact
+    * (score DESC, sig ASC) order with the same left-to-right score
+    * additions. String ids only (the sig concat domain), ASCII-gated. */
+  private def localPathBeamSearch(scoredPlan: DataFrame, ePlan: DataFrame,
+      beamWidth: Int, hops: Int, sep: String,
+      localThreshold: Long): Option[DataFrame] = {
+    val lt = math.min(localThreshold, 100000000L)
+    if (lt <= 0 || scoredPlan.schema("id").dataType != StringType) return None
+    def asciiOk(s: String): Boolean = s.forall(_ < 128)
+    val scoredRows = graft.algorithms.GraphAlgorithms
+      .collectRowsGated(scoredPlan, lt).getOrElse(return None)
+    val eRows = graft.algorithms.GraphAlgorithms
+      .collectRowsGated(ePlan, lt).getOrElse(return None)
+    val ns = scala.collection.mutable.HashMap.empty[String, Double]
+    scoredRows.foreach { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val id = r.getString(0)
+      if (!asciiOk(id) || ns.contains(id)) return None
+      ns(id) = r.getDouble(1)
+    }
+    val adj = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(String, Double)]]
+    eRows.foreach { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val s = r.getString(0); val d = r.getString(1)
+      if (!asciiOk(s) || !asciiOk(d)) return None
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) +=
+        ((d, r.getDouble(2)))
+    }
+    case class P(path: Vector[String], last: String, sig: String, score: Double)
+    val ord = new Ordering[P] {
+      def compare(a: P, b: P): Int = {
+        val c = cmpDouble(b.score, a.score)
+        if (c != 0) c else a.sig.compareTo(b.sig)
+      }
+    }
+    var beam = ns.iterator.map { case (id, s) => P(Vector(id), id, id, s) }
+      .toArray.sorted(ord).take(beamWidth).toSeq
+    val dead = scala.collection.mutable.ArrayBuffer.empty[P]
+    for (_ <- 1 to hops) {
+      val expanded = scala.collection.mutable.ArrayBuffer.empty[P]
+      beam.foreach { p =>
+        // skip immediate backtracking, the reference's parent-relation skip
+        val cands = adj.getOrElse(p.last, scala.collection.mutable.ArrayBuffer.empty)
+          .filter { case (d, _) =>
+            p.path.length < 2 || d != p.path(p.path.length - 2) }
+        if (cands.isEmpty) dead += p
+        else cands.foreach { case (d, ts) =>
+          // dst outside the corpus drops from EXPANSION only (the inner
+          // scored join) — the path still counted as expandable above
+          ns.get(d).foreach { dns =>
+            expanded += P(p.path :+ d, d, p.sig + sep + d,
+              p.score + dns + ts)
+          }
+        }
+      }
+      beam = expanded.toArray.sorted(ord).take(beamWidth).toSeq
+    }
+    val schema = StructType(Seq(
+      StructField("path", ArrayType(StringType)),
+      StructField("id", StringType),
+      StructField("score", DoubleType),
+      StructField("hop", IntegerType)))
+    val all = beam ++ dead
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](all.size)
+    all.foreach { p => out.add(org.apache.spark.sql.Row(
+      p.path, p.last, p.score, p.path.length - 1)) }
+    Some(scoredPlan.sparkSession.createDataFrame(out, schema))
+  }
+
   def pathBeamSearch(nodeEmb: DataFrame, idCol: String, vecCol: String,
                      edges: DataFrame, typeEmb: DataFrame, queryVec: Seq[Float],
-                     beamWidth: Int, hops: Int): DataFrame = {
+                     beamWidth: Int, hops: Int,
+                     localThreshold: Long = 2000000L): DataFrame = {
     val qv = array(queryVec.map(v => lit(v)): _*)
-    val scored = nodeEmb.select(col(idCol).as("id"), cosine(col(vecCol), qv).as("ns"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scoredPlan = nodeEmb.select(col(idCol).as("id"), cosine(col(vecCol), qv).as("ns"))
     val tscores = typeEmb.select(col("type"), cosine(col("vec"), qv).as("ts"))
     // per-edge traversal bonus: missing type embedding contributes 0
-    val e = edges.select(col("src"), col("dst"), col("type"))
+    val ePlan = edges.select(col("src"), col("dst"), col("type"))
       .join(broadcast(tscores), Seq("type"), "left")
       .select(col("src"), col("dst"), coalesce(col("ts"), lit(0.0)).as("ts"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    localPathBeamSearch(scoredPlan, ePlan, beamWidth, hops, "\u0001",
+        localThreshold) match {
+      case Some(df) => return df
+      case None => ()
+    }
+    val scored = scoredPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = ePlan.persist(StorageLevel.MEMORY_AND_DISK)
 
     val sep = "\u0001" // keeps concatenated ids collision-free ("1"+"12" vs "11"+"2")
     var beam = scored.orderBy(col("ns").desc, col("id").asc).limit(beamWidth)

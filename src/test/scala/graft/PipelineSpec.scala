@@ -478,6 +478,34 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(_._1.matches(".*b->a->b.*")))
   }
 
+  test("beam search: local regime matches the forced-distributed path exactly") {
+    val edges = embs.limit(300).select(
+      col("vec_id").cast("string").as("src"),
+      ((col("vec_id") * 3 + 11) % 100).cast("string").as("dst"))
+    val nodeEmb = embs.select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val q = embs.limit(1).collect()(0).getSeq[Float](1)
+    val dist = Similarity.beamSearch(nodeEmb, "id", "embedding", edges, q,
+        beamWidth = 8, hops = 3, localThreshold = 0L)
+      .orderBy("id").collect().toSeq
+    val loc = Similarity.beamSearch(nodeEmb, "id", "embedding", edges, q,
+        beamWidth = 8, hops = 3).orderBy("id").collect().toSeq
+    assert(loc === dist)
+    // path-scored variant: same paths, same cumulative doubles
+    val eT = edges.withColumn("type",
+      concat(lit("t"), pmod(col("src").cast("long") + col("dst").cast("long"), lit(3))))
+    val typeEmb = embs.limit(3).select(
+      concat(lit("t"), col("vec_id")).as("type"), col("embedding").as("vec"))
+    val pDist = Similarity.pathBeamSearch(nodeEmb, "id", "embedding", eT,
+        typeEmb, q, beamWidth = 6, hops = 3, localThreshold = 0L)
+      .orderBy("score", "id").collect()
+      .map(r => (r.getSeq[String](0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    val pLoc = Similarity.pathBeamSearch(nodeEmb, "id", "embedding", eT,
+        typeEmb, q, beamWidth = 6, hops = 3)
+      .orderBy("score", "id").collect()
+      .map(r => (r.getSeq[String](0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(pLoc.toSet === pDist.toSet)
+  }
+
   test("embedder seam: deterministic stub, batching, null texts, schema") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"),
