@@ -1796,6 +1796,40 @@ object GraphAlgorithms {
   private[graft] def coarsenWithMap(edges: DataFrame, rounds: Int = 20,
                    localThreshold: Long = 10000000L,
                    weightCol: Option[String] = None): (DataFrame, DataFrame) = {
+    // adaptive local regime (the multilevelPartition pattern): matching
+    // already ran driver-side below the threshold, but the contraction
+    // joins + grouped merge were still 4-6 eager jobs over edge-sized
+    // frames. Below the raw limit-count pre-gate the whole level replays
+    // locally from the collected canonical rows — the ul/vl numeric
+    // order keys arrive pre-computed, so no id-type gate is needed.
+    val lt = math.min(math.min(localThreshold, 2000000L), 100000000L)
+    val idt = edges.schema("src").dataType
+    if (lt > 0 && idt == edges.schema("dst").dataType &&
+        edges.select(col("src")).limit(lt.toInt + 1).count() <= lt) {
+      val rows = canonicalSimpleEdges(edges, weightCol)
+        .select(col("u"), col("v"), col("ul"), col("vl"), col("w")).collect()
+      val key = scala.collection.mutable.HashMap.empty[Any, Long]
+      rows.foreach { r => key(r.get(0)) = r.getLong(2); key(r.get(1)) = r.getLong(3) }
+      val (cmap, ceu, cev, cew) = localCoarsenStep(
+        rows.map(_.get(0)), rows.map(_.get(1)), rows.map(_.getLong(4)),
+        key, weighted = weightCol.isDefined, rounds)
+      import org.apache.spark.sql.types._
+      val spark = edges.sparkSession
+      val eSchema = StructType(Seq(StructField("src", idt),
+        StructField("dst", idt), StructField("weight", LongType)))
+      val eOut = new java.util.ArrayList[org.apache.spark.sql.Row](ceu.length)
+      var i = 0
+      while (i < ceu.length) {
+        eOut.add(org.apache.spark.sql.Row(ceu(i), cev(i), cew(i))); i += 1
+      }
+      val mSchema = StructType(Seq(StructField("id", idt),
+        StructField("rep", idt)))
+      val mOut = new java.util.ArrayList[org.apache.spark.sql.Row](cmap.length)
+      cmap.foreach { case (v, u) =>
+        mOut.add(org.apache.spark.sql.Row(v, u)) }
+      return (spark.createDataFrame(eOut, eSchema),
+        spark.createDataFrame(mOut, mSchema))
+    }
     val canon = canonicalSimpleEdges(edges, weightCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // with a weight column the matching is HEAVY-EDGE (the METIS HEM
@@ -4395,6 +4429,40 @@ object GraphAlgorithms {
     asg
   }
 
+  /** One local coarsening level — the exact [[localMatchCore]] matching
+    * plus [[coarsenWithMap]]'s contraction arithmetic over pre-keyed
+    * canonical arrays. Returns (cmap (v, rep) pairs, coarse eu/ev/ew).
+    * At the unweighted fine level coarse weights COUNT absorbed edges
+    * (identical to summing the canonical w = 1). */
+  private def localCoarsenStep(eu: Array[Any], ev: Array[Any], ew: Array[Long],
+      key: Any => Long, weighted: Boolean, rounds: Int)
+      : (Array[(Any, Any)], Array[Any], Array[Any], Array[Long]) = {
+    val m = eu.length
+    val ulA = new Array[Long](m); val vlA = new Array[Long](m)
+    var i = 0
+    while (i < m) { ulA(i) = key(eu(i)); vlA(i) = key(ev(i)); i += 1 }
+    val negw = if (weighted) ew.map(-_) else new Array[Long](m)
+    val matched = localMatchCore(m, ulA, vlA, negw, rounds)
+    val rep = scala.collection.mutable.HashMap.empty[Any, Any]
+    val cmap = matched.map { case (idx, _) => (ev(idx), eu(idx)) }.toArray
+    cmap.foreach { case (v, u) => rep(v) = u }
+    // contraction: re-map through rep, drop key-internal edges, merge
+    // parallel coarse edges
+    val agg = scala.collection.mutable.LinkedHashMap.empty[(Any, Any), Long]
+    var j = 0
+    while (j < m) {
+      val a = rep.getOrElse(eu(j), eu(j)); val b = rep.getOrElse(ev(j), ev(j))
+      val al = key(a); val bl = key(b)
+      if (al != bl) {
+        val p = if (al < bl) (a, b) else (b, a)
+        agg(p) = agg.getOrElse(p, 0L) + (if (weighted) ew(j) else 1L)
+      }
+      j += 1
+    }
+    (cmap, agg.keysIterator.map(_._1).toArray,
+      agg.keysIterator.map(_._2).toArray, agg.valuesIterator.toArray)
+  }
+
   /** Driver-side replay of the whole [[multilevelPartition]] V-cycle for
     * the small regime — identical synchronous semantics. `rows` are the
     * collected canonicalSimpleEdges(edges, None) rows (u, v, ul, vl, w):
@@ -4422,27 +4490,8 @@ object GraphAlgorithms {
     var l = 0
     while (l < levels) {
       graphs = ((eu, ev, ew, l > 0, curVw)) :: graphs
-      val m = eu.length
-      val ulA = eu.map(key); val vlA = ev.map(key)
-      val negw = if (l == 0) new Array[Long](m) else ew.map(-_)
-      val matched = localMatchCore(m, ulA, vlA, negw, matchRounds)
-      val rep = scala.collection.mutable.HashMap.empty[Any, Any]
-      val cmap = matched.map { case (i, _) => (ev(i), eu(i)) }.toArray
-      cmap.foreach { case (v, u) => rep(v) = u }
-      // contraction: re-map through rep, drop key-internal edges, merge
-      // parallel coarse edges (sum at weighted levels, count at level 0 —
-      // identical here since fine canonical w = 1)
-      val agg = scala.collection.mutable.LinkedHashMap.empty[(Any, Any), Long]
-      var j = 0
-      while (j < m) {
-        val a = rep.getOrElse(eu(j), eu(j)); val b = rep.getOrElse(ev(j), ev(j))
-        val al = key(a); val bl = key(b)
-        if (al != bl) {
-          val p = if (al < bl) (a, b) else (b, a)
-          agg(p) = agg.getOrElse(p, 0L) + (if (l == 0) 1L else ew(j))
-        }
-        j += 1
-      }
+      val (cmap, ceu, cev, cew) =
+        localCoarsenStep(eu, ev, ew, key, weighted = l > 0, matchRounds)
       // vertex-weight chain: rep absorbs its partners' weights; untouched
       // vertices carry their sparse entries up unchanged
       val pw = scala.collection.mutable.HashMap.empty[Any, Long]
@@ -4456,9 +4505,7 @@ object GraphAlgorithms {
         curVw.foreach { case (id, w) => if (!touched(id)) nextVw(id) = w }
       }
       curVw = nextVw
-      eu = agg.keysIterator.map(_._1).toArray
-      ev = agg.keysIterator.map(_._2).toArray
-      ew = agg.valuesIterator.toArray
+      eu = ceu; ev = cev; ew = cew
       cmaps = cmap :: cmaps
       l += 1
     }

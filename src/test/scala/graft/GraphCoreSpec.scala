@@ -651,6 +651,29 @@ class GraphCoreSpec extends SparkSpec {
     assert(l2.size === 1 && l2.head._3 === 1L)
   }
 
+  test("coarsenWithMap: local regime matches the forced-distributed path exactly") {
+    import spark.implicits._
+    val edges = (0L until 40L).flatMap { i =>
+      Seq((s"${i}", s"${(i * 7 + 3) % 40}"), (s"${i}", s"${(i + 5) % 40}"))
+    }.toDF("src", "dst")
+    val (cL, mL) = GraphAlgorithms.coarsenWithMap(edges, rounds = 4)
+    val (cD, mD) = GraphAlgorithms.coarsenWithMap(edges, rounds = 4,
+      localThreshold = 0L)
+    assert(cL.orderBy("src", "dst").collect().toSeq ===
+      cD.orderBy("src", "dst").collect().toSeq)
+    assert(mL.orderBy("id").collect().toSeq === mD.orderBy("id").collect().toSeq)
+    // weighted (HEM) level parity too
+    val ew = edges.selectExpr("src", "dst",
+      "(CAST(src AS BIGINT) + CAST(dst AS BIGINT)) % 6 + 1 AS weight")
+    val (cLw, mLw) = GraphAlgorithms.coarsenWithMap(ew, rounds = 4,
+      weightCol = Some("weight"))
+    val (cDw, mDw) = GraphAlgorithms.coarsenWithMap(ew, rounds = 4,
+      localThreshold = 0L, weightCol = Some("weight"))
+    assert(cLw.orderBy("src", "dst").collect().toSeq ===
+      cDw.orderBy("src", "dst").collect().toSeq)
+    assert(mLw.orderBy("id").collect().toSeq === mDw.orderBy("id").collect().toSeq)
+  }
+
   test("coarsenGraph: contraction invariants and hand-checked weights") {
     import spark.implicits._
     val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
