@@ -1060,6 +1060,69 @@ object GraphAlgorithms {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Driver-side replay of [[weightedRandomWalks]] for the small regime —
+    * identical LCG draws, identical numeric neighbor order, identical
+    * integer cumulative-weight interval pick. */
+  private def localWeightedRandomWalks(
+      eRows: Array[org.apache.spark.sql.Row],
+      startRows: Array[org.apache.spark.sql.Row], steps: Int,
+      undirected: Boolean, dt: org.apache.spark.sql.types.DataType,
+      spark: SparkSession): DataFrame = {
+    // merged (u, v) → Σw over both orientations, self-loops dropped
+    val wsum = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    eRows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1); val w = r.getLong(2)
+      if (a != b) {
+        wsum((a, b)) = wsum.getOrElse((a, b), 0L) + w
+        if (undirected) wsum((b, a)) = wsum.getOrElse((b, a), 0L) + w
+      }
+    }
+    // per-vertex neighbors in numeric order with cumulative weights
+    val adj = scala.collection.mutable.HashMap.empty[Long, (Array[Long], Array[Long])]
+    wsum.keysIterator.toArray.groupBy(_._1).foreach { case (u, pairs) =>
+      val vs = pairs.map(_._2).sorted
+      val cw = new Array[Long](vs.length)
+      var acc = 0L
+      var i = 0
+      while (i < vs.length) { acc += wsum((u, vs(i))); cw(i) = acc; i += 1 }
+      adj(u) = (vs, cw)
+    }
+    def typed(x: Long): Any = dt match {
+      case org.apache.spark.sql.types.IntegerType => x.toInt
+      case _ => x
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    startRows.foreach { r =>
+      val wid = r.getLong(0)
+      val start = r.get(1).asInstanceOf[Number].longValue
+      rows += org.apache.spark.sql.Row(wid, 0, r.get(1))
+      var cur = start
+      var alive = adj.contains(cur)
+      var t = 1
+      while (t <= steps && alive) {
+        val (vs, cw) = adj(cur)
+        val tw = cw(cw.length - 1)
+        val draw = java.lang.Math.floorMod(
+          1103515245L * (wid * 1000003L + t.toLong * 101L) + 12345L, 2147483647L)
+        val rr = java.lang.Math.floorMod(draw, tw)
+        // first index with cw > rr — the [cw−w, cw) interval containing rr
+        var lo = 0; var hi = cw.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cw(mid) > rr) hi = mid else lo = mid + 1
+        }
+        cur = vs(lo)
+        rows += org.apache.spark.sql.Row(wid, t, typed(cur))
+        alive = adj.contains(cur)
+        t += 1
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("wid", LongType),
+      StructField("step", IntegerType), StructField("id", dt)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /**
    * Weight-biased deterministic random walks — the transition rule
    * node2vec-style corpora are built from (Grover & Leskovec 2016, with
@@ -1108,6 +1171,28 @@ object GraphAlgorithms {
     // outside the scope and reclaimed nothing (r17 sf0.1 A/B: 5.2 s
     // late-gated vs 2.2 s with everything narrow)
     val small = edges.count() <= narrowRowGate
+    // adaptive local regime (the randomWalks pattern, weighted): the LCG
+    // draw, the integer cumulative weights and the [cw−w, cw) interval
+    // pick are pure 64-bit arithmetic, so the driver replay is exact.
+    // Integral ids only (the local neighbor rank must reproduce
+    // row_number() ORDER BY v numeric order); positive weights only
+    // (non-positive weights make the interval pick non-functional —
+    // leave those to the distributed rows as they come).
+    if (small && Seq("src", "dst").forall(c => edges.schema(c).dataType match {
+      case org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })) {
+      val eRows = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("long")).collect()
+      val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
+        .limit(1000001).collect()
+      if (startRows.length <= 1000000 && eRows.forall(r =>
+          !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) > 0)) {
+        return localWeightedRandomWalks(eRows, startRows, steps, undirected,
+          edges.schema("src").dataType, edges.sparkSession)
+      }
+    }
     withNarrowShuffle(edges.sparkSession, small) {
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
       col("weight").cast("long").as("w"))

@@ -858,6 +858,24 @@ class GraphCoreSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
+  test("weightedRandomWalks: local regime matches the forced-distributed path exactly") {
+    import spark.implicits._
+    val edges = (0L until 50L).flatMap { i =>
+      Seq((i, (i * 7 + 3) % 50), (i, (i + 4) % 50))
+    }.toDF("src", "dst")
+      .selectExpr("src", "dst", "(src + dst) % 5 + 1 AS weight")
+    val starts = (0L until 50L by 5L).map(i => (i, i)).toDF("wid", "id")
+    for (und <- Seq(true, false)) {
+      // narrowRowGate = 0 forces the distributed steps
+      val dist = GraphAlgorithms.weightedRandomWalks(edges, starts, steps = 5,
+        undirected = und, narrowRowGate = 0L)
+        .orderBy("wid", "step").collect().toSeq
+      val loc = GraphAlgorithms.weightedRandomWalks(edges, starts, steps = 5,
+        undirected = und).orderBy("wid", "step").collect().toSeq
+      assert(loc === dist, s"undirected=$und")
+    }
+  }
+
   test("weightedRandomWalks: deterministic, edge-valid, biased toward heavy weights") {
     import spark.implicits._
     // star center 0 with a heavy edge to 1 (w=999) and light edges to 2,3 (w=1)
