@@ -27,7 +27,8 @@ import graft.model.PropertyGraph
  * lineage stays O(1); at cluster scale this would be a Delta/parquet
  * compact-on-write table instead — the plan shape is identical.
  */
-final class StreamingTriangles(spark: SparkSession) {
+final class StreamingTriangles(spark: SparkSession,
+                               localThreshold: Long = 2000000L) {
 
   @volatile private var accumulated: DataFrame = {
     import spark.implicits._
@@ -35,13 +36,70 @@ final class StreamingTriangles(spark: SparkSession) {
   }
   @volatile private var total: Long = 0L
 
+  // Adaptive local regime (the batch operators' fastRP/BLP pattern, and
+  // the reference's own posture — StreamingTriangles.cpp updates a
+  // driver-side store per edge): below the gate the canonical pair set
+  // and adjacency live on the driver and each batch costs ONE gated
+  // collect of its (distributed-computed) canonical delta, with ΔT
+  // counted by sequential insertion — per new edge, |N(a) ∩ N(b)| over
+  // the current adjacency, which telescopes to exactly
+  // tri(E ∪ D) − tri(E), the integer the 3-case join counts. Once the
+  // store outgrows the gate the class switches permanently to the
+  // distributed ΔT joins; `accumulated` is materialized lazily so the
+  // local regime never pays a per-batch O(|store|) rebuild.
+  private var localAdj: scala.collection.mutable.HashMap[String,
+    scala.collection.mutable.HashSet[String]] = scala.collection.mutable.HashMap.empty
+  private var localPairs: scala.collection.mutable.HashSet[(String, String)] =
+    scala.collection.mutable.HashSet.empty
+  private var localMode = true
+  private var accumulatedStale = false
+
+  private def materializeAccumulated(): Unit = if (accumulatedStale) {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("src", StringType),
+      StructField("dst", StringType)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](localPairs.size)
+    localPairs.foreach { case (a, b) =>
+      rows.add(org.apache.spark.sql.Row(a, b)) }
+    accumulated = spark.createDataFrame(rows, schema)
+    accumulatedStale = false
+  }
+
   def currentCount: Long = total
-  def edgeCount: Long = accumulated.count()
+  def edgeCount: Long =
+    if (localMode) localPairs.size.toLong
+    else { materializeAccumulated(); accumulated.count() }
 
   /** Ingest one batch of raw (src,dst) edges; returns the new total. */
   def addBatch(rawEdges: DataFrame): Long = synchronized {
-    val delta = PropertyGraph.canonicalUndirected(
-      rawEdges.select(col("src").cast(StringType).as("src"), col("dst").cast(StringType).as("dst")))
+    val canonical = PropertyGraph.canonicalUndirected(
+      rawEdges.select(col("src").cast(StringType).as("src"),
+        col("dst").cast(StringType).as("dst")))
+    if (localMode) {
+      val lt = math.min(localThreshold, 100000000L)
+      GraphAlgorithms.collectRowsGated(canonical, lt) match {
+        case Some(rows) if localPairs.size + rows.length <= lt =>
+          rows.foreach { r =>
+            val a = r.getString(0); val b = r.getString(1)
+            if (!localPairs.contains((a, b))) {
+              localPairs += ((a, b))
+              val na = localAdj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty)
+              val nb = localAdj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty)
+              val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
+              total += small.count(big.contains)
+              na += b; nb += a
+            }
+          }
+          accumulatedStale = true
+          return total
+        case _ =>
+          // the store (or this batch) outgrew the gate — switch to the
+          // distributed ΔT joins for this and every later batch
+          materializeAccumulated()
+          localMode = false
+      }
+    }
+    val delta = canonical
       .join(accumulated.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
       .localCheckpoint(true)
 
@@ -54,7 +112,10 @@ final class StreamingTriangles(spark: SparkSession) {
 
   /** Full recount for drift checking (the reference periodically recounts
     * on the native store; we can assert ΔT bookkeeping exactly). */
-  def recount(): Long = GraphAlgorithms.triangleCount(accumulated)
+  def recount(): Long = {
+    materializeAccumulated()
+    GraphAlgorithms.triangleCount(accumulated)
+  }
 
   /** Attach to a streaming edge-record source (see [[EdgeStream]]). */
   def listen(records: DataFrame, checkpoint: String): StreamingQuery =

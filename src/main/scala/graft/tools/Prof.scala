@@ -22,6 +22,8 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.codegen.maxFields",
+        sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.TpchBridge.graph(spark, sfDir).edges.count()

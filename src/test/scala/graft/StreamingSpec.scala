@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     assert(st.recount() === st.currentCount)
   }
 
+  test("strian local regime matches the forced-distributed path, incl. mid-stream switch") {
+    import spark.implicits._
+    val batches = Seq(
+      Seq(("1", "2"), ("2", "3"), ("3", "1"), ("3", "4")),
+      Seq(("2", "4"), ("4", "1"), ("4", "5"), ("5", "1")),
+      Seq(("2", "1"), ("5", "2"), ("5", "3")))
+    val loc = new StreamingTriangles(spark)
+    val dist = new StreamingTriangles(spark, localThreshold = 0L)
+    // gate of 6: the 3rd batch pushes the store past it mid-stream
+    val mixed = new StreamingTriangles(spark, localThreshold = 6L)
+    batches.foreach { b =>
+      val df = b.toDF("src", "dst")
+      val tl = loc.addBatch(df); val td = dist.addBatch(df)
+      val tm = mixed.addBatch(df)
+      assert(tl === td && tm === td, s"batch $b: $tl / $tm vs $td")
+    }
+    assert(loc.edgeCount === dist.edgeCount)
+    assert(mixed.edgeCount === dist.edgeCount)
+    assert(loc.recount() === loc.currentCount)
+    assert(mixed.recount() === mixed.currentCount)
+  }
+
   test("incremental count equals batch count on the powergrid golden graph") {
     val edges = graft.sources.GraphSources
       .readEdgeList(spark, "/root/reference/tests/integration/env_init/data/powergrid.dl")
