@@ -1431,9 +1431,22 @@ object Sparql {
       case other => throw new IllegalArgumentException(
         s"unsupported Kleene step term $other")
     }
-    val step = (if (pp.inverse) fwd0.select(col("b").as("a"), col("a").as("b"))
+    val stepPlan = (if (pp.inverse) fwd0.select(col("b").as("a"), col("a").as("b"))
                 else fwd0)
-      .distinct().localCheckpoint(true)
+      .distinct()
+    // adaptive local regime (the GraphAlgorithms fastRP/BLP pattern):
+    // the fixpoint is per-round eager checkpoint + isEmpty jobs — pure
+    // iteration floor once the one-hop step set fits the driver. The
+    // closure is DISTINCT string-pair set algebra (no floats, no
+    // ordering), so the replay is trivially exact; the var–var case
+    // aborts back to the distributed rounds if the closure outgrows a
+    // hard cap (its output is inherently worst-case quadratic in the
+    // step set, which the input gate alone cannot bound).
+    localKleene(triples, pp, stepPlan) match {
+      case Some(pairs) => return bindVars(pairs, Seq("a" -> pp.s, "b" -> pp.o))
+      case None => ()
+    }
+    val step = stepPlan.localCheckpoint(true)
 
     // expand `frontier` one hop along `edges`, dropping rows already in
     // `acc`; works for pair frames (a, b) and set frames (b) alike
@@ -1493,6 +1506,105 @@ object Sparql {
           if (pp.zero) closure.unionByName(zeroPairs()).distinct() else closure
       }
     bindVars(pairs, Seq("a" -> pp.s, "b" -> pp.o))
+  }
+
+  /** Driver-side replay of [[kleeneFrame]]'s small regime — identical
+    * set semantics over a collected one-hop step set. None on gate
+    * overflow (step set, term set for the var–var zero case, or a
+    * var–var closure that outgrows the pair cap). */
+  private def localKleene(triples: DataFrame, pp: PathPat,
+                          stepPlan: DataFrame): Option[DataFrame] = {
+    val lt = 2000000L
+    val pairCap = 8000000
+    val stepRows = graft.algorithms.GraphAlgorithms
+      .collectRowsGated(stepPlan, lt).getOrElse(return None)
+    if (stepRows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val adj = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    val radj = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    stepRows.foreach { r =>
+      val a = r.getString(0); val b = r.getString(1)
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      radj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    // zero-length solutions: a constant endpoint pairs with itself; a
+    // variable pair binds every term of the graph (subject ∪ object)
+    def zeroPairsLocal(): Option[Iterator[(String, String)]] = (pp.s, pp.o) match {
+      case (Const(c), _) => Some(Iterator((c, c)))
+      case (_, Const(c)) => Some(Iterator((c, c)))
+      case _ =>
+        graft.algorithms.GraphAlgorithms.collectRowsGated(
+          triples.select(col("s").as("x"))
+            .unionByName(triples.select(col("o").as("x"))).distinct(), lt)
+          .map(_.iterator.filter(!_.isNullAt(0))
+            .map(r => (r.getString(0), r.getString(0))))
+    }
+    def bfs(seed: String, nbrs: String => Iterator[String]): scala.collection.mutable.LinkedHashSet[String] = {
+      val acc = scala.collection.mutable.LinkedHashSet.empty[String]
+      var frontier = nbrs(seed).toArray.distinct.toSeq
+      frontier.foreach(acc += _)
+      var hops = 1
+      while (frontier.nonEmpty) {
+        require(hops < MaxPathHops,
+          s"property-path fixpoint exceeded $MaxPathHops hops")
+        val next = scala.collection.mutable.LinkedHashSet.empty[String]
+        frontier.foreach(x => nbrs(x).foreach(y => if (!acc(y)) next += y))
+        next.foreach(acc += _)
+        frontier = next.toSeq
+        hops += 1
+      }
+      acc
+    }
+    def neigh(m: scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]])
+             (x: String): Iterator[String] =
+      m.get(x).map(_.iterator).getOrElse(Iterator.empty)
+    val pairSet = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    if (pp.single) {
+      stepRows.foreach(r => pairSet += ((r.getString(0), r.getString(1))))
+      if (pp.zero) zeroPairsLocal() match {
+        case Some(it) => it.foreach(pairSet += _)
+        case None => return None
+      }
+    } else (pp.s, pp.o) match {
+      case (Const(c), _) =>
+        bfs(c, neigh(adj)).foreach(b => pairSet += ((c, b)))
+        if (pp.zero) pairSet += ((c, c))
+      case (_, Const(c)) =>
+        bfs(c, neigh(radj)).foreach(a => pairSet += ((a, c)))
+        if (pp.zero) pairSet += ((c, c))
+      case _ =>
+        // semi-naive pair closure with the hard cap
+        var frontier = stepRows.map(r => (r.getString(0), r.getString(1))).toSeq
+        frontier.foreach(pairSet += _)
+        var hops = 1
+        while (frontier.nonEmpty) {
+          require(hops < MaxPathHops,
+            s"property-path fixpoint exceeded $MaxPathHops hops")
+          val next = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+          frontier.foreach { case (a, b) =>
+            neigh(adj)(b).foreach { c2 =>
+              val p = (a, c2)
+              if (!pairSet(p)) next += p
+            }
+          }
+          if (pairSet.size + next.size > pairCap) return None
+          next.foreach(pairSet += _)
+          frontier = next.toSeq
+          hops += 1
+        }
+        if (pp.zero) zeroPairsLocal() match {
+          case Some(it) => it.foreach(pairSet += _)
+          case None => return None
+        }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](pairSet.size)
+    pairSet.foreach { case (a, b) =>
+      out.add(org.apache.spark.sql.Row(a, b)) }
+    Some(triples.sparkSession.createDataFrame(out, schema))
   }
 
   private def patFrame(triples: DataFrame, p: Pat,
