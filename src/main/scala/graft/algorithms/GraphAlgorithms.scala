@@ -1170,29 +1170,42 @@ object GraphAlgorithms {
     // included; gating on the built adjacency left the heaviest shuffles
     // outside the scope and reclaimed nothing (r17 sf0.1 A/B: 5.2 s
     // late-gated vs 2.2 s with everything narrow)
-    val small = edges.count() <= narrowRowGate
     // adaptive local regime (the randomWalks pattern, weighted): the LCG
     // draw, the integer cumulative weights and the [cw−w, cw) interval
     // pick are pure 64-bit arithmetic, so the driver replay is exact.
     // Integral ids only (the local neighbor rank must reproduce
     // row_number() ORDER BY v numeric order); positive weights only
     // (non-positive weights make the interval pick non-functional —
-    // leave those to the distributed rows as they come).
-    if (small && Seq("src", "dst").forall(c => edges.schema(c).dataType match {
+    // leave those to the distributed rows as they come). The gate IS the
+    // probe-collect: one pass over the edge frame decides the regime AND
+    // loads it (a separate count + collect measured 2× the source scans
+    // per bench run at sf10, where the edge frame is an uncached filter
+    // over the fact table); its row count doubles as the narrow-shuffle
+    // gate when the probe overflows into the distributed rounds.
+    val integralIds = Seq("src", "dst").forall(c => edges.schema(c).dataType match {
       case org.apache.spark.sql.types.IntegerType
            | org.apache.spark.sql.types.LongType => true
       case _ => false
-    })) {
-      val eRows = edges.select(col("src").cast("long"), col("dst").cast("long"),
-        col("weight").cast("long")).collect()
-      val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
-        .limit(1000001).collect()
-      if (startRows.length <= 1000000 && eRows.forall(r =>
-          !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) > 0)) {
-        return localWeightedRandomWalks(eRows, startRows, steps, undirected,
-          edges.schema("src").dataType, edges.sparkSession)
-      }
+    })
+    val collected =
+      if (integralIds)
+        collectRowsGated(edges.select(col("src").cast("long"),
+          col("dst").cast("long"), col("weight").cast("long")), narrowRowGate)
+      else None
+    collected match {
+      case Some(eRows) =>
+        val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
+          .limit(1000001).collect()
+        if (startRows.length <= 1000000 && eRows.forall(r =>
+            !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) > 0)) {
+          return localWeightedRandomWalks(eRows, startRows, steps, undirected,
+            edges.schema("src").dataType, edges.sparkSession)
+        }
+      case None => ()
     }
+    val small =
+      if (integralIds) collected.isDefined // overflow proves > narrowRowGate
+      else edges.count() <= narrowRowGate
     withNarrowShuffle(edges.sparkSession, small) {
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"),
       col("weight").cast("long").as("w"))

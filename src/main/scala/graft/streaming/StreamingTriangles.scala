@@ -28,7 +28,8 @@ import graft.model.PropertyGraph
  * compact-on-write table instead — the plan shape is identical.
  */
 final class StreamingTriangles(spark: SparkSession,
-                               localThreshold: Long = 2000000L) {
+                               localThreshold: Long = 2000000L,
+                               opsBudgetPerBatch: Long = 20000000L) {
 
   @volatile private var accumulated: DataFrame = {
     import spark.implicits._
@@ -79,7 +80,17 @@ final class StreamingTriangles(spark: SparkSession,
       val lt = math.min(localThreshold, 100000000L)
       GraphAlgorithms.collectRowsGated(canonical, lt) match {
         case Some(rows) if localPairs.size + rows.length <= lt =>
-          rows.foreach { r =>
+          // intersection-work budget: sequential insertion costs
+          // Σ min(deg a, deg b) per batch — O(|batch|) on sparse graphs
+          // but O(|batch|·deg) on dense ones, where the distributed
+          // 3-case join wins on cores. Exceeding the budget mid-batch
+          // switches to the joins for the REST of the batch (and every
+          // later one): inserted edges are already in the store, so the
+          // distributed anti-join skips exactly them — ΔT stays exact.
+          var opsBudget = opsBudgetPerBatch
+          var i = 0
+          while (i < rows.length && opsBudget > 0) {
+            val r = rows(i)
             val a = r.getString(0); val b = r.getString(1)
             if (!localPairs.contains((a, b))) {
               localPairs += ((a, b))
@@ -87,11 +98,18 @@ final class StreamingTriangles(spark: SparkSession,
               val nb = localAdj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty)
               val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
               total += small.count(big.contains)
+              opsBudget -= math.max(1L, small.size.toLong)
               na += b; nb += a
             }
+            i += 1
           }
           accumulatedStale = true
-          return total
+          if (i >= rows.length) return total
+          // budget exhausted: hand the remainder to the distributed joins
+          // (the rebuilt store contains the inserted edges, so the
+          // anti-join below excludes exactly them)
+          materializeAccumulated()
+          localMode = false
         case _ =>
           // the store (or this batch) outgrew the gate — switch to the
           // distributed ΔT joins for this and every later batch

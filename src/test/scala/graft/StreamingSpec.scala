@@ -41,11 +41,15 @@ class StreamingSpec extends SparkSpec {
     val dist = new StreamingTriangles(spark, localThreshold = 0L)
     // gate of 6: the 3rd batch pushes the store past it mid-stream
     val mixed = new StreamingTriangles(spark, localThreshold = 6L)
+    // ops budget of 1: every batch switches to the joins after ONE
+    // inserted edge — the partial-insertion handoff must stay exact
+    val budget = new StreamingTriangles(spark, opsBudgetPerBatch = 1L)
     batches.foreach { b =>
       val df = b.toDF("src", "dst")
       val tl = loc.addBatch(df); val td = dist.addBatch(df)
-      val tm = mixed.addBatch(df)
-      assert(tl === td && tm === td, s"batch $b: $tl / $tm vs $td")
+      val tm = mixed.addBatch(df); val tb = budget.addBatch(df)
+      assert(tl === td && tm === td && tb === td,
+        s"batch $b: $tl / $tm / $tb vs $td")
     }
     assert(loc.edgeCount === dist.edgeCount)
     assert(mixed.edgeCount === dist.edgeCount)
