@@ -1431,9 +1431,9 @@ object Sparql {
       case other => throw new IllegalArgumentException(
         s"unsupported Kleene step term $other")
     }
-    val stepPlan = (if (pp.inverse) fwd0.select(col("b").as("a"), col("a").as("b"))
-                else fwd0)
-      .distinct()
+    val stepRaw = if (pp.inverse) fwd0.select(col("b").as("a"), col("a").as("b"))
+                  else fwd0
+    val stepPlan = stepRaw.distinct()
     // adaptive local regime (the GraphAlgorithms fastRP/BLP pattern):
     // the fixpoint is per-round eager checkpoint + isEmpty jobs — pure
     // iteration floor once the one-hop step set fits the driver. The
@@ -1441,10 +1441,21 @@ object Sparql {
     // ordering), so the replay is trivially exact; the var–var case
     // aborts back to the distributed rounds if the closure outgrows a
     // hard cap (its output is inherently worst-case quadratic in the
-    // step set, which the input gate alone cannot bound).
-    localKleene(triples, pp, stepPlan) match {
-      case Some(pairs) => return bindVars(pairs, Seq("a" -> pp.s, "b" -> pp.o))
-      case None => ()
+    // step set, which the input gate alone cannot bound). The gate reads
+    // the RAW pre-distinct count via an early-out limit (raw ≥ distinct)
+    // so a large store never pays the probe's distinct-and-collect —
+    // measured 7× on the sf10 path rows before this pre-gate.
+    // 200k, not the 2M of the batch-graph regimes: the step filter scans
+    // the WHOLE derived triple-store union, so every extra pass is a
+    // full-store scan, and a near-gate single-threaded closure loses to
+    // the 32-core fixpoint (sf10 A/B: local at 1.5M step pairs read
+    // ~13 s/run vs ~5.4 distributed; at ≤200k the local replay wins)
+    val kleeneLt = 200000L
+    if (stepRaw.select(col("a")).limit(kleeneLt.toInt + 1).count() <= kleeneLt) {
+      localKleene(triples, pp, stepPlan) match {
+        case Some(pairs) => return bindVars(pairs, Seq("a" -> pp.s, "b" -> pp.o))
+        case None => ()
+      }
     }
     val step = stepPlan.localCheckpoint(true)
 
@@ -1514,7 +1525,7 @@ object Sparql {
     * var–var closure that outgrows the pair cap). */
   private def localKleene(triples: DataFrame, pp: PathPat,
                           stepPlan: DataFrame): Option[DataFrame] = {
-    val lt = 2000000L
+    val lt = 200000L
     val pairCap = 8000000
     val stepRows = graft.algorithms.GraphAlgorithms
       .collectRowsGated(stepPlan, lt).getOrElse(return None)
