@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain stdout goes through sbt's logger by default, which
+// prefixes every line with "[info] " — the driver's JSON-line scrape of
+// graft.Bench then has to strip the tag. StdoutOutput passes the forked
+// process stdout through verbatim, so the bench's JSON lines land clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

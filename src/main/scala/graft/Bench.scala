@@ -123,12 +123,25 @@ object Bench {
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(line)
-    // sbt interleaves its own tags with stdout, which breaks the driver's
-    // JSON-line scrape (every BENCH_r*.json records parsed:null) — also
-    // write the line verbatim to a file when SPARK_GRAFT_BENCH_OUT is set.
+    // The driver's stdout capture keeps only the LAST ~2000 characters;
+    // at 276 queries the full line above is ~10 KB, so its head (and the
+    // opening brace) is truncated and the parse fails — every
+    // BENCH_r13..r18.json records parsed:null (r18 verdict item 2).
+    // Measurement-bug fix, not a methodology change: the SAME totals and
+    // medians are computed; the full per-query line is still printed
+    // above AND written verbatim to BENCH_LAST.json. When the full line
+    // already fits the capture window it IS the last line (unchanged
+    // one-line contract); otherwise a ≤1 KB summary — same metric/value/
+    // unit/sf fields, plus n/errors and a pointer to the per-query file —
+    // is printed LAST so the tail always contains one parseable JSON line.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (line.length > 1900) {
+      val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""errors":${errs.size},"queries_file":"$outPath","sf":"$sfDir"}"""
+      println(summary)
+    }
     spark.stop()
   }
 }

@@ -57,8 +57,26 @@ object GraphAlgorithms {
     * budget — itself hard-clamped at 100M rows, the sanity ceiling for
     * a driver-side adjacency (a Long.MaxValue "sentinel" threshold can
     * therefore never trigger a multi-billion-row collect). */
+  /** Global kill-switch for every adaptive local regime (r18 verdict
+    * item 7). The raw limit-probe pre-gates and gated collects are
+    * per-query jobs that a deployment whose data is always above the
+    * gates pays without ever entering a local regime — at extreme
+    * partition counts even a LocalLimit probe launches a task wave.
+    * Set session conf `spark.graft.localRegimes=off` (or env
+    * `SPARK_GRAFT_LOCAL_REGIMES=off`) to disable every probe and force
+    * the distributed path everywhere in ONE place. Default on — the
+    * local-mode / bench posture, where the probes are cheap and the
+    * local regimes win (r18 measurements). Checked before any probe
+    * job is launched, so "off" removes the probes entirely. */
+  private[graft] def localRegimesEnabled(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val v = spark.conf.getOption("spark.graft.localRegimes")
+      .orElse(sys.env.get("SPARK_GRAFT_LOCAL_REGIMES"))
+    v.forall(s => !(s.equalsIgnoreCase("off") || s.equalsIgnoreCase("false") || s == "0"))
+  }
+
   private[graft] def collectInternedGated(raw: DataFrame, canonical: Boolean,
       threshold: Long, probeCap: Int = 1000000): Option[InternedEdges] = {
+    if (!localRegimesEnabled(raw.sparkSession)) return None
     val cap = math.min(threshold, 100000000L)
     if (cap < 0) return None
     val probe = math.min(cap, probeCap.toLong).toInt
@@ -74,6 +92,7 @@ object GraphAlgorithms {
     * (weighted PageRank). Same probe-cap and 100M hard clamp. */
   private[graft] def collectRowsGated(raw: DataFrame, threshold: Long,
       probeCap: Int = 1000000): Option[Array[org.apache.spark.sql.Row]] = {
+    if (!localRegimesEnabled(raw.sparkSession)) return None
     val cap = math.min(threshold, 100000000L)
     if (cap < 0) return None
     val probe = math.min(cap, probeCap.toLong).toInt
@@ -292,7 +311,12 @@ object GraphAlgorithms {
   def weightedPageRank(edges: DataFrame, alphaNum: Int = 85,
                        alphaDen: Int = 100, iterations: Int = 10,
                        checkpointInterval: Int = 6,
-                       localThreshold: Long = 10000000L): DataFrame = {
+                       // 2M, the convention the r18 regimes standardized
+                       // on (r18 verdict item 7): a 10M-row default
+                       // collect of 3-long rows is hundreds of MB of
+                       // driver heap — callers with bigger drivers can
+                       // still raise it explicitly
+                       localThreshold: Long = 2000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
       s"need 0 <= alphaNum <= alphaDen: $alphaNum/$alphaDen")
@@ -1182,11 +1206,17 @@ object GraphAlgorithms {
     // per bench run at sf10, where the edge frame is an uncached filter
     // over the fact table); its row count doubles as the narrow-shuffle
     // gate when the probe overflows into the distributed rounds.
-    val integralIds = Seq("src", "dst").forall(c => edges.schema(c).dataType match {
-      case org.apache.spark.sql.types.IntegerType
-           | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    })
+    // src and dst must be the SAME integral type: the local replay emits
+    // every step under the src type, so a mixed-width graph (src INT,
+    // dst LONG) would silently truncate 64-bit neighbor ids where the
+    // distributed path widens via unionByName
+    val idType = edges.schema("src").dataType
+    val integralIds = idType == edges.schema("dst").dataType &&
+      (idType match {
+        case org.apache.spark.sql.types.IntegerType
+             | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
     val collected =
       if (integralIds)
         collectRowsGated(edges.select(col("src").cast("long"),
@@ -1196,10 +1226,21 @@ object GraphAlgorithms {
       case Some(eRows) =>
         val startRows = starts.select(col("wid").cast("long").as("wid"), col("id"))
           .limit(1000001).collect()
-        if (startRows.length <= 1000000 && eRows.forall(r =>
-            !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) > 0)) {
+        // start rows must be replayable too: a null wid/id would NPE in
+        // the replay and a start id whose JVM type differs from the edge
+        // id type fails createDataFrame validation — fall through to the
+        // distributed rounds for those, which degrade gracefully
+        def startOk(r: org.apache.spark.sql.Row): Boolean =
+          !r.isNullAt(0) && !r.isNullAt(1) && (idType match {
+            case org.apache.spark.sql.types.IntegerType =>
+              r.get(1).isInstanceOf[java.lang.Integer]
+            case _ => r.get(1).isInstanceOf[java.lang.Long]
+          })
+        if (startRows.length <= 1000000 && startRows.forall(startOk) &&
+            eRows.forall(r =>
+              !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) > 0)) {
           return localWeightedRandomWalks(eRows, startRows, steps, undirected,
-            edges.schema("src").dataType, edges.sparkSession)
+            idType, edges.sparkSession)
         }
       case None => ()
     }
@@ -1902,7 +1943,8 @@ object GraphAlgorithms {
     // order keys arrive pre-computed, so no id-type gate is needed.
     val lt = math.min(math.min(localThreshold, 2000000L), 100000000L)
     val idt = edges.schema("src").dataType
-    if (lt > 0 && idt == edges.schema("dst").dataType &&
+    if (lt > 0 && localRegimesEnabled(edges.sparkSession) &&
+        idt == edges.schema("dst").dataType &&
         edges.select(col("src")).limit(lt.toInt + 1).count() <= lt) {
       val rows = canonicalSimpleEdges(edges, weightCol)
         .select(col("u"), col("v"), col("ul"), col("vl"), col("w")).collect()
@@ -2187,7 +2229,8 @@ object GraphAlgorithms {
     // regime's cost identical. Register max-merge is idempotent, so
     // collected duplicate edges need no local distinct.
     val lt = math.min(localThreshold, 100000000L)
-    if (lt > 0 && stringCastReplayable(e0.schema("u").dataType) &&
+    if (lt > 0 && localRegimesEnabled(edges.sparkSession) &&
+        stringCastReplayable(e0.schema("u").dataType) &&
         edges.select(col("src")).limit(lt.toInt + 1).count() <= lt) {
       val rows = e0.collect()
       val local = localNeighborhoodRegisters(edges.sparkSession, rows,
@@ -2332,7 +2375,8 @@ object GraphAlgorithms {
       .where(col("u") =!= col("v"))
     val lt = math.min(localThreshold, 100000000L)
     val localArrays =
-      if (lt > 0 && stringCastReplayable(e0.schema("u").dataType) &&
+      if (lt > 0 && localRegimesEnabled(edges.sparkSession) &&
+          stringCastReplayable(e0.schema("u").dataType) &&
           edges.select(col("src")).limit(lt.toInt + 1).count() <= lt)
         localNeighborhoodArrays(e0.collect(), hops, undirected)
       else None
@@ -4281,7 +4325,7 @@ object GraphAlgorithms {
     // extra pass. Seeds and vertex weights are themselves gated collects
     // (vertex-sized); any overflow falls through to distributed rounds.
     val lt = math.min(localThreshold, 100000000L)
-    val rawSmall = lt > 0 &&
+    val rawSmall = lt > 0 && localRegimesEnabled(edges.sparkSession) &&
       stringCastReplayable(cnPlan.schema("src").dataType) &&
       edges.select(col("src")).limit(lt.toInt + 1).count() <= lt
     if (rawSmall) {
@@ -4290,10 +4334,17 @@ object GraphAlgorithms {
         case Some(s0) => collectRowsGated(
             s0.select(col(s0.columns.head).as("id"),
               col(s0.columns(1)).cast("int").as("__seed")).dropDuplicates("id"),
-            localThreshold).map { rows =>
-          val mp = scala.collection.mutable.HashMap.empty[Any, Int]
-          rows.foreach(r => if (!r.isNullAt(1)) mp(r.get(0)) = r.getInt(1))
-          (x: Any) => mp.get(x)
+            localThreshold).flatMap { rows =>
+          // a seed outside [0, numParts) would index the local load/cnt/k
+          // arrays out of bounds; the distributed rounds treat any int
+          // part as a plain group key, so fall back to them instead
+          if (rows.exists(r => !r.isNullAt(1) &&
+              (r.getInt(1) < 0 || r.getInt(1) >= numParts))) None
+          else {
+            val mp = scala.collection.mutable.HashMap.empty[Any, Int]
+            rows.foreach(r => if (!r.isNullAt(1)) mp(r.get(0)) = r.getInt(1))
+            Some((x: Any) => mp.get(x))
+          }
         }
       }
       val vwOpt: Option[Any => Long] = vertexWeights match {
@@ -4447,7 +4498,8 @@ object GraphAlgorithms {
     // localMatchCore; the only other local re-derivation is the BLP md5
     // bucket, gated by stringCastReplayable like balancedPartition.
     val lt = math.min(localThreshold, 100000000L)
-    if (lt > 0 && stringCastReplayable(edges.schema("src").dataType) &&
+    if (lt > 0 && localRegimesEnabled(edges.sparkSession) &&
+        stringCastReplayable(edges.schema("src").dataType) &&
         edges.select(col("src")).limit(lt.toInt + 1).count() <= lt) {
       // raw ≥ canonical (the balancedPartition raw pre-gate), so the
       // collect below is bounded by the limit-count that just passed

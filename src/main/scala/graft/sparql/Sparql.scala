@@ -1450,9 +1450,17 @@ object Sparql {
     // full-store scan, and a near-gate single-threaded closure loses to
     // the 32-core fixpoint (sf10 A/B: local at 1.5M step pairs read
     // ~13 s/run vs ~5.4 distributed; at ≤200k the local replay wins)
-    val kleeneLt = 200000L
-    if (stepRaw.select(col("a")).limit(kleeneLt.toInt + 1).count() <= kleeneLt) {
-      localKleene(triples, pp, stepPlan) match {
+    // threshold knob (r18 advice): session conf overrides the measured
+    // 200k default, and the global local-regime kill-switch disables the
+    // probe job entirely; localThreshold = 0 forces the distributed
+    // fixpoint (the parity-spec convention of the batch regimes)
+    val kleeneLt = math.min(triples.sparkSession.conf
+      .getOption("spark.graft.kleene.localThreshold").map(_.toLong)
+      .getOrElse(200000L), 100000000L)
+    if (kleeneLt > 0 &&
+        graft.algorithms.GraphAlgorithms.localRegimesEnabled(triples.sparkSession) &&
+        stepRaw.select(col("a")).limit(kleeneLt.toInt + 1).count() <= kleeneLt) {
+      localKleene(triples, pp, stepPlan, kleeneLt) match {
         case Some(pairs) => return bindVars(pairs, Seq("a" -> pp.s, "b" -> pp.o))
         case None => ()
       }
@@ -1524,8 +1532,7 @@ object Sparql {
     * overflow (step set, term set for the var–var zero case, or a
     * var–var closure that outgrows the pair cap). */
   private def localKleene(triples: DataFrame, pp: PathPat,
-                          stepPlan: DataFrame): Option[DataFrame] = {
-    val lt = 200000L
+                          stepPlan: DataFrame, lt: Long): Option[DataFrame] = {
     val pairCap = 8000000
     val stepRows = graft.algorithms.GraphAlgorithms
       .collectRowsGated(stepPlan, lt).getOrElse(return None)

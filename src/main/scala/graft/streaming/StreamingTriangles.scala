@@ -67,9 +67,15 @@ final class StreamingTriangles(spark: SparkSession,
   }
 
   def currentCount: Long = total
-  def edgeCount: Long =
+  // synchronized on the same monitor as addBatch: materializeAccumulated
+  // mutates accumulated/accumulatedStale and iterates localPairs, and
+  // localMode/localPairs are plain fields mutated by the streaming
+  // foreachBatch thread — an unsynchronized poll during ingestion could
+  // hit a ConcurrentModificationException or stale state.
+  def edgeCount: Long = synchronized {
     if (localMode) localPairs.size.toLong
     else { materializeAccumulated(); accumulated.count() }
+  }
 
   /** Ingest one batch of raw (src,dst) edges; returns the new total. */
   def addBatch(rawEdges: DataFrame): Long = synchronized {
@@ -130,7 +136,7 @@ final class StreamingTriangles(spark: SparkSession,
 
   /** Full recount for drift checking (the reference periodically recounts
     * on the native store; we can assert ΔT bookkeeping exactly). */
-  def recount(): Long = {
+  def recount(): Long = synchronized {
     materializeAccumulated()
     GraphAlgorithms.triangleCount(accumulated)
   }

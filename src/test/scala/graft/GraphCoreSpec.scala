@@ -1020,4 +1020,29 @@ class GraphCoreSpec extends SparkSpec {
       big, canonical = false, threshold = 2000000L)
     assert(interned.map(_.pairs.length) === Some(1200000))
   }
+
+  test("localRegimes kill-switch: spark.graft.localRegimes=off forces the " +
+      "distributed path everywhere, results unchanged") {
+    import spark.implicits._
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 60), (i, (i + 4) % 60))).toDF("src", "dst")
+    val local = GraphAlgorithms.triangleCountDF(edges).collect()(0).getLong(0)
+    val forced = GraphAlgorithms.triangleCountDF(edges, 0L).collect()(0).getLong(0)
+    val blpOn = GraphAlgorithms.balancedPartition(edges, numParts = 4)
+      .orderBy("id").collect().toSeq
+    spark.conf.set("spark.graft.localRegimes", "off")
+    try {
+      // the gated collects refuse outright — no probe job, no rows
+      assert(GraphAlgorithms.collectRowsGated(edges, 1000000L).isEmpty)
+      assert(GraphAlgorithms.collectInternedGated(edges, canonical = true,
+        1000000L).isEmpty)
+      val off = GraphAlgorithms.triangleCountDF(edges).collect()(0).getLong(0)
+      assert(off === local && off === forced)
+      // a raw limit-count pre-gated regime (BLP) takes the distributed
+      // rounds and still matches the local replay bit-exactly
+      val blpOff = GraphAlgorithms.balancedPartition(edges, numParts = 4)
+        .orderBy("id").collect().toSeq
+      assert(blpOff === blpOn)
+    } finally spark.conf.unset("spark.graft.localRegimes")
+  }
 }

@@ -668,4 +668,24 @@ class SparqlCompatSpec extends SparkSpec {
       """SELECT ?u WHERE { ?s <k> ?v . FILTER(sameTerm(?v, "2")) BIND(IRI(?s) AS ?u) }"""))
       === Seq("c"))
   }
+
+  test("Kleene local regime parity: forced-distributed fixpoint (threshold " +
+      "knob and localRegimes kill-switch) matches the local replay") {
+    val t = triples(("a","knows","b"),("b","knows","c"),("c","knows","d"),
+      ("b","knows","a"),("d","other","e"),("e","knows","e"))
+    val qs = Seq(
+      "SELECT ?x ?y WHERE { ?x <knows>+ ?y }",           // var–var closure
+      "SELECT ?y WHERE { <a> <knows>* ?y }",             // const subject, zero incl.
+      "SELECT ?x WHERE { ?x <knows>+ <d> }",             // const object
+      "SELECT ?y WHERE { <a> (<knows>|<other>)+ ?y }")   // alternation step
+    for (q <- qs) {
+      val local = rowsOf(Sparql.run(t, q)).sorted
+      spark.conf.set("spark.graft.kleene.localThreshold", "0")
+      try assert(rowsOf(Sparql.run(t, q)).sorted === local, s"knob=0: $q")
+      finally spark.conf.unset("spark.graft.kleene.localThreshold")
+      spark.conf.set("spark.graft.localRegimes", "off")
+      try assert(rowsOf(Sparql.run(t, q)).sorted === local, s"kill-switch: $q")
+      finally spark.conf.unset("spark.graft.localRegimes")
+    }
+  }
 }
